@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (content hash),
+  * MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard (the small-scale
+  * oracle for the approximate paths).
+  *
+  * Scale notes (100 TB design point):
+  *  - MinHash signatures are computed *per row* with higher-order functions
+  *    (no explode, no shuffle) — the only shuffle is the LSH band
+  *    self-join, which groups by (band, bandHash) buckets.
+  *  - Exact-Jaccard is quadratic per shared token and exists only as the
+  *    correctness oracle / final verification of LSH candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row (min of `idCol`) per distinct value of
+    * `onCol`'s content hash. groupBy is shuffle-partial-aggregated
+    * map-side, so only one row per distinct hash per partition shuffles.
+    */
+  def exactDedup(df: DataFrame, onCol: String, idCol: String): DataFrame = {
+    df.groupBy(sha2(col(onCol).cast("string"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
+
+  /** Word n-gram shingles of a text column (array of strings). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        )
+      )
+  }
+
+  // 2^31-1: products a*h stay below 2^62, safe under ANSI Long arithmetic.
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic affine-hash coefficients for the k MinHash functions. */
+  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Seq.fill(k)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
+    val b = Seq.fill(k)(math.abs(rnd.nextLong()) % MersennePrime)
+    (a, b)
+  }
+
+  /** MinHash signature (array of k longs) of a shingle array, computed
+    * entirely within the row: sig_i = min over shingles of
+    * (a_i * xxhash64(s) + b_i) mod 2^31-1. No shuffle, codegen'd HOFs.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val (a, b) = coeffs(k, seed)
+    val aLit = array(a.map(lit): _*)
+    val bLit = array(b.map(lit): _*)
+    val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(MersennePrime)))
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(
+          transform(
+            hashes,
+            h => pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(MersennePrime))
+          )
+        )
+    )
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding: split the k-length
+    * signature into `bands` bands, hash each band, self-join on
+    * (band, bandHash). Returns distinct (id1, id2) with id1 < id2 plus the
+    * estimated Jaccard from full-signature agreement.
+    *
+    * The band join is an equi-join on the bucket key — shuffle-hash/SMJ
+    * partitioned by bucket, never a cross join. Bucket skew (e.g. empty
+    * docs hashing identically) is bounded by dropping buckets larger than
+    * `maxBucket`.
+    */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+    val bandW = floor(size(col("_sig")) / bands).cast("int")
+    val banded = base
+      .select(
+        col("_id"),
+        col("_sig"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("_sig"), b * bandW + 1, bandW), b)
+          )
+        )
+      )
+      .withColumnRenamed("pos", "_band")
+      .withColumnRenamed("col", "_bucket")
+
+    // Bound pathological buckets before the self-join (skew guard).
+    val bucketSizes = banded.groupBy("_band", "_bucket").count()
+    val bounded = banded
+      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
+      .drop("count")
+
+    val l = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"), col("_sig").as("sig1"))
+    val r = bounded.select(col("_band"), col("_bucket"), col("_id").as("id2"), col("_sig").as("sig2"))
+    l.join(r, Seq("_band", "_bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(
+        col("id1"),
+        col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / size(col("sig1"))).as("est_jaccard")
+      )
+      .groupBy("id1", "id2")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs on a text column. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sigs = df.select(
+      col(idCol),
+      minhashSignature(shingles(col(textCol), shingleN), k).as("_sig")
+    )
+    lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token bag, computed within the row:
+    * for each bit position, sum +-1 over tokens by that bit of
+    * xxhash64(token); the sign gives the output bit.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val bitSums = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)
+          ),
+          (a, b) => a + b
+        )
+    )
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v)
+    )
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact pairwise Jaccard over distinct word sets — the oracle path.
+    * explode + equi-join on word + count intersection; quadratic only in
+    * docs *sharing* a token, and used at oracle scale or to verify LSH
+    * candidates, never as the 100 TB path.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val words = df
+      .select(col(idCol).as("_id"), explode(array_distinct(TextOps.tokens(col(textCol)))).as("_w"))
+    val sizes = words.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val inter = words
+      .select(col("_id").as("id1"), col("_w"))
+      .join(words.select(col("_id").as("id2"), col("_w")), Seq("_w"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("id1"), col("_n").as("_n1")), Seq("id1"))
+      .join(sizes.select(col("_id").as("id2"), col("_n").as("_n2")), Seq("id2"))
+      .select(
+        col("id1"),
+        col("id2"),
+        (col("_inter").cast("double") / (col("_n1") + col("_n2") - col("_inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational helper operators the reference exposes only through engine
+  * passthrough (intake delegates joins/windows to its backends; see
+  * reference readers.py:510-516 `DuckSQL`, transform.py:87 `Method`).
+  * Here they are first-class, shuffle-conscious Spark operators.
+  */
+object Relational {
+
+  /** As-of join: for each left row, attach the single most recent right row
+    * with `right(rightOn) <= left(leftOn)` (direction="backward"; "forward"
+    * matches the nearest `>=`), within equal `by` keys.
+    *
+    * Implementation is the union-window pattern rather than a range
+    * join: tag both sides, union, and carry the last-seen right row
+    * forward with `last(_, ignoreNulls=true)` over a window ordered by
+    * (time, tag). One shuffle on the `by` keys, no row explosion — at
+    * 100 TB a naive `left.join(right, ts >= rts)` range join explodes
+    * quadratically per key; this stays linear and sorts within
+    * partitions.
+    *
+    * Ties: a right row at exactly `leftOn` is eligible (inclusive); among
+    * right rows with the same timestamp the last by `tieBreak` ordering
+    * wins.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      by: Seq[(String, String)],
+      direction: String = "backward",
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"bad direction: $direction")
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val byL = by.map(_._1)
+    val byR = by.map(_._2)
+
+    // Common layout: by-keys, event time, side tag, payload structs.
+    val lNorm = left.select(
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(right.select(struct(rightCols.map(col): _*)).schema.fields.head.dataType).as("_r"),
+      col(leftOn).as("_t"),
+      lit(1).as("_tag"),
+      struct(byL.map(col): _*).as("_by")
+    )
+    val rNorm = right.select(
+      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.fields.head.dataType).as("_l"),
+      struct(rightCols.map(col): _*).as("_r"),
+      col(rightOn).as("_t"),
+      lit(0).as("_tag"),
+      struct(byR.map(col): _*).as("_by")
+    )
+    val unioned = lNorm.unionByName(rNorm)
+
+    // backward: right rows must sort before a same-time left row so that
+    // last() sees them; forward mirrors by reversing the time order.
+    val timeOrder =
+      if (direction == "backward") Seq(col("_t").asc, col("_tag").asc)
+      else Seq(col("_t").desc, col("_tag").asc)
+    val tieOrder = tieBreak.map(c => col("_r").getField(c).asc)
+    val w = Window
+      .partitionBy(col("_by"))
+      .orderBy(timeOrder ++ tieOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+
+    val leftOut = leftCols.map(c => col("_l").getField(c).as(c))
+    val rightOut = rightCols.filterNot(byR.contains).map(c => col("_match").getField(c).as(c))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
+  /** Top-k rows per group by the given ordering (rank-window pattern).
+    * Partial top-k is pushed map-side by Catalyst's `WindowGroupLimit`
+    * (Spark 3.5+) so only k rows per group per partition shuffle.
+    */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Gap-based sessionization (batch): rows for the same key belong to one
+    * session while consecutive gaps stay <= maxGap. Adds `session_id`
+    * (0-based per key). One shuffle on the key; cumulative-sum window.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, maxGap: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val gapSec = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(maxGap))
+    val gapSeconds = gapSec.months * 2592000L + gapSec.days * 86400L + gapSec.microseconds / 1000000L
+    val newSession = when(
+      col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double") > gapSeconds.toDouble,
+      1
+    ).otherwise(0)
+    df.withColumn("_new", coalesce(newSession, lit(0)))
+      .withColumn("session_id", sum(col("_new")).over(w))
+      .drop("_new")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: tokenizing,
+  * language-ID heuristics, quality scoring, fingerprinting. All are pure
+  * Column expressions (whole-stage-codegen'd built-ins, no UDFs) so they
+  * stay in the scan pipeline and never force a shuffle on their own.
+  *
+  * The reference only ships text *extraction* (PDF/DOCX/Markdown readers,
+  * readers.py:2100-2160); the analysis surface here is the Spark-native
+  * extension the pipeline needs at the 100 TB design point.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token estimate: words plus punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's piece count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[\\s]+|(?=[\\p{Punct}])|(?<=[\\p{Punct}])"), t => length(t) > 0))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "this"
+  )
+
+  /** Fraction of tokens that are (English) stopwords — a quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks)
+    )
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text)
+    )
+
+  /** Mean token length — degenerate values flag boilerplate/garbage. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    )
+  }
+
+  /** Composite [0,1] quality score from length/stopword/punct signals,
+    * mirroring the C4/Gopher-style heuristic filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk + stopOk + punctOk + tokOk) / 4.0
+  }
+
+  /** Character/stopword-heuristic language ID over a closed tag set
+    * (en/es/fr/de/zh/und). Deliberately expressible in plain SQL so the
+    * oracle can replicate it exactly; scores are stopword hit counts.
+    */
+  def langId(text: Column): Column = {
+    def hits(words: Seq[String]): Column = {
+      val toks = tokens(text)
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val en = hits(Seq("the", "and", "of", "is", "was", "with"))
+    val es = hits(Seq("el", "la", "los", "las", "que", "es"))
+    val fr = hits(Seq("le", "les", "des", "est", "une", "et"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= fr && en >= de && en > 0, "en")
+      .when(es >= fr && es >= de && es > 0, "es")
+      .when(fr >= de && fr > 0, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Order-insensitive document fingerprint: md5 of the sorted token bag.
+    * Identical token multisets collide deliberately (near-dup precursor).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+
+  /** 57-bit rolling polynomial fingerprint over tokens (Rabin-style):
+    * h = (h*31 + hash(token)) mod 2^57. Kept under 2^57 so the multiply
+    * never overflows a Long under ANSI arithmetic. Sensitive to token
+    * order, unlike [[fingerprint]].
+    */
+  def rollingHash(text: Column): Column = {
+    val p = 1L << 57
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p))
+    )
+  }
+}

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scan / filter / join / aggregation / set-op / subquery surface (SURVEY
+  * §2b rows: Projection/filter, Joins, Aggregation, Grouping sets, Set ops,
+  * Sort/limit, subqueries). Each query has a DuckDB-equivalent oracle; the
+  * reference exposes this surface via SQL passthrough (reference
+  * readers.py:510 DuckSQL, datatypes.py:590 SQLQuery) — here it is native
+  * DataFrame API on Spark.
+  *
+  * Plans are written for scale: small dimensions are broadcast
+  * explicitly, aggregations rely on partial (map-side) combine, and
+  * no query materializes on the driver.
+  */
+object CoreQueries {
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    (
+      "q01_pricing_summary",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_base_price"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            avg("l_quantity").as("avg_qty"),
+            avg("l_extendedprice").as("avg_price"),
+            avg("l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    ),
+    (
+      "q02_filter_in_between_like",
+      (s, dir) => {
+        table(s, dir, "part")
+          .filter(
+            col("p_size").between(10, 30) &&
+              col("p_brand").isin("Brand#1", "Brand#3", "Brand#5", "Brand#7") &&
+              col("p_type").like("S%")
+          )
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part
+        WHERE p_size BETWEEN 10 AND 30
+          AND p_brand IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#7')
+          AND p_type LIKE 'S%'
+      """)
+    ),
+    (
+      "q03_segment_top_revenue",
+      (s, dir) => {
+        val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        broadcast(c)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
+    ),
+    (
+      "q04_priority_semijoin",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    ),
+    (
+      "q05_nation_revenue",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        val sup = table(s, dir, "supplier")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem, orders, customer, supplier, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """)
+    ),
+    (
+      "q06_forecast_revenue",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24
+          )
+          .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      },
+      Some("""
+        SELECT sum(l_extendedprice * l_discount) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """)
+    ),
+    (
+      "q07_left_join_counts",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey", "c_name")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            sum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend")
+          )
+      },
+      Some("""
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+               sum(COALESCE(o_totalprice, 0.0)) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+      """)
+    ),
+    (
+      "q08_anti_join",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      """)
+    ),
+    (
+      "q09_full_outer_nation",
+      (s, dir) => {
+        val c = table(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sup = table(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+          .select(
+            coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers")
+          )
+      },
+      Some("""
+        SELECT COALESCE(cc.nk_c, ss.nk_s) AS nationkey,
+               COALESCE(cc.n_customers, 0) AS n_customers,
+               COALESCE(ss.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers FROM customer GROUP BY 1) cc
+        FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers FROM supplier GROUP BY 1) ss
+          ON cc.nk_c = ss.nk_s
+      """)
+    ),
+    (
+      "q10_theta_join",
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+        val c = table(s, dir, "customer")
+        broadcast(sup)
+          .join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(
+            count(lit(1)).as("n_poorer_customers"),
+            avg(col("s_acctbal") - col("c_acctbal")).as("avg_gap")
+          )
+      },
+      Some("""
+        SELECT s_suppkey, s_name, count(*) AS n_poorer_customers,
+               avg(s_acctbal - c_acctbal) AS avg_gap
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        GROUP BY s_suppkey, s_name
+      """)
+    ),
+    (
+      "q11_range_join",
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val p = table(s, dir, "part")
+        l.join(
+          broadcast(p),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") >= col("p_size") * 0.5 &&
+            col("l_quantity") <= col("p_size")
+        ).groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"), sum("l_extendedprice").as("sum_price"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n_lines, sum(l_extendedprice) AS sum_price
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey
+         AND l_quantity >= p_size * 0.5 AND l_quantity <= p_size
+        GROUP BY p_brand
+      """)
+    ),
+    (
+      "q12_rollup_grouping",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            grouping_id().as("gid")
+          )
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      """)
+    ),
+    (
+      "q13_cube_grouping",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"), grouping_id().as("gid"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               sum(o_totalprice) AS sum_price,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      """)
+    ),
+    (
+      "q14_setops",
+      (s, dir) => {
+        val cn = table(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        val sn = table(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+        val both = cn.intersect(sn).withColumn("tag", lit("both"))
+        val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+        val supOnly = sn.except(cn).withColumn("tag", lit("supp_only"))
+        both.unionByName(custOnly).unionByName(supOnly)
+      },
+      Some("""
+        SELECT nationkey, 'both' AS tag
+        FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'cust_only' AS tag
+        FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'supp_only' AS tag
+        FROM (SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+      """)
+    ),
+    (
+      "q15_distinct",
+      (s, dir) => {
+        table(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+      },
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+    ),
+    (
+      "q16_having",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("spend"))
+          .filter(col("n_orders") >= 3)
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+      """)
+    ),
+    (
+      "q17_scalar_subquery",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val avgBal = c.agg(avg("c_acctbal").as("_avg"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("_avg"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rich"), avg("c_acctbal").as("avg_rich_bal"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_rich, avg(c_acctbal) AS avg_rich_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+      """)
+    ),
+    (
+      "q18_in_subquery",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val keys = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"))
+        o.join(broadcast(keys), col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        GROUP BY o_orderstatus
+      """)
+    ),
+    (
+      "q19_exists_correlated",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey") && col("o_totalprice") > col("c_acctbal"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal)
+        GROUP BY c_mktsegment
+      """)
+    ),
+    (
+      "q20_case_coalesce",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(
+            when(col("o_totalprice") >= 300000, "large")
+              .when(col("o_totalprice") >= 100000, "medium")
+              .otherwise("small")
+              .as("bucket"),
+            when(col("o_orderstatus") === "P", lit(null).cast("string"))
+              .otherwise(col("o_orderstatus"))
+              .as("status_np")
+          )
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("status_np")).as("n_nonpending"),
+            count(when(col("status_np").isNull, 1)).as("n_pending")
+          )
+      },
+      Some("""
+        SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+                    WHEN o_totalprice >= 100000 THEN 'medium'
+                    ELSE 'small' END AS bucket,
+               count(*) AS n,
+               count(NULLIF(o_orderstatus, 'P')) AS n_nonpending,
+               count(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 END) AS n_pending
+        FROM orders
+        GROUP BY 1
+      """)
+    )
+  )
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2b: string / date / math functions,
+  * JSON access, array HOFs, sampling/stats). Every expression here is a
+  * codegen'd built-in — the reference reaches the same surface only by
+  * delegating to a backend namespace (reference namespaces.py:16).
+  */
+object FunctionQueries {
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    (
+      "q28_string_funcs",
+      (s, dir) => {
+        table(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("name_upper"),
+            length(col("c_name")).as("name_len"),
+            substring(col("c_name"), 1, 8).as("name_prefix"),
+            lpad(col("c_custkey").cast("string"), 6, "0").as("key_padded"),
+            concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nation"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+            element_at(split(col("c_name"), "#"), 1).as("name_word"),
+            levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+            trim(lower(col("c_mktsegment"))).as("seg_lower")
+          )
+      },
+      Some("""
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               length(c_name) AS name_len,
+               substring(c_name, 1, 8) AS name_prefix,
+               lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
+               concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+               regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+               string_split(c_name, '#')[1] AS name_word,
+               levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+               trim(lower(c_mktsegment)) AS seg_lower
+        FROM customer
+      """)
+    ),
+    (
+      "q29_date_funcs",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"),
+            dayofmonth(col("o_orderdate")).as("o_day"),
+            quarter(col("o_orderdate")).as("o_quarter"),
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since_epoch"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            last_day(col("o_orderdate").cast("date")).as("month_end")
+          )
+      },
+      Some("""
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               day(o_orderdate) AS o_day,
+               quarter(o_orderdate) AS o_quarter,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+      """)
+    ),
+    (
+      "q30_math_funcs",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("disc_total"),
+            sum(floor(col("l_quantity"))).as("qty_floor_sum"),
+            sum(ceil(col("l_discount") * 100)).as("disc_pct_ceil_sum"),
+            round(sum(abs(col("l_extendedprice") - 1000.0)), 2).as("abs_dev_sum"),
+            round(sum(pow(col("l_quantity"), 2)), 2).as("qty_sq_sum"),
+            round(sum(log(col("l_extendedprice") + 1)), 6).as("log_price_sum"),
+            round(sum(sqrt(col("l_quantity"))), 6).as("sqrt_qty_sum"),
+            sum(col("l_orderkey") % 7).as("mod_sum")
+          )
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_discount), 2) AS disc_total,
+               CAST(sum(floor(l_quantity)) AS BIGINT) AS qty_floor_sum,
+               CAST(sum(ceil(l_discount * 100)) AS BIGINT) AS disc_pct_ceil_sum,
+               round(sum(abs(l_extendedprice - 1000.0)), 2) AS abs_dev_sum,
+               round(sum(pow(l_quantity, 2)), 2) AS qty_sq_sum,
+               round(sum(ln(l_extendedprice + 1)), 6) AS log_price_sum,
+               round(sum(sqrt(l_quantity)), 6) AS sqrt_qty_sum,
+               sum(l_orderkey % 7) AS mod_sum
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)
+    ),
+    (
+      "q31_json_funcs",
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")
+          )
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            avg("k").as("avg_k"),
+            max("k").as("max_k"),
+            min("k").as("min_k")
+          )
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+        FROM events
+        GROUP BY event_type
+      """)
+    ),
+    (
+      "q32_conditional_pivot",
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            count(when(col("event_type") === "click", 1)).as("n_clicks"),
+            count(when(col("event_type") === "view", 1)).as("n_views"),
+            count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+            round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purchase_value")
+          )
+      },
+      Some("""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+               count(*) FILTER (WHERE event_type = 'view') AS n_views,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        FROM events
+        GROUP BY user_id
+      """)
+    ),
+    (
+      "q33_stats",
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(
+            col("event_type"),
+            col("value"),
+            get_json_object(col("props"), "$.k").cast("double").as("k")
+          )
+          .groupBy("event_type")
+          .agg(
+            round(corr("value", "k"), 6).as("corr_vk"),
+            round(stddev_samp("value"), 6).as("sd_value"),
+            round(var_samp("value"), 6).as("var_value"),
+            round(covar_samp("value", "k"), 6).as("covar_vk"),
+            round(avg("value"), 6).as("avg_value")
+          )
+      },
+      Some("""
+        SELECT event_type,
+               round(corr(value, k), 6) AS corr_vk,
+               round(stddev_samp(value), 6) AS sd_value,
+               round(var_samp(value), 6) AS var_value,
+               round(covar_samp(value, k), 6) AS covar_vk,
+               round(avg(value), 6) AS avg_value
+        FROM (SELECT event_type, value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+              FROM events)
+        GROUP BY event_type
+      """)
+    ),
+    (
+      "q34_percentiles",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(min("l_extendedprice"), 2).as("min_price"),
+            round(max("l_extendedprice"), 2).as("max_price")
+          )
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)
+    ),
+    (
+      "q35_collect_agg",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+            count_distinct(col("o_orderstatus")).as("n_statuses"),
+            first(col("o_orderkey")).as("some_orderkey")
+          )
+          .select(
+            col("o_custkey"),
+            concat_ws(",", col("statuses")).as("statuses"),
+            col("n_statuses")
+          )
+      },
+      Some("""
+        SELECT o_custkey,
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+               count(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders
+        GROUP BY o_custkey
+      """)
+    ),
+    (
+      "q36_approx_distinct",
+      (s, dir) => {
+        // HLL implementations differ across engines — driver records a
+        // rows-only check (no oracle entry on purpose).
+        table(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct("l_orderkey").as("approx_orders"),
+            count_distinct(col("l_orderkey")).as("exact_orders")
+          )
+      },
+      None
+    ),
+    (
+      "q37_sample",
+      (s, dir) => {
+        // Engine-specific RNG — rows-only check (no oracle on purpose).
+        table(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42L)
+          .agg(count(lit(1)).as("n_sampled"))
+      },
+      None
+    )
+  )
+}

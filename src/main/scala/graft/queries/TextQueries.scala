@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline surface over `documents` and `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, exact Jaccard), similarity search,
+  * text analysis. SQL oracles replicate the deterministic operators
+  * exactly; the approximate/sketch operators (engine-specific hashes) get
+  * rows-only checks plus ScalaTest ground-truth specs.
+  */
+object TextQueries {
+
+  // DuckDB expression equivalent of TextOps.tokens (lower, split on \s+,
+  // drop empties), reused across the oracles below.
+  private def duckTokens(c: String) =
+    s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> length(t) > 0)"
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    (
+      "q40_dedup_exact",
+      (s, dir) => {
+        Dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")
+      },
+      Some("""
+        SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+      """)
+    ),
+    (
+      "q41_jaccard_pairs",
+      // The synthetic corpus is one big near-dup clique (tiny shared
+      // vocabulary): listing ALL pairs above any threshold is Θ(n²) in
+      // output size, on any engine. Bound the listing to a deterministic
+      // subset; the operator itself is unrestricted.
+      (s, dir) => {
+        Dedup.exactJaccardPairs(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.55)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id AS _id, unnest(list_distinct(${duckTokens("text")})) AS _w
+          FROM documents WHERE doc_id < 200
+        ), sizes AS (
+          SELECT _id, count(*) AS _n FROM words GROUP BY _id
+        ), inter AS (
+          SELECT a._id AS id1, b._id AS id2, count(*) AS _inter
+          FROM words a JOIN words b ON a._w = b._w AND a._id < b._id
+          GROUP BY a._id, b._id
+        )
+        SELECT id1, id2,
+               round(CAST(_inter AS DOUBLE) / (s1._n + s2._n - _inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1._id = id1
+        JOIN sizes s2 ON s2._id = id2
+        WHERE CAST(_inter AS DOUBLE) / (s1._n + s2._n - _inter) >= 0.55
+      """)
+    ),
+    (
+      "q42_minhash_lsh",
+      (s, dir) => {
+        // xxhash64-based MinHash — not replicable in DuckDB SQL; rows-only
+        // check here, ground truth vs exact Jaccard in the ScalaTest spec.
+        // Same deterministic subset as q41 (see note there).
+        Dedup.minhashNearDupPairs(
+          table(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", shingleN = 2, k = 64, bands = 16, threshold = 0.4)
+          .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      },
+      None
+    ),
+    (
+      "q43_simhash",
+      (s, dir) => {
+        // xxhash64-based — rows-only check (deterministic; spec'd in tests).
+        table(s, dir, "documents")
+          .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      },
+      None
+    ),
+    (
+      "q44_fingerprint",
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(${duckTokens("text")}), ' ')) AS fp
+        FROM documents
+      """)
+    ),
+    (
+      "q45_token_stats",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.select(
+          col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual")
+        ).groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            round(avg("n_tokens"), 6).as("avg_tokens"),
+            round(avg("n_chars_actual"), 6).as("avg_chars")
+          )
+      },
+      Some(s"""
+        SELECT source, count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(avg(n_tokens), 6) AS avg_tokens,
+               round(avg(n_chars_actual), 6) AS avg_chars
+        FROM (SELECT source, len(${duckTokens("text")}) AS n_tokens,
+                     length(text) AS n_chars_actual
+              FROM documents)
+        GROUP BY source
+      """)
+    ),
+    (
+      "q46_lang_quality",
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextOps.langId(col("text")).as("lang_pred"),
+            TextOps.stopwordRatio(col("text")).as("stop_ratio")
+          )
+          .groupBy("lang_pred")
+          .agg(count(lit(1)).as("n_docs"), round(avg("stop_ratio"), 6).as("avg_stop_ratio"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${duckTokens("text")} AS tk, text FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                 len(list_filter(tk, t -> list_contains(['the','and','of','is','was','with'], t))) AS en,
+                 len(list_filter(tk, t -> list_contains(['el','la','los','las','que','es'], t))) AS es,
+                 len(list_filter(tk, t -> list_contains(['le','les','des','est','une','et'], t))) AS fr,
+                 len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','ein'], t))) AS de,
+                 CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','this'], t))) AS DOUBLE)
+                   / CASE WHEN len(tk) = 0 THEN 1 ELSE len(tk) END AS stop_ratio,
+                 CASE WHEN len(tk) = 0 THEN 0.0 ELSE 1.0 END AS has_toks,
+                 regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS zh
+          FROM toks
+        )
+        SELECT CASE WHEN zh THEN 'zh'
+                    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                    WHEN fr >= de AND fr > 0 THEN 'fr'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred,
+               count(*) AS n_docs,
+               round(avg(stop_ratio * has_toks), 6) AS avg_stop_ratio
+        FROM scored
+        GROUP BY 1
+      """)
+    ),
+    (
+      "q47_wordcount",
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(${duckTokens("text")}) AS word FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+      """)
+    ),
+    (
+      "q48_vector_norms",
+      (s, dir) => {
+        table(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            col("label"),
+            size(col("embedding")).as("dim"),
+            round(VectorFunctions.l2Norm(col("embedding")), 4).as("l2_norm")
+          )
+      },
+      Some("""
+        SELECT vec_id, label, len(embedding) AS dim,
+               round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2_norm
+        FROM embeddings
+      """)
+    ),
+    (
+      "q49_knn_cosine",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings c ON c.vec_id <> q.vec_id
+        )
+        WHERE rn <= 3
+      """)
+    ),
+    (
+      "q50_embedding_neardup",
+      (s, dir) => {
+        Similarity
+          .cosineNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding", 0.8)
+          .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+      """)
+    ),
+    (
+      "q51_lsh_knn",
+      (s, dir) => {
+        // Approximate ANN (hyperplane LSH) — recall measured against
+        // q49's exact result in the ScalaTest spec; rows-only here.
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 3, dim = 64, bitsPerGroup = 6, groups = 6)
+      },
+      None
+    ),
+    (
+      "q52_quality_filter",
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+            round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len")
+          )
+          .filter(col("n_tokens") >= 5 && col("mean_tok_len") >= 2.0)
+      },
+      Some(s"""
+        SELECT doc_id, lang, n_tokens, punct_ratio, mean_tok_len
+        FROM (
+          SELECT doc_id, lang,
+                 len(${duckTokens("text")}) AS n_tokens,
+                 round(CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+                 round(CASE WHEN len(${duckTokens("text")}) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(${duckTokens("text")}, t -> length(t))) AS DOUBLE)
+                            / len(${duckTokens("text")}) END, 6) AS mean_tok_len
+          FROM documents
+        )
+        WHERE n_tokens >= 5 AND mean_tok_len >= 2.0
+      """)
+    )
+  )
+}

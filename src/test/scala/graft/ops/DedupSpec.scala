@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),        // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "about spark engines completely different content")    // permutation of 3
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical content and keeps min id") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L) // docs 0 and 1 collapse
+    assert(out(2L) == 1L)
+    assert(out.size == 4)
+  }
+
+  test("shingles produces n-grams and handles short docs") {
+    val out = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0).head == "the quick brown")
+    assert(out(0).length == 7) // 9 tokens -> 7 trigrams
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("one two"))
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard") {
+    val sigs = docs.select(
+      col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 1), k = 128).as("sig")
+    )
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 32)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 0/1 identical -> est 1.0
+    assert(pairs((0L, 1L)) == 1.0)
+    // docs 0/2: 7 shared words, 9 in the union -> exact J = 7/9; 128
+    // hashes give ~±0.1 accuracy
+    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9) < 0.15)
+    // docs 3/4: same word set -> est 1.0 (1-shingles)
+    assert(pairs((3L, 4L)) == 1.0)
+  }
+
+  test("exactJaccardPairs computes set Jaccard over distinct words") {
+    val out = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(math.abs(out((0L, 2L)) - 7.0 / 9) < 1e-9) // 7 shared / 9 union
+    assert(out((3L, 4L)) == 1.0)
+    assert(!out.contains((0L, 3L)))
+  }
+
+  test("simhash: identical texts equal; near dups close; different far") {
+    val hs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(0L) == hs(1L))
+    assert(hs(3L) == hs(4L)) // bag-of-words: order-insensitive
+    val d02 = java.lang.Long.bitCount(hs(0L) ^ hs(2L))
+    val d03 = java.lang.Long.bitCount(hs(0L) ^ hs(3L))
+    assert(d02 < d03, s"near-dup hamming $d02 should be < unrelated $d03")
+  }
+
+  test("hamming64 column matches JVM bitCount") {
+    val out = Seq((3L, 1L)).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
+    assert(out == 1)
+  }
+}

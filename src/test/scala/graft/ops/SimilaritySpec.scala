@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineSim matches hand computation, incl. zero vectors and nulls") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f), 24.0 / 25.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"), col("expected"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (c, e) => assert(math.abs(c - e) < 1e-9, s"$c vs $e") }
+
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("dotProduct and l2Norm") {
+    val (d, n) = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.dotProduct(col("a"), col("b")),
+        VectorFunctions.l2Norm(col("a"))
+      ).as[(Double, Double)].head()
+    assert(math.abs(d - 32.0) < 1e-9)
+    assert(math.abs(n - math.sqrt(14.0)) < 1e-9)
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0L)
+    val out = Similarity
+      .bruteForceTopK(corpus, "id", "vec", queries, "id", "vec", k = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L)) // closest first
+  }
+
+  test("lshTopK finds planted near-duplicates with high recall") {
+    // Hyperplane LSH is designed for high-cosine pairs (near-dups), not
+    // for ranking uniform random vectors (where all similarities are ~0
+    // and band-collision probability is near its floor). Plant perturbed
+    // copies — the dedup use case — and require the planted pair found.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 50L).map(i => (i, vec()))
+    val planted = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 50)
+    val found = Similarity
+      .lshTopK(corpus, "id", "vec", queries, "id", "vec",
+        k = 1, dim = 16, bitsPerGroup = 6, groups = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = base.count { case (i, _) => found.contains((i, i + 100L)) } / 50.0
+    assert(recall >= 0.9, s"planted-near-dup recall $recall too low")
+  }
+
+  test("cosineNearDupPairs is symmetric-free (id1 < id2) and thresholded") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val out = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, splits on whitespace, drops empties") {
+    val out = Seq("  The Quick\t brown\n FOX  ").toDF("t")
+      .select(TextOps.tokens(col("t"))).as[Seq[String]].head()
+    assert(out == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("tokenCount and meanTokenLen") {
+    val (n, m) = Seq("one two three").toDF("t")
+      .select(TextOps.tokenCount(col("t")), TextOps.meanTokenLen(col("t")))
+      .as[(Int, Double)].head()
+    assert(n == 3)
+    assert(math.abs(m - 11.0 / 3) < 1e-9)
+  }
+
+  test("stopwordRatio and punctRatio") {
+    val (s, p) = Seq("the cat and the hat!!").toDF("t")
+      .select(TextOps.stopwordRatio(col("t")), TextOps.punctRatio(col("t")))
+      .as[(Double, Double)].head()
+    assert(math.abs(s - 3.0 / 5) < 1e-9) // the, and, the
+    assert(math.abs(p - 2.0 / 21) < 1e-9)
+    val empty = Seq("").toDF("t").select(TextOps.stopwordRatio(col("t"))).as[Double].head()
+    assert(empty == 0.0)
+  }
+
+  test("langId heuristic picks dominant stopword language; CJK wins") {
+    val out = Seq(
+      ("the cat is on the mat and it was good", "en"),
+      ("el gato es la casa que los perros", "es"),
+      ("le chat est une maison et les chiens", "fr"),
+      ("der hund und die katze ist ein haus", "de"),
+      ("你好世界", "zh"),
+      ("xyzzy plugh quux", "und")
+    ).toDF("t", "expected")
+    val rows = out.select(TextOps.langId(col("t")), col("expected")).as[(String, String)].collect()
+    rows.foreach { case (got, exp) => assert(got == exp, s"got $got want $exp") }
+  }
+
+  test("fingerprint is order-insensitive; rollingHash is order-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val (f1, f2, r1, r2) = df.select(
+      TextOps.fingerprint(col("t1")),
+      TextOps.fingerprint(col("t2")),
+      TextOps.rollingHash(col("t1")),
+      TextOps.rollingHash(col("t2"))
+    ).as[(String, String, Long, Long)].head()
+    assert(f1 == f2)
+    assert(r1 != r2)
+  }
+
+  test("qualityScore rewards normal prose over degenerate strings") {
+    val (good, bad) = Seq(("the quick brown fox jumps over the lazy dog and runs away", "!!!! ???? ;;;; aa"))
+      .toDF("g", "b")
+      .select(TextOps.qualityScore(col("g")), TextOps.qualityScore(col("b")))
+      .as[(Double, Double)].head()
+    assert(good > bad)
+    assert(good >= 0.75)
+  }
+}
