@@ -1,0 +1,166 @@
+package graft.datatypes
+
+import graft.core.Tokenizable
+
+/** A *description* of a dataset kind — not the data. Mirrors the
+  * reference's BaseData class attributes (reference
+  * intake/readers/datatypes.py:21-31: mimetypes/filepattern/structure/
+  * magic/contains) as a closed Scala registry.
+  *
+  * `magic` entries are (offset, bytes); `filePattern` are regexes matched
+  * against the URL; `contains` are member names whose presence in a
+  * directory listing identifies the kind (e.g. Delta's _delta_log).
+  */
+final case class DataKind(
+    name: String,
+    mimeTypes: Seq[String] = Nil,
+    filePattern: Seq[String] = Nil,
+    structure: Set[String] = Set.empty,
+    magic: Seq[(Int, Array[Byte])] = Nil,
+    contains: Seq[String] = Nil,
+    /** Content veto: given (head bytes, url), can this kind be right?
+      * Mirrors the reference's per-class `_head_ok` checks
+      * (datatypes.py:293 CSV binary-reject, :334 XML, :746 GeoJSON ...).
+      */
+    headOk: (Array[Byte], String) => Boolean = (_, _) => true
+) {
+  def matchesMime(mime: String): Boolean =
+    mime.nonEmpty && mimeTypes.exists(p => mime.matches(p))
+  def matchesPattern(url: String): Boolean =
+    filePattern.exists(p => java.util.regex.Pattern.compile(p).matcher(url.toLowerCase).find())
+  def matchesMagic(head: Array[Byte]): Boolean =
+    magic.exists { case (off, sig) =>
+      head.length >= off + sig.length && sig.indices.forall(i => head(off + i) == sig(i))
+    }
+  def matchesContains(listing: Seq[String]): Boolean =
+    contains.nonEmpty && contains.forall(m => listing.exists(_.endsWith(m)))
+}
+
+/** A concrete dataset reference: kind + url + reader options + metadata.
+  * The unit stored in catalogs (≈ reference FileData/Service instances).
+  */
+final case class DataRef(
+    kind: String,
+    url: String,
+    options: Map[String, String] = Map.empty,
+    metadata: Map[String, String] = Map.empty
+) extends Tokenizable {
+  def qname: String = s"graft.datatypes.$kind"
+  def tokenAttrs: Map[String, Any] = Map("url" -> url, "options" -> options)
+}
+
+object Registry {
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def bytes(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+
+  private def printableHead(head: Array[Byte]): Boolean = {
+    val n = math.min(head.length, 2048)
+    var i = 0
+    while (i < n) {
+      val b = head(i) & 0xff
+      if (b == 0) return false
+      i += 1
+    }
+    true
+  }
+  private def headText(head: Array[Byte]): String =
+    new String(head.take(4096), java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** The ~40 highest-value kinds of the reference's ~120 (SURVEY §7 step
+    * 1); detection attributes follow the reference tables, the published
+    * format specs supply the magic numbers.
+    */
+  val kinds: Seq[DataKind] = Seq(
+    DataKind("parquet", Seq("application/vnd.apache.parquet"), Seq("\\.parquet$", "\\.parq$"),
+      Set("table"), Seq(0 -> ascii("PAR1"))),
+    DataKind("csv", Seq("text/csv", "application/csv"), Seq("\\.csv(\\.|$)", "\\.tsv(\\.|$)"),
+      Set("table"), headOk = (h, _) => printableHead(h)),
+    DataKind("json", Seq("application/json", "text/json"), Seq("\\.json(l|)$", "\\.ndjson$"),
+      Set("nested"),
+      headOk = (h, _) => { val t = headText(h).dropWhile(_.isWhitespace); t.isEmpty || t.startsWith("{") || t.startsWith("[") }),
+    DataKind("orc", Seq("application/x-orc"), Seq("\\.orc$"), Set("table"), Seq(0 -> ascii("ORC"))),
+    DataKind("avro", Seq("application/avro", "avro/binary"), Seq("\\.avro$"), Set("table"),
+      Seq(0 -> (ascii("Obj") :+ 1.toByte))),
+    DataKind("arrow_ipc", Seq("application/vnd.apache.arrow.file"), Seq("\\.arrow$", "\\.feather$", "\\.ipc$"),
+      Set("table"), Seq(0 -> ascii("ARROW1"))),
+    DataKind("text", Seq("text/plain"), Seq("\\.txt$", "\\.log$"), Set("text"),
+      headOk = (h, _) => printableHead(h)),
+    DataKind("delta", Nil, Nil, Set("table"), contains = Seq("_delta_log")),
+    DataKind("iceberg", Nil, Seq("metadata/[0-9v].*\\.metadata\\.json$"), Set("table"),
+      headOk = (h, u) => !u.endsWith(".json") || headText(h).contains("\"format-version\"")),
+    DataKind("excel", Seq("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", "application/vnd.ms-excel"),
+      Seq("\\.xlsx$", "\\.xls$"), Set("table"), Seq(0 -> bytes(0xd0, 0xcf, 0x11, 0xe0))),
+    DataKind("sqlite", Seq("application/vnd.sqlite3"), Seq("\\.sqlite$", "\\.db$"),
+      Set("table"), Seq(0 -> ascii("SQLite format 3\u0000"))),
+    DataKind("duckdb_file", Nil, Seq("\\.duckdb$", "\\.ddb$"), Set("table"),
+      Seq(8 -> ascii("DUCK"))),
+    DataKind("yaml", Seq("application/yaml", "text/yaml"), Seq("\\.ya?ml$"), Set("nested"),
+      headOk = (h, _) => printableHead(h)),
+    DataKind("catalog_file", Nil, Seq("\\.ya?ml$"), Set("catalog"),
+      // like the reference's CatalogFile._head_ok (datatypes.py:697):
+      // only YAML containing an entries/sources/data key qualifies
+      headOk = (h, _) => {
+        val t = headText(h)
+        Seq("entries:", "sources:", "data:", "aliases:").exists(t.contains)
+      }),
+    DataKind("xml", Seq("application/xml", "text/xml"), Seq("\\.xml$"), Set("nested"),
+      headOk = (h, _) => headText(h).dropWhile(_.isWhitespace).startsWith("<")),
+    DataKind("toml", Seq("application/toml"), Seq("\\.toml$"), Set("nested"),
+      headOk = (h, _) => printableHead(h)),
+    DataKind("ini", Nil, Seq("\\.ini$", "\\.cfg$", "\\.conf$"), Set("nested"),
+      headOk = (h, _) => printableHead(h)),
+    DataKind("markdown", Seq("text/markdown"), Seq("\\.md$", "\\.markdown$"), Set("text")),
+    DataKind("html", Seq("text/html"), Seq("\\.html?$"), Set("text", "nested"),
+      headOk = (h, _) => { val t = headText(h).toLowerCase; t.contains("<html") || t.contains("<!doctype html") }),
+    DataKind("pdf", Seq("application/pdf"), Seq("\\.pdf$"), Set("text"), Seq(0 -> ascii("%PDF"))),
+    DataKind("messagepack", Seq("application/msgpack", "application/x-msgpack"), Seq("\\.msgpack$", "\\.mp$"), Set("nested")),
+    DataKind("png", Seq("image/png"), Seq("\\.png$"), Set("array", "image"),
+      Seq(0 -> bytes(0x89, 0x50, 0x4e, 0x47))),
+    DataKind("jpeg", Seq("image/jpeg"), Seq("\\.jpe?g$"), Set("array", "image"),
+      Seq(0 -> bytes(0xff, 0xd8, 0xff))),
+    DataKind("tiff", Seq("image/tiff"), Seq("\\.tiff?$"), Set("array", "image"),
+      Seq(0 -> ascii("II*\u0000"), 0 -> ascii("MM\u0000*"))),
+    DataKind("wav", Seq("audio/x-wav", "audio/wav"), Seq("\\.wav$"), Set("array", "timeseries"),
+      Seq(0 -> ascii("RIFF"), 8 -> ascii("WAVE"))),
+    DataKind("mp3", Seq("audio/mpeg"), Seq("\\.mp3$"), Set("array", "timeseries"),
+      Seq(0 -> ascii("ID3"), 0 -> bytes(0xff, 0xfb))),
+    DataKind("mp4", Seq("video/mp4"), Seq("\\.mp4$"), Set("array", "video"),
+      Seq(4 -> ascii("ftyp"))),
+    DataKind("hdf5", Seq("application/x-hdf5?"), Seq("\\.h(df)?5$", "\\.hdf$", "\\.nc4?$"),
+      Set("array"), Seq(0 -> (bytes(0x89) ++ ascii("HDF\r\n") ++ bytes(0x1a, 0x0a)))),
+    DataKind("netcdf3", Seq("application/x-netcdf"), Seq("\\.nc3?$"), Set("array"),
+      Seq(0 -> ascii("CDF"))),
+    DataKind("zarr", Nil, Seq("\\.zarr/?$"), Set("array"),
+      contains = Seq(".zmetadata")),
+    DataKind("numpy", Nil, Seq("\\.npy$"), Set("array"),
+      Seq(0 -> (bytes(0x93) ++ ascii("NUMPY")))),
+    DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),
+    DataKind("zip", Seq("application/zip"), Seq("\\.zip$"), Set("container"),
+      Seq(0 -> ascii("PK\u0003\u0004"))),
+    DataKind("gguf", Nil, Seq("\\.gguf$"), Set("model"), Seq(0 -> ascii("GGUF"))),
+    DataKind("safetensors", Nil, Seq("\\.safetensors$"), Set("model")),
+    DataKind("onnx", Nil, Seq("\\.onnx$"), Set("model")),
+    DataKind("pickle", Seq("application/octet-stream"), Seq("\\.pkl$", "\\.pickle$"), Set("model"),
+      Seq(0 -> bytes(0x80))),
+    DataKind("geojson", Seq("application/geo\\+json"), Seq("\\.geojson$"), Set("table", "geo"),
+      headOk = (h, _) => headText(h).contains("FeatureCollection") || headText(h).contains("\"geometry\"")),
+    DataKind("shapefile", Nil, Seq("\\.shp$"), Set("table", "geo"),
+      Seq(0 -> bytes(0x00, 0x00, 0x27, 0x0a))),
+    DataKind("pmtiles", Nil, Seq("\\.pmtiles$"), Set("array", "geo"), Seq(0 -> ascii("PMTiles"))),
+    DataKind("fasta", Nil, Seq("\\.fasta$", "\\.fa$"), Set("sequence"),
+      headOk = (h, _) => headText(h).startsWith(">")),
+    DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),
+      headOk = (h, _) => headText(h).startsWith("@")),
+    // Services (URL-scheme detection only; no head bytes to sniff)
+    DataKind("sql_query", Nil, Seq("^(jdbc|postgres(ql)?|mysql|sqlite):"), Set("table", "service")),
+    DataKind("kafka_topic", Nil, Seq("^kafka://"), Set("sequence", "timeseries", "service")),
+    DataKind("websocket", Nil, Seq("^wss?://"), Set("sequence", "service")),
+    DataKind("mongo", Nil, Seq("^mongodb(\\+srv)?://"), Set("nested", "service")),
+    DataKind("elasticsearch", Nil, Seq("^(es|elasticsearch)://"), Set("nested", "service")),
+    DataKind("redis", Nil, Seq("^redis://"), Set("nested", "service")),
+    DataKind("prometheus", Nil, Seq("^prom(etheus)?://"), Set("timeseries", "service"))
+  )
+
+  val byName: Map[String, DataKind] = kinds.map(k => k.name -> k).toMap
+}

@@ -1,0 +1,72 @@
+package graft.examples
+
+import graft.catalog.{Catalog, CatalogIO, SimpleUserParameter, TextExpr}
+import graft.datatypes.DataRef
+import graft.inspect.Inspect
+import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end tour of the public API — what a user of the reference
+  * library would do after switching to this engine. Run with:
+  * `sbt "runMain graft.examples.QuickStart [testdata-dir]"`.
+  */
+object QuickStart {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-quickstart")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. URL → data, no format given: detect + pick reader + lazy pipeline
+    val pipe = Pipeline.auto(s"file://$sf/lineitem.parquet")
+      .andThen("high_qty", _.filter(col("l_quantity") > 45))
+      .andThen("by_flag", _.groupBy("l_returnflag").count())
+    println("[1] auto-pipeline stages: " + pipe.describe.mkString(" -> "))
+    pipe.read(spark).show(5)
+
+    // 2. Cheap inspection without a full read
+    val info = Inspect.inspectDataset(spark, s"file://$sf/orders.parquet")
+    println(s"[2] inspect: kind=${info.kind} reader=${info.reader} files=${info.nFiles} bytes=${info.totalBytes} cols=${info.columns.take(4).mkString(",")}...")
+
+    // 3. Catalog: build, persist YAML, reload, templated access, search, SQL
+    val cat = Catalog(userParameters = Seq(SimpleUserParameter("sf", "scale dir", "str", sf)))
+      .add("lineitem", DataRef("parquet", "{sf}/lineitem.parquet"), "spark_parquet")
+      .add("orders", DataRef("parquet", "{sf}/orders.parquet"), "spark_parquet")
+      .add("documents", DataRef("parquet", "{sf}/documents.parquet"), "spark_parquet")
+    val yamlPath = java.nio.file.Files.createTempFile("graft_cat", ".yaml").toString
+    CatalogIO.toYamlFile(cat, yamlPath)
+    val cat2 = CatalogIO.fromYamlFile(yamlPath)
+    println(s"[3] catalog round-trip: ${cat2.names.mkString(",")} (yaml at $yamlPath)")
+    println("    search('orders') -> " + cat2.search(TextExpr("orders")).names.mkString(","))
+    cat2.sql(spark,
+      "SELECT o_orderstatus, count(*) n FROM orders GROUP BY 1 ORDER BY 1").show()
+
+    // 4. Training-data ops: dedup + text analysis + similarity
+    val docs = cat2("documents").read(spark)
+    val nearDups = Dedup.minhashNearDupPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.6)
+    println(s"[4] minhash near-dup pairs (est_jaccard>=0.6): ${nearDups.count()}")
+    docs.select(TextOps.langId(col("text")).as("lang")).groupBy("lang").count().show()
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.limit(3), "vec_id", "embedding", k = 2).show()
+
+    // 5. As-of join on the events stream table
+    val ev = graft.queries.table(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val asof = Relational.asofJoin(purchases, clicks, "ts", "click_ts", Seq(("user_id", "user_id")))
+    println(s"[5] as-of join: ${asof.filter(col("click_id").isNotNull).count()} purchases with a prior click")
+
+    spark.stop()
+    println("QuickStart OK")
+  }
+}

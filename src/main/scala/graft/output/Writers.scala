@@ -1,0 +1,54 @@
+package graft.output
+
+import graft.datatypes.DataRef
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks. Every writer returns a [[DataRef]] descriptor so results
+  * re-enter the catalog (the reference's defining output convention —
+  * reference intake/readers/output.py:36-118: each sink returns a
+  * datatype instance).
+  */
+object Writers {
+
+  final case class WriteSpec(
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty
+  )
+
+  private def write(df: DataFrame, fmt: String, url: String, kind: String, spec: WriteSpec): DataRef = {
+    var w = df.write.format(fmt).mode(spec.mode).options(spec.options)
+    if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
+    w.save(url)
+    DataRef(kind, url, spec.options)
+  }
+
+  def parquet(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "parquet", url, "parquet", spec)
+
+  def csv(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "csv", url, "csv", spec.copy(options = Map("header" -> "true") ++ spec.options))
+
+  def json(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "json", url, "json", spec)
+
+  def orc(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "orc", url, "orc", spec)
+
+  def avro(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "avro", url, "avro", spec)
+
+  def text(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "text", url, "text", spec)
+
+  def xml(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
+    write(df, "xml", url, "xml", spec.copy(options = Map("rowTag" -> "row") ++ spec.options))
+
+  /** Save as a managed table; descriptor url is the table identifier. */
+  def table(df: DataFrame, name: String, spec: WriteSpec = WriteSpec()): DataRef = {
+    var w = df.write.mode(spec.mode).options(spec.options)
+    if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
+    w.saveAsTable(name)
+    DataRef("table", name, spec.options)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.readers
+
+import graft.core.Tokenizable
+import graft.datatypes.DataRef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A lazy loader: knows which [[graft.datatypes.DataKind]]s it reads and
+  * produces a DataFrame (the engine's sole tabular container — the
+  * reference's ~160 readers across 10 backend container types collapse
+  * onto this one; reference intake/readers/readers.py:23 BaseReader).
+  */
+trait Reader extends Tokenizable {
+  def name: String
+  def implementsKinds: Set[String]
+  /** Qualified output container name (kept as a string for catalog/graph
+    * compat, reference readers.py:29 output_instance). */
+  def outputType: String = "org.apache.spark.sql.DataFrame"
+  /** Is the underlying format resolvable on this classpath? (the
+    * reference's importable split, readers.py:1799-1820). */
+  def importable: Boolean = true
+  /** Instance-level veto (reference readers.py:219-244 `is_ok`). */
+  def isOk(ref: DataRef): Boolean = implementsKinds.contains(ref.kind)
+  def read(spark: SparkSession, ref: DataRef): DataFrame
+  /** Cheap sample — the reference's Spark reader does exactly this
+    * (readers.py:525-526 `.limit(10)`). */
+  def discover(spark: SparkSession, ref: DataRef, n: Int = 10): DataFrame =
+    read(spark, ref).limit(n)
+
+  def qname: String = s"graft.readers.$name"
+  def tokenAttrs: Map[String, Any] = Map("name" -> name)
+}
+
+/** Generic `spark.read.format(fmt)` reader. */
+class FormatReader(
+    val name: String,
+    fmt: String,
+    val implementsKinds: Set[String],
+    requiredClass: Option[String] = None,
+    defaults: Map[String, String] = Map.empty
+) extends Reader {
+  override lazy val importable: Boolean =
+    requiredClass.forall(c => scala.util.Try(Class.forName(c)).isSuccess)
+  def read(spark: SparkSession, ref: DataRef): DataFrame =
+    spark.read.format(fmt).options(defaults ++ ref.options).load(ref.url)
+}
+
+object SparkReaders {
+  val parquet = new FormatReader("spark_parquet", "parquet", Set("parquet"))
+  val csv = new FormatReader("spark_csv", "csv", Set("csv"),
+    defaults = Map("header" -> "true", "inferSchema" -> "true"))
+  val json = new FormatReader("spark_json", "json", Set("json", "geojson"))
+  val orc = new FormatReader("spark_orc", "orc", Set("orc"))
+  val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml"))
+  val binary = new FormatReader("spark_binary", "binaryFile",
+    Set("png", "jpeg", "tiff", "wav", "mp3", "mp4", "pdf", "numpy", "npz", "gguf", "safetensors", "onnx", "pickle", "messagepack", "hdf5", "netcdf3", "excel", "sqlite", "duckdb_file", "zip", "shapefile", "pmtiles", "html"))
+  val image = new FormatReader("spark_image", "image", Set("png", "jpeg", "tiff"))
+  val xml = new FormatReader("spark_xml", "xml", Set("xml"),
+    requiredClass = Some("org.apache.spark.sql.execution.datasources.xml.XmlFileFormat"),
+    defaults = Map("rowTag" -> "row"))
+  val avro = new FormatReader("spark_avro", "avro", Set("avro"),
+    requiredClass = Some("org.apache.spark.sql.avro.AvroFileFormat"))
+  // Declared but not importable without its connector jar — mirrors the
+  // reference's importable/non-importable reader split.
+  val delta = new FormatReader("spark_delta", "delta", Set("delta"),
+    requiredClass = Some("io.delta.tables.DeltaTable"))
+
+  /** JDBC service reader: url carries the JDBC URL; options carry
+    * dbtable/query/credentials. */
+  val jdbc: Reader = new Reader {
+    val name = "spark_jdbc"
+    val implementsKinds = Set("sql_query", "sqlite")
+    def read(spark: SparkSession, ref: DataRef): DataFrame =
+      spark.read.format("jdbc").options(ref.options).option("url", ref.url).load()
+  }
+
+  /** Kafka streaming source — declared, requires the kafka connector. */
+  val kafka: Reader = new Reader {
+    val name = "spark_kafka"
+    val implementsKinds = Set("kafka_topic")
+    override lazy val importable: Boolean =
+      scala.util.Try(Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+    def read(spark: SparkSession, ref: DataRef): DataFrame =
+      spark.readStream.format("kafka").options(ref.options)
+        .option("subscribe", ref.url.stripPrefix("kafka://").split("/").last)
+        .load()
+  }
+
+  /** Glob path with format-string captures, e.g.
+    * `data/{year}/{month}.csv` — reads the matching files and derives the
+    * captured fields as columns from `input_file_name()` (the reference's
+    * CSVPattern/DaskCSVPattern, readers.py:1067 + utils.py:435-474
+    * pattern_to_glob/reverse_formats — here one regexp over the file name,
+    * evaluated executor-side, no driver loop).
+    */
+  val pattern: Reader = new Reader {
+    val name = "spark_pattern"
+    val implementsKinds = Set("csv", "text", "json", "parquet")
+    override def isOk(ref: DataRef): Boolean = ref.url.contains("{")
+    def read(spark: SparkSession, ref: DataRef): DataFrame = {
+      val fieldRe = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+      val fields = fieldRe.findAllMatchIn(ref.url).map(_.group(1)).toSeq
+      val glob = fieldRe.replaceAllIn(ref.url, "*")
+      // Match against input_file_name() output, whose scheme prefix may be
+      // normalized differently (file:/ vs file:///) — anchor on the path
+      // part only, with a permissive prefix.
+      val pathPart = ref.url.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+      val capture = ".*" + java.util.regex.Pattern.quote(pathPart)
+        .replaceAll("\\{[A-Za-z_][A-Za-z0-9_]*\\}", "\\\\E(.*?)\\\\Q") + "$"
+      val fmt = ref.options.getOrElse("format", "csv")
+      val base = spark.read.format(fmt)
+        .options(ref.options - "format" + ("header" -> ref.options.getOrElse("header", "true")))
+        .load(glob)
+        .withColumn("_path", input_file_name())
+      fields.zipWithIndex
+        .foldLeft(base) { case (df, (f, i)) =>
+          df.withColumn(f, regexp_extract(col("_path"), capture, i + 1))
+        }
+        .drop("_path")
+    }
+  }
+
+  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, binary, image, xml, avro, delta, jdbc, kafka, pattern)
+
+  /** kind → candidate readers, importable first (reference
+    * readers.py:1799-1820 `recommend`).
+    */
+  def recommend(ref: DataRef): (Seq[Reader], Seq[Reader]) = {
+    val candidates = all.filter(r => r.implementsKinds.contains(ref.kind) && r.isOk(ref))
+    candidates.partition(_.importable)
+  }
+
+  def reader(name: String): Option[Reader] = all.find(_.name == name)
+}

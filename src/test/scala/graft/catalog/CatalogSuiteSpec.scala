@@ -1,0 +1,158 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.core.Token
+import graft.datatypes.{DataRef, Detect}
+import graft.pipeline.Pipeline
+import graft.readers.SparkReaders
+import java.nio.file.Files
+
+class CatalogSuiteSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("token is stable, order-insensitive in maps, distinct across content") {
+    val a = DataRef("parquet", "/x.parquet", Map("a" -> "1", "b" -> "2"))
+    val b = DataRef("parquet", "/x.parquet", Map("b" -> "2", "a" -> "1"))
+    val c = DataRef("parquet", "/y.parquet")
+    assert(a.token == b.token)
+    assert(a.token != c.token)
+    assert(a.token.length == 16)
+    assert(Token.canonicalJson(Map("b" -> 1, "a" -> "x")) == "{\"a\":\"x\",\"b\":1}")
+  }
+
+  test("detect by extension, magic, and veto") {
+    assert(Detect.recommend(s"$sf/lineitem.parquet").head.kind.name == "parquet")
+    assert(Detect.recommend("data.csv").head.kind.name == "csv")
+    // magic beats extension: PAR1 head on a .csv url ranks parquet first
+    val parquetHead = "PAR1xxxx".getBytes("ISO-8859-1")
+    assert(Detect.recommend("weird.csv", head = parquetHead).head.kind.name == "parquet")
+    // binary veto: CSV candidate rejected when head contains NULs
+    val binHead = Array[Byte](1, 2, 3, 0, 0, 5)
+    assert(!Detect.recommend("x.csv", head = binHead).exists(_.kind.name == "csv"))
+  }
+
+  test("detect compression rewrap and zip container") {
+    val gzHead = Array(0x1f.toByte, 0x8b.toByte, 8.toByte)
+    val got = Detect.recommend("table.csv.gz", head = gzHead)
+    assert(got.head.kind.name == "csv")
+    assert(got.head.options("compression") == "gzip")
+    assert(got.head.url == "table.csv")
+    val zipHead = "PKrest".getBytes("ISO-8859-1")
+    val z = Detect.recommend("bundle.bin", head = zipHead)
+    assert(z.exists(s => s.url.startsWith("zip://*::")))
+  }
+
+  test("detect directory kinds via contains listing") {
+    val d = Detect.recommend("/data/tbl", listing = Seq("_delta_log", "part-0.parquet"))
+    assert(d.head.kind.name == "delta")
+  }
+
+  test("recommendPath fetches head bytes from a real file") {
+    val got = Detect.recommendPath(s"file://$sf/lineitem.parquet")
+    assert(got.head.kind.name == "parquet")
+    assert(got.head.score > Detect.ScoreMagic) // magic + pattern both hit
+  }
+
+  test("reader recommend splits importable from declared-only") {
+    val (impD, notImpD) = SparkReaders.recommend(DataRef("delta", "/tbl"))
+    assert(impD.isEmpty && notImpD.nonEmpty) // no delta connector jar here
+    val (imp2, _) = SparkReaders.recommend(DataRef("parquet", "/x.parquet"))
+    assert(imp2.exists(_.name == "spark_parquet"))
+    // avro + xml are bundled into spark-sql in Spark 4 → importable
+    assert(SparkReaders.recommend(DataRef("avro", "/x.avro"))._1.nonEmpty)
+    assert(SparkReaders.recommend(DataRef("xml", "/x.xml"))._1.nonEmpty)
+  }
+
+  test("pipeline auto: url to DataFrame end-to-end; discover; stepwise") {
+    val p = Pipeline.auto(s"file://$sf/lineitem.parquet")
+      .andThen("filter_qty", _.filter("l_quantity > 45"))
+      .andThen("project", _.select("l_orderkey", "l_quantity"))
+    val full = p.read(spark)
+    assert(full.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(full.count() > 0)
+    assert(p.discover(spark, 5).count() <= 5)
+    assert(p.firstN(1).read(spark).columns.length == 11) // unprojected
+    val stages = p.stepwise(spark).map(_._1).toSeq
+    assert(stages == Seq("source", "filter_qty", "project"))
+  }
+
+  test("pattern reader derives columns from path captures") {
+    val dir = Files.createTempDirectory("pat").toFile
+    Files.write(new java.io.File(dir, "a-2023.csv").toPath, "x,y\n1,2\n".getBytes)
+    Files.write(new java.io.File(dir, "b-2024.csv").toPath, "x,y\n3,4\n".getBytes)
+    val ref = DataRef("csv", s"file://$dir/{name}-{year}.csv")
+    val df = SparkReaders.pattern.read(spark, ref)
+    assert(df.columns.toSet == Set("x", "y", "name", "year"))
+    val years = df.select("year").collect().map(_.getString(0)).toSet
+    assert(years == Set("2023", "2024"))
+  }
+
+  test("catalog add/get/read with {data(token)} hoisting") {
+    val cat = Catalog().add("li", DataRef("parquet", s"$sf/lineitem.parquet"), "spark_parquet")
+    assert(cat.names == Seq("li"))
+    assert(cat.entries.head._2.kwargs("data").startsWith("{data("))
+    assert(cat("li").read(spark).count() == 6000)
+  }
+
+  test("catalog YAML v2 round-trip preserves everything") {
+    val cat = Catalog(userParameters = Seq(SimpleUserParameter("sf", "scale", "str", "sf0.001")))
+      .add("li", DataRef("parquet", "/root/testdata/{sf}/lineitem.parquet"), "spark_parquet")
+      .add("ev", DataRef("parquet", s"$sf/events.parquet", Map("opt1" -> "v1")), "spark_parquet")
+    val yaml = CatalogIO.toYamlString(cat)
+    val back = CatalogIO.fromYamlString(yaml)
+    assert(back.aliases == cat.aliases)
+    assert(back.entries == cat.entries)
+    assert(back.data == cat.data)
+    assert(back.userParameters == cat.userParameters)
+    // templated url resolves through catalog-level parameter default
+    assert(back("li").ref.url == "/root/testdata/sf0.001/lineitem.parquet")
+    // and per-call override
+    assert(back("li", Map("sf" -> "sf0.01")).ref.url == "/root/testdata/sf0.01/lineitem.parquet")
+  }
+
+  test("catalog merge, rename, delete, search") {
+    val c1 = Catalog().add("a", DataRef("parquet", "/a.parquet"), "spark_parquet")
+    val c2 = Catalog().add("b", DataRef("csv", "/b.csv"), "spark_csv")
+    val m = c1 ++ c2
+    assert(m.names == Seq("a", "b"))
+    val r = m.rename("a", "alpha")
+    assert(r.names == Seq("alpha", "b"))
+    assert(r.delete("alpha").names == Seq("b"))
+    assert(m.search(TextExpr("csv")).names == Seq("b"))
+    assert(m.search(TextExpr("csv") || TextExpr("a.parquet")).names == Seq("a", "b"))
+    assert(m.search(!TextExpr("csv")).names == Seq("a"))
+    assert(m.search(ImportableExpr).names == Seq("a", "b"))
+  }
+
+  test("user parameter coercion and validation") {
+    assert(SimpleUserParameter("n", dtype = "int").coerce("42") == 42)
+    assert(SimpleUserParameter("b", dtype = "bool").coerce("yes") == true)
+    intercept[IllegalArgumentException](SimpleUserParameter("n", dtype = "int").coerce("abc"))
+    intercept[IllegalArgumentException](OptionsParameter("o", options = Seq("x", "y")).coerce("z"))
+    assert(MultiOptionParameter("m", options = Seq(1, 2, 3)).coerce(Seq(1, 3)) == Seq(1, 3))
+    intercept[IllegalArgumentException](BoundedNumberParameter("r", min = 0, max = 1).coerce(2.0))
+  }
+
+  test("templating: env and closed func registry; unknown func rejected") {
+    val got = Templates.resolve("{env(GRAFT_TEST_VAR)}/x", env = k => Some("V").filter(_ => k == "GRAFT_TEST_VAR"))
+    assert(got == "V/x")
+    Templates.registerFunc("answer", () => "42")
+    assert(Templates.resolve("v={func(answer)}") == "v=42")
+    intercept[IllegalArgumentException](Templates.resolve("{func(os:system)}"))
+  }
+
+  test("cyclic data references error instead of looping") {
+    // entry whose kwargs reference its own token via {data(...)}
+    val rd = ReaderDescription("spark_parquet", Map("data" -> "{data(deadbeefdeadbeef)}"))
+    val cat = Catalog(entries = Map("deadbeefdeadbeef" -> rd), aliases = Map("x" -> "deadbeefdeadbeef"))
+    intercept[IllegalStateException](cat("x"))
+  }
+
+  test("sql passthrough over registered catalog views") {
+    val cat = Catalog()
+      .add("lineitem_v", DataRef("parquet", s"$sf/lineitem.parquet"), "spark_parquet")
+    val out = cat.sql(spark, "SELECT count(*) AS n FROM lineitem_v WHERE l_quantity > 45")
+    assert(out.collect().head.getLong(0) > 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.inspect
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import java.nio.{ByteBuffer, ByteOrder}
+
+class InspectSpec extends SparkSpec {
+
+  test("inspectDataset summarises a parquet file without full read") {
+    val r = Inspect.inspectDataset(spark, "file:///root/testdata/sf0.001/lineitem.parquet")
+    assert(r.kind == "parquet")
+    assert(r.reader == "spark_parquet")
+    assert(r.columns.contains("l_orderkey"))
+    assert(r.nFiles == 1 && r.totalBytes > 0)
+    assert(r.sampleRows == 10)
+  }
+
+  test("GGUF header parser reads version, counts and metadata KVs") {
+    // hand-built minimal GGUF: magic, v3, 0 tensors, 2 KVs
+    val buf = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GGUF".getBytes("ISO-8859-1")).putInt(3).putLong(0L).putLong(2L)
+    def putStr(s: String): Unit = { buf.putLong(s.length.toLong); buf.put(s.getBytes("UTF-8")) }
+    putStr("general.name"); buf.putInt(8); putStr("tiny")
+    putStr("general.layers"); buf.putInt(4); buf.putInt(12)
+    val m = HeaderParsers.gguf(buf.array())
+    assert(m("version") == 3)
+    assert(m("tensor_count") == 0L)
+    assert(m("general.name") == "tiny")
+    assert(m("general.layers") == 12L)
+  }
+
+  test("PMTiles v3 header parser") {
+    val b = new Array[Byte](127)
+    System.arraycopy("PMTiles".getBytes("ISO-8859-1"), 0, b, 0, 7)
+    b(7) = 3
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(8, 127L)  // root dir offset
+    buf.putLong(72, 42L)  // n addressed tiles
+    b(100) = 0; b(101) = 14
+    val m = HeaderParsers.pmtiles(b)
+    assert(m("version") == 3)
+    assert(m("root_dir_offset") == 127L)
+    assert(m("n_addressed_tiles") == 42L)
+    assert(m("max_zoom") == 14)
+  }
+
+  test("PNG and JPEG dimension parsers") {
+    val png = ByteBuffer.allocate(32)
+    png.put(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
+    png.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+    assert(HeaderParsers.pngDims(png.array()).contains((640, 480)))
+    assert(HeaderParsers.pngDims("notapng".getBytes).isEmpty)
+
+    // minimal JPEG: SOI + SOF0 frame (h=100, w=200)
+    val jpeg = ByteBuffer.allocate(32)
+    jpeg.put(Array(0xff.toByte, 0xd8.toByte))
+    jpeg.put(Array(0xff.toByte, 0xc0.toByte)).putShort(11).put(8.toByte)
+      .putShort(100).putShort(200).put(3.toByte)
+    assert(HeaderParsers.jpegDims(jpeg.array()).contains((200, 100)))
+  }
+
+  test("WAV info parser computes rate, channels, duration") {
+    val buf = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(2)        // PCM, stereo
+    buf.putInt(44100); buf.putInt(44100 * 4) // rate, byte rate
+    buf.putShort(4); buf.putShort(16)       // block align, bits
+    buf.put("data".getBytes); buf.putInt(44100 * 4 * 2) // 2 seconds
+    val m = HeaderParsers.wavInfo(buf.array()).get
+    assert(m("channels") == 2)
+    assert(m("sample_rate") == 44100)
+    assert(math.abs(m("duration_sec").asInstanceOf[Double] - 2.0) < 1e-9)
+  }
+
+  test("multimodal: binary ingestion + header meta + stubbed features") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mm").toFile
+    val png = ByteBuffer.allocate(32)
+    png.put(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
+    png.putInt(13).put("IHDR".getBytes).putInt(64).putInt(32)
+    java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, png.array())
+
+    val df = Multimodal.readBinary(spark, s"file://$dir", "*.png")
+    val meta = Multimodal.withImageMeta(df)
+    val row = meta.select("img_format", "width", "height").as[(String, Int, Int)].head()
+    assert(row == ("png", 64, 32))
+
+    val feats = Multimodal.imageFeatures(meta, dim = 8)
+    val v1 = feats.select("features").as[Seq[Float]].head()
+    val v2 = feats.select("features").as[Seq[Float]].head()
+    assert(v1.length == 8)
+    assert(v1 == v2) // deterministic stub
+
+    val frames = Multimodal.sampleFrames(df, n = 3, dim = 4)
+    assert(frames.count() == 3)
+    assert(frames.select("frame_index").as[Int].collect().toSet == Set(0, 1, 2))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch/stream equivalence: the same StreamOps plan over a MemoryStream
+  * must produce the same rows as over a static frame with the same data,
+  * and the watermark must actually drop late rows (SURVEY §5 item 5).
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (ts("2024-01-01 10:01:00"), 1L, 2.0),
+    (ts("2024-01-01 10:04:00"), 1L, 3.0),
+    (ts("2024-01-01 10:11:00"), 1L, 5.0),
+    (ts("2024-01-01 10:02:00"), 2L, 7.0)
+  )
+
+  test("tumbling window agg: streaming result equals batch result") {
+    val batch = StreamOps.windowedAgg(
+      rows.toDF("ts", "user_id", "value"),
+      "ts", "10 minutes",
+      aggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+      keys = Seq("user_id")
+    ).select("user_id", "window_start", "n", "sv")
+
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    ms.addData(rows: _*)
+    val q = StreamOps.windowedAgg(
+      ms.toDF().toDF("ts", "user_id", "value"),
+      "ts", "10 minutes",
+      aggs = Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+      keys = Seq("user_id")
+    ).select("user_id", "window_start", "n", "sv")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+    assert(b == s)
+    assert(b.nonEmpty)
+  }
+
+  test("session window agg groups by gap on stream as in batch") {
+    val batch = StreamOps.sessionAgg(
+      rows.toDF("ts", "user_id", "value"),
+      "ts", "5 minutes",
+      aggs = Seq(count(lit(1)).as("n")),
+      keys = Seq("user_id")
+    ).select("user_id", "n")
+    // user 1: events at 10:01/10:04 chain one session; 10:11 starts a new
+    // one (gap > 5 min from 10:04+5). user 2: single session.
+    val b = batch.as[(Long, Long)].collect().toSeq.sorted
+    assert(b == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    ms.addData(rows: _*)
+    val q = StreamOps.sessionAgg(
+      StreamOps.withWatermark(ms.toDF().toDF("ts", "user_id", "value"), "ts", "1 minute"),
+      "ts", "5 minutes",
+      aggs = Seq(count(lit(1)).as("n")),
+      keys = Seq("user_id")
+    ).select("user_id", "n")
+      .writeStream.format("memory").queryName("session_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val s = spark.table("session_out").as[(Long, Long)].collect().toSeq.sorted
+    assert(s == b)
+  }
+
+  test("watermark drops rows later than the horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.windowedAgg(
+      StreamOps.withWatermark(ms.toDF().toDF("ts", "user_id", "value"), "ts", "10 minutes"),
+      "ts", "10 minutes",
+      aggs = Seq(count(lit(1)).as("n")),
+      keys = Seq("user_id")
+    ).select("user_id", "window_start", "n")
+    val q = agg.writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+
+    ms.addData((ts("2024-01-01 10:05:00"), 1L, 1.0))
+    q.processAllAvailable()
+    // advance event time far enough that the 10:00 window closes
+    ms.addData((ts("2024-01-01 11:00:00"), 1L, 1.0))
+    q.processAllAvailable()
+    // this event is an hour late — behind the watermark — must be dropped
+    ms.addData((ts("2024-01-01 10:06:00"), 1L, 99.0))
+    q.processAllAvailable()
+    // close remaining windows so append emits them
+    ms.addData((ts("2024-01-01 12:00:00"), 1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("wm_out")
+      .select(col("window_start").cast("string"), col("n")).as[(String, Long)].collect().toMap
+    assert(out("2024-01-01 10:00:00") == 1L) // late row did NOT bump the count
+  }
+
+  test("streaming dedup with watermark removes re-deliveries") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.dedupStream(ms.toDF().toDF("ts", "event_id"), "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 10:00:00"), 1L)) // re-delivery in a later batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}
