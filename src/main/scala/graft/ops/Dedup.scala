@@ -50,7 +50,14 @@ object Dedup {
 
   /** MinHash signature (array of k longs) of a shingle array, computed
     * entirely within the row: sig_i = min over shingles of
-    * (a_i * xxhash64(s) + b_i) mod 2^31-1. No shuffle, codegen'd HOFs.
+    * (a_i * xxhash64(s) + b_i) mod 2^31-1. No shuffle.
+    *
+    * NOTE: higher-order functions run interpreted (no whole-stage
+    * codegen) and nested lambdas re-evaluate their argument subtrees —
+    * passing a deep shingle expression here multiplies the tokenization
+    * cost by k. Prefer [[withMinhashSignature]], which stages the
+    * pipeline through intermediate columns so each stage is evaluated
+    * once per row.
     */
   def minhashSignature(shingleArr: Column, k: Int = 64, seed: Long = 42L): Column = {
     val (a, b) = coeffs(k, seed)
@@ -67,6 +74,50 @@ object Dedup {
           )
         )
     )
+  }
+
+  /** Staged MinHash: tokens → shingles → shingle hashes → signature, one
+    * projection per stage. The intermediate columns are referenced more
+    * than once downstream, which keeps Catalyst's CollapseProject from
+    * inlining them back into a single (recompute-heavy, interpreted)
+    * expression tree; each stage is computed once per row.
+    */
+  def withMinhashSignature(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val (a, b) = coeffs(k, seed)
+    val aLit = array(a.map(lit): _*)
+    val bLit = array(b.map(lit): _*)
+    df.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
+      .withColumn(
+        "_mh_hashes",
+        when(size(col("_mh_toks")) < shingleN, array(pmod(xxhash64(concat_ws(" ", col("_mh_toks"))), lit(MersennePrime))))
+          .otherwise(
+            transform(
+              sequence(lit(0), size(col("_mh_toks")) - shingleN),
+              i => pmod(xxhash64(concat_ws(" ", slice(col("_mh_toks"), i + 1, lit(shingleN)))), lit(MersennePrime))
+            )
+          )
+      )
+      .withColumn(
+        outCol,
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          i =>
+            array_min(
+              transform(
+                col("_mh_hashes"),
+                h => pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(MersennePrime))
+              )
+            )
+        )
+      )
+      .drop("_mh_toks", "_mh_hashes")
   }
 
   /** Candidate near-duplicate pairs via LSH banding: split the k-length
@@ -86,12 +137,19 @@ object Dedup {
       bands: Int,
       maxBucket: Int = 1000
   ): DataFrame = {
+    // Signatures are reused by the banding explode AND the final scoring
+    // joins — cache once (the same call MLlib's MinHashLSH makes; k longs
+    // per row, tiny next to the corpus).
     val base = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandW = floor(size(col("_sig")) / bands).cast("int")
+
+    // Band rows carry ONLY (id, band, bucket): the self-join below must
+    // not shuffle the signature arrays bands× over — at scale the shuffle
+    // width is the whole game. Signatures re-attach after pair dedup.
     val banded = base
       .select(
         col("_id"),
-        col("_sig"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -108,18 +166,22 @@ object Dedup {
       .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
       .drop("count")
 
-    val l = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"), col("_sig").as("sig1"))
-    val r = bounded.select(col("_band"), col("_bucket"), col("_id").as("id2"), col("_sig").as("sig2"))
-    l.join(r, Seq("_band", "_bucket"))
+    val l = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
+    val r = bounded.select(col("_band"), col("_bucket"), col("_id").as("id2"))
+    val pairs = l.join(r, Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+
+    pairs
+      .join(base.select(col("_id").as("id1"), col("_sig").as("sig1")), Seq("id1"))
+      .join(base.select(col("_id").as("id2"), col("_sig").as("sig2")), Seq("id2"))
       .select(
         col("id1"),
         col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")), v => v === 1))
           .cast("double") / size(col("sig1"))).as("est_jaccard")
       )
-      .groupBy("id1", "id2")
-      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** End-to-end MinHash-LSH near-dup pairs on a text column. */
@@ -132,10 +194,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sigs = df.select(
-      col(idCol),
-      minhashSignature(shingles(col(textCol), shingleN), k).as("_sig")
-    )
+    val sigs = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, "_sig", shingleN, k)
+      .select(col(idCol), col("_sig"))
     lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
   }
 

@@ -67,12 +67,17 @@ object TextOps {
   /** Character/stopword-heuristic language ID over a closed tag set
     * (en/es/fr/de/zh/und). Deliberately expressible in plain SQL so the
     * oracle can replicate it exactly; scores are stopword hit counts.
+    *
+    * Prefer tokenizing once into a column and calling [[langIdFromTokens]]
+    * — HOFs are interpreted, and inlining `tokens(text)` here would
+    * re-tokenize the text for every language's score.
     */
-  def langId(text: Column): Column = {
-    def hits(words: Seq[String]): Column = {
-      val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** [[langId]] over an already-tokenized array column. */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
+    def hits(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words.map(lit): _*)))
-    }
     val en = hits(Seq("the", "and", "of", "is", "was", "with"))
     val es = hits(Seq("el", "la", "los", "las", "que", "es"))
     val fr = hits(Seq("le", "les", "des", "est", "une", "et"))
@@ -84,6 +89,12 @@ object TextOps {
       .when(de > 0, "de")
       .otherwise("und")
   }
+
+  /** [[stopwordRatio]] over an already-tokenized array column. */
+  def stopwordRatioFromTokens(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks)
+    )
 
   /** Order-insensitive document fingerprint: md5 of the sorted token bag.
     * Identical token multisets collide deliberately (near-dup precursor).

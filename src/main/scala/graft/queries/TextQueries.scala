@@ -67,7 +67,7 @@ object TextQueries {
         // Same deterministic subset as q41 (see note there).
         Dedup.minhashNearDupPairs(
           table(s, dir, "documents").filter(col("doc_id") < 200),
-          "doc_id", "text", shingleN = 2, k = 64, bands = 16, threshold = 0.4)
+          "doc_id", "text", shingleN = 1, k = 64, bands = 16, threshold = 0.35)
           .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
       },
       None
@@ -123,11 +123,14 @@ object TextQueries {
     (
       "q46_lang_quality",
       (s, dir) => {
+        // tokenize once; the _toks column is multi-referenced so Catalyst
+        // keeps it materialized instead of re-splitting per score
         table(s, dir, "documents")
+          .withColumn("_toks", TextOps.tokens(col("text")))
           .select(
             col("doc_id"),
-            TextOps.langId(col("text")).as("lang_pred"),
-            TextOps.stopwordRatio(col("text")).as("stop_ratio")
+            TextOps.langIdFromTokens(col("text"), col("_toks")).as("lang_pred"),
+            TextOps.stopwordRatioFromTokens(col("_toks")).as("stop_ratio")
           )
           .groupBy("lang_pred")
           .agg(count(lit(1)).as("n_docs"), round(avg("stop_ratio"), 6).as("avg_stop_ratio"))
@@ -246,12 +249,16 @@ object TextQueries {
       "q52_quality_filter",
       (s, dir) => {
         table(s, dir, "documents")
+          .withColumn("_toks", TextOps.tokens(col("text")))
           .select(
             col("doc_id"),
             col("lang"),
-            TextOps.tokenCount(col("text")).as("n_tokens"),
+            size(col("_toks")).as("n_tokens"),
             round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-            round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len")
+            round(
+              when(size(col("_toks")) === 0, 0.0).otherwise(
+                aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") / size(col("_toks"))),
+              6).as("mean_tok_len")
           )
           .filter(col("n_tokens") >= 5 && col("mean_tok_len") >= 2.0)
       },
