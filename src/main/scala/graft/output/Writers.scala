@@ -36,7 +36,7 @@ object Writers {
     write(df, "orc", url, "orc", spec)
 
   def avro(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
-    write(df, "avro", url, "avro", spec)
+    write(df, "org.apache.spark.sql.avro.AvroFileFormat", url, "avro", spec)
 
   def text(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
     write(df, "text", url, "text", spec)

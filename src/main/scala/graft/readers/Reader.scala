@@ -58,7 +58,9 @@ object SparkReaders {
   val xml = new FormatReader("spark_xml", "xml", Set("xml"),
     requiredClass = Some("org.apache.spark.sql.execution.datasources.xml.XmlFileFormat"),
     defaults = Map("rowTag" -> "row"))
-  val avro = new FormatReader("spark_avro", "avro", Set("avro"),
+  // this distribution bundles the avro classes but not the "avro" short
+  // name registration — address the FileFormat by FQCN
+  val avro = new FormatReader("spark_avro", "org.apache.spark.sql.avro.AvroFileFormat", Set("avro"),
     requiredClass = Some("org.apache.spark.sql.avro.AvroFileFormat"))
   // Declared but not importable without its connector jar — mirrors the
   // reference's importable/non-importable reader split.
