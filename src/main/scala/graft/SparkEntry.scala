@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, FunctionQueries, TextQueries, WindowQueries}
+import graft.queries.{CoreQueries, FunctionQueries, StreamingBatchQueries, TextQueries, WindowQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    CoreQueries.entries ++ WindowQueries.entries ++ FunctionQueries.entries ++ TextQueries.entries
+    CoreQueries.entries ++ WindowQueries.entries ++ FunctionQueries.entries ++
+      TextQueries.entries ++ StreamingBatchQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (SURVEY §7 step 3).

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.functions.MinHashUnion
+import graft.ops.Dedup
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Batch-mode runs of the streaming operator surface (the same StreamOps
+  * code paths the MemoryStream specs drive; batch/stream equivalence is
+  * the §5 test strategy), plus leftover §2b scalar-surface rows
+  * (null-safe equality, json_tuple, epoch millis) and the Aggregator
+  * (UDAF) surface.
+  */
+object StreamingBatchQueries {
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+    (
+      "q53_stream_tumbling_batch",
+      (s, dir) => {
+        StreamOps.windowedAgg(
+          table(s, dir, "events"),
+          "ts", "15 minutes",
+          aggs = Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")),
+          keys = Seq("event_type")
+        ).select(col("event_type"), col("window_start"), col("n"), col("sum_value"))
+      },
+      Some("""
+        SELECT event_type,
+               time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+      """)
+    ),
+    (
+      "q54_stream_session_batch",
+      (s, dir) => {
+        StreamOps.sessionAgg(
+          table(s, dir, "events"),
+          "ts", "10 minutes",
+          aggs = Seq(count(lit(1)).as("n_events")),
+          keys = Seq("user_id")
+        ).select(
+          col("user_id"),
+          date_trunc("millisecond", col("session_start")).as("session_start"),
+          col("n_events")
+        )
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               date_trunc('milliseconds', min(ts)) AS session_start,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+      """)
+    ),
+    (
+      "q55_misc_scalar",
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(
+            col("event_id"),
+            json_tuple(col("props"), "k").as("k_str"),
+            unix_millis(col("ts")).as("ts_ms"),
+            (col("value") <=> lit(null)).as("value_is_null_safe"),
+            nanvl(col("value") / when(col("value") === 0, 0.0).otherwise(1.0), lit(-1.0)).as("value_nan_guard")
+          )
+          .select(
+            col("event_id"),
+            col("k_str").cast("long").as("k"),
+            col("ts_ms"),
+            col("value_is_null_safe"),
+            round(col("value_nan_guard"), 2).as("value_nan_guard")
+          )
+      },
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               epoch_ms(ts) AS ts_ms,
+               (value IS NOT DISTINCT FROM NULL) AS value_is_null_safe,
+               round(CASE WHEN isnan(value / CASE WHEN value = 0 THEN 0.0 ELSE 1.0 END)
+                          THEN -1.0 ELSE value END, 2) AS value_nan_guard
+        FROM events
+      """)
+    ),
+    (
+      "q56_group_sketch_union",
+      // Aggregator (UDAF) surface: per-source MinHash sketch union over
+      // documents. Engine-specific hashes → rows-only check; semantics
+      // spec'd in ConvertAndOutputSpec.
+      (s, dir) => {
+        import org.apache.spark.sql.{Encoders, Row}
+        val sigs = Dedup.withMinhashSignature(
+          table(s, dir, "documents").select(col("source"), col("text")),
+          "text", "sig", shingleN = 1, k = 64)
+        val spark = s
+        import spark.implicits._
+        sigs.select(col("source"), col("sig").as("value"))
+          .as[(String, Seq[Long])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(MinHashUnion.column.name("sketch"))
+          .map { case (src, sketch) => (src, sketch.length, sketch.take(2).mkString(",")) }
+          .toDF("source", "sketch_len", "sketch_head")
+      },
+      None
+    )
+  )
+}
