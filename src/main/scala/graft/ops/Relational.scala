@@ -88,6 +88,30 @@ object Relational {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Skew-safe equi-join: salt the skewed (left) side's key into
+    * `saltFactor` subkeys and explode the build (right) side across all
+    * salt values, so one hot key spreads over `saltFactor` reducers
+    * instead of melting a single one. AQE's skew-join handles moderate
+    * skew adaptively; explicit salting is for the pathological key whose
+    * single partition would still exceed an executor.
+    *
+    * Right side is replicated `saltFactor`× — keep it the smaller input.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      saltFactor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val salted = left.withColumn("_salt_l", pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("_salt_r", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted
+      .join(replicated, col("_salt_l") === col("_salt_r") && col(leftKey) === col(rightKey), joinType)
+      .drop("_salt_l", "_salt_r")
+  }
+
   /** Gap-based sessionization (batch): rows for the same key belong to one
     * session while consecutive gaps stay <= maxGap. Adds `session_id`
     * (0-based per key). One shuffle on the key; cumulative-sum window.

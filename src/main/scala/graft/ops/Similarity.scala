@@ -121,6 +121,94 @@ object Similarity {
     Relational.topKPerGroup(cand, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** IVF (inverted-file) index: k-means coarse centroids trained with a
+    * few Lloyd iterations. Centroids live on the driver (k×dim floats —
+    * tiny) and ship to executors as plan literals/closures; train on a
+    * sample at scale, assign the full corpus in one map-only pass.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 5,
+      sampleRows: Int = 10000
+  ): Array[Array[Float]] = {
+    val sample = corpus.select(vecCol).limit(sampleRows)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    var centroids = sample.take(k).map(_.clone())
+    (1 to iterations).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      val sim = cosineArr(v, centroids(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF approximate top-k: assign corpus rows to their nearest centroid
+    * (map-only), probe each query's `nProbe` nearest centroid cells, and
+    * score exactly only within probed cells. Equi-join on the cell id —
+    * shuffle partitioned by cell, candidate count ≈ nProbe/k of the
+    * corpus per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nProbe: Int = 2
+  ): DataFrame = {
+    val cents = centroids // closure capture for the UDFs
+    val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, cents) }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      cents.indices.sortBy(c => -cosineArr(arr, cents(c))).take(nProbe)
+    }
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .withColumn("_cell", assignUdf(col("_cv")))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+      .withColumn("_cell", explode(probeUdf(col("_qv"))))
+    val cand = c.join(q, Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        VectorFunctions.cosineSim(col("_qv"), col("_cv")).as("cosine")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    Relational.topKPerGroup(cand, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id").asc), k)
+  }
+
   /** All pairs with cosine >= threshold among rows of `df` — embedding
     * near-dup detection. Brute-force variant (oracle scale); LSH variant
     * for scale is `lshTopK` with df as both sides.

@@ -51,4 +51,24 @@ object Writers {
     w.saveAsTable(name)
     DataRef("table", name, spec.options)
   }
+
+  /** Bucketed managed table: co-locates both sides of future equi-joins
+    * on the bucket key, so repeated joins on that key skip the shuffle
+    * entirely (bucket pruning + sorted merge within buckets). The
+    * pre-partitioning half of the reference's missing scale story.
+    */
+  def bucketedTable(
+      df: DataFrame,
+      name: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      spec: WriteSpec = WriteSpec()
+  ): DataRef = {
+    var w = df.write.mode(spec.mode).options(spec.options)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(name)
+    DataRef("table", name, spec.options ++ Map("buckets" -> nBuckets.toString, "bucket_cols" -> bucketCols.mkString(",")))
+  }
 }

@@ -67,4 +67,46 @@ object StreamOps {
 
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
+  /** Custom keyed state via mapGroupsWithState: running (count, sum) per
+    * key across micro-batches, with a processing-time idle timeout that
+    * evicts state for keys gone quiet (state eviction is what makes
+    * arbitrary stateful processing survive unbounded key spaces). Works
+    * on batch too (single "micro-batch", no timeout).
+    */
+  def statefulRunningTotals(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      /** Evict state for keys idle longer than this (e.g. "30 minutes").
+        * None = keep state forever — only safe for bounded key spaces.
+        * With a timeout, the engine schedules extra empty batches to fire
+        * expirations, so `processAllAvailable`-style draining never
+        * settles; production queries use a processing-time trigger.
+        */
+      idleTimeout: Option[String] = None
+  ): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val pairs = df.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+    val streaming = pairs.isStreaming && idleTimeout.isDefined // plain boolean: the Dataset must not enter the closure
+    def update(key: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]): (Long, Long, Double) = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        (key, s._1, s._2)
+      } else {
+        val prev = state.getOption.getOrElse((0L, 0.0))
+        val (n, sum) = rows.foldLeft(prev) { case ((c, s), (_, v)) => (c + 1, s + v) }
+        state.update((n, sum))
+        if (streaming) state.setTimeoutDuration(idleTimeout.get)
+        (key, n, sum)
+      }
+    }
+    pairs
+      .groupByKey(_._1)
+      .mapGroupsWithState(
+        if (streaming) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+      )(update)
+  }
 }

@@ -105,6 +105,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(out("2024-01-01 10:00:00") == 1L) // late row did NOT bump the count
   }
 
+  test("statefulRunningTotals accumulates per-key state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val df = ms.toDF().toDF("user_id", "value")
+    val q = StreamOps.statefulRunningTotals(df, "user_id", "value")
+      .toDF("user_id", "n", "sum")
+      .writeStream.format("memory").queryName("state_out").outputMode("update").start()
+    ms.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    ms.addData((1L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_out").as[(Long, Long, Double)].collect()
+    // second batch emits the UPDATED total for key 1: count 3, sum 10
+    assert(rows.contains((1L, 3L, 10.0)))
+    assert(rows.contains((2L, 1L, 10.0)))
+  }
+
   test("streaming dedup with watermark removes re-deliveries") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
