@@ -122,7 +122,9 @@ object SparkReaders {
     }
   }
 
-  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, binary, image, xml, avro, delta, jdbc, kafka, pattern)
+  val arrowIpc: Reader = new ArrowIPCReaderImpl
+
+  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, binary, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

@@ -1,0 +1,58 @@
+package graft.readers
+
+import graft.SparkSpec
+import graft.pipeline.Pipeline
+import java.io.FileOutputStream
+import java.nio.file.Files
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, Float4Vector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import scala.jdk.CollectionConverters._
+
+class ArrowIPCSpec extends SparkSpec {
+
+  private def writeArrowFile(path: String, ids: Seq[Long], names: Seq[String], score: Seq[Float]): Unit = {
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("score", FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null)
+    ).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val idV = root.getVector("id").asInstanceOf[BigIntVector]
+    val nameV = root.getVector("name").asInstanceOf[VarCharVector]
+    val scoreV = root.getVector("score").asInstanceOf[Float4Vector]
+    idV.allocateNew(ids.size); nameV.allocateNew(); scoreV.allocateNew(ids.size)
+    ids.indices.foreach { i =>
+      idV.setSafe(i, ids(i)); nameV.setSafe(i, names(i).getBytes("UTF-8")); scoreV.setSafe(i, score(i))
+    }
+    root.setRowCount(ids.size)
+    val out = new FileOutputStream(path)
+    val writer = new ArrowFileWriter(root, null, out.getChannel)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); out.close()
+    root.close(); alloc.close()
+  }
+
+  test("arrow IPC files read distributed with correct schema and values") {
+    val dir = Files.createTempDirectory("arrow").toString
+    writeArrowFile(s"$dir/a.arrow", Seq(1L, 2L), Seq("x", "y"), Seq(0.5f, 1.5f))
+    writeArrowFile(s"$dir/b.arrow", Seq(3L), Seq("z"), Seq(2.5f))
+
+    val df = ArrowIPC.read(spark, s"file://$dir")
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("id", "bigint"), ("name", "string"), ("score", "float")))
+    import spark.implicits._
+    val rows = df.as[(Long, String, Float)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "x", 0.5f), (2L, "y", 1.5f), (3L, "z", 2.5f)))
+  }
+
+  test("detection + auto pipeline route .arrow files to the arrow reader") {
+    val dir = Files.createTempDirectory("arrow2").toString
+    writeArrowFile(s"$dir/t.arrow", Seq(7L), Seq("q"), Seq(9f))
+    val p = Pipeline.auto(s"file://$dir/t.arrow")
+    assert(p.source.name == "arrow_ipc_reader")
+    assert(p.read(spark).count() == 1)
+  }
+}
