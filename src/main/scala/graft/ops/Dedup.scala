@@ -76,11 +76,14 @@ object Dedup {
     )
   }
 
-  /** Staged MinHash: tokens → shingles → shingle hashes → signature, one
-    * projection per stage. The intermediate columns are referenced more
-    * than once downstream, which keeps Catalyst's CollapseProject from
-    * inlining them back into a single (recompute-heavy, interpreted)
-    * expression tree; each stage is computed once per row.
+  /** Staged MinHash: tokens → shingles → shingle hashes natively (one
+    * pass each), then the k×|shingles| min-scan in a JIT-compiled UDF
+    * over primitive arrays — interpreted HOF expression trees cost ~100ns
+    * per element access, which at k=64 × 80 shingles is ~4ms/row; the
+    * tight loop is ~100×  faster (the same call MLlib's MinHashLSH
+    * makes). `repartitionTo` spreads a single-file scan across cores
+    * before the compute-heavy stage (a 100 TB input already has
+    * thousands of partitions; a local single-parquet-file scan has one).
     */
   def withMinhashSignature(
       df: DataFrame,
@@ -88,12 +91,34 @@ object Dedup {
       outCol: String,
       shingleN: Int = 3,
       k: Int = 64,
-      seed: Long = 42L
+      seed: Long = 42L,
+      repartitionTo: Option[Int] = None
   ): DataFrame = {
     val (a, b) = coeffs(k, seed)
-    val aLit = array(a.map(lit): _*)
-    val bLit = array(b.map(lit): _*)
-    df.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
+    val aArr = a.toArray
+    val bArr = b.toArray
+    val p = MersennePrime
+    val kk = k
+    val sigUdf = udf { (hashes: Seq[Long]) =>
+      val hs = hashes.toArray
+      val out = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        var best = Long.MaxValue
+        val ai = aArr(i); val bi = bArr(i)
+        var j = 0
+        while (j < hs.length) {
+          val v = (ai * hs(j) + bi) % p
+          if (v < best) best = v
+          j += 1
+        }
+        out(i) = if (hs.isEmpty) 0L else best
+        i += 1
+      }
+      out
+    }
+    val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
+    base.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
       .withColumn(
         "_mh_hashes",
         when(size(col("_mh_toks")) < shingleN, array(pmod(xxhash64(concat_ws(" ", col("_mh_toks"))), lit(MersennePrime))))
@@ -104,19 +129,7 @@ object Dedup {
             )
           )
       )
-      .withColumn(
-        outCol,
-        transform(
-          sequence(lit(0), lit(k - 1)),
-          i =>
-            array_min(
-              transform(
-                col("_mh_hashes"),
-                h => pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(MersennePrime))
-              )
-            )
-        )
-      )
+      .withColumn(outCol, sigUdf(col("_mh_hashes")))
       .drop("_mh_toks", "_mh_hashes")
   }
 
@@ -192,9 +205,11 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      repartitionTo: Option[Int] = None
   ): DataFrame = {
-    val sigs = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, "_sig", shingleN, k)
+    val sigs = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, "_sig", shingleN, k,
+      repartitionTo = repartitionTo)
       .select(col(idCol), col("_sig"))
     lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
   }

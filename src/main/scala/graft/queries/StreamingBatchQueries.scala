@@ -95,6 +95,35 @@ object StreamingBatchQueries {
       """)
     ),
     (
+      "q57_salted_join",
+      // Salting is result-invariant — the plain join IS the oracle.
+      (s, dir) => {
+        graft.ops.Relational.saltedJoin(
+          table(s, dir, "lineitem"),
+          table(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          "l_partkey", "p_partkey", saltFactor = 8
+        ).groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+      """)
+    ),
+    (
+      "q58_ivf_knn",
+      // IVF ANN — approximate; recall vs exact is spec'd, rows-only here.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val centroids = graft.ops.Similarity.trainIvfCentroids(emb, "embedding", k = 16, iterations = 3)
+        graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, centroids, nProbe = 4)
+      },
+      None
+    ),
+    (
       "q56_group_sketch_union",
       // Aggregator (UDAF) surface: per-source MinHash sketch union over
       // documents. Engine-specific hashes → rows-only check; semantics
@@ -103,7 +132,8 @@ object StreamingBatchQueries {
         import org.apache.spark.sql.{Encoders, Row}
         val sigs = Dedup.withMinhashSignature(
           table(s, dir, "documents").select(col("source"), col("text")),
-          "text", "sig", shingleN = 1, k = 64)
+          "text", "sig", shingleN = 1, k = 64,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
         val spark = s
         import spark.implicits._
         sigs.select(col("source"), col("sig").as("value"))

@@ -67,7 +67,8 @@ object TextQueries {
         // Same deterministic subset as q41 (see note there).
         Dedup.minhashNearDupPairs(
           table(s, dir, "documents").filter(col("doc_id") < 200),
-          "doc_id", "text", shingleN = 1, k = 64, bands = 16, threshold = 0.35)
+          "doc_id", "text", shingleN = 1, k = 64, bands = 16, threshold = 0.35,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
           .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
       },
       None
