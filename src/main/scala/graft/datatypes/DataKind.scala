@@ -90,7 +90,9 @@ object Registry {
     DataKind("iceberg", Nil, Seq("metadata/[0-9v].*\\.metadata\\.json$"), Set("table"),
       headOk = (h, u) => !u.endsWith(".json") || headText(h).contains("\"format-version\"")),
     DataKind("excel", Seq("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", "application/vnd.ms-excel"),
-      Seq("\\.xlsx$", "\\.xls$"), Set("table"), Seq(0 -> bytes(0xd0, 0xcf, 0x11, 0xe0))),
+      // xls legacy CFB magic + xlsx zip magic: magic+pattern outranks the
+      // bare zip container kind for *.xlsx
+      Seq("\\.xlsx$", "\\.xls$"), Set("table"), Seq(0 -> bytes(0xd0, 0xcf, 0x11, 0xe0), 0 -> ascii("PK"))),
     DataKind("sqlite", Seq("application/vnd.sqlite3"), Seq("\\.sqlite$", "\\.db$"),
       Set("table"), Seq(0 -> ascii("SQLite format 3\u0000"))),
     DataKind("duckdb_file", Nil, Seq("\\.duckdb$", "\\.ddb$"), Set("table"),

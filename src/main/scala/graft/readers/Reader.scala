@@ -123,8 +123,11 @@ object SparkReaders {
   }
 
   val arrowIpc: Reader = new ArrowIPCReaderImpl
+  val excel: Reader = new ExcelReaderImpl
 
-  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, binary, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc)
+  // order is preference order; the generic binaryFile fallback goes last
+  // so format-specific readers win their kinds
+  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
