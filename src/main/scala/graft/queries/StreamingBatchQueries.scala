@@ -124,6 +124,56 @@ object StreamingBatchQueries {
       None
     ),
     (
+      "q59_multiset_ops",
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val a = l.filter(col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
+        val b = l.filter(col("l_extendedprice") > 500).select("l_returnflag", "l_linestatus")
+        a.intersectAll(b).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n_inter"))
+          .join(
+            a.exceptAll(b).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n_except")),
+            Seq("l_returnflag", "l_linestatus"), "full_outer")
+          .na.fill(0L, Seq("n_inter", "n_except"))
+      },
+      Some("""
+        WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25),
+             b AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_extendedprice > 500),
+             i AS (SELECT l_returnflag, l_linestatus, count(*) AS n_inter
+                   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1, 2),
+             e AS (SELECT l_returnflag, l_linestatus, count(*) AS n_except
+                   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1, 2)
+        SELECT COALESCE(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+               COALESCE(i.l_linestatus, e.l_linestatus) AS l_linestatus,
+               COALESCE(n_inter, 0) AS n_inter,
+               COALESCE(n_except, 0) AS n_except
+        FROM i FULL OUTER JOIN e
+          ON i.l_returnflag = e.l_returnflag AND i.l_linestatus = e.l_linestatus
+      """)
+    ),
+    (
+      "q60_map_funcs",
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(
+            col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m")
+          )
+          .select(
+            col("event_id"),
+            concat_ws(",", array_sort(map_keys(col("m")))).as("prop_keys"),
+            element_at(col("m"), "k").as("k_value"),
+            size(map_values(col("m"))).as("n_props")
+          )
+      },
+      Some("""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               len(json_keys(props)) AS n_props
+        FROM events
+      """)
+    ),
+    (
       "q56_group_sketch_union",
       // Aggregator (UDAF) surface: per-source MinHash sketch union over
       // documents. Engine-specific hashes → rows-only check; semantics

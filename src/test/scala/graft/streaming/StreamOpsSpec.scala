@@ -105,6 +105,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(out("2024-01-01 10:00:00") == 1L) // late row did NOT bump the count
   }
 
+  test("file-source stream over the events parquet matches the batch plan") {
+    // copy events.parquet into its own dir (readStream consumes a directory)
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
+    val schema = spark.read.parquet(dir.toString).schema // ts as nanos Long
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = StreamOps.windowedAgg(streamed, "ts", "1 hour",
+      aggs = Seq(count(lit(1)).as("n")), keys = Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("filestream_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val batchAgg = StreamOps.windowedAgg(batch, "ts", "1 hour",
+      aggs = Seq(count(lit(1)).as("n")), keys = Seq("event_type"))
+      .select("event_type", "window_start", "n").collect().map(_.toSeq).toSet
+    val streamAgg = spark.table("filestream_out")
+      .select("event_type", "window_start", "n").collect().map(_.toSeq).toSet
+    assert(streamAgg == batchAgg)
+    assert(streamAgg.nonEmpty)
+  }
+
   test("statefulRunningTotals accumulates per-key state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Double)]
