@@ -154,6 +154,9 @@ object Registry {
       headOk = (h, _) => headText(h).startsWith(">")),
     DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),
       headOk = (h, _) => headText(h).startsWith("@")),
+    // Value embedded in the catalog itself (reference Literal :923) —
+    // never URL-detected, addressed by kind only
+    DataKind("literal", Nil, Nil, Set("nested")),
     // Services (URL-scheme detection only; no head bytes to sniff)
     DataKind("sql_query", Nil, Seq("^(jdbc|postgres(ql)?|mysql|sqlite):"), Set("table", "service")),
     DataKind("kafka_topic", Nil, Seq("^kafka://"), Set("sequence", "timeseries", "service")),

@@ -125,9 +125,23 @@ object SparkReaders {
   val arrowIpc: Reader = new ArrowIPCReaderImpl
   val excel: Reader = new ExcelReaderImpl
 
+  /** Value embedded directly in the catalog entry (reference `Literal`
+    * datatype, datatypes.py:923): `options("data")` holds JSON-lines
+    * rows; no external storage involved.
+    */
+  val literal: Reader = new Reader {
+    val name = "literal_reader"
+    val implementsKinds = Set("literal")
+    def read(spark: SparkSession, ref: DataRef): DataFrame = {
+      import spark.implicits._
+      val lines = ref.options.getOrElse("data", "").split("\n").toSeq.filter(_.nonEmpty)
+      spark.read.json(lines.toDS())
+    }
+  }
+
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, literal, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

@@ -149,6 +149,17 @@ class CatalogSuiteSpec extends SparkSpec {
     intercept[IllegalStateException](cat("x"))
   }
 
+  test("literal entries embed rows directly in the catalog") {
+    val cat = Catalog().add(
+      "inline",
+      DataRef("literal", "", Map("data" -> "{\"id\":1,\"name\":\"a\"}\n{\"id\":2,\"name\":\"b\"}")),
+      "literal_reader")
+    val yaml = CatalogIO.toYamlString(cat)
+    val df = CatalogIO.fromYamlString(yaml)("inline").read(spark)
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+  }
+
   test("sql passthrough over registered catalog views") {
     val cat = Catalog()
       .add("lineitem_v", DataRef("parquet", s"$sf/lineitem.parquet"), "spark_parquet")
