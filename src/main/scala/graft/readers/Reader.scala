@@ -124,6 +124,8 @@ object SparkReaders {
 
   val arrowIpc: Reader = new ArrowIPCReaderImpl
   val excel: Reader = new ExcelReaderImpl
+  val geojson: Reader = new GeoJsonReaderImpl
+  val zarr: Reader = new ZarrReaderImpl
 
   /** Value embedded directly in the catalog entry (reference `Literal`
     * datatype, datatypes.py:923): `options("data")` holds JSON-lines
@@ -141,7 +143,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, json, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, literal, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, geojson, zarr, literal, json, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
