@@ -174,6 +174,65 @@ object StreamingBatchQueries {
       """)
     ),
     (
+      "q61_sliding_window",
+      (s, dir) => {
+        StreamOps.windowedAgg(
+          table(s, dir, "events"),
+          "ts", "30 minutes",
+          aggs = Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")),
+          keys = Seq("event_type"),
+          slide = Some("15 minutes")
+        ).select(col("event_type"), col("window_start"), col("n"), col("avg_value"))
+      },
+      // each event belongs to len/slide = 2 hopping windows
+      Some("""
+        SELECT event_type,
+               time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events, (SELECT unnest([0, 1]) AS k)
+        WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+          AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE + INTERVAL 30 MINUTE
+        GROUP BY 1, 2
+      """)
+    ),
+    (
+      "q62_explode_outer",
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            // empty array for short docs exercises the _outer retention
+            when(col("n_chars") > 300, graft.ops.TextOps.tokens(col("text"))).otherwise(array().cast("array<string>")).as("toks")
+          )
+          .select(col("doc_id"), posexplode_outer(col("toks")).as(Seq("pos", "word")))
+          .groupBy("doc_id")
+          .agg(
+            count(col("word")).as("n_words"),
+            max(col("pos")).as("max_pos"),
+            count(when(col("word").isNull, 1)).as("n_null_rows")
+          )
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars > 300
+                      THEN list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)
+                      ELSE [] END AS tk
+          FROM documents
+        ), ex AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) = 0 THEN [NULL] ELSE tk END) AS word,
+                 unnest(CASE WHEN len(tk) = 0 THEN [NULL]
+                        ELSE range(len(tk)) END) AS pos
+          FROM toks
+        )
+        SELECT doc_id, count(word) AS n_words, max(pos) AS max_pos,
+               count(CASE WHEN word IS NULL THEN 1 END) AS n_null_rows
+        FROM ex
+        GROUP BY doc_id
+      """)
+    ),
+    (
       "q56_group_sketch_union",
       // Aggregator (UDAF) surface: per-source MinHash sketch union over
       // documents. Engine-specific hashes → rows-only check; semantics
