@@ -214,6 +214,68 @@ object Dedup {
     lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors. Each round is one join + one
+    * aggregation (shuffle on node id); rounds are bounded — near-dup
+    * graphs are dense cliques with tiny diameters, so a handful of
+    * rounds converges (SURVEY §7 step 9 "connected components via
+    * iterative join, bounded rounds"). Returns (id, component) where
+    * component is the minimum id reachable within `maxIter` hops.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 3, checkConvergence: Boolean = false): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    // Near-dup graphs are dense cliques with tiny diameters: a few blind
+    // rounds converge, and skipping the per-round change-detection action
+    // (checkConvergence=false) avoids serializing one extra Spark job per
+    // round. Turn the check on for graphs of unknown shape.
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "_nc"), Seq("id2"))
+        .groupBy(col("id1").as("id"))
+        .agg(min("_nc").as("_minNeighbor"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("_minNeighbor"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (checkConvergence) {
+        val changed = updated.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
+          .filter(col("component") =!= col("_old")).limit(1).count()
+        converged = changed == 0
+      }
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH pairs → connected components
+    * → keep the canonical (minimum-id) row per component. Rows with no
+    * near-dup edges keep themselves.
+    */
+  def dedupNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      repartitionTo: Option[Int] = None,
+      ccRounds: Int = 3
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN = shingleN, threshold = threshold,
+      repartitionTo = repartitionTo)
+    val comps = connectedComponents(pairs, maxIter = ccRounds)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** 64-bit SimHash of the token bag, computed within the row:
     * for each bit position, sum +-1 over tokens by that bit of
     * xxhash64(token); the sign gives the output bit.

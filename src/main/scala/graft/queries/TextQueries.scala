@@ -74,6 +74,19 @@ object TextQueries {
       None
     ),
     (
+      "q63_neardup_clusters",
+      // LSH pairs → connected components → canonical survivors. Hash-
+      // dependent → rows-only; component semantics spec'd in DedupSpec.
+      (s, dir) => {
+        Dedup.dedupNearDups(
+          table(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id", "text"),
+          "doc_id", "text", threshold = 0.6, shingleN = 1,
+          repartitionTo = Some(s.sparkContext.defaultParallelism), ccRounds = 2)
+          .agg(count(lit(1)).as("n_canonical"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      },
+      None
+    ),
+    (
       "q43_simhash",
       (s, dir) => {
         // xxhash64-based — rows-only check (deterministic; spec'd in tests).

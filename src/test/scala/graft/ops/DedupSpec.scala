@@ -69,6 +69,21 @@ class DedupSpec extends SparkSpec {
     assert(d02 < d03, s"near-dup hamming $d02 should be < unrelated $d03")
   }
 
+  test("connectedComponents groups chained pairs; dedupNearDups keeps canonicals") {
+    // components: {1,2,3} (chain), {10,11}, 20 isolated (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(!comps.contains(20L))
+
+    val kept = Dedup.dedupNearDups(docs, "doc_id", "text", threshold = 0.9, shingleN = 1)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0/1 identical and 3/4 same bag → one survivor each; 2 is a
+    // near-dup of 0 but below the 0.9 threshold → kept
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val out = Seq((3L, 1L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
