@@ -61,7 +61,7 @@ object ArrowIPC {
   /** Decode one IPC payload (file format, falling back to stream format —
     * the same heuristic as the reference's PyArrowIPCReader) to rows.
     */
-  private[readers] def decode(bytes: Array[Byte]): (Seq[org.apache.arrow.vector.types.pojo.Field], Seq[Seq[Any]]) = {
+  def decode(bytes: Array[Byte]): (Seq[org.apache.arrow.vector.types.pojo.Field], Seq[Seq[Any]]) = {
     val alloc = new RootAllocator()
     try {
       val rows = ListBuffer[Seq[Any]]()

@@ -11,9 +11,9 @@ import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import scala.jdk.CollectionConverters._
 
-class ArrowIPCSpec extends SparkSpec {
-
-  private def writeArrowFile(path: String, ids: Seq[Long], names: Seq[String], score: Seq[Float]): Unit = {
+/** Shared fixture: writes a 3-column (id, name, score) Arrow IPC file. */
+object ArrowIPCSpecHelpers {
+  def writeArrowFile(path: String, ids: Seq[Long], names: Seq[String], score: Seq[Float]): Unit = {
     val alloc = new RootAllocator()
     val schema = new Schema(Seq(
       new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
@@ -34,6 +34,10 @@ class ArrowIPCSpec extends SparkSpec {
     writer.start(); writer.writeBatch(); writer.end(); writer.close(); out.close()
     root.close(); alloc.close()
   }
+}
+
+class ArrowIPCSpec extends SparkSpec {
+  import ArrowIPCSpecHelpers.writeArrowFile
 
   test("arrow IPC files read distributed with correct schema and values") {
     val dir = Files.createTempDirectory("arrow").toString
