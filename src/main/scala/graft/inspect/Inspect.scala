@@ -59,6 +59,16 @@ object Inspect {
     )
   }
 
+  /** Text rendering of any DataFrame — schema tree + sample rows
+    * (reference output.py:177 Repr / :184 IPythonDisplay collapse onto
+    * Spark's own renderers).
+    */
+  def repr(df: org.apache.spark.sql.DataFrame, n: Int = 10): Map[String, String] = Map(
+    "schema" -> df.schema.treeString,
+    "sample" -> org.apache.spark.sql.graft.bridge.showString(df, n, 20),
+    "is_streaming" -> df.isStreaming.toString
+  )
+
   def fileStats(url: String, conf: Configuration = new Configuration()): (Long, Long) = {
     val path = new Path(url)
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)

@@ -240,6 +240,23 @@ object FunctionQueries {
       None
     ),
     (
+      "q64_describe_stats",
+      // describe() formatting is engine-specific → rows-only; values
+      // spec'd indirectly through q33's exact stat aggregations.
+      (s, dir) => {
+        table(s, dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount").describe()
+      },
+      None
+    ),
+    (
+      "q65_freq_items",
+      // approximate frequent-items sketch (Karp et al.) — engine-specific.
+      (s, dir) => {
+        table(s, dir, "lineitem").stat.freqItems(Array("l_returnflag", "l_linestatus"), 0.3)
+      },
+      None
+    ),
+    (
       "q37_sample",
       (s, dir) => {
         // Engine-specific RNG — rows-only check (no oracle on purpose).

@@ -12,4 +12,6 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def showString(df: org.apache.spark.sql.DataFrame, n: Int, truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].showString(n, truncate)
 }

@@ -15,6 +15,14 @@ class InspectSpec extends SparkSpec {
     assert(r.sampleRows == 10)
   }
 
+  test("repr renders schema tree and sample rows") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val r = Inspect.repr(df, 3)
+    assert(r("schema").contains("r_regionkey"))
+    assert(r("sample").contains("r_name"))
+    assert(r("is_streaming") == "false")
+  }
+
   test("GGUF header parser reads version, counts and metadata KVs") {
     // hand-built minimal GGUF: magic, v3, 0 tensors, 2 KVs
     val buf = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
