@@ -80,8 +80,10 @@ object TextQueries {
       (s, dir) => {
         Dedup.dedupNearDups(
           table(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id", "text"),
+          // near-identical docs form cliques: every member is adjacent to
+          // the minimum, so one propagation round labels the component
           "doc_id", "text", threshold = 0.6, shingleN = 1,
-          repartitionTo = Some(s.sparkContext.defaultParallelism), ccRounds = 2)
+          repartitionTo = Some(s.sparkContext.defaultParallelism), ccRounds = 1)
           .agg(count(lit(1)).as("n_canonical"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       },
       None
