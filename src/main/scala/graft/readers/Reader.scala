@@ -127,6 +127,9 @@ object SparkReaders {
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
   val numpy: Reader = new NumpyReaderImpl
+  val fasta: Reader = new FastaReaderImpl
+  val iniR: Reader = new IniReaderImpl
+  val tomlR: Reader = new TomlReaderImpl
 
   /** Value embedded directly in the catalog entry (reference `Literal`
     * datatype, datatypes.py:923): `options("data")` holds JSON-lines
@@ -144,7 +147,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, text, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, geojson, zarr, numpy, literal, json, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, geojson, zarr, numpy, fasta, iniR, tomlR, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
