@@ -118,6 +118,58 @@ final case class Catalog(
     }
   }
 
+  /** Parameter refactoring (reference entry.py:311 extract_parameter):
+    * every occurrence of `value` in the entry's kwargs — and in its
+    * referenced data description's url/options — becomes a `{paramName}`
+    * template, and a user parameter with `value` as default is declared
+    * on the entry, so call sites can override what was a hard-coded
+    * literal.
+    */
+  def extractParameter(entryName: String, paramName: String, value: String): Catalog = {
+    val tok = aliases.getOrElse(entryName, entryName)
+    val rd = entries.getOrElse(tok, throw new NoSuchElementException(entryName))
+    def templ(s: String): String = s.replace(value, s"{$paramName}")
+    val param = SimpleUserParameter(paramName, s"extracted from $entryName", "str", value)
+    val newRd = rd.copy(
+      kwargs = rd.kwargs.map { case (k, v) => k -> (if (k == "data") v else templ(v)) },
+      userParameters = rd.userParameters :+ param
+    )
+    val newData = rd.kwargs.get("data") match {
+      case Some(Templates.DataRe(dtok, _)) =>
+        data.get(dtok) match {
+          case Some(dd) =>
+            val newDd = dd.copy(ref = dd.ref.copy(
+              url = templ(dd.ref.url),
+              options = dd.ref.options.map { case (k, v) => k -> templ(v) }))
+            data - dtok + (dtok -> newDd)
+          case None => data
+        }
+      case _ => data
+    }
+    // rd token changes with its kwargs/params: re-key and re-alias
+    copy(
+      entries = entries - tok + (newRd.token -> newRd),
+      data = newData,
+      aliases = aliases.map { case (n, t) => n -> (if (t == tok) newRd.token else t) }
+    )
+  }
+
+  /** Move a per-entry user parameter up to the catalog level (reference
+    * entry.py:346 promote/move_parameter): shared defaults live once.
+    */
+  def promoteParameter(entryName: String, paramName: String): Catalog = {
+    val tok = aliases.getOrElse(entryName, entryName)
+    val rd = entries.getOrElse(tok, throw new NoSuchElementException(entryName))
+    val param = rd.userParameters.find(_.name == paramName)
+      .getOrElse(throw new NoSuchElementException(s"$entryName has no parameter $paramName"))
+    val newRd = rd.copy(userParameters = rd.userParameters.filterNot(_.name == paramName))
+    copy(
+      entries = entries - tok + (newRd.token -> newRd),
+      aliases = aliases.map { case (n, t) => n -> (if (t == tok) newRd.token else t) },
+      userParameters = (userParameters :+ param).distinct
+    )
+  }
+
   /** Merge (reference entry.py:621 `__add__`): right side wins aliases. */
   def ++(other: Catalog): Catalog = Catalog(
     entries = entries ++ other.entries,
@@ -201,4 +253,10 @@ final case class NotExpr(expr: SearchExpr) extends SearchExpr {
 case object ImportableExpr extends SearchExpr {
   def matches(n: String, rd: ReaderDescription, c: Catalog): Boolean =
     SparkReaders.reader(rd.reader).exists(_.importable)
+}
+
+object SearchExpr {
+  /** Any/All text conveniences (reference search.py Any/All). */
+  def anyText(terms: String*): SearchExpr = OrExpr(terms.map(TextExpr(_)))
+  def allText(terms: String*): SearchExpr = AndExpr(terms.map(TextExpr(_)))
 }

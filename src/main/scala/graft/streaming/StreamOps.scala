@@ -68,6 +68,26 @@ object StreamOps {
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, delay) else df
 
+  /** Durable streaming sink: append to parquet with an exactly-once
+    * checkpoint (the production path; memory sinks are for tests). The
+    * output directory becomes a normal batch-readable dataset, closing
+    * the stream → catalog loop the same way batch writers do.
+    */
+  def toParquetStream(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key across micro-batches, with a processing-time idle timeout that
     * evicts state for keys gone quiet (state eviction is what makes

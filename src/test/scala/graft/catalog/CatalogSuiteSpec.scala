@@ -149,6 +149,23 @@ class CatalogSuiteSpec extends SparkSpec {
     intercept[IllegalStateException](cat("x"))
   }
 
+  test("extractParameter turns literals into overridable templates") {
+    val cat = Catalog()
+      .add("li", DataRef("parquet", "/root/testdata/sf0.001/lineitem.parquet"), "spark_parquet")
+      .extractParameter("li", "sf", "sf0.001")
+    // default keeps the original behavior
+    assert(cat("li").ref.url == "/root/testdata/sf0.001/lineitem.parquet")
+    // override rebinds the extracted literal
+    assert(cat("li", Map("sf" -> "sf0.01")).ref.url == "/root/testdata/sf0.01/lineitem.parquet")
+    assert(cat("li").read(spark).count() == 6000)
+
+    // promote lifts the parameter to catalog level
+    val promoted = cat.promoteParameter("li", "sf")
+    assert(promoted.userParameters.exists(_.name == "sf"))
+    assert(promoted("li").ref.url == "/root/testdata/sf0.001/lineitem.parquet")
+    assert(SearchExpr.anyText("lineitem", "nope").matches("li", promoted.entries(promoted.aliases("li")), promoted))
+  }
+
   test("literal entries embed rows directly in the catalog") {
     val cat = Catalog().add(
       "inline",

@@ -148,6 +148,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 10.0)))
   }
 
+  test("parquet streaming sink with checkpoint is exactly-once across restarts") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData((1L, 1.0), (2L, 2.0))
+    val q1 = StreamOps.toParquetStream(ms.toDF().toDF("id", "v"), out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // restart from the same checkpoint: previously committed batches are
+    // not re-emitted, new data appends
+    ms.addData((3L, 3.0))
+    val q2 = StreamOps.toParquetStream(ms.toDF().toDF("id", "v"), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out).as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("streaming dedup with watermark removes re-deliveries") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
