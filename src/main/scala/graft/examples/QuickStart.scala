@@ -66,6 +66,18 @@ object QuickStart {
     val asof = Relational.asofJoin(purchases, clicks, "ts", "click_ts", Seq(("user_id", "user_id")))
     println(s"[5] as-of join: ${asof.filter(col("click_id").isNotNull).count()} purchases with a prior click")
 
+    // 6. SQL vector functions through the extension registry
+    graft.functions.GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+    val simRow = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) AS sim FROM emb a JOIN emb b ON a.vec_id=0 AND b.vec_id=1")
+      .collect().head.getDouble(0)
+    println(f"[6] SQL cosine_sim(v0, v1) = $simRow%.4f")
+
+    // 7. Typed Dataset views
+    val longDocs = graft.model.Tables.documents(spark, sf).filter(_.n_chars > 300).count()
+    println(s"[7] typed view: $longDocs documents over 300 chars")
+
     spark.stop()
     println("QuickStart OK")
   }
