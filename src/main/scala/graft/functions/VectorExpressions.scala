@@ -140,6 +140,99 @@ case class L2Norm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** lsh_band_buckets(vec): banded random-hyperplane LSH in one codegen'd
+  * pass — returns `array<long>` of length `groups`, element g packing the
+  * sign bits of hyperplanes [g*bitsPerGroup, (g+1)*bitsPerGroup) (bit j =
+  * sign of plane g*bitsPerGroup+j, matching the shift/mask banding of a
+  * packed signature). The plane matrix is derived deterministically from
+  * `seed` on each executor — plan-embedded constants, no side data.
+  *
+  * Replaces the HOF formulation (one interpreted `aggregate` per bit —
+  * 128 array traversals per row at the q50 defaults, and `shiftleft(1L,
+  * i)` silently aliases mod 64 past bit 63). Here: one traversal per
+  * plane in a tight generated loop, and no 64-bit packing limit.
+  */
+case class LshBandBuckets(
+    child: Expression,
+    bitsPerGroup: Int,
+    groups: Int,
+    dim: Int,
+    seed: Long
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "lsh_band_buckets"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other                   => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bitsPerGroup * groups)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Long](groups)
+    var bit = 0
+    var g = 0
+    while (g < groups) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerGroup) {
+        val p = planes(bit)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          if (!a.isNullAt(i)) dot += a.getFloat(i).toDouble * p(i)
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1; bit += 1
+      }
+      out(g) = bucket
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val bit = ctx.freshName("bit")
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("plane")
+      s"""
+         |long[] $out = new long[$groups];
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $bit = 0;
+         |for (int $g = 0; $g < $groups; $g++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerGroup; $j++) {
+         |    double[] $p = $planesRef[$bit];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$a.isNullAt($i)) $dot += (double) $a.getFloat($i) * $p[$i];
+         |    }
+         |    if ($dot > 0) $bucket |= (1L << $j);
+         |    $bit++;
+         |  }
+         |  $out[$g] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   private def f(c: Column): Expression = bridge.expression(c.cast(ArrayType(FloatType)))
 
@@ -148,4 +241,7 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column = bridge.column(DotProduct(f(a), f(b)))
 
   def l2Norm(a: Column): Column = bridge.column(L2Norm(f(a)))
+
+  def lshBandBuckets(vec: Column, bitsPerGroup: Int, groups: Int, dim: Int, seed: Long = 42L): Column =
+    bridge.column(LshBandBuckets(f(vec), bitsPerGroup, groups, dim, seed))
 }

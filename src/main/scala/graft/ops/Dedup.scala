@@ -224,9 +224,15 @@ object Dedup {
     * component is the minimum id reachable within `maxIter` hops.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 3, checkConvergence: Boolean = false): DataFrame = {
+    // Materialize the edge list ONCE and truncate its lineage: the edge
+    // plan is referenced by every propagation round, and without
+    // truncation each round re-embeds the entire upstream (LSH) DAG in
+    // its plan — the round-1 plan audit measured 161 exchanges / 490
+    // broadcasts for a single CC round. With per-round localCheckpoint
+    // the plan stays O(1) in rounds instead of O(2^rounds).
     val edges = pairs.select(col("id1"), col("id2"))
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("component", col("id"))
     var iter = 0
@@ -243,7 +249,7 @@ object Dedup {
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("_minNeighbor"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // truncate: next round's plan starts from a leaf
       if (checkConvergence) {
         val changed = updated.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
           .filter(col("component") =!= col("_old")).limit(1).count()

@@ -96,6 +96,8 @@ object Relational {
     * single partition would still exceed an executor.
     *
     * Right side is replicated `saltFactor`× — keep it the smaller input.
+    * Only inner/left joins are sound: with a right or full join every
+    * unmatched right row would surface once per salt replica.
     */
   def saltedJoin(
       left: DataFrame,
@@ -105,6 +107,10 @@ object Relational {
       saltFactor: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    require(
+      joinType == "inner" || joinType.startsWith("left"),
+      s"saltedJoin supports inner/left joins only (right side is replicated): $joinType"
+    )
     val salted = left.withColumn("_salt_l", pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("_salt_r", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted
@@ -120,9 +126,13 @@ object Relational {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val gapSec = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(maxGap))
-    val gapSeconds = gapSec.months * 2592000L + gapSec.days * 86400L + gapSec.microseconds / 1000000L
+    // Compare gaps in integral microseconds: casting timestamps to double
+    // seconds loses sub-second precision (micros/1e6 is inexact in binary),
+    // which flips session boundaries when a gap sits exactly on maxGap.
+    val gapMicros =
+      gapSec.months * 2592000000000L + gapSec.days * 86400000000L + gapSec.microseconds
     val newSession = when(
-      col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double") > gapSeconds.toDouble,
+      unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w) > gapMicros,
       1
     ).otherwise(0)
     df.withColumn("_new", coalesce(newSession, lit(0)))

@@ -54,6 +54,7 @@ object Similarity {
     * packed into a Long. Pure Column expression (HOFs, codegen'd).
     */
   def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    require(nBits <= 64, s"lshSignature packs into a Long; use VectorFunctions.lshBandBuckets for $nBits bits")
     val planes = hyperplanes(nBits, dim, seed)
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val pLit = array(p.map(lit): _*)
@@ -87,22 +88,12 @@ object Similarity {
       groups: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
-    val nBits = bitsPerGroup * groups
     def banded(df: DataFrame, idc: String, vecc: String, idOut: String, vecOut: String): DataFrame = {
-      val sig = lshSignature(col(vecc), nBits, dim, seed)
-      df.select(col(idc).as(idOut), col(vecc).as(vecOut), sig.as("_sig"))
-        .select(
-          col(idOut),
-          col(vecOut),
-          posexplode(
-            transform(
-              sequence(lit(0), lit(groups - 1)),
-              g =>
-                call_function("shiftright", col("_sig"), g * bitsPerGroup)
-                  .bitwiseAND(lit((1L << bitsPerGroup) - 1))
-            )
-          )
-        )
+      df.select(
+        col(idc).as(idOut),
+        col(vecc).as(vecOut),
+        posexplode(VectorFunctions.lshBandBuckets(col(vecc), bitsPerGroup, groups, dim, seed))
+      )
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
     }
@@ -210,15 +201,59 @@ object Similarity {
   }
 
   /** All pairs with cosine >= threshold among rows of `df` — embedding
-    * near-dup detection. Brute-force variant (oracle scale); LSH variant
-    * for scale is `lshTopK` with df as both sides.
+    * near-dup detection.
+    *
+    * Scale path (default): banded hyperplane-LSH self-join — vectors
+    * sharing any (band, sign-bits) bucket become candidates, then the
+    * EXACT cosine filters them, so there are no false positives. The
+    * bucket equi-join shuffles on the bucket key; no cross join appears
+    * in the plan and cost is linear in corpus + candidates. Recall is
+    * probabilistic (misses a qualifying pair with prob
+    * `(1 - p^bitsPerGroup)^groups`, p = 1 - acos(threshold)/pi); the
+    * defaults put that under ~6% at cosine = 0.8 and under 0.1% for
+    * true near-dups (cosine >= 0.95) — the regime the operator targets.
+    *
+    * `exact = true` forces the all-pairs brute force: O(n^2), only for
+    * oracle-scale verification, never the 100 TB path.
     */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
-    val r = df.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
-    l.crossJoin(r)
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_v2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      bitsPerGroup: Int = 8,
+      groups: Int = 16,
+      seed: Long = 42L,
+      exact: Boolean = false
+  ): DataFrame = {
+    if (exact) {
+      val l = df.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
+      val r = df.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
+      l.crossJoin(r)
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_v2")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      // Band rows carry only (band, bucket, id) — the vectors would be
+      // replicated `groups`x through the shuffle otherwise. Vectors
+      // re-attach to the deduped candidate pairs afterwards.
+      val banded = df
+        .select(
+          col(idCol).as("_id"),
+          posexplode(VectorFunctions.lshBandBuckets(col(vecCol), bitsPerGroup, groups, dim, seed))
+        )
+        .withColumnRenamed("pos", "_band")
+        .withColumnRenamed("col", "_bucket")
+      val candidates = banded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
+        .join(banded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+      candidates
+        .join(df.select(col(idCol).as("id1"), col(vecCol).as("_v1")), Seq("id1"))
+        .join(df.select(col(idCol).as("id2"), col(vecCol).as("_v2")), Seq("id2"))
+        .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_v2")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

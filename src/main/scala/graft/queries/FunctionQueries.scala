@@ -74,29 +74,36 @@ object FunctionQueries {
     ),
     (
       "q30_math_funcs",
+      // Double sums are order-dependent (partial aggregation runs in a
+      // different order than DuckDB's), so every summed term is fixed to a
+      // DECIMAL first: decimal sums are exact and order-independent on both
+      // engines. Final outputs cast back to DOUBLE (exact at these scales).
       (s, dir) => {
+        val priceDec = col("l_extendedprice").cast("decimal(18,4)")
+        val discDec = col("l_discount").cast("decimal(18,4)")
+        val qtyDec = col("l_quantity").cast("decimal(18,4)")
         table(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("disc_total"),
+            round(sum(priceDec * discDec), 2).cast("double").as("disc_total"),
             sum(floor(col("l_quantity"))).as("qty_floor_sum"),
             sum(ceil(col("l_discount") * 100)).as("disc_pct_ceil_sum"),
-            round(sum(abs(col("l_extendedprice") - 1000.0)), 2).as("abs_dev_sum"),
-            round(sum(pow(col("l_quantity"), 2)), 2).as("qty_sq_sum"),
-            round(sum(log(col("l_extendedprice") + 1)), 6).as("log_price_sum"),
-            round(sum(sqrt(col("l_quantity"))), 6).as("sqrt_qty_sum"),
+            round(sum(abs(priceDec - 1000)), 2).cast("double").as("abs_dev_sum"),
+            round(sum(qtyDec * qtyDec), 2).cast("double").as("qty_sq_sum"),
+            sum(log(col("l_extendedprice") + 1).cast("decimal(28,6)")).cast("double").as("log_price_sum"),
+            sum(sqrt(col("l_quantity")).cast("decimal(28,6)")).cast("double").as("sqrt_qty_sum"),
             sum(col("l_orderkey") % 7).as("mod_sum")
           )
       },
       Some("""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * l_discount), 2) AS disc_total,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_total,
                CAST(sum(floor(l_quantity)) AS BIGINT) AS qty_floor_sum,
                CAST(sum(ceil(l_discount * 100)) AS BIGINT) AS disc_pct_ceil_sum,
-               round(sum(abs(l_extendedprice - 1000.0)), 2) AS abs_dev_sum,
-               round(sum(pow(l_quantity, 2)), 2) AS qty_sq_sum,
-               round(sum(ln(l_extendedprice + 1)), 6) AS log_price_sum,
-               round(sum(sqrt(l_quantity)), 6) AS sqrt_qty_sum,
+               CAST(round(sum(abs(CAST(l_extendedprice AS DECIMAL(18,4)) - 1000)), 2) AS DOUBLE) AS abs_dev_sum,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sq_sum,
+               CAST(sum(CAST(ln(l_extendedprice + 1) AS DECIMAL(28,6))) AS DOUBLE) AS log_price_sum,
+               CAST(sum(CAST(sqrt(l_quantity) AS DECIMAL(28,6))) AS DOUBLE) AS sqrt_qty_sum,
                sum(l_orderkey % 7) AS mod_sum
         FROM lineitem
         GROUP BY l_returnflag
@@ -250,11 +257,24 @@ object FunctionQueries {
     ),
     (
       "q65_freq_items",
-      // approximate frequent-items sketch (Karp et al.) — engine-specific.
+      // approximate frequent-items sketch (Karp et al.). At support 0.1 the
+      // sketch holds 10 slots — more than either column's distinct count —
+      // so no evictions occur and the result is exactly the distinct value
+      // set, which a DuckDB oracle can reproduce. Arrays are sorted and
+      // joined to strings: the driver's comparator can't hash array cells.
       (s, dir) => {
-        table(s, dir, "lineitem").stat.freqItems(Array("l_returnflag", "l_linestatus"), 0.3)
+        table(s, dir, "lineitem")
+          .stat.freqItems(Array("l_returnflag", "l_linestatus"), 0.1)
+          .select(
+            array_join(array_sort(col("l_returnflag_freqItems")), ",").as("returnflag_freq"),
+            array_join(array_sort(col("l_linestatus_freqItems")), ",").as("linestatus_freq")
+          )
       },
-      None
+      Some("""
+        SELECT array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS returnflag_freq,
+               array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS linestatus_freq
+        FROM lineitem
+      """)
     ),
     (
       "q37_sample",

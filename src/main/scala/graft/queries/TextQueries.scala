@@ -121,15 +121,19 @@ object TextQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             sum("n_tokens").as("total_tokens"),
-            round(avg("n_tokens"), 6).as("avg_tokens"),
-            round(avg("n_chars_actual"), 6).as("avg_chars")
+            // avg at 6dp via exact integer micro-division: engines round the
+            // same double differently at 6dp boundaries (BigDecimal HALF_UP
+            // vs multiply/nearbyint), so keep the arithmetic integral until
+            // the final exact double division by 1e6.
+            (expr("(sum(n_tokens) * 1000000L) div count(1)").cast("double") / 1e6).as("avg_tokens"),
+            (expr("(sum(n_chars_actual) * 1000000L) div count(1)").cast("double") / 1e6).as("avg_chars")
           )
       },
       Some(s"""
         SELECT source, count(*) AS n_docs,
                sum(n_tokens) AS total_tokens,
-               round(avg(n_tokens), 6) AS avg_tokens,
-               round(avg(n_chars_actual), 6) AS avg_chars
+               CAST(sum(n_tokens) * 1000000 // count(*) AS DOUBLE) / 1000000 AS avg_tokens,
+               CAST(sum(n_chars_actual) * 1000000 // count(*) AS DOUBLE) / 1000000 AS avg_chars
         FROM (SELECT source, len(${duckTokens("text")}) AS n_tokens,
                      length(text) AS n_chars_actual
               FROM documents)

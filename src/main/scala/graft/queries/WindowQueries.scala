@@ -135,8 +135,12 @@ object WindowQueries {
       },
       Some("""
         WITH flagged AS (
+          -- gap compared in integral MICROseconds: Spark sees ts truncated
+          -- to micros (nanos parquet), so the oracle must truncate too or a
+          -- 1800.0000004s gap flips the boundary on one side only
           SELECT user_id, ts,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                 CASE WHEN epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000)
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                       THEN 1 ELSE 0 END AS new_session
           FROM events
         ), sessions AS (
