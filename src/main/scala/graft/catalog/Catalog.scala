@@ -130,22 +130,29 @@ final case class Catalog(
     val rd = entries.getOrElse(tok, throw new NoSuchElementException(entryName))
     def templ(s: String): String = s.replace(value, s"{$paramName}")
     val param = SimpleUserParameter(paramName, s"extracted from $entryName", "str", value)
-    val newRd = rd.copy(
-      kwargs = rd.kwargs.map { case (k, v) => k -> (if (k == "data") v else templ(v)) },
-      userParameters = rd.userParameters :+ param
-    )
-    val newData = rd.kwargs.get("data") match {
+    // Rewrite the referenced data description FIRST: its token changes
+    // with its contents, so it must be re-keyed under the new token (the
+    // content-hash-key invariant add() dedups on) and the entry's
+    // {data(...)} kwarg must follow it.
+    val (newData, dataTokRewrite) = rd.kwargs.get("data") match {
       case Some(Templates.DataRe(dtok, _)) =>
         data.get(dtok) match {
           case Some(dd) =>
             val newDd = dd.copy(ref = dd.ref.copy(
               url = templ(dd.ref.url),
               options = dd.ref.options.map { case (k, v) => k -> templ(v) }))
-            data - dtok + (dtok -> newDd)
-          case None => data
+            (data - dtok + (newDd.token -> newDd), Some(dtok -> newDd.token))
+          case None => (data, None)
         }
-      case _ => data
+      case _ => (data, None)
     }
+    val newRd = rd.copy(
+      kwargs = rd.kwargs.map { case (k, v) =>
+        if (k == "data") k -> dataTokRewrite.fold(v) { case (o, n) => v.replace(o, n) }
+        else k -> templ(v)
+      },
+      userParameters = rd.userParameters :+ param
+    )
     // rd token changes with its kwargs/params: re-key and re-alias
     copy(
       entries = entries - tok + (newRd.token -> newRd),

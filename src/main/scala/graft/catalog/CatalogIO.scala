@@ -36,6 +36,36 @@ object CatalogIO {
       jmap("kind" -> "bounded", "name" -> n, "description" -> d, "min" -> mn, "max" -> mx, "default" -> df)
   }
 
+  /** Parameter in the reference's serialized shape: flat `__dict__` plus a
+    * `cls` qname (reference intake/readers/utils.py:299 `to_dict`,
+    * user_parameters.py:72). The name comes from the containing dict key.
+    */
+  private def paramFromReference(name: String, m: java.util.Map[String, Any]): UserParameter = {
+    val sm = m.asScala
+    val cls = sm.getOrElse("cls", "").toString
+    val desc = Option(sm.getOrElse("description", null)).map(_.toString).getOrElse("")
+    val dflt = sm.getOrElse("default", null)
+    def opts: Seq[Any] = sm.get("options") match {
+      case Some(l: JList[_])             => l.asScala.toSeq
+      case Some(jm: java.util.Map[_, _]) => jm.asScala.values.toSeq // NamedOptions: values are the choices
+      case Some(st: java.util.Set[_])    => st.asScala.toSeq
+      case _                             => Nil
+    }
+    if (cls.contains("MultiOption"))
+      MultiOptionParameter(name, desc, opts,
+        dflt match { case l: JList[_] => l.asScala.toSeq; case x => x })
+    else if (cls.contains("Options"))
+      OptionsParameter(name, desc, opts, dflt)
+    else if (cls.contains("BoundedNumber"))
+      BoundedNumberParameter(name, desc,
+        UserParameter.toDouble(Option(sm.getOrElse("min", null)).getOrElse(Double.NegativeInfinity)),
+        UserParameter.toDouble(Option(sm.getOrElse("max", null)).getOrElse(Double.PositiveInfinity)),
+        dflt)
+    else
+      SimpleUserParameter(name, desc,
+        Option(sm.getOrElse("dtype", null)).map(_.toString).getOrElse("str"), dflt)
+  }
+
   private def paramFromJava(m: java.util.Map[String, Any]): UserParameter = {
     val sm = m.asScala
     def s(k: String, d: String = ""): String = Option(sm.getOrElse(k, null)).map(_.toString).getOrElse(d)
@@ -96,9 +126,17 @@ object CatalogIO {
       case jm: java.util.Map[_, _] => jm.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
       case _                       => Map.empty
     }
+    // Accepts both this library's list-shaped parameters and the
+    // reference's name-keyed dict shape (reference entry.py:449
+    // `from_dict` reads `user_parameters` as {name: param_dict}).
     def params(v: Any): Seq[UserParameter] = v match {
       case l: JList[_] => l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
         paramFromJava(m.asInstanceOf[java.util.Map[String, Any]]) }
+      case jm: java.util.Map[_, _] =>
+        jm.asScala.toSeq.sortBy(_._1.toString).collect { case (k, m: java.util.Map[_, _]) =>
+          val mm = m.asInstanceOf[java.util.Map[String, Any]]
+          if (mm.containsKey("cls")) paramFromReference(k.toString, mm) else paramFromJava(mm)
+        }
       case _ => Nil
     }
     val entries = section("entries").map { case (tok, m) =>
@@ -106,18 +144,37 @@ object CatalogIO {
       tok -> ReaderDescription(
         reader = sm.getOrElse("reader", "").toString,
         kwargs = strMap(sm.getOrElse("kwargs", null)),
-        output = sm.getOrElse("output", "org.apache.spark.sql.DataFrame").toString,
+        // reference spelling: `output_instance` (entry.py:121)
+        output = sm.get("output").orElse(sm.get("output_instance"))
+          .map(_.toString).getOrElse("org.apache.spark.sql.DataFrame"),
         userParameters = params(sm.getOrElse("user_parameters", null)),
         metadata = strMap(sm.getOrElse("metadata", null))
       )
     }
     val data = section("data").map { case (tok, m) =>
       val sm = m.asScala
+      // Reference shape: `datatype: module:Class` + `kwargs: {url: ...}`
+      // (reference entry.py:48-56); this library's shape: kind/url/options.
+      val kwargs: Map[String, Any] = sm.get("kwargs") match {
+        case Some(jm: java.util.Map[_, _]) => jm.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+        case _                             => Map.empty
+      }
+      val kind = sm.get("kind").map(_.toString)
+        .orElse(sm.get("datatype").map(_.toString.split(':').last.toLowerCase))
+        .getOrElse("parquet")
+      val url = sm.get("url").map(_.toString)
+        .orElse(kwargs.get("url").filter(_ != null).map(_.toString))
+        .getOrElse("")
+      val options =
+        if (sm.contains("options")) strMap(sm.getOrElse("options", null))
+        else kwargs.collect {
+          case (k, v) if k != "url" && k != "metadata" && v != null => k -> String.valueOf(v)
+        }
       tok -> DataDescription(
         DataRef(
-          kind = sm.getOrElse("kind", "parquet").toString,
-          url = sm.getOrElse("url", "").toString,
-          options = strMap(sm.getOrElse("options", null)),
+          kind = kind,
+          url = url,
+          options = options,
           metadata = strMap(sm.getOrElse("metadata", null))
         ),
         userParameters = params(sm.getOrElse("user_parameters", null))

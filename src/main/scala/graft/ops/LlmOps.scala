@@ -41,7 +41,17 @@ object LlmOps {
       new String(conn.getInputStream.readAllBytes(), "UTF-8")
     }
     private def jsonStr(s: String): String =
-      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString } + "\""
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case '\n'          => "\\n"
+        case '\r'          => "\\r"
+        case '\t'          => "\\t"
+        // remaining control chars (< 0x20) are invalid raw in JSON strings —
+        // real corpus text contains them, so escape as \u00XX
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
 
     def embed(texts: Seq[String]): Seq[Array[Float]] = {
       val body = s"""{"model":${jsonStr(model)},"input":[${texts.map(jsonStr).mkString(",")}]}"""

@@ -98,7 +98,9 @@ object ExcelReader {
       data.map { cells =>
         val padded = cells.padTo(w, "")
         Row.fromSeq(padded.zip(tpes).map {
-          case (v, DoubleType) => if (v.trim.isEmpty) null else v.trim.toDouble
+          // types are inferred from the FIRST file only; a non-numeric cell
+          // in another file of the glob must null out, not kill the task
+          case (v, DoubleType) => if (v.trim.isEmpty) null else v.trim.toDoubleOption.orNull
           case (v, _)          => v
         })
       }

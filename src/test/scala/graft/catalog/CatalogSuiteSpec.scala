@@ -166,6 +166,74 @@ class CatalogSuiteSpec extends SparkSpec {
     assert(SearchExpr.anyText("lineitem", "nope").matches("li", promoted.entries(promoted.aliases("li")), promoted))
   }
 
+  test("extractParameter re-keys the data description under its new token") {
+    val cat = Catalog()
+      .add("li", DataRef("parquet", "/root/testdata/sf0.001/lineitem.parquet"), "spark_parquet")
+      .extractParameter("li", "sf", "sf0.001")
+    // content-hash-key invariant: every data map key equals its value's token
+    cat.data.foreach { case (k, dd) => assert(k == dd.token, s"stale data key $k != ${dd.token}") }
+    // and the entry's {data(...)} kwarg follows the re-keyed token
+    val rd = cat.entries(cat.aliases("li"))
+    val dtok = rd.kwargs("data") match {
+      case Templates.DataRe(t, _) => t
+      case other                  => fail(s"data kwarg is not a data reference: $other")
+    }
+    assert(cat.data.contains(dtok))
+    // re-adding an identical data ref must dedup on its token, not duplicate
+    val readd = cat.add("li2", cat.data(dtok).ref, "spark_parquet")
+    assert(readd.data.size == cat.data.size)
+  }
+
+  test("reference-written v2 YAML (output_instance/datatype/kwargs.url/dict params) parses") {
+    // shape per reference entry.py to_dict / examples.py golden YAML
+    val yaml =
+      """version: 2
+        |aliases:
+        |  prices: e1
+        |entries:
+        |  e1:
+        |    reader: intake.readers.readers:PandasParquet
+        |    kwargs:
+        |      data: '{data(d1)}'
+        |    metadata: {}
+        |    output_instance: pandas:DataFrame
+        |    user_parameters:
+        |      region:
+        |        cls: intake.readers.user_parameters:SimpleUserParameter
+        |        default: emea
+        |        description: which region
+        |        dtype: str
+        |data:
+        |  d1:
+        |    datatype: intake.readers.datatypes:Parquet
+        |    kwargs:
+        |      metadata: {}
+        |      storage_options: null
+        |      url: /data/prices.parquet
+        |    metadata: {}
+        |    user_parameters: {}
+        |metadata: {}
+        |user_parameters:
+        |  cutoff:
+        |    cls: intake.readers.user_parameters:BoundedNumberUserParameter
+        |    default: 5
+        |    description: bound
+        |    max: 10
+        |    min: 1
+        |""".stripMargin
+    val cat = CatalogIO.fromYamlString(yaml)
+    val dd = cat.data("d1")
+    assert(dd.ref.kind == "parquet")
+    assert(dd.ref.url == "/data/prices.parquet")
+    val rd = cat.entries("e1")
+    assert(rd.output == "pandas:DataFrame")
+    assert(rd.userParameters.map(_.name) == Seq("region"))
+    assert(rd.userParameters.head.default == "emea")
+    val cutoff = cat.userParameters.find(_.name == "cutoff").get
+    assert(cutoff.isInstanceOf[BoundedNumberParameter])
+    assert(cutoff.asInstanceOf[BoundedNumberParameter].max == 10.0)
+  }
+
   test("literal entries embed rows directly in the catalog") {
     val cat = Catalog().add(
       "inline",
