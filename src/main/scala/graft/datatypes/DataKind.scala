@@ -164,7 +164,12 @@ object Registry {
     DataKind("mongo", Nil, Seq("^mongodb(\\+srv)?://"), Set("nested", "service")),
     DataKind("elasticsearch", Nil, Seq("^(es|elasticsearch)://"), Set("nested", "service")),
     DataKind("redis", Nil, Seq("^redis://"), Set("nested", "service")),
-    DataKind("prometheus", Nil, Seq("^prom(etheus)?://"), Set("timeseries", "service"))
+    DataKind("prometheus", Nil, Seq("^prom(etheus)?://"), Set("timeseries", "service")),
+    // Registry services (reference datatypes TiledService/TiledDataset and
+    // HuggingfaceDataset, datatypes.py:1738,1616): addressed by kind/scheme,
+    // no head bytes to sniff.
+    DataKind("tiled_service", Nil, Nil, Set("catalog", "service")),
+    DataKind("huggingface", Nil, Seq("^hf://"), Set("table", "service"))
   )
 
   val byName: Map[String, DataKind] = kinds.map(k => k.name -> k).toMap

@@ -131,6 +131,41 @@ object SparkReaders {
   val iniR: Reader = new IniReaderImpl
   val tomlR: Reader = new TomlReaderImpl
 
+  /** Huggingface dataset via the hub's parquet manifest (reference
+    * readers.py HuggingfaceReader + catalogs.py:481 HuggingfaceHubCatalog):
+    * `ref.url` points at the `/api/datasets/{id}/parquet` listing —
+    * `{config: {split: [parquet urls]}}` — whose files are read directly
+    * by the parquet source, so the hub's pre-converted shards stream
+    * through Spark without the Python `datasets` library. An optional
+    * `split` option keeps only URLs containing that path segment.
+    */
+  val hfParquet: Reader = new Reader {
+    val name = "hf_parquet"
+    val implementsKinds = Set("huggingface")
+    def read(spark: SparkSession, ref: DataRef): DataFrame = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val uri = new java.net.URI(ref.url)
+      val fs = org.apache.hadoop.fs.FileSystem.get(uri.resolve("/"), conf)
+      val in = fs.open(new org.apache.hadoop.fs.Path(ref.url))
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      // manifest nests urls under {config: {split: [...]}} — the split
+      // filter matches on the JSON key path, not the url text
+      def leaves(n: com.fasterxml.jackson.databind.JsonNode, path: Seq[String]): Seq[(Seq[String], String)] = {
+        import scala.jdk.CollectionConverters._
+        if (n.isTextual) Seq(path -> n.asText())
+        else if (n.isArray) n.elements().asScala.toSeq.flatMap(leaves(_, path))
+        else if (n.isObject) n.properties().asScala.toSeq.flatMap(e => leaves(e.getValue, path :+ e.getKey))
+        else Nil
+      }
+      val split = ref.options.get("split")
+      val urls = leaves(node, Nil).collect { case (p, u) if split.forall(p.contains) => u }
+      require(urls.nonEmpty, s"no parquet files listed at ${ref.url}" + split.fold("")(s => s" for split $s"))
+      spark.read.parquet(urls: _*)
+    }
+  }
+
   /** Value embedded directly in the catalog entry (reference `Literal`
     * datatype, datatypes.py:923): `options("data")` holds JSON-lines
     * rows; no external storage involved.
@@ -147,7 +182,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, geojson, zarr, numpy, fasta, iniR, tomlR, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
