@@ -90,6 +90,166 @@ object HeaderParsers {
     )
   }
 
+  /** SafeTensors header (published safetensors format): 8-byte LE header
+    * length, then a JSON object mapping tensor name -> {dtype, shape,
+    * data_offsets}, plus optional `__metadata__`. Returns tensor count,
+    * total parameter count, dtype histogram, and the metadata map —
+    * the same summary the reference exposes for model artifacts.
+    */
+  def safetensors(bytes: Array[Byte]): Map[String, Any] = {
+    require(bytes.length >= 8, "safetensors needs at least the length prefix")
+    val hlen = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
+    require(hlen > 0 && hlen <= bytes.length - 8, s"bad safetensors header length $hlen")
+    val json = new String(bytes, 8, hlen.toInt, "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    val fields = node.properties().asScala.toSeq
+    val meta = fields.find(_.getKey == "__metadata__").map { e =>
+      e.getValue.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val tensors = fields.filterNot(_.getKey == "__metadata__")
+    val dtypes = tensors.groupBy(_.getValue.get("dtype").asText()).map { case (k, v) => k -> v.size }
+    val params = tensors.map { e =>
+      val shape = e.getValue.get("shape")
+      (0 until shape.size()).map(shape.get(_).asLong()).product max 1L
+    }.sum
+    Map(
+      "tensor_count" -> tensors.size,
+      "total_params" -> params,
+      "dtypes" -> dtypes,
+      "tensor_names" -> tensors.map(_.getKey).take(16),
+      "metadata" -> meta
+    )
+  }
+
+  /** Torch .pt/.pth archive listing (the format is a zip; reference
+    * readers.py:3052 TorchDict lists it the same way): entry names +
+    * sizes, whether a pickled `data.pkl` module record is present, and
+    * the total tensor-storage payload bytes.
+    */
+  def torchZip(bytes: Array[Byte]): Map[String, Any] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val entries = scala.collection.mutable.ListBuffer[(String, Long)]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) entries += ((e.getName, math.max(e.getSize, zin.readAllBytes().length.toLong)))
+      zin.closeEntry()
+      e = zin.getNextEntry
+    }
+    val names = entries.map(_._1).toSeq
+    Map(
+      "entries" -> names.take(32),
+      "entry_count" -> names.size,
+      "has_pickle" -> names.exists(_.endsWith("data.pkl")),
+      "byteorder" -> names.find(_.endsWith("byteorder")).isDefined,
+      "storage_bytes" -> entries.collect { case (n, s) if n.contains("/data/") => s }.sum
+    )
+  }
+
+  // ---- minimal protobuf walker for OSM PBF (published osmformat spec) ----
+
+  private final class PbReader(bytes: Array[Byte], from: Int, until: Int) {
+    private var pos = from
+    def hasNext: Boolean = pos < until
+    def varint(): Long = {
+      var shift = 0; var out = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff; pos += 1
+        out |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      out
+    }
+    /** next (fieldNumber, wireType); len-delimited payload via chunk() */
+    def tag(): (Int, Int) = { val t = varint(); ((t >> 3).toInt, (t & 7).toInt) }
+    def chunk(): (Int, Int) = { val n = varint().toInt; val r = (pos, pos + n); pos += n; r }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val n = varint().toInt; pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire $w")
+    }
+    def str(range: (Int, Int)): String = new String(bytes, range._1, range._2 - range._1, "UTF-8")
+  }
+
+  /** OSM PBF file-level summary (reference readers.py:2813 OSMPBF):
+    * walks the blob framing (4-byte BE length + BlobHeader) and decodes
+    * the OSMHeader block's features/writing program; OSMData blocks are
+    * counted, not decoded.
+    */
+  def osmpbf(bytes: Array[Byte]): Map[String, Any] = {
+    val buf = ByteBuffer.wrap(bytes) // OSM blob length prefix is big-endian
+    var pos = 0
+    var dataBlocks = 0
+    var required = Seq.empty[String]
+    var optional = Seq.empty[String]
+    var program = ""
+    var source = ""
+    var headerSeen = false
+    while (pos + 4 <= bytes.length) {
+      val hlen = buf.getInt(pos)
+      if (hlen <= 0 || pos + 4 + hlen > bytes.length) return result()
+      // BlobHeader { 1: type, 3: datasize }
+      val hr = new PbReader(bytes, pos + 4, pos + 4 + hlen)
+      var btype = ""
+      var datasize = 0
+      while (hr.hasNext) {
+        val (f, w) = hr.tag()
+        (f, w) match {
+          case (1, 2) => btype = hr.str(hr.chunk())
+          case (3, 0) => datasize = hr.varint().toInt
+          case _      => hr.skip(w)
+        }
+      }
+      val blobStart = pos + 4 + hlen
+      if (btype == "OSMHeader" && blobStart + datasize <= bytes.length) {
+        headerSeen = true
+        // Blob { 1: raw, 3: zlib_data } -> HeaderBlock { 4: required*, 5: optional*, 16: writingprogram, 17: source }
+        val br = new PbReader(bytes, blobStart, blobStart + datasize)
+        var payload: Array[Byte] = Array.empty
+        while (br.hasNext) {
+          val (f, w) = br.tag()
+          (f, w) match {
+            case (1, 2) =>
+              val (s, e) = br.chunk(); payload = java.util.Arrays.copyOfRange(bytes, s, e)
+            case (3, 2) =>
+              val (s, e) = br.chunk()
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(bytes, s, e - s)
+              val out = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](4096)
+              while (!inf.finished() && !inf.needsInput()) out.write(tmp, 0, inf.inflate(tmp))
+              inf.end()
+              payload = out.toByteArray
+            case _ => br.skip(w)
+          }
+        }
+        val pr = new PbReader(payload, 0, payload.length)
+        while (pr.hasNext) {
+          val (f, w) = pr.tag()
+          (f, w) match {
+            case (4, 2)  => required = required :+ pr.str(pr.chunk())
+            case (5, 2)  => optional = optional :+ pr.str(pr.chunk())
+            case (16, 2) => program = pr.str(pr.chunk())
+            case (17, 2) => source = pr.str(pr.chunk())
+            case _       => pr.skip(w)
+          }
+        }
+      } else if (btype == "OSMData") dataBlocks += 1
+      pos = blobStart + datasize
+    }
+    def result(): Map[String, Any] = Map(
+      "header_seen" -> headerSeen,
+      "required_features" -> required,
+      "optional_features" -> optional,
+      "writing_program" -> program,
+      "source" -> source,
+      "data_blocks" -> dataBlocks
+    )
+    result()
+  }
+
   /** PNG IHDR: width/height from the fixed-position first chunk. */
   def pngDims(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {

@@ -5,11 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Text extraction from document formats — the front half of the LLM
   * document pipeline (reference intake/readers/readers.py:1980
-  * MarkdownReader, :2086 HTMLTableReader, :2100 PDFTextReader, :2150
-  * DOCX). HTML/Markdown extraction is real (pure Column expressions or
-  * executor-side parsing); PDF/DOCX text needs a codec library absent
-  * here, so those stay clearly-stubbed with the production plumbing in
-  * place, mirroring the Multimodal decode stubs.
+  * MarkdownReader, :2086 HTMLTableReader, :2100 PDFTextReader, :2136
+  * EPUB, :2150 DOCX). HTML/Markdown are pure Column expressions;
+  * DOCX/EPUB are zip+XML parsed with the JDK alone; PDF gets a
+  * best-effort native parser (uncompressed + FlateDecode text objects).
   */
 object TextExtract {
 
@@ -70,35 +69,165 @@ object TextExtract {
       .drop("_rows")
   }
 
-  /** STUB PDF text extraction: no PDF codec in this environment. The
-    * plumbing (binaryFile rows → per-row text) is production-shaped;
-    * swap the body for a real extractor. Returns a deterministic
-    * placeholder derived from the payload so pipelines stay testable.
-    */
-  def pdfToTextStub(df: DataFrame, contentCol: String = "content"): DataFrame = {
-    val stub = udf { (content: Array[Byte]) =>
-      if (content == null) null
-      // ??? real PDF text extraction goes here
-      else s"[pdf ${content.length} bytes sha=${java.util.Arrays.hashCode(content)}]"
+  // ---- zip helpers (DOCX/EPUB are zip+XML; pure JVM, executor-side) ----
+
+  /** All entries of an in-memory zip as name -> bytes. */
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+      zin.closeEntry()
+      e = zin.getNextEntry
     }
-    df.withColumn("text", stub(col(contentCol)))
+    out.toMap
   }
 
-  /** End-to-end: directory of .html/.md files → (path, text) document
-    * frame ready for TextOps/Dedup/LlmOps.
+  private def decodeEntities(s: String): String =
+    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
+
+  private def stripHtml(html: String): String = {
+    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noComments = noScript.replaceAll("(?s)<!--.*?-->", " ")
+    val blockBreaks = noComments.replaceAll("(?i)</(p|div|br|li|h[1-6]|tr)>|<br\\s*/?>", "\n")
+    val noTags = blockBreaks.replaceAll("<[^>]+>", " ")
+    decodeEntities(noTags).replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim
+  }
+
+  /** DOCX text (reference readers.py:2150 DocumentToText): the payload is
+    * a zip whose `word/document.xml` holds runs in `<w:t>` elements;
+    * paragraphs (`</w:p>`) become newlines. No codec library — OOXML is
+    * XML in a zip, parsed here with the JDK alone.
+    */
+  private[ops] def docxText(content: Array[Byte]): String = {
+    val doc = zipEntries(content).get("word/document.xml")
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(return "")
+    val paras = doc.split("</w:p>").toSeq.map { p =>
+      "(?s)<w:t[^>]*>(.*?)</w:t>".r.findAllMatchIn(p).map(m => decodeEntities(m.group(1))).mkString
+    }
+    paras.filter(_.nonEmpty).mkString("\n").trim
+  }
+
+  /** EPUB text (reference readers.py:2136): follow
+    * `META-INF/container.xml` to the OPF package, read the spine's
+    * itemrefs in order, resolve their hrefs through the manifest, and
+    * strip each XHTML chapter to text.
+    */
+  private[ops] def epubText(content: Array[Byte]): String = {
+    val entries = zipEntries(content)
+    def text(name: String): Option[String] =
+      entries.get(name).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+    val container = text("META-INF/container.xml").getOrElse(return "")
+    val opfPath = "full-path=\"([^\"]+)\"".r.findFirstMatchIn(container).map(_.group(1)).getOrElse(return "")
+    val opf = text(opfPath).getOrElse(return "")
+    val opfDir = opfPath.lastIndexOf('/') match { case -1 => ""; case i => opfPath.substring(0, i + 1) }
+    val manifest = "(?s)<item\\b[^>]*>".r.findAllIn(opf).toSeq.flatMap { item =>
+      for {
+        id <- "\\bid=\"([^\"]+)\"".r.findFirstMatchIn(item).map(_.group(1))
+        href <- "\\bhref=\"([^\"]+)\"".r.findFirstMatchIn(item).map(_.group(1))
+      } yield id -> href
+    }.toMap
+    val spine = "<itemref\\b[^>]*\\bidref=\"([^\"]+)\"".r.findAllMatchIn(opf).map(_.group(1)).toSeq
+    spine
+      .flatMap(id => manifest.get(id))
+      .flatMap(href => text(opfDir + href))
+      .map(stripHtml)
+      .filter(_.nonEmpty)
+      .mkString("\n\n")
+      .trim
+  }
+
+  /** Best-effort PDF text: walks `stream` objects (inflating
+    * /FlateDecode bodies with the JDK Inflater), then collects the
+    * strings shown by Tj/TJ/' /" operators inside BT..ET text blocks —
+    * enough for the common text-first PDFs; image-only or exotically
+    * encoded files yield "". (reference readers.py:2100 PDFTextReader
+    * delegates to pdftotext; this is a minimal JVM-native reading of the
+    * published PDF spec instead.)
+    */
+  private[ops] def pdfText(content: Array[Byte]): String = {
+    val raw = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val streams = "(?s)<<(.*?)>>\\s*stream\r?\n(.*?)\r?\nendstream".r.findAllMatchIn(raw).toSeq
+    val decoded = streams.map { m =>
+      val dict = m.group(1)
+      val body = m.group(2).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (dict.contains("/FlateDecode")) {
+        try {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(body)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+          inf.end()
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+        } catch { case _: Exception => "" }
+      } else new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    def unescape(s: String): String = s
+      .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+      .replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
+    val pieces = decoded.flatMap { s =>
+      "(?s)BT(.*?)ET".r.findAllMatchIn(s).flatMap { bt =>
+        // (text) Tj | (text) ' | [ (a) -120 (b) ] TJ
+        "\\(((?:[^()\\\\]|\\\\.)*)\\)\\s*(?:Tj|')|\\[((?:[^\\]\\\\]|\\\\.)*)\\]\\s*TJ".r
+          .findAllMatchIn(bt.group(1))
+          .map { m =>
+            if (m.group(1) != null) unescape(m.group(1))
+            else "\\(((?:[^()\\\\]|\\\\.)*)\\)".r.findAllMatchIn(m.group(2)).map(x => unescape(x.group(1))).mkString
+          }
+      }
+    }
+    pieces.mkString(" ").replaceAll("\\s+", " ").trim
+  }
+
+  /** DOCX rows (binaryFile frame) → adds `text`. */
+  def docxToText(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte]) => if (content == null) null else docxText(content) }
+    df.withColumn("text", u(col(contentCol)))
+  }
+
+  /** EPUB rows (binaryFile frame) → adds `text`. */
+  def epubToText(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte]) => if (content == null) null else epubText(content) }
+    df.withColumn("text", u(col(contentCol)))
+  }
+
+  /** PDF rows (binaryFile frame) → adds `text` (best-effort native
+    * parser; see [[pdfText]]).
+    */
+  def pdfToText(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte]) => if (content == null) null else pdfText(content) }
+    df.withColumn("text", u(col(contentCol)))
+  }
+
+  /** End-to-end: directory of document files → (path, text) frame ready
+    * for TextOps/Dedup/LlmOps. Text formats route through the Column
+    * strippers (codegen'd); DOCX/EPUB/PDF through the executor-side
+    * native parsers.
     */
   def documentsFromFiles(spark: SparkSession, url: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
+    val binText = udf { (path: String, content: Array[Byte]) =>
+      if (content == null) null
+      else if (path.endsWith(".docx")) docxText(content)
+      else if (path.endsWith(".epub")) epubText(content)
+      else if (path.endsWith(".pdf")) pdfText(content)
+      else null
+    }
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{html,htm,md,markdown,txt}")
+      .option("pathGlobFilter", "*.{html,htm,md,markdown,txt,docx,epub,pdf}")
       .load(url)
-      .select(c("path"), c("content").cast("string").as("raw"))
       .withColumn(
         "text",
-        when(c("path").rlike("\\.(html?|htm)$"), htmlToText(c("raw")))
-          .when(c("path").rlike("\\.(md|markdown)$"), markdownToText(c("raw")))
-          .otherwise(c("raw"))
+        when(c("path").rlike("\\.(html?|htm)$"), htmlToText(c("content").cast("string")))
+          .when(c("path").rlike("\\.(md|markdown)$"), markdownToText(c("content").cast("string")))
+          .when(c("path").rlike("\\.(docx|epub|pdf)$"), binText(c("path"), c("content")))
+          .otherwise(trim(c("content").cast("string")))
       )
-      .drop("raw")
+      .select(c("path"), c("text"))
   }
 }

@@ -52,6 +52,66 @@ class InspectSpec extends SparkSpec {
     assert(m("max_zoom") == 14)
   }
 
+  test("SafeTensors header: tensor count, params, dtypes, metadata") {
+    val json =
+      """{"__metadata__":{"format":"pt"},
+        |"embed.weight":{"dtype":"F32","shape":[4,8],"data_offsets":[0,128]},
+        |"head.bias":{"dtype":"F16","shape":[8],"data_offsets":[128,144]}}""".stripMargin
+    val jb = json.getBytes("UTF-8")
+    val buf = ByteBuffer.allocate(8 + jb.length + 144).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(jb.length.toLong).put(jb)
+    val m = HeaderParsers.safetensors(buf.array())
+    assert(m("tensor_count") == 2)
+    assert(m("total_params") == 40L) // 4*8 + 8
+    assert(m("dtypes").asInstanceOf[Map[String, Int]] == Map("F32" -> 1, "F16" -> 1))
+    assert(m("metadata").asInstanceOf[Map[String, String]] == Map("format" -> "pt"))
+  }
+
+  test("Torch archive listing: entries, pickle flag, storage bytes") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, payload: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name)); zos.write(payload); zos.closeEntry()
+    }
+    entry("archive/data.pkl", Array.fill(10)(0x1.toByte))
+    entry("archive/data/0", Array.fill(64)(0x2.toByte))
+    entry("archive/data/1", Array.fill(32)(0x3.toByte))
+    entry("archive/version", "3\n".getBytes)
+    zos.close()
+    val m = HeaderParsers.torchZip(bos.toByteArray)
+    assert(m("entry_count") == 4)
+    assert(m("has_pickle") == true)
+    assert(m("storage_bytes") == 96L)
+  }
+
+  test("OSM PBF: header features + data block count via native protobuf walk") {
+    def varint(v: Long): Array[Byte] = {
+      var x = v; val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      do { val b = (x & 0x7f).toInt; x >>>= 7; out += (if (x != 0) (b | 0x80) else b).toByte } while (x != 0)
+      out.toArray
+    }
+    def bytesField(f: Int, b: Array[Byte]): Array[Byte] =
+      varint((f << 3) | 2) ++ varint(b.length.toLong) ++ b
+    def strField(f: Int, s: String): Array[Byte] = bytesField(f, s.getBytes("UTF-8"))
+    // HeaderBlock { 4: required_features, 16: writingprogram }
+    val headerBlock = strField(4, "OsmSchema-V0.6") ++ strField(4, "DenseNodes") ++ strField(16, "graft-test")
+    // Blob { 1: raw }
+    val blob = bytesField(1, headerBlock)
+    // BlobHeader { 1: type, 3: datasize }
+    val bh = strField(1, "OSMHeader") ++ varint((3 << 3) | 0) ++ varint(blob.length.toLong)
+    val dataBlob = strField(1, "")
+    val dataBh = strField(1, "OSMData") ++ varint((3 << 3) | 0) ++ varint(dataBlob.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(bh.length); dos.write(bh); dos.write(blob)
+    dos.writeInt(dataBh.length); dos.write(dataBh); dos.write(dataBlob)
+    val m = HeaderParsers.osmpbf(out.toByteArray)
+    assert(m("header_seen") == true)
+    assert(m("required_features") == Seq("OsmSchema-V0.6", "DenseNodes"))
+    assert(m("writing_program") == "graft-test")
+    assert(m("data_blocks") == 1)
+  }
+
   test("PNG and JPEG dimension parsers") {
     val png = ByteBuffer.allocate(32)
     png.put(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
