@@ -10,13 +10,80 @@ import org.apache.spark.sql.functions._
   * Ingestion is `binaryFile` (path, modificationTime, length, content) —
   * the binary payload stays distributed; nothing is collected to the
   * driver. Header-level metadata (dimensions, sample rate, duration) is
-  * parsed with real pure-JVM parsers ([[graft.inspect.HeaderParsers]]);
-  * full pixel/sample DECODE is deliberately stubbed (no codec libraries
-  * in this environment) behind [[decodeImageStub]] with the real schema,
-  * partitioning and batch shape in place — swap the stub body for an
-  * actual codec (or a Pandas-UDF equivalent) to productionize.
+  * parsed with real pure-JVM parsers ([[graft.inspect.HeaderParsers]]).
+  * Pixel decode is REAL for the two headerless-simple formats (24/32-bit
+  * uncompressed BMP, binary PPM) — codec-free, spec'd end-to-end; PNG/
+  * JPEG pixel decode would need a codec library absent here and falls
+  * back to the clearly-marked deterministic stub, keeping the schema and
+  * batch shape identical.
   */
 object Multimodal {
+
+  /** Decode a 24/32-bit uncompressed BMP into row-major RGB bytes. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val width = bb.getInt(18)
+    val heightRaw = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    if (compression != 0 || (bpp != 24 && bpp != 32) || width <= 0 || heightRaw == 0) return None
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val bytesPerPx = bpp / 8
+    val rowStride = (width * bytesPerPx + 3) & ~3
+    if (dataOff + rowStride.toLong * height > bytes.length) return None
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowOff = dataOff + srcRow * rowStride
+      var x = 0
+      while (x < width) {
+        val p = rowOff + x * bytesPerPx // stored BGR(A)
+        val o = (y * width + x) * 3
+        out(o) = bytes(p + 2); out(o + 1) = bytes(p + 1); out(o + 2) = bytes(p)
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** Decode a binary PPM (P6, maxval <= 255) into row-major RGB bytes. */
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '6') return None
+    // header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c.isWhitespace) pos += 1
+        else if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWsAndComments()
+      var v = 0
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) { v = v * 10 + (bytes(pos) - '0'); pos += 1 }
+      v
+    }
+    val (w, h, maxval) = (int(), int(), int())
+    pos += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    if (pos + w.toLong * h * 3 > bytes.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
+  }
+
+  /** Real pixel decode where a pure-JVM codec exists: (format, width,
+    * height, row-major RGB bytes).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) }
+      .orElse(decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) })
 
   /** Read a directory/glob of binary files as (path, length, content). */
   def readBinary(spark: SparkSession, url: String, globFilter: String = "*"): DataFrame =
@@ -30,6 +97,7 @@ object Multimodal {
     else
       HeaderParsers.pngDims(content).map { case (w, h) => ("png", w, h) }
         .orElse(HeaderParsers.jpegDims(content).map { case (w, h) => ("jpeg", w, h) })
+        .orElse(decodeImage(content).map { case (f, w, h, _) => (f, w, h) })
   }
 
   /** Attach (format, width, height) parsed from image headers. */
@@ -56,33 +124,76 @@ object Multimodal {
       .withColumn("duration_sec", col("audio_meta._3"))
       .drop("audio_meta")
 
-  /** STUB pixel decode: deterministic fake features standing in for a real
-    * codec — content-hash-seeded so results are stable for tests. The
-    * Spark plumbing (schema `array<float>`, per-row UDF over the binary
-    * column, no driver materialisation) is the real production shape.
+  /** Grayscale average-pool of decoded pixels into a fixed-size vector:
+    * the image is divided into `dim` horizontal strips of rows, each
+    * strip's mean luminance (0..1) is one feature. Real math over real
+    * pixels — deterministic and codec-free.
     */
-  private val decodeStub = udf { (content: Array[Byte], dim: Int) =>
+  def poolFeatures(w: Int, h: Int, rgb: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    var y = 0
+    while (y < h) {
+      val strip = math.min(dim - 1, y * dim / h)
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val lum = (0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) + 0.114 * (rgb(o + 2) & 0xff)) / 255.0
+        out(strip) += lum.toFloat
+        counts(strip) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+    out
+  }
+
+  /** Pixel decode → features. BMP/PPM run the REAL decode + pooling;
+    * other formats (PNG/JPEG — no codec lib in this environment) fall
+    * back to the deterministic stub below so the pipeline shape stays
+    * identical either way.
+    */
+  private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
-    else {
-      // ??? real codec goes here; deterministic fake keeps plumbing testable
-      val seed = java.util.Arrays.hashCode(content).toLong
-      val rnd = new scala.util.Random(seed)
-      Array.fill(dim)(rnd.nextFloat())
+    else decodeImage(content) match {
+      case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
+      case None =>
+        // ??? real PNG/JPEG codec goes here; deterministic fake keeps plumbing testable
+        val seed = java.util.Arrays.hashCode(content).toLong
+        val rnd = new scala.util.Random(seed)
+        Array.fill(dim)(rnd.nextFloat())
     }
   }
 
-  /** Decode + "feature-extract" images into fixed-size float vectors
-    * (stubbed decode, see [[decodeStub]]). Output schema matches the
-    * embeddings table (`array<float>`), so downstream similarity ops
-    * compose directly.
+  /** Decoded pixel access for the codec'd formats: adds (img_format,
+    * width, height, pixels_rgb) columns; null for formats without a
+    * native decoder.
+    */
+  def withDecodedPixels(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte]) =>
+      if (content == null) None else decodeImage(content)
+    }
+    df.withColumn("_dec", u(col(contentCol)))
+      .withColumn("img_format", col("_dec._1"))
+      .withColumn("width", col("_dec._2"))
+      .withColumn("height", col("_dec._3"))
+      .withColumn("pixels_rgb", col("_dec._4"))
+      .drop("_dec")
+  }
+
+  /** Decode + feature-extract images into fixed-size float vectors.
+    * Output schema matches the embeddings table (`array<float>`), so
+    * downstream similarity ops compose directly.
     */
   def imageFeatures(df: DataFrame, dim: Int = 64, contentCol: String = "content"): DataFrame =
-    df.withColumn("features", decodeStub(col(contentCol), lit(dim)))
+    df.withColumn("features", decodeUdf(col(contentCol), lit(dim)))
 
   /** Frame-sample stub: emit `n` (frame_index, features) rows per video
     * binary — the explode pattern a real frame sampler would use.
     */
   def sampleFrames(df: DataFrame, n: Int, dim: Int = 64, contentCol: String = "content"): DataFrame =
     df.withColumn("frame_index", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("features", decodeStub(concat(col(contentCol), col("frame_index").cast("string").cast("binary")), lit(dim)))
+      .withColumn("features", decodeUdf(concat(col(contentCol), col("frame_index").cast("string").cast("binary")), lit(dim)))
 }

@@ -1,0 +1,137 @@
+package graft.output
+
+import graft.datatypes.DataRef
+import java.net.URI
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Zarr v2 array writer — the mirror of [[graft.readers.ZarrReader]],
+  * closing the array round-trip the reference covers with XarrayToZarr
+  * (reference intake/readers/output.py:94). Input is the long-form
+  * layout every chunked-array reader here produces: `(dim0[, dim1],
+  * value)` rows; output is a Zarr v2 store (`.zarray` + C-order chunk
+  * objects), little-endian f8/f4/i8/i4, raw or zlib.
+  *
+  * Scale shape: rows are keyed by their chunk coordinate and shuffled
+  * once so each executor task assembles and writes ITS OWN chunk
+  * objects directly to the store — no element ever visits the driver,
+  * and chunk size (not array size) bounds task memory. Absent elements
+  * take the declared fill value.
+  */
+object ZarrWriter {
+
+  private def dtypeSize(dtype: String): Int = dtype match {
+    case "<f8" | "<i8" => 8
+    case "<f4" | "<i4" => 4
+    case other         => throw new UnsupportedOperationException(s"zarr dtype $other")
+  }
+
+  private def encodeChunk(vals: Array[Double], dtype: String, zlib: Boolean): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * dtypeSize(dtype)).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "<f8" => vals.foreach(bb.putDouble)
+      case "<f4" => vals.foreach(v => bb.putFloat(v.toFloat))
+      case "<i8" => vals.foreach(v => bb.putLong(v.toLong))
+      case "<i4" => vals.foreach(v => bb.putInt(v.toInt))
+    }
+    val raw = bb.array()
+    if (!zlib) raw
+    else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+  }
+
+  /** Write a 1-D or 2-D long-form frame as a Zarr v2 array.
+    *
+    * @param df     rows of (dim0[, dim1], value); dim columns are the
+    *               first `rank` columns, value the last
+    * @param shape  full array shape; inferred as max index + 1 if empty
+    */
+  def write(
+      df: DataFrame,
+      url: String,
+      chunks: Seq[Int],
+      shape: Seq[Int] = Nil,
+      dtype: String = "<f8",
+      zlib: Boolean = false,
+      fillValue: Double = 0.0
+  ): DataRef = {
+    require(chunks.nonEmpty && chunks.length <= 2, s"supported ranks: 1, 2; got ${chunks.length}")
+    val rank = chunks.length
+    val cols = df.columns
+    require(cols.length == rank + 1, s"expected $rank dim columns + value, got ${cols.mkString(",")}")
+    dtypeSize(dtype) // validate
+
+    val dimCols = cols.take(rank).map(c => col(c).cast("long"))
+    val norm = df.select(dimCols :+ col(cols.last).cast("double").as("value"): _*)
+
+    val actualShape: Seq[Int] =
+      if (shape.nonEmpty) shape
+      else {
+        val maxes = norm.agg(max(col(cols(0))), max(col(cols.take(rank).last))).head()
+        (0 until rank).map(d => (if (rank == 1) maxes.getLong(0) else maxes.getLong(d)) .toInt + 1)
+      }
+    require(actualShape.length == rank)
+
+    val base = url.stripSuffix("/")
+
+    // key each element by its chunk coordinate; one shuffle groups a
+    // chunk's elements onto one task, which encodes + writes the object
+    val c0 = chunks(0)
+    val chunkKeyed =
+      if (rank == 1)
+        norm.rdd.map { r =>
+          val i = r.getLong(0)
+          ((i / c0, 0L), (i % c0, r.getDouble(1)))
+        }
+      else {
+        val c1 = chunks(1)
+        norm.rdd.map { r =>
+          val (i, j) = (r.getLong(0), r.getLong(1))
+          ((i / c0, j / c1), ((i % c0) * c1 + (j % c1), r.getDouble(2)))
+        }
+      }
+
+    val chunkElems = chunks.product
+    val dt = dtype
+    val z = zlib
+    val fv = fillValue
+    val rk = rank
+    chunkKeyed.groupByKey().foreach { case ((ci, cj), elems) =>
+      val vals = Array.fill(chunkElems)(fv)
+      elems.foreach { case (off, v) => vals(off.toInt) = v }
+      val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+      val name = if (rk == 1) s"$ci" else s"$ci.$cj"
+      val out = fs.create(new Path(s"$base/$name"), true)
+      try out.write(encodeChunk(vals, dt, z)) finally out.close()
+    }
+
+    // .zarray metadata (driver, after data lands)
+    val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+    val compressor = if (zlib) """{"id": "zlib", "level": 6}""" else "null"
+    val meta =
+      s"""{
+         |  "zarr_format": 2,
+         |  "shape": [${actualShape.mkString(", ")}],
+         |  "chunks": [${chunks.mkString(", ")}],
+         |  "dtype": "$dtype",
+         |  "compressor": $compressor,
+         |  "fill_value": $fillValue,
+         |  "order": "C",
+         |  "filters": null
+         |}""".stripMargin
+    val out = fs.create(new Path(s"$base/.zarray"), true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+
+    DataRef("zarr", base, Map("dtype" -> dtype, "shape" -> actualShape.mkString("x")))
+  }
+}

@@ -164,4 +164,55 @@ class InspectSpec extends SparkSpec {
     assert(frames.count() == 3)
     assert(frames.select("frame_index").as[Int].collect().toSet == Set(0, 1, 2))
   }
+
+  /** 24-bit BMP, 2x2: rows bottom-up, BGR, row stride padded to 4. */
+  private def bmp2x2(): Array[Byte] = {
+    val rowStride = 8 // 2 px * 3 B = 6, padded to 8
+    val dataOff = 54
+    val b = ByteBuffer.allocate(dataOff + rowStride * 2).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(dataOff + rowStride * 2)
+    b.putShort(0).putShort(0).putInt(dataOff)
+    b.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0).putInt(rowStride * 2)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row first: (0,0)=red (0,1)=green; top... stored as BGR
+    b.position(dataOff)
+    b.put(Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0))        // file row 0 = image bottom: red, green
+    b.put(Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0)) // image top: blue, white
+    b.array()
+  }
+
+  test("BMP and PPM decode to real RGB pixels and pooled features") {
+    val bmp = bmp2x2()
+    val Some((fmt, w, h, px)) = Multimodal.decodeImage(bmp)
+    assert((fmt, w, h) == ("bmp", 2, 2))
+    // row-major from top: (0,0)=blue, (0,1)=white, (1,0)=red, (1,1)=green
+    assert(px.take(3).toSeq == Seq[Byte](0, 0, 255.toByte))
+    assert(px.slice(3, 6).toSeq == Seq[Byte](255.toByte, 255.toByte, 255.toByte))
+    assert(px.slice(6, 9).toSeq == Seq[Byte](255.toByte, 0, 0))
+    assert(px.slice(9, 12).toSeq == Seq[Byte](0, 255.toByte, 0))
+
+    val ppm = ("P6\n# comment\n2 1\n255\n".getBytes("ISO-8859-1") ++
+      Array[Byte](255.toByte, 255.toByte, 255.toByte, 0, 0, 0))
+    val Some((pfmt, pw, ph, ppx)) = Multimodal.decodeImage(ppm)
+    assert((pfmt, pw, ph) == ("ppm", 2, 1))
+    assert(ppx.toSeq == Seq[Byte](255.toByte, 255.toByte, 255.toByte, 0, 0, 0))
+    // pooled features: single strip = mean luminance of white+black = ~0.5
+    val f = Multimodal.poolFeatures(pw, ph, ppx, 1)
+    assert(math.abs(f(0) - 0.5f) < 0.01f)
+  }
+
+  test("imageFeatures runs the real decode path for BMP files end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmbmp").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "img.bmp").toPath, bmp2x2())
+    val df = Multimodal.readBinary(spark, s"file://$dir", "*.bmp")
+    val meta = Multimodal.withImageMeta(df)
+    assert(meta.select("img_format", "width", "height").as[(String, Int, Int)].head() == ("bmp", 2, 2))
+    val feats = Multimodal.imageFeatures(df, dim = 2).select("features").as[Seq[Float]].head()
+    // top strip: blue+white lum = (0.114 + 1.0)/2 ; bottom: red+green = (0.299+0.587)/2
+    assert(math.abs(feats(0) - 0.557f) < 0.01f)
+    assert(math.abs(feats(1) - 0.443f) < 0.01f)
+    val px = Multimodal.withDecodedPixels(df).select("pixels_rgb").as[Array[Byte]].head()
+    assert(px.length == 12)
+  }
 }

@@ -44,4 +44,28 @@ class ZarrReaderSpec extends SparkSpec {
     assert(m((2L, 3L)) == 23.0)
     assert(!m.contains((3L, 0L)))
   }
+
+  test("zarr write -> read round-trips a 2-D array (zlib, edge chunks)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrw")
+    val src = (for (i <- 0 until 3; j <- 0 until 5) yield (i.toLong, j.toLong, (i * 100 + j).toDouble))
+      .toDF("dim0", "dim1", "value")
+    val ref = graft.output.ZarrWriter.write(src, s"file://$dir/arr", chunks = Seq(2, 2), zlib = true)
+    assert(ref.kind == "zarr")
+    val back = ZarrReader.read(spark, s"file://$dir/arr")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(back.size == 15)
+    assert(back((2L, 4L)) == 204.0)
+    assert(back((0L, 3L)) == 3.0)
+  }
+
+  test("zarr write -> read round-trips 1-D int data with explicit shape") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrw1")
+    val src = Seq((0L, 7.0), (1L, 8.0), (3L, 9.0)).toDF("dim0", "value") // index 2 absent -> fill 0
+    graft.output.ZarrWriter.write(src, s"file://$dir/v", chunks = Seq(3), shape = Seq(4), dtype = "<i4")
+    val back = ZarrReader.read(spark, s"file://$dir/v")
+      .as[(Long, Double)].collect().toMap
+    assert(back == Map(0L -> 7.0, 1L -> 8.0, 2L -> 0.0, 3L -> 9.0))
+  }
 }
