@@ -167,6 +167,57 @@ object SparkReaders {
     }
   }
 
+  /** Declared reader whose backend lives in another runtime (reference
+    * readers with unsatisfied `imports`, readers.py:113 `check_imports`):
+    * listable and catalogable, never importable here, and `read` says
+    * why. The sklearn/torch/tfds example registries emit these — same
+    * split as the connector-gated Delta/Kafka readers above.
+    */
+  class BackendGated(val name: String, kinds: Set[String], backend: String) extends Reader {
+    val implementsKinds = kinds
+    override val importable: Boolean = false
+    def read(spark: SparkSession, ref: DataRef): DataFrame =
+      throw new UnsupportedOperationException(
+        s"$name entries describe datasets served by $backend, which is not on this runtime")
+  }
+  val sklearnExample: Reader = new BackendGated("sklearn_example", Set("sklearn_example"), "python sklearn.datasets")
+  val torchDataset: Reader = new BackendGated("torch_dataset", Set("torch_dataset"), "python torch{vision,audio,text}")
+  val tfdsDataset: Reader = new BackendGated("tfds_dataset", Set("tfds"), "python tensorflow_datasets")
+
+  /** Earthdata granule set (reference catalogs.py:664 EarthdataReader:
+    * `search_data(concept_id) → earthaccess.open → xr.open_mfdataset`):
+    * `ref.url` is a CMR granule search whose `feed.entry[].links` carry
+    * the data file urls (rel `…/data#`); each netCDF granule reads
+    * through the native NetCDF3 reader and the union carries a `granule`
+    * column in place of xarray's concat dimension.
+    */
+  val earthdata: Reader = new Reader {
+    val name = "earthdata_granules"
+    val implementsKinds = Set("earthdata")
+    def read(spark: SparkSession, ref: DataRef): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val uri = new java.net.URI(ref.url)
+      val fs = org.apache.hadoop.fs.FileSystem.get(uri.resolve("/"), conf)
+      val in = fs.open(new org.apache.hadoop.fs.Path(ref.url))
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val urls = Option(node.get("feed")).flatMap(f => Option(f.get("entry"))).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+        .flatMap(e => Option(e.get("links")).toSeq.flatMap(_.elements().asScala.toSeq))
+        .filter(l => Option(l.get("rel")).exists(_.asText().endsWith("/data#")))
+        .flatMap(l => Option(l.get("href")).map(_.asText()))
+      require(urls.nonEmpty, s"no data links in granule listing at ${ref.url}")
+      urls.map { u =>
+        NetCDF3Reader.read(spark, u, ref.options.getOrElse("variable",
+          NetCDF3Reader.variables(u, conf).headOption.getOrElse(
+            throw new IllegalArgumentException(s"no variables in $u"))))
+          .withColumn("granule", org.apache.spark.sql.functions.lit(u))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Value embedded directly in the catalog entry (reference `Literal`
     * datatype, datatypes.py:923): `options("data")` holds JSON-lines
     * rows; no external storage involved.
@@ -183,7 +234,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
