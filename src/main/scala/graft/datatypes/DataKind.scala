@@ -140,6 +140,9 @@ object Registry {
     DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),
     DataKind("zip", Seq("application/zip"), Seq("\\.zip$"), Set("container"),
       Seq(0 -> ascii("PK\u0003\u0004"))),
+    // TFRecord has no magic bytes — suffix-only, like the reference's
+    // filepattern "tfrec$" (datatypes.py:1007)
+    DataKind("tfrecord", Nil, Seq("\\.tfrec(ord)?$"), Set("nested")),
     DataKind("gguf", Nil, Seq("\\.gguf$"), Set("model"), Seq(0 -> ascii("GGUF"))),
     DataKind("safetensors", Nil, Seq("\\.safetensors$"), Set("model")),
     DataKind("onnx", Nil, Seq("\\.onnx$"), Set("model")),

@@ -124,6 +124,7 @@ object SparkReaders {
 
   val arrowIpc: Reader = new ArrowIPCReaderImpl
   val netcdf3: Reader = new NetCDF3ReaderImpl
+  val tfrecord: Reader = new TFRecordReaderImpl
   val excel: Reader = new ExcelReaderImpl
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
@@ -234,7 +235,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
