@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * the binary payload stays distributed; nothing is collected to the
   * driver. Header-level metadata (dimensions, sample rate, duration) is
   * parsed with real pure-JVM parsers ([[graft.inspect.HeaderParsers]]).
-  * Pixel decode is REAL for the two headerless-simple formats (24/32-bit
-  * uncompressed BMP, binary PPM) — codec-free, spec'd end-to-end; PNG/
-  * JPEG pixel decode would need a codec library absent here and falls
-  * back to the clearly-marked deterministic stub, keeping the schema and
-  * batch shape identical.
+  * Pixel decode is REAL for PNG (full zlib+unfilter codec,
+  * [[PngCodec]]), 24/32-bit uncompressed BMP and binary PPM — spec'd
+  * end-to-end; JPEG pixel decode would need a DCT codec absent here and
+  * falls back to the clearly-marked deterministic stub, keeping the
+  * schema and batch shape identical.
   */
 object Multimodal {
 
@@ -82,7 +82,8 @@ object Multimodal {
     * height, row-major RGB bytes).
     */
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
-    decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) }
+    PngCodec.decode(bytes).map { case (w, h, px) => ("png", w, h, px) }
+      .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
       .orElse(decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) })
 
   /** Read a directory/glob of binary files as (path, length, content). */
@@ -150,17 +151,17 @@ object Multimodal {
     out
   }
 
-  /** Pixel decode → features. BMP/PPM run the REAL decode + pooling;
-    * other formats (PNG/JPEG — no codec lib in this environment) fall
-    * back to the deterministic stub below so the pipeline shape stays
-    * identical either way.
+  /** Pixel decode → features. PNG/BMP/PPM run the REAL decode +
+    * pooling; remaining formats (JPEG — no DCT codec in this
+    * environment) fall back to the deterministic stub below so the
+    * pipeline shape stays identical either way.
     */
   private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
     else decodeImage(content) match {
       case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
       case None =>
-        // ??? real PNG/JPEG codec goes here; deterministic fake keeps plumbing testable
+        // ??? real JPEG codec goes here; deterministic fake keeps plumbing testable
         val seed = java.util.Arrays.hashCode(content).toLong
         val rnd = new scala.util.Random(seed)
         Array.fill(dim)(rnd.nextFloat())

@@ -1,0 +1,93 @@
+package graft.output
+
+import graft.datatypes.DataRef
+import graft.ops.PngCodec
+import java.net.URI
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Media sinks (reference intake/readers/output.py:117-432 NumpyToPNG /
+  * NumpyToWAV, there via PIL and scipy): one media file per row, written
+  * executor-side through the Hadoop filesystem — the driver never sees
+  * pixel or sample data, so output scales with the cluster like every
+  * other sink here. Each returns a [[DataRef]] descriptor over the
+  * output directory, re-entering the catalog per the output convention.
+  */
+object MediaWriters {
+
+  /** Encode mono/stereo PCM-16 WAV from samples in [-1, 1] (reference
+    * output.py NumpyToWAV, there via scipy.io.wavfile). Interleaved
+    * input when channels > 1.
+    */
+  def encodeWav(samples: Array[Double], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0, "samples must interleave evenly")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataLen).put("WAVE".getBytes("ISO-8859-1"))
+    bb.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("ISO-8859-1")).putInt(dataLen)
+    samples.foreach { s =>
+      val clamped = math.max(-1.0, math.min(1.0, s))
+      bb.putShort(math.round(clamped * 32767.0).toShort)
+    }
+    bb.array()
+  }
+
+  /** Write one 8-bit RGB PNG per row: (`nameCol`, `widthCol`,
+    * `heightCol`, `pixelsCol` row-major RGB) — the inverse of
+    * [[graft.ops.Multimodal.withDecodedPixels]].
+    */
+  def pngImages(
+      df: DataFrame,
+      url: String,
+      nameCol: String = "name",
+      widthCol: String = "width",
+      heightCol: String = "height",
+      pixelsCol: String = "pixels_rgb"
+  ): DataRef = {
+    val base = url.stripSuffix("/")
+    df.select(col(nameCol).cast("string"), col(widthCol).cast("int"), col(heightCol).cast("int"), col(pixelsCol))
+      .rdd.foreachPartition { it =>
+        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        it.foreach { r =>
+          val png = PngCodec.encode(r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))
+          val out = fs.create(new Path(s"$base/${r.getString(0)}.png"), true)
+          try out.write(png) finally out.close()
+        }
+      }
+    DataRef("png", base)
+  }
+
+  /** Write one PCM-16 WAV per row: (`nameCol`, `samplesCol` of doubles
+    * in [-1, 1], interleaved when channels > 1).
+    */
+  def wavAudio(
+      df: DataFrame,
+      url: String,
+      sampleRate: Int,
+      channels: Int = 1,
+      nameCol: String = "name",
+      samplesCol: String = "samples"
+  ): DataRef = {
+    val base = url.stripSuffix("/")
+    df.select(col(nameCol).cast("string"), col(samplesCol))
+      .rdd.foreachPartition { it =>
+        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        it.foreach { r =>
+          val samples = r.getSeq[Double](1).toArray
+          val wav = encodeWav(samples, sampleRate, channels)
+          val out = fs.create(new Path(s"$base/${r.getString(0)}.wav"), true)
+          try out.write(wav) finally out.close()
+        }
+      }
+    DataRef("wav", base, Map("sample_rate" -> sampleRate.toString, "channels" -> channels.toString))
+  }
+}

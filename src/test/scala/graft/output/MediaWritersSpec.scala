@@ -1,0 +1,61 @@
+package graft.output
+
+import graft.SparkSpec
+import graft.inspect.HeaderParsers
+import graft.ops.{Multimodal, PngCodec}
+import java.nio.file.{Files, Paths}
+
+class MediaWritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pngImages writes one decodable PNG per row") {
+    val dir = Files.createTempDirectory("pngsink")
+    val imgs = Seq(
+      ("a", 2, 2, Array.tabulate(12)(i => (i * 11 % 256).toByte)),
+      ("b", 3, 1, Array.tabulate(9)(i => (255 - i).toByte)))
+    val df = imgs.toDF("name", "width", "height", "pixels_rgb")
+    val ref = MediaWriters.pngImages(df, s"file://$dir")
+    assert(ref.kind == "png")
+
+    // read back through the binaryFile scan + the real decode path
+    val back = Multimodal.withDecodedPixels(Multimodal.readBinary(spark, s"file://$dir", "*.png"))
+      .select("path", "width", "height", "pixels_rgb")
+      .as[(String, Int, Int, Array[Byte])].collect()
+      .map { case (p, w, h, px) => (p.split('/').last, w, h, px.toSeq) }.sortBy(_._1)
+    assert(back.map(r => (r._1, r._2, r._3)).toSeq == Seq(("a.png", 2, 2), ("b.png", 3, 1)))
+    assert(back(0)._4 == imgs(0)._4.toSeq && back(1)._4 == imgs(1)._4.toSeq)
+  }
+
+  test("wavAudio writes PCM-16 WAVs with correct header and samples") {
+    val dir = Files.createTempDirectory("wavsink")
+    val samples = (0 until 800).map(i => math.sin(2 * math.Pi * i / 80.0))
+    val df = Seq(("tone", samples)).toDF("name", "samples")
+    val ref = MediaWriters.wavAudio(df, s"file://$dir", sampleRate = 8000)
+    assert(ref.options("sample_rate") == "8000")
+
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/tone.wav"))
+    val info = HeaderParsers.wavInfo(bytes).get
+    assert(info("sample_rate") == 8000 && info("channels") == 1)
+    assert(math.abs(info("duration_sec").asInstanceOf[Double] - 0.1) < 1e-9)
+    // spot-check sample payload round-trips at 16-bit precision
+    val bb = java.nio.ByteBuffer.wrap(bytes, 44, 1600).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val decoded = (0 until 800).map(_ => bb.getShort / 32767.0)
+    val maxErr = decoded.zip(samples).map { case (d, s) => math.abs(d - s) }.max
+    assert(maxErr < 1.0 / 32000)
+  }
+
+  test("encodeWav validates interleaving and clamps out-of-range samples") {
+    intercept[IllegalArgumentException](MediaWriters.encodeWav(new Array[Double](3), 8000, channels = 2))
+    val wav = MediaWriters.encodeWav(Array(2.0, -2.0), 8000)
+    val bb = java.nio.ByteBuffer.wrap(wav, 44, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort == 32767 && bb.getShort == -32767)
+  }
+
+  test("pngImages round-trips through PngCodec directly") {
+    val dir = Files.createTempDirectory("pngsink2")
+    val rgb = Array.tabulate(27)(i => (i * 7 % 256).toByte)
+    MediaWriters.pngImages(Seq(("x", 3, 3, rgb)).toDF("name", "width", "height", "pixels_rgb"), s"file://$dir")
+    val Some((w, h, px)) = PngCodec.decode(Files.readAllBytes(Paths.get(s"$dir/x.png")))
+    assert((w, h) == (3, 3) && px.toSeq == rgb.toSeq)
+  }
+}
