@@ -1,0 +1,254 @@
+package graft.inspect
+
+import java.net.URI
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** HDF5 structure listing for `inspect` (reference readers.py:1340
+  * XArrayDatasetReader engine dispatch + datatypes.py:426 HDF5 — the
+  * reference delegates to h5netcdf/h5py; here the published HDF5 file
+  * format spec is walked directly, read-only, for group/dataset
+  * discovery rather than data access).
+  *
+  * Covered: superblock v0/v1 (old-style groups: symbol-table message →
+  * v1 B-tree → SNOD entries → local heap names) and v2/v3 (OHDR v2
+  * headers with compact Link messages), dataspace dims (v1/v2 messages)
+  * and datatype class/size, object-header continuations, cycle-guarded.
+  * Dense (fractal-heap) link storage is reported as a group with
+  * `children_omitted` — it only appears past ~8 links with
+  * libver=latest, and structure listing degrades gracefully there.
+  */
+object Hdf5Inspect {
+
+  final case class Node(path: String, kind: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int)
+
+  private val DtypeClasses = Map(
+    0 -> "fixed", 1 -> "float", 2 -> "time", 3 -> "string", 4 -> "bitfield", 5 -> "opaque",
+    6 -> "compound", 7 -> "reference", 8 -> "enum", 9 -> "vlen", 10 -> "array")
+
+  private val Undef = -1L // 0xFFFF... addresses mean "not present"
+
+  private final case class Messages(
+      symbolTable: Option[(Long, Long)], // btree addr, heap addr
+      links: Seq[(String, Long)],        // hard links: name -> object header addr
+      dims: Option[Seq[Long]],
+      dtype: Option[(String, Int)],
+      denseLinks: Boolean)
+
+  def listing(bytes: Array[Byte]): Seq[Node] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 48 &&
+      bytes(0) == 0x89.toByte && bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F' &&
+      bytes(4) == '\r' && bytes(5) == '\n' && bytes(6) == 0x1a && bytes(7) == '\n', "not an HDF5 file")
+    val sbVersion = bytes(8) & 0xff
+    val rootAddr = sbVersion match {
+      case 0 | 1 =>
+        require((bytes(13) & 0xff) == 8 && (bytes(14) & 0xff) == 8, "only 8-byte offsets/lengths supported")
+        // past: versions+sizes(16) + leaf/internal k(4) + flags(4)
+        // [+ indexed k(4) in v1] + base/freespace/eof/driver addrs(32),
+        // the root symbol-table entry's object header address
+        val fixed = if (sbVersion == 1) 28 else 24
+        bb.getLong(fixed + 32 + 8)
+      case 2 | 3 =>
+        require((bytes(9) & 0xff) == 8 && (bytes(10) & 0xff) == 8, "only 8-byte offsets/lengths supported")
+        bb.getLong(36)
+      case v => throw new UnsupportedOperationException(s"hdf5 superblock version $v")
+    }
+
+    val seen = scala.collection.mutable.Set[Long]()
+    val out = Seq.newBuilder[Node]
+
+    def addr(a: Long): Option[Int] =
+      if (a == Undef || a < 0 || a >= bytes.length) None else Some(a.toInt)
+
+    def heapName(heapAddr: Long, nameOff: Long): String = addr(heapAddr) match {
+      case Some(h) if new String(bytes, h, 4, "ISO-8859-1") == "HEAP" =>
+        val dataAddr = bb.getLong(h + 24)
+        addr(dataAddr + nameOff) match {
+          case Some(s) =>
+            var e = s
+            while (e < bytes.length && bytes(e) != 0) e += 1
+            new String(bytes, s, e - s, "UTF-8")
+          case None => s"@$nameOff"
+        }
+      case _ => s"@$nameOff"
+    }
+
+    /** Old-style group: v1 B-tree (node type 0) → SNOD symbol entries. */
+    def btreeEntries(btAddr: Long, heapAddr: Long): Seq[(String, Long)] = addr(btAddr) match {
+      case Some(p) if new String(bytes, p, 4, "ISO-8859-1") == "TREE" =>
+        val level = bytes(p + 5) & 0xff
+        val used = bb.getShort(p + 6) & 0xffff
+        // entries: key0(len 8), child0(8), key1, child1, ... keyN
+        (0 until used).flatMap { i =>
+          val child = bb.getLong(p + 24 + 8 + i * 16)
+          if (level > 0) btreeEntries(child, heapAddr)
+          else addr(child) match {
+            case Some(s) if new String(bytes, s, 4, "ISO-8859-1") == "SNOD" =>
+              val n = bb.getShort(s + 6) & 0xffff
+              (0 until n).map { j =>
+                val e = s + 8 + j * 40
+                (heapName(heapAddr, bb.getLong(e)), bb.getLong(e + 8))
+              }
+            case _ => Nil
+          }
+        }
+      case _ => Nil
+    }
+
+    def parseDataspace(p: Int): Seq[Long] = {
+      val version = bytes(p) & 0xff
+      val rank = bytes(p + 1) & 0xff
+      val dimsAt = if (version == 1) p + 8 else p + 4 // v1: 5 reserved bytes after flags; v2: type byte then dims
+      (0 until rank).map(d => bb.getLong(dimsAt + d * 8))
+    }
+
+    def parseDatatype(p: Int): (String, Int) = {
+      val cls = bytes(p) & 0x0f
+      (DtypeClasses.getOrElse(cls, s"class$cls"), bb.getInt(p + 4))
+    }
+
+    def parseLink(p: Int, size: Int): Option[(String, Long)] = {
+      // Link message v1: flags bits 0-1 size-of-name-length; 0x08 type
+      // present; 0x04 creation order present; 0x10 charset present
+      if ((bytes(p) & 0xff) != 1) return None
+      val flags = bytes(p + 1) & 0xff
+      var q = p + 2
+      val linkType = if ((flags & 0x08) != 0) { val t = bytes(q) & 0xff; q += 1; t } else 0
+      if ((flags & 0x04) != 0) q += 8
+      if ((flags & 0x10) != 0) q += 1
+      val nameLen = (flags & 0x03) match {
+        case 0 => val v = bytes(q) & 0xff; q += 1; v
+        case 1 => val v = bb.getShort(q) & 0xffff; q += 2; v
+        case 2 => val v = bb.getInt(q); q += 4; v
+        case _ => val v = bb.getLong(q).toInt; q += 8; v
+      }
+      val name = new String(bytes, q, nameLen, "UTF-8"); q += nameLen
+      if (linkType == 0 && q + 8 <= p + size + 8) Some(name -> bb.getLong(q)) else None
+    }
+
+    /** Collect the messages of an object header, v1 or v2, following
+      * continuations.
+      */
+    def messages(headerAddr: Long): Option[Messages] = addr(headerAddr).map { p0 =>
+      var symbolTable: Option[(Long, Long)] = None
+      var links = Seq.newBuilder[(String, Long)]
+      var dims: Option[Seq[Long]] = None
+      var dtype: Option[(String, Int)] = None
+      var dense = false
+      val continuations = scala.collection.mutable.Queue[(Long, Long)]()
+
+      def handle(typ: Int, body: Int, size: Int): Unit = typ match {
+        case 0x0001 => dims = Some(parseDataspace(body))
+        case 0x0003 => dtype = Some(parseDatatype(body))
+        case 0x0002 => // Link Info: dense storage when fractal heap addr defined
+          val flags = bytes(body + 1) & 0xff
+          val fh = bb.getLong(body + 2 + (if ((flags & 1) != 0) 8 else 0))
+          if (fh != Undef) dense = true
+        case 0x0006 => parseLink(body, size).foreach(links += _)
+        case 0x0011 => symbolTable = Some((bb.getLong(body), bb.getLong(body + 8)))
+        case 0x0010 => continuations.enqueue((bb.getLong(body), bb.getLong(body + 8)))
+        case _      => ()
+      }
+
+      if ((bytes(p0) & 0xff) == 1) {
+        // v1: prefix(12B) + pad to 8; continuation blocks are raw messages
+        var remaining = bb.getShort(p0 + 2) & 0xffff
+        def walk(from: Int, to: Int): Unit = {
+          var p = from
+          while (remaining > 0 && p + 8 <= to) {
+            val typ = bb.getShort(p) & 0xffff
+            val size = bb.getShort(p + 2) & 0xffff
+            handle(typ, p + 8, size)
+            p += 8 + size
+            remaining -= 1
+          }
+        }
+        val hdrSize = bb.getInt(p0 + 8)
+        walk(p0 + 16, p0 + 16 + hdrSize)
+        while (continuations.nonEmpty) {
+          val (a, len) = continuations.dequeue()
+          addr(a).foreach(s => walk(s, s + len.toInt))
+        }
+      } else if (new String(bytes, p0, 4, "ISO-8859-1") == "OHDR") {
+        // v2: OHDR sig, version, flags, optional fields, chunk0 size
+        val flags = bytes(p0 + 5) & 0xff
+        var p = p0 + 6
+        if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+        if ((flags & 0x10) != 0) p += 4  // max compact/dense attrs
+        val chunk0 = (flags & 0x03) match {
+          case 0 => val v = bytes(p) & 0xff; p += 1; v.toLong
+          case 1 => val v = bb.getShort(p) & 0xffff; p += 2; v.toLong
+          case 2 => val v = bb.getInt(p).toLong; p += 4; v
+          case _ => val v = bb.getLong(p); p += 8; v
+        }
+        val withOrder = (flags & 0x04) != 0
+        // chunk0 size spans the message area only; the 4-byte checksum
+        // follows it (and closes each OCHK continuation block too)
+        def walk(from: Int, to: Int): Unit = {
+          var q = from
+          while (q + 4 <= to) {
+            val typ = bytes(q) & 0xff
+            val size = bb.getShort(q + 1) & 0xffff
+            var body = q + 4
+            if (withOrder) body += 2
+            if (typ == 0 && size == 0) return // into the zero gap
+            handle(typ, body, size)
+            q = body + size
+          }
+        }
+        walk(p, p + chunk0.toInt)
+        while (continuations.nonEmpty) {
+          val (a, len) = continuations.dequeue()
+          addr(a).foreach { s =>
+            if (new String(bytes, s, 4, "ISO-8859-1") == "OCHK") walk(s + 4, s + len.toInt - 4)
+          }
+        }
+      } else throw new UnsupportedOperationException(s"unrecognized object header at $headerAddr")
+
+      Messages(symbolTable, links.result(), dims, dtype, dense)
+    }
+
+    def visit(path: String, headerAddr: Long): Unit = {
+      if (!seen.add(headerAddr)) return
+      messages(headerAddr).foreach { m =>
+        val children: Seq[(String, Long)] =
+          m.symbolTable.map { case (bt, heap) => btreeEntries(bt, heap) }.getOrElse(m.links)
+        if (m.dims.isDefined || m.dtype.isDefined) {
+          out += Node(path, "dataset", m.dims.getOrElse(Nil),
+            m.dtype.map(_._1).getOrElse("unknown"), m.dtype.map(_._2).getOrElse(0))
+        } else {
+          out += Node(path, if (m.denseLinks) "group(children_omitted)" else "group",
+            Nil, "", 0)
+          children.sortBy(_._1).foreach { case (name, a) =>
+            visit(if (path == "/") s"/$name" else s"$path/$name", a)
+          }
+        }
+      }
+    }
+
+    visit("/", rootAddr)
+    out.result()
+  }
+
+  /** Summary map in the HeaderParsers convention. */
+  def summary(bytes: Array[Byte]): Map[String, Any] = {
+    val nodes = listing(bytes)
+    Map(
+      "superblock_version" -> (bytes(8) & 0xff),
+      "n_groups" -> nodes.count(_.kind.startsWith("group")),
+      "n_datasets" -> nodes.count(_.kind == "dataset"),
+      "datasets" -> nodes.filter(_.kind == "dataset").map(n =>
+        s"${n.path}: ${n.dtypeClass}${n.dtypeSize * 8} ${n.dims.mkString("x")}"),
+      "paths" -> nodes.map(_.path))
+  }
+
+  def summary(url: String, conf: Configuration = new Configuration(), maxBytes: Int = 64 << 20): Map[String, Any] = {
+    val fs = FileSystem.get(new URI(url).resolve("/"), conf)
+    val st = fs.getFileStatus(new Path(url))
+    require(st.getLen <= maxBytes, s"hdf5 inspect capped at $maxBytes bytes, file is ${st.getLen}")
+    val in = fs.open(new Path(url))
+    try summary(in.readAllBytes()) finally in.close()
+  }
+}

@@ -10,6 +10,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object HeaderParsers {
 
+  /** HDF5 group/dataset structure summary — see [[Hdf5Inspect]]. */
+  def hdf5(bytes: Array[Byte]): Map[String, Any] = Hdf5Inspect.summary(bytes)
+
   /** Parse the GGUF header + metadata KV section from the first bytes of
     * a .gguf file. Returns version/tensor count and the metadata map
     * (scalar and string values; arrays summarised as "array[n]").

@@ -1,0 +1,187 @@
+package graft.inspect
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixtures are laid out by hand at fixed offsets straight from the
+  * published HDF5 file-format spec — an independent encoding, so parser
+  * bugs can't cancel out.
+  */
+class Hdf5InspectSpec extends AnyFunSuite {
+
+  private val Undef = -1L
+
+  private def sig(bb: ByteBuffer, at: Int): Unit = {
+    bb.position(at)
+    bb.put(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+  }
+
+  /** v0 superblock, old-style groups: root { dset1(2x3 f8), grp1 { ids(4 i4) } }. */
+  private def v0File(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(0xB00).order(ByteOrder.LITTLE_ENDIAN)
+    sig(bb, 0)
+    bb.put(8, 0.toByte)  // superblock v0
+    bb.put(13, 8.toByte); bb.put(14, 8.toByte) // offset/length sizes
+    bb.putShort(16, 4); bb.putShort(18, 16)    // leaf/internal k
+    bb.putLong(24, 0L)       // base
+    bb.putLong(32, Undef)    // free space
+    bb.putLong(40, 0xB00L)   // EOF
+    bb.putLong(48, Undef)    // driver info
+    bb.putLong(56, 0L)       // root: link name offset
+    bb.putLong(64, 0x100L)   // root: object header addr
+
+    // object header v1 helper
+    def objHeaderV1(at: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      bb.put(at, 1.toByte)
+      bb.putShort(at + 2, msgs.size.toShort)
+      bb.putInt(at + 4, 1)
+      val total = msgs.map(m => 8 + ((m._2.length + 7) & ~7)).sum
+      bb.putInt(at + 8, total)
+      var p = at + 16
+      msgs.foreach { case (typ, body) =>
+        val padded = (body.length + 7) & ~7
+        bb.putShort(p, typ.toShort)
+        bb.putShort(p + 2, padded.toShort)
+        bb.position(p + 8); bb.put(body)
+        p += 8 + padded
+      }
+    }
+    def symTabMsg(btree: Long, heap: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(btree); b.putLong(heap); b.array()
+    }
+    def dataspaceV1(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + dims.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(dims.size.toByte); b.put(0.toByte)
+      b.position(8); dims.foreach(b.putLong); b.array()
+    }
+    def datatype(cls: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | cls).toByte) // version 1, class
+      b.position(4); b.putInt(size); b.array()
+    }
+    def btree(at: Int, snod: Long): Unit = {
+      bb.position(at); bb.put("TREE".getBytes("ISO-8859-1"))
+      bb.put(at + 4, 0.toByte); bb.put(at + 5, 0.toByte) // group node, leaf level
+      bb.putShort(at + 6, 1)
+      bb.putLong(at + 8, Undef); bb.putLong(at + 16, Undef)
+      bb.putLong(at + 24, 0L)   // key0
+      bb.putLong(at + 32, snod) // child0
+      bb.putLong(at + 40, 8L)   // key1
+    }
+    def heap(at: Int, names: Seq[String]): Unit = {
+      bb.position(at); bb.put("HEAP".getBytes("ISO-8859-1"))
+      bb.put(at + 4, 0.toByte)
+      bb.putLong(at + 8, 0x80L)       // data segment size
+      bb.putLong(at + 16, 0L)         // free list head
+      bb.putLong(at + 24, (at + 0x40).toLong) // data segment addr
+      var off = at + 0x40
+      names.foreach { n => // 8-byte aligned name slots
+        bb.position(off); bb.put(n.getBytes("UTF-8")); bb.put(0.toByte)
+        off += 8
+      }
+    }
+    def snod(at: Int, entries: Seq[(Long, Long)]): Unit = {
+      bb.position(at); bb.put("SNOD".getBytes("ISO-8859-1"))
+      bb.put(at + 4, 1.toByte)
+      bb.putShort(at + 6, entries.size.toShort)
+      entries.zipWithIndex.foreach { case ((nameOff, hdr), i) =>
+        bb.putLong(at + 8 + i * 40, nameOff)
+        bb.putLong(at + 8 + i * 40 + 8, hdr)
+      }
+    }
+
+    objHeaderV1(0x100, Seq(0x0011 -> symTabMsg(0x200, 0x300)))
+    btree(0x200, 0x400)
+    heap(0x300, Seq("dset1", "grp1"))
+    snod(0x400, Seq((0L, 0x500L), (8L, 0x600L)))
+    objHeaderV1(0x500, Seq(0x0001 -> dataspaceV1(Seq(2L, 3L)), 0x0003 -> datatype(1, 8)))
+    objHeaderV1(0x600, Seq(0x0011 -> symTabMsg(0x700, 0x800)))
+    btree(0x700, 0x900)
+    heap(0x800, Seq("ids"))
+    snod(0x900, Seq((0L, 0xA00L)))
+    objHeaderV1(0xA00, Seq(0x0001 -> dataspaceV1(Seq(4L)), 0x0003 -> datatype(0, 4)))
+    bb.array()
+  }
+
+  /** v2 superblock, OHDR v2 + compact link messages:
+    * root { dset2(7 f4), sub { leaf(2x2 i8) } }.
+    */
+  private def v2File(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(0x500).order(ByteOrder.LITTLE_ENDIAN)
+    sig(bb, 0)
+    bb.put(8, 2.toByte); bb.put(9, 8.toByte); bb.put(10, 8.toByte)
+    bb.putLong(12, 0L); bb.putLong(20, Undef); bb.putLong(28, 0x500L)
+    bb.putLong(36, 0x100L) // root object header
+
+    def linkMsg(name: String, target: Long): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte) // version, flags: 1B name len, hard link
+      b.put(nb.length.toByte); b.put(nb); b.putLong(target)
+      b.array()
+    }
+    def dataspaceV2(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + dims.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(dims.size.toByte); b.put(0.toByte); b.put(1.toByte)
+      dims.foreach(b.putLong); b.array()
+    }
+    def datatype(cls: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | cls).toByte); b.position(4); b.putInt(size); b.array()
+    }
+    def ohdr(at: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      bb.position(at); bb.put("OHDR".getBytes("ISO-8859-1"))
+      bb.put(at + 4, 2.toByte); bb.put(at + 5, 0.toByte) // version, flags: 1B chunk size
+      val chunk0 = msgs.map(m => 4 + m._2.length).sum
+      bb.put(at + 6, chunk0.toByte)
+      var p = at + 7
+      msgs.foreach { case (typ, body) =>
+        bb.put(p, typ.toByte)
+        bb.putShort(p + 1, body.length.toShort)
+        bb.put(p + 3, 0.toByte)
+        bb.position(p + 4); bb.put(body)
+        p += 4 + body.length
+      }
+      bb.putInt(p, 0xdeadbeef) // checksum (not verified by the parser)
+    }
+
+    ohdr(0x100, Seq(6 -> linkMsg("dset2", 0x200L), 6 -> linkMsg("sub", 0x300L)))
+    ohdr(0x200, Seq(1 -> dataspaceV2(Seq(7L)), 3 -> datatype(1, 4)))
+    ohdr(0x300, Seq(6 -> linkMsg("leaf", 0x400L)))
+    ohdr(0x400, Seq(1 -> dataspaceV2(Seq(2L, 2L)), 3 -> datatype(0, 8)))
+    bb.array()
+  }
+
+  test("v0 superblock: symbol-table groups, heap names, dataspace + dtype") {
+    val nodes = Hdf5Inspect.listing(v0File())
+    assert(nodes.map(n => (n.path, n.kind)) == Seq(
+      ("/", "group"), ("/dset1", "dataset"), ("/grp1", "group"), ("/grp1/ids", "dataset")))
+    val d1 = nodes.find(_.path == "/dset1").get
+    assert(d1.dims == Seq(2L, 3L) && d1.dtypeClass == "float" && d1.dtypeSize == 8)
+    val ids = nodes.find(_.path == "/grp1/ids").get
+    assert(ids.dims == Seq(4L) && ids.dtypeClass == "fixed" && ids.dtypeSize == 4)
+  }
+
+  test("v2 superblock: OHDR headers with compact link messages") {
+    val nodes = Hdf5Inspect.listing(v2File())
+    assert(nodes.map(n => (n.path, n.kind)) == Seq(
+      ("/", "group"), ("/dset2", "dataset"), ("/sub", "group"), ("/sub/leaf", "dataset")))
+    val d2 = nodes.find(_.path == "/dset2").get
+    assert(d2.dims == Seq(7L) && d2.dtypeClass == "float" && d2.dtypeSize == 4)
+    assert(nodes.find(_.path == "/sub/leaf").get.dims == Seq(2L, 2L))
+  }
+
+  test("summary map aggregates counts and dataset shapes") {
+    val m = Hdf5Inspect.summary(v0File())
+    assert(m("superblock_version") == 0)
+    assert(m("n_groups") == 2 && m("n_datasets") == 2)
+    assert(m("datasets").asInstanceOf[Seq[String]].contains("/dset1: float64 2x3"))
+  }
+
+  test("rejects non-hdf5 bytes and unknown superblocks") {
+    intercept[IllegalArgumentException](Hdf5Inspect.listing("nope".getBytes ++ new Array[Byte](60)))
+    val bad = v0File(); bad(8) = 9.toByte
+    intercept[UnsupportedOperationException](Hdf5Inspect.listing(bad))
+  }
+}
