@@ -8,8 +8,9 @@ import graft.core.Tokenizable
   * magic/contains) as a closed Scala registry.
   *
   * `magic` entries are (offset, bytes); `filePattern` are regexes matched
-  * against the URL; `contains` are member names whose presence in a
-  * directory listing identifies the kind (e.g. Delta's _delta_log).
+  * against the URL; `contains` are member names any one of which, seen
+  * in a directory listing, identifies the kind (e.g. Delta's
+  * _delta_log, Zarr's version-specific metadata objects).
   */
 final case class DataKind(
     name: String,
@@ -33,7 +34,7 @@ final case class DataKind(
       head.length >= off + sig.length && sig.indices.forall(i => head(off + i) == sig(i))
     }
   def matchesContains(listing: Seq[String]): Boolean =
-    contains.nonEmpty && contains.forall(m => listing.exists(_.endsWith(m)))
+    contains.exists(m => listing.exists(_.endsWith(m)))
 }
 
 /** A concrete dataset reference: kind + url + reader options + metadata.
@@ -134,7 +135,7 @@ object Registry {
     DataKind("netcdf3", Seq("application/x-netcdf"), Seq("\\.nc3?$"), Set("array"),
       Seq(0 -> ascii("CDF"))),
     DataKind("zarr", Nil, Seq("\\.zarr/?$"), Set("array"),
-      contains = Seq(".zmetadata")),
+      contains = Seq(".zmetadata", ".zarray", "zarr.json")),
     DataKind("numpy", Nil, Seq("\\.npy$"), Set("array"),
       Seq(0 -> (bytes(0x93) ++ ascii("NUMPY")))),
     DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),

@@ -9,22 +9,39 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Minimal Zarr v2 array reader: `.zarray` metadata (shape, chunks,
-  * dtype, compressor, order — the public Zarr v2 spec) parsed on the
-  * driver; chunk objects decoded on the executors into the long-form
-  * layout SURVEY §1.2 assigns to chunked arrays: one row per element,
-  * `(dim0, dim1, ..., value)`. Supports 1-D/2-D, little-endian
-  * f8/f4/i8/i4, raw or zlib-compressed C-order chunks — the shape most
-  * analytics-side Zarr data takes; blosc codecs would need a native lib
-  * and stay out of scope.
+/** Zarr array reader, v2 and v3 (public Zarr specs).
   *
-  * Scale shape: chunk keys are enumerated on the driver (cheap — one
-  * listing), each executor task fetches and decodes its own chunks, and
-  * elements never funnel through the driver.
+  * v2: `.zarray` metadata (shape, chunks, dtype, compressor, order)
+  * parsed on the driver; chunk objects decoded on the executors into
+  * the long-form layout SURVEY §1.2 assigns to chunked arrays: one row
+  * per element, `(dim0, dim1, ..., value)`. Little-endian f8/f4/i8/i4,
+  * raw or zlib-compressed C-order chunks — blosc would need a native
+  * lib and stays out of scope.
+  *
+  * v3: `zarr.json` node metadata — regular chunk grid, default chunk
+  * key encoding (`c` prefix, "/" or "." separator), `bytes` codec
+  * (little endian) with optional `gzip`, and the `sharding_indexed`
+  * codec: a shard object packs a grid of inner chunks with an
+  * (offset, nbytes) u64-pair index at its end (index_location "end";
+  * 2^64-1 offsets mark missing inner chunks), so one shard fetch
+  * decodes many chunks — executors read whole shards, never the
+  * driver.
+  *
+  * Scale shape: chunk/shard keys are enumerated on the driver (cheap —
+  * pure arithmetic on the grid), each executor task fetches and decodes
+  * its own objects, and elements never funnel through the driver.
   */
 object ZarrReader {
 
   private case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, zlib: Boolean)
+
+  private case class MetaV3(
+      shape: Seq[Int],
+      chunks: Seq[Int],          // outer chunk (= shard when sharded)
+      dtype: String,             // float64/float32/int64/int32
+      sep: String,               // chunk key separator
+      gzip: Boolean,             // gzip codec on the (inner) chunk bytes
+      innerChunks: Option[Seq[Int]]) // sharding_indexed inner chunk shape
 
   private def readMeta(url: String, conf: Configuration): Meta = {
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
@@ -67,8 +84,145 @@ object ZarrReader {
     }
   }
 
+  // ---- v3 ------------------------------------------------------------
+
+  private def readMetaV3(node: com.fasterxml.jackson.databind.JsonNode): MetaV3 = {
+    import scala.jdk.CollectionConverters._
+    require(Option(node.get("node_type")).forall(_.asText() == "array"), "zarr v3: not an array node")
+    val shape = (0 until node.get("shape").size()).map(node.get("shape").get(_).asInt())
+    val grid = node.get("chunk_grid")
+    require(grid.get("name").asText() == "regular", "zarr v3: only regular chunk grids")
+    val cs = grid.get("configuration").get("chunk_shape")
+    val chunks = (0 until cs.size()).map(cs.get(_).asInt())
+    val sep = Option(node.get("chunk_key_encoding"))
+      .flatMap(e => Option(e.get("configuration")).flatMap(c => Option(c.get("separator"))))
+      .map(_.asText()).getOrElse("/")
+    val codecs = Option(node.get("codecs")).toSeq.flatMap(_.elements().asScala.toSeq)
+
+    def scanCodecs(cs: Seq[com.fasterxml.jackson.databind.JsonNode]): (Boolean, Option[(Seq[Int], Boolean)]) = {
+      var gz = false
+      var shard: Option[(Seq[Int], Boolean)] = None
+      cs.foreach { c =>
+        c.get("name").asText() match {
+          case "bytes" =>
+            val endian = Option(c.get("configuration")).flatMap(cf => Option(cf.get("endian"))).map(_.asText())
+            require(endian.forall(_ == "little"), "zarr v3: only little-endian bytes codec")
+          case "gzip" => gz = true
+          case "sharding_indexed" =>
+            val cfg = c.get("configuration")
+            val ics = cfg.get("chunk_shape")
+            val inner = (0 until ics.size()).map(ics.get(_).asInt())
+            require(Option(cfg.get("index_location")).forall(_.asText() == "end"),
+              "zarr v3: only end-located shard indexes")
+            val innerCodecs = Option(cfg.get("codecs")).toSeq.flatMap(_.elements().asScala.toSeq)
+            val (innerGz, innerShard) = scanCodecs(innerCodecs)
+            require(innerShard.isEmpty, "zarr v3: nested sharding unsupported")
+            shard = Some((inner, innerGz))
+          case "crc32c" => () // trailing checksum codec — bytes pass through with a suffix we ignore
+          case other => throw new UnsupportedOperationException(s"zarr v3 codec $other")
+        }
+      }
+      (gz, shard)
+    }
+    val (gz, shard) = scanCodecs(codecs)
+    MetaV3(shape, chunks, node.get("data_type").asText(), sep,
+      shard.map(_._2).getOrElse(gz), shard.map(_._1))
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def decodeV3(bytes: Array[Byte], dtype: String, gz: Boolean): Array[Double] = {
+    val raw = if (gz) gunzip(bytes) else bytes
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "float64" => Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8))
+      case "float32" => Array.tabulate(raw.length / 4)(i => bb.getFloat(i * 4).toDouble)
+      case "int64"   => Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8).toDouble)
+      case "int32"   => Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toDouble)
+      case other     => throw new UnsupportedOperationException(s"zarr v3 data_type $other")
+    }
+  }
+
+  /** Emit (flatIdxWithinGrid → value) rows for one decoded chunk. */
+  private def chunkRows(
+      vals: Array[Double], origin: Seq[Int], chunkShape: Seq[Int], shape: Seq[Int]): Iterator[Row] =
+    if (shape.length == 1)
+      vals.iterator.zipWithIndex
+        .filter { case (_, i) => origin(0) + i < shape(0) }
+        .map { case (v, i) => Row((origin(0) + i).toLong, v) }
+    else {
+      val cw = chunkShape(1)
+      vals.iterator.zipWithIndex
+        .map { case (v, idx) => (origin(0) + idx / cw, origin(1) + idx % cw, v) }
+        .filter { case (i, j, _) => i < shape(0) && j < shape(1) }
+        .map { case (i, j, v) => Row(i.toLong, j.toLong, v) }
+    }
+
+  private def readV3(spark: SparkSession, base: String, meta: MetaV3): DataFrame = {
+    require(meta.shape.nonEmpty && meta.shape.length <= 2, s"supported ranks: 1, 2; got ${meta.shape.length}")
+    val dims = meta.shape.length
+    val grid: Seq[Seq[Int]] =
+      if (dims == 1) (0 until math.ceil(meta.shape(0).toDouble / meta.chunks(0)).toInt).map(Seq(_))
+      else for {
+        i <- 0 until math.ceil(meta.shape(0).toDouble / meta.chunks(0)).toInt
+        j <- 0 until math.ceil(meta.shape(1).toDouble / meta.chunks(1)).toInt
+      } yield Seq(i, j)
+
+    val m = meta
+    val rowsRdd = spark.sparkContext.parallelize(grid, math.max(1, math.min(grid.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { key =>
+        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val p = new Path(base + "/c" + m.sep + key.mkString(m.sep))
+        if (!fs.exists(p)) Iterator.empty // missing chunk = fill-value-only, skip
+        else {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          val origin = key.zip(m.chunks).map { case (k, c) => k * c }
+          m.innerChunks match {
+            case None => chunkRows(decodeV3(bytes, m.dtype, m.gzip), origin, m.chunks, m.shape)
+            case Some(inner) =>
+              // shard: inner-chunk grid in C order, (offset, nbytes)
+              // u64le pairs indexed from the end of the object
+              val innerGrid: Seq[Seq[Int]] =
+                if (dims == 1) (0 until m.chunks(0) / inner(0)).map(Seq(_))
+                else for {
+                  i <- 0 until m.chunks(0) / inner(0)
+                  j <- 0 until m.chunks(1) / inner(1)
+                } yield Seq(i, j)
+              val idxStart = bytes.length - 4 - innerGrid.size * 16 // crc32c suffix
+              val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+              innerGrid.iterator.zipWithIndex.flatMap { case (ik, n) =>
+                val off = bb.getLong(idxStart + n * 16)
+                val len = bb.getLong(idxStart + n * 16 + 8)
+                if (off == -1L) Iterator.empty // missing inner chunk
+                else {
+                  val chunk = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+                  val innerOrigin = origin.zip(ik.zip(inner)).map { case (o, (k, c)) => o + k * c }
+                  chunkRows(decodeV3(chunk, m.dtype, m.gzip), innerOrigin, inner, m.shape)
+                }
+              }
+          }
+        }
+      }
+    val schema = StructType(
+      (0 until dims).map(d => StructField(s"dim$d", LongType, nullable = false)) :+
+        StructField("value", DoubleType, nullable = false))
+    spark.createDataFrame(rowsRdd, schema)
+  }
+
   def read(spark: SparkSession, url: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val base0 = url.stripSuffix("/")
+    val fsDriver = FileSystem.get(new URI(url).resolve("/"), conf)
+    val v3Path = new Path(base0 + "/zarr.json")
+    if (fsDriver.exists(v3Path)) {
+      val in = fsDriver.open(v3Path)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      return readV3(spark, base0, readMetaV3(node))
+    }
     val meta = readMeta(url, conf)
     require(meta.shape.nonEmpty && meta.shape.length <= 2, s"supported ranks: 1, 2; got ${meta.shape.length}")
     val dims = meta.shape.length

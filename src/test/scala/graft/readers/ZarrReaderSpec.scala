@@ -59,6 +59,104 @@ class ZarrReaderSpec extends SparkSpec {
     assert(back((0L, 3L)) == 3.0)
   }
 
+  // ---- v3 ------------------------------------------------------------
+
+  private def v3Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, sep: String,
+      codecs: String): String =
+    s"""{"zarr_format": 3, "node_type": "array",
+       |  "shape": [${shape.mkString(",")}],
+       |  "data_type": "$dtype",
+       |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(",")}]}},
+       |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "$sep"}},
+       |  "fill_value": 0.0,
+       |  "codecs": [$codecs]}""".stripMargin
+
+  private def le64(vals: Seq[Double], dtype: String): Array[Byte] = {
+    val width = if (dtype.endsWith("64")) 8 else 4
+    val bb = ByteBuffer.allocate(vals.size * width).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "float64" => vals.foreach(bb.putDouble)
+      case "float32" => vals.foreach(v => bb.putFloat(v.toFloat))
+      case "int64"   => vals.foreach(v => bb.putLong(v.toLong))
+      case "int32"   => vals.foreach(v => bb.putInt(v.toInt))
+    }
+    bb.array()
+  }
+
+  test("zarr v3 store with gzip codec and nested chunk keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3")
+    Files.writeString(dir.resolve("zarr.json"),
+      v3Meta(Seq(3, 4), Seq(2, 3), "float64", "/",
+        """{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 1}}"""))
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def block(offI: Int, offJ: Int): Seq[Double] =
+      for (a <- 0 until 2; b <- 0 until 3) yield ((offI + a) * 10 + (offJ + b)).toDouble
+    Files.createDirectories(dir.resolve("c/0")); Files.createDirectories(dir.resolve("c/1"))
+    Files.write(dir.resolve("c/0/0"), gz(le64(block(0, 0), "float64")))
+    Files.write(dir.resolve("c/0/1"), gz(le64(block(0, 3), "float64")))
+    Files.write(dir.resolve("c/1/0"), gz(le64(block(2, 0), "float64")))
+    Files.write(dir.resolve("c/1/1"), gz(le64(block(2, 3), "float64")))
+
+    val m = ZarrReader.read(spark, s"file://$dir")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m.size == 12)
+    assert(m((0L, 0L)) == 0.0 && m((1L, 3L)) == 13.0 && m((2L, 3L)) == 23.0)
+  }
+
+  test("zarr v3 dot-separated keys, int32, missing chunk skipped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3d")
+    Files.writeString(dir.resolve("zarr.json"),
+      v3Meta(Seq(5), Seq(2), "int32", ".", """{"name": "bytes", "configuration": {"endian": "little"}}"""))
+    Files.write(dir.resolve("c.0"), le64(Seq(1.0, 2.0), "int32"))
+    // c.1 missing -> fill-only, skipped
+    Files.write(dir.resolve("c.2"), le64(Seq(5.0), "int32"))
+    val m = ZarrReader.read(spark, s"file://$dir").as[(Long, Double)].collect().toMap
+    assert(m == Map(0L -> 1.0, 1L -> 2.0, 4L -> 5.0))
+  }
+
+  test("zarr v3 sharding_indexed: shards decode inner chunks via the end index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3s")
+    // array 4x4, shard (outer chunk) 4x2, inner chunks 2x2 -> each shard
+    // holds a 2x1 grid of inner chunks
+    Files.writeString(dir.resolve("zarr.json"),
+      v3Meta(Seq(4, 4), Seq(4, 2), "float64", "/",
+        """{"name": "sharding_indexed", "configuration": {
+          |  "chunk_shape": [2, 2],
+          |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+          |  "index_location": "end"}}""".stripMargin))
+    def inner(offI: Int, offJ: Int): Array[Byte] =
+      le64(for (a <- 0 until 2; b <- 0 until 2) yield ((offI + a) * 10 + (offJ + b)).toDouble, "float64")
+    def shard(chunks: Seq[Option[Array[Byte]]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val index = ByteBuffer.allocate(chunks.size * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      chunks.foreach {
+        case Some(c) => index.putLong(out.size.toLong); index.putLong(c.length.toLong); out.write(c)
+        case None    => index.putLong(-1L); index.putLong(-1L)
+      }
+      index.putInt(0) // crc32c placeholder (reader skips it)
+      out.write(index.array()); out.toByteArray
+    }
+    Files.createDirectories(dir.resolve("c/0"))
+    // shard (0,0): rows 0-3, cols 0-1 -> inner chunks at (0,0) and (2,0)
+    Files.write(dir.resolve("c/0/0"), shard(Seq(Some(inner(0, 0)), Some(inner(2, 0)))))
+    // shard (0,1): rows 0-3, cols 2-3 -> inner (0,2) present, (2,2) missing
+    Files.write(dir.resolve("c/0/1"), shard(Seq(Some(inner(0, 2)), None)))
+
+    val m = ZarrReader.read(spark, s"file://$dir")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m.size == 12) // 16 cells minus the missing 2x2 inner chunk
+    assert(m((0L, 0L)) == 0.0 && m((3L, 1L)) == 31.0 && m((1L, 3L)) == 13.0)
+    assert(!m.contains((2L, 2L)) && !m.contains((3L, 3L)))
+  }
+
   test("zarr write -> read round-trips 1-D int data with explicit shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zarrw1")
