@@ -5,16 +5,18 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 
 /** DataSource V2 TableProvider for Arrow IPC directories:
-  * `spark.read.format("graft.sources.ArrowTableProvider").load(dir)`.
+  * `spark.read.format("graft.sources.ArrowTableProvider").load(dir)` and
+  * `df.write.format("graft.sources.ArrowTableProvider").save(dir)`.
   *
   * The full custom-source mechanism from the preference order (SURVEY §4
   * item 5 "DataSource V2 TableProvider — only for exotic sources"): one
@@ -22,13 +24,19 @@ import scala.jdk.CollectionConverters._
   * header, executor-side decode to InternalRow. Column pruning happens
   * via the projected schema Catalyst puts above the scan; a
   * SupportsPushDownRequiredColumns refinement is the natural next step.
+  *
+  * The write path mirrors it: each task streams its partition into one
+  * Arrow IPC file (`part-{pid}-{tid}.arrow`) via the Arrow Java
+  * writer — no data through the driver; mode("overwrite") clears the
+  * directory first (SupportsTruncate).
   */
 class ArrowTableProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ArrowTableProvider.listFiles(options.get("path"))
-    require(files.nonEmpty, s"no arrow files at ${options.get("path")}")
-    ArrowTableProvider.schemaOf(files.head)
+    // empty for a fresh directory: the write path supplies the frame's
+    // schema through LogicalWriteInfo instead
+    if (files.isEmpty) new StructType() else ArrowTableProvider.schemaOf(files.head)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
@@ -41,6 +49,7 @@ object ArrowTableProvider {
   private[sources] def listFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, new Configuration())
+    if (!fs.exists(p)) return Nil
     val status = fs.getFileStatus(p)
     if (status.isDirectory)
       fs.listStatus(p).toSeq
@@ -85,12 +94,15 @@ object ArrowTableProvider {
   }
 }
 
-private class ArrowTable(schema: StructType, path: String) extends Table with SupportsRead {
+private class ArrowTable(schema: StructType, path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"arrow:$path"
   override def schema(): StructType = schema
-  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowScanBuilder(schema, Option(options.get("path")).getOrElse(path))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ArrowWriteBuilder(info.schema(), Option(info.options.get("path")).getOrElse(path))
 }
 
 private class ArrowScanBuilder(schema: StructType, path: String) extends ScanBuilder {
@@ -105,6 +117,135 @@ private class ArrowScan(val readSchema: StructType, path: String) extends Scan w
 }
 
 private case class ArrowFilePartition(file: String) extends InputPartition
+
+private class ArrowWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ArrowBatchWrite(schema, path, doTruncate)
+  }
+}
+
+private class ArrowBatchWrite(schema: StructType, path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before tasks launch: overwrite clears prior files
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new ArrowWriterFactory(schema, path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class ArrowWriterFactory(schema: StructType, path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArrowPartitionWriter(schema, s"$path/part-$partitionId-$taskId.arrow")
+}
+
+private case class ArrowFileCommit(file: String, rows: Long) extends WriterCommitMessage
+
+/** Streams one task's rows into one Arrow IPC file in record batches —
+  * memory bound by the batch size, not the partition.
+  */
+private class ArrowPartitionWriter(schema: StructType, file: String) extends DataWriter[InternalRow] {
+  import org.apache.arrow.memory.RootAllocator
+  import org.apache.arrow.vector._
+  import org.apache.arrow.vector.complex.ListVector
+  import org.apache.arrow.vector.ipc.ArrowFileWriter
+  import org.apache.arrow.vector.types.FloatingPointPrecision
+  import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+
+  private val BatchRows = 4096
+
+  private def arrowField(f: StructField): Field = f.dataType match {
+    case LongType    => Field.nullable(f.name, new ArrowType.Int(64, true))
+    case IntegerType => Field.nullable(f.name, new ArrowType.Int(32, true))
+    case DoubleType  => Field.nullable(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+    case FloatType   => Field.nullable(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+    case StringType  => Field.nullable(f.name, ArrowType.Utf8.INSTANCE)
+    case BooleanType => Field.nullable(f.name, ArrowType.Bool.INSTANCE)
+    case BinaryType  => Field.nullable(f.name, ArrowType.Binary.INSTANCE)
+    case ArrayType(et, _) =>
+      new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(arrowField(StructField("item", et))))
+    case other => throw new UnsupportedOperationException(s"arrow write: $other")
+  }
+
+  private val alloc = new RootAllocator()
+  private val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toList.asJava)
+  private val root = VectorSchemaRoot.create(arrowSchema, alloc)
+  private val fs = FileSystem.get(new Path(file).toUri, new Configuration())
+  private val out = fs.create(new Path(file), true)
+  private val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
+  writer.start()
+  private var inBatch = 0
+  private var total = 0L
+
+  private def setCell(vec: FieldVector, i: Int, row: InternalRow, col: Int, dt: DataType): Unit = {
+    if (row.isNullAt(col)) { vec.asInstanceOf[BaseValueVector] match { case v: BaseFixedWidthVector => v.setNull(i); case v: BaseVariableWidthVector => v.setNull(i); case _ => vec.asInstanceOf[ListVector].setNull(i) }; return }
+    (vec, dt) match {
+      case (v: BigIntVector, LongType)     => v.setSafe(i, row.getLong(col))
+      case (v: IntVector, IntegerType)     => v.setSafe(i, row.getInt(col))
+      case (v: Float8Vector, DoubleType)   => v.setSafe(i, row.getDouble(col))
+      case (v: Float4Vector, FloatType)    => v.setSafe(i, row.getFloat(col))
+      case (v: VarCharVector, StringType)  => v.setSafe(i, row.getUTF8String(col).getBytes)
+      case (v: BitVector, BooleanType)     => v.setSafe(i, if (row.getBoolean(col)) 1 else 0)
+      case (v: VarBinaryVector, BinaryType) => v.setSafe(i, row.getBinary(col))
+      case (v: ListVector, ArrayType(et, _)) =>
+        val arr = row.getArray(col)
+        val w = v.getWriter
+        w.setPosition(i)
+        w.startList()
+        var k = 0
+        while (k < arr.numElements()) {
+          et match {
+            case FloatType   => w.float4().writeFloat4(arr.getFloat(k))
+            case DoubleType  => w.float8().writeFloat8(arr.getDouble(k))
+            case LongType    => w.bigInt().writeBigInt(arr.getLong(k))
+            case IntegerType => w.integer().writeInt(arr.getInt(k))
+            case other       => throw new UnsupportedOperationException(s"arrow write list of $other")
+          }
+          k += 1
+        }
+        w.endList()
+      case (v, t) => throw new UnsupportedOperationException(s"arrow write: ${v.getClass.getSimpleName} for $t")
+    }
+  }
+
+  private def flush(): Unit = if (inBatch > 0) {
+    root.setRowCount(inBatch)
+    writer.writeBatch()
+    root.getFieldVectors.asScala.foreach(_.reset())
+    inBatch = 0
+  }
+
+  override def write(row: InternalRow): Unit = {
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      setCell(root.getVector(c), inBatch, row, c, f.dataType)
+    }
+    inBatch += 1
+    total += 1
+    if (inBatch >= BatchRows) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    writer.end(); writer.close(); out.close()
+    root.close(); alloc.close()
+    ArrowFileCommit(file, total)
+  }
+
+  override def abort(): Unit = {
+    try { writer.close(); out.close() } catch { case _: Throwable => () }
+    root.close(); alloc.close()
+    try fs.delete(new Path(file), false) catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = ()
+}
 
 private class ArrowReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
