@@ -224,15 +224,16 @@ object Dedup {
     * component is the minimum id reachable within `maxIter` hops.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 3, checkConvergence: Boolean = false): DataFrame = {
-    // Materialize the edge list ONCE and truncate its lineage: the edge
+    // Materialize the pair list ONCE and truncate its lineage: the pair
     // plan is referenced by every propagation round, and without
     // truncation each round re-embeds the entire upstream (LSH) DAG in
     // its plan — the round-1 plan audit measured 161 exchanges / 490
     // broadcasts for a single CC round. With per-round localCheckpoint
-    // the plan stays O(1) in rounds instead of O(2^rounds).
-    val edges = pairs.select(col("id1"), col("id2"))
-      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint()
+    // the plan stays O(1) in rounds instead of O(2^rounds). Checkpoint
+    // BEFORE mirroring, not after: a union of two live LSH branches
+    // would evaluate the signature pipeline twice in the one job.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.unionByName(p.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("component", col("id"))
     var iter = 0
