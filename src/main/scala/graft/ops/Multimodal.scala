@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * driver. Header-level metadata (dimensions, sample rate, duration) is
   * parsed with real pure-JVM parsers ([[graft.inspect.HeaderParsers]]).
   * Pixel decode is REAL for PNG (full zlib+unfilter codec,
-  * [[PngCodec]]), 24/32-bit uncompressed BMP and binary PPM — spec'd
-  * end-to-end; JPEG pixel decode would need a DCT codec absent here and
-  * falls back to the clearly-marked deterministic stub, keeping the
-  * schema and batch shape identical.
+  * [[PngCodec]]), 24/32-bit uncompressed BMP, binary PPM, and JPEG
+  * (the JDK's own `javax.imageio` codec — standard library, no added
+  * dependency) — all spec'd end-to-end. Only formats none of those
+  * cover (e.g. TIFF) fall back to the clearly-marked deterministic
+  * stub, keeping the schema and batch shape identical.
   */
 object Multimodal {
 
@@ -78,13 +79,39 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
   }
 
-  /** Real pixel decode where a pure-JVM codec exists: (format, width,
+  /** JPEG decode through the JDK's bundled ImageIO codec, gated on the
+    * SOI magic so other formats never reach it.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 4 || bytes(0) != 0xff.toByte || bytes(1) != 0xd8.toByte) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = ((rgb >> 16) & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Real pixel decode where a JVM codec exists: (format, width,
     * height, row-major RGB bytes).
     */
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     PngCodec.decode(bytes).map { case (w, h, px) => ("png", w, h, px) }
       .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
       .orElse(decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) })
+      .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
 
   /** Read a directory/glob of binary files as (path, length, content). */
   def readBinary(spark: SparkSession, url: String, globFilter: String = "*"): DataFrame =
@@ -151,17 +178,17 @@ object Multimodal {
     out
   }
 
-  /** Pixel decode → features. PNG/BMP/PPM run the REAL decode +
-    * pooling; remaining formats (JPEG — no DCT codec in this
-    * environment) fall back to the deterministic stub below so the
-    * pipeline shape stays identical either way.
+  /** Pixel decode → features. PNG/BMP/PPM/JPEG run the REAL decode +
+    * pooling; formats with no JVM codec (e.g. TIFF) fall back to the
+    * deterministic stub below so the pipeline shape stays identical
+    * either way.
     */
   private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
     else decodeImage(content) match {
       case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
       case None =>
-        // ??? real JPEG codec goes here; deterministic fake keeps plumbing testable
+        // ??? real TIFF/video codec goes here; deterministic fake keeps plumbing testable
         val seed = java.util.Arrays.hashCode(content).toLong
         val rnd = new scala.util.Random(seed)
         Array.fill(dim)(rnd.nextFloat())

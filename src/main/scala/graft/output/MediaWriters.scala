@@ -66,6 +66,50 @@ object MediaWriters {
     DataRef("png", base)
   }
 
+  /** Write one JPEG per row via the JDK's bundled ImageIO codec
+    * (reference output.py:342 PILImageToJPEG). Same row shape as
+    * [[pngImages]]; `quality` in (0, 1].
+    */
+  def jpegImages(
+      df: DataFrame,
+      url: String,
+      quality: Float = 0.9f,
+      nameCol: String = "name",
+      widthCol: String = "width",
+      heightCol: String = "height",
+      pixelsCol: String = "pixels_rgb"
+  ): DataRef = {
+    val base = url.stripSuffix("/")
+    val q = quality
+    df.select(col(nameCol).cast("string"), col(widthCol).cast("int"), col(heightCol).cast("int"), col(pixelsCol))
+      .rdd.foreachPartition { it =>
+        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(q)
+        it.foreach { r =>
+          val (w, h, rgb) = (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            img.setRGB(i % w, i / w,
+              ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff))
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          ios.close()
+          val out = fs.create(new Path(s"$base/${r.getString(0)}.jpg"), true)
+          try out.write(bos.toByteArray) finally out.close()
+        }
+        writer.dispose()
+      }
+    DataRef("jpeg", base, Map("quality" -> quality.toString))
+  }
+
   /** Write one PCM-16 WAV per row: (`nameCol`, `samplesCol` of doubles
     * in [-1, 1], interleaved when channels > 1).
     */

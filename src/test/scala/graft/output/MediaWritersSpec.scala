@@ -51,6 +51,28 @@ class MediaWritersSpec extends SparkSpec {
     assert(bb.getShort == 32767 && bb.getShort == -32767)
   }
 
+  test("jpegImages writes JDK-codec JPEGs that the decode path reads back") {
+    val dir = Files.createTempDirectory("jpgsink")
+    // flat mid-gray compresses near-losslessly, so tolerance stays tight
+    val rgb = Array.fill(8 * 8 * 3)(128.toByte)
+    val ref = MediaWriters.jpegImages(
+      Seq(("g", 8, 8, rgb)).toDF("name", "width", "height", "pixels_rgb"), s"file://$dir")
+    assert(ref.kind == "jpeg")
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/g.jpg"))
+    assert(bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) // SOI magic
+    val Some(("jpeg", w, h, px)) = Multimodal.decodeImage(bytes)
+    assert((w, h) == (8, 8))
+    val maxErr = px.zip(rgb).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 2) // lossy, but flat gray stays within 2/255
+
+    // end-to-end: executor-side decode feeds real pooled features
+    val feats = Multimodal.imageFeatures(
+      Multimodal.readBinary(spark, s"file://$dir", "*.jpg"), dim = 2)
+      .select("features").as[Seq[Float]].head()
+    assert(feats.length == 2)
+    feats.foreach(f => assert(math.abs(f - 128f / 255f) < 0.02f))
+  }
+
   test("pngImages round-trips through PngCodec directly") {
     val dir = Files.createTempDirectory("pngsink2")
     val rgb = Array.tabulate(27)(i => (i * 7 % 256).toByte)
