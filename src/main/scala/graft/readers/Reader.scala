@@ -72,6 +72,10 @@ object SparkReaders {
   val jdbc: Reader = new Reader {
     val name = "spark_jdbc"
     val implementsKinds = Set("sql_query", "sqlite")
+    // sqlite FILES go to the native reader below; this path needs a
+    // real JDBC url (and driver)
+    override def isOk(ref: DataRef): Boolean =
+      implementsKinds.contains(ref.kind) && ref.url.startsWith("jdbc:")
     def read(spark: SparkSession, ref: DataRef): DataFrame =
       spark.read.format("jdbc").options(ref.options).option("url", ref.url).load()
   }
@@ -125,6 +129,7 @@ object SparkReaders {
   val arrowIpc: Reader = new ArrowIPCReaderImpl
   val netcdf3: Reader = new NetCDF3ReaderImpl
   val tfrecord: Reader = new TFRecordReaderImpl
+  val sqlite: Reader = new SqliteReaderImpl
   val excel: Reader = new ExcelReaderImpl
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
@@ -235,7 +240,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
