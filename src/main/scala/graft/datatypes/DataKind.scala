@@ -154,6 +154,34 @@ object Registry {
     DataKind("shapefile", Nil, Seq("\\.shp$"), Set("table", "geo"),
       Seq(0 -> bytes(0x00, 0x00, 0x27, 0x0a))),
     DataKind("pmtiles", Nil, Seq("\\.pmtiles$"), Set("array", "geo"), Seq(0 -> ascii("PMTiles"))),
+    // Scientific / stats-package / media formats (reference
+    // datatypes.py: MatlabArray :503, MatrixMarket :515, GRIB2 :540,
+    // FITS :549, ASDF :558, DICOM :566, Nifti :575, FlatGeoBuf :789,
+    // GeoPackage :797, Matroska :1343, WebP :1351, BMP :1363, GIF
+    // :1372, Stata :1497, SPSS :1509, SAS :1520) — detect + binaryFile
+    // ingestion; BMP/PPM additionally feed the native pixel decoders.
+    DataKind("matlab", Nil, Seq("\\.mat$"), Set("array"), Seq(0 -> ascii("MATLAB"))),
+    DataKind("matrixmarket", Nil, Seq("\\.mtx$"), Set("array"), Seq(0 -> ascii("%%MatrixMarket"))),
+    DataKind("grib2", Nil, Seq("\\.gri?b2?$"), Set("array"), Seq(0 -> ascii("GRIB"))),
+    DataKind("fits", Nil, Seq("\\.fits?$"), Set("array"), Seq(0 -> ascii("SIMPLE"))),
+    DataKind("asdf", Nil, Seq("\\.asdf$"), Set("array"), Seq(0 -> ascii("#ASDF"))),
+    DataKind("dicom", Nil, Seq("\\.(dicom|dcm|ct|mri)$"), Set("array", "image"), Seq(128 -> ascii("DICM"))),
+    DataKind("nifti", Nil, Seq("\\.nii$", "\\.hdr$"), Set("array", "image"),
+      Seq(344 -> (ascii("ni1") ++ bytes(0)), 344 -> (ascii("n+1") ++ bytes(0)))),
+    DataKind("flatgeobuf", Nil, Seq("\\.fgb$"), Set("table", "geo"), Seq(0 -> ascii("fgb"))),
+    DataKind("geopackage", Nil, Seq("\\.gpkg$"), Set("table", "geo"), Seq(0 -> ascii("SQLite format 3"))),
+    DataKind("matroska", Seq("video/webm"), Seq("\\.webm$", "\\.mkv$"), Set("array", "video"),
+      Seq(0 -> bytes(0x1a, 0x45, 0xdf, 0xa3))),
+    DataKind("webp", Seq("image/webp"), Seq("\\.webp$"), Set("array", "image"), Seq(8 -> ascii("WEBP"))),
+    DataKind("bmp", Seq("image/bmp"), Seq("\\.bmp$"), Set("array", "image"), Seq(0 -> ascii("BM"))),
+    DataKind("gif", Seq("image/gif"), Seq("\\.gif$"), Set("array", "image"),
+      Seq(0 -> ascii("GIF87a"), 0 -> ascii("GIF89a"))),
+    DataKind("ppm", Nil, Seq("\\.p[pgn]m$"), Set("array", "image"),
+      Seq(0 -> ascii("P6"), 0 -> ascii("P5"))),
+    DataKind("stata", Nil, Seq("\\.dta$"), Set("table"), Seq(0 -> ascii("<stata_dta>"))),
+    DataKind("spss", Nil, Seq("\\.sav$"), Set("table"), Seq(0 -> ascii("$FL2"), 0 -> ascii("$FL3"))),
+    DataKind("sas", Nil, Seq("\\.sas7bdat$", "\\.xpt$"), Set("table"),
+      Seq(0 -> ascii("SAS "), 0 -> ascii("HEADER RECORD"))),
     DataKind("fasta", Nil, Seq("\\.fasta$", "\\.fa$"), Set("sequence"),
       headOk = (h, _) => headText(h).startsWith(">")),
     DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),

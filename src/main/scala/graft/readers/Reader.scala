@@ -53,7 +53,8 @@ object SparkReaders {
   val orc = new FormatReader("spark_orc", "orc", Set("orc"))
   val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml"))
   val binary = new FormatReader("spark_binary", "binaryFile",
-    Set("png", "jpeg", "tiff", "wav", "mp3", "mp4", "pdf", "numpy", "npz", "gguf", "safetensors", "onnx", "pickle", "messagepack", "hdf5", "netcdf3", "excel", "sqlite", "duckdb_file", "zip", "shapefile", "pmtiles", "html"))
+    Set("png", "jpeg", "tiff", "wav", "mp3", "mp4", "pdf", "numpy", "npz", "gguf", "safetensors", "onnx", "pickle", "messagepack", "hdf5", "netcdf3", "excel", "sqlite", "duckdb_file", "zip", "shapefile", "pmtiles", "html", "tfrecord",
+      "matlab", "matrixmarket", "grib2", "fits", "asdf", "dicom", "nifti", "flatgeobuf", "geopackage", "matroska", "webp", "bmp", "gif", "ppm", "stata", "spss", "sas"))
   val image = new FormatReader("spark_image", "image", Set("png", "jpeg", "tiff"))
   val xml = new FormatReader("spark_xml", "xml", Set("xml"),
     requiredClass = Some("org.apache.spark.sql.execution.datasources.xml.XmlFileFormat"),
@@ -130,6 +131,7 @@ object SparkReaders {
   val netcdf3: Reader = new NetCDF3ReaderImpl
   val tfrecord: Reader = new TFRecordReaderImpl
   val sqlite: Reader = new SqliteReaderImpl
+  val msgpack: Reader = new MessagePackReaderImpl
   val excel: Reader = new ExcelReaderImpl
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
@@ -240,7 +242,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
