@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * driver. Header-level metadata (dimensions, sample rate, duration) is
   * parsed with real pure-JVM parsers ([[graft.inspect.HeaderParsers]]).
   * Pixel decode is REAL for PNG (full zlib+unfilter codec,
-  * [[PngCodec]]), 24/32-bit uncompressed BMP, binary PPM, and JPEG
-  * (the JDK's own `javax.imageio` codec — standard library, no added
-  * dependency) — all spec'd end-to-end. Only formats none of those
-  * cover (e.g. TIFF) fall back to the clearly-marked deterministic
-  * stub, keeping the schema and batch shape identical.
+  * [[PngCodec]]), 24/32-bit uncompressed BMP, binary PPM, and
+  * JPEG/TIFF/GIF (the JDK's own `javax.imageio` codecs — standard
+  * library, no added dependency) — all spec'd end-to-end. Only
+  * non-image bytes (video frame sampling) fall back to the
+  * clearly-marked deterministic stub, keeping the schema and batch
+  * shape identical.
   */
 object Multimodal {
 
@@ -79,30 +80,43 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
   }
 
-  /** JPEG decode through the JDK's bundled ImageIO codec, gated on the
-    * SOI magic so other formats never reach it.
+  /** Formats the JDK's bundled ImageIO codecs decode, identified by
+    * magic so other byte streams never reach ImageIO.
     */
-  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (bytes.length < 4 || bytes(0) != 0xff.toByte || bytes(1) != 0xd8.toByte) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return None
-    val (w, h) = (img.getWidth, img.getHeight)
-    val out = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val o = (y * w + x) * 3
-        out(o) = ((rgb >> 16) & 0xff).toByte
-        out(o + 1) = ((rgb >> 8) & 0xff).toByte
-        out(o + 2) = (rgb & 0xff).toByte
-        x += 1
+  private def imageIoFormat(b: Array[Byte]): Option[String] =
+    if (b.length < 4) None
+    else if (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) Some("jpeg")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) Some("tiff")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else None
+
+  /** JPEG/TIFF/GIF decode through the JDK's bundled ImageIO codecs
+    * (standard library — no added dependency).
+    */
+  def decodeViaImageIo(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    imageIoFormat(bytes).flatMap { fmt =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            out(o) = ((rgb >> 16) & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((fmt, w, h, out))
       }
-      y += 1
     }
-    Some((w, h, out))
-  }
 
   /** Real pixel decode where a JVM codec exists: (format, width,
     * height, row-major RGB bytes).
@@ -111,7 +125,7 @@ object Multimodal {
     PngCodec.decode(bytes).map { case (w, h, px) => ("png", w, h, px) }
       .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
       .orElse(decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) })
-      .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
+      .orElse(decodeViaImageIo(bytes))
 
   /** Read a directory/glob of binary files as (path, length, content). */
   def readBinary(spark: SparkSession, url: String, globFilter: String = "*"): DataFrame =
@@ -179,16 +193,16 @@ object Multimodal {
   }
 
   /** Pixel decode → features. PNG/BMP/PPM/JPEG run the REAL decode +
-    * pooling; formats with no JVM codec (e.g. TIFF) fall back to the
-    * deterministic stub below so the pipeline shape stays identical
-    * either way.
+    * pooling, as do JPEG/TIFF/GIF via ImageIO; non-image bytes (video
+    * frame sampling) fall back to the deterministic stub below so the
+    * pipeline shape stays identical either way.
     */
   private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
     else decodeImage(content) match {
       case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
       case None =>
-        // ??? real TIFF/video codec goes here; deterministic fake keeps plumbing testable
+        // ??? real video frame decode goes here; deterministic fake keeps plumbing testable
         val seed = java.util.Arrays.hashCode(content).toLong
         val rnd = new scala.util.Random(seed)
         Array.fill(dim)(rnd.nextFloat())

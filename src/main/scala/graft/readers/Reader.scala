@@ -132,6 +132,7 @@ object SparkReaders {
   val tfrecord: Reader = new TFRecordReaderImpl
   val sqlite: Reader = new SqliteReaderImpl
   val msgpack: Reader = new MessagePackReaderImpl
+  val matrixMarket: Reader = new MatrixMarketReaderImpl
   val excel: Reader = new ExcelReaderImpl
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
@@ -242,7 +243,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

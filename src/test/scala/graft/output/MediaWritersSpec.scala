@@ -73,6 +73,27 @@ class MediaWritersSpec extends SparkSpec {
     feats.foreach(f => assert(math.abs(f - 128f / 255f) < 0.02f))
   }
 
+  test("TIFF and GIF decode through the JDK ImageIO path") {
+    def encodeWith(fmt: String, w: Int, h: Int, rgbFn: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbFn(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    // TIFF is lossless: exact pixel round-trip
+    val tiff = encodeWith("tiff", 3, 2, (x, y) => (x * 50) << 16 | (y * 90) << 8 | 17)
+    val Some(("tiff", tw, th, tpx)) = Multimodal.decodeImage(tiff)
+    assert((tw, th) == (3, 2))
+    assert(tpx.slice(0, 3).toSeq == Seq[Byte](0, 0, 17))
+    assert(tpx.slice((2 + 1 * 3) * 3, (2 + 1 * 3) * 3 + 3).toSeq == Seq[Byte](100, 90, 17))
+    // GIF palettizes: two flat colors survive exactly
+    val gif = encodeWith("gif", 2, 1, (x, _) => if (x == 0) 0xff0000 else 0x0000ff)
+    val Some(("gif", gw, gh, gpx)) = Multimodal.decodeImage(gif)
+    assert((gw, gh) == (2, 1))
+    assert(gpx.toSeq == Seq[Byte](255.toByte, 0, 0, 0, 0, 255.toByte))
+  }
+
   test("pngImages round-trips through PngCodec directly") {
     val dir = Files.createTempDirectory("pngsink2")
     val rgb = Array.tabulate(27)(i => (i * 7 % 256).toByte)
