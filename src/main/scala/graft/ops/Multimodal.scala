@@ -166,6 +166,92 @@ object Multimodal {
       .withColumn("duration_sec", col("audio_meta._3"))
       .drop("audio_meta")
 
+  /** Decode WAV PCM samples: walks the RIFF chunks to fmt + data and
+    * returns (sample_rate, channels, interleaved samples in [-1, 1]).
+    * PCM 8/16/24/32-bit and IEEE float32 (format 3) supported — the
+    * real audio-decode counterpart of the image codecs above.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes.length < 44 || new String(bytes, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(bytes, 8, 4, "ISO-8859-1") != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt = 0; var channels = 0; var rate = 0; var bits = 0
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "ISO-8859-1")
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          fmt = bb.getShort(pos + 8) & 0xffff
+          channels = bb.getShort(pos + 10) & 0xffff
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+        case "data" => data = Some((pos + 8, len))
+        case _      => ()
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    data.flatMap { case (off, len) =>
+      if (channels <= 0 || rate <= 0) None
+      else (fmt, bits) match {
+        case (1, 8) => Some((rate, channels,
+          Array.tabulate(len)(i => ((bytes(off + i) & 0xff) - 128) / 128.0)))
+        case (1, 16) => Some((rate, channels,
+          Array.tabulate(len / 2)(i => bb.getShort(off + i * 2) / 32768.0)))
+        case (1, 24) => Some((rate, channels,
+          Array.tabulate(len / 3) { i =>
+            val p = off + i * 3
+            val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) << 16)
+            v / 8388608.0
+          }))
+        case (1, 32) => Some((rate, channels,
+          Array.tabulate(len / 4)(i => bb.getInt(off + i * 4) / 2147483648.0)))
+        case (3, 32) => Some((rate, channels,
+          Array.tabulate(len / 4)(i => bb.getFloat(off + i * 4).toDouble)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Per-window RMS energy of decoded samples — a fixed-size feature
+    * vector, the audio counterpart of [[poolFeatures]].
+    */
+  def rmsFeatures(samples: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var w = 0
+    while (w < dim) {
+      val lo = (samples.length.toLong * w / dim).toInt
+      val hi = math.max(lo + 1, (samples.length.toLong * (w + 1) / dim).toInt)
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += samples(i) * samples(i); i += 1 }
+      out(w) = math.sqrt(acc / (hi - lo)).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Decode audio content into (sample_rate, channels, n_samples,
+    * audio_features) columns; nulls where the bytes aren't decodable WAV.
+    */
+  def audioFeatures(df: DataFrame, dim: Int = 32, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte], d: Int) =>
+      if (content == null) None
+      else decodeWavSamples(content).map { case (rate, ch, samples) =>
+        (rate, ch, samples.length.toLong / math.max(1, ch), rmsFeatures(samples, d))
+      }
+    }
+    df.withColumn("_au", u(col(contentCol), lit(dim)))
+      .withColumn("sample_rate", col("_au._1"))
+      .withColumn("channels", col("_au._2"))
+      .withColumn("n_samples", col("_au._3"))
+      .withColumn("audio_features", col("_au._4"))
+      .drop("_au")
+  }
+
   /** Grayscale average-pool of decoded pixels into a fixed-size vector:
     * the image is divided into `dim` horizontal strips of rows, each
     * strip's mean luminance (0..1) is one feature. Real math over real

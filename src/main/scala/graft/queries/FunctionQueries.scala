@@ -284,6 +284,76 @@ object FunctionQueries {
           .agg(count(lit(1)).as("n_sampled"))
       },
       None
+    ),
+    (
+      "q66_bitwise",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            (col("o_orderkey").bitwiseAND(lit(255L))).as("key_and"),
+            (col("o_orderkey").bitwiseOR(lit(4096L))).as("key_or"),
+            (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+            shiftleft(col("o_custkey"), 3).as("cust_shl"),
+            shiftright(col("o_orderkey"), 2).as("key_shr"),
+            bit_count(col("o_orderkey")).as("key_bits")
+          )
+      },
+      Some("""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS key_and,
+               o_orderkey | 4096 AS key_or,
+               xor(o_orderkey, o_custkey) AS key_xor,
+               o_custkey << 3 AS cust_shl,
+               o_orderkey >> 2 AS key_shr,
+               bit_count(o_orderkey) AS key_bits
+        FROM orders
+      """)
+    ),
+    (
+      "q67_agg_by",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+            min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+            count_if(col("o_totalprice") > 100000.0).as("n_big"),
+            bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+            bool_or(col("o_orderstatus") === "F").as("any_finished")
+          )
+      },
+      Some("""
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, o_totalprice) AS priciest_order,
+               arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+               count_if(o_totalprice > 100000.0) AS n_big,
+               bool_and(o_totalprice > 0.0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished
+        FROM orders
+        GROUP BY o_orderpriority
+      """)
+    ),
+    (
+      "q68_unpivot_stack",
+      (s, dir) => {
+        // stack() generator: wide → long over three per-part measures
+        table(s, dir, "part")
+          .selectExpr(
+            "p_partkey",
+            """stack(3,
+                 'size', CAST(p_size AS DOUBLE),
+                 'retail', p_retailprice,
+                 'name_len', CAST(length(p_name) AS DOUBLE)
+               ) AS (measure, value)""")
+      },
+      Some("""
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail' AS measure, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'name_len' AS measure, CAST(length(p_name) AS DOUBLE) AS value FROM part
+      """)
     )
   )
 }

@@ -44,6 +44,45 @@ class MediaWritersSpec extends SparkSpec {
     assert(maxErr < 1.0 / 32000)
   }
 
+  test("WAV sample decode round-trips the sink and feeds RMS features") {
+    val dir = Files.createTempDirectory("wavrt")
+    // 0.25-amplitude sine then silence: first-half RMS ~0.177, second ~0
+    val n = 8000
+    val samples = (0 until n).map(i => if (i < n / 2) 0.25 * math.sin(2 * math.Pi * i / 50.0) else 0.0)
+    MediaWriters.wavAudio(Seq(("t", samples)).toDF("name", "samples"), s"file://$dir", sampleRate = 8000)
+
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/t.wav"))
+    val Some((rate, ch, decoded)) = Multimodal.decodeWavSamples(bytes)
+    assert(rate == 8000 && ch == 1 && decoded.length == n)
+    val maxErr = decoded.zip(samples).map { case (d, s) => math.abs(d - s) }.max
+    assert(maxErr < 1.0 / 16000)
+
+    val feats = Multimodal.audioFeatures(
+      Multimodal.readBinary(spark, s"file://$dir", "*.wav"), dim = 2)
+    val row = feats.select("sample_rate", "channels", "n_samples", "audio_features").head()
+    assert(row.getInt(0) == 8000 && row.getInt(1) == 1 && row.getLong(2) == n)
+    val f = row.getAs[scala.collection.Seq[Float]](3)
+    assert(math.abs(f(0) - 0.25 / math.sqrt(2)) < 0.01 && f(1) < 0.01)
+  }
+
+  test("float32 and 8-bit WAV variants decode") {
+    def wav(fmt: Int, bits: Int, payload: Array[Byte], rate: Int = 4000): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + payload.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + payload.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+        .putInt(rate).putInt(rate * bits / 8).putShort((bits / 8).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    val f32 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(0.5f).putFloat(-0.25f).array()
+    val Some((_, _, a)) = Multimodal.decodeWavSamples(wav(3, 32, f32))
+    assert(a.toSeq == Seq(0.5, -0.25))
+    val Some((_, _, b)) = Multimodal.decodeWavSamples(wav(1, 8, Array[Byte](128.toByte, 0, 255.toByte)))
+    assert(b(0) == 0.0 && b(1) == -1.0 && math.abs(b(2) - 0.9921875) < 1e-9)
+    assert(Multimodal.decodeWavSamples("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
   test("encodeWav validates interleaving and clamps out-of-range samples") {
     intercept[IllegalArgumentException](MediaWriters.encodeWav(new Array[Double](3), 8000, channels = 2))
     val wav = MediaWriters.encodeWav(Array(2.0, -2.0), 8000)
