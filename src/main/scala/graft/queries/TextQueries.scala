@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Chunking, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline surface over `documents` and `embeddings`:
@@ -296,6 +296,49 @@ object TextQueries {
         )
         WHERE n_tokens >= 5 AND mean_tok_len >= 2.0
       """)
+    ),
+    (
+      "q69_chunking",
+      // 64-token windows with 16-token overlap (step 48) — the chunking
+      // op is pure Column expressions; the oracle rebuilds the identical
+      // windows with DuckDB list slicing over the same tokenization.
+      (s, dir) => {
+        Chunking.chunkByTokens(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, ${duckTokens("text")} AS toks FROM documents
+        ), c AS (
+          SELECT doc_id, toks,
+                 greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)) AS n
+          FROM t
+        ), u AS (
+          SELECT doc_id, toks, UNNEST(range(0, n)) AS chunk_index FROM c
+        )
+        SELECT doc_id, chunk_index,
+               array_to_string(toks[chunk_index*48+1 : chunk_index*48+64], ' ') AS chunk_text,
+               len(toks[chunk_index*48+1 : chunk_index*48+64]) AS chunk_tokens
+        FROM u
+      """)
+    ),
+    (
+      "q70_packing",
+      // Per-partition greedy first-fit is partitioning-dependent →
+      // rows-only here; invariants (coverage, budget bound) are spec'd
+      // in ChunkingSpec.
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Chunking.packSequences(counts, "doc_id", "n_tokens", budget = 2048)
+          .agg(
+            count(lit(1)).as("n_packs"),
+            sum("total_tokens").as("packed_tokens"),
+            sum("n_docs").as("packed_docs"),
+            max("total_tokens").as("max_pack"))
+      },
+      None
     )
   )
 }
