@@ -144,6 +144,42 @@ object MatlabReader {
     out.result()
   }
 
+  /** Driver-side tag walk with positioned reads — 8 bytes per element,
+    * never the payloads, so huge .mat files stay off the driver heap.
+    */
+  private def elementOffsets(url: String, conf: Configuration): (Seq[(Long, Int, Boolean)], Boolean) = {
+    val fs = FileSystem.get(new URI(url).resolve("/"), conf)
+    val in = fs.open(new Path(url))
+    try {
+      val fileLen = fs.getFileStatus(new Path(url)).getLen
+      val head = new Array[Byte](128)
+      in.readFully(0, head)
+      val ord = order(head)
+      val bigEndian = ord == ByteOrder.BIG_ENDIAN
+      val tagBuf = new Array[Byte](8)
+      var pos = 128L
+      val out = Seq.newBuilder[(Long, Int, Boolean)]
+      while (pos + 8 <= fileLen) {
+        in.readFully(pos, tagBuf)
+        val bb = ByteBuffer.wrap(tagBuf).order(ord)
+        val word = bb.getInt(0)
+        val (t, dataAt, len, next) =
+          if ((word >>> 16) != 0) ((word & 0xffff), pos + 4, word >>> 16, pos + 8)
+          else {
+            val l = bb.getInt(4)
+            (word, pos + 8, l, pos + 8 + ((l + 7) & ~7))
+          }
+        t match {
+          case 15 => out += ((dataAt, len, true))
+          case 14 => out += ((dataAt, len, false))
+          case _  => ()
+        }
+        pos = next
+      }
+      (out.result(), bigEndian)
+    } finally in.close()
+  }
+
   private def decodeElement(b: Array[Byte], off: Int, len: Int, compressed: Boolean, ord: ByteOrder): (MatVar, Option[Array[Double]], Option[String]) =
     if (!compressed) matrix(b, off, off + len, ord)
     else {
@@ -166,20 +202,27 @@ object MatlabReader {
     StructField("col", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
-  /** Read all numeric matrices, one task per variable. */
+  /** Read all numeric matrices, one task per variable. The driver walks
+    * only the 8-byte element tags; each executor task reads ITS OWN
+    * element's byte range with a positioned read.
+    */
   def read(spark: SparkSession, url: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val headerBytes = readAll(url, conf)
-    val ord = order(headerBytes)
-    val elems = elements(headerBytes, ord)
-    val bigEndian = ord == ByteOrder.BIG_ENDIAN
+    val (elems, bigEndian) = elementOffsets(url, conf)
     val rdd = spark.sparkContext.parallelize(elems, math.max(1, math.min(elems.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (off, len, comp) =>
         val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
         val in = fs.open(new Path(url))
-        val all = try in.readAllBytes() finally in.close()
+        val body = new Array[Byte](len)
+        try in.readFully(off, body) finally in.close()
         val o = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-        val (v, nums, _) = decodeElement(all, off, len, comp, o)
+        val (v, nums, _) =
+          if (comp) {
+            val raw = inflate(body, 0, len)
+            val (t, d, l, _) = tag(raw, 0, o)
+            require(t == 14, s"compressed element holds type $t, expected miMATRIX")
+            matrix(raw, d, d + l, o)
+          } else matrix(body, 0, len, o)
         nums.toSeq.flatMap { vals =>
           vals.iterator.zipWithIndex.map { case (x, k) =>
             Row(v.name, (k % v.rows).toLong, (k / v.rows).toLong, x)

@@ -116,28 +116,39 @@ object ShapefileReader {
   def read(spark: SparkSession, url: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(url.endsWith(".shp"), s"expected a .shp url, got $url")
-    val shp = readAll(url, conf).getOrElse(throw new java.io.FileNotFoundException(url))
-    require(ByteBuffer.wrap(shp, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt == 9994, s"not a shapefile: $url")
+    val fs = FileSystem.get(new URI(url).resolve("/"), conf)
+    val shpLen = fs.getFileStatus(new Path(url)).getLen
+    val shpIn = fs.open(new Path(url))
+    val magic = new Array[Byte](4)
+    try shpIn.readFully(0, magic)
+    catch { case _: Throwable => shpIn.close(); throw new java.io.FileNotFoundException(url) }
+    require(ByteBuffer.wrap(magic).order(ByteOrder.BIG_ENDIAN).getInt == 9994, s"not a shapefile: $url")
 
+    // the .dbf header is small; only its dictionary reaches the driver
     val dbf = readAll(sibling(url, ".dbf"), conf)
     val (fields, _, dbfHeaderSize, dbfRecSize) = dbf.map(dbfFields)
       .getOrElse((Nil, 0, 0, 0))
 
     // record offsets: from .shx when present (each entry: offset + len
-    // in 16-bit words, big-endian), else a sequential driver walk
+    // in 16-bit words, big-endian — the index is 8 bytes per record),
+    // else a sequential positioned-read walk of the record headers
     val offsets: Seq[Int] = readAll(sibling(url, ".shx"), conf) match {
       case Some(shx) =>
         val n = (shx.length - 100) / 8
         val bb = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
+        shpIn.close()
         (0 until n).map(i => bb.getInt(100 + i * 8) * 2)
       case None =>
-        val bb = ByteBuffer.wrap(shp).order(ByteOrder.BIG_ENDIAN)
-        var pos = 100
+        val hdr = new Array[Byte](8)
+        var pos = 100L
         val out = Seq.newBuilder[Int]
-        while (pos + 8 <= shp.length) {
-          out += pos
-          pos += 8 + bb.getInt(pos + 4) * 2
-        }
+        try {
+          while (pos + 8 <= shpLen) {
+            shpIn.readFully(pos, hdr)
+            out += pos.toInt
+            pos += 8 + ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN).getInt(4) * 2
+          }
+        } finally shpIn.close()
         out.result()
     }
 
@@ -149,31 +160,43 @@ object ShapefileReader {
       ) ++ fields.map(f => StructField(f.name, dbfType(f), nullable = true)))
 
     val fieldsB = fields
+    val hasDbf = dbf.isDefined
     val parts = math.max(1, math.min(offsets.size, spark.sparkContext.defaultParallelism))
     val ranges = spark.sparkContext.parallelize(offsets.zipWithIndex, parts)
+    // positioned reads per record on the executors: a task touches only
+    // its own records' bytes, in both the .shp and the .dbf
     val rowsRdd = ranges.mapPartitions { it =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
-      def load(u: String): Option[Array[Byte]] = {
-        val p = new Path(u)
-        if (!fs.exists(p)) None
-        else { val s = fs.open(p); try Some(s.readAllBytes()) finally s.close() }
-      }
-      val shpB = load(url).get
-      val dbfB = load(sibling(url, ".dbf"))
-      it.map { case (off, idx) =>
-        val (gType, gJson) = geometry(shpB, off + 8)
-        val attrs: Seq[Any] = dbfB match {
+      val fsEx = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val shpStream = fsEx.open(new Path(url))
+      val dbfStream = if (hasDbf) Some(fsEx.open(new Path(sibling(url, ".dbf")))) else None
+      val recHdr = new Array[Byte](8)
+      val dbfRec = new Array[Byte](math.max(1, dbfRecSize))
+      val mapped = it.map { case (off, idx) =>
+        shpStream.readFully(off, recHdr)
+        val contentLen = ByteBuffer.wrap(recHdr).order(ByteOrder.BIG_ENDIAN).getInt(4) * 2
+        val content = new Array[Byte](contentLen)
+        shpStream.readFully(off + 8, content)
+        val (gType, gJson) = geometry(content, 0)
+        val attrs: Seq[Any] = dbfStream match {
           case Some(d) =>
-            val recAt = dbfHeaderSize + idx * dbfRecSize + 1 // skip deletion flag
-            var p = recAt
+            d.readFully(dbfHeaderSize.toLong + idx.toLong * dbfRecSize, dbfRec)
+            var p = 1 // skip deletion flag
             fieldsB.map { f =>
-              val v = dbfValue(new String(d, p, f.len, "ISO-8859-1"), f)
+              val v = dbfValue(new String(dbfRec, p, f.len, "ISO-8859-1"), f)
               p += f.len
               v
             }
           case None => Nil
         }
         Row.fromSeq(Seq(idx.toLong, gType, gJson) ++ attrs)
+      }
+      new Iterator[Row] { // close streams when the task's iterator drains
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) { shpStream.close(); dbfStream.foreach(_.close()) }
+          h
+        }
+        def next(): Row = mapped.next()
       }
     }
     spark.createDataFrame(rowsRdd, schema)

@@ -168,9 +168,24 @@ object SpssReader {
   def read(spark: SparkSession, url: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
+    val fileLen = fs.getFileStatus(new Path(url)).getLen
+    // the dictionary sits at the front; parse it from a growing prefix
+    // so only metadata reaches the driver
     val in = fs.open(new Path(url))
-    val bytes = try in.readAllBytes() finally in.close()
-    val d = dict(bytes)
+    val d = try {
+      var prefix = math.min(fileLen, 256L * 1024).toInt
+      var parsed: Option[Dict] = None
+      while (parsed.isEmpty) {
+        val buf = new Array[Byte](prefix)
+        in.readFully(0, buf)
+        try parsed = Some(dict(buf))
+        catch {
+          case _: IndexOutOfBoundsException | _: ArrayIndexOutOfBoundsException if prefix < fileLen =>
+            prefix = math.min(fileLen, prefix.toLong * 4).toInt
+        }
+      }
+      parsed.get
+    } finally in.close()
     val schema = StructType(d.vars.map { v =>
       StructField(v.name, if (v.width == 0) DoubleType else StringType, nullable = true)
     })
