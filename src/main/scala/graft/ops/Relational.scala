@@ -122,6 +122,31 @@ object Relational {
     * session while consecutive gaps stay <= maxGap. Adds `session_id`
     * (0-based per key). One shuffle on the key; cumulative-sum window.
     */
+  /** Bloom-filter join pre-filter — the classic runtime-filter pattern
+    * for big joins: build a Bloom filter over the build side's join
+    * keys (one aggregation, compact bitset to the driver), broadcast
+    * it, and drop probe rows that can't match BEFORE the join shuffle.
+    * False positives only — the join afterwards stays exact; what's
+    * saved is shuffling rows that would die in the join anyway. Spark's
+    * own `spark.sql.optimizer.runtime.bloomFilter` does this inside one
+    * query; this op makes the same pre-filter explicit and reusable
+    * across stages (build once, filter many probes).
+    */
+  def bloomPreFilter(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val spark = probe.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val might = udf { (k: Any) => k != null && bloomBc.value.mightContain(k) }
+    probe.filter(might(col(probeKey)))
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, maxGap: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val gapSec = org.apache.spark.sql.catalyst.util.IntervalUtils

@@ -73,4 +73,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.count { case (u, s) => u == 1L && s == 1L } == 1)
     assert(out.count { case (u, s) => u == 2L && s == 0L } == 1)
   }
+
+  test("bloomPreFilter keeps all matches and drops most non-matches") {
+    import spark.implicits._
+    val build = (0L until 500L).map(i => i * 7).toDF("k") // multiples of 7
+    val probe = (0L until 20000L).toDF("pk")
+    val filtered = Relational.bloomPreFilter(probe, build, "pk", "k", expectedItems = 500, fpp = 0.01)
+    val kept = filtered.as[Long].collect().toSet
+    // no false negatives: every true match survives the pre-filter
+    val truth = (0L until 20000L).filter(i => i % 7 == 0 && i / 7 < 500).toSet
+    assert(truth.subsetOf(kept))
+    // false positives bounded well under the probe size (fpp 1% of ~20k)
+    assert(kept.size < truth.size + 800)
+    // exactness restored by the join itself
+    val joined = filtered.join(build, filtered("pk") === build("k")).count()
+    assert(joined == truth.size)
+  }
 }

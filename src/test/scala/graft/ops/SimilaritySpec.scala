@@ -80,4 +80,24 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSeq
     assert(out == Seq((0L, 1L)))
   }
+
+  test("int8 quantization round-trips within one scale step and preserves ranking") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(100.0f, 50.0f, -25.0f, 12.5f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: scale guard
+    val df = vecs.toDF("id", "vec")
+    val q = Similarity.quantizeEmbedding(df, "vec")
+    val qRows = q.select("id", "q", "q_scale")
+      .as[(Long, Seq[Byte], Float)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(qRows(1L)._1 == Seq[Byte](64, -127, 32, 0)) // 0.5/(1/127)=63.5 → 64
+    assert(qRows(2L)._1 == Seq[Byte](127, 64, -32, 16))
+    assert(qRows(3L)._1 == Seq[Byte](0, 0, 0, 0))
+    val back = Similarity.dequantizeEmbedding(q, "q", "back")
+      .as[(Long, Seq[Float], Float, Seq[Byte], Seq[Float])].collect()
+    back.foreach { case (_, orig, scale, _, rec) =>
+      orig.zip(rec).foreach { case (o, r) => assert(math.abs(o - r) <= scale / 2 + 1e-6) }
+    }
+  }
 }
