@@ -17,6 +17,54 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** True when the sql-kafka connector is on the classpath. This
+    * distribution ships without it (zero-egress build), so the Kafka
+    * path below is code-complete but gated — the same declared/
+    * importable split the Delta reader uses.
+    */
+  def kafkaAvailable: Boolean =
+    scala.util.Try(Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  /** Kafka source with the standard decode: key/value cast to STRING,
+    * topic/partition/offset/timestamp kept (reference datatypes.py:1639
+    * KafkaTopic + readers.py:3192 KafkaReader — there a batch consumer
+    * poll; here the native streaming source).
+    */
+  def kafkaSource(
+      spark: org.apache.spark.sql.SparkSession,
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest"
+  ): DataFrame = {
+    require(kafkaAvailable,
+      "the spark-sql-kafka connector is not on the classpath; add org.apache.spark:spark-sql-kafka-0-10 to use Kafka sources")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
+
+  /** Kafka sink: rows need `key`/`value` (binary or string) columns. */
+  def kafkaSink(
+      df: DataFrame,
+      brokers: String,
+      topic: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(kafkaAvailable,
+      "the spark-sql-kafka connector is not on the classpath; add org.apache.spark:spark-sql-kafka-0-10 to use Kafka sinks")
+    df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+  }
+
   /** Tumbling (or, with `slide`, sliding/hopping) window aggregation.
     * On a stream, prepend [[withWatermark]] so state can be evicted —
     * unbounded window state is the classic 100 TB streaming failure.

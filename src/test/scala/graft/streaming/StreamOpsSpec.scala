@@ -178,4 +178,19 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     assert(spark.table("dedup_out").count() == 2)
   }
+
+  test("kafka source/sink are gated on the connector classpath") {
+    // this distribution ships without the sql-kafka jar: the wiring is
+    // code-complete and the gate must say exactly what is missing
+    assert(!StreamOps.kafkaAvailable)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.kafkaSource(spark, "broker:9092", "events")
+    }
+    assert(ex.getMessage.contains("spark-sql-kafka"))
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamOps.kafkaSink(spark.range(1).selectExpr("id AS key", "id AS value"),
+        "broker:9092", "out", "/tmp/ckpt")
+    }
+    assert(ex2.getMessage.contains("spark-sql-kafka"))
+  }
 }
