@@ -13,6 +13,34 @@ object HeaderParsers {
   /** HDF5 group/dataset structure summary — see [[Hdf5Inspect]]. */
   def hdf5(bytes: Array[Byte]): Map[String, Any] = Hdf5Inspect.summary(bytes)
 
+  /** DICOM identification/geometry tags — see [[DicomParser]]. */
+  def dicom(bytes: Array[Byte]): Map[String, Any] = DicomParser.parse(bytes)
+
+  /** WebP canvas dimensions: lossy VP8 frame header, lossless VP8L
+    * 14-bit packed dims, or the VP8X extended canvas.
+    */
+  def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 25 || new String(bytes, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(bytes, 8, 4, "ISO-8859-1") != "WEBP") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    new String(bytes, 12, 4, "ISO-8859-1") match {
+      case "VP8 " if bytes.length >= 30 => // key frame: 3-byte frame tag, sync 9D 01 2A, u16 dims
+        val p = 20
+        if ((bytes(p + 3) & 0xff) != 0x9d || (bytes(p + 4) & 0xff) != 0x01 || (bytes(p + 5) & 0xff) != 0x2a) None
+        else Some(((bb.getShort(p + 6) & 0x3fff), (bb.getShort(p + 8) & 0x3fff)))
+      case "VP8L" => // signature 0x2f then 14+14 bits (width-1, height-1)
+        if ((bytes(20) & 0xff) != 0x2f) None
+        else {
+          val v = bb.getInt(21)
+          Some(((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
+        }
+      case "VP8X" if bytes.length >= 30 => // flags(4B incl. reserved) then u24 width-1, u24 height-1
+        def u24(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) | ((bytes(p + 2) & 0xff) << 16)
+        Some((u24(24) + 1, u24(27) + 1))
+      case _ => None
+    }
+  }
+
   /** Parse the GGUF header + metadata KV section from the first bytes of
     * a .gguf file. Returns version/tensor count and the metadata map
     * (scalar and string values; arrays summarised as "array[n]").
