@@ -78,6 +78,22 @@ object QuickStart {
     val longDocs = graft.model.Tables.documents(spark, sf).filter(_.n_chars > 300).count()
     println(s"[7] typed view: $longDocs documents over 300 chars")
 
+    // 8. Training-data prep: chunk documents into token windows, then
+    // pack the windows into context-budget bins
+    val docs8 = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val chunks = graft.ops.Chunking.chunkByTokens(docs8, "doc_id", "text", maxTokens = 64, overlap = 8)
+    val packs = graft.ops.Chunking.packSequences(
+      chunks.selectExpr("chunk_index + 1000 * doc_id AS id", "chunk_tokens"),
+      "id", "chunk_tokens", budget = 512)
+    println(s"[8] chunking: ${chunks.count()} windows packed into ${packs.count()} bins of <=512 tokens")
+
+    // 9. Bloom pre-filter: drop probe rows before a join shuffle
+    val bigSide = graft.queries.table(spark, sf, "lineitem").select(col("l_orderkey"))
+    val smallSide = graft.queries.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val preFiltered = Relational.bloomPreFilter(bigSide, smallSide, "l_orderkey", "o_orderkey")
+    println(s"[9] bloom pre-filter kept ${preFiltered.count()} of ${bigSide.count()} probe rows")
+
     spark.stop()
     println("QuickStart OK")
   }
