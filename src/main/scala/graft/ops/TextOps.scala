@@ -115,4 +115,39 @@ object TextOps {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p))
     )
   }
+
+  /** Non-empty lines of a document. */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-empty lines that are duplicates of an earlier
+    * line — the Gopher/MassiveText repetition rule's line form. Pure
+    * Column expressions, per-row.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Adjacent-token bigrams ("a b") of the normalized token stream. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
+  /** Per-document share of the single most frequent bigram — the other
+    * MassiveText repetition signal. This one genuinely needs a group-by
+    * (a per-row HOF would be quadratic in bigram count), so it is a
+    * DataFrame op: explode → count per (id, bigram) → max/sum ratio.
+    * One shuffle on (id, bigram), map-side combined — scales.
+    */
+  def topBigramFraction(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(idCol), explode(bigrams(col(textCol))).as("_bg"))
+    exploded.groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol))
+      .agg((max("_n").cast("double") / sum("_n")).as("top_bigram_frac"))
+  }
 }

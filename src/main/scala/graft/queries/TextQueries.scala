@@ -324,6 +324,52 @@ object TextQueries {
       """)
     ),
     (
+      "q71_repetition",
+      // Gopher-style repetition signals: duplicate-line fraction per doc
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(TextOps.lines(col("text"))).cast("long").as("n_lines"),
+            round(TextOps.duplicateLineFraction(col("text")), 6).as("dup_line_frac"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS ls
+          FROM documents
+        )
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               round(CASE WHEN len(ls) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6) AS dup_line_frac
+        FROM l
+      """)
+    ),
+    (
+      "q72_top_bigram",
+      // most-frequent-bigram share per doc; explode + two-level agg
+      (s, dir) => {
+        TextOps.topBigramFraction(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+          .select(col("doc_id"), round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, ${duckTokens("text")} AS toks FROM documents WHERE doc_id < 200
+        ), b AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+          FROM t
+          WHERE len(toks) >= 2
+        ), c AS (
+          SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg
+        )
+        SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac
+        FROM c GROUP BY doc_id
+      """)
+    ),
+    (
       "q70_packing",
       // Per-partition greedy first-fit is partitioning-dependent →
       // rows-only here; invariants (coverage, budget bound) are spec'd

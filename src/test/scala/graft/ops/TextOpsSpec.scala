@@ -63,4 +63,22 @@ class TextOpsSpec extends SparkSpec {
     assert(good > bad)
     assert(good >= 0.75)
   }
+
+  test("repetition signals: duplicate lines and top bigram share") {
+    val doc = "spam spam\nham eggs\nspam spam\n\n  \nspam spam"
+    val df = Seq((1L, doc), (2L, "all lines differ\nno repeats here"), (3L, "one")).toDF("id", "text")
+    val dup = df.select(col("id"), TextOps.duplicateLineFraction(col("text")))
+      .as[(Long, Double)].collect().toMap
+    // doc 1: 4 non-empty lines, 2 distinct -> 0.5 duplicated
+    assert(math.abs(dup(1L) - 0.5) < 1e-9)
+    assert(dup(2L) == 0.0 && dup(3L) == 0.0)
+
+    val top = TextOps.topBigramFraction(df, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    // doc 1 tokens: spam spam ham eggs spam spam spam spam → bigrams:
+    // (spam,spam) x4 of 7 total
+    assert(math.abs(top(1L) - 4.0 / 7) < 1e-9)
+    // doc 3 has one token -> no bigrams -> absent
+    assert(!top.contains(3L))
+  }
 }
