@@ -134,4 +134,92 @@ object ZarrWriter {
 
     DataRef("zarr", base, Map("dtype" -> dtype, "shape" -> actualShape.mkString("x")))
   }
+
+  /** Zarr v3 variant: `zarr.json` node metadata, `c/`-prefixed nested
+    * chunk keys, bytes codec little-endian with optional gzip — the
+    * mirror of the reader's v3 path. Same executor-side chunk assembly
+    * as [[write]].
+    */
+  def writeV3(
+      df: DataFrame,
+      url: String,
+      chunks: Seq[Int],
+      shape: Seq[Int] = Nil,
+      dtype: String = "float64",
+      gzip: Boolean = false,
+      fillValue: Double = 0.0
+  ): DataRef = {
+    require(chunks.nonEmpty && chunks.length <= 2, s"supported ranks: 1, 2; got ${chunks.length}")
+    val wireDtype = dtype match {
+      case "float64" => "<f8"; case "float32" => "<f4"; case "int64" => "<i8"; case "int32" => "<i4"
+      case other => throw new UnsupportedOperationException(s"zarr v3 data_type $other")
+    }
+    val rank = chunks.length
+    val cols = df.columns
+    require(cols.length == rank + 1, s"expected $rank dim columns + value, got ${cols.mkString(",")}")
+
+    val dimCols = cols.take(rank).map(c => col(c).cast("long"))
+    val norm = df.select(dimCols :+ col(cols.last).cast("double").as("value"): _*)
+    val actualShape: Seq[Int] =
+      if (shape.nonEmpty) shape
+      else {
+        val maxes = norm.agg(max(col(cols(0))), max(col(cols.take(rank).last))).head()
+        (0 until rank).map(d => (if (rank == 1) maxes.getLong(0) else maxes.getLong(d)).toInt + 1)
+      }
+    val base = url.stripSuffix("/")
+
+    val c0 = chunks(0)
+    val chunkKeyed =
+      if (rank == 1)
+        norm.rdd.map { r => val i = r.getLong(0); ((i / c0, 0L), (i % c0, r.getDouble(1))) }
+      else {
+        val c1 = chunks(1)
+        norm.rdd.map { r =>
+          val (i, j) = (r.getLong(0), r.getLong(1))
+          ((i / c0, j / c1), ((i % c0) * c1 + (j % c1), r.getDouble(2)))
+        }
+      }
+
+    val chunkElems = chunks.product
+    val fv = fillValue
+    val rk = rank
+    val gz = gzip
+    val wd = wireDtype
+    chunkKeyed.groupByKey().foreach { case ((ci, cj), elems) =>
+      val vals = Array.fill(chunkElems)(fv)
+      elems.foreach { case (off, v) => vals(off.toInt) = v }
+      val raw = encodeChunk(vals, wd, zlib = false)
+      val bytes =
+        if (!gz) raw
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(raw); g.close(); bos.toByteArray
+        }
+      val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+      val name = if (rk == 1) s"c/$ci" else s"c/$ci/$cj"
+      val out = fs.create(new Path(s"$base/$name"), true)
+      try out.write(bytes) finally out.close()
+    }
+
+    val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+    val codecs =
+      if (gzip) """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
+      else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [${actualShape.mkString(", ")}],
+         |  "data_type": "$dtype",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillValue,
+         |  "codecs": $codecs
+         |}""".stripMargin
+    val out = fs.create(new Path(s"$base/zarr.json"), true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+
+    DataRef("zarr", base, Map("dtype" -> dtype, "shape" -> actualShape.mkString("x"), "zarr_format" -> "3"))
+  }
 }

@@ -157,6 +157,19 @@ class ZarrReaderSpec extends SparkSpec {
     assert(!m.contains((2L, 2L)) && !m.contains((3L, 3L)))
   }
 
+  test("zarr v3 write -> read round-trips with gzip codec") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3w")
+    val src = (for (i <- 0 until 5; j <- 0 until 3) yield (i.toLong, j.toLong, (i * 10 + j).toDouble))
+      .toDF("dim0", "dim1", "value")
+    val ref = graft.output.ZarrWriter.writeV3(src, s"file://$dir/v3", chunks = Seq(2, 2), gzip = true)
+    assert(ref.options("zarr_format") == "3")
+    val back = ZarrReader.read(spark, s"file://$dir/v3")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(back.size == 15)
+    assert(back((4L, 2L)) == 42.0 && back((0L, 1L)) == 1.0)
+  }
+
   test("zarr write -> read round-trips 1-D int data with explicit shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zarrw1")
