@@ -182,6 +182,12 @@ object Registry {
     DataKind("spss", Nil, Seq("\\.sav$"), Set("table"), Seq(0 -> ascii("$FL2"), 0 -> ascii("$FL3"))),
     DataKind("sas", Nil, Seq("\\.sas7bdat$", "\\.xpt$"), Set("table"),
       Seq(0 -> ascii("SAS "), 0 -> ascii("HEADER RECORD"))),
+    // point clouds / molecular structures (reference datatypes.py:1489
+    // E57 pointcloud, :1537 PDBFile; LAS lidar per its public spec)
+    DataKind("e57", Nil, Seq("\\.e57$"), Set("array"), Seq(0 -> ascii("ASTM-E57"))),
+    DataKind("las", Nil, Seq("\\.las$"), Set("array"), Seq(0 -> ascii("LASF"))),
+    DataKind("pdb_structure", Seq("chemical/x-pdb"), Seq("\\.pdb$", "\\.ent$"), Set("table"),
+      headOk = (h, _) => { val t = headText(h); t.startsWith("HEADER") || t.startsWith("ATOM") || t.startsWith("MODEL") }),
     DataKind("fasta", Nil, Seq("\\.fasta$", "\\.fa$"), Set("sequence"),
       headOk = (h, _) => headText(h).startsWith(">")),
     DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),

@@ -147,6 +147,34 @@ object Relational {
     probe.filter(might(col(probeKey)))
   }
 
+  /** Exact-k uniform random sample without replacement — what
+    * `df.sample(fraction)` can't give (Bernoulli rows counts vary) and
+    * `rdd.takeSample` gives only as a local array. Each partition keeps
+    * at most k candidates with standard reservoir sampling, tagged with
+    * their uniform priority; the global top-k by priority is then an
+    * exact uniform k-subset. Driver state is bounded by k, executor
+    * state by k per partition; one pass, no shuffle of non-candidates.
+    */
+  def exactSampleK(df: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val schema = df.schema
+    val spark = df.sparkSession
+    val candidates = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(seed + pid)
+      // per-partition: top-k by uniform priority (min-heap of size k)
+      val heap = new java.util.PriorityQueue[(Double, org.apache.spark.sql.Row)](
+        math.max(1, k), (a: (Double, org.apache.spark.sql.Row), b: (Double, org.apache.spark.sql.Row)) => java.lang.Double.compare(a._1, b._1))
+      it.foreach { row =>
+        val p = rnd.nextDouble()
+        if (heap.size < k) heap.add((p, row))
+        else if (p > heap.peek()._1) { heap.poll(); heap.add((p, row)) }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
+    }
+    val top = candidates.sortBy(-_._1).take(k).map(_._2) // ≤ k per partition reaches the driver
+    spark.createDataFrame(spark.sparkContext.parallelize(top.toSeq, math.max(1, math.min(top.length, 4))), schema)
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, maxGap: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val gapSec = org.apache.spark.sql.catalyst.util.IntervalUtils

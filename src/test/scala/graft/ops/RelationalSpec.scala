@@ -89,4 +89,19 @@ class RelationalSpec extends SparkSpec {
     val joined = filtered.join(build, filtered("pk") === build("k")).count()
     assert(joined == truth.size)
   }
+
+  test("exactSampleK draws exactly k distinct rows, roughly uniformly") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id").repartition(8)
+    val s1 = Relational.exactSampleK(df, 100, seed = 7L).as[Long].collect()
+    assert(s1.length == 100 && s1.distinct.length == 100)
+    // deterministic for a fixed seed and partitioning
+    val s2 = Relational.exactSampleK(df, 100, seed = 7L).as[Long].collect()
+    assert(s1.sorted.toSeq == s2.sorted.toSeq)
+    // crude uniformity: mean of a 500-sample within 15% of population mean
+    val s3 = Relational.exactSampleK(df, 500, seed = 11L).as[Long].collect()
+    assert(math.abs(s3.map(_.toDouble).sum / 500 - 4999.5) < 750)
+    // k larger than the data returns everything
+    assert(Relational.exactSampleK(spark.range(5).toDF("id"), 100).count() == 5)
+  }
 }
