@@ -33,10 +33,21 @@ object Hdf5Inspect {
       symbolTable: Option[(Long, Long)], // btree addr, heap addr
       links: Seq[(String, Long)],        // hard links: name -> object header addr
       dims: Option[Seq[Long]],
-      dtype: Option[(String, Int)],
-      denseLinks: Boolean)
+      dtype: Option[(String, Int, Boolean)], // class, size, little-endian
+      denseLinks: Boolean,
+      contiguous: Option[(Long, Long)])  // data address + byte size
 
-  def listing(bytes: Array[Byte]): Seq[Node] = {
+  /** A dataset whose data this walker can address: contiguous layout. */
+  final case class DatasetInfo(
+      path: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int,
+      littleEndian: Boolean, dataAddr: Long, dataSize: Long)
+
+  def listing(bytes: Array[Byte]): Seq[Node] = walk(bytes)._1
+
+  /** Contiguous-layout datasets with addressable data. */
+  def datasets(bytes: Array[Byte]): Seq[DatasetInfo] = walk(bytes)._2
+
+  private def walk(bytes: Array[Byte]): (Seq[Node], Seq[DatasetInfo]) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 48 &&
       bytes(0) == 0x89.toByte && bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F' &&
@@ -58,6 +69,7 @@ object Hdf5Inspect {
 
     val seen = scala.collection.mutable.Set[Long]()
     val out = Seq.newBuilder[Node]
+    val dsOut = Seq.newBuilder[DatasetInfo]
 
     def addr(a: Long): Option[Int] =
       if (a == Undef || a < 0 || a >= bytes.length) None else Some(a.toInt)
@@ -104,9 +116,10 @@ object Hdf5Inspect {
       (0 until rank).map(d => bb.getLong(dimsAt + d * 8))
     }
 
-    def parseDatatype(p: Int): (String, Int) = {
+    def parseDatatype(p: Int): (String, Int, Boolean) = {
       val cls = bytes(p) & 0x0f
-      (DtypeClasses.getOrElse(cls, s"class$cls"), bb.getInt(p + 4))
+      // bit 0 of the class bit field: byte order (0 = little-endian)
+      (DtypeClasses.getOrElse(cls, s"class$cls"), bb.getInt(p + 4), (bytes(p + 1) & 1) == 0)
     }
 
     def parseLink(p: Int, size: Int): Option[(String, Long)] = {
@@ -135,8 +148,9 @@ object Hdf5Inspect {
       var symbolTable: Option[(Long, Long)] = None
       var links = Seq.newBuilder[(String, Long)]
       var dims: Option[Seq[Long]] = None
-      var dtype: Option[(String, Int)] = None
+      var dtype: Option[(String, Int, Boolean)] = None
       var dense = false
+      var contiguous: Option[(Long, Long)] = None
       val continuations = scala.collection.mutable.Queue[(Long, Long)]()
 
       def handle(typ: Int, body: Int, size: Int): Unit = typ match {
@@ -147,6 +161,9 @@ object Hdf5Inspect {
           val fh = bb.getLong(body + 2 + (if ((flags & 1) != 0) 8 else 0))
           if (fh != Undef) dense = true
         case 0x0006 => parseLink(body, size).foreach(links += _)
+        case 0x0008 => // data layout, version 3, class 1 = contiguous
+          if ((bytes(body) & 0xff) == 3 && (bytes(body + 1) & 0xff) == 1)
+            contiguous = Some((bb.getLong(body + 2), bb.getLong(body + 10)))
         case 0x0011 => symbolTable = Some((bb.getLong(body), bb.getLong(body + 8)))
         case 0x0010 => continuations.enqueue((bb.getLong(body), bb.getLong(body + 8)))
         case _      => ()
@@ -207,7 +224,7 @@ object Hdf5Inspect {
         }
       } else throw new UnsupportedOperationException(s"unrecognized object header at $headerAddr")
 
-      Messages(symbolTable, links.result(), dims, dtype, dense)
+      Messages(symbolTable, links.result(), dims, dtype, dense, contiguous)
     }
 
     def visit(path: String, headerAddr: Long): Unit = {
@@ -218,6 +235,8 @@ object Hdf5Inspect {
         if (m.dims.isDefined || m.dtype.isDefined) {
           out += Node(path, "dataset", m.dims.getOrElse(Nil),
             m.dtype.map(_._1).getOrElse("unknown"), m.dtype.map(_._2).getOrElse(0))
+          for (((cls, sz, le), (addr0, size0)) <- m.dtype.zip(m.contiguous))
+            dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, addr0, size0)
         } else {
           out += Node(path, if (m.denseLinks) "group(children_omitted)" else "group",
             Nil, "", 0)
@@ -229,7 +248,7 @@ object Hdf5Inspect {
     }
 
     visit("/", rootAddr)
-    out.result()
+    (out.result(), dsOut.result())
   }
 
   /** Summary map in the HeaderParsers convention. */

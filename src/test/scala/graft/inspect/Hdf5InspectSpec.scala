@@ -1,13 +1,12 @@
 package graft.inspect
 
 import java.nio.{ByteBuffer, ByteOrder}
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Fixtures are laid out by hand at fixed offsets straight from the
   * published HDF5 file-format spec — an independent encoding, so parser
   * bugs can't cancel out.
   */
-class Hdf5InspectSpec extends AnyFunSuite {
+class Hdf5InspectSpec extends graft.SparkSpec {
 
   private val Undef = -1L
 
@@ -16,9 +15,12 @@ class Hdf5InspectSpec extends AnyFunSuite {
     bb.put(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
   }
 
-  /** v0 superblock, old-style groups: root { dset1(2x3 f8), grp1 { ids(4 i4) } }. */
+  /** v0 superblock, old-style groups: root { dset1(2x3 f8), grp1 { ids(4 i4) } }.
+    * dset1 carries a contiguous layout message pointing at real doubles
+    * (1..6 row-major) at 0xB00; ids at 0xB40 (10,20,30,40 int32).
+    */
   private def v0File(): Array[Byte] = {
-    val bb = ByteBuffer.allocate(0xB00).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(0xC00).order(ByteOrder.LITTLE_ENDIAN)
     sig(bb, 0)
     bb.put(8, 0.toByte)  // superblock v0
     bb.put(13, 8.toByte); bb.put(14, 8.toByte) // offset/length sizes
@@ -95,12 +97,21 @@ class Hdf5InspectSpec extends AnyFunSuite {
     btree(0x200, 0x400)
     heap(0x300, Seq("dset1", "grp1"))
     snod(0x400, Seq((0L, 0x500L), (8L, 0x600L)))
-    objHeaderV1(0x500, Seq(0x0001 -> dataspaceV1(Seq(2L, 3L)), 0x0003 -> datatype(1, 8)))
+    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(1.toByte) // version 3, class contiguous
+      b.putLong(addr); b.putLong(size); b.array()
+    }
+    objHeaderV1(0x500, Seq(0x0001 -> dataspaceV1(Seq(2L, 3L)), 0x0003 -> datatype(1, 8),
+      0x0008 -> layoutContiguous(0xB00L, 48L)))
     objHeaderV1(0x600, Seq(0x0011 -> symTabMsg(0x700, 0x800)))
     btree(0x700, 0x900)
     heap(0x800, Seq("ids"))
     snod(0x900, Seq((0L, 0xA00L)))
-    objHeaderV1(0xA00, Seq(0x0001 -> dataspaceV1(Seq(4L)), 0x0003 -> datatype(0, 4)))
+    objHeaderV1(0xA00, Seq(0x0001 -> dataspaceV1(Seq(4L)), 0x0003 -> datatype(0, 4),
+      0x0008 -> layoutContiguous(0xB40L, 16L)))
+    bb.position(0xB00); Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).foreach(bb.putDouble)
+    bb.position(0xB40); Seq(10, 20, 30, 40).foreach(bb.putInt)
     bb.array()
   }
 
@@ -177,6 +188,23 @@ class Hdf5InspectSpec extends AnyFunSuite {
     assert(m("superblock_version") == 0)
     assert(m("n_groups") == 2 && m("n_datasets") == 2)
     assert(m("datasets").asInstanceOf[Seq[String]].contains("/dset1: float64 2x3"))
+  }
+
+  test("contiguous datasets surface with data addresses and read through Spark") {
+    val ds = Hdf5Inspect.datasets(v0File())
+    assert(ds.map(_.path) == Seq("/dset1", "/grp1/ids"))
+    val d1 = ds.find(_.path == "/dset1").get
+    assert(d1.dataAddr == 0xB00L && d1.dataSize == 48L && d1.littleEndian)
+
+    val dir = java.nio.file.Files.createTempDirectory("h5read")
+    java.nio.file.Files.write(dir.resolve("f.h5"), v0File())
+    import spark.implicits._
+    val m = graft.readers.Hdf5Reader.read(spark, s"file://$dir/f.h5", Some("/dset1"))
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m.size == 6 && m((0L, 0L)) == 1.0 && m((1L, 2L)) == 6.0)
+    val ids = graft.readers.Hdf5Reader.read(spark, s"file://$dir/f.h5", Some("/grp1/ids"))
+      .as[(Long, Double)].collect().toMap
+    assert(ids == Map(0L -> 10.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0))
   }
 
   test("rejects non-hdf5 bytes and unknown superblocks") {
