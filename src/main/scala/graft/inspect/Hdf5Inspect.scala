@@ -35,12 +35,47 @@ object Hdf5Inspect {
       dims: Option[Seq[Long]],
       dtype: Option[(String, Int, Boolean)], // class, size, little-endian
       denseLinks: Boolean,
-      contiguous: Option[(Long, Long)])  // data address + byte size
+      contiguous: Option[(Long, Long)],  // data address + byte size
+      chunked: Option[(Long, Seq[Int])], // chunk b-tree address + chunk dims (element counts)
+      gzipped: Boolean)                  // deflate filter in the pipeline
 
-  /** A dataset whose data this walker can address: contiguous layout. */
+  /** A dataset whose data this walker can address: contiguous layout,
+    * or chunked (v1 b-tree index) with optional deflate filter.
+    */
   final case class DatasetInfo(
       path: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int,
-      littleEndian: Boolean, dataAddr: Long, dataSize: Long)
+      littleEndian: Boolean, dataAddr: Long, dataSize: Long,
+      chunkBtree: Long = -1L, chunkDims: Seq[Int] = Nil, gzipped: Boolean = false) {
+    def isChunked: Boolean = chunkBtree != -1L
+  }
+
+  /** Chunk entries of a chunked dataset: (element-offset coords, data
+    * address, stored byte size) from the v1 b-tree (node type 1).
+    */
+  def chunkIndex(bytes: Array[Byte], btreeAddr: Long, rank: Int): Seq[(Seq[Long], Long, Int)] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def walkNode(a: Long): Seq[(Seq[Long], Long, Int)] = {
+      if (a < 0 || a + 24 >= bytes.length) return Nil
+      val p = a.toInt
+      if (new String(bytes, p, 4, "ISO-8859-1") != "TREE") return Nil
+      val level = bytes(p + 5) & 0xff
+      val used = bb.getShort(p + 6) & 0xffff
+      // key: chunk byte size u32, filter mask u32, (rank+1) u64 offsets
+      val keyLen = 8 + (rank + 1) * 8
+      (0 until used).flatMap { i =>
+        val keyAt = p + 24 + i * (keyLen + 8)
+        val childAt = keyAt + keyLen
+        val child = bb.getLong(childAt)
+        if (level > 0) walkNode(child)
+        else {
+          val storedSize = bb.getInt(keyAt)
+          val coords = (0 until rank).map(d => bb.getLong(keyAt + 8 + d * 8))
+          Seq((coords, child, storedSize))
+        }
+      }
+    }
+    walkNode(btreeAddr)
+  }
 
   def listing(bytes: Array[Byte]): Seq[Node] = walk(bytes)._1
 
@@ -151,6 +186,8 @@ object Hdf5Inspect {
       var dtype: Option[(String, Int, Boolean)] = None
       var dense = false
       var contiguous: Option[(Long, Long)] = None
+      var chunked: Option[(Long, Seq[Int])] = None
+      var gzipped = false
       val continuations = scala.collection.mutable.Queue[(Long, Long)]()
 
       def handle(typ: Int, body: Int, size: Int): Unit = typ match {
@@ -161,9 +198,26 @@ object Hdf5Inspect {
           val fh = bb.getLong(body + 2 + (if ((flags & 1) != 0) 8 else 0))
           if (fh != Undef) dense = true
         case 0x0006 => parseLink(body, size).foreach(links += _)
-        case 0x0008 => // data layout, version 3, class 1 = contiguous
+        case 0x0008 => // data layout, version 3: class 1 contiguous, class 2 chunked
           if ((bytes(body) & 0xff) == 3 && (bytes(body + 1) & 0xff) == 1)
             contiguous = Some((bb.getLong(body + 2), bb.getLong(body + 10)))
+          else if ((bytes(body) & 0xff) == 3 && (bytes(body + 1) & 0xff) == 2) {
+            val dimensionality = bytes(body + 2) & 0xff // rank + 1 (element dim)
+            val bt = bb.getLong(body + 3)
+            val cdims = (0 until dimensionality - 1).map(d => bb.getInt(body + 11 + d * 4))
+            chunked = Some((bt, cdims))
+          }
+        case 0x000B => // filter pipeline v1: deflate is filter id 1
+          val n = bytes(body + 1) & 0xff
+          var q = body + 8
+          (0 until n).foreach { _ =>
+            val id = bb.getShort(q) & 0xffff
+            val nameLen = bb.getShort(q + 2) & 0xffff
+            val nValues = bb.getShort(q + 6) & 0xffff
+            if (id == 1) gzipped = true
+            q += 8 + nameLen + nValues * 4
+            if (nValues % 2 == 1) q += 4 // pad to 8
+          }
         case 0x0011 => symbolTable = Some((bb.getLong(body), bb.getLong(body + 8)))
         case 0x0010 => continuations.enqueue((bb.getLong(body), bb.getLong(body + 8)))
         case _      => ()
@@ -224,7 +278,7 @@ object Hdf5Inspect {
         }
       } else throw new UnsupportedOperationException(s"unrecognized object header at $headerAddr")
 
-      Messages(symbolTable, links.result(), dims, dtype, dense, contiguous)
+      Messages(symbolTable, links.result(), dims, dtype, dense, contiguous, chunked, gzipped)
     }
 
     def visit(path: String, headerAddr: Long): Unit = {
@@ -237,6 +291,9 @@ object Hdf5Inspect {
             m.dtype.map(_._1).getOrElse("unknown"), m.dtype.map(_._2).getOrElse(0))
           for (((cls, sz, le), (addr0, size0)) <- m.dtype.zip(m.contiguous))
             dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, addr0, size0)
+          for (((cls, sz, le), (bt, cdims)) <- m.dtype.zip(m.chunked))
+            dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, -1L, 0L,
+              chunkBtree = bt, chunkDims = cdims, gzipped = m.gzipped)
         } else {
           out += Node(path, if (m.denseLinks) "group(children_omitted)" else "group",
             Nil, "", 0)

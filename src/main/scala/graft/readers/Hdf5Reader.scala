@@ -32,15 +32,86 @@ object Hdf5Reader {
     Hdf5Inspect.datasets(bytes)
   }
 
+  private def decodeValue(bb: ByteBuffer, buf: Array[Byte], k: Int, cls: String, esz: Int): Double =
+    (cls, esz) match {
+      case ("float", 8) => bb.getDouble(k * 8)
+      case ("float", 4) => bb.getFloat(k * 4).toDouble
+      case ("fixed", 8) => bb.getLong(k * 8).toDouble
+      case ("fixed", 4) => bb.getInt(k * 4).toDouble
+      case ("fixed", 2) => bb.getShort(k * 2).toDouble
+      case ("fixed", 1) => buf(k).toDouble
+      case other        => throw new UnsupportedOperationException(s"hdf5 type $other")
+    }
+
+  private def schemaFor(twoD: Boolean): StructType =
+    if (twoD) StructType(Seq(
+      StructField("dim0", LongType, nullable = false),
+      StructField("dim1", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    else StructType(Seq(
+      StructField("dim0", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+
+  /** Chunked datasets: the driver's capped metadata read also walks the
+    * chunk b-tree (index entries only); executors fetch + inflate their
+    * own chunks — the Zarr distribution shape.
+    */
+  private def readChunked(spark: SparkSession, url: String, d: Hdf5Inspect.DatasetInfo): DataFrame = {
+    val fs = FileSystem.get(new URI(url).resolve("/"), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(url))
+    val bytes = try in.readAllBytes() finally in.close()
+    val chunks = Hdf5Inspect.chunkIndex(bytes, d.chunkBtree, d.dims.length)
+    val (cls, esz, le, gz, cdims, dims, twoD) =
+      (d.dtypeClass, d.dtypeSize, d.littleEndian, d.gzipped, d.chunkDims, d.dims, d.dims.length == 2)
+    val rowsRdd = spark.sparkContext
+      .parallelize(chunks, math.max(1, math.min(chunks.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (coords, addr, storedSize) =>
+        val fsEx = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+        val inEx = fsEx.open(new Path(url))
+        val stored = new Array[Byte](storedSize)
+        try inEx.readFully(addr, stored) finally inEx.close()
+        val raw =
+          if (!gz) stored
+          else {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(stored)
+            val out = new java.io.ByteArrayOutputStream()
+            val b2 = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n = inf.inflate(b2)
+              if (n == 0 && inf.needsInput()) throw new IllegalStateException("truncated hdf5 chunk")
+              out.write(b2, 0, n)
+            }
+            inf.end(); out.toByteArray
+          }
+        val bb = ByteBuffer.wrap(raw).order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        val n = raw.length / esz
+        val cw = if (twoD) cdims(1).toLong else 1L
+        (0 until n).iterator.flatMap { k =>
+          val v = decodeValue(bb, raw, k, cls, esz)
+          if (twoD) {
+            val i = coords(0) + k / cw
+            val j = coords(1) + k % cw
+            if (i < dims(0) && j < dims(1)) Some(Row(i, j, v)) else None // edge-chunk trim
+          } else {
+            val i = coords(0) + k
+            if (i < dims(0)) Some(Row(i, v)) else None
+          }
+        }
+      }
+    spark.createDataFrame(rowsRdd, schemaFor(twoD))
+  }
+
   def read(spark: SparkSession, url: String, dataset: Option[String] = None): DataFrame = {
     val all = datasets(url, spark.sparkContext.hadoopConfiguration)
-    require(all.nonEmpty, s"no contiguous-layout numeric datasets in $url (chunked layouts unsupported)")
+    require(all.nonEmpty, s"no readable numeric datasets in $url")
     val d = dataset.map(p => all.find(_.path == p).getOrElse(
         throw new NoSuchElementException(s"dataset $p not in ${all.map(_.path).mkString(", ")}")))
       .getOrElse(all.head)
     require(d.dims.nonEmpty && d.dims.length <= 2, s"supported ranks 1-2, got ${d.dims.length}")
     require(Seq("float", "fixed").contains(d.dtypeClass) && Seq(1, 2, 4, 8).contains(d.dtypeSize),
       s"unsupported dataset type ${d.dtypeClass}${d.dtypeSize * 8}")
+    if (d.isChunked) return readChunked(spark, url, d)
 
     val (outerN, innerN) = if (d.dims.length == 2) (d.dims(0), d.dims(1)) else (d.dims(0), 1L)
     val parts = math.max(1, math.min(outerN, spark.sparkContext.defaultParallelism.toLong)).toInt
@@ -57,28 +128,12 @@ object Hdf5Reader {
       val bb = ByteBuffer.wrap(buf).order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       val n = ((hi - lo) * innerN).toInt
       (0 until n).iterator.map { k =>
-        val v = (cls, esz) match {
-          case ("float", 8) => bb.getDouble(k * 8)
-          case ("float", 4) => bb.getFloat(k * 4).toDouble
-          case ("fixed", 8) => bb.getLong(k * 8).toDouble
-          case ("fixed", 4) => bb.getInt(k * 4).toDouble
-          case ("fixed", 2) => bb.getShort(k * 2).toDouble
-          case ("fixed", 1) => buf(k).toDouble
-          case other        => throw new UnsupportedOperationException(s"hdf5 type $other")
-        }
+        val v = decodeValue(bb, buf, k, cls, esz)
         val outer = lo + k / innerN
         if (twoD) Row(outer, (k % innerN).toLong, v) else Row(outer, v)
       }
     }
-    val schema =
-      if (twoD) StructType(Seq(
-        StructField("dim0", LongType, nullable = false),
-        StructField("dim1", LongType, nullable = false),
-        StructField("value", DoubleType, nullable = false)))
-      else StructType(Seq(
-        StructField("dim0", LongType, nullable = false),
-        StructField("value", DoubleType, nullable = false)))
-    spark.createDataFrame(rowsRdd, schema)
+    spark.createDataFrame(rowsRdd, schemaFor(twoD))
   }
 }
 
