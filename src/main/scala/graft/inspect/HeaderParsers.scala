@@ -16,6 +16,9 @@ object HeaderParsers {
   /** DICOM identification/geometry tags — see [[DicomParser]]. */
   def dicom(bytes: Array[Byte]): Map[String, Any] = DicomParser.parse(bytes)
 
+  /** ASDF versions, tree keys and block stats — see [[AsdfParser]]. */
+  def asdf(bytes: Array[Byte]): Map[String, Any] = AsdfParser.parse(bytes)
+
   /** WebP canvas dimensions: lossy VP8 frame header, lossless VP8L
     * 14-bit packed dims, or the VP8X extended canvas.
     */

@@ -144,6 +144,7 @@ object SparkReaders {
   val las: Reader = new LasReaderImpl
   val pdb: Reader = new PdbReaderImpl
   val hdf5: Reader = new Hdf5ReaderImpl
+  val geotiff: Reader = new GeoTiffReaderImpl
   val excel: Reader = new ExcelReaderImpl
   val geojson: Reader = new GeoJsonReaderImpl
   val zarr: Reader = new ZarrReaderImpl
@@ -254,7 +255,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, zarr, numpy, fasta, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
