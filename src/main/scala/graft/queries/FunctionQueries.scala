@@ -104,7 +104,7 @@ object FunctionQueries {
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sq_sum,
                CAST(sum(CAST(ln(l_extendedprice + 1) AS DECIMAL(28,6))) AS DOUBLE) AS log_price_sum,
                CAST(sum(CAST(sqrt(l_quantity) AS DECIMAL(28,6))) AS DOUBLE) AS sqrt_qty_sum,
-               sum(l_orderkey % 7) AS mod_sum
+               CAST(sum(l_orderkey % 7) AS BIGINT) AS mod_sum
         FROM lineitem
         GROUP BY l_returnflag
       """)
@@ -327,7 +327,7 @@ object FunctionQueries {
         SELECT o_orderpriority,
                arg_max(o_orderkey, o_totalprice) AS priciest_order,
                arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-               count_if(o_totalprice > 100000.0) AS n_big,
+               CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
                bool_and(o_totalprice > 0.0) AS all_positive,
                bool_or(o_orderstatus = 'F') AS any_finished
         FROM orders

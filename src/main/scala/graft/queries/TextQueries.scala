@@ -131,7 +131,7 @@ object TextQueries {
       },
       Some(s"""
         SELECT source, count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                CAST(sum(n_tokens) * 1000000 // count(*) AS DOUBLE) / 1000000 AS avg_tokens,
                CAST(sum(n_chars_actual) * 1000000 // count(*) AS DOUBLE) / 1000000 AS avg_chars
         FROM (SELECT source, len(${duckTokens("text")}) AS n_tokens,

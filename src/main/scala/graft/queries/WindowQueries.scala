@@ -149,7 +149,10 @@ object WindowQueries {
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged
         )
-        SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+        -- CAST to BIGINT: the windowed sum makes session_id HUGEINT in
+        -- DuckDB, which pandas widens to float64 while Spark emits int64 —
+        -- the driver's dtype-sensitive hash then mismatches on equal values
+        SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM sessions
         GROUP BY user_id
       """)

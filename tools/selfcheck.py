@@ -61,6 +61,18 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
+        # The driver's comparator goes through pandas, where DuckDB HUGEINT
+        # (int128, from sum()/count_if over integers) widens to float64 while
+        # Spark emits int64 — equal values then hash-mismatch. Flag any oracle
+        # column with a dtype pandas can't map onto the Spark parquet dtype.
+        risky = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper().split("(")[0] in ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+        ]
+        if risky:
+            results[name] = f"DTYPE_RISK {risky} — CAST to BIGINT/DOUBLE in oracle SQL"
+            continue
         if sorted(s_names) != sorted(d_names):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(s_names)} duck={sorted(d_names)}"
             continue
