@@ -34,7 +34,7 @@ object EarthdataCatalog {
     */
   def fromUrl(
       listingUrl: String,
-      conf: Configuration = new Configuration(),
+      conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(),
       granulesBase: String = DefaultSearch
   ): Catalog = {
     val doc = read(listingUrl, conf)

@@ -50,7 +50,7 @@ object TiledCatalog {
 
   import RegistryJson._
 
-  def fromUrl(rootUrl: String, conf: Configuration = new Configuration(), maxDepth: Int = 4): Catalog = {
+  def fromUrl(rootUrl: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(), maxDepth: Int = 4): Catalog = {
     val seen = scala.collection.mutable.Set[String]()
 
     def entryFor(name: String, item: JsonNode, links: JsonNode, cat: Catalog): Catalog = {
@@ -115,7 +115,7 @@ object HuggingFaceHubCatalog {
 
   def fromApi(
       apiBase: String = DefaultApi,
-      conf: Configuration = new Configuration(),
+      conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(),
       withCommunityDatasets: Boolean = false,
       maxEntries: Int = 10000
   ): Catalog = {

@@ -44,7 +44,7 @@ object StacCatalog {
         .getOrElse(("binary", "spark_binary"))
   }
 
-  def fromUrl(rootUrl: String, conf: Configuration = new Configuration(), maxDepth: Int = 4): Catalog = {
+  def fromUrl(rootUrl: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(), maxDepth: Int = 4): Catalog = {
     val seen = scala.collection.mutable.Set[String]()
 
     def walk(url: String, depth: Int, cat: Catalog): Catalog = {

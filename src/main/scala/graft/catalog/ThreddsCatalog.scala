@@ -25,7 +25,7 @@ object ThreddsCatalog {
     if (href.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) href
     else new URI(base).resolve(href).toString
 
-  def fromUrl(rootUrl: String, conf: Configuration = new Configuration(), maxDepth: Int = 4): Catalog = {
+  def fromUrl(rootUrl: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(), maxDepth: Int = 4): Catalog = {
     val seen = scala.collection.mutable.Set[String]()
 
     def walk(url: String, depth: Int, cat0: Catalog): Catalog = {

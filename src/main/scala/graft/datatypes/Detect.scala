@@ -95,7 +95,7 @@ object Detect {
     * listing, through Hadoop FS (so s3a://, hdfs://, file:// all work on a
     * cluster). Returns ranked candidates.
     */
-  def recommendPath(url: String, conf: Configuration = new Configuration()): Seq[Scored] = {
+  def recommendPath(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): Seq[Scored] = {
     val path = new Path(url)
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
     if (fs.getFileStatus(path).isDirectory) {

@@ -320,7 +320,7 @@ object Hdf5Inspect {
       "paths" -> nodes.map(_.path))
   }
 
-  def summary(url: String, conf: Configuration = new Configuration(), maxBytes: Int = 64 << 20): Map[String, Any] = {
+  def summary(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(), maxBytes: Int = 64 << 20): Map[String, Any] = {
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
     val st = fs.getFileStatus(new Path(url))
     require(st.getLen <= maxBytes, s"hdf5 inspect capped at $maxBytes bytes, file is ${st.getLen}")

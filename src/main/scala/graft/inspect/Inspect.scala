@@ -69,7 +69,7 @@ object Inspect {
     "is_streaming" -> df.isStreaming.toString
   )
 
-  def fileStats(url: String, conf: Configuration = new Configuration()): (Long, Long) = {
+  def fileStats(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): (Long, Long) = {
     val path = new Path(url)
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
     val status = fs.getFileStatus(path)

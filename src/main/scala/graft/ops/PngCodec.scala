@@ -33,7 +33,9 @@ object PngCodec {
     var done = false
     while (!done && pos + 12 <= bytes.length) {
       val len = be32(pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return None
+      // bound computed in Long: a crafted len near Int.MaxValue overflows
+      // pos + 12 + len in Int, sneaking past the check and crashing below
+      if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
       val typ = new String(bytes, pos + 4, 4, "ISO-8859-1")
       typ match {
         case "IHDR" =>

@@ -54,9 +54,10 @@ object MediaWriters {
       pixelsCol: String = "pixels_rgb"
   ): DataRef = {
     val base = url.stripSuffix("/")
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(nameCol).cast("string"), col(widthCol).cast("int"), col(heightCol).cast("int"), col(pixelsCol))
       .rdd.foreachPartition { it =>
-        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
         it.foreach { r =>
           val png = PngCodec.encode(r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))
           val out = fs.create(new Path(s"$base/${r.getString(0)}.png"), true)
@@ -81,9 +82,10 @@ object MediaWriters {
   ): DataRef = {
     val base = url.stripSuffix("/")
     val q = quality
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(nameCol).cast("string"), col(widthCol).cast("int"), col(heightCol).cast("int"), col(pixelsCol))
       .rdd.foreachPartition { it =>
-        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -122,9 +124,10 @@ object MediaWriters {
       samplesCol: String = "samples"
   ): DataRef = {
     val base = url.stripSuffix("/")
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(nameCol).cast("string"), col(samplesCol))
       .rdd.foreachPartition { it =>
-        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
         it.foreach { r =>
           val samples = r.getSeq[Double](1).toArray
           val wav = encodeWav(samples, sampleRate, channels)

@@ -106,17 +106,18 @@ object ZarrWriter {
     val z = zlib
     val fv = fillValue
     val rk = rank
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     chunkKeyed.groupByKey().foreach { case ((ci, cj), elems) =>
       val vals = Array.fill(chunkElems)(fv)
       elems.foreach { case (off, v) => vals(off.toInt) = v }
-      val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
       val name = if (rk == 1) s"$ci" else s"$ci.$cj"
       val out = fs.create(new Path(s"$base/$name"), true)
       try out.write(encodeChunk(vals, dt, z)) finally out.close()
     }
 
     // .zarray metadata (driver, after data lands)
-    val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+    val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
     val compressor = if (zlib) """{"id": "zlib", "level": 6}""" else "null"
     val meta =
       s"""{
@@ -185,6 +186,7 @@ object ZarrWriter {
     val rk = rank
     val gz = gzip
     val wd = wireDtype
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     chunkKeyed.groupByKey().foreach { case ((ci, cj), elems) =>
       val vals = Array.fill(chunkElems)(fv)
       elems.foreach { case (off, v) => vals(off.toInt) = v }
@@ -196,13 +198,13 @@ object ZarrWriter {
           val g = new java.util.zip.GZIPOutputStream(bos)
           g.write(raw); g.close(); bos.toByteArray
         }
-      val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
       val name = if (rk == 1) s"c/$ci" else s"c/$ci/$cj"
       val out = fs.create(new Path(s"$base/$name"), true)
       try out.write(bytes) finally out.close()
     }
 
-    val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+    val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
     val codecs =
       if (gzip) """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
       else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""

@@ -72,8 +72,9 @@ object FitsReader {
     }.filter { case (lo, hi) => hi > lo }
 
     val (bitpix, bzero, bscale, dataAt, twoD) = (h.bitpix, h.bzero, h.bscale, h.dataAt, h.axes.length == 2)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in = fs.open(new Path(url))
       val buf = new Array[Byte](((hi - lo) * innerN * esz).toInt)
       try in.readFully(dataAt + lo * innerN * esz, buf) finally in.close()

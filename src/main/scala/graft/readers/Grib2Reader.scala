@@ -118,10 +118,11 @@ object Grib2Reader {
 
   def read(spark: SparkSession, url: String): DataFrame = {
     val msgs = messages(url, spark.sparkContext.hadoopConfiguration)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(msgs.zipWithIndex, math.max(1, math.min(msgs.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case ((off, len), msgIdx) =>
-        val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
         val in = fs.open(new Path(url))
         val body = new Array[Byte](len.toInt)
         try in.readFully(off, body) finally in.close()

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   */
 object Hdf5Reader {
 
-  def datasets(url: String, conf: Configuration = new Configuration(), maxMetaBytes: Int = 64 << 20): Seq[Hdf5Inspect.DatasetInfo] = {
+  def datasets(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf(), maxMetaBytes: Int = 64 << 20): Seq[Hdf5Inspect.DatasetInfo] = {
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
     val len = fs.getFileStatus(new Path(url)).getLen
     require(len <= maxMetaBytes, s"hdf5 metadata walk capped at $maxMetaBytes bytes, file is $len")
@@ -63,10 +63,11 @@ object Hdf5Reader {
     val chunks = Hdf5Inspect.chunkIndex(bytes, d.chunkBtree, d.dims.length)
     val (cls, esz, le, gz, cdims, dims, twoD) =
       (d.dtypeClass, d.dtypeSize, d.littleEndian, d.gzipped, d.chunkDims, d.dims, d.dims.length == 2)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext
       .parallelize(chunks, math.max(1, math.min(chunks.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (coords, addr, storedSize) =>
-        val fsEx = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+        val fsEx = FileSystem.get(new URI(url).resolve("/"), sconf.value)
         val inEx = fsEx.open(new Path(url))
         val stored = new Array[Byte](storedSize)
         try inEx.readFully(addr, stored) finally inEx.close()
@@ -120,8 +121,9 @@ object Hdf5Reader {
     }.filter { case (lo, hi) => hi > lo }
 
     val (cls, esz, le, dataAddr, twoD) = (d.dtypeClass, d.dtypeSize, d.littleEndian, d.dataAddr, d.dims.length == 2)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in = fs.open(new Path(url))
       val buf = new Array[Byte](((hi - lo) * innerN * esz).toInt)
       try in.readFully(dataAddr + lo * innerN * esz, buf) finally in.close()

@@ -47,7 +47,9 @@ object MatlabReader {
       ((word & 0xffff), pos + 4, word >>> 16, pos + 8)
     } else {
       val len = bb.getInt(pos + 4)
-      (word, pos + 8, len, pos + 8 + ((len + 7) & ~7))
+      // miCOMPRESSED (15) is exempt from the 8-byte padding rule
+      val adv = if (word == 15) len else (len + 7) & ~7
+      (word, pos + 8, len, pos + 8 + adv)
     }
   }
 
@@ -167,7 +169,10 @@ object MatlabReader {
           if ((word >>> 16) != 0) ((word & 0xffff), pos + 4, word >>> 16, pos + 8)
           else {
             val l = bb.getInt(4)
-            (word, pos + 8, l, pos + 8 + ((l + 7) & ~7))
+            // miCOMPRESSED elements are exempt from the 8-byte padding rule;
+            // MATLAB writes the next tag immediately after the deflate stream
+            val padded = if (word == 15) l else (l + 7) & ~7
+            (word, pos + 8, l, pos + 8 + padded)
           }
         t match {
           case 15 => out += ((dataAt, len, true))
@@ -190,7 +195,7 @@ object MatlabReader {
     }
 
   /** List variables without decoding data payloads fully. */
-  def variables(url: String, conf: Configuration = new Configuration()): Seq[MatVar] = {
+  def variables(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): Seq[MatVar] = {
     val b = readAll(url, conf)
     val ord = order(b)
     elements(b, ord).map { case (off, len, comp) => decodeElement(b, off, len, comp, ord)._1 }
@@ -209,9 +214,10 @@ object MatlabReader {
   def read(spark: SparkSession, url: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (elems, bigEndian) = elementOffsets(url, conf)
+    val sconf = graft.core.SerializableHadoopConf(conf)
     val rdd = spark.sparkContext.parallelize(elems, math.max(1, math.min(elems.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (off, len, comp) =>
-        val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
         val in = fs.open(new Path(url))
         val body = new Array[Byte](len)
         try in.readFully(off, body) finally in.close()

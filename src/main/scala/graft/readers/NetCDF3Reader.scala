@@ -37,8 +37,22 @@ object NetCDF3Reader {
       attrs: Map[String, String],
       vars: Seq[NcVar]
   ) {
-    /** bytes advanced per record: sum of record variables' vsize */
-    def recSize: Long = vars.filter(_.isRecord(dims)).map(_.vsize.toLong).sum
+    /** Bytes advanced per record: sum of record variables' vsize — except
+      * the classic-format special case of exactly one record variable of
+      * byte/char/short type, whose record slabs pack WITHOUT padding (so
+      * the stride is the unpadded slab size, not the 4-rounded vsize).
+      */
+    def recSize: Long = {
+      val recVars = vars.filter(_.isRecord(dims))
+      recVars match {
+        case Seq(v) if v.ncType == 1 || v.ncType == 2 || v.ncType == 3 =>
+          val esz = if (v.ncType == 3) 2L else 1L
+          val innerN = v.dimIds.tail.map(dims(_).length.toLong).product
+          val unpadded = innerN * esz
+          if (unpadded % 4 != 0) unpadded else v.vsize.toLong
+        case _ => recVars.map(_.vsize.toLong).sum
+      }
+    }
   }
 
   private def typeSize(t: Int): Int = t match {
@@ -117,13 +131,13 @@ object NetCDF3Reader {
     NcHeader(version, numRecs, dims, gatts, vars)
   }
 
-  def header(url: String, conf: Configuration = new Configuration()): NcHeader = {
+  def header(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): NcHeader = {
     val fs = FileSystem.get(new URI(url).resolve("/"), conf)
     val in = fs.open(new Path(url))
     try parseHeader(in) finally in.close()
   }
 
-  def variables(url: String, conf: Configuration = new Configuration()): Seq[String] =
+  def variables(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): Seq[String] =
     header(url, conf).vars.map(_.name)
 
   private def decode(bb: java.nio.ByteBuffer, off: Int, t: Int): Double = t match {
@@ -164,8 +178,9 @@ object NetCDF3Reader {
     val begin = v.begin
     val ncType = v.ncType
     val dimCount = innerLens.length
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in = fs.open(new Path(url))
       val innerBytes = (innerN * esz).toInt
       try {

@@ -62,8 +62,9 @@ object NiftiReader {
 
     val (dims, datatype, bytesPer, dataAt, slope, inter, bigEndian) =
       (h.dims, h.datatype, h.bytesPer, h.voxOffset, h.slope, h.inter, h.bigEndian)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in = fs.open(new Path(url))
       val buf = new Array[Byte](((hi - lo) * innerN * bytesPer).toInt)
       try in.readFully(dataAt + lo * innerN * bytesPer, buf) finally in.close()

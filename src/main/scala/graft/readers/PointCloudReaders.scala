@@ -56,8 +56,9 @@ object LasReader {
     }.filter { case (lo, hi) => hi > lo }
 
     val (dataAt, recLen, sc, off) = (h.dataAt, h.recLen, h.scale, h.offset)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in = fs.open(new Path(url))
       val buf = new Array[Byte](((hi - lo) * recLen).toInt)
       try in.readFully(dataAt + lo * recLen, buf) finally in.close()

@@ -52,8 +52,11 @@ object ShapefileReader {
       case 1 =>
         ("Point", s"""{"type":"Point","coordinates":${point(bb, off + 4)}}""")
       case 8 =>
-        val n = bb.getInt(off + 40)
-        val pts = (0 until n).map(i => point(bb, off + 44 + i * 16)).mkString(",")
+        // MultiPoint content is type(4) + bbox(32) + NumPoints(4) + points:
+        // the count sits at offset 36 and points at 40 (no parts array,
+        // unlike PolyLine/Polygon)
+        val n = bb.getInt(off + 36)
+        val pts = (0 until n).map(i => point(bb, off + 40 + i * 16)).mkString(",")
         ("MultiPoint", s"""{"type":"MultiPoint","coordinates":[$pts]}""")
       case t @ (3 | 5) =>
         val numParts = bb.getInt(off + 36)
@@ -161,12 +164,13 @@ object ShapefileReader {
 
     val fieldsB = fields
     val hasDbf = dbf.isDefined
+    val sconf = graft.core.SerializableHadoopConf(conf)
     val parts = math.max(1, math.min(offsets.size, spark.sparkContext.defaultParallelism))
     val ranges = spark.sparkContext.parallelize(offsets.zipWithIndex, parts)
     // positioned reads per record on the executors: a task touches only
     // its own records' bytes, in both the .shp and the .dbf
     val rowsRdd = ranges.mapPartitions { it =>
-      val fsEx = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fsEx = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val shpStream = fsEx.open(new Path(url))
       val dbfStream = if (hasDbf) Some(fsEx.open(new Path(sibling(url, ".dbf")))) else None
       val recHdr = new Array[Byte](8)

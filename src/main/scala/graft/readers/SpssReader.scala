@@ -191,8 +191,9 @@ object SpssReader {
     })
     // decode distributed as one task (no splittable boundaries), but off
     // the driver: ship bytes via parallelize of the single unit
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext.parallelize(Seq(url), 1).flatMap { u =>
-      val fsEx = FileSystem.get(new URI(u).resolve("/"), new Configuration())
+      val fsEx = FileSystem.get(new URI(u).resolve("/"), sconf.value)
       val inEx = fsEx.open(new Path(u))
       val bs = try inEx.readAllBytes() finally inEx.close()
       val dd = dict(bs)

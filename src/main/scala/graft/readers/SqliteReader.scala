@@ -160,7 +160,7 @@ object SqliteReader {
   case class Table(name: String, rootPage: Long, sql: String)
 
   /** List the rowid tables recorded in sqlite_master. */
-  def tables(url: String, conf: Configuration = new Configuration()): Seq[Table] = {
+  def tables(url: String, conf: Configuration = graft.core.SerializableHadoopConf.sessionConf()): Seq[Table] = {
     val (in, db) = open(url, conf)
     try {
       leafPages(in, db, 1L).flatMap(leafRows(in, db, _)).collect {
@@ -245,8 +245,9 @@ object SqliteReader {
     val schema = StructType(cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
     val colTypes = cols.map(_._2)
     val parts = math.max(1, math.min(leaves.size, spark.sparkContext.defaultParallelism))
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(leaves, parts).flatMap { pageNo =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val inEx = fs.open(new Path(url))
       val hdr = new Array[Byte](100)
       inEx.readFully(0, hdr)

@@ -108,8 +108,9 @@ object StataReader {
     }.filter { case (lo, hi) => hi > lo }
 
     val (types, dataOff, rowW, bigEndian) = (m.types, m.dataOffset, m.rowWidth, m.bigEndian)
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(ranges, math.max(1, ranges.size)).flatMap { case (lo, hi) =>
-      val fs = FileSystem.get(new URI(url).resolve("/"), new Configuration())
+      val fs = FileSystem.get(new URI(url).resolve("/"), sconf.value)
       val in: FSDataInputStream = fs.open(new Path(url))
       val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
       val buf = new Array[Byte]((hi - lo).toInt * rowW)

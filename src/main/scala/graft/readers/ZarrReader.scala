@@ -172,9 +172,10 @@ object ZarrReader {
       } yield Seq(i, j)
 
     val m = meta
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(grid, math.max(1, math.min(grid.size, spark.sparkContext.defaultParallelism)))
       .flatMap { key =>
-        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
         val p = new Path(base + "/c" + m.sep + key.mkString(m.sep))
         if (!fs.exists(p)) Iterator.empty // missing chunk = fill-value-only, skip
         else {
@@ -237,9 +238,10 @@ object ZarrReader {
       } yield Seq(i, j)
 
     val m = meta
+    val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext.parallelize(grid, math.min(grid.size, spark.sparkContext.defaultParallelism))
       .flatMap { key =>
-        val fs = FileSystem.get(new URI(base).resolve("/"), new Configuration())
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
         val p = new Path(base + "/" + key.mkString("."))
         if (!fs.exists(p)) Iterator.empty // missing chunk = fill-value-only, skip
         else {

@@ -48,7 +48,9 @@ class ArrowTableProvider extends TableProvider {
 object ArrowTableProvider {
   private[sources] def listFiles(path: String): Seq[String] = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    // driver-side: prefer the active session's Hadoop conf (credentials,
+    // custom filesystems) over a bare default
+    val fs = FileSystem.get(p.toUri, graft.core.SerializableHadoopConf.sessionConf())
     if (!fs.exists(p)) return Nil
     val status = fs.getFileStatus(p)
     if (status.isDirectory)
@@ -58,9 +60,10 @@ object ArrowTableProvider {
     else Seq(path)
   }
 
-  private[sources] def readBytes(url: String): Array[Byte] = {
+  private[sources] def readBytes(url: String, conf: Configuration = null): Array[Byte] = {
     val p = new Path(url)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri,
+      if (conf != null) conf else graft.core.SerializableHadoopConf.sessionConf())
     val in = fs.open(p)
     try in.readAllBytes() finally in.close()
   }
@@ -113,7 +116,9 @@ private class ArrowScan(val readSchema: StructType, path: String) extends Scan w
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ArrowTableProvider.listFiles(path).map(f => ArrowFilePartition(f): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory = new ArrowReaderFactory(readSchema)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(readSchema,
+      graft.core.SerializableHadoopConf(graft.core.SerializableHadoopConf.sessionConf()))
 }
 
 private case class ArrowFilePartition(file: String) extends InputPartition
@@ -130,19 +135,21 @@ private class ArrowWriteBuilder(schema: StructType, path: String)
 private class ArrowBatchWrite(schema: StructType, path: String, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, before tasks launch: overwrite clears prior files
+    val conf = graft.core.SerializableHadoopConf.sessionConf()
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new ArrowWriterFactory(schema, path)
+    new ArrowWriterFactory(schema, path, graft.core.SerializableHadoopConf(conf))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private class ArrowWriterFactory(schema: StructType, path: String) extends DataWriterFactory {
+private class ArrowWriterFactory(schema: StructType, path: String, sconf: graft.core.SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArrowPartitionWriter(schema, s"$path/part-$partitionId-$taskId.arrow")
+    new ArrowPartitionWriter(schema, s"$path/part-$partitionId-$taskId.arrow", sconf)
 }
 
 private case class ArrowFileCommit(file: String, rows: Long) extends WriterCommitMessage
@@ -150,7 +157,8 @@ private case class ArrowFileCommit(file: String, rows: Long) extends WriterCommi
 /** Streams one task's rows into one Arrow IPC file in record batches —
   * memory bound by the batch size, not the partition.
   */
-private class ArrowPartitionWriter(schema: StructType, file: String) extends DataWriter[InternalRow] {
+private class ArrowPartitionWriter(schema: StructType, file: String, sconf: graft.core.SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
   import org.apache.arrow.memory.RootAllocator
   import org.apache.arrow.vector._
   import org.apache.arrow.vector.complex.ListVector
@@ -177,7 +185,7 @@ private class ArrowPartitionWriter(schema: StructType, file: String) extends Dat
   private val alloc = new RootAllocator()
   private val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toList.asJava)
   private val root = VectorSchemaRoot.create(arrowSchema, alloc)
-  private val fs = FileSystem.get(new Path(file).toUri, new Configuration())
+  private val fs = FileSystem.get(new Path(file).toUri, sconf.value)
   private val out = fs.create(new Path(file), true)
   private val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
   writer.start()
@@ -247,11 +255,13 @@ private class ArrowPartitionWriter(schema: StructType, file: String) extends Dat
   override def close(): Unit = ()
 }
 
-private class ArrowReaderFactory(schema: StructType) extends PartitionReaderFactory {
+private class ArrowReaderFactory(schema: StructType, sconf: graft.core.SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ArrowFilePartition].file
     new PartitionReader[InternalRow] {
-      private lazy val rows: Iterator[Seq[Any]] = ArrowIPC.decode(ArrowTableProvider.readBytes(file))._2.iterator
+      private lazy val rows: Iterator[Seq[Any]] =
+        ArrowIPC.decode(ArrowTableProvider.readBytes(file, sconf.value))._2.iterator
       private var current: Seq[Any] = _
       override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
       override def get(): InternalRow =

@@ -98,6 +98,12 @@ class PngCodecSpec extends SparkSpec {
     val ihdr16 = buildPng(1, 1, 0, Array[Byte](0, 1, 1))
     ihdr16(24) = 16.toByte // depth byte inside IHDR (crc now wrong, but we don't verify crc)
     assert(PngCodec.decode(ihdr16).isEmpty)
+    // crafted chunk length near Int.MaxValue must not overflow the bounds
+    // check into an IndexOutOfBounds crash — contract is Option.None
+    val crafted = PngCodec.encode(1, 1, new Array[Byte](3))
+    crafted(8) = 0x7f.toByte; crafted(9) = 0xff.toByte
+    crafted(10) = 0xff.toByte; crafted(11) = 0xf0.toByte
+    assert(PngCodec.decode(crafted).isEmpty)
   }
 
   test("decodeImage picks the real PNG path end-to-end through Spark") {

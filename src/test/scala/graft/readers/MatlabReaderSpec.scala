@@ -66,15 +66,25 @@ class MatlabReaderSpec extends SparkSpec {
     // c: 2x2 double class stored compactly as miUINT8 wire bytes
     out.write(element(14, matrixBody(6, 2, 2, "c", 2, Array[Byte](10, 20, 30, 40))))
 
+    // miCOMPRESSED elements are written UNPADDED (the spec exempts them
+    // from 8-byte alignment); two in a row with a non-multiple-of-8
+    // compressed size prove the walk doesn't round the advance
+    def compressed(name: String, v1: Double, v2: Double): Array[Byte] = {
+      val vals = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN).putDouble(v1).putDouble(v2)
+      val elem = element(14, matrixBody(6, 1, 2, name, 9, vals.array()))
+      val d = new java.util.zip.Deflater()
+      d.setInput(elem); d.finish()
+      val zOut = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) zOut.write(buf, 0, d.deflate(buf))
+      le(15) ++ le(zOut.size()) ++ zOut.toByteArray
+    }
     // z: compressed copy of a 1x2 double [9.5, -1.25]
-    val zVals = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN).putDouble(9.5).putDouble(-1.25)
-    val zElem = element(14, matrixBody(6, 1, 2, "z", 9, zVals.array()))
-    val d = new java.util.zip.Deflater()
-    d.setInput(zElem); d.finish()
-    val zOut = new ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!d.finished()) zOut.write(buf, 0, d.deflate(buf))
-    out.write(element(15, zOut.toByteArray))
+    val z = compressed("z", 9.5, -1.25)
+    require(z.length % 8 != 0, s"fixture must exercise unpadded advance (${z.length})")
+    out.write(z)
+    // z2: second compressed variable directly after the unpadded z
+    out.write(compressed("z2", 3.5, 4.5))
 
     // s: 1x3 char "hey" (miUINT16 wire)
     val sVals = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
@@ -88,7 +98,7 @@ class MatlabReaderSpec extends SparkSpec {
 
   test("variables lists all matrices with classes and dims") {
     val vars = MatlabReader.variables(matPath)
-    assert(vars.map(_.name) == Seq("a", "b", "c", "z", "s"))
+    assert(vars.map(_.name) == Seq("a", "b", "c", "z", "z2", "s"))
     assert(vars.find(_.name == "a").get.rows == 2)
     assert(vars.find(_.name == "s").exists(v => !v.numeric && v.cols == 3))
   }
@@ -101,6 +111,7 @@ class MatlabReaderSpec extends SparkSpec {
     assert(m(("b", 0L, 0L)) == -7.0 && m(("b", 0L, 1L)) == 40.0)
     assert(m(("c", 1L, 1L)) == 40.0)
     assert(m(("z", 0L, 0L)) == 9.5 && m(("z", 0L, 1L)) == -1.25)
+    assert(m(("z2", 0L, 0L)) == 3.5 && m(("z2", 0L, 1L)) == 4.5)
     assert(!m.keySet.exists(_._1 == "s")) // char matrices aren't numeric rows
   }
 

@@ -91,6 +91,45 @@ class NetCDF3ReaderSpec extends SparkSpec {
       (1L, 0L, 4.0), (1L, 1L, 5.0), (1L, 2L, 6.0)))
   }
 
+  test("single short record variable packs records without padding") {
+    // classic-format special case: exactly one record var of byte/char/short
+    // type → record slabs are NOT 4-byte padded; stride is the unpadded size
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    def name(s: String): Unit = {
+      out.writeInt(s.length); out.write(s.getBytes("UTF-8"))
+      (s.length until pad4(s.length)).foreach(_ => out.writeByte(0))
+    }
+    def header(begin: Int): Unit = {
+      out.write("CDF".getBytes("UTF-8")); out.writeByte(1)
+      out.writeInt(2) // numrecs
+      out.writeInt(0x0A); out.writeInt(2)
+      name("time"); out.writeInt(0)
+      name("y"); out.writeInt(3)
+      out.writeInt(0); out.writeInt(0) // absent global atts
+      out.writeInt(0x0B); out.writeInt(1)
+      name("s"); out.writeInt(2); out.writeInt(0); out.writeInt(1)
+      out.writeInt(0); out.writeInt(0)
+      out.writeInt(3); out.writeInt(8); out.writeInt(begin) // short; vsize padded to 8
+    }
+    header(0)
+    val headerLen = bos.size()
+    bos.reset()
+    header(headerLen)
+    // two 6-byte records back to back — no padding between slabs
+    Seq(1, 2, 3, 4, 5, 6).foreach(v => out.writeShort(v))
+    out.flush()
+    val dir = Files.createTempDirectory("nc3s")
+    Files.write(dir.resolve("s.nc"), bos.toByteArray)
+    val path = s"file://$dir/s.nc"
+    assert(NetCDF3Reader.header(path).recSize == 6)
+    val rows = NetCDF3Reader.read(spark, path, "s")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 3.0),
+      (1L, 0L, 4.0), (1L, 1L, 5.0), (1L, 2L, 6.0)))
+  }
+
   test("registry reader resolves by kind with variable option") {
     val r = SparkReaders.reader("netcdf3_reader").get
     val df = r.read(spark, DataRef("netcdf3", ncPath, options = Map("variable" -> "series")))

@@ -37,7 +37,11 @@ class ShapefileReaderSpec extends SparkSpec {
       le(2) ++ le(4) ++ le(0) ++ le(2) ++ // 2 parts of 2 points each
       d(0) ++ d(0) ++ d(1) ++ d(1) ++ d(8) ++ d(8) ++ d(9) ++ d(9)
 
-    val recs = Seq(point, polygon, polyline)
+    val multipoint = le(8) ++
+      d(3) ++ d(4) ++ d(7) ++ d(6) ++ // bbox
+      le(2) ++                         // NumPoints directly after bbox (no parts)
+      d(3) ++ d(4) ++ d(7) ++ d(6)
+    val recs = Seq(point, polygon, polyline, multipoint)
     val body = new ByteArrayOutputStream()
     val shx = new ByteArrayOutputStream()
     var off = 100
@@ -54,9 +58,9 @@ class ShapefileReaderSpec extends SparkSpec {
     val fields = Seq(("NAME", 'C', 8, 0), ("POP", 'N', 6, 0), ("RATIO", 'N', 8, 3), ("OK", 'L', 1, 0))
     val recSize = 1 + fields.map(_._3).sum
     val headerSize = 32 + fields.size * 32 + 1
-    val dbf = ByteBuffer.allocate(headerSize + recSize * 3 + 1).order(ByteOrder.LITTLE_ENDIAN)
+    val dbf = ByteBuffer.allocate(headerSize + recSize * 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
     dbf.put(0, 3.toByte)
-    dbf.putInt(4, 3)
+    dbf.putInt(4, 4)
     dbf.putShort(8, headerSize.toShort)
     dbf.putShort(10, recSize.toShort)
     fields.zipWithIndex.foreach { case ((n, t, l, dec), i) =>
@@ -73,6 +77,7 @@ class ShapefileReaderSpec extends SparkSpec {
     rec(headerSize, "alpha", "100", "1.500", "T")
     rec(headerSize + recSize, "beta", "200", "2.250", "F")
     rec(headerSize + recSize * 2, "gamma", "", "", "?")
+    rec(headerSize + recSize * 3, "delta", "50", "0.125", "T")
     Files.write(tmp.resolve("places.dbf"), dbf.array())
     tmp
   }
@@ -81,7 +86,10 @@ class ShapefileReaderSpec extends SparkSpec {
     val df = ShapefileReader.read(spark, s"file://$dir/places.shp")
     assert(df.columns.toSeq == Seq("feature_id", "geometry_type", "geometry_json", "NAME", "POP", "RATIO", "OK"))
     val rows = df.collect().sortBy(_.getLong(0))
-    assert(rows.length == 3)
+    assert(rows.length == 4)
+    assert(rows(3).getString(1) == "MultiPoint" &&
+      rows(3).getString(2) == """{"type":"MultiPoint","coordinates":[[3,4],[7,6]]}""")
+    assert(rows(3).getAs[String]("NAME") == "delta" && rows(3).getAs[Long]("POP") == 50L)
     assert(rows(0).getString(1) == "Point" &&
       rows(0).getString(2) == """{"type":"Point","coordinates":[1.5,2.5]}""")
     assert(rows(1).getString(1) == "Polygon" &&
@@ -98,7 +106,7 @@ class ShapefileReaderSpec extends SparkSpec {
     val solo = Files.createTempDirectory("shponly")
     Files.copy(dir.resolve("places.shp"), solo.resolve("p.shp"))
     val df = ShapefileReader.read(spark, s"file://$solo/p.shp")
-    assert(df.count() == 3)
+    assert(df.count() == 4)
     assert(df.columns.toSeq == Seq("feature_id", "geometry_type", "geometry_json"))
   }
 }
