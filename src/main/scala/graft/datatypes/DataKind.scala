@@ -170,6 +170,15 @@ object Registry {
       Seq(344 -> (ascii("ni1") ++ bytes(0)), 344 -> (ascii("n+1") ++ bytes(0)))),
     DataKind("flatgeobuf", Nil, Seq("\\.fgb$"), Set("table", "geo"), Seq(0 -> ascii("fgb"))),
     DataKind("geopackage", Nil, Seq("\\.gpkg$"), Set("table", "geo"), Seq(0 -> ascii("SQLite format 3"))),
+    // KML/GPX (reference readers.py:2287 KML, :2301 GPX): XML — sniff the
+    // root element in the head text
+    DataKind("kml", Seq("application/vnd.google-earth.kml+xml"), Seq("\\.kml$"), Set("table", "geo"),
+      headOk = (h, _) => headText(h).contains("<kml")),
+    DataKind("gpx", Seq("application/gpx+xml"), Seq("\\.gpx$"), Set("table", "geo"),
+      headOk = (h, _) => headText(h).contains("<gpx")),
+    // MBTiles (reference readers.py:2315): a SQLite db by magic; the
+    // .mbtiles suffix disambiguates from plain sqlite
+    DataKind("mbtiles", Nil, Seq("\\.mbtiles$"), Set("table", "geo"), Seq(0 -> ascii("SQLite format 3"))),
     DataKind("matroska", Seq("video/webm"), Seq("\\.webm$", "\\.mkv$"), Set("array", "video"),
       Seq(0 -> bytes(0x1a, 0x45, 0xdf, 0xa3))),
     DataKind("webp", Seq("image/webp"), Seq("\\.webp$"), Set("array", "image"), Seq(8 -> ascii("WEBP"))),

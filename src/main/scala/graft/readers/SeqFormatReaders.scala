@@ -98,12 +98,40 @@ object SeqFormatReaders {
       }
       .toDF("table", "key", "value")
   }
+
+  /** FASTQ: strict 4-line records (reference readers.py:2476 FASTQ via
+    * BioPython). '@' can open a quality line, so records can't split on
+    * a delimiter; instead lines get global indices (zipWithIndex — order
+    * preserved across partitions) and group by `index / 4`. One shuffle,
+    * but the grouping key is the record id so it scales with the file.
+    */
+  def fastq(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    spark.read.text(url).select(col("value")).as[String].rdd
+      .zipWithIndex()
+      .map { case (line, idx) => (idx / 4, (idx % 4, line)) }
+      .groupByKey()
+      .map { case (rec, parts) =>
+        val m = parts.toMap
+        val header = m.getOrElse(0L, "")
+        require(header.startsWith("@"), s"malformed FASTQ record $rec: '$header'")
+        val id = header.drop(1).split("\\s+").headOption.getOrElse("")
+        (rec, id, m.getOrElse(1L, ""), m.getOrElse(3L, ""))
+      }
+      .toDF("record", "seq_id", "sequence", "quality")
+      .withColumn("length", length(col("sequence")))
+  }
 }
 
 class FastaReaderImpl extends Reader {
   val name = "fasta_reader"
   val implementsKinds = Set("fasta")
   def read(spark: SparkSession, ref: DataRef): DataFrame = SeqFormatReaders.fasta(spark, ref.url)
+}
+class FastqReaderImpl extends Reader {
+  val name = "fastq_reader"
+  val implementsKinds = Set("fastq")
+  def read(spark: SparkSession, ref: DataRef): DataFrame = SeqFormatReaders.fastq(spark, ref.url)
 }
 class IniReaderImpl extends Reader {
   val name = "ini_reader"

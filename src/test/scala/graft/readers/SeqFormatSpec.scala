@@ -27,6 +27,20 @@ class SeqFormatSpec extends SparkSpec {
     assert(rows(1)._6.isEmpty) // '.' qual -> null
   }
 
+  test("FASTQ groups strict 4-line records, '@' quality lines included") {
+    val dir = Files.createTempDirectory("fastq")
+    // second record's quality line STARTS with '@' — the classic trap for
+    // delimiter-split readers
+    Files.writeString(dir.resolve("r.fastq"),
+      "@r1 lane=1\nACGT\n+\nFFFF\n" +
+      "@r2\nGGCCA\n+\n@@;;F\n")
+    val df = SeqFormatReaders.fastq(spark, s"file://$dir/r.fastq")
+    assert(df.columns.toSeq == Seq("record", "seq_id", "sequence", "quality", "length"))
+    val rows = df.as[(Long, String, String, String, Int)].collect().sortBy(_._1)
+    assert(rows(0) == ((0L, "r1", "ACGT", "FFFF", 4)))
+    assert(rows(1) == ((1L, "r2", "GGCCA", "@@;;F", 5)))
+  }
+
   test("INI and TOML parse to key-value rows with section tracking") {
     val dir = Files.createTempDirectory("cfg")
     Files.writeString(dir.resolve("c.ini"),
