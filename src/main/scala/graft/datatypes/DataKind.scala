@@ -190,7 +190,8 @@ object Registry {
     DataKind("stata", Nil, Seq("\\.dta$"), Set("table"), Seq(0 -> ascii("<stata_dta>"))),
     DataKind("spss", Nil, Seq("\\.sav$"), Set("table"), Seq(0 -> ascii("$FL2"), 0 -> ascii("$FL3"))),
     DataKind("sas", Nil, Seq("\\.sas7bdat$", "\\.xpt$"), Set("table"),
-      Seq(0 -> ascii("SAS "), 0 -> ascii("HEADER RECORD"))),
+      // sas7bdat binary magic bytes 12-15; "HEADER RECORD" covers .xpt
+      Seq(12 -> bytes(0xc2, 0xea, 0x81, 0x60), 0 -> ascii("HEADER RECORD"))),
     // point clouds / molecular structures (reference datatypes.py:1489
     // E57 pointcloud, :1537 PDBFile; LAS lidar per its public spec)
     DataKind("e57", Nil, Seq("\\.e57$"), Set("array"), Seq(0 -> ascii("ASTM-E57"))),
