@@ -6,8 +6,8 @@ import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
 /** Pure-JVM PNG codec (published PNG spec; zlib via `java.util.zip`).
   *
   * Decode covers the common still-image profile: 8-bit depth, color
-  * types gray / gray+alpha / palette / RGB / RGBA, interlace 0 (Adam7
-  * is rare outside legacy web assets), all five scanline filters
+  * types gray / gray+alpha / palette / RGB / RGBA, both interlace
+  * modes (none and Adam7 seven-pass), all five scanline filters
   * including Paeth. Output is row-major RGB, same contract as the
   * BMP/PPM decoders in [[Multimodal]]. Encode writes 8-bit RGB (color
   * type 2), filter 0, one deflated IDAT — the mirror the PNG sink in
@@ -50,7 +50,7 @@ object PngCodec {
       }
       pos += 12 + len
     }
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
@@ -58,9 +58,23 @@ object PngCodec {
     if (colorType == 3 && palette == null) return None
     if (w.toLong * h * channels > Int.MaxValue - 64) return None
 
+    // Adam7 pass grid: (xStart, yStart, xStep, yStep); interlace 0 is a
+    // single full pass
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = p match {
+      case (x0, y0, dx, dy) => ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+    }
+    val rawSize = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * channels)
+    }.sum
+
     // one inflate of the concatenated IDAT payload
     val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](rawSize)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -74,36 +88,63 @@ object PngCodec {
     finally inf.end()
     if (off != raw.length) return None
 
-    // unfilter scanlines in place (filters reference the RECONSTRUCTED
-    // previous bytes, so this must run sequentially per line)
-    val img = new Array[Byte](h * stride)
+    // unfilter one pass's scanlines (filters reference the RECONSTRUCTED
+    // previous bytes, so each line runs sequentially)
     val bpp = channels
-    var y = 0
-    while (y < h) {
-      val filter = raw(y * (1 + stride)) & 0xff
-      val src = y * (1 + stride) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val rw = raw(src + x) & 0xff
-        val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0
-        val b = if (y > 0) img(dst - stride + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) img(dst - stride + x - bpp) & 0xff else 0
-        val v = filter match {
-          case 0 => rw
-          case 1 => rw + a
-          case 2 => rw + b
-          case 3 => rw + (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            rw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case _ => return None
+    def unfilter(from: Int, pw: Int, ph: Int): Option[Array[Byte]] = {
+      val pStride = pw * bpp
+      val out = new Array[Byte](ph * pStride)
+      var y = 0
+      while (y < ph) {
+        val filter = raw(from + y * (1 + pStride)) & 0xff
+        val src = from + y * (1 + pStride) + 1
+        val dst = y * pStride
+        var x = 0
+        while (x < pStride) {
+          val rw = raw(src + x) & 0xff
+          val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+          val b = if (y > 0) out(dst - pStride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) out(dst - pStride + x - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => rw
+            case 1 => rw + a
+            case 2 => rw + b
+            case 3 => rw + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              rw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          out(dst + x) = v.toByte
+          x += 1
         }
-        img(dst + x) = v.toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      Some(out)
+    }
+
+    val img = new Array[Byte](h * stride)
+    var passOff = 0
+    passes.foreach { case p @ (x0, y0, dx, dy) =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val dec = unfilter(passOff, pw, ph) match {
+          case Some(d) => d
+          case None => return None
+        }
+        // scatter the pass's pixels to their interleaved positions
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            System.arraycopy(dec, (py * pw + px) * bpp, img, ((y0 + py * dy) * w + (x0 + px * dx)) * bpp, bpp)
+            px += 1
+          }
+          py += 1
+        }
+        passOff += ph * (1 + pw * bpp)
+      }
     }
 
     // normalize to row-major RGB

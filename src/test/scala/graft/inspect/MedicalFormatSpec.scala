@@ -41,6 +41,35 @@ class MedicalFormatSpec extends SparkSpec {
     intercept[IllegalArgumentException](DicomParser.parse(new Array[Byte](200)))
   }
 
+  test("DICOM implicit-VR elements walk after the meta group declares it") {
+    def implicitElement(group: Int, element: Int, value: Array[Byte]): Array[Byte] = {
+      val padded = if (value.length % 2 == 1) value :+ ' '.toByte else value
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(group.toShort).putShort(element.toShort).putInt(padded.length)
+      bb.array() ++ padded
+    }
+    def u16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    val out = new ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes("ISO-8859-1"))
+    // file meta group stays explicit VR; transfer syntax = implicit VR LE
+    out.write(dicomElement(0x0002, 0x0010, "UI", "1.2.840.10008.1.2".getBytes))
+    // dataset elements carry no VR on the wire
+    out.write(implicitElement(0x0008, 0x0060, "CT".getBytes))
+    out.write(implicitElement(0x0010, 0x0020, "P-123".getBytes))
+    out.write(implicitElement(0x0028, 0x0010, u16(64)))
+    out.write(implicitElement(0x0028, 0x0011, u16(32)))
+    out.write(implicitElement(0x0028, 0x0100, u16(16)))
+    out.write(implicitElement(0x7fe0, 0x0010, Array[Byte](9, 9)))
+
+    val m = DicomParser.parse(out.toByteArray)
+    assert(m("transfer_syntax") == "1.2.840.10008.1.2")
+    assert(m("modality") == "CT" && m("patient_id") == "P-123")
+    assert(m("rows") == 64 && m("columns") == 32 && m("bits_allocated") == 16)
+    assert(m("n_elements") == 6) // PixelData stops the walk
+  }
+
   test("NIfTI-1 voxels read long-form with slope/intercept scaling") {
     // 3x2x2 int16 volume, value = 10 + 0.5 * raw
     val hdr = ByteBuffer.allocate(348).order(ByteOrder.LITTLE_ENDIAN)

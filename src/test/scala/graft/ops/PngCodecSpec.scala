@@ -10,7 +10,7 @@ class PngCodecSpec extends SparkSpec {
     * bytes (filter byte + pixels per line) under the given IHDR.
     */
   private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
-      palette: Option[Array[Byte]] = None): Array[Byte] = {
+      palette: Option[Array[Byte]] = None, interlace: Int = 0): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -21,7 +21,7 @@ class PngCodecSpec extends SparkSpec {
     }
     val ihdr = new ByteArrayOutputStream()
     def be32(v: Int) = { ihdr.write(v >> 24); ihdr.write((v >> 16) & 0xff); ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff) }
-    be32(w); be32(h); ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    be32(w); be32(h); ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(interlace)
     chunk("IHDR", ihdr.toByteArray)
     palette.foreach(p => chunk("PLTE", p))
     val d = new Deflater(); d.setInput(raw); d.finish()
@@ -88,6 +88,31 @@ class PngCodecSpec extends SparkSpec {
     val plte = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0)
     val pal = PngCodec.decode(buildPng(2, 1, 3, Array[Byte](0, 1, 0), Some(plte))).get._3
     assert(pal.toSeq == Seq[Byte](0, 255.toByte, 0, 255.toByte, 0, 0))
+  }
+
+  test("Adam7 interlaced images deinterlace to row-major pixels") {
+    val w = 4; val h = 4
+    // pixel (x,y) -> distinctive RGB triple
+    def px(x: Int, y: Int): Seq[Int] = Seq(x * 40 + y, 100 + x, 200 - y)
+    // pass grid per the PNG spec; emit each non-empty pass's scanlines
+    // with filter 0
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = (w - x0 + dx - 1) / dx
+      val ph = (h - y0 + dy - 1) / dy
+      if (pw > 0 && ph > 0) {
+        for (py <- 0 until ph) {
+          raw.write(0)
+          for (pxi <- 0 until pw) px(x0 + pxi * dx, y0 + py * dy).foreach(raw.write)
+        }
+      }
+    }
+    val Some((dw, dh, rgb)) = PngCodec.decode(buildPng(w, h, 2, raw.toByteArray, interlace = 1))
+    assert((dw, dh) == (w, h))
+    val expected = (0 until h).flatMap(y => (0 until w).flatMap(x => px(x, y))).map(_.toByte)
+    assert(rgb.toSeq == expected)
   }
 
   test("rejects non-png, truncated and 16-bit input") {
