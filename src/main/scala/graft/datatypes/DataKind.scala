@@ -166,6 +166,7 @@ object Registry {
     DataKind("fits", Nil, Seq("\\.fits?$"), Set("array"), Seq(0 -> ascii("SIMPLE"))),
     DataKind("asdf", Nil, Seq("\\.asdf$"), Set("array"), Seq(0 -> ascii("#ASDF"))),
     DataKind("dicom", Nil, Seq("\\.(dicom|dcm|ct|mri)$"), Set("array", "image"), Seq(128 -> ascii("DICM"))),
+    DataKind("nrrd", Nil, Seq("\\.nrrd$", "\\.nhdr$"), Set("array"), Seq(0 -> ascii("NRRD"))),
     DataKind("nifti", Nil, Seq("\\.nii$", "\\.hdr$"), Set("array", "image"),
       Seq(344 -> (ascii("ni1") ++ bytes(0)), 344 -> (ascii("n+1") ++ bytes(0)))),
     DataKind("flatgeobuf", Nil, Seq("\\.fgb$"), Set("table", "geo"), Seq(0 -> ascii("fgb"))),

@@ -57,6 +57,30 @@ object Writers {
     * entirely (bucket pruning + sorted merge within buckets). The
     * pre-partitioning half of the reference's missing scale story.
     */
+  /** Newline-delimited GeoJSON features (the GeoJSONSeq layout fiona
+    * writes; reference output.py:163 GeopandasToFile). Input is the
+    * shared feature frame — a `geometry_json` column plus property
+    * columns — and each task writes its own partition's lines, so the
+    * sink scales with the data.
+    */
+  def geojsonSeq(
+      df: DataFrame,
+      url: String,
+      geometryCol: String = "geometry_json",
+      spec: WriteSpec = WriteSpec()
+  ): DataRef = {
+    import org.apache.spark.sql.functions._
+    val props = df.columns.filterNot(c => c == geometryCol || c == "geometry_type").toSeq
+    val feature = concat(
+      lit("""{"type":"Feature","geometry":"""),
+      col(geometryCol),
+      lit(""","properties":"""),
+      if (props.isEmpty) lit("{}") else to_json(struct(props.map(col): _*)),
+      lit("}"))
+    df.select(feature.as("value")).write.mode(spec.mode).options(spec.options).text(url)
+    DataRef("geojsonseq", url, spec.options)
+  }
+
   def bucketedTable(
       df: DataFrame,
       name: String,

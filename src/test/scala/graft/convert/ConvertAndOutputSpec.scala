@@ -84,6 +84,25 @@ class ConvertAndOutputSpec extends SparkSpec {
     assert(parts.toSet == Set("s=x", "s=y"))
   }
 
+  test("geojsonSeq writes newline-delimited features that re-read as GeoJSON") {
+    import graft.readers.GeoJsonReader
+    val dir = java.nio.file.Files.createTempDirectory("gjs")
+    val features = Seq(
+      ("""{"type":"Point","coordinates":[1.5,2.5]}""", "Point", "alpha", 10L),
+      ("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""", "LineString", "beta", 20L)
+    ).toDF("geometry_json", "geometry_type", "name", "pop")
+    val ref = Writers.geojsonSeq(features, s"file://$dir/out")
+    assert(ref.kind == "geojsonseq")
+    val lines = spark.read.text(s"file://$dir/out").as[String].collect().sorted
+    assert(lines.length == 2)
+    assert(lines.forall(l => l.startsWith("""{"type":"Feature","geometry":{""") && l.contains(""""properties":{""")))
+    // parses back as JSON with intact geometry and properties
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq))
+    val row = parsed.filter(col("properties.name") === "alpha").head()
+    assert(row.getAs[org.apache.spark.sql.Row]("geometry").getAs[String]("type") == "Point")
+    assert(row.getAs[org.apache.spark.sql.Row]("properties").getAs[Long]("pop") == 10L)
+  }
+
   test("MinHashUnion aggregates group sketches whose union estimates Jaccard") {
     val docs = Seq(
       ("g1", "spark catalyst optimizer shuffles partitions"),

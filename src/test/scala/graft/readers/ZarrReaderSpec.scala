@@ -170,6 +170,29 @@ class ZarrReaderSpec extends SparkSpec {
     assert(back((4L, 2L)) == 42.0 && back((0L, 1L)) == 1.0)
   }
 
+  test("zarr v3 sharded write -> read round-trips; empty inner chunks go missing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3sw")
+    // 8x4 grid, shards 4x4 of 2x2 inner chunks; leave the whole inner
+    // chunk (rows 6-7, cols 2-3) empty -> marked missing in the index
+    val src = (for {
+      i <- 0 until 8; j <- 0 until 4
+      if !(i >= 6 && j >= 2)
+    } yield (i.toLong, j.toLong, (i * 100 + j).toDouble)).toDF("dim0", "dim1", "value")
+    val ref = graft.output.ZarrWriter.writeV3Sharded(
+      src, s"file://$dir/s", shardShape = Seq(4, 4), innerShape = Seq(2, 2),
+      shape = Seq(8, 4), gzip = true)
+    assert(ref.options("sharded") == "true")
+    // two shard objects, not eight chunk objects
+    assert(Files.list(dir.resolve("s/c")).count() == 2)
+    val back = ZarrReader.read(spark, s"file://$dir/s")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(back((0L, 0L)) == 0.0 && back((5L, 3L)) == 503.0 && back((7L, 1L)) == 701.0)
+    // the missing inner chunk contributes no rows
+    assert(!back.contains((6L, 2L)) && !back.contains((7L, 3L)))
+    assert(back.size == 28) // 32 cells minus the 4 in the missing chunk
+  }
+
   test("zarr write -> read round-trips 1-D int data with explicit shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zarrw1")
