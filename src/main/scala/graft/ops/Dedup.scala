@@ -76,14 +76,18 @@ object Dedup {
     )
   }
 
-  /** Staged MinHash: tokens → shingles → shingle hashes natively (one
-    * pass each), then the k×|shingles| min-scan in a JIT-compiled UDF
-    * over primitive arrays — interpreted HOF expression trees cost ~100ns
-    * per element access, which at k=64 × 80 shingles is ~4ms/row; the
-    * tight loop is ~100×  faster (the same call MLlib's MinHashLSH
-    * makes). `repartitionTo` spreads a single-file scan across cores
-    * before the compute-heavy stage (a 100 TB input already has
-    * thousands of partitions; a local single-parquet-file scan has one).
+  /** Staged MinHash: tokens natively, ONE xxhash64 per token (a flat
+    * n-element interpreted transform — the cheapest possible HOF), then
+    * everything else in a JIT-compiled UDF over primitive arrays: each
+    * shingle's hash is an affine combination of its tokens' hashes
+    * (no per-shingle string building, no n×shingleN interpreted
+    * slice/concat tree — the round-2 profile showed that tree was ~70%
+    * of q42's executor time), and the k-way min-scan folds into the
+    * same loop. Interpreted HOF element access costs ~100ns; the fused
+    * loop is ~100× faster (the same shape as MLlib's MinHashLSH).
+    * `repartitionTo` spreads a single-file scan across cores before the
+    * compute-heavy stage (a 100 TB input already has thousands of
+    * partitions; a local single-parquet-file scan has one).
     */
   def withMinhashSignature(
       df: DataFrame,
@@ -97,40 +101,43 @@ object Dedup {
     val (a, b) = coeffs(k, seed)
     val aArr = a.toArray
     val bArr = b.toArray
+    // per-position shingle-combination coefficients (same prime field)
+    val cArr = {
+      val rnd = new scala.util.Random(seed ^ 0x5DEECE66DL)
+      Array.fill(shingleN)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
+    }
     val p = MersennePrime
     val kk = k
-    val sigUdf = udf { (hashes: Seq[Long]) =>
-      val hs = hashes.toArray
-      val out = new Array[Long](kk)
+    val nSh = shingleN
+    val sigUdf = udf { (tokenHashes: Seq[Long]) =>
+      val th = tokenHashes.toArray
       var i = 0
-      while (i < kk) {
-        var best = Long.MaxValue
-        val ai = aArr(i); val bi = bArr(i)
-        var j = 0
-        while (j < hs.length) {
-          val v = (ai * hs(j) + bi) % p
-          if (v < best) best = v
-          j += 1
+      while (i < th.length) { th(i) = ((th(i) % p) + p) % p; i += 1 }
+      val nShingles = math.max(1, th.length - nSh + 1)
+      val out = Array.fill(kk)(Long.MaxValue)
+      var j = 0
+      while (j < nShingles) {
+        // shingle hash: affine combination of its tokens' hashes — token
+        // order matters, matching string shingles' order sensitivity
+        var sh = 0L
+        var t = 0
+        val w = math.min(nSh, th.length)
+        while (t < w) { sh = (sh + cArr(t) * th(j + t)) % p; t += 1 }
+        var i2 = 0
+        while (i2 < kk) {
+          val v = (aArr(i2) * sh + bArr(i2)) % p
+          if (v < out(i2)) out(i2) = v
+          i2 += 1
         }
-        out(i) = if (hs.isEmpty) 0L else best
-        i += 1
+        j += 1
       }
-      out
+      if (th.isEmpty) Array.fill(kk)(0L) else out
     }
     val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
     base.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
-      .withColumn(
-        "_mh_hashes",
-        when(size(col("_mh_toks")) < shingleN, array(pmod(xxhash64(concat_ws(" ", col("_mh_toks"))), lit(MersennePrime))))
-          .otherwise(
-            transform(
-              sequence(lit(0), size(col("_mh_toks")) - shingleN),
-              i => pmod(xxhash64(concat_ws(" ", slice(col("_mh_toks"), i + 1, lit(shingleN)))), lit(MersennePrime))
-            )
-          )
-      )
-      .withColumn(outCol, sigUdf(col("_mh_hashes")))
-      .drop("_mh_toks", "_mh_hashes")
+      .withColumn("_mh_th", transform(col("_mh_toks"), t => xxhash64(t)))
+      .withColumn(outCol, sigUdf(col("_mh_th")))
+      .drop("_mh_toks", "_mh_th")
   }
 
   /** Candidate near-duplicate pairs via LSH banding: split the k-length
