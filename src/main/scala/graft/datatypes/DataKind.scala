@@ -218,7 +218,9 @@ object Registry {
     // HuggingfaceDataset, datatypes.py:1738,1616): addressed by kind/scheme,
     // no head bytes to sniff.
     DataKind("tiled_service", Nil, Nil, Set("catalog", "service")),
-    DataKind("huggingface", Nil, Seq("^hf://"), Set("table", "service"))
+    DataKind("huggingface", Nil, Seq("^hf://"), Set("table", "service")),
+    // OGC API - Features collections (readers.py:3446): addressed by kind
+    DataKind("ogc_features", Nil, Nil, Set("table", "geo", "service"))
   )
 
   val byName: Map[String, DataKind] = kinds.map(k => k.name -> k).toMap
