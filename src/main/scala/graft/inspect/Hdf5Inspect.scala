@@ -36,16 +36,20 @@ object Hdf5Inspect {
       dtype: Option[(String, Int, Boolean)], // class, size, little-endian
       denseLinks: Boolean,
       contiguous: Option[(Long, Long)],  // data address + byte size
-      chunked: Option[(Long, Seq[Int])], // chunk b-tree address + chunk dims (element counts)
+      chunked: Option[(Long, Seq[Int], String)], // chunk index address + chunk dims + index kind
       gzipped: Boolean)                  // deflate filter in the pipeline
 
   /** A dataset whose data this walker can address: contiguous layout,
-    * or chunked (v1 b-tree index) with optional deflate filter.
+    * or chunked with optional deflate filter. `indexKind` names the
+    * chunk index: "btree1" (layout v3), or the layout-v4 indexes
+    * "single" / "implicit" / "fixedarray" that libver=latest writers
+    * emit.
     */
   final case class DatasetInfo(
       path: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int,
       littleEndian: Boolean, dataAddr: Long, dataSize: Long,
-      chunkBtree: Long = -1L, chunkDims: Seq[Int] = Nil, gzipped: Boolean = false) {
+      chunkBtree: Long = -1L, chunkDims: Seq[Int] = Nil, gzipped: Boolean = false,
+      indexKind: String = "btree1") {
     def isChunked: Boolean = chunkBtree != -1L
   }
 
@@ -75,6 +79,76 @@ object Hdf5Inspect {
       }
     }
     walkNode(btreeAddr)
+  }
+
+  /** Chunk entries for the layout-v4 indexes ("single", "implicit",
+    * "fixedarray"): same (coords, address, stored size) shape as
+    * [[chunkIndex]]. Fixed arrays cover both the unfiltered (client 0,
+    * 8-byte address elements) and filtered (client 1, address + stored
+    * size + filter mask) layouts; paged data blocks are rejected.
+    * Grid order is C order with the first dimension slowest, matching
+    * how the library assigns element indices.
+    */
+  def modernChunks(
+      bytes: Array[Byte],
+      kind: String,
+      indexAddr: Long,
+      dims: Seq[Long],
+      chunkDims: Seq[Int],
+      elemSize: Int
+  ): Seq[(Seq[Long], Long, Int)] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val chunkBytes = chunkDims.map(_.toLong).product * elemSize
+    val grid = dims.zip(chunkDims).map { case (d, c) => ((d + c - 1) / c).toInt }
+    val nChunks = grid.map(_.toLong).product.toInt
+    def coordsOf(flat: Int): Seq[Long] = {
+      // C order: last dim fastest
+      var rest = flat
+      val out = new Array[Long](grid.length)
+      var d = grid.length - 1
+      while (d >= 0) { out(d) = (rest % grid(d)).toLong * chunkDims(d); rest /= grid(d); d -= 1 }
+      out.toSeq
+    }
+    kind match {
+      case "single" =>
+        if (indexAddr == -1L) Nil
+        else Seq((Seq.fill(dims.length)(0L), indexAddr, chunkBytes.toInt))
+      case "implicit" =>
+        (0 until nChunks).map(i => (coordsOf(i), indexAddr + i * chunkBytes, chunkBytes.toInt))
+      case "fixedarray" =>
+        val p = indexAddr.toInt
+        require(new String(bytes, p, 4, "ISO-8859-1") == "FAHD", s"no FAHD header at $indexAddr")
+        val clientId = bytes(p + 5) & 0xff
+        val entrySize = bytes(p + 6) & 0xff
+        val maxEntries = bb.getLong(p + 8)
+        val dataBlockAddr = bb.getLong(p + 16)
+        require(maxEntries >= nChunks, s"fixed array holds $maxEntries < $nChunks chunks")
+        val db = dataBlockAddr.toInt
+        require(new String(bytes, db, 4, "ISO-8859-1") == "FADB", s"no FADB block at $dataBlockAddr")
+        val pageBits = bytes(p + 7) & 0xff
+        require(maxEntries <= (1L << pageBits), "paged fixed-array data blocks unsupported")
+        val elemsAt = db + 14 // sig(4) + version(1) + client(1) + header addr(8)
+        (0 until nChunks).flatMap { i =>
+          val e = elemsAt + i * entrySize
+          val addr = bb.getLong(e)
+          if (addr == -1L) None
+          else {
+            val stored =
+              if (clientId == 0) chunkBytes.toInt
+              else { // filtered element: address + stored size + filter mask(4)
+                val szLen = entrySize - 12
+                szLen match {
+                  case 1 => bytes(e + 8) & 0xff
+                  case 2 => bb.getShort(e + 8) & 0xffff
+                  case 4 => bb.getInt(e + 8)
+                  case _ => bb.getLong(e + 8).toInt
+                }
+              }
+            Some((coordsOf(i), addr, stored))
+          }
+        }
+      case other => throw new UnsupportedOperationException(s"hdf5 chunk index kind $other")
+    }
   }
 
   def listing(bytes: Array[Byte]): Seq[Node] = walk(bytes)._1
@@ -186,7 +260,7 @@ object Hdf5Inspect {
       var dtype: Option[(String, Int, Boolean)] = None
       var dense = false
       var contiguous: Option[(Long, Long)] = None
-      var chunked: Option[(Long, Seq[Int])] = None
+      var chunked: Option[(Long, Seq[Int], String)] = None
       var gzipped = false
       val continuations = scala.collection.mutable.Queue[(Long, Long)]()
 
@@ -198,14 +272,44 @@ object Hdf5Inspect {
           val fh = bb.getLong(body + 2 + (if ((flags & 1) != 0) 8 else 0))
           if (fh != Undef) dense = true
         case 0x0006 => parseLink(body, size).foreach(links += _)
-        case 0x0008 => // data layout, version 3: class 1 contiguous, class 2 chunked
+        case 0x0008 => // data layout: v3 contiguous/chunked + v4 chunked indexes
           if ((bytes(body) & 0xff) == 3 && (bytes(body + 1) & 0xff) == 1)
             contiguous = Some((bb.getLong(body + 2), bb.getLong(body + 10)))
           else if ((bytes(body) & 0xff) == 3 && (bytes(body + 1) & 0xff) == 2) {
             val dimensionality = bytes(body + 2) & 0xff // rank + 1 (element dim)
             val bt = bb.getLong(body + 3)
             val cdims = (0 until dimensionality - 1).map(d => bb.getInt(body + 11 + d * 4))
-            chunked = Some((bt, cdims))
+            chunked = Some((bt, cdims, "btree1"))
+          } else if ((bytes(body) & 0xff) == 4 && (bytes(body + 1) & 0xff) == 2) {
+            // version 4 chunked: flags, dimensionality (rank+1 with the
+            // element-size dim last), per-dim encoded length, chunk dims,
+            // then the chunk indexing type and its index address
+            val flags4 = bytes(body + 2) & 0xff
+            val dimensionality = bytes(body + 3) & 0xff
+            val encLen = bytes(body + 4) & 0xff
+            def dimAt(i: Int): Long = {
+              val at = body + 5 + i * encLen
+              encLen match {
+                case 1 => bytes(at) & 0xffL
+                case 2 => (bb.getShort(at) & 0xffff).toLong
+                case 4 => bb.getInt(at).toLong & 0xffffffffL
+                case _ => bb.getLong(at)
+              }
+            }
+            val cdims = (0 until dimensionality - 1).map(d => dimAt(d).toInt)
+            var q = body + 5 + dimensionality * encLen
+            val idxType = bytes(q) & 0xff; q += 1
+            val kind = idxType match {
+              case 1 =>
+                if ((flags4 & 0x02) != 0) q += 12 // filtered single chunk: size(8) + filter mask(4)
+                "single"
+              case 2 => "implicit"
+              case 3 => q += 1; "fixedarray" // page bits
+              case 4 => q += 6; "extensible"
+              case 5 => q += 6; "btree2"
+              case other => s"unknown$other"
+            }
+            chunked = Some((bb.getLong(q), cdims, kind))
           }
         case 0x000B => // filter pipeline v1: deflate is filter id 1
           val n = bytes(body + 1) & 0xff
@@ -291,9 +395,9 @@ object Hdf5Inspect {
             m.dtype.map(_._1).getOrElse("unknown"), m.dtype.map(_._2).getOrElse(0))
           for (((cls, sz, le), (addr0, size0)) <- m.dtype.zip(m.contiguous))
             dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, addr0, size0)
-          for (((cls, sz, le), (bt, cdims)) <- m.dtype.zip(m.chunked))
+          for (((cls, sz, le), (bt, cdims, kind)) <- m.dtype.zip(m.chunked))
             dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, -1L, 0L,
-              chunkBtree = bt, chunkDims = cdims, gzipped = m.gzipped)
+              chunkBtree = bt, chunkDims = cdims, gzipped = m.gzipped, indexKind = kind)
         } else {
           out += Node(path, if (m.denseLinks) "group(children_omitted)" else "group",
             Nil, "", 0)

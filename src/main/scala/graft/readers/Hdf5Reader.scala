@@ -60,7 +60,10 @@ object Hdf5Reader {
     val fs = FileSystem.get(new URI(url).resolve("/"), spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(url))
     val bytes = try in.readAllBytes() finally in.close()
-    val chunks = Hdf5Inspect.chunkIndex(bytes, d.chunkBtree, d.dims.length)
+    val chunks = d.indexKind match {
+      case "btree1" => Hdf5Inspect.chunkIndex(bytes, d.chunkBtree, d.dims.length)
+      case kind => Hdf5Inspect.modernChunks(bytes, kind, d.chunkBtree, d.dims, d.chunkDims, d.dtypeSize)
+    }
     val (cls, esz, le, gz, cdims, dims, twoD) =
       (d.dtypeClass, d.dtypeSize, d.littleEndian, d.gzipped, d.chunkDims, d.dims, d.dims.length == 2)
     val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)

@@ -308,6 +308,103 @@ class Hdf5InspectSpec extends graft.SparkSpec {
     assert(!m.contains((3L, 0L)) && !m.contains((0L, 6L)))
   }
 
+  test("layout v4 fixed-array chunk index reads (libver=latest shape)") {
+    // v0 superblock + v1 object headers, but the dataset carries a
+    // VERSION 4 data layout message with a fixed-array chunk index —
+    // the combination modern writers emit for chunked data
+    val bb = ByteBuffer.allocate(0x1000).order(ByteOrder.LITTLE_ENDIAN)
+    sig(bb, 0)
+    bb.put(8, 0.toByte); bb.put(13, 8.toByte); bb.put(14, 8.toByte)
+    bb.putShort(16, 4); bb.putShort(18, 16)
+    bb.putLong(24, 0L); bb.putLong(32, Undef); bb.putLong(40, 0x1000L); bb.putLong(48, Undef)
+    bb.putLong(56, 0L); bb.putLong(64, 0x100L)
+    def objHeaderV1(at: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      bb.put(at, 1.toByte); bb.putShort(at + 2, msgs.size.toShort); bb.putInt(at + 4, 1)
+      bb.putInt(at + 8, msgs.map(m => 8 + ((m._2.length + 7) & ~7)).sum)
+      var p = at + 16
+      msgs.foreach { case (typ, body) =>
+        val padded = (body.length + 7) & ~7
+        bb.putShort(p, typ.toShort); bb.putShort(p + 2, padded.toShort)
+        bb.position(p + 8); bb.put(body)
+        p += 8 + padded
+      }
+    }
+    def symTab(btree: Long, heap: Long) = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN); b.putLong(btree); b.putLong(heap); b.array()
+    }
+    objHeaderV1(0x100, Seq(0x0011 -> symTab(0x200, 0x300)))
+    bb.position(0x200); bb.put("TREE".getBytes); bb.put(0.toByte); bb.put(0.toByte); bb.putShort(1)
+    bb.putLong(0x208, Undef); bb.putLong(0x210, Undef); bb.putLong(0x218, 0L); bb.putLong(0x220, 0x400L)
+    bb.position(0x300); bb.put("HEAP".getBytes); bb.putLong(0x308, 0x80L); bb.putLong(0x310, 0L); bb.putLong(0x318, 0x340L)
+    bb.position(0x340); bb.put("fa".getBytes); bb.put(0.toByte)
+    bb.position(0x400); bb.put("SNOD".getBytes); bb.put(0x404, 1.toByte); bb.putShort(0x406, 1)
+    bb.putLong(0x408, 0L); bb.putLong(0x410, 0x500L)
+
+    val dataspace = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(2.toByte); b.position(8); b.putLong(3L); b.putLong(4L); b.array()
+    }
+    val dtype = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | 1).toByte); b.position(4); b.putInt(8); b.array()
+    }
+    val layoutV4 = {
+      // v4, chunked, flags 0, dimensionality 3 (2 chunk dims + element
+      // size), 4-byte dim encoding, indexing type 3 (fixed array)
+      val b = ByteBuffer.allocate(27).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte); b.put(2.toByte); b.put(0.toByte); b.put(3.toByte); b.put(4.toByte)
+      b.putInt(2); b.putInt(3); b.putInt(8)
+      b.put(3.toByte)      // fixed array
+      b.put(10.toByte)     // page bits
+      b.putLong(0x600L)    // index (FAHD) address
+      b.array()
+    }
+    objHeaderV1(0x500, Seq(0x0001 -> dataspace, 0x0003 -> dtype, 0x0008 -> layoutV4))
+
+    // chunk data, unfiltered: 2x3 doubles each; chunk (2,3) missing
+    def block(oi: Int, oj: Int): Unit = {
+      val vals = for (a <- 0 until 2; b <- 0 until 3) yield ((oi + a) * 10 + (oj + b)).toDouble
+      vals.foreach(bb.putDouble)
+    }
+    bb.position(0x800); block(0, 0)
+    bb.position(0x880); block(0, 3)
+    bb.position(0x900); block(2, 0)
+
+    // FAHD at 0x600: sig, version, client 0 (unfiltered), entry size 8,
+    // page bits 10, max entries 4, data block at 0x680
+    bb.position(0x600); bb.put("FAHD".getBytes)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(8.toByte); bb.put(10.toByte)
+    bb.putLong(0x608, 4L); bb.putLong(0x610, 0x680L)
+    // FADB at 0x680: sig, version, client, header addr, then 4 addresses
+    // in C order (grid 2x2) with the last marked missing
+    bb.position(0x680); bb.put("FADB".getBytes); bb.put(0.toByte); bb.put(0.toByte)
+    bb.putLong(0x686, 0x600L)
+    bb.putLong(0x68E, 0x800L); bb.putLong(0x696, 0x880L)
+    bb.putLong(0x69E, 0x900L); bb.putLong(0x6A6, Undef)
+
+    val ds = Hdf5Inspect.datasets(bb.array())
+    assert(ds.head.isChunked && ds.head.indexKind == "fixedarray" && ds.head.chunkDims == Seq(2, 3))
+    val chunks = Hdf5Inspect.modernChunks(bb.array(), "fixedarray", 0x600L, Seq(3L, 4L), Seq(2, 3), 8)
+    assert(chunks.map(_._1) == Seq(Seq(0L, 0L), Seq(0L, 3L), Seq(2L, 0L)))
+
+    val dir = java.nio.file.Files.createTempDirectory("h5fa")
+    java.nio.file.Files.write(dir.resolve("fa.h5"), bb.array())
+    import spark.implicits._
+    val m = graft.readers.Hdf5Reader.read(spark, s"file://$dir/fa.h5")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m.size == 11) // 3x4 minus the missing chunk's single in-bounds cell (2,3)
+    assert(m((0L, 0L)) == 0.0 && m((1L, 3L)) == 13.0 && m((2L, 2L)) == 22.0)
+    assert(!m.contains((2L, 3L)))
+
+    // implicit index: same grid laid contiguously from a base address
+    val imp = Hdf5Inspect.modernChunks(bb.array(), "implicit", 0x800L, Seq(4L, 6L), Seq(2, 3), 8)
+    assert(imp.map(c => (c._1, c._2)) == Seq(
+      (Seq(0L, 0L), 0x800L), (Seq(0L, 3L), 0x830L), (Seq(2L, 0L), 0x860L), (Seq(2L, 3L), 0x890L)))
+    // single chunk: the whole dataset at one address
+    val single = Hdf5Inspect.modernChunks(bb.array(), "single", 0x800L, Seq(2L, 3L), Seq(2, 3), 8)
+    assert(single == Seq((Seq(0L, 0L), 0x800L, 48)))
+  }
+
   test("rejects non-hdf5 bytes and unknown superblocks") {
     intercept[IllegalArgumentException](Hdf5Inspect.listing("nope".getBytes ++ new Array[Byte](60)))
     val bad = v0File(); bad(8) = 9.toByte
