@@ -274,4 +274,41 @@ object Similarity {
   /** Reconstruct float vectors from [[quantizeEmbedding]] output. */
   def dequantizeEmbedding(df: DataFrame, qCol: String = "q", out: String = "vec"): DataFrame =
     df.withColumn(out, transform(col(qCol), b => (b.cast("float") * col(s"${qCol}_scale")).cast("float")))
+
+  /** Embedding outlier scoring: squared distance to the corpus centroid,
+    * largest first — the semantic-anomaly pass a curation pipeline runs
+    * to surface mislabeled/garbage vectors. The arithmetic is exact
+    * integers so the ranking is deterministic across engines and
+    * partitionings: elements quantize to `floor(x * scale)`, the
+    * centroid is the per-dimension SUM (not mean) and distances compare
+    * `element * n - sum` — the mean times n — squared. One explode
+    * shuffle for the centroid (tiny: dims × partial sums) broadcast back
+    * over a map-only pass; top-k via sort-limit.
+    *
+    * The exact-integer form bounds n: (scale·|x|·n)² must stay under
+    * 2^63, i.e. ~10^6 rows at scale=1000 — right for per-shard or
+    * per-source audits. For corpus-wide scoring at 100 TB, compute the
+    * double mean instead; the 1e-16 relative error is far below any
+    * decision threshold (only the cross-engine ORACLE needs exactness).
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int = 20,
+      scale: Int = 1000
+  ): DataFrame = {
+    val ex = df.select(
+      col(idCol),
+      posexplode(col(vecCol)).as(Seq("_i", "_e")))
+      .withColumn("_s", floor(col("_e").cast("double") * scale).cast("long"))
+    val centroid = ex.groupBy("_i")
+      .agg(sum("_s").as("_m"), count(lit(1)).as("_n"))
+    ex.join(broadcast(centroid), Seq("_i"))
+      .withColumn("_d", col("_s") * col("_n") - col("_m"))
+      .groupBy(idCol)
+      .agg(sum(col("_d") * col("_d")).as("d2_scaled"))
+      .orderBy(col("d2_scaled").desc, col(idCol))
+      .limit(topK)
+  }
 }

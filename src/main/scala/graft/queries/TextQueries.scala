@@ -370,6 +370,70 @@ object TextQueries {
       """)
     ),
     (
+      "q73_stratified_mix",
+      // deterministic proportional mixture per source: keep 30% of each
+      // stratum, rows chosen by md5(id) order — stable across engines,
+      // no RNG (ops.Mixing.stratifiedSample)
+      (s, dir) => {
+        graft.ops.Mixing.stratifiedSample(
+          table(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", 0.30)
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.30)
+      """)
+    ),
+    (
+      "q74_length_buckets",
+      // curriculum buckets: quartiles over token counts with per-bucket
+      // stats (ops.Mixing.lengthBuckets)
+      (s, dir) => {
+        val sized = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Mixing.lengthBuckets(sized, "n_tokens", "doc_id", 4)
+      },
+      Some(s"""
+        WITH sized AS (
+          SELECT doc_id, len(${duckTokens("text")}) AS n_tokens FROM documents
+        ), b AS (
+          SELECT doc_id, n_tokens, ntile(4) OVER (ORDER BY n_tokens, doc_id) AS bucket FROM sized
+        )
+        SELECT bucket, count(*) AS n_docs,
+               min(n_tokens) AS min_size, max(n_tokens) AS max_size
+        FROM b GROUP BY bucket
+      """)
+    ),
+    (
+      "q75_embedding_outliers",
+      // centroid-distance outliers over the embeddings table, exact
+      // integer arithmetic end to end (ops.Similarity.centroidOutliers)
+      (s, dir) => {
+        graft.ops.Similarity.centroidOutliers(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", topK = 20)
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id,
+                 unnest(range(1, len(embedding) + 1)) AS i,
+                 CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS s
+          FROM embeddings
+        ), c AS (
+          SELECT i, CAST(sum(s) AS BIGINT) AS m, count(*) AS n FROM ex GROUP BY i
+        )
+        SELECT ex.vec_id, CAST(sum((ex.s * c.n - c.m) * (ex.s * c.n - c.m)) AS BIGINT) AS d2_scaled
+        FROM ex JOIN c USING (i)
+        GROUP BY ex.vec_id
+        ORDER BY d2_scaled DESC, ex.vec_id
+        LIMIT 20
+      """)
+    ),
+    (
       "q70_packing",
       // Per-partition greedy first-fit is partitioning-dependent →
       // rows-only here; invariants (coverage, budget bound) are spec'd
