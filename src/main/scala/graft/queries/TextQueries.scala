@@ -434,6 +434,59 @@ object TextQueries {
       """)
     ),
     (
+      "q76_cc_exact",
+      // Connected components oracle-checked: the same min-label
+      // propagation the near-dup clustering runs (Dedup.connectedComponents),
+      // over the DuckDB-replicable exact-Jaccard pair graph of q41, with
+      // the SAME fixed round count on both sides — so labels match even
+      // if a component's diameter exceeds the rounds.
+      (s, dir) => {
+        val pairs = Dedup.exactJaccardPairs(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.55)
+          .select(col("id1"), col("id2"))
+        Dedup.connectedComponents(pairs, maxIter = 4)
+          .select(col("id"), col("component"))
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id AS _id, unnest(list_distinct(${duckTokens("text")})) AS _w
+          FROM documents WHERE doc_id < 200
+        ), sizes AS (
+          SELECT _id, count(*) AS _n FROM words GROUP BY _id
+        ), inter AS (
+          SELECT a._id AS a1, b._id AS a2, count(*) AS _inter
+          FROM words a JOIN words b ON a._w = b._w AND a._id < b._id
+          GROUP BY a._id, b._id
+        ), pairs AS (
+          SELECT a1 AS id1, a2 AS id2 FROM inter
+          JOIN sizes s1 ON s1._id = a1
+          JOIN sizes s2 ON s2._id = a2
+          WHERE CAST(_inter AS DOUBLE) / (s1._n + s2._n - _inter) >= 0.55
+        ), e AS (
+          SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs
+        ), l0 AS (
+          SELECT DISTINCT id1 AS id, id1 AS comp FROM e
+        ), l1 AS (
+          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+          FROM l0 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l0 n ON n.id = e.id2
+          GROUP BY l.id, l.comp
+        ), l2 AS (
+          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+          FROM l1 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l1 n ON n.id = e.id2
+          GROUP BY l.id, l.comp
+        ), l3 AS (
+          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+          FROM l2 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l2 n ON n.id = e.id2
+          GROUP BY l.id, l.comp
+        ), l4 AS (
+          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+          FROM l3 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l3 n ON n.id = e.id2
+          GROUP BY l.id, l.comp
+        )
+        SELECT id, comp AS component FROM l4
+      """)
+    ),
+    (
       "q70_packing",
       // Per-partition greedy first-fit is partitioning-dependent →
       // rows-only here; invariants (coverage, budget bound) are spec'd
