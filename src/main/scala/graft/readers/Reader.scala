@@ -155,6 +155,7 @@ object SparkReaders {
   val gpx: Reader = new GpxReaderImpl
   val mbtiles: Reader = new MBTilesReaderImpl
   val sas: Reader = new SasReaderImpl
+  val xpt: Reader = new XptReaderImpl
   val flatgeobuf: Reader = new FlatGeobufReaderImpl
   val nrrd: Reader = new NrrdReaderImpl
   val arrayPattern: Reader = new ArrayPatternReaderImpl
@@ -265,7 +266,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

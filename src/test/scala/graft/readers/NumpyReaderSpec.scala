@@ -7,6 +7,25 @@ import java.nio.file.Files
 class NumpyReaderSpec extends SparkSpec {
   import spark.implicits._
 
+  test("NumpyWriter round-trips 1-D and 2-D long-form frames") {
+    val dir = Files.createTempDirectory("npyw")
+    val oneD = Seq((0L, 1.5), (1L, -2.25), (2L, 8.0)).toDF("idx", "value")
+    val ref = graft.output.NumpyWriter.write(oneD, s"file://$dir/v.npy")
+    assert(ref.options("shape") == "3")
+    val back = NumpyReader.read(spark, s"file://$dir/v.npy").as[(Long, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((0L, 1.5), (1L, -2.25), (2L, 8.0)))
+
+    val twoD = Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(4.0, 5.0, 6.0))).toDF("idx", "row")
+    graft.output.NumpyWriter.write(twoD, s"file://$dir/m.npy")
+    val back2 = NumpyReader.read(spark, s"file://$dir/m.npy").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(back2(0)._2 == Seq(1.0, 2.0, 3.0) && back2(1)._2 == Seq(4.0, 5.0, 6.0))
+
+    // int32 dtype
+    graft.output.NumpyWriter.write(oneD, s"file://$dir/i.npy", dtype = "<i4")
+    val back3 = NumpyReader.read(spark, s"file://$dir/i.npy").as[(Long, Double)].collect().sortBy(_._1)
+    assert(back3.map(_._2).toSeq == Seq(1.0, -2.0, 8.0))
+  }
+
   /** Hand-built NPY v1: C-order little-endian. */
   private def npyBytes(dtype: String, shape: Seq[Int], data: Seq[Double], fortran: Boolean = false): Array[Byte] = {
     val header = s"{'descr': '$dtype', 'fortran_order': ${if (fortran) "True" else "False"}, 'shape': (${shape.mkString(", ")}${if (shape.length == 1) "," else ""}), }"
