@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark/test-set decontamination: flag training documents that share
+  * word n-grams with a (small) probe corpus — the standard "13-gram
+  * overlap" hygiene pass an LLM training pipeline runs before training so
+  * eval benchmarks aren't leaked into the corpus.
+  *
+  * The reference has no such operator (it is a catalog/dispatch layer);
+  * this is part of the Spark-native training-data surface, alongside
+  * [[Dedup]] and [[TextOps]].
+  *
+  * Scale design (100 TB corpus, bounded probe set):
+  *  - the probe side (a benchmark suite) is tiny relative to the corpus —
+  *    its distinct n-grams are broadcast, so the corpus side is a map-only
+  *    explode + broadcast hash join; the only shuffle is the final
+  *    (doc, probe) count aggregation, which is bounded by the number of
+  *    *matches*, not the corpus size;
+  *  - with `hashGrams=true` the join key is the 64-bit xxhash64 of the
+  *    n-gram, so no n-gram strings are materialized through the join
+  *    (collision odds across G distinct probe grams are ~G²/2⁶⁴ —
+  *    negligible for any real benchmark suite, and acceptable for a
+  *    flagging pass); `hashGrams=false` joins on the exact string and is
+  *    the DuckDB-oracle path.
+  */
+object Decontam {
+
+  /** Distinct word n-grams of `textCol` per row of `df`, exploded to
+    * (idCol, gram) rows. Texts shorter than `n` tokens contribute their
+    * whole token sequence as one gram (same convention as
+    * [[Dedup.shingles]]).
+    */
+  private def explodedGrams(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(
+      col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_gram")
+    )
+
+  /** Per-(document, probe) n-gram overlap: one row for each training doc
+    * sharing at least one word n-gram with a probe document, with the
+    * shared-gram count and the contaminated fraction of the probe's grams.
+    *
+    * Output: (idCol, probeIdCol, n_shared, probe_grams, contamination)
+    * where contamination = n_shared / probe_grams ∈ (0, 1].
+    */
+  def ngramOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 13,
+      hashGrams: Boolean = true,
+      broadcastProbes: Boolean = true,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val key = if (hashGrams) xxhash64(col("_gram")) else col("_gram")
+    // A 100 TB corpus arrives in thousands of scan partitions; a local
+    // single-parquet-file scan arrives in ONE, serializing the gram
+    // pipeline — spread it before the compute-heavy shingling stage.
+    val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
+    val docGrams = explodedGrams(base, idCol, textCol, n)
+      .select(col(idCol), key.as("_k"))
+    val probeGramsRaw = explodedGrams(probes, probeIdCol, probeTextCol, n)
+      .select(col(probeIdCol), key.as("_k"))
+    val probeSizes = probeGramsRaw.groupBy(probeIdCol).agg(count(lit(1)).as("probe_grams"))
+    val probeGrams = {
+      val p = probeGramsRaw.join(probeSizes, Seq(probeIdCol))
+      if (broadcastProbes) broadcast(p) else p
+    }
+    docGrams
+      .join(probeGrams, Seq("_k"))
+      .groupBy(col(idCol), col(probeIdCol), col("probe_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(
+        col(idCol),
+        col(probeIdCol),
+        col("n_shared"),
+        col("probe_grams"),
+        (col("n_shared").cast("double") / col("probe_grams")).as("contamination")
+      )
+  }
+
+  /** Remove contaminated documents: drop every doc whose shared-gram count
+    * with ANY probe reaches `minShared`. Anti-join on the flagged id set —
+    * the flagged set is small (matches only), so AQE broadcasts it.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 13,
+      minShared: Long = 1L
+  ): DataFrame = {
+    val flagged = ngramOverlap(docs, idCol, textCol, probes, probeIdCol, probeTextCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+      .distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+}

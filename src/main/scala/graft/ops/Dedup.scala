@@ -204,6 +204,113 @@ object Dedup {
       )
   }
 
+  /** DuckDB-replicable 31-bit string hash: the little-endian uint64 of the
+    * first 8 md5 bytes (exactly DuckDB's `md5_number_upper`), reduced mod
+    * 2^31-1. Built from codegen'd built-ins (md5/substring/conv); the
+    * uint64 doesn't fit a signed long, so the mod runs in DECIMAL(20,0).
+    * Exists so the MinHash-LSH pipeline has a hash-exact cross-engine
+    * oracle ([[minhashNearDupPairsPortable]]); the scale path keeps
+    * xxhash64 ([[withMinhashSignature]]), which is one shuffle-free
+    * codegen'd call instead of this 18-function tree.
+    */
+  def md5Hash31(c: Column): Column = {
+    val hex = md5(c)
+    // byte-reverse the first 8 bytes: hex pairs 7..0
+    val le = concat((7 to 0 by -1).map(i => substring(hex, 1 + 2 * i, 2)): _*)
+    pmod(conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)),
+      lit(MersennePrime)).cast("long")
+  }
+
+  /** The affine-hash coefficients of the portable MinHash, exposed so the
+    * DuckDB oracle SQL can embed the same literals. */
+  def portableCoeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = coeffs(k, seed)
+
+  /** MinHash-LSH near-dup pairs with every stage replicable in ANSI-ish
+    * SQL (DuckDB): md5-based shingle hashes ([[md5Hash31]]), affine
+    * signature mins, and band buckets that are the *literal* joined
+    * signature slice (a string) instead of an engine hash of it. This is
+    * the hash-exact oracle twin of [[minhashNearDupPairs]]: same
+    * candidate semantics, zero engine-specific hashing, so the full
+    * pipeline — shingling, signatures, banding, candidate join, estimated
+    * Jaccard — is verified value-for-value against DuckDB rather than
+    * rows-only. Costs more per row than the scale path (md5 per shingle
+    * string vs one xxhash64 per token) and shuffles string bucket keys;
+    * use [[minhashNearDupPairs]] for the 100 TB path.
+    */
+  def minhashNearDupPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val (a, b) = coeffs(k, seed)
+    val aArr = a.toArray
+    val bArr = b.toArray
+    val p = MersennePrime
+    val kk = k
+    val nSh = shingleN
+    // One fused JIT-compiled loop per row: shingle strings → md5 →
+    // little-endian uint64 of the first 8 digest bytes mod p (EXACTLY the
+    // values of [[md5Hash31]] / DuckDB's md5_number_upper % p — the
+    // cross-engine parity is in the VALUES, not the expression tree) →
+    // k affine mins. The same computation as interpreted Column HOFs ran
+    // 5-10x slower (per-shingle 18-node expression tree + DECIMAL mod).
+    val sigUdf = udf { (toks: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arr = toks.toArray
+      val out = Array.fill(kk)(Long.MaxValue)
+      val shingleIt: Iterator[String] =
+        if (arr.length < nSh) Iterator(arr.mkString(" "))
+        else (0 to arr.length - nSh).iterator.map(i => arr.slice(i, i + nSh).mkString(" "))
+      shingleIt.foreach { s =>
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var le = 0L
+        var i = 7
+        while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
+        val h = java.lang.Long.remainderUnsigned(le, p)
+        var j = 0
+        while (j < kk) { val v = (aArr(j) * h + bArr(j)) % p; if (v < out(j)) out(j) = v; j += 1 }
+      }
+      out
+    }
+    val bandW = k / bands
+    val sigs = repartitionTo.map(df.repartition(_)).getOrElse(df)
+      .select(col(idCol).as("_id"), sigUdf(TextOps.tokens(col(textCol))).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(
+      col("_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          bnd => concat_ws(",", slice(col("_sig"), bnd * bandW + 1, lit(bandW)))
+        )
+      )
+    )
+      .withColumnRenamed("pos", "_band")
+      .withColumnRenamed("col", "_bucket")
+    val pairs = banded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
+      .join(banded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    pairs
+      .join(sigs.select(col("_id").as("id1"), col("_sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("_id").as("id2"), col("_sig").as("sig2")), Seq("id2"))
+      .select(
+        col("id1"),
+        col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / size(col("sig1"))).as("est_jaccard")
+      )
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs on a text column. */
   def minhashNearDupPairs(
       df: DataFrame,

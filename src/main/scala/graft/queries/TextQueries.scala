@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions
-import graft.ops.{Chunking, Dedup, Similarity, TextOps}
+import graft.ops.{Chunking, Decontam, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline surface over `documents` and `embeddings`:
@@ -502,6 +502,95 @@ object TextQueries {
             max("total_tokens").as("max_pack"))
       },
       None
+    ),
+    (
+      "q77_decontaminate",
+      // Benchmark decontamination: 5-gram overlap between the train split
+      // (doc_id % 97 != 0) and the probe/test split (doc_id % 97 == 0).
+      // Runs the scale path (hashed gram join, broadcast probes); the
+      // oracle joins the gram strings — identical output (64-bit hash
+      // collisions across ~1e5 distinct grams are ~1e-9-probable).
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Decontam.ngramOverlap(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("probe_id"), col("text")),
+          "probe_id", "text", n = 5,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+          .select(col("doc_id"), col("probe_id"), col("n_shared"), col("probe_grams"),
+            round(col("contamination"), 6).as("contamination"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 4),
+                                       i -> array_to_string(tk[i:i+4], ' ')) END) AS g
+          FROM toks),
+        probe AS (SELECT doc_id AS probe_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+        psize AS (SELECT probe_id, count(*) AS probe_grams FROM probe GROUP BY probe_id),
+        train AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0),
+        hits AS (SELECT t.doc_id, p.probe_id, count(*) AS n_shared
+                 FROM train t JOIN probe p USING (gram) GROUP BY 1, 2)
+        SELECT h.doc_id, h.probe_id, h.n_shared, s.probe_grams,
+               round(CAST(h.n_shared AS DOUBLE) / s.probe_grams, 6) AS contamination
+        FROM hits h JOIN psize s USING (probe_id)
+      """)
+    ),
+    (
+      "q78_minhash_portable",
+      // Hash-exact MinHash-LSH verification: the portable twin of q42
+      // (md5-based shingle hashes, literal band-slice buckets) so the
+      // ENTIRE pipeline — shingles, affine signature mins, banding,
+      // candidate join, estimated Jaccard — is value-checked against
+      // DuckDB instead of rows-only. Unbounded: unlike word-SET Jaccard
+      // (q41, where the tiny-vocabulary corpus is one clique), trigram
+      // sequence similarity is high only for the planted dup groups, so
+      // the est>=0.5 output stays linear in the corpus.
+      (s, dir) => {
+        Dedup.minhashNearDupPairsPortable(
+          table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+          .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      },
+      Some {
+        val (a, b) = Dedup.portableCoeffs(16, 42L)
+        val sigExprs = (0 until 16)
+          .map(i => s"list_min(list_transform(h, x -> (${a(i)} * x + ${b(i)}) % 2147483647))")
+          .mkString(",\n                 ")
+        s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk
+                      FROM documents),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+            ELSE list_transform(generate_series(1, len(tk) - 2),
+                                i -> array_to_string(tk[i:i+2], ' ')) END AS ss
+          FROM toks),
+        hs AS (SELECT doc_id,
+                      list_transform(ss, s -> CAST(md5_number_upper(s) % 2147483647 AS BIGINT)) AS h
+               FROM sh),
+        sigs AS (SELECT doc_id, [$sigExprs] AS sig FROM hs),
+        bandrows AS (
+          SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+          FROM bandrows l JOIN bandrows r
+            ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+        est AS (
+          SELECT c.id1, c.id2,
+                 CAST(len(list_filter(generate_series(1, 16), j -> s1.sig[j] = s2.sig[j])) AS DOUBLE) / 16
+                   AS est_jaccard
+          FROM cand c
+          JOIN sigs s1 ON s1.doc_id = c.id1
+          JOIN sigs s2 ON s2.doc_id = c.id2)
+        SELECT id1, id2, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+      """
+      }
     )
   )
 }

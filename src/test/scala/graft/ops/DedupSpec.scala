@@ -84,6 +84,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 3L))
   }
 
+  test("md5Hash31 matches DuckDB md5_number_upper % (2^31-1)") {
+    // Expected values computed with DuckDB v1.0:
+    //   SELECT CAST(md5_number_upper(s) % 2147483647 AS BIGINT)
+    val out = Seq("hello world", "the quick brown", "a").toDF("s")
+      .select(col("s"), Dedup.md5Hash31(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(out("hello world") == 1561850914L)
+    assert(out("the quick brown") == 450841833L)
+    assert(out("a") == 182690960L)
+  }
+
+  test("portable MinHash-LSH agrees with the xxhash64 path on pair structure") {
+    val portable = Dedup
+      .minhashNearDupPairsPortable(docs, "doc_id", "text", shingleN = 1, k = 64, bands = 32,
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // identical docs and identical bags must estimate 1.0
+    assert(portable((0L, 1L)) == 1.0)
+    assert(portable((3L, 4L)) == 1.0)
+    assert(!portable.contains((0L, 3L)))
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val out = Seq((3L, 1L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
