@@ -423,6 +423,35 @@ object Dedup {
     )
   }
 
+  /** DuckDB-replicable 64-bit SimHash: per token, the little-endian
+    * uint64 of the first 8 md5 bytes (DuckDB `md5_number_upper`, same
+    * convention as [[md5Hash31]]); per bit position the +-1 vote sum over
+    * the token bag; sign gives the output bit; result is the two's-
+    * complement BIGINT on both engines. The value-exact oracle twin of
+    * [[simhash]] (which keeps the cheaper codegen'd xxhash64). One fused
+    * JIT loop per row — no shuffle, no interpreted HOFs.
+    */
+  def simhashPortable(text: Column): Column = {
+    val sigUdf = udf { (toks: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](64)
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var le = 0L
+        var i = 7
+        while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
+        var j = 0
+        while (j < 64) { sums(j) += (((le >>> j) & 1L).toInt * 2 - 1); j += 1 }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    sigUdf(TextOps.tokens(text))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -591,6 +591,30 @@ object TextQueries {
         FROM est WHERE est_jaccard >= 0.5
       """
       }
+    ),
+    (
+      "q79_simhash_portable",
+      // Value-exact SimHash verification (q43's xxhash64 path is
+      // rows-only): md5-vote signatures match DuckDB bit for bit,
+      // including the sign of bit 63 via the two's-complement fold.
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents),
+        h AS (SELECT doc_id, list_transform(tk, t -> md5_number_upper(t)) AS hs FROM toks),
+        sums AS (
+          SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 63), j ->
+                   CASE WHEN list_sum(list_transform(hs, x -> CAST((x >> j) & 1 AS BIGINT) * 2 - 1)) > 0
+                        THEN CAST(1 AS HUGEINT) << j ELSE 0 END)) AS s
+          FROM h)
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END AS BIGINT)
+                 AS simhash
+        FROM sums
+      """)
     )
   )
 }

@@ -107,6 +107,18 @@ class DedupSpec extends SparkSpec {
     assert(!portable.contains((0L, 3L)))
   }
 
+  test("simhashPortable matches the DuckDB md5-vote reference values") {
+    // Expected values from the md5_number_upper vote-sum reference
+    // (independently computed; normalization folds case/whitespace)
+    val out = Seq("the quick brown fox", "The Quick  Brown fox", "completely different content", "")
+      .toDF("s").select(col("s"), Dedup.simhashPortable(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(out("the quick brown fox") == -4582824527935777777L)
+    assert(out("The Quick  Brown fox") == -4582824527935777777L) // normalization-invariant
+    assert(out("completely different content") == -4256724455529324117L)
+    assert(out("") == 0L)
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val out = Seq((3L, 1L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
