@@ -64,6 +64,31 @@ object TextOps {
     (lenOk + stopOk + punctOk + tokOk) / 4.0
   }
 
+  /** PII patterns for detection/redaction, ordered (redaction applies
+    * them in sequence; the patterns are mutually non-overlapping on the
+    * classes they target). Deliberately restricted to syntax with
+    * identical semantics in java.util.regex and RE2 (no backrefs, no
+    * lookaround) so a DuckDB oracle replicates them exactly.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  )
+
+  /** Count of matches of one PII class. */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
+
+  /** Replace every PII match with `token`, applying [[piiPatterns]] in
+    * order — the pre-training scrub pass (emails/SSNs/phones/IPs out,
+    * text shape preserved). Pure codegen'd regexp_replace chain: no UDF,
+    * no shuffle, scan-pipelined.
+    */
+  def redactPii(text: Column, token: String = "[PII]"): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p)) => regexp_replace(c, p, token) }
+
   /** Character/stopword-heuristic language ID over a closed tag set
     * (en/es/fr/de/zh/und). Deliberately expressible in plain SQL so the
     * oracle can replicate it exactly; scores are stopword hit counts.

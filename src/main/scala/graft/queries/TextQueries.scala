@@ -615,6 +615,64 @@ object TextQueries {
                  AS simhash
         FROM sums
       """)
+    ),
+    (
+      "q80_pii_redact",
+      // PII detection + redaction (TextOps.piiPatterns / redactPii): the
+      // synthetic corpus carries no PII, so deterministic fake
+      // emails/phones/IPs/SSNs are concatenated per doc_id and both
+      // engines count and scrub them with the same RE2-safe patterns.
+      // Output keeps the redacted text as an md5 so the gate checks the
+      // full scrubbed string without shipping it.
+      (s, dir) => {
+        val piiText = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 555-"), lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+              lit("-"), lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))
+        )
+        table(s, dir, "documents")
+          .withColumn("_t", piiText)
+          .select(
+            col("doc_id"),
+            TextOps.piiCount(col("_t"), "email").cast("long").as("n_email"),
+            TextOps.piiCount(col("_t"), "phone").cast("long").as("n_phone"),
+            TextOps.piiCount(col("_t"), "ipv4").cast("long").as("n_ipv4"),
+            TextOps.piiCount(col("_t"), "ssn").cast("long").as("n_ssn"),
+            md5(TextOps.redactPii(col("_t"))).as("redacted_md5"))
+      },
+      Some {
+        val p = TextOps.piiPatterns.toMap
+        val redacted = TextOps.piiPatterns.foldLeft("t") { case (acc, (_, pat)) =>
+          s"regexp_replace($acc, '$pat', '[PII]', 'g')"
+        }
+        s"""
+        WITH base AS (
+          SELECT doc_id, text ||
+            ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+            CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '${p("email")}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '${p("phone")}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(t, '${p("ipv4")}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '${p("ssn")}')) AS BIGINT) AS n_ssn,
+               md5($redacted) AS redacted_md5
+        FROM base
+      """
+      }
     )
   )
 }

@@ -81,4 +81,21 @@ class TextOpsSpec extends SparkSpec {
     // doc 3 has one token -> no bigrams -> absent
     assert(!top.contains(3L))
   }
+
+  test("piiCount and redactPii find and scrub emails, phones, IPs, SSNs") {
+    val txt = "mail a.smith+x@corp.example.org or 555-867-5309; host 192.168.1.10, ssn 078-05-1120 end"
+    val df = Seq(txt).toDF("t")
+    val counts = df.select(
+      TextOps.piiCount(col("t"), "email"),
+      TextOps.piiCount(col("t"), "phone"),
+      TextOps.piiCount(col("t"), "ipv4"),
+      TextOps.piiCount(col("t"), "ssn")
+    ).as[(Int, Int, Int, Int)].head()
+    assert(counts == ((1, 1, 1, 1)))
+    val red = df.select(TextOps.redactPii(col("t"))).as[String].head()
+    assert(red == "mail [PII] or [PII]; host [PII], ssn [PII] end")
+    // clean text untouched
+    val clean = "no personal data here 12.5 degrees v1.2.3.4x"
+    assert(Seq(clean).toDF("t").select(TextOps.redactPii(col("t"))).as[String].head() == clean)
+  }
 }
