@@ -156,6 +156,36 @@ object ServiceReaders {
     spark.read.json(spark.createDataset(records.result()))
   }
 
+  /** InfluxDB 1.x `/query` response (`readers.py:3322` InfluxDB):
+    * `{"results":[{"series":[{name, tags?, columns, values}]}]}` →
+    * long-form rows `(series, tags_json, <columns...>)` with the series'
+    * columns flattened through JSON schema inference. A query response is
+    * a bounded document (the reader targets dashboards/dimensions, not
+    * the fact path), so it parses driver-side like Prometheus.
+    */
+  def readInflux(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val node = readJson(url, conf)
+    val records = Seq.newBuilder[String]
+    Option(node.get("results")).toSeq.flatMap(_.elements().asScala).foreach { res =>
+      require(!res.has("error"), s"influx error: ${res.get("error")}")
+      Option(res.get("series")).toSeq.flatMap(_.elements().asScala).foreach { ser =>
+        val name = Option(ser.get("name")).map(_.asText()).getOrElse("")
+        val tags = Option(ser.get("tags")).map(mapper.writeValueAsString).getOrElse("{}")
+        val cols = Option(ser.get("columns")).toSeq.flatMap(_.elements().asScala).map(_.asText()).toIndexedSeq
+        Option(ser.get("values")).toSeq.flatMap(_.elements().asScala).foreach { row =>
+          val o = mapper.createObjectNode()
+          o.put("series", name)
+          o.put("tags_json", tags)
+          cols.zipWithIndex.foreach { case (c, i) => o.set[JsonNode](c, row.get(i)) }
+          records += mapper.writeValueAsString(o)
+        }
+      }
+    }
+    spark.read.json(spark.createDataset(records.result()))
+  }
+
   /** Dereference a `hdl:`/`doi:` persistent identifier through the
     * handle-system REST API response (`readers.py:980` HandleToUrlReader):
     * returns the first `URL`-typed value.

@@ -213,6 +213,7 @@ object Registry {
     DataKind("mongo", Nil, Seq("^mongodb(\\+srv)?://"), Set("nested", "service")),
     DataKind("elasticsearch", Nil, Seq("^(es|elasticsearch)://"), Set("nested", "service")),
     DataKind("redis", Nil, Seq("^redis://"), Set("nested", "service")),
+    DataKind("influx", Nil, Seq("^influx(db)?://", "/query\\?"), Set("timeseries", "service")),
     // Socrata open-data resource endpoint (readers.py:3419): 4x4 dataset
     // ids under /resource/, or the explicit scheme.
     DataKind("socrata", Nil, Seq("^socrata://", "/resource/[a-z0-9]{4}-[a-z0-9]{4}(\\.json)?$"), Set("table", "service")),

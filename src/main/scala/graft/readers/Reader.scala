@@ -163,6 +163,8 @@ object SparkReaders {
   val prometheus: Reader = new graft.catalog.PrometheusReaderImpl
   val socrata: Reader = new graft.catalog.SocrataReaderImpl
   val elasticsearch: Reader = new graft.catalog.ElasticsearchReaderImpl
+  val redis: Reader = new RedisReaderImpl
+  val influx: Reader = new InfluxReaderImpl
   val iniR: Reader = new IniReaderImpl
   val tomlR: Reader = new TomlReaderImpl
 
@@ -268,7 +270,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
