@@ -20,7 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val parallelism = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "8").toInt
+    // 16 concurrent queries over 32 cores measured fastest (vs 8: the
+    // pool keeps the core-hungry LSH/CC chains company; vs 32: task
+    // thrash) — FAIR scheduling keeps latency-bound chains moving.
+    val parallelism = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
