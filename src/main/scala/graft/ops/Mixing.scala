@@ -41,4 +41,29 @@ object Mixing {
         min(sizeCol).as("min_size"),
         max(sizeCol).as("max_size"))
   }
+
+  /** Deterministic global training-order shuffle: order by a
+    * content-derived hash (md5 of the id) with the id as tiebreak —
+    * stable across runs, engines, and partitionings, unlike RNG or
+    * partition-dependent `rand(seed)`. `order` is the 1-based position.
+    * One global sort (range partitioned); at 100 TB this is the standard
+    * pre-sharding pass and the sort is the cost you pay for a
+    * reproducible epoch order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame = {
+    val w = Window.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("order", row_number().over(w).cast("long"))
+  }
+
+  /** Assign each row to one of `n` output shards by content hash —
+    * reproducible, uniform-ish, and partitioning-independent (the
+    * writer-side counterpart of [[deterministicShuffle]]: shard files of
+    * a training corpus). The hash is the first 8 md5 bytes little-endian
+    * mod n (DuckDB-replicable via md5_number_upper, same convention as
+    * [[Dedup.md5Hash31]]), so shard membership is verifiable
+    * cross-engine. No shuffle: the assignment is a per-row projection;
+    * the subsequent `write.partitionBy("shard")` does the clustering.
+    */
+  def assignShards(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("shard", pmod(Dedup.md5Hash31(col(idCol).cast("string")), lit(n)).cast("int"))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions
-import graft.ops.{Chunking, Decontam, Dedup, Similarity, TextOps}
+import graft.ops.{Chunking, Decontam, Dedup, Mixing, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline surface over `documents` and `embeddings`:
@@ -673,6 +673,39 @@ object TextQueries {
         FROM base
       """
       }
+    ),
+    (
+      "q81_shuffle_shards",
+      // Deterministic epoch-order shuffle + content-hash shard
+      // assignment (Mixing.deterministicShuffle/assignShards): per-shard
+      // stats bind both the global order values and shard membership, so
+      // the gate verifies the full reproducible-sharding pass.
+      (s, dir) => {
+        val shuffled = Mixing.deterministicShuffle(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Mixing.assignShards(shuffled, "doc_id", 8)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("order").as("first_order"),
+            max("order").as("last_order"),
+            sum("order").cast("long").as("sum_order"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS ord
+          FROM documents),
+        s AS (
+          SELECT ord,
+                 CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 2147483647 % 8 AS INT) AS shard
+          FROM o)
+        SELECT shard, count(*) AS n_docs,
+               CAST(min(ord) AS BIGINT) AS first_order,
+               CAST(max(ord) AS BIGINT) AS last_order,
+               CAST(sum(ord) AS BIGINT) AS sum_order
+        FROM s GROUP BY shard
+      """)
     )
   )
 }

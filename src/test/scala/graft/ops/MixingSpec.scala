@@ -26,6 +26,23 @@ class MixingSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(lo, hi) => assert(lo._4 <= hi._3) }
   }
 
+  test("deterministicShuffle is a stable permutation; assignShards is reproducible and covers") {
+    val df = (1 to 200).map(_.toLong).toDF("doc_id")
+    val a = Mixing.deterministicShuffle(df, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Mixing.deterministicShuffle(df.repartition(7), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b) // partitioning-independent
+    assert(a.values.toSeq.sorted == (1L to 200L)) // a permutation
+    assert(a(1L) != 1L || a(2L) != 2L) // actually shuffled
+
+    val shards = Mixing.assignShards(df, "doc_id", 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sizes = shards.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == (0 to 7).toSet) // all shards hit
+    assert(sizes.values.max <= 3 * sizes.values.min) // rough uniformity at n=200
+  }
+
   test("centroidOutliers ranks a planted far vector first") {
     val base = (0 until 50).map(i => (i.toLong, Array.fill(8)(0.01f * (i % 3))))
     val planted = Seq((999L, Array.fill(8)(1.9f)))
