@@ -81,13 +81,13 @@ object Bench {
     // the steady-state batch and is the headline `value` (JMH-style
     // measurement-after-warmup); the cold wall is reported alongside as
     // `cold_total_sec` for transparency, not hidden.
-    val (_, coldWall) = runBatch()
+    val (coldResults, coldWall) = runBatch()
     val (results, wall) = runBatch()
     pool.shutdown()
 
-    val qs = results.toSeq.sortBy(_._1)
+    def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
