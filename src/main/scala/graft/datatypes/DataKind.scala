@@ -188,6 +188,62 @@ object Registry {
       Seq(0 -> ascii("GIF87a"), 0 -> ascii("GIF89a"))),
     DataKind("ppm", Nil, Seq("\\.p[pgn]m$"), Set("array", "image"),
       Seq(0 -> ascii("P6"), 0 -> ascii("P5"))),
+    // Remaining media/doc/model kinds of the reference registry
+    // (datatypes.py: AVIVideo :1310, FLACAudio :1228, OGGAudio :1247,
+    // HEIFImage :1390, OpenEXRImage :1407, SVGFile :1416, DOCXFile :877,
+    // EPUBFile :866, Feather1 :675, Lance :748, TileDB :759, BigWigFile
+    // :1547, JoblibFile :1091, KerasModel :1064, TorchScriptModel :1043,
+    // OSMPBFFile :813, ReStructuredText :922, PythonSourceCode :933,
+    // MetaImage :1430, WholeSlideImage :1441, SDFFile :1556, OpenDAP
+    // :584, MQTTTopic :1649, ArrowFlightService :1669) — detection +
+    // binaryFile/zip-container ingestion; magic values are the public
+    // file-format signatures.
+    // offset-8 signature only: a 0->RIFF entry would also fire on WAV
+    DataKind("avi", Seq("video/x-msvideo"), Seq("\\.avi$"), Set("array", "video"),
+      Seq(8 -> ascii("AVI "))),
+    DataKind("flac", Seq("audio/flac"), Seq("\\.flac$"), Set("array", "timeseries"),
+      Seq(0 -> ascii("fLaC"))),
+    DataKind("ogg", Seq("audio/ogg"), Seq("\\.(ogg|oga|opus)$"), Set("array", "timeseries"),
+      Seq(0 -> ascii("OggS"))),
+    DataKind("heif", Seq("image/hei[cf]"), Seq("\\.hei[cf]$"), Set("array", "image"),
+      Seq(4 -> ascii("ftyphei"), 4 -> ascii("ftypmif1"))),
+    DataKind("exr", Seq("image/x-exr"), Seq("\\.exr$"), Set("array", "image"),
+      Seq(0 -> bytes(0x76, 0x2f, 0x31, 0x01))),
+    DataKind("svg", Seq("image/svg\\+xml"), Seq("\\.svg$"), Set("array", "image"),
+      headOk = (h, _) => headText(h).contains("<svg")),
+    // zip-derived document/model kinds: pattern-driven with a PK head
+    // VETO instead of PK magic -- scoring them on the shared zip magic
+    // would suppress the generic `zip://*::` container rewrap.
+    DataKind("docx",
+      Seq("application/vnd\\.openxmlformats-officedocument\\.wordprocessingml\\.document"),
+      Seq("\\.docx$"), Set("text"),
+      headOk = (h, _) => h.length >= 2 && h(0) == 'P' && h(1) == 'K'),
+    DataKind("epub", Seq("application/epub\\+zip"), Seq("\\.epub$"), Set("text"),
+      headOk = (h, _) => h.length >= 2 && h(0) == 'P' && h(1) == 'K'),
+    DataKind("rst", Nil, Seq("\\.rst$"), Set("text")),
+    DataKind("python_source", Seq("text/x-python"), Seq("\\.py$"), Set("text")),
+    DataKind("feather", Nil, Seq("\\.feather$"), Set("table"),
+      Seq(0 -> ascii("FEA1"), 0 -> ascii("ARROW1"))),
+    DataKind("lance", Nil, Seq("\\.lance/?$"), Set("table"), contains = Seq("_versions")),
+    DataKind("tiledb", Nil, Seq("\\.tiledb/?$"), Set("array"),
+      contains = Seq("__array_schema.tdb")),
+    DataKind("bigwig", Nil, Seq("\\.(bw|bigwig)$"), Set("timeseries"),
+      Seq(0 -> bytes(0x26, 0xfc, 0x8f, 0x88), 0 -> bytes(0x88, 0x8f, 0xfc, 0x26))),
+    DataKind("joblib", Nil, Seq("\\.joblib$"), Set("model")),
+    DataKind("keras_model", Nil, Seq("\\.keras$"), Set("model"),
+      headOk = (h, _) => h.length >= 2 && h(0) == 'P' && h(1) == 'K'),
+    DataKind("torchscript", Nil, Seq("\\.pth?$"), Set("model"),
+      headOk = (h, _) => h.length >= 2 && h(0) == 'P' && h(1) == 'K'),
+    DataKind("osmpbf", Nil, Seq("\\.osm\\.pbf$"), Set("table", "geo")),
+    DataKind("metaimage", Nil, Seq("\\.mh[da]$"), Set("array", "image"),
+      headOk = (h, _) => headText(h).contains("ObjectType")),
+    DataKind("wholeslide", Nil, Seq("\\.(svs|ndpi|scn)$"), Set("array", "image"),
+      Seq(0 -> ascii("II*\u0000"), 0 -> ascii("MM\u0000*"))),
+    DataKind("sdf", Seq("chemical/x-mdl-sdfile"), Seq("\\.sdf$"), Set("table"),
+      headOk = (h, _) => { val t = headText(h); t.contains("V2000") || t.contains("V3000") }),
+    DataKind("opendap", Nil, Seq("/(dodsC|dods|opendap)/", "\\.dods$"), Set("array", "service")),
+    DataKind("mqtt", Nil, Seq("^mqtts?://"), Set("sequence", "service")),
+    DataKind("arrow_flight", Nil, Seq("^grpc(\\+tls)?://"), Set("table", "service")),
     DataKind("stata", Nil, Seq("\\.dta$"), Set("table"), Seq(0 -> ascii("<stata_dta>"))),
     DataKind("spss", Nil, Seq("\\.sav$"), Set("table"), Seq(0 -> ascii("$FL2"), 0 -> ascii("$FL3"))),
     DataKind("sas", Nil, Seq("\\.sas7bdat$", "\\.xpt$"), Set("table"),
