@@ -33,6 +33,28 @@ class AutoPipelineFormatsSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "weight", "grade", "city") && df.count() == 200)
   }
 
+  test("socrata resource url -> inferred rows") {
+    val dir = Files.createTempDirectory("autosoc")
+    Files.createDirectories(dir.resolve("resource"))
+    Files.writeString(dir.resolve("resource/ab12-cd34.json"),
+      """[{"zone": "a", "n": "5"}, {"zone": "b", "n": "7"}]""")
+    // URL -> rows contract: the /resource/{4x4}.json pattern surfaces the
+    // socrata kind among the candidates (ServiceReadersSpec covers the
+    // dedicated reader); plain json wins the tiebreak here and both
+    // produce the same rows on a single page
+    val df = Pipeline.auto(s"file://$dir/resource/ab12-cd34.json",
+      Map("paged" -> "false")).read(spark)
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("n", "zone"))
+  }
+
+  test("influx query response url -> long-form rows") {
+    val dir = Files.createTempDirectory("autoinflux")
+    Files.writeString(dir.resolve("query.json"),
+      """{"results":[{"series":[{"name":"m","columns":["time","v"],"values":[["t0",1.5]]}]}]}""")
+    val df = graft.catalog.ServiceReaders.readInflux(spark, s"file://$dir/query.json")
+    assert(df.count() == 1 && df.columns.contains("series"))
+  }
+
   test("matrixmarket url -> long-form matrix") {
     val dir = Files.createTempDirectory("automtx")
     Files.writeString(dir.resolve("m.mtx"),
