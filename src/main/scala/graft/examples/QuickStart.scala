@@ -94,6 +94,19 @@ object QuickStart {
     val preFiltered = Relational.bloomPreFilter(bigSide, smallSide, "l_orderkey", "o_orderkey")
     println(s"[9] bloom pre-filter kept ${preFiltered.count()} of ${bigSide.count()} probe rows")
 
+    // 10. Corpus hygiene: scrub PII, drop docs overlapping a benchmark
+    // probe set, then shard the survivors in a reproducible order
+    val docsTbl = graft.queries.table(spark, sf, "documents")
+    val scrubbed = docsTbl.withColumn("text", graft.ops.TextOps.redactPii(col("text")))
+    val probes = docsTbl.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val cleanDocs = graft.ops.Decontam.decontaminate(
+      scrubbed, "doc_id", "text", probes, "probe_id", "text", n = 5)
+    val sharded = graft.ops.Mixing.assignShards(
+      graft.ops.Mixing.deterministicShuffle(cleanDocs, "doc_id"), "doc_id", 4)
+    println(s"[10] hygiene: ${cleanDocs.count()} of ${docsTbl.count()} docs kept, " +
+      s"${sharded.select("shard").distinct().count()} shards")
+
     spark.stop()
     println("QuickStart OK")
   }
