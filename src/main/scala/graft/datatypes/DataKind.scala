@@ -68,9 +68,10 @@ object Registry {
   private def headText(head: Array[Byte]): String =
     new String(head.take(4096), java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  /** The ~40 highest-value kinds of the reference's ~120 (SURVEY §7 step
-    * 1); detection attributes follow the reference tables, the published
-    * format specs supply the magic numbers.
+  /** ~104 kinds covering the reference's ~110 concrete datatypes
+    * (SURVEY §8 "Datatype registry expansion"); detection attributes
+    * follow the reference tables, the published format specs supply the
+    * magic numbers.
     */
   val kinds: Seq[DataKind] = Seq(
     DataKind("parquet", Seq("application/vnd.apache.parquet"), Seq("\\.parquet$", "\\.parq$"),

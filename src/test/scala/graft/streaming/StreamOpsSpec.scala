@@ -48,6 +48,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(b.nonEmpty)
   }
 
+  test("corpus-hygiene projections (PII scrub, token stats, simhash) run on a stream") {
+    // The hygiene ops are stateless Column projections, so they compose
+    // into streaming pipelines unchanged — the property a 100 TB ingest
+    // path relies on (scrub-on-arrival instead of scrub-after-landing).
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(
+      (1L, "mail me at a@b.co about the quick brown fox"),
+      (2L, "no pii here just words"))
+    val q = graft.ops.TextOps.redactPii(col("text"))
+    val out = ms.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), q.as("clean"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tok"),
+        graft.ops.Dedup.simhashPortable(col("text")).as("sh"))
+      .writeStream.format("memory").queryName("hygiene_out").outputMode("append").start()
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("hygiene_out").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(rows(1L)._1 == "mail me at [PII] about the quick brown fox")
+    assert(rows(2L)._1 == "no pii here just words")
+    assert(rows(1L)._2 == 9 && rows(2L)._2 == 5)
+  }
+
   test("session window agg groups by gap on stream as in batch") {
     val batch = StreamOps.sessionAgg(
       rows.toDF("ts", "user_id", "value"),
