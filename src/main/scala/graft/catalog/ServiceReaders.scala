@@ -103,9 +103,14 @@ object ServiceReaders {
     */
   type EsTransport = (String, String) => String
 
-  /** Real HTTP transport (driver-side, bounded page loop). */
+  /** Real HTTP transport (driver-side, bounded page loop; explicit
+    * timeouts so a dead endpoint fails the query instead of hanging the
+    * driver).
+    */
   def httpPostTransport: EsTransport = (url, body) => {
     val conn = new java.net.URL(url).openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(15000)
+    conn.setReadTimeout(60000)
     conn.setRequestMethod("POST")
     conn.setRequestProperty("Content-Type", "application/json")
     conn.setDoOutput(true)

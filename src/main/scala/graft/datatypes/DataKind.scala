@@ -94,7 +94,7 @@ object Registry {
     DataKind("excel", Seq("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", "application/vnd.ms-excel"),
       // xls legacy CFB magic + xlsx zip magic: magic+pattern outranks the
       // bare zip container kind for *.xlsx
-      Seq("\\.xlsx$", "\\.xls$"), Set("table"), Seq(0 -> bytes(0xd0, 0xcf, 0x11, 0xe0), 0 -> ascii("PK"))),
+      Seq("\\.xlsx$", "\\.xls$"), Set("table"), Seq(0 -> bytes(0xd0, 0xcf, 0x11, 0xe0), 0 -> ascii("PK\u0003\u0004"))),
     DataKind("sqlite", Seq("application/vnd.sqlite3"), Seq("\\.sqlite$", "\\.db$"),
       Set("table"), Seq(0 -> ascii("SQLite format 3\u0000"))),
     DataKind("duckdb_file", Nil, Seq("\\.duckdb$", "\\.ddb$"), Set("table"),

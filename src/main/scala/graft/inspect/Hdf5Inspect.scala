@@ -110,9 +110,15 @@ object Hdf5Inspect {
       out.toSeq
     }
     kind match {
-      case "single" =>
+      case s if s == "single" || s.startsWith("single:") =>
+        // "single:<storedSize>" carries the compressed size of a
+        // filtered single chunk; unfiltered uses the logical size
+        val stored = s.split(':') match {
+          case Array(_, sz) => sz.toLong.toInt
+          case _ => chunkBytes.toInt
+        }
         if (indexAddr == -1L) Nil
-        else Seq((Seq.fill(dims.length)(0L), indexAddr, chunkBytes.toInt))
+        else Seq((Seq.fill(dims.length)(0L), indexAddr, stored))
       case "implicit" =>
         (0 until nChunks).map(i => (coordsOf(i), indexAddr + i * chunkBytes, chunkBytes.toInt))
       case "fixedarray" =>
@@ -301,8 +307,13 @@ object Hdf5Inspect {
             val idxType = bytes(q) & 0xff; q += 1
             val kind = idxType match {
               case 1 =>
-                if ((flags4 & 0x02) != 0) q += 12 // filtered single chunk: size(8) + filter mask(4)
-                "single"
+                if ((flags4 & 0x02) != 0) {
+                  // filtered single chunk: keep the STORED (compressed)
+                  // size — readers must read exactly this many bytes,
+                  // not the logical chunk size; then skip mask(4)
+                  val storedSize = bb.getLong(q); q += 12
+                  s"single:$storedSize"
+                } else "single"
               case 2 => "implicit"
               case 3 => q += 1; "fixedarray" // page bits
               case 4 => q += 6; "extensible"

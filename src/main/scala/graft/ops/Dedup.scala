@@ -246,7 +246,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       seed: Long = 42L,
-      repartitionTo: Option[Int] = None
+      repartitionTo: Option[Int] = None,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val (a, b) = coeffs(k, seed)
     val aArr = a.toArray
@@ -294,8 +295,16 @@ object Dedup {
     )
       .withColumnRenamed("pos", "_band")
       .withColumnRenamed("col", "_bucket")
-    val pairs = banded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
-      .join(banded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
+    // Same skew guard as lshCandidatePairs — without it the self-join is
+    // quadratic in pathological buckets, and the "same candidate
+    // semantics" premise vs the scale path would break exactly where
+    // skew appears. The oracle SQL replicates the bound.
+    val bucketSizes = banded.groupBy("_band", "_bucket").count()
+    val bounded = banded
+      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
+      .drop("count")
+    val pairs = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
+      .join(bounded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()

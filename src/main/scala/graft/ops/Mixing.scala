@@ -27,14 +27,43 @@ object Mixing {
       .drop("_rn", "_n")
   }
 
-  /** Curriculum length buckets: ntile over a size column with a
-    * deterministic tiebreak, plus per-bucket stats. The ntile window is
-    * a single global sort — the curriculum step is a one-off pass over
-    * metadata columns, not the data path.
+  /** Global 1-based rank of `df` under `sortCols`, computed WITHOUT an
+    * unpartitioned window (`row_number() over (order by ...)` plans
+    * `Exchange SinglePartition` — every row through one task, the
+    * opposite of a scalable sort). Instead: range-partitioned sort
+    * (parallel, the same shuffle `orderBy` plans) + `zipWithIndex`
+    * (one lightweight count job for partition offsets, then a map).
+    * Appends `order` (long).
+    */
+  private def globalOrder(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField("order", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Curriculum length buckets: ntile-equivalent bucketing over a size
+    * column with a deterministic tiebreak, plus per-bucket stats. Uses
+    * the parallel [[globalOrder]] rank plus the exact ntile assignment
+    * arithmetic (first `n % buckets` buckets take one extra row), so the
+    * result matches SQL `ntile()` value-for-value without the
+    * single-partition window `ntile() over (order by ...)` plans.
     */
   def lengthBuckets(df: DataFrame, sizeCol: String, idCol: String, buckets: Int): DataFrame = {
-    val w = Window.orderBy(col(sizeCol), col(idCol))
-    df.withColumn("bucket", ntile(buckets).over(w))
+    val ranked = globalOrder(df, Seq(col(sizeCol), col(idCol)))
+    val n = ranked.count()
+    val base = n / buckets
+    val rem = n % buckets
+    val cut = rem * (base + 1) // ranks <= cut fall in the wider buckets
+    val bucket = when(lit(base) === 0, col("order")) // n < buckets: tile = rank
+      .otherwise(
+        when(col("order") <= cut, ((col("order") - 1) / (base + 1)) + 1)
+          .otherwise(lit(rem) + ((col("order") - cut - 1) / base) + 1))
+    ranked.withColumn("bucket", bucket.cast("int"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -46,14 +75,14 @@ object Mixing {
     * content-derived hash (md5 of the id) with the id as tiebreak —
     * stable across runs, engines, and partitionings, unlike RNG or
     * partition-dependent `rand(seed)`. `order` is the 1-based position.
-    * One global sort (range partitioned); at 100 TB this is the standard
-    * pre-sharding pass and the sort is the cost you pay for a
-    * reproducible epoch order.
+    * The sort is range-partitioned and the rank comes from
+    * [[globalOrder]]'s zipWithIndex — no single-partition window; at
+    * 100 TB this is the standard pre-sharding pass and the parallel
+    * sort is the cost you pay for a reproducible epoch order.
     */
-  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame = {
-    val w = Window.orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("order", row_number().over(w).cast("long"))
-  }
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
+    globalOrder(df.withColumn("_ds_k", md5(col(idCol).cast("string"))),
+      Seq(col("_ds_k"), col(idCol))).drop("_ds_k")
 
   /** Assign each row to one of `n` output shards by content hash —
     * reproducible, uniform-ish, and partitioning-independent (the

@@ -39,7 +39,15 @@ object NumpyWriter {
     val n = df.count()
     val inner: Long =
       if (!is2d) 1L
-      else df.agg(max(size(col(cols(1))))).head().getInt(0).toLong
+      else if (n == 0) 0L
+      else {
+        // NPY is rectangular: reject ragged input up front instead of
+        // writing a header whose shape disagrees with the payload
+        val mm = df.agg(min(size(col(cols(1)))), max(size(col(cols(1))))).head()
+        val (lo, hi) = (mm.getInt(0), mm.getInt(1))
+        require(lo == hi, s"ragged array column: row lengths range $lo..$hi — NPY requires a rectangular shape")
+        hi.toLong
+      }
     val shape = if (is2d) Seq(n, inner) else Seq(n)
     val hdr = header(shape, dtype)
 

@@ -576,9 +576,13 @@ object TextQueries {
         bandrows AS (
           SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
           FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+        bsizes AS (SELECT b, bucket, count(*) AS c FROM bandrows GROUP BY b, bucket),
+        bounded AS (
+          SELECT br.doc_id, br.b, br.bucket FROM bandrows br
+          JOIN bsizes USING (b, bucket) WHERE c <= 1000),
         cand AS (
           SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-          FROM bandrows l JOIN bandrows r
+          FROM bounded l JOIN bounded r
             ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
         est AS (
           SELECT c.id1, c.id2,

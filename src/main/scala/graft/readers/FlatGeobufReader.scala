@@ -146,7 +146,10 @@ object FlatGeobufReader {
     }
     val gt = if (geometryType != 0) geometryType else g.u8(7, 0)
     gt match {
-      case 1 => ("Point", s"""{"type":"Point","coordinates":${positions(g.b, xyBase, 0, math.min(1, nPairs))}}""")
+      case 1 =>
+        // POINT EMPTY (no xy vector) must still emit valid JSON
+        val coords = if (nPairs == 0) "[]" else positions(g.b, xyBase, 0, 1)
+        ("Point", s"""{"type":"Point","coordinates":$coords}""")
       case 4 => ("MultiPoint", s"""{"type":"MultiPoint","coordinates":[${positions(g.b, xyBase, 0, nPairs)}]}""")
       case 2 => ("LineString", s"""{"type":"LineString","coordinates":[${positions(g.b, xyBase, 0, nPairs)}]}""")
       case 5 =>
@@ -178,10 +181,13 @@ object FlatGeobufReader {
       val idx = bytes.getShort(p) & 0xffff; p += 2
       val c = cols(idx)
       c.colType match {
-        case 0 | 1 => out += idx -> bytes.get(p).toLong; p += 1            // byte/ubyte
+        case 0 => out += idx -> bytes.get(p).toLong; p += 1                // byte
+        case 1 => out += idx -> (bytes.get(p) & 0xffL); p += 1             // ubyte (unsigned)
         case 2 => out += idx -> (bytes.get(p) != 0); p += 1                // bool
-        case 3 | 4 => out += idx -> bytes.getShort(p).toLong; p += 2       // short/ushort
-        case 5 | 6 => out += idx -> bytes.getInt(p).toLong; p += 4         // int/uint
+        case 3 => out += idx -> bytes.getShort(p).toLong; p += 2           // short
+        case 4 => out += idx -> (bytes.getShort(p) & 0xffffL); p += 2      // ushort (unsigned)
+        case 5 => out += idx -> bytes.getInt(p).toLong; p += 4             // int
+        case 6 => out += idx -> (bytes.getInt(p) & 0xffffffffL); p += 4    // uint (unsigned)
         case 7 | 8 => out += idx -> bytes.getLong(p); p += 8               // long/ulong
         case 9 => out += idx -> bytes.getFloat(p).toDouble; p += 4         // float
         case 10 => out += idx -> bytes.getDouble(p); p += 8                // double

@@ -72,6 +72,16 @@ object RedisReader {
     def cmd(args: String*): Any = { writeCmd(args); readReply() }
   }
 
+  /** Connect with explicit timeouts: a dead server fails the job
+    * instead of hanging a driver scan or an executor task forever.
+    */
+  private def connect(host: String, port: Int): Socket = {
+    val s = new Socket()
+    s.connect(new java.net.InetSocketAddress(host, port), 15000)
+    s.setSoTimeout(60000)
+    s
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -97,7 +107,12 @@ object RedisReader {
           .map(x => jsonStr(String.valueOf(x))).sorted.mkString("[", ",", "]")
       case "zset" =>
         r.cmd("ZRANGE", key, "0", "-1", "WITHSCORES").asInstanceOf[Seq[Any]].map(String.valueOf)
-          .grouped(2).collect { case Seq(m, s) => s"[${jsonStr(m)},$s]" }.mkString("[", ",", "]")
+          .grouped(2).collect { case Seq(m, s) =>
+            // Redis scores can be inf/-inf/nan (ZADD +inf is a common
+            // pin idiom) — not valid JSON numbers; quote those
+            val score = if (s.toDoubleOption.exists(d => !d.isNaN && !d.isInfinite)) s else jsonStr(s)
+            s"[${jsonStr(m)},$score]"
+          }.mkString("[", ",", "]")
       case other => jsonStr(s"<unsupported type $other>")
     }
     (t, v)
@@ -120,7 +135,7 @@ object RedisReader {
     val port = if (uri.getPort > 0) uri.getPort else 6379
     // driver-side cursor scan: keys only, bounded
     val keys = Seq.newBuilder[String]
-    val sock = new Socket(host, port)
+    val sock = connect(host, port)
     try {
       val r = new Resp(new BufferedInputStream(sock.getInputStream), new BufferedOutputStream(sock.getOutputStream))
       if (db != 0) r.cmd("SELECT", db.toString)
@@ -141,7 +156,7 @@ object RedisReader {
     keyDs.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
-        val s = new Socket(host, port)
+        val s = connect(host, port)
         val r = new Resp(new BufferedInputStream(s.getInputStream), new BufferedOutputStream(s.getOutputStream))
         if (db != 0) r.cmd("SELECT", db.toString)
         val out = it.map { k => val (t, v) = fetchValue(r, k); (k, t, v) }.toVector

@@ -116,10 +116,16 @@ object XptReader {
         val cells = mB.vars.map { v =>
           val at = rp + v.pos
           if (v.isNum) {
-            // missing numeric: '.' (0x2E) then fill, or the all-blank
-            // tail padding; all-zero bytes are a REAL 0.0
+            // missing numeric per TS-140: sentinel byte ('.' 0x2E,
+            // '.A'-'.Z' 0x41-0x5A, '._' 0x5F) followed by ALL-ZERO
+            // bytes — the zero tail is what distinguishes a sentinel
+            // from a real tiny value whose exponent byte happens to be
+            // 0x2E. All-blank is tail padding; all-zero is a REAL 0.0.
             val first = buf(at) & 0xff
-            if (first == '.' || (0 until v.length).forall(k => buf(at + k) == ' ')) null
+            val restZero = (1 until v.length).forall(k => buf(at + k) == 0)
+            val isSentinel = restZero &&
+              (first == '.' || first == '_' || (first >= 'A' && first <= 'Z'))
+            if (isSentinel || (0 until v.length).forall(k => buf(at + k) == ' ')) null
             else ibmToDouble(buf, at, v.length)
           } else {
             val s = new String(buf, at, v.length, "ISO-8859-1").trim
