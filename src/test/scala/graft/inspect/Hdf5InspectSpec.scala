@@ -403,6 +403,11 @@ class Hdf5InspectSpec extends graft.SparkSpec {
     // single chunk: the whole dataset at one address
     val single = Hdf5Inspect.modernChunks(bb.array(), "single", 0x800L, Seq(2L, 3L), Seq(2, 3), 8)
     assert(single == Seq((Seq(0L, 0L), 0x800L, 48)))
+    // filtered single chunk: "single:<storedSize>" carries the
+    // COMPRESSED byte count — readers must fetch that, not the logical
+    // 48 bytes
+    val filtered = Hdf5Inspect.modernChunks(bb.array(), "single:29", 0x800L, Seq(2L, 3L), Seq(2, 3), 8)
+    assert(filtered == Seq((Seq(0L, 0L), 0x800L, 29)))
   }
 
   test("rejects non-hdf5 bytes and unknown superblocks") {

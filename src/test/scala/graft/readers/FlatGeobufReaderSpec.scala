@@ -148,6 +148,20 @@ class FlatGeobufReaderSpec extends SparkSpec {
       """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}""", None, None)))
   }
 
+  test("unsigned property types decode without sign extension") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val cols = Seq(
+      FlatGeobufReader.FgbColumn("ub", 1),
+      FlatGeobufReader.FgbColumn("us", 4),
+      FlatGeobufReader.FgbColumn("ui", 6))
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(0, 0.toShort); bb.put(2, 200.toByte)                 // ubyte 200
+    bb.putShort(3, 1.toShort); bb.putShort(5, 40000.toShort)         // ushort 40000
+    bb.putShort(7, 2.toShort); bb.putInt(9, (3000000000L).toInt)     // uint 3e9
+    val out = FlatGeobufReader.properties(bb, 0, 13, cols)
+    assert(out(0) == 200L && out(1) == 40000L && out(2) == 3000000000L)
+  }
+
   test("kind detection and registry routing") {
     assert(Detect.recommend("x.fgb", head = Array[Byte]('f', 'g', 'b', 3)).head.kind.name == "flatgeobuf")
     assert(SparkReaders.reader("flatgeobuf_reader").get.read(spark, DataRef("flatgeobuf", url)).count() == 3)

@@ -77,8 +77,12 @@ class XptReaderSpec extends SparkSpec {
     row(2.0, "beta", Some(-2.5))
     row(3.0, "", None)
     row(100.25, "edge", Some(0.0))
+    // TS-140 special missing '.A': sentinel byte 'A' + all-zero tail
+    out.write(ibm(4.0))
+    out.write("gamma".padTo(8, ' ').getBytes("ISO-8859-1"))
+    out.write('A'.toInt); out.write(new Array[Byte](3))
     // pad the data section to an 80-byte boundary with blanks (spec tail)
-    val dataLen = 4 * 20
+    val dataLen = 5 * 20
     out.write(Array.fill((80 - dataLen % 80) % 80)(' '.toByte))
     val dir = Files.createTempDirectory("xpt")
     Files.write(dir.resolve("fix.xpt"), out.toByteArray)
@@ -103,17 +107,18 @@ class XptReaderSpec extends SparkSpec {
     val df = XptReader.read(spark, url)
     assert(df.columns.toSeq == Seq("ID", "NAME", "SCORE"))
     val rows = df.as[(Double, Option[String], Option[Double])].collect().sortBy(_._1)
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     assert(rows(0) == ((1.0, Some("alpha"), Some(9.5))))
     assert(rows(1) == ((2.0, Some("beta"), Some(-2.5))))
     assert(rows(2) == ((3.0, None, None)))
-    assert(rows(3) == ((100.25, Some("edge"), Some(0.0))))
+    assert(rows(3) == ((4.0, Some("gamma"), None))) // special missing '.A'
+    assert(rows(4) == ((100.25, Some("edge"), Some(0.0))))
   }
 
   test("kind detection and registry routing split sas7bdat vs xpt") {
     assert(Detect.recommend("x.xpt", head = "HEADER RECORD*******LIBRARY".getBytes).head.kind.name == "sas")
     val r = SparkReaders.reader("xpt_reader").get
     assert(r.isOk(DataRef("sas", url)) && !r.isOk(DataRef("sas", "file:///x.sas7bdat")))
-    assert(r.read(spark, DataRef("sas", url)).count() == 4)
+    assert(r.read(spark, DataRef("sas", url)).count() == 5)
   }
 }
