@@ -43,7 +43,11 @@ object Hdf5Inspect {
     * or chunked with optional deflate filter. `indexKind` names the
     * chunk index: "btree1" (layout v3), or the layout-v4 indexes
     * "single" / "implicit" / "fixedarray" that libver=latest writers
-    * emit.
+    * emit. A FILTERED single-chunk index carries its compressed byte
+    * count in the kind as "single:&lt;storedSize&gt;" — the one extra
+    * datum that index needs, kept in the kind string so the
+    * (kind, address) pair stays the complete chunk-index description
+    * that flows to [[modernChunks]].
     */
   final case class DatasetInfo(
       path: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int,
@@ -114,7 +118,10 @@ object Hdf5Inspect {
         // "single:<storedSize>" carries the compressed size of a
         // filtered single chunk; unfiltered uses the logical size
         val stored = s.split(':') match {
-          case Array(_, sz) => sz.toLong.toInt
+          case Array(_, sz) =>
+            val v = sz.toLong
+            require(v > 0 && v <= Int.MaxValue, s"filtered single-chunk stored size out of range: $v")
+            v.toInt
           case _ => chunkBytes.toInt
         }
         if (indexAddr == -1L) Nil

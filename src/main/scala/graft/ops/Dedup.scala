@@ -140,6 +140,18 @@ object Dedup {
       .drop("_mh_toks", "_mh_th")
   }
 
+  /** Skew guard shared by the xxhash64 and portable LSH paths: drop
+    * (band, bucket) groups larger than `maxBucket` before a self-join —
+    * one block to keep both paths (and the q78 oracle SQL's `c <= 1000`)
+    * in sync.
+    */
+  private def boundBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val bucketSizes = banded.groupBy("_band", "_bucket").count()
+    banded
+      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
+      .drop("count")
+  }
+
   /** Candidate near-duplicate pairs via LSH banding: split the k-length
     * signature into `bands` bands, hash each band, self-join on
     * (band, bandHash). Returns distinct (id1, id2) with id1 < id2 plus the
@@ -181,10 +193,7 @@ object Dedup {
       .withColumnRenamed("col", "_bucket")
 
     // Bound pathological buckets before the self-join (skew guard).
-    val bucketSizes = banded.groupBy("_band", "_bucket").count()
-    val bounded = banded
-      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
-      .drop("count")
+    val bounded = boundBuckets(banded, maxBucket)
 
     val l = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
     val r = bounded.select(col("_band"), col("_bucket"), col("_id").as("id2"))
@@ -298,11 +307,8 @@ object Dedup {
     // Same skew guard as lshCandidatePairs — without it the self-join is
     // quadratic in pathological buckets, and the "same candidate
     // semantics" premise vs the scale path would break exactly where
-    // skew appears. The oracle SQL replicates the bound.
-    val bucketSizes = banded.groupBy("_band", "_bucket").count()
-    val bounded = banded
-      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
-      .drop("count")
+    // skew appears. The q78 oracle SQL replicates the bound.
+    val bounded = boundBuckets(banded, maxBucket)
     val pairs = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
       .join(bounded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))

@@ -37,10 +37,19 @@ object Mixing {
     */
   private def globalOrder(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
+    // replace-don't-duplicate: the old row_number().withColumn semantics
+    // replaced a pre-existing "order" column; schema concatenation would
+    // produce an ambiguous duplicate instead
+    val sorted = df.drop("order").orderBy(sortCols: _*)
+    // zipWithIndex runs a partition-size job that executes the sort, and
+    // the caller's action would execute it AGAIN from scratch — persist
+    // the sorted rows so the sort runs once (MEMORY_AND_DISK spills
+    // rather than recomputes; the ContextCleaner reclaims the blocks
+    // when the returned frame is dereferenced)
+    val sortedRdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField("order", org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val rdd = sortedRdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
@@ -55,7 +64,7 @@ object Mixing {
     */
   def lengthBuckets(df: DataFrame, sizeCol: String, idCol: String, buckets: Int): DataFrame = {
     val ranked = globalOrder(df, Seq(col(sizeCol), col(idCol)))
-    val n = ranked.count()
+    val n = df.count() // row count from the UNSORTED input — no extra sort
     val base = n / buckets
     val rem = n % buckets
     val cut = rem * (base + 1) // ranks <= cut fall in the wider buckets
@@ -81,7 +90,7 @@ object Mixing {
     * sort is the cost you pay for a reproducible epoch order.
     */
   def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
-    globalOrder(df.withColumn("_ds_k", md5(col(idCol).cast("string"))),
+    globalOrder(df.drop("_ds_k").withColumn("_ds_k", md5(col(idCol).cast("string"))),
       Seq(col("_ds_k"), col(idCol))).drop("_ds_k")
 
   /** Assign each row to one of `n` output shards by content hash —

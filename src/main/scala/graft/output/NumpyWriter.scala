@@ -37,6 +37,10 @@ object NumpyWriter {
     require(cols.length == 2, s"expected (idx, value|array) columns, got ${cols.mkString(",")}")
     val is2d = df.schema(cols(1)).dataType.isInstanceOf[ArrayType]
     val n = df.count()
+    // null value rows would NPE mid-write AFTER the file is created —
+    // reject them up front with the shape checks
+    require(df.filter(col(cols(1)).isNull).limit(1).count() == 0,
+      s"null rows in value column '${cols(1)}' — NPY cells cannot be null")
     val inner: Long =
       if (!is2d) 1L
       else if (n == 0) 0L

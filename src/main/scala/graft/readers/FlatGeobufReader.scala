@@ -188,7 +188,7 @@ object FlatGeobufReader {
         case 4 => out += idx -> (bytes.getShort(p) & 0xffffL); p += 2      // ushort (unsigned)
         case 5 => out += idx -> bytes.getInt(p).toLong; p += 4             // int
         case 6 => out += idx -> (bytes.getInt(p) & 0xffffffffL); p += 4    // uint (unsigned)
-        case 7 | 8 => out += idx -> bytes.getLong(p); p += 8               // long/ulong
+        case 7 | 8 => out += idx -> bytes.getLong(p); p += 8               // long/ulong (ulong > Long.MaxValue wraps negative — no unsigned 64-bit Spark type)
         case 9 => out += idx -> bytes.getFloat(p).toDouble; p += 4         // float
         case 10 => out += idx -> bytes.getDouble(p); p += 8                // double
         case 11 | 12 | 13 =>                                               // string/json/datetime
