@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * context-window-shaped training set.
   *
   * Chunking is pure Column expressions (per-row, no shuffle — scales
-  * linearly). Packing is the standard per-partition greedy first-fit:
-  * optimal bin packing is NP-hard and needs global state, so the
-  * accepted large-scale practice is independent packing within each
-  * partition, which stays shuffle-free and loses only a fraction of a
-  * window per partition boundary.
+  * linearly). Packing comes in two flavors: [[packSequencesGlobal]],
+  * the deterministic concat-then-split assignment (one parallel sort +
+  * distributed prefix sum, reproducible across partitionings), and
+  * [[packSequences]], the per-partition greedy first-fit (shuffle-free,
+  * strict budget bound, but dependent on the input partitioning).
+  * Optimal bin packing is NP-hard and needs global state; both variants
+  * are the accepted large-scale approximations.
   */
 object Chunking {
 
@@ -44,6 +46,63 @@ object Chunking {
         col("chunk_index").cast("long").as("chunk_index"),
         col("chunk_text"),
         size(TextOps.tokens(col("chunk_text"))).cast("long").as("chunk_tokens"))
+  }
+
+  private val packAssignSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("pack_id", LongType, nullable = false)))
+
+  /** Deterministic, partitioning-independent packing: concatenate the
+    * documents in global `idCol` order and assign each to the
+    * `budget`-token window its FIRST token lands in —
+    * `pack_id = floor(exclusive_prefix_sum(n_tokens) / budget)`.
+    * The boundary document of each window overflows into the next (the
+    * usual concat-then-split convention of training-data loaders); use
+    * [[packSequences]] when a strict per-pack budget bound matters more
+    * than reproducibility.
+    *
+    * Scale design: one range-partitioned sort (the same shuffle
+    * `orderBy` plans — NOT a single-partition window, which
+    * `sum() over (order by ...)` would plan), then a distributed prefix
+    * sum: per-partition token totals (one long per partition) are
+    * collected and scanned on the driver, and a second map pass adds
+    * each partition's offset. The sorted RDD is persisted so the sort
+    * executes once across the two passes; the ContextCleaner reclaims
+    * the blocks when the result is dereferenced (same contract as
+    * `Mixing.globalOrder`).
+    *
+    * Returns per-document assignments (id, n_tokens, pack_id);
+    * aggregate by `pack_id` for pack-level stats.
+    */
+  def packSequencesGlobal(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"), col(nTokensCol).cast("long").as("n_tokens"))
+      .orderBy(col("id"))
+    val sortedRdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator.single(pid -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val t = r.getLong(1)
+        val pack = run / budget
+        run += t
+        Row(r.getLong(0), t, pack)
+      }
+    }
+    spark.createDataFrame(out, packAssignSchema)
   }
 
   private val packSchema = StructType(Seq(

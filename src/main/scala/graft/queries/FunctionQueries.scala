@@ -248,12 +248,62 @@ object FunctionQueries {
     ),
     (
       "q64_describe_stats",
-      // describe() formatting is engine-specific → rows-only; values
-      // spec'd indirectly through q33's exact stat aggregations.
+      // Typed describe() rebuilt on exact integer arithmetic so it carries
+      // a value-exact oracle: the source doubles are fixed-point (quantity
+      // integral, price/discount in cents), so mean = exact scaled-integer
+      // floor-division (q45 micro-division trick) and stddev's
+      // n*ssq - s^2 core stays integral (DECIMAL(38,0) — cents^2 sums
+      // overflow BIGINT at sf>=0.1) until one deterministic cast to
+      // double. No order-dependent double summation anywhere.
       (s, dir) => {
-        table(s, dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount").describe()
+        val li = table(s, dir, "lineitem")
+        def one(c: String, scale: Long) = {
+          val mul = 1000000L / scale
+          li.selectExpr(s"CAST(round($c * $scale) AS BIGINT) AS xi", s"$c AS x")
+            .selectExpr(
+              s"'$c' AS col_name",
+              "count(x) AS n",
+              s"CAST((sum(xi) * $mul) div count(x) AS DOUBLE) / 1000000 AS mean",
+              s"""round(sqrt(
+                    CAST(count(x) * sum(CAST(xi AS DECIMAL(38,0)) * xi)
+                         - CAST(sum(xi) AS DECIMAL(38,0)) * sum(xi) AS DOUBLE)
+                    / CAST(count(x) * (count(x) - 1) AS DOUBLE)) / $scale, 6) AS stddev""",
+              "min(x) AS min_v",
+              "max(x) AS max_v")
+        }
+        one("l_quantity", 1L)
+          .unionAll(one("l_extendedprice", 100L))
+          .unionAll(one("l_discount", 100L))
       },
-      None
+      Some("""
+        WITH src AS (
+          SELECT CAST(round(l_quantity * 1) AS BIGINT) AS q,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(round(l_discount * 100) AS BIGINT) AS d,
+                 l_quantity, l_extendedprice, l_discount
+          FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_name, CAST(count(l_quantity) AS BIGINT) AS n,
+               CAST(CAST(sum(q) AS BIGINT) * 1000000 // count(l_quantity) AS DOUBLE) / 1000000 AS mean,
+               round(sqrt(CAST(count(l_quantity) * sum(q*q) - sum(q)*sum(q) AS DOUBLE)
+                 / CAST(count(l_quantity) * (count(l_quantity) - 1) AS DOUBLE)) / 1, 6) AS stddev,
+               min(l_quantity) AS min_v, max(l_quantity) AS max_v
+        FROM src
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+               CAST(CAST(sum(p) AS BIGINT) * 10000 // count(l_extendedprice) AS DOUBLE) / 1000000,
+               round(sqrt(CAST(count(l_extendedprice) * sum(p*p) - sum(p)*sum(p) AS DOUBLE)
+                 / CAST(count(l_extendedprice) * (count(l_extendedprice) - 1) AS DOUBLE)) / 100, 6),
+               min(l_extendedprice), max(l_extendedprice)
+        FROM src
+        UNION ALL
+        SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+               CAST(CAST(sum(d) AS BIGINT) * 10000 // count(l_discount) AS DOUBLE) / 1000000,
+               round(sqrt(CAST(count(l_discount) * sum(d*d) - sum(d)*sum(d) AS DOUBLE)
+                 / CAST(count(l_discount) * (count(l_discount) - 1) AS DOUBLE)) / 100, 6),
+               min(l_discount), max(l_discount)
+        FROM src
+      """)
     ),
     (
       "q65_freq_items",

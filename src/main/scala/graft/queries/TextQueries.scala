@@ -488,20 +488,41 @@ object TextQueries {
     ),
     (
       "q70_packing",
-      // Per-partition greedy first-fit is partitioning-dependent →
-      // rows-only here; invariants (coverage, budget bound) are spec'd
-      // in ChunkingSpec.
+      // Deterministic concat-then-split packing (packSequencesGlobal):
+      // pack = exclusive-prefix-sum(n_tokens) div budget in doc_id order
+      // — partitioning-independent, so it carries a value-exact oracle.
+      // The strict-budget greedy variant (packSequences) keeps its
+      // invariant checks in ChunkingSpec.
       (s, dir) => {
         val counts = table(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        Chunking.packSequences(counts, "doc_id", "n_tokens", budget = 2048)
+        Chunking.packSequencesGlobal(counts, "doc_id", "n_tokens", budget = 2048)
+          .groupBy(col("pack_id"))
           .agg(
-            count(lit(1)).as("n_packs"),
-            sum("total_tokens").as("packed_tokens"),
-            sum("n_docs").as("packed_docs"),
-            max("total_tokens").as("max_pack"))
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            min("id").as("first_doc"),
+            max("id").as("last_doc"))
       },
-      None
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS prev
+          FROM t
+        )
+        SELECT prev // 2048 AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1
+      """)
     ),
     (
       "q77_decontaminate",

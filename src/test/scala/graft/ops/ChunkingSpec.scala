@@ -51,6 +51,26 @@ class ChunkingSpec extends SparkSpec {
     assert(fill > 0.5)
   }
 
+  test("packSequencesGlobal is deterministic across partitionings") {
+    val base = (1L to 500L).map(i => (i, (i * 31 % 97) + 1))
+    def run(parts: Int) =
+      Chunking.packSequencesGlobal(base.toDF("doc_id", "n_tokens").repartition(parts),
+          "doc_id", "n_tokens", budget = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val a = run(1)
+    val b = run(8)
+    val c = run(32)
+    assert(a.sameElements(b) && b.sameElements(c))
+    // prefix-sum semantics: pack of each doc = floor(sum of all PRIOR docs / budget)
+    var running = 0L
+    base.sortBy(_._1).zip(a).foreach { case ((id, t), (aid, pack)) =>
+      assert(id == aid && pack == running / 256)
+      running += t
+    }
+    // coverage: every doc assigned exactly once
+    assert(a.map(_._1).distinct.length == 500)
+  }
+
   test("oversized documents get singleton packs") {
     val docs = Seq((1L, 5000L), (2L, 10L), (3L, 20L)).toDF("doc_id", "n_tokens").coalesce(1)
     val packs = Chunking.packSequences(docs, "doc_id", "n_tokens", budget = 100).collect()
