@@ -62,14 +62,14 @@ object Bench {
       val t0 = System.nanoTime()
       val futures = ordered.map { case (name, fn) =>
         Future {
-          // All jobs share the default pool. With spark.scheduler.mode=
-          // FAIR, FairSchedulableBuilder creates that pool with
-          // schedulingMode FAIR (startup log: "created default pool:
-          // default, schedulingMode: FAIR"), so jobs inside it already
-          // round-robin — no per-query pool needed. Measured: explicit
-          // one-pool-per-query ran the batch in 15.7s vs 7.4s for the
-          // shared default pool (equal-weight pools slice cores too
-          // finely across 16 concurrent queries).
+          // All jobs share the default pool, declared FAIR in
+          // src/main/resources/fairscheduler.xml (without the allocation
+          // file, Spark builds the default pool with internal mode FIFO
+          // even under spark.scheduler.mode=FAIR — verified against the
+          // 4.1.2 jar). Measured: explicit one-pool-per-query ran the
+          // batch in 15.7s vs 7.4s for the shared default pool
+          // (equal-weight pools slice cores too finely across 16
+          // concurrent queries).
           val q0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }

@@ -39,6 +39,29 @@ object ServiceReaders {
     try mapper.readTree(in) finally in.close()
   }
 
+  /** GET transport: url => response body. Injectable so specs page
+    * offline. The default routes http(s) through HttpURLConnection —
+    * query-string aware, unlike a Hadoop `Path`, which folds the
+    * `?$limit=..` pagination params into the path component — and
+    * everything else (the `file://` fixture path) through the Hadoop FS.
+    */
+  type GetTransport = String => String
+
+  def httpGetTransport(conf: Configuration): GetTransport = url => {
+    val scheme = Option(new URI(url).getScheme).getOrElse("")
+    if (scheme == "http" || scheme == "https") {
+      val conn = new java.net.URL(url).openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(15000)
+      conn.setReadTimeout(60000)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    } else {
+      val fs = FileSystem.get(new URI(url).resolve("/"), conf)
+      val in = fs.open(new Path(url))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+  }
+
   /** Socrata resource endpoint (`https://{domain}/resource/{4x4}.json`):
     * each page is a JSON array of records; pagination is `$limit`/
     * `$offset` query params; a short page terminates. `paged=false`
@@ -49,10 +72,12 @@ object ServiceReaders {
       url: String,
       pageSize: Int = 10000,
       maxPages: Int = 1000,
-      paged: Boolean = true
+      paged: Boolean = true,
+      transport: GetTransport = null
   ): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
+    val fetch = Option(transport).getOrElse(httpGetTransport(conf))
     val records = Seq.newBuilder[String]
     var page = 0
     var done = false
@@ -60,7 +85,7 @@ object ServiceReaders {
       val pageUrl =
         if (!paged) url
         else url + (if (url.contains("?")) "&" else "?") + s"$$limit=$pageSize&$$offset=${page * pageSize}"
-      val node = readJson(pageUrl, conf)
+      val node = mapper.readTree(fetch(pageUrl))
       require(node.isArray, s"socrata resource did not return a JSON array at $pageUrl")
       val n = node.size()
       node.elements().asScala.foreach(r => records += mapper.writeValueAsString(r))
@@ -87,11 +112,12 @@ object ServiceReaders {
         case Some(x) if id.nonEmpty =>
           val href = Option(x.get("downloadURL")).getOrElse(x.get("accessURL")).asText()
           val media = Option(x.get("mediaType")).map(_.asText()).getOrElse("")
-          val kind =
-            if (media.contains("csv")) "csv"
-            else if (media.contains("json") || href.endsWith(".json")) "socrata"
-            else "binary"
-          val reader = if (kind == "socrata") "socrata_reader" else s"${kind}_reader"
+          // reader names must be registered SparkReaders names, or
+          // Catalog.read/auto_pipeline throws "unknown reader" on use
+          val (kind, reader) =
+            if (media.contains("csv")) ("csv", "spark_csv")
+            else if (media.contains("json") || href.endsWith(".json")) ("socrata", "socrata_reader")
+            else ("binary", "spark_binary")
           cat.add(title, DataRef(kind, href, metadata = Map("mediaType" -> media, "identifier" -> id)), reader)
         case _ => cat
       }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Previous minhashNearDupPairsPortable signature cache, unpersisted on
+  // the next invocation (the plan it feeds is lazy, so the call itself
+  // can't know when it is safe to drop).
+  private var lastPortableSigs: Option[DataFrame] = None
+
   /** Exact dedup: keep one row (min of `idCol`) per distinct value of
     * `onCol`'s content hash. groupBy is shuffle-partial-aggregated
     * map-side, so only one row per distinct hash per partition shuffles.
@@ -293,6 +298,13 @@ object Dedup {
     val sigs = repartitionTo.map(df.repartition(_)).getOrElse(df)
       .select(col(idCol).as("_id"), sigUdf(TextOps.tokens(col(textCol))).as("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The returned plan is lazy, so the cache can't unpersist inside this
+    // call; bound the footprint to one lineage by dropping the previous
+    // invocation's cache (bench + correctness invoke this repeatedly).
+    Dedup.synchronized {
+      lastPortableSigs.foreach(_.unpersist(blocking = false))
+      lastPortableSigs = Some(sigs)
+    }
     val banded = sigs.select(
       col("_id"),
       posexplode(

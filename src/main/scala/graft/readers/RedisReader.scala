@@ -133,25 +133,26 @@ object RedisReader {
     val uri = new URI(url)
     val host = uri.getHost
     val port = if (uri.getPort > 0) uri.getPort else 6379
-    // driver-side cursor scan: keys only, bounded
-    val keys = Seq.newBuilder[String]
+    // driver-side cursor scan: keys only, bounded. SCAN guarantees
+    // at-least-once (a key can reappear across cursor pages during
+    // rehash), so collect into an insertion-ordered set to dedupe.
+    val keys = new scala.collection.mutable.LinkedHashSet[String]
     val sock = connect(host, port)
     try {
       val r = new Resp(new BufferedInputStream(sock.getInputStream), new BufferedOutputStream(sock.getOutputStream))
       if (db != 0) r.cmd("SELECT", db.toString)
       var cursor = "0"
-      var n = 0
       var done = false
       while (!done) {
         val reply = r.cmd("SCAN", cursor, "MATCH", pattern, "COUNT", "500").asInstanceOf[Seq[Any]]
         cursor = String.valueOf(reply.head)
         val page = reply(1).asInstanceOf[Seq[Any]].map(String.valueOf)
-        page.foreach { k => if (n < maxKeys) { keys += k; n += 1 } }
-        done = cursor == "0" || n >= maxKeys
+        page.foreach { k => if (keys.size < maxKeys) keys.add(k) }
+        done = cursor == "0" || keys.size >= maxKeys
       }
     } finally sock.close()
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val keyDs = spark.createDataset(keys.result()).repartition(parts)
+    val keyDs = spark.createDataset(keys.toSeq).repartition(parts)
     // executor-side value fetch, one connection per partition
     keyDs.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty

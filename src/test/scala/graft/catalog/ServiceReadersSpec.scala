@@ -53,6 +53,36 @@ class ServiceReadersSpec extends SparkSpec {
     assert(refs("City Sales").metadata("identifier") == "abcd-1234")
   }
 
+  test("DCAT csv entry pipelines end-to-end through a registered reader") {
+    Files.writeString(dir.resolve("streets.csv"), "name,lanes\nMain,4\nElm,2\n")
+    Files.writeString(dir.resolve("data_local.json"),
+      s"""{"dataset": [
+         | {"identifier": "efgh-5678", "title": "Street CSV",
+         |  "distribution": [{"downloadURL": "file://$dir/streets.csv", "mediaType": "text/csv"}]}
+         |]}""".stripMargin)
+    val cat = ServiceReaders.socrataCatalog(s"file://$dir/data_local.json")
+    // the registered reader name must resolve (regression: csv_reader
+    // vs spark_csv threw "unknown reader" on every non-socrata entry)
+    val df = cat("Street CSV").read(spark)
+    assert(df.count() == 2)
+    assert(df.columns.contains("name"))
+  }
+
+  test("paged socrata walks $limit/$offset pages through the transport") {
+    val urls = collection.mutable.ArrayBuffer[String]()
+    val transport: ServiceReaders.GetTransport = url => {
+      urls += url
+      if (url.contains("offset=0")) """[{"id":"1"},{"id":"2"}]"""
+      else """[{"id":"3"}]"""
+    }
+    val df = ServiceReaders.readSocrata(spark, "https://example.org/resource/ab12-cd34.json",
+      pageSize = 2, transport = transport)
+    assert(df.count() == 3)
+    assert(urls.size == 2)
+    assert(urls.head.contains("$limit=2") && urls.head.contains("$offset=0"))
+    assert(urls(1).contains("$offset=2"))
+  }
+
   test("elasticsearch search_after pagination walks pages and flattens _source") {
     val pages = collection.mutable.ArrayBuffer[String]()
     val transport: ServiceReaders.EsTransport = (url, body) => {

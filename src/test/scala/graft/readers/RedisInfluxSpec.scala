@@ -35,7 +35,12 @@ class RedisInfluxSpec extends SparkSpec {
           val n = line.substring(1).toInt
           val args = (0 until n).map { _ => in.readLine(); in.readLine() } // $len then payload
           args.head.toUpperCase match {
-            case "SCAN" => reply(s"*2\r\n${bulk("0")}${arr(store.keys.toSeq.sorted)}")
+            case "SCAN" =>
+              // two-page cursor with one overlapping key: SCAN is
+              // at-least-once, the reader must dedupe across pages
+              val sorted = store.keys.toSeq.sorted
+              if (args(1) == "0") reply(s"*2\r\n${bulk("7")}${arr(sorted.take(3))}")
+              else reply(s"*2\r\n${bulk("0")}${arr(sorted.drop(2))}")
             case "TYPE" => store.get(args(1)) match {
               case Some(_: String) => reply("+string\r\n")
               case Some(_: Map[_, _]) => reply("+hash\r\n")
@@ -67,7 +72,9 @@ class RedisInfluxSpec extends SparkSpec {
     t.start()
     try {
       val df = RedisReader.read(spark, s"redis://127.0.0.1:${server.getLocalPort}", numPartitions = 2)
-      val rows = df.collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+      val collected = df.collect()
+      assert(collected.length == store.size) // no dup rows from overlapping SCAN pages
+      val rows = collected.map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
       assert(rows.keySet == store.keySet)
       assert(rows("user:1") == (("string", "\"alice\"")))
       assert(rows("conf") == (("hash", """{"mode":"fast","retries":"3"}""")))
