@@ -1,9 +1,12 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.Executors
 import org.apache.spark.sql.SparkSession
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import scala.util.Try
 
 /** Benchmark main: runs the whole query inventory against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
@@ -45,8 +48,19 @@ object Bench {
 
     // Longest-first submission (LPT): with a fixed-width pool, launching
     // the expensive LSH/text queries first keeps the tail short instead
-    // of backloading them behind 50 cheap queries. Static cost tiers from
-    // measured history; unknown queries default to mid-tier.
+    // of backloading them behind 50 cheap queries. Costs come from the
+    // previous run's summary file when present (self-tuning — a stale
+    // hand-list silently degrades LPT); the static tier list is only the
+    // first-run fallback. Unknown queries default to mid-tier.
+    val summaryPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "target/bench_summary.json"))
+    val priorTimes: Map[String, Double] = Try {
+      val txt = new String(Files.readAllBytes(summaryPath), StandardCharsets.UTF_8)
+      // Minimal extraction of the "queries" object: "name":secs pairs.
+      val qSec = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
+      val body = txt.drop(txt.indexOf("\"queries\""))
+      qSec.findAllMatchIn(body.take(body.indexOf("}") + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
     val heavy = Seq(
       "q42_minhash_lsh", "q63_neardup_clusters", "q51_lsh_knn", "q41_jaccard_pairs",
       "q50_embedding_neardup", "q46_lang_quality", "q47_wordcount", "q49_knn_cosine",
@@ -56,7 +70,11 @@ object Bench {
       "q56_group_sketch_union", "q57_salted_join", "q58_ivf_knn"
     )
     val rank = heavy.zipWithIndex.toMap
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (rank.getOrElse(n, heavy.size), n) }
+    val ordered =
+      if (priorTimes.nonEmpty)
+        SparkEntry.queries.toSeq.sortBy { case (n, _) => (-priorTimes.getOrElse(n, 0.5), n) }
+      else
+        SparkEntry.queries.toSeq.sortBy { case (n, _) => (rank.getOrElse(n, heavy.size), n) }
 
     def runBatch(): (Map[String, Double], Double) = {
       val t0 = System.nanoTime()
@@ -95,12 +113,24 @@ object Bench {
 
     def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(fullLine)
     // The full line above carries two ~80-entry maps (~4 KB) and the
     // harness tail-captures a bounded window, which truncated the
     // headline value two rounds running. Repeat the totals as a compact
     // trailing line so the tail always contains a parseable record.
-    println(s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(compactLine)
+    // sbt prefixes stdout with "[info] " and appends "[success] ...",
+    // which defeats a bare-JSON / last-line parser (BENCH_r02-r04 all
+    // parsed null). Two prefix-free channels: stderr (sbt passes it
+    // through unadorned) and a summary file the driver (and the next
+    // Bench run's LPT tiering) can read directly.
+    System.err.println(compactLine)
+    Try {
+      Option(summaryPath.getParent).foreach(Files.createDirectories(_))
+      Files.write(summaryPath, (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

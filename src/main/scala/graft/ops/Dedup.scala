@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  // Previous minhashNearDupPairsPortable signature cache, unpersisted on
-  // the next invocation (the plan it feeds is lazy, so the call itself
-  // can't know when it is safe to drop).
-  private var lastPortableSigs: Option[DataFrame] = None
+  // Recent minhashNearDupPairsPortable signature caches. The plan each
+  // feeds is lazy, so the call itself can't know when it is safe to
+  // drop — and a single-slot cache is wrong under concurrency (Bench
+  // submits 16 queries in parallel; invocation B would unpersist A's
+  // signatures before A's self-join evaluates, silently recomputing the
+  // MD5 minhash UDF on both join sides). A small FIFO keeps the last few
+  // invocations persisted: deep enough that no in-flight sibling loses
+  // its cache, shallow enough to bound driver retention.
+  private val portableSigsCacheDepth = 4
+  private val recentPortableSigs = scala.collection.mutable.Queue.empty[DataFrame]
 
   /** Exact dedup: keep one row (min of `idCol`) per distinct value of
     * `onCol`'s content hash. groupBy is shuffle-partial-aggregated
@@ -299,11 +305,14 @@ object Dedup {
       .select(col(idCol).as("_id"), sigUdf(TextOps.tokens(col(textCol))).as("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The returned plan is lazy, so the cache can't unpersist inside this
-    // call; bound the footprint to one lineage by dropping the previous
-    // invocation's cache (bench + correctness invoke this repeatedly).
+    // call; bound the footprint to the last few lineages (FIFO) so
+    // repeated bench/correctness invocations don't accumulate caches but
+    // a concurrently-running sibling's cache also isn't dropped while its
+    // lazy self-join is still unevaluated.
     Dedup.synchronized {
-      lastPortableSigs.foreach(_.unpersist(blocking = false))
-      lastPortableSigs = Some(sigs)
+      recentPortableSigs.enqueue(sigs)
+      while (recentPortableSigs.size > portableSigsCacheDepth)
+        recentPortableSigs.dequeue().unpersist(blocking = false)
     }
     val banded = sigs.select(
       col("_id"),

@@ -278,20 +278,48 @@ object Multimodal {
     out
   }
 
-  /** Pixel decode → features. PNG/BMP/PPM/JPEG run the REAL decode +
-    * pooling, as do JPEG/TIFF/GIF via ImageIO; non-image bytes (video
-    * frame sampling) fall back to the deterministic stub below so the
-    * pipeline shape stays identical either way.
+  /** Slice one frame's bytes out of the container per its index entry;
+    * None when the extent is outside the buffer (corrupt index).
+    */
+  private def frameBytes(content: Array[Byte], f: VideoContainer.Frame): Option[Array[Byte]] =
+    if (f.offset >= 0 && f.size > 0 && f.offset + f.size <= content.length)
+      Some(java.util.Arrays.copyOfRange(content, f.offset.toInt, (f.offset + f.size).toInt))
+    else None
+
+  /** Decode one video frame to pooled features: MJPEG frames (the
+    * dominant intra-only AVI codec, and what the reference's imageio
+    * engine handles without ffmpeg — `readers.py:3644` ImageIOVideo) are
+    * plain JPEG bitstreams, so the existing image decode applies
+    * directly. Inter-coded codecs (H.264 etc.) return None — out of
+    * scope without a codec library, stated rather than faked.
+    */
+  private def decodeFrameFeatures(content: Array[Byte], f: VideoContainer.Frame, dim: Int): Option[Array[Float]] =
+    frameBytes(content, f).flatMap(decodeImage(_)).map { case (_, w, h, rgb) => poolFeatures(w, h, rgb, dim) }
+
+  /** Deterministic placeholder features for bytes no decoder handles —
+    * keeps the pipeline shape (schema, explode pattern) testable for
+    * codecs we can't decode. Every decodable input takes a real path.
+    */
+  private def syntheticFeatures(content: Array[Byte], salt: Int, dim: Int): Array[Float] = {
+    val seed = java.util.Arrays.hashCode(content).toLong * 31 + salt
+    val rnd = new scala.util.Random(seed)
+    Array.fill(dim)(rnd.nextFloat())
+  }
+
+  /** Pixel decode → features. PNG/BMP/PPM run the REAL native decode +
+    * pooling, as do JPEG/TIFF/GIF via ImageIO; video containers decode
+    * their FIRST frame for real when the codec is intra-only JPEG
+    * (MJPEG); only undecodable codecs fall back to the deterministic
+    * placeholder so the pipeline shape stays identical either way.
     */
   private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
     else decodeImage(content) match {
       case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
       case None =>
-        // ??? real video frame decode goes here; deterministic fake keeps plumbing testable
-        val seed = java.util.Arrays.hashCode(content).toLong
-        val rnd = new scala.util.Random(seed)
-        Array.fill(dim)(rnd.nextFloat())
+        VideoContainer.parse(content)
+          .flatMap(vi => vi.frames.headOption.flatMap(decodeFrameFeatures(content, _, dim)))
+          .getOrElse(syntheticFeatures(content, 0, dim))
     }
   }
 
@@ -318,10 +346,36 @@ object Multimodal {
   def imageFeatures(df: DataFrame, dim: Int = 64, contentCol: String = "content"): DataFrame =
     df.withColumn("features", decodeUdf(col(contentCol), lit(dim)))
 
-  /** Frame-sample stub: emit `n` (frame_index, features) rows per video
-    * binary — the explode pattern a real frame sampler would use.
+  /** Frame sampling: emit up to `n` (frame_index, frame_time_sec,
+    * features) rows per video binary. For real containers (MP4/AVI via
+    * [[VideoContainer]]) the frames are evenly spaced over the REAL
+    * frame index, each frame's bytes are sliced out of the container by
+    * its sample-table extent, and MJPEG frames decode to real pooled
+    * pixel features (see [[decodeFrameFeatures]]); `features` is null
+    * for frames whose codec we can't decode. Non-container bytes keep
+    * the n-replicate explode pattern with placeholder features so the
+    * plumbing (schema, row multiplicity) is exercised uniformly.
     */
-  def sampleFrames(df: DataFrame, n: Int, dim: Int = 64, contentCol: String = "content"): DataFrame =
-    df.withColumn("frame_index", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("features", decodeUdf(concat(col(contentCol), col("frame_index").cast("string").cast("binary")), lit(dim)))
+  def sampleFrames(df: DataFrame, n: Int, dim: Int = 64, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte], nn: Int, d: Int) =>
+      if (content == null) Seq.empty[(Int, Double, Array[Float])]
+      else VideoContainer.parse(content) match {
+        case Some(vi) if vi.frames.nonEmpty =>
+          val total = vi.frames.length
+          val count = math.min(nn, total)
+          val starts = vi.frames.scanLeft(0.0)(_ + _.dtSec)
+          (0 until count).map { j =>
+            val i = (j.toLong * total / count).toInt
+            (i, starts(i), decodeFrameFeatures(content, vi.frames(i), d).orNull)
+          }
+        case _ =>
+          (0 until nn).map(i => (i, 0.0, syntheticFeatures(content, i, d)))
+      }
+    }
+    df.withColumn("_fr", explode(u(col(contentCol), lit(n), lit(dim))))
+      .withColumn("frame_index", col("_fr._1"))
+      .withColumn("frame_time_sec", col("_fr._2"))
+      .withColumn("features", col("_fr._3"))
+      .drop("_fr")
+  }
 }

@@ -74,6 +74,14 @@ object VideoContainer {
   private def child(b: Array[Byte], parent: Box, typ: String): Option[Box] =
     boxes(b, parent.bodyStart, parent.bodyEnd).find(_.typ == typ)
 
+  /** True iff `[start, start+need)` lies inside the box body — every
+    * table read below goes through this (or an equivalent long-arith
+    * check) so a corrupt/truncated file yields None, never an
+    * ArrayIndexOutOfBoundsException from an executor task.
+    */
+  private def fits(box: Box, start: Long, need: Long): Boolean =
+    need >= 0 && start >= box.bodyStart && start + need <= box.bodyEnd
+
   def parseMp4(b: Array[Byte]): Option[VideoIndex] = {
     if (b.length < 16 || new String(b, 4, 4, "ISO-8859-1") != "ftyp") return None
     val top = boxes(b, 0, b.length)
@@ -94,31 +102,39 @@ object VideoContainer {
         new String(b, hdlr.bodyStart + 8, 4, "ISO-8859-1") != "vide") return None
 
     val mdhd = child(b, mdia, "mdhd").getOrElse(return None)
+    if (!fits(mdhd, mdhd.bodyStart, 16)) return None
     val mdhdV1 = b(mdhd.bodyStart) == 1
+    if (mdhdV1 && !fits(mdhd, mdhd.bodyStart, 24)) return None
     val timescale = if (mdhdV1) be32(b, mdhd.bodyStart + 20) else be32(b, mdhd.bodyStart + 12)
     if (timescale <= 0) return None
 
     // tkhd width/height are 16.16 fixed point after the 36-byte matrix
     val (width, height) = child(b, trak, "tkhd").map { tkhd =>
-      val base = tkhd.bodyStart + (if (b(tkhd.bodyStart) == 1) 88 else 76)
-      if (base + 8 <= tkhd.bodyEnd) ((be32(b, base) >> 16).toInt, (be32(b, base + 4) >> 16).toInt)
-      else (0, 0)
+      if (!fits(tkhd, tkhd.bodyStart, 1)) (0, 0)
+      else {
+        val base = tkhd.bodyStart + (if (b(tkhd.bodyStart) == 1) 88 else 76)
+        if (fits(tkhd, base, 8)) ((be32(b, base) >> 16).toInt, (be32(b, base + 4) >> 16).toInt)
+        else (0, 0)
+      }
     }.getOrElse((0, 0))
 
     val stbl = child(b, mdia, "minf").flatMap(child(b, _, "stbl")).getOrElse(return None)
 
     // stsz: per-sample sizes (or one constant size)
     val stsz = child(b, stbl, "stsz").getOrElse(return None)
+    if (!fits(stsz, stsz.bodyStart, 12)) return None
     val constSize = be32(b, stsz.bodyStart + 4)
     val nSamples = be32(b, stsz.bodyStart + 8).toInt
     if (nSamples <= 0 || nSamples > 100000000) return None
     def sizeOf(i: Int): Long =
       if (constSize != 0) constSize else be32(b, stsz.bodyStart + 12 + i * 4)
-    if (constSize == 0 && stsz.bodyStart + 12 + nSamples * 4 > stsz.bodyEnd) return None
+    if (constSize == 0 && !fits(stsz, stsz.bodyStart + 12L, nSamples * 4L)) return None
 
     // stts: (count, delta) runs → per-sample dt
     val stts = child(b, stbl, "stts").getOrElse(return None)
+    if (!fits(stts, stts.bodyStart, 8)) return None
     val nStts = be32(b, stts.bodyStart + 4).toInt
+    if (nStts < 0 || !fits(stts, stts.bodyStart + 8L, nStts * 8L)) return None
     val dts = new Array[Double](nSamples)
     var si = 0
     var e = 0
@@ -132,17 +148,23 @@ object VideoContainer {
 
     // stsc runs + stco/co64 chunk offsets → absolute sample offsets
     val stsc = child(b, stbl, "stsc").getOrElse(return None)
+    if (!fits(stsc, stsc.bodyStart, 8)) return None
     val nStsc = be32(b, stsc.bodyStart + 4).toInt
+    if (nStsc < 0 || !fits(stsc, stsc.bodyStart + 8L, nStsc * 12L)) return None
     val stscRuns = (0 until nStsc).map { i =>
       (be32(b, stsc.bodyStart + 8 + i * 12).toInt, // first_chunk, 1-based
         be32(b, stsc.bodyStart + 12 + i * 12).toInt) // samples_per_chunk
     }
     val chunkOffsets: IndexedSeq[Long] =
       child(b, stbl, "stco").map { stco =>
+        if (!fits(stco, stco.bodyStart, 8)) return None
         val n = be32(b, stco.bodyStart + 4).toInt
+        if (n < 0 || !fits(stco, stco.bodyStart + 8L, n * 4L)) return None
         (0 until n).map(i => be32(b, stco.bodyStart + 8 + i * 4))
       }.orElse(child(b, stbl, "co64").map { co64 =>
+        if (!fits(co64, co64.bodyStart, 8)) return None
         val n = be32(b, co64.bodyStart + 4).toInt
+        if (n < 0 || !fits(co64, co64.bodyStart + 8L, n * 8L)) return None
         (0 until n).map(i => be64(b, co64.bodyStart + 8 + i * 8))
       }).getOrElse(return None)
     if (stscRuns.isEmpty || chunkOffsets.isEmpty) return None
@@ -230,14 +252,19 @@ object VideoContainer {
         val size = le32(b, p + 12)
         // dwOffset normally points at the chunk's ckid relative to the
         // "movi" fourcc; some writers store absolute file offsets — pick
-        // whichever lands on the right ckid
+        // whichever lands on the right ckid. When NEITHER convention
+        // validates, the entry is skipped (not guessed): a fabricated
+        // offset would hand downstream consumers garbage bytes as a
+        // frame, which is worse than a missing frame.
         val relPos = moviPos + rel
         val dataOff =
           if (relPos + 8 <= b.length && fourcc(b, relPos.toInt) == ckid) relPos + 8
           else if (rel + 8 <= b.length && fourcc(b, rel.toInt) == ckid) rel + 8
-          else relPos + 8
-        frames += Frame(n, dataOff, size, dt)
-        n += 1
+          else -1L
+        if (dataOff >= 0) {
+          frames += Frame(n, dataOff, size, dt)
+          n += 1
+        }
       }
       i += 16
     }

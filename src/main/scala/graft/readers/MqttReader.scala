@@ -152,7 +152,16 @@ object MqttReader {
           catch { case _: java.net.SocketTimeoutException => -1 }
         if (first < 0) done = true
         else {
-          val body = readFully(t.in, readRemaining(t.in))
+          // A timeout mid-packet (after the fixed-header byte) is also
+          // end-of-collect: the partial packet is unusable either way,
+          // and throwing here would discard every message already
+          // collected — the opposite of bounded-subscribe semantics.
+          val bodyOpt =
+            try Some(readFully(t.in, readRemaining(t.in)))
+            catch { case _: java.net.SocketTimeoutException => None }
+          if (bodyOpt.isEmpty) done = true
+          else {
+          val body = bodyOpt.get
           (first >> 4) match {
             case 2 => // CONNACK: [ack flags, return code]
               require(body.length >= 2 && body(1) == 0, s"MQTT CONNACK refused (rc=${body(1)})")
@@ -177,6 +186,7 @@ object MqttReader {
             case 13 => // PINGRESP — ignore
             case 14 => done = true // broker-side DISCONNECT (MQTT 5 style)
             case _ => // ignore unexpected control packets
+          }
           }
         }
       }
