@@ -373,7 +373,7 @@ object Dedup {
     * iterative join, bounded rounds"). Returns (id, component) where
     * component is the minimum id reachable within `maxIter` hops.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 3, checkConvergence: Boolean = false): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20, checkConvergence: Boolean = true): DataFrame = {
     // Materialize the pair list ONCE and truncate its lineage: the pair
     // plan is referenced by every propagation round, and without
     // truncation each round re-embeds the entire upstream (LSH) DAG in
@@ -388,10 +388,12 @@ object Dedup {
       .withColumn("component", col("id"))
     var iter = 0
     var converged = false
-    // Near-dup graphs are dense cliques with tiny diameters: a few blind
-    // rounds converge, and skipping the per-round change-detection action
-    // (checkConvergence=false) avoids serializing one extra Spark job per
-    // round. Turn the check on for graphs of unknown shape.
+    // The default is convergence-checked (one cheap limit(1).count() per
+    // round) with a generous round cap: at scale a chain-shaped component
+    // would silently under-merge under a small blind round count, with no
+    // signal. Callers with a KNOWN graph shape (dense near-dup cliques)
+    // or a matched-round oracle pass an explicit small maxIter — early
+    // convergence never changes labels, it only skips no-op rounds.
     while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "_nc"), Seq("id2"))
@@ -423,7 +425,7 @@ object Dedup {
       threshold: Double = 0.8,
       shingleN: Int = 3,
       repartitionTo: Option[Int] = None,
-      ccRounds: Int = 3
+      ccRounds: Int = 20
   ): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN = shingleN, threshold = threshold,
       repartitionTo = repartitionTo)
