@@ -22,7 +22,7 @@ import scala.collection.mutable.ListBuffer
   */
 object ArrowIPC {
 
-  private def arrowToSparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
+  private[readers] def arrowToSparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     f.getType match {
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType
