@@ -242,7 +242,9 @@ object Registry {
       Seq(0 -> ascii("II*\u0000"), 0 -> ascii("MM\u0000*"))),
     DataKind("sdf", Seq("chemical/x-mdl-sdfile"), Seq("\\.sdf$"), Set("table"),
       headOk = (h, _) => { val t = headText(h); t.contains("V2000") || t.contains("V3000") }),
-    DataKind("opendap", Nil, Seq("/(dodsC|dods|opendap)/", "\\.dods$"), Set("array", "service")),
+    // patterns match against the lowercased url (matchesPattern), so the
+    // THREDDS "dodsC" path segment is written lowercase here
+    DataKind("opendap", Nil, Seq("/(dodsc|dods|opendap)/", "\\.dods$"), Set("array", "service")),
     DataKind("mqtt", Nil, Seq("^mqtts?://"), Set("sequence", "service")),
     DataKind("arrow_flight", Nil, Seq("^grpc(\\+tls)?://"), Set("table", "service")),
     DataKind("stata", Nil, Seq("\\.dta$"), Set("table"), Seq(0 -> ascii("<stata_dta>"))),

@@ -1,0 +1,162 @@
+package graft.readers
+
+import graft.datatypes.DataRef
+import java.io.InputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native OpenDAP (DAP2) reader (reference `datatypes.py:584` OpenDAP
+  * datatype; engine dispatch `readers.py:1363-1393` via xarray/pydap):
+  * speaks the published DAP2 protocol directly — fetches the `.dds`
+  * dataset descriptor, parses atomic-array and Grid declarations, then
+  * fetches the constrained `.dods?var` binary response and decodes its
+  * XDR payload (big-endian, 16-bit types promoted to 32-bit words, byte
+  * arrays padded to 4, array counts doubled) into the same long-form
+  * layout as [[NetCDF3Reader]]/ZarrReader: one row per element, dim
+  * columns named by the dataset's real dimension names, `value` double.
+  *
+  * Scale shape: one constrained variable response decodes driver-side
+  * and parallelizes — DAP2 is a subsetting protocol, so the request IS
+  * the pushdown (the server slices; only the asked-for variable
+  * travels). A huge variable would stripe hyperslab constraints
+  * (`var[lo:hi][..]`) across tasks with one `.dods` request each; the
+  * single-request path here matches the reference reader's semantics.
+  *
+  * The fetch is injectable; specs serve canned DDS/DODS fixtures.
+  */
+object OpenDapReader {
+
+  /** url → response body. Production speaks HTTP(S); specs use a map. */
+  type Fetch = String => InputStream
+
+  def httpFetch(timeoutMs: Int): Fetch = url => {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.getInputStream
+  }
+
+  final case class DapVar(name: String, dapType: String, dims: Seq[(String, Int)])
+
+  /** Atomic-array and Grid-array declarations of a DDS body. Grid MAPS
+    * entries surface as their own 1-d vars (they are); the Grid's data
+    * array keeps the grid's name via first-declaration-wins dedup.
+    */
+  private[readers] def parseDds(text: String): Seq[DapVar] = {
+    val decl = """(?m)(Byte|Int16|UInt16|Int32|UInt32|Float32|Float64)\s+(\w+)((?:\s*\[[^\]]+\])+)\s*;""".r
+    val dim = """\[\s*(?:(\w+)\s*=\s*)?(\d+)\s*\]""".r
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, DapVar]
+    decl.findAllMatchIn(text).foreach { m =>
+      val dims = dim.findAllMatchIn(m.group(3)).zipWithIndex.map { case (d, i) =>
+        (Option(d.group(1)).getOrElse(s"dim$i"), d.group(2).toInt)
+      }.toSeq
+      val v = DapVar(m.group(2), m.group(1), dims)
+      if (!seen.contains(v.name)) seen(v.name) = v
+    }
+    seen.values.toSeq
+  }
+
+  private def readAll(in: InputStream): Array[Byte] =
+    try in.readAllBytes() finally in.close()
+
+  /** Split a `.dods` response at the `Data:` marker line. */
+  private[readers] def splitDods(bytes: Array[Byte]): (String, Array[Byte]) = {
+    val marker = "\nData:\n".getBytes(StandardCharsets.ISO_8859_1)
+    var i = 0
+    var at = -1
+    while (at < 0 && i + marker.length <= bytes.length) {
+      if (marker.indices.forall(j => bytes(i + j) == marker(j))) at = i
+      i += 1
+    }
+    require(at >= 0, "no Data: marker in .dods response")
+    (new String(bytes, 0, at, StandardCharsets.ISO_8859_1),
+      java.util.Arrays.copyOfRange(bytes, at + marker.length, bytes.length))
+  }
+
+  /** Decode the FIRST array block of an XDR payload for `v`: two int32
+    * counts, then elements (DAP2 spec: Byte packed+padded, 16-bit types
+    * as 32-bit words, Float32/Float64 as IEEE big-endian).
+    */
+  private[readers] def decodeXdr(v: DapVar, xdr: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(xdr) // big-endian by default
+    val n = bb.getInt()
+    val n2 = bb.getInt()
+    require(n == n2, s"XDR array count mismatch ($n vs $n2)")
+    val expected = v.dims.map(_._2.toLong).product
+    require(n.toLong == expected, s"XDR count $n != declared shape product $expected for ${v.name}")
+    val out = new Array[Double](n)
+    v.dapType match {
+      case "Byte" =>
+        var i = 0
+        while (i < n) { out(i) = bb.get().toDouble; i += 1 } // (un)signed per server; raw byte here
+      case "Int16" | "Int32" =>
+        var i = 0
+        while (i < n) { out(i) = bb.getInt().toDouble; i += 1 }
+      case "UInt16" | "UInt32" =>
+        var i = 0
+        while (i < n) { out(i) = (bb.getInt().toLong & 0xffffffffL).toDouble; i += 1 }
+      case "Float32" =>
+        var i = 0
+        while (i < n) { out(i) = bb.getFloat().toDouble; i += 1 }
+      case "Float64" =>
+        var i = 0
+        while (i < n) { out(i) = bb.getDouble(); i += 1 }
+      case other => throw new UnsupportedOperationException(s"DAP2 type $other")
+    }
+    out
+  }
+
+  def variables(url: String, fetch: Fetch = httpFetch(15000)): Seq[String] =
+    parseDds(new String(readAll(fetch(baseUrl(url) + ".dds")), StandardCharsets.ISO_8859_1)).map(_.name)
+
+  private def baseUrl(url: String): String =
+    url.replaceAll("\\.(dds|das|dods|html)$", "")
+
+  /** Read one variable of a DAP2 dataset as a long-form DataFrame. */
+  def read(
+      spark: SparkSession,
+      url: String,
+      variable: String = null,
+      fetch: Fetch = null
+  ): DataFrame = {
+    val f = Option(fetch).getOrElse(httpFetch(15000))
+    val base = baseUrl(url)
+    val ddsVars = parseDds(new String(readAll(f(base + ".dds")), StandardCharsets.ISO_8859_1))
+    require(ddsVars.nonEmpty, s"no array variables in DDS at $base.dds")
+    val varName = Option(variable).getOrElse(ddsVars.head.name)
+    require(ddsVars.exists(_.name == varName),
+      s"variable $varName not in $base (has ${ddsVars.map(_.name).mkString(", ")})")
+
+    // constrained request: the server subsets to just this variable —
+    // DAP2's projection IS the column pruning
+    val (ddsText, xdr) = splitDods(readAll(f(s"$base.dods?$varName")))
+    val v = parseDds(ddsText).find(_.name == varName)
+      .getOrElse(throw new IllegalStateException(s"constrained DDS lacks $varName"))
+    val values = decodeXdr(v, xdr)
+
+    val dimLens = v.dims.map(_._2.toLong)
+    val dimCount = dimLens.length
+    val rows: Seq[Row] = (0 until values.length).map { k =>
+      val idxs = new Array[Long](dimCount)
+      var rem = k.toLong
+      var d = dimCount - 1
+      while (d >= 0) { idxs(d) = rem % dimLens(d); rem /= dimLens(d); d -= 1 }
+      Row.fromSeq(idxs.toSeq :+ values(k))
+    }
+    val schema = StructType(
+      v.dims.map { case (n, _) => StructField(n, LongType, nullable = false) } :+
+        StructField("value", DoubleType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
+      schema)
+  }
+}
+
+class OpenDapReaderImpl extends Reader {
+  val name = "opendap_reader"
+  val implementsKinds = Set("opendap")
+  def read(spark: SparkSession, ref: DataRef): DataFrame =
+    OpenDapReader.read(spark, ref.url, ref.options.getOrElse("variable", null))
+}

@@ -169,6 +169,7 @@ object SparkReaders {
   val mqtt: Reader = new MqttReaderImpl
   val websocket: Reader = new WebSocketReaderImpl
   val arrowFlight: Reader = new ArrowFlightReaderImpl
+  val opendap: Reader = new OpenDapReaderImpl
   val iniR: Reader = new IniReaderImpl
   val tomlR: Reader = new TomlReaderImpl
 
@@ -274,7 +275,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
