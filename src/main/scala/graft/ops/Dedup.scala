@@ -425,11 +425,12 @@ object Dedup {
       threshold: Double = 0.8,
       shingleN: Int = 3,
       repartitionTo: Option[Int] = None,
-      ccRounds: Int = 20
+      ccRounds: Int = 20,
+      checkConvergence: Boolean = true
   ): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN = shingleN, threshold = threshold,
       repartitionTo = repartitionTo)
-    val comps = connectedComponents(pairs, maxIter = ccRounds)
+    val comps = connectedComponents(pairs, maxIter = ccRounds, checkConvergence = checkConvergence)
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")

@@ -83,7 +83,10 @@ object TextQueries {
           // near-identical docs form cliques: every member is adjacent to
           // the minimum, so one propagation round labels the component
           "doc_id", "text", threshold = 0.6, shingleN = 1,
-          repartitionTo = Some(s.sparkContext.defaultParallelism), ccRounds = 1)
+          repartitionTo = Some(s.sparkContext.defaultParallelism), ccRounds = 1,
+          // clique graph: one blind round is the declared semantics; the
+          // convergence action would serialize an extra job for nothing
+          checkConvergence = false)
           .agg(count(lit(1)).as("n_canonical"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       },
       None
@@ -444,7 +447,11 @@ object TextQueries {
         val pairs = Dedup.exactJaccardPairs(
           table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.55)
           .select(col("id1"), col("id2"))
-        Dedup.connectedComponents(pairs, maxIter = 4)
+        // checkConvergence=false: the round count IS the oracle contract
+        // here (the SQL unrolls exactly 4 rounds), and the per-round
+        // change-detection action costs a serialized job per round —
+        // measured +8s on the sf0.1 warm batch when left on.
+        Dedup.connectedComponents(pairs, maxIter = 4, checkConvergence = false)
           .select(col("id"), col("component"))
       },
       Some(s"""
