@@ -27,6 +27,22 @@ object Mixing {
       .drop("_rn", "_n")
   }
 
+  /** Deterministic Bernoulli sample by hash THRESHOLD: keep rows whose
+    * `md5Hash31(id)` falls below `frac` of the hash range. Map-only — no
+    * window, no sort, no shuffle — so it scales embarrassingly where
+    * [[stratifiedSample]]'s per-stratum rank sort funnels each stratum
+    * through one task. Sample size is only approximately `frac * n`
+    * (binomial), which is the standard trade for a threshold sample;
+    * use [[stratifiedSample]] when the count must be exact per stratum.
+    * Cross-engine exact: DuckDB replicates the predicate as
+    * `md5_number_upper(id) % 2147483647 < floor(frac * 2147483647)`.
+    */
+  def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac out of range: $frac")
+    val threshold = (frac * ((1L << 31) - 1)).toLong
+    df.filter(Dedup.md5Hash31(col(idCol).cast("string")) < lit(threshold))
+  }
+
   /** Global 1-based rank of `df` under `sortCols`, computed WITHOUT an
     * unpartitioned window (`row_number() over (order by ...)` plans
     * `Exchange SinglePartition` — every row through one task, the

@@ -346,6 +346,26 @@ object Multimodal {
   def imageFeatures(df: DataFrame, dim: Int = 64, contentCol: String = "content"): DataFrame =
     df.withColumn("features", decodeUdf(col(contentCol), lit(dim)))
 
+  /** Video container metadata columns from the real MP4/AVI index walk
+    * ([[VideoContainer]]): (video_format, width, height, n_frames,
+    * duration_sec); nulls for non-video bytes. The video sibling of
+    * [[withImageMeta]].
+    */
+  def withVideoMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val u = udf { (content: Array[Byte]) =>
+      if (content == null) None
+      else VideoContainer.parse(content).map(vi =>
+        (vi.format, vi.width, vi.height, vi.nFrames, vi.durationSec))
+    }
+    df.withColumn("_vm", u(col(contentCol)))
+      .withColumn("video_format", col("_vm._1"))
+      .withColumn("width", col("_vm._2"))
+      .withColumn("height", col("_vm._3"))
+      .withColumn("n_frames", col("_vm._4"))
+      .withColumn("duration_sec", col("_vm._5"))
+      .drop("_vm")
+  }
+
   /** Frame sampling: emit up to `n` (frame_index, frame_time_sec,
     * features) rows per video binary. For real containers (MP4/AVI via
     * [[VideoContainer]]) the frames are evenly spaced over the REAL

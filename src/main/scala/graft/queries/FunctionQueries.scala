@@ -336,37 +336,33 @@ object FunctionQueries {
       None
     ),
     (
-      // q37's portable twin: the same 10% sample semantics, but selected
-      // by content-hash order (ops.Mixing.stratifiedSample — md5 of the
-      // row key, no RNG), so DuckDB reproduces the EXACT sampled set and
-      // the per-stratum aggregate is hash-checked cross-engine. The same
-      // construction that twinned q42/q43 (q78/q79).
+      // q37's portable twin: the same ~10% sample semantics, selected by
+      // content-hash THRESHOLD (ops.Mixing.hashSample — md5 of the row
+      // key, no RNG), so DuckDB reproduces the EXACT sampled set and the
+      // per-stratum aggregate is hash-checked cross-engine — the same
+      // construction that twinned q42/q43 (q78/q79). Threshold, not
+      // rank: the predicate is map-only (no window, no per-stratum
+      // single-task sort), so the plan is the one you'd run at 100 TB.
       "q82_sample_portable",
       (s, dir) => {
         val li = table(s, dir, "lineitem")
           .withColumn("rid", concat_ws("_", col("l_orderkey"), col("l_linenumber")))
-        graft.ops.Mixing.stratifiedSample(li, "l_returnflag", "rid", 0.1)
+        graft.ops.Mixing.hashSample(li, "rid", 0.1)
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n_sampled"),
             sum(col("l_quantity")).cast("double").as("sum_qty"))
       },
       Some("""
-        WITH keyed AS (
-          SELECT l_returnflag, l_quantity,
-                 CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rid
-          FROM lineitem
-        ), ranked AS (
-          SELECT l_returnflag, l_quantity,
-                 row_number() OVER (PARTITION BY l_returnflag ORDER BY md5(rid), rid) AS rn,
-                 count(*) OVER (PARTITION BY l_returnflag) AS n
-          FROM keyed
-        )
         SELECT l_returnflag,
                count(*) AS n_sampled,
                CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
-        FROM ranked
-        WHERE rn <= ceil(n * 0.1)
+        FROM (
+          SELECT l_returnflag, l_quantity,
+                 CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rid
+          FROM lineitem
+        )
+        WHERE CAST(md5_number_upper(rid) % 2147483647 AS BIGINT) < 214748364
         GROUP BY l_returnflag
       """)
     ),

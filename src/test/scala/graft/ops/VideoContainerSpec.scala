@@ -211,6 +211,19 @@ class VideoContainerSpec extends graft.SparkSpec {
     assert(math.abs(rows(1)._3.head - 0.0f) < 0.05f)
   }
 
+  test("withVideoMeta lifts container metadata to columns") {
+    import spark.implicits._
+    val (avi, _) = buildAvi(Seq(jpegBytes(16, 16, 0x336699)), usPerFrame = 40000, w = 16, h = 16)
+    val df = Seq(("clip.avi", avi), ("not_video.bin", Array[Byte](1, 2, 3))).toDF("path", "content")
+    val meta = Multimodal.withVideoMeta(df)
+      .select("path", "video_format", "width", "height", "n_frames", "duration_sec")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val clip = meta("clip.avi")
+    assert(clip.getString(1) == "avi" && clip.getInt(2) == 16 && clip.getInt(3) == 16)
+    assert(clip.getInt(4) == 1 && math.abs(clip.getDouble(5) - 0.04) < 1e-9)
+    assert(meta("not_video.bin").isNullAt(1))
+  }
+
   test("MP4 with JPEG samples decodes its first frame in imageFeatures") {
     
     import spark.implicits._
