@@ -71,9 +71,15 @@ object Bench {
     )
     val rank = heavy.zipWithIndex.toMap
     val ordered =
-      if (priorTimes.nonEmpty)
-        SparkEntry.queries.toSeq.sortBy { case (n, _) => (-priorTimes.getOrElse(n, 0.5), n) }
-      else
+      if (priorTimes.nonEmpty) {
+        // a query ADDED since the last run has no measurement — schedule
+        // it at the measured median, not the tail (a new heavy query
+        // backloaded behind 50 cheap ones is the LPT failure mode this
+        // self-tuning exists to avoid)
+        val sortedTimes = priorTimes.values.toSeq.sorted
+        val median = sortedTimes(sortedTimes.size / 2)
+        SparkEntry.queries.toSeq.sortBy { case (n, _) => (-priorTimes.getOrElse(n, median), n) }
+      } else
         SparkEntry.queries.toSeq.sortBy { case (n, _) => (rank.getOrElse(n, heavy.size), n) }
 
     def runBatch(): (Map[String, Double], Double) = {

@@ -282,7 +282,10 @@ object Multimodal {
     * None when the extent is outside the buffer (corrupt index).
     */
   private def frameBytes(content: Array[Byte], f: VideoContainer.Frame): Option[Array[Byte]] =
-    if (f.offset >= 0 && f.size > 0 && f.offset + f.size <= content.length)
+    // overflow-safe form: `offset + size <= length` wraps negative for a
+    // corrupt co64 offset near Long.MaxValue and would pass the naive
+    // check, crashing copyOfRange inside an executor UDF
+    if (f.offset >= 0 && f.size > 0 && f.size <= content.length && f.offset <= content.length - f.size)
       Some(java.util.Arrays.copyOfRange(content, f.offset.toInt, (f.offset + f.size).toInt))
     else None
 

@@ -137,6 +137,8 @@ object Hdf5Writer {
 
   private def plan(name: String, dt: DataType, values: Seq[Any]): ColPlan = {
     val n = values.length.toLong
+    require(n * 8 <= Int.MaxValue.toLong,
+      s"hdf5 column $name: $n rows exceeds the 2 GiB single-buffer bound; write parquet instead")
     dt match {
       case LongType | IntegerType | ShortType | BooleanType =>
         val sz = dt match {
@@ -182,6 +184,8 @@ object Hdf5Writer {
           case s: String => s.getBytes(StandardCharsets.UTF_8)
         }
         val width = math.max(1, if (utf8.isEmpty) 1 else utf8.map(_.length).max)
+        require(n * width <= Int.MaxValue.toLong,
+          s"hdf5 string column $name needs ${n * width} bytes (rows x max width $width) — over the 2 GiB single-buffer bound; write parquet instead")
         val buf = new Array[Byte]((n * width).toInt)
         utf8.zipWithIndex.foreach { case (b, i) => System.arraycopy(b, 0, buf, i * width, b.length) }
         // string v1: null-padded (1), UTF-8 charset (bits 8-11 = 1)
@@ -197,9 +201,13 @@ object Hdf5Writer {
     * column. Exposed for specs; [[write]] streams this to the FS.
     */
   def serialize(df: DataFrame, key: String, maxRows: Long = 10L * 1000 * 1000): Array[Byte] = {
-    val rows = df.collect()
-    require(rows.length <= maxRows,
-      s"hdf5 is a small-artifact sink; ${rows.length} rows exceeds maxRows=$maxRows — write parquet instead")
+    // enforce the bound BEFORE materializing: limit(maxRows+1) caps what
+    // can ever reach the driver, and one extra row distinguishes
+    // "exactly maxRows" from "over the bound"
+    val capped = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val rows = df.limit(capped + 1).collect()
+    require(rows.length <= capped,
+      s"hdf5 is a small-artifact sink; input exceeds maxRows=$maxRows rows — write parquet instead")
     val schema = df.schema
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       plan(f.name, f.dataType, rows.toSeq.map(_.get(i)))
@@ -224,6 +232,8 @@ object Hdf5Writer {
     val dataStart = rootAddr + rootSize
     val dataAddrs = cols.map(_.data.length.toLong).scanLeft(dataStart)(_ + _).init
     val eof = dataStart + cols.map(_.data.length.toLong).sum
+    require(eof <= Int.MaxValue.toLong,
+      s"hdf5 file would be $eof bytes — over the 2 GiB single-buffer bound; write parquet instead")
 
     val out = new java.io.ByteArrayOutputStream(eof.toInt)
     out.write(superblock(rootAddr, eof))

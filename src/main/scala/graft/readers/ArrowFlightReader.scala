@@ -1,7 +1,7 @@
 package graft.readers
 
 import graft.datatypes.DataRef
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.io.{ByteArrayOutputStream, InputStream, OutputStream}
 import java.net.URI
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -39,30 +39,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object ArrowFlightReader {
 
-  trait Transport {
-    def in: InputStream
-    def out: OutputStream
-    def close(): Unit
-  }
+  type Transport = Net.Transport
 
   /** (host, port, tls) → transport. */
   type TransportFactory = (String, Int, Boolean) => Transport
 
-  def socketTransport(soTimeoutMs: Int): TransportFactory = (host, port, tls) => {
-    val s =
-      if (tls) javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
-      else {
-        val p = new java.net.Socket()
-        p.connect(new java.net.InetSocketAddress(host, port), 15000)
-        p
-      }
-    s.setSoTimeout(soTimeoutMs)
-    new Transport {
-      val in = new BufferedInputStream(s.getInputStream)
-      val out = new BufferedOutputStream(s.getOutputStream)
-      def close(): Unit = s.close()
-    }
-  }
+  def socketTransport(soTimeoutMs: Int): TransportFactory =
+    (host, port, tls) => Net.socket(host, port, tls, soTimeoutMs)
 
   // --------------------------------------------------------- HTTP/2 frames
 
@@ -212,16 +195,25 @@ object ArrowFlightReader {
       t.out.write(h2Frame(0x0, 0x1, 1, grpcMsg)) // DATA, END_STREAM
       t.out.flush()
 
-      // -- response: accumulate our stream's DATA bytes until END_STREAM
+      // -- response: accumulate our stream's DATA bytes until END_STREAM.
+      // Errors must not pass as truncated success: RST_STREAM throws,
+      // GOAWAY before the stream completed throws, EOF before END_STREAM
+      // throws, and a literal-encoded non-zero grpc-status in the
+      // trailers throws (an indexed/Huffman-coded status is undecodable
+      // without full HPACK state and is accepted — stated, not hidden).
       var done = false
+      var endStream = false
+      var trailerStatus: Option[Int] = None
       while (!done) {
         readH2Frame(t.in) match {
-          case None => done = true
+          case None =>
+            if (!endStream) throw new java.io.IOException("connection closed before flight stream completed")
+            done = true
           case Some((typ, flags, streamId, payload)) =>
             typ match {
               case 0x0 if streamId == 1 => // DATA
                 grpcPayload.write(payload)
-                if ((flags & 0x1) != 0) done = true // END_STREAM
+                if ((flags & 0x1) != 0) { endStream = true; done = true } // END_STREAM
                 else if (payload.nonEmpty) {
                   // replenish both flow-control windows
                   val inc = h2Frame(0x8, 0, 0, intBE(payload.length)) ++
@@ -230,17 +222,29 @@ object ArrowFlightReader {
                   t.out.flush()
                 }
               case 0x1 | 0x9 => // HEADERS / CONTINUATION — block skipped (see scaladoc)
-                if (streamId == 1 && (flags & 0x1) != 0) done = true // trailers END_STREAM
+                if (streamId == 1 && (flags & 0x1) != 0) { // trailers END_STREAM
+                  trailerStatus = scanLiteralGrpcStatus(payload)
+                  endStream = true
+                  done = true
+                }
               case 0x4 => // SETTINGS: ack non-acks
                 if ((flags & 0x1) == 0) { t.out.write(h2Frame(0x4, 0x1, 0, Array.empty)); t.out.flush() }
               case 0x6 => // PING: echo with ack flag
                 if ((flags & 0x1) == 0) { t.out.write(h2Frame(0x6, 0x1, 0, payload)); t.out.flush() }
               case 0x3 => // RST_STREAM
                 throw new java.io.IOException(s"flight stream reset (code ${intFromBE(payload)})")
-              case 0x7 => done = true // GOAWAY
+              case 0x7 => // GOAWAY: error code is bytes 4-8 of the payload
+                if (!endStream) {
+                  val code = if (payload.length >= 8) intFromBE(java.util.Arrays.copyOfRange(payload, 4, 8)) else -1
+                  throw new java.io.IOException(s"flight server sent GOAWAY (code $code) before stream completed")
+                }
+                done = true
               case _ => // WINDOW_UPDATE / PRIORITY / unknown — ignore
             }
         }
+      }
+      trailerStatus.filter(_ != 0).foreach { st =>
+        throw new java.io.IOException(s"flight DoGet failed: grpc-status $st")
       }
     } finally t.close()
 
@@ -277,6 +281,33 @@ object ArrowFlightReader {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromSeq), math.max(1, math.min(rows.size, 8))),
       schema)
+  }
+
+  /** Best-effort grpc-status from a trailer block: covers the common
+    * literal (non-Huffman) HPACK encoding, where the name appears as
+    * plain ASCII followed by a length-prefixed plain value. Returns
+    * None when the block is indexed/Huffman-coded (undecodable without
+    * full HPACK state).
+    */
+  private[readers] def scanLiteralGrpcStatus(block: Array[Byte]): Option[Int] = {
+    val name = "grpc-status".getBytes(StandardCharsets.ISO_8859_1)
+    var i = 0
+    while (i + name.length + 1 < block.length) {
+      if (name.indices.forall(j => block(i + j) == name(j))) {
+        val lenByte = block(i + name.length) & 0xff
+        if ((lenByte & 0x80) == 0) { // plain (non-Huffman) value
+          val len = lenByte & 0x7f
+          val from = i + name.length + 1
+          if (from + len <= block.length) {
+            val v = new String(block, from, len, StandardCharsets.ISO_8859_1)
+            return scala.util.Try(v.trim.toInt).toOption
+          }
+        }
+        return None
+      }
+      i += 1
+    }
+    None
   }
 
   private def intBE(n: Int): Array[Byte] =

@@ -1,7 +1,7 @@
 package graft.readers
 
 import graft.datatypes.DataRef
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.io.{ByteArrayOutputStream, InputStream, OutputStream}
 import java.net.URI
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -31,28 +31,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MqttReader {
 
-  /** Bidirectional byte transport to a broker. */
-  trait Transport {
-    def in: InputStream
-    def out: OutputStream
-    def close(): Unit
-  }
+  /** Bidirectional byte transport to a broker (shared [[Net.Transport]]). */
+  type Transport = Net.Transport
 
   type TransportFactory = (String, Int) => Transport
 
   /** Real socket transport with explicit timeouts: the read-side timeout
     * doubles as the collect deadline for quiet topics.
     */
-  def socketTransport(soTimeoutMs: Int): TransportFactory = (host, port) => {
-    val s = new java.net.Socket()
-    s.connect(new java.net.InetSocketAddress(host, port), 15000)
-    s.setSoTimeout(soTimeoutMs)
-    new Transport {
-      val in = new BufferedInputStream(s.getInputStream)
-      val out = new BufferedOutputStream(s.getOutputStream)
-      def close(): Unit = s.close()
-    }
-  }
+  def socketTransport(soTimeoutMs: Int): TransportFactory =
+    (host, port) => Net.socket(host, port, tls = false, soTimeoutMs)
 
   // ------------------------------------------------------------- codec
 

@@ -89,8 +89,10 @@ object OpenDapReader {
     val out = new Array[Double](n)
     v.dapType match {
       case "Byte" =>
+        // DAP2 Byte is unsigned (pydap agrees): 200 must surface as
+        // 200.0, not -56.0
         var i = 0
-        while (i < n) { out(i) = bb.get().toDouble; i += 1 } // (un)signed per server; raw byte here
+        while (i < n) { out(i) = (bb.get() & 0xff).toDouble; i += 1 }
       case "Int16" | "Int32" =>
         var i = 0
         while (i < n) { out(i) = bb.getInt().toDouble; i += 1 }

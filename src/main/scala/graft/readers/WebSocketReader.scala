@@ -1,7 +1,7 @@
 package graft.readers
 
 import graft.datatypes.DataRef
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.io.{ByteArrayOutputStream, InputStream, OutputStream}
 import java.net.URI
 import java.nio.charset.StandardCharsets
 import java.util.Base64
@@ -29,30 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WebSocketReader {
 
-  trait Transport {
-    def in: InputStream
-    def out: OutputStream
-    def close(): Unit
-  }
+  type Transport = Net.Transport
 
   /** (host, port, tls) → transport. */
   type TransportFactory = (String, Int, Boolean) => Transport
 
-  def socketTransport(soTimeoutMs: Int): TransportFactory = (host, port, tls) => {
-    val s =
-      if (tls) javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
-      else {
-        val p = new java.net.Socket()
-        p.connect(new java.net.InetSocketAddress(host, port), 15000)
-        p
-      }
-    s.setSoTimeout(soTimeoutMs)
-    new Transport {
-      val in = new BufferedInputStream(s.getInputStream)
-      val out = new BufferedOutputStream(s.getOutputStream)
-      def close(): Unit = s.close()
-    }
-  }
+  def socketTransport(soTimeoutMs: Int): TransportFactory =
+    (host, port, tls) => Net.socket(host, port, tls, soTimeoutMs)
 
   // ------------------------------------------------------------- framing
 
@@ -212,12 +195,20 @@ object WebSocketReader {
         }
       }
       if (!done) {
-        // client-initiated close handshake: status 1000 (normal)
+        // client-initiated close handshake: status 1000 (normal). The
+        // drain honors the overall deadline and a frame cap — against a
+        // firehose endpoint the server keeps streaming data frames after
+        // our close, and an unbounded drain would hold read() open far
+        // past timeoutMs (the bounded-collect contract).
         t.out.write(clientFrame(8, Array[Byte](0x03, 0xe8.toByte), mask))
         t.out.flush()
         try {
           var closed = false
-          while (!closed) closed = readFrame(t.in).forall(_._2 == 8)
+          var drained = 0
+          while (!closed && drained < 1000 && System.nanoTime() < deadline) {
+            closed = readFrame(t.in).forall(_._2 == 8)
+            drained += 1
+          }
         } catch { case _: Throwable => () }
       }
     } finally t.close()
