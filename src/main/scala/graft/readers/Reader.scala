@@ -54,7 +54,7 @@ object SparkReaders {
   val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml"))
   val binary = new FormatReader("spark_binary", "binaryFile",
     Set("png", "jpeg", "tiff", "wav", "mp3", "mp4", "pdf", "numpy", "npz", "gguf", "safetensors", "onnx", "pickle", "messagepack", "hdf5", "netcdf3", "excel", "sqlite", "duckdb_file", "zip", "shapefile", "pmtiles", "html", "tfrecord",
-      "matlab", "matrixmarket", "grib2", "fits", "asdf", "dicom", "nifti", "flatgeobuf", "geopackage", "matroska", "webp", "bmp", "gif", "ppm", "stata", "spss", "sas"))
+      "matlab", "matrixmarket", "grib2", "fits", "asdf", "dicom", "nifti", "flatgeobuf", "geopackage", "matroska", "avi", "webp", "bmp", "gif", "ppm", "stata", "spss", "sas"))
   val image = new FormatReader("spark_image", "image", Set("png", "jpeg", "tiff"))
   val xml = new FormatReader("spark_xml", "xml", Set("xml"),
     requiredClass = Some("org.apache.spark.sql.execution.datasources.xml.XmlFileFormat"),

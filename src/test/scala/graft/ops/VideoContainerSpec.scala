@@ -224,6 +224,14 @@ class VideoContainerSpec extends graft.SparkSpec {
     assert(meta("not_video.bin").isNullAt(1))
   }
 
+  test("avi urls detect and route to the binary reader for the multimodal ops") {
+    val (avi, _) = buildAvi(Seq(Array.fill[Byte](8)(1)), 40000, 8, 8)
+    val kinds = graft.datatypes.Detect.recommend("s3://bucket/clips/a.avi", head = avi)
+    assert(kinds.exists(_.kind.name == "avi"))
+    val (ok, _) = graft.readers.SparkReaders.recommend(graft.datatypes.DataRef("avi", "s3://bucket/clips/a.avi"))
+    assert(ok.exists(_.name == "spark_binary"))
+  }
+
   test("MP4 with JPEG samples decodes its first frame in imageFeatures") {
     
     import spark.implicits._
