@@ -101,8 +101,10 @@ object Hdf5Writer {
     val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(v); b.array()
   }
 
-  private def msg(typ: Int, body: Array[Byte]): Array[Byte] =
+  private def msg(typ: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length < 65536, s"hdf5 message body ${body.length} overflows the u16 size field")
     Array(typ.toByte) ++ le16(body.length) ++ Array(0.toByte) ++ body
+  }
 
   private def dataspace1d(n: Long): Array[Byte] =
     msg(0x0001, Array(2.toByte, 1.toByte, 0.toByte, 1.toByte) ++ le64(n)) // v2, rank 1, simple
@@ -121,6 +123,10 @@ object Hdf5Writer {
 
   /** OHDR v2: sig, version, flags(2-byte chunk0 size), messages, lookup3. */
   private def ohdr(messages: Array[Byte]): Array[Byte] = {
+    // a ~4k-column frame overflows the u16 chunk-0 size — fail loudly
+    // instead of emitting a silently-corrupt header
+    require(messages.length < 65536,
+      s"hdf5 object header ${messages.length} bytes overflows the u16 chunk-0 size (too many columns?)")
     val head = "OHDR".getBytes(StandardCharsets.ISO_8859_1) ++
       Array(2.toByte, 0x01.toByte) ++ le16(messages.length) ++ messages
     head ++ le32(lookup3(head))
@@ -188,8 +194,9 @@ object Hdf5Writer {
           s"hdf5 string column $name needs ${n * width} bytes (rows x max width $width) — over the 2 GiB single-buffer bound; write parquet instead")
         val buf = new Array[Byte]((n * width).toInt)
         utf8.zipWithIndex.foreach { case (b, i) => System.arraycopy(b, 0, buf, i * width, b.length) }
-        // string v1: null-padded (1), UTF-8 charset (bits 8-11 = 1)
-        ColPlan(name, 0x13, Array(0x01.toByte, 0x01.toByte, 0), Array.empty, width, buf, n)
+        // string v1 class bit field (format spec IV.A.2.d): bits 0-3
+        // padding (1 = null pad), bits 4-7 charset (1 = UTF-8), rest 0
+        ColPlan(name, 0x13, Array(0x11.toByte, 0, 0), Array.empty, width, buf, n)
       case other =>
         throw new UnsupportedOperationException(s"hdf5 writer: unsupported column type $other for $name")
     }

@@ -45,7 +45,7 @@ object ArrowFlightReader {
   type TransportFactory = (String, Int, Boolean) => Transport
 
   def socketTransport(soTimeoutMs: Int): TransportFactory =
-    (host, port, tls) => Net.socket(host, port, tls, soTimeoutMs)
+    (host, port, tls) => Net.socket(host, port, tls, soTimeoutMs, alpn = Seq("h2"))
 
   // --------------------------------------------------------- HTTP/2 frames
 
@@ -162,8 +162,11 @@ object ArrowFlightReader {
     val tls = uri.getScheme == "grpc+tls"
     val host = uri.getHost
     val port = if (uri.getPort > 0) uri.getPort else 8815
+    // RAW query, decoded exactly once: getQuery pre-decodes, so a second
+    // URLDecoder pass corrupted '+'/'%'-bearing tickets, and an encoded
+    // '&' (%26) split the ticket early
     val ticket = ticketOpt
-      .orElse(Option(uri.getQuery).flatMap(_.split("&").collectFirst {
+      .orElse(Option(uri.getRawQuery).flatMap(_.split("&").collectFirst {
         case kv if kv.startsWith("ticket=") => java.net.URLDecoder.decode(kv.substring(7), "UTF-8")
       }))
       .orElse(Option(uri.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty))
@@ -212,7 +215,16 @@ object ArrowFlightReader {
           case Some((typ, flags, streamId, payload)) =>
             typ match {
               case 0x0 if streamId == 1 => // DATA
-                grpcPayload.write(payload)
+                // PADDED (0x8): payload leads with a pad-length byte and
+                // trails with that many padding bytes — both must be
+                // stripped or the gRPC length-prefix framing desyncs
+                val data =
+                  if ((flags & 0x8) != 0 && payload.nonEmpty) {
+                    val padLen = payload(0) & 0xff
+                    require(padLen < payload.length, "HTTP/2 DATA padding exceeds frame")
+                    java.util.Arrays.copyOfRange(payload, 1, payload.length - padLen)
+                  } else payload
+                grpcPayload.write(data)
                 if ((flags & 0x1) != 0) { endStream = true; done = true } // END_STREAM
                 else if (payload.nonEmpty) {
                   // replenish both flow-control windows

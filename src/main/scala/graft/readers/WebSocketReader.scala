@@ -203,9 +203,16 @@ object WebSocketReader {
         t.out.write(clientFrame(8, Array[Byte](0x03, 0xe8.toByte), mask))
         t.out.flush()
         try {
+          // non-blocking drain: consume only frames ALREADY buffered
+          // (available() never blocks), looking for the close echo. A
+          // quiet server that never echoes must not hold a logically-
+          // finished read open for another socket timeout, and RFC 6455
+          // permits closing the transport when the echo doesn't arrive
+          // timely. Brief grace sleep lets an in-flight echo land.
+          Thread.sleep(50)
           var closed = false
           var drained = 0
-          while (!closed && drained < 1000 && System.nanoTime() < deadline) {
+          while (!closed && drained < 1000 && t.in.available() > 0) {
             closed = readFrame(t.in).forall(_._2 == 8)
             drained += 1
           }
