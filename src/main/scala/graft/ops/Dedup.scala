@@ -257,17 +257,22 @@ object Dedup {
     * string vs one xxhash64 per token) and shuffles string bucket keys;
     * use [[minhashNearDupPairs]] for the 100 TB path.
     */
-  def minhashNearDupPairsPortable(
+  /** Append the PORTABLE per-row MinHash signature (md5-based, DuckDB-
+    * replicable value-for-value) as `outCol`. One fused JIT-compiled
+    * loop per row: shingle strings → md5 → little-endian uint64 of the
+    * first 8 digest bytes mod p (EXACTLY the values of [[md5Hash31]] /
+    * DuckDB's `md5_number_upper % p` — the cross-engine parity is in
+    * the VALUES, not the expression tree) → k affine mins. The same
+    * computation as interpreted Column HOFs ran 5-10x slower
+    * (per-shingle 18-node expression tree + DECIMAL mod). No shuffle.
+    */
+  def withPortableMinhashSignature(
       df: DataFrame,
-      idCol: String,
       textCol: String,
+      outCol: String,
       shingleN: Int = 3,
       k: Int = 16,
-      bands: Int = 4,
-      threshold: Double = 0.5,
-      seed: Long = 42L,
-      repartitionTo: Option[Int] = None,
-      maxBucket: Int = 1000
+      seed: Long = 42L
   ): DataFrame = {
     val (a, b) = coeffs(k, seed)
     val aArr = a.toArray
@@ -275,12 +280,6 @@ object Dedup {
     val p = MersennePrime
     val kk = k
     val nSh = shingleN
-    // One fused JIT-compiled loop per row: shingle strings → md5 →
-    // little-endian uint64 of the first 8 digest bytes mod p (EXACTLY the
-    // values of [[md5Hash31]] / DuckDB's md5_number_upper % p — the
-    // cross-engine parity is in the VALUES, not the expression tree) →
-    // k affine mins. The same computation as interpreted Column HOFs ran
-    // 5-10x slower (per-shingle 18-node expression tree + DECIMAL mod).
     val sigUdf = udf { (toks: Seq[String]) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val arr = toks.toArray
@@ -300,9 +299,25 @@ object Dedup {
       }
       out
     }
+    df.withColumn(outCol, sigUdf(TextOps.tokens(col(textCol))))
+  }
+
+  def minhashNearDupPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      repartitionTo: Option[Int] = None,
+      maxBucket: Int = 1000
+  ): DataFrame = {
     val bandW = k / bands
-    val sigs = repartitionTo.map(df.repartition(_)).getOrElse(df)
-      .select(col(idCol).as("_id"), sigUdf(TextOps.tokens(col(textCol))).as("_sig"))
+    val sigs = withPortableMinhashSignature(
+      repartitionTo.map(df.repartition(_)).getOrElse(df), textCol, "_sig", shingleN, k, seed)
+      .select(col(idCol).as("_id"), col("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The returned plan is lazy, so the cache can't unpersist inside this
     // call; bound the footprint to the last few lineages (FIFO) so

@@ -247,6 +247,25 @@ object FunctionQueries {
       None
     ),
     (
+      // q36's value-exact twin: the same distinct-cardinality question
+      // answered by the exact Expand-based distinct aggregate instead of
+      // the engine-specific HLL sketch, so DuckDB hash-checks it.
+      "q83_distinct_exact",
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .agg(
+            count_distinct(col("l_orderkey")).as("exact_orders"),
+            count_distinct(col("l_suppkey")).as("exact_supps"),
+            count_distinct(col("l_returnflag"), col("l_linestatus")).as("exact_flag_status"))
+      },
+      Some("""
+        SELECT count(DISTINCT l_orderkey) AS exact_orders,
+               count(DISTINCT l_suppkey) AS exact_supps,
+               count(DISTINCT (l_returnflag, l_linestatus)) AS exact_flag_status
+        FROM lineitem
+      """)
+    ),
+    (
       "q64_describe_stats",
       // Typed describe() rebuilt on exact integer arithmetic so it carries
       // a value-exact oracle: the source doubles are fixed-point (quantity

@@ -625,6 +625,42 @@ object TextQueries {
       }
     ),
     (
+      // q56's value-exact twin: the same per-source MinHash sketch UNION
+      // (element-wise min over documents) computed on the portable
+      // md5-based signature so DuckDB reproduces every sketch slot.
+      // Output is long-form (source, sig_pos, sig_min) — directly
+      // comparable without array cells, and the element-wise-min union
+      // is a plain groupBy (map-side partial agg; scales).
+      "q84_sketch_union_portable",
+      (s, dir) => {
+        Dedup.withPortableMinhashSignature(
+          table(s, dir, "documents").select(col("source"), col("text")),
+          "text", "_sig", shingleN = 1, k = 8)
+          .select(col("source"), posexplode(col("_sig")).as(Seq("sig_pos", "sig_val")))
+          .groupBy(col("source"), col("sig_pos"))
+          .agg(min(col("sig_val")).as("sig_min"))
+      },
+      Some {
+        val (a, b) = Dedup.portableCoeffs(8, 42L)
+        val sigExprs = (0 until 8)
+          .map(i => s"list_min(list_transform(h, x -> (${a(i)} * x + ${b(i)}) % 2147483647))")
+          .mkString(",\n                 ")
+        s"""
+        WITH toks AS (SELECT source, ${duckTokens("text")} AS tk FROM documents),
+        sh AS (SELECT source, CASE WHEN len(tk) < 1 THEN [array_to_string(tk, ' ')]
+                 ELSE tk END AS ss
+               FROM toks),
+        hs AS (SELECT source,
+                      list_transform(ss, s -> CAST(md5_number_upper(s) % 2147483647 AS BIGINT)) AS h
+               FROM sh),
+        sigs AS (SELECT source, [$sigExprs] AS sig FROM hs)
+        SELECT source, i AS sig_pos, min(sig[i + 1]) AS sig_min
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+        GROUP BY source, i
+        """
+      }
+    ),
+    (
       "q79_simhash_portable",
       // Value-exact SimHash verification (q43's xxhash64 path is
       // rows-only): md5-vote signatures match DuckDB bit for bit,
