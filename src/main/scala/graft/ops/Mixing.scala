@@ -39,8 +39,25 @@ object Mixing {
     */
   def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac >= 0 && frac <= 1, s"frac out of range: $frac")
-    val threshold = (frac * ((1L << 31) - 1)).toLong
-    df.filter(Dedup.md5Hash31(col(idCol).cast("string")) < lit(threshold))
+    val p = (1L << 31) - 1
+    val threshold = (frac * p).toLong
+    // Same VALUE as Dedup.md5Hash31 (little-endian uint64 of the first 8
+    // md5 bytes mod 2^31-1 — DuckDB md5_number_upper parity), but as one
+    // fused JIT loop instead of the 18-node md5/substring/conv/DECIMAL
+    // expression tree, which profiled ~6x slower per row (the same
+    // lesson as the portable minhash signatures).
+    val keep = udf { (s: String) =>
+      if (s == null) false
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var le = 0L
+        var i = 7
+        while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
+        java.lang.Long.remainderUnsigned(le, p) < threshold
+      }
+    }
+    df.filter(keep(col(idCol).cast("string")))
   }
 
   /** Global 1-based rank of `df` under `sortCols`, computed WITHOUT an
