@@ -73,7 +73,13 @@ object ConversionGraph {
       val to = if (r.name == "spark_kafka") StreamingDataFrameType else DataFrameType
       r.implementsKinds.toSeq.map(k => Edge(s"datatype:$k", to, s"reader:${r.name}"))
     }
-    val writerEdges = Seq("parquet", "csv", "json", "orc", "avro", "text", "xml").map(f =>
+    // tabular sinks (Writers), array sinks (ZarrWriter/NetCDF3Writer),
+    // structured sinks (Hdf5Writer), geo (GeoJSON) — each produces a
+    // datatype node a registered reader can re-open, so write→read
+    // chains plan end-to-end
+    val writerEdges = Seq(
+      "parquet", "csv", "json", "orc", "avro", "text", "xml",
+      "zarr", "netcdf3", "hdf5", "geojson").map(f =>
       Edge(DataFrameType, s"datatype:$f", s"writer:$f"))
     val streamEdges = Seq(
       Edge(StreamingDataFrameType, DataFrameType, "converter:stream_to_batch_memory_sink"),

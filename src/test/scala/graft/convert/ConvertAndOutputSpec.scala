@@ -29,6 +29,18 @@ class ConvertAndOutputSpec extends SparkSpec {
     assert(best.get.head.label == "reader:spark_image")
   }
 
+  test("array and structured sinks are plannable graph endpoints") {
+    val g = graft.convert.ConversionGraph.default()
+    val dfType = graft.convert.ConversionGraph.DataFrameType
+    for (fmt <- Seq("zarr", "netcdf3", "hdf5", "geojson")) {
+      // write (DataFrame -> file datatype) and re-open (datatype ->
+      // DataFrame) both plan, so write->read chains exist end-to-end
+      assert(g.paths(dfType, s"datatype:$fmt", cutoff = 1).nonEmpty, s"no writer edge for $fmt")
+      val back = g.paths(s"datatype:$fmt", dfType, cutoff = 1)
+      assert(back.nonEmpty && back.head.head.label.startsWith("reader:"), s"$fmt writes must re-read")
+    }
+  }
+
   test("retry retries on allowed failures and eventually succeeds") {
     var calls = 0
     val out = Combinators.retry[Int](maxTries = 3, backoffMs = 1) {
