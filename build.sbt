@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through unprefixed (no "[info] ") so the
+// driver's bench harness can parse the bare-JSON final line that
+// graft.Bench prints. sbt's default LoggedOutput decorates every line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." sbt line so the
+// JSON really is the last stdout line a tail-parser sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,9 +56,15 @@ object Bench {
     val priorTimes: Map[String, Double] = Try {
       val txt = new String(Files.readAllBytes(summaryPath), StandardCharsets.UTF_8)
       // Minimal extraction of the "queries" object: "name":secs pairs.
+      // Scan to the BRACE MATCHING the object opener, not the first '}'
+      // — first-'}' only works while "queries" happens to precede
+      // "cold_queries" in the line, a field-order accident.
       val qSec = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
-      val body = txt.drop(txt.indexOf("\"queries\""))
-      qSec.findAllMatchIn(body.take(body.indexOf("}") + 1))
+      val start = txt.indexOf('{', txt.indexOf("\"queries\""))
+      var depth = 0
+      var end = start
+      while (end < txt.length && { if (txt(end) == '{') depth += 1 else if (txt(end) == '}') depth -= 1; depth > 0 }) end += 1
+      qSec.findAllMatchIn(txt.substring(start, end + 1))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
     val heavy = Seq(

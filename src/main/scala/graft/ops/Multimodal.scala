@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * Pixel decode is REAL for PNG (full zlib+unfilter codec,
   * [[PngCodec]]), 24/32-bit uncompressed BMP, binary PPM, and
   * JPEG/TIFF/GIF (the JDK's own `javax.imageio` codecs — standard
-  * library, no added dependency) — all spec'd end-to-end. Only
-  * non-image bytes (video frame sampling) fall back to the
-  * clearly-marked deterministic stub, keeping the schema and batch
-  * shape identical.
+  * library, no added dependency) — all spec'd end-to-end. Bytes no
+  * decoder handles yield NULL features (and zero frame rows): a
+  * production output column never contains fabricated data. The
+  * deterministic synthetic stub survives only behind the explicit
+  * test-only `syntheticFallback` parameter.
   */
 object Multimodal {
 
@@ -299,9 +300,13 @@ object Multimodal {
   private def decodeFrameFeatures(content: Array[Byte], f: VideoContainer.Frame, dim: Int): Option[Array[Float]] =
     frameBytes(content, f).flatMap(decodeImage(_)).map { case (_, w, h, rgb) => poolFeatures(w, h, rgb, dim) }
 
-  /** Deterministic placeholder features for bytes no decoder handles —
-    * keeps the pipeline shape (schema, explode pattern) testable for
-    * codecs we can't decode. Every decodable input takes a real path.
+  /** Deterministic placeholder features — TEST-ONLY shape exerciser for
+    * codecs with no JVM decoder, reachable only via the explicit
+    * `syntheticFallback = true` parameter. Production paths NEVER emit
+    * these: fabricated vectors in a features column silently poison any
+    * downstream similarity computation, where a null is filterable. The
+    * reference has the same contract — PIL raises on undecodable bytes
+    * (reference intake/readers.py:2228); it never invents pixels.
     */
   private def syntheticFeatures(content: Array[Byte], salt: Int, dim: Int): Array[Float] = {
     val seed = java.util.Arrays.hashCode(content).toLong * 31 + salt
@@ -312,17 +317,18 @@ object Multimodal {
   /** Pixel decode → features. PNG/BMP/PPM run the REAL native decode +
     * pooling, as do JPEG/TIFF/GIF via ImageIO; video containers decode
     * their FIRST frame for real when the codec is intra-only JPEG
-    * (MJPEG); only undecodable codecs fall back to the deterministic
-    * placeholder so the pipeline shape stays identical either way.
+    * (MJPEG). Bytes no decoder handles yield null (matching
+    * [[decodeFrameFeatures]]) unless the test-only synthetic fallback is
+    * explicitly requested.
     */
-  private val decodeUdf = udf { (content: Array[Byte], dim: Int) =>
+  private def decodeUdf(syntheticFallback: Boolean) = udf { (content: Array[Byte], dim: Int) =>
     if (content == null) null
     else decodeImage(content) match {
       case Some((_, w, h, rgb)) => poolFeatures(w, h, rgb, dim)
       case None =>
         VideoContainer.parse(content)
           .flatMap(vi => vi.frames.headOption.flatMap(decodeFrameFeatures(content, _, dim)))
-          .getOrElse(syntheticFeatures(content, 0, dim))
+          .getOrElse(if (syntheticFallback) syntheticFeatures(content, 0, dim) else null)
     }
   }
 
@@ -344,10 +350,15 @@ object Multimodal {
 
   /** Decode + feature-extract images into fixed-size float vectors.
     * Output schema matches the embeddings table (`array<float>`), so
-    * downstream similarity ops compose directly.
+    * downstream similarity ops compose directly. Undecodable bytes get
+    * null features — filter with `features IS NOT NULL` before
+    * similarity. `syntheticFallback` (test-only) substitutes the
+    * deterministic placeholder to exercise pipeline shape for absent
+    * codecs.
     */
-  def imageFeatures(df: DataFrame, dim: Int = 64, contentCol: String = "content"): DataFrame =
-    df.withColumn("features", decodeUdf(col(contentCol), lit(dim)))
+  def imageFeatures(df: DataFrame, dim: Int = 64, contentCol: String = "content",
+      syntheticFallback: Boolean = false): DataFrame =
+    df.withColumn("features", decodeUdf(syntheticFallback)(col(contentCol), lit(dim)))
 
   /** Video container metadata columns from the real MP4/AVI index walk
     * ([[VideoContainer]]): (video_format, width, height, n_frames,
@@ -375,11 +386,14 @@ object Multimodal {
     * frame index, each frame's bytes are sliced out of the container by
     * its sample-table extent, and MJPEG frames decode to real pooled
     * pixel features (see [[decodeFrameFeatures]]); `features` is null
-    * for frames whose codec we can't decode. Non-container bytes keep
-    * the n-replicate explode pattern with placeholder features so the
-    * plumbing (schema, row multiplicity) is exercised uniformly.
+    * for frames whose codec we can't decode. Bytes that are not a
+    * parseable container have no frames and emit ZERO rows — same
+    * contract as the null features, one level up. `syntheticFallback`
+    * (test-only) restores the n-replicate placeholder explode to
+    * exercise row-multiplicity plumbing.
     */
-  def sampleFrames(df: DataFrame, n: Int, dim: Int = 64, contentCol: String = "content"): DataFrame = {
+  def sampleFrames(df: DataFrame, n: Int, dim: Int = 64, contentCol: String = "content",
+      syntheticFallback: Boolean = false): DataFrame = {
     val u = udf { (content: Array[Byte], nn: Int, d: Int) =>
       if (content == null) Seq.empty[(Int, Double, Array[Float])]
       else VideoContainer.parse(content) match {
@@ -392,7 +406,8 @@ object Multimodal {
             (i, starts(i), decodeFrameFeatures(content, vi.frames(i), d).orNull)
           }
         case _ =>
-          (0 until nn).map(i => (i, 0.0, syntheticFeatures(content, i, d)))
+          if (syntheticFallback) (0 until nn).map(i => (i, 0.0, syntheticFeatures(content, i, d)))
+          else Seq.empty[(Int, Double, Array[Float])]
       }
     }
     df.withColumn("_fr", explode(u(col(contentCol), lit(n), lit(dim))))

@@ -48,21 +48,46 @@ object NetCDF3Writer {
     require(rank <= 2, s"supported ranks: 1, 2; got $rank")
     val dimNames = cols.take(rank)
 
-    val rows = df.collect()
-    val actualShape: Seq[Int] =
-      if (shape.nonEmpty) shape
-      else (0 until rank).map(d => rows.iterator.map(_.getLong(d)).foldLeft(-1L)(math.max).toInt + 1)
-    require(actualShape.forall(_ > 0), s"empty or unknown shape $actualShape — pass shape explicitly")
-    val nCells = actualShape.map(_.toLong).product
-    require(nCells <= maxCells,
-      s"netcdf classic is a small-artifact sink; $nCells cells exceeds maxCells=$maxCells — write zarr/parquet instead")
-
     val (ncType, esz): (Int, Int) = dtype match {
       case "double" => (6, 8)
       case "float"  => (5, 4)
       case "int"    => (4, 4)
       case other    => throw new UnsupportedOperationException(s"netcdf3 dtype $other (double/float/int)")
     }
+
+    // CDF-1 is a single in-memory artifact: the whole file is built in
+    // one byte array, so cells are double-bounded by maxCells AND the
+    // 2 GiB JVM array limit (header offsets are also 4-byte in CDF-1).
+    val headerRoom = 4096L
+    val cellCap = math.min(maxCells, (Int.MaxValue.toLong - headerRoom) / esz)
+    if (shape.nonEmpty) {
+      val n = shape.map(_.toLong).product
+      require(n <= cellCap,
+        s"netcdf classic is a small-artifact sink; $n cells exceeds bound $cellCap — write zarr/parquet instead")
+    }
+    // One row per cell in a well-formed long-form frame, so the cell cap
+    // also bounds the row count. limit() enforces it BEFORE the driver
+    // materializes anything — a billion-row frame fails cleanly instead
+    // of OOMing the collect (mirrors Hdf5Writer's limit(capped + 1)).
+    val rowCap = cellCap.min(Int.MaxValue - 8L).toInt
+    val rows = df.limit(rowCap + 1).collect()
+    require(rows.length <= rowCap,
+      s"netcdf classic is a small-artifact sink; frame exceeds $rowCap rows — write zarr/parquet instead")
+
+    // Dim columns are accepted as any integral type (the documented
+    // contract says "integer dims", not LongType specifically).
+    def dim(r: org.apache.spark.sql.Row, d: Int): Long = {
+      val n = r.getAs[Number](d)
+      require(n != null, s"null in dim column ${dimNames(d)}")
+      n.longValue()
+    }
+    val actualShape: Seq[Int] =
+      if (shape.nonEmpty) shape
+      else (0 until rank).map(d => rows.iterator.map(dim(_, d)).foldLeft(-1L)(math.max).toInt + 1)
+    require(actualShape.forall(_ > 0), s"empty or unknown shape $actualShape — pass shape explicitly")
+    val nCells = actualShape.map(_.toLong).product
+    require(nCells <= cellCap,
+      s"netcdf classic is a small-artifact sink; $nCells cells exceeds bound $cellCap — write zarr/parquet instead")
 
     // header: magic, numrecs, dim list, global atts (ABSENT), var list
     val header = new java.io.ByteArrayOutputStream()
@@ -88,20 +113,29 @@ object NetCDF3Writer {
     header.write(varHead.toByteArray)
     header.write(be32(begin))
 
-    // data: row-major cells, fill first, then scatter the present rows
+    // data: row-major cells, fill first, then scatter the present rows.
+    // A row whose dim indices fall outside an explicitly-passed shape is
+    // a contract violation, not data to silently drop — fail with the
+    // count so the caller can widen the shape or filter first.
     val cells = new Array[Double](nCells.toInt)
     java.util.Arrays.fill(cells, fillValue)
     val innerLen = if (rank == 2) actualShape(1).toLong else 1L
+    var outOfShape = 0L
     rows.foreach { r =>
-      val flat =
-        if (rank == 1) r.getLong(0)
-        else r.getLong(0) * innerLen + r.getLong(1)
-      if (flat >= 0 && flat < nCells)
+      val inBounds = (0 until rank).forall(d => dim(r, d) >= 0 && dim(r, d) < actualShape(d))
+      if (!inBounds) outOfShape += 1
+      else {
+        val flat =
+          if (rank == 1) dim(r, 0)
+          else dim(r, 0) * innerLen + dim(r, 1)
         cells(flat.toInt) = r.get(rank) match {
           case n: java.lang.Number => n.doubleValue()
           case null => fillValue
         }
+      }
     }
+    require(outOfShape == 0L,
+      s"$outOfShape rows fall outside shape ${actualShape.mkString("x")} — widen shape or filter the frame first")
     val data = ByteBuffer.allocate(vsize) // big-endian by default
     ncType match {
       case 6 => cells.foreach(data.putDouble)

@@ -141,9 +141,10 @@ class InspectSpec extends SparkSpec {
     assert(math.abs(m("duration_sec").asInstanceOf[Double] - 2.0) < 1e-9)
   }
 
-  test("multimodal: binary ingestion + header meta + stubbed features") {
+  test("multimodal: binary ingestion + header meta; undecodable bytes yield null, not noise") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toFile
+    // Header-only PNG: parseable dims, but no IDAT → undecodable pixels.
     val png = ByteBuffer.allocate(32)
     png.put(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
     png.putInt(13).put("IHDR".getBytes).putInt(64).putInt(32)
@@ -154,13 +155,20 @@ class InspectSpec extends SparkSpec {
     val row = meta.select("img_format", "width", "height").as[(String, Int, Int)].head()
     assert(row == ("png", 64, 32))
 
+    // Production contract: no fabricated feature vectors — null features
+    // (filterable) and zero frame rows for bytes no decoder handles.
     val feats = Multimodal.imageFeatures(meta, dim = 8)
-    val v1 = feats.select("features").as[Seq[Float]].head()
-    val v2 = feats.select("features").as[Seq[Float]].head()
+    assert(feats.filter($"features".isNull).count() == 1)
+    assert(Multimodal.sampleFrames(df, n = 3, dim = 4).count() == 0)
+
+    // Test-only shape exerciser: explicit opt-in restores the
+    // deterministic placeholder (schema + row multiplicity).
+    val synth = Multimodal.imageFeatures(meta, dim = 8, syntheticFallback = true)
+    val v1 = synth.select("features").as[Seq[Float]].head()
+    val v2 = synth.select("features").as[Seq[Float]].head()
     assert(v1.length == 8)
     assert(v1 == v2) // deterministic stub
-
-    val frames = Multimodal.sampleFrames(df, n = 3, dim = 4)
+    val frames = Multimodal.sampleFrames(df, n = 3, dim = 4, syntheticFallback = true)
     assert(frames.count() == 3)
     assert(frames.select("frame_index").as[Int].collect().toSet == Set(0, 1, 2))
   }

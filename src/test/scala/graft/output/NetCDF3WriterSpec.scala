@@ -50,4 +50,46 @@ class NetCDF3WriterSpec extends SparkSpec {
       NetCDF3Writer.serialize(df, "v", shape = Seq(1000), maxCells = 10)
     }
   }
+
+  test("row bound fires without materializing an over-bound frame") {
+    import spark.implicits._
+    // 10M-row frame, bound 100: limit(101).collect() touches 101 rows;
+    // a full collect here would be ~240 MB of Row objects. The require
+    // message (not an OOM) is the contract.
+    val big = spark.range(10L * 1000 * 1000).select($"id".as("x"), ($"id" * 2).cast("double").as("value"))
+    val e = intercept[IllegalArgumentException] {
+      NetCDF3Writer.serialize(big, "v", maxCells = 100)
+    }
+    assert(e.getMessage.contains("exceeds 100 rows"))
+  }
+
+  test("byte-size cap rejects grids over the 2 GiB artifact limit even with a large maxCells") {
+    import spark.implicits._
+    val df = Seq((0L, 0.0)).toDF("x", "value")
+    // 300M double cells = 2.4 GB > Int.MaxValue bytes; maxCells alone
+    // would admit it — the byte cap must refuse before any allocation.
+    val e = intercept[IllegalArgumentException] {
+      NetCDF3Writer.serialize(df, "v", shape = Seq(300 * 1000 * 1000), maxCells = 400L * 1000 * 1000)
+    }
+    assert(e.getMessage.contains("cells exceeds bound"))
+  }
+
+  test("integer dim columns are accepted") {
+    import spark.implicits._
+    val df = Seq((0, 1.0), (1, 2.0), (2, 3.0)).toDF("x", "value") // IntegerType dim
+    val dir = java.nio.file.Files.createTempDirectory("ncwi").toFile
+    val url = s"file://$dir/i.nc"
+    NetCDF3Writer.write(df, url, varName = "v")
+    val back = NetCDF3Reader.read(spark, url, "v").orderBy("x").as[(Long, Double)].collect()
+    assert(back.toSeq == Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)))
+  }
+
+  test("rows outside an explicit shape fail with a count instead of silently dropping") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0), (5L, 2.0), (7L, 3.0)).toDF("x", "value")
+    val e = intercept[IllegalArgumentException] {
+      NetCDF3Writer.serialize(df, "v", shape = Seq(3))
+    }
+    assert(e.getMessage.contains("2 rows fall outside shape 3"))
+  }
 }
