@@ -23,8 +23,15 @@ object Dedup {
   // signatures before A's self-join evaluates, silently recomputing the
   // MD5 minhash UDF on both join sides). A small FIFO keeps the last few
   // invocations persisted: deep enough that no in-flight sibling loses
-  // its cache, shallow enough to bound driver retention.
-  private val portableSigsCacheDepth = 4
+  // its cache, shallow enough to bound driver retention. Depth must be
+  // >= the widest concurrent submission pool — Bench runs 16 queries in
+  // parallel (SPARK_GRAFT_BENCH_PARALLEL), and a depth below the pool
+  // width lets a 17th invocation unpersist an in-flight sibling's cache
+  // before its lazy self-join evaluates (silent recompute, results
+  // unchanged). Each entry is one (id, 16-long sig) frame at bench SF —
+  // ~a few MB — so 16 retained lineages stay a bounded footprint.
+  private val portableSigsCacheDepth =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt.max(4)
   private val recentPortableSigs = scala.collection.mutable.Queue.empty[DataFrame]
 
   /** Exact dedup: keep one row (min of `idCol`) per distinct value of

@@ -10,8 +10,13 @@ import org.apache.spark.sql.types._
 
 /** HDF5 writer (reference `output.py:60` PandasToHDF5 —
   * `DataFrame.to_hdf(url, key)`): emits a spec-valid HDF5 file from
-  * scratch — no library — with the layout `to_hdf`'s consumers expect:
-  * one group per `key`, one 1-D contiguous dataset per column.
+  * scratch — no library — laid out as one group per `key` with one 1-D
+  * contiguous dataset per column. NOTE this is a plain columnar HDF5
+  * layout, not the PyTables structure `pandas.read_hdf` expects
+  * (axis0/block0_values + pandas_type attributes): compatibility is
+  * verified in-repo (write→[[graft.inspect.Hdf5Inspect]]/Hdf5Reader
+  * round-trip specs), and generic HDF5 tools that walk compact Link
+  * messages can traverse it; pandas-readability is NOT claimed.
   *
   * Format profile (the same one [[graft.inspect.Hdf5Inspect]] walks, so
   * write→read round-trips in-repo): superblock v2, version-2 object

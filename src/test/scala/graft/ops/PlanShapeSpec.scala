@@ -56,4 +56,77 @@ class PlanShapeSpec extends SparkSpec {
       Dedup.minhashSignature(Dedup.shingles(col("text"), 2), k = 16)))
     assert(!plan.contains("Exchange"), s"per-row signatures must not shuffle:\n$plan")
   }
+
+  /** Run `body` with AQE and auto-broadcast off so the static physical
+    * plan is a plain typed tree (no AdaptiveSparkPlanExec leaf hiding the
+    * join strategy, no size-based broadcast masking a missing hint) and
+    * shuffle-width claims are inspectable node by node.
+    */
+  private def withStaticPlans[T](body: => T): T = {
+    val conf = spark.conf
+    val (aqe, thresh) = (conf.get("spark.sql.adaptive.enabled"), conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
+  test("LSH band self-join shuffles (id, band, bucket) only — no signature arrays") {
+    import spark.implicits._
+    withStaticPlans {
+      val df = Seq.tabulate(30)(i => (i.toLong, s"shared text body number ${i % 5} with words")).toDF("doc_id", "text")
+      val sigs = Dedup.withMinhashSignature(df, "text", "_sig", shingleN = 2, k = 16)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4)
+      // Every exchange partitioned by the band/bucket key must carry only
+      // scalar columns: an array-typed column through that shuffle means
+      // signatures are being shipped bands× over — the exact regression
+      // the scaladoc rules out. (The post-dedup signature re-attach joins
+      // shuffle by id and legitimately carry _sig once.)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val bandExchanges = exchanges.filter(_.outputPartitioning.toString.contains("_band"))
+      assert(bandExchanges.nonEmpty, "expected a shuffle keyed on (_band, _bucket)")
+      bandExchanges.foreach { e =>
+        val arrayCols = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrayCols.isEmpty,
+          s"band shuffle must not carry arrays, found ${arrayCols.map(_.name).mkString(",")} in:\n$e")
+      }
+    }
+  }
+
+  test("decontamination broadcasts the probe-gram side even with size-based broadcast off") {
+    import spark.implicits._
+    withStaticPlans {
+      val docs = Seq.tabulate(20)(i => (i.toLong, s"training document $i about topic ${i % 3}")).toDF("doc_id", "text")
+      val probes = Seq((1L, "training document 1 about topic 1")).toDF("probe_id", "ptext")
+      val plan = physical(Decontam.decontaminate(docs, "doc_id", "text", probes, "probe_id", "ptext", n = 3))
+      // autoBroadcastJoinThreshold=-1 above: only the explicit broadcast()
+      // hint can produce this node, so its presence pins the hint itself,
+      // not a small-input size accident.
+      assert(plan.contains("BroadcastExchange"),
+        s"probe grams must broadcast (corpus-side gram shuffle is the scale killer):\n$plan")
+    }
+  }
+
+  test("connected components' per-round localCheckpoint keeps the returned plan O(1) in rounds") {
+    import spark.implicits._
+    // A 9-node chain forces 8 real propagation rounds (min-label moves
+    // one hop per round). Without the per-round lineage truncation the
+    // 8-round plan re-embeds every prior round's joins (the round-1
+    // audit measured 161 exchanges); with it, the returned frame reads
+    // from a checkpointed RDD leaf.
+    val pairs = Seq.tabulate(8)(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 8, checkConvergence = false)
+    val plan = physical(labels)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 0, s"returned CC plan must be a checkpointed leaf, found $exchanges exchanges:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"expected a checkpoint-scan leaf:\n$plan")
+    // And the labels are right: the whole chain collapses to component 0.
+    val comps = labels.select("component").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L))
+  }
 }
