@@ -226,6 +226,11 @@ object Registry {
     DataKind("feather", Nil, Seq("\\.feather$"), Set("table"),
       Seq(0 -> ascii("FEA1"), 0 -> ascii("ARROW1"))),
     DataKind("lance", Nil, Seq("\\.lance/?$"), Set("table"), contains = Seq("_versions")),
+    // tiledb: detection-only BY DECLARED SCOPE (SURVEY §8, round 6) —
+    // the native on-disk format is 20+ storage versions of filtered
+    // generic tiles, unverifiable without the tiledb client; no reader
+    // registers this kind, so recommend() surfaces it with no native
+    // read path rather than a misparsing one.
     DataKind("tiledb", Nil, Seq("\\.tiledb/?$"), Set("array"),
       contains = Seq("__array_schema.tdb")),
     DataKind("bigwig", Nil, Seq("\\.(bw|bigwig)$"), Set("timeseries"),

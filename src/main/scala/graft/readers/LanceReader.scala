@@ -1,0 +1,366 @@
+package graft.readers
+
+import graft.datatypes.DataRef
+import java.net.URI
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native Lance dataset reader (reference `readers.py:1913` LanceReader /
+  * `:1935` PolarsLance, which read through the lancedb client; the
+  * published Lance format spec is the source for the layout here).
+  *
+  * Dataset layout: a directory holding `_versions/{v}.manifest`
+  * (versioned protobuf manifests — highest v wins) and `.lance`
+  * fragment files under `data/`. The manifest carries the schema (`lance.file.Field`:
+  * name/id/logical_type/nullable) and the fragment list (data-file
+  * paths, field ids, physical row counts). A manifest file ends with
+  * the house Lance trailer: `[u64 proto-block position][u16 major]
+  * [u16 minor]["LANC"]`, with a `u32` length prefix on the proto block.
+  *
+  * Fragment data files are Lance v2: pages of raw buffers followed by
+  * per-column protobuf metadata, a column-metadata offset table, a
+  * global-buffer offset table, and a fixed 40-byte footer ending in
+  * "LANC". Supported decode profile (stated, like the HDF5/NetCDF3
+  * writers' profiles): non-dictionary scalar columns — fixed-width
+  * primitives (int32/int64/float/double, bool bitmaps) as flat value
+  * buffers with an optional leading validity bitmap, and
+  * string/large_string/binary as offsets+bytes buffer pairs (u32 or u64
+  * offsets, with or without a leading 0 entry). Page encodings are
+  * derived from the manifest logical type and the page's buffer arity;
+  * a page whose buffer count doesn't match its type's profile fails
+  * with a clear error rather than misreading. Fragments with deletion
+  * files are refused (no silent resurrection of deleted rows).
+  *
+  * Scale shape: the driver reads ONLY manifest bytes (KBs); fragments
+  * parallelize across executors, and each task positioned-reads just
+  * the footer, the requested columns' metadata, and those columns'
+  * page buffers — column pruning reaches the byte layer, the
+  * SqliteReader/FitsReader distribution mold.
+  */
+object LanceReader {
+
+  // ---- minimal protobuf wire reader (house style, cf. TFRecordReader) --
+  private final class Wire(bytes: Array[Byte], var pos: Int, val until: Int) {
+    def hasNext: Boolean = pos < until
+    def varint(): Long = {
+      var shift = 0; var out = 0L; var b = 0
+      do {
+        b = bytes(pos) & 0xff; pos += 1
+        out |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0 && shift < 64)
+      out
+    }
+    def tag(): (Int, Int) = { val t = varint(); ((t >> 3).toInt, (t & 7).toInt) }
+    def chunk(): (Int, Int) = { val n = varint().toInt; val r = (pos, pos + n); pos += n; r }
+    def sub(): Wire = { val (s, e) = chunk(); new Wire(bytes, s, e) }
+    def str(): String = { val (s, e) = chunk(); new String(bytes, s, e - s, StandardCharsets.UTF_8) }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val n = varint().toInt; pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"lance: unsupported wire type $w")
+    }
+    /** repeated uint64, packed or unpacked. */
+    def u64s(wire: Int): Seq[Long] =
+      if (wire == 0) Seq(varint())
+      else { val w = sub(); val b = Seq.newBuilder[Long]; while (w.hasNext) b += w.varint(); b.result() }
+  }
+
+  case class Field(name: String, id: Int, parentId: Int, logicalType: String, nullable: Boolean)
+  case class DataFile(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int])
+  case class Fragment(id: Long, files: Seq[DataFile], physicalRows: Long, hasDeletions: Boolean)
+  case class Manifest(fields: Seq[Field], fragments: Seq[Fragment], version: Long)
+
+  private def parseField(w: Wire): Field = {
+    var name = ""; var id = -1; var parent = -1; var lt = ""; var nullable = false
+    while (w.hasNext) w.tag() match {
+      case (2, 2) => name = w.str()
+      case (3, 0) => id = w.varint().toInt
+      case (4, 0) => parent = w.varint().toInt
+      case (5, 2) => lt = w.str()
+      case (6, 0) => nullable = w.varint() != 0
+      case (_, wt) => w.skip(wt)
+    }
+    Field(name, id, parent, lt, nullable)
+  }
+
+  private def parseDataFile(w: Wire): DataFile = {
+    var path = ""; val fids = Seq.newBuilder[Int]; val cidx = Seq.newBuilder[Int]
+    while (w.hasNext) w.tag() match {
+      case (1, 2) => path = w.str()
+      case (2, wt) => if (wt == 0) fids += w.varint().toInt
+                      else { val s = w.sub(); while (s.hasNext) fids += s.varint().toInt }
+      case (3, wt) => if (wt == 0) cidx += w.varint().toInt
+                      else { val s = w.sub(); while (s.hasNext) cidx += s.varint().toInt }
+      case (_, wt) => w.skip(wt)
+    }
+    DataFile(path, fids.result(), cidx.result())
+  }
+
+  private def parseFragment(w: Wire): Fragment = {
+    var id = 0L; val files = Seq.newBuilder[DataFile]; var rows = 0L; var del = false
+    while (w.hasNext) w.tag() match {
+      case (1, 0) => id = w.varint()
+      case (2, 2) => files += parseDataFile(w.sub())
+      case (3, 2) => del = true; w.skip(2)
+      case (4, 0) => rows = w.varint()
+      case (_, wt) => w.skip(wt)
+    }
+    Fragment(id, files.result(), rows, del)
+  }
+
+  /** Parse manifest bytes: trailer magic → u32-length-prefixed proto. */
+  def parseManifest(bytes: Array[Byte]): Manifest = {
+    require(bytes.length >= 16, "lance manifest too short")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new String(bytes, bytes.length - 4, 4, StandardCharsets.US_ASCII)
+    require(magic == "LANC", s"lance manifest: bad trailing magic '$magic'")
+    val protoPos = bb.getLong(bytes.length - 16)
+    require(protoPos >= 0 && protoPos < bytes.length - 4, s"lance manifest: proto position $protoPos out of range")
+    val len = bb.getInt(protoPos.toInt)
+    require(len >= 0 && protoPos + 4 + len <= bytes.length, s"lance manifest: proto length $len out of range")
+    val w = new Wire(bytes, protoPos.toInt + 4, protoPos.toInt + 4 + len)
+    val fields = Seq.newBuilder[Field]; val frags = Seq.newBuilder[Fragment]; var version = 0L
+    while (w.hasNext) w.tag() match {
+      case (1, 2) => fields += parseField(w.sub())
+      case (2, 2) => frags += parseFragment(w.sub())
+      case (3, 0) => version = w.varint()
+      case (_, wt) => w.skip(wt)
+    }
+    Manifest(fields.result(), frags.result(), version)
+  }
+
+  /** Latest manifest in `dir/_versions` (highest numeric version). */
+  def readManifest(dir: String, conf: Configuration): Manifest = {
+    val fs = FileSystem.get(new URI(dir).resolve("/"), conf)
+    val versions = new Path(dir, "_versions")
+    require(fs.exists(versions), s"not a lance dataset (no _versions): $dir")
+    val candidates = fs.listStatus(versions).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(p => scala.util.Try(p.getName.stripSuffix(".manifest").toLong).toOption.map(_ -> p))
+    require(candidates.nonEmpty, s"no .manifest files under $versions")
+    val latest = candidates.maxBy(_._1)._2
+    val st = fs.getFileStatus(latest)
+    val bytes = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(latest)
+    try in.readFully(0, bytes) finally in.close()
+    parseManifest(bytes)
+  }
+
+  private def sparkType(lt: String): DataType = lt match {
+    case "int8"                       => ByteType
+    case "int16"                      => ShortType
+    case "int32"                      => IntegerType
+    case "int64"                      => LongType
+    case "float" | "float32"          => FloatType
+    case "double" | "float64"         => DoubleType
+    case "bool"                       => BooleanType
+    case "string" | "large_string"    => StringType
+    case "binary" | "large_binary"    => BinaryType
+    case other => throw new UnsupportedOperationException(
+      s"lance logical type '$other' outside the supported scalar profile")
+  }
+
+  def schemaOf(m: Manifest, columns: Seq[String] = Nil): StructType = {
+    val leaves = m.fields.filter(_.parentId == -1)
+    val chosen = if (columns.isEmpty) leaves else {
+      val byName = leaves.map(f => f.name -> f).toMap
+      columns.map(c => byName.getOrElse(c, throw new IllegalArgumentException(
+        s"column '$c' not in lance schema ${leaves.map(_.name).mkString(",")}")))
+    }
+    StructType(chosen.map(f => StructField(f.name, sparkType(f.logicalType), f.nullable)))
+  }
+
+  // ---- data-file (v2) decode ------------------------------------------
+
+  private case class Page(bufferOffsets: Seq[Long], bufferSizes: Seq[Long], length: Long)
+  private case class ColumnMeta(pages: Seq[Page])
+
+  private def parsePage(w: Wire): Page = {
+    val offs = Seq.newBuilder[Long]; val sizes = Seq.newBuilder[Long]; var len = 0L
+    while (w.hasNext) w.tag() match {
+      case (1, wt) => offs ++= w.u64s(wt)
+      case (2, wt) => sizes ++= w.u64s(wt)
+      case (4, 0)  => len = w.varint()
+      case (_, wt) => w.skip(wt)
+    }
+    Page(offs.result(), sizes.result(), len)
+  }
+
+  private def parseColumnMeta(bytes: Array[Byte], from: Int, until: Int): ColumnMeta = {
+    val w = new Wire(bytes, from, until)
+    val pages = Seq.newBuilder[Page]
+    while (w.hasNext) w.tag() match {
+      case (1, 2)  => pages += parsePage(w.sub())
+      case (_, wt) => w.skip(wt)
+    }
+    ColumnMeta(pages.result())
+  }
+
+  private case class Footer(colMetaStart: Long, colMetaOffsetsStart: Long, numColumns: Int)
+
+  private def parseFooter(tail40: Array[Byte]): Footer = {
+    require(tail40.length == 40, "lance footer must be 40 bytes")
+    val bb = ByteBuffer.wrap(tail40).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new String(tail40, 36, 4, StandardCharsets.US_ASCII)
+    require(magic == "LANC", s"lance data file: bad footer magic '$magic'")
+    Footer(bb.getLong(0), bb.getLong(8), bb.getInt(28))
+  }
+
+  /** Decode one column of a v2 data file into cell values (length =
+    * total rows across pages). `read(at, n)` is a positioned read.
+    */
+  private def decodeColumn(
+      read: (Long, Int) => Array[Byte],
+      meta: ColumnMeta,
+      lt: String,
+      nullable: Boolean): IndexedSeq[Any] = {
+    val out = IndexedSeq.newBuilder[Any]
+    meta.pages.foreach { p =>
+      val n = p.length.toInt
+      val fixedWidth: Option[Int] = lt match {
+        case "int8"                    => Some(1)
+        case "int16"                   => Some(2)
+        case "int32" | "float" | "float32" => Some(4)
+        case "int64" | "double" | "float64" => Some(8)
+        case "bool"                    => Some(0) // bitmap
+        case _                         => None
+      }
+      def buf(i: Int): Array[Byte] = read(p.bufferOffsets(i), p.bufferSizes(i).toInt)
+      fixedWidth match {
+        case Some(width) =>
+          val (validity, values) = p.bufferOffsets.length match {
+            case 1 => (None, buf(0))
+            case 2 => (Some(buf(0)), buf(1))
+            case k => throw new UnsupportedOperationException(
+              s"lance page with $k buffers for fixed-width '$lt' — outside the supported profile")
+          }
+          def isNull(i: Int) = validity.exists(v => (v(i >> 3) & (1 << (i & 7))) == 0)
+          val bb = ByteBuffer.wrap(values).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            out += (if (isNull(i)) null else lt match {
+              case "int8"              => bb.get(i)
+              case "int16"             => bb.getShort(i * 2)
+              case "int32"             => bb.getInt(i * 4)
+              case "int64"             => bb.getLong(i * 8)
+              case "float" | "float32" => bb.getFloat(i * 4)
+              case "double" | "float64" => bb.getDouble(i * 8)
+              case "bool"              => (values(i >> 3) & (1 << (i & 7))) != 0
+            })
+            i += 1
+          }
+        case None => // variable width: [validity?] offsets + bytes
+          val (validity, offsetsB, dataB) = p.bufferOffsets.length match {
+            case 2 => (None, buf(0), buf(1))
+            case 3 => (Some(buf(0)), buf(1), buf(2))
+            case k => throw new UnsupportedOperationException(
+              s"lance page with $k buffers for variable-width '$lt' — outside the supported profile")
+          }
+          def isNull(i: Int) = validity.exists(v => (v(i >> 3) & (1 << (i & 7))) == 0)
+          // offsets: u32 or u64, with or without the leading 0 entry
+          val ob = ByteBuffer.wrap(offsetsB).order(ByteOrder.LITTLE_ENDIAN)
+          val (w, leading) = offsetsB.length match {
+            case l if l == (n + 1) * 8 => (8, true)
+            case l if l == (n + 1) * 4 => (4, true)
+            case l if l == n * 8       => (8, false)
+            case l if l == n * 4       => (4, false)
+            case l => throw new UnsupportedOperationException(
+              s"lance offsets buffer of $l bytes for $n rows — outside the supported profile")
+          }
+          def off(i: Int): Long =
+            if (i == 0 && !leading) 0L
+            else {
+              val idx = if (leading) i else i - 1
+              if (w == 8) ob.getLong(idx * 8) else ob.getInt(idx * 4).toLong & 0xffffffffL
+            }
+          var i = 0
+          while (i < n) {
+            val (s, e) = (off(i), off(i + 1))
+            out += (if (isNull(i)) null
+                    else {
+                      val b = java.util.Arrays.copyOfRange(dataB, s.toInt, e.toInt)
+                      if (lt == "binary" || lt == "large_binary") b
+                      else new String(b, StandardCharsets.UTF_8)
+                    })
+            i += 1
+          }
+      }
+    }
+    out.result()
+  }
+
+  /** Read one fragment's rows for `fields` (executor-side). */
+  private def fragmentRows(
+      dir: String,
+      frag: Fragment,
+      fields: Seq[Field],
+      conf: Configuration): Iterator[Row] = {
+    require(!frag.hasDeletions,
+      s"lance fragment ${frag.id} has a deletion file — outside the supported profile (compact the dataset first)")
+    // field id → (data file, column index inside that file)
+    val slot: Map[Int, (DataFile, Int)] = frag.files.flatMap { f =>
+      f.fieldIds.zipWithIndex.map { case (fid, i) =>
+        fid -> (f, if (f.columnIndices.nonEmpty) f.columnIndices(i) else i)
+      }
+    }.toMap
+    val columns: Seq[IndexedSeq[Any]] = fields.map { field =>
+      val (dataFile, colIdx) = slot.getOrElse(field.id, throw new IllegalArgumentException(
+        s"field ${field.name}(id=${field.id}) not present in fragment ${frag.id}"))
+      val path = new Path(new Path(dir, "data"), dataFile.path)
+      val fs = path.getFileSystem(conf)
+      val st = fs.getFileStatus(path)
+      val in = fs.open(path)
+      try {
+        def read(at: Long, n: Int): Array[Byte] = {
+          val b = new Array[Byte](n); in.readFully(at, b); b
+        }
+        val footer = parseFooter(read(st.getLen - 40, 40))
+        require(colIdx < footer.numColumns,
+          s"column index $colIdx out of range (${footer.numColumns} columns) in ${dataFile.path}")
+        val entry = read(footer.colMetaOffsetsStart + colIdx * 16L, 16)
+        val ebb = ByteBuffer.wrap(entry).order(ByteOrder.LITTLE_ENDIAN)
+        val (metaPos, metaLen) = (ebb.getLong(0), ebb.getLong(8))
+        val metaBytes = read(metaPos, metaLen.toInt)
+        val meta = parseColumnMeta(metaBytes, 0, metaBytes.length)
+        decodeColumn(read, meta, field.logicalType, field.nullable)
+      } finally in.close()
+    }
+    val nRows = columns.headOption.map(_.size).getOrElse(0)
+    columns.foreach(c => require(c.size == nRows,
+      s"ragged fragment ${frag.id}: column lengths ${columns.map(_.size).mkString(",")}"))
+    (0 until nRows).iterator.map(i => Row.fromSeq(columns.map(_(i))))
+  }
+
+  /** Read a Lance dataset directory into a DataFrame. `columns` prunes
+    * at the byte layer (only those columns' metadata and buffers are
+    * fetched per fragment).
+    */
+  def read(spark: SparkSession, dir: String, columns: Seq[String] = Nil): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = readManifest(dir, conf)
+    val schema = schemaOf(manifest, columns)
+    val byName = manifest.fields.map(f => f.name -> f).toMap
+    val chosen = schema.fields.map(f => byName(f.name)).toSeq
+    val frags = manifest.fragments
+    val sconf = graft.core.SerializableHadoopConf(conf)
+    val rowsRdd = spark.sparkContext
+      .parallelize(frags, math.max(1, math.min(frags.size, spark.sparkContext.defaultParallelism)))
+      .flatMap(frag => fragmentRows(dir, frag, chosen, sconf.value))
+    spark.createDataFrame(rowsRdd, schema)
+  }
+}
+
+class LanceReaderImpl extends Reader {
+  val name = "lance_native"
+  val implementsKinds = Set("lance")
+  def read(spark: SparkSession, ref: DataRef): DataFrame = {
+    val cols = ref.options.get("columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    LanceReader.read(spark, ref.url, cols)
+  }
+}
