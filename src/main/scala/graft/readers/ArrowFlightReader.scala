@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *
   * Protocol subset, from the public specs (RFC 7540/7541, gRPC
   * PROTOCOL-HTTP2, Flight.proto):
-  *  - HPACK: every header is sent "literal, never indexed" (0x10
-  *    prefix, plain octets) — always legal, no dynamic table to track.
-  *    Response header blocks are skipped wholesale; the data stream,
-  *    not the trailers, carries the result.
+  *  - HPACK: every header is SENT "literal, never indexed" (0x10
+  *    prefix, plain octets) — always legal, no dynamic table for the
+  *    peer to track. Response header blocks are fully DECODED through
+  *    [[HpackDecoder]] (static+dynamic tables, Huffman) — real gRPC
+  *    servers index and Huffman-code `grpc-status`, and a mid-stream
+  *    error must never pass as silently truncated success; an
+  *    undecodable header block is a stream error, not an absence of
+  *    trailers.
   *  - Flow control: WINDOW_UPDATE for the connection and the stream
   *    after every DATA frame, so responses larger than the 64 KiB
   *    initial window stream through.
@@ -201,12 +205,30 @@ object ArrowFlightReader {
       // -- response: accumulate our stream's DATA bytes until END_STREAM.
       // Errors must not pass as truncated success: RST_STREAM throws,
       // GOAWAY before the stream completed throws, EOF before END_STREAM
-      // throws, and a literal-encoded non-zero grpc-status in the
-      // trailers throws (an indexed/Huffman-coded status is undecodable
-      // without full HPACK state and is accepted — stated, not hidden).
+      // throws, and a non-zero grpc-status in any decoded header block
+      // (initial trailers-only response or trailers proper) throws.
+      val hpack = new HpackDecoder()
+      val headerBlock = new ByteArrayOutputStream()
+      var headerEndStream = false
       var done = false
       var endStream = false
       var trailerStatus: Option[Int] = None
+      var trailerMessage: Option[String] = None
+      def decodeHeaderBlock(): Unit = {
+        val headers =
+          try hpack.decode(headerBlock.toByteArray)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new java.io.IOException(s"flight: undecodable header block (${e.getMessage})")
+          }
+        headerBlock.reset()
+        headers.collectFirst { case ("grpc-status", v) =>
+          scala.util.Try(v.trim.toInt).getOrElse(
+            throw new java.io.IOException(s"flight: non-numeric grpc-status '$v'"))
+        }.foreach(s => trailerStatus = Some(s))
+        headers.collectFirst { case ("grpc-message", v) => v }.foreach(m => trailerMessage = Some(m))
+        if (headerEndStream) { endStream = true; done = true }
+      }
       while (!done) {
         readH2Frame(t.in) match {
           case None =>
@@ -233,12 +255,25 @@ object ArrowFlightReader {
                   t.out.write(inc)
                   t.out.flush()
                 }
-              case 0x1 | 0x9 => // HEADERS / CONTINUATION — block skipped (see scaladoc)
-                if (streamId == 1 && (flags & 0x1) != 0) { // trailers END_STREAM
-                  trailerStatus = scanLiteralGrpcStatus(payload)
-                  endStream = true
-                  done = true
+              case 0x1 if streamId == 1 => // HEADERS
+                // strip PADDED (0x8: leading pad-length byte + trailing
+                // padding) and PRIORITY (0x20: 4-byte dependency + weight)
+                var off = 0
+                var end = payload.length
+                if ((flags & 0x8) != 0 && payload.nonEmpty) {
+                  val pad = payload(0) & 0xff
+                  off = 1; end = payload.length - pad
+                  require(end >= off, "HTTP/2 HEADERS padding exceeds frame")
                 }
+                if ((flags & 0x20) != 0) off += 5
+                require(end >= off, "HTTP/2 HEADERS priority fields exceed frame")
+                headerBlock.write(payload, off, end - off)
+                if ((flags & 0x1) != 0) headerEndStream = true // END_STREAM
+                if ((flags & 0x4) != 0) decodeHeaderBlock()    // END_HEADERS
+              case 0x9 if streamId == 1 => // CONTINUATION of the open block
+                headerBlock.write(payload, 0, payload.length)
+                if ((flags & 0x4) != 0) decodeHeaderBlock()
+              case 0x1 | 0x9 => // other stream's headers — not ours
               case 0x4 => // SETTINGS: ack non-acks
                 if ((flags & 0x1) == 0) { t.out.write(h2Frame(0x4, 0x1, 0, Array.empty)); t.out.flush() }
               case 0x6 => // PING: echo with ack flag
@@ -256,7 +291,8 @@ object ArrowFlightReader {
         }
       }
       trailerStatus.filter(_ != 0).foreach { st =>
-        throw new java.io.IOException(s"flight DoGet failed: grpc-status $st")
+        val msg = trailerMessage.map(m => s" (${m})").getOrElse("")
+        throw new java.io.IOException(s"flight DoGet failed: grpc-status $st$msg")
       }
     } finally t.close()
 
@@ -293,33 +329,6 @@ object ArrowFlightReader {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromSeq), math.max(1, math.min(rows.size, 8))),
       schema)
-  }
-
-  /** Best-effort grpc-status from a trailer block: covers the common
-    * literal (non-Huffman) HPACK encoding, where the name appears as
-    * plain ASCII followed by a length-prefixed plain value. Returns
-    * None when the block is indexed/Huffman-coded (undecodable without
-    * full HPACK state).
-    */
-  private[readers] def scanLiteralGrpcStatus(block: Array[Byte]): Option[Int] = {
-    val name = "grpc-status".getBytes(StandardCharsets.ISO_8859_1)
-    var i = 0
-    while (i + name.length + 1 < block.length) {
-      if (name.indices.forall(j => block(i + j) == name(j))) {
-        val lenByte = block(i + name.length) & 0xff
-        if ((lenByte & 0x80) == 0) { // plain (non-Huffman) value
-          val len = lenByte & 0x7f
-          val from = i + name.length + 1
-          if (from + len <= block.length) {
-            val v = new String(block, from, len, StandardCharsets.ISO_8859_1)
-            return scala.util.Try(v.trim.toInt).toOption
-          }
-        }
-        return None
-      }
-      i += 1
-    }
-    None
   }
 
   private def intBE(n: Int): Array[Byte] =

@@ -181,6 +181,62 @@ class ArrowFlightReaderSpec extends SparkSpec {
     assert(fields(1000).head.toSeq == Seq[Byte](9, 8))
   }
 
+  test("a Huffman+indexed error trailer after FlightData fails the read (no silent truncation)") {
+    // Server streams one valid message, then trailers encoded the way
+    // real gRPC servers do: incremental-indexing literals with
+    // Huffman-coded strings — invisible to a literal-only scan, which is
+    // exactly the silent-truncation hole the HPACK decoder closes.
+    def huffStr(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      s.getBytes(StandardCharsets.ISO_8859_1).foreach { ch =>
+        val sym = ch & 0xff
+        acc = (acc << Hpack.HuffLens(sym)) | (Hpack.HuffCodes(sym).toLong & 0xffffffffL)
+        nbits += Hpack.HuffLens(sym)
+        while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      }
+      if (nbits > 0) out.write((((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt)
+      val h = out.toByteArray
+      Array((0x80 | h.length).toByte) ++ h
+    }
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = sock.getInputStream; val out = sock.getOutputStream
+        in.readNBytes(24)
+        var streamDone = false
+        while (!streamDone) ArrowFlightReader.readH2Frame(in) match {
+          case None => streamDone = true
+          case Some((typ, flags, sid, _)) =>
+            if (typ == 0x4 && (flags & 1) == 0) out.write(ArrowFlightReader.h2Frame(0x4, 0x1, 0, Array.empty))
+            if (typ == 0x0 && sid == 1 && (flags & 0x1) != 0) streamDone = true
+        }
+        val respHeaders = ArrowFlightReader.hpackLiteral(":status", "200")
+        val msg = splitIpcMessages(arrowStream()).map { case (m, b) => grpcMessage(flightDataProto(m, b)) }.head
+        val trailers =
+          Array(0x40.toByte) ++ huffStr("grpc-status") ++ huffStr("13") ++
+          Array(0x40.toByte) ++ huffStr("grpc-message") ++ huffStr("shard 7 unavailable")
+        out.write(ArrowFlightReader.h2Frame(0x4, 0, 0, Array.empty))
+        out.write(ArrowFlightReader.h2Frame(0x1, 0x4, 1, respHeaders))
+        out.write(ArrowFlightReader.h2Frame(0x0, 0, 1, msg))
+        out.write(ArrowFlightReader.h2Frame(0x1, 0x4 | 0x1, 1, trailers))
+        out.flush()
+        try while (ArrowFlightReader.readH2Frame(in).isDefined) () catch { case _: Throwable => () }
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        ArrowFlightReader.read(spark,
+          s"grpc://127.0.0.1:${server.getLocalPort}?ticket=x", timeoutMs = 10000).collect()
+      }
+      assert(e.getMessage.contains("grpc-status 13"))
+      assert(e.getMessage.contains("shard 7 unavailable"))
+    } finally server.close()
+  }
+
   test("flight reader is registered and grpc:// urls are detected") {
     val (ok, _) = SparkReaders.recommend(graft.datatypes.DataRef("arrow_flight", "grpc://h:8815?ticket=t"))
     assert(ok.exists(_.name == "arrow_flight_reader"))
