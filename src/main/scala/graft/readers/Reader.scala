@@ -67,6 +67,12 @@ object SparkReaders {
   // reference's importable/non-importable reader split.
   val delta = new FormatReader("spark_delta", "delta", Set("delta"),
     requiredClass = Some("io.delta.tables.DeltaTable"))
+  // Iceberg path-based read (reference readers.py:1139 PolarsIceberg
+  // `scan_iceberg`, datatypes.py:861 IcebergDataset) — same connector
+  // gate as delta: classifiable everywhere, readable once the
+  // iceberg-spark runtime jar is on the classpath.
+  val iceberg = new FormatReader("spark_iceberg", "iceberg", Set("iceberg"),
+    requiredClass = Some("org.apache.iceberg.spark.source.IcebergSource"))
 
   /** JDBC service reader: url carries the JDBC URL; options carry
     * dbtable/query/credentials. */
@@ -277,7 +283,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, iceberg, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

@@ -99,6 +99,10 @@ class CatalogSuiteSpec extends SparkSpec {
   test("reader recommend splits importable from declared-only") {
     val (impD, notImpD) = SparkReaders.recommend(DataRef("delta", "/tbl"))
     assert(impD.isEmpty && notImpD.nonEmpty) // no delta connector jar here
+    // iceberg gets the same connector gate: recommended but not
+    // importable without the iceberg-spark runtime jar
+    val (impI, notImpI) = SparkReaders.recommend(DataRef("iceberg", "/warehouse/tbl"))
+    assert(impI.isEmpty && notImpI.exists(_.name == "spark_iceberg"))
     val (imp2, _) = SparkReaders.recommend(DataRef("parquet", "/x.parquet"))
     assert(imp2.exists(_.name == "spark_parquet"))
     // avro + xml are bundled into spark-sql in Spark 4 → importable
