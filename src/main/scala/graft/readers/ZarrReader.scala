@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * v2: `.zarray` metadata (shape, chunks, dtype, compressor, order)
   * parsed on the driver; chunk objects decoded on the executors into
   * the long-form layout SURVEY §1.2 assigns to chunked arrays: one row
-  * per element, `(dim0, dim1, ..., value)`. Little-endian f8/f4/i8/i4,
-  * raw or zlib-compressed C-order chunks — blosc would need a native
-  * lib and stays out of scope.
+  * per element, `(dim0, dim1, ..., value)`. Little-endian f8/f4/i8/i4
+  * C-order chunks, raw, zlib, or blosc-compressed — blosc-lz4 with
+  * byte-shuffle is zarr-python's *default* v2 compressor and decodes
+  * through the pure-JVM [[Blosc]] container walk (zstd-blosc still
+  * refuses at metadata time).
   *
   * v3: `zarr.json` node metadata — regular chunk grid, default chunk
   * key encoding (`c` prefix, "/" or "." separator), `bytes` codec
@@ -33,7 +35,7 @@ import org.apache.spark.sql.types._
   */
 object ZarrReader {
 
-  private case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, zlib: Boolean)
+  private case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, comp: String)
 
   private case class MetaV3(
       shape: Seq[Int],
@@ -50,18 +52,25 @@ object ZarrReader {
     val shape = (0 until node.get("shape").size()).map(node.get("shape").get(_).asInt())
     val chunks = (0 until node.get("chunks").size()).map(node.get("chunks").get(_).asInt())
     val comp = Option(node.get("compressor")).filterNot(_.isNull)
-    val zlib = comp.exists(c => Option(c.get("id")).exists(_.asText() == "zlib"))
-    comp.foreach { c =>
-      val id = Option(c.get("id")).map(_.asText()).getOrElse("?")
-      require(id == "zlib", s"unsupported zarr compressor: $id")
+    val id = comp.map(c => Option(c.get("id")).map(_.asText()).getOrElse("?")).getOrElse("none")
+    id match {
+      case "none" | "zlib" => ()
+      case "blosc" =>
+        // the container is self-describing; vet the cname up front so a
+        // zstd-blosc store refuses at metadata time, not mid-chunk
+        val cname = comp.flatMap(c => Option(c.get("cname"))).map(_.asText()).getOrElse("lz4")
+        require(Set("lz4", "lz4hc", "zlib").contains(cname),
+          s"unsupported zarr blosc cname: $cname (lz4/lz4hc/zlib only; zstd-blosc out of scope)")
+      case other => throw new IllegalArgumentException(s"unsupported zarr compressor: $other")
     }
-    Meta(shape, chunks, node.get("dtype").asText(), zlib)
+    Meta(shape, chunks, node.get("dtype").asText(), id)
   }
 
-  private def decodeChunk(bytes: Array[Byte], dtype: String, zlib: Boolean): Array[Double] = {
-    val raw =
-      if (!zlib) bytes
-      else {
+  private def decodeChunk(bytes: Array[Byte], dtype: String, comp: String): Array[Double] = {
+    val raw = comp match {
+      case "none" => bytes
+      case "blosc" => Blosc.decompress(bytes) // self-describing container (lz4/zlib inside)
+      case "zlib" =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(bytes)
         val out = new java.io.ByteArrayOutputStream()
@@ -73,7 +82,8 @@ object ZarrReader {
         }
         inf.end()
         out.toByteArray
-      }
+      case other => throw new IllegalArgumentException(s"unsupported zarr compressor: $other")
+    }
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     dtype match {
       case "<f8" => Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8))
@@ -247,7 +257,7 @@ object ZarrReader {
         else {
           val in = fs.open(p)
           val bytes = try in.readAllBytes() finally in.close()
-          val vals = decodeChunk(bytes, m.dtype, m.zlib)
+          val vals = decodeChunk(bytes, m.dtype, m.comp)
           if (m.shape.length == 1) {
             val off = key(0) * m.chunks(0)
             vals.iterator.zipWithIndex

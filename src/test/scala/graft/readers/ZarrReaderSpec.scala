@@ -45,6 +45,80 @@ class ZarrReaderSpec extends SparkSpec {
     assert(!m.contains((3L, 0L)))
   }
 
+  test("zarr v2 blosc-lz4 store reads through the pure-JVM container decode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrb")
+    Files.writeString(dir.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[3,4],"chunks":[2,3],"dtype":"<f8",
+        |"compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0},
+        |"fill_value":0.0,"order":"C","filters":null}""".stripMargin)
+    // chunk payloads as blosc containers: one lz4-split-shuffle, the
+    // rest memcpy-flag (both occur in real stores; BloscSpec pins the
+    // codec internals, this pins the ZarrReader wiring)
+    def payload(vals: Seq[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vals.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      bb.array()
+    }
+    def memcpyContainer(data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(1.toByte).put(0x02.toByte).put(8.toByte)
+      bb.putInt(data.length).putInt(data.length).putInt(16 + data.length)
+      bb.put(data)
+      bb.array()
+    }
+    // hand-assembled split+shuffle lz4 container for the (0,0) chunk:
+    // 6 doubles whose shuffled byte planes are RLE runs → one literal +
+    // offset-1 match per 6-byte plane stream
+    def lz4Container(data: Array[Byte]): Array[Byte] = {
+      val typesize = 8
+      val n = data.length / typesize
+      val planes = (0 until typesize).map(b => Array.tabulate(n)(i => data(i * typesize + b)))
+      val streams = new java.io.ByteArrayOutputStream()
+      val header = 16 + 4
+      val bstart = header
+      planes.foreach { p =>
+        if (p.forall(_ == p(0))) { // RLE plane: 1 literal + match len n-1
+          require(n - 1 >= 4, "fixture plane too short for a match")
+          val s = Array[Byte](((1 << 4) | (n - 1 - 4)).toByte, p(0), 1, 0)
+          streams.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(s.length).array())
+          streams.write(s)
+        } else { // raw stream (size == neblock)
+          streams.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array())
+          streams.write(p)
+        }
+      }
+      val total = header + streams.size()
+      val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(1.toByte).put((0x01 | (1 << 5)).toByte).put(typesize.toByte)
+      bb.putInt(data.length).putInt(data.length).putInt(total)
+      bb.putInt(bstart)
+      bb.put(streams.toByteArray)
+      bb.array()
+    }
+    def block(offI: Int, offJ: Int): Seq[Double] =
+      for (a <- 0 until 2; b <- 0 until 3) yield ((offI + a) * 10 + (offJ + b)).toDouble
+    Files.write(dir.resolve("0.0"), lz4Container(payload(block(0, 0))))
+    Files.write(dir.resolve("0.1"), memcpyContainer(payload(block(0, 3))))
+    Files.write(dir.resolve("1.0"), memcpyContainer(payload(block(2, 0))))
+    Files.write(dir.resolve("1.1"), memcpyContainer(payload(block(2, 3))))
+    val m = ZarrReader.read(spark, s"file://$dir")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m.size == 12)
+    assert(m((0L, 0L)) == 0.0 && m((0L, 2L)) == 2.0 && m((1L, 1L)) == 11.0)
+    assert(m((1L, 3L)) == 13.0 && m((2L, 3L)) == 23.0)
+  }
+
+  test("zarr v2 zstd-blosc store refuses at metadata time") {
+    val dir = Files.createTempDirectory("zarrz")
+    Files.writeString(dir.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+        |"compressor":{"id":"blosc","cname":"zstd","clevel":5,"shuffle":1},
+        |"fill_value":0.0,"order":"C","filters":null}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir"))
+    assert(e.getMessage.contains("zstd"))
+  }
+
   test("zarr write -> read round-trips a 2-D array (zlib, edge chunks)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zarrw")
