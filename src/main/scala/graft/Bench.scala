@@ -67,6 +67,10 @@ object Bench {
       qSec.findAllMatchIn(txt.substring(start, end + 1))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    // NON-AUTHORITATIVE first-run fallback ONLY: once a summary file
+    // exists, priorTimes supersedes this list entirely — do not hand-tune
+    // it against new measurements, it is dead weight on every run after
+    // the first and is expected to rot as queries change.
     val heavy = Seq(
       "q42_minhash_lsh", "q63_neardup_clusters", "q51_lsh_knn", "q41_jaccard_pairs",
       "q50_embedding_neardup", "q46_lang_quality", "q47_wordcount", "q49_knn_cosine",
@@ -122,17 +126,43 @@ object Bench {
     // measured 13.1s where an idle re-run of the same commit measured
     // 6.4s. The cold wall is reported alongside as `cold_total_sec`
     // for transparency, not hidden.
-    val (coldResults, coldWall) = runBatch()
+    // /proc/loadavg before each pass: the driver's machine runs other
+    // work, and round 6 recorded a cold wall 1.7x the idle measurement
+    // of the same commit — a load-inflated record must be
+    // self-identifying rather than read as a regression.
+    def loadAvg(): Double =
+      Try(new String(Files.readAllBytes(Paths.get("/proc/loadavg")), StandardCharsets.UTF_8)
+        .split("\\s+")(0).toDouble)
+        .getOrElse(java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
+
+    // Cold seed: run the two cheapest known queries serially before the
+    // concurrent batch. The LPT order fronts sixteen heavy queries, so
+    // the cold first wave otherwise pays session init (codegen
+    // infrastructure, parquet/FS clients, shuffle machinery, C2 JIT of
+    // the interpreter paths) sixteen times concurrently under 2
+    // cores/query; one tiny serial query pays it once at full speed.
+    // Seed time is INSIDE the cold wall — the cold number stays the
+    // honest time-to-first-batch-done on a fresh session.
+    val loadCold = loadAvg()
+    val coldT0 = System.nanoTime()
+    val seedNames = if (priorTimes.nonEmpty) priorTimes.toSeq.sortBy(_._2).take(2).map(_._1)
+                    else Seq("q15_distinct", "q14_setops")
+    seedNames.foreach(n => SparkEntry.queries.get(n).foreach(fn => Try(fn(spark, sfDir).count())))
+    val (coldResults, coldBatchWall) = runBatch()
+    val coldWall = (System.nanoTime() - coldT0) / 1e9
+    val loadW1 = loadAvg()
     val (warm1Results, warm1Wall) = runBatch()
+    val loadW2 = loadAvg()
     val (warm2Results, warm2Wall) = runBatch()
     val (results, wall) =
       if (warm1Wall <= warm2Wall) (warm1Results, warm1Wall) else (warm2Results, warm2Wall)
     pool.shutdown()
+    val passes = f""""passes":{"cold":$coldWall%.3f,"cold_batch":$coldBatchWall%.3f,"warm1":$warm1Wall%.3f,"warm2":$warm2Wall%.3f},"loadavg":{"cold":$loadCold%.2f,"warm1":$loadW1%.2f,"warm2":$loadW2%.2f}"""
 
     def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above carries two ~80-entry maps (~4 KB) and the
     // harness tail-captures a bounded window, which truncated the
