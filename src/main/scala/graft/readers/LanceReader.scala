@@ -25,15 +25,24 @@ import org.apache.spark.sql.types._
   * per-column protobuf metadata, a column-metadata offset table, a
   * global-buffer offset table, and a fixed 40-byte footer ending in
   * "LANC". Supported decode profile (stated, like the HDF5/NetCDF3
-  * writers' profiles): non-dictionary scalar columns — fixed-width
-  * primitives (int32/int64/float/double, bool bitmaps) as flat value
-  * buffers with an optional leading validity bitmap, and
-  * string/large_string/binary as offsets+bytes buffer pairs (u32 or u64
-  * offsets, with or without a leading 0 entry). Page encodings are
-  * derived from the manifest logical type and the page's buffer arity;
-  * a page whose buffer count doesn't match its type's profile fails
-  * with a clear error rather than misreading. Fragments with deletion
-  * files are refused (no silent resurrection of deleted rows).
+  * writers' profiles): scalar columns — fixed-width primitives
+  * (int32/int64/float/double, bool bitmaps) as flat value buffers with
+  * an optional leading validity bitmap; string/large_string/binary as
+  * offsets+bytes buffer pairs (u32 or u64 offsets, with or without a
+  * leading 0 entry); and dictionary-encoded variable-width pages as
+  * i32-index buffers plus a leading-0 offsets+bytes dictionary pair
+  * (index vs validity buffers disambiguated by byte shape: 4n vs
+  * ceil(n/8), never equal for n ≥ 1). Page encodings are derived from
+  * the manifest logical type and the page's buffer arity; a page whose
+  * buffer count doesn't match its type's profile fails with a clear
+  * error rather than misreading.
+  *
+  * Fragments with deletion files (`format.proto DeletionFile`) apply
+  * the deletion set as a local row filter on the executor: `.arrow`
+  * files (one int32 offsets column) through the in-repo Arrow IPC
+  * decoder, `.bin` Roaring bitmaps through the portable-format parser
+  * below. A missing/unreadable deletion file fails the fragment —
+  * deleted rows are never silently resurrected.
   *
   * Scale shape: the driver reads ONLY manifest bytes (KBs); fragments
   * parallelize across executors, and each task positioned-reads just
@@ -73,7 +82,12 @@ object LanceReader {
 
   case class Field(name: String, id: Int, parentId: Int, logicalType: String, nullable: Boolean)
   case class DataFile(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int])
-  case class Fragment(id: Long, files: Seq[DataFile], physicalRows: Long, hasDeletions: Boolean)
+  /** Fragment deletion-file pointer (lance `format.proto DeletionFile`):
+    * the file lives at `_deletions/{fragId}-{readVersion}-{id}.{arrow|bin}`
+    * and lists *local row offsets* to drop — `.arrow` as an Arrow file of
+    * one int32 column, `.bin` as a portable-format Roaring bitmap. */
+  case class DeletionInfo(readVersion: Long, id: Long, isBitmap: Boolean)
+  case class Fragment(id: Long, files: Seq[DataFile], physicalRows: Long, deletion: Option[DeletionInfo])
   case class Manifest(fields: Seq[Field], fragments: Seq[Fragment], version: Long)
 
   private def parseField(w: Wire): Field = {
@@ -102,16 +116,73 @@ object LanceReader {
     DataFile(path, fids.result(), cidx.result())
   }
 
+  private def parseDeletion(w: Wire): DeletionInfo = {
+    var rv = 0L; var id = 0L; var bitmap = false
+    while (w.hasNext) w.tag() match {
+      case (1, 0) => rv = w.varint()
+      case (2, 0) => id = w.varint()
+      case (3, 0) => bitmap = w.varint() == 1 // DeletionFileType: 0 ARROW_ARRAY, 1 BITMAP
+      case (_, wt) => w.skip(wt)
+    }
+    DeletionInfo(rv, id, bitmap)
+  }
+
   private def parseFragment(w: Wire): Fragment = {
-    var id = 0L; val files = Seq.newBuilder[DataFile]; var rows = 0L; var del = false
+    var id = 0L; val files = Seq.newBuilder[DataFile]; var rows = 0L
+    var del: Option[DeletionInfo] = None
     while (w.hasNext) w.tag() match {
       case (1, 0) => id = w.varint()
       case (2, 2) => files += parseDataFile(w.sub())
-      case (3, 2) => del = true; w.skip(2)
+      case (3, 2) => del = Some(parseDeletion(w.sub()))
       case (4, 0) => rows = w.varint()
       case (_, wt) => w.skip(wt)
     }
     Fragment(id, files.result(), rows, del)
+  }
+
+  /** Portable-format Roaring bitmap → ascending values (the
+    * RoaringFormatSpec layout `roaring::RoaringBitmap::serialize_into`
+    * emits: cookie, per-container u16 key + cardinality-1 header,
+    * optional offsets, then array / bitset / run container payloads). */
+  private[readers] def parseRoaring(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val cookie = bb.getInt()
+    val (nContainers, runFlags) =
+      if ((cookie & 0xffff) == 12347) { // SERIAL_COOKIE: run containers possible
+        val n = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((n + 7) / 8)
+        bb.get(flags)
+        (n, flags)
+      } else if (cookie == 12346) (bb.getInt(), null) // no-run cookie
+      else throw new IllegalArgumentException(s"roaring: unknown cookie $cookie")
+    def isRun(i: Int) = runFlags != null && (runFlags(i >> 3) & (1 << (i & 7))) != 0
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    for (i <- 0 until nContainers) {
+      keys(i) = bb.getShort() & 0xffff
+      cards(i) = (bb.getShort() & 0xffff) + 1
+    }
+    if (runFlags == null || nContainers >= 4) bb.position(bb.position() + 4 * nContainers) // offsets, unused: containers follow in order
+    val out = Array.newBuilder[Int]
+    for (i <- 0 until nContainers) {
+      val base = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = bb.getShort() & 0xffff
+        for (_ <- 0 until nRuns) {
+          val start = bb.getShort() & 0xffff
+          val len = bb.getShort() & 0xffff // stored as length-1
+          for (v <- start to start + len) out += (base | v)
+        }
+      } else if (cards(i) <= 4096) {
+        for (_ <- 0 until cards(i)) out += (base | (bb.getShort() & 0xffff))
+      } else { // 8 KiB bitset container
+        val words = new Array[Long](1024)
+        for (w <- 0 until 1024) words(w) = bb.getLong()
+        for (w <- 0 until 1024; b <- 0 until 64 if (words(w) & (1L << b)) != 0)
+          out += (base | (w * 64 + b))
+      }
+    }
+    out.result()
   }
 
   /** Parse manifest bytes: trailer magic → u32-length-prefixed proto. */
@@ -255,40 +326,77 @@ object LanceReader {
             })
             i += 1
           }
-        case None => // variable width: [validity?] offsets + bytes
-          val (validity, offsetsB, dataB) = p.bufferOffsets.length match {
-            case 2 => (None, buf(0), buf(1))
-            case 3 => (Some(buf(0)), buf(1), buf(2))
+        case None => // variable width: [validity?] [dict indices?] offsets + bytes
+          // Dictionary pages carry i32 indices (4n bytes — never a valid
+          // validity bitmap size for n ≥ 1) plus the dictionary's
+          // offsets+bytes pair; plain pages carry per-row offsets+bytes.
+          val (validity, offsetsB, dataB, indicesB) = p.bufferOffsets.length match {
+            case 2 => (None, buf(0), buf(1), None)
+            case 3 =>
+              val b0 = buf(0)
+              if (n > 0 && b0.length == 4 * n) (None, buf(1), buf(2), Some(b0))
+              else (Some(b0), buf(1), buf(2), None)
+            case 4 => (Some(buf(0)), buf(2), buf(3), Some(buf(1)))
             case k => throw new UnsupportedOperationException(
               s"lance page with $k buffers for variable-width '$lt' — outside the supported profile")
           }
           def isNull(i: Int) = validity.exists(v => (v(i >> 3) & (1 << (i & 7))) == 0)
-          // offsets: u32 or u64, with or without the leading 0 entry
-          val ob = ByteBuffer.wrap(offsetsB).order(ByteOrder.LITTLE_ENDIAN)
-          val (w, leading) = offsetsB.length match {
-            case l if l == (n + 1) * 8 => (8, true)
-            case l if l == (n + 1) * 4 => (4, true)
-            case l if l == n * 8       => (8, false)
-            case l if l == n * 4       => (4, false)
-            case l => throw new UnsupportedOperationException(
-              s"lance offsets buffer of $l bytes for $n rows — outside the supported profile")
-          }
-          def off(i: Int): Long =
-            if (i == 0 && !leading) 0L
-            else {
-              val idx = if (leading) i else i - 1
-              if (w == 8) ob.getLong(idx * 8) else ob.getInt(idx * 4).toLong & 0xffffffffL
+          def cell(b: Array[Byte]): Any =
+            if (lt == "binary" || lt == "large_binary") b else new String(b, StandardCharsets.UTF_8)
+          def decodePlain(): Unit = {
+            // offsets: u32 or u64, with or without the leading 0 entry
+            val ob = ByteBuffer.wrap(offsetsB).order(ByteOrder.LITTLE_ENDIAN)
+            val (w, leading) = offsetsB.length match {
+              case l if l == (n + 1) * 8 => (8, true)
+              case l if l == (n + 1) * 4 => (4, true)
+              case l if l == n * 8       => (8, false)
+              case l if l == n * 4       => (4, false)
+              case l => throw new UnsupportedOperationException(
+                s"lance offsets buffer of $l bytes for $n rows — outside the supported profile")
             }
-          var i = 0
-          while (i < n) {
-            val (s, e) = (off(i), off(i + 1))
-            out += (if (isNull(i)) null
-                    else {
-                      val b = java.util.Arrays.copyOfRange(dataB, s.toInt, e.toInt)
-                      if (lt == "binary" || lt == "large_binary") b
-                      else new String(b, StandardCharsets.UTF_8)
-                    })
-            i += 1
+            def off(i: Int): Long =
+              if (i == 0 && !leading) 0L
+              else {
+                val idx = if (leading) i else i - 1
+                if (w == 8) ob.getLong(idx * 8) else ob.getInt(idx * 4).toLong & 0xffffffffL
+              }
+            var i = 0
+            while (i < n) {
+              val (s, e) = (off(i), off(i + 1))
+              out += (if (isNull(i)) null
+                      else cell(java.util.Arrays.copyOfRange(dataB, s.toInt, e.toInt)))
+              i += 1
+            }
+          }
+          def decodeDict(idx: Array[Byte]): Unit = {
+            // dictionary offsets: leading-0 form, u32 preferred over
+            // u64, width resolved by final-offset == dictionary bytes
+            val ob = ByteBuffer.wrap(offsetsB).order(ByteOrder.LITTLE_ENDIAN)
+            val m =
+              if (offsetsB.length % 4 == 0 && offsetsB.length >= 4 &&
+                  ob.getInt(offsetsB.length - 4).toLong == dataB.length) offsetsB.length / 4 - 1
+              else if (offsetsB.length % 8 == 0 && offsetsB.length >= 8 &&
+                  ob.getLong(offsetsB.length - 8) == dataB.length) offsetsB.length / 8 - 1
+              else throw new UnsupportedOperationException(
+                s"lance dictionary offsets buffer of ${offsetsB.length} bytes doesn't close over ${dataB.length} dictionary bytes — outside the supported profile")
+            val w = if (offsetsB.length == (m + 1) * 4) 4 else 8
+            def dOff(i: Int): Long = if (w == 4) ob.getInt(i * 4).toLong & 0xffffffffL else ob.getLong(i * 8)
+            val dict = IndexedSeq.tabulate(m)(i =>
+              cell(java.util.Arrays.copyOfRange(dataB, dOff(i).toInt, dOff(i + 1).toInt)))
+            val ib = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < n) {
+              out += (if (isNull(i)) null else {
+                val k = ib.getInt(i * 4)
+                require(k >= 0 && k < m, s"lance dictionary index $k out of range (dict size $m)")
+                dict(k)
+              })
+              i += 1
+            }
+          }
+          indicesB match {
+            case Some(idx) => decodeDict(idx)
+            case None      => decodePlain()
           }
       }
     }
@@ -296,13 +404,33 @@ object LanceReader {
   }
 
   /** Read one fragment's rows for `fields` (executor-side). */
+  /** Load a fragment's deleted local row offsets (executor-side, small:
+    * one deletion file per fragment). Missing or unreadable files fail
+    * loudly — silently resurrecting deleted rows would be wrong. */
+  private def deletedOffsets(dir: String, frag: Fragment, conf: Configuration): java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    frag.deletion.foreach { d =>
+      val suffix = if (d.isBitmap) "bin" else "arrow"
+      val p = new Path(new Path(dir, "_deletions"), s"${frag.id}-${d.readVersion}-${d.id}.$suffix")
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p), s"lance fragment ${frag.id}: deletion file $p missing")
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      if (d.isBitmap) parseRoaring(bytes).foreach(bits.set)
+      else {
+        val (_, rows) = ArrowIPC.decode(bytes) // one int32 column of local offsets
+        rows.foreach(r => bits.set(r.head.asInstanceOf[Number].intValue()))
+      }
+    }
+    bits
+  }
+
   private def fragmentRows(
       dir: String,
       frag: Fragment,
       fields: Seq[Field],
       conf: Configuration): Iterator[Row] = {
-    require(!frag.hasDeletions,
-      s"lance fragment ${frag.id} has a deletion file — outside the supported profile (compact the dataset first)")
+    val deleted = deletedOffsets(dir, frag, conf)
     // field id → (data file, column index inside that file)
     val slot: Map[Int, (DataFile, Int)] = frag.files.flatMap { f =>
       f.fieldIds.zipWithIndex.map { case (fid, i) =>
@@ -334,7 +462,7 @@ object LanceReader {
     val nRows = columns.headOption.map(_.size).getOrElse(0)
     columns.foreach(c => require(c.size == nRows,
       s"ragged fragment ${frag.id}: column lengths ${columns.map(_.size).mkString(",")}"))
-    (0 until nRows).iterator.map(i => Row.fromSeq(columns.map(_(i))))
+    (0 until nRows).iterator.filterNot(deleted.get).map(i => Row.fromSeq(columns.map(_(i))))
   }
 
   /** Read a Lance dataset directory into a DataFrame. `columns` prunes

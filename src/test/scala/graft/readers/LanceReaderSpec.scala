@@ -103,7 +103,9 @@ object LanceFixture {
   }
 
   case class FieldSpec(name: String, id: Int, logicalType: String, nullable: Boolean)
-  case class FragSpec(id: Long, file: String, fieldIds: Seq[Int], rows: Long, withDeletion: Boolean = false)
+  /** deletion = (readVersion, id, isBitmap) → `_deletions/{frag}-{rv}-{id}.{arrow|bin}` */
+  case class FragSpec(id: Long, file: String, fieldIds: Seq[Int], rows: Long,
+      deletion: Option[(Long, Long, Boolean)] = None)
 
   def writeManifest(dir: File, version: Long, fields: Seq[FieldSpec], frags: Seq[FragSpec]): Unit = {
     val m = new Pb
@@ -116,7 +118,9 @@ object LanceFixture {
       val df = new Pb().str(1, fr.file)
       fr.fieldIds.foreach(id => df.int(2, id))
       val frag = new Pb().int(1, fr.id).msg(2, df).int(4, fr.rows)
-      if (fr.withDeletion) frag.msg(3, new Pb().int(1, 7))
+      fr.deletion.foreach { case (rv, did, bitmap) =>
+        frag.msg(3, new Pb().int(1, rv).int(2, did).int(3, if (bitmap) 1 else 0))
+      }
       m.msg(2, frag)
     }
     m.int(3, version)
@@ -197,15 +201,119 @@ class LanceReaderSpec extends SparkSpec {
     assert(LanceReader.read(spark, dir.getAbsolutePath).count() == 3)
   }
 
-  test("fragments with deletion files are refused, not silently resurrected") {
+  /** Real Arrow IPC file with one int32 column of local row offsets —
+    * the ARROW_ARRAY deletion-file shape. */
+  private def writeArrowDeletion(dir: File, name: String, offsets: Seq[Int]): Unit = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{IntVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val alloc = new RootAllocator()
+    val vec = new IntVector("row_offset", alloc)
+    vec.allocateNew(offsets.size)
+    offsets.zipWithIndex.foreach { case (v, i) => vec.setSafe(i, v) }
+    vec.setValueCount(offsets.size)
+    val root = new VectorSchemaRoot(java.util.List.of(vec.getField), java.util.List.of[org.apache.arrow.vector.FieldVector](vec), offsets.size)
+    val delDir = new File(dir, "_deletions"); delDir.mkdirs()
+    val ch = new FileOutputStream(new File(delDir, name)).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    try { w.start(); w.writeBatch(); w.end() } finally { w.close(); ch.close(); root.close(); alloc.close() }
+  }
+
+  /** Portable-format Roaring bitmap with one array container (key 0). */
+  private def writeRoaringDeletion(dir: File, name: String, offsets: Seq[Int]): Unit = {
+    val bb = ByteBuffer.allocate(8 + 4 + 4 + 2 * offsets.size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+    bb.putInt(1)     // one container
+    bb.putShort(0)   // key
+    bb.putShort((offsets.size - 1).toShort) // cardinality - 1
+    bb.putInt(bb.position() + 4) // offsets table (single entry)
+    offsets.sorted.foreach(v => bb.putShort(v.toShort))
+    val delDir = new File(dir, "_deletions"); delDir.mkdirs()
+    val f = new FileOutputStream(new File(delDir, name))
+    try f.write(bb.array()) finally f.close()
+  }
+
+  test("arrow deletion files filter the fragment's deleted rows") {
+    import spark.implicits._
     val dir = fixture()
+    writeArrowDeletion(dir, "0-7-3.arrow", Seq(1)) // drop "beta" from fragment 0
     writeManifest(dir, 3,
+      Seq(FieldSpec("id", 0, "int64", nullable = false),
+        FieldSpec("score", 1, "double", nullable = false),
+        FieldSpec("name", 2, "string", nullable = false),
+        FieldSpec("val", 3, "int32", nullable = true)),
+      Seq(FragSpec(0, "frag0.lance", Seq(0, 1, 2, 3), 3, deletion = Some((7L, 3L, false))),
+        FragSpec(1, "frag1.lance", Seq(0, 1, 2, 3), 2)))
+    val df = LanceReader.read(spark, dir.getAbsolutePath)
+    assert(df.count() == 4)
+    assert(df.select("name").as[String].collect().sorted.toSeq ==
+      Seq("alpha", "delta", "eps", "gamma"))
+  }
+
+  test("roaring bitmap deletion files filter rows; missing deletion file fails loudly") {
+    import spark.implicits._
+    val dir = fixture()
+    writeRoaringDeletion(dir, "1-2-9.bin", Seq(0)) // drop "delta" from fragment 1
+    writeManifest(dir, 3,
+      Seq(FieldSpec("id", 0, "int64", nullable = false),
+        FieldSpec("name", 2, "string", nullable = false)),
+      Seq(FragSpec(0, "frag0.lance", Seq(0, 1, 2, 3), 3),
+        FragSpec(1, "frag1.lance", Seq(0, 1, 2, 3), 2, deletion = Some((2L, 9L, true)))))
+    val df = LanceReader.read(spark, dir.getAbsolutePath)
+    assert(df.select("name").as[String].collect().sorted.toSeq ==
+      Seq("alpha", "beta", "eps", "gamma"))
+    // a manifest pointing at a deletion file that isn't there refuses
+    writeManifest(dir, 4,
       Seq(FieldSpec("id", 0, "int64", nullable = false)),
-      Seq(FragSpec(0, "frag0.lance", Seq(0), 3, withDeletion = true)))
+      Seq(FragSpec(0, "frag0.lance", Seq(0), 3, deletion = Some((9L, 9L, true)))))
     val e = intercept[org.apache.spark.SparkException] {
       LanceReader.read(spark, dir.getAbsolutePath).count()
     }
     assert(e.getMessage.contains("deletion") || e.getCause.getMessage.contains("deletion"))
+  }
+
+  test("roaring parser: run containers, bitset containers, multi-key values") {
+    // SERIAL_COOKIE (12347) with 2 containers: run container (key 0),
+    // array container (key 1); run flags bitset marks container 0
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12347 | ((2 - 1) << 16))
+    bb.put(0x01.toByte) // run flag for container 0
+    bb.putShort(0); bb.putShort((5 - 1).toShort)  // key 0, cardinality 5
+    bb.putShort(1); bb.putShort((2 - 1).toShort)  // key 1, cardinality 2
+    bb.putShort(2)  // container 0: 2 runs
+    bb.putShort(3); bb.putShort(1)   // run [3,4]
+    bb.putShort(10); bb.putShort(2)  // run [10,12]
+    bb.putShort(7); bb.putShort(9)   // container 1: values 7, 9
+    val got = LanceReader.parseRoaring(java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(got.toSeq == Seq(3, 4, 10, 11, 12, 65536 + 7, 65536 + 9))
+  }
+
+  test("dictionary-encoded string pages decode (bare and with validity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lancedict").toFile
+    val dictWords = Seq("red", "green", "blue")
+    val (dictOff, dictBytes) = {
+      val enc = dictWords.map(_.getBytes(StandardCharsets.UTF_8))
+      val offs = enc.scanLeft(0L)(_ + _.length)
+      val b = ByteBuffer.allocate(offs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      offs.foreach(o => b.putInt(o.toInt))
+      (b.array(), enc.flatten.toArray)
+    }
+    // col0: bare dict page (indices + dict offsets + dict bytes)
+    // col1: nullable dict page (validity + indices + dict offsets + dict bytes)
+    writeDataFile(dir, "frag0.lance", Seq(
+      (Seq(ints(Seq(2, 0, 1, 0, 2)), dictOff, dictBytes), 5),
+      (Seq(bitmap(Seq(true, true, false, true, true)), ints(Seq(0, 1, 0, 2, 1)), dictOff, dictBytes), 5)
+    ))
+    writeManifest(dir, 1,
+      Seq(FieldSpec("color", 0, "string", nullable = false),
+        FieldSpec("tint", 1, "string", nullable = true)),
+      Seq(FragSpec(0, "frag0.lance", Seq(0, 1), 5)))
+    val rows = LanceReader.read(spark, dir.getAbsolutePath)
+      .as[(String, Option[String])].collect().toSeq
+    assert(rows == Seq(
+      ("blue", Some("red")), ("red", Some("green")), ("green", None),
+      ("red", Some("blue")), ("blue", Some("green"))))
   }
 
   test("registered reader routes the lance kind") {
