@@ -7,13 +7,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 
-/** Minimal native XLSX reader: an .xlsx file is a zip holding sheet XML
+/** Minimal native Excel reader: an .xlsx file is a zip holding sheet XML
   * plus a shared-string table (ECMA-376 / OOXML spec). This parses the
   * first worksheet with the JVM's zip support and scala-xml — no POI —
   * covering the tabular core (shared/inline strings, numbers, booleans,
-  * header row, sparse cells). Files are distributed as binary blobs and
-  * parsed on the executors (reference delegates to pandas/openpyxl,
-  * reference intake/readers/readers.py:319 PandasExcel).
+  * header row, sparse cells). Legacy `.xls` (BIFF8) payloads are
+  * detected by their CFB magic and routed to [[BiffReader]]. Files are
+  * distributed as binary blobs and parsed on the executors (reference
+  * delegates to pandas/openpyxl and xlrd, reference
+  * intake/readers/readers.py:319 PandasExcel).
   */
 object ExcelReader {
 
@@ -33,8 +35,11 @@ object ExcelReader {
   private[readers] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
-  /** Parse one xlsx payload to (rows of cells by position). */
+  /** Parse one Excel payload to (rows of cells by position) — OOXML
+    * zips here, legacy CFB (.xls BIFF8) through [[BiffReader]]. */
   private[readers] def parse(bytes: Array[Byte]): Seq[Seq[String]] = {
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf)
+      return BiffReader.parse(bytes)
     val entries = zipEntries(bytes)
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml") match {
       case Some(b) =>
@@ -71,11 +76,11 @@ object ExcelReader {
     */
   def read(spark: SparkSession, pathOrGlob: String, header: Boolean = true): DataFrame = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
+      .option("pathGlobFilter", "*.xls*")
       .load(pathOrGlob)
       .select("content")
     val first = files.limit(1).collect()
-    require(first.nonEmpty, s"no xlsx files at $pathOrGlob")
+    require(first.nonEmpty, s"no xlsx/xls files at $pathOrGlob")
     val sample = parse(first.head.getAs[Array[Byte]](0))
     require(sample.nonEmpty, "empty worksheet")
     val width = sample.map(_.length).max

@@ -57,4 +57,168 @@ class ExcelReaderSpec extends SparkSpec {
     assert(p.source.name == "excel_reader")
     assert(p.read(spark).count() == 2)
   }
+
+  // ---- legacy .xls (BIFF8 in a CFB container) -------------------------
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def rec(id: Int, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(id.toShort).putShort(data.length.toShort).put(data)
+    bb.array()
+  }
+  private def le(parts: (Int, Long)*): Array[Byte] = { // (byteWidth, value)*
+    val bb = ByteBuffer.allocate(parts.map(_._1).sum).order(ByteOrder.LITTLE_ENDIAN)
+    parts.foreach {
+      case (1, v) => bb.put(v.toByte)
+      case (2, v) => bb.putShort(v.toShort)
+      case (4, v) => bb.putInt(v.toInt)
+      case (8, v) => bb.putLong(v)
+      case (w, _) => fail(s"width $w")
+    }
+    bb.array()
+  }
+  private def f64(prefix: Array[Byte], v: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(prefix.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(prefix).putDouble(v)
+    bb.array()
+  }
+  private def sstStr(s: String, wide: Boolean = false): Array[Byte] = {
+    val chars = if (wide) s.getBytes("UTF-16LE") else s.getBytes("ISO-8859-1")
+    le((2, s.length.toLong), (1, if (wide) 1L else 0L)) ++ chars
+  }
+
+  /** Workbook stream: globals (SST split across a Continue, BOUNDSHEET)
+    * + one worksheet (LABELSST/NUMBER/RK/MULRK/BOOLERR cells). */
+  private def biffWorkbookStream(pad: Int = 0): Array[Byte] = {
+    val bofGlobals = rec(0x0809, le((2, 0x0600L), (2, 0x0005L), (4, 0L)))
+    val bofSheet = rec(0x0809, le((2, 0x0600L), (2, 0x0010L), (4, 0L)))
+    // SST: 4 strings; "score" split mid-chars into a Continue record,
+    // "naïve" wide (UTF-16LE) to pin both encodings
+    val s0 = sstStr("name"); val s2 = sstStr("ada"); val s3 = sstStr("naïve", wide = true)
+    val scoreHead = le((2, 5L), (1, 0L)) ++ "sco".getBytes("ISO-8859-1")
+    val sstRec = rec(0x00fc, le((4, 4L), (4, 4L)) ++ s0 ++ scoreHead)
+    val contRec = rec(0x003c, le((1, 0L)) ++ "re".getBytes("ISO-8859-1") ++ s2 ++ s3)
+    val padRec = if (pad > 0) rec(0x00eb, new Array[Byte](pad)) else Array.emptyByteArray
+    // worksheet cells:
+    //   row0: headers (LABELSST 0, 1) ; row1: "ada", 9.5 (NUMBER)
+    //   row2: "naïve", 12 (RK int) ; row3: MULRK 2.5/7 ; BOOLERR true
+    val cells =
+      rec(0x00fd, le((2, 0L), (2, 0L), (2, 0L), (4, 0L))) ++
+      rec(0x00fd, le((2, 0L), (2, 1L), (2, 0L), (4, 1L))) ++
+      rec(0x00fd, le((2, 1L), (2, 0L), (2, 0L), (4, 2L))) ++
+      rec(0x0203, f64(le((2, 1L), (2, 1L), (2, 0L)), 9.5)) ++
+      rec(0x00fd, le((2, 2L), (2, 0L), (2, 0L), (4, 3L))) ++
+      rec(0x027e, le((2, 2L), (2, 1L), (2, 0L), (4, (12L << 2) | 2L))) ++
+      rec(0x00bd, le((2, 3L), (2, 0L), (2, 0L), (4, (250L << 2) | 3L), (2, 0L), (4, (7L << 2) | 2L), (2, 1L))) ++
+      rec(0x0205, le((2, 4L), (2, 0L), (2, 0L), (1, 1L), (1, 0L)))
+    val sheet = bofSheet ++ cells ++ rec(0x000a, Array.emptyByteArray)
+    // BOUNDSHEET needs the sheet substream offset — assemble in order
+    val name = "Sheet1"
+    val bsData = le((4, 0L), (1, 0L), (1, 0L), (1, name.length.toLong), (1, 0L)) ++ name.getBytes("ISO-8859-1")
+    val bs = rec(0x0085, bsData)
+    val globals = bofGlobals ++ padRec ++ sstRec ++ contRec ++ bs ++ rec(0x000a, Array.emptyByteArray)
+    val sheetOff = globals.length
+    val full = globals ++ sheet
+    // patch the BOUNDSHEET lbPlyPos (first 4 bytes of its data)
+    val bsPos = bofGlobals.length + padRec.length + sstRec.length + contRec.length + 4
+    ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN).putInt(bsPos, sheetOff)
+    full
+  }
+
+  /** Minimal CFB container: FAT sector 0, directory sector 1, then the
+    * stream — through the mini stream (64-byte sectors) when the
+    * workbook is under the 4096-byte cutoff, regular sectors otherwise. */
+  private def cfb(stream: Array[Byte]): Array[Byte] = {
+    val Free = 0xffffffff; val End = 0xfffffffe; val FatSect = 0xfffffffd
+    def dirEntry(name: String, typ: Int, start: Int, size: Int): Array[Byte] = {
+      val e = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+      val n = name.getBytes("UTF-16LE")
+      e.put(n).position(64)
+      e.putShort((n.length + 2).toShort)
+      e.put(typ.toByte).put(1.toByte)
+      e.position(116)
+      e.putInt(start).putInt(size)
+      e.array()
+    }
+    val mini = stream.length < 4096
+    val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    header.putLong(0xe11ab1a1e011cfd0L)
+    header.position(24)
+    header.putShort(0x3e).putShort(3).putShort(0xfffe.toShort).putShort(9).putShort(6)
+    header.position(44)
+    if (mini) {
+      val nMiniSec = (stream.length + 63) / 64
+      val containerBytes = nMiniSec * 64
+      val nContainerSec = (containerBytes + 511) / 512
+      // sectors: 0 FAT, 1 dir, 2 miniFAT, 3.. mini-stream container
+      header.putInt(1).putInt(1).putInt(0) // nFat, firstDir, transaction
+      header.putInt(4096).putInt(2).putInt(1) // cutoff, firstMiniFat, nMiniFat
+      header.putInt(End).putInt(0) // firstDifat, nDifat
+      header.putInt(0) // DIFAT[0] = FAT at sector 0
+      for (_ <- 1 until 109) header.putInt(Free)
+      val fat = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      fat.putInt(FatSect).putInt(End).putInt(End) // 0 FAT, 1 dir, 2 miniFAT
+      for (i <- 0 until nContainerSec) fat.putInt(if (i == nContainerSec - 1) End else 4 + i)
+      while (fat.position() < 512) fat.putInt(Free)
+      val dir = dirEntry("Root Entry", 5, 3, containerBytes) ++
+        dirEntry("Workbook", 2, 0, stream.length) ++ new Array[Byte](256)
+      val miniFat = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until nMiniSec) miniFat.putInt(if (i == nMiniSec - 1) End else i + 1)
+      while (miniFat.position() < 512) miniFat.putInt(Free)
+      val container = java.util.Arrays.copyOf(stream, nContainerSec * 512)
+      header.array() ++ fat.array() ++ dir ++ miniFat.array() ++ container
+    } else {
+      val nStreamSec = (stream.length + 511) / 512
+      // sectors: 0 FAT(s), 1 dir, 2.. stream  (assume stream fits one FAT sector's entries)
+      require(nStreamSec + 2 <= 128, "fixture stream too large for one FAT sector")
+      header.putInt(1).putInt(1).putInt(0)
+      header.putInt(4096).putInt(End).putInt(0) // cutoff, no miniFAT
+      header.putInt(End).putInt(0)
+      header.putInt(0)
+      for (_ <- 1 until 109) header.putInt(Free)
+      val fat = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      fat.putInt(FatSect).putInt(End)
+      for (i <- 0 until nStreamSec) fat.putInt(if (i == nStreamSec - 1) End else 3 + i)
+      while (fat.position() < 512) fat.putInt(Free)
+      val dir = dirEntry("Root Entry", 5, End, 0) ++
+        dirEntry("Workbook", 2, 2, stream.length) ++ new Array[Byte](256)
+      header.array() ++ fat.array() ++ dir ++ java.util.Arrays.copyOf(stream, nStreamSec * 512)
+    }
+  }
+
+  private def checkXls(df: org.apache.spark.sql.DataFrame): Unit = {
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(("name", "string"), ("score", "double")))
+    val rows = df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(rows.toSet == Set(("ada", 9.5), ("naïve", 12.0), ("2.5", 7.0), ("true", null)))
+  }
+
+  test(".xls BIFF8 via the mini stream: SST continue split, RK/MULRK/BOOLERR") {
+    val dir = Files.createTempDirectory("xls").toString
+    val bytes = cfb(biffWorkbookStream())
+    Files.write(java.nio.file.Paths.get(s"$dir/t.xls"), bytes)
+    checkXls(ExcelReader.read(spark, s"file://$dir/t.xls"))
+  }
+
+  test(".xls BIFF8 via regular sectors (stream past the mini cutoff)") {
+    val dir = Files.createTempDirectory("xlsbig").toString
+    val bytes = cfb(biffWorkbookStream(pad = 5000))
+    Files.write(java.nio.file.Paths.get(s"$dir/big.xls"), bytes)
+    checkXls(ExcelReader.read(spark, s"file://$dir/big.xls"))
+  }
+
+  test(".xls BIFF5 refuses with a clear version error") {
+    val bof5 = rec(0x0809, le((2, 0x0500L), (2, 0x0005L), (4, 0L)))
+    val stream = bof5 ++ rec(0x000a, Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](BiffReader.parse(cfb(stream)))
+    assert(e.getMessage.contains("BIFF8 only"))
+  }
+
+  test("detection routes .xls to the excel reader (CFB magic)") {
+    val dir = Files.createTempDirectory("xlsroute").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/r.xls"), cfb(biffWorkbookStream()))
+    val p = Pipeline.auto(s"file://$dir/r.xls")
+    assert(p.source.name == "excel_reader")
+    assert(p.read(spark).count() == 4)
+  }
 }
