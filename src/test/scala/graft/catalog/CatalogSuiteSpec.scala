@@ -99,10 +99,12 @@ class CatalogSuiteSpec extends SparkSpec {
   test("reader recommend splits importable from declared-only") {
     val (impD, notImpD) = SparkReaders.recommend(DataRef("delta", "/tbl"))
     assert(impD.isEmpty && notImpD.nonEmpty) // no delta connector jar here
-    // iceberg gets the same connector gate: recommended but not
-    // importable without the iceberg-spark runtime jar
+    // iceberg: the connector-gated reader is declared-only without the
+    // iceberg-spark runtime jar; the native metadata walk is always
+    // importable and is the recommended fallback
     val (impI, notImpI) = SparkReaders.recommend(DataRef("iceberg", "/warehouse/tbl"))
-    assert(impI.isEmpty && notImpI.exists(_.name == "spark_iceberg"))
+    assert(notImpI.exists(_.name == "spark_iceberg"))
+    assert(impI.map(_.name) == Seq("iceberg_native"))
     val (imp2, _) = SparkReaders.recommend(DataRef("parquet", "/x.parquet"))
     assert(imp2.exists(_.name == "spark_parquet"))
     // avro + xml are bundled into spark-sql in Spark 4 → importable

@@ -1,0 +1,109 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path => JPath, Paths}
+
+/** Spec for the native Iceberg metadata walk over a fixture table laid
+  * out per the Iceberg table spec: versioned metadata JSON, an Avro
+  * manifest list, Avro manifests with `data_file` structs, and parquet
+  * data files — all written with Spark's own avro/parquet sources so
+  * the bytes are independent of the reader under test.
+  */
+class IcebergReaderSpec extends SparkSpec {
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Write a single-file avro dataset and return the part file's path. */
+  private def writeAvro(df: org.apache.spark.sql.DataFrame, dir: String): String = {
+    df.coalesce(1).write.format(avroFmt).save(dir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .find(p => p.endsWith(".avro")).get
+  }
+
+  /** Build a table: two parquet data files (one later marked deleted),
+    * v2 metadata with two snapshots (current = latest). */
+  private def fixture(withDeleteManifest: Boolean = false,
+      deleteDataFile: Boolean = false): JPath = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$table/data/f1")
+    Seq((3L, "gamma")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$table/data/f2")
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val (p1, p2) = (partFile(s"$table/data/f1"), partFile(s"$table/data/f2"))
+
+    // manifest: entries for both files; optionally mark f2 as a
+    // DELETED entry (status 2) or as a delete file (content 1)
+    val entries = Seq(
+      (1, p1, "PARQUET", 0),
+      (if (deleteDataFile) 2 else 1, p2, "PARQUET", if (withDeleteManifest) 1 else 0))
+    val manifestDf = entries.toDF("status", "file_path", "file_format", "content")
+      .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format, 'content', content) as data_file")
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+
+    val listDf = Seq((manifestPath, 0)).toDF("manifest_path", "content")
+    val listPath = writeAvro(listDf, s"$table/metadata/snap1")
+
+    val metadata =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$table",
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [
+         |    {"snapshot-id": 11, "manifest-list": "$listPath"},
+         |    {"snapshot-id": 77, "manifest-list": "$listPath"}
+         |  ]
+         |}""".stripMargin
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"), """{"format-version":2,"current-snapshot-id":-1,"snapshots":[]}""")
+    Files.writeString(Paths.get(s"$table/metadata/v2.metadata.json"), metadata)
+    root
+  }
+
+  test("reads the current snapshot's live parquet files via the metadata walk") {
+    import spark.implicits._
+    val table = fixture()
+    val df = IcebergReader.read(spark, table.toString)
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("DELETED manifest entries (status 2) drop their data files") {
+    import spark.implicits._
+    val table = fixture(deleteDataFile = true)
+    val df = IcebergReader.read(spark, table.toString)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("row-level delete files refuse loudly") {
+    val table = fixture(withDeleteManifest = true)
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
+    assert(e.getMessage.contains("delete"))
+  }
+
+  test("version-hint.text pins the metadata version") {
+    val table = fixture()
+    // hint at v1 (the empty table) → no current snapshot
+    Files.writeString(Paths.get(s"$table/metadata/version-hint.text"), "1")
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
+    assert(e.getMessage.contains("no current snapshot"))
+    Files.writeString(Paths.get(s"$table/metadata/version-hint.text"), "2")
+    assert(IcebergReader.read(spark, table.toString).count() == 3)
+  }
+
+  test("registered reader routes the iceberg kind and detection classifies it") {
+    val table = fixture()
+    val ref = graft.datatypes.DataRef("iceberg", table.toString)
+    val reader = SparkReaders.recommend(ref)._1.headOption
+    assert(reader.exists(_.name == "iceberg_native"))
+    assert(reader.get.read(spark, ref).count() == 3)
+  }
+}
