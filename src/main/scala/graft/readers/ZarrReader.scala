@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * v2: `.zarray` metadata (shape, chunks, dtype, compressor, order)
   * parsed on the driver; chunk objects decoded on the executors into
   * the long-form layout SURVEY §1.2 assigns to chunked arrays: one row
-  * per element, `(dim0, dim1, ..., value)`. Little-endian f8/f4/i8/i4
-  * C-order chunks, raw, zlib, or blosc-compressed — blosc-lz4 with
+  * per element, `(dim0, dim1, ..., value)`. Scalar numpy dtypes
+  * (f8/f4, i1-i8, u1-u8, bool, either endianness) in C-order chunks,
+  * raw, zlib, or blosc-compressed — blosc-lz4 with
   * byte-shuffle is zarr-python's *default* v2 compressor and decodes
   * through the pure-JVM [[Blosc]] container walk (zstd-blosc still
   * refuses at metadata time).
@@ -35,7 +36,7 @@ import org.apache.spark.sql.types._
   */
 object ZarrReader {
 
-  private case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, comp: String)
+  private case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String, comp: String, fortran: Boolean)
 
   private case class MetaV3(
       shape: Seq[Int],
@@ -63,7 +64,14 @@ object ZarrReader {
           s"unsupported zarr blosc cname: $cname (lz4/lz4hc/zlib only; zstd-blosc out of scope)")
       case other => throw new IllegalArgumentException(s"unsupported zarr compressor: $other")
     }
-    Meta(shape, chunks, node.get("dtype").asText(), id)
+    // numcodecs filter chains (Delta, FixedScaleOffset, …) transform the
+    // bytes before compression — ignoring one would decode garbage
+    val filters = Option(node.get("filters")).filterNot(_.isNull)
+    require(filters.forall(f => f.isArray && f.size() == 0),
+      s"zarr v2 filters unsupported: ${filters.map(_.toString).getOrElse("")}")
+    val order = Option(node.get("order")).map(_.asText()).getOrElse("C")
+    require(order == "C" || order == "F", s"zarr v2 order '$order' unsupported")
+    Meta(shape, chunks, node.get("dtype").asText(), id, order == "F")
   }
 
   private def decodeChunk(bytes: Array[Byte], dtype: String, comp: String): Array[Double] = {
@@ -84,13 +92,37 @@ object ZarrReader {
         out.toByteArray
       case other => throw new IllegalArgumentException(s"unsupported zarr compressor: $other")
     }
-    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    dtype match {
-      case "<f8" => Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8))
-      case "<f4" => Array.tabulate(raw.length / 4)(i => bb.getFloat(i * 4).toDouble)
-      case "<i8" => Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8).toDouble)
-      case "<i4" => Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toDouble)
-      case other => throw new UnsupportedOperationException(s"zarr dtype $other")
+    decodeNumeric(raw, dtype)
+  }
+
+  /** Numpy-style dtype string → doubles: `(<|>|\|)(f|i|u|b)(1|2|4|8)`,
+    * covering the scalar dtypes zarr-python emits (u8 saturates at
+    * 2^63-1 — the lossless long range — rather than misreading sign). */
+  private[readers] def decodeNumeric(raw: Array[Byte], dtype: String): Array[Double] = {
+    require(dtype.length >= 2, s"zarr dtype $dtype")
+    val (endianChar, rest) =
+      if ("<>|".contains(dtype.head)) (dtype.head, dtype.tail) else ('<', dtype)
+    val kind = rest.head
+    val size = rest.tail.toIntOption.getOrElse(
+      throw new UnsupportedOperationException(s"zarr dtype $dtype"))
+    val bb = ByteBuffer.wrap(raw).order(
+      if (endianChar == '>') ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / size
+    (kind, size) match {
+      case ('f', 8) => Array.tabulate(n)(i => bb.getDouble(i * 8))
+      case ('f', 4) => Array.tabulate(n)(i => bb.getFloat(i * 4).toDouble)
+      case ('i', 8) => Array.tabulate(n)(i => bb.getLong(i * 8).toDouble)
+      case ('i', 4) => Array.tabulate(n)(i => bb.getInt(i * 4).toDouble)
+      case ('i', 2) => Array.tabulate(n)(i => bb.getShort(i * 2).toDouble)
+      case ('i', 1) => Array.tabulate(n)(i => raw(i).toDouble)
+      case ('u', 8) => Array.tabulate(n) { i =>
+        val v = bb.getLong(i * 8); (if (v < 0) Long.MaxValue else v).toDouble
+      }
+      case ('u', 4) => Array.tabulate(n)(i => (bb.getInt(i * 4).toLong & 0xffffffffL).toDouble)
+      case ('u', 2) => Array.tabulate(n)(i => (bb.getShort(i * 2) & 0xffff).toDouble)
+      case ('u', 1) => Array.tabulate(n)(i => (raw(i) & 0xff).toDouble)
+      case ('b', 1) => Array.tabulate(n)(i => if (raw(i) != 0) 1.0 else 0.0)
+      case _ => throw new UnsupportedOperationException(s"zarr dtype $dtype")
     }
   }
 
@@ -144,16 +176,19 @@ object ZarrReader {
     try in.readAllBytes() finally in.close()
   }
 
+  /** v3 data_type names → numpy-style codes (bytes codec is pinned
+    * little-endian in readMetaV3). */
+  private val v3Dtypes = Map(
+    "float64" -> "<f8", "float32" -> "<f4",
+    "int64" -> "<i8", "int32" -> "<i4", "int16" -> "<i2", "int8" -> "<i1",
+    "uint64" -> "<u8", "uint32" -> "<u4", "uint16" -> "<u2", "uint8" -> "<u1",
+    "bool" -> "<b1")
+
   private def decodeV3(bytes: Array[Byte], dtype: String, gz: Boolean): Array[Double] = {
     val raw = if (gz) gunzip(bytes) else bytes
-    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    dtype match {
-      case "float64" => Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8))
-      case "float32" => Array.tabulate(raw.length / 4)(i => bb.getFloat(i * 4).toDouble)
-      case "int64"   => Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8).toDouble)
-      case "int32"   => Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toDouble)
-      case other     => throw new UnsupportedOperationException(s"zarr v3 data_type $other")
-    }
+    val code = v3Dtypes.getOrElse(dtype,
+      throw new UnsupportedOperationException(s"zarr v3 data_type $dtype"))
+    decodeNumeric(raw, code)
   }
 
   /** Emit (flatIdxWithinGrid → value) rows for one decoded chunk. */
@@ -267,7 +302,11 @@ object ZarrReader {
             val (offI, offJ) = (key(0) * m.chunks(0), key(1) * m.chunks(1))
             val (ch, cw) = (m.chunks(0), m.chunks(1))
             vals.iterator.zipWithIndex
-              .map { case (v, idx) => (offI + idx / cw, offJ + idx % cw, v) }
+              .map { case (v, idx) =>
+                // chunk-local layout: C-order rows-major, F-order column-major
+                if (m.fortran) (offI + idx % ch, offJ + idx / ch, v)
+                else (offI + idx / cw, offJ + idx % cw, v)
+              }
               .filter { case (i, j, _) => i < m.shape(0) && j < m.shape(1) }
               .map { case (i, j, v) => Row(i.toLong, j.toLong, v) }
           }

@@ -109,6 +109,64 @@ class ZarrReaderSpec extends SparkSpec {
     assert(m((1L, 3L)) == 13.0 && m((2L, 3L)) == 23.0)
   }
 
+  test("scalar dtype matrix decodes: widths, unsigned, bool, big-endian") {
+    import ZarrReader.decodeNumeric
+    def enc(width: Int, big: Boolean)(put: ByteBuffer => Unit): Array[Byte] = {
+      val bb = ByteBuffer.allocate(width).order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      put(bb); bb.array()
+    }
+    assert(decodeNumeric(enc(2, big = false)(_.putShort(-5)), "<i2").toSeq == Seq(-5.0))
+    assert(decodeNumeric(enc(2, big = true)(_.putShort(-5)), ">i2").toSeq == Seq(-5.0))
+    assert(decodeNumeric(enc(2, big = false)(_.putShort(0xfffe.toShort)), "<u2").toSeq == Seq(65534.0))
+    assert(decodeNumeric(Array[Byte](0xff.toByte), "|u1").toSeq == Seq(255.0))
+    assert(decodeNumeric(Array[Byte](0xff.toByte), "|i1").toSeq == Seq(-1.0))
+    assert(decodeNumeric(Array[Byte](0, 2), "|b1").toSeq == Seq(0.0, 1.0))
+    assert(decodeNumeric(enc(4, big = true)(_.putFloat(1.5f)), ">f4").toSeq == Seq(1.5))
+    assert(decodeNumeric(enc(8, big = true)(_.putDouble(2.25)), ">f8").toSeq == Seq(2.25))
+    assert(decodeNumeric(enc(4, big = false)(_.putInt(-1)), "<u4").toSeq == Seq(4294967295.0))
+    assert(decodeNumeric(enc(8, big = false)(_.putLong(-1L)), "<u8").toSeq == Seq(Long.MaxValue.toDouble))
+    intercept[UnsupportedOperationException](decodeNumeric(Array[Byte](0), "<c8"))
+  }
+
+  test("zarr v3 uint16 store decodes through the dtype map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3u")
+    Files.writeString(dir.resolve("zarr.json"),
+      v3Meta(Seq(3), Seq(2), "uint16", ".", """{"name": "bytes", "configuration": {"endian": "little"}}"""))
+    val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(40000.toShort); bb.putShort(7)
+    Files.write(dir.resolve("c.0"), bb.array())
+    val bb2 = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+    bb2.putShort(9)
+    Files.write(dir.resolve("c.1"), bb2.array())
+    val m = ZarrReader.read(spark, s"file://$dir").as[(Long, Double)].collect().toMap
+    assert(m == Map(0L -> 40000.0, 1L -> 7.0, 2L -> 9.0))
+  }
+
+  test("zarr v2 F-order chunks transpose; filter chains refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrf")
+    Files.writeString(dir.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[2,3],"chunks":[2,3],"dtype":"<f8",
+        |"compressor":null,"fill_value":0.0,"order":"F","filters":null}""".stripMargin)
+    // column-major chunk bytes for [[0,1,2],[10,11,12]]
+    val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 10.0, 1.0, 11.0, 2.0, 12.0).foreach(bb.putDouble)
+    Files.write(dir.resolve("0.0"), bb.array())
+    val m = ZarrReader.read(spark, s"file://$dir")
+      .as[(Long, Long, Double)].collect().map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(m == Map((0L, 0L) -> 0.0, (0L, 1L) -> 1.0, (0L, 2L) -> 2.0,
+      (1L, 0L) -> 10.0, (1L, 1L) -> 11.0, (1L, 2L) -> 12.0))
+
+    val dir2 = Files.createTempDirectory("zarrfl")
+    Files.writeString(dir2.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+        |"compressor":null,"fill_value":0.0,"order":"C",
+        |"filters":[{"id":"delta","dtype":"<f8"}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir2"))
+    assert(e.getMessage.contains("filters"))
+  }
+
   test("zarr v2 zstd-blosc store refuses at metadata time") {
     val dir = Files.createTempDirectory("zarrz")
     Files.writeString(dir.resolve(".zarray"),
