@@ -98,7 +98,10 @@ class CatalogSuiteSpec extends SparkSpec {
 
   test("reader recommend splits importable from declared-only") {
     val (impD, notImpD) = SparkReaders.recommend(DataRef("delta", "/tbl"))
-    assert(impD.isEmpty && notImpD.nonEmpty) // no delta connector jar here
+    // connector-gated reader declared-only without the jar; native log
+    // replay is the always-importable fallback
+    assert(notImpD.exists(_.name == "spark_delta"))
+    assert(impD.map(_.name) == Seq("delta_native"))
     // iceberg: the connector-gated reader is declared-only without the
     // iceberg-spark runtime jar; the native metadata walk is always
     // importable and is the recommended fallback
