@@ -35,9 +35,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `bsize/typesize` elements contiguously, with any `bsize % typesize`
   * tail bytes copied through unshuffled (`shuffle.c shuffle_generic`).
   *
-  * Supported codecs: lz4/lz4hc (block format decoded natively below),
-  * zlib (`Inflater`), and memcpy passthrough. blosclz, snappy, zstd and
-  * bit-shuffle refuse loudly — zstd-blosc remains out of scope.
+  * Supported codecs: lz4/lz4hc (block format decoded natively below,
+  * cross-checked against lz4-java's independent encoder in spec), zlib
+  * (`Inflater`), zstd and snappy (through the zstd-jni / snappy-java
+  * libraries every Spark distribution bundles), and memcpy
+  * passthrough. blosclz and bit-shuffle refuse loudly (no independent
+  * implementation available here to verify a from-scratch blosclz
+  * decoder against).
   */
 object Blosc {
 
@@ -95,9 +99,17 @@ object Blosc {
             }
             inf.end()
             require(done == neblock, s"blosc: zlib stream yielded $done of $neblock bytes")
-          case 0 => throw new UnsupportedOperationException("blosc: blosclz codec unsupported (lz4/zlib only)")
-          case 2 => throw new UnsupportedOperationException("blosc: snappy codec unsupported (lz4/zlib only)")
-          case 4 => throw new UnsupportedOperationException("blosc: zstd codec unsupported (lz4/zlib only)")
+          case 2 =>
+            val stream = java.util.Arrays.copyOfRange(bytes, pos, pos + sc)
+            val got = org.xerial.snappy.Snappy.uncompress(stream)
+            require(got.length == neblock, s"blosc: snappy stream yielded ${got.length} of $neblock bytes")
+            System.arraycopy(got, 0, block, j * neblock, neblock)
+          case 4 =>
+            val dst = new Array[Byte](neblock)
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(dst, 0, neblock, bytes, pos, sc)
+            require(n == neblock, s"blosc: zstd stream yielded $n of $neblock bytes")
+            System.arraycopy(dst, 0, block, j * neblock, neblock)
+          case 0 => throw new UnsupportedOperationException("blosc: blosclz codec unsupported (lz4/zlib/zstd/snappy only)")
           case c => throw new UnsupportedOperationException(s"blosc: unknown compressor code $c")
         }
         pos += sc

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * (f8/f4, i1-i8, u1-u8, bool, either endianness) in C-order chunks,
   * raw, zlib, or blosc-compressed — blosc-lz4 with
   * byte-shuffle is zarr-python's *default* v2 compressor and decodes
-  * through the pure-JVM [[Blosc]] container walk (zstd-blosc still
-  * refuses at metadata time).
+  * through the pure-JVM [[Blosc]] container walk; zstd/snappy-blosc
+  * decode via the codec libraries Spark bundles (blosclz refuses at
+  * metadata time).
   *
   * v3: `zarr.json` node metadata — regular chunk grid, default chunk
   * key encoding (`c` prefix, "/" or "." separator), `bytes` codec
@@ -58,10 +59,10 @@ object ZarrReader {
       case "none" | "zlib" => ()
       case "blosc" =>
         // the container is self-describing; vet the cname up front so a
-        // zstd-blosc store refuses at metadata time, not mid-chunk
+        // blosclz store refuses at metadata time, not mid-chunk
         val cname = comp.flatMap(c => Option(c.get("cname"))).map(_.asText()).getOrElse("lz4")
-        require(Set("lz4", "lz4hc", "zlib").contains(cname),
-          s"unsupported zarr blosc cname: $cname (lz4/lz4hc/zlib only; zstd-blosc out of scope)")
+        require(Set("lz4", "lz4hc", "zlib", "zstd", "snappy").contains(cname),
+          s"unsupported zarr blosc cname: $cname (lz4/lz4hc/zlib/zstd/snappy only)")
       case other => throw new IllegalArgumentException(s"unsupported zarr compressor: $other")
     }
     // numcodecs filter chains (Delta, FixedScaleOffset, …) transform the

@@ -171,7 +171,7 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(bb.array()).toSeq == data.toSeq)
   }
 
-  test("blosc refuses zstd, snappy, blosclz codecs and bit-shuffle loudly") {
+  test("blosc refuses blosclz and bit-shuffle loudly") {
     def container(flags: Int): Array[Byte] = {
       val bb = ByteBuffer.allocate(16 + 4 + 8).order(ByteOrder.LITTLE_ENDIAN)
       bb.put(1.toByte).put(1.toByte).put(flags.toByte).put(4.toByte)
@@ -187,13 +187,66 @@ class BloscSpec extends AnyFunSuite {
       bb.putInt(20, 3) // 3-byte "compressed" stream forces the codec path
       c
     }
-    val zstd = intercept[UnsupportedOperationException](Blosc.decompress(compressedStream(4 << 5)))
-    assert(zstd.getMessage.contains("zstd"))
-    val snappy = intercept[UnsupportedOperationException](Blosc.decompress(compressedStream(2 << 5)))
-    assert(snappy.getMessage.contains("snappy"))
     val blosclz = intercept[UnsupportedOperationException](Blosc.decompress(compressedStream(0)))
     assert(blosclz.getMessage.contains("blosclz"))
     val bitshuf = intercept[IllegalArgumentException](Blosc.decompress(container((1 << 5) | 0x04)))
     assert(bitshuf.getMessage.contains("bit-shuffle"))
+  }
+
+  /** Generic container assembly around pre-compressed streams. */
+  private def bloscContainer(data: Array[Byte], typesize: Int, blocksize: Int,
+      compcode: Int, shuffle: Boolean, compress: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val nblocks = (data.length + blocksize - 1) / blocksize
+    val streams = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    val headerLen = 16 + 4 * nblocks
+    for (i <- 0 until nblocks) {
+      bstarts(i) = headerLen + streams.size()
+      val bsize = math.min(blocksize, data.length - i * blocksize)
+      val raw0 = java.util.Arrays.copyOfRange(data, i * blocksize, i * blocksize + bsize)
+      val block = if (shuffle && typesize > 1) shuffleBytes(raw0, typesize) else raw0
+      val comp = compress(block)
+      val payload = if (comp.length < bsize) comp else block
+      val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array()
+      streams.write(sz); streams.write(payload)
+    }
+    val total = headerLen + streams.size()
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = (if (shuffle && typesize > 1) 0x01 else 0) | 0x10 | (compcode << 5) // dont-split
+    bb.put(1.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    bb.putInt(data.length).putInt(blocksize).putInt(total)
+    bstarts.foreach(bb.putInt)
+    bb.put(streams.toByteArray)
+    bb.array()
+  }
+
+  test("blosc-zstd and blosc-snappy decode through the bundled codecs") {
+    val data = doubles((0 until 200).map(i => (i % 11).toDouble)) // 1600 bytes
+    val zc = bloscContainer(data, 8, 512, compcode = 4, shuffle = true,
+      b => com.github.luben.zstd.Zstd.compress(b, 3))
+    assert(zc.length < data.length)
+    assert(Blosc.decompress(zc).toSeq == data.toSeq)
+    val sc = bloscContainer(data, 8, 512, compcode = 2, shuffle = false,
+      b => org.xerial.snappy.Snappy.compress(b))
+    assert(Blosc.decompress(sc).toSeq == data.toSeq)
+  }
+
+  test("native lz4 decoder agrees with lz4-java's independent encoder") {
+    val factory = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.fill[Byte](4096)(rnd.nextInt(4).toByte),                 // compressible noise
+      doubles((0 until 512).map(i => (i % 13).toDouble)),            // shuffled-plane-like runs
+      "the quick brown fox ".* (200).getBytes("US-ASCII"),           // periodic text
+      Array.fill[Byte](333)(rnd.nextInt().toByte)                    // incompressible
+    )
+    cases.foreach { data =>
+      for (comp <- Seq(factory.fastCompressor(), factory.highCompressor())) {
+        val enc = comp.compress(data)
+        val out = new Array[Byte](data.length)
+        Lz4Block.decompress(enc, 0, enc.length, out, 0, data.length)
+        assert(out.toSeq == data.toSeq)
+      }
+    }
   }
 }

@@ -167,14 +167,14 @@ class ZarrReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("filters"))
   }
 
-  test("zarr v2 zstd-blosc store refuses at metadata time") {
+  test("zarr v2 blosclz store refuses at metadata time") {
     val dir = Files.createTempDirectory("zarrz")
     Files.writeString(dir.resolve(".zarray"),
       """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
-        |"compressor":{"id":"blosc","cname":"zstd","clevel":5,"shuffle":1},
+        |"compressor":{"id":"blosc","cname":"blosclz","clevel":5,"shuffle":1},
         |"fill_value":0.0,"order":"C","filters":null}""".stripMargin)
     val e = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir"))
-    assert(e.getMessage.contains("zstd"))
+    assert(e.getMessage.contains("blosclz"))
   }
 
   test("zarr write -> read round-trips a 2-D array (zlib, edge chunks)") {
