@@ -140,6 +140,8 @@ object Registry {
     DataKind("numpy", Nil, Seq("\\.npy$"), Set("array"),
       Seq(0 -> (bytes(0x93) ++ ascii("NUMPY")))),
     DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),
+    DataKind("tar", Seq("application/x-tar"), Seq("\\.tar$", "\\.tgz$", "\\.tar\\.(gz|bz2|xz|zst)$"),
+      Set("container"), Seq(257 -> ascii("ustar"))),
     DataKind("zip", Seq("application/zip"), Seq("\\.zip$"), Set("container"),
       Seq(0 -> ascii("PK\u0003\u0004"))),
     // TFRecord has no magic bytes — suffix-only, like the reference's
