@@ -177,4 +177,39 @@ object StreamOps {
         if (streaming) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
       )(update)
   }
+
+  /** Custom keyed state via flatMapGroupsWithState: per-key threshold
+    * alerts — each micro-batch emits ZERO OR MORE rows per key (one per
+    * crossed multiple of `threshold` in the running sum), the shape
+    * mapGroupsWithState can't express (it must emit exactly one).
+    * Append output mode, so the sink composes with watermarked windows.
+    * Works on batch too (single "micro-batch").
+    */
+  def statefulThresholdAlerts(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      threshold: Double
+  ): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val pairs = df.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+    // emits (key, multiple index, running sum at crossing)
+    def flat(key: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]): Iterator[(Long, Long, Double)] = {
+      var sum = state.getOption.getOrElse(0.0)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.foreach { case (_, v) =>
+        val before = (sum / threshold).toLong
+        sum += v
+        val after = (sum / threshold).toLong
+        var m = before + 1
+        while (m <= after) { out += ((key, m, sum)); m += 1 }
+      }
+      state.update(sum)
+      out.result().iterator
+    }
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(flat)
+  }
 }

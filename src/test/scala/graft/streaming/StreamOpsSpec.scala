@@ -172,6 +172,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 10.0)))
   }
 
+  test("statefulThresholdAlerts emits zero-or-more rows per key (flatMapGroupsWithState)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val df = ms.toDF().toDF("user_id", "value")
+    val q = StreamOps.statefulThresholdAlerts(df, "user_id", "value", threshold = 10.0)
+      .toDF("user_id", "multiple", "sum_at_crossing")
+      .writeStream.format("memory").queryName("alert_out").outputMode("append").start()
+    ms.addData((1L, 4.0), (1L, 3.0), (2L, 25.0)) // key 1 at 7 (no alert); key 2 crosses 10 and 20
+    q.processAllAvailable()
+    ms.addData((1L, 18.0)) // key 1: 7 → 25, crosses 10 and 20
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("alert_out").as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 25.0), (1L, 2L, 25.0), (2L, 1L, 25.0), (2L, 2L, 25.0)))
+  }
+
   test("parquet streaming sink with checkpoint is exactly-once across restarts") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("sink").toString
