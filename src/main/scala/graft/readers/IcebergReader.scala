@@ -22,13 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     partition values, so the parquet scan is the full table.
   *
   * Stated profile: format-version 1 and 2 tables of parquet data files.
-  * Row-level deletes (v2 position/equality delete files, manifest
-  * `content != 0`) refuse loudly — applying them wrongly would
-  * resurrect deleted rows; ORC/Avro data files refuse (parquet is the
-  * overwhelming default). Time travel is out of scope (current snapshot
-  * only). When the real connector jar IS on the classpath the gated
-  * `spark_iceberg` FormatReader outranks this one in the registry, so
-  * the native path is the fallback, not a replacement.
+  * v2 POSITION deletes apply as a distributed anti-join of the scan's
+  * `(_metadata.file_path, _metadata.row_index)` against the delete
+  * files' `(file_path, pos)` — path-keyed, so correct without sequence
+  * numbers (data file paths are immutable). EQUALITY deletes refuse
+  * loudly (correct application needs sequence-number ordering);
+  * ORC/Avro data files refuse (parquet is the overwhelming default).
+  * Time travel is out of scope (current snapshot only). When the real
+  * connector jar IS on the classpath the gated `spark_iceberg`
+  * FormatReader outranks this one in the registry, so the native path
+  * is the fallback, not a replacement.
   *
   * Scale shape: the driver touches only metadata JSON (KBs) and the
   * manifest Avro files (read as one small Spark job, collected — they
@@ -102,16 +105,8 @@ object IcebergReader {
     // inline the manifest paths directly
     val manifestPaths: Seq[String] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
-        val listDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
-        val rows = listDf.select("manifest_path").collect().map(_.getString(0)).toSeq
-        // v2 manifest lists carry `content`: 0 data, 1 deletes
-        if (listDf.columns.contains("content")) {
-          val deletes = listDf.selectExpr("manifest_path", "content").collect()
-            .filter(_.getInt(1) != 0)
-          require(deletes.isEmpty,
-            s"iceberg: table has ${deletes.length} delete manifest(s) — row-level deletes outside the supported profile (compact/expire first)")
-        }
-        rows
+        spark.read.format(avroFmt).load(resolve(ml.asText(), table))
+          .select("manifest_path").collect().map(_.getString(0)).toSeq
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
     }
@@ -125,16 +120,41 @@ object IcebergReader {
         if (hasContent) "data_file.content as content" else "0 as content")
       .collect()
     val live = entries.filter(_.getAs[Int]("status") != 2) // 2 = DELETED entry
-    val deleteFiles = live.filter(r => r.getAs[Number]("content").intValue() != 0)
-    require(deleteFiles.isEmpty,
-      s"iceberg: ${deleteFiles.length} position/equality delete file(s) present — row-level deletes outside the supported profile")
-    val (parquetFiles, others) = live.partition(_.getAs[String]("file_format") == "parquet")
+    // content: 0 data, 1 position deletes, 2 equality deletes
+    val eqDeletes = live.count(r => r.getAs[Number]("content").intValue() == 2)
+    require(eqDeletes == 0,
+      s"iceberg: $eqDeletes equality delete file(s) present — correct application needs sequence-number ordering, outside the supported profile")
+    val (dataFiles, posDeleteFiles) =
+      live.partition(r => r.getAs[Number]("content").intValue() == 0)
+    val (parquetFiles, others) = dataFiles.partition(_.getAs[String]("file_format") == "parquet")
     require(others.isEmpty,
       s"iceberg: non-parquet data files (${others.map(_.getAs[String]("file_format")).distinct.mkString(",")}) outside the supported profile")
     val paths = parquetFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
     require(paths.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
     // mergeSchema survives column add/rename evolution across files
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+    if (posDeleteFiles.isEmpty) data
+    else {
+      // Position deletes: parquet files of (file_path, pos) — applied as
+      // a distributed anti-join against the scan's (_metadata.file_path,
+      // _metadata.row_index). Path+pos keying is safe without sequence
+      // numbers because data file paths are immutable (a rewritten file
+      // gets a new path, stale deletes match nothing). The delete side
+      // is usually tiny → AQE broadcasts it.
+      import org.apache.spark.sql.functions.{col, expr, regexp_replace}
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
+      val delPaths = posDeleteFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
+      val deletes = spark.read.parquet(delPaths: _*)
+        .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
+      val dataCols = data.columns.toSeq
+      data
+        .withColumn("__file", norm(expr("_metadata.file_path")))
+        .withColumn("__pos", expr("_metadata.row_index"))
+        .join(deletes, col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
+        .select(dataCols.map(col): _*)
+    }
   }
 }
 

@@ -21,9 +21,12 @@ class IcebergReaderSpec extends SparkSpec {
   }
 
   /** Build a table: two parquet data files (one later marked deleted),
-    * v2 metadata with two snapshots (current = latest). */
-  private def fixture(withDeleteManifest: Boolean = false,
-      deleteDataFile: Boolean = false): JPath = {
+    * v2 metadata with two snapshots (current = latest). `posDeletes`
+    * adds a position-delete parquet targeting rows of data file f1;
+    * `equalityDelete` marks an entry content=2 instead. */
+  private def fixture(equalityDelete: Boolean = false,
+      deleteDataFile: Boolean = false,
+      posDeletes: Seq[Long] = Nil): JPath = {
     import spark.implicits._
     val root = Files.createTempDirectory("iceberg")
     val table = root.toString
@@ -38,11 +41,15 @@ class IcebergReaderSpec extends SparkSpec {
       Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
     val (p1, p2) = (partFile(s"$table/data/f1"), partFile(s"$table/data/f2"))
 
-    // manifest: entries for both files; optionally mark f2 as a
-    // DELETED entry (status 2) or as a delete file (content 1)
-    val entries = Seq(
+    var entries = Seq(
       (1, p1, "PARQUET", 0),
-      (if (deleteDataFile) 2 else 1, p2, "PARQUET", if (withDeleteManifest) 1 else 0))
+      (if (deleteDataFile) 2 else 1, p2, "PARQUET", if (equalityDelete) 2 else 0))
+    if (posDeletes.nonEmpty) {
+      // position-delete parquet: (file_path, pos) rows targeting f1
+      posDeletes.map(p => (p1, p)).toDF("file_path", "pos")
+        .coalesce(1).write.parquet(s"$table/data/del1")
+      entries = entries :+ ((1, partFile(s"$table/data/del1"), "PARQUET", 1))
+    }
     val manifestDf = entries.toDF("status", "file_path", "file_format", "content")
       .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format, 'content', content) as data_file")
     val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
@@ -83,10 +90,19 @@ class IcebergReaderSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta")))
   }
 
-  test("row-level delete files refuse loudly") {
-    val table = fixture(withDeleteManifest = true)
+  test("position deletes drop exactly the (file, pos) rows via the metadata anti-join") {
+    import spark.implicits._
+    val table = fixture(posDeletes = Seq(0L)) // drop row 0 of f1 = "alpha"
+    val df = IcebergReader.read(spark, table.toString)
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "beta"), (3L, "gamma")))
+  }
+
+  test("equality delete files refuse loudly") {
+    val table = fixture(equalityDelete = true)
     val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
-    assert(e.getMessage.contains("delete"))
+    assert(e.getMessage.contains("equality delete"))
   }
 
   test("version-hint.text pins the metadata version") {
