@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * only when no reader-gating feature is active — deletion vectors,
   * column mapping, and `readerFeatures` beyond timestampNtz refuse
   * loudly (misreading any of them silently resurrects deleted rows or
-  * misnames columns). Time travel is out of scope (latest version
-  * only). With the connector jar present the gated `spark_delta`
-  * FormatReader outranks this reader in the registry.
+  * misnames columns). Time travel: `versionAsOf` replays the log only
+  * through the pinned commit (and skips a later checkpoint — checkpoint
+  * state can't be rolled back). With the connector jar present the
+  * gated `spark_delta` FormatReader outranks this reader in the
+  * registry.
   *
   * Scale shape: the driver replays only log metadata (JSON lines and a
   * checkpoint read that projects just `add`/`remove`/`metaData`); data
@@ -42,14 +44,17 @@ object DeltaReader {
 
   private case class FileEntry(path: String, partitionValues: Map[String, Option[String]])
 
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Read the latest version, or a pinned one (time travel — the
+    * reference's `scan_delta(version=N)`). */
+  def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
     val mapper = new ObjectMapper()
 
-    // checkpoint hint
+    // checkpoint hint (skipped when pinned before the checkpoint —
+    // a checkpoint state can't be rolled back)
     val lastCp = new Path(logDir, "_last_checkpoint")
     val (cpVersion, cpFiles): (Long, Seq[String]) =
       if (f.exists(lastCp)) {
@@ -61,13 +66,19 @@ object DeltaReader {
           case None => Seq(f"$logDir/$v%020d.checkpoint.parquet")
           case Some(n) => (1 to n).map(i => f"$logDir/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
         }
-        (v, files)
+        if (versionAsOf.exists(_ < v)) (-1L, Nil) else (v, files)
       } else (-1L, Nil)
 
-    val commits = f.listStatus(new Path(logDir)).toSeq.map(_.getPath)
+    val allCommits = f.listStatus(new Path(logDir)).toSeq.map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map(p => p.getName.stripSuffix(".json").toLong -> p)
+    versionAsOf.foreach { v =>
+      require(cpVersion == v || allCommits.exists(_._1 == v),
+        s"delta: version $v not present in _delta_log (vacuumed or never written)")
+    }
+    val commits = allCommits
       .filter(_._1 > cpVersion)
+      .filter(c => versionAsOf.forall(c._1 <= _))
       .sortBy(_._1)
     require(cpVersion >= 0 || commits.nonEmpty, s"delta: empty _delta_log at $logDir")
 
@@ -186,5 +197,6 @@ object DeltaReader {
 class DeltaReaderImpl extends Reader {
   val name = "delta_native"
   val implementsKinds = Set("delta")
-  def read(spark: SparkSession, ref: DataRef): DataFrame = DeltaReader.read(spark, ref.url)
+  def read(spark: SparkSession, ref: DataRef): DataFrame =
+    DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong))
 }

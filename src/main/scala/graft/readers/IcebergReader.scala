@@ -28,10 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * numbers (data file paths are immutable). EQUALITY deletes refuse
   * loudly (correct application needs sequence-number ordering);
   * ORC/Avro data files refuse (parquet is the overwhelming default).
-  * Time travel is out of scope (current snapshot only). When the real
-  * connector jar IS on the classpath the gated `spark_iceberg`
-  * FormatReader outranks this one in the registry, so the native path
-  * is the fallback, not a replacement.
+  * Time travel: `snapshotId` pins any snapshot the metadata still
+  * references. When the real connector jar IS on the classpath the
+  * gated `spark_iceberg` FormatReader outranks this one in the
+  * registry, so the native path is the fallback, not a replacement.
   *
   * Scale shape: the driver touches only metadata JSON (KBs) and the
   * manifest Avro files (read as one small Spark job, collected — they
@@ -85,16 +85,19 @@ object IcebergReader {
     if (p.contains("://") || p.startsWith("/")) p
     else table.stripSuffix("/") + "/" + p
 
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Read the current snapshot, or a pinned one (`snapshotId` — time
+    * travel over snapshots still referenced by the metadata). */
+  def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = currentMetadataPath(table, conf)
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
     val formatVersion = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     require(formatVersion == 1 || formatVersion == 2,
       s"iceberg format-version $formatVersion outside the supported profile (1 or 2)")
-    val currentId = Option(meta.get("current-snapshot-id")).map(_.asLong())
-      .filter(_ != -1L)
-      .getOrElse(throw new IllegalArgumentException("iceberg: table has no current snapshot (empty table)"))
+    val currentId = snapshotId.getOrElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L)
+        .getOrElse(throw new IllegalArgumentException("iceberg: table has no current snapshot (empty table)")))
     import scala.jdk.CollectionConverters._
     val snapshots = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
     val snap = snapshots.find(s => s.get("snapshot-id").asLong() == currentId)
@@ -165,5 +168,6 @@ object IcebergReader {
 class IcebergReaderImpl extends Reader {
   val name = "iceberg_native"
   val implementsKinds = Set("iceberg")
-  def read(spark: SparkSession, ref: DataRef): DataFrame = IcebergReader.read(spark, ref.url)
+  def read(spark: SparkSession, ref: DataRef): DataFrame =
+    IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong))
 }

@@ -103,6 +103,20 @@ class DeltaReaderSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta")))
   }
 
+  test("versionAsOf replays only through the pinned commit") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltatt")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName), addAction("f1.parquet")))
+    writeCommit(t, 1, Seq(removeAction("f1.parquet"), addAction("f2.parquet")))
+    assert(DeltaReader.read(spark, t.toString).as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "alpha")))
+    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString, versionAsOf = Some(5L)))
+    assert(e.getMessage.contains("version 5"))
+  }
+
   test("deletion vectors and column mapping refuse loudly") {
     val t = Files.createTempDirectory("delta4")
     writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))

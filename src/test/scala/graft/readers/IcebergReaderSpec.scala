@@ -105,6 +105,14 @@ class IcebergReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("equality delete"))
   }
 
+  test("snapshotId pins a referenced snapshot; unknown ids error") {
+    val table = fixture()
+    assert(IcebergReader.read(spark, table.toString, snapshotId = Some(11L)).count() == 3)
+    val e = intercept[IllegalArgumentException](
+      IcebergReader.read(spark, table.toString, snapshotId = Some(99L)))
+    assert(e.getMessage.contains("99"))
+  }
+
   test("version-hint.text pins the metadata version") {
     val table = fixture()
     // hint at v1 (the empty table) → no current snapshot
