@@ -25,9 +25,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * v2 POSITION deletes apply as a distributed anti-join of the scan's
   * `(_metadata.file_path, _metadata.row_index)` against the delete
   * files' `(file_path, pos)` — path-keyed, so correct without sequence
-  * numbers (data file paths are immutable). EQUALITY deletes refuse
-  * loudly (correct application needs sequence-number ordering);
-  * ORC/Avro data files refuse (parquet is the overwhelming default).
+  * numbers (data file paths are immutable). EQUALITY deletes apply
+  * with the spec's sequence-number ordering: a delete row removes data
+  * rows matching its equality columns only in data files whose
+  * sequence number is strictly below the delete file's (the schema's
+  * field-id map resolves `equality_ids` to column names). ORC/Avro
+  * data files refuse (parquet is the overwhelming default).
   * Time travel: `snapshotId` pins any snapshot the metadata still
   * references. When the real connector jar IS on the classpath the
   * gated `spark_iceberg` FormatReader outranks this one in the
@@ -116,48 +119,96 @@ object IcebergReader {
     require(manifestPaths.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
 
     val manifests = spark.read.format(avroFmt).load(manifestPaths.map(p => resolve(p, table)): _*)
-    val hasContent = manifests.select("data_file.*").columns.contains("content")
+    val entryCols = manifests.columns.toSet
+    val dfCols = manifests.select("data_file.*").columns.toSet
     val entries = manifests
       .selectExpr("status", "data_file.file_path as file_path",
         "lower(data_file.file_format) as file_format",
-        if (hasContent) "data_file.content as content" else "0 as content")
+        if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
+        if (entryCols.contains("sequence_number")) "sequence_number" else "cast(0 as bigint) as sequence_number",
+        if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids")
       .collect()
     val live = entries.filter(_.getAs[Int]("status") != 2) // 2 = DELETED entry
     // content: 0 data, 1 position deletes, 2 equality deletes
-    val eqDeletes = live.count(r => r.getAs[Number]("content").intValue() == 2)
-    require(eqDeletes == 0,
-      s"iceberg: $eqDeletes equality delete file(s) present — correct application needs sequence-number ordering, outside the supported profile")
-    val (dataFiles, posDeleteFiles) =
+    val (dataFiles, deleteFiles) =
       live.partition(r => r.getAs[Number]("content").intValue() == 0)
+    val posDeleteFiles = deleteFiles.filter(r => r.getAs[Number]("content").intValue() == 1)
+    val eqDeleteFiles = deleteFiles.filter(r => r.getAs[Number]("content").intValue() == 2)
     val (parquetFiles, others) = dataFiles.partition(_.getAs[String]("file_format") == "parquet")
     require(others.isEmpty,
       s"iceberg: non-parquet data files (${others.map(_.getAs[String]("file_format")).distinct.mkString(",")}) outside the supported profile")
-    val paths = parquetFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
-    require(paths.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
-    // mergeSchema survives column add/rename evolution across files
-    val data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    require(parquetFiles.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
 
-    if (posDeleteFiles.isEmpty) data
-    else {
+    import org.apache.spark.sql.functions.{col, expr, lit, regexp_replace}
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
+    def normStr(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val paths = parquetFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
+    // mergeSchema survives column add/rename evolution across files
+    var data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val dataCols = data.columns.toSeq
+    val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
+    if (needMeta)
+      data = data.withColumn("__file", norm(expr("_metadata.file_path")))
+        .withColumn("__pos", expr("_metadata.row_index"))
+
+    if (posDeleteFiles.nonEmpty) {
       // Position deletes: parquet files of (file_path, pos) — applied as
       // a distributed anti-join against the scan's (_metadata.file_path,
       // _metadata.row_index). Path+pos keying is safe without sequence
       // numbers because data file paths are immutable (a rewritten file
       // gets a new path, stale deletes match nothing). The delete side
       // is usually tiny → AQE broadcasts it.
-      import org.apache.spark.sql.functions.{col, expr, regexp_replace}
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
       val delPaths = posDeleteFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
       val deletes = spark.read.parquet(delPaths: _*)
         .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
-      val dataCols = data.columns.toSeq
-      data
-        .withColumn("__file", norm(expr("_metadata.file_path")))
-        .withColumn("__pos", expr("_metadata.row_index"))
-        .join(deletes, col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
-        .select(dataCols.map(col): _*)
+      data = data.join(deletes,
+        col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
     }
+
+    if (eqDeleteFiles.nonEmpty) {
+      // Equality deletes: a delete file's rows remove any data row whose
+      // equality columns match AND whose data file's sequence number is
+      // STRICTLY below the delete file's (spec "applies to data files
+      // with a sequence number less than the delete's"). The per-file
+      // sequence number joins in via a small path→seq map column; field
+      // ids resolve to names through the table schema in the metadata.
+      val fieldNames: Map[Int, String] = {
+        val schemasNode = Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala) ++
+          Option(meta.get("schema")).toSeq
+        schemasNode.flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+          .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
+      }
+      val seqByPath: Map[String, Long] = parquetFiles.map(r =>
+        normStr(resolve(r.getAs[String]("file_path"), table)) -> r.getAs[Number]("sequence_number").longValue()).toMap
+      val seqCol = seqByPath.foldLeft(lit(-1L)) { case (acc, (p, s)) =>
+        org.apache.spark.sql.functions.when(col("__file") === lit(p), lit(s)).otherwise(acc)
+      }
+      data = data.withColumn("__seq", seqCol)
+      // group delete files by their equality-column set
+      val groups = eqDeleteFiles.groupBy { r =>
+        val ids = r.getAs[scala.collection.Seq[Any]]("equality_ids")
+        require(ids != null && ids.nonEmpty, "iceberg: equality delete file without equality_ids")
+        ids.map(i => fieldNames.getOrElse(i.asInstanceOf[Number].intValue(),
+          throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).toSeq.sorted
+      }
+      groups.foreach { case (cols, files) =>
+        val delPaths = files.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
+        val seqOf = files.map(r => normStr(resolve(r.getAs[String]("file_path"), table)) ->
+          r.getAs[Number]("sequence_number").longValue()).toMap
+        val delSeqCol = seqOf.foldLeft(lit(Long.MaxValue)) { case (acc, (p, s)) =>
+          org.apache.spark.sql.functions.when(norm(expr("_metadata.file_path")) === lit(p), lit(s)).otherwise(acc)
+        }
+        val deletes = spark.read.parquet(delPaths: _*)
+          .withColumn("__del_seq", delSeqCol)
+          .select(cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+        val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
+          col("__seq") < col("__del_seq")
+        data = data.join(deletes, cond, "left_anti")
+      }
+    }
+
+    if (needMeta) data.select(dataCols.map(col): _*) else data
   }
 }
 

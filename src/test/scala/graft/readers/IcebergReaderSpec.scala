@@ -22,10 +22,8 @@ class IcebergReaderSpec extends SparkSpec {
 
   /** Build a table: two parquet data files (one later marked deleted),
     * v2 metadata with two snapshots (current = latest). `posDeletes`
-    * adds a position-delete parquet targeting rows of data file f1;
-    * `equalityDelete` marks an entry content=2 instead. */
-  private def fixture(equalityDelete: Boolean = false,
-      deleteDataFile: Boolean = false,
+    * adds a position-delete parquet targeting rows of data file f1. */
+  private def fixture(deleteDataFile: Boolean = false,
       posDeletes: Seq[Long] = Nil): JPath = {
     import spark.implicits._
     val root = Files.createTempDirectory("iceberg")
@@ -43,7 +41,7 @@ class IcebergReaderSpec extends SparkSpec {
 
     var entries = Seq(
       (1, p1, "PARQUET", 0),
-      (if (deleteDataFile) 2 else 1, p2, "PARQUET", if (equalityDelete) 2 else 0))
+      (if (deleteDataFile) 2 else 1, p2, "PARQUET", 0))
     if (posDeletes.nonEmpty) {
       // position-delete parquet: (file_path, pos) rows targeting f1
       posDeletes.map(p => (p1, p)).toDF("file_path", "pos")
@@ -99,10 +97,39 @@ class IcebergReaderSpec extends SparkSpec {
       Seq((2L, "beta"), (3L, "gamma")))
   }
 
-  test("equality delete files refuse loudly") {
-    val table = fixture(equalityDelete = true)
-    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
-    assert(e.getMessage.contains("equality delete"))
+  test("equality deletes honor sequence-number ordering") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergeq")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    // f1 @ seq 1 holds (1,alpha),(2,beta); f2 @ seq 3 holds (2,beta2),(3,gamma);
+    // the delete @ seq 2 on id=2 removes beta (seq 1 < 2) but NOT beta2 (seq 3 > 2)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name").coalesce(1).write.parquet(s"$table/data/f1")
+    Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "name").coalesce(1).write.parquet(s"$table/data/f2")
+    Seq(Tuple1(2L)).toDF("id").coalesce(1).write.parquet(s"$table/data/eqdel")
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val entries = Seq(
+      (1, partFile(s"$table/data/f1"), "PARQUET", 0, 1L, null.asInstanceOf[Array[Int]]),
+      (1, partFile(s"$table/data/f2"), "PARQUET", 0, 3L, null.asInstanceOf[Array[Int]]),
+      (1, partFile(s"$table/data/eqdel"), "PARQUET", 2, 2L, Array(1)))
+    val manifestDf = entries
+      .toDF("status", "file_path", "file_format", "content", "sequence_number", "eq_ids")
+      .selectExpr("status", "sequence_number",
+        "named_struct('file_path', file_path, 'file_format', file_format, 'content', content, 'equality_ids', eq_ids) as data_file")
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table)
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta2"), (3L, "gamma")))
   }
 
   test("snapshotId pins a referenced snapshot; unknown ids error") {
