@@ -26,10 +26,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  4. the final scan is a plain distributed parquet read.
   *
   * Stated profile: parquet tables with `minReaderVersion` 1, or 2/3
-  * only when no reader-gating feature is active — deletion vectors,
-  * column mapping, and `readerFeatures` beyond timestampNtz refuse
-  * loudly (misreading any of them silently resurrects deleted rows or
-  * misnames columns). Time travel: `versionAsOf` replays the log only
+  * with reader features limited to timestampNtz/v2Checkpoint/
+  * deletionVectors — column mapping and anything else refuses loudly
+  * (misreading those silently misnames columns or resurrects rows).
+  * Deletion vectors (PROTOCOL.md "Deletion Vectors") are applied: each
+  * descriptor's roaring64 bitmap is decoded ON EXECUTORS (z85 inline,
+  * or a `u`/`p` file blob with magic + CRC-32 + cardinality checks) into
+  * `(file, row_index)` pairs that anti-join the scan's
+  * `_metadata.file_path/row_index` — the Iceberg position-delete mold.
+  * Time travel: `versionAsOf` replays the log only
   * through the pinned commit (and skips a later checkpoint — checkpoint
   * state can't be rolled back). With the connector jar present the
   * gated `spark_delta` FormatReader outranks this reader in the
@@ -42,7 +47,130 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaReader {
 
-  private case class FileEntry(path: String, partitionValues: Map[String, Option[String]])
+  private case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int, cardinality: Long)
+  private case class FileEntry(path: String, partitionValues: Map[String, Option[String]],
+      dv: Option[DvDescriptor])
+
+  // ---- deletion vectors (delta PROTOCOL.md "Deletion Vectors") --------
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Rev: Array[Int] = {
+    val r = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => r(c.toInt) = i }
+    r
+  }
+
+  /** ZeroMQ Z85 decode (5 chars → 4 bytes, big-endian base 85). */
+  private[readers] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85: length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var k = 0
+      while (k < 5) {
+        val d = z85Rev(s.charAt(i + k).toInt)
+        require(d >= 0, s"z85: invalid character '${s.charAt(i + k)}'")
+        v = v * 85 + d
+        k += 1
+      }
+      val o = i / 5 * 4
+      out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  /** DV file path for a "u" descriptor: `[<prefix>]<z85 uuid (20 ch)>` →
+    * `<table>/[<prefix>/]deletion_vector_<uuid>.bin`. */
+  private[readers] def dvPath(table: String, pathOrInlineDv: String): String = {
+    val prefix = pathOrInlineDv.dropRight(20)
+    val uuidBytes = z85Decode(pathOrInlineDv.takeRight(20))
+    val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val dir = if (prefix.isEmpty) table.stripSuffix("/") else s"${table.stripSuffix("/")}/$prefix"
+    s"$dir/deletion_vector_$uuid.bin"
+  }
+
+  /** Decode one DV blob into deleted row indexes. Three independent
+    * integrity gates — the 1681511377 magic, the trailing CRC-32 of the
+    * data, and the descriptor's cardinality — make a misparse refuse
+    * loudly instead of silently resurrecting or over-deleting rows. */
+  private[readers] def decodeDvData(data: Array[Byte], cardinality: Long): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt(0)
+    require(magic == 1681511377, s"delta dv: bad magic $magic")
+    val nBitmaps = bb.getLong(4)
+    require(nBitmaps >= 0 && nBitmaps < Int.MaxValue, s"delta dv: implausible bitmap count $nBitmaps")
+    val out = Array.newBuilder[Long]
+    var pos = 12
+    var i = 0L
+    while (i < nBitmaps) {
+      val key = bb.getInt(pos); pos += 4 // bitmap index = high 32 bits
+      val rest = java.util.Arrays.copyOfRange(data, pos, data.length)
+      val values = LanceReader.parseRoaring(rest)
+      pos += roaringSerializedSize(rest)
+      values.foreach(v => out += ((key.toLong << 32) | (v.toLong & 0xffffffffL)))
+      i += 1
+    }
+    val result = out.result()
+    require(result.length.toLong == cardinality,
+      s"delta dv: decoded ${result.length} rows, descriptor says $cardinality — refusing a misparsed vector")
+    result
+  }
+
+  /** Byte length of one portable roaring bitmap at the head of `bytes`
+    * (walked, not trusted from headers alone). */
+  private def roaringSerializedSize(bytes: Array[Byte]): Int = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cookie = bb.getInt(0)
+    var pos = 4
+    val (n, hasRun) =
+      if ((cookie & 0xffff) == 12347) { val k = (cookie >>> 16) + 1; pos += (k + 7) / 8; (k, true) }
+      else { val k = bb.getInt(4); pos += 4; (k, false) }
+    val runFlagsAt = 4
+    def isRun(i: Int) = hasRun && (bytes(runFlagsAt + (i >> 3)) & (1 << (i & 7))) != 0
+    val cards = (0 until n).map { i => val c = (bb.getShort(pos + i * 4 + 2) & 0xffff) + 1; c }
+    pos += 4 * n
+    if (!hasRun || n >= 4) pos += 4 * n // offsets table
+    for (i <- 0 until n) {
+      if (isRun(i)) { val nRuns = bb.getShort(pos) & 0xffff; pos += 2 + nRuns * 4 }
+      else if (cards(i) <= 4096) pos += 2 * cards(i)
+      else pos += 8192
+    }
+    pos
+  }
+
+  /** Resolve a descriptor to its deleted row indexes (executor-side). */
+  private[readers] def dvRows(table: String, d: DvDescriptor, conf: Configuration): Array[Long] = d.storageType match {
+    case "i" => // inline: z85 payload IS the data (magic + bitmaps)
+      decodeDvData(z85Decode(d.pathOrInlineDv), d.cardinality)
+    case "u" | "p" =>
+      val path = if (d.storageType == "p") d.pathOrInlineDv else dvPath(table, d.pathOrInlineDv)
+      val f = FileSystem.get(new URI(path).resolve("/"), conf)
+      val in = f.open(new Path(path))
+      try {
+        val szBuf = new Array[Byte](4)
+        in.readFully(d.offset.toLong, szBuf)
+        val size = java.nio.ByteBuffer.wrap(szBuf).getInt // big-endian
+        require(size > 0 && size <= d.sizeInBytes + 8,
+          s"delta dv: blob size $size inconsistent with descriptor ${d.sizeInBytes}")
+        val data = new Array[Byte](size)
+        in.readFully(d.offset.toLong + 4, data)
+        val crcBuf = new Array[Byte](4)
+        in.readFully(d.offset.toLong + 4 + size, crcBuf)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        val expected = java.nio.ByteBuffer.wrap(crcBuf).getInt.toLong & 0xffffffffL
+        require(crc.getValue == expected,
+          f"delta dv: CRC mismatch (computed ${crc.getValue}%08x, stored $expected%08x)")
+        decodeDvData(data, d.cardinality)
+      } finally in.close()
+    case other => throw new UnsupportedOperationException(s"delta dv storage type '$other'")
+  }
 
   /** Read the latest version, or a pinned one (time travel — the
     * reference's `scan_delta(version=N)`). */
@@ -111,9 +239,15 @@ object DeltaReader {
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap)
         .getOrElse(Map.empty)
     }
-    def requireNoDv(add: JsonNode, where: String): Unit =
-      require(Option(add.get("deletionVector")).forall(_.isNull),
-        s"delta: deletion vectors present ($where) — outside the supported profile")
+    def parseDv(add: JsonNode): Option[DvDescriptor] =
+      Option(add.get("deletionVector")).filterNot(_.isNull).map { dv =>
+        DvDescriptor(
+          dv.get("storageType").asText(),
+          dv.get("pathOrInlineDv").asText(),
+          Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+          dv.get("sizeInBytes").asInt(),
+          dv.get("cardinality").asLong())
+      }
 
     // 1. checkpoint state (adds are the live set at cpVersion)
     if (cpFiles.nonEmpty) {
@@ -126,9 +260,8 @@ object DeltaReader {
       if (cols.contains("metaData")) jsonRows("metaData").foreach(applyMeta)
       if (cols.contains("protocol")) jsonRows("protocol").foreach(applyProtocol)
       jsonRows("add").foreach { node =>
-        requireNoDv(node, "checkpoint")
         val p = node.get("path").asText()
-        live(p) = FileEntry(p, partMap(node.get("partitionValues")))
+        live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node))
       }
     }
 
@@ -141,9 +274,8 @@ object DeltaReader {
         Option(action.get("metaData")).foreach(applyMeta)
         Option(action.get("protocol")).foreach(applyProtocol)
         Option(action.get("add")).foreach { add =>
-          requireNoDv(add, "commit")
           val path = add.get("path").asText()
-          live(path) = FileEntry(path, partMap(add.get("partitionValues")))
+          live(path) = FileEntry(path, partMap(add.get("partitionValues")), parseDv(add))
         }
         Option(action.get("remove")).foreach(rm => live.remove(rm.get("path").asText()))
       }
@@ -152,7 +284,7 @@ object DeltaReader {
     // 3. profile gates
     require(provider == "parquet", s"delta: format provider '$provider' outside the supported profile")
     require(minReader <= 3, s"delta: minReaderVersion $minReader outside the supported profile")
-    val gating = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint").contains)
+    val gating = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint", "deletionVectors").contains)
     require(minReader < 3 || gating.isEmpty,
       s"delta: reader features ${gating.mkString(",")} outside the supported profile")
     val colMapping = configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -167,25 +299,60 @@ object DeltaReader {
       else table.stripSuffix("/") + "/" + decoded
     }
 
-    if (partitionCols.isEmpty)
-      spark.read.schema(StructType(schema.fields)).parquet(live.values.map(e => resolve(e.path)).toSeq: _*)
-    else {
-      // one read per distinct partition tuple, partition values attached
-      // as typed literal columns (Delta data files omit them)
-      val dataSchema = StructType(schema.fields.filterNot(fl => partitionCols.contains(fl.name)))
-      val groups = live.values.toSeq.groupBy(_.partitionValues)
-      val frames = groups.toSeq.map { case (pv, entries) =>
-        val base = spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*)
-        partitionCols.foldLeft(base) { (df, pc) =>
-          val dt = schema(pc).dataType
-          val value: Column = pv.get(pc).flatten match {
-            case Some(s) => lit(s).cast(dt)
-            case None    => lit(null).cast(dt)
+    val hasDv = live.values.exists(_.dv.isDefined)
+    import org.apache.spark.sql.functions.{expr, regexp_replace}
+    def norm(c: Column): Column = regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
+    // `_metadata` is only resolvable on a direct file scan, so the
+    // file/row tags must attach at each scan base, not after the union
+    def tag(df: DataFrame): DataFrame =
+      if (!hasDv) df
+      else df.withColumn("__file", norm(expr("_metadata.file_path")))
+        .withColumn("__pos", expr("_metadata.row_index"))
+
+    val scanned =
+      if (partitionCols.isEmpty)
+        tag(spark.read.schema(StructType(schema.fields)).parquet(live.values.map(e => resolve(e.path)).toSeq: _*))
+      else {
+        // one read per distinct partition tuple, partition values attached
+        // as typed literal columns (Delta data files omit them)
+        val dataSchema = StructType(schema.fields.filterNot(fl => partitionCols.contains(fl.name)))
+        val groups = live.values.toSeq.groupBy(_.partitionValues)
+        val frames = groups.toSeq.map { case (pv, entries) =>
+          val base = tag(spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*))
+          partitionCols.foldLeft(base) { (df, pc) =>
+            val dt = schema(pc).dataType
+            val value: Column = pv.get(pc).flatten match {
+              case Some(s) => lit(s).cast(dt)
+              case None    => lit(null).cast(dt)
+            }
+            df.withColumn(pc, value)
           }
-          df.withColumn(pc, value)
         }
+        val extra = if (hasDv) Seq("__file", "__pos") else Nil
+        frames.reduce(_ unionByName _).select((schema.fieldNames.toSeq ++ extra).map(col): _*)
       }
-      frames.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
+
+    if (!hasDv) scanned
+    else {
+      // DV bitmaps decode ON EXECUTORS (one task per descriptor batch —
+      // the driver ships only the ~100-byte descriptors), producing a
+      // (file, row_index) delete set that anti-joins the scan; the
+      // delete side is tiny relative to the data → AQE broadcasts it.
+      val sconf = new graft.core.SerializableHadoopConf(conf)
+      val tbl = table
+      val descs: Seq[(String, String, String, Int, Int, Long)] =
+        live.values.toSeq.flatMap(e => e.dv.map(d =>
+          (resolve(e.path).replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"),
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))
+      import spark.implicits._
+      val deletes = spark.createDataset(descs)
+        .repartition(math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (fp, st, pid, off, sz, card) =>
+          dvRows(tbl, DvDescriptor(st, pid, off, sz, card), sconf.value).map(pos => (fp, pos))
+        }.toDF("__del_file", "__del_pos")
+      scanned.join(deletes,
+        col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
+        .select(schema.fieldNames.map(col).toSeq: _*)
     }
   }
 }

@@ -117,14 +117,84 @@ class DeltaReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("version 5"))
   }
 
-  test("deletion vectors and column mapping refuse loudly") {
-    val t = Files.createTempDirectory("delta4")
-    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
-    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName),
-      addAction("f1.parquet", extra = ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")))
-    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString))
-    assert(e.getMessage.contains("deletion vector"))
+  // ---- deletion-vector fixtures ------------------------------------
 
+  private def z85Encode(b: Array[Byte]): String = {
+    val alpha = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < b.length) {
+      var v = 0L
+      for (k <- 0 until 4) v = (v << 8) | (b(i + k) & 0xffL)
+      val cs = new Array[Char](5)
+      for (k <- 4 to 0 by -1) { cs(k) = alpha((v % 85).toInt); v /= 85 }
+      sb.appendAll(cs); i += 4
+    }
+    sb.toString
+  }
+
+  /** DV payload deleting `positions` (all < 2^16): magic + roaring64
+    * with one keyed roaring32 array container (PROTOCOL.md layout). */
+  private def dvData(positions: Seq[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 + 2 * positions.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377).putLong(1L).putInt(0) // magic, nBitmaps, key 0
+    bb.putInt(12346).putInt(1)                  // roaring32 no-run cookie, 1 container
+    bb.putShort(0).putShort((positions.size - 1).toShort) // container key, card-1
+    bb.putInt(16)                               // offsets table (1 entry)
+    positions.sorted.foreach(p => bb.putShort(p.toShort))
+    bb.array()
+  }
+
+  private def dvProtocol: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  test("inline deletion vector drops the flagged rows") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadv1")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    writeParquetFile(t, "f2.parquet", Seq((4L, "delta")))
+    val data = dvData(Seq(0, 2)) // delete rows 0 and 2 of f1
+    writeCommit(t, 0, Seq(dvProtocol, metaAction(schemaIdName),
+      addAction("f1.parquet"), addAction("f2.parquet")))
+    writeCommit(t, 1, Seq(addAction("f1.parquet", extra =
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":${js(z85Encode(data))},"sizeInBytes":${data.length},"cardinality":2}""")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "beta"), (4L, "delta")))
+    // time travel to the pre-DV version resurrects the full file
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 4)
+  }
+
+  test("on-disk deletion vector ('u' uuid path) verifies CRC and applies") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadv2")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    val data = dvData(Seq(1))
+    val uuidBytes = Array.tabulate[Byte](16)(_.toByte)
+    val bbU = java.nio.ByteBuffer.wrap(uuidBytes)
+    val uuid = new java.util.UUID(bbU.getLong, bbU.getLong)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val blob = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4) // version byte, BE size, data, BE crc
+      .put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt).array()
+    Files.write(t.resolve(s"deletion_vector_$uuid.bin"), blob)
+    writeCommit(t, 0, Seq(dvProtocol, metaAction(schemaIdName),
+      addAction("f1.parquet", extra =
+        s""","deletionVector":{"storageType":"u","pathOrInlineDv":${js(z85Encode(uuidBytes))},"offset":1,"sizeInBytes":${data.length},"cardinality":1}""")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (3L, "gamma")))
+    // corrupt one data byte inside the blob → CRC gate refuses
+    blob(7) = (blob(7) ^ 0x1).toByte
+    Files.write(t.resolve(s"deletion_vector_$uuid.bin"), blob)
+    val e = intercept[Exception](DeltaReader.read(spark, t.toString).count())
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(m => m.contains("delta dv"))) // refuses, never silently resurrects
+
+  }
+
+  test("column mapping refuses loudly") {
     val t2 = Files.createTempDirectory("delta5")
     writeParquetFile(t2, "f1.parquet", Seq((1L, "alpha")))
     writeCommit(t2, 0, Seq(protocolAction(2), metaAction(schemaIdName,
