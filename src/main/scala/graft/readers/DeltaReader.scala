@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Native Delta Lake table reader (published Delta transaction-log
   * protocol; reference readers.py:1108 `scan_delta` / the delta-rs
@@ -27,8 +27,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Stated profile: parquet tables with `minReaderVersion` 1, or 2/3
   * with reader features limited to timestampNtz/v2Checkpoint/
-  * deletionVectors — column mapping and anything else refuses loudly
-  * (misreading those silently misnames columns or resurrects rows).
+  * deletionVectors/columnMapping — anything else refuses loudly
+  * (misreading an unknown gating feature silently corrupts results).
+  * Column mapping ('name'/'id'): data files carry physical column
+  * names (logical names live in the schema's
+  * `delta.columnMapping.physicalName` field metadata), so the scan
+  * uses the physical schema and renames back, nested fields via a
+  * positional struct cast; `add.partitionValues` keys are physical.
   * Deletion vectors (PROTOCOL.md "Deletion Vectors") are applied: each
   * descriptor's roaring64 bitmap is decoded ON EXECUTORS (z85 inline,
   * or a `u`/`p` file blob with magic + CRC-32 + cardinality checks) into
@@ -284,11 +289,14 @@ object DeltaReader {
     // 3. profile gates
     require(provider == "parquet", s"delta: format provider '$provider' outside the supported profile")
     require(minReader <= 3, s"delta: minReaderVersion $minReader outside the supported profile")
-    val gating = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint", "deletionVectors").contains)
+    val gating = readerFeatures.filterNot(
+      Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping").contains)
     require(minReader < 3 || gating.isEmpty,
       s"delta: reader features ${gating.mkString(",")} outside the supported profile")
     val colMapping = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(colMapping == "none", s"delta: column mapping mode '$colMapping' outside the supported profile")
+    require(Set("none", "name", "id").contains(colMapping),
+      s"delta: column mapping mode '$colMapping' outside the supported profile")
+    val mapped = colMapping != "none"
     require(live.nonEmpty, s"delta: table has no live data files")
     require(schemaJson != null, s"delta: no metaData action found in the log")
 
@@ -297,6 +305,28 @@ object DeltaReader {
       val decoded = java.net.URLDecoder.decode(p, "UTF-8") // paths are URL-encoded in the log
       if (decoded.contains("://") || decoded.startsWith("/")) decoded
       else table.stripSuffix("/") + "/" + decoded
+    }
+
+    // Column mapping ('name'/'id'): parquet files carry PHYSICAL column
+    // names; the logical schema's field metadata maps them back. 'id'
+    // tables also always write physical names, so name-keyed reads
+    // cover both modes. Nested renames ride a positional struct cast.
+    def physName(fl: StructField): String =
+      if (mapped && fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else fl.name
+    def toPhysical(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(fl =>
+        StructField(physName(fl), toPhysical(fl.dataType), fl.nullable)))
+      case ArrayType(et, n) => ArrayType(toPhysical(et), n)
+      case MapType(k, v, n) => MapType(toPhysical(k), toPhysical(v), n)
+      case other => other
+    }
+    def stripMeta(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(fl =>
+        StructField(fl.name, stripMeta(fl.dataType), fl.nullable)))
+      case ArrayType(et, n) => ArrayType(stripMeta(et), n)
+      case MapType(k, v, n) => MapType(stripMeta(k), stripMeta(v), n)
+      case other => other
     }
 
     val hasDv = live.values.exists(_.dv.isDefined)
@@ -308,28 +338,38 @@ object DeltaReader {
       if (!hasDv) df
       else df.withColumn("__file", norm(expr("_metadata.file_path")))
         .withColumn("__pos", expr("_metadata.row_index"))
+    val extraCols = if (hasDv) Seq("__file", "__pos") else Nil
+    def renameToLogical(df: DataFrame, fields: Seq[StructField]): DataFrame =
+      if (!mapped) df
+      else df.select(fields.map(fl =>
+        col(physName(fl)).cast(stripMeta(fl.dataType)).as(fl.name)) ++ extraCols.map(col): _*)
 
     val scanned =
-      if (partitionCols.isEmpty)
-        tag(spark.read.schema(StructType(schema.fields)).parquet(live.values.map(e => resolve(e.path)).toSeq: _*))
-      else {
+      if (partitionCols.isEmpty) {
+        val phys = toPhysical(schema).asInstanceOf[StructType]
+        renameToLogical(
+          tag(spark.read.schema(phys).parquet(live.values.map(e => resolve(e.path)).toSeq: _*)),
+          schema.fields.toSeq)
+      } else {
         // one read per distinct partition tuple, partition values attached
-        // as typed literal columns (Delta data files omit them)
-        val dataSchema = StructType(schema.fields.filterNot(fl => partitionCols.contains(fl.name)))
+        // as typed literal columns (Delta data files omit them; the log
+        // keys partitionValues by PHYSICAL name under column mapping)
+        val dataFields = schema.fields.filterNot(fl => partitionCols.contains(fl.name)).toSeq
+        val dataSchema = toPhysical(StructType(dataFields)).asInstanceOf[StructType]
         val groups = live.values.toSeq.groupBy(_.partitionValues)
         val frames = groups.toSeq.map { case (pv, entries) =>
-          val base = tag(spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*))
+          val base = renameToLogical(
+            tag(spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*)), dataFields)
           partitionCols.foldLeft(base) { (df, pc) =>
-            val dt = schema(pc).dataType
-            val value: Column = pv.get(pc).flatten match {
-              case Some(s) => lit(s).cast(dt)
-              case None    => lit(null).cast(dt)
+            val fl = schema(pc)
+            val value: Column = pv.get(physName(fl)).orElse(pv.get(pc)).flatten match {
+              case Some(s) => lit(s).cast(fl.dataType)
+              case None    => lit(null).cast(fl.dataType)
             }
             df.withColumn(pc, value)
           }
         }
-        val extra = if (hasDv) Seq("__file", "__pos") else Nil
-        frames.reduce(_ unionByName _).select((schema.fieldNames.toSeq ++ extra).map(col): _*)
+        frames.reduce(_ unionByName _).select((schema.fieldNames.toSeq ++ extraCols).map(col): _*)
       }
 
     if (!hasDv) scanned

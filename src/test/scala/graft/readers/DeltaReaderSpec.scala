@@ -194,11 +194,61 @@ class DeltaReaderSpec extends SparkSpec {
 
   }
 
-  test("column mapping refuses loudly") {
+  // logical (id, name[, ds]) with delta.columnMapping physical names
+  private def mappedSchema(withDs: Boolean): String = {
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val base = Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("name", StringType, nullable = true, meta("col-bbb", 2)))
+    StructType(if (withDs) base :+ StructField("ds", DateType, nullable = true, meta("col-ddd", 3)) else base).json
+  }
+
+  private def writeMappedParquet(table: JPath, rel: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("deltaphys").toString
+    rows.toDF("col-aaa", "col-bbb").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(part), dest)
+  }
+
+  test("column mapping 'name' reads physical columns back under logical names") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltacm1")
+    writeMappedParquet(t, "f1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(2), metaAction(mappedSchema(withDs = false),
+      config = """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}"""),
+      addAction("f1.parquet")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("column mapping with partitions: partitionValues keyed by physical name") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltacm2")
+    writeMappedParquet(t, "part0/f1.parquet", Seq((1L, "alpha")))
+    writeMappedParquet(t, "part1/f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(2), metaAction(mappedSchema(withDs = true), Seq("ds"),
+      config = """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}"""),
+      addAction("part0/f1.parquet", """{"col-ddd":"2024-01-01"}"""),
+      addAction("part1/f2.parquet", """{"col-ddd":"2024-01-02"}""")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.columns.toSeq == Seq("id", "name", "ds"))
+    val got = df.selectExpr("id", "name", "cast(ds as string)")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha", "2024-01-01"), (2L, "beta", "2024-01-02")))
+  }
+
+  test("unknown column mapping mode refuses loudly") {
     val t2 = Files.createTempDirectory("delta5")
     writeParquetFile(t2, "f1.parquet", Seq((1L, "alpha")))
     writeCommit(t2, 0, Seq(protocolAction(2), metaAction(schemaIdName,
-      config = """{"delta.columnMapping.mode":"name"}"""),
+      config = """{"delta.columnMapping.mode":"bogus"}"""),
       addAction("f1.parquet")))
     val e2 = intercept[IllegalArgumentException](DeltaReader.read(spark, t2.toString))
     assert(e2.getMessage.contains("column mapping"))
