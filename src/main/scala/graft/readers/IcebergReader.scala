@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  3. each manifest (Avro) → live data-file entries (`status != 2`);
   *  4. `spark.read.parquet(files…)` over the surviving data files —
   *     Iceberg data files carry all columns including identity
-  *     partition values, so the parquet scan is the full table.
+  *     partition values, so the parquet scan is the full table. Columns
+  *     resolve by FIELD ID (the spec's rule): the current schema's ids
+  *     ride `parquet.field.id` metadata and Spark's
+  *     `parquet.fieldId.read` matcher, so renamed columns read
+  *     correctly from pre-rename files and added columns null out on
+  *     files written before the add.
   *
   * Stated profile: format-version 1 and 2 tables of parquet data files.
   * v2 POSITION deletes apply as a distributed anti-join of the scan's
@@ -88,6 +93,63 @@ object IcebergReader {
     if (p.contains("://") || p.startsWith("/")) p
     else table.stripSuffix("/") + "/" + p
 
+  /** The metadata's current schema node: `current-schema-id` into
+    * `schemas` (v2), else the inline `schema` (v1). */
+  private[readers] def currentSchemaNode(meta: JsonNode): Option[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val byId = for {
+      id <- Option(meta.get("current-schema-id")).map(_.asInt())
+      ss <- Option(meta.get("schemas"))
+      s <- ss.elements().asScala.find(s => Option(s.get("schema-id")).exists(_.asInt() == id))
+    } yield s
+    byId.orElse(Option(meta.get("schema")))
+      .orElse(Option(meta.get("schemas")).flatMap(_.elements().asScala.toSeq.lastOption))
+  }
+
+  /** Iceberg schema JSON → Spark StructType carrying `parquet.field.id`
+    * metadata, the key Spark's parquet reader matches columns by when
+    * `spark.sql.parquet.fieldId.read.enabled` is on. This is how
+    * renames resolve: the spec evolves schemas by field id, never by
+    * name, so a by-name read of a renamed column silently nulls it. */
+  private[readers] def toSparkSchema(schemaNode: JsonNode): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def prim(s: String): DataType = s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case fx if fx.startsWith("fixed[") => BinaryType
+      case other => // uuid, time, unknown future types
+        throw new IllegalArgumentException(s"iceberg type '$other' outside the supported profile")
+    }
+    def convert(t: JsonNode): DataType =
+      if (t.isTextual) prim(t.asText())
+      else Option(t.get("type")).map(_.asText()) match {
+        case Some("struct") =>
+          StructType(t.get("fields").elements().asScala.map(structField).toArray)
+        case Some("list") =>
+          ArrayType(convert(t.get("element")), !Option(t.get("element-required")).exists(_.asBoolean()))
+        case Some("map") =>
+          MapType(convert(t.get("key")), convert(t.get("value")), !Option(t.get("value-required")).exists(_.asBoolean()))
+        case other => throw new IllegalArgumentException(s"iceberg: unsupported nested type $other")
+      }
+    def structField(f: JsonNode): StructField =
+      StructField(f.get("name").asText(), convert(f.get("type")),
+        nullable = !Option(f.get("required")).exists(_.asBoolean()),
+        new MetadataBuilder().putLong("parquet.field.id", f.get("id").asLong()).build())
+    StructType(schemaNode.get("fields").elements().asScala.map(structField).toArray)
+  }
+
   /** Read the current snapshot, or a pinned one (`snapshotId` — time
     * travel over snapshots still referenced by the metadata). */
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
@@ -144,8 +206,21 @@ object IcebergReader {
       regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
     def normStr(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
     val paths = parquetFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
-    // mergeSchema survives column add/rename evolution across files
-    var data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // Column resolution per the Iceberg spec is by FIELD ID, not name:
+    // the current schema (with parquet.field.id metadata) drives the
+    // scan and Spark's field-id matcher resolves renames; files written
+    // before a column was added lack its id → null (ignoreMissing).
+    // Both confs are inert for schemas without id metadata, so setting
+    // them session-wide changes no other read. Fallback when the
+    // metadata carries no schema: by-name with mergeSchema.
+    var data = currentSchemaNode(meta).map(toSparkSchema) match {
+      case Some(st) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        spark.read.schema(st).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
     val dataCols = data.columns.toSeq
     val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     if (needMeta)

@@ -20,6 +20,12 @@ class IcebergReaderSpec extends SparkSpec {
       .find(p => p.endsWith(".avro")).get
   }
 
+  /** Stamp `parquet.field.id` metadata so written parquet carries field
+    * ids, as every real Iceberg writer does. */
+  private def withFieldIds(df: org.apache.spark.sql.DataFrame, ids: Map[String, Int]): org.apache.spark.sql.DataFrame =
+    df.select(df.columns.map(c => df(c).as(c,
+      new org.apache.spark.sql.types.MetadataBuilder().putLong("parquet.field.id", ids(c).toLong).build())).toSeq: _*)
+
   /** Build a table: two parquet data files (one later marked deleted),
     * v2 metadata with two snapshots (current = latest). `posDeletes`
     * adds a position-delete parquet targeting rows of data file f1. */
@@ -105,8 +111,11 @@ class IcebergReaderSpec extends SparkSpec {
     Files.createDirectories(Paths.get(s"$table/metadata"))
     // f1 @ seq 1 holds (1,alpha),(2,beta); f2 @ seq 3 holds (2,beta2),(3,gamma);
     // the delete @ seq 2 on id=2 removes beta (seq 1 < 2) but NOT beta2 (seq 3 > 2)
-    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name").coalesce(1).write.parquet(s"$table/data/f1")
-    Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "name").coalesce(1).write.parquet(s"$table/data/f2")
+    val ids = Map("id" -> 1, "name" -> 2)
+    withFieldIds(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/f1")
+    withFieldIds(Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/f2")
     Seq(Tuple1(2L)).toDF("id").coalesce(1).write.parquet(s"$table/data/eqdel")
     def partFile(dir: String): String =
       Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
@@ -130,6 +139,48 @@ class IcebergReaderSpec extends SparkSpec {
     assert(df.columns.sorted.toSeq == Seq("id", "name"))
     assert(df.as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq ==
       Seq((1L, "alpha"), (2L, "beta2"), (3L, "gamma")))
+  }
+
+  test("schema evolution: renames resolve by field id; added columns null on old files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergevo")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    // f1 written under the ORIGINAL schema (id, label); the table then
+    // renames label→title (same field id 2) and adds score (id 3); f2
+    // written under the new schema. A by-name read would null 'title'
+    // for every f1 row — field-id resolution recovers it.
+    withFieldIds(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "label"), Map("id" -> 1, "label" -> 2))
+      .coalesce(1).write.parquet(s"$table/data/f1")
+    withFieldIds(Seq((3L, "gamma", 0.5)).toDF("id", "title", "score"),
+      Map("id" -> 1, "title" -> 2, "score" -> 3))
+      .coalesce(1).write.parquet(s"$table/data/f2")
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val manifestDf = Seq(
+      (1, partFile(s"$table/data/f1"), "PARQUET", 0),
+      (1, partFile(s"$table/data/f2"), "PARQUET", 0))
+      .toDF("status", "file_path", "file_format", "content")
+      .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format, 'content', content) as data_file")
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 1,
+         |  "schemas": [
+         |    {"schema-id": 0, "fields": [
+         |      {"id": 1, "name": "id", "type": "long"},
+         |      {"id": 2, "name": "label", "type": "string"}]},
+         |    {"schema-id": 1, "fields": [
+         |      {"id": 1, "name": "id", "type": "long"},
+         |      {"id": 2, "name": "title", "type": "string"},
+         |      {"id": 3, "name": "score", "type": "double"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table)
+    assert(df.columns.toSeq == Seq("id", "title", "score"))
+    val got = df.as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "alpha", None), (2L, "beta", None), (3L, "gamma", Some(0.5))))
   }
 
   test("snapshotId pins a referenced snapshot; unknown ids error") {
