@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   *
   * v3: `zarr.json` node metadata — regular chunk grid, default chunk
   * key encoding (`c` prefix, "/" or "." separator), `bytes` codec
-  * (little endian) with optional `gzip`, and the `sharding_indexed`
+  * (little endian) with optional `gzip`/`blosc`, and the `sharding_indexed`
   * codec: a shard object packs a grid of inner chunks with an
   * (offset, nbytes) u64-pair index at its end (index_location "end";
   * 2^64-1 offsets mark missing inner chunks), so one shard fetch
@@ -44,7 +44,7 @@ object ZarrReader {
       chunks: Seq[Int],          // outer chunk (= shard when sharded)
       dtype: String,             // float64/float32/int64/int32
       sep: String,               // chunk key separator
-      gzip: Boolean,             // gzip codec on the (inner) chunk bytes
+      comp: String,              // none/gzip/blosc codec on the (inner) chunk bytes
       innerChunks: Option[Seq[Int]]) // sharding_indexed inner chunk shape
 
   private def readMeta(url: String, conf: Configuration): Meta = {
@@ -142,15 +142,23 @@ object ZarrReader {
       .map(_.asText()).getOrElse("/")
     val codecs = Option(node.get("codecs")).toSeq.flatMap(_.elements().asScala.toSeq)
 
-    def scanCodecs(cs: Seq[com.fasterxml.jackson.databind.JsonNode]): (Boolean, Option[(Seq[Int], Boolean)]) = {
-      var gz = false
-      var shard: Option[(Seq[Int], Boolean)] = None
+    def scanCodecs(cs: Seq[com.fasterxml.jackson.databind.JsonNode]): (String, Option[(Seq[Int], String)]) = {
+      var comp = "none"
+      var shard: Option[(Seq[Int], String)] = None
       cs.foreach { c =>
         c.get("name").asText() match {
           case "bytes" =>
             val endian = Option(c.get("configuration")).flatMap(cf => Option(cf.get("endian"))).map(_.asText())
             require(endian.forall(_ == "little"), "zarr v3: only little-endian bytes codec")
-          case "gzip" => gz = true
+          case "gzip" => comp = "gzip"
+          case "blosc" =>
+            // self-describing container; vet the cname up front so a
+            // blosclz store refuses at metadata time (the v2 rule)
+            val cname = Option(c.get("configuration")).flatMap(cf => Option(cf.get("cname")))
+              .map(_.asText()).getOrElse("lz4")
+            require(Set("lz4", "lz4hc", "zlib", "zstd", "snappy").contains(cname),
+              s"unsupported zarr v3 blosc cname: $cname (lz4/lz4hc/zlib/zstd/snappy only)")
+            comp = "blosc"
           case "sharding_indexed" =>
             val cfg = c.get("configuration")
             val ics = cfg.get("chunk_shape")
@@ -158,18 +166,18 @@ object ZarrReader {
             require(Option(cfg.get("index_location")).forall(_.asText() == "end"),
               "zarr v3: only end-located shard indexes")
             val innerCodecs = Option(cfg.get("codecs")).toSeq.flatMap(_.elements().asScala.toSeq)
-            val (innerGz, innerShard) = scanCodecs(innerCodecs)
+            val (innerComp, innerShard) = scanCodecs(innerCodecs)
             require(innerShard.isEmpty, "zarr v3: nested sharding unsupported")
-            shard = Some((inner, innerGz))
+            shard = Some((inner, innerComp))
           case "crc32c" => () // trailing checksum codec — bytes pass through with a suffix we ignore
           case other => throw new UnsupportedOperationException(s"zarr v3 codec $other")
         }
       }
-      (gz, shard)
+      (comp, shard)
     }
-    val (gz, shard) = scanCodecs(codecs)
+    val (comp, shard) = scanCodecs(codecs)
     MetaV3(shape, chunks, node.get("data_type").asText(), sep,
-      shard.map(_._2).getOrElse(gz), shard.map(_._1))
+      shard.map(_._2).getOrElse(comp), shard.map(_._1))
   }
 
   private def gunzip(bytes: Array[Byte]): Array[Byte] = {
@@ -185,8 +193,12 @@ object ZarrReader {
     "uint64" -> "<u8", "uint32" -> "<u4", "uint16" -> "<u2", "uint8" -> "<u1",
     "bool" -> "<b1")
 
-  private def decodeV3(bytes: Array[Byte], dtype: String, gz: Boolean): Array[Double] = {
-    val raw = if (gz) gunzip(bytes) else bytes
+  private def decodeV3(bytes: Array[Byte], dtype: String, comp: String): Array[Double] = {
+    val raw = comp match {
+      case "gzip" => gunzip(bytes)
+      case "blosc" => Blosc.decompress(bytes)
+      case _ => bytes
+    }
     val code = v3Dtypes.getOrElse(dtype,
       throw new UnsupportedOperationException(s"zarr v3 data_type $dtype"))
     decodeNumeric(raw, code)
@@ -229,7 +241,7 @@ object ZarrReader {
           val bytes = try in.readAllBytes() finally in.close()
           val origin = key.zip(m.chunks).map { case (k, c) => k * c }
           m.innerChunks match {
-            case None => chunkRows(decodeV3(bytes, m.dtype, m.gzip), origin, m.chunks, m.shape)
+            case None => chunkRows(decodeV3(bytes, m.dtype, m.comp), origin, m.chunks, m.shape)
             case Some(inner) =>
               // shard: inner-chunk grid in C order, (offset, nbytes)
               // u64le pairs indexed from the end of the object
@@ -248,7 +260,7 @@ object ZarrReader {
                 else {
                   val chunk = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
                   val innerOrigin = origin.zip(ik.zip(inner)).map { case (o, (k, c)) => o + k * c }
-                  chunkRows(decodeV3(chunk, m.dtype, m.gzip), innerOrigin, inner, m.shape)
+                  chunkRows(decodeV3(chunk, m.dtype, m.comp), innerOrigin, inner, m.shape)
                 }
               }
           }

@@ -119,7 +119,10 @@ class DeltaReaderSpec extends SparkSpec {
 
   // ---- deletion-vector fixtures ------------------------------------
 
-  private def z85Encode(b: Array[Byte]): String = {
+  private def z85Encode(raw: Array[Byte]): String = {
+    // delta's Base85Codec zero-pads to a multiple of 4; the decoder's
+    // bitmap walk is self-delimiting so the tail is ignored
+    val b = if (raw.length % 4 == 0) raw else raw ++ new Array[Byte](4 - raw.length % 4)
     val alpha = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
     val sb = new StringBuilder
     var i = 0
@@ -213,6 +216,25 @@ class DeltaReaderSpec extends SparkSpec {
     val dest = table.resolve(rel)
     Files.createDirectories(dest.getParent)
     Files.copy(Paths.get(part), dest)
+  }
+
+  test("deletion vector survives the checkpoint parquet round-trip") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadv3")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    val data = dvData(Seq(1))
+    val addWithDv = addAction("f1.parquet", extra =
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":${js(z85Encode(data))},"sizeInBytes":${data.length},"cardinality":1}""")
+    val log = t.resolve("_delta_log"); Files.createDirectories(log)
+    val cpLines = Seq(dvProtocol, metaAction(schemaIdName), addWithDv).toDS()
+    val cpTmp = Files.createTempDirectory("cpwdv").toString
+    spark.read.json(cpLines).coalesce(1).write.mode("overwrite").parquet(cpTmp + "/out")
+    val cpPart = Files.list(Paths.get(cpTmp + "/out")).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    Files.copy(Paths.get(cpPart), log.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0,"size":3}""")
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (3L, "gamma")))
   }
 
   test("column mapping 'name' reads physical columns back under logical names") {

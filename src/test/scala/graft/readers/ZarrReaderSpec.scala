@@ -240,6 +240,34 @@ class ZarrReaderSpec extends SparkSpec {
     assert(m((0L, 0L)) == 0.0 && m((1L, 3L)) == 13.0 && m((2L, 3L)) == 23.0)
   }
 
+  test("zarr v3 blosc codec decodes through the container walk; blosclz refuses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr3b")
+    Files.writeString(dir.resolve("zarr.json"),
+      v3Meta(Seq(3), Seq(2), "float64", "/",
+        """{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "noshuffle", "typesize": 8, "blocksize": 0}}"""))
+    def memcpyContainer(data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(1.toByte).put(0x02.toByte).put(8.toByte)
+      bb.putInt(data.length).putInt(data.length).putInt(16 + data.length)
+      bb.put(data)
+      bb.array()
+    }
+    Files.createDirectories(dir.resolve("c"))
+    Files.write(dir.resolve("c/0"), memcpyContainer(le64(Seq(1.5, 2.5), "float64")))
+    Files.write(dir.resolve("c/1"), memcpyContainer(le64(Seq(3.5, 0.0), "float64")))
+    val m = ZarrReader.read(spark, s"file://$dir")
+      .as[(Long, Double)].collect().toMap
+    assert(m == Map(0L -> 1.5, 1L -> 2.5, 2L -> 3.5))
+
+    val dir2 = Files.createTempDirectory("zarr3bl")
+    Files.writeString(dir2.resolve("zarr.json"),
+      v3Meta(Seq(3), Seq(2), "float64", "/",
+        """{"name": "bytes"}, {"name": "blosc", "configuration": {"cname": "blosclz"}}"""))
+    val e = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir2"))
+    assert(e.getMessage.contains("blosclz"))
+  }
+
   test("zarr v3 dot-separated keys, int32, missing chunk skipped") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zarr3d")
