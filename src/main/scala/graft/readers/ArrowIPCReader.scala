@@ -121,6 +121,6 @@ object ArrowIPC {
 /** Registry wrapper so the catalog/pipeline layers can plan Arrow reads. */
 class ArrowIPCReaderImpl extends Reader {
   val name = "arrow_ipc_reader"
-  val implementsKinds = Set("arrow_ipc")
+  val implementsKinds = Set("arrow_ipc", "feather") // feather v2 IS the IPC file format
   def read(spark: SparkSession, ref: DataRef): DataFrame = ArrowIPC.read(spark, ref.url)
 }

@@ -51,10 +51,32 @@ object SparkReaders {
     defaults = Map("header" -> "true", "inferSchema" -> "true"))
   val json = new FormatReader("spark_json", "json", Set("json", "geojson"))
   val orc = new FormatReader("spark_orc", "orc", Set("orc"))
-  val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml"))
+  val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml", "rst", "python_source", "svg"))
   val binary = new FormatReader("spark_binary", "binaryFile",
     Set("png", "jpeg", "tiff", "wav", "mp3", "mp4", "pdf", "numpy", "npz", "gguf", "safetensors", "onnx", "pickle", "messagepack", "hdf5", "netcdf3", "excel", "sqlite", "duckdb_file", "zip", "shapefile", "pmtiles", "html", "tfrecord",
-      "matlab", "matrixmarket", "grib2", "fits", "asdf", "dicom", "nifti", "flatgeobuf", "geopackage", "matroska", "avi", "webp", "bmp", "gif", "ppm", "stata", "spss", "sas"))
+      "matlab", "matrixmarket", "grib2", "fits", "asdf", "dicom", "nifti", "flatgeobuf", "geopackage", "matroska", "avi", "webp", "bmp", "gif", "ppm", "stata", "spss", "sas",
+      // classified-but-niche binary kinds: the bytes+metadata read is
+      // the honest floor (header inspect adds structure where a parser
+      // exists); a specialized reader earlier in `all` wins when present
+      "docx", "epub", "osmpbf", "torchscript", "keras_model", "joblib",
+      "bigwig", "e57", "exr", "flac", "heif", "metaimage", "ogg", "sdf", "wholeslide"))
+
+  /** Document-text reader: binaryFile scan + executor-side extraction
+    * (reference readers.py:2150 DocumentToText family) — DOCX/EPUB/PDF
+    * kinds yield rows WITH a `text` column, not just opaque bytes; the
+    * plain binary passthrough stays available as the later candidate. */
+  val docText: Reader = new Reader {
+    val name = "doc_text"
+    val implementsKinds = Set("docx", "epub", "pdf")
+    def read(spark: SparkSession, ref: DataRef): DataFrame = {
+      val base = spark.read.format("binaryFile").load(ref.url)
+      ref.kind match {
+        case "docx" => graft.ops.TextExtract.docxToText(base)
+        case "epub" => graft.ops.TextExtract.epubToText(base)
+        case _      => graft.ops.TextExtract.pdfToText(base)
+      }
+    }
+  }
   val image = new FormatReader("spark_image", "image", Set("png", "jpeg", "tiff"))
   val xml = new FormatReader("spark_xml", "xml", Set("xml"),
     requiredClass = Some("org.apache.spark.sql.execution.datasources.xml.XmlFileFormat"),
@@ -286,7 +308,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, archive, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, archive, docText, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).
