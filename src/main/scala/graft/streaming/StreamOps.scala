@@ -113,6 +113,20 @@ object StreamOps {
     wm.dropDuplicates(keyCols :+ tsCol)
   }
 
+  /** Content-keyed ingest dedup: unlike [[dedupStream]] (which keys on
+    * key+event-time, so a re-delivery stamped with a different time
+    * survives), this drops any later arrival of the same key via
+    * `dropDuplicatesWithinWatermark` — state holds each key only within
+    * the watermark horizon, so the state store stays bounded at ingest
+    * scale instead of growing with total distinct keys. The semantics a
+    * training-data pipeline wants for dedup-on-ingest (key = content
+    * hash/fingerprint). Static frames degenerate to dropDuplicates.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String, keyCols: Seq[String]): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, delay) else df
 

@@ -220,6 +220,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("dedupWithinWatermark drops a duplicate key even at a different timestamp") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF().toDF("ts", "doc_hash"), "ts", "10 minutes", Seq("doc_hash"))
+      .writeStream.format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    // same doc_hash re-arrives one minute later: dedupStream would keep
+    // it (different ts); content-keyed dedup must drop it
+    ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 10:02:00"), 1L)) // later batch, still within horizon
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_wm_out").count() == 2)
+    // static degenerate: plain dropDuplicates on the keys
+    import spark.implicits._
+    val statics = StreamOps.dedupWithinWatermark(
+      Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L)).toDF("ts", "doc_hash"),
+      "ts", "10 minutes", Seq("doc_hash"))
+    assert(statics.count() == 1)
+  }
+
   test("kafka source/sink are gated on the connector classpath") {
     // this distribution ships without the sql-kafka jar: the wiring is
     // code-complete and the gate must say exactly what is missing
