@@ -195,10 +195,23 @@ object DeltaReader {
         val node = try mapper.readTree(in) finally in.close()
         val v = node.get("version").asLong()
         val parts = Option(node.get("parts")).map(_.asInt())
-        val files = parts match {
+        val classic = parts match {
           case None => Seq(f"$logDir/$v%020d.checkpoint.parquet")
           case Some(n) => (1 to n).map(i => f"$logDir/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
         }
+        // v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature") are
+        // UUID-named — <version>.checkpoint.<uuid>.{json,parquet} — and
+        // may park their file actions in _sidecars; fall through to a
+        // glob when the classic name is absent
+        val files =
+          if (classic.forall(p => f.exists(new Path(p)))) classic
+          else {
+            val v2 = f.globStatus(new Path(logDir, f"$v%020d.checkpoint.*")).toSeq
+              .map(_.getPath.toString)
+              .filter(p => p.endsWith(".parquet") || p.endsWith(".json"))
+            require(v2.nonEmpty, s"delta: _last_checkpoint names version $v but no checkpoint file matches in $logDir")
+            v2.take(1)
+          }
         if (versionAsOf.exists(_ < v)) (-1L, Nil) else (v, files)
       } else (-1L, Nil)
 
@@ -254,19 +267,52 @@ object DeltaReader {
           dv.get("cardinality").asLong())
       }
 
-    // 1. checkpoint state (adds are the live set at cpVersion)
+    // 1. checkpoint state (adds are the live set at cpVersion). Removes
+    // in a checkpoint are retention tombstones, never live state.
+    def applyAdd(node: JsonNode): Unit = {
+      val p = node.get("path").asText()
+      live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node))
+    }
+    val sidecarPaths = Seq.newBuilder[String]
+    def applySidecar(node: JsonNode): Unit = {
+      val p = node.get("path").asText()
+      sidecarPaths += (if (p.contains("://") || p.startsWith("/")) p else s"$logDir/_sidecars/$p")
+    }
     if (cpFiles.nonEmpty) {
-      val cp = spark.read.parquet(cpFiles: _*)
-      val cols = cp.columns.toSet
-      def jsonRows(c: String): Seq[JsonNode] =
-        cp.where(col(c).isNotNull)
-          .select(org.apache.spark.sql.functions.to_json(col(c)))
-          .collect().toSeq.map(r => mapper.readTree(r.getString(0)))
-      if (cols.contains("metaData")) jsonRows("metaData").foreach(applyMeta)
-      if (cols.contains("protocol")) jsonRows("protocol").foreach(applyProtocol)
-      jsonRows("add").foreach { node =>
-        val p = node.get("path").asText()
-        live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node))
+      if (cpFiles.forall(_.endsWith(".json"))) {
+        // v2 json manifest: one action per line, like a commit file
+        cpFiles.foreach { p =>
+          val in = f.open(new Path(p))
+          val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+            val action = mapper.readTree(line)
+            Option(action.get("metaData")).foreach(applyMeta)
+            Option(action.get("protocol")).foreach(applyProtocol)
+            Option(action.get("add")).filterNot(_.isNull).foreach(applyAdd)
+            Option(action.get("sidecar")).filterNot(_.isNull).foreach(applySidecar)
+          }
+        }
+      } else {
+        val cp = spark.read.parquet(cpFiles: _*)
+        val cols = cp.columns.toSet
+        def jsonRows(c: String): Seq[JsonNode] =
+          cp.where(col(c).isNotNull)
+            .select(org.apache.spark.sql.functions.to_json(col(c)))
+            .collect().toSeq.map(r => mapper.readTree(r.getString(0)))
+        if (cols.contains("metaData")) jsonRows("metaData").foreach(applyMeta)
+        if (cols.contains("protocol")) jsonRows("protocol").foreach(applyProtocol)
+        if (cols.contains("add")) jsonRows("add").foreach(applyAdd)
+        if (cols.contains("sidecar")) jsonRows("sidecar").foreach(applySidecar)
+      }
+      // v2 sidecar parquets hold the checkpoint's file actions
+      val sidecars = sidecarPaths.result()
+      if (sidecars.nonEmpty) {
+        val sc = spark.read.parquet(sidecars: _*)
+        if (sc.columns.contains("add"))
+          sc.where(col("add").isNotNull)
+            .select(org.apache.spark.sql.functions.to_json(col("add")))
+            .collect().toSeq.map(r => mapper.readTree(r.getString(0)))
+            .foreach(applyAdd)
       }
     }
 

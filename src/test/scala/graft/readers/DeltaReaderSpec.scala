@@ -103,6 +103,46 @@ class DeltaReaderSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta")))
   }
 
+  /** spark-written single parquet part copied to an exact destination */
+  private def jsonLinesToParquet(lines: Seq[String], dest: JPath): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("j2p").toString
+    spark.read.json(lines.toDS()).coalesce(1).write.mode("overwrite").parquet(tmp + "/out")
+    val part = Files.list(Paths.get(tmp + "/out")).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(part), dest)
+  }
+
+  test("v2 uuid-named checkpoint parquet resolves sidecar file actions") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltav2cp")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "f2.parquet", Seq((2L, "beta")))
+    val log = t.resolve("_delta_log")
+    // sidecar holds the add; the main checkpoint holds meta/protocol/sidecar
+    jsonLinesToParquet(Seq(addAction("f1.parquet")), log.resolve("_sidecars/sc1.parquet"))
+    jsonLinesToParquet(Seq(protocolAction(), metaAction(schemaIdName),
+      """{"sidecar":{"path":"sc1.parquet","sizeInBytes":100}}"""),
+      log.resolve(f"${0L}%020d.checkpoint.0a1b2c3d-1111-2222-3333-444455556666.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0,"size":3}""")
+    writeCommit(t, 1, Seq(addAction("f2.parquet")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("v2 json checkpoint manifest replays inline actions") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltav2cpj")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    val log = t.resolve("_delta_log"); Files.createDirectories(log)
+    Files.writeString(log.resolve(f"${0L}%020d.checkpoint.0a1b2c3d-1111-2222-3333-444455556666.json"),
+      Seq(protocolAction(), metaAction(schemaIdName), addAction("f1.parquet")).mkString("\n") + "\n")
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0,"size":3}""")
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().toSeq == Seq((1L, "alpha")))
+  }
+
   test("versionAsOf replays only through the pinned commit") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltatt")
