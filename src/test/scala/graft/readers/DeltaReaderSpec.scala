@@ -2,6 +2,7 @@ package graft.readers
 
 import graft.SparkSpec
 import java.nio.file.{Files, Path => JPath, Paths}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Spec for the native Delta log replay over fixture tables laid out
@@ -314,6 +315,25 @@ class DeltaReaderSpec extends SparkSpec {
       addAction("f1.parquet")))
     val e2 = intercept[IllegalArgumentException](DeltaReader.read(spark, t2.toString))
     assert(e2.getMessage.contains("column mapping"))
+  }
+
+  test("partition filter prunes non-matching files from the plan (scale contract)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltaprune")
+    writeParquetFile(t, "ds=2024-01-01/f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "ds=2024-01-02/f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaWithDs, Seq("ds")),
+      addAction("ds=2024-01-01/f1.parquet", """{"ds":"2024-01-01"}"""),
+      addAction("ds=2024-01-02/f2.parquet", """{"ds":"2024-01-02"}""")))
+    val df = DeltaReader.read(spark, t.toString).where(col("ds") === lit("2024-01-01").cast("date"))
+    // the partition value is a per-group literal, so Catalyst constant-
+    // folds the filter and prunes the non-matching partition's scan
+    // entirely — at 100 TB the filter never opens the other files
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("f1.parquet") || physical.contains("ds=2024-01-01"))
+    assert(!physical.contains("f2.parquet") && !physical.contains("ds=2024-01-02"),
+      s"pruned partition still scanned:\n$physical")
+    assert(df.as[(Long, String, java.sql.Date)].collect().map(_._1).toSeq == Seq(1L))
   }
 
   test("registered reader routes the delta kind as the importable fallback") {

@@ -201,6 +201,18 @@ class IcebergReaderSpec extends SparkSpec {
     assert(IcebergReader.read(spark, table.toString).count() == 3)
   }
 
+  test("filters push down to the parquet scan (scale contract)") {
+    val table = fixture()
+    val df = IcebergReader.read(spark, table.toString).where("id > 2")
+    val physical = df.queryExecution.executedPlan.toString
+    // the native walk must hand Catalyst a plain parquet relation:
+    // predicate pushdown reaching the scan is what keeps a 100 TB read
+    // from materializing rows the filter would drop
+    assert(physical.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"),
+      s"filter did not reach the scan:\n$physical")
+    assert(df.count() == 1)
+  }
+
   test("registered reader routes the iceberg kind and detection classifies it") {
     val table = fixture()
     val ref = graft.datatypes.DataRef("iceberg", table.toString)
