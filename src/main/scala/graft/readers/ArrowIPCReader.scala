@@ -77,7 +77,11 @@ object ArrowIPC {
       if (isFile) {
         val ch = new org.apache.arrow.vector.ipc.SeekableReadChannel(
           new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes))
-        val reader = new ArrowFileReader(ch, alloc)
+        // CommonsCompressionFactory decodes LZ4_FRAME/ZSTD body buffers
+        // (feather v2 written with compression=, the pyarrow default for
+        // write_feather); uncompressed batches pass through untouched
+        val reader = new ArrowFileReader(ch, alloc,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
         try {
           var fields: Seq[org.apache.arrow.vector.types.pojo.Field] = Nil
           while (reader.loadNextBatch()) fields = drain(reader.getVectorSchemaRoot)
@@ -87,7 +91,8 @@ object ArrowIPC {
           (fields, rows.toSeq)
         } finally reader.close()
       } else {
-        val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+        val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
         try {
           var fields: Seq[org.apache.arrow.vector.types.pojo.Field] = Nil
           while (reader.loadNextBatch()) fields = drain(reader.getVectorSchemaRoot)
