@@ -37,7 +37,7 @@ object Hdf5Inspect {
       denseLinks: Boolean,
       contiguous: Option[(Long, Long)],  // data address + byte size
       chunked: Option[(Long, Seq[Int], String)], // chunk index address + chunk dims + index kind
-      gzipped: Boolean)                  // deflate filter in the pipeline
+      filters: Seq[Int])                 // ordered filter-pipeline ids (1=deflate, 2=shuffle)
 
   /** A dataset whose data this walker can address: contiguous layout,
     * or chunked with optional deflate filter. `indexKind` names the
@@ -52,7 +52,7 @@ object Hdf5Inspect {
   final case class DatasetInfo(
       path: String, dims: Seq[Long], dtypeClass: String, dtypeSize: Int,
       littleEndian: Boolean, dataAddr: Long, dataSize: Long,
-      chunkBtree: Long = -1L, chunkDims: Seq[Int] = Nil, gzipped: Boolean = false,
+      chunkBtree: Long = -1L, chunkDims: Seq[Int] = Nil, filters: Seq[Int] = Nil,
       indexKind: String = "btree1") {
     def isChunked: Boolean = chunkBtree != -1L
   }
@@ -274,7 +274,7 @@ object Hdf5Inspect {
       var dense = false
       var contiguous: Option[(Long, Long)] = None
       var chunked: Option[(Long, Seq[Int], String)] = None
-      var gzipped = false
+      val filterIds = Seq.newBuilder[Int]
       val continuations = scala.collection.mutable.Queue[(Long, Long)]()
 
       def handle(typ: Int, body: Int, size: Int): Unit = typ match {
@@ -329,14 +329,18 @@ object Hdf5Inspect {
             }
             chunked = Some((bb.getLong(q), cdims, kind))
           }
-        case 0x000B => // filter pipeline v1: deflate is filter id 1
+        case 0x000B => // filter pipeline v1: ids in application order
+          // (write-side); readers invert them in reverse. Recording the
+          // FULL list (not just deflate) lets the reader refuse unknown
+          // filters instead of silently decoding garbage — shuffle+
+          // deflate is the h5py default combo.
           val n = bytes(body + 1) & 0xff
           var q = body + 8
           (0 until n).foreach { _ =>
             val id = bb.getShort(q) & 0xffff
             val nameLen = bb.getShort(q + 2) & 0xffff
             val nValues = bb.getShort(q + 6) & 0xffff
-            if (id == 1) gzipped = true
+            filterIds += id
             q += 8 + nameLen + nValues * 4
             if (nValues % 2 == 1) q += 4 // pad to 8
           }
@@ -400,7 +404,7 @@ object Hdf5Inspect {
         }
       } else throw new UnsupportedOperationException(s"unrecognized object header at $headerAddr")
 
-      Messages(symbolTable, links.result(), dims, dtype, dense, contiguous, chunked, gzipped)
+      Messages(symbolTable, links.result(), dims, dtype, dense, contiguous, chunked, filterIds.result())
     }
 
     def visit(path: String, headerAddr: Long): Unit = {
@@ -415,7 +419,7 @@ object Hdf5Inspect {
             dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, addr0, size0)
           for (((cls, sz, le), (bt, cdims, kind)) <- m.dtype.zip(m.chunked))
             dsOut += DatasetInfo(path, m.dims.getOrElse(Nil), cls, sz, le, -1L, 0L,
-              chunkBtree = bt, chunkDims = cdims, gzipped = m.gzipped, indexKind = kind)
+              chunkBtree = bt, chunkDims = cdims, filters = m.filters, indexKind = kind)
         } else {
           out += Node(path, if (m.denseLinks) "group(children_omitted)" else "group",
             Nil, "", 0)

@@ -64,8 +64,12 @@ object Hdf5Reader {
       case "btree1" => Hdf5Inspect.chunkIndex(bytes, d.chunkBtree, d.dims.length)
       case kind => Hdf5Inspect.modernChunks(bytes, kind, d.chunkBtree, d.dims, d.chunkDims, d.dtypeSize)
     }
-    val (cls, esz, le, gz, cdims, dims, twoD) =
-      (d.dtypeClass, d.dtypeSize, d.littleEndian, d.gzipped, d.chunkDims, d.dims, d.dims.length == 2)
+    // vet the pipeline on the driver: unknown filters refuse up front,
+    // never decode garbage (1=deflate, 2=shuffle — the h5py defaults)
+    d.filters.foreach(id => require(id == 1 || id == 2,
+      s"hdf5 filter id $id outside the supported profile (deflate=1, shuffle=2)"))
+    val (cls, esz, le, filters, cdims, dims, twoD) =
+      (d.dtypeClass, d.dtypeSize, d.littleEndian, d.filters, d.chunkDims, d.dims, d.dims.length == 2)
     val sconf = graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rowsRdd = spark.sparkContext
       .parallelize(chunks, math.max(1, math.min(chunks.size, spark.sparkContext.defaultParallelism)))
@@ -74,11 +78,12 @@ object Hdf5Reader {
         val inEx = fsEx.open(new Path(url))
         val stored = new Array[Byte](storedSize)
         try inEx.readFully(addr, stored) finally inEx.close()
-        val raw =
-          if (!gz) stored
-          else {
+        // invert the filter pipeline in reverse application order
+        // (write order shuffle→deflate ⇒ read order inflate→unshuffle)
+        val raw = filters.reverse.foldLeft(stored) {
+          case (b, 1) =>
             val inf = new java.util.zip.Inflater()
-            inf.setInput(stored)
+            inf.setInput(b)
             val out = new java.io.ByteArrayOutputStream()
             val b2 = new Array[Byte](8192)
             while (!inf.finished()) {
@@ -87,7 +92,20 @@ object Hdf5Reader {
               out.write(b2, 0, n)
             }
             inf.end(); out.toByteArray
-          }
+          case (b, 2) => // byte unshuffle: planes-of-bytes → interleaved
+            val n = b.length / esz
+            val out = new Array[Byte](b.length)
+            var i = 0
+            while (i < n) {
+              var bix = 0
+              while (bix < esz) { out(i * esz + bix) = b(bix * n + i); bix += 1 }
+              i += 1
+            }
+            // trailing bytes (length not a multiple of typesize) copy as-is
+            System.arraycopy(b, n * esz, out, n * esz, b.length - n * esz)
+            out
+          case (b, other) => throw new IllegalStateException(s"hdf5 filter $other") // vetted above
+        }
         val bb = ByteBuffer.wrap(raw).order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
         val n = raw.length / esz
         val cw = if (twoD) cdims(1).toLong else 1L

@@ -298,7 +298,7 @@ class Hdf5InspectSpec extends graft.SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("h5chunk")
     java.nio.file.Files.write(dir.resolve("c.h5"), bb.array())
     val ds = Hdf5Inspect.datasets(bb.array())
-    assert(ds.head.isChunked && ds.head.gzipped && ds.head.chunkDims == Seq(2, 3))
+    assert(ds.head.isChunked && ds.head.filters == Seq(1) && ds.head.chunkDims == Seq(2, 3))
 
     import spark.implicits._
     val m = graft.readers.Hdf5Reader.read(spark, s"file://$dir/c.h5")
@@ -306,6 +306,109 @@ class Hdf5InspectSpec extends graft.SparkSpec {
     assert(m.size == 12) // 3x4; edge chunk rows trimmed
     assert(m((0L, 0L)) == 0.0 && m((1L, 3L)) == 13.0 && m((2L, 3L)) == 23.0)
     assert(!m.contains((3L, 0L)) && !m.contains((0L, 6L)))
+  }
+
+  test("shuffle+deflate pipeline inverts in order; unknown filters refuse") {
+    // h5py's shuffle=True, compression='gzip' default combo: write-side
+    // pipeline is shuffle(2) then deflate(1); reading only the deflate
+    // would decode byte-plane soup — silently wrong values
+    def mkFile(filterMsg: Array[Byte], enc: Seq[Double] => Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(0x1000).order(ByteOrder.LITTLE_ENDIAN)
+      sig(bb, 0)
+      bb.put(8, 0.toByte); bb.put(13, 8.toByte); bb.put(14, 8.toByte)
+      bb.putShort(16, 4); bb.putShort(18, 16)
+      bb.putLong(24, 0L); bb.putLong(32, Undef); bb.putLong(40, 0x1000L); bb.putLong(48, Undef)
+      bb.putLong(56, 0L); bb.putLong(64, 0x100L)
+      def objHeaderV1(at: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+        bb.put(at, 1.toByte); bb.putShort(at + 2, msgs.size.toShort); bb.putInt(at + 4, 1)
+        bb.putInt(at + 8, msgs.map(m => 8 + ((m._2.length + 7) & ~7)).sum)
+        var p = at + 16
+        msgs.foreach { case (typ, body) =>
+          val padded = (body.length + 7) & ~7
+          bb.putShort(p, typ.toShort); bb.putShort(p + 2, padded.toShort)
+          bb.position(p + 8); bb.put(body)
+          p += 8 + padded
+        }
+      }
+      val symTab = { val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN); b.putLong(0x200L); b.putLong(0x300L); b.array() }
+      objHeaderV1(0x100, Seq(0x0011 -> symTab))
+      bb.position(0x200); bb.put("TREE".getBytes); bb.put(0.toByte); bb.put(0.toByte); bb.putShort(1)
+      bb.putLong(0x208, Undef); bb.putLong(0x210, Undef); bb.putLong(0x218, 0L); bb.putLong(0x220, 0x400L)
+      bb.position(0x300); bb.put("HEAP".getBytes); bb.putLong(0x308, 0x80L); bb.putLong(0x310, 0L); bb.putLong(0x318, 0x340L)
+      bb.position(0x340); bb.put("sd".getBytes); bb.put(0.toByte)
+      bb.position(0x400); bb.put("SNOD".getBytes); bb.put(0x404, 1.toByte); bb.putShort(0x406, 1)
+      bb.putLong(0x408, 0L); bb.putLong(0x410, 0x500L)
+      val dataspace = {
+        val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte); b.put(1.toByte); b.position(8); b.putLong(4L); b.array()
+      }
+      val dtype = {
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(((1 << 4) | 1).toByte); b.position(4); b.putInt(8); b.array()
+      }
+      val layoutChunked = {
+        val b = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(3.toByte); b.put(2.toByte); b.put(2.toByte) // v3, chunked, rank+1
+        b.putLong(0x600L); b.putInt(2); b.putInt(8)
+        b.array()
+      }
+      objHeaderV1(0x500, Seq(0x0001 -> dataspace, 0x0003 -> dtype,
+        0x000B -> filterMsg, 0x0008 -> layoutChunked))
+      val c0 = enc(Seq(1.5, 2.5)); val c1 = enc(Seq(3.5, 4.5))
+      bb.position(0x800); bb.put(c0)
+      bb.position(0x900); bb.put(c1)
+      bb.position(0x600); bb.put("TREE".getBytes); bb.put(1.toByte); bb.put(0.toByte); bb.putShort(2)
+      bb.putLong(0x608, Undef); bb.putLong(0x610, Undef)
+      var p = 0x618
+      Seq((c0, 0L, 0x800L), (c1, 2L, 0x900L)).foreach { case (chunk, oi, addr) =>
+        bb.putInt(p, chunk.length); bb.putInt(p + 4, 0)
+        bb.putLong(p + 8, oi); bb.putLong(p + 16, 0L)
+        bb.putLong(p + 24, addr)
+        p += 32
+      }
+      bb.array()
+    }
+    def filterMsg(ids: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + ids.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(ids.size.toByte)
+      ids.zipWithIndex.foreach { case (id, k) =>
+        b.position(8 + k * 8); b.putShort(id.toShort); b.putShort(0); b.putShort(0); b.putShort(0)
+      }
+      b.array()
+    }
+    def le(vals: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putDouble); b.array()
+    }
+    def shuf(raw: Array[Byte], esz: Int): Array[Byte] = {
+      val n = raw.length / esz
+      val out = new Array[Byte](raw.length)
+      for (i <- 0 until n; bix <- 0 until esz) out(bix * n + i) = raw(i * esz + bix)
+      out
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("h5shuf")
+    java.nio.file.Files.write(dir.resolve("s.h5"),
+      mkFile(filterMsg(Seq(2, 1)), vals => gz(shuf(le(vals), 8))))
+    val ds = Hdf5Inspect.datasets(java.nio.file.Files.readAllBytes(dir.resolve("s.h5")))
+    assert(ds.head.filters == Seq(2, 1))
+    import spark.implicits._
+    val got = graft.readers.Hdf5Reader.read(spark, s"file://$dir/s.h5")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 1.5, 1L -> 2.5, 2L -> 3.5, 3L -> 4.5))
+
+    java.nio.file.Files.write(dir.resolve("bad.h5"),
+      mkFile(filterMsg(Seq(42)), le))
+    val e = intercept[IllegalArgumentException](
+      graft.readers.Hdf5Reader.read(spark, s"file://$dir/bad.h5").count())
+    assert(e.getMessage.contains("filter id 42"))
   }
 
   test("layout v4 fixed-array chunk index reads (libver=latest shape)") {
