@@ -84,6 +84,34 @@ object Decontam {
       )
   }
 
+  /** Cross-source contamination matrix: for every unordered source pair,
+    * the count of DISTINCT word n-grams both sources contain — the
+    * corpus-audit view of [[ngramOverlap]] (which crawl/benchmark
+    * sources leak into which). Scale shape: grams dedup per source
+    * BEFORE the self-join (partial-agg distinct), the join key is the
+    * 64-bit gram hash when `hashGrams` (no strings through the
+    * shuffle), and the output is O(sources²) rows, never O(docs).
+    */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 5,
+      hashGrams: Boolean = true,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val key = if (hashGrams) xxhash64(col("_gram")) else col("_gram")
+    val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
+    val grams = explodedGrams(base, sourceCol, textCol, n)
+      .select(col(sourceCol), key.as("_g")).distinct()
+    val a = grams.select(col(sourceCol).as("source_a"), col("_g"))
+    val b = grams.select(col(sourceCol).as("source_b"), col("_g"))
+    a.join(b, Seq("_g"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Remove contaminated documents: drop every doc whose shared-gram count
     * with ANY probe reaches `minShared`. Anti-join on the flagged id set —
     * the flagged set is small (matches only), so AQE broadcasts it.

@@ -568,6 +568,33 @@ object TextQueries {
       """)
     ),
     (
+      "q85_source_overlap",
+      // Cross-source contamination matrix: distinct shared 5-grams per
+      // unordered source pair — the corpus-audit companion of q77. The
+      // Spark side joins on the 64-bit gram hash (nothing but hashes
+      // through the shuffle); the oracle joins the gram strings —
+      // identical counts modulo ~1e-9 collision odds (the q77 argument).
+      (s, dir) => {
+        Decontam.crossSourceOverlap(
+          table(s, dir, "documents"), "source", "text", n = 5,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+      },
+      Some(s"""
+        WITH toks AS (SELECT source, ${duckTokens("text")} AS tk FROM documents),
+        grams AS (
+          SELECT DISTINCT source,
+                 unnest(CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 4),
+                                       i -> array_to_string(tk[i:i+4], ' ')) END) AS gram
+          FROM toks)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared_grams
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+      """)
+    ),
+    (
       "q78_minhash_portable",
       // Hash-exact MinHash-LSH verification: the portable twin of q42
       // (md5-based shingle hashes, literal band-slice buckets) so the

@@ -60,6 +60,23 @@ class DecontamSpec extends SparkSpec {
     assert(lax.contains(12L) && lax.contains(11L) && !lax.contains(10L) && !lax.contains(13L))
   }
 
+  test("crossSourceOverlap counts distinct shared grams per source pair") {
+    val corpus = Seq(
+      ("web", "alpha beta gamma delta epsilon zeta"),      // grams: a b g d e, b g d e z
+      ("web", "alpha beta gamma delta epsilon zeta"),      // duplicate doc: no new grams
+      ("books", "alpha beta gamma delta epsilon eta"),     // shares "a b g d e" with web
+      ("forums", "one two three four five six")            // disjoint
+    ).toDF("source", "text")
+    val out = Decontam.crossSourceOverlap(corpus, "source", "text", n = 5)
+      .as[(String, String, Long)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    // books<web share exactly the one 5-gram "alpha beta gamma delta epsilon"
+    assert(out == Map(("books", "web") -> 1L))
+    // hashed and string joins agree
+    val str = Decontam.crossSourceOverlap(corpus, "source", "text", n = 5, hashGrams = false)
+      .as[(String, String, Long)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(str == out)
+  }
+
   test("broadcast probe side appears in the plan") {
     val plan = Decontam
       .ngramOverlap(docs, "doc_id", "text", probes, "probe_id", "ptext", n = 5)
