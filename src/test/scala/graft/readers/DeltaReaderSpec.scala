@@ -259,6 +259,23 @@ class DeltaReaderSpec extends SparkSpec {
     Files.copy(Paths.get(part), dest)
   }
 
+  test("deletion vector applies inside a partitioned table's union") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadvp")
+    writeParquetFile(t, "ds=2024-01-01/f1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    writeParquetFile(t, "ds=2024-01-02/f2.parquet", Seq((3L, "gamma")))
+    val data = dvData(Seq(0)) // delete row 0 of f1 ("alpha")
+    writeCommit(t, 0, Seq(dvProtocol, metaAction(schemaWithDs, Seq("ds")),
+      addAction("ds=2024-01-01/f1.parquet", """{"ds":"2024-01-01"}""", extra =
+        s""","deletionVector":{"storageType":"i","pathOrInlineDv":${js(z85Encode(data))},"sizeInBytes":${data.length},"cardinality":1}"""),
+      addAction("ds=2024-01-02/f2.parquet", """{"ds":"2024-01-02"}""")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.columns.toSeq == Seq("id", "name", "ds"))
+    val got = df.selectExpr("id", "name", "cast(ds as string)")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "beta", "2024-01-01"), (3L, "gamma", "2024-01-02")))
+  }
+
   test("deletion vector survives the checkpoint parquet round-trip") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltadv3")
