@@ -329,20 +329,28 @@ object Hdf5Inspect {
             }
             chunked = Some((bb.getLong(q), cdims, kind))
           }
-        case 0x000B => // filter pipeline v1: ids in application order
+        case 0x000B => // filter pipeline: ids in application order
           // (write-side); readers invert them in reverse. Recording the
           // FULL list (not just deflate) lets the reader refuse unknown
           // filters instead of silently decoding garbage — shuffle+
-          // deflate is the h5py default combo.
+          // deflate is the h5py default combo. v1 entries start at
+          // body+8 with a name-length always present (name padded to 8,
+          // odd value counts padded); v2 (libver='latest') entries start
+          // at body+2 and OMIT the name-length field for ids < 256, with
+          // no padding anywhere.
+          val ver = bytes(body) & 0xff
+          require(ver == 1 || ver == 2, s"hdf5 filter pipeline message v$ver unsupported")
           val n = bytes(body + 1) & 0xff
-          var q = body + 8
+          var q = body + (if (ver == 1) 8 else 2)
           (0 until n).foreach { _ =>
             val id = bb.getShort(q) & 0xffff
-            val nameLen = bb.getShort(q + 2) & 0xffff
-            val nValues = bb.getShort(q + 6) & 0xffff
+            val hasName = ver == 1 || id >= 256
+            val nameLen = if (hasName) bb.getShort(q + 2) & 0xffff else 0
+            val rest = if (hasName) q + 4 else q + 2 // flags u16, nValues u16
+            val nValues = bb.getShort(rest + 2) & 0xffff
             filterIds += id
-            q += 8 + nameLen + nValues * 4
-            if (nValues % 2 == 1) q += 4 // pad to 8
+            q = rest + 4 + nameLen + nValues * 4
+            if (ver == 1 && nValues % 2 == 1) q += 4 // pad to 8
           }
         case 0x0011 => symbolTable = Some((bb.getLong(body), bb.getLong(body + 8)))
         case 0x0010 => continuations.enqueue((bb.getLong(body), bb.getLong(body + 8)))

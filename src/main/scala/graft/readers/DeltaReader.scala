@@ -76,7 +76,8 @@ object DeltaReader {
       var v = 0L
       var k = 0
       while (k < 5) {
-        val d = z85Rev(s.charAt(i + k).toInt)
+        val c = s.charAt(i + k).toInt
+        val d = if (c < 128) z85Rev(c) else -1
         require(d >= 0, s"z85: invalid character '${s.charAt(i + k)}'")
         v = v * 85 + d
         k += 1
@@ -115,9 +116,10 @@ object DeltaReader {
     var i = 0L
     while (i < nBitmaps) {
       val key = bb.getInt(pos); pos += 4 // bitmap index = high 32 bits
-      val rest = java.util.Arrays.copyOfRange(data, pos, data.length)
-      val values = LanceReader.parseRoaring(rest)
-      pos += roaringSerializedSize(rest)
+      // one walker both decodes and sizes the bitmap — no second
+      // re-implementation of the container layout to drift from
+      val (values, consumed) = LanceReader.parseRoaringSized(data, pos)
+      pos += consumed
       values.foreach(v => out += ((key.toLong << 32) | (v.toLong & 0xffffffffL)))
       i += 1
     }
@@ -125,28 +127,6 @@ object DeltaReader {
     require(result.length.toLong == cardinality,
       s"delta dv: decoded ${result.length} rows, descriptor says $cardinality — refusing a misparsed vector")
     result
-  }
-
-  /** Byte length of one portable roaring bitmap at the head of `bytes`
-    * (walked, not trusted from headers alone). */
-  private def roaringSerializedSize(bytes: Array[Byte]): Int = {
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val cookie = bb.getInt(0)
-    var pos = 4
-    val (n, hasRun) =
-      if ((cookie & 0xffff) == 12347) { val k = (cookie >>> 16) + 1; pos += (k + 7) / 8; (k, true) }
-      else { val k = bb.getInt(4); pos += 4; (k, false) }
-    val runFlagsAt = 4
-    def isRun(i: Int) = hasRun && (bytes(runFlagsAt + (i >> 3)) & (1 << (i & 7))) != 0
-    val cards = (0 until n).map { i => val c = (bb.getShort(pos + i * 4 + 2) & 0xffff) + 1; c }
-    pos += 4 * n
-    if (!hasRun || n >= 4) pos += 4 * n // offsets table
-    for (i <- 0 until n) {
-      if (isRun(i)) { val nRuns = bb.getShort(pos) & 0xffff; pos += 2 + nRuns * 4 }
-      else if (cards(i) <= 4096) pos += 2 * cards(i)
-      else pos += 8192
-    }
-    pos
   }
 
   /** Resolve a descriptor to its deleted row indexes (executor-side). */
@@ -195,24 +175,33 @@ object DeltaReader {
         val node = try mapper.readTree(in) finally in.close()
         val v = node.get("version").asLong()
         val parts = Option(node.get("parts")).map(_.asInt())
-        val classic = parts match {
-          case None => Seq(f"$logDir/$v%020d.checkpoint.parquet")
-          case Some(n) => (1 to n).map(i => f"$logDir/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+        if (versionAsOf.exists(_ < v)) (-1L, Nil) // pinned before the checkpoint: replay commits only
+        else parts match {
+          case Some(n) =>
+            // multipart classic: EVERY part or refuse — replaying a
+            // subset silently truncates the live-file set
+            val all = (1 to n).map(i => f"$logDir/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+            val missing = all.filterNot(p => f.exists(new Path(p)))
+            require(missing.isEmpty,
+              s"delta: multipart checkpoint $v incomplete — missing ${missing.mkString(", ")}")
+            (v, all)
+          case None =>
+            val classic = f"$logDir/$v%020d.checkpoint.parquet"
+            if (f.exists(new Path(classic))) (v, Seq(classic))
+            else {
+              // v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature")
+              // are UUID-named — <version>.checkpoint.<uuid>.{json,parquet}
+              // — and may park their file actions in _sidecars. Match the
+              // uuid shape ONLY, so a stray multipart part can't be
+              // mistaken for a complete checkpoint.
+              val uuidName = (f"$v%020d" + "\\.checkpoint\\.[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\.(parquet|json)").r
+              val v2 = f.listStatus(new Path(logDir)).toSeq.map(_.getPath)
+                .filter(p => uuidName.matches(p.getName)).map(_.toString)
+              require(v2.nonEmpty,
+                s"delta: _last_checkpoint names version $v but no classic or v2 checkpoint file matches in $logDir")
+              (v, v2.take(1))
+            }
         }
-        // v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature") are
-        // UUID-named — <version>.checkpoint.<uuid>.{json,parquet} — and
-        // may park their file actions in _sidecars; fall through to a
-        // glob when the classic name is absent
-        val files =
-          if (classic.forall(p => f.exists(new Path(p)))) classic
-          else {
-            val v2 = f.globStatus(new Path(logDir, f"$v%020d.checkpoint.*")).toSeq
-              .map(_.getPath.toString)
-              .filter(p => p.endsWith(".parquet") || p.endsWith(".json"))
-            require(v2.nonEmpty, s"delta: _last_checkpoint names version $v but no checkpoint file matches in $logDir")
-            v2.take(1)
-          }
-        if (versionAsOf.exists(_ < v)) (-1L, Nil) else (v, files)
       } else (-1L, Nil)
 
     val allCommits = f.listStatus(new Path(logDir)).toSeq.map(_.getPath)
@@ -426,9 +415,13 @@ object DeltaReader {
       // delete side is tiny relative to the data → AQE broadcasts it.
       val sconf = new graft.core.SerializableHadoopConf(conf)
       val tbl = table
+      // `_metadata.file_path` is the scan path's URI form (percent-
+      // encoded — spaces become %20); resolve() yields the DECODED path,
+      // so re-encode through Path.toUri before keying or rows in files
+      // with quotable characters would silently resurrect
       val descs: Seq[(String, String, String, Int, Int, Long)] =
         live.values.toSeq.flatMap(e => e.dv.map(d =>
-          (resolve(e.path).replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"),
+          (new Path(resolve(e.path)).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"),
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))
       import spark.implicits._
       val deletes = spark.createDataset(descs)

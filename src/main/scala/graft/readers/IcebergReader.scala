@@ -213,8 +213,13 @@ object IcebergReader {
     // Both confs are inert for schemas without id metadata, so setting
     // them session-wide changes no other read. Fallback when the
     // metadata carries no schema: by-name with mergeSchema.
-    var data = currentSchemaNode(meta).map(toSparkSchema) match {
+    val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
+    var data = sparkSchemaOpt match {
       case Some(st) =>
+        // Session-wide on purpose: both confs are consulted only when a
+        // requested schema carries parquet.field.id metadata (which only
+        // this reader attaches), and parquet per-relation options cannot
+        // override them (ParquetFileFormat re-stamps them from SQLConf).
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         spark.read.schema(st).parquet(paths: _*)
@@ -274,7 +279,17 @@ object IcebergReader {
         val delSeqCol = seqOf.foldLeft(lit(Long.MaxValue)) { case (acc, (p, s)) =>
           org.apache.spark.sql.functions.when(norm(expr("_metadata.file_path")) === lit(p), lit(s)).otherwise(acc)
         }
-        val deletes = spark.read.parquet(delPaths: _*)
+        // Delete files resolve by field id too: a column renamed AFTER
+        // the delete was written still matches (the delete file stores
+        // the old physical name but the same field id). Falls back to
+        // by-name when the metadata carries no schema.
+        val delScan = sparkSchemaOpt match {
+          case Some(st) =>
+            spark.read.schema(org.apache.spark.sql.types.StructType(cols.map(c => st(c)).toArray))
+              .parquet(delPaths: _*)
+          case None => spark.read.parquet(delPaths: _*)
+        }
+        val deletes = delScan
           .withColumn("__del_seq", delSeqCol)
           .select(cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
         val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&

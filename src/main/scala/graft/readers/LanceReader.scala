@@ -144,8 +144,15 @@ object LanceReader {
     * RoaringFormatSpec layout `roaring::RoaringBitmap::serialize_into`
     * emits: cookie, per-container u16 key + cardinality-1 header,
     * optional offsets, then array / bitset / run container payloads). */
-  private[readers] def parseRoaring(bytes: Array[Byte]): Array[Int] = {
+  private[readers] def parseRoaring(bytes: Array[Byte]): Array[Int] =
+    parseRoaringSized(bytes, 0)._1
+
+  /** Like [[parseRoaring]] but starting at `offset`, also returning the
+    * byte length consumed — for callers walking concatenated bitmaps
+    * (Delta DV roaring64 buckets). */
+  private[readers] def parseRoaringSized(bytes: Array[Byte], offset: Int): (Array[Int], Int) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(offset)
     val cookie = bb.getInt()
     val (nContainers, runFlags) =
       if ((cookie & 0xffff) == 12347) { // SERIAL_COOKIE: run containers possible
@@ -182,7 +189,7 @@ object LanceReader {
           out += (base | (w * 64 + b))
       }
     }
-    out.result()
+    (out.result(), bb.position() - offset)
   }
 
   /** Parse manifest bytes: trailer magic → u32-length-prefixed proto. */

@@ -150,7 +150,9 @@ object ZarrReader {
           case "bytes" =>
             val endian = Option(c.get("configuration")).flatMap(cf => Option(cf.get("endian"))).map(_.asText())
             require(endian.forall(_ == "little"), "zarr v3: only little-endian bytes codec")
-          case "gzip" => comp = "gzip"
+          case "gzip" =>
+            require(comp == "none", s"zarr v3: stacked compression codecs ($comp + gzip) unsupported")
+            comp = "gzip"
           case "blosc" =>
             // self-describing container; vet the cname up front so a
             // blosclz store refuses at metadata time (the v2 rule)
@@ -158,6 +160,7 @@ object ZarrReader {
               .map(_.asText()).getOrElse("lz4")
             require(Set("lz4", "lz4hc", "zlib", "zstd", "snappy").contains(cname),
               s"unsupported zarr v3 blosc cname: $cname (lz4/lz4hc/zlib/zstd/snappy only)")
+            require(comp == "none", s"zarr v3: stacked compression codecs ($comp + blosc) unsupported")
             comp = "blosc"
           case "sharding_indexed" =>
             val cfg = c.get("configuration")

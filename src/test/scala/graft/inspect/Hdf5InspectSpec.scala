@@ -409,6 +409,21 @@ class Hdf5InspectSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.readers.Hdf5Reader.read(spark, s"file://$dir/bad.h5").count())
     assert(e.getMessage.contains("filter id 42"))
+
+    // v2 filter pipeline message (libver='latest'): entries at body+2,
+    // NO name-length field for ids < 256, no padding
+    def filterMsgV2(ids: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 + ids.size * 6).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(ids.size.toByte)
+      ids.foreach { id => b.putShort(id.toShort); b.putShort(0); b.putShort(0) }
+      b.array()
+    }
+    java.nio.file.Files.write(dir.resolve("v2.h5"),
+      mkFile(filterMsgV2(Seq(2, 1)), vals => gz(shuf(le(vals), 8))))
+    assert(Hdf5Inspect.datasets(java.nio.file.Files.readAllBytes(dir.resolve("v2.h5"))).head.filters == Seq(2, 1))
+    val gotV2 = graft.readers.Hdf5Reader.read(spark, s"file://$dir/v2.h5")
+      .as[(Long, Double)].collect().toMap
+    assert(gotV2 == Map(0L -> 1.5, 1L -> 2.5, 2L -> 3.5, 3L -> 4.5))
   }
 
   test("layout v4 fixed-array chunk index reads (libver=latest shape)") {

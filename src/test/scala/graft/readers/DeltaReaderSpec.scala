@@ -276,6 +276,33 @@ class DeltaReaderSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, "beta", "2024-01-01"), (3L, "gamma", "2024-01-02")))
   }
 
+  test("deletion vector applies to files whose paths need URI encoding") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadvsp")
+    // log paths are URL-encoded; the on-disk name has a real space, and
+    // _metadata.file_path reports the percent-encoded URI form — the
+    // delete-side key must match that form or rows silently resurrect
+    writeParquetFile(t, "part a/f1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    val data = dvData(Seq(0))
+    writeCommit(t, 0, Seq(dvProtocol, metaAction(schemaIdName),
+      addAction("part%20a/f1.parquet", extra =
+        s""","deletionVector":{"storageType":"i","pathOrInlineDv":${js(z85Encode(data))},"sizeInBytes":${data.length},"cardinality":1}""")))
+    val df = DeltaReader.read(spark, t.toString)
+    assert(df.as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
+  }
+
+  test("incomplete multipart checkpoint refuses instead of truncating state") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltamp")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    val log = t.resolve("_delta_log")
+    jsonLinesToParquet(Seq(protocolAction(), metaAction(schemaIdName), addAction("f1.parquet")),
+      log.resolve(f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")) // part 1 of 2; part 2 missing
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0,"size":3,"parts":2}""")
+    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString))
+    assert(e.getMessage.contains("incomplete"))
+  }
+
   test("deletion vector survives the checkpoint parquet round-trip") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltadv3")

@@ -116,7 +116,8 @@ class IcebergReaderSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$table/data/f1")
     withFieldIds(Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "name"), ids)
       .coalesce(1).write.parquet(s"$table/data/f2")
-    Seq(Tuple1(2L)).toDF("id").coalesce(1).write.parquet(s"$table/data/eqdel")
+    withFieldIds(Seq(Tuple1(2L)).toDF("id"), Map("id" -> 1))
+      .coalesce(1).write.parquet(s"$table/data/eqdel")
     def partFile(dir: String): String =
       Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
     val entries = Seq(

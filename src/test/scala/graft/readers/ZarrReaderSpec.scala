@@ -266,6 +266,15 @@ class ZarrReaderSpec extends SparkSpec {
         """{"name": "bytes"}, {"name": "blosc", "configuration": {"cname": "blosclz"}}"""))
     val e = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir2"))
     assert(e.getMessage.contains("blosclz"))
+
+    // stacked compression codecs would decode only the outer layer and
+    // reinterpret compressed bytes as values — refuse at metadata time
+    val dir3 = Files.createTempDirectory("zarr3stack")
+    Files.writeString(dir3.resolve("zarr.json"),
+      v3Meta(Seq(3), Seq(2), "float64", "/",
+        """{"name": "bytes"}, {"name": "blosc", "configuration": {"cname": "lz4"}}, {"name": "gzip"}"""))
+    val e2 = intercept[IllegalArgumentException](ZarrReader.read(spark, s"file://$dir3"))
+    assert(e2.getMessage.contains("stacked"))
   }
 
   test("zarr v3 dot-separated keys, int32, missing chunk skipped") {
