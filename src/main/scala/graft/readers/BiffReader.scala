@@ -227,8 +227,14 @@ object BiffReader {
         case 0x003c => if (pendingSst != null && !pendingSstDone) pendingSst += r.data
         case 0x0085 =>
           flushSst()
-          val off = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
-          sheetOffsets += off
+          // byte 5 is the sheet type: keep 0x00 worksheets only — a
+          // leading chart (0x02) or macro (0x01) sheet would otherwise
+          // be parsed as "the" sheet and return no cells
+          val isWorksheet = r.data.length < 6 || (r.data(5) & 0xff) == 0
+          if (isWorksheet) {
+            val off = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+            sheetOffsets += off
+          }
         case _ => flushSst()
       }
     }

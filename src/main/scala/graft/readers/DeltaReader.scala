@@ -158,8 +158,18 @@ object DeltaReader {
   }
 
   /** Read the latest version, or a pinned one (time travel — the
-    * reference's `scan_delta(version=N)`). */
-  def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame = {
+    * reference's `scan_delta(version=N)`).
+    *
+    * `maxPartitionScans` bounds the one-scan-per-partition-tuple plan:
+    * below it, each distinct tuple gets its own scan with partition
+    * values as literals (Catalyst constant-folds partition filters into
+    * whole-scan pruning — spec-pinned); above it, ONE scan covers every
+    * file and partition values attach via a broadcast (file → values)
+    * join keyed on `_metadata.file_path`, keeping plan size O(1) at any
+    * partition cardinality (partition filters then prune row-groups,
+    * not files — the right trade once the plan itself is the risk). */
+  def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None,
+      maxPartitionScans: Int = 64): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -216,6 +226,14 @@ object DeltaReader {
       .filter(c => versionAsOf.forall(c._1 <= _))
       .sortBy(_._1)
     require(cpVersion >= 0 || commits.nonEmpty, s"delta: empty _delta_log at $logDir")
+    // the replayed chain must be gap-free from the checkpoint (or 0) to
+    // the target — a vacuumed or partially-listed log otherwise yields a
+    // silently incomplete live-file set
+    val versionsSeen = commits.map(_._1)
+    val replayTarget = versionAsOf.getOrElse(versionsSeen.lastOption.getOrElse(cpVersion))
+    val expectedVersions = ((cpVersion + 1) to replayTarget).toSeq
+    require(versionsSeen == expectedVersions,
+      s"delta: commit chain incomplete — have [${versionsSeen.mkString(",")}], need [${expectedVersions.mkString(",")}] (expired log or partial listing)")
 
     val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     var schemaJson: String = null
@@ -386,25 +404,55 @@ object DeltaReader {
           tag(spark.read.schema(phys).parquet(live.values.map(e => resolve(e.path)).toSeq: _*)),
           schema.fields.toSeq)
       } else {
-        // one read per distinct partition tuple, partition values attached
-        // as typed literal columns (Delta data files omit them; the log
-        // keys partitionValues by PHYSICAL name under column mapping)
         val dataFields = schema.fields.filterNot(fl => partitionCols.contains(fl.name)).toSeq
         val dataSchema = toPhysical(StructType(dataFields)).asInstanceOf[StructType]
         val groups = live.values.toSeq.groupBy(_.partitionValues)
-        val frames = groups.toSeq.map { case (pv, entries) =>
-          val base = renameToLogical(
-            tag(spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*)), dataFields)
-          partitionCols.foldLeft(base) { (df, pc) =>
-            val fl = schema(pc)
-            val value: Column = pv.get(physName(fl)).orElse(pv.get(pc)).flatten match {
-              case Some(s) => lit(s).cast(fl.dataType)
-              case None    => lit(null).cast(fl.dataType)
-            }
-            df.withColumn(pc, value)
-          }
+        def pvOf(e: FileEntry, pc: String): Option[String] = {
+          val fl = schema(pc)
+          e.partitionValues.get(physName(fl)).orElse(e.partitionValues.get(pc)).flatten
         }
-        frames.reduce(_ unionByName _).select((schema.fieldNames.toSeq ++ extraCols).map(col): _*)
+        if (groups.size <= maxPartitionScans) {
+          // one read per distinct partition tuple, partition values
+          // attached as typed literal columns (Delta data files omit
+          // them; the log keys partitionValues by PHYSICAL name under
+          // column mapping)
+          val frames = groups.toSeq.map { case (_, entries) =>
+            val base = renameToLogical(
+              tag(spark.read.schema(dataSchema).parquet(entries.map(e => resolve(e.path)): _*)), dataFields)
+            partitionCols.foldLeft(base) { (df, pc) =>
+              val value: Column = pvOf(entries.head, pc) match {
+                case Some(s) => lit(s).cast(schema(pc).dataType)
+                case None    => lit(null).cast(schema(pc).dataType)
+              }
+              df.withColumn(pc, value)
+            }
+          }
+          frames.reduce(_ unionByName _).select((schema.fieldNames.toSeq ++ extraCols).map(col): _*)
+        } else {
+          // high-cardinality partitioning: ONE scan + broadcast
+          // (file → partition values) join — plan stays O(1) instead of
+          // O(partitions) FileScan nodes union-reduced together
+          val base0 = tag(spark.read.schema(dataSchema).parquet(live.values.map(e => resolve(e.path)).toSeq: _*))
+            .withColumn("__pfile", norm(expr("_metadata.file_path")))
+          val renamed =
+            if (!mapped) base0
+            else base0.select(dataFields.map(fl =>
+              col(physName(fl)).cast(stripMeta(fl.dataType)).as(fl.name)) ++
+              (extraCols :+ "__pfile").map(col): _*)
+          val pvSchema = StructType(StructField("__pv_file", org.apache.spark.sql.types.StringType) +:
+            partitionCols.map(pc => StructField(s"__pv_$pc", org.apache.spark.sql.types.StringType)).toArray.toSeq)
+          val pvRows = live.values.toSeq.map { e =>
+            org.apache.spark.sql.Row.fromSeq(
+              new Path(resolve(e.path)).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/") +:
+                partitionCols.map(pc => pvOf(e, pc).orNull))
+          }
+          val pvDf = org.apache.spark.sql.functions.broadcast(
+            spark.createDataFrame(spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+          val joined = renamed.join(pvDf, col("__pfile") === col("__pv_file"), "left")
+          partitionCols.foldLeft(joined) { (df, pc) =>
+            df.withColumn(pc, col(s"__pv_$pc").cast(schema(pc).dataType))
+          }.select((schema.fieldNames.toSeq ++ extraCols).map(col): _*)
+        }
       }
 
     if (!hasDv) scanned

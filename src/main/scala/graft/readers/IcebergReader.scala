@@ -169,43 +169,71 @@ object IcebergReader {
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
 
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    // URI-encoded scheme-stripped path form, matching what the scan's
+    // `_metadata.file_path` reports (percent-encoded) minus the scheme
+    def encNorm(p: String): String =
+      new Path(p).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
     // v2 (and most v1) snapshots point at a manifest list; early v1 may
-    // inline the manifest paths directly
-    val manifestPaths: Seq[String] = Option(snap.get("manifest-list")) match {
+    // inline the manifest paths directly. The list's own sequence_number
+    // is kept: ADDED manifest entries store null and INHERIT it (spec
+    // "Sequence Number Inheritance").
+    val manifestList: Seq[(String, Long)] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
-        spark.read.format(avroFmt).load(resolve(ml.asText(), table))
-          .select("manifest_path").collect().map(_.getString(0)).toSeq
+        val mlDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
+        val hasSeq = mlDf.columns.contains("sequence_number")
+        mlDf.select("manifest_path", (if (hasSeq) "sequence_number" else "manifest_path")).collect()
+          .map(r => resolve(r.getString(0), table) ->
+            (if (hasSeq && !r.isNullAt(1)) r.getAs[Number](1).longValue() else 0L)).toSeq
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
+          .map(p => resolve(p, table) -> 0L)
     }
-    require(manifestPaths.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
+    require(manifestList.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
+    // keyed by the encoded form for matching _metadata.file_path; the
+    // RAW paths feed load() (hadoop Path treats % literally)
+    val manifestSeqs: Map[String, Long] = manifestList.map { case (p, s) => encNorm(p) -> s }.toMap
 
-    val manifests = spark.read.format(avroFmt).load(manifestPaths.map(p => resolve(p, table)): _*)
+    val manifests = spark.read.format(avroFmt).load(manifestList.map(_._1).distinct: _*)
     val entryCols = manifests.columns.toSet
     val dfCols = manifests.select("data_file.*").columns.toSet
-    val entries = manifests
+    val entriesRaw = manifests
       .selectExpr("status", "data_file.file_path as file_path",
         "lower(data_file.file_format) as file_format",
         if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
-        if (entryCols.contains("sequence_number")) "sequence_number" else "cast(0 as bigint) as sequence_number",
-        if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids")
+        if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+        if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
+        "_metadata.file_path as __manifest")
       .collect()
-    val live = entries.filter(_.getAs[Int]("status") != 2) // 2 = DELETED entry
+    // per-entry sequence number: explicit, else inherited from the
+    // entry's manifest (null is the normal Avro encoding for entries
+    // ADDED in the manifest's own snapshot), else 0 for v1 tables
+    case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
+        seq: Long, equalityIds: Seq[Int])
+    val entries = entriesRaw.map { r =>
+      val inherited = manifestSeqs.getOrElse(encNorm(r.getAs[String]("__manifest")), 0L)
+      Entry(
+        r.getAs[Int]("status"),
+        r.getAs[String]("file_path"),
+        r.getAs[String]("file_format"),
+        r.getAs[Number]("content").intValue(),
+        Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
+        Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
+          .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil))
+    }
+    val live = entries.filter(_.status != 2) // 2 = DELETED entry
     // content: 0 data, 1 position deletes, 2 equality deletes
-    val (dataFiles, deleteFiles) =
-      live.partition(r => r.getAs[Number]("content").intValue() == 0)
-    val posDeleteFiles = deleteFiles.filter(r => r.getAs[Number]("content").intValue() == 1)
-    val eqDeleteFiles = deleteFiles.filter(r => r.getAs[Number]("content").intValue() == 2)
-    val (parquetFiles, others) = dataFiles.partition(_.getAs[String]("file_format") == "parquet")
+    val (dataFiles, deleteFiles) = live.partition(_.content == 0)
+    val posDeleteFiles = deleteFiles.filter(_.content == 1)
+    val eqDeleteFiles = deleteFiles.filter(_.content == 2)
+    val (parquetFiles, others) = dataFiles.partition(_.fileFormat == "parquet")
     require(others.isEmpty,
-      s"iceberg: non-parquet data files (${others.map(_.getAs[String]("file_format")).distinct.mkString(",")}) outside the supported profile")
+      s"iceberg: non-parquet data files (${others.map(_.fileFormat).distinct.mkString(",")}) outside the supported profile")
     require(parquetFiles.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
 
-    import org.apache.spark.sql.functions.{col, expr, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, col, concat, expr, lit, raise_error, regexp_replace, udf}
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
-    def normStr(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
-    val paths = parquetFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
+    val paths = parquetFiles.map(r => resolve(r.filePath, table)).distinct.toSeq
     // Column resolution per the Iceberg spec is by FIELD ID, not name:
     // the current schema (with parquet.field.id metadata) drives the
     // scan and Spark's field-id matcher resolves renames; files written
@@ -232,6 +260,12 @@ object IcebergReader {
       data = data.withColumn("__file", norm(expr("_metadata.file_path")))
         .withColumn("__pos", expr("_metadata.row_index"))
 
+    // per-row re-encode (small delete sides only): delete files store
+    // RAW storage paths while the scan's _metadata.file_path is the
+    // percent-encoded URI form — comparing raw to encoded silently
+    // resurrects deleted rows in files whose paths need quoting
+    val encPath = udf((p: String) => new Path(p).toUri.toString)
+
     if (posDeleteFiles.nonEmpty) {
       // Position deletes: parquet files of (file_path, pos) — applied as
       // a distributed anti-join against the scan's (_metadata.file_path,
@@ -239,9 +273,9 @@ object IcebergReader {
       // numbers because data file paths are immutable (a rewritten file
       // gets a new path, stale deletes match nothing). The delete side
       // is usually tiny → AQE broadcasts it.
-      val delPaths = posDeleteFiles.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
+      val delPaths = posDeleteFiles.map(r => resolve(r.filePath, table)).distinct.toSeq
       val deletes = spark.read.parquet(delPaths: _*)
-        .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
+        .select(norm(encPath(col("file_path"))).as("__del_file"), col("pos").as("__del_pos"))
       data = data.join(deletes,
         col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
     }
@@ -253,32 +287,41 @@ object IcebergReader {
       // with a sequence number less than the delete's"). The per-file
       // sequence number joins in via a small path→seq map column; field
       // ids resolve to names through the table schema in the metadata.
+      // Field ids resolve to CURRENT-schema names first (renames must
+      // follow the live schema); historical schemas only fill ids the
+      // current schema no longer carries.
       val fieldNames: Map[Int, String] = {
-        val schemasNode = Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala) ++
-          Option(meta.get("schema")).toSeq
-        schemasNode.flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+        val historic = (Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala) ++
+          Option(meta.get("schema")).toSeq)
+          .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
           .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
+        val current = currentSchemaNode(meta).toSeq
+          .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+          .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
+        historic ++ current
       }
-      val seqByPath: Map[String, Long] = parquetFiles.map(r =>
-        normStr(resolve(r.getAs[String]("file_path"), table)) -> r.getAs[Number]("sequence_number").longValue()).toMap
-      val seqCol = seqByPath.foldLeft(lit(-1L)) { case (acc, (p, s)) =>
-        org.apache.spark.sql.functions.when(col("__file") === lit(p), lit(s)).otherwise(acc)
-      }
-      data = data.withColumn("__seq", seqCol)
+      // per-file sequence numbers attach via a tiny broadcast lookup
+      // (a when()-chain would grow the expression tree O(n files)); an
+      // unmatched path is a read bug, not a shrug — raise, never guess
+      import spark.implicits._
+      val seqDf = broadcast(parquetFiles.map(r =>
+        (encNorm(resolve(r.filePath, table)), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
+      data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
+        .withColumn("__seq",
+          org.apache.spark.sql.functions.when(col("__seq0").isNull,
+            raise_error(concat(lit("iceberg: data file missing from sequence map: "), col("__file"))).cast("bigint"))
+            .otherwise(col("__seq0")))
+        .drop("__seq_file", "__seq0")
       // group delete files by their equality-column set
-      val groups = eqDeleteFiles.groupBy { r =>
-        val ids = r.getAs[scala.collection.Seq[Any]]("equality_ids")
-        require(ids != null && ids.nonEmpty, "iceberg: equality delete file without equality_ids")
-        ids.map(i => fieldNames.getOrElse(i.asInstanceOf[Number].intValue(),
-          throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).toSeq.sorted
+      val groups = eqDeleteFiles.groupBy { e =>
+        require(e.equalityIds.nonEmpty, "iceberg: equality delete file without equality_ids")
+        e.equalityIds.map(i => fieldNames.getOrElse(i,
+          throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).sorted
       }
       groups.foreach { case (cols, files) =>
-        val delPaths = files.map(r => resolve(r.getAs[String]("file_path"), table)).distinct.toSeq
-        val seqOf = files.map(r => normStr(resolve(r.getAs[String]("file_path"), table)) ->
-          r.getAs[Number]("sequence_number").longValue()).toMap
-        val delSeqCol = seqOf.foldLeft(lit(Long.MaxValue)) { case (acc, (p, s)) =>
-          org.apache.spark.sql.functions.when(norm(expr("_metadata.file_path")) === lit(p), lit(s)).otherwise(acc)
-        }
+        val delPaths = files.map(e => resolve(e.filePath, table)).distinct
+        val delSeqDf = broadcast(files.map(e =>
+          (encNorm(resolve(e.filePath, table)), e.seq)).toSeq.toDF("__del_seq_file", "__del_seq"))
         // Delete files resolve by field id too: a column renamed AFTER
         // the delete was written still matches (the delete file stores
         // the old physical name but the same field id). Falls back to
@@ -290,7 +333,12 @@ object IcebergReader {
           case None => spark.read.parquet(delPaths: _*)
         }
         val deletes = delScan
-          .withColumn("__del_seq", delSeqCol)
+          .withColumn("__del_file", norm(expr("_metadata.file_path")))
+          .join(delSeqDf, col("__del_file") === col("__del_seq_file"), "left")
+          .withColumn("__del_seq",
+            org.apache.spark.sql.functions.when(col("__del_seq").isNull,
+              raise_error(concat(lit("iceberg: delete file missing from sequence map: "), col("__del_file"))).cast("bigint"))
+              .otherwise(col("__del_seq")))
           .select(cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
         val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
           col("__seq") < col("__del_seq")

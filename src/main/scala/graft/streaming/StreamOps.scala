@@ -205,6 +205,9 @@ object StreamOps {
       valueCol: String,
       threshold: Double
   ): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    // threshold <= 0 would make crossings-per-batch unbounded
+    // (sum/0 = Infinity → Long.MaxValue emit loop inside the state fn)
+    require(threshold > 0, s"threshold must be positive, got $threshold")
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val pairs = df.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]

@@ -380,6 +380,33 @@ class DeltaReaderSpec extends SparkSpec {
     assert(df.as[(Long, String, java.sql.Date)].collect().map(_._1).toSeq == Seq(1L))
   }
 
+  test("a gap in the commit chain refuses instead of replaying a subset") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltagap")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "f3.parquet", Seq((3L, "gamma")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName), addAction("f1.parquet")))
+    writeCommit(t, 2, Seq(addAction("f3.parquet"))) // commit 1 vacuumed/lost
+    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString))
+    assert(e.getMessage.contains("incomplete"))
+  }
+
+  test("high-cardinality partitioning switches to one scan + broadcast pv join") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltahc")
+    writeParquetFile(t, "ds=2024-01-01/f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "ds=2024-01-02/f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaWithDs, Seq("ds")),
+      addAction("ds=2024-01-01/f1.parquet", """{"ds":"2024-01-01"}"""),
+      addAction("ds=2024-01-02/f2.parquet", """{"ds":"2024-01-02"}""")))
+    val df = DeltaReader.read(spark, t.toString, maxPartitionScans = 1) // force the single-scan path
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected ONE data scan:\n$plan")
+    val got = df.selectExpr("id", "name", "cast(ds as string)")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha", "2024-01-01"), (2L, "beta", "2024-01-02")))
+  }
+
   test("registered reader routes the delta kind as the importable fallback") {
     import spark.implicits._
     val t = Files.createTempDirectory("delta6")

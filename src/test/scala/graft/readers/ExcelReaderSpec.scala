@@ -90,9 +90,10 @@ class ExcelReaderSpec extends SparkSpec {
 
   /** Workbook stream: globals (SST split across a Continue, BOUNDSHEET)
     * + one worksheet (LABELSST/NUMBER/RK/MULRK/BOOLERR cells). */
-  private def biffWorkbookStream(pad: Int = 0): Array[Byte] = {
+  private def biffWorkbookStream(pad: Int = 0, chartFirst: Boolean = false): Array[Byte] = {
     val bofGlobals = rec(0x0809, le((2, 0x0600L), (2, 0x0005L), (4, 0L)))
     val bofSheet = rec(0x0809, le((2, 0x0600L), (2, 0x0010L), (4, 0L)))
+    val bofChart = rec(0x0809, le((2, 0x0600L), (2, 0x0020L), (4, 0L)))
     // SST: 4 strings; "score" split mid-chars into a Continue record,
     // "naïve" wide (UTF-16LE) to pin both encodings
     val s0 = sstStr("name"); val s2 = sstStr("ada"); val s3 = sstStr("naïve", wide = true)
@@ -117,12 +118,22 @@ class ExcelReaderSpec extends SparkSpec {
     val name = "Sheet1"
     val bsData = le((4, 0L), (1, 0L), (1, 0L), (1, name.length.toLong), (1, 0L)) ++ name.getBytes("ISO-8859-1")
     val bs = rec(0x0085, bsData)
-    val globals = bofGlobals ++ padRec ++ sstRec ++ contRec ++ bs ++ rec(0x000a, Array.emptyByteArray)
-    val sheetOff = globals.length
-    val full = globals ++ sheet
-    // patch the BOUNDSHEET lbPlyPos (first 4 bytes of its data)
-    val bsPos = bofGlobals.length + padRec.length + sstRec.length + contRec.length + 4
-    ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN).putInt(bsPos, sheetOff)
+    // optional leading chart sheet (type byte 0x02): its BOUNDSHEET must
+    // be SKIPPED by the reader, not parsed as "the" worksheet
+    val chartName = "Chart1"
+    val bsChart = if (!chartFirst) Array.emptyByteArray
+      else rec(0x0085, le((4, 0L), (1, 0L), (1, 2L), (1, chartName.length.toLong), (1, 0L)) ++ chartName.getBytes("ISO-8859-1"))
+    val chartSheet = if (!chartFirst) Array.emptyByteArray
+      else bofChart ++ rec(0x000a, Array.emptyByteArray)
+    val globals = bofGlobals ++ padRec ++ sstRec ++ contRec ++ bsChart ++ bs ++ rec(0x000a, Array.emptyByteArray)
+    val chartOff = globals.length
+    val sheetOff = globals.length + chartSheet.length
+    val full = globals ++ chartSheet ++ sheet
+    // patch each BOUNDSHEET lbPlyPos (first 4 bytes of its data)
+    val bsChartPos = bofGlobals.length + padRec.length + sstRec.length + contRec.length
+    val bb = ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN)
+    if (chartFirst) bb.putInt(bsChartPos + 4, chartOff)
+    bb.putInt(bsChartPos + bsChart.length + 4, sheetOff)
     full
   }
 
@@ -198,6 +209,13 @@ class ExcelReaderSpec extends SparkSpec {
     val bytes = cfb(biffWorkbookStream())
     Files.write(java.nio.file.Paths.get(s"$dir/t.xls"), bytes)
     checkXls(ExcelReader.read(spark, s"file://$dir/t.xls"))
+  }
+
+  test(".xls with a leading chart sheet still parses the first worksheet") {
+    val dir = Files.createTempDirectory("xlschart").toString
+    val bytes = cfb(biffWorkbookStream(chartFirst = true))
+    Files.write(java.nio.file.Paths.get(s"$dir/c.xls"), bytes)
+    checkXls(ExcelReader.read(spark, s"file://$dir/c.xls"))
   }
 
   test(".xls BIFF8 via regular sectors (stream past the mini cutoff)") {

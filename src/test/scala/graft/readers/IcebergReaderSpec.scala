@@ -142,6 +142,49 @@ class IcebergReaderSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta2"), (3L, "gamma")))
   }
 
+  test("null entry sequence numbers inherit from the manifest list (spec inheritance)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergseq")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2)
+    // f1 rides a manifest whose LIST seq is 1; f2 rides one at seq 3;
+    // the delete (id=2) rides one at seq 2 — all three entries store
+    // sequence_number NULL, the normal Avro encoding for ADDED entries
+    withFieldIds(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/f1")
+    withFieldIds(Seq((2L, "beta2"), (3L, "gamma")).toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/f2")
+    withFieldIds(Seq(Tuple1(2L)).toDF("id"), Map("id" -> 1))
+      .coalesce(1).write.parquet(s"$table/data/eqdel")
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    def manifest(dir: String, path: String, content: Int, eqIds: Option[Seq[Int]]): String = {
+      val df = Seq((1, path, "PARQUET", content, Option.empty[Long], eqIds))
+        .toDF("status", "file_path", "file_format", "content", "sequence_number", "eq_ids")
+        .selectExpr("status", "sequence_number",
+          "named_struct('file_path', file_path, 'file_format', file_format, 'content', content, 'equality_ids', eq_ids) as data_file")
+      writeAvro(df, dir)
+    }
+    val m1 = manifest(s"$table/metadata/m1", partFile(s"$table/data/f1"), 0, None)
+    val m2 = manifest(s"$table/metadata/m2", partFile(s"$table/data/f2"), 0, None)
+    val m3 = manifest(s"$table/metadata/m3", partFile(s"$table/data/eqdel"), 2, Some(Seq(1)))
+    val listPath = writeAvro(Seq((m1, 0, 1L), (m2, 0, 3L), (m3, 1, 2L))
+      .toDF("manifest_path", "content", "sequence_number"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table)
+    // delete @ inherited seq 2 removes beta (f1 @ inherited 1) but NOT
+    // beta2 (f2 @ inherited 3)
+    assert(df.as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta2"), (3L, "gamma")))
+  }
+
   test("schema evolution: renames resolve by field id; added columns null on old files") {
     import spark.implicits._
     val root = Files.createTempDirectory("icebergevo")
