@@ -170,6 +170,30 @@ object DeltaReader {
     * not files — the right trade once the plan itself is the risk). */
   def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None,
       maxPartitionScans: Int = 64): DataFrame = {
+    readImpl(spark, table, versionAsOf, maxPartitionScans)
+  }
+
+  /** Time travel by timestamp (the delta-rs `load_with_datetime` /
+    * Spark `timestampAsOf` semantics): the last commit whose file
+    * modification time is <= the given epoch-millis instant. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
+      maxPartitionScans: Int = 64): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = table.stripSuffix("/") + "/_delta_log"
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+    val commits = f.listStatus(new Path(logDir)).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getModificationTime)
+      .sortBy(_._1)
+    val eligible = commits.filter(_._2 <= timestampMs)
+    require(eligible.nonEmpty,
+      s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
+    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans)
+  }
+
+  private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
+      maxPartitionScans: Int): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -492,5 +516,19 @@ class DeltaReaderImpl extends Reader {
   val name = "delta_native"
   val implementsKinds = Set("delta")
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong))
+    ref.options.get("timestampAsOf") match {
+      case Some(ts) =>
+        // epoch millis, or an ISO-8601 instant / date-time / date
+        val ms = scala.util.Try(ts.toLong).getOrElse {
+          scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).getOrElse {
+            scala.util.Try(java.time.LocalDateTime.parse(ts)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
+              java.time.LocalDate.parse(ts).atStartOfDay
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          }
+        }
+        DeltaReader.readAsOfTimestamp(spark, ref.url, ms)
+      case None =>
+        DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong))
+    }
 }

@@ -380,6 +380,32 @@ class DeltaReaderSpec extends SparkSpec {
     assert(df.as[(Long, String, java.sql.Date)].collect().map(_._1).toSeq == Seq(1L))
   }
 
+  test("timestampAsOf picks the last commit at or before the instant") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltats")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName), addAction("f1.parquet")))
+    writeCommit(t, 1, Seq(removeAction("f1.parquet"), addAction("f2.parquet")))
+    val log = t.resolve("_delta_log")
+    java.nio.file.Files.setLastModifiedTime(log.resolve(f"${0L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    java.nio.file.Files.setLastModifiedTime(log.resolve(f"${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    assert(DeltaReader.readAsOfTimestamp(spark, t.toString, 1500000L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "alpha")))
+    assert(DeltaReader.readAsOfTimestamp(spark, t.toString, 2000000L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.readAsOfTimestamp(spark, t.toString, 500L))
+    assert(e.getMessage.contains("no commit at or before"))
+    // the registry option path parses ISO instants
+    val ref = graft.datatypes.DataRef("delta", t.toString,
+      options = Map("timestampAsOf" -> "1970-01-01T00:25:00Z")) // 1.5e6 ms
+    val viaRef = new DeltaReaderImpl().read(spark, ref)
+    assert(viaRef.as[(Long, String)].collect().toSeq == Seq((1L, "alpha")))
+  }
+
   test("a gap in the commit chain refuses instead of replaying a subset") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltagap")
