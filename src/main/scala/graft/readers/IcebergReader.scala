@@ -150,6 +150,21 @@ object IcebergReader {
     StructType(schemaNode.get("fields").elements().asScala.map(structField).toArray)
   }
 
+  /** Time travel by timestamp: the latest snapshot whose `timestamp-ms`
+    * is <= the instant (Iceberg's own `as-of-timestamp` semantics — the
+    * snapshot log lives in the metadata, no file mtimes involved). */
+  def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("timestamp-ms")).map(ts => s.get("snapshot-id").asLong() -> ts.asLong()))
+    val eligible = snaps.filter(_._2 <= timestampMs)
+    require(eligible.nonEmpty,
+      s"iceberg: no snapshot at or before timestamp $timestampMs (earliest is ${snaps.map(_._2).minOption.getOrElse(-1L)})")
+    read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1))
+  }
+
   /** Read the current snapshot, or a pinned one (`snapshotId` — time
     * travel over snapshots still referenced by the metadata). */
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
@@ -358,5 +373,11 @@ class IcebergReaderImpl extends Reader {
   val name = "iceberg_native"
   val implementsKinds = Set("iceberg")
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong))
+    ref.options.get("timestampAsOf") match {
+      case Some(ts) =>
+        val ms = scala.util.Try(ts.toLong).getOrElse(java.time.Instant.parse(ts).toEpochMilli)
+        IcebergReader.readAsOfTimestamp(spark, ref.url, ms)
+      case None =>
+        IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong))
+    }
 }

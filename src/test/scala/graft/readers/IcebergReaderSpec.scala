@@ -235,6 +235,19 @@ class IcebergReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("99"))
   }
 
+  test("timestampAsOf picks the latest snapshot at or before the instant") {
+    val table = fixture().toString
+    // re-stamp the metadata with snapshot timestamps
+    val meta = Files.readString(Paths.get(s"$table/metadata/v2.metadata.json"))
+      .replace("""{"snapshot-id": 11,""", """{"snapshot-id": 11, "timestamp-ms": 1000,""")
+      .replace("""{"snapshot-id": 77,""", """{"snapshot-id": 77, "timestamp-ms": 2000,""")
+    Files.writeString(Paths.get(s"$table/metadata/v2.metadata.json"), meta)
+    assert(IcebergReader.readAsOfTimestamp(spark, table, 1500L).count() == 3) // snapshot 11
+    assert(IcebergReader.readAsOfTimestamp(spark, table, 2000L).count() == 3) // snapshot 77
+    val e = intercept[IllegalArgumentException](IcebergReader.readAsOfTimestamp(spark, table, 500L))
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
   test("version-hint.text pins the metadata version") {
     val table = fixture()
     // hint at v1 (the empty table) → no current snapshot
