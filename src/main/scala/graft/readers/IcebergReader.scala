@@ -34,8 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with the spec's sequence-number ordering: a delete row removes data
   * rows matching its equality columns only in data files whose
   * sequence number is strictly below the delete file's (the schema's
-  * field-id map resolves `equality_ids` to column names). ORC/Avro
-  * data files refuse (parquet is the overwhelming default).
+  * field-id map resolves `equality_ids` to column names). ORC data
+  * files (common in Hive-migrated tables) scan through Spark's native
+  * ORC source, unioned with the parquet scan — by NAME (no ORC
+  * field-id matcher in Spark), so ORC renames don't resolve. Avro data
+  * files and non-parquet DELETE files refuse.
   * Time travel: `snapshotId` pins any snapshot the metadata still
   * references. When the real connector jar IS on the classpath the
   * gated `spark_iceberg` FormatReader outranks this one in the
@@ -240,40 +243,61 @@ object IcebergReader {
     val (dataFiles, deleteFiles) = live.partition(_.content == 0)
     val posDeleteFiles = deleteFiles.filter(_.content == 1)
     val eqDeleteFiles = deleteFiles.filter(_.content == 2)
-    val (parquetFiles, others) = dataFiles.partition(_.fileFormat == "parquet")
+    val (supportedData, others) = dataFiles.partition(e => e.fileFormat == "parquet" || e.fileFormat == "orc")
     require(others.isEmpty,
-      s"iceberg: non-parquet data files (${others.map(_.fileFormat).distinct.mkString(",")}) outside the supported profile")
-    require(parquetFiles.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
+      s"iceberg: data file formats (${others.map(_.fileFormat).distinct.mkString(",")}) outside the supported profile (parquet/orc)")
+    require(supportedData.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
+    // delete files must be parquet (the overwhelming writer default) —
+    // an ORC/Avro delete file misread as parquet would corrupt silently
+    (posDeleteFiles ++ eqDeleteFiles).foreach(e => require(e.fileFormat == "parquet",
+      s"iceberg: ${e.fileFormat} delete files outside the supported profile"))
+    // Spark exposes _metadata.row_index for parquet only, so position
+    // deletes cannot key rows inside ORC data files — letting them
+    // silently miss would resurrect deleted rows; refuse the combination
+    require(posDeleteFiles.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
+      "iceberg: position deletes with ORC data files outside the supported profile (no row_index metadata for ORC)")
 
     import org.apache.spark.sql.functions.{broadcast, col, concat, expr, lit, raise_error, regexp_replace, udf}
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/") // scheme-insensitive path compare
-    val paths = parquetFiles.map(r => resolve(r.filePath, table)).distinct.toSeq
     // Column resolution per the Iceberg spec is by FIELD ID, not name:
     // the current schema (with parquet.field.id metadata) drives the
     // scan and Spark's field-id matcher resolves renames; files written
     // before a column was added lack its id → null (ignoreMissing).
     // Both confs are inert for schemas without id metadata, so setting
     // them session-wide changes no other read. Fallback when the
-    // metadata carries no schema: by-name with mergeSchema.
+    // metadata carries no schema: by-name with mergeSchema. ORC data
+    // files (Hive-migration tables) read BY NAME — Spark's ORC source
+    // has no field-id matcher, so column renames don't resolve for
+    // them (documented profile caveat; adds/deletes still behave).
     val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
-    var data = sparkSchemaOpt match {
-      case Some(st) =>
-        // Session-wide on purpose: both confs are consulted only when a
-        // requested schema carries parquet.field.id metadata (which only
-        // this reader attaches), and parquet per-relation options cannot
-        // override them (ParquetFileFormat re-stamps them from SQLConf).
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-        spark.read.schema(st).parquet(paths: _*)
-      case None =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    }
-    val dataCols = data.columns.toSeq
     val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
-    if (needMeta)
-      data = data.withColumn("__file", norm(expr("_metadata.file_path")))
-        .withColumn("__pos", expr("_metadata.row_index"))
+    def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {
+      val ps = entries.map(e => resolve(e.filePath, table)).distinct
+      val base = (fmt, sparkSchemaOpt) match {
+        case ("parquet", Some(st)) =>
+          // Session-wide on purpose: both confs are consulted only when a
+          // requested schema carries parquet.field.id metadata (which only
+          // this reader attaches), and parquet per-relation options cannot
+          // override them (ParquetFileFormat re-stamps them from SQLConf).
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+          spark.read.schema(st).parquet(ps: _*)
+        case ("parquet", None) => spark.read.option("mergeSchema", "true").parquet(ps: _*)
+        case ("orc", Some(st)) => spark.read.schema(st).orc(ps: _*)
+        case ("orc", None)     => spark.read.option("mergeSchema", "true").orc(ps: _*)
+        case (other, _) => throw new IllegalStateException(s"unreachable format $other")
+      }
+      if (!needMeta) base
+      else base.withColumn("__file", norm(expr("_metadata.file_path")))
+        .withColumn("__pos", // parquet-only metadata; ORC rows reach here
+          // only with equality deletes, which never consult __pos
+          if (fmt == "parquet") expr("_metadata.row_index") else lit(null).cast("bigint"))
+    }
+    val scans = supportedData.groupBy(_.fileFormat).toSeq.sortBy(_._1)
+      .map { case (fmt, es) => mkScan(fmt, es.toSeq) }
+    var data = scans.reduce(_ unionByName _)
+    val dataCols = if (needMeta) data.columns.toSeq.filterNot(Set("__file", "__pos")) else data.columns.toSeq
 
     // per-row re-encode (small delete sides only): delete files store
     // RAW storage paths while the scan's _metadata.file_path is the
@@ -319,7 +343,7 @@ object IcebergReader {
       // (a when()-chain would grow the expression tree O(n files)); an
       // unmatched path is a read bug, not a shrug — raise, never guess
       import spark.implicits._
-      val seqDf = broadcast(parquetFiles.map(r =>
+      val seqDf = broadcast(supportedData.map(r =>
         (encNorm(resolve(r.filePath, table)), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
       data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
         .withColumn("__seq",

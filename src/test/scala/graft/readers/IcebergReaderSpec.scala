@@ -142,6 +142,43 @@ class IcebergReaderSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta2"), (3L, "gamma")))
   }
 
+  test("mixed parquet+orc data files union; position delete hits the orc side") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergorc")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    Seq((1L, "alpha")).toDF("id", "name").coalesce(1).write.parquet(s"$table/data/f1")
+    Seq((2L, "beta"), (3L, "gamma")).toDF("id", "name").coalesce(1).write.orc(s"$table/data/f2")
+    def partFile(dir: String, ext: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(ext)).get
+    val orcPath = partFile(s"$table/data/f2", ".orc")
+    Seq((orcPath, 0L)).toDF("file_path", "pos").coalesce(1).write.parquet(s"$table/data/del1")
+    def writeMeta(withPosDelete: Boolean): Unit = {
+      val entries = Seq(
+        (1, partFile(s"$table/data/f1", ".parquet"), "PARQUET", 0),
+        (1, orcPath, "ORC", 0)) ++
+        (if (withPosDelete) Seq((1, partFile(s"$table/data/del1", ".parquet"), "PARQUET", 1)) else Nil)
+      val manifestDf = entries.toDF("status", "file_path", "file_format", "content")
+        .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format, 'content', content) as data_file")
+      val tag = if (withPosDelete) "pd" else "plain"
+      val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest_$tag")
+      val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap_$tag")
+      Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+        s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+           |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    }
+    writeMeta(withPosDelete = false)
+    val df = IcebergReader.read(spark, table)
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // position deletes cannot key ORC rows (no row_index metadata):
+    // the combination must refuse, never silently resurrect
+    writeMeta(withPosDelete = true)
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table))
+    assert(e.getMessage.contains("ORC"))
+  }
+
   test("null entry sequence numbers inherit from the manifest list (spec inheritance)") {
     import spark.implicits._
     val root = Files.createTempDirectory("icebergseq")
