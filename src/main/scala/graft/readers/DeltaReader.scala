@@ -379,7 +379,7 @@ object DeltaReader {
 
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def resolve(p: String): String = {
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8") // paths are URL-encoded in the log
+      val decoded = PathKeys.percentDecode(p) // URL-encoded in the log; '+' stays literal
       if (decoded.contains("://") || decoded.startsWith("/")) decoded
       else table.stripSuffix("/") + "/" + decoded
     }
@@ -408,7 +408,7 @@ object DeltaReader {
 
     val hasDv = live.values.exists(_.dv.isDefined)
     import org.apache.spark.sql.functions.{expr, regexp_replace}
-    def norm(c: Column): Column = regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
+    def norm(c: Column): Column = PathKeys.scanKey(c)
     // `_metadata` is only resolvable on a direct file scan, so the
     // file/row tags must attach at each scan base, not after the union
     def tag(df: DataFrame): DataFrame =
@@ -467,7 +467,7 @@ object DeltaReader {
             partitionCols.map(pc => StructField(s"__pv_$pc", org.apache.spark.sql.types.StringType)).toArray.toSeq)
           val pvRows = live.values.toSeq.map { e =>
             org.apache.spark.sql.Row.fromSeq(
-              new Path(resolve(e.path)).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/") +:
+              PathKeys.driverKey(resolve(e.path), f) +:
                 partitionCols.map(pc => pvOf(e, pc).orNull))
           }
           val pvDf = org.apache.spark.sql.functions.broadcast(
@@ -493,7 +493,7 @@ object DeltaReader {
       // with quotable characters would silently resurrect
       val descs: Seq[(String, String, String, Int, Int, Long)] =
         live.values.toSeq.flatMap(e => e.dv.map(d =>
-          (new Path(resolve(e.path)).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"),
+          (PathKeys.driverKey(resolve(e.path), f),
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))
       import spark.implicits._
       val deletes = spark.createDataset(descs)
@@ -518,16 +518,7 @@ class DeltaReaderImpl extends Reader {
   def read(spark: SparkSession, ref: DataRef): DataFrame =
     ref.options.get("timestampAsOf") match {
       case Some(ts) =>
-        // epoch millis, or an ISO-8601 instant / date-time / date
-        val ms = scala.util.Try(ts.toLong).getOrElse {
-          scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).getOrElse {
-            scala.util.Try(java.time.LocalDateTime.parse(ts)
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
-              java.time.LocalDate.parse(ts).atStartOfDay
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-          }
-        }
-        DeltaReader.readAsOfTimestamp(spark, ref.url, ms)
+        DeltaReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts))
       case None =>
         DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong))
     }

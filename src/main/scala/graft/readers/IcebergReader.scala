@@ -160,8 +160,16 @@ object IcebergReader {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
     import scala.jdk.CollectionConverters._
-    val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
-      .flatMap(s => Option(s.get("timestamp-ms")).map(ts => s.get("snapshot-id").asLong() -> ts.asLong()))
+    // snapshot-log is the table's HISTORY — staged (WAP) or rolled-back
+    // snapshots linger in `snapshots` until expiry but were never
+    // current, and must not be returned for "the table as of t"; fall
+    // back to snapshots[].timestamp-ms only when no log exists
+    val fromLog = Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala)
+      .map(e => e.get("snapshot-id").asLong() -> e.get("timestamp-ms").asLong())
+    val snaps =
+      if (fromLog.nonEmpty) fromLog
+      else Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+        .flatMap(s => Option(s.get("timestamp-ms")).map(ts => s.get("snapshot-id").asLong() -> ts.asLong()))
     val eligible = snaps.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"iceberg: no snapshot at or before timestamp $timestampMs (earliest is ${snaps.map(_._2).minOption.getOrElse(-1L)})")
@@ -187,57 +195,73 @@ object IcebergReader {
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
 
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
-    // URI-encoded scheme-stripped path form, matching what the scan's
-    // `_metadata.file_path` reports (percent-encoded) minus the scheme
-    def encNorm(p: String): String =
-      new Path(p).toUri.toString.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val tableFs = fs(table, conf)
     // v2 (and most v1) snapshots point at a manifest list; early v1 may
-    // inline the manifest paths directly. The list's own sequence_number
-    // is kept: ADDED manifest entries store null and INHERIT it (spec
-    // "Sequence Number Inheritance").
-    val manifestList: Seq[(String, Long)] = Option(snap.get("manifest-list")) match {
+    // inline the manifest paths directly. Each list row keeps its own
+    // sequence_number (ADDED manifest entries store null and INHERIT it
+    // — spec "Sequence Number Inheritance") and its content flag
+    // (0 = data manifest, 1 = delete manifest).
+    case class ManifestRef(path: String, seq: Long, isDelete: Boolean)
+    val manifestList: Seq[ManifestRef] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
         val mlDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
-        val hasSeq = mlDf.columns.contains("sequence_number")
-        mlDf.select("manifest_path", (if (hasSeq) "sequence_number" else "manifest_path")).collect()
-          .map(r => resolve(r.getString(0), table) ->
-            (if (hasSeq && !r.isNullAt(1)) r.getAs[Number](1).longValue() else 0L)).toSeq
+        val mlCols = mlDf.columns.toSet
+        mlDf.selectExpr("manifest_path",
+          if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+          if (mlCols.contains("content")) "content" else "0 as content").collect()
+          .map(r => ManifestRef(resolve(r.getString(0), table),
+            Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
+            Option(r.getAs[Number](2)).exists(_.intValue() == 1))).toSeq
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
-          .map(p => resolve(p, table) -> 0L)
+          .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false))
     }
     require(manifestList.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
-    // keyed by the encoded form for matching _metadata.file_path; the
-    // RAW paths feed load() (hadoop Path treats % literally)
-    val manifestSeqs: Map[String, Long] = manifestList.map { case (p, s) => encNorm(p) -> s }.toMap
+    // inheritance lookup keyed in the scan's _metadata form; the RAW
+    // paths feed load() (hadoop Path treats % literally)
+    val manifestSeqs: Map[String, Long] =
+      manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.seq).toMap
 
-    val manifests = spark.read.format(avroFmt).load(manifestList.map(_._1).distinct: _*)
-    val entryCols = manifests.columns.toSet
-    val dfCols = manifests.select("data_file.*").columns.toSet
-    val entriesRaw = manifests
-      .selectExpr("status", "data_file.file_path as file_path",
-        "lower(data_file.file_format) as file_format",
-        if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
-        if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
-        if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
-        "_metadata.file_path as __manifest")
-      .collect()
-    // per-entry sequence number: explicit, else inherited from the
-    // entry's manifest (null is the normal Avro encoding for entries
-    // ADDED in the manifest's own snapshot), else 0 for v1 tables
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
         seq: Long, equalityIds: Seq[Int])
-    val entries = entriesRaw.map { r =>
-      val inherited = manifestSeqs.getOrElse(encNorm(r.getAs[String]("__manifest")), 0L)
-      Entry(
-        r.getAs[Int]("status"),
-        r.getAs[String]("file_path"),
-        r.getAs[String]("file_format"),
-        r.getAs[Number]("content").intValue(),
-        Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
-        Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
-          .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil))
+    // Data and delete manifests load SEPARATELY: a v1→v2-upgraded table
+    // keeps old v1 data manifests (no entry seq, no data_file.content)
+    // next to v2 delete manifests, and one Avro read would infer a
+    // single schema from whichever file it sampled — misclassifying
+    // delete files as data rows or vice versa.
+    def loadEntries(refs: Seq[ManifestRef]): Seq[Entry] = {
+      if (refs.isEmpty) return Nil
+      val manifests = spark.read.format(avroFmt).load(refs.map(_.path).distinct: _*)
+      val entryCols = manifests.columns.toSet
+      val dfCols = manifests.select("data_file.*").columns.toSet
+      manifests
+        .selectExpr("status", "data_file.file_path as file_path",
+          "lower(data_file.file_format) as file_format",
+          if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
+          if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+          if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
+          "_metadata.file_path as __manifest")
+        .collect().toSeq.map { r =>
+          // per-entry sequence number: explicit, else inherited from the
+          // entry's manifest (null is the normal Avro encoding for
+          // entries ADDED in the manifest's own snapshot). The manifest
+          // key arrives ALREADY encoded from _metadata — strip only,
+          // re-encoding would double-quote %; a miss is a read bug.
+          val mKey = PathKeys.scanKeyStr(r.getAs[String]("__manifest"))
+          val inherited = manifestSeqs.getOrElse(mKey,
+            throw new IllegalStateException(s"iceberg: manifest $mKey missing from the manifest-list sequence map"))
+          Entry(
+            r.getAs[Int]("status"),
+            r.getAs[String]("file_path"),
+            r.getAs[String]("file_format"),
+            Option(r.getAs[Number]("content")).map(_.intValue()).getOrElse(0),
+            Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
+            Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
+              .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil))
+        }
     }
+    val (deleteManifests, dataManifests) = manifestList.partition(_.isDelete)
+    val entries = loadEntries(dataManifests) ++ loadEntries(deleteManifests)
     val live = entries.filter(_.status != 2) // 2 = DELETED entry
     // content: 0 data, 1 position deletes, 2 equality deletes
     val (dataFiles, deleteFiles) = live.partition(_.content == 0)
@@ -256,6 +280,14 @@ object IcebergReader {
     // silently miss would resurrect deleted rows; refuse the combination
     require(posDeleteFiles.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
       "iceberg: position deletes with ORC data files outside the supported profile (no row_index metadata for ORC)")
+    // schema.name-mapping.default marks files imported without field ids
+    // (Hive migrate/add_files): resolving them needs the name-mapping
+    // rules, and our by-id (parquet) / by-name (orc) scans would return
+    // silent NULL columns for exactly those files — refuse loudly
+    val hasNameMapping = Option(meta.get("properties"))
+      .exists(p => Option(p.get("schema.name-mapping.default")).exists(!_.isNull))
+    require(!hasNameMapping,
+      "iceberg: schema.name-mapping.default present (files imported without field ids) — outside the supported profile")
 
     import org.apache.spark.sql.functions.{broadcast, col, concat, expr, lit, raise_error, regexp_replace, udf}
     def norm(c: org.apache.spark.sql.Column) =
@@ -271,17 +303,22 @@ object IcebergReader {
     // has no field-id matcher, so column renames don't resolve for
     // them (documented profile caveat; adds/deletes still behave).
     val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
+    // Session-wide on purpose: both confs are consulted only when a
+    // requested schema carries parquet.field.id metadata (which only
+    // this reader attaches), and parquet per-relation options cannot
+    // override them (ParquetFileFormat re-stamps them from SQLConf).
+    // Set unconditionally whenever a schema exists — equality-DELETE
+    // file reads need field-id matching even when every data file is
+    // ORC and the parquet data branch never runs.
+    if (sparkSchemaOpt.isDefined) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    }
     val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {
       val ps = entries.map(e => resolve(e.filePath, table)).distinct
       val base = (fmt, sparkSchemaOpt) match {
         case ("parquet", Some(st)) =>
-          // Session-wide on purpose: both confs are consulted only when a
-          // requested schema carries parquet.field.id metadata (which only
-          // this reader attaches), and parquet per-relation options cannot
-          // override them (ParquetFileFormat re-stamps them from SQLConf).
-          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-          spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
           spark.read.schema(st).parquet(ps: _*)
         case ("parquet", None) => spark.read.option("mergeSchema", "true").parquet(ps: _*)
         case ("orc", Some(st)) => spark.read.schema(st).orc(ps: _*)
@@ -344,7 +381,7 @@ object IcebergReader {
       // unmatched path is a read bug, not a shrug — raise, never guess
       import spark.implicits._
       val seqDf = broadcast(supportedData.map(r =>
-        (encNorm(resolve(r.filePath, table)), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
+        (PathKeys.driverKey(resolve(r.filePath, table), tableFs), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
       data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
         .withColumn("__seq",
           org.apache.spark.sql.functions.when(col("__seq0").isNull,
@@ -360,7 +397,7 @@ object IcebergReader {
       groups.foreach { case (cols, files) =>
         val delPaths = files.map(e => resolve(e.filePath, table)).distinct
         val delSeqDf = broadcast(files.map(e =>
-          (encNorm(resolve(e.filePath, table)), e.seq)).toSeq.toDF("__del_seq_file", "__del_seq"))
+          (PathKeys.driverKey(resolve(e.filePath, table), tableFs), e.seq)).toSeq.toDF("__del_seq_file", "__del_seq"))
         // Delete files resolve by field id too: a column renamed AFTER
         // the delete was written still matches (the delete file stores
         // the old physical name but the same field id). Falls back to
@@ -399,8 +436,7 @@ class IcebergReaderImpl extends Reader {
   def read(spark: SparkSession, ref: DataRef): DataFrame =
     ref.options.get("timestampAsOf") match {
       case Some(ts) =>
-        val ms = scala.util.Try(ts.toLong).getOrElse(java.time.Instant.parse(ts).toEpochMilli)
-        IcebergReader.readAsOfTimestamp(spark, ref.url, ms)
+        IcebergReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts))
       case None =>
         IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong))
     }

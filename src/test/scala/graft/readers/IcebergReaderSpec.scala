@@ -272,17 +272,79 @@ class IcebergReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("99"))
   }
 
-  test("timestampAsOf picks the latest snapshot at or before the instant") {
+  test("timestampAsOf follows snapshot-log; staged snapshots are never returned") {
     val table = fixture().toString
-    // re-stamp the metadata with snapshot timestamps
+    // re-stamp the metadata: snapshot timestamps, a STAGED snapshot 99
+    // (in `snapshots`, with the newest timestamp, absent from
+    // snapshot-log — the WAP/rollback shape), and the history log
     val meta = Files.readString(Paths.get(s"$table/metadata/v2.metadata.json"))
       .replace("""{"snapshot-id": 11,""", """{"snapshot-id": 11, "timestamp-ms": 1000,""")
-      .replace("""{"snapshot-id": 77,""", """{"snapshot-id": 77, "timestamp-ms": 2000,""")
+      .replace("""{"snapshot-id": 77,""", """{"snapshot-id": 99, "timestamp-ms": 3000, "manifest-list": "/nonexistent-staged"},
+                 |    {"snapshot-id": 77, "timestamp-ms": 2000,""".stripMargin)
+      .replace("""  "snapshots": [""",
+        """  "snapshot-log": [
+          |    {"snapshot-id": 11, "timestamp-ms": 1000},
+          |    {"snapshot-id": 77, "timestamp-ms": 2000}
+          |  ],
+          |  "snapshots": [""".stripMargin)
     Files.writeString(Paths.get(s"$table/metadata/v2.metadata.json"), meta)
     assert(IcebergReader.readAsOfTimestamp(spark, table, 1500L).count() == 3) // snapshot 11
-    assert(IcebergReader.readAsOfTimestamp(spark, table, 2000L).count() == 3) // snapshot 77
+    // staged snapshot 99 has the max timestamp but is NOT history: the
+    // as-of read must return 77, never the unpublished snapshot
+    assert(IcebergReader.readAsOfTimestamp(spark, table, 5000L).count() == 3) // snapshot 77
     val e = intercept[IllegalArgumentException](IcebergReader.readAsOfTimestamp(spark, table, 500L))
     assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
+  test("schema.name-mapping.default (imported id-less files) refuses loudly") {
+    val table = fixture().toString
+    val meta = Files.readString(Paths.get(s"$table/metadata/v2.metadata.json"))
+      .replace("""  "current-snapshot-id": 77,""",
+        """  "current-snapshot-id": 77,
+          |  "properties": {"schema.name-mapping.default": "[{\"field-id\": 1, \"names\": [\"id\"]}]"},""".stripMargin)
+    Files.writeString(Paths.get(s"$table/metadata/v2.metadata.json"), meta)
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table))
+    assert(e.getMessage.contains("name-mapping"))
+  }
+
+  test("v1 data manifests mix with v2 delete manifests after an upgrade") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergmix")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2)
+    withFieldIds(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/f1")
+    withFieldIds(Seq(Tuple1(1L)).toDF("id"), Map("id" -> 1))
+      .coalesce(1).write.parquet(s"$table/data/eqdel")
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    // pre-upgrade v1 data manifest: NO entry sequence_number, NO
+    // data_file.content, NO equality_ids columns at all
+    val v1Manifest = writeAvro(
+      Seq((1, partFile(s"$table/data/f1"), "PARQUET")).toDF("status", "file_path", "file_format")
+        .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format) as data_file"),
+      s"$table/metadata/m_v1")
+    // post-upgrade v2 delete manifest (content + equality_ids + seq)
+    val v2Delete = writeAvro(
+      Seq((1, partFile(s"$table/data/eqdel"), "PARQUET", 2, 2L, Array(1)))
+        .toDF("status", "file_path", "file_format", "content", "sequence_number", "eq_ids")
+        .selectExpr("status", "sequence_number",
+          "named_struct('file_path', file_path, 'file_format', file_format, 'content', content, 'equality_ids', eq_ids) as data_file"),
+      s"$table/metadata/m_v2del")
+    val listPath = writeAvro(Seq((v1Manifest, 0, Option.empty[Long]), (v2Delete, 1, Some(2L)))
+      .toDF("manifest_path", "content", "sequence_number"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    // the v1 data file (inherited seq 0 < delete seq 2) loses id=1;
+    // a mixed-schema single read would have misclassified instead
+    val df = IcebergReader.read(spark, table)
+    assert(df.as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
   }
 
   test("version-hint.text pins the metadata version") {
