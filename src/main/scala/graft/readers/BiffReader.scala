@@ -20,7 +20,9 @@ import scala.collection.mutable
   * Continue-record splits handled at character-data boundaries (each
   * continued chunk restarts its own encoding flag byte, per MS-XLS
   * 2.5.293); formulas yield their cached NUMBER/STRING result when
-  * present, else empty. Encrypted workbooks (FILEPASS) refuse.
+  * present, else empty. Inline LABEL/STRING text parses the full grbit
+  * (rich/ext headers skipped) and refuses if split across Continue
+  * records. Encrypted workbooks (FILEPASS) refuse.
   */
 object BiffReader {
 
@@ -140,7 +142,7 @@ object BiffReader {
       var wide = wide0
       while (remaining > 0) {
         skipEmpty()
-        require(ci < chunks.length, "BIFF8: string runs past SST/Continue data")
+        require(ci < chunks.length, "BIFF8: string runs past its record/Continue data")
         if (pos == 0 && ci > 0) wide = (u8() & 1) != 0 // continued chunk restarts its flag byte
         val availBytes = chunks(ci).length - pos
         val take = math.min(remaining, if (wide) availBytes / 2 else availBytes)
@@ -174,14 +176,20 @@ object BiffReader {
     s
   }
 
-  /** ShortXLUnicodeString (sheet names) / XLUnicodeString (LABEL). */
+  /** ShortXLUnicodeString (sheet names) / XLUnicodeRichExtendedString
+    * (LABEL 0x0204, cached-formula STRING 0x0207). Parses the full
+    * grbit — rich (0x08) and ext (0x04) payload counts sit between the
+    * flags byte and the character data, so ignoring them would parse
+    * cRun/cbExt header bytes as text — and refuses via Cursor bounds
+    * when the string continues past this record (a Continue split this
+    * single-record path can't stitch). */
   private def biffString(data: Array[Byte], at: Int, shortLen: Boolean): String = {
-    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    val cch = if (shortLen) data(at) & 0xff else bb.getShort(at) & 0xffff
-    val hdr = if (shortLen) 1 else 2
-    val wide = (data(at + hdr) & 1) != 0
-    if (wide) new String(data, at + hdr + 1, cch * 2, StandardCharsets.UTF_16LE)
-    else new String(data, at + hdr + 1, cch, StandardCharsets.ISO_8859_1)
+    val c = new Cursor(IndexedSeq(java.util.Arrays.copyOfRange(data, at, data.length)))
+    val cch = if (shortLen) c.u8() else c.u16()
+    val grbit = c.u8()
+    if ((grbit & 8) != 0) c.u16() // cRun (rich runs follow the text; count precedes it)
+    if ((grbit & 4) != 0) c.u32() // cbExt
+    c.chars(cch, (grbit & 1) != 0)
   }
 
   private def rkValue(rk: Long): Double = {

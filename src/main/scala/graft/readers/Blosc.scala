@@ -69,6 +69,10 @@ object Blosc {
     val compcode = (flags >> 5) & 0x07
     val doShuffle = (flags & 0x01) != 0
     val dontSplit = (flags & 0x10) != 0
+    // c-blosc emits nbytes=0, blocksize=0 containers for empty input;
+    // short-circuit before the block loop would divide by blocksize.
+    if (nbytes == 0) return Array.emptyByteArray
+    require(blocksize > 0, s"blosc: non-empty container with blocksize $blocksize")
     val out = new Array[Byte](nbytes)
     val nblocks = (nbytes + blocksize - 1) / blocksize
     var i = 0
@@ -165,18 +169,25 @@ object Lz4Block {
       var litLen = token >>> 4
       if (litLen == 15) {
         var c = 255
-        while (c == 255) { c = src(ip) & 0xff; ip += 1; litLen += c }
+        while (c == 255) {
+          require(ip < ipEnd, "lz4: truncated literal-length continuation")
+          c = src(ip) & 0xff; ip += 1; litLen += c
+        }
       }
       require(ip + litLen <= ipEnd && op + litLen <= opEnd, "lz4: literal run out of bounds")
       System.arraycopy(src, ip, out, op, litLen)
       ip += litLen; op += litLen
       if (ip < ipEnd) { // last sequence stops after its literals
+        require(ip + 2 <= ipEnd, "lz4: truncated match offset")
         val offset = ((src(ip) & 0xff) | ((src(ip + 1) & 0xff) << 8)); ip += 2
         require(offset > 0 && op - offset >= outOff, s"lz4: match offset $offset before window start")
         var matchLen = (token & 0x0f) + 4
         if ((token & 0x0f) == 15) {
           var c = 255
-          while (c == 255) { c = src(ip) & 0xff; ip += 1; matchLen += c }
+          while (c == 255) {
+            require(ip < ipEnd, "lz4: truncated match-length continuation")
+            c = src(ip) & 0xff; ip += 1; matchLen += c
+          }
         }
         require(op + matchLen <= opEnd, "lz4: match run past output")
         var k = 0 // byte-wise: matches may overlap their own output

@@ -41,6 +41,11 @@ object ExcelReader {
     if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf)
       return BiffReader.parse(bytes)
     val entries = zipEntries(bytes)
+    // .xlsb (Excel binary OOXML) is a zip like .xlsx but with BIFF12
+    // `.bin` parts — neither the XML path nor BiffReader reads those;
+    // refuse explicitly instead of failing with "no worksheet in xlsx"
+    require(!entries.keys.exists(_.endsWith(".bin")),
+      "xlsb (Excel binary OOXML) outside the supported profile (xlsx XML and xls BIFF8 only)")
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml") match {
       case Some(b) =>
         val xml = scala.xml.XML.load(new ByteArrayInputStream(b))

@@ -24,7 +24,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ride `parquet.field.id` metadata and Spark's
   *     `parquet.fieldId.read` matcher, so renamed columns read
   *     correctly from pre-rename files and added columns null out on
-  *     files written before the add.
+  *     files written before the add. (Side effect: the two
+  *     `spark.sql.parquet.fieldId.read.*` confs stay enabled
+  *     session-wide after a read — see the inline note in [[read]].)
   *
   * Stated profile: format-version 1 and 2 tables of parquet data files.
   * v2 POSITION deletes apply as a distributed anti-join of the scan's
@@ -296,17 +298,26 @@ object IcebergReader {
     // the current schema (with parquet.field.id metadata) drives the
     // scan and Spark's field-id matcher resolves renames; files written
     // before a column was added lack its id → null (ignoreMissing).
-    // Both confs are inert for schemas without id metadata, so setting
-    // them session-wide changes no other read. Fallback when the
-    // metadata carries no schema: by-name with mergeSchema. ORC data
-    // files (Hive-migration tables) read BY NAME — Spark's ORC source
-    // has no field-id matcher, so column renames don't resolve for
-    // them (documented profile caveat; adds/deletes still behave).
+    // Fallback when the metadata carries no schema: by-name with
+    // mergeSchema. ORC data files (Hive-migration tables) read BY NAME
+    // — Spark's ORC source has no field-id matcher, so column renames
+    // don't resolve for them (documented profile caveat; adds/deletes
+    // still behave).
     val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
-    // Session-wide on purpose: both confs are consulted only when a
-    // requested schema carries parquet.field.id metadata (which only
-    // this reader attaches), and parquet per-relation options cannot
-    // override them (ParquetFileFormat re-stamps them from SQLConf).
+    // SESSION-WIDE EFFECT (documented, deliberate): these confs are
+    // consulted whenever the requested schema carries parquet.field.id
+    // metadata — which is NOT unique to this reader: Spark's parquet
+    // schema inference preserves field ids from the files, so after
+    // this read, a plain spark.read.parquet over field-id-bearing
+    // files (e.g. Iceberg/Trino-written parquet read outside a table)
+    // also resolves columns by id rather than by name, and missing ids
+    // null out instead of erroring (ignoreMissing). That is the
+    // spec-correct behavior for such files, but it IS a visible
+    // session-level change. Per-relation options can't scope it
+    // (ParquetFileFormat re-stamps both from SQLConf), and
+    // spark.newSession() would drop the user's other runtime session
+    // confs — so the honest contract is: the native Iceberg reader
+    // turns on field-id parquet resolution for the session.
     // Set unconditionally whenever a schema exists — equality-DELETE
     // file reads need field-id matching even when every data file is
     // ORC and the parquet data branch never runs.

@@ -50,6 +50,29 @@ class BloscSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](lz4(bad, 14))
   }
 
+  test("lz4 reports truncation at the point of corruption, not downstream") {
+    // literal-length continuation cut off mid-stream
+    val litTrunc = Array[Byte](0xF0.toByte, 0xFF.toByte)
+    assert(intercept[IllegalArgumentException](lz4(litTrunc, 300))
+      .getMessage.contains("truncated literal-length"))
+    // match offset cut off after one of its two bytes
+    val offTrunc = Array[Byte](0x10, 'x'.toByte, 0x01)
+    assert(intercept[IllegalArgumentException](lz4(offTrunc, 10))
+      .getMessage.contains("truncated match offset"))
+    // match-length continuation cut off mid-stream
+    val matchTrunc = Array[Byte](0x1F, 'x'.toByte, 0x01, 0x00, 0xFF.toByte)
+    assert(intercept[IllegalArgumentException](lz4(matchTrunc, 600))
+      .getMessage.contains("truncated match-length"))
+  }
+
+  test("blosc empty container (nbytes=0, blocksize=0) decodes to empty") {
+    // c-blosc emits this shape for zero-length input
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).put(1.toByte).put((1 << 5).toByte).put(8.toByte)
+    bb.putInt(0).putInt(0).putInt(16)
+    assert(Blosc.decompress(bb.array()).isEmpty)
+  }
+
   // ---- minimal spec-faithful blosc-lz4 encoder (test-side only) ------
 
   /** Greedy LZ4 block encoder: longest match (offset ≤ 65535, len ≥ 4)

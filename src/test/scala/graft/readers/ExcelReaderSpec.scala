@@ -232,6 +232,54 @@ class ExcelReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("BIFF8 only"))
   }
 
+  /** Workbook stream with a single LABEL (0x0204) cell carrying the
+    * given XLUnicodeRichExtendedString payload (after the 6-byte cell
+    * header). */
+  private def labelWorkbook(stringPayload: Array[Byte]): Array[Byte] = {
+    val bofGlobals = rec(0x0809, le((2, 0x0600L), (2, 0x0005L), (4, 0L)))
+    val bofSheet = rec(0x0809, le((2, 0x0600L), (2, 0x0010L), (4, 0L)))
+    val label = rec(0x0204, le((2, 0L), (2, 0L), (2, 0L)) ++ stringPayload)
+    val sheet = bofSheet ++ label ++ rec(0x000a, Array.emptyByteArray)
+    val name = "Sheet1"
+    val bsData = le((4, 0L), (1, 0L), (1, 0L), (1, name.length.toLong), (1, 0L)) ++ name.getBytes("ISO-8859-1")
+    val globals = bofGlobals ++ rec(0x0085, bsData) ++ rec(0x000a, Array.emptyByteArray)
+    val full = globals ++ sheet
+    ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(bofGlobals.length + 4, globals.length) // patch lbPlyPos
+    full
+  }
+
+  test(".xls inline LABEL with rich/ext flags parses text, not header bytes") {
+    // rich (grbit 0x08): cRun sits between the flags and the chars —
+    // ignoring it would read the cRun bytes as the first characters
+    val rich = le((2, 2L), (1, 0x08L), (2, 2L)) ++ "hi".getBytes("ISO-8859-1") ++ new Array[Byte](8)
+    assert(BiffReader.parse(cfb(labelWorkbook(rich))) == Seq(Seq("hi")))
+    // rich + ext + wide (grbit 0x0D): cRun, cbExt, then UTF-16LE chars
+    val richExtWide = le((2, 2L), (1, 0x0dL), (2, 1L), (4, 3L)) ++
+      "éz".getBytes("UTF-16LE") ++ new Array[Byte](7)
+    assert(BiffReader.parse(cfb(labelWorkbook(richExtWide))) == Seq(Seq("éz")))
+  }
+
+  test(".xls inline LABEL continued past its record refuses, no garbage") {
+    // cch claims 40 chars but only 8 are in the record (a Continue
+    // split this single-record path can't stitch) — must refuse
+    val truncated = le((2, 40L), (1, 0L)) ++ "only8chr".getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](BiffReader.parse(cfb(labelWorkbook(truncated))))
+    assert(e.getMessage.contains("BIFF8"))
+  }
+
+  test(".xlsb refuses with an explicit unsupported-format message") {
+    val dir = Files.createTempDirectory("xlsb").toString
+    val zout = new ZipOutputStream(new FileOutputStream(s"$dir/b.xlsb"))
+    for (n <- Seq("xl/workbook.bin", "xl/worksheets/sheet1.bin")) {
+      zout.putNextEntry(new ZipEntry(n)); zout.write(Array[Byte](1, 2, 3)); zout.closeEntry()
+    }
+    zout.close()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/b.xlsb"))
+    val e = intercept[IllegalArgumentException](ExcelReader.parse(bytes))
+    assert(e.getMessage.contains("xlsb"))
+  }
+
   test("detection routes .xls to the excel reader (CFB magic)") {
     val dir = Files.createTempDirectory("xlsroute").toString
     Files.write(java.nio.file.Paths.get(s"$dir/r.xls"), cfb(biffWorkbookStream()))
