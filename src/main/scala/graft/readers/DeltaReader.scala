@@ -48,14 +48,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * Scale shape: the driver replays only log metadata (JSON lines and a
   * checkpoint read that projects just `add`/`remove`/`metaData`); data
   * files never pass through the driver and the parquet scan keeps
-  * pushdown/pruning.
+  * pushdown/pruning. Driver state is O(live files) — a LinkedHashMap
+  * of ~200-byte entries, i.e. ~200 MB at 1M files, the same bound
+  * delta-rs carries — and is EXPLICITLY capped at [[maxLiveFiles]]
+  * (default 4M ≈ 1 GB peak): the replay refuses loudly past the cap
+  * instead of exhausting driver heap, naming the delta-spark connector
+  * as the path for bigger tables.
   */
 object DeltaReader {
+
+  /** Hard cap on replayed live-file entries (see scale shape above).
+    * `private[readers] var` so specs can exercise the refusal cheaply;
+    * production callers are not expected to touch it. */
+  private[readers] var maxLiveFiles: Int = 4_000_000
 
   private case class DvDescriptor(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
   private case class FileEntry(path: String, partitionValues: Map[String, Option[String]],
-      dv: Option[DvDescriptor])
+      dv: Option[DvDescriptor], stats: Option[String])
 
   // ---- deletion vectors (delta PROTOCOL.md "Deletion Vectors") --------
 
@@ -166,18 +176,25 @@ object DeltaReader {
     * whole-scan pruning — spec-pinned); above it, ONE scan covers every
     * file and partition values attach via a broadcast (file → values)
     * join keyed on `_metadata.file_path`, keeping plan size O(1) at any
-    * partition cardinality (partition filters then prune row-groups,
-    * not files — the right trade once the plan itself is the risk). */
+    * partition cardinality.
+    *
+    * `filter` (optional ANSI SQL boolean over the table's columns) is
+    * the 100 TB lever: the live-file list is pruned BEFORE any data
+    * file is opened — exactly on `add.partitionValues` (both partition
+    * paths, including >`maxPartitionScans` where Catalyst can no longer
+    * see per-scan literals) and conservatively on `add.stats` min/max —
+    * and the full filter is re-applied to the returned DataFrame, so
+    * the result always equals `read(...).where(filter)`. */
   def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None,
-      maxPartitionScans: Int = 64): DataFrame = {
-    readImpl(spark, table, versionAsOf, maxPartitionScans)
+      maxPartitionScans: Int = 64, filter: Option[String] = None): DataFrame = {
+    readImpl(spark, table, versionAsOf, maxPartitionScans, filter)
   }
 
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
-      maxPartitionScans: Int = 64): DataFrame = {
+      maxPartitionScans: Int = 64, filter: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -189,11 +206,11 @@ object DeltaReader {
     val eligible = commits.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
-    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans)
+    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter)
   }
 
   private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
-      maxPartitionScans: Int): DataFrame = {
+      maxPartitionScans: Int, filterSql: Option[String]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -300,9 +317,16 @@ object DeltaReader {
 
     // 1. checkpoint state (adds are the live set at cpVersion). Removes
     // in a checkpoint are retention tombstones, never live state.
+    def parseStats(node: JsonNode): Option[String] =
+      Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
     def applyAdd(node: JsonNode): Unit = {
       val p = node.get("path").asText()
-      live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node))
+      live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node), parseStats(node))
+      // checked on insert so peak driver memory is bounded by the cap,
+      // not by however many adds a hostile/huge log contains
+      require(live.size <= maxLiveFiles,
+        s"delta: table has more than $maxLiveFiles live files — beyond this native reader's " +
+          "driver-state bound; read it with the delta-spark connector jar on the classpath")
     }
     val sidecarPaths = Seq.newBuilder[String]
     def applySidecar(node: JsonNode): Unit = {
@@ -355,10 +379,7 @@ object DeltaReader {
         val action = mapper.readTree(line)
         Option(action.get("metaData")).foreach(applyMeta)
         Option(action.get("protocol")).foreach(applyProtocol)
-        Option(action.get("add")).foreach { add =>
-          val path = add.get("path").asText()
-          live(path) = FileEntry(path, partMap(add.get("partitionValues")), parseDv(add))
-        }
+        Option(action.get("add")).foreach(applyAdd)
         Option(action.get("remove")).foreach(rm => live.remove(rm.get("path").asText()))
       }
     }
@@ -406,7 +427,39 @@ object DeltaReader {
       case other => other
     }
 
-    val hasDv = live.values.exists(_.dv.isDefined)
+    // ---- file-level predicate skipping (the 100 TB lever) ------------
+    // Prune the live-file list from the filter BEFORE any data file is
+    // opened: exact partition-tuple evaluation (both partition paths —
+    // crucially the >maxPartitionScans broadcast path, where Catalyst
+    // sees no per-scan literals to constant-fold), then conservative
+    // add.stats min/max ranges. The full filter re-applies to the
+    // result below, so skipping is correctness-neutral by construction.
+    def pvOf(e: FileEntry, pc: String): Option[String] = {
+      val fl = schema(pc)
+      e.partitionValues.get(physName(fl)).orElse(e.partitionValues.get(pc)).flatten
+    }
+    val filterConjs = filterSql.toSeq.flatMap(FileSkipping.conjuncts)
+    var liveEntries: Seq[FileEntry] = live.values.toSeq
+    if (filterConjs.nonEmpty) {
+      if (partitionCols.nonEmpty) {
+        val partFields = partitionCols.map(pc => StructField(pc, schema(pc).dataType))
+        val tuples = liveEntries.map(e => e.path -> partitionCols.map(pc => pvOf(e, pc).orNull))
+        FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs)
+          .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
+      }
+      // stats JSON keys are PHYSICAL names under column mapping — the
+      // logical rewrite would silently never match, so mapped tables
+      // rely on partition pruning + the scan's row-group stats instead
+      if (!mapped && liveEntries.nonEmpty)
+        FileSkipping.statsPrune(spark, schema,
+          liveEntries.map(e => e.path -> e.stats.orNull), filterConjs)
+          .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
+      if (liveEntries.isEmpty) // every file skipped: the empty result, typed
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stripMeta(schema).asInstanceOf[StructType])
+    }
+
+    val hasDv = liveEntries.exists(_.dv.isDefined)
     import org.apache.spark.sql.functions.{expr, regexp_replace}
     def norm(c: Column): Column = PathKeys.scanKey(c)
     // `_metadata` is only resolvable on a direct file scan, so the
@@ -425,16 +478,12 @@ object DeltaReader {
       if (partitionCols.isEmpty) {
         val phys = toPhysical(schema).asInstanceOf[StructType]
         renameToLogical(
-          tag(spark.read.schema(phys).parquet(live.values.map(e => resolve(e.path)).toSeq: _*)),
+          tag(spark.read.schema(phys).parquet(liveEntries.map(e => resolve(e.path)): _*)),
           schema.fields.toSeq)
       } else {
         val dataFields = schema.fields.filterNot(fl => partitionCols.contains(fl.name)).toSeq
         val dataSchema = toPhysical(StructType(dataFields)).asInstanceOf[StructType]
-        val groups = live.values.toSeq.groupBy(_.partitionValues)
-        def pvOf(e: FileEntry, pc: String): Option[String] = {
-          val fl = schema(pc)
-          e.partitionValues.get(physName(fl)).orElse(e.partitionValues.get(pc)).flatten
-        }
+        val groups = liveEntries.groupBy(_.partitionValues)
         if (groups.size <= maxPartitionScans) {
           // one read per distinct partition tuple, partition values
           // attached as typed literal columns (Delta data files omit
@@ -456,7 +505,7 @@ object DeltaReader {
           // high-cardinality partitioning: ONE scan + broadcast
           // (file → partition values) join — plan stays O(1) instead of
           // O(partitions) FileScan nodes union-reduced together
-          val base0 = tag(spark.read.schema(dataSchema).parquet(live.values.map(e => resolve(e.path)).toSeq: _*))
+          val base0 = tag(spark.read.schema(dataSchema).parquet(liveEntries.map(e => resolve(e.path)): _*))
             .withColumn("__pfile", norm(expr("_metadata.file_path")))
           val renamed =
             if (!mapped) base0
@@ -465,7 +514,7 @@ object DeltaReader {
               (extraCols :+ "__pfile").map(col): _*)
           val pvSchema = StructType(StructField("__pv_file", org.apache.spark.sql.types.StringType) +:
             partitionCols.map(pc => StructField(s"__pv_$pc", org.apache.spark.sql.types.StringType)).toArray.toSeq)
-          val pvRows = live.values.toSeq.map { e =>
+          val pvRows = liveEntries.map { e =>
             org.apache.spark.sql.Row.fromSeq(
               PathKeys.driverKey(resolve(e.path), f) +:
                 partitionCols.map(pc => pvOf(e, pc).orNull))
@@ -479,6 +528,7 @@ object DeltaReader {
         }
       }
 
+    val result =
     if (!hasDv) scanned
     else {
       // DV bitmaps decode ON EXECUTORS (one task per descriptor batch —
@@ -492,7 +542,7 @@ object DeltaReader {
       // so re-encode through Path.toUri before keying or rows in files
       // with quotable characters would silently resurrect
       val descs: Seq[(String, String, String, Int, Int, Long)] =
-        live.values.toSeq.flatMap(e => e.dv.map(d =>
+        liveEntries.flatMap(e => e.dv.map(d =>
           (PathKeys.driverKey(resolve(e.path), f),
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))
       import spark.implicits._
@@ -505,6 +555,9 @@ object DeltaReader {
         col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
+    // residual filter: file skipping is a superset guarantee; applying
+    // the whole predicate here makes the result exactly where(filter)
+    filterSql.map(fs => result.where(expr(fs))).getOrElse(result)
   }
 }
 
@@ -518,8 +571,10 @@ class DeltaReaderImpl extends Reader {
   def read(spark: SparkSession, ref: DataRef): DataFrame =
     ref.options.get("timestampAsOf") match {
       case Some(ts) =>
-        DeltaReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts))
+        DeltaReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
+          filter = ref.options.get("filter"))
       case None =>
-        DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong))
+        DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong),
+          filter = ref.options.get("filter"))
     }
 }

@@ -1,0 +1,248 @@
+package graft.readers
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions.{coalesce, col, expr, from_json, lit}
+import org.apache.spark.sql.types._
+import scala.util.Try
+
+/** Planning-time file skipping for the native table readers: prune a
+  * table's live-file list from a SQL filter BEFORE any data file is
+  * opened — the lever the real connectors pull at scale (reference
+  * `DeltaQueryToDask`, intake/readers/convert.py:390-399
+  * `DeltaTable.file_uris(filter)`; Iceberg's manifest `partitions`
+  * summaries serve the same purpose in its spec's "Scan Planning").
+  *
+  * Everything here is conservative by construction — pruning may only
+  * ever drop files that DEFINITELY contain no matching row, and every
+  * unknown (un-parsable conjunct, missing stats, unsupported type,
+  * evaluation error) fails OPEN, keeping the file. The readers apply
+  * the full residual filter to the returned DataFrame, so the result
+  * equals `table.where(filter)` whether or not any file was skipped.
+  *
+  * Three mechanisms, composed per conjunct of the top-level AND:
+  *
+  *  - [[partitionPrune]]: conjuncts whose references are all partition
+  *    columns are evaluated EXACTLY against the per-file partition
+  *    tuples (a driver-local LocalRelation filter — Spark itself does
+  *    the casting and comparison, so any deterministic expression
+  *    works, e.g. `year(ds) = 2024`).
+  *  - [[statsPrune]]: single-column comparisons test per-file min/max
+  *    ranges (Delta `add.stats` JSON via `from_json`): `a = v` keeps a
+  *    file iff `min <= v && v <= max` could hold, null-safe.
+  *  - [[rangeExcludes]]: the same range test as a pure driver-side
+  *    predicate over already-decoded bounds, for Iceberg's
+  *    manifest-level partition summaries where a whole manifest (and
+  *    every file it lists) is skipped without being read.
+  */
+object FileSkipping {
+
+  /** Parse a boolean SQL expression into its top-level AND conjuncts. */
+  def conjuncts(filterSql: String): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    split(CatalystSqlParser.parseExpression(filterSql))
+  }
+
+  // evaluating one of these at planning time would freeze a value the
+  // scan-time residual filter re-rolls — never prune on such a conjunct
+  private val nondeterministic = Set(
+    "rand", "randn", "random", "uuid", "shuffle", "monotonically_increasing_id",
+    "current_timestamp", "now", "current_date", "localtimestamp", "input_file_name")
+
+  /** The unqualified column names `e` references, or None when the
+    * conjunct is outside the prune-safe shape (qualified or nested
+    * attributes, subqueries, nondeterministic functions, no refs). */
+  def usableRefs(e: Expression): Option[Set[String]] = {
+    var ok = true
+    val names = scala.collection.mutable.Set[String]()
+    e.foreach {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length == 1) names += a.nameParts.head.toLowerCase else ok = false
+      case f: UnresolvedFunction
+          if nondeterministic.contains(f.nameParts.last.toLowerCase) => ok = false
+      case _: SubqueryExpression => ok = false
+      case _                     => ()
+    }
+    if (ok && names.nonEmpty) Some(names.toSet) else None
+  }
+
+  /** Exactly evaluate the partition-only conjuncts of a filter against
+    * per-file partition tuples (raw strings aligned with `partFields`,
+    * cast to the declared types — the same cast the readers use to
+    * attach the values as columns). Returns the surviving paths, or
+    * None when nothing is prunable (no partition-only conjunct, or
+    * evaluation failed → fail open). */
+  def partitionPrune(spark: SparkSession, partFields: Seq[StructField],
+      files: Seq[(String, Seq[String])], conjs: Seq[Expression]): Option[Set[String]] = {
+    if (partFields.isEmpty || files.isEmpty) return None
+    val partNames = partFields.map(_.name.toLowerCase).toSet
+    val applicable = conjs.filter(c => usableRefs(c).exists(_.subsetOf(partNames)))
+    if (applicable.isEmpty) return None
+    Try[Set[String]] {
+      import scala.jdk.CollectionConverters._
+      val strSchema = StructType(StructField("__path", StringType) +:
+        partFields.map(f => StructField(f.name, StringType)))
+      val rows: java.util.List[Row] = files.map { case (p, vs) => Row.fromSeq(p +: vs) }.asJava
+      // LocalRelation → the filter runs driver-local, no cluster job
+      val typed = spark.createDataFrame(rows, strSchema)
+        .select(col("__path") +: partFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      typed.where(applicable.map(c => expr(c.sql)).reduce(_ && _))
+        .select("__path").collect().map(_.getString(0)).toSet
+    }.toOption
+  }
+
+  // ---- simple comparison shapes (stats / bounds range tests) ---------
+
+  /** One range-testable conjunct: `col op literal` (either operand
+    * order), `col IN (literals)` (op "=", several values), or a null
+    * test. Null literals are excluded — `a = NULL` never matches and is
+    * left to the residual filter. */
+  sealed trait Shape { def name: String }
+  final case class Cmp(name: String, op: String, values: Seq[Literal]) extends Shape
+  final case class NullTest(name: String, isNull: Boolean) extends Shape
+
+  private def attr1(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case _                                                 => None
+  }
+  private def lit1(e: Expression): Option[Literal] = e match {
+    case l: Literal if l.value != null => Some(l)
+    case _                             => None
+  }
+
+  def simpleShape(e: Expression): Option[Shape] = e match {
+    case EqualTo(a, b) =>
+      attr1(a).flatMap(n => lit1(b).map(l => Cmp(n, "=", Seq(l))))
+        .orElse(attr1(b).flatMap(n => lit1(a).map(l => Cmp(n, "=", Seq(l)))))
+    case GreaterThan(a, b) =>
+      attr1(a).flatMap(n => lit1(b).map(l => Cmp(n, ">", Seq(l))))
+        .orElse(attr1(b).flatMap(n => lit1(a).map(l => Cmp(n, "<", Seq(l)))))
+    case GreaterThanOrEqual(a, b) =>
+      attr1(a).flatMap(n => lit1(b).map(l => Cmp(n, ">=", Seq(l))))
+        .orElse(attr1(b).flatMap(n => lit1(a).map(l => Cmp(n, "<=", Seq(l)))))
+    case LessThan(a, b) =>
+      attr1(a).flatMap(n => lit1(b).map(l => Cmp(n, "<", Seq(l))))
+        .orElse(attr1(b).flatMap(n => lit1(a).map(l => Cmp(n, ">", Seq(l)))))
+    case LessThanOrEqual(a, b) =>
+      attr1(a).flatMap(n => lit1(b).map(l => Cmp(n, "<=", Seq(l))))
+        .orElse(attr1(b).flatMap(n => lit1(a).map(l => Cmp(n, ">=", Seq(l)))))
+    case In(a, vs) if vs.nonEmpty && vs.forall(lit1(_).isDefined) =>
+      attr1(a).map(n => Cmp(n, "=", vs.map(v => lit1(v).get)))
+    case IsNull(a)    => attr1(a).map(NullTest(_, isNull = true))
+    case IsNotNull(a) => attr1(a).map(NullTest(_, isNull = false))
+    case _            => None
+  }
+
+  /** Types whose JSON stats ranges are safe to prune on. Float/double
+    * are deliberately OUT: writers put NaN in max under the engines'
+    * "NaN sorts last" convention, and `max > c` is false for NaN in
+    * plain SQL — which would wrongly prune a file whose NaN rows match. */
+  private def statsSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | BooleanType |
+        DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType                             => true
+    case _                                          => false
+  }
+
+  /** Prune by per-file min/max stats (Delta `add.stats` JSON strings).
+    * A file survives a conjunct unless its stats DEFINITELY exclude
+    * every matching row; files with missing/partial stats are kept
+    * (`coalesce(pred, true)`). Returns surviving paths, or None when no
+    * conjunct is stats-testable. */
+  def statsPrune(spark: SparkSession, schema: StructType,
+      files: Seq[(String, String)], conjs: Seq[Expression]): Option[Set[String]] = {
+    if (files.isEmpty) return None
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val shapes = conjs.flatMap(simpleShape).filter {
+      case Cmp(n, _, _)   => byName.get(n.toLowerCase).exists(f => statsSafe(f.dataType))
+      case NullTest(n, _) => byName.contains(n.toLowerCase)
+    }
+    if (shapes.isEmpty) return None
+    Try[Set[String]] {
+      import scala.jdk.CollectionConverters._
+      val referenced = shapes.map(s => byName(s.name.toLowerCase)).distinctBy(_.name)
+      val minMax = StructType(referenced.map(f => StructField(f.name, f.dataType)))
+      val statsSchema = StructType(Seq(
+        StructField("numRecords", LongType),
+        StructField("minValues", minMax),
+        StructField("maxValues", minMax),
+        StructField("nullCount", StructType(referenced.map(f => StructField(f.name, LongType))))))
+      val rows: java.util.List[Row] = files.map { case (p, s) => Row(p, s) }.asJava
+      val parsed = spark.createDataFrame(rows,
+        StructType(Seq(StructField("__path", StringType), StructField("__stats", StringType))))
+        .select(col("__path"), from_json(col("__stats"), statsSchema).as("s"))
+      def f(which: String, n: String): Column =
+        col(s"s.$which.`${byName(n.toLowerCase).name}`")
+      val preds: Seq[Column] = shapes.map {
+        case Cmp(n, op, vs) =>
+          def one(l: Literal): Column = op match {
+            case "="  => f("minValues", n) <= expr(l.sql) && f("maxValues", n) >= expr(l.sql)
+            case ">"  => f("maxValues", n) > expr(l.sql)
+            case ">=" => f("maxValues", n) >= expr(l.sql)
+            case "<"  => f("minValues", n) < expr(l.sql)
+            case "<=" => f("minValues", n) <= expr(l.sql)
+          }
+          vs.map(one).reduce(_ || _)
+        case NullTest(n, true)  => f("nullCount", n) > lit(0L)
+        case NullTest(n, false) => f("nullCount", n) < col("s.numRecords")
+      }
+      parsed.where(preds.map(p => coalesce(p, lit(true))).reduce(_ && _))
+        .select("__path").collect().map(_.getString(0)).toSet
+    }.toOption
+  }
+
+  // ---- driver-side range tests (Iceberg manifest summaries) ----------
+
+  /** Catalyst literal → the bound comparison domain: integral/date →
+    * Long, fractional/decimal → Double, string → String. None = not
+    * comparable (fail open). */
+  def literalValue(l: Literal): Option[Any] = l.value match {
+    case null                                        => None
+    case v: Byte                                     => Some(v.toLong)
+    case v: Short                                    => Some(v.toLong)
+    case v: Int                                      => Some(v.toLong) // covers DateType days
+    case v: Long                                     => Some(v)
+    case v: Float                                    => Some(v.toDouble)
+    case v: Double                                   => Some(v)
+    case v: org.apache.spark.sql.types.Decimal       => Some(v.toDouble)
+    case v: org.apache.spark.unsafe.types.UTF8String => Some(v.toString)
+    case v: Boolean                                  => Some(v)
+    case _                                           => None
+  }
+
+  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _                        => None
+  }
+
+  /** Does the closed range [lower, upper] (either side possibly
+    * unknown) DEFINITELY exclude every value satisfying `c`? Unknown
+    * comparisons never exclude (fail open). */
+  def rangeExcludes(c: Cmp, lower: Option[Any], upper: Option[Any]): Boolean = {
+    val vals = c.values.map(literalValue)
+    if (vals.exists(_.isEmpty)) return false
+    val vs = vals.flatten
+    c.op match {
+      case "=" => // every sought value outside the range
+        vs.forall(v =>
+          upper.exists(u => cmpValues(v, u).exists(_ > 0)) ||
+            lower.exists(lo => cmpValues(v, lo).exists(_ < 0)))
+      case ">"  => vs.headOption.exists(v => upper.exists(u => cmpValues(u, v).exists(_ <= 0)))
+      case ">=" => vs.headOption.exists(v => upper.exists(u => cmpValues(u, v).exists(_ < 0)))
+      case "<"  => vs.headOption.exists(v => lower.exists(lo => cmpValues(lo, v).exists(_ >= 0)))
+      case "<=" => vs.headOption.exists(v => lower.exists(lo => cmpValues(lo, v).exists(_ > 0)))
+      case _    => false
+    }
+  }
+}

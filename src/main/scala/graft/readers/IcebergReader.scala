@@ -49,9 +49,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale shape: the driver touches only metadata JSON (KBs) and the
   * manifest Avro files (read as one small Spark job, collected — they
   * list file paths, not rows); the data scan is a plain distributed
-  * parquet read with pushdown/pruning intact.
+  * parquet read with pushdown/pruning intact. Driver state is O(live
+  * manifest entries) (~200 B each, ~200 MB at 1M files) and EXPLICITLY
+  * capped at [[maxManifestEntries]] (default 4M ≈ 1 GB peak): the walk
+  * counts entries before collecting and refuses loudly past the cap,
+  * naming the iceberg-spark connector as the path for bigger tables.
   */
 object IcebergReader {
+
+  /** Hard cap on collected manifest entries (see scale shape above).
+    * `private[readers] var` so specs can exercise the refusal cheaply;
+    * production callers are not expected to touch it. */
+  private[readers] var maxManifestEntries: Long = 4_000_000L
 
   private def fs(url: String, conf: Configuration): FileSystem =
     FileSystem.get(new URI(url).resolve("/"), conf)
@@ -158,7 +167,8 @@ object IcebergReader {
   /** Time travel by timestamp: the latest snapshot whose `timestamp-ms`
     * is <= the instant (Iceberg's own `as-of-timestamp` semantics — the
     * snapshot log lives in the metadata, no file mtimes involved). */
-  def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long): DataFrame = {
+  def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
+      filter: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
     import scala.jdk.CollectionConverters._
@@ -175,12 +185,27 @@ object IcebergReader {
     val eligible = snaps.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"iceberg: no snapshot at or before timestamp $timestampMs (earliest is ${snaps.map(_._2).minOption.getOrElse(-1L)})")
-    read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1))
+    read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1), filter = filter)
   }
 
   /** Read the current snapshot, or a pinned one (`snapshotId` — time
-    * travel over snapshots still referenced by the metadata). */
-  def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+    * travel over snapshots still referenced by the metadata).
+    *
+    * `filter` (optional ANSI SQL boolean over the table's columns)
+    * drives planning-time file skipping — the spec's "Scan Planning"
+    * behavior, and the 100 TB lever the connector jars have: whole DATA
+    * manifests are skipped from the manifest list's `partitions`
+    * summaries (identity-transform fields, primitive bounds decoded per
+    * the spec's single-value serialization) without being read, and the
+    * surviving entries prune per-file on `data_file.partition` values.
+    * Delete manifests are never skipped (their rows can only remove
+    * data we keep). The full filter re-applies to the returned
+    * DataFrame, so the result always equals `read(...).where(filter)`.
+    * Note for date/timestamp columns: manifest-level skipping compares
+    * typed literals (`ds = DATE '2024-01-01'`); a bare string literal
+    * falls through to the exact per-file evaluation, which casts. */
+  def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
+      filter: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = currentMetadataPath(table, conf)
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
@@ -196,27 +221,77 @@ object IcebergReader {
     val snap = snapshots.find(s => s.get("snapshot-id").asLong() == currentId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
 
+    // ---- filter metadata: partition specs + schema field ids ---------
+    // (drives file skipping below; empty/ignored when no filter given)
+    val filterConjs = filter.toSeq.flatMap(FileSkipping.conjuncts)
+    // primitive schema fields by id: id → (name, iceberg type string)
+    val schemaFieldById: Map[Int, (String, String)] = currentSchemaNode(meta).toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+      .filter(fld => fld.get("type").isTextual)
+      .map(fld => fld.get("id").asInt() -> (fld.get("name").asText(), fld.get("type").asText()))
+      .toMap
+    case class PartFieldDef(name: String, sourceId: Int, transform: String)
+    def specFields(arr: JsonNode): Seq[PartFieldDef] =
+      Option(arr).toSeq.flatMap(_.elements().asScala).map(fld =>
+        PartFieldDef(fld.get("name").asText(), fld.get("source-id").asInt(), fld.get("transform").asText()))
+    val specsById: Map[Int, Seq[PartFieldDef]] = {
+      val v2 = Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+        .map(sp => Option(sp.get("spec-id")).map(_.asInt()).getOrElse(0) -> specFields(sp.get("fields"))).toMap
+      if (v2.nonEmpty) v2 else Map(0 -> specFields(meta.get("partition-spec")))
+    }
+    // identity-transform partition fields: field name → (source column,
+    // iceberg type); only pruned on when every spec agrees (a field name
+    // reused with a different source/transform across specs is dropped)
+    val identityByField: Map[String, (String, String)] = {
+      val all = specsById.values.flatten.filter(_.transform == "identity")
+        .flatMap(pf => schemaFieldById.get(pf.sourceId).map(pf.name -> _)).toSeq
+      all.groupBy(_._1).collect { case (n, vs) if vs.map(_._2).distinct.size == 1 => n -> vs.head._2 }
+    }
+    // spec "single-value serialization": bounds are little-endian for
+    // the numeric types, raw UTF-8 for strings; unknowns fail open
+    def decodeBound(node: JsonNode, icebergType: String): Option[Any] =
+      Option(node).filterNot(_.isNull).flatMap { n =>
+        val bytes = java.util.Base64.getDecoder.decode(n.asText())
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        icebergType match {
+          case "int" | "date" if bytes.length == 4 => Some(bb.getInt.toLong)
+          case "long" if bytes.length == 8         => Some(bb.getLong)
+          case "float" if bytes.length == 4        => Some(bb.getFloat.toDouble)
+          case "double" if bytes.length == 8       => Some(bb.getDouble)
+          case "string"                            =>
+            Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case _                                   => None
+        }
+      }
+
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
     val tableFs = fs(table, conf)
     // v2 (and most v1) snapshots point at a manifest list; early v1 may
     // inline the manifest paths directly. Each list row keeps its own
     // sequence_number (ADDED manifest entries store null and INHERIT it
     // — spec "Sequence Number Inheritance") and its content flag
-    // (0 = data manifest, 1 = delete manifest).
-    case class ManifestRef(path: String, seq: Long, isDelete: Boolean)
+    // (0 = data manifest, 1 = delete manifest), plus the partition spec
+    // id and per-field partition summaries used for manifest skipping.
+    case class ManifestRef(path: String, seq: Long, isDelete: Boolean,
+        specId: Int, partitionsJson: String)
     val manifestList: Seq[ManifestRef] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
         val mlDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
         val mlCols = mlDf.columns.toSet
         mlDf.selectExpr("manifest_path",
           if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
-          if (mlCols.contains("content")) "content" else "0 as content").collect()
+          if (mlCols.contains("content")) "content" else "0 as content",
+          if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
+          if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
+          else "cast(null as string) as partitions_json").collect()
           .map(r => ManifestRef(resolve(r.getString(0), table),
             Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
-            Option(r.getAs[Number](2)).exists(_.intValue() == 1))).toSeq
+            Option(r.getAs[Number](2)).exists(_.intValue() == 1),
+            Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
+            r.getString(4))).toSeq
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
-          .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false))
+          .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false, 0, null))
     }
     require(manifestList.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
     // inheritance lookup keyed in the scan's _metadata form; the RAW
@@ -225,7 +300,7 @@ object IcebergReader {
       manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.seq).toMap
 
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
-        seq: Long, equalityIds: Seq[Int])
+        seq: Long, equalityIds: Seq[Int], partitionJson: String)
     // Data and delete manifests load SEPARATELY: a v1→v2-upgraded table
     // keeps old v1 data manifests (no entry seq, no data_file.content)
     // next to v2 delete manifests, and one Avro read would infer a
@@ -234,6 +309,11 @@ object IcebergReader {
     def loadEntries(refs: Seq[ManifestRef]): Seq[Entry] = {
       if (refs.isEmpty) return Nil
       val manifests = spark.read.format(avroFmt).load(refs.map(_.path).distinct: _*)
+      // count before collect: bounds driver memory BEFORE materializing
+      val n = manifests.count()
+      require(n <= maxManifestEntries,
+        s"iceberg: $n manifest entries exceed $maxManifestEntries — beyond this native reader's " +
+          "driver-state bound; read it with the iceberg-spark connector jar on the classpath")
       val entryCols = manifests.columns.toSet
       val dfCols = manifests.select("data_file.*").columns.toSet
       manifests
@@ -242,6 +322,8 @@ object IcebergReader {
           if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
           if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
           if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
+          if (dfCols.contains("partition")) "to_json(data_file.partition) as partition_json"
+          else "cast(null as string) as partition_json",
           "_metadata.file_path as __manifest")
         .collect().toSeq.map { r =>
           // per-entry sequence number: explicit, else inherited from the
@@ -259,10 +341,44 @@ object IcebergReader {
             Option(r.getAs[Number]("content")).map(_.intValue()).getOrElse(0),
             Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
             Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
-              .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil))
+              .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
+            r.getAs[String]("partition_json"))
         }
     }
-    val (deleteManifests, dataManifests) = manifestList.partition(_.isDelete)
+    val (deleteManifests, allDataManifests) = manifestList.partition(_.isDelete)
+    // ---- manifest-level file skipping -------------------------------
+    // A whole DATA manifest is skipped — never read — when a filter
+    // conjunct's range test excludes its `partitions` summary bounds for
+    // an identity-transform field. Delete manifests always load: their
+    // rows can only remove data rows we keep, so skipping them is not
+    // needed for correctness and keeping them always is. Fail open on
+    // anything unexpected (missing summaries, unknown types).
+    def manifestExcluded(m: ManifestRef): Boolean =
+      filterConjs.nonEmpty && m.partitionsJson != null && scala.util.Try {
+        val fields = specsById.getOrElse(m.specId, Nil)
+        val summaries = new ObjectMapper().readTree(m.partitionsJson)
+        val shapes = filterConjs.flatMap(FileSkipping.simpleShape)
+          .collect { case c: FileSkipping.Cmp => c }
+        shapes.exists { c =>
+          fields.zipWithIndex.exists { case (pf, i) =>
+            pf.transform == "identity" && i < summaries.size() &&
+              schemaFieldById.get(pf.sourceId).exists { case (srcName, t) =>
+                srcName.equalsIgnoreCase(c.name) &&
+                  FileSkipping.rangeExcludes(c,
+                    decodeBound(summaries.get(i).get("lower_bound"), t),
+                    decodeBound(summaries.get(i).get("upper_bound"), t))
+              }
+          }
+        }
+      }.getOrElse(false)
+    val dataManifests = allDataManifests.filterNot(manifestExcluded)
+    if (dataManifests.isEmpty && allDataManifests.nonEmpty) {
+      // the filter excluded every data manifest (skip implies the
+      // schema node exists) — return the empty result, typed
+      val st = currentSchemaNode(meta).map(toSparkSchema).getOrElse(
+        throw new IllegalStateException("iceberg: manifest skipping without a schema"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
     val entries = loadEntries(dataManifests) ++ loadEntries(deleteManifests)
     val live = entries.filter(_.status != 2) // 2 = DELETED entry
     // content: 0 data, 1 position deletes, 2 equality deletes
@@ -325,6 +441,40 @@ object IcebergReader {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     }
+    // ---- per-file partition pruning ---------------------------------
+    // Exact evaluation of partition-only conjuncts against each data
+    // file's `data_file.partition` tuple (identity fields; JSON keys
+    // are the partition field names). Files without a readable tuple
+    // are kept; a pruned-to-empty scan returns the typed empty result.
+    val scanData: Seq[Entry] =
+      if (filterConjs.isEmpty || identityByField.isEmpty || sparkSchemaOpt.isEmpty) supportedData
+      else scala.util.Try {
+        val flds = identityByField.toSeq.sortBy(_._1)
+        val st = sparkSchemaOpt.get
+        val partFields = flds.flatMap { case (_, (srcName, _)) =>
+          st.fields.find(_.name == srcName)
+            .map(sf => org.apache.spark.sql.types.StructField(srcName, sf.dataType))
+        }
+        if (partFields.size != flds.size) supportedData
+        else {
+          val om = new ObjectMapper()
+          val (withPj, withoutPj) = supportedData.partition(_.partitionJson != null)
+          val tuples = withPj.map { e =>
+            val node = om.readTree(e.partitionJson)
+            e.filePath -> flds.map { case (fieldName, _) =>
+              Option(node.get(fieldName)).filterNot(_.isNull).map(_.asText()).orNull
+            }
+          }
+          FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs) match {
+            case Some(kept) => withPj.filter(e => kept.contains(e.filePath)) ++ withoutPj
+            case None       => supportedData
+          }
+        }
+      }.getOrElse(supportedData)
+    if (scanData.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sparkSchemaOpt.get) // pruning only runs with a schema present
+
     val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {
       val ps = entries.map(e => resolve(e.filePath, table)).distinct
@@ -342,7 +492,7 @@ object IcebergReader {
           // only with equality deletes, which never consult __pos
           if (fmt == "parquet") expr("_metadata.row_index") else lit(null).cast("bigint"))
     }
-    val scans = supportedData.groupBy(_.fileFormat).toSeq.sortBy(_._1)
+    val scans = scanData.groupBy(_.fileFormat).toSeq.sortBy(_._1)
       .map { case (fmt, es) => mkScan(fmt, es.toSeq) }
     var data = scans.reduce(_ unionByName _)
     val dataCols = if (needMeta) data.columns.toSeq.filterNot(Set("__file", "__pos")) else data.columns.toSeq
@@ -391,7 +541,7 @@ object IcebergReader {
       // (a when()-chain would grow the expression tree O(n files)); an
       // unmatched path is a read bug, not a shrug — raise, never guess
       import spark.implicits._
-      val seqDf = broadcast(supportedData.map(r =>
+      val seqDf = broadcast(scanData.map(r =>
         (PathKeys.driverKey(resolve(r.filePath, table), tableFs), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
       data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
         .withColumn("__seq",
@@ -433,7 +583,10 @@ object IcebergReader {
       }
     }
 
-    if (needMeta) data.select(dataCols.map(col): _*) else data
+    val result = if (needMeta) data.select(dataCols.map(col): _*) else data
+    // residual filter: file skipping is a superset guarantee; applying
+    // the whole predicate here makes the result exactly where(filter)
+    filter.map(fs => result.where(expr(fs))).getOrElse(result)
   }
 }
 
@@ -447,8 +600,10 @@ class IcebergReaderImpl extends Reader {
   def read(spark: SparkSession, ref: DataRef): DataFrame =
     ref.options.get("timestampAsOf") match {
       case Some(ts) =>
-        IcebergReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts))
+        IcebergReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
+          filter = ref.options.get("filter"))
       case None =>
-        IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong))
+        IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong),
+          filter = ref.options.get("filter"))
     }
 }

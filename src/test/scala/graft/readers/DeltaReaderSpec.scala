@@ -433,6 +433,22 @@ class DeltaReaderSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "alpha", "2024-01-01"), (2L, "beta", "2024-01-02")))
   }
 
+  test("live-file cap refuses loudly instead of exhausting driver heap") {
+    val t = Files.createTempDirectory("deltacap")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "f2.parquet", Seq((2L, "beta")))
+    writeParquetFile(t, "f3.parquet", Seq((3L, "gamma")))
+    writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName),
+      addAction("f1.parquet"), addAction("f2.parquet"), addAction("f3.parquet")))
+    val old = DeltaReader.maxLiveFiles
+    try {
+      DeltaReader.maxLiveFiles = 2
+      val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString))
+      assert(e.getMessage.contains("connector"))
+    } finally DeltaReader.maxLiveFiles = old
+    assert(DeltaReader.read(spark, t.toString).count() == 3) // default cap reads fine
+  }
+
   test("registered reader routes the delta kind as the importable fallback") {
     import spark.implicits._
     val t = Files.createTempDirectory("delta6")

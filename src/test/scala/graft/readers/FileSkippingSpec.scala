@@ -1,0 +1,282 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path => JPath, Paths}
+import org.apache.spark.sql.types._
+
+/** Scale contract for planning-time file skipping in the native table
+  * readers (VERDICT r7 #1): a partition-filtered read of a
+  * 100-partition fixture must OPEN only the matching files. The specs
+  * here make non-skipping unfalsifiable two ways: `df.inputFiles`
+  * counts what the scan will read, and — stronger — every file/manifest
+  * the filter excludes points at a NONEXISTENT path, so a reader that
+  * fails to skip cannot even plan the scan, let alone pass.
+  */
+class FileSkippingSpec extends SparkSpec {
+
+  // ---- pure helpers (no Spark) ---------------------------------------
+
+  test("conjuncts split on top-level AND only; shapes classify operands both ways") {
+    val cs = FileSkipping.conjuncts("p = 7 AND (a > 1 OR b < 2) AND id >= 10")
+    assert(cs.length == 3)
+    assert(FileSkipping.simpleShape(cs.head).contains(FileSkipping.Cmp("p", "=",
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(7)))))
+    // OR stays one conjunct and is not a simple shape
+    assert(FileSkipping.simpleShape(cs(1)).isEmpty)
+    // reversed operand order flips the comparison
+    val rev = FileSkipping.conjuncts("10 <= id").head
+    assert(FileSkipping.simpleShape(rev).exists {
+      case FileSkipping.Cmp("id", ">=", _) => true; case _ => false
+    })
+  }
+
+  test("usableRefs fails closed on qualified names, subqueries, nondeterminism") {
+    def refs(sql: String) = FileSkipping.usableRefs(FileSkipping.conjuncts(sql).head)
+    assert(refs("p = 7").contains(Set("p")))
+    assert(refs("year(ds) = 2024").contains(Set("ds")))
+    assert(refs("t.p = 7").isEmpty)       // qualified
+    assert(refs("p = rand()").isEmpty)    // nondeterministic
+    assert(refs("1 = 1").isEmpty)         // no refs: nothing to prune on
+  }
+
+  test("rangeExcludes is conservative: unknowns and open sides keep the file") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def cmp(op: String, v: Int) = FileSkipping.Cmp("p", op, Seq(Literal(v)))
+    assert(FileSkipping.rangeExcludes(cmp("=", 7), Some(10L), Some(19L)))
+    assert(!FileSkipping.rangeExcludes(cmp("=", 12), Some(10L), Some(19L)))
+    assert(FileSkipping.rangeExcludes(cmp(">", 19), Some(10L), Some(19L)))
+    assert(!FileSkipping.rangeExcludes(cmp(">", 18), Some(10L), Some(19L)))
+    assert(FileSkipping.rangeExcludes(cmp("<", 10), Some(10L), Some(19L)))
+    assert(FileSkipping.rangeExcludes(cmp(">=", 20), Some(10L), Some(19L)))
+    assert(FileSkipping.rangeExcludes(cmp("<=", 9), Some(10L), Some(19L)))
+    // open bounds never exclude; type mismatch never excludes
+    assert(!FileSkipping.rangeExcludes(cmp("=", 7), None, None))
+    assert(!FileSkipping.rangeExcludes(FileSkipping.Cmp("p", "=",
+      Seq(Literal.create("x", StringType))), Some(10L), Some(19L)))
+  }
+
+  // ---- Delta fixtures ------------------------------------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  private val schemaWithP = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("p", IntegerType))).json
+  private val schemaIdName = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType))).json
+
+  private def metaAction(schema: String, partitionCols: Seq[String] = Nil): String =
+    s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},
+       |"schemaString":${js(schema)},
+       |"partitionColumns":[${partitionCols.map(js).mkString(",")}],
+       |"configuration":{},"createdTime":1}}""".stripMargin.replace("\n", "")
+  private def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private def addAction(path: String, pv: String = "{}", stats: String = null): String = {
+    val statsPart = if (stats == null) "" else s""","stats":${js(stats)}"""
+    s"""{"add":{"path":${js(path)},"partitionValues":$pv,"size":1,"modificationTime":1,"dataChange":true$statsPart}}"""
+  }
+  private def writeCommit(table: JPath, version: Long, actions: Seq[String]): Unit = {
+    val log = table.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve(f"$version%020d.json"), actions.mkString("\n") + "\n")
+  }
+  private def writeParquetFile(table: JPath, rel: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("fsparts").toString
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(part), dest)
+  }
+
+  /** 100-partition Delta table; only partitions [realFrom, realTo) have
+    * physical files (one shared payload, copied) — every other add
+    * points at a path that does NOT exist, so reading it fails. */
+  private def delta100(realFrom: Int, realTo: Int): JPath = {
+    val t = Files.createTempDirectory("delta100")
+    writeParquetFile(t, "payload.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    for (p <- realFrom until realTo)
+      Files.copy(t.resolve("payload.parquet"), {
+        val d = t.resolve(f"p=$p/f.parquet"); Files.createDirectories(d.getParent); d
+      })
+    Files.delete(t.resolve("payload.parquet"))
+    val adds = (0 until 100).map(p => addAction(f"p=$p/f.parquet", s"""{"p":"$p"}"""))
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schemaWithP, Seq("p"))) ++ adds)
+    t
+  }
+
+  test("delta: partition filter on a 100-partition table opens exactly one file") {
+    import spark.implicits._
+    val t = delta100(7, 8) // ONLY p=7 exists on disk
+    val df = DeltaReader.read(spark, t.toString, filter = Some("p = 7"))
+    assert(df.inputFiles.length == 1, s"expected 1 input file, got ${df.inputFiles.toSeq}")
+    val got = df.select("id", "name", "p").as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha", 7), (2L, "beta", 7)))
+  }
+
+  test("delta: pruning reaches the >maxPartitionScans broadcast path") {
+    val t = delta100(7, 27) // p=7..26 exist
+    // 20 surviving groups > maxPartitionScans=10 → single-scan+broadcast
+    // plan, with the file LIST already pruned to the 20 matching files
+    val df = DeltaReader.read(spark, t.toString, maxPartitionScans = 10,
+      filter = Some("p >= 7 AND p < 27"))
+    assert(df.inputFiles.length == 20, s"expected 20 input files, got ${df.inputFiles.length}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected ONE data scan:\n$plan")
+    assert(df.count() == 40)
+    assert(df.select("p").distinct().count() == 20)
+  }
+
+  test("delta: expression conjuncts evaluate exactly (pmod) against partitions") {
+    val t = delta100(0, 10)
+    // pmod(p, 10) = 3 AND p < 10 → only p=3; arbitrary deterministic
+    // expressions work because pruning evaluates the real expression
+    val df = DeltaReader.read(spark, t.toString, filter = Some("pmod(p, 10) = 3 and p < 10"))
+    assert(df.inputFiles.length == 1)
+    assert(df.count() == 2)
+  }
+
+  test("delta: add.stats min/max prune unpartitioned files; missing stats keep") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltastats")
+    writeParquetFile(t, "f1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    writeParquetFile(t, "f2.parquet", Seq((150L, "gamma"), (200L, "delta")))
+    writeParquetFile(t, "f3.parquet", Seq((50L, "eps"), (60L, "zeta")))
+    def stats(lo: Long, hi: Long) =
+      s"""{"numRecords":2,"minValues":{"id":$lo},"maxValues":{"id":$hi},"nullCount":{"id":0}}"""
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schemaIdName),
+      addAction("f1.parquet", stats = stats(1, 2)),
+      addAction("f2.parquet", stats = stats(150, 200)),
+      addAction("f3.parquet"))) // no stats → must be kept
+    val df = DeltaReader.read(spark, t.toString, filter = Some("id > 100"))
+    assert(df.inputFiles.length == 2, s"expected f2+f3, got ${df.inputFiles.toSeq}")
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((150L, "gamma"), (200L, "delta"))) // residual filter still exact on f3
+  }
+
+  test("delta: a filter pruning every file returns the typed empty result") {
+    val t = delta100(7, 8)
+    val df = DeltaReader.read(spark, t.toString, filter = Some("p = 7 AND p = 8"))
+    assert(df.columns.toSeq == Seq("id", "name", "p"))
+    assert(df.count() == 0)
+  }
+
+  test("delta: result equals where(filter) when the filter is only partly prunable") {
+    import spark.implicits._
+    val t = delta100(7, 9)
+    val df = DeltaReader.read(spark, t.toString,
+      filter = Some("p in (7, 8) AND name like 'a%'"))
+    assert(df.inputFiles.length == 2)
+    val got = df.select("id", "name", "p").as[(Long, String, Int)].collect().sortBy(r => (r._3, r._1))
+    assert(got.toSeq == Seq((1L, "alpha", 7), (1L, "alpha", 8))) // beta filtered by residual
+  }
+
+  // ---- Iceberg fixture -----------------------------------------------
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+  private def writeAvro(df: org.apache.spark.sql.DataFrame, dir: String): String = {
+    df.coalesce(1).write.format(avroFmt).save(dir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".avro")).get
+  }
+  private def withFieldIds(df: org.apache.spark.sql.DataFrame, ids: Map[String, Int]) =
+    df.select(df.columns.map(c => df(c).as(c,
+      new MetadataBuilder().putLong("parquet.field.id", ids(c).toLong).build())).toSeq: _*)
+
+  private def leInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** 100-partition Iceberg table as 10 manifests × 10 files. Only the
+    * [0, 10) manifest and its files physically exist; the other nine
+    * manifests are DANGLING paths whose `partitions` summaries cover
+    * [10i, 10i+9] — a reader that opens a skipped manifest crashes. */
+  private def iceberg100(): JPath = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg100")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2, "p" -> 3)
+    val realFiles: Seq[(Int, String)] = (0 until 10).map { p =>
+      withFieldIds(Seq((p.toLong * 10 + 1, s"row$p", p)).toDF("id", "name", "p"), ids)
+        .coalesce(1).write.parquet(s"$table/data/p$p")
+      p -> Files.list(Paths.get(s"$table/data/p$p")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    // manifest 0: the ten real files, each with its partition tuple
+    val manifestDf = realFiles.toDF("p", "file_path").selectExpr("1 as status",
+      """named_struct('file_path', file_path, 'file_format', 'PARQUET',
+        |'content', 0, 'partition', named_struct('p', p)) as data_file""".stripMargin)
+    val m0 = writeAvro(manifestDf, s"$table/metadata/manifest0")
+    val manifests: Seq[(String, Int, Int)] = // (path, lower, upper)
+      (m0, 0, 9) +: (1 until 10).map(i =>
+        (s"$table/metadata/DOES_NOT_EXIST_manifest$i.avro", i * 10, i * 10 + 9))
+    val listRows = manifests.map { case (p, lo, hi) =>
+      org.apache.spark.sql.Row(p, 0, 0,
+        Seq(org.apache.spark.sql.Row(false, false, leInt(lo), leInt(hi))))
+    }
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("partitions", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType), StructField("contains_nan", BooleanType),
+        StructField("lower_bound", BinaryType), StructField("upper_bound", BinaryType)))))))
+    import scala.jdk.CollectionConverters._
+    val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
+    val metadata =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"},
+         |    {"id": 3, "name": "p", "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"), metadata)
+    root
+  }
+
+  test("iceberg: manifest summaries + per-file partition values skip to one file") {
+    import spark.implicits._
+    val t = iceberg100()
+    // p=7 lives in manifest 0; manifests 1..9 MUST be skipped unread
+    // (their paths do not exist) and manifest 0's other files pruned
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p = 7"))
+    assert(df.inputFiles.length == 1, s"expected 1 input file, got ${df.inputFiles.toSeq}")
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().toSeq ==
+      Seq((71L, "row7", 7)))
+  }
+
+  test("iceberg: range filter prunes per-file inside the surviving manifest") {
+    val t = iceberg100()
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p >= 3 AND p <= 5"))
+    assert(df.inputFiles.length == 3)
+    assert(df.count() == 3)
+  }
+
+  test("iceberg: a filter excluding every manifest returns the typed empty result") {
+    val t = iceberg100()
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p = 55 AND p = 7"))
+    // p=55's manifest is dangling, but rangeExcludes(p=7) kills it and
+    // rangeExcludes(p=55) kills manifest 0 — nothing is ever opened
+    assert(df.columns.toSeq == Seq("id", "name", "p"))
+    assert(df.count() == 0)
+  }
+
+  test("iceberg: non-prunable conjuncts stay exact through the residual filter") {
+    import spark.implicits._
+    val t = iceberg100()
+    val df = IcebergReader.read(spark, t.toString,
+      filter = Some("p < 2 AND name = 'row1'"))
+    assert(df.inputFiles.length == 2) // p=0 and p=1 opened
+    assert(df.select("id").as[Long].collect().toSeq == Seq(11L)) // row0 filtered residually
+  }
+}

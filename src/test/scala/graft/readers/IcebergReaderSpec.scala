@@ -347,6 +347,17 @@ class IcebergReaderSpec extends SparkSpec {
     assert(df.as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
   }
 
+  test("manifest-entry cap refuses loudly before collecting driver state") {
+    val table = fixture()
+    val old = IcebergReader.maxManifestEntries
+    try {
+      IcebergReader.maxManifestEntries = 1L // fixture manifest has 2 entries
+      val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
+      assert(e.getMessage.contains("connector"))
+    } finally IcebergReader.maxManifestEntries = old
+    assert(IcebergReader.read(spark, table.toString).count() == 3) // default cap reads fine
+  }
+
   test("version-hint.text pins the metadata version") {
     val table = fixture()
     // hint at v1 (the empty table) → no current snapshot
