@@ -7,10 +7,13 @@ import graft.core.Tokenizable
   * intake/readers/datatypes.py:21-31: mimetypes/filepattern/structure/
   * magic/contains) as a closed Scala registry.
   *
-  * `magic` entries are (offset, bytes); `filePattern` are regexes matched
-  * against the URL; `contains` are member names any one of which, seen
-  * in a directory listing, identifies the kind (e.g. Delta's
-  * _delta_log, Zarr's version-specific metadata objects).
+  * `magic` entries are (offset, bytes) — a NEGATIVE offset means "the
+  * bytes appear anywhere in the fetched head", the reference's
+  * `(None, sig)` magic form (datatypes.py:823 STACJSON, :866 Iceberg);
+  * `filePattern` are regexes matched against the URL; `contains` are
+  * member names any one of which, seen in a directory listing,
+  * identifies the kind (e.g. Delta's _delta_log, Zarr's
+  * version-specific metadata objects).
   */
 final case class DataKind(
     name: String,
@@ -30,8 +33,11 @@ final case class DataKind(
   def matchesPattern(url: String): Boolean =
     filePattern.exists(p => java.util.regex.Pattern.compile(p).matcher(url.toLowerCase).find())
   def matchesMagic(head: Array[Byte]): Boolean =
-    magic.exists { case (off, sig) =>
-      head.length >= off + sig.length && sig.indices.forall(i => head(off + i) == sig(i))
+    magic.exists {
+      case (off, sig) if off < 0 => // anywhere-in-head magic
+        head.indexOfSlice(sig) >= 0
+      case (off, sig) =>
+        head.length >= off + sig.length && sig.indices.forall(i => head(off + i) == sig(i))
     }
   def matchesContains(listing: Seq[String]): Boolean =
     contains.exists(m => listing.exists(_.endsWith(m)))
@@ -123,6 +129,16 @@ object Registry {
       Seq(0 -> bytes(0x89, 0x50, 0x4e, 0x47))),
     DataKind("jpeg", Seq("image/jpeg"), Seq("\\.jpe?g$"), Set("array", "image"),
       Seq(0 -> bytes(0xff, 0xd8, 0xff))),
+    // COG before plain tiff: byte-identical to TIFF (reference
+    // datatypes.py:1449 COGFile "we rely on filepattern"), so the
+    // .cog.tif naming convention plus the tiff magic is the signal;
+    // routes to the GeoTIFF reader
+    DataKind("cog", Seq("image/tiff"), Seq("\\.cog\\.tiff?$", "_cog\\.tiff?$"),
+      Set("array", "image", "geo"),
+      Seq(0 -> ascii("II*\u0000"), 0 -> ascii("MM\u0000*")),
+      // the magic is shared with plain tiff, so the name must carry the
+      // cog convention for this kind to apply (byte-identical formats)
+      headOk = (_, u) => u.toLowerCase.contains("cog")),
     DataKind("tiff", Seq("image/tiff"), Seq("\\.tiff?$"), Set("array", "image"),
       Seq(0 -> ascii("II*\u0000"), 0 -> ascii("MM\u0000*"))),
     DataKind("wav", Seq("audio/x-wav", "audio/wav"), Seq("\\.wav$"), Set("array", "timeseries"),
@@ -137,6 +153,13 @@ object Registry {
       Seq(0 -> ascii("CDF"))),
     DataKind("zarr", Nil, Seq("\\.zarr/?$"), Set("array"),
       contains = Seq(".zmetadata", ".zarray", "zarr.json")),
+    // Icechunk repo (reference datatypes.py:475 IcechunkRepo): a
+    // zarr-adjacent versioned store identified by its `snapshots/`
+    // member; detection-only — the registered reader names the store
+    // and refuses with the icechunk-client guidance instead of
+    // misreading the transactional layout as plain zarr
+    DataKind("icechunk", Nil, Seq("\\.icechunk/?$"), Set("array"),
+      contains = Seq("snapshots")),
     DataKind("numpy", Nil, Seq("\\.npy$"), Set("array"),
       Seq(0 -> (bytes(0x93) ++ ascii("NUMPY")))),
     DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),
@@ -152,6 +175,18 @@ object Registry {
     DataKind("onnx", Nil, Seq("\\.onnx$"), Set("model")),
     DataKind("pickle", Seq("application/octet-stream"), Seq("\\.pkl$", "\\.pickle$"), Set("model"),
       Seq(0 -> bytes(0x80))),
+    // STAC before geojson/json: a STAC document must carry stac_version
+    // AND one of the structural keys (reference datatypes.py:820
+    // STACJSON._head_ok) — the veto keeps plain GeoJSON/JSON out;
+    // routes to the StacCatalog walker
+    DataKind("stacjson", Seq("(text|application)/geo\\+json"), Seq("\\.json$"), Set("catalog", "geo"),
+      magic = Seq(-1 -> ascii("\"stac_version\":")),
+      headOk = (h, _) => {
+        val t = headText(h)
+        t.contains("\"stac_version\"") &&
+          Seq("\"stac_extensions\"", "\"links\"", "\"assets\"", "\"collections\"", "\"items\"")
+            .exists(t.contains)
+      }),
     DataKind("geojson", Seq("application/geo\\+json"), Seq("\\.geojson$"), Set("table", "geo"),
       headOk = (h, _) => headText(h).contains("FeatureCollection") || headText(h).contains("\"geometry\"")),
     DataKind("shapefile", Nil, Seq("\\.shp$"), Set("table", "geo"),

@@ -85,8 +85,11 @@ object GeoTiffReader {
 
 class GeoTiffReaderImpl extends Reader {
   val name = "geotiff_reader"
-  val implementsKinds = Set("tiff")
+  val implementsKinds = Set("tiff", "cog")
+  // a COG is geo by definition (datatypes.py:1449 — byte-identical to
+  // TIFF, the naming convention is the signal); plain tiff needs the
+  // explicit geo opt-in to route here over the image/binary readers
   override def isOk(ref: DataRef): Boolean =
-    ref.kind == "tiff" && ref.options.get("geo").contains("true")
+    ref.kind == "cog" || (ref.kind == "tiff" && ref.options.get("geo").contains("true"))
   def read(spark: SparkSession, ref: DataRef): DataFrame = GeoTiffReader.read(spark, ref.url)
 }

@@ -257,6 +257,12 @@ object SparkReaders {
   val sklearnExample: Reader = new BackendGated("sklearn_example", Set("sklearn_example"), "python sklearn.datasets")
   val torchDataset: Reader = new BackendGated("torch_dataset", Set("torch_dataset"), "python torch{vision,audio,text}")
   val tfdsDataset: Reader = new BackendGated("tfds_dataset", Set("tfds"), "python tensorflow_datasets")
+  // Icechunk (reference datatypes.py:475 IcechunkRepo): a versioned
+  // transactional store over zarr chunks — reading its snapshot/ref
+  // layout as plain zarr would silently serve an arbitrary version, so
+  // the kind detects and refuses with the client guidance instead
+  val icechunk: Reader = new BackendGated("icechunk_repo", Set("icechunk"),
+    "the icechunk client (transactional zarr-adjacent store; no native snapshot replay here)")
 
   /** Earthdata granule set (reference catalogs.py:664 EarthdataReader:
     * `search_data(concept_id) → earthaccess.open → xr.open_mfdataset`):
@@ -308,7 +314,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, literal, archive, docText, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, icechunk, literal, archive, docText, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

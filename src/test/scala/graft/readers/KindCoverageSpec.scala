@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class KindCoverageSpec extends AnyFunSuite {
 
   private val catalogDispatch = Set("catalog_file", "tiled_service", "stac_catalog",
-    "thredds_catalog", "cmr", "intake_v1", "datapackage")
+    "thredds_catalog", "cmr", "intake_v1", "datapackage",
+    // stacjson detects static STAC documents (stac_version + structural
+    // keys); the route is StacCatalog.walk, a catalog not a DataFrame
+    "stacjson")
   private val scopedOut = Set("tiledb")
 
   test("every classifiable kind has a reader candidate or a documented dispatch") {
