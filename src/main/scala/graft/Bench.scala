@@ -27,6 +27,18 @@ object Bench {
     // pool keeps the core-hungry LSH/CC chains company; vs 32: task
     // thrash) — FAIR scheduling keeps latency-bound chains moving.
     val parallelism = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt
+    // Forensics/A-B switch: comma-separated query names to leave out of
+    // the batch (e.g. SPARK_GRAFT_BENCH_EXCLUDE=q85_source_overlap to
+    // attribute a wall-clock delta to one query). Unknown names are
+    // reported, not silently ignored — a typo must not fake an A/B.
+    val exclude: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknownExcludes = exclude -- SparkEntry.queries.keySet
+    if (unknownExcludes.nonEmpty)
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_EXCLUDE names unknown queries: ${unknownExcludes.mkString(",")}")
+    val benchQueries = SparkEntry.queries -- exclude
+    if (exclude.nonEmpty)
+      System.err.println(s"[bench] excluding ${(exclude -- unknownExcludes).size} queries: ${(exclude -- unknownExcludes).toSeq.sorted.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,9 +100,9 @@ object Bench {
         // self-tuning exists to avoid)
         val sortedTimes = priorTimes.values.toSeq.sorted
         val median = sortedTimes(sortedTimes.size / 2)
-        SparkEntry.queries.toSeq.sortBy { case (n, _) => (-priorTimes.getOrElse(n, median), n) }
+        benchQueries.toSeq.sortBy { case (n, _) => (-priorTimes.getOrElse(n, median), n) }
       } else
-        SparkEntry.queries.toSeq.sortBy { case (n, _) => (rank.getOrElse(n, heavy.size), n) }
+        benchQueries.toSeq.sortBy { case (n, _) => (rank.getOrElse(n, heavy.size), n) }
 
     def runBatch(): (Map[String, Double], Double) = {
       val t0 = System.nanoTime()
@@ -145,9 +157,10 @@ object Bench {
     // honest time-to-first-batch-done on a fresh session.
     val loadCold = loadAvg()
     val coldT0 = System.nanoTime()
-    val seedNames = if (priorTimes.nonEmpty) priorTimes.toSeq.sortBy(_._2).take(2).map(_._1)
-                    else Seq("q15_distinct", "q14_setops")
-    seedNames.foreach(n => SparkEntry.queries.get(n).foreach(fn => Try(fn(spark, sfDir).count())))
+    val seedNames = if (priorTimes.nonEmpty)
+      priorTimes.filter(kv => benchQueries.contains(kv._1)).toSeq.sortBy(_._2).take(2).map(_._1)
+    else Seq("q15_distinct", "q14_setops")
+    seedNames.foreach(n => benchQueries.get(n).foreach(fn => Try(fn(spark, sfDir).count())))
     val (coldResults, coldBatchWall) = runBatch()
     val coldWall = (System.nanoTime() - coldT0) / 1e9
     val loadW1 = loadAvg()
