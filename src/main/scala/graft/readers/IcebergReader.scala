@@ -41,6 +41,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ORC source, unioned with the parquet scan — by NAME (no ORC
   * field-id matcher in Spark), so ORC renames don't resolve. Avro data
   * files and non-parquet DELETE files refuse.
+  * `schema.name-mapping.default` (Hive migrate/add_files imports)
+  * RESOLVES (round 8): parquet footers are inspected on executors,
+  * id-less files group by their resolved mapping-name assignment and
+  * scan by name with renames back to the current schema; files
+  * matching neither ids nor mapping refuse loudly, as does the
+  * ORC + name-mapping combination.
   * Time travel: `snapshotId` pins any snapshot the metadata still
   * references. When the real connector jar IS on the classpath the
   * gated `spark_iceberg` FormatReader outranks this one in the
@@ -398,14 +404,28 @@ object IcebergReader {
     // silently miss would resurrect deleted rows; refuse the combination
     require(posDeleteFiles.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
       "iceberg: position deletes with ORC data files outside the supported profile (no row_index metadata for ORC)")
-    // schema.name-mapping.default marks files imported without field ids
-    // (Hive migrate/add_files): resolving them needs the name-mapping
-    // rules, and our by-id (parquet) / by-name (orc) scans would return
-    // silent NULL columns for exactly those files — refuse loudly
-    val hasNameMapping = Option(meta.get("properties"))
-      .exists(p => Option(p.get("schema.name-mapping.default")).exists(!_.isNull))
-    require(!hasNameMapping,
-      "iceberg: schema.name-mapping.default present (files imported without field ids) — outside the supported profile")
+    // schema.name-mapping.default (spec "Name Mapping Serialization"):
+    // Hive migrate/add_files imports write data files WITHOUT field
+    // ids; the mapping lists, per field id, the column name(s) such
+    // files may use. Parsed here, applied after the footer inspection
+    // below decides which files actually lack ids. Top-level fields
+    // only (nested-struct inner renames stay outside the profile — they
+    // null out, same as any by-name nested read).
+    val nameMapping: Option[Map[Int, Seq[String]]] = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default"))).filterNot(_.isNull)
+      .map { nm =>
+        val arr = new ObjectMapper().readTree(nm.asText())
+        arr.elements().asScala.toSeq.flatMap { e =>
+          Option(e.get("field-id")).filterNot(_.isNull).map(fid =>
+            fid.asInt() -> Option(e.get("names")).toSeq
+              .flatMap(_.elements().asScala).map(_.asText()))
+        }.toMap
+      }
+    // the mapping applies to ORC files too per the spec, but our ORC
+    // scan is by-name with no per-file rename machinery — refuse the
+    // combination instead of silently nulling renamed columns
+    require(nameMapping.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
+      "iceberg: schema.name-mapping.default with ORC data files outside the supported profile")
 
     import org.apache.spark.sql.functions.{broadcast, col, concat, expr, lit, raise_error, regexp_replace, udf}
     def norm(c: org.apache.spark.sql.Column) =
@@ -492,8 +512,80 @@ object IcebergReader {
           // only with equality deletes, which never consult __pos
           if (fmt == "parquet") expr("_metadata.row_index") else lit(null).cast("bigint"))
     }
-    val scans = scanData.groupBy(_.fileFormat).toSeq.sortBy(_._1)
-      .map { case (fmt, es) => mkScan(fmt, es.toSeq) }
+
+    // ---- name-mapping application -----------------------------------
+    // With a mapping present, inspect every parquet data file's footer
+    // ON EXECUTORS (one tiny read each — only name-mapped tables pay
+    // this) to learn which files actually lack field ids and which of
+    // the mapping's names each uses. Id-bearing files keep the field-id
+    // scan; id-less files group by their resolved (field id → column
+    // name) assignment and scan BY NAME with renames back to the
+    // current schema — the Delta column-mapping mold, so heterogeneous
+    // alias eras each get their own correct scan. A file with neither
+    // ids nor any matching mapping name refuses loudly (an all-null
+    // read is a silent wrong answer).
+    def mkMappedScan(resolution: Seq[(Int, Option[String])], ps: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val st = sparkSchemaOpt.get
+      val byId = resolution.toMap
+      val readFields = st.fields.map { f =>
+        val fid = f.metadata.getLong("parquet.field.id").toInt
+        val phys = byId.get(fid).flatten.getOrElse(f.name)
+        // deliberately NO field-id metadata: this scan matches by name
+        org.apache.spark.sql.types.StructField(phys, f.dataType, f.nullable)
+      }
+      require(readFields.map(_.name).distinct.length == readFields.length,
+        "iceberg: name mapping resolves two schema fields to the same file column")
+      val base = spark.read.schema(org.apache.spark.sql.types.StructType(readFields)).parquet(ps: _*)
+      val renamed = st.fields.toSeq.zip(readFields).map { case (lf, rf) => base(rf.name).as(lf.name) }
+      if (!needMeta) base.select(renamed: _*)
+      else base.select(renamed :+ norm(expr("_metadata.file_path")).as("__file")
+        :+ expr("_metadata.row_index").as("__pos"): _*)
+    }
+    val byFmt = scanData.groupBy(_.fileFormat)
+    val parquetData = byFmt.getOrElse("parquet", Nil).toSeq
+    val (plainParquet: Seq[Entry], mappedScans: Seq[org.apache.spark.sql.DataFrame]) = nameMapping match {
+      case None => (parquetData, Nil)
+      case Some(mapping) if parquetData.isEmpty => (parquetData, Nil)
+      case Some(mapping) =>
+        val st = sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
+          "iceberg: schema.name-mapping.default without a schema in the metadata — cannot resolve"))
+        val byResolved = parquetData.map(e => resolve(e.filePath, table) -> e).toMap
+        val sconf = new graft.core.SerializableHadoopConf(conf)
+        val paths = byResolved.keys.toSeq.sorted
+        val footers: Seq[(String, Boolean, Boolean, Seq[String])] = spark.sparkContext
+          .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+          .map { p =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(p), sconf.value)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+              (p, fields.forall(_.getId != null), fields.exists(_.getId != null),
+                fields.map(_.getName))
+            } finally r.close()
+          }.collect().toSeq
+        footers.foreach { case (p, allIds, anyIds, _) =>
+          require(allIds == anyIds,
+            s"iceberg: $p has field ids on only some columns — outside the supported profile")
+        }
+        val (withIds, idLess) = footers.partition(_._2)
+        val groups = idLess.map { case (p, _, _, cols) =>
+          val fileCols = cols.toSet
+          val resolution: Seq[(Int, Option[String])] = st.fields.toSeq.map { f =>
+            val fid = f.metadata.getLong("parquet.field.id").toInt
+            fid -> mapping.get(fid).flatMap(_.find(fileCols.contains))
+          }
+          require(resolution.exists(_._2.isDefined),
+            s"iceberg: $p has no field ids and no name-mapping entry matches its columns " +
+              s"(${cols.mkString(",")}) — the file matches neither ids nor mapping")
+          resolution -> p
+        }.groupBy(_._1).map { case (res, ps) => mkMappedScan(res, ps.map(_._2)) }.toSeq
+        (withIds.map(f => byResolved(f._1)), groups)
+    }
+    val scans = (if (plainParquet.nonEmpty) Seq(mkScan("parquet", plainParquet)) else Nil) ++
+      mappedScans ++
+      byFmt.get("orc").toSeq.map(es => mkScan("orc", es.toSeq))
     var data = scans.reduce(_ unionByName _)
     val dataCols = if (needMeta) data.columns.toSeq.filterNot(Set("__file", "__pos")) else data.columns.toSeq
 

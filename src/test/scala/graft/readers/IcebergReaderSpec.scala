@@ -296,7 +296,9 @@ class IcebergReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot at or before"))
   }
 
-  test("schema.name-mapping.default (imported id-less files) refuses loudly") {
+  test("name mapping without a schema in the metadata refuses loudly") {
+    // the fixture's metadata carries no schema node, so the mapping has
+    // nothing to resolve field ids against — refuse, don't guess
     val table = fixture().toString
     val meta = Files.readString(Paths.get(s"$table/metadata/v2.metadata.json"))
       .replace("""  "current-snapshot-id": 77,""",
@@ -305,6 +307,67 @@ class IcebergReaderSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$table/metadata/v2.metadata.json"), meta)
     val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table))
     assert(e.getMessage.contains("name-mapping"))
+  }
+
+  /** Table whose current schema is (id:1, title:2) with a name mapping
+    * listing historical aliases; data files per `files` as
+    * (dirName, columns, withIds, rows). */
+  private def nameMappedTable(files: Seq[(String, Seq[String], Boolean, Seq[(Long, String)])],
+      mappingJson: String): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergnm")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/data"))
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val entries = files.map { case (dir, cols, withIds, rows) =>
+      val df0 = rows.toDF(cols: _*)
+      val df = if (withIds) withFieldIds(df0, cols.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap) else df0
+      df.coalesce(1).write.parquet(s"$table/data/$dir")
+      (1, Files.list(Paths.get(s"$table/data/$dir")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get, "PARQUET", 0)
+    }
+    val manifestDf = entries.toDF("status", "file_path", "file_format", "content")
+      .selectExpr("status", "named_struct('file_path', file_path, 'file_format', file_format, 'content', content) as data_file")
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap1")
+    val mappingEsc = mappingJson.replace("\"", "\\\"")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "title", "type": "string"}]}],
+         |  "properties": {"schema.name-mapping.default": "$mappingEsc"},
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    table
+  }
+
+  test("name mapping resolves id-less imported files, per alias era") {
+    import spark.implicits._
+    // f1: Hive-import era, NO field ids, original column name `label`;
+    // f2: a different id-less era using alias `old_title`; f3: written
+    // by a real Iceberg writer WITH ids under the current names. The
+    // mapping must route each era's column into `title`.
+    val table = nameMappedTable(
+      Seq(
+        ("f1", Seq("id", "label"), false, Seq((1L, "alpha"))),
+        ("f2", Seq("id", "old_title"), false, Seq((2L, "beta"))),
+        ("f3", Seq("id", "title"), true, Seq((3L, "gamma")))),
+      """[{"field-id": 1, "names": ["id"]}, {"field-id": 2, "names": ["label", "old_title", "title"]}]""")
+    val df = IcebergReader.read(spark, table)
+    assert(df.columns.toSeq == Seq("id", "title"))
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("an id-less file matching neither ids nor mapping refuses loudly") {
+    val table = nameMappedTable(
+      Seq(("f1", Seq("foo", "bar"), false, Seq((1L, "alpha")))),
+      """[{"field-id": 1, "names": ["id"]}, {"field-id": 2, "names": ["label"]}]""")
+    val e = intercept[Exception](IcebergReader.read(spark, table).count())
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("matches neither ids nor mapping")))
   }
 
   test("v1 data manifests mix with v2 delete manifests after an upgrade") {
