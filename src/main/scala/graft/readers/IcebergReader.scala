@@ -306,7 +306,8 @@ object IcebergReader {
       manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.seq).toMap
 
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
-        seq: Long, equalityIds: Seq[Int], partitionJson: String)
+        seq: Long, equalityIds: Seq[Int], partitionJson: String,
+        lowerJson: String, upperJson: String)
     // Data and delete manifests load SEPARATELY: a v1→v2-upgraded table
     // keeps old v1 data manifests (no entry seq, no data_file.content)
     // next to v2 delete manifests, and one Avro read would infer a
@@ -330,6 +331,12 @@ object IcebergReader {
           if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
           if (dfCols.contains("partition")) "to_json(data_file.partition) as partition_json"
           else "cast(null as string) as partition_json",
+          // per-file column bounds (map field-id → single-value-serialized
+          // binary); JSON carries them as {id: base64}
+          if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lower_json"
+          else "cast(null as string) as lower_json",
+          if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as upper_json"
+          else "cast(null as string) as upper_json",
           "_metadata.file_path as __manifest")
         .collect().toSeq.map { r =>
           // per-entry sequence number: explicit, else inherited from the
@@ -348,7 +355,8 @@ object IcebergReader {
             Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
             Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
               .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
-            r.getAs[String]("partition_json"))
+            r.getAs[String]("partition_json"),
+            r.getAs[String]("lower_json"), r.getAs[String]("upper_json"))
         }
     }
     val (deleteManifests, allDataManifests) = manifestList.partition(_.isDelete)
@@ -466,7 +474,7 @@ object IcebergReader {
     // file's `data_file.partition` tuple (identity fields; JSON keys
     // are the partition field names). Files without a readable tuple
     // are kept; a pruned-to-empty scan returns the typed empty result.
-    val scanData: Seq[Entry] =
+    val scanData0: Seq[Entry] =
       if (filterConjs.isEmpty || identityByField.isEmpty || sparkSchemaOpt.isEmpty) supportedData
       else scala.util.Try {
         val flds = identityByField.toSeq.sortBy(_._1)
@@ -491,9 +499,49 @@ object IcebergReader {
           }
         }
       }.getOrElse(supportedData)
+    // second stage: per-file COLUMN bounds (data_file.lower_bounds /
+    // upper_bounds, map field-id → single-value binary) range-test the
+    // same simple conjuncts Delta prunes on via add.stats. Iceberg
+    // bounds never hold NaN (spec: "NaN ... not permitted in bounds"),
+    // so float/double are safe here, unlike the Delta JSON-stats path.
+    // Absent bounds/unknown types fail open.
+    val scanData: Seq[Entry] =
+      if (filterConjs.isEmpty) scanData0
+      else scala.util.Try {
+        val shapes = filterConjs.flatMap(FileSkipping.simpleShape)
+          .collect { case c: FileSkipping.Cmp => c }
+        if (shapes.isEmpty) scanData0
+        else {
+          val byColName: Map[String, (Int, String)] =
+            schemaFieldById.map { case (id, (n, t)) => n.toLowerCase -> (id, t) }
+          val om = new ObjectMapper()
+          // real manifests carry bounds as an Avro array of {key, value}
+          // records (the avro map form needs string keys); a true map
+          // serializes as a JSON object keyed by the id — accept both
+          def bound(json: String, id: Int, t: String): Option[Any] =
+            Option(json).flatMap { j =>
+              val node = om.readTree(j)
+              val v =
+                if (node.isArray)
+                  node.elements().asScala
+                    .find(e => Option(e.get("key")).exists(_.asInt() == id))
+                    .flatMap(e => Option(e.get("value")))
+                else Option(node.get(id.toString))
+              v.flatMap(n => decodeBound(n, t))
+            }
+          scanData0.filterNot { e =>
+            (e.lowerJson != null || e.upperJson != null) && shapes.exists { c =>
+              byColName.get(c.name.toLowerCase).exists { case (id, t) =>
+                FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
+              }
+            }
+          }
+        }
+      }.getOrElse(scanData0)
     if (scanData.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        sparkSchemaOpt.get) // pruning only runs with a schema present
+        sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
+          "iceberg: filter pruned every file but the metadata has no schema for an empty result")))
 
     val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {

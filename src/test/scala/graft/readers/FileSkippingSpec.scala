@@ -271,6 +271,48 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  private def leLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  test("iceberg: per-file column bounds prune like delta stats; no bounds keeps") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergbounds")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2)
+    def mk(dir: String, rows: Seq[(Long, String)]): String = {
+      withFieldIds(rows.toDF("id", "name"), ids).coalesce(1).write.parquet(s"$table/data/$dir")
+      Files.list(Paths.get(s"$table/data/$dir")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    val p1 = mk("f1", Seq((1L, "alpha"), (2L, "beta")))
+    val p2 = mk("f2", Seq((150L, "gamma"), (200L, "delta")))
+    val p3 = mk("f3", Seq((50L, "eps"), (60L, "zeta")))
+    // bounds ride the REAL manifest shape: array of {key, value} records
+    // (avro maps need string keys, so Iceberg writes the array form)
+    val entries = Seq(
+      (1, p1, leLong(1L), leLong(2L)),
+      (1, p2, leLong(150L), leLong(200L)),
+      (1, p3, null: Array[Byte], null: Array[Byte])) // no bounds → kept
+    val manifestDf = entries.toDF("status", "file_path", "lb", "ub").selectExpr("status",
+      """named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0,
+        |'lower_bounds', CASE WHEN lb IS NULL THEN NULL ELSE array(named_struct('key', 1, 'value', lb)) END,
+        |'upper_bounds', CASE WHEN ub IS NULL THEN NULL ELSE array(named_struct('key', 1, 'value', ub)) END
+        |) as data_file""".stripMargin)
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table, filter = Some("id > 100"))
+    assert(df.inputFiles.length == 2, s"expected f2+f3, got ${df.inputFiles.toSeq}")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(150L, 200L))
+  }
+
   test("iceberg: non-prunable conjuncts stay exact through the residual filter") {
     import spark.implicits._
     val t = iceberg100()
