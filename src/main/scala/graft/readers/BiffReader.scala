@@ -13,8 +13,11 @@ import scala.collection.mutable
   * PandasExcel; the layouts here are from the public MS-CFB and MS-XLS
   * specifications).
   *
-  * Stated profile: BIFF8 (Excel 97-2003) only — BIFF5's 8-bit strings
-  * and per-sheet SSTs refuse with a clear error; cell records
+  * Stated profile: BIFF8 (Excel 97-2003) and BIFF5/BIFF7 (Excel
+  * 5.0/95 — round 8). BIFF5 stores plain byte strings (no flags byte,
+  * no SST/LABELSST; inline LABEL text decodes as latin-1 — the
+  * CODEPAGE record is not consulted, so non-Latin legacy codepages
+  * read as their byte values); earlier versions refuse. Cell records
   * LABELSST / NUMBER / RK / MULRK / BOOLERR / LABEL; SST strings
   * compressed (latin-1) or UTF-16LE, with rich/ext payloads skipped and
   * Continue-record splits handled at character-data boundaries (each
@@ -183,9 +186,12 @@ object BiffReader {
     * cRun/cbExt header bytes as text — and refuses via Cursor bounds
     * when the string continues past this record (a Continue split this
     * single-record path can't stitch). */
-  private def biffString(data: Array[Byte], at: Int, shortLen: Boolean): String = {
+  private def biffString(data: Array[Byte], at: Int, shortLen: Boolean,
+      biff5: Boolean = false): String = {
     val c = new Cursor(IndexedSeq(java.util.Arrays.copyOfRange(data, at, data.length)))
     val cch = if (shortLen) c.u8() else c.u16()
+    if (biff5) // BIFF5 byte string: no flags byte, latin-1 bytes follow
+      return c.chars(cch, wide0 = false)
     val grbit = c.u8()
     if ((grbit & 8) != 0) c.u16() // cRun (rich runs follow the text; count precedes it)
     if ((grbit & 4) != 0) c.u32() // cbExt
@@ -211,7 +217,9 @@ object BiffReader {
     val first = globals.next()
     require(first.id == 0x0809, "BIFF: stream doesn't start with BOF")
     val vers = ByteBuffer.wrap(first.data).order(ByteOrder.LITTLE_ENDIAN).getShort(0) & 0xffff
-    require(vers == 0x0600, f"BIFF version 0x$vers%04x outside the supported profile (BIFF8 only)")
+    val biff5 = vers == 0x0500 // Excel 5.0 and 95 both stamp 0x0500
+    require(vers == 0x0600 || biff5,
+      f"BIFF version 0x$vers%04x outside the supported profile (BIFF8 and BIFF5 only)")
     val sst = mutable.ArrayBuffer[String]()
     var sheetOffsets = mutable.ArrayBuffer[Int]()
     var depth = 1
@@ -282,8 +290,9 @@ object BiffReader {
           val fErr = r.data(7) & 0xff
           put(bb.getShort(0) & 0xffff, bb.getShort(2) & 0xffff,
             if (fErr != 0) "" else if ((r.data(6) & 0xff) != 0) "true" else "false")
-        case 0x0204 => // LABEL (inline string)
-          put(bb.getShort(0) & 0xffff, bb.getShort(2) & 0xffff, biffString(r.data, 6, shortLen = false))
+        case 0x0204 => // LABEL (inline string; BIFF5: byte string)
+          put(bb.getShort(0) & 0xffff, bb.getShort(2) & 0xffff,
+            biffString(r.data, 6, shortLen = false, biff5 = biff5))
         case 0x0006 => // FORMULA: cached f64 result, or string marker 0xFFFF0000-style
           val row = bb.getShort(0) & 0xffff; val col = bb.getShort(2) & 0xffff
           if ((bb.getShort(12) & 0xffff) == 0xffff && (r.data(6) & 0xff) == 0)
@@ -291,8 +300,9 @@ object BiffReader {
           else if ((bb.getShort(12) & 0xffff) != 0xffff)
             put(row, col, numString(bb.getDouble(6)))
           else put(row, col, "") // bool/err/blank cached results
-        case 0x0207 => // STRING (cached formula result)
-          lastString.foreach { case (row, col) => put(row, col, biffString(r.data, 0, shortLen = false)) }
+        case 0x0207 => // STRING (cached formula result; BIFF5: byte string)
+          lastString.foreach { case (row, col) =>
+            put(row, col, biffString(r.data, 0, shortLen = false, biff5 = biff5)) }
           lastString = None
         case _ => ()
       }

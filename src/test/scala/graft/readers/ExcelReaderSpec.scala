@@ -225,11 +225,33 @@ class ExcelReaderSpec extends SparkSpec {
     checkXls(ExcelReader.read(spark, s"file://$dir/big.xls"))
   }
 
-  test(".xls BIFF5 refuses with a clear version error") {
-    val bof5 = rec(0x0809, le((2, 0x0500L), (2, 0x0005L), (4, 0L)))
-    val stream = bof5 ++ rec(0x000a, Array.emptyByteArray)
+  test(".xls BIFF5 (Excel 5.0/95) reads byte-string cells") {
+    // BIFF5: no SST/LABELSST; inline LABEL text is a plain byte string
+    // (u16 cch + latin-1 bytes, NO flags byte) — a BIFF8-style parse
+    // would eat the first character as a flags byte
+    val bof5g = rec(0x0809, le((2, 0x0500L), (2, 0x0005L), (4, 0L)))
+    val bof5s = rec(0x0809, le((2, 0x0500L), (2, 0x0010L), (4, 0L)))
+    def label5(row: Long, c: Long, s: String) =
+      rec(0x0204, le((2, row), (2, c), (2, 0L), (2, s.length.toLong)) ++ s.getBytes("ISO-8859-1"))
+    val cells =
+      label5(0, 0, "name") ++ label5(0, 1, "score") ++
+      label5(1, 0, "ada") ++ rec(0x0203, f64(le((2, 1L), (2, 1L), (2, 0L)), 9.5)) ++
+      label5(2, 0, "naïve") ++ rec(0x027e, le((2, 2L), (2, 1L), (2, 0L), (4, (12L << 2) | 2L)))
+    val sheet = bof5s ++ cells ++ rec(0x000a, Array.emptyByteArray)
+    val name = "Sheet1"
+    val bsData = le((4, 0L), (1, 0L), (1, 0L), (1, name.length.toLong)) ++ name.getBytes("ISO-8859-1")
+    val globals = bof5g ++ rec(0x0085, bsData) ++ rec(0x000a, Array.emptyByteArray)
+    val full = globals ++ sheet
+    ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN).putInt(bof5g.length + 4, globals.length)
+    val rows = BiffReader.parse(cfb(full))
+    assert(rows == Seq(Seq("name", "score"), Seq("ada", "9.5"), Seq("naïve", "12")))
+  }
+
+  test(".xls pre-BIFF5 versions refuse with a clear error") {
+    val bof4 = rec(0x0809, le((2, 0x0400L), (2, 0x0005L), (4, 0L)))
+    val stream = bof4 ++ rec(0x000a, Array.emptyByteArray)
     val e = intercept[IllegalArgumentException](BiffReader.parse(cfb(stream)))
-    assert(e.getMessage.contains("BIFF8 only"))
+    assert(e.getMessage.contains("BIFF8 and BIFF5 only"))
   }
 
   /** Workbook stream with a single LABEL (0x0204) cell carrying the
