@@ -448,12 +448,15 @@ object DeltaReader {
           .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
       }
       // stats JSON keys are PHYSICAL names under column mapping — the
-      // logical rewrite would silently never match, so mapped tables
-      // rely on partition pruning + the scan's row-group stats instead
-      if (!mapped && liveEntries.nonEmpty)
+      // statsKey map routes each logical column to its stats entry
+      if (liveEntries.nonEmpty) {
+        val statsKeys =
+          if (!mapped) Map.empty[String, String]
+          else schema.fields.map(fl => fl.name -> physName(fl)).toMap
         FileSkipping.statsPrune(spark, schema,
-          liveEntries.map(e => e.path -> e.stats.orNull), filterConjs)
+          liveEntries.map(e => e.path -> e.stats.orNull), filterConjs, statsKeys)
           .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
+      }
       if (liveEntries.isEmpty) // every file skipped: the empty result, typed
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           stripMeta(schema).asInstanceOf[StructType])

@@ -154,9 +154,12 @@ object FileSkipping {
     * A file survives a conjunct unless its stats DEFINITELY exclude
     * every matching row; files with missing/partial stats are kept
     * (`coalesce(pred, true)`). Returns surviving paths, or None when no
-    * conjunct is stats-testable. */
+    * conjunct is stats-testable. `statsKey` maps a schema field name to
+    * the key its stats are recorded under (Delta column mapping writes
+    * stats by PHYSICAL name). */
   def statsPrune(spark: SparkSession, schema: StructType,
-      files: Seq[(String, String)], conjs: Seq[Expression]): Option[Set[String]] = {
+      files: Seq[(String, String)], conjs: Seq[Expression],
+      statsKey: Map[String, String] = Map.empty): Option[Set[String]] = {
     if (files.isEmpty) return None
     val byName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val shapes = conjs.flatMap(simpleShape).filter {
@@ -166,19 +169,20 @@ object FileSkipping {
     if (shapes.isEmpty) return None
     Try[Set[String]] {
       import scala.jdk.CollectionConverters._
+      def keyOf(fl: StructField): String = statsKey.getOrElse(fl.name, fl.name)
       val referenced = shapes.map(s => byName(s.name.toLowerCase)).distinctBy(_.name)
-      val minMax = StructType(referenced.map(f => StructField(f.name, f.dataType)))
+      val minMax = StructType(referenced.map(f => StructField(keyOf(f), f.dataType)))
       val statsSchema = StructType(Seq(
         StructField("numRecords", LongType),
         StructField("minValues", minMax),
         StructField("maxValues", minMax),
-        StructField("nullCount", StructType(referenced.map(f => StructField(f.name, LongType))))))
+        StructField("nullCount", StructType(referenced.map(f => StructField(keyOf(f), LongType))))))
       val rows: java.util.List[Row] = files.map { case (p, s) => Row(p, s) }.asJava
       val parsed = spark.createDataFrame(rows,
         StructType(Seq(StructField("__path", StringType), StructField("__stats", StringType))))
         .select(col("__path"), from_json(col("__stats"), statsSchema).as("s"))
       def f(which: String, n: String): Column =
-        col(s"s.$which.`${byName(n.toLowerCase).name}`")
+        col(s"s.$which.`${keyOf(byName(n.toLowerCase))}`")
       val preds: Seq[Column] = shapes.map {
         case Cmp(n, op, vs) =>
           def one(l: Literal): Column = op match {

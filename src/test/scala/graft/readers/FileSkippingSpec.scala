@@ -157,6 +157,42 @@ class FileSkippingSpec extends SparkSpec {
       Seq((150L, "gamma"), (200L, "delta"))) // residual filter still exact on f3
   }
 
+  test("delta: stats prune under column mapping via physical-name keys") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltamappedstats")
+    // physical column names in the files AND in the stats JSON
+    def writePhys(rel: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("dms").toString
+      rows.toDF("col-aaa", "col-bbb").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      val dest = t.resolve(rel); Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(part), dest)
+    }
+    writePhys("f1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    writePhys("f2.parquet", Seq((150L, "gamma"), (200L, "delta")))
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("name", StringType, nullable = true, meta("col-bbb", 2)))).json
+    def stats(lo: Long, hi: Long) = // stats keyed by PHYSICAL name
+      s"""{"numRecords":2,"minValues":{"col-aaa":$lo},"maxValues":{"col-aaa":$hi},"nullCount":{"col-aaa":0}}"""
+    val metaAct =
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},
+         |"schemaString":${js(mappedSchema)},"partitionColumns":[],
+         |"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},
+         |"createdTime":1}}""".stripMargin.replace("\n", "")
+    writeCommit(t, 0, Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", metaAct,
+      addAction("f1.parquet", stats = stats(1, 2)),
+      addAction("f2.parquet", stats = stats(150, 200))))
+    // the filter names the LOGICAL column; stats are physical-keyed
+    val df = DeltaReader.read(spark, t.toString, filter = Some("id > 100"))
+    assert(df.inputFiles.length == 1, s"expected only f2, got ${df.inputFiles.toSeq}")
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((150L, "gamma"), (200L, "delta")))
+  }
+
   test("delta: a filter pruning every file returns the typed empty result") {
     val t = delta100(7, 8)
     val df = DeltaReader.read(spark, t.toString, filter = Some("p = 7 AND p = 8"))
