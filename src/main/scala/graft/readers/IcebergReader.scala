@@ -372,15 +372,22 @@ object IcebergReader {
         val fields = specsById.getOrElse(m.specId, Nil)
         val summaries = new ObjectMapper().readTree(m.partitionsJson)
         val shapes = filterConjs.flatMap(FileSkipping.simpleShape)
-          .collect { case c: FileSkipping.Cmp => c }
-        shapes.exists { c =>
+        shapes.exists { shape =>
           fields.zipWithIndex.exists { case (pf, i) =>
             pf.transform == "identity" && i < summaries.size() &&
               schemaFieldById.get(pf.sourceId).exists { case (srcName, t) =>
-                srcName.equalsIgnoreCase(c.name) &&
-                  FileSkipping.rangeExcludes(c,
-                    decodeBound(summaries.get(i).get("lower_bound"), t),
-                    decodeBound(summaries.get(i).get("upper_bound"), t))
+                srcName.equalsIgnoreCase(shape.name) && (shape match {
+                  case c: FileSkipping.Cmp =>
+                    FileSkipping.rangeExcludes(c,
+                      decodeBound(summaries.get(i).get("lower_bound"), t),
+                      decodeBound(summaries.get(i).get("upper_bound"), t))
+                  case FileSkipping.NullTest(_, isNull) =>
+                    // `p IS NULL` excludes a manifest whose summary says
+                    // contains_null=false; IS NOT NULL can't exclude
+                    // (no all-null marker in the summary)
+                    isNull && Option(summaries.get(i).get("contains_null"))
+                      .exists(n => !n.isNull && !n.asBoolean())
+                })
               }
           }
         }

@@ -157,6 +157,36 @@ class FileSkippingSpec extends SparkSpec {
       Seq((150L, "gamma"), (200L, "delta"))) // residual filter still exact on f3
   }
 
+  test("iceberg: p IS NULL skips manifests whose summary says contains_null=false") {
+    // every iceberg100 summary has contains_null=false, including the
+    // nine dangling manifests — IS NULL must exclude them all unread
+    val t = iceberg100()
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p IS NULL"))
+    assert(df.count() == 0)
+  }
+
+  test("delta: date-typed partition values cast and prune correctly") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltadate")
+    writeParquetFile(t, "ds=2024-01-01/f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "ds=2024-01-02/f2.parquet", Seq((2L, "beta")))
+    val schemaWithDs = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ds", DateType))).json
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schemaWithDs, Seq("ds")),
+      addAction("ds=2024-01-01/f1.parquet", """{"ds":"2024-01-01"}"""),
+      addAction("ds=2024-01-02/f2.parquet", """{"ds":"2024-01-02"}""")))
+    // string literal against the date column: the prune evaluation must
+    // apply the same implicit cast the residual filter does
+    val df = DeltaReader.read(spark, t.toString, filter = Some("ds = '2024-01-02'"))
+    assert(df.inputFiles.length == 1)
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    // and an expression over the partition column evaluates exactly
+    val df2 = DeltaReader.read(spark, t.toString, filter = Some("month(ds) = 1 AND day(ds) = 1"))
+    assert(df2.inputFiles.length == 1)
+    assert(df2.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("delta: stats prune under column mapping via physical-name keys") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltamappedstats")
