@@ -506,6 +506,65 @@ object IcebergReader {
           }
         }
       }.getOrElse(supportedData)
+    // transform-aware per-file pruning: bucket[N]/truncate[W] fields
+    // support equality/IN conjuncts — the transformed literal (spec
+    // Appendix B murmur3 bucket hash / floor-multiple & code-point
+    // truncation) must equal the file's stored partition value, or the
+    // file cannot hold a matching row. Only drops when every literal
+    // transforms cleanly; anything unexpected keeps the file.
+    val scanData1: Seq[Entry] =
+      if (filterConjs.isEmpty) scanData0
+      else scala.util.Try {
+        case class TField(fieldName: String, srcName: String, kind: String, arg: Int)
+        val bucketRe = "bucket\\[(\\d+)\\]".r
+        val truncRe = "truncate\\[(\\d+)\\]".r
+        val tfields: Seq[TField] = {
+          val all = specsById.values.flatten.flatMap { pf =>
+            val kindArg = pf.transform match {
+              case bucketRe(n) => Some(("bucket", n.toInt))
+              case truncRe(w)  => Some(("truncate", w.toInt))
+              case _           => None
+            }
+            for ((kind, arg) <- kindArg; (src, _) <- schemaFieldById.get(pf.sourceId))
+              yield TField(pf.name, src, kind, arg)
+          }.toSeq
+          // prune only on field names every spec agrees about
+          all.groupBy(_.fieldName).collect { case (_, vs) if vs.distinct.size == 1 => vs.head }.toSeq
+        }
+        val eqShapes = filterConjs.flatMap(FileSkipping.simpleShape).collect {
+          case c @ FileSkipping.Cmp(_, "=", _) => c
+        }
+        if (tfields.isEmpty || eqShapes.isEmpty) scanData0
+        else {
+          val om = new ObjectMapper()
+          scanData0.filterNot { e =>
+            e.partitionJson != null && {
+              val node = om.readTree(e.partitionJson)
+              eqShapes.exists { c =>
+                tfields.exists { tf =>
+                  tf.srcName.equalsIgnoreCase(c.name) && {
+                    val pvNode = node.get(tf.fieldName)
+                    pvNode != null && !pvNode.isNull && {
+                      val expected: Seq[String] = c.values.flatMap { l =>
+                        FileSkipping.literalValue(l).flatMap { v =>
+                          tf.kind match {
+                            case "bucket" => IcebergTransforms.bucketOf(v, tf.arg).map(_.toString)
+                            case _ => IcebergTransforms.truncateOf(v, tf.arg).map {
+                              case s: String => s
+                              case x         => x.toString
+                            }
+                          }
+                        }
+                      }
+                      expected.size == c.values.size && !expected.contains(pvNode.asText())
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }.getOrElse(scanData0)
     // second stage: per-file COLUMN bounds (data_file.lower_bounds /
     // upper_bounds, map field-id → single-value binary) range-test the
     // same simple conjuncts Delta prunes on via add.stats. Iceberg
@@ -513,11 +572,11 @@ object IcebergReader {
     // so float/double are safe here, unlike the Delta JSON-stats path.
     // Absent bounds/unknown types fail open.
     val scanData: Seq[Entry] =
-      if (filterConjs.isEmpty) scanData0
+      if (filterConjs.isEmpty) scanData1
       else scala.util.Try {
         val shapes = filterConjs.flatMap(FileSkipping.simpleShape)
           .collect { case c: FileSkipping.Cmp => c }
-        if (shapes.isEmpty) scanData0
+        if (shapes.isEmpty) scanData1
         else {
           val byColName: Map[String, (Int, String)] =
             schemaFieldById.map { case (id, (n, t)) => n.toLowerCase -> (id, t) }
@@ -536,7 +595,7 @@ object IcebergReader {
                 else Option(node.get(id.toString))
               v.flatMap(n => decodeBound(n, t))
             }
-          scanData0.filterNot { e =>
+          scanData1.filterNot { e =>
             (e.lowerJson != null || e.upperJson != null) && shapes.exists { c =>
               byColName.get(c.name.toLowerCase).exists { case (id, t) =>
                 FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
