@@ -515,18 +515,21 @@ object IcebergReader {
     val scanData1: Seq[Entry] =
       if (filterConjs.isEmpty) scanData0
       else scala.util.Try {
-        case class TField(fieldName: String, srcName: String, kind: String, arg: Int)
+        case class TField(fieldName: String, srcName: String, srcType: String,
+            kind: String, arg: Int)
         val bucketRe = "bucket\\[(\\d+)\\]".r
         val truncRe = "truncate\\[(\\d+)\\]".r
+        val temporal = Set("year", "month", "day", "hour")
         val tfields: Seq[TField] = {
           val all = specsById.values.flatten.flatMap { pf =>
             val kindArg = pf.transform match {
-              case bucketRe(n) => Some(("bucket", n.toInt))
-              case truncRe(w)  => Some(("truncate", w.toInt))
-              case _           => None
+              case bucketRe(n)              => Some(("bucket", n.toInt))
+              case truncRe(w)               => Some(("truncate", w.toInt))
+              case t if temporal.contains(t) => Some((t, 0))
+              case _                        => None
             }
-            for ((kind, arg) <- kindArg; (src, _) <- schemaFieldById.get(pf.sourceId))
-              yield TField(pf.name, src, kind, arg)
+            for ((kind, arg) <- kindArg; (src, tpe) <- schemaFieldById.get(pf.sourceId))
+              yield TField(pf.name, src, tpe, kind, arg)
           }.toSeq
           // prune only on field names every spec agrees about
           all.groupBy(_.fieldName).collect { case (_, vs) if vs.distinct.size == 1 => vs.head }.toSeq
@@ -545,18 +548,26 @@ object IcebergReader {
                   tf.srcName.equalsIgnoreCase(c.name) && {
                     val pvNode = node.get(tf.fieldName)
                     pvNode != null && !pvNode.isNull && {
-                      val expected: Seq[String] = c.values.flatMap { l =>
+                      // each literal yields the set of text forms its
+                      // transformed partition value may take in the JSON
+                      val expected: Seq[Set[String]] = c.values.flatMap { l =>
                         FileSkipping.literalValue(l).flatMap { v =>
                           tf.kind match {
-                            case "bucket" => IcebergTransforms.bucketOf(v, tf.arg).map(_.toString)
-                            case _ => IcebergTransforms.truncateOf(v, tf.arg).map {
-                              case s: String => s
-                              case x         => x.toString
-                            }
+                            case "bucket" =>
+                              IcebergTransforms.bucketOf(v, tf.arg).map(b => Set(b.toString))
+                            case "truncate" =>
+                              IcebergTransforms.truncateOf(v, tf.arg).map {
+                                case s: String => Set(s)
+                                case x         => Set(x.toString)
+                              }
+                            case kind =>
+                              IcebergTransforms.temporalOf(v, tf.srcType, kind)
+                                .map(o => IcebergTransforms.temporalTexts(o, kind))
                           }
                         }
                       }
-                      expected.size == c.values.size && !expected.contains(pvNode.asText())
+                      val pv = pvNode.asText()
+                      expected.size == c.values.size && !expected.exists(_.contains(pv))
                     }
                   }
                 }

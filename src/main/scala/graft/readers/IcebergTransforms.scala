@@ -71,4 +71,39 @@ object IcebergTransforms {
       Some(if (cps <= w) s else s.substring(0, s.offsetByCodePoints(0, w)))
     case _ => None
   }
+
+  /** year/month/day/hour transform of a typed temporal literal. The
+    * Catalyst comparison domain collapses DateType to days and
+    * Timestamp(Ntz)Type to UTC micros (both Long), so `srcType` — the
+    * partition field's SOURCE column type from the table schema —
+    * disambiguates. Spec ordinals: years/months since 1970(-01),
+    * days/hours since the epoch. String literals can't be transformed
+    * (return None → fail open; typed `DATE '...'` literals prune). */
+  def temporalOf(value: Any, srcType: String, kind: String): Option[Long] = value match {
+    case v: Long =>
+      val days: Option[Long] = srcType match {
+        case "date"                        => Some(v)
+        case "timestamp" | "timestamptz"   => Some(Math.floorDiv(v, 86400000000L))
+        case _                             => None
+      }
+      kind match {
+        case "day"  => days
+        case "year" => days.map(d => (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toLong)
+        case "month" =>
+          days.map { d =>
+            val ld = java.time.LocalDate.ofEpochDay(d)
+            (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
+          }
+        case "hour" if srcType != "date" => Some(Math.floorDiv(v, 3600000000L))
+        case _                           => None
+      }
+    case _ => None
+  }
+
+  /** The partition-value text forms a temporal transform value may take
+    * in the manifest's JSON: the raw ordinal, plus the date rendering
+    * for `day` (Avro's date logical type serializes that way). */
+  def temporalTexts(ordinal: Long, kind: String): Set[String] =
+    if (kind == "day") Set(ordinal.toString, java.time.LocalDate.ofEpochDay(ordinal).toString)
+    else Set(ordinal.toString)
 }

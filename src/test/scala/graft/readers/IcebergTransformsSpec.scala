@@ -49,6 +49,25 @@ class IcebergTransformsSpec extends SparkSpec {
     assert(IcebergTransforms.truncateOf("ab", 5).contains("ab"))
   }
 
+  test("temporalOf computes the spec's year/month/day/hour ordinals") {
+    val d = java.time.LocalDate.of(2024, 3, 15).toEpochDay // date literal domain: days
+    assert(IcebergTransforms.temporalOf(d, "date", "day").contains(d))
+    assert(IcebergTransforms.temporalOf(d, "date", "year").contains(54L)) // 2024 - 1970
+    assert(IcebergTransforms.temporalOf(d, "date", "month").contains(54L * 12 + 2))
+    assert(IcebergTransforms.temporalOf(d, "date", "hour").isEmpty) // hour of a date: invalid
+    // timestamp literal domain: UTC micros
+    val micros = d * 86400000000L + 7L * 3600000000L // 07:00 UTC
+    assert(IcebergTransforms.temporalOf(micros, "timestamptz", "day").contains(d))
+    assert(IcebergTransforms.temporalOf(micros, "timestamptz", "hour").contains(d * 24 + 7))
+    // pre-epoch floors toward negative infinity, not toward zero
+    val neg = java.time.LocalDate.of(1969, 12, 31).toEpochDay
+    assert(IcebergTransforms.temporalOf(neg * 86400000000L + 1L, "timestamp", "day").contains(neg))
+    // strings can't transform — fail open
+    assert(IcebergTransforms.temporalOf("2024-03-15", "date", "day").isEmpty)
+    // day values may render as either the ordinal or the ISO date
+    assert(IcebergTransforms.temporalTexts(d, "day") == Set(d.toString, "2024-03-15"))
+  }
+
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
   private def writeAvro(df: org.apache.spark.sql.DataFrame, dir: String): String = {
     df.coalesce(1).write.format(avroFmt).save(dir)
@@ -89,6 +108,50 @@ class IcebergTransformsSpec extends SparkSpec {
          |    {"name": "id_bucket", "transform": "bucket[8]", "source-id": 1, "field-id": 1000}]}],
          |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
     val df = IcebergReader.read(spark, table, filter = Some("id = 34"))
+    assert(df.inputFiles.length == 1, s"expected 1 input file, got ${df.inputFiles.toSeq}")
+    assert(df.select("name").as[String].collect().toSeq == Seq("match"))
+  }
+
+  test("day-transform partition pruning with a typed DATE literal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergday")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val target = java.time.LocalDate.of(2024, 3, 15).toEpochDay.toInt
+    val withIds = Seq((1L, "match", java.sql.Date.valueOf("2024-03-15")))
+      .toDF("id", "name", "ts")
+      .select($"id".as("id", new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+        $"name".as("name", new MetadataBuilder().putLong("parquet.field.id", 2L).build()),
+        $"ts".as("ts", new MetadataBuilder().putLong("parquet.field.id", 3L).build()))
+    withIds.coalesce(1).write.parquet(s"$table/data/d0")
+    val realPath = Files.list(Paths.get(s"$table/data/d0")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    // five day-partitions; only the target day physically exists
+    val entries = (0 until 5).map { i =>
+      val day = target - 2 + i
+      val p = if (day == target) realPath else s"$table/data/DOES_NOT_EXIST_$day.parquet"
+      (1, p, day)
+    }
+    val manifestDf = entries.toDF("status", "file_path", "d").selectExpr("status",
+      """named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0,
+        |'partition', named_struct('ts_day', d)) as data_file""".stripMargin)
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"),
+      s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"},
+         |    {"id": 3, "name": "ts", "type": "date"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "ts_day", "transform": "day", "source-id": 3, "field-id": 1000}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    // typed DATE literal transforms; the other four days are dangling
+    // paths, so failing to prune cannot even plan the scan
+    val df = IcebergReader.read(spark, table, filter = Some("ts = DATE '2024-03-15'"))
     assert(df.inputFiles.length == 1, s"expected 1 input file, got ${df.inputFiles.toSeq}")
     assert(df.select("name").as[String].collect().toSeq == Seq("match"))
   }
