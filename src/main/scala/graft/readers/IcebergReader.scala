@@ -506,12 +506,15 @@ object IcebergReader {
           }
         }
       }.getOrElse(supportedData)
-    // transform-aware per-file pruning: bucket[N]/truncate[W] fields
-    // support equality/IN conjuncts — the transformed literal (spec
-    // Appendix B murmur3 bucket hash / floor-multiple & code-point
-    // truncation) must equal the file's stored partition value, or the
-    // file cannot hold a matching row. Only drops when every literal
-    // transforms cleanly; anything unexpected keeps the file.
+    // transform-aware per-file pruning. Bucket[N] fields support
+    // equality/IN (the spec's murmur3 hash of the literal must equal
+    // the stored bucket id); ORDER-PRESERVING transforms — truncate[W],
+    // year/month/day/hour — additionally support ranges: `ts > v`
+    // implies `day(ts) >= day(v)`, so the conjunct reduces to an
+    // ordinal-domain comparison (with > relaxed to >= and < to <=)
+    // tested against the file's single stored partition value via
+    // rangeExcludes([pv, pv]). Only drops when every literal transforms
+    // cleanly; anything unexpected keeps the file.
     val scanData1: Seq[Entry] =
       if (filterConjs.isEmpty) scanData0
       else scala.util.Try {
@@ -534,40 +537,54 @@ object IcebergReader {
           // prune only on field names every spec agrees about
           all.groupBy(_.fieldName).collect { case (_, vs) if vs.distinct.size == 1 => vs.head }.toSeq
         }
-        val eqShapes = filterConjs.flatMap(FileSkipping.simpleShape).collect {
-          case c @ FileSkipping.Cmp(_, "=", _) => c
+        val cmpShapes = filterConjs.flatMap(FileSkipping.simpleShape).collect {
+          case c: FileSkipping.Cmp => c
         }
-        if (tfields.isEmpty || eqShapes.isEmpty) scanData0
+        if (tfields.isEmpty || cmpShapes.isEmpty) scanData0
         else {
           val om = new ObjectMapper()
+          // the file's stored partition value, parsed into the ordinal
+          // comparison domain (day values may render as ISO dates)
+          def pvValue(tf: TField, txt: String): Option[Any] = tf.kind match {
+            case "truncate" if tf.srcType == "string" => Some(txt)
+            case "day" =>
+              txt.toLongOption.orElse(
+                scala.util.Try(java.time.LocalDate.parse(txt).toEpochDay).toOption)
+            case _ => txt.toLongOption
+          }
+          def transformLit(tf: TField, v: Any): Option[Any] = tf.kind match {
+            case "bucket"   => IcebergTransforms.bucketOf(v, tf.arg).map(_.toLong)
+            case "truncate" => IcebergTransforms.truncateOf(v, tf.arg)
+            case kind       => IcebergTransforms.temporalOf(v, tf.srcType, kind)
+          }
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          def toLiteral(v: Any): Option[Literal] = v match {
+            case x: Long   => Some(Literal(x))
+            case s: String => Some(Literal(s))
+            case _         => None
+          }
+          // ts > v ⇒ day(ts) >= day(v): relax strict ops in the ordinal domain
+          def derivedOp(op: String): String = op match {
+            case ">" => ">="
+            case "<" => "<="
+            case o   => o
+          }
           scanData0.filterNot { e =>
             e.partitionJson != null && {
               val node = om.readTree(e.partitionJson)
-              eqShapes.exists { c =>
+              cmpShapes.exists { c =>
                 tfields.exists { tf =>
-                  tf.srcName.equalsIgnoreCase(c.name) && {
+                  tf.srcName.equalsIgnoreCase(c.name) &&
+                    (tf.kind != "bucket" || c.op == "=") && { // hash: equality only
                     val pvNode = node.get(tf.fieldName)
                     pvNode != null && !pvNode.isNull && {
-                      // each literal yields the set of text forms its
-                      // transformed partition value may take in the JSON
-                      val expected: Seq[Set[String]] = c.values.flatMap { l =>
-                        FileSkipping.literalValue(l).flatMap { v =>
-                          tf.kind match {
-                            case "bucket" =>
-                              IcebergTransforms.bucketOf(v, tf.arg).map(b => Set(b.toString))
-                            case "truncate" =>
-                              IcebergTransforms.truncateOf(v, tf.arg).map {
-                                case s: String => Set(s)
-                                case x         => Set(x.toString)
-                              }
-                            case kind =>
-                              IcebergTransforms.temporalOf(v, tf.srcType, kind)
-                                .map(o => IcebergTransforms.temporalTexts(o, kind))
-                          }
-                        }
+                      val lits = c.values.map(l =>
+                        FileSkipping.literalValue(l).flatMap(transformLit(tf, _)).flatMap(toLiteral))
+                      lits.forall(_.isDefined) && {
+                        val derived = FileSkipping.Cmp(c.name, derivedOp(c.op), lits.flatten)
+                        pvValue(tf, pvNode.asText())
+                          .exists(pv => FileSkipping.rangeExcludes(derived, Some(pv), Some(pv)))
                       }
-                      val pv = pvNode.asText()
-                      expected.size == c.values.size && !expected.exists(_.contains(pv))
                     }
                   }
                 }

@@ -126,9 +126,11 @@ class IcebergTransformsSpec extends SparkSpec {
     withIds.coalesce(1).write.parquet(s"$table/data/d0")
     val realPath = Files.list(Paths.get(s"$table/data/d0")).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
-    // five day-partitions; only the target day physically exists
+    // five day-partitions with the target as the NEWEST; only it
+    // physically exists — both the equality and the range filters below
+    // must prune the four older (dangling) days or planning crashes
     val entries = (0 until 5).map { i =>
-      val day = target - 2 + i
+      val day = target - 4 + i
       val p = if (day == target) realPath else s"$table/data/DOES_NOT_EXIST_$day.parquet"
       (1, p, day)
     }
@@ -154,5 +156,14 @@ class IcebergTransformsSpec extends SparkSpec {
     val df = IcebergReader.read(spark, table, filter = Some("ts = DATE '2024-03-15'"))
     assert(df.inputFiles.length == 1, s"expected 1 input file, got ${df.inputFiles.toSeq}")
     assert(df.select("name").as[String].collect().toSeq == Seq("match"))
+    // RANGE pruning through the order-preserving day transform: >= keeps
+    // only the target day; > relaxes to >= in the ordinal domain (same
+    // file opened) but the residual filter still yields zero rows
+    val ge = IcebergReader.read(spark, table, filter = Some("ts >= DATE '2024-03-15'"))
+    assert(ge.inputFiles.length == 1)
+    assert(ge.count() == 1)
+    val gt = IcebergReader.read(spark, table, filter = Some("ts > DATE '2024-03-15'"))
+    assert(gt.inputFiles.length == 1)
+    assert(gt.count() == 0)
   }
 }
