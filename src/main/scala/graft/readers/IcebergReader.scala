@@ -253,6 +253,50 @@ object IcebergReader {
         .flatMap(pf => schemaFieldById.get(pf.sourceId).map(pf.name -> _)).toSeq
       all.groupBy(_._1).collect { case (n, vs) if vs.map(_._2).distinct.size == 1 => n -> vs.head._2 }
     }
+    // shared transform machinery for manifest-level AND per-file
+    // pruning: reduce a source-column conjunct to the partition-ordinal
+    // domain when the transform allows it. Bucket admits equality only
+    // (a hash preserves no order); the order-preserving transforms
+    // (identity, truncate, year/month/day/hour) admit ranges with
+    // strict ops relaxed (`ts > v` implies `day(ts) >= day(v)`).
+    val bucketRe = "bucket\\[(\\d+)\\]".r
+    val truncRe = "truncate\\[(\\d+)\\]".r
+    def parseTransform(t: String): Option[(String, Int)] = t match {
+      case "identity"                        => Some(("identity", 0))
+      case bucketRe(n)                       => Some(("bucket", n.toInt))
+      case truncRe(w)                        => Some(("truncate", w.toInt))
+      case "year" | "month" | "day" | "hour" => Some((t, 0))
+      case _                                 => None
+    }
+    def deriveCmp(c: FileSkipping.Cmp, kind: String, arg: Int,
+        srcType: String): Option[FileSkipping.Cmp] = {
+      if (kind == "identity") return Some(c)
+      if (kind == "bucket" && c.op != "=") return None
+      def tl(v: Any): Option[Any] = kind match {
+        case "bucket"   => IcebergTransforms.bucketOf(v, arg).map(_.toLong)
+        case "truncate" => IcebergTransforms.truncateOf(v, arg)
+        case k          => IcebergTransforms.temporalOf(v, srcType, k)
+      }
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val lits = c.values.map(l => FileSkipping.literalValue(l).flatMap(tl).flatMap {
+        case x: Long   => Some(Literal(x))
+        case s: String => Some(Literal(s))
+        case _         => None
+      })
+      if (lits.exists(_.isEmpty)) None
+      else {
+        val op = c.op match { case ">" => ">="; case "<" => "<="; case o => o }
+        Some(FileSkipping.Cmp(c.name, op, lits.flatten))
+      }
+    }
+    // the TYPE the transform's partition values serialize as (drives
+    // both binary-bound decode and JSON text parsing)
+    def partitionTypeOf(kind: String, srcType: String): String = kind match {
+      case "identity" | "truncate" => srcType
+      case "day"                   => "date"
+      case _                       => "int" // bucket, year, month, hour
+    }
+
     // spec "single-value serialization": bounds are little-endian for
     // the numeric types, raw UTF-8 for strings; unknowns fail open
     def decodeBound(node: JsonNode, icebergType: String): Option[Any] =
@@ -374,21 +418,30 @@ object IcebergReader {
         val shapes = filterConjs.flatMap(FileSkipping.simpleShape)
         shapes.exists { shape =>
           fields.zipWithIndex.exists { case (pf, i) =>
-            pf.transform == "identity" && i < summaries.size() &&
-              schemaFieldById.get(pf.sourceId).exists { case (srcName, t) =>
+            i < summaries.size() && parseTransform(pf.transform).exists { case (kind, arg) =>
+              schemaFieldById.get(pf.sourceId).exists { case (srcName, srcType) =>
                 srcName.equalsIgnoreCase(shape.name) && (shape match {
                   case c: FileSkipping.Cmp =>
-                    FileSkipping.rangeExcludes(c,
-                      decodeBound(summaries.get(i).get("lower_bound"), t),
-                      decodeBound(summaries.get(i).get("upper_bound"), t))
+                    // conjunct reduced to the partition-ordinal domain
+                    // (identity passes through; bucket equality-only;
+                    // order-preserving transforms admit ranges), tested
+                    // against the summary's typed bounds
+                    deriveCmp(c, kind, arg, srcType).exists { derived =>
+                      val pt = partitionTypeOf(kind, srcType)
+                      FileSkipping.rangeExcludes(derived,
+                        decodeBound(summaries.get(i).get("lower_bound"), pt),
+                        decodeBound(summaries.get(i).get("upper_bound"), pt))
+                    }
                   case FileSkipping.NullTest(_, isNull) =>
-                    // `p IS NULL` excludes a manifest whose summary says
-                    // contains_null=false; IS NOT NULL can't exclude
-                    // (no all-null marker in the summary)
+                    // a null source value yields a null partition value
+                    // under every transform, so `p IS NULL` excludes a
+                    // manifest whose summary says contains_null=false;
+                    // IS NOT NULL can't exclude (no all-null marker)
                     isNull && Option(summaries.get(i).get("contains_null"))
                       .exists(n => !n.isNull && !n.asBoolean())
                 })
               }
+            }
           }
         }
       }.getOrElse(false)
@@ -520,19 +573,12 @@ object IcebergReader {
       else scala.util.Try {
         case class TField(fieldName: String, srcName: String, srcType: String,
             kind: String, arg: Int)
-        val bucketRe = "bucket\\[(\\d+)\\]".r
-        val truncRe = "truncate\\[(\\d+)\\]".r
-        val temporal = Set("year", "month", "day", "hour")
         val tfields: Seq[TField] = {
           val all = specsById.values.flatten.flatMap { pf =>
-            val kindArg = pf.transform match {
-              case bucketRe(n)              => Some(("bucket", n.toInt))
-              case truncRe(w)               => Some(("truncate", w.toInt))
-              case t if temporal.contains(t) => Some((t, 0))
-              case _                        => None
-            }
-            for ((kind, arg) <- kindArg; (src, tpe) <- schemaFieldById.get(pf.sourceId))
-              yield TField(pf.name, src, tpe, kind, arg)
+            for {
+              (kind, arg) <- parseTransform(pf.transform) if kind != "identity" // identity prunes exactly above
+              (src, tpe) <- schemaFieldById.get(pf.sourceId)
+            } yield TField(pf.name, src, tpe, kind, arg)
           }.toSeq
           // prune only on field names every spec agrees about
           all.groupBy(_.fieldName).collect { case (_, vs) if vs.distinct.size == 1 => vs.head }.toSeq
@@ -545,47 +591,26 @@ object IcebergReader {
           val om = new ObjectMapper()
           // the file's stored partition value, parsed into the ordinal
           // comparison domain (day values may render as ISO dates)
-          def pvValue(tf: TField, txt: String): Option[Any] = tf.kind match {
-            case "truncate" if tf.srcType == "string" => Some(txt)
-            case "day" =>
-              txt.toLongOption.orElse(
-                scala.util.Try(java.time.LocalDate.parse(txt).toEpochDay).toOption)
-            case _ => txt.toLongOption
-          }
-          def transformLit(tf: TField, v: Any): Option[Any] = tf.kind match {
-            case "bucket"   => IcebergTransforms.bucketOf(v, tf.arg).map(_.toLong)
-            case "truncate" => IcebergTransforms.truncateOf(v, tf.arg)
-            case kind       => IcebergTransforms.temporalOf(v, tf.srcType, kind)
-          }
-          import org.apache.spark.sql.catalyst.expressions.Literal
-          def toLiteral(v: Any): Option[Literal] = v match {
-            case x: Long   => Some(Literal(x))
-            case s: String => Some(Literal(s))
-            case _         => None
-          }
-          // ts > v ⇒ day(ts) >= day(v): relax strict ops in the ordinal domain
-          def derivedOp(op: String): String = op match {
-            case ">" => ">="
-            case "<" => "<="
-            case o   => o
-          }
+          def pvValue(tf: TField, txt: String): Option[Any] =
+            partitionTypeOf(tf.kind, tf.srcType) match {
+              case "string" => Some(txt)
+              case "date" =>
+                txt.toLongOption.orElse(
+                  scala.util.Try(java.time.LocalDate.parse(txt).toEpochDay).toOption)
+              case _ => txt.toLongOption
+            }
           scanData0.filterNot { e =>
             e.partitionJson != null && {
               val node = om.readTree(e.partitionJson)
               cmpShapes.exists { c =>
                 tfields.exists { tf =>
-                  tf.srcName.equalsIgnoreCase(c.name) &&
-                    (tf.kind != "bucket" || c.op == "=") && { // hash: equality only
+                  tf.srcName.equalsIgnoreCase(c.name) && {
                     val pvNode = node.get(tf.fieldName)
-                    pvNode != null && !pvNode.isNull && {
-                      val lits = c.values.map(l =>
-                        FileSkipping.literalValue(l).flatMap(transformLit(tf, _)).flatMap(toLiteral))
-                      lits.forall(_.isDefined) && {
-                        val derived = FileSkipping.Cmp(c.name, derivedOp(c.op), lits.flatten)
+                    pvNode != null && !pvNode.isNull &&
+                      deriveCmp(c, tf.kind, tf.arg, tf.srcType).exists { derived =>
                         pvValue(tf, pvNode.asText())
                           .exists(pv => FileSkipping.rangeExcludes(derived, Some(pv), Some(pv)))
                       }
-                    }
                   }
                 }
               }

@@ -138,7 +138,25 @@ class IcebergTransformsSpec extends SparkSpec {
       """named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0,
         |'partition', named_struct('ts_day', d)) as data_file""".stripMargin)
     val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
-    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"),
+    // a second, DANGLING manifest summarizing an older day range — the
+    // range filter must skip it at the MANIFEST level (transform-aware
+    // summary bounds), since reading it would crash
+    def leInt(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    import org.apache.spark.sql.types._
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("partitions", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType), StructField("contains_nan", BooleanType),
+        StructField("lower_bound", BinaryType), StructField("upper_bound", BinaryType)))))))
+    val listRows = Seq(
+      org.apache.spark.sql.Row(s"$table/metadata/DOES_NOT_EXIST_old.avro", 0, 0,
+        Seq(org.apache.spark.sql.Row(false, false, leInt(target - 9), leInt(target - 5)))),
+      org.apache.spark.sql.Row(manifestPath, 0, 0,
+        Seq(org.apache.spark.sql.Row(false, false, leInt(target - 4), leInt(target)))))
+    import scala.jdk.CollectionConverters._
+    val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema),
       s"$table/metadata/snap1")
     Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
       s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
