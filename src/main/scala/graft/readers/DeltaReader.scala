@@ -439,12 +439,75 @@ object DeltaReader {
       e.partitionValues.get(physName(fl)).orElse(e.partitionValues.get(pc)).flatten
     }
     val filterConjs = filterSql.toSeq.flatMap(FileSkipping.conjuncts)
+    // Generated partition columns (delta-spark's "generated column
+    // partition filter" derivation): a partition column whose
+    // delta.generationExpression is a function of ONE data column lets
+    // conjuncts on that column derive partition conjuncts — the
+    // generation expression is evaluated ON THE LITERAL by Spark itself
+    // (same engine, same session timezone as the scan-time residual, so
+    // semantics match by construction). Equality derives through any
+    // deterministic expression; ranges only through the MONOTONE
+    // whitelist (cast-to-date, date_trunc, trunc, year — `ts > v`
+    // implies `g(ts) >= g(v)` only when g is non-decreasing).
+    val derivedConjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (filterConjs.isEmpty || partitionCols.isEmpty) Nil
+      else scala.util.Try {
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+        def isMonotone(e: Expression): Boolean = e match {
+          case c: Cast => c.dataType == org.apache.spark.sql.types.DateType &&
+            c.child.isInstanceOf[UnresolvedAttribute]
+          case f: UnresolvedFunction =>
+            Set("date_trunc", "trunc", "year").contains(f.nameParts.last.toLowerCase)
+          case _ => false
+        }
+        def renderValue(v: Any): Option[String] = v match {
+          case null                  => None
+          case d: java.sql.Date      => Some(s"DATE '$d'")
+          case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+          case n: Number             => Some(n.toString)
+          case s: String             => Some("'" + s.replace("'", "''") + "'")
+          case _                     => None
+        }
+        partitionCols.flatMap { pc =>
+          val fl = schema(pc)
+          if (!fl.metadata.contains("delta.generationExpression")) Nil
+          else {
+            val genSql = fl.metadata.getString("delta.generationExpression")
+            val genExpr = FileSkipping.conjuncts(genSql).head // parse (single expression)
+            FileSkipping.usableRefs(genExpr).filter(_.size == 1).toSeq.flatMap { refs =>
+              val src = refs.head
+              val monotone = isMonotone(genExpr)
+              filterConjs.flatMap(FileSkipping.simpleShape).collect {
+                case c @ FileSkipping.Cmp(n, op, _) if n.equalsIgnoreCase(src) &&
+                    (op == "=" || monotone) => c
+              }.flatMap { c =>
+                // evaluate g(literal) with Spark: SELECT g FROM (SELECT lit AS src)
+                val evaluated: Seq[Option[String]] = c.values.map { l =>
+                  scala.util.Try(spark.sql(
+                    s"SELECT ($genSql) FROM (SELECT ${l.sql} AS `$src`)")
+                    .collect().head.get(0)).toOption.flatMap(renderValue)
+                }
+                if (evaluated.exists(_.isEmpty)) Nil
+                else {
+                  val vs = evaluated.flatten
+                  val op = c.op match { case ">" => ">="; case "<" => "<="; case o => o }
+                  val sql =
+                    if (vs.size == 1) s"`$pc` $op ${vs.head}"
+                    else s"`$pc` IN (${vs.mkString(", ")})"
+                  FileSkipping.conjuncts(sql)
+                }
+              }
+            }
+          }
+        }
+      }.getOrElse(Nil)
     var liveEntries: Seq[FileEntry] = live.values.toSeq
     if (filterConjs.nonEmpty) {
       if (partitionCols.nonEmpty) {
         val partFields = partitionCols.map(pc => StructField(pc, schema(pc).dataType))
         val tuples = liveEntries.map(e => e.path -> partitionCols.map(pc => pvOf(e, pc).orNull))
-        FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs)
+        FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs ++ derivedConjs)
           .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
       }
       // stats JSON keys are PHYSICAL names under column mapping — the

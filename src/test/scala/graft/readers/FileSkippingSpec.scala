@@ -187,6 +187,44 @@ class FileSkippingSpec extends SparkSpec {
     assert(df2.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("delta: generated partition columns derive filters from the source column") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltagen")
+    // ds is GENERATED ALWAYS AS (CAST(ts AS DATE)) and is the partition
+    // column; the filter touches only ts. Files for other days are
+    // dangling, so failing to derive the partition filter cannot plan.
+    def writeTs(rel: String, ts: String): Unit = {
+      val tmp = Files.createTempDirectory("dgen").toString
+      Seq((1L, java.sql.Timestamp.valueOf(ts))).toDF("id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      val dest = t.resolve(rel); Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(part), dest)
+    }
+    writeTs("ds=2024-03-15/f.parquet", "2024-03-15 07:30:00")
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(ts AS DATE)").build()
+    val genSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("ds", DateType, nullable = true, genMeta))).json
+    val adds = (10 to 20).map { d =>
+      addAction(f"ds=2024-03-$d/f.parquet", s"""{"ds":"2024-03-$d"}""")
+    }
+    writeCommit(t, 0, Seq(protocolAction, metaAction(genSchema, Seq("ds"))) ++ adds)
+    // equality on ts derives ds = CAST(... AS DATE)
+    val eq = DeltaReader.read(spark, t.toString,
+      filter = Some("ts = TIMESTAMP '2024-03-15 07:30:00'"))
+    assert(eq.inputFiles.length == 1, s"expected 1 file, got ${eq.inputFiles.toSeq}")
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(1L))
+    // ranges derive through the monotone cast: a closed band inside the
+    // 15th derives ds >= 15th AND ds <= 15th, pruning the dangling
+    // earlier days (>=) and later days (<=) in both directions
+    val band = DeltaReader.read(spark, t.toString,
+      filter = Some("ts >= TIMESTAMP '2024-03-15 00:00:00' AND ts <= TIMESTAMP '2024-03-15 23:00:00'"))
+    assert(band.inputFiles.length == 1, s"expected 1 file, got ${band.inputFiles.toSeq}")
+    assert(band.count() == 1)
+  }
+
   test("delta: stats prune under column mapping via physical-name keys") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltamappedstats")
