@@ -358,6 +358,10 @@ class IcebergReaderSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "title"))
     assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // a filter composes with the mapping (footer scan + residual apply)
+    val filtered = IcebergReader.read(spark, table, filter = Some("id >= 2"))
+    assert(filtered.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "beta"), (3L, "gamma")))
   }
 
   test("an id-less file matching neither ids nor mapping refuses loudly") {
