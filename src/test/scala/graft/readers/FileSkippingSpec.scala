@@ -268,6 +268,25 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("delta: versionAsOf composes with the filter") {
+    import spark.implicits._
+    val t = delta100(7, 9)
+    // time travel to v0 then filter: replay first, prune second
+    val df = DeltaReader.read(spark, t.toString, versionAsOf = Some(0L), filter = Some("p = 8"))
+    assert(df.inputFiles.length == 1)
+    assert(df.select("p").distinct().as[Int].collect().toSeq == Seq(8))
+  }
+
+  test("delta: a filter on a non-partition column without stats fails open") {
+    import spark.implicits._
+    val t = delta100(7, 9)
+    // name has no stats and is no partition column: nothing prunes, the
+    // two real files both open, and the residual filter stays exact
+    val df = DeltaReader.read(spark, t.toString, filter = Some("name = 'alpha' AND p in (7, 8)"))
+    assert(df.inputFiles.length == 2) // p-pruning works, name cannot prune
+    assert(df.select("name").distinct().as[String].collect().toSeq == Seq("alpha"))
+  }
+
   test("delta: result equals where(filter) when the filter is only partly prunable") {
     import spark.implicits._
     val t = delta100(7, 9)
