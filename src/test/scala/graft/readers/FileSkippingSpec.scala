@@ -268,6 +268,23 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("delta: IS NULL partition filter keeps only the null-partition file") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltanullp")
+    writeParquetFile(t, "p=1/f1.parquet", Seq((1L, "alpha")))
+    writeParquetFile(t, "nullp/f2.parquet", Seq((2L, "beta")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schemaWithP, Seq("p")),
+      addAction("p=1/f1.parquet", """{"p":"1"}"""),
+      addAction("nullp/f2.parquet", """{"p":null}"""),
+      addAction("p=2/DOES_NOT_EXIST.parquet", """{"p":"2"}""")))
+    val df = DeltaReader.read(spark, t.toString, filter = Some("p IS NULL"))
+    assert(df.inputFiles.length == 1)
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    val notNull = DeltaReader.read(spark, t.toString, filter = Some("p = 1"))
+    assert(notNull.inputFiles.length == 1)
+    assert(notNull.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("delta: versionAsOf composes with the filter") {
     import spark.implicits._
     val t = delta100(7, 9)
