@@ -204,8 +204,9 @@ object FileSkipping {
   // ---- driver-side range tests (Iceberg manifest summaries) ----------
 
   /** Catalyst literal → the bound comparison domain: integral/date →
-    * Long, fractional/decimal → Double, string → String. None = not
-    * comparable (fail open). */
+    * Long, float/double → Double, decimal → java BigDecimal (EXACT —
+    * a double roundtrip could flip a comparison at high precision),
+    * string → String. None = not comparable (fail open). */
   def literalValue(l: Literal): Option[Any] = l.value match {
     case null                                        => None
     case v: Byte                                     => Some(v.toLong)
@@ -214,20 +215,28 @@ object FileSkipping {
     case v: Long                                     => Some(v)
     case v: Float                                    => Some(v.toDouble)
     case v: Double                                   => Some(v)
-    case v: org.apache.spark.sql.types.Decimal       => Some(v.toDouble)
+    case v: org.apache.spark.sql.types.Decimal       => Some(v.toJavaBigDecimal)
     case v: org.apache.spark.unsafe.types.UTF8String => Some(v.toString)
     case v: Boolean                                  => Some(v)
     case _                                           => None
   }
 
-  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
-    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
-    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
-    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: String, y: String)   => Some(x.compareTo(y))
-    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case _                        => None
+  private def cmpValues(a: Any, b: Any): Option[Int] = {
+    type JBD = java.math.BigDecimal
+    (a, b) match {
+      case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+      case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
+      case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: JBD, y: JBD)         => Some(x.compareTo(y))
+      case (x: JBD, y: Long)        => Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+      case (x: Long, y: JBD)        => Some(java.math.BigDecimal.valueOf(x).compareTo(y))
+      case (x: JBD, y: Double)      => Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+      case (x: Double, y: JBD)      => Some(java.math.BigDecimal.valueOf(x).compareTo(y))
+      case (x: String, y: String)   => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _                        => None
+    }
   }
 
   /** Does the closed range [lower, upper] (either side possibly

@@ -310,6 +310,12 @@ object IcebergReader {
           case "double" if bytes.length == 8       => Some(bb.getDouble)
           case "string"                            =>
             Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case d if d.startsWith("decimal(") =>
+            // spec: unscaled value, two's-complement BIG-endian
+            scala.util.Try {
+              val scale = d.stripPrefix("decimal(").stripSuffix(")").split(",")(1).trim.toInt
+              new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+            }.toOption
           case _                                   => None
         }
       }

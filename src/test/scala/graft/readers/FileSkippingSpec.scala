@@ -53,6 +53,14 @@ class FileSkippingSpec extends SparkSpec {
     assert(!FileSkipping.rangeExcludes(cmp("=", 7), None, None))
     assert(!FileSkipping.rangeExcludes(FileSkipping.Cmp("p", "=",
       Seq(Literal.create("x", StringType))), Some(10L), Some(19L)))
+    // decimal literals compare EXACTLY against decimal and long bounds
+    def dec(sql: String) = FileSkipping.simpleShape(FileSkipping.conjuncts(sql).head)
+      .get.asInstanceOf[FileSkipping.Cmp]
+    val bd = (s: String) => new java.math.BigDecimal(s)
+    assert(FileSkipping.rangeExcludes(dec("x > 100.00"), Some(bd("10.50")), Some(bd("99.99"))))
+    assert(!FileSkipping.rangeExcludes(dec("x > 100.00"), Some(bd("10.50")), Some(bd("100.01"))))
+    assert(FileSkipping.rangeExcludes(dec("x = 7.5"), Some(10L), Some(19L)))
+    assert(!FileSkipping.rangeExcludes(dec("x = 12.0"), Some(10L), Some(19L)))
   }
 
   // ---- Delta fixtures ------------------------------------------------
@@ -451,6 +459,44 @@ class FileSkippingSpec extends SparkSpec {
     val df = IcebergReader.read(spark, table, filter = Some("id > 100"))
     assert(df.inputFiles.length == 2, s"expected f2+f3, got ${df.inputFiles.toSeq}")
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(150L, 200L))
+  }
+
+  test("iceberg: decimal column bounds prune exactly (big-endian unscaled)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergdec")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "price" -> 2)
+    def mk(dir: String, rows: Seq[(Long, String)]): String = {
+      val df = rows.toDF("id", "p").selectExpr("id", "cast(p as decimal(10,2)) as price")
+      withFieldIds(df, ids).coalesce(1).write.parquet(s"$table/data/$dir")
+      Files.list(Paths.get(s"$table/data/$dir")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    val p1 = mk("f1", Seq((1L, "10.50"), (2L, "99.99")))
+    val p2 = mk("f2", Seq((3L, "150.25"), (4L, "200.00")))
+    def beDec(s: String): Array[Byte] = // spec: unscaled two's-complement big-endian
+      new java.math.BigDecimal(s).unscaledValue().toByteArray
+    val entries = Seq(
+      (1, p1, beDec("10.50"), beDec("99.99")),
+      (1, p2, beDec("150.25"), beDec("200.00")))
+    val manifestDf = entries.toDF("status", "file_path", "lb", "ub").selectExpr("status",
+      """named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0,
+        |'lower_bounds', array(named_struct('key', 2, 'value', lb)),
+        |'upper_bounds', array(named_struct('key', 2, 'value', ub))
+        |) as data_file""".stripMargin)
+    val manifestPath = writeAvro(manifestDf, s"$table/metadata/manifest1")
+    val listPath = writeAvro(Seq((manifestPath, 0)).toDF("manifest_path", "content"), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "price", "type": "decimal(10,2)"}]}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table, filter = Some("price > 100.00"))
+    assert(df.inputFiles.length == 1, s"expected only f2, got ${df.inputFiles.toSeq}")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
   test("iceberg: non-prunable conjuncts stay exact through the residual filter") {
