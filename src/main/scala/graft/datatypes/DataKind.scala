@@ -40,7 +40,11 @@ final case class DataKind(
         head.length >= off + sig.length && sig.indices.forall(i => head(off + i) == sig(i))
     }
   def matchesContains(listing: Seq[String]): Boolean =
-    contains.exists(m => listing.exists(_.endsWith(m)))
+    // exact member name, or a path ending in "/member" (listings may be
+    // full paths) — a bare suffix match would let `model_snapshots`
+    // trigger icechunk's `snapshots` marker
+    contains.exists(m => listing.exists(l =>
+      l == m || l.endsWith("/" + m) || l.stripSuffix("/") == m || l.stripSuffix("/").endsWith("/" + m)))
 }
 
 /** A concrete dataset reference: kind + url + reader options + metadata.

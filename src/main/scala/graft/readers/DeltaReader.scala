@@ -461,14 +461,21 @@ object DeltaReader {
             Set("date_trunc", "trunc", "year").contains(f.nameParts.last.toLowerCase)
           case _ => false
         }
-        def renderValue(v: Any): Option[String] = v match {
-          case null                  => None
-          case d: java.sql.Date      => Some(s"DATE '$d'")
-          case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
-          case n: Number             => Some(n.toString)
-          case s: String             => Some("'" + s.replace("'", "''") + "'")
-          case _                     => None
-        }
+        // the literal's TEXT must come from CAST(.. AS STRING) inside the
+        // same query — a collected java.sql.Timestamp renders toString in
+        // the JVM default zone, which silently shifts the instant when it
+        // differs from spark.sql.session.timeZone; the string cast both
+        // renders AND later re-parses in the session zone, so the
+        // roundtrip is exact by construction
+        def renderTyped(typeName: String, text: String): Option[String] =
+          typeName.toLowerCase match {
+            case t if t == "date"                           => Some(s"DATE '$text'")
+            case t if t.startsWith("timestamp")             => Some(s"TIMESTAMP '$text'")
+            case "tinyint" | "smallint" | "int" | "bigint"  => Some(text)
+            case t if t.startsWith("decimal")               => Some(text)
+            case "string"                                   => Some("'" + text.replace("'", "''") + "'")
+            case _                                          => None
+          }
         partitionCols.flatMap { pc =>
           val fl = schema(pc)
           if (!fl.metadata.contains("delta.generationExpression")) Nil
@@ -484,9 +491,12 @@ object DeltaReader {
               }.flatMap { c =>
                 // evaluate g(literal) with Spark: SELECT g FROM (SELECT lit AS src)
                 val evaluated: Seq[Option[String]] = c.values.map { l =>
-                  scala.util.Try(spark.sql(
-                    s"SELECT ($genSql) FROM (SELECT ${l.sql} AS `$src`)")
-                    .collect().head.get(0)).toOption.flatMap(renderValue)
+                  scala.util.Try {
+                    val row = spark.sql(
+                      s"SELECT typeof(($genSql)), CAST(($genSql) AS STRING) FROM (SELECT ${l.sql} AS `$src`)")
+                      .collect().head
+                    if (row.isNullAt(1)) None else renderTyped(row.getString(0), row.getString(1))
+                  }.toOption.flatten
                 }
                 if (evaluated.exists(_.isEmpty)) Nil
                 else {

@@ -233,10 +233,29 @@ object FileSkipping {
       case (x: Long, y: JBD)        => Some(java.math.BigDecimal.valueOf(x).compareTo(y))
       case (x: JBD, y: Double)      => Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
       case (x: Double, y: JBD)      => Some(java.math.BigDecimal.valueOf(x).compareTo(y))
-      case (x: String, y: String)   => Some(x.compareTo(y))
+      case (x: String, y: String)   => Some(codePointCompare(x, y))
       case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case _                        => None
     }
+  }
+
+  /** Compare by UNICODE CODE POINT, matching UTF-8 byte order (the
+    * order Iceberg's string bounds are computed in). Java's compareTo
+    * ranks UTF-16 code units, which sorts supplementary-plane
+    * characters BELOW U+E000..U+FFFF — a pruning decision made in that
+    * order could wrongly drop a file whose bounds straddle the BMP
+    * boundary. */
+  private def codePointCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
   }
 
   /** Does the closed range [lower, upper] (either side possibly

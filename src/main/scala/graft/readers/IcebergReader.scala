@@ -354,10 +354,12 @@ object IcebergReader {
     // paths feed load() (hadoop Path treats % literally)
     val manifestSeqs: Map[String, Long] =
       manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.seq).toMap
+    val manifestSpecIds: Map[String, Int] =
+      manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.specId).toMap
 
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
         seq: Long, equalityIds: Seq[Int], partitionJson: String,
-        lowerJson: String, upperJson: String)
+        lowerJson: String, upperJson: String, specId: Int)
     // Data and delete manifests load SEPARATELY: a v1→v2-upgraded table
     // keeps old v1 data manifests (no entry seq, no data_file.content)
     // next to v2 delete manifests, and one Avro read would infer a
@@ -406,7 +408,8 @@ object IcebergReader {
             Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
               .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
             r.getAs[String]("partition_json"),
-            r.getAs[String]("lower_json"), r.getAs[String]("upper_json"))
+            r.getAs[String]("lower_json"), r.getAs[String]("upper_json"),
+            manifestSpecIds.getOrElse(mKey, 0))
         }
     }
     val (deleteManifests, allDataManifests) = manifestList.partition(_.isDelete)
@@ -552,15 +555,31 @@ object IcebergReader {
         if (partFields.size != flds.size) supportedData
         else {
           val om = new ObjectMapper()
-          val (withPj, withoutPj) = supportedData.partition(_.partitionJson != null)
-          val tuples = withPj.map { e =>
+          // a file written under an OLDER partition spec doesn't carry
+          // the field at all — "value unknown" (the data file still has
+          // the column), NOT "value null" — and must be kept. The JSON
+          // can't distinguish the two (a mixed-spec Avro load resolves
+          // an absent field to null), so the gate is the entry's OWN
+          // manifest spec: only files whose spec DECLARES every identity
+          // field may prune, and a null there genuinely means every
+          // row's source value is null.
+          val (withPj, withoutPj0) = supportedData.partition(_.partitionJson != null)
+          val (complete, missingKey) = withPj.partition { e =>
+            val ownFields = specsById.getOrElse(e.specId, Nil).map(_.name).toSet
+            val node = om.readTree(e.partitionJson)
+            flds.forall { case (fieldName, _) =>
+              ownFields.contains(fieldName) && node.has(fieldName)
+            }
+          }
+          val withoutPj = withoutPj0 ++ missingKey
+          val tuples = complete.map { e =>
             val node = om.readTree(e.partitionJson)
             e.filePath -> flds.map { case (fieldName, _) =>
               Option(node.get(fieldName)).filterNot(_.isNull).map(_.asText()).orNull
             }
           }
           FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs) match {
-            case Some(kept) => withPj.filter(e => kept.contains(e.filePath)) ++ withoutPj
+            case Some(kept) => complete.filter(e => kept.contains(e.filePath)) ++ withoutPj
             case None       => supportedData
           }
         }
@@ -610,7 +629,10 @@ object IcebergReader {
               val node = om.readTree(e.partitionJson)
               cmpShapes.exists { c =>
                 tfields.exists { tf =>
-                  tf.srcName.equalsIgnoreCase(c.name) && {
+                  tf.srcName.equalsIgnoreCase(c.name) &&
+                    // only prune on fields the entry's OWN spec declares
+                    // (older-spec files resolve absent fields to null)
+                    specsById.getOrElse(e.specId, Nil).exists(_.name == tf.fieldName) && {
                     val pvNode = node.get(tf.fieldName)
                     pvNode != null && !pvNode.isNull &&
                       deriveCmp(c, tf.kind, tf.arg, tf.srcType).exists { derived =>
@@ -662,7 +684,7 @@ object IcebergReader {
             }
           }
         }
-      }.getOrElse(scanData0)
+      }.getOrElse(scanData1)
     if (scanData.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
@@ -702,9 +724,14 @@ object IcebergReader {
       val byId = resolution.toMap
       val readFields = st.fields.map { f =>
         val fid = f.metadata.getLong("parquet.field.id").toInt
-        val phys = byId.get(fid).flatten.getOrElse(f.name)
+        // spec column-projection rule: a field the mapping does NOT
+        // resolve for this file must read as NULL — falling back to the
+        // current schema name would fabricate values from a
+        // coincidentally-named unrelated column, so unresolved fields
+        // get a placeholder no file can contain
+        val phys = byId.get(fid).flatten.getOrElse(s"__graft_unmapped_$fid")
         // deliberately NO field-id metadata: this scan matches by name
-        org.apache.spark.sql.types.StructField(phys, f.dataType, f.nullable)
+        org.apache.spark.sql.types.StructField(phys, f.dataType, nullable = true)
       }
       require(readFields.map(_.name).distinct.length == readFields.length,
         "iceberg: name mapping resolves two schema fields to the same file column")

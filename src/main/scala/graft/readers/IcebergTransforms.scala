@@ -100,10 +100,4 @@ object IcebergTransforms {
     case _ => None
   }
 
-  /** The partition-value text forms a temporal transform value may take
-    * in the manifest's JSON: the raw ordinal, plus the date rendering
-    * for `day` (Avro's date logical type serializes that way). */
-  def temporalTexts(ordinal: Long, kind: String): Set[String] =
-    if (kind == "day") Set(ordinal.toString, java.time.LocalDate.ofEpochDay(ordinal).toString)
-    else Set(ordinal.toString)
 }

@@ -61,6 +61,14 @@ class FileSkippingSpec extends SparkSpec {
     assert(!FileSkipping.rangeExcludes(dec("x > 100.00"), Some(bd("10.50")), Some(bd("100.01"))))
     assert(FileSkipping.rangeExcludes(dec("x = 7.5"), Some(10L), Some(19L)))
     assert(!FileSkipping.rangeExcludes(dec("x = 12.0"), Some(10L), Some(19L)))
+    // strings compare by CODE POINT (UTF-8 bound order): U+10000 sorts
+    // ABOVE U+FFFF even though its UTF-16 lead surrogate is smaller —
+    // code-unit order would wrongly exclude it from this range
+    val supp = new String(Character.toChars(0x10000))
+    assert(!FileSkipping.rangeExcludes(
+      FileSkipping.Cmp("s", "=", Seq(Literal.create(supp, StringType))),
+      Some("￿"), Some(new String(Character.toChars(0x10005)))))
+    assert("￿".compareTo(supp) > 0) // documents the code-unit trap
   }
 
   // ---- Delta fixtures ------------------------------------------------
@@ -497,6 +505,90 @@ class FileSkippingSpec extends SparkSpec {
     val df = IcebergReader.read(spark, table, filter = Some("price > 100.00"))
     assert(df.inputFiles.length == 1, s"expected only f2, got ${df.inputFiles.toSeq}")
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("iceberg: partition-spec evolution keeps old-spec files (absent field ≠ null)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergevolve")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2, "p" -> 3)
+    def mk(dir: String, rows: Seq[(Long, String, Int)]): String = {
+      withFieldIds(rows.toDF("id", "name", "p"), ids).coalesce(1).write.parquet(s"$table/data/$dir")
+      Files.list(Paths.get(s"$table/data/$dir")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    // old era: table was UNPARTITIONED (spec 1, empty fields); its file
+    // holds p=2 rows the filter must return. new era: spec 0 partitions
+    // by p; the p=3 file is dangling, so pruning it is observable.
+    val oldFile = mk("old", Seq((1L, "old-match", 2), (2L, "old-other", 9)))
+    val newFile = mk("new", Seq((3L, "new-match", 2)))
+    def manifest(dir: String, path: String, p: Any): String = {
+      val df = Seq((1, path)).toDF("status", "file_path").selectExpr("status",
+        s"""named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0,
+           |'partition', named_struct('p', ${p match { case null => "cast(null as int)"; case v => v.toString }})) as data_file""".stripMargin)
+      writeAvro(df, s"$table/metadata/$dir")
+    }
+    // the old manifest's Avro ALSO carries a partition struct (the
+    // single-load resolution gives null for spec-evolved files) — the
+    // reader must gate on the manifest's spec id, not the JSON shape
+    val mOld = manifest("m_old", oldFile, null)
+    val mNew = manifest("m_new", newFile, 2)
+    val mDangling = manifest("m_dang", s"$table/data/DOES_NOT_EXIST.parquet", 3)
+    val listDf = Seq((mOld, 0, 1), (mNew, 0, 0), (mDangling, 0, 0))
+      .toDF("manifest_path", "content", "partition_spec_id")
+    val listPath = writeAvro(listDf, s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$table", "current-snapshot-id": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"},
+         |    {"id": 3, "name": "p", "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": [
+         |      {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]},
+         |    {"spec-id": 1, "fields": []}],
+         |  "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}""".stripMargin)
+    val df = IcebergReader.read(spark, table, filter = Some("p = 2"))
+    // the p=3 file pruned (it is dangling — reaching it would crash);
+    // the old-spec file KEPT despite its null partition tuple, and the
+    // residual filter recovers exactly its p=2 row
+    assert(df.select("name").as[String].collect().sorted.toSeq == Seq("new-match", "old-match"))
+  }
+
+  test("delta: generated-column derivation is immune to the JVM default timezone") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltagentz")
+    def writeTs(rel: String, ts: String): Unit = {
+      val tmp = Files.createTempDirectory("dgtz").toString
+      Seq((1L, java.sql.Timestamp.valueOf(ts))).toDF("id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      val dest = t.resolve(rel); Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(part), dest)
+    }
+    writeTs("ds=2024-06-01/f.parquet", "2024-06-01 12:00:00")
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(ts AS DATE)").build()
+    val genSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("ds", DateType, nullable = true, genMeta))).json
+    writeCommit(t, 0, Seq(protocolAction, metaAction(genSchema, Seq("ds")),
+      addAction("ds=2024-06-01/f.parquet", """{"ds":"2024-06-01"}"""),
+      addAction("ds=2024-05-31/DOES_NOT_EXIST.parquet", """{"ds":"2024-05-31"}""")))
+    // session tz stays UTC; a different JVM default must not shift the
+    // derived literal (a toString roundtrip would render NY local time
+    // and prune the matching partition)
+    val prior = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val df = DeltaReader.read(spark, t.toString,
+        filter = Some("ts = TIMESTAMP '2024-06-01 12:00:00'"))
+      assert(df.inputFiles.length == 1)
+      assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
+    } finally java.util.TimeZone.setDefault(prior)
   }
 
   test("iceberg: non-prunable conjuncts stay exact through the residual filter") {

@@ -364,6 +364,19 @@ class IcebergReaderSpec extends SparkSpec {
       Seq((2L, "beta"), (3L, "gamma")))
   }
 
+  test("an unmapped field reads NULL, never a coincidentally-named column") {
+    import spark.implicits._
+    // the id-less file HAS a column literally named `title`, but the
+    // mapping for field 2 lists only `label` — per the spec's projection
+    // rule the field must read null, not the unrelated same-named data
+    val table = nameMappedTable(
+      Seq(("f1", Seq("id", "title"), false, Seq((1L, "IMPOSTOR")))),
+      """[{"field-id": 1, "names": ["id"]}, {"field-id": 2, "names": ["label"]}]""")
+    val got = IcebergReader.read(spark, table)
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, None)))
+  }
+
   test("an id-less file matching neither ids nor mapping refuses loudly") {
     val table = nameMappedTable(
       Seq(("f1", Seq("foo", "bar"), false, Seq((1L, "alpha")))),

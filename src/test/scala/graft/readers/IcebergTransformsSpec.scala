@@ -64,8 +64,6 @@ class IcebergTransformsSpec extends SparkSpec {
     assert(IcebergTransforms.temporalOf(neg * 86400000000L + 1L, "timestamp", "day").contains(neg))
     // strings can't transform — fail open
     assert(IcebergTransforms.temporalOf("2024-03-15", "date", "day").isEmpty)
-    // day values may render as either the ordinal or the ISO date
-    assert(IcebergTransforms.temporalTexts(d, "day") == Set(d.toString, "2024-03-15"))
   }
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
