@@ -50,17 +50,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * files never pass through the driver and the parquet scan keeps
   * pushdown/pruning. Driver state is O(live files) — a LinkedHashMap
   * of ~200-byte entries, i.e. ~200 MB at 1M files, the same bound
-  * delta-rs carries — and is EXPLICITLY capped at [[maxLiveFiles]]
+  * delta-rs carries — and is EXPLICITLY capped at [[DefaultMaxLiveFiles]]
   * (default 4M ≈ 1 GB peak): the replay refuses loudly past the cap
   * instead of exhausting driver heap, naming the delta-spark connector
   * as the path for bigger tables.
   */
 object DeltaReader {
 
-  /** Hard cap on replayed live-file entries (see scale shape above).
-    * `private[readers] var` so specs can exercise the refusal cheaply;
-    * production callers are not expected to touch it. */
-  private[readers] var maxLiveFiles: Int = 4_000_000
+  /** Default hard cap on replayed live-file entries (see scale shape
+    * above). A `read(maxLiveFiles = ...)` parameter rather than mutable
+    * global state: specs exercising the refusal pass a small value, and
+    * concurrent reads in one JVM can't race each other's caps. */
+  val DefaultMaxLiveFiles: Int = 4_000_000
 
   private case class DvDescriptor(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
@@ -186,15 +187,17 @@ object DeltaReader {
     * and the full filter is re-applied to the returned DataFrame, so
     * the result always equals `read(...).where(filter)`. */
   def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None,
-      maxPartitionScans: Int = 64, filter: Option[String] = None): DataFrame = {
-    readImpl(spark, table, versionAsOf, maxPartitionScans, filter)
+      maxPartitionScans: Int = 64, filter: Option[String] = None,
+      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
+    readImpl(spark, table, versionAsOf, maxPartitionScans, filter, maxLiveFiles)
   }
 
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
-      maxPartitionScans: Int = 64, filter: Option[String] = None): DataFrame = {
+      maxPartitionScans: Int = 64, filter: Option[String] = None,
+      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -206,11 +209,11 @@ object DeltaReader {
     val eligible = commits.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
-    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter)
+    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter, maxLiveFiles)
   }
 
   private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
-      maxPartitionScans: Int, filterSql: Option[String]): DataFrame = {
+      maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -350,24 +353,37 @@ object DeltaReader {
       } else {
         val cp = spark.read.parquet(cpFiles: _*)
         val cols = cp.columns.toSet
+        // count BEFORE collect: the cap must bound peak driver memory,
+        // not fire after a 50M-add checkpoint has already materialized
+        def checkAddCap(df: org.apache.spark.sql.DataFrame): Unit = {
+          val n = df.where(col("add").isNotNull).count()
+          require(n <= maxLiveFiles,
+            s"delta: checkpoint lists $n add actions, more than $maxLiveFiles — beyond this " +
+              "native reader's driver-state bound; read it with the delta-spark connector jar on the classpath")
+        }
         def jsonRows(c: String): Seq[JsonNode] =
           cp.where(col(c).isNotNull)
             .select(org.apache.spark.sql.functions.to_json(col(c)))
             .collect().toSeq.map(r => mapper.readTree(r.getString(0)))
         if (cols.contains("metaData")) jsonRows("metaData").foreach(applyMeta)
         if (cols.contains("protocol")) jsonRows("protocol").foreach(applyProtocol)
-        if (cols.contains("add")) jsonRows("add").foreach(applyAdd)
+        if (cols.contains("add")) { checkAddCap(cp); jsonRows("add").foreach(applyAdd) }
         if (cols.contains("sidecar")) jsonRows("sidecar").foreach(applySidecar)
       }
       // v2 sidecar parquets hold the checkpoint's file actions
       val sidecars = sidecarPaths.result()
       if (sidecars.nonEmpty) {
         val sc = spark.read.parquet(sidecars: _*)
-        if (sc.columns.contains("add"))
+        if (sc.columns.contains("add")) {
+          val n = sc.where(col("add").isNotNull).count()
+          require(n <= maxLiveFiles,
+            s"delta: checkpoint sidecars list $n add actions, more than $maxLiveFiles — beyond this " +
+              "native reader's driver-state bound; read it with the delta-spark connector jar on the classpath")
           sc.where(col("add").isNotNull)
             .select(org.apache.spark.sql.functions.to_json(col("add")))
             .collect().toSeq.map(r => mapper.readTree(r.getString(0)))
             .foreach(applyAdd)
+        }
       }
     }
 

@@ -50,10 +50,15 @@ object FileSkipping {
   }
 
   // evaluating one of these at planning time would freeze a value the
-  // scan-time residual filter re-rolls — never prune on such a conjunct
+  // scan-time residual filter re-rolls (or re-times: the time-dependent
+  // functions are "deterministic" to Catalyst within one query but
+  // differ between the prune and the lazy scan) — never prune on such a
+  // conjunct. `unix_timestamp` is time-dependent ONLY in its zero-arg
+  // form (with arguments it is a pure conversion), handled separately.
   private val nondeterministic = Set(
     "rand", "randn", "random", "uuid", "shuffle", "monotonically_increasing_id",
-    "current_timestamp", "now", "current_date", "localtimestamp", "input_file_name")
+    "current_timestamp", "now", "current_date", "curdate", "localtimestamp",
+    "input_file_name", "spark_partition_id")
 
   /** The unqualified column names `e` references, or None when the
     * conjunct is outside the prune-safe shape (qualified or nested
@@ -66,6 +71,8 @@ object FileSkipping {
         if (a.nameParts.length == 1) names += a.nameParts.head.toLowerCase else ok = false
       case f: UnresolvedFunction
           if nondeterministic.contains(f.nameParts.last.toLowerCase) => ok = false
+      case f: UnresolvedFunction
+          if f.nameParts.last.toLowerCase == "unix_timestamp" && f.arguments.isEmpty => ok = false
       case _: SubqueryExpression => ok = false
       case _                     => ()
     }
@@ -92,8 +99,15 @@ object FileSkipping {
       // LocalRelation → the filter runs driver-local, no cluster job
       val typed = spark.createDataFrame(rows, strSchema)
         .select(col("__path") +: partFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      typed.where(applicable.map(c => expr(c.sql)).reduce(_ && _))
-        .select("__path").collect().map(_.getString(0)).toSet
+      val filtered = typed.where(applicable.map(c => expr(c.sql)).reduce(_ && _))
+      // second net behind the name denylist: once resolved, anything
+      // Catalyst itself marks nondeterministic (e.g. a registered
+      // nondeterministic UDF the denylist can't know about) fails open
+      val resolvedDeterministic = filtered.queryExecution.analyzed.collect {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
+      }.forall(_.deterministic)
+      require(resolvedDeterministic, "nondeterministic filter — not prunable")
+      filtered.select("__path").collect().map(_.getString(0)).toSet
     }.toOption
   }
 

@@ -57,16 +57,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * list file paths, not rows); the data scan is a plain distributed
   * parquet read with pushdown/pruning intact. Driver state is O(live
   * manifest entries) (~200 B each, ~200 MB at 1M files) and EXPLICITLY
-  * capped at [[maxManifestEntries]] (default 4M ≈ 1 GB peak): the walk
-  * counts entries before collecting and refuses loudly past the cap,
-  * naming the iceberg-spark connector as the path for bigger tables.
+  * capped at [[DefaultMaxManifestEntries]] (default 4M ≈ 1 GB peak):
+  * the walk counts entries before collecting and refuses loudly past
+  * the cap, naming the iceberg-spark connector for bigger tables. The
+  * count comes from the manifest-list's own added/existing/deleted
+  * file-count columns when every row carries them (the normal case —
+  * no second pass over the manifest Avro just to count); only
+  * count-less lists (early v1, inline manifests) pay a counting read.
   */
 object IcebergReader {
 
-  /** Hard cap on collected manifest entries (see scale shape above).
-    * `private[readers] var` so specs can exercise the refusal cheaply;
-    * production callers are not expected to touch it. */
-  private[readers] var maxManifestEntries: Long = 4_000_000L
+  /** Default hard cap on collected manifest entries (see scale shape
+    * above). A `read(maxManifestEntries = ...)` parameter rather than
+    * mutable global state: specs exercising the refusal pass a small
+    * value, and concurrent reads can't race each other's caps. */
+  val DefaultMaxManifestEntries: Long = 4_000_000L
 
   private def fs(url: String, conf: Configuration): FileSystem =
     FileSystem.get(new URI(url).resolve("/"), conf)
@@ -174,7 +179,8 @@ object IcebergReader {
     * is <= the instant (Iceberg's own `as-of-timestamp` semantics — the
     * snapshot log lives in the metadata, no file mtimes involved). */
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
-      filter: Option[String] = None): DataFrame = {
+      filter: Option[String] = None,
+      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
     import scala.jdk.CollectionConverters._
@@ -191,7 +197,8 @@ object IcebergReader {
     val eligible = snaps.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"iceberg: no snapshot at or before timestamp $timestampMs (earliest is ${snaps.map(_._2).minOption.getOrElse(-1L)})")
-    read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1), filter = filter)
+    read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1), filter = filter,
+      maxManifestEntries = maxManifestEntries)
   }
 
   /** Read the current snapshot, or a pinned one (`snapshotId` — time
@@ -211,7 +218,8 @@ object IcebergReader {
     * typed literals (`ds = DATE '2024-01-01'`); a bare string literal
     * falls through to the exact per-file evaluation, which casts. */
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
-      filter: Option[String] = None): DataFrame = {
+      filter: Option[String] = None,
+      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = currentMetadataPath(table, conf)
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
@@ -329,25 +337,36 @@ object IcebergReader {
     // (0 = data manifest, 1 = delete manifest), plus the partition spec
     // id and per-field partition summaries used for manifest skipping.
     case class ManifestRef(path: String, seq: Long, isDelete: Boolean,
-        specId: Int, partitionsJson: String)
+        specId: Int, partitionsJson: String, entryCount: Option[Long])
     val manifestList: Seq[ManifestRef] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
         val mlDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
         val mlCols = mlDf.columns.toSet
+        // entry count = added + existing + deleted (status-2 entries are
+        // still rows in the Avro); the v1 Avro names carry a data_ infix
+        def cntCol(v2: String, v1: String): String =
+          if (mlCols.contains(v2)) v2
+          else if (mlCols.contains(v1)) v1
+          else "cast(null as int)"
         mlDf.selectExpr("manifest_path",
           if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
           if (mlCols.contains("content")) "content" else "0 as content",
           if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
           if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
-          else "cast(null as string) as partitions_json").collect()
+          else "cast(null as string) as partitions_json",
+          s"cast(${cntCol("added_files_count", "added_data_files_count")} as bigint) + " +
+            s"cast(${cntCol("existing_files_count", "existing_data_files_count")} as bigint) + " +
+            s"cast(${cntCol("deleted_files_count", "deleted_data_files_count")} as bigint) as entry_count")
+          .collect()
           .map(r => ManifestRef(resolve(r.getString(0), table),
             Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
             Option(r.getAs[Number](2)).exists(_.intValue() == 1),
             Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
-            r.getString(4))).toSeq
+            r.getString(4),
+            Option(r.getAs[Number](5)).map(_.longValue()))).toSeq
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
-          .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false, 0, null))
+          .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false, 0, null, None))
     }
     require(manifestList.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
     // inheritance lookup keyed in the scan's _metadata form; the RAW
@@ -367,9 +386,14 @@ object IcebergReader {
     // delete files as data rows or vice versa.
     def loadEntries(refs: Seq[ManifestRef]): Seq[Entry] = {
       if (refs.isEmpty) return Nil
-      val manifests = spark.read.format(avroFmt).load(refs.map(_.path).distinct: _*)
-      // count before collect: bounds driver memory BEFORE materializing
-      val n = manifests.count()
+      val distinctRefs = refs.distinctBy(_.path)
+      val manifests = spark.read.format(avroFmt).load(distinctRefs.map(_.path): _*)
+      // count before collect: bounds driver memory BEFORE materializing.
+      // The manifest-list's own file counts supply it for free; only a
+      // count-less list pays a second pass over the manifest Avro.
+      val n =
+        if (distinctRefs.forall(_.entryCount.isDefined)) distinctRefs.flatMap(_.entryCount).sum
+        else manifests.count()
       require(n <= maxManifestEntries,
         s"iceberg: $n manifest entries exceed $maxManifestEntries — beyond this native reader's " +
           "driver-state bound; read it with the iceberg-spark connector jar on the classpath")

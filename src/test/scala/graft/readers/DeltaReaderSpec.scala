@@ -440,12 +440,9 @@ class DeltaReaderSpec extends SparkSpec {
     writeParquetFile(t, "f3.parquet", Seq((3L, "gamma")))
     writeCommit(t, 0, Seq(protocolAction(), metaAction(schemaIdName),
       addAction("f1.parquet"), addAction("f2.parquet"), addAction("f3.parquet")))
-    val old = DeltaReader.maxLiveFiles
-    try {
-      DeltaReader.maxLiveFiles = 2
-      val e = intercept[IllegalArgumentException](DeltaReader.read(spark, t.toString))
-      assert(e.getMessage.contains("connector"))
-    } finally DeltaReader.maxLiveFiles = old
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.read(spark, t.toString, maxLiveFiles = 2))
+    assert(e.getMessage.contains("connector"))
     assert(DeltaReader.read(spark, t.toString).count() == 3) // default cap reads fine
   }
 

@@ -37,6 +37,13 @@ class FileSkippingSpec extends SparkSpec {
     assert(refs("t.p = 7").isEmpty)       // qualified
     assert(refs("p = rand()").isEmpty)    // nondeterministic
     assert(refs("1 = 1").isEmpty)         // no refs: nothing to prune on
+    // time-dependent functions freeze a value the lazy residual re-times
+    assert(refs("ds < current_date()").isEmpty)
+    assert(refs("ds < curdate()").isEmpty)
+    assert(refs("ts < unix_timestamp()").isEmpty)   // zero-arg = now()
+    assert(refs("p = spark_partition_id()").isEmpty)
+    // ...but unix_timestamp WITH an argument is a pure conversion
+    assert(refs("unix_timestamp(ds) > 100").contains(Set("ds")))
   }
 
   test("rangeExcludes is conservative: unknowns and open sides keep the file") {

@@ -429,12 +429,9 @@ class IcebergReaderSpec extends SparkSpec {
 
   test("manifest-entry cap refuses loudly before collecting driver state") {
     val table = fixture()
-    val old = IcebergReader.maxManifestEntries
-    try {
-      IcebergReader.maxManifestEntries = 1L // fixture manifest has 2 entries
-      val e = intercept[IllegalArgumentException](IcebergReader.read(spark, table.toString))
-      assert(e.getMessage.contains("connector"))
-    } finally IcebergReader.maxManifestEntries = old
+    val e = intercept[IllegalArgumentException](
+      IcebergReader.read(spark, table.toString, maxManifestEntries = 1L)) // fixture manifest has 2 entries
+    assert(e.getMessage.contains("connector"))
     assert(IcebergReader.read(spark, table.toString).count() == 3) // default cap reads fine
   }
 
