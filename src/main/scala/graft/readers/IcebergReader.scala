@@ -24,9 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ride `parquet.field.id` metadata and Spark's
   *     `parquet.fieldId.read` matcher, so renamed columns read
   *     correctly from pre-rename files and added columns null out on
-  *     files written before the add. (Side effect: the two
-  *     `spark.sql.parquet.fieldId.read.*` confs stay enabled
-  *     session-wide after a read — see the inline note in [[read]].)
+  *     files written before the add. The two
+  *     `spark.sql.parquet.fieldId.read.*` confs are scoped to a
+  *     session CLONE that only this table's scans live in (round 9) —
+  *     the caller's own parquet reads stay by-name; see [[read]].
   *
   * Stated profile: format-version 1 and 2 tables of parquet data files.
   * v2 POSITION deletes apply as a distributed anti-join of the scan's
@@ -541,27 +542,27 @@ object IcebergReader {
     // don't resolve for them (documented profile caveat; adds/deletes
     // still behave).
     val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
-    // SESSION-WIDE EFFECT (documented, deliberate): these confs are
-    // consulted whenever the requested schema carries parquet.field.id
-    // metadata — which is NOT unique to this reader: Spark's parquet
-    // schema inference preserves field ids from the files, so after
-    // this read, a plain spark.read.parquet over field-id-bearing
-    // files (e.g. Iceberg/Trino-written parquet read outside a table)
-    // also resolves columns by id rather than by name, and missing ids
-    // null out instead of erroring (ignoreMissing). That is the
-    // spec-correct behavior for such files, but it IS a visible
-    // session-level change. Per-relation options can't scope it
-    // (ParquetFileFormat re-stamps both from SQLConf), and
-    // spark.newSession() would drop the user's other runtime session
-    // confs — so the honest contract is: the native Iceberg reader
-    // turns on field-id parquet resolution for the session.
-    // Set unconditionally whenever a schema exists — equality-DELETE
-    // file reads need field-id matching even when every data file is
-    // ORC and the parquet data branch never runs.
-    if (sparkSchemaOpt.isDefined) {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    }
+    // Field-id parquet resolution is scoped to a SESSION CLONE instead
+    // of mutating the caller's conf: a file relation keeps the session
+    // it was created with (FileSourceScanExec builds its reader from
+    // relation.sparkSession), so scans built here honor field-id
+    // matching at execution no matter which session runs the query,
+    // while the caller's own spark.read.parquet stays by-name. The
+    // clone copies every runtime conf first (newSession() starts from
+    // SparkConf defaults) so cast/timezone semantics match the caller.
+    // Needed whenever a schema exists — equality-DELETE file reads use
+    // field-id matching even when every data file is ORC.
+    val scanSession: SparkSession =
+      if (sparkSchemaOpt.isEmpty) spark
+      else {
+        val s2 = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          scala.util.Try(s2.conf.set(k, v)) // static/non-settable keys skip
+        }
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        s2
+      }
     // ---- per-file partition pruning ---------------------------------
     // Exact evaluation of partition-only conjuncts against each data
     // file's `data_file.partition` tuple (identity fields; JSON keys
@@ -719,10 +720,10 @@ object IcebergReader {
       val ps = entries.map(e => resolve(e.filePath, table)).distinct
       val base = (fmt, sparkSchemaOpt) match {
         case ("parquet", Some(st)) =>
-          spark.read.schema(st).parquet(ps: _*)
-        case ("parquet", None) => spark.read.option("mergeSchema", "true").parquet(ps: _*)
-        case ("orc", Some(st)) => spark.read.schema(st).orc(ps: _*)
-        case ("orc", None)     => spark.read.option("mergeSchema", "true").orc(ps: _*)
+          scanSession.read.schema(st).parquet(ps: _*)
+        case ("parquet", None) => scanSession.read.option("mergeSchema", "true").parquet(ps: _*)
+        case ("orc", Some(st)) => scanSession.read.schema(st).orc(ps: _*)
+        case ("orc", None)     => scanSession.read.option("mergeSchema", "true").orc(ps: _*)
         case (other, _) => throw new IllegalStateException(s"unreachable format $other")
       }
       if (!needMeta) base
@@ -759,7 +760,7 @@ object IcebergReader {
       }
       require(readFields.map(_.name).distinct.length == readFields.length,
         "iceberg: name mapping resolves two schema fields to the same file column")
-      val base = spark.read.schema(org.apache.spark.sql.types.StructType(readFields)).parquet(ps: _*)
+      val base = scanSession.read.schema(org.apache.spark.sql.types.StructType(readFields)).parquet(ps: _*)
       val renamed = st.fields.toSeq.zip(readFields).map { case (lf, rf) => base(rf.name).as(lf.name) }
       if (!needMeta) base.select(renamed: _*)
       else base.select(renamed :+ norm(expr("_metadata.file_path")).as("__file")
@@ -827,7 +828,7 @@ object IcebergReader {
       // gets a new path, stale deletes match nothing). The delete side
       // is usually tiny → AQE broadcasts it.
       val delPaths = posDeleteFiles.map(r => resolve(r.filePath, table)).distinct.toSeq
-      val deletes = spark.read.parquet(delPaths: _*)
+      val deletes = scanSession.read.parquet(delPaths: _*)
         .select(norm(encPath(col("file_path"))).as("__del_file"), col("pos").as("__del_pos"))
       data = data.join(deletes,
         col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
@@ -881,9 +882,9 @@ object IcebergReader {
         // by-name when the metadata carries no schema.
         val delScan = sparkSchemaOpt match {
           case Some(st) =>
-            spark.read.schema(org.apache.spark.sql.types.StructType(cols.map(c => st(c)).toArray))
+            scanSession.read.schema(org.apache.spark.sql.types.StructType(cols.map(c => st(c)).toArray))
               .parquet(delPaths: _*)
-          case None => spark.read.parquet(delPaths: _*)
+          case None => scanSession.read.parquet(delPaths: _*)
         }
         val deletes = delScan
           .withColumn("__del_file", norm(expr("_metadata.file_path")))
@@ -902,7 +903,14 @@ object IcebergReader {
     val result = if (needMeta) data.select(dataCols.map(col): _*) else data
     // residual filter: file skipping is a superset guarantee; applying
     // the whole predicate here makes the result exactly where(filter)
-    filter.map(fs => result.where(expr(fs))).getOrElse(result)
+    val filtered = filter.map(fs => result.where(expr(fs))).getOrElse(result)
+    // re-bind to the CALLER's session: the plan above was assembled in
+    // the conf-scoped clone, and a Dataset registers temp views / runs
+    // SQL against the session it belongs to. The file relations inside
+    // keep the clone (preserving field-id resolution); only the Dataset
+    // handle moves.
+    if (scanSession eq spark) filtered
+    else org.apache.spark.sql.graft.bridge.ofRows(spark, filtered.queryExecution.analyzed)
   }
 }
 

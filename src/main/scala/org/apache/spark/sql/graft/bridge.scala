@@ -14,4 +14,14 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def showString(df: org.apache.spark.sql.DataFrame, n: Int, truncate: Int): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].showString(n, truncate)
+  /** DataFrame over an arbitrary logical plan, bound to `spark`. Used to
+    * (a) host deferred-scan leaf nodes and (b) re-bind a plan built in a
+    * conf-scoped `newSession` clone back to the caller's session (file
+    * relations keep the session they were created with, so per-relation
+    * conf like parquet field-id resolution survives the re-bind).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

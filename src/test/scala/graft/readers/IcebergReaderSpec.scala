@@ -262,6 +262,24 @@ class IcebergReaderSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "title", "score"))
     val got = df.as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "alpha", None), (2L, "beta", None), (3L, "gamma", Some(0.5))))
+
+    // field-id resolution is SCOPED to the reader's session clone: the
+    // caller session's conf is untouched, and a plain parquet read on
+    // the caller session with a field-id-bearing requested schema still
+    // resolves BY NAME (f1 has no column 'title' → nulls), while the
+    // Iceberg frame above recovered the rename through its clone.
+    assert(spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled").forall(_ == "false"))
+    val byNameSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val plain = spark.read.schema(byNameSchema).parquet(partFile(s"$table/data/f1"))
+    assert(plain.where(org.apache.spark.sql.functions.col("title").isNotNull).count() == 0)
+    // ...and the returned frame belongs to the CALLER session: temp
+    // views registered on it are visible to the caller's spark.sql
+    df.createOrReplaceTempView("iceberg_evo_view")
+    assert(spark.sql("SELECT title FROM iceberg_evo_view WHERE title IS NOT NULL").count() == 3)
   }
 
   test("snapshotId pins a referenced snapshot; unknown ids error") {
