@@ -192,12 +192,32 @@ object DeltaReader {
     readImpl(spark, table, versionAsOf, maxPartitionScans, filter, maxLiveFiles)
   }
 
+  /** Deferred-scan frame over the table: file skipping fires
+    * automatically from whatever filters the QUERY puts above it — a
+    * `.where()`, `spark.sql` over a temp view, `Catalog.sql` — with no
+    * filter string threaded by hand (reference convert.py:390-399
+    * semantics; see [[graft.plans.DeferredScan]] for the mechanism and
+    * the correctness stance). The table is validated eagerly; each
+    * query then plans against the CURRENT snapshot unless pinned. */
+  def table(spark: SparkSession, table: String, versionAsOf: Option[Long] = None,
+      timestampMs: Option[Long] = None, maxPartitionScans: Int = 64,
+      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
+    def run(filterSql: Option[String], schemaOnly: Boolean): DataFrame = timestampMs match {
+      case Some(ts) => readAsOfTimestamp(spark, table, ts, maxPartitionScans, filterSql,
+        maxLiveFiles, schemaOnly)
+      case None => readImpl(spark, table, versionAsOf, maxPartitionScans, filterSql,
+        maxLiveFiles, schemaOnly)
+    }
+    graft.plans.DeferredScan.frame(spark, s"delta $table",
+      () => run(None, schemaOnly = true), fs => run(fs, schemaOnly = false))
+  }
+
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
       maxPartitionScans: Int = 64, filter: Option[String] = None,
-      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
+      maxLiveFiles: Int = DefaultMaxLiveFiles, schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -209,11 +229,12 @@ object DeltaReader {
     val eligible = commits.filter(_._2 <= timestampMs)
     require(eligible.nonEmpty,
       s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
-    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter, maxLiveFiles)
+    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter, maxLiveFiles, schemaOnly)
   }
 
   private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
-      maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int): DataFrame = {
+      maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int,
+      schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -443,6 +464,14 @@ object DeltaReader {
       case other => other
     }
 
+    // deferred registration probe: the log replay above already
+    // validated the table and its profile gates; stop BEFORE any data
+    // file is touched — the first query's filter decides which files
+    // may be opened at all
+    if (schemaOnly)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stripMeta(schema).asInstanceOf[StructType])
+
     // ---- file-level predicate skipping (the 100 TB lever) ------------
     // Prune the live-file list from the filter BEFORE any data file is
     // opened: exact partition-tuple evaluation (both partition paths —
@@ -660,13 +689,19 @@ object DeltaReader {
 class DeltaReaderImpl extends Reader {
   val name = "delta_native"
   val implementsKinds = Set("delta")
+  // an explicit `filter` option keeps the eager pruned read; otherwise
+  // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    ref.options.get("timestampAsOf") match {
-      case Some(ts) =>
+    (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
+      case (Some(_), Some(ts)) =>
         DeltaReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
           filter = ref.options.get("filter"))
-      case None =>
+      case (Some(_), None) =>
         DeltaReader.read(spark, ref.url, ref.options.get("versionAsOf").map(_.toLong),
           filter = ref.options.get("filter"))
+      case (None, ts) =>
+        DeltaReader.table(spark, ref.url,
+          versionAsOf = ref.options.get("versionAsOf").map(_.toLong),
+          timestampMs = ts.map(PathKeys.parseTimestampMs))
     }
 }

@@ -181,7 +181,8 @@ object IcebergReader {
     * snapshot log lives in the metadata, no file mtimes involved). */
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
       filter: Option[String] = None,
-      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
+      maxManifestEntries: Long = DefaultMaxManifestEntries,
+      schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
     import scala.jdk.CollectionConverters._
@@ -199,7 +200,7 @@ object IcebergReader {
     require(eligible.nonEmpty,
       s"iceberg: no snapshot at or before timestamp $timestampMs (earliest is ${snaps.map(_._2).minOption.getOrElse(-1L)})")
     read(spark, table, snapshotId = Some(eligible.maxBy(_._2)._1), filter = filter,
-      maxManifestEntries = maxManifestEntries)
+      maxManifestEntries = maxManifestEntries, schemaOnly = schemaOnly)
   }
 
   /** Read the current snapshot, or a pinned one (`snapshotId` — time
@@ -218,9 +219,27 @@ object IcebergReader {
     * Note for date/timestamp columns: manifest-level skipping compares
     * typed literals (`ds = DATE '2024-01-01'`); a bare string literal
     * falls through to the exact per-file evaluation, which casts. */
+  /** Deferred-scan frame over the table: manifest/file skipping fires
+    * automatically from whatever filters the QUERY puts above it — a
+    * `.where()`, `spark.sql` over a temp view, `Catalog.sql` — with no
+    * filter string threaded by hand (see [[graft.plans.DeferredScan]]).
+    * The table is validated eagerly; each query then plans against the
+    * CURRENT snapshot unless pinned. */
+  def table(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
+      timestampMs: Option[Long] = None,
+      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
+    def run(filterSql: Option[String], schemaOnly: Boolean): DataFrame = timestampMs match {
+      case Some(ts) => readAsOfTimestamp(spark, table, ts, filterSql, maxManifestEntries, schemaOnly)
+      case None     => read(spark, table, snapshotId, filterSql, maxManifestEntries, schemaOnly)
+    }
+    graft.plans.DeferredScan.frame(spark, s"iceberg $table",
+      () => run(None, schemaOnly = true), fs => run(fs, schemaOnly = false))
+  }
+
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
       filter: Option[String] = None,
-      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
+      maxManifestEntries: Long = DefaultMaxManifestEntries,
+      schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = currentMetadataPath(table, conf)
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
@@ -235,6 +254,19 @@ object IcebergReader {
     val snapshots = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
     val snap = snapshots.find(s => s.get("snapshot-id").asLong() == currentId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
+
+    // deferred registration probe: metadata + snapshot validated; stop
+    // BEFORE any manifest or data file is touched — the first query's
+    // filter decides which manifests may be opened at all. A metadata
+    // without a schema node (pathological early-v1) falls through to
+    // the full walk, whose merged-schema read is the only schema source.
+    if (schemaOnly) {
+      currentSchemaNode(meta).map(toSparkSchema) match {
+        case Some(st) =>
+          return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None => () // fall through to the full walk
+      }
+    }
 
     // ---- filter metadata: partition specs + schema field ids ---------
     // (drives file skipping below; empty/ignored when no filter given)
@@ -921,13 +953,19 @@ object IcebergReader {
 class IcebergReaderImpl extends Reader {
   val name = "iceberg_native"
   val implementsKinds = Set("iceberg")
+  // an explicit `filter` option keeps the eager pruned read; otherwise
+  // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    ref.options.get("timestampAsOf") match {
-      case Some(ts) =>
+    (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
+      case (Some(_), Some(ts)) =>
         IcebergReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
           filter = ref.options.get("filter"))
-      case None =>
+      case (Some(_), None) =>
         IcebergReader.read(spark, ref.url, ref.options.get("snapshotId").map(_.toLong),
           filter = ref.options.get("filter"))
+      case (None, ts) =>
+        IcebergReader.table(spark, ref.url,
+          snapshotId = ref.options.get("snapshotId").map(_.toLong),
+          timestampMs = ts.map(PathKeys.parseTimestampMs))
     }
 }
