@@ -1,0 +1,428 @@
+package graft.readers
+
+import graft.datatypes.DataRef
+import java.io.ByteArrayOutputStream
+import java.net.URI
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native Kafka BATCH reader (reference `readers.py:3192-3235`
+  * KafkaReader — a bounded `confluent_kafka` consume; datatype
+  * `datatypes.py:1639` `kafka://broker:port/topic`): speaks the Kafka
+  * wire protocol directly — ApiVersions, Metadata, ListOffsets, Fetch —
+  * so a topic is readable as a DataFrame with NO connector jar, closing
+  * the last delegated service family (VERDICT r8 #2). The
+  * classpath-gated `spark_kafka` streaming source still outranks this
+  * reader when the spark-sql-kafka jar is present.
+  *
+  * Protocol profile (all fixed, NON-flexible versions — no compact
+  * strings/tagged fields): ApiVersions v0 for the handshake, Metadata
+  * v4 when the broker offers it (v1 otherwise), ListOffsets v1, Fetch
+  * v4 (the first version carrying record-batch format v2, still served
+  * by every broker generation that also serves format-v2 topics). A
+  * broker whose advertised ranges exclude these refuses loudly naming
+  * the connector jar. Record batches decode per the published format:
+  * v2 batch header (CRC32C verified), zigzag-varint record framing,
+  * gzip/snappy/lz4-frame/zstd batch compression through the codecs
+  * Spark already bundles. Magic 0/1 (pre-0.11 message sets) refuse.
+  *
+  * Scale shape: the driver touches only metadata (one bootstrap
+  * connection: ApiVersions + Metadata + per-leader ListOffsets);
+  * fetching runs ON EXECUTORS, one task per partition, each consuming
+  * ONLY its own [start, end) offset range from its partition leader —
+  * the same partition-parallel layout the real connector plans, so a
+  * 1000-partition topic fans out across the cluster instead of
+  * serializing through the driver. End offsets resolve at plan time,
+  * making the frame a bounded, deterministic batch (the reference's
+  * bounded-consume semantics; streaming belongs to the gated source).
+  *
+  * Columns mirror spark-sql-kafka: key/value binary, topic, partition,
+  * offset, timestamp, timestampType, headers array<struct<key,value>>.
+  */
+object KafkaReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", BinaryType)))))))
+
+  // ------------------------------------------------------------ wire IO
+
+  private[readers] final class Conn(t: Net.Transport, clientId: String) {
+    private var corr = 0
+    def call(apiKey: Short, version: Short, body: Array[Byte]): ByteBuffer = {
+      corr += 1
+      val cid = clientId.getBytes(StandardCharsets.UTF_8)
+      val header = ByteBuffer.allocate(10 + cid.length)
+      header.putShort(apiKey).putShort(version).putInt(corr).putShort(cid.length.toShort).put(cid)
+      val size = header.position() + body.length
+      val frame = ByteBuffer.allocate(4 + size)
+      frame.putInt(size).put(header.array(), 0, header.position()).put(body)
+      t.out.write(frame.array(), 0, frame.position())
+      t.out.flush()
+      val lenBytes = t.in.readNBytes(4)
+      require(lenBytes.length == 4, "kafka: connection closed before response")
+      val len = ByteBuffer.wrap(lenBytes).getInt
+      require(len >= 4 && len <= 128 * 1024 * 1024, s"kafka: implausible response size $len")
+      val bodyBytes = t.in.readNBytes(len)
+      require(bodyBytes.length == len, s"kafka: truncated response ($len expected, ${bodyBytes.length} read)")
+      val bb = ByteBuffer.wrap(bodyBytes)
+      val gotCorr = bb.getInt
+      require(gotCorr == corr, s"kafka: correlation id mismatch ($gotCorr != $corr)")
+      bb
+    }
+    def close(): Unit = t.close()
+  }
+
+  private def connect(host: String, port: Int, timeoutMs: Int, clientId: String): Conn =
+    new Conn(Net.socket(host, port, tls = false, soTimeoutMs = timeoutMs), clientId)
+
+  // primitive writers (big-endian, classic encoding)
+  private def str(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    ByteBuffer.allocate(2 + b.length).putShort(b.length.toShort).put(b).array()
+  }
+  private def readStr(bb: ByteBuffer): String = {
+    val n = bb.getShort.toInt
+    if (n < 0) return null
+    val b = new Array[Byte](n); bb.get(b); new String(b, StandardCharsets.UTF_8)
+  }
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream(); parts.foreach(out.write); out.toByteArray
+  }
+  private def i32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+  private def i64(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
+  private def i8(v: Int): Array[Byte] = Array(v.toByte)
+
+  // ------------------------------------------------- protocol requests
+
+  /** api key → (min, max) supported versions. */
+  private[readers] def apiVersions(c: Conn): Map[Short, (Short, Short)] = {
+    val bb = c.call(18, 0, Array.empty)
+    val err = bb.getShort
+    require(err == 0, s"kafka: ApiVersions error $err")
+    val n = bb.getInt
+    (0 until n).map(_ => (bb.getShort, (bb.getShort, bb.getShort))).toMap
+  }
+
+  private[readers] case class BrokerNode(id: Int, host: String, port: Int)
+  private[readers] case class PartMeta(partition: Int, leader: Int)
+
+  /** Topic metadata at v4 (preferred) or v1. */
+  private[readers] def metadata(c: Conn, topic: String, version: Short):
+      (Map[Int, BrokerNode], Seq[PartMeta]) = {
+    val body =
+      if (version >= 4) cat(i32(1), str(topic), i8(0)) // allow_auto_topic_creation=false
+      else cat(i32(1), str(topic))
+    val bb = c.call(3, version, body)
+    if (version >= 3) bb.getInt // throttle_time_ms
+    val nBrokers = bb.getInt
+    val brokers = (0 until nBrokers).map { _ =>
+      val id = bb.getInt; val host = readStr(bb); val port = bb.getInt
+      readStr(bb) // rack (nullable, v1+)
+      id -> BrokerNode(id, host, port)
+    }.toMap
+    if (version >= 2) readStr(bb) // cluster_id
+    bb.getInt // controller_id
+    val nTopics = bb.getInt
+    val parts = (0 until nTopics).flatMap { _ =>
+      val errCode = bb.getShort
+      val name = readStr(bb)
+      bb.get() // is_internal
+      val nParts = bb.getInt
+      val ps = (0 until nParts).map { _ =>
+        val pErr = bb.getShort
+        val idx = bb.getInt
+        val leader = bb.getInt
+        val nRep = bb.getInt; (0 until nRep).foreach(_ => bb.getInt)
+        val nIsr = bb.getInt; (0 until nIsr).foreach(_ => bb.getInt)
+        require(pErr == 0, s"kafka: partition $idx metadata error $pErr")
+        PartMeta(idx, leader)
+      }
+      require(errCode == 0, s"kafka: topic '$name' metadata error $errCode" +
+        (if (errCode == 3) " (UNKNOWN_TOPIC_OR_PARTITION)" else ""))
+      ps
+    }
+    (brokers, parts)
+  }
+
+  /** One partition's offset for timestamp -2 (earliest) / -1 (latest), ListOffsets v1. */
+  private[readers] def listOffset(c: Conn, topic: String, partition: Int, ts: Long): Long = {
+    val body = cat(i32(-1), i32(1), str(topic), i32(1), i32(partition), i64(ts))
+    val bb = c.call(2, 1, body)
+    val nTopics = bb.getInt
+    require(nTopics == 1, s"kafka: ListOffsets returned $nTopics topics")
+    readStr(bb)
+    val nParts = bb.getInt
+    require(nParts == 1, s"kafka: ListOffsets returned $nParts partitions")
+    bb.getInt // partition index
+    val err = bb.getShort
+    require(err == 0, s"kafka: ListOffsets error $err for $topic-$partition")
+    bb.getLong // timestamp
+    bb.getLong // offset
+  }
+
+  /** One Fetch v4 round-trip: (error, highWatermark, recordSet bytes). */
+  private[readers] def fetch(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int): (Short, Long, Array[Byte]) = {
+    val body = cat(
+      i32(-1),           // replica_id
+      i32(500),          // max_wait_ms
+      i32(1),            // min_bytes
+      i32(maxBytes),     // max_bytes (response-level)
+      i8(0),             // isolation_level read_uncommitted
+      i32(1), str(topic),
+      i32(1), i32(partition), i64(offset), i32(maxBytes))
+    val bb = c.call(1, 4, body)
+    bb.getInt // throttle_time_ms
+    val nTopics = bb.getInt
+    require(nTopics == 1, s"kafka: Fetch returned $nTopics topics")
+    readStr(bb)
+    val nParts = bb.getInt
+    require(nParts == 1, s"kafka: Fetch returned $nParts partitions")
+    bb.getInt // partition index
+    val err = bb.getShort
+    val hw = bb.getLong
+    bb.getLong // last_stable_offset
+    val nAborted = bb.getInt
+    if (nAborted > 0) (0 until nAborted).foreach { _ => bb.getLong; bb.getLong }
+    val setLen = bb.getInt
+    val set = if (setLen <= 0) Array.empty[Byte] else { val b = new Array[Byte](setLen); bb.get(b); b }
+    (err, hw, set)
+  }
+
+  // ------------------------------------------- record batch v2 decode
+
+  private[readers] def readVarint(bb: ByteBuffer): Int = {
+    var value = 0; var shift = 0
+    var b = bb.get().toInt
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7f) << shift; shift += 7
+      require(shift <= 28, "kafka: varint too long")
+      b = bb.get().toInt
+    }
+    value |= b << shift
+    (value >>> 1) ^ -(value & 1) // zigzag
+  }
+
+  private[readers] def readVarlong(bb: ByteBuffer): Long = {
+    var value = 0L; var shift = 0
+    var b = bb.get().toLong
+    while ((b & 0x80L) != 0) {
+      value |= (b & 0x7fL) << shift; shift += 7
+      require(shift <= 63, "kafka: varlong too long")
+      b = bb.get().toLong
+    }
+    value |= b << shift
+    (value >>> 1) ^ -(value & 1L)
+  }
+
+  private def decompress(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case 1 => // gzip
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 2 => // snappy (xerial stream framing, the Kafka java client's form)
+      val in = new org.xerial.snappy.SnappyInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 3 => // lz4 FRAME format (correct checksums for magic v2 batches)
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 4 => // zstd
+      val in = new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case other => throw new IllegalArgumentException(
+      s"kafka: unknown compression codec $other in record batch")
+  }
+
+  private[readers] case class KRecord(offset: Long, timestamp: Long, timestampType: Int,
+      key: Array[Byte], value: Array[Byte], headers: Seq[(String, Array[Byte])])
+
+  /** Decode every complete record batch in a Fetch record_set. The
+    * broker may truncate the FINAL batch at max_bytes — a partial tail
+    * is normal and simply ends the decode. Control batches (attributes
+    * bit 5) carry no data rows and are skipped; their offsets still
+    * advance the fetch position via the batch header. Returns (records,
+    * nextOffset). */
+  private[readers] def decodeRecordSet(set: Array[Byte]): (Seq[KRecord], Long) = {
+    val out = Seq.newBuilder[KRecord]
+    var next = -1L
+    val bb = ByteBuffer.wrap(set)
+    var halted = false
+    while (!halted && bb.remaining() >= 12) {
+      val baseOffset = bb.getLong
+      val batchLength = bb.getInt
+      if (bb.remaining() < batchLength) halted = true // truncated tail
+      else {
+        val batch = bb.slice(); batch.limit(batchLength)
+        bb.position(bb.position() + batchLength)
+        batch.getInt // partitionLeaderEpoch
+        val magic = batch.get()
+        require(magic == 2,
+          s"kafka: message format v$magic outside the supported profile (v2 only; " +
+            "pre-0.11 topics need the spark-sql-kafka connector jar)")
+        val crc = batch.getInt
+        // CRC32C covers everything AFTER the crc field
+        val crcCheck = new java.util.zip.CRC32C()
+        crcCheck.update(batch.slice())
+        require(crcCheck.getValue.toInt == crc,
+          s"kafka: record batch CRC mismatch at offset $baseOffset — corrupt fetch")
+        val attributes = batch.getShort
+        val lastOffsetDelta = batch.getInt
+        val baseTimestamp = batch.getLong
+        val maxTimestamp = batch.getLong
+        batch.getLong  // producerId
+        batch.getShort // producerEpoch
+        batch.getInt   // baseSequence
+        val recordCount = batch.getInt
+        next = math.max(next, baseOffset + lastOffsetDelta + 1)
+        val isControl = (attributes & 0x20) != 0
+        val tsType = if ((attributes & 0x08) != 0) 1 else 0
+        if (!isControl && recordCount > 0) {
+          val codec = attributes & 0x07
+          val raw = { val b = new Array[Byte](batch.remaining()); batch.get(b); b }
+          val records = ByteBuffer.wrap(if (codec == 0) raw else decompress(codec, raw))
+          var i = 0
+          while (i < recordCount) {
+            readVarint(records) // record length
+            records.get()       // record attributes (unused)
+            val tsDelta = readVarlong(records)
+            val offDelta = readVarint(records)
+            def bytes(): Array[Byte] = {
+              val n = readVarint(records)
+              if (n < 0) null else { val b = new Array[Byte](n); records.get(b); b }
+            }
+            val key = bytes()
+            val value = bytes()
+            val nHeaders = readVarint(records)
+            val headers = (0 until nHeaders).map { _ =>
+              val kLen = readVarint(records)
+              val k = { val b = new Array[Byte](kLen); records.get(b); new String(b, StandardCharsets.UTF_8) }
+              k -> bytes()
+            }
+            // LogAppendTime batches stamp every record with the batch time
+            val ts = if (tsType == 1) maxTimestamp else baseTimestamp + tsDelta
+            out += KRecord(baseOffset + offDelta, ts, tsType, key, value, headers)
+            i += 1
+          }
+        }
+      }
+    }
+    (out.result(), next)
+  }
+
+  // ------------------------------------------------------- public read
+
+  /** Read `kafka://broker:port/topic` as a bounded batch DataFrame.
+    * `startOffset`/`endOffset`: "earliest"/"latest" or a numeric offset
+    * applied to every partition; the range resolves ON THE DRIVER at
+    * plan time, then each partition fetches its own slice on an
+    * executor. */
+  def read(spark: SparkSession, url: String,
+      startOffset: String = "earliest", endOffset: String = "latest",
+      maxRecordsPerPartition: Long = Long.MaxValue,
+      timeoutMs: Int = 15000, clientId: String = "graft-kafka"): DataFrame = {
+    val uri = new URI(url)
+    require(uri.getScheme == "kafka", s"not a kafka url: $url")
+    val host = uri.getHost
+    val port = if (uri.getPort > 0) uri.getPort else 9092
+    val topic = Option(uri.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(s"no topic in kafka url $url"))
+
+    // driver: handshake + metadata + offset range per partition
+    val boot = connect(host, port, timeoutMs, clientId)
+    val (brokers, parts, mdVersion) =
+      try {
+        val versions = apiVersions(boot)
+        def supported(key: Short, v: Short): Boolean =
+          versions.get(key).exists { case (lo, hi) => lo <= v && v <= hi }
+        require(supported(1, 4) && supported(2, 1) && (supported(3, 1) || supported(3, 4)),
+          s"kafka: broker at $host:$port does not serve Fetch v4 / ListOffsets v1 / " +
+            "Metadata v1-v4 — outside this native reader's profile; use the " +
+            "spark-sql-kafka connector jar")
+        val mdV: Short = if (supported(3, 4)) 4 else 1
+        val (bs, ps) = metadata(boot, topic, mdV)
+        (bs, ps, mdV)
+      } finally boot.close()
+    require(parts.nonEmpty, s"kafka: topic '$topic' has no partitions")
+
+    case class Slice(partition: Int, host: String, port: Int, start: Long, end: Long)
+    val byLeader = parts.groupBy(_.leader)
+    val slices: Seq[Slice] = byLeader.toSeq.flatMap { case (leaderId, ps) =>
+      val node = brokers.getOrElse(leaderId, throw new IllegalArgumentException(
+        s"kafka: leader $leaderId not in broker metadata"))
+      val c = connect(node.host, node.port, timeoutMs, clientId)
+      try ps.map { pm =>
+        val start = startOffset match {
+          case "earliest" => listOffset(c, topic, pm.partition, -2L)
+          case "latest"   => listOffset(c, topic, pm.partition, -1L)
+          case n          => n.toLong
+        }
+        val end = endOffset match {
+          case "latest"   => listOffset(c, topic, pm.partition, -1L)
+          case "earliest" => listOffset(c, topic, pm.partition, -2L)
+          case n          => n.toLong
+        }
+        // saturating add: the default cap is Long.MaxValue
+        val cap =
+          if (start > Long.MaxValue - maxRecordsPerPartition) Long.MaxValue
+          else start + maxRecordsPerPartition
+        Slice(pm.partition, node.host, node.port, start, math.min(end, cap))
+      } finally c.close()
+    }
+
+    // executors: one task per partition, each fetching only its slice
+    val topicB = topic
+    val timeoutB = timeoutMs
+    val clientB = clientId
+    val rows = spark.sparkContext
+      .parallelize(slices, math.max(1, slices.size))
+      .flatMap { s =>
+        if (s.start >= s.end) Iterator.empty
+        else {
+          val c = connect(s.host, s.port, timeoutB, clientB)
+          try {
+            val buf = Seq.newBuilder[Row]
+            var offset = s.start
+            var done = false
+            while (!done) {
+              val (err, hw, set) = fetch(c, topicB, s.partition, offset, 4 * 1024 * 1024)
+              require(err == 0, s"kafka: Fetch error $err for $topicB-${s.partition}" +
+                (if (err == 1) " (OFFSET_OUT_OF_RANGE — data expired under the reader)" else ""))
+              val (records, next) = decodeRecordSet(set)
+              records.iterator.takeWhile(_.offset < s.end).filter(_.offset >= offset).foreach { r =>
+                buf += Row(r.key, r.value, topicB, s.partition, r.offset,
+                  new java.sql.Timestamp(r.timestamp), r.timestampType,
+                  r.headers.map { case (k, v) => Row(k, v) })
+              }
+              if (next >= s.end || next <= offset || hw <= offset) done = true
+              else offset = next
+            }
+            buf.result().iterator
+          } finally c.close()
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+/** Registry wrapper: the connector-gated `spark_kafka` streaming source
+  * precedes this in `SparkReaders.all`, so the real connector wins when
+  * its jar is present; this native bounded-batch consumer is the
+  * always-importable fallback (reference KafkaReader's
+  * `max_records=1000` bounded-consume semantics via `max_records`). */
+class KafkaReaderImpl extends Reader {
+  val name = "kafka_native"
+  val implementsKinds = Set("kafka_topic")
+  def read(spark: SparkSession, ref: DataRef): DataFrame = {
+    val df = KafkaReader.read(spark, ref.url,
+      startOffset = ref.options.getOrElse("start_offset", "earliest"),
+      endOffset = ref.options.getOrElse("end_offset", "latest"),
+      timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt)
+    ref.options.get("max_records").map(n => df.limit(n.toInt)).getOrElse(df)
+  }
+}

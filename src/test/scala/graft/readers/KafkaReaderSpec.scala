@@ -1,0 +1,280 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.io.ByteArrayOutputStream
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** E2E spec for the native Kafka batch reader against an in-process
+  * fake broker speaking the real wire protocol over real sockets
+  * (ApiVersions v0, Metadata v1/v4, ListOffsets v1, Fetch v4), with
+  * record batches encoded here INDEPENDENTLY from the published format
+  * (CRC32C, zigzag varints, all four compression codecs) — the
+  * loopback mold the other native service readers use (MQTT, Mongo,
+  * Redis). Executor tasks connect to the loopback broker concurrently
+  * in local[*], exercising the distributed fetch path for real.
+  */
+class KafkaReaderSpec extends SparkSpec {
+
+  // ------------------------------------------ record batch v2 ENCODER
+
+  private def writeVarint(out: ByteArrayOutputStream, v: Int): Unit = {
+    var x = (v << 1) ^ (v >> 31) // zigzag
+    while ((x & ~0x7f) != 0) { out.write((x & 0x7f) | 0x80); x >>>= 7 }
+    out.write(x)
+  }
+  private def writeVarlong(out: ByteArrayOutputStream, v: Long): Unit = {
+    var x = (v << 1) ^ (v >> 63)
+    while ((x & ~0x7fL) != 0L) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    out.write(x.toInt)
+  }
+  private def writeBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit =
+    if (b == null) writeVarint(out, -1)
+    else { writeVarint(out, b.length); out.write(b) }
+
+  private def compress(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case 0 => data
+    case 1 =>
+      val bos = new ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(bos); z.write(data); z.close(); bos.toByteArray
+    case 2 =>
+      val bos = new ByteArrayOutputStream()
+      val z = new org.xerial.snappy.SnappyOutputStream(bos); z.write(data); z.close(); bos.toByteArray
+    case 3 =>
+      val bos = new ByteArrayOutputStream()
+      val z = new net.jpountz.lz4.LZ4FrameOutputStream(bos); z.write(data); z.close(); bos.toByteArray
+    case 4 =>
+      val bos = new ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos); z.write(data); z.close(); bos.toByteArray
+  }
+
+  /** (key, value, headers) records → one v2 batch. */
+  private def encodeBatch(baseOffset: Long, baseTs: Long,
+      records: Seq[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])],
+      codec: Int = 0, control: Boolean = false, magic: Byte = 2,
+      corruptCrc: Boolean = false): Array[Byte] = {
+    val recBytes = new ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case ((k, v, hs), i) =>
+      val one = new ByteArrayOutputStream()
+      one.write(0) // record attributes
+      writeVarlong(one, i.toLong) // timestampDelta
+      writeVarint(one, i)         // offsetDelta
+      writeBytes(one, k)
+      writeBytes(one, v)
+      writeVarint(one, hs.size)
+      hs.foreach { case (hk, hv) =>
+        writeBytes(one, hk.getBytes(StandardCharsets.UTF_8)); writeBytes(one, hv)
+      }
+      val b = one.toByteArray
+      writeVarint(recBytes, b.length)
+      recBytes.write(b)
+    }
+    val payload = compress(codec, recBytes.toByteArray)
+    val attributes = (codec | (if (control) 0x20 else 0)).toShort
+    val afterCrc = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 + payload.length)
+    afterCrc.putShort(attributes).putInt(records.size - 1)
+      .putLong(baseTs).putLong(baseTs + records.size - 1)
+      .putLong(-1L).putShort(-1).putInt(-1).putInt(records.size).put(payload)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(afterCrc.array(), 0, afterCrc.position())
+    val batchLength = 4 + 1 + 4 + afterCrc.position()
+    val bb = ByteBuffer.allocate(8 + 4 + batchLength)
+    bb.putLong(baseOffset).putInt(batchLength).putInt(0).put(magic)
+      .putInt(if (corruptCrc) crc.getValue.toInt + 1 else crc.getValue.toInt)
+      .put(afterCrc.array(), 0, afterCrc.position())
+    bb.array()
+  }
+
+  // ------------------------------------------------------- fake broker
+
+  /** Loopback broker: leader for every partition of one topic, logs =
+    * pre-encoded batches per partition. Each connection gets a thread. */
+  private class FakeBroker(topic: String, logs: Map[Int, Seq[(Long, Long, Array[Byte])]],
+      metadataMax: Short = 4, truncateTail: Boolean = false) {
+    private val server = new ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    val port: Int = server.getLocalPort
+    @volatile private var running = true
+
+    private def str(s: String): Array[Byte] = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      ByteBuffer.allocate(2 + b.length).putShort(b.length.toShort).put(b).array()
+    }
+    private def readStr(bb: ByteBuffer): String = {
+      val n = bb.getShort.toInt
+      if (n < 0) null else { val b = new Array[Byte](n); bb.get(b); new String(b, StandardCharsets.UTF_8) }
+    }
+
+    private def handle(sock: Socket): Unit = {
+      val in = sock.getInputStream
+      val out = sock.getOutputStream
+      try {
+        var open = true
+        while (open) {
+          val lenB = in.readNBytes(4)
+          if (lenB.length < 4) open = false
+          else {
+            val req = ByteBuffer.wrap(in.readNBytes(ByteBuffer.wrap(lenB).getInt))
+            val apiKey = req.getShort
+            val apiVersion = req.getShort
+            val corr = req.getInt
+            readStr(req) // client id
+            val body = new ByteArrayOutputStream()
+            val w = new java.io.DataOutputStream(body)
+            apiKey match {
+              case 18 => // ApiVersions v0
+                w.writeShort(0); w.writeInt(4)
+                for ((k, lo, hi) <- Seq((18, 0, 3), (3, 1, metadataMax.toInt), (2, 1, 7), (1, 4, 13)))
+                  { w.writeShort(k); w.writeShort(lo); w.writeShort(hi) }
+              case 3 => // Metadata v1 or v4
+                if (apiVersion >= 3) w.writeInt(0) // throttle
+                w.writeInt(1) // brokers
+                w.writeInt(1); w.write(str("127.0.0.1")); w.writeInt(port); w.writeShort(-1) // rack null
+                if (apiVersion >= 2) w.write(str("fake-cluster"))
+                w.writeInt(1) // controller id
+                w.writeInt(1) // topics
+                w.writeShort(0); w.write(str(topic)); w.writeByte(0)
+                w.writeInt(logs.size)
+                logs.keys.toSeq.sorted.foreach { p =>
+                  w.writeShort(0); w.writeInt(p); w.writeInt(1)
+                  w.writeInt(1); w.writeInt(1) // replicas [1]
+                  w.writeInt(1); w.writeInt(1) // isr [1]
+                }
+              case 2 => // ListOffsets v1
+                req.getInt // replica
+                req.getInt; readStr(req); req.getInt // 1 topic, 1 partition
+                val part = req.getInt
+                val ts = req.getLong
+                val log = logs(part)
+                val (first, end) = if (log.isEmpty) (0L, 0L) else (log.head._1, log.last._2 + 1)
+                w.writeInt(1); w.write(str(topic)); w.writeInt(1)
+                w.writeInt(part); w.writeShort(0); w.writeLong(-1L)
+                w.writeLong(if (ts == -2L) first else end)
+              case 1 => // Fetch v4
+                req.getInt; req.getInt; req.getInt; req.getInt; req.get() // replica..isolation
+                req.getInt; readStr(req); req.getInt // 1 topic, 1 partition
+                val part = req.getInt
+                val offset = req.getLong
+                req.getInt // partition_max_bytes
+                val log = logs(part)
+                val hw = if (log.isEmpty) 0L else log.last._2 + 1
+                val serve = log.filter(_._2 >= offset).map(_._3)
+                var set = serve.foldLeft(Array.empty[Byte])(_ ++ _)
+                // a broker may cut the LAST batch at max_bytes — clients
+                // must treat the partial tail as end-of-response
+                if (truncateTail && serve.nonEmpty)
+                  set = set ++ serve.last.take(17)
+                w.writeInt(0) // throttle
+                w.writeInt(1); w.write(str(topic)); w.writeInt(1)
+                w.writeInt(part); w.writeShort(0); w.writeLong(hw); w.writeLong(hw)
+                w.writeInt(0) // aborted txns
+                w.writeInt(set.length); w.write(set)
+            }
+            val b = body.toByteArray
+            val frame = ByteBuffer.allocate(4 + 4 + b.length)
+            frame.putInt(4 + b.length).putInt(corr).put(b)
+            out.write(frame.array()); out.flush()
+          }
+        }
+      } catch { case _: Throwable => () } finally sock.close()
+    }
+
+    private val acceptor = new Thread(() => {
+      while (running)
+        try { val s = server.accept(); new Thread(() => handle(s)).start() }
+        catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def close(): Unit = { running = false; server.close() }
+  }
+
+  private def k(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  /** two-partition topic: p0 = plain batch + gzip batch (with headers,
+    * null key); p1 = lz4 + control (skipped) + zstd + snappy batches. */
+  private def standardLogs: Map[Int, Seq[(Long, Long, Array[Byte])]] = Map(
+    0 -> Seq(
+      (0L, 2L, encodeBatch(0L, 1000L, Seq(
+        (k("k0"), k("v0"), Nil), (k("k1"), k("v1"), Nil), (k("k2"), k("v2"), Nil)))),
+      (3L, 4L, encodeBatch(3L, 2000L, Seq(
+        (null, k("v3"), Seq("h1" -> k("hv1"), "h2" -> null)),
+        (k("k4"), k("v4"), Nil)), codec = 1))),
+    1 -> Seq(
+      (0L, 1L, encodeBatch(0L, 3000L, Seq(
+        (k("a0"), k("b0"), Nil), (k("a1"), k("b1"), Nil)), codec = 3)),
+      (2L, 2L, encodeBatch(2L, 3500L, Seq(
+        (k("ctrl"), k("ctrl"), Nil)), control = true)),
+      (3L, 3L, encodeBatch(3L, 4000L, Seq((k("a3"), k("b3"), Nil)), codec = 4)),
+      (4L, 4L, encodeBatch(4L, 4500L, Seq((k("a4"), k("b4"), Nil)), codec = 2))))
+
+  test("reads a two-partition topic E2E: offsets, keys, headers, all codecs, control skipped") {
+    val broker = new FakeBroker("events", standardLogs)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events")
+      val rows = df.collect().map(r => (r.getInt(3), r.getLong(4),
+        Option(r.getAs[Array[Byte]](0)).map(new String(_)).orNull,
+        new String(r.getAs[Array[Byte]](1)))).sortBy(t => (t._1, t._2))
+      assert(rows.toSeq == Seq(
+        (0, 0L, "k0", "v0"), (0, 1L, "k1", "v1"), (0, 2L, "k2", "v2"),
+        (0, 3L, null, "v3"), (0, 4L, "k4", "v4"),
+        (1, 0L, "a0", "b0"), (1, 1L, "a1", "b1"),
+        (1, 3L, "a3", "b3"), (1, 4L, "a4", "b4"))) // offset 2 = control, skipped
+      // headers survive, including a null header value
+      val hdrs = df.where("partition = 0 AND offset = 3")
+        .selectExpr("explode(headers) as h").selectExpr("h.key", "h.value").collect()
+        .map(r => r.getString(0) -> Option(r.getAs[Array[Byte]](1)).map(new String(_)))
+      assert(hdrs.toSeq.sortBy(_._1) == Seq("h1" -> Some("hv1"), "h2" -> None))
+      // timestamps come from baseTimestamp + delta
+      val ts = df.where("partition = 0 AND offset = 1").collect().head.getTimestamp(5)
+      assert(ts.getTime == 1001L)
+    } finally broker.close()
+  }
+
+  test("numeric start/end offsets slice each partition; metadata v1 fallback works") {
+    val broker = new FakeBroker("events", standardLogs, metadataMax = 1)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        startOffset = "1", endOffset = "4")
+      val got = df.collect().map(r => (r.getInt(3), r.getLong(4))).sortBy(identity)
+      assert(got.toSeq == Seq((0, 1L), (0, 2L), (0, 3L), (1, 1L), (1, 3L)))
+    } finally broker.close()
+  }
+
+  test("a truncated final batch ends the decode instead of failing the read") {
+    val broker = new FakeBroker("events", standardLogs, truncateTail = true)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events")
+      assert(df.count() == 9L)
+    } finally broker.close()
+  }
+
+  test("decode refuses corrupt CRC and pre-v2 magic loudly") {
+    val bad = encodeBatch(0L, 0L, Seq((k("a"), k("b"), Nil)), corruptCrc = true)
+    val e1 = intercept[IllegalArgumentException](KafkaReader.decodeRecordSet(bad))
+    assert(e1.getMessage.contains("CRC"))
+    val old = encodeBatch(0L, 0L, Seq((k("a"), k("b"), Nil)), magic = 1)
+    val e2 = intercept[IllegalArgumentException](KafkaReader.decodeRecordSet(old))
+    assert(e2.getMessage.contains("v1"))
+  }
+
+  test("registry: kafka_topic routes to the native reader without the connector jar") {
+    val ref = graft.datatypes.DataRef("kafka_topic", "kafka://example.invalid:9092/t")
+    val (importable, _) = SparkReaders.recommend(ref)
+    assert(importable.exists(_.name == "kafka_native"))
+    // the gated connector reader stays declared (first in preference
+    // when its jar is present) but is not importable here
+    assert(!importable.exists(_.name == "spark_kafka"))
+  }
+
+  test("max_records option bounds the registry read like the reference consumer") {
+    val broker = new FakeBroker("events", standardLogs)
+    try {
+      val ref = graft.datatypes.DataRef("kafka_topic",
+        s"kafka://127.0.0.1:${broker.port}/events", Map("max_records" -> "4"))
+      val df = new KafkaReaderImpl().read(spark, ref)
+      assert(df.count() == 4L)
+    } finally broker.close()
+  }
+}
