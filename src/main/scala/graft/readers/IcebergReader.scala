@@ -471,12 +471,17 @@ object IcebergReader {
     }
     val (deleteManifests, allDataManifests) = manifestList.partition(_.isDelete)
     // ---- manifest-level file skipping -------------------------------
-    // A whole DATA manifest is skipped — never read — when a filter
+    // A whole manifest is skipped — never read — when a filter
     // conjunct's range test excludes its `partitions` summary bounds for
-    // an identity-transform field. Delete manifests always load: their
-    // rows can only remove data rows we keep, so skipping them is not
-    // needed for correctness and keeping them always is. Fail open on
-    // anything unexpected (missing summaries, unknown types).
+    // an identity-transform field. This applies to DELETE manifests too
+    // (round 9): a delete file is scoped to its own partition (position
+    // deletes target data files in it; a PARTITIONED equality delete
+    // applies only within it, the spec's rule — global equality deletes
+    // carry an unpartitioned spec, whose summary has no fields and so
+    // never excludes), so a delete manifest whose summary excludes the
+    // filter can only remove rows the residual filter drops anyway.
+    // Fail open on anything unexpected (missing summaries, unknown
+    // types).
     def manifestExcluded(m: ManifestRef): Boolean =
       filterConjs.nonEmpty && m.partitionsJson != null && scala.util.Try {
         val fields = specsById.getOrElse(m.specId, Nil)
@@ -519,24 +524,25 @@ object IcebergReader {
         throw new IllegalStateException("iceberg: manifest skipping without a schema"))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
-    val entries = loadEntries(dataManifests) ++ loadEntries(deleteManifests)
+    val liveDeleteManifests = deleteManifests.filterNot(manifestExcluded)
+    val entries = loadEntries(dataManifests) ++ loadEntries(liveDeleteManifests)
     val live = entries.filter(_.status != 2) // 2 = DELETED entry
     // content: 0 data, 1 position deletes, 2 equality deletes
     val (dataFiles, deleteFiles) = live.partition(_.content == 0)
-    val posDeleteFiles = deleteFiles.filter(_.content == 1)
-    val eqDeleteFiles = deleteFiles.filter(_.content == 2)
+    val posDeleteFiles0 = deleteFiles.filter(_.content == 1)
+    val eqDeleteFiles0 = deleteFiles.filter(_.content == 2)
     val (supportedData, others) = dataFiles.partition(e => e.fileFormat == "parquet" || e.fileFormat == "orc")
     require(others.isEmpty,
       s"iceberg: data file formats (${others.map(_.fileFormat).distinct.mkString(",")}) outside the supported profile (parquet/orc)")
     require(supportedData.nonEmpty, s"iceberg: snapshot $currentId has no live data files")
     // delete files must be parquet (the overwhelming writer default) —
     // an ORC/Avro delete file misread as parquet would corrupt silently
-    (posDeleteFiles ++ eqDeleteFiles).foreach(e => require(e.fileFormat == "parquet",
+    (posDeleteFiles0 ++ eqDeleteFiles0).foreach(e => require(e.fileFormat == "parquet",
       s"iceberg: ${e.fileFormat} delete files outside the supported profile"))
     // Spark exposes _metadata.row_index for parquet only, so position
     // deletes cannot key rows inside ORC data files — letting them
     // silently miss would resurrect deleted rows; refuse the combination
-    require(posDeleteFiles.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
+    require(posDeleteFiles0.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
       "iceberg: position deletes with ORC data files outside the supported profile (no row_index metadata for ORC)")
     // schema.name-mapping.default (spec "Name Mapping Serialization"):
     // Hive migrate/add_files imports write data files WITHOUT field
@@ -600,8 +606,8 @@ object IcebergReader {
     // file's `data_file.partition` tuple (identity fields; JSON keys
     // are the partition field names). Files without a readable tuple
     // are kept; a pruned-to-empty scan returns the typed empty result.
-    val scanData0: Seq[Entry] =
-      if (filterConjs.isEmpty || identityByField.isEmpty || sparkSchemaOpt.isEmpty) supportedData
+    def pruneIdentity(entries: Seq[Entry]): Seq[Entry] =
+      if (filterConjs.isEmpty || identityByField.isEmpty || sparkSchemaOpt.isEmpty) entries
       else scala.util.Try {
         val flds = identityByField.toSeq.sortBy(_._1)
         val st = sparkSchemaOpt.get
@@ -609,7 +615,7 @@ object IcebergReader {
           st.fields.find(_.name == srcName)
             .map(sf => org.apache.spark.sql.types.StructField(srcName, sf.dataType))
         }
-        if (partFields.size != flds.size) supportedData
+        if (partFields.size != flds.size) entries
         else {
           val om = new ObjectMapper()
           // a file written under an OLDER partition spec doesn't carry
@@ -620,7 +626,7 @@ object IcebergReader {
           // manifest spec: only files whose spec DECLARES every identity
           // field may prune, and a null there genuinely means every
           // row's source value is null.
-          val (withPj, withoutPj0) = supportedData.partition(_.partitionJson != null)
+          val (withPj, withoutPj0) = entries.partition(_.partitionJson != null)
           val (complete, missingKey) = withPj.partition { e =>
             val ownFields = specsById.getOrElse(e.specId, Nil).map(_.name).toSet
             val node = om.readTree(e.partitionJson)
@@ -637,10 +643,19 @@ object IcebergReader {
           }
           FileSkipping.partitionPrune(spark, partFields, tuples, filterConjs) match {
             case Some(kept) => complete.filter(e => kept.contains(e.filePath)) ++ withoutPj
-            case None       => supportedData
+            case None       => entries
           }
         }
-      }.getOrElse(supportedData)
+      }.getOrElse(entries)
+    val scanData0: Seq[Entry] = pruneIdentity(supportedData)
+    // Delete FILES prune by partition too (round 9): a surviving delete
+    // manifest can still list per-partition delete files the filter
+    // excludes — their rows could only remove data rows the residual
+    // filter drops anyway. The own-spec gate inside pruneIdentity keeps
+    // global (unpartitioned-spec) equality deletes untouched, and
+    // anything unreadable fails open exactly like the data path.
+    val posDeleteFiles = pruneIdentity(posDeleteFiles0)
+    val eqDeleteFiles = pruneIdentity(eqDeleteFiles0)
     // transform-aware per-file pruning. Bucket[N] fields support
     // equality/IN (the spec's murmur3 hash of the literal must equal
     // the stored bucket id); ORDER-PRESERVING transforms — truncate[W],

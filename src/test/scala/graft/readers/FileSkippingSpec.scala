@@ -606,4 +606,106 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.inputFiles.length == 2) // p=0 and p=1 opened
     assert(df.select("id").as[Long].collect().toSeq == Seq(11L)) // row0 filtered residually
   }
+
+  /** Data p=3 (one row) + p=7 (two rows); a DANGLING delete manifest
+    * whose summary covers [10,19]; a REAL pos-delete manifest covering
+    * [0,9] listing one real delete (p=7 pos 0) and one NONEXISTENT
+    * delete file for p=3; optionally a GLOBAL equality-delete manifest
+    * under the unpartitioned spec 1 (no summary) removing id=72. */
+  private def icebergDeletes(withGlobalEq: Boolean): JPath = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergdel")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val ids = Map("id" -> 1, "name" -> 2, "p" -> 3)
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    withFieldIds(Seq((31L, "row3", 3)).toDF("id", "name", "p"), ids)
+      .coalesce(1).write.parquet(s"$table/data/p3")
+    withFieldIds(Seq((71L, "row7a", 7), (72L, "row7b", 7)).toDF("id", "name", "p"), ids)
+      .coalesce(1).write.parquet(s"$table/data/p7")
+    val (f3, f7) = (partFile(s"$table/data/p3"), partFile(s"$table/data/p7"))
+    Seq((f7, 0L)).toDF("file_path", "pos").coalesce(1).write.parquet(s"$table/data/del7")
+    val del7 = partFile(s"$table/data/del7")
+    val eqPath = if (!withGlobalEq) null else {
+      withFieldIds(Seq(Tuple1(72L)).toDF("id"), Map("id" -> 1))
+        .coalesce(1).write.parquet(s"$table/data/eqdel")
+      partFile(s"$table/data/eqdel")
+    }
+
+    // (status, path, content, partition p (None = null), equality ids)
+    def manifest(dir: String, rows: Seq[(Int, String, Int, Option[Int], Seq[Int])]): String = {
+      val df = rows.map { case (st, p, c, pp, eq) =>
+        (st, p, c, pp.map(_.toString).orNull, if (eq.isEmpty) null else eq) }
+        .toDF("status", "file_path", "content", "pstr", "eq_ids")
+        .selectExpr("status", "cast(null as bigint) as sequence_number",
+          """named_struct('file_path', file_path, 'file_format', 'PARQUET',
+            |'content', content, 'partition', named_struct('p', cast(pstr as int)),
+            |'equality_ids', eq_ids) as data_file""".stripMargin)
+      writeAvro(df, dir)
+    }
+    val m0 = manifest(s"$table/metadata/m0", Seq(
+      (1, f3, 0, Some(3), Nil), (1, f7, 0, Some(7), Nil)))
+    val dmReal = manifest(s"$table/metadata/dm0", Seq(
+      (1, del7, 1, Some(7), Nil),
+      (1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), Nil)))
+    val dmEq = if (!withGlobalEq) null else manifest(s"$table/metadata/dmeq", Seq(
+      (1, eqPath, 2, None, Seq(1))))
+
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("sequence_number", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("partitions", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType), StructField("contains_nan", BooleanType),
+        StructField("lower_bound", BinaryType), StructField("upper_bound", BinaryType)))))))
+    def sum(lo: Int, hi: Int) = Seq(org.apache.spark.sql.Row(false, false, leInt(lo), leInt(hi)))
+    var listRows = Seq(
+      org.apache.spark.sql.Row(m0, 0, 1L, 0, sum(0, 9)),
+      org.apache.spark.sql.Row(dmReal, 1, 2L, 0, sum(0, 9)),
+      org.apache.spark.sql.Row(s"$table/metadata/DOES_NOT_EXIST_dm.avro", 1, 2L, 0, sum(10, 19)))
+    if (withGlobalEq)
+      listRows = listRows :+ org.apache.spark.sql.Row(dmEq, 1, 3L, 1, null)
+    import scala.jdk.CollectionConverters._
+    val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 2,
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"},
+         |    {"id": 3, "name": "p", "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": [
+         |      {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]},
+         |    {"spec-id": 1, "fields": []}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+    root
+  }
+
+  test("iceberg: delete manifests and delete files prune by partition; kept deletes apply") {
+    import spark.implicits._
+    val t = icebergDeletes(withGlobalEq = false)
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p = 7"))
+    // the [10,19] delete manifest is skipped UNREAD (its path does not
+    // exist); the p=3 delete file (nonexistent) prunes per-file; the
+    // p=7 pos delete still applies, removing (71, row7a)
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().toSeq ==
+      Seq((72L, "row7b", 7)))
+    // negative control: an unfiltered read must hit the dangling manifest
+    intercept[Exception](IcebergReader.read(spark, t.toString).count())
+  }
+
+  test("iceberg: global equality deletes (unpartitioned spec) survive partition pruning") {
+    val t = icebergDeletes(withGlobalEq = true)
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p = 7"))
+    // the pos delete removed 71; the GLOBAL eq delete (id=72, spec 1,
+    // no partition tuple) must NOT be pruned by the p=7 filter
+    assert(df.count() == 0L)
+  }
 }
