@@ -88,6 +88,12 @@ object Registry {
       Set("table"), Seq(0 -> ascii("PAR1"))),
     DataKind("csv", Seq("text/csv", "application/csv"), Seq("\\.csv(\\.|$)", "\\.tsv(\\.|$)"),
       Set("table"), headOk = (h, _) => printableHead(h)),
+    // HuggingFace-style model directory marker (datatypes.py ModelConfig:
+    // filepattern config.json, magic "model_type":) — outranks plain json
+    // via magic; reads through the json reader (the config IS json)
+    DataKind("model_config", Nil, Seq("config\\.json$"), Set("model", "nested"),
+      magic = Seq(-1 -> ascii("\"model_type\":")),
+      headOk = (h, _) => headText(h).contains("\"model_type\":")),
     DataKind("json", Seq("application/json", "text/json"), Seq("\\.json(l|)$", "\\.ndjson$"),
       Set("nested"),
       headOk = (h, _) => { val t = headText(h).dropWhile(_.isWhitespace); t.isEmpty || t.startsWith("{") || t.startsWith("[") }),
@@ -117,6 +123,14 @@ object Registry {
       headOk = (h, _) => {
         val t = headText(h)
         Seq("entries:", "sources:", "data:", "aliases:").exists(t.contains)
+      }),
+    // THREDDS catalog XML before plain xml: the reference's offset-free
+    // magic is "<catalog " inside an XML document (datatypes.py THREDDSCatalog)
+    DataKind("thredds_catalog", Nil, Seq("catalog\\.xml$"), Set("catalog"),
+      magic = Seq(-1 -> ascii("<catalog ")),
+      headOk = (h, _) => {
+        val t = headText(h)
+        t.dropWhile(_.isWhitespace).startsWith("<") && t.contains("<catalog ")
       }),
     DataKind("xml", Seq("application/xml", "text/xml"), Seq("\\.xml$"), Set("nested"),
       headOk = (h, _) => headText(h).dropWhile(_.isWhitespace).startsWith("<")),
@@ -164,6 +178,7 @@ object Registry {
     // misreading the transactional layout as plain zarr
     DataKind("icechunk", Nil, Seq("\\.icechunk/?$"), Set("array"),
       contains = Seq("snapshots")),
+    DataKind("raw_buffer", Nil, Seq("\\.raw$"), Set("array")),
     DataKind("numpy", Nil, Seq("\\.npy$"), Set("array"),
       Seq(0 -> (bytes(0x93) ++ ascii("NUMPY")))),
     DataKind("npz", Nil, Seq("\\.npz$"), Set("array"), Seq(0 -> ascii("PK\u0003\u0004"))),
@@ -290,6 +305,10 @@ object Registry {
       headOk = (h, _) => { val t = headText(h); t.contains("V2000") || t.contains("V3000") }),
     // patterns match against the lowercased url (matchesPattern), so the
     // THREDDS "dodsC" path segment is written lowercase here
+    // hdl:/doi: persistent identifiers resolve URL->URL through the
+    // handle REST API (readers.py:980 HandleToUrlReader) — identified by
+    // scheme only, like the reference (magic = none)
+    DataKind("handle", Nil, Seq("^hdl:", "^doi:"), Set("service")),
     DataKind("opendap", Nil, Seq("/(dodsc|dods|opendap)/", "\\.dods$"), Set("array", "service")),
     DataKind("mqtt", Nil, Seq("^mqtts?://"), Set("sequence", "service")),
     DataKind("arrow_flight", Nil, Seq("^grpc(\\+tls)?://"), Set("table", "service")),
@@ -308,6 +327,8 @@ object Registry {
       headOk = (h, _) => headText(h).startsWith(">")),
     DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),
       headOk = (h, _) => headText(h).startsWith("@")),
+    DataKind("vcf", Seq("text/x-variant-call-format"), Seq("\\.vcf$", "\\.vcf\\.gz$"),
+      Set("table", "sequence"), Seq(0 -> ascii("##fileformat=VCF"))),
     // Value embedded in the catalog itself (reference Literal :923) —
     // never URL-detected, addressed by kind only
     DataKind("literal", Nil, Nil, Set("nested")),

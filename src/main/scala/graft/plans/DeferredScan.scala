@@ -55,6 +55,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (connector semantics: register once, every query sees the live
   * table), and a self-joined view realizes one independent subtree per
   * leg (via [[MultiInstanceRelation]]) with no shared expression ids.
+  *
+  * Profile note: this machinery (and native-table file skipping in
+  * general) is BATCH-only. There is no native `readStream` over a
+  * Delta/Iceberg path — continuous log/snapshot tailing is the
+  * connector jars' job — so no streaming query composes with this leaf.
   */
 case class DeferredScan(tableDesc: String, output: Seq[Attribute],
     rescan: Option[String] => DataFrame) extends LeafNode with MultiInstanceRelation {

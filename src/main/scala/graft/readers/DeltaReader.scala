@@ -503,7 +503,20 @@ object DeltaReader {
           case c: Cast => c.dataType == org.apache.spark.sql.types.DateType &&
             c.child.isInstanceOf[UnresolvedAttribute]
           case f: UnresolvedFunction =>
-            Set("date_trunc", "trunc", "year").contains(f.nameParts.last.toLowerCase)
+            Set("date_trunc", "trunc", "year").contains(f.nameParts.last.toLowerCase) ||
+              // date_format is monotone EXACTLY when the pattern renders
+              // zero-padded fields most-significant-first with fixed
+              // separators — then lexicographic string order equals time
+              // order (within years 0000-9999, like every row here).
+              // 'yyyy', 'yyyy-MM', 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss'
+              // and the / and T variants qualify; anything else (e.g.
+              // 'MM-dd', 'dd', locale month names) stays fail-open.
+              (f.nameParts.last.toLowerCase == "date_format" && f.arguments.lift(1).exists {
+                case org.apache.spark.sql.catalyst.expressions.Literal(
+                    v: org.apache.spark.unsafe.types.UTF8String, _) =>
+                  v.toString.matches("yyyy([-/]MM([-/]dd([ T]HH(:mm(:ss)?)?)?)?)?")
+                case _ => false
+              })
           case _ => false
         }
         // the literal's TEXT must come from CAST(.. AS STRING) inside the

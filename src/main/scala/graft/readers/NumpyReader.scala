@@ -81,6 +81,34 @@ object NumpyReader {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Raw C/FORTRAN array buffer without metadata (reference
+    * datatypes.py RawBuffer `.raw` / readers.py RawBufferToNumpy
+    * `np.fromfile(url, dtype)`): a flat typed buffer whose dtype the
+    * CALLER supplies — the file carries none, so there is nothing to
+    * infer. Decodes executor-side via binaryFile into the long
+    * (path, idx, value) form the NPY reader uses. */
+  def readRaw(spark: SparkSession, pathOrGlob: String, dtype: String): DataFrame = {
+    val width = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("=") match {
+      case "f8" | "i8" => 8
+      case "f4" | "i4" => 4
+      case "i2"        => 2
+      case "b1" | "i1" => 1
+      case other => throw new UnsupportedOperationException(s"raw buffer dtype $other")
+    }
+    val files = spark.read.format("binaryFile").load(pathOrGlob).select("path", "content")
+    val schema = StructType(Seq(StructField("path", StringType),
+      StructField("idx", LongType), StructField("value", DoubleType)))
+    val dt = dtype
+    val rdd = files.rdd.flatMap { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      require(bytes.length % width == 0,
+        s"raw buffer ${r.getString(0)}: ${bytes.length} bytes is not a multiple of $dt width $width")
+      val h = Header(dt, fortran = false, Seq(bytes.length / width), 0)
+      values(bytes, h).iterator.zipWithIndex.map { case (v, i) => Row(r.getString(0), i.toLong, v) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** NPZ: zip of named .npy members → (member, idx, value/values). */
   def readNpz(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile")
@@ -113,4 +141,14 @@ class NumpyReaderImpl extends Reader {
   def read(spark: SparkSession, ref: DataRef): DataFrame =
     if (ref.url.endsWith(".npz")) NumpyReader.readNpz(spark, ref.url)
     else NumpyReader.read(spark, ref.url)
+}
+
+class RawBufferReaderImpl extends Reader {
+  val name = "raw_buffer_reader"
+  val implementsKinds = Set("raw_buffer")
+  def read(spark: SparkSession, ref: DataRef): DataFrame =
+    NumpyReader.readRaw(spark, ref.url, ref.options.getOrElse("dtype",
+      throw new IllegalArgumentException(
+        "raw_buffer needs a dtype option (f8/f4/i8/i4/i2/i1 [+ </> endian prefix]) — " +
+          "the file carries no metadata, matching the reference RawBuffer's required dtype")))
 }

@@ -49,7 +49,8 @@ object SparkReaders {
   val parquet = new FormatReader("spark_parquet", "parquet", Set("parquet"))
   val csv = new FormatReader("spark_csv", "csv", Set("csv"),
     defaults = Map("header" -> "true", "inferSchema" -> "true"))
-  val json = new FormatReader("spark_json", "json", Set("json", "geojson"))
+  // model_config (HF-style config.json) IS json — one nested row
+  val json = new FormatReader("spark_json", "json", Set("json", "geojson", "model_config"))
   val orc = new FormatReader("spark_orc", "orc", Set("orc"))
   val text = new FormatReader("spark_text", "text", Set("text", "markdown", "fasta", "fastq", "ini", "toml", "yaml", "rst", "python_source", "svg"))
   val binary = new FormatReader("spark_binary", "binaryFile",
@@ -185,6 +186,8 @@ object SparkReaders {
   val numpy: Reader = new NumpyReaderImpl
   val fasta: Reader = new FastaReaderImpl
   val fastq: Reader = new FastqReaderImpl
+  val vcfR: Reader = new VcfReaderImpl
+  val rawBuffer: Reader = new RawBufferReaderImpl
   val kml: Reader = new KmlReaderImpl
   val gpx: Reader = new GpxReaderImpl
   val mbtiles: Reader = new MBTilesReaderImpl
@@ -315,7 +318,7 @@ object SparkReaders {
 
   // order is preference order; the generic binaryFile fallback goes last
   // so format-specific readers win their kinds
-  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, kafkaNative, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, icechunk, literal, archive, docText, json, text, binary)
+  val all: Seq[Reader] = Seq(parquet, csv, orc, image, xml, avro, delta, deltaNative, iceberg, icebergNative, jdbc, kafka, kafkaNative, pattern, arrowIpc, netcdf3, tfrecord, sqlite, lance, pmtiles, msgpack, matrixMarket, stata, matlab, shapefile, spss, geopackage, fits, nifti, grib2, las, pdb, hdf5, geotiff, excel, geojson, kml, gpx, mbtiles, sas, xpt, flatgeobuf, nrrd, arrayPattern, ogcFeatures, prometheus, socrata, elasticsearch, redis, influx, mongo, mqtt, websocket, arrowFlight, opendap, zarr, numpy, fasta, fastq, vcfR, rawBuffer, iniR, tomlR, hfParquet, earthdata, sklearnExample, torchDataset, tfdsDataset, icechunk, literal, archive, docText, json, text, binary)
 
   /** kind → candidate readers, importable first (reference
     * readers.py:1799-1820 `recommend`).

@@ -133,6 +133,11 @@ class FastqReaderImpl extends Reader {
   val implementsKinds = Set("fastq")
   def read(spark: SparkSession, ref: DataRef): DataFrame = SeqFormatReaders.fastq(spark, ref.url)
 }
+class VcfReaderImpl extends Reader {
+  val name = "vcf_reader"
+  val implementsKinds = Set("vcf")
+  def read(spark: SparkSession, ref: DataRef): DataFrame = SeqFormatReaders.vcf(spark, ref.url)
+}
 class IniReaderImpl extends Reader {
   val name = "ini_reader"
   val implementsKinds = Set("ini")

@@ -212,6 +212,21 @@ class DeferredScanSpec extends SparkSpec {
     intercept[Exception](df.count())
   }
 
+  test("delta: column pruning and residual pushdown reach the parquet scan") {
+    val df = DeltaReader.table(spark, delta100(7, 8).toString)
+    df.createOrReplaceTempView("ds_delta_prune")
+    val q = spark.sql("SELECT name FROM ds_delta_prune WHERE p = 7 AND id > 0")
+    val plan = q.queryExecution.executedPlan.toString
+    // the realized subtree is ordinary FileScan parquet: Catalyst prunes
+    // the read schema to the referenced data columns and pushes the
+    // residual data conjunct into the scan — the DSv2
+    // SupportsPushDownRequiredColumns/Filters behaviors, for free
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.matches("(?s).*ReadSchema:[^\\n]*p:.*"), s"partition col in read schema:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters:[^\\n]*GreaterThan\\(id,0\\).*"), plan)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta"))
+  }
+
   test("iceberg: Catalog.sql over the registry wrapper prunes") {
     val t = iceberg100()
     val cat = graft.catalog.Catalog()

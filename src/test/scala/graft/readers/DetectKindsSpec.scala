@@ -60,4 +60,51 @@ class DetectKindsSpec extends AnyFunSuite {
       gated.head.read(null, DataRef("icechunk", "file:///d/repo")))
     assert(e.getMessage.contains("icechunk"))
   }
+
+  // round-9 registry-audit closure rows (VERDICT r8 #4)
+
+  test("vcf detects by ##fileformat magic + extension and routes to the native parser") {
+    val head = "##fileformat=VCFv4.3\n##source=x\n#CHROM\tPOS\n".getBytes("UTF-8")
+    val got = Detect.recommend("file:///d/calls.vcf", head = head)
+    assert(got.headOption.exists(_.kind.name == "vcf"))
+    val gz = Detect.recommend("file:///d/calls.vcf.gz")
+    assert(gz.headOption.exists(_.kind.name == "vcf"))
+    val (importable, _) = SparkReaders.recommend(DataRef("vcf", "file:///d/calls.vcf"))
+    assert(importable.headOption.exists(_.name == "vcf_reader"))
+  }
+
+  test("thredds catalog.xml outranks plain xml; plain xml stays xml") {
+    val head = """<?xml version="1.0"?><catalog xmlns="x"><dataset/></catalog>""".getBytes("UTF-8")
+    val got = Detect.recommend("https://tds.example/thredds/catalog.xml", head = head)
+    assert(got.headOption.exists(_.kind.name == "thredds_catalog"))
+    val plain = Detect.recommend("file:///d/data.xml", head = "<row a='1'/>".getBytes("UTF-8"))
+    assert(plain.headOption.exists(_.kind.name == "xml"))
+  }
+
+  test("model_config (config.json + model_type magic) outranks json and reads as json") {
+    val head = """{"model_type": "llama", "hidden_size": 4096}""".getBytes("UTF-8")
+    val got = Detect.recommend("file:///models/m/config.json", head = head)
+    assert(got.headOption.exists(_.kind.name == "model_config"))
+    // a config.json WITHOUT the marker stays plain json
+    val plain = Detect.recommend("file:///d/config.json", head = """{"a": 1}""".getBytes("UTF-8"))
+    assert(plain.headOption.exists(_.kind.name == "json"))
+    val (importable, _) = SparkReaders.recommend(DataRef("model_config", "file:///models/m/config.json"))
+    assert(importable.exists(_.name == "spark_json"))
+  }
+
+  test("handle identifiers classify by scheme (URL->URL dispatch, no reader)") {
+    val got = Detect.recommend("hdl:20.500.12345/abc")
+    assert(got.headOption.exists(_.kind.name == "handle"))
+    assert(Detect.recommend("doi:10.1000/xyz").headOption.exists(_.kind.name == "handle"))
+  }
+
+  test("raw buffers classify by .raw and require an explicit dtype to read") {
+    val got = Detect.recommend("file:///d/block.raw")
+    assert(got.headOption.exists(_.kind.name == "raw_buffer"))
+    val (importable, _) = SparkReaders.recommend(DataRef("raw_buffer", "file:///d/block.raw"))
+    assert(importable.headOption.exists(_.name == "raw_buffer_reader"))
+    val e = intercept[IllegalArgumentException](
+      importable.head.read(null, DataRef("raw_buffer", "file:///d/block.raw")))
+    assert(e.getMessage.contains("dtype"))
+  }
 }

@@ -248,6 +248,44 @@ class FileSkippingSpec extends SparkSpec {
     assert(band.count() == 1)
   }
 
+  test("delta: date_format generated columns derive range filters when monotone") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("deltagenfmt")
+    def writeTs(rel: String, ts: String): Unit = {
+      val tmp = Files.createTempDirectory("dgf").toString
+      Seq((1L, java.sql.Timestamp.valueOf(ts))).toDF("id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      val dest = t.resolve(rel); Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(part), dest)
+    }
+    // month partition via date_format(ts, 'yyyy-MM') — the real-table
+    // pattern the cast/trunc whitelist missed; only 2024-03 exists
+    writeTs("ym=2024-03/f.parquet", "2024-03-15 07:30:00")
+    def table(genExpr: String): Unit = {
+      val genMeta = new MetadataBuilder()
+        .putString("delta.generationExpression", genExpr).build()
+      val genSchema = StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType),
+        StructField("ym", StringType, nullable = true, genMeta))).json
+      val adds = Seq("2024-01", "2024-02", "2024-03", "2024-04").map(m =>
+        addAction(s"ym=$m/f.parquet", s"""{"ym":"$m"}"""))
+      writeCommit(t, 0, Seq(protocolAction, metaAction(genSchema, Seq("ym"))) ++ adds)
+    }
+    table("date_format(ts, 'yyyy-MM')")
+    // a March band derives ym >= '2024-03' AND ym <= '2024-03' — the
+    // dangling other months cannot even plan if derivation fails
+    val band = DeltaReader.read(spark, t.toString,
+      filter = Some("ts >= TIMESTAMP '2024-03-01 00:00:00' AND ts < TIMESTAMP '2024-03-20 00:00:00'"))
+    assert(band.inputFiles.length == 1, s"expected 1 file, got ${band.inputFiles.toSeq}")
+    assert(band.count() == 1)
+    // a NON-monotone pattern ('MM' alone reorders across years) must NOT
+    // derive ranges — the read fails open and hits the dangling files
+    table("date_format(ts, 'MM')")
+    intercept[Exception](DeltaReader.read(spark, t.toString,
+      filter = Some("ts >= TIMESTAMP '2024-03-01 00:00:00'")).count())
+  }
+
   test("delta: stats prune under column mapping via physical-name keys") {
     import spark.implicits._
     val t = Files.createTempDirectory("deltamappedstats")

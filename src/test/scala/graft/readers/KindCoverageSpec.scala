@@ -16,7 +16,11 @@ class KindCoverageSpec extends AnyFunSuite {
     "thredds_catalog", "cmr", "intake_v1", "datapackage",
     // stacjson detects static STAC documents (stac_version + structural
     // keys); the route is StacCatalog.walk, a catalog not a DataFrame
-    "stacjson")
+    "stacjson",
+    // hdl:/doi: identifiers resolve URL->URL through
+    // ServiceReaders.resolveHandle (readers.py:980 HandleToUrlReader) —
+    // the output is a reference to re-detect, not a DataFrame
+    "handle")
   private val scopedOut = Set("tiledb")
 
   test("every classifiable kind has a reader candidate or a documented dispatch") {

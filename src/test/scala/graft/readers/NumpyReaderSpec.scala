@@ -75,4 +75,19 @@ class NumpyReaderSpec extends SparkSpec {
     val rows = df.as[(String, Long, Seq[Double])].collect().sortBy(r => (r._1, r._2))
     assert(rows.toSeq == Seq(("a", 0L, Seq(7.0)), ("a", 1L, Seq(8.0)), ("b", 0L, Seq(9.0, 10.0))))
   }
+
+  test("raw buffers decode with the caller's dtype; misaligned sizes refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("raw")
+    val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(1.5f).putFloat(-2.0f).putFloat(3.25f)
+    java.nio.file.Files.write(dir.resolve("block.raw"), bb.array())
+    val df = NumpyReader.readRaw(spark, s"file://$dir/block.raw", "<f4")
+    assert(df.select("idx", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((0L, 1.5), (1L, -2.0), (2L, 3.25)))
+    // 12 bytes is not a multiple of 8 — refuse, never misread
+    val e = intercept[org.apache.spark.SparkException](
+      NumpyReader.readRaw(spark, s"file://$dir/block.raw", "f8").collect())
+    assert(e.getMessage.contains("multiple") || e.getCause != null)
+  }
 }
