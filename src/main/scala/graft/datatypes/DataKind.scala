@@ -327,8 +327,12 @@ object Registry {
       headOk = (h, _) => headText(h).startsWith(">")),
     DataKind("fastq", Nil, Seq("\\.fastq$", "\\.fq$"), Set("sequence"),
       headOk = (h, _) => headText(h).startsWith("@")),
+    // head gate: the OTHER ubiquitous .vcf — vCard contact files — must
+    // not classify as variant calls (headOk only applies when a head is
+    // available, so URL-only and gz-stripped detection still route)
     DataKind("vcf", Seq("text/x-variant-call-format"), Seq("\\.vcf$", "\\.vcf\\.gz$"),
-      Set("table", "sequence"), Seq(0 -> ascii("##fileformat=VCF"))),
+      Set("table", "sequence"), Seq(0 -> ascii("##fileformat=VCF")),
+      headOk = (h, _) => headText(h).contains("##fileformat=VCF")),
     // Value embedded in the catalog itself (reference Literal :923) —
     // never URL-detected, addressed by kind only
     DataKind("literal", Nil, Nil, Set("nested")),

@@ -139,7 +139,11 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
     * the semantics; only pruning power is lost). Deterministic only —
     * nondeterministic predicates must evaluate once per row at scan
     * time, never at plan time — and the text must round-trip through
-    * the parser, since the reader re-parses it. */
+    * the parser AND re-resolve with BUILTIN functions only: a resolved
+    * ScalaUDF renders as `UDF(...)` (parses, resolves to nothing), and
+    * a session-registered function may not exist in the conf-scoped
+    * clone some readers build their residual filter in. Rejecting
+    * non-builtin function names keeps both failure modes impossible. */
   private def renderConjunct(e: Expression): Option[String] = scala.util.Try {
     require(e.deterministic, "nondeterministic")
     require(!SubqueryExpression.hasSubquery(e), "subquery")
@@ -147,7 +151,15 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
       case a: AttributeReference => a.withQualifier(Nil)
     }
     val sql = bare.sql
-    CatalystSqlParser.parseExpression(sql)
+    val reparsed = CatalystSqlParser.parseExpression(sql)
+    reparsed.foreach {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        require(f.nameParts.length == 1 &&
+          org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head)),
+          s"non-builtin function ${f.nameParts.mkString(".")}")
+      case _ => ()
+    }
     sql
   }.toOption
 
@@ -159,9 +171,18 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
   private def realize(scan: DeferredScan, filterSql: Option[String]): LogicalPlan = {
     val df = scan.rescan(filterSql)
     val src = df.queryExecution.optimizedPlan
-    require(src.output.size == scan.output.size,
+    // names AND types, not just arity: a same-width evolution (rename,
+    // reorder, type change) re-aliased positionally would serve wrong
+    // data under the registered names
+    val drifted = src.output.size != scan.output.size ||
+      src.output.zip(scan.output).exists { case (from, to) =>
+        !from.name.equalsIgnoreCase(to.name) ||
+          from.dataType.catalogString != to.dataType.catalogString
+      }
+    require(!drifted,
       s"deferred scan ${scan.tableDesc}: schema changed since registration " +
-        s"(${scan.output.size} -> ${src.output.size} columns); re-register the view")
+        s"(${scan.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(",")} -> " +
+        s"${src.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(",")}); re-register the view")
     val aliases: Seq[NamedExpression] = src.output.zip(scan.output).map {
       case (from, to) => Alias(from, to.name)(exprId = to.exprId)
     }

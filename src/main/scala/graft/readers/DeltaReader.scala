@@ -504,17 +504,21 @@ object DeltaReader {
             c.child.isInstanceOf[UnresolvedAttribute]
           case f: UnresolvedFunction =>
             Set("date_trunc", "trunc", "year").contains(f.nameParts.last.toLowerCase) ||
-              // date_format is monotone EXACTLY when the pattern renders
+              // date_format is monotone when the pattern renders
               // zero-padded fields most-significant-first with fixed
               // separators — then lexicographic string order equals time
-              // order (within years 0000-9999, like every row here).
-              // 'yyyy', 'yyyy-MM', 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss'
-              // and the / and T variants qualify; anything else (e.g.
-              // 'MM-dd', 'dd', locale month names) stays fail-open.
+              // order. DATE granularity only ('yyyy', 'yyyy-MM',
+              // 'yyyy-MM-dd' and / variants): time-of-day components
+              // (HH/mm/ss) render the session zone's LOCAL clock, which
+              // runs BACKWARD across a DST fall-back — deriving a range
+              // through them could prune a file whose rows match.
+              // (Date-granularity shares the cast-to-date whitelist's
+              // exposure to the exotic midnight-transition zones, and no
+              // more.) Anything else ('MM', 'dd', locale names) fails open.
               (f.nameParts.last.toLowerCase == "date_format" && f.arguments.lift(1).exists {
                 case org.apache.spark.sql.catalyst.expressions.Literal(
                     v: org.apache.spark.unsafe.types.UTF8String, _) =>
-                  v.toString.matches("yyyy([-/]MM([-/]dd([ T]HH(:mm(:ss)?)?)?)?)?")
+                  v.toString.matches("yyyy([-/]MM([-/]dd)?)?")
                 case _ => false
               })
           case _ => false

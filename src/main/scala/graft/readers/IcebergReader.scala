@@ -37,7 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with the spec's sequence-number ordering: a delete row removes data
   * rows matching its equality columns only in data files whose
   * sequence number is strictly below the delete file's (the schema's
-  * field-id map resolves `equality_ids` to column names). ORC data
+  * field-id map resolves `equality_ids` to column names), and — round
+  * 9 — SCOPED to the delete file's own partition when its spec is
+  * partitioned (the spec's rule; identity transforms re-express the
+  * tuple over data columns; a non-identity-partitioned equality delete
+  * refuses loudly, since global application would over-delete). ORC data
   * files (common in Hive-migrated tables) scan through Spark's native
   * ORC source, unioned with the parquet scan — by NAME (no ORC
   * field-id matcher in Spark), so ORC renames don't resolve. Avro data
@@ -73,6 +77,44 @@ object IcebergReader {
     * mutable global state: specs exercising the refusal pass a small
     * value, and concurrent reads can't race each other's caps. */
   val DefaultMaxManifestEntries: Long = 4_000_000L
+
+  // one conf-scoped clone per caller session, rebuilt only when the
+  // caller's runtime confs change (a repeated-query workload — e.g. a
+  // deferred view realizing per query — must not pay SessionState
+  // construction every read). Weak keys: a dropped caller session must
+  // not be pinned by its clone.
+  private val cloneCache =
+    new java.util.WeakHashMap[SparkSession, (Map[String, String], SparkSession)]()
+
+  /** The field-id-scoped scan session for `spark`: runtime confs copied
+    * (newSession() starts from SparkConf defaults — cast/timezone
+    * semantics must match the caller), the two fieldId confs forced on,
+    * and the caller's session-registered FUNCTIONS carried over so a
+    * residual filter naming one still resolves here. */
+  private def scanClone(spark: SparkSession): SparkSession = cloneCache.synchronized {
+    val confs = spark.conf.getAll
+    val cached = Option(cloneCache.get(spark)).collect { case (k, s2) if k == confs => s2 }
+    val s2 = cached.getOrElse {
+      val fresh = spark.newSession()
+      confs.foreach { case (k, v) =>
+        scala.util.Try(fresh.conf.set(k, v)) // static/non-settable keys skip
+      }
+      fresh.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      fresh.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      cloneCache.put(spark, (confs, fresh))
+      fresh
+    }
+    // functions can be registered at any time — sync the delta each read
+    val src = spark.sessionState.functionRegistry
+    val dst = s2.sessionState.functionRegistry
+    src.listFunction().foreach { f =>
+      if (!dst.functionExists(f))
+        src.lookupFunction(f).zip(src.lookupFunctionBuilder(f)).foreach {
+          case (info, builder) => dst.registerFunction(f, info, builder)
+        }
+    }
+    s2
+  }
 
   private def fs(url: String, conf: Configuration): FileSystem =
     FileSystem.get(new URI(url).resolve("/"), conf)
@@ -585,22 +627,13 @@ object IcebergReader {
     // it was created with (FileSourceScanExec builds its reader from
     // relation.sparkSession), so scans built here honor field-id
     // matching at execution no matter which session runs the query,
-    // while the caller's own spark.read.parquet stays by-name. The
-    // clone copies every runtime conf first (newSession() starts from
-    // SparkConf defaults) so cast/timezone semantics match the caller.
+    // while the caller's own spark.read.parquet stays by-name. See
+    // [[scanClone]] for what the clone carries (runtime confs +
+    // user-registered functions) and the per-caller reuse.
     // Needed whenever a schema exists — equality-DELETE file reads use
     // field-id matching even when every data file is ORC.
     val scanSession: SparkSession =
-      if (sparkSchemaOpt.isEmpty) spark
-      else {
-        val s2 = spark.newSession()
-        spark.conf.getAll.foreach { case (k, v) =>
-          scala.util.Try(s2.conf.set(k, v)) // static/non-settable keys skip
-        }
-        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        s2.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-        s2
-      }
+      if (sparkSchemaOpt.isEmpty) spark else scanClone(spark)
     // ---- per-file partition pruning ---------------------------------
     // Exact evaluation of partition-only conjuncts against each data
     // file's `data_file.partition` tuple (identity fields; JSON keys
@@ -913,13 +946,42 @@ object IcebergReader {
             raise_error(concat(lit("iceberg: data file missing from sequence map: "), col("__file"))).cast("bigint"))
             .otherwise(col("__seq0")))
         .drop("__seq_file", "__seq0")
-      // group delete files by their equality-column set
+      // Partition SCOPE (spec rule): an equality delete written under a
+      // PARTITIONED spec applies only to data rows in ITS partition;
+      // only unpartitioned-spec deletes are global. The scope
+      // re-expresses the file's partition tuple over data columns,
+      // which identity transforms permit exactly; a non-identity
+      // partitioned spec refuses loudly — applying such a delete
+      // globally would over-delete, a silent wrong answer.
+      def scopeOf(e: Entry): Seq[(String, Option[String])] = {
+        val pfs = specsById.getOrElse(e.specId, Nil)
+        if (pfs.isEmpty) Nil // unpartitioned spec: global application
+        else {
+          require(pfs.forall(_.transform == "identity"),
+            s"iceberg: equality delete file ${e.filePath} under a non-identity partition " +
+              "spec — scoped application is outside this native reader's profile; " +
+              "read the table with the iceberg-spark connector jar")
+          require(e.partitionJson != null,
+            s"iceberg: equality delete file ${e.filePath} carries no partition tuple to scope by")
+          val node = new ObjectMapper().readTree(e.partitionJson)
+          pfs.map { pf =>
+            val (srcName, _) = schemaFieldById.getOrElse(pf.sourceId,
+              throw new IllegalArgumentException(
+                s"iceberg: equality delete partition source id ${pf.sourceId} not in the table schema"))
+            srcName -> Option(node.get(pf.name)).filterNot(_.isNull).map(_.asText())
+          }
+        }
+      }
+      // group delete files by (equality-column set, partition scope) —
+      // one anti-join per group; CDC-style tables keep this small (few
+      // partitions carry live eq deletes after pruning)
       val groups = eqDeleteFiles.groupBy { e =>
         require(e.equalityIds.nonEmpty, "iceberg: equality delete file without equality_ids")
-        e.equalityIds.map(i => fieldNames.getOrElse(i,
-          throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).sorted
+        (e.equalityIds.map(i => fieldNames.getOrElse(i,
+          throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).sorted,
+          scopeOf(e))
       }
-      groups.foreach { case (cols, files) =>
+      groups.foreach { case ((cols, scope), files) =>
         val delPaths = files.map(e => resolve(e.filePath, table)).distinct
         val delSeqDf = broadcast(files.map(e =>
           (PathKeys.driverKey(resolve(e.filePath, table), tableFs), e.seq)).toSeq.toDF("__del_seq_file", "__del_seq"))
@@ -941,8 +1003,16 @@ object IcebergReader {
               raise_error(concat(lit("iceberg: delete file missing from sequence map: "), col("__del_file"))).cast("bigint"))
               .otherwise(col("__del_seq")))
           .select(cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
-        val cond = cols.map(c => col(c) <=> col(s"__del_$c")).reduce(_ && _) &&
-          col("__seq") < col("__del_seq")
+        // the scope narrows the anti-join to the delete's own partition:
+        // identity tuple values cast exactly like attached partition
+        // columns; a null tuple value matches null source rows (<=>)
+        val scopeCond = scope.map { case (src, v) =>
+          val st = sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
+            s"iceberg: cannot scope equality delete on $src without a schema in the metadata"))
+          col(src) <=> lit(v.orNull).cast(st(src).dataType)
+        }
+        val cond = (cols.map(c => col(c) <=> col(s"__del_$c")) ++ scopeCond)
+          .reduce(_ && _) && col("__seq") < col("__del_seq")
         data = data.join(deletes, cond, "left_anti")
       }
     }

@@ -384,26 +384,36 @@ object KafkaReader {
       .flatMap { s =>
         if (s.start >= s.end) Iterator.empty
         else {
+          // LAZY fetch loop: at most one Fetch response (<= maxBytes
+          // compressed + its decoded batches) lives in memory at a time,
+          // so a 100M-record partition streams through the task instead
+          // of materializing in executor heap. The connection closes on
+          // task completion (normal or not), not via try/finally — the
+          // iterator outlives this block.
           val c = connect(s.host, s.port, timeoutB, clientB)
-          try {
-            val buf = Seq.newBuilder[Row]
-            var offset = s.start
-            var done = false
-            while (!done) {
-              val (err, hw, set) = fetch(c, topicB, s.partition, offset, 4 * 1024 * 1024)
-              require(err == 0, s"kafka: Fetch error $err for $topicB-${s.partition}" +
-                (if (err == 1) " (OFFSET_OUT_OF_RANGE — data expired under the reader)" else ""))
-              val (records, next) = decodeRecordSet(set)
-              records.iterator.takeWhile(_.offset < s.end).filter(_.offset >= offset).foreach { r =>
-                buf += Row(r.key, r.value, topicB, s.partition, r.offset,
-                  new java.sql.Timestamp(r.timestamp), r.timestampType,
-                  r.headers.map { case (k, v) => Row(k, v) })
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => scala.util.Try(c.close())))
+          new Iterator[Row] {
+            private var offset = s.start
+            private var done = false
+            private var cur: Iterator[Row] = Iterator.empty
+            private def fill(): Unit =
+              while (!done && !cur.hasNext) {
+                val (err, hw, set) = fetch(c, topicB, s.partition, offset, 4 * 1024 * 1024)
+                require(err == 0, s"kafka: Fetch error $err for $topicB-${s.partition}" +
+                  (if (err == 1) " (OFFSET_OUT_OF_RANGE — data expired under the reader)" else ""))
+                val (records, next) = decodeRecordSet(set)
+                val lo = offset
+                cur = records.iterator.filter(r => r.offset >= lo && r.offset < s.end).map(r =>
+                  Row(r.key, r.value, topicB, s.partition, r.offset,
+                    new java.sql.Timestamp(r.timestamp), r.timestampType,
+                    r.headers.map { case (k, v) => Row(k, v) }))
+                if (next >= s.end || next <= offset || hw <= offset) done = true
+                else offset = next
               }
-              if (next >= s.end || next <= offset || hw <= offset) done = true
-              else offset = next
-            }
-            buf.result().iterator
-          } finally c.close()
+            def hasNext: Boolean = { fill(); cur.hasNext }
+            def next(): Row = { fill(); cur.next() }
+          }
         }
       }
     spark.createDataFrame(rows, schema)
@@ -419,10 +429,15 @@ class KafkaReaderImpl extends Reader {
   val name = "kafka_native"
   val implementsKinds = Set("kafka_topic")
   def read(spark: SparkSession, ref: DataRef): DataFrame = {
+    // max_records also caps each partition's PLANNED offset range, so
+    // the bound limits what is fetched, not just what is returned;
+    // limit() then gives the reference's exact total-count semantics
+    val maxRecords = ref.options.get("max_records").map(_.toLong)
     val df = KafkaReader.read(spark, ref.url,
       startOffset = ref.options.getOrElse("start_offset", "earliest"),
       endOffset = ref.options.getOrElse("end_offset", "latest"),
+      maxRecordsPerPartition = maxRecords.getOrElse(Long.MaxValue),
       timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt)
-    ref.options.get("max_records").map(n => df.limit(n.toInt)).getOrElse(df)
+    maxRecords.map(n => df.limit(n.toInt)).getOrElse(df)
   }
 }

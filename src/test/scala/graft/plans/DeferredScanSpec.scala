@@ -106,6 +106,19 @@ class DeferredScanSpec extends SparkSpec {
     assert(df.where("p = 7 AND p < year(current_date())").count() == 2L)
   }
 
+  test("delta: UDF and registered-function conjuncts are never pushed; the rest still prunes") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val df = DeltaReader.table(spark, delta100(7, 8).toString)
+    // a resolved ScalaUDF renders as UDF(...) — pushing it would make
+    // the reader's residual re-parse fail (or resolve to something
+    // else); it must ride the retained Filter while p = 7 still prunes
+    val pos = udf((p: Int) => p > 0)
+    assert(df.where(pos(col("p")) && col("p") === 7).count() == 2L)
+    // session-registered functions are not builtin either — same path
+    spark.udf.register("ds_spec_gt", (p: Int, n: Int) => p > n)
+    assert(df.where("ds_spec_gt(id, 1) AND p = 7").count() == 1L)
+  }
+
   test("delta: a self-joined view realizes one pruned subtree per leg") {
     val df = DeltaReader.table(spark, delta100(7, 8).toString)
     df.createOrReplaceTempView("ds_delta_sj")

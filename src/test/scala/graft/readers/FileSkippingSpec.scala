@@ -284,6 +284,11 @@ class FileSkippingSpec extends SparkSpec {
     table("date_format(ts, 'MM')")
     intercept[Exception](DeltaReader.read(spark, t.toString,
       filter = Some("ts >= TIMESTAMP '2024-03-01 00:00:00'")).count())
+    // time-of-day components run BACKWARD across a DST fall-back — the
+    // whitelist is date-granularity only, so 'yyyy-MM-dd HH' fails open
+    table("date_format(ts, 'yyyy-MM-dd HH')")
+    intercept[Exception](DeltaReader.read(spark, t.toString,
+      filter = Some("ts >= TIMESTAMP '2024-03-01 00:00:00'")).count())
   }
 
   test("delta: stats prune under column mapping via physical-name keys") {
@@ -650,7 +655,8 @@ class FileSkippingSpec extends SparkSpec {
     * [0,9] listing one real delete (p=7 pos 0) and one NONEXISTENT
     * delete file for p=3; optionally a GLOBAL equality-delete manifest
     * under the unpartitioned spec 1 (no summary) removing id=72. */
-  private def icebergDeletes(withGlobalEq: Boolean): JPath = {
+  private def icebergDeletes(withGlobalEq: Boolean, withScopedEq: Boolean = false,
+      withBucketEq: Boolean = false, withDangling: Boolean = true): JPath = {
     import spark.implicits._
     val root = Files.createTempDirectory("icebergdel")
     val table = root.toString
@@ -670,6 +676,13 @@ class FileSkippingSpec extends SparkSpec {
         .coalesce(1).write.parquet(s"$table/data/eqdel")
       partFile(s"$table/data/eqdel")
     }
+    // scoped eq delete: values (31, 72) but the file lives in partition
+    // p=3 — only 31 may die; 72 is in p=7 and must survive the scope
+    val eqScopedPath = if (!withScopedEq) null else {
+      withFieldIds(Seq(31L, 72L).toDF("id"), Map("id" -> 1))
+        .coalesce(1).write.parquet(s"$table/data/eqscoped")
+      partFile(s"$table/data/eqscoped")
+    }
 
     // (status, path, content, partition p (None = null), equality ids)
     def manifest(dir: String, rows: Seq[(Int, String, Int, Option[Int], Seq[Int])]): String = {
@@ -684,11 +697,16 @@ class FileSkippingSpec extends SparkSpec {
     }
     val m0 = manifest(s"$table/metadata/m0", Seq(
       (1, f3, 0, Some(3), Nil), (1, f7, 0, Some(7), Nil)))
-    val dmReal = manifest(s"$table/metadata/dm0", Seq(
-      (1, del7, 1, Some(7), Nil),
-      (1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), Nil)))
+    val dmReal = manifest(s"$table/metadata/dm0",
+      (1, del7, 1, Some(7), Seq.empty[Int]) +: (if (withDangling)
+        Seq((1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), Seq.empty[Int]))
+      else Nil))
     val dmEq = if (!withGlobalEq) null else manifest(s"$table/metadata/dmeq", Seq(
       (1, eqPath, 2, None, Seq(1))))
+    val dmEqScoped = if (!withScopedEq) null else manifest(s"$table/metadata/dmeqs", Seq(
+      (1, eqScopedPath, 2, Some(3), Seq(1))))
+    val dmEqBucket = if (!withBucketEq) null else manifest(s"$table/metadata/dmeqb", Seq(
+      (1, if (withScopedEq) eqScopedPath else del7, 2, Some(1), Seq(1))))
 
     val listSchema = StructType(Seq(
       StructField("manifest_path", StringType), StructField("content", IntegerType),
@@ -700,10 +718,16 @@ class FileSkippingSpec extends SparkSpec {
     def sum(lo: Int, hi: Int) = Seq(org.apache.spark.sql.Row(false, false, leInt(lo), leInt(hi)))
     var listRows = Seq(
       org.apache.spark.sql.Row(m0, 0, 1L, 0, sum(0, 9)),
-      org.apache.spark.sql.Row(dmReal, 1, 2L, 0, sum(0, 9)),
-      org.apache.spark.sql.Row(s"$table/metadata/DOES_NOT_EXIST_dm.avro", 1, 2L, 0, sum(10, 19)))
+      org.apache.spark.sql.Row(dmReal, 1, 2L, 0, sum(0, 9)))
+    if (withDangling)
+      listRows = listRows :+
+        org.apache.spark.sql.Row(s"$table/metadata/DOES_NOT_EXIST_dm.avro", 1, 2L, 0, sum(10, 19))
     if (withGlobalEq)
       listRows = listRows :+ org.apache.spark.sql.Row(dmEq, 1, 3L, 1, null)
+    if (withScopedEq)
+      listRows = listRows :+ org.apache.spark.sql.Row(dmEqScoped, 1, 3L, 0, sum(0, 9))
+    if (withBucketEq)
+      listRows = listRows :+ org.apache.spark.sql.Row(dmEqBucket, 1, 3L, 2, null)
     import scala.jdk.CollectionConverters._
     val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
     Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
@@ -719,7 +743,9 @@ class FileSkippingSpec extends SparkSpec {
          |  "partition-specs": [
          |    {"spec-id": 0, "fields": [
          |      {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]},
-         |    {"spec-id": 1, "fields": []}],
+         |    {"spec-id": 1, "fields": []},
+         |    {"spec-id": 2, "fields": [
+         |      {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1001}]}],
          |  "current-snapshot-id": 77,
          |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
          |}""".stripMargin)
@@ -745,5 +771,26 @@ class FileSkippingSpec extends SparkSpec {
     // the pos delete removed 71; the GLOBAL eq delete (id=72, spec 1,
     // no partition tuple) must NOT be pruned by the p=7 filter
     assert(df.count() == 0L)
+  }
+
+  test("iceberg: partitioned equality deletes apply ONLY in their own partition") {
+    import spark.implicits._
+    // eq delete values (31, 72) scoped to partition p=3: 31 dies, 72
+    // (same value, partition p=7) SURVIVES — global application would
+    // have emptied the table. Pos delete still removes 71.
+    val t = icebergDeletes(withGlobalEq = false, withScopedEq = true, withDangling = false)
+    val df = IcebergReader.read(spark, t.toString)
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().toSeq ==
+      Seq((72L, "row7b", 7)))
+    // and filtering composes: read(p = 7) sees the same surviving row
+    val filtered = IcebergReader.read(spark, t.toString, filter = Some("p = 7"))
+    assert(filtered.select("id").as[Long].collect().toSeq == Seq(72L))
+  }
+
+  test("iceberg: equality deletes under a non-identity partition spec refuse loudly") {
+    val t = icebergDeletes(withGlobalEq = false, withScopedEq = true,
+      withBucketEq = true, withDangling = false)
+    val e = intercept[IllegalArgumentException](IcebergReader.read(spark, t.toString).count())
+    assert(e.getMessage.contains("non-identity"))
   }
 }
