@@ -225,6 +225,17 @@ class DeferredScanSpec extends SparkSpec {
     intercept[Exception](df.count())
   }
 
+  test("delta: a version-pinned deferred frame composes pinning with pruning") {
+    val t = delta100(7, 8)
+    // commit 1 adds a second real p=7 file — the pin must hide it
+    writeParquetFile(t, "p=7/g.parquet", Seq((5L, "extra")))
+    writeCommit(t, 1, Seq(addAction("p=7/g.parquet", """{"p":"7"}""")))
+    val pinned = DeltaReader.table(spark, t.toString, versionAsOf = Some(0L))
+    assert(pinned.where("p = 7").count() == 2L)
+    val live = DeltaReader.table(spark, t.toString)
+    assert(live.where("p = 7").count() == 3L)
+  }
+
   test("delta: column pruning and residual pushdown reach the parquet scan") {
     val df = DeltaReader.table(spark, delta100(7, 8).toString)
     df.createOrReplaceTempView("ds_delta_prune")

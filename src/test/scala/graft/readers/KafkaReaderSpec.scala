@@ -91,7 +91,12 @@ class KafkaReaderSpec extends SparkSpec {
   /** Loopback broker: leader for every partition of one topic, logs =
     * pre-encoded batches per partition. Each connection gets a thread. */
   private class FakeBroker(topic: String, logs: Map[Int, Seq[(Long, Long, Array[Byte])]],
-      metadataMax: Short = 4, truncateTail: Boolean = false) {
+      metadataMax: Short = 4, truncateTail: Boolean = false,
+      oneBatchPerFetch: Boolean = false,
+      // (leaderId -> (host, port)) rows advertised besides this broker
+      // (id 1); partitionLeaders overrides the default all-on-1 layout
+      extraBrokers: Seq[(Int, String, Int)] = Nil,
+      partitionLeaders: Map[Int, Int] = Map.empty) {
     private val server = new ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
     @volatile private var running = true
@@ -128,17 +133,24 @@ class KafkaReaderSpec extends SparkSpec {
                   { w.writeShort(k); w.writeShort(lo); w.writeShort(hi) }
               case 3 => // Metadata v1 or v4
                 if (apiVersion >= 3) w.writeInt(0) // throttle
-                w.writeInt(1) // brokers
+                w.writeInt(1 + extraBrokers.size) // brokers
                 w.writeInt(1); w.write(str("127.0.0.1")); w.writeInt(port); w.writeShort(-1) // rack null
+                extraBrokers.foreach { case (id, h, pt) =>
+                  w.writeInt(id); w.write(str(h)); w.writeInt(pt); w.writeShort(-1)
+                }
                 if (apiVersion >= 2) w.write(str("fake-cluster"))
                 w.writeInt(1) // controller id
                 w.writeInt(1) // topics
                 w.writeShort(0); w.write(str(topic)); w.writeByte(0)
-                w.writeInt(logs.size)
-                logs.keys.toSeq.sorted.foreach { p =>
-                  w.writeShort(0); w.writeInt(p); w.writeInt(1)
-                  w.writeInt(1); w.writeInt(1) // replicas [1]
-                  w.writeInt(1); w.writeInt(1) // isr [1]
+                val parts =
+                  if (partitionLeaders.nonEmpty) partitionLeaders.keys.toSeq.sorted
+                  else logs.keys.toSeq.sorted
+                w.writeInt(parts.size)
+                parts.foreach { p =>
+                  val leader = partitionLeaders.getOrElse(p, 1)
+                  w.writeShort(0); w.writeInt(p); w.writeInt(leader)
+                  w.writeInt(1); w.writeInt(leader) // replicas
+                  w.writeInt(1); w.writeInt(leader) // isr
                 }
               case 2 => // ListOffsets v1
                 req.getInt // replica
@@ -158,7 +170,10 @@ class KafkaReaderSpec extends SparkSpec {
                 req.getInt // partition_max_bytes
                 val log = logs(part)
                 val hw = if (log.isEmpty) 0L else log.last._2 + 1
-                val serve = log.filter(_._2 >= offset).map(_._3)
+                // oneBatchPerFetch exercises the client's multi-roundtrip
+                // loop (a real broker bounds responses at max_bytes)
+                val eligible = log.filter(_._2 >= offset)
+                val serve = (if (oneBatchPerFetch) eligible.take(1) else eligible).map(_._3)
                 var set = serve.foldLeft(Array.empty[Byte])(_ ++ _)
                 // a broker may cut the LAST batch at max_bytes — clients
                 // must treat the partial tail as end-of-response
@@ -257,6 +272,29 @@ class KafkaReaderSpec extends SparkSpec {
     val old = encodeBatch(0L, 0L, Seq((k("a"), k("b"), Nil)), magic = 1)
     val e2 = intercept[IllegalArgumentException](KafkaReader.decodeRecordSet(old))
     assert(e2.getMessage.contains("v1"))
+  }
+
+  test("multi-roundtrip fetch: one batch per response still drains the partition") {
+    val broker = new FakeBroker("events", standardLogs, oneBatchPerFetch = true)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events")
+      assert(df.count() == 9L) // 4 fetches on p1, 2 on p0 — loop, not luck
+    } finally broker.close()
+  }
+
+  test("partitions led by different brokers fetch from their own leaders") {
+    // broker B owns partition 1; broker A (bootstrap) owns partition 0
+    // and advertises B in metadata. Each slice must fetch from ITS
+    // leader — B serves only p1's log, so fetching p1 from A would fail.
+    val brokerB = new FakeBroker("events", Map(1 -> standardLogs(1)))
+    val brokerA = new FakeBroker("events", Map(0 -> standardLogs(0)),
+      extraBrokers = Seq((2, "127.0.0.1", brokerB.port)),
+      partitionLeaders = Map(0 -> 1, 1 -> 2))
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${brokerA.port}/events")
+      val byPart = df.collect().groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+      assert(byPart == Map(0 -> 5, 1 -> 4))
+    } finally { brokerA.close(); brokerB.close() }
   }
 
   test("registry: kafka_topic routes to the native reader without the connector jar") {
