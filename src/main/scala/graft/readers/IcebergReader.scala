@@ -39,9 +39,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sequence number is strictly below the delete file's (the schema's
   * field-id map resolves `equality_ids` to column names), and — round
   * 9 — SCOPED to the delete file's own partition when its spec is
-  * partitioned (the spec's rule; identity transforms re-express the
-  * tuple over data columns; a non-identity-partitioned equality delete
-  * refuses loudly, since global application would over-delete). ORC data
+  * partitioned (the spec's rule; identity tuples re-express over data
+  * columns, bucket[N] tuples recompute the spec's murmur3 per row — the
+  * Flink-CDC layout; other transforms refuse loudly, since global
+  * application would over-delete). ORC data
   * files (common in Hive-migrated tables) scan through Spark's native
   * ORC source, unioned with the parquet scan — by NAME (no ORC
   * field-id matcher in Spark), so ORC renames don't resolve. Avro data
@@ -953,22 +954,44 @@ object IcebergReader {
       // which identity transforms permit exactly; a non-identity
       // partitioned spec refuses loudly — applying such a delete
       // globally would over-delete, a silent wrong answer.
-      def scopeOf(e: Entry): Seq[(String, Option[String])] = {
+      def scopeOf(e: Entry): Seq[(String, String, String, Int, Option[String])] = {
         val pfs = specsById.getOrElse(e.specId, Nil)
         if (pfs.isEmpty) Nil // unpartitioned spec: global application
         else {
-          require(pfs.forall(_.transform == "identity"),
-            s"iceberg: equality delete file ${e.filePath} under a non-identity partition " +
-              "spec — scoped application is outside this native reader's profile; " +
-              "read the table with the iceberg-spark connector jar")
           require(e.partitionJson != null,
             s"iceberg: equality delete file ${e.filePath} carries no partition tuple to scope by")
           val node = new ObjectMapper().readTree(e.partitionJson)
           pfs.map { pf =>
-            val (srcName, _) = schemaFieldById.getOrElse(pf.sourceId,
+            val (srcName, srcType) = schemaFieldById.getOrElse(pf.sourceId,
               throw new IllegalArgumentException(
                 s"iceberg: equality delete partition source id ${pf.sourceId} not in the table schema"))
-            srcName -> Option(node.get(pf.name)).filterNot(_.isNull).map(_.asText())
+            // transform gate FIRST (the fundamental one), then the tuple:
+            // a tuple MISSING the spec's own field (an old writer, or
+            // the mixed-spec Avro merge collapsing absent fields) cannot
+            // scope — treating it as null would silently UNDER-delete
+            val kindArg: (String, Int) = pf.transform match {
+              case "identity"  => ("identity", 0)
+              case bucketRe(n) =>
+                // bucket scoping recomputes the spec's murmur3 per data
+                // row (the Flink-CDC layout: eq deletes under bucket[N]
+                // specs); types whose hash encoding we can reproduce
+                // from the column only
+                require(Set("int", "long", "string", "date", "timestamptz").contains(srcType),
+                  s"iceberg: equality delete scoped by bucket over '$srcType' — outside this " +
+                    "native reader's profile; read the table with the iceberg-spark connector jar")
+                ("bucket", n.toInt)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"iceberg: equality delete file ${e.filePath} under non-identity partition " +
+                    s"transform '$other' — scoped application is outside this native reader's " +
+                    "profile; read the table with the iceberg-spark connector jar")
+            }
+            require(node.has(pf.name),
+              s"iceberg: equality delete file ${e.filePath} partition tuple lacks field " +
+                s"'${pf.name}' of its own spec — cannot scope; read the table with the " +
+                "iceberg-spark connector jar")
+            val v = Option(node.get(pf.name)).filterNot(_.isNull).map(_.asText())
+            (kindArg._1, srcName, srcType, kindArg._2, v)
           }
         }
       }
@@ -1005,11 +1028,33 @@ object IcebergReader {
           .select(cols.map(c => col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
         // the scope narrows the anti-join to the delete's own partition:
         // identity tuple values cast exactly like attached partition
-        // columns; a null tuple value matches null source rows (<=>)
-        val scopeCond = scope.map { case (src, v) =>
+        // columns; bucket tuples compare the spec's murmur3 of the
+        // source column (a UDF — acceptable on the delete-application
+        // scope condition; the hash is spec-pinned) against the stored
+        // bucket id; a null tuple value matches null source rows (<=>)
+        val scopeCond = scope.map { case (kind, src, srcType, arg, v) =>
           val st = sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
             s"iceberg: cannot scope equality delete on $src without a schema in the metadata"))
-          col(src) <=> lit(v.orNull).cast(st(src).dataType)
+          kind match {
+            case "identity" => col(src) <=> lit(v.orNull).cast(st(src).dataType)
+            case "bucket" =>
+              import org.apache.spark.sql.functions.{datediff, unix_micros}
+              val n = arg
+              val longBucket = udf((x: java.lang.Long) =>
+                if (x == null) null.asInstanceOf[java.lang.Integer]
+                else java.lang.Integer.valueOf(IcebergTransforms.bucketOf(x.longValue(), n).getOrElse(-1)))
+              val bcol = srcType match {
+                case "string" =>
+                  val u = udf((x: String) =>
+                    if (x == null) null.asInstanceOf[java.lang.Integer]
+                    else java.lang.Integer.valueOf(IcebergTransforms.bucketOf(x, n).getOrElse(-1)))
+                  u(col(src))
+                case "date"        => longBucket(datediff(col(src), lit("1970-01-01")).cast("long"))
+                case "timestamptz" => longBucket(unix_micros(col(src)))
+                case _             => longBucket(col(src).cast("long")) // int, long
+              }
+              bcol <=> lit(v.map(t => java.lang.Integer.valueOf(t.toInt)).orNull)
+          }
         }
         val cond = (cols.map(c => col(c) <=> col(s"__del_$c")) ++ scopeCond)
           .reduce(_ && _) && col("__seq") < col("__del_seq")

@@ -656,7 +656,8 @@ class FileSkippingSpec extends SparkSpec {
     * delete file for p=3; optionally a GLOBAL equality-delete manifest
     * under the unpartitioned spec 1 (no summary) removing id=72. */
   private def icebergDeletes(withGlobalEq: Boolean, withScopedEq: Boolean = false,
-      withBucketEq: Boolean = false, withDangling: Boolean = true): JPath = {
+      withBucketEq: Boolean = false, withTruncEq: Boolean = false,
+      withDangling: Boolean = true): JPath = {
     import spark.implicits._
     val root = Files.createTempDirectory("icebergdel")
     val table = root.toString
@@ -684,29 +685,44 @@ class FileSkippingSpec extends SparkSpec {
       partFile(s"$table/data/eqscoped")
     }
 
-    // (status, path, content, partition p (None = null), equality ids)
-    def manifest(dir: String, rows: Seq[(Int, String, Int, Option[Int], Seq[Int])]): String = {
-      val df = rows.map { case (st, p, c, pp, eq) =>
-        (st, p, c, pp.map(_.toString).orNull, if (eq.isEmpty) null else eq) }
-        .toDF("status", "file_path", "content", "pstr", "eq_ids")
+    // (status, path, content, partition p, id_bucket, equality ids) —
+    // every delete manifest carries BOTH partition fields (one avro
+    // read merges their schemas; a file's unused field stays null and
+    // its own spec decides which one scopes)
+    def manifest(dir: String, rows: Seq[(Int, String, Int, Option[Int], Option[Int], Seq[Int])]): String = {
+      val df = rows.map { case (st, p, c, pp, pb, eq) =>
+        (st, p, c, pp.map(_.toString).orNull, pb.map(_.toString).orNull,
+          if (eq.isEmpty) null else eq) }
+        .toDF("status", "file_path", "content", "pstr", "bstr", "eq_ids")
         .selectExpr("status", "cast(null as bigint) as sequence_number",
           """named_struct('file_path', file_path, 'file_format', 'PARQUET',
-            |'content', content, 'partition', named_struct('p', cast(pstr as int)),
+            |'content', content, 'partition',
+            |named_struct('p', cast(pstr as int), 'id_bucket', cast(bstr as int)),
             |'equality_ids', eq_ids) as data_file""".stripMargin)
       writeAvro(df, dir)
     }
     val m0 = manifest(s"$table/metadata/m0", Seq(
-      (1, f3, 0, Some(3), Nil), (1, f7, 0, Some(7), Nil)))
+      (1, f3, 0, Some(3), None, Nil), (1, f7, 0, Some(7), None, Nil)))
     val dmReal = manifest(s"$table/metadata/dm0",
-      (1, del7, 1, Some(7), Seq.empty[Int]) +: (if (withDangling)
-        Seq((1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), Seq.empty[Int]))
+      (1, del7, 1, Some(7), None, Seq.empty[Int]) +: (if (withDangling)
+        Seq((1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), None, Seq.empty[Int]))
       else Nil))
     val dmEq = if (!withGlobalEq) null else manifest(s"$table/metadata/dmeq", Seq(
-      (1, eqPath, 2, None, Seq(1))))
+      (1, eqPath, 2, None, None, Seq(1))))
     val dmEqScoped = if (!withScopedEq) null else manifest(s"$table/metadata/dmeqs", Seq(
-      (1, eqScopedPath, 2, Some(3), Seq(1))))
+      (1, eqScopedPath, 2, Some(3), None, Seq(1))))
+    // bucket-scoped eq delete: values (31, 72), tuple id_bucket=1 =
+    // bucket[4](31) — 72 (bucket 3) must survive the scope
+    val eqBucketPath = if (!withBucketEq) null else {
+      withFieldIds(Seq(31L, 72L).toDF("id"), Map("id" -> 1))
+        .coalesce(1).write.parquet(s"$table/data/eqbucket")
+      partFile(s"$table/data/eqbucket")
+    }
     val dmEqBucket = if (!withBucketEq) null else manifest(s"$table/metadata/dmeqb", Seq(
-      (1, if (withScopedEq) eqScopedPath else del7, 2, Some(1), Seq(1))))
+      (1, eqBucketPath, 2, None, Some(1), Seq(1))))
+    // truncate-scoped eq delete: transform outside the scoping profile
+    val dmEqTrunc = if (!withTruncEq) null else manifest(s"$table/metadata/dmeqt", Seq(
+      (1, eqScopedPath, 2, Some(3), None, Seq(1))))
 
     val listSchema = StructType(Seq(
       StructField("manifest_path", StringType), StructField("content", IntegerType),
@@ -728,6 +744,8 @@ class FileSkippingSpec extends SparkSpec {
       listRows = listRows :+ org.apache.spark.sql.Row(dmEqScoped, 1, 3L, 0, sum(0, 9))
     if (withBucketEq)
       listRows = listRows :+ org.apache.spark.sql.Row(dmEqBucket, 1, 3L, 2, null)
+    if (withTruncEq)
+      listRows = listRows :+ org.apache.spark.sql.Row(dmEqTrunc, 1, 3L, 3, null)
     import scala.jdk.CollectionConverters._
     val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
     Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
@@ -745,7 +763,9 @@ class FileSkippingSpec extends SparkSpec {
          |      {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]},
          |    {"spec-id": 1, "fields": []},
          |    {"spec-id": 2, "fields": [
-         |      {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1001}]}],
+         |      {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1001}]},
+         |    {"spec-id": 3, "fields": [
+         |      {"name": "p_trunc", "transform": "truncate[2]", "source-id": 3, "field-id": 1002}]}],
          |  "current-snapshot-id": 77,
          |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
          |}""".stripMargin)
@@ -787,10 +807,21 @@ class FileSkippingSpec extends SparkSpec {
     assert(filtered.select("id").as[Long].collect().toSeq == Seq(72L))
   }
 
-  test("iceberg: equality deletes under a non-identity partition spec refuse loudly") {
+  test("iceberg: bucket-scoped equality deletes recompute murmur3 per row") {
+    import spark.implicits._
+    // eq delete values (31, 72), tuple id_bucket=1: bucket[4](31)=1 so
+    // 31 dies; bucket[4](72)=3 so 72 SURVIVES the scope (global
+    // application would have removed it). Pos delete removes 71.
+    val t = icebergDeletes(withGlobalEq = false, withBucketEq = true, withDangling = false)
+    val df = IcebergReader.read(spark, t.toString)
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().toSeq ==
+      Seq((72L, "row7b", 7)))
+  }
+
+  test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
     val t = icebergDeletes(withGlobalEq = false, withScopedEq = true,
-      withBucketEq = true, withDangling = false)
+      withTruncEq = true, withDangling = false)
     val e = intercept[IllegalArgumentException](IcebergReader.read(spark, t.toString).count())
-    assert(e.getMessage.contains("non-identity"))
+    assert(e.getMessage.contains("non-identity") || e.getMessage.contains("truncate"))
   }
 }
