@@ -147,6 +147,14 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
   private def renderConjunct(e: Expression): Option[String] = scala.util.Try {
     require(e.deterministic, "nondeterministic")
     require(!SubqueryExpression.hasSubquery(e), "subquery")
+    // a UDF registered under a BUILTIN name renders as that name and
+    // would re-resolve to the builtin — reject any node whose SQL form
+    // is not its own semantics
+    require(!e.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+      case _: org.apache.spark.sql.catalyst.expressions.NonSQLExpression => true
+      case _ => false
+    }, "udf / non-sql expression")
     val bare = e.transform {
       case a: AttributeReference => a.withQualifier(Nil)
     }

@@ -105,14 +105,15 @@ object IcebergReader {
       cloneCache.put(spark, (confs, fresh))
       fresh
     }
-    // functions can be registered at any time — sync the delta each read
+    // functions can be (re-)registered at any time, including under a
+    // BUILTIN name — copy ALL of the caller's entries, overwriting, so
+    // the clone always resolves exactly what the caller would
     val src = spark.sessionState.functionRegistry
     val dst = s2.sessionState.functionRegistry
     src.listFunction().foreach { f =>
-      if (!dst.functionExists(f))
-        src.lookupFunction(f).zip(src.lookupFunctionBuilder(f)).foreach {
-          case (info, builder) => dst.registerFunction(f, info, builder)
-        }
+      src.lookupFunction(f).zip(src.lookupFunctionBuilder(f)).foreach {
+        case (info, builder) => dst.registerFunction(f, info, builder)
+      }
     }
     s2
   }
@@ -954,13 +955,14 @@ object IcebergReader {
       // which identity transforms permit exactly; a non-identity
       // partitioned spec refuses loudly — applying such a delete
       // globally would over-delete, a silent wrong answer.
+      val scopeMapper = new ObjectMapper()
       def scopeOf(e: Entry): Seq[(String, String, String, Int, Option[String])] = {
         val pfs = specsById.getOrElse(e.specId, Nil)
         if (pfs.isEmpty) Nil // unpartitioned spec: global application
         else {
           require(e.partitionJson != null,
             s"iceberg: equality delete file ${e.filePath} carries no partition tuple to scope by")
-          val node = new ObjectMapper().readTree(e.partitionJson)
+          val node = scopeMapper.readTree(e.partitionJson)
           pfs.map { pf =>
             val (srcName, srcType) = schemaFieldById.getOrElse(pf.sourceId,
               throw new IllegalArgumentException(
@@ -970,7 +972,17 @@ object IcebergReader {
             // the mixed-spec Avro merge collapsing absent fields) cannot
             // scope — treating it as null would silently UNDER-delete
             val kindArg: (String, Int) = pf.transform match {
-              case "identity"  => ("identity", 0)
+              case "identity" =>
+                // identity scope values round-trip to_json TEXT + cast:
+                // only types whose text form is exact may scope —
+                // timestamps lose sub-millisecond digits in to_json and
+                // binary/uuid/float text forms don't cast back, which
+                // would silently UNDER-delete
+                require(srcType == "int" || srcType == "long" || srcType == "string" ||
+                  srcType == "date" || srcType == "boolean" || srcType.startsWith("decimal"),
+                  s"iceberg: equality delete scoped by identity over '$srcType' — outside this " +
+                    "native reader's profile; read the table with the iceberg-spark connector jar")
+                ("identity", 0)
               case bucketRe(n) =>
                 // bucket scoping recomputes the spec's murmur3 per data
                 // row (the Flink-CDC layout: eq deletes under bucket[N]

@@ -321,10 +321,12 @@ object KafkaReader {
     * `startOffset`/`endOffset`: "earliest"/"latest" or a numeric offset
     * applied to every partition; the range resolves ON THE DRIVER at
     * plan time, then each partition fetches its own slice on an
-    * executor. */
+    * executor. `maxOffsetsPerPartition` caps each planned range in
+    * OFFSETS — on compacted/transactional topics that is an upper
+    * bound, not a record count (use limit() for exact counts). */
   def read(spark: SparkSession, url: String,
       startOffset: String = "earliest", endOffset: String = "latest",
-      maxRecordsPerPartition: Long = Long.MaxValue,
+      maxOffsetsPerPartition: Long = Long.MaxValue,
       timeoutMs: Int = 15000, clientId: String = "graft-kafka"): DataFrame = {
     val uri = new URI(url)
     require(uri.getScheme == "kafka", s"not a kafka url: $url")
@@ -369,8 +371,8 @@ object KafkaReader {
         }
         // saturating add: the default cap is Long.MaxValue
         val cap =
-          if (start > Long.MaxValue - maxRecordsPerPartition) Long.MaxValue
-          else start + maxRecordsPerPartition
+          if (start > Long.MaxValue - maxOffsetsPerPartition) Long.MaxValue
+          else start + maxOffsetsPerPartition
         Slice(pm.partition, node.host, node.port, start, math.min(end, cap))
       } finally c.close()
     }
@@ -429,15 +431,15 @@ class KafkaReaderImpl extends Reader {
   val name = "kafka_native"
   val implementsKinds = Set("kafka_topic")
   def read(spark: SparkSession, ref: DataRef): DataFrame = {
-    // max_records also caps each partition's PLANNED offset range, so
-    // the bound limits what is fetched, not just what is returned;
-    // limit() then gives the reference's exact total-count semantics
-    val maxRecords = ref.options.get("max_records").map(_.toLong)
+    // max_records applies as limit() ONLY — an offset-range cap would
+    // under-deliver on compacted/transactional topics, where offsets
+    // outnumber surviving records. The lazy per-partition fetch plus
+    // Spark's LocalLimit stop pulling once the limit is satisfied, so
+    // the bound still limits work, not just output.
     val df = KafkaReader.read(spark, ref.url,
       startOffset = ref.options.getOrElse("start_offset", "earliest"),
       endOffset = ref.options.getOrElse("end_offset", "latest"),
-      maxRecordsPerPartition = maxRecords.getOrElse(Long.MaxValue),
       timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt)
-    maxRecords.map(n => df.limit(n.toInt)).getOrElse(df)
+    ref.options.get("max_records").map(n => df.limit(n.toInt)).getOrElse(df)
   }
 }

@@ -117,6 +117,15 @@ class DeferredScanSpec extends SparkSpec {
     // session-registered functions are not builtin either — same path
     spark.udf.register("ds_spec_gt", (p: Int, n: Int) => p > n)
     assert(df.where("ds_spec_gt(id, 1) AND p = 7").count() == 1L)
+    // a UDF registered under a BUILTIN name renders as that name — the
+    // ScalaUDF gate keeps it on the retained Filter, where the caller
+    // session resolves the USER's function, not the builtin
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("abs")
+    val reg = spark.sessionState.functionRegistry
+    val prev = reg.lookupFunction(fid).zip(reg.lookupFunctionBuilder(fid))
+    spark.udf.register("abs", (x: Long) => x + 100L)
+    try assert(df.where("abs(id) = 101 AND p = 7").count() == 1L) // user's abs: 1+100
+    finally prev.foreach { case (i, b) => reg.registerFunction(fid, i, b) }
   }
 
   test("delta: a self-joined view realizes one pruned subtree per leg") {
