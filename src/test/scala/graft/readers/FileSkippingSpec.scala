@@ -818,6 +818,14 @@ class FileSkippingSpec extends SparkSpec {
       Seq((72L, "row7b", 7)))
   }
 
+  test("iceberg: global and partition-scoped equality deletes compose in one snapshot") {
+    // pos delete removes 71; the GLOBAL eq delete removes 72 everywhere;
+    // the p=3-scoped eq delete removes 31 — one anti-join per
+    // (equality-cols, scope) group, empty table at the end
+    val t = icebergDeletes(withGlobalEq = true, withScopedEq = true, withDangling = false)
+    assert(IcebergReader.read(spark, t.toString).count() == 0L)
+  }
+
   test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
     val t = icebergDeletes(withGlobalEq = false, withScopedEq = true,
       withTruncEq = true, withDangling = false)
