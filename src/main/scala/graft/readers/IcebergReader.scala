@@ -936,12 +936,15 @@ object IcebergReader {
           .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
         historic ++ current
       }
-      // per-file sequence numbers attach via a tiny broadcast lookup
-      // (a when()-chain would grow the expression tree O(n files)); an
-      // unmatched path is a read bug, not a shrug — raise, never guess
+      // per-file sequence numbers AND spec ids attach via a tiny
+      // broadcast lookup (a when()-chain would grow the expression tree
+      // O(n files)); an unmatched path is a read bug, not a shrug —
+      // raise, never guess. The spec id feeds the scoped application's
+      // same-spec gate below (round 10).
       import spark.implicits._
       val seqDf = broadcast(scanData.map(r =>
-        (PathKeys.driverKey(resolve(r.filePath, table), tableFs), r.seq)).toSeq.toDF("__seq_file", "__seq0"))
+        (PathKeys.driverKey(resolve(r.filePath, table), tableFs), r.seq, r.specId))
+        .toSeq.toDF("__seq_file", "__seq0", "__spec"))
       data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
         .withColumn("__seq",
           org.apache.spark.sql.functions.when(col("__seq0").isNull,
@@ -949,12 +952,19 @@ object IcebergReader {
             .otherwise(col("__seq0")))
         .drop("__seq_file", "__seq0")
       // Partition SCOPE (spec rule): an equality delete written under a
-      // PARTITIONED spec applies only to data rows in ITS partition;
-      // only unpartitioned-spec deletes are global. The scope
-      // re-expresses the file's partition tuple over data columns,
-      // which identity transforms permit exactly; a non-identity
-      // partitioned spec refuses loudly — applying such a delete
-      // globally would over-delete, a silent wrong answer.
+      // PARTITIONED spec applies only to data FILES whose partition —
+      // spec id AND tuple — equals the delete file's; only
+      // unpartitioned-spec deletes are global. The tuple half
+      // re-expresses the file's partition values over data columns
+      // (exact for a same-spec file, whose rows all share the file
+      // tuple); the spec-id half gates the anti-join on the data file's
+      // own spec id (round 10) — without it, rows in files written
+      // under a DIFFERENT spec (e.g. the unpartitioned era of a table
+      // later migrated to bucket[N]) that happen to recompute to the
+      // delete's partition value would be silently over-deleted.
+      // Identity/bucket/truncate transforms recompute per row; any
+      // other partitioned transform refuses loudly — applying such a
+      // delete globally would over-delete, a silent wrong answer.
       val scopeMapper = new ObjectMapper()
       def scopeOf(e: Entry): Seq[(String, String, String, Int, Option[String])] = {
         val pfs = specsById.getOrElse(e.specId, Nil)
@@ -992,6 +1002,17 @@ object IcebergReader {
                   s"iceberg: equality delete scoped by bucket over '$srcType' — outside this " +
                     "native reader's profile; read the table with the iceberg-spark connector jar")
                 ("bucket", n.toInt)
+              case truncRe(w) =>
+                // truncate[W] scoping recomputes the prefix per data row
+                // (round 10): ints floor to the W-multiple (pure pmod
+                // Column — codegen'd), strings take the first W code
+                // points via the spec-pinned transform. Decimal/binary
+                // stay outside the profile (unscaled-value arithmetic /
+                // byte prefixes don't round-trip the JSON tuple text).
+                require(Set("int", "long", "string").contains(srcType),
+                  s"iceberg: equality delete scoped by truncate over '$srcType' — outside this " +
+                    "native reader's profile; read the table with the iceberg-spark connector jar")
+                ("truncate", w.toInt)
               case other =>
                 throw new IllegalArgumentException(
                   s"iceberg: equality delete file ${e.filePath} under non-identity partition " +
@@ -1007,16 +1028,19 @@ object IcebergReader {
           }
         }
       }
-      // group delete files by (equality-column set, partition scope) —
-      // one anti-join per group; CDC-style tables keep this small (few
-      // partitions carry live eq deletes after pruning)
+      // group delete files by (equality-column set, partition scope,
+      // delete spec id) — one anti-join per group; CDC-style tables
+      // keep this small (few partitions carry live eq deletes after
+      // pruning). The spec id is part of the key because two specs can
+      // render identical scope tuples yet gate different data files.
       val groups = eqDeleteFiles.groupBy { e =>
         require(e.equalityIds.nonEmpty, "iceberg: equality delete file without equality_ids")
+        val scope = scopeOf(e)
         (e.equalityIds.map(i => fieldNames.getOrElse(i,
           throw new IllegalArgumentException(s"iceberg: equality field id $i not in table schema"))).sorted,
-          scopeOf(e))
+          scope, if (scope.isEmpty) -1 else e.specId)
       }
-      groups.foreach { case ((cols, scope), files) =>
+      groups.foreach { case ((cols, scope, delSpecId), files) =>
         val delPaths = files.map(e => resolve(e.filePath, table)).distinct
         val delSeqDf = broadcast(files.map(e =>
           (PathKeys.driverKey(resolve(e.filePath, table), tableFs), e.seq)).toSeq.toDF("__del_seq_file", "__del_seq"))
@@ -1066,9 +1090,27 @@ object IcebergReader {
                 case _             => longBucket(col(src).cast("long")) // int, long
               }
               bcol <=> lit(v.map(t => java.lang.Integer.valueOf(t.toInt)).orNull)
+            case "truncate" =>
+              import org.apache.spark.sql.functions.pmod
+              val w = arg
+              val tcol = srcType match {
+                case "string" =>
+                  val u = udf((x: String) =>
+                    if (x == null) null
+                    else IcebergTransforms.truncateOf(x, w).map(_.asInstanceOf[String]).orNull)
+                  u(col(src))
+                // int/long: floor to the W-multiple, pure Column (codegen'd)
+                case _ => col(src).cast("long") - pmod(col(src).cast("long"), lit(w.toLong))
+              }
+              if (srcType == "string") tcol <=> lit(v.orNull)
+              else tcol <=> lit(v.map(t => java.lang.Long.valueOf(t.toLong)).orNull)
           }
         }
-        val cond = (cols.map(c => col(c) <=> col(s"__del_$c")) ++ scopeCond)
+        // same-spec gate (spec rule: the data file's partition — spec id
+        // AND tuple — must equal the delete's): rows from files written
+        // under any other spec survive, whatever they recompute to
+        val specGate = if (scope.isEmpty) Nil else Seq(col("__spec") === lit(delSpecId))
+        val cond = (cols.map(c => col(c) <=> col(s"__del_$c")) ++ scopeCond ++ specGate)
           .reduce(_ && _) && col("__seq") < col("__del_seq")
         data = data.join(deletes, cond, "left_anti")
       }

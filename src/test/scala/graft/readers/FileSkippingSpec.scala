@@ -650,13 +650,18 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().toSeq == Seq(11L)) // row0 filtered residually
   }
 
-  /** Data p=3 (one row) + p=7 (two rows); a DANGLING delete manifest
-    * whose summary covers [10,19]; a REAL pos-delete manifest covering
-    * [0,9] listing one real delete (p=7 pos 0) and one NONEXISTENT
-    * delete file for p=3; optionally a GLOBAL equality-delete manifest
-    * under the unpartitioned spec 1 (no summary) removing id=72. */
+  /** Data p=3 (one row) + p=7 (two rows) under identity spec 0; a
+    * DANGLING delete manifest whose summary covers [10,19]; a REAL
+    * pos-delete manifest covering [0,9] listing one real delete (p=7
+    * pos 0) and one NONEXISTENT delete file for p=3; optionally a
+    * GLOBAL equality-delete manifest under the unpartitioned spec 1
+    * (no summary) removing id=72. Scoped-delete flags add data eras
+    * under the bucket/truncate specs so the same-spec gate is
+    * falsifiable: the delete values always ALSO exist in the spec-0
+    * era, where they must survive whatever they recompute to. */
   private def icebergDeletes(withGlobalEq: Boolean, withScopedEq: Boolean = false,
       withBucketEq: Boolean = false, withTruncEq: Boolean = false,
+      withStrTruncEq: Boolean = false, withUnsupportedEq: Boolean = false,
       withDangling: Boolean = true): JPath = {
     import spark.implicits._
     val root = Files.createTempDirectory("icebergdel")
@@ -685,44 +690,87 @@ class FileSkippingSpec extends SparkSpec {
       partFile(s"$table/data/eqscoped")
     }
 
-    // (status, path, content, partition p, id_bucket, equality ids) —
-    // every delete manifest carries BOTH partition fields (one avro
-    // read merges their schemas; a file's unused field stays null and
-    // its own spec decides which one scopes)
-    def manifest(dir: String, rows: Seq[(Int, String, Int, Option[Int], Option[Int], Seq[Int])]): String = {
-      val df = rows.map { case (st, p, c, pp, pb, eq) =>
-        (st, p, c, pp.map(_.toString).orNull, pb.map(_.toString).orNull,
-          if (eq.isEmpty) null else eq) }
-        .toDF("status", "file_path", "content", "pstr", "bstr", "eq_ids")
+    // (status, path, content, partition p/id_bucket/p_trunc/name_trunc,
+    // equality ids) — every manifest carries ALL partition fields (one
+    // avro read merges their schemas; a file's unused fields stay null
+    // and its own spec decides which one scopes)
+    case class MRow(status: Int, path: String, content: Int,
+        p: Option[Int] = None, bucket: Option[Int] = None, ptr: Option[Int] = None,
+        ntr: Option[String] = None, eq: Seq[Int] = Nil)
+    def manifest(dir: String, rows: Seq[MRow]): String = {
+      val df = rows.map { r =>
+        (r.status, r.path, r.content, r.p.map(_.toString).orNull,
+          r.bucket.map(_.toString).orNull, r.ptr.map(_.toString).orNull,
+          r.ntr.orNull, if (r.eq.isEmpty) null else r.eq) }
+        .toDF("status", "file_path", "content", "pstr", "bstr", "tstr", "nstr", "eq_ids")
         .selectExpr("status", "cast(null as bigint) as sequence_number",
           """named_struct('file_path', file_path, 'file_format', 'PARQUET',
             |'content', content, 'partition',
-            |named_struct('p', cast(pstr as int), 'id_bucket', cast(bstr as int)),
+            |named_struct('p', cast(pstr as int), 'id_bucket', cast(bstr as int),
+            |             'p_trunc', cast(tstr as int), 'name_trunc', nstr),
             |'equality_ids', eq_ids) as data_file""".stripMargin)
       writeAvro(df, dir)
     }
     val m0 = manifest(s"$table/metadata/m0", Seq(
-      (1, f3, 0, Some(3), None, Nil), (1, f7, 0, Some(7), None, Nil)))
+      MRow(1, f3, 0, p = Some(3)), MRow(1, f7, 0, p = Some(7))))
     val dmReal = manifest(s"$table/metadata/dm0",
-      (1, del7, 1, Some(7), None, Seq.empty[Int]) +: (if (withDangling)
-        Seq((1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, Some(3), None, Seq.empty[Int]))
+      MRow(1, del7, 1, p = Some(7)) +: (if (withDangling)
+        Seq(MRow(1, s"$table/data/DOES_NOT_EXIST_del3.parquet", 1, p = Some(3)))
       else Nil))
     val dmEq = if (!withGlobalEq) null else manifest(s"$table/metadata/dmeq", Seq(
-      (1, eqPath, 2, None, None, Seq(1))))
+      MRow(1, eqPath, 2, eq = Seq(1))))
     val dmEqScoped = if (!withScopedEq) null else manifest(s"$table/metadata/dmeqs", Seq(
-      (1, eqScopedPath, 2, Some(3), None, Seq(1))))
-    // bucket-scoped eq delete: values (31, 72), tuple id_bucket=1 =
-    // bucket[4](31) — 72 (bucket 3) must survive the scope
+      MRow(1, eqScopedPath, 2, p = Some(3), eq = Seq(1))))
+    // bucket era (spec 2): one file per bucket — fb1 holds id 31
+    // (bucket[4]=1), fb2 holds id 72 (bucket[4]=3). The delete (spec 2,
+    // tuple id_bucket=1, values 31 AND 72) kills only fb1's 31: 72
+    // recomputes to bucket 3 (tuple mismatch) and the spec-0 copies of
+    // both ids survive on the same-spec gate alone.
+    val (fb1, fb2) = if (!withBucketEq) (null, null) else {
+      withFieldIds(Seq((31L, "b31", 9)).toDF("id", "name", "p"), ids)
+        .coalesce(1).write.parquet(s"$table/data/fb1")
+      withFieldIds(Seq((72L, "b72", 9)).toDF("id", "name", "p"), ids)
+        .coalesce(1).write.parquet(s"$table/data/fb2")
+      (partFile(s"$table/data/fb1"), partFile(s"$table/data/fb2"))
+    }
+    val m2 = if (!withBucketEq) null else manifest(s"$table/metadata/m2", Seq(
+      MRow(1, fb1, 0, bucket = Some(1)), MRow(1, fb2, 0, bucket = Some(3))))
     val eqBucketPath = if (!withBucketEq) null else {
       withFieldIds(Seq(31L, 72L).toDF("id"), Map("id" -> 1))
         .coalesce(1).write.parquet(s"$table/data/eqbucket")
       partFile(s"$table/data/eqbucket")
     }
     val dmEqBucket = if (!withBucketEq) null else manifest(s"$table/metadata/dmeqb", Seq(
-      (1, eqBucketPath, 2, None, Some(1), Seq(1))))
-    // truncate-scoped eq delete: transform outside the scoping profile
+      MRow(1, eqBucketPath, 2, bucket = Some(1), eq = Seq(1))))
+    // truncate era (spec 3 over p int, truncate[2]; spec 4 over name
+    // string, truncate[3]): ft1 (id 201, name "alpha1", p=2 → groups
+    // int 2 / str "alp"), ft2 (id 203, name "beta2", p=7 → groups
+    // int 6 / str "bet"). Each truncate delete carries values
+    // (201, 203) and a tuple matching only ft1's group.
+    val needTruncData = withTruncEq || withStrTruncEq
+    val (ft1, ft2) = if (!needTruncData) (null, null) else {
+      withFieldIds(Seq((201L, "alpha1", 2)).toDF("id", "name", "p"), ids)
+        .coalesce(1).write.parquet(s"$table/data/ft1")
+      withFieldIds(Seq((203L, "beta2", 7)).toDF("id", "name", "p"), ids)
+        .coalesce(1).write.parquet(s"$table/data/ft2")
+      (partFile(s"$table/data/ft1"), partFile(s"$table/data/ft2"))
+    }
+    val m3 = if (!withTruncEq) null else manifest(s"$table/metadata/m3", Seq(
+      MRow(1, ft1, 0, ptr = Some(2)), MRow(1, ft2, 0, ptr = Some(6))))
+    val m4 = if (!withStrTruncEq) null else manifest(s"$table/metadata/m4", Seq(
+      MRow(1, ft1, 0, ntr = Some("alp")), MRow(1, ft2, 0, ntr = Some("bet"))))
+    val eqTruncPath = if (!needTruncData && !withUnsupportedEq) null else {
+      withFieldIds(Seq(201L, 203L).toDF("id"), Map("id" -> 1))
+        .coalesce(1).write.parquet(s"$table/data/eqtrunc")
+      partFile(s"$table/data/eqtrunc")
+    }
     val dmEqTrunc = if (!withTruncEq) null else manifest(s"$table/metadata/dmeqt", Seq(
-      (1, eqScopedPath, 2, Some(3), None, Seq(1))))
+      MRow(1, eqTruncPath, 2, ptr = Some(2), eq = Seq(1))))
+    val dmEqStrTrunc = if (!withStrTruncEq) null else manifest(s"$table/metadata/dmeqnt", Seq(
+      MRow(1, eqTruncPath, 2, ntr = Some("alp"), eq = Seq(1))))
+    // spec 5 (temporal transform): outside the scoping profile — refuse
+    val dmEqUnsupported = if (!withUnsupportedEq) null else manifest(s"$table/metadata/dmequ", Seq(
+      MRow(1, eqTruncPath, 2, p = Some(3), eq = Seq(1))))
 
     val listSchema = StructType(Seq(
       StructField("manifest_path", StringType), StructField("content", IntegerType),
@@ -743,9 +791,19 @@ class FileSkippingSpec extends SparkSpec {
     if (withScopedEq)
       listRows = listRows :+ org.apache.spark.sql.Row(dmEqScoped, 1, 3L, 0, sum(0, 9))
     if (withBucketEq)
-      listRows = listRows :+ org.apache.spark.sql.Row(dmEqBucket, 1, 3L, 2, null)
+      listRows = listRows ++ Seq(
+        org.apache.spark.sql.Row(m2, 0, 1L, 2, null),
+        org.apache.spark.sql.Row(dmEqBucket, 1, 3L, 2, null))
     if (withTruncEq)
-      listRows = listRows :+ org.apache.spark.sql.Row(dmEqTrunc, 1, 3L, 3, null)
+      listRows = listRows ++ Seq(
+        org.apache.spark.sql.Row(m3, 0, 1L, 3, null),
+        org.apache.spark.sql.Row(dmEqTrunc, 1, 3L, 3, null))
+    if (withStrTruncEq)
+      listRows = listRows ++ Seq(
+        org.apache.spark.sql.Row(m4, 0, 1L, 4, null),
+        org.apache.spark.sql.Row(dmEqStrTrunc, 1, 3L, 4, null))
+    if (withUnsupportedEq)
+      listRows = listRows :+ org.apache.spark.sql.Row(dmEqUnsupported, 1, 3L, 5, null)
     import scala.jdk.CollectionConverters._
     val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
     Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
@@ -765,7 +823,11 @@ class FileSkippingSpec extends SparkSpec {
          |    {"spec-id": 2, "fields": [
          |      {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1001}]},
          |    {"spec-id": 3, "fields": [
-         |      {"name": "p_trunc", "transform": "truncate[2]", "source-id": 3, "field-id": 1002}]}],
+         |      {"name": "p_trunc", "transform": "truncate[2]", "source-id": 3, "field-id": 1002}]},
+         |    {"spec-id": 4, "fields": [
+         |      {"name": "name_trunc", "transform": "truncate[3]", "source-id": 2, "field-id": 1003}]},
+         |    {"spec-id": 5, "fields": [
+         |      {"name": "p_year", "transform": "year", "source-id": 3, "field-id": 1004}]}],
          |  "current-snapshot-id": 77,
          |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
          |}""".stripMargin)
@@ -807,15 +869,42 @@ class FileSkippingSpec extends SparkSpec {
     assert(filtered.select("id").as[Long].collect().toSeq == Seq(72L))
   }
 
-  test("iceberg: bucket-scoped equality deletes recompute murmur3 per row") {
+  test("iceberg: bucket-scoped equality deletes recompute murmur3 per row AND gate on spec id") {
     import spark.implicits._
-    // eq delete values (31, 72), tuple id_bucket=1: bucket[4](31)=1 so
-    // 31 dies; bucket[4](72)=3 so 72 SURVIVES the scope (global
-    // application would have removed it). Pos delete removes 71.
+    // eq delete (spec 2, tuple id_bucket=1, values 31 AND 72): in the
+    // spec-2 era, bucket[4](31)=1 so fb1's 31 dies and bucket[4](72)=3
+    // so fb2's 72 survives the tuple; in the spec-0 era, BOTH ids
+    // survive on the same-spec gate alone — without it, f3's 31
+    // (recomputing to bucket 1) would be silently over-deleted, the
+    // migrated-unpartitioned-to-bucket[N] CDC scenario. Pos delete
+    // removes 71.
     val t = icebergDeletes(withGlobalEq = false, withBucketEq = true, withDangling = false)
     val df = IcebergReader.read(spark, t.toString)
-    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().toSeq ==
-      Seq((72L, "row7b", 7)))
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      Seq((31L, "row3", 3), (72L, "b72", 9), (72L, "row7b", 7)))
+  }
+
+  test("iceberg: truncate-scoped equality deletes recompute the int prefix group per row") {
+    import spark.implicits._
+    // eq delete (spec 3 = truncate[2] over int p, tuple p_trunc=2,
+    // values 201 AND 203): ft1 (p=2 → group 2) dies, ft2 (p=7 → group
+    // 6) survives the tuple; the spec-0 era is untouched (31 survives
+    // the gate, 71 goes to the pos delete).
+    val t = icebergDeletes(withGlobalEq = false, withTruncEq = true, withDangling = false)
+    val df = IcebergReader.read(spark, t.toString)
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((31L, "row3", 3), (72L, "row7b", 7), (203L, "beta2", 7)))
+  }
+
+  test("iceberg: truncate-scoped equality deletes take string prefixes by code point") {
+    import spark.implicits._
+    // eq delete (spec 4 = truncate[3] over string name, tuple
+    // name_trunc='alp', values 201 AND 203): 'alpha1' truncates to
+    // 'alp' so ft1's 201 dies; 'beta2' → 'bet' so ft2's 203 survives.
+    val t = icebergDeletes(withGlobalEq = false, withStrTruncEq = true, withDangling = false)
+    val df = IcebergReader.read(spark, t.toString)
+    assert(df.select("id", "name", "p").as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((31L, "row3", 3), (72L, "row7b", 7), (203L, "beta2", 7)))
   }
 
   test("iceberg: global and partition-scoped equality deletes compose in one snapshot") {
@@ -827,9 +916,12 @@ class FileSkippingSpec extends SparkSpec {
   }
 
   test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
+    // spec 5 partitions by year(p) — temporal scoping is outside the
+    // profile (identity/bucket/truncate only); applying the delete
+    // globally would over-delete, so the read refuses
     val t = icebergDeletes(withGlobalEq = false, withScopedEq = true,
-      withTruncEq = true, withDangling = false)
+      withUnsupportedEq = true, withDangling = false)
     val e = intercept[IllegalArgumentException](IcebergReader.read(spark, t.toString).count())
-    assert(e.getMessage.contains("non-identity") || e.getMessage.contains("truncate"))
+    assert(e.getMessage.contains("non-identity"))
   }
 }
