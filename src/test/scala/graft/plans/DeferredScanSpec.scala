@@ -267,4 +267,115 @@ class DeferredScanSpec extends SparkSpec {
     val out = cat.sql(spark, "SELECT id FROM itab WHERE p = 7").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(71L))
   }
+
+  // ---- join-driven pruning (VERDICT r9 #1) ---------------------------
+
+  /** Parquet-backed dim (a LocalRelation would constant-fold through
+    * the optimizer's own Filter/PropagateEmptyRelation rules before the
+    * deferred rule ever ran — the file-backed relation keeps the build
+    * side opaque until our planning-time collect, like a real dim). */
+  private def dimView(name: String): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dsdim").toString
+    Seq((7, "seven"), (8, "eight"), (55, "absent")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView(name)
+  }
+
+  test("delta: a star join prunes the fact side to the filtered dim's keys") {
+    val fact = DeltaReader.table(spark, delta100(7, 8).toString) // only p=7 exists
+    fact.createOrReplaceTempView("ds_fact_d")
+    dimView("ds_dim_d")
+    // no filter sits on the fact leg — the dim filter alone must reach
+    // the fact scan as an IN-list, or the 99 dangling adds blow up
+    val rows = spark.sql(
+      """SELECT f.id, f.name FROM ds_fact_d f JOIN ds_dim_d d ON f.p = d.k
+        |WHERE d.v = 'seven' ORDER BY f.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("iceberg: a star join prunes manifests and files to the dim's keys") {
+    val fact = IcebergReader.table(spark, iceberg100().toString) // p in [0,9] real
+    fact.createOrReplaceTempView("ds_fact_i")
+    dimView("ds_dim_i")
+    // keys {7, 8}: manifest 0 survives ([0,9] overlaps), the nine
+    // dangling manifests ([10,99]) are excluded by the IN bounds
+    val rows = spark.sql(
+      """SELECT f.id FROM ds_fact_i f JOIN ds_dim_i d ON f.p = d.k
+        |WHERE d.v IN ('seven', 'eight') ORDER BY f.id""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(71L, 81L))
+  }
+
+  test("join pruning: left outer keeps the fact side full; prunable on the inner side only") {
+    val fact = DeltaReader.table(spark, delta100(7, 8).toString)
+    fact.createOrReplaceTempView("ds_fact_lo")
+    dimView("ds_dim_lo")
+    // dim LEFT JOIN fact: fact is the right (inner) leg — prunable
+    val rows = spark.sql(
+      """SELECT d.k, f.id FROM ds_dim_lo d LEFT JOIN ds_fact_lo f ON f.p = d.k
+        |WHERE d.v = 'seven' ORDER BY f.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((7, 1L), (7, 2L)))
+    // fact LEFT JOIN dim: fact rows without a match survive, so the
+    // fact leg must NOT be narrowed to dim keys — with pruning refused,
+    // the unpruned scan cannot plan past the dangling adds (negative
+    // control proving the join-type gate, not a silent wrong answer).
+    // No WHERE on d: a null-filtering dim predicate would let
+    // EliminateOuterJoin turn this into an inner join, where pruning
+    // IS legal.
+    intercept[Exception](spark.sql(
+      "SELECT f.id FROM ds_fact_lo f LEFT JOIN ds_dim_lo d ON f.p = d.k").collect())
+  }
+
+  test("join pruning: key-count cap and nondeterministic build sides fail open") {
+    import spark.implicits._
+    // TWO real partitions and a dim whose filter keeps BOTH keys: the
+    // same query prunes (and succeeds) at the default cap, and must
+    // fail open (crash on the dangling adds) when the cap is below the
+    // FILTERED build side's key count — the cap gates the collect the
+    // rule actually runs, not the raw dim size
+    val fact = DeltaReader.table(spark, delta100(7, 9).toString)
+    fact.createOrReplaceTempView("ds_fact_gates")
+    val dir = Files.createTempDirectory("dsdimgates").toString
+    Seq((7, "seven"), (8, "seven"), (55, "absent")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("ds_dim_gates")
+    val q =
+      """SELECT f.id FROM ds_fact_gates f JOIN ds_dim_gates d ON f.p = d.k
+        |WHERE d.v = 'seven'""".stripMargin
+    assert(spark.sql(q).count() == 4L) // default cap: keys {7,8} prune
+    spark.conf.set("spark.graft.deferredScan.maxJoinKeys", "1")
+    try intercept[Exception](spark.sql(q).collect())
+    finally spark.conf.unset("spark.graft.deferredScan.maxJoinKeys")
+    // a nondeterministic build side may replay differently between the
+    // planning-time collect and the runtime join: refuse to prune. The
+    // rand() must live INSIDE the build leg (a WHERE conjunct would
+    // stay above the join, leaving the leg deterministic).
+    spark.table("ds_dim_gates").where(org.apache.spark.sql.functions.expr("rand() < 2.0"))
+      .createOrReplaceTempView("ds_dim_nd")
+    intercept[Exception](spark.sql(
+      """SELECT f.id FROM ds_fact_gates f JOIN ds_dim_nd d ON f.p = d.k
+        |WHERE d.v = 'seven'""".stripMargin).collect())
+    // ...and the happy path still works after both refusals
+    assert(spark.sql(q).count() == 4L)
+  }
+
+  test("join pruning: an empty build side renders a never-true IN and scans nothing") {
+    val fact = DeltaReader.table(spark, delta100(7, 8).toString)
+    fact.createOrReplaceTempView("ds_fact_empty")
+    dimView("ds_dim_empty")
+    assert(spark.sql(
+      """SELECT f.id FROM ds_fact_empty f JOIN ds_dim_empty d ON f.p = d.k
+        |WHERE d.v = 'no-such-row'""".stripMargin).collect().isEmpty)
+  }
+
+  test("join pruning: static fact-side conjuncts compose with the dim keys") {
+    val fact = DeltaReader.table(spark, delta100(7, 8).toString)
+    fact.createOrReplaceTempView("ds_fact_mix")
+    dimView("ds_dim_mix")
+    val rows = spark.sql(
+      """SELECT f.id FROM ds_fact_mix f JOIN ds_dim_mix d ON f.p = d.k
+        |WHERE d.v = 'seven' AND f.id >= 2""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
