@@ -350,8 +350,13 @@ class DeferredScanSpec extends SparkSpec {
     // a nondeterministic build side may replay differently between the
     // planning-time collect and the runtime join: refuse to prune. The
     // rand() must live INSIDE the build leg (a WHERE conjunct would
-    // stay above the join, leaving the leg deterministic).
-    spark.table("ds_dim_gates").where(org.apache.spark.sql.functions.expr("rand() < 2.0"))
+    // stay above the join, leaving the leg deterministic), and the
+    // bound must be inside rand()'s [0,1) range — the optimizer KNOWS
+    // that range and folds `rand() < 2.0` to an always-true filter it
+    // then deletes, leaving a deterministic leg (verified empirically).
+    // The refusal crashes on the dangling adds before any row is
+    // evaluated, so the 0.5 selectivity never matters.
+    spark.table("ds_dim_gates").where(org.apache.spark.sql.functions.expr("rand() < 0.5"))
       .createOrReplaceTempView("ds_dim_nd")
     intercept[Exception](spark.sql(
       """SELECT f.id FROM ds_fact_gates f JOIN ds_dim_nd d ON f.p = d.k
