@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   *
   * Protocol profile (all fixed, NON-flexible versions — no compact
   * strings/tagged fields): ApiVersions v0 for the handshake, Metadata
-  * v4 when the broker offers it (v1 otherwise), ListOffsets v1, Fetch
-  * v4 (the first version carrying record-batch format v2, still served
-  * by every broker generation that also serves format-v2 topics). A
+  * v4 when the broker offers it (v1 otherwise), ListOffsets v1 (with
+  * timestamp lookup for `ts:<millis>` bounds), Fetch v4 (the first
+  * version carrying record-batch format v2, still served by every
+  * broker generation that also serves format-v2 topics), and for
+  * secured clusters SaslHandshake v1 + SaslAuthenticate v0 over
+  * PLAINTEXT or TLS (see [[KafkaReader.Security]]). A
   * broker whose advertised ranges exclude these refuses loudly naming
   * the connector jar. Record batches decode per the published format:
   * v2 batch header (CRC32C verified), zigzag-varint record framing,
@@ -51,6 +54,38 @@ object KafkaReader {
     StructField("headers", ArrayType(StructType(Seq(
       StructField("key", StringType), StructField("value", BinaryType)))))))
 
+  /** Connection security (reference consumer conf `readers.py:3205` —
+    * confluent_kafka passes `security.protocol` / `sasl.mechanism` /
+    * `sasl.username` / `sasl.password` straight through; real brokers
+    * — MSK, Confluent Cloud — are overwhelmingly SASL_SSL). TLS rides
+    * the shared [[Net.socket]] layer (SNI + endpoint identification,
+    * the same transport the other service readers use); SASL speaks
+    * SaslHandshake v1 + SaslAuthenticate v0 framed in the ordinary
+    * Kafka protocol. Mechanisms: PLAIN (RFC 4616) and
+    * SCRAM-SHA-256/512 (RFC 5802, with server-signature
+    * verification — a broker that cannot prove knowledge of the
+    * credential fails the read). Serializable: executors authenticate
+    * their own per-partition connections with the same config. */
+  case class Security(
+      protocol: String = "PLAINTEXT",
+      mechanism: String = "PLAIN",
+      username: String = null,
+      password: String = null) {
+    require(Set("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL").contains(protocol),
+      s"kafka: unknown security_protocol '$protocol' " +
+        "(PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL)")
+    def tls: Boolean = protocol == "SSL" || protocol == "SASL_SSL"
+    def sasl: Boolean = protocol.startsWith("SASL_")
+    if (sasl) {
+      require(Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512").contains(mechanism),
+        s"kafka: unsupported sasl_mechanism '$mechanism' " +
+          "(PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512); GSSAPI/OAUTHBEARER need the " +
+          "spark-sql-kafka connector jar")
+      require(username != null && password != null,
+        s"kafka: security_protocol=$protocol requires sasl_username and sasl_password")
+    }
+  }
+
   // ------------------------------------------------------------ wire IO
 
   private[readers] final class Conn(t: Net.Transport, clientId: String) {
@@ -68,7 +103,9 @@ object KafkaReader {
       val lenBytes = t.in.readNBytes(4)
       require(lenBytes.length == 4, "kafka: connection closed before response")
       val len = ByteBuffer.wrap(lenBytes).getInt
-      require(len >= 4 && len <= 128 * 1024 * 1024, s"kafka: implausible response size $len")
+      require(len >= 4 && len <= 128 * 1024 * 1024,
+        s"kafka: implausible response size $len — if the broker expects TLS or SASL " +
+          "(MSK/Confluent default SASL_SSL), set security_protocol/sasl_* options")
       val bodyBytes = t.in.readNBytes(len)
       require(bodyBytes.length == len, s"kafka: truncated response ($len expected, ${bodyBytes.length} read)")
       val bb = ByteBuffer.wrap(bodyBytes)
@@ -79,8 +116,107 @@ object KafkaReader {
     def close(): Unit = t.close()
   }
 
-  private def connect(host: String, port: Int, timeoutMs: Int, clientId: String): Conn =
-    new Conn(Net.socket(host, port, tls = false, soTimeoutMs = timeoutMs), clientId)
+  private def connect(host: String, port: Int, timeoutMs: Int, clientId: String,
+      sec: Security): Conn = {
+    val c = new Conn(Net.socket(host, port, tls = sec.tls, soTimeoutMs = timeoutMs), clientId)
+    if (sec.sasl) {
+      try authenticate(c, sec)
+      catch { case e: Throwable => scala.util.Try(c.close()); throw e }
+    }
+    c
+  }
+
+  // ------------------------------------------------------ SASL (17/36)
+
+  /** SaslHandshake v1 + SaslAuthenticate v0 exchange, run on every
+    * connection BEFORE any other request (the broker requires it; only
+    * ApiVersions may precede). Handshake v1 is what frames the auth
+    * bytes as ordinary SaslAuthenticate requests — a v0-only broker
+    * (pre-1.0, raw auth bytes on the wire) refuses loudly. */
+  private def authenticate(c: Conn, sec: Security): Unit = {
+    val versions = apiVersions(c) // allowed pre-auth; cheap
+    def supported(key: Short, v: Short): Boolean =
+      versions.get(key).exists { case (lo, hi) => lo <= v && v <= hi }
+    require(supported(17, 1) && supported(36, 0),
+      "kafka: broker does not serve SaslHandshake v1 + SaslAuthenticate v0 " +
+        "(pre-1.0 raw-byte SASL framing) — outside this native reader's profile; " +
+        "use the spark-sql-kafka connector jar")
+    val hs = c.call(17, 1, str(sec.mechanism))
+    val hsErr = hs.getShort
+    val nMechs = hs.getInt
+    val enabled = (0 until nMechs).map(_ => readStr(hs))
+    require(hsErr == 0,
+      s"kafka: broker rejected SASL mechanism ${sec.mechanism} (error $hsErr); " +
+        s"broker enables [${enabled.mkString(", ")}]")
+    def roundTrip(authBytes: Array[Byte]): Array[Byte] = {
+      val bb = c.call(36, 0, cat(i32(authBytes.length), authBytes))
+      val err = bb.getShort
+      val msg = readStr(bb)
+      require(err == 0, s"kafka: SASL authentication failed (error $err" +
+        Option(msg).filter(_.nonEmpty).map(m => s": $m").getOrElse("") + ")")
+      val n = bb.getInt
+      if (n <= 0) Array.empty[Byte] else { val b = new Array[Byte](n); bb.get(b); b }
+    }
+    sec.mechanism match {
+      case "PLAIN" => // RFC 4616: NUL authzid NUL authcid NUL passwd, one round
+        roundTrip(cat(Array[Byte](0),
+          sec.username.getBytes(StandardCharsets.UTF_8), Array[Byte](0),
+          sec.password.getBytes(StandardCharsets.UTF_8)))
+      case m => scramAuth(roundTrip, m, sec.username, sec.password)
+    }
+  }
+
+  /** RFC 5802 SCRAM client, parameterized by hash width. Verifies the
+    * server signature: success requires the broker to prove knowledge
+    * of the salted credential, not merely say "ok". */
+  private[readers] def scramAuth(roundTrip: Array[Byte] => Array[Byte],
+      mechanism: String, username: String, password: String): Unit = {
+    val bits = if (mechanism == "SCRAM-SHA-256") 256 else 512
+    val hmacAlgo = s"HmacSHA$bits"
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance(hmacAlgo)
+      m.init(new javax.crypto.spec.SecretKeySpec(key, hmacAlgo)); m.doFinal(data)
+    }
+    val b64e = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+    val cnonceBytes = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(cnonceBytes)
+    val cnonce = b64e.encodeToString(cnonceBytes)
+    // RFC 5802 saslname escaping for the attribute-value grammar
+    val user = username.replace("=", "=3D").replace(",", "=2C")
+    val clientFirstBare = s"n=$user,r=$cnonce"
+    val serverFirst = new String(
+      roundTrip(("n,," + clientFirstBare).getBytes(StandardCharsets.UTF_8)),
+      StandardCharsets.UTF_8)
+    val attrs = serverFirst.split(",").map(_.splitAt(2)).collect {
+      case (k, v) if k.endsWith("=") => k.stripSuffix("=") -> v
+    }.toMap
+    val nonce = attrs.getOrElse("r", throw new IllegalArgumentException(
+      s"kafka: malformed SCRAM server-first message: $serverFirst"))
+    require(nonce.startsWith(cnonce) && nonce.length > cnonce.length,
+      "kafka: SCRAM server nonce does not extend the client nonce — possible replay")
+    val salt = b64d.decode(attrs("s"))
+    val iterations = attrs("i").toInt
+    val skf = javax.crypto.SecretKeyFactory.getInstance(s"PBKDF2WithHmacSHA$bits")
+    val salted = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, bits)).getEncoded
+    val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
+    val storedKey = java.security.MessageDigest.getInstance(s"SHA-$bits").digest(clientKey)
+    val withoutProof = s"c=biws,r=$nonce" // biws = b64("n,,")
+    val authMessage = (clientFirstBare + "," + serverFirst + "," + withoutProof)
+      .getBytes(StandardCharsets.UTF_8)
+    val clientSig = hmac(storedKey, authMessage)
+    val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    val serverFinal = new String(
+      roundTrip((withoutProof + ",p=" + b64e.encodeToString(proof))
+        .getBytes(StandardCharsets.UTF_8)), StandardCharsets.UTF_8)
+    val serverSig = hmac(hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8)), authMessage)
+    require(serverFinal.startsWith("v=") &&
+        java.security.MessageDigest.isEqual(
+          b64d.decode(serverFinal.stripPrefix("v=").takeWhile(_ != ',')), serverSig),
+      s"kafka: SCRAM server signature verification failed ($serverFinal) — " +
+        "the broker could not prove knowledge of the credential")
+  }
 
   // primitive writers (big-endian, classic encoding)
   private def str(s: String): Array[Byte] = {
@@ -318,16 +454,22 @@ object KafkaReader {
   // ------------------------------------------------------- public read
 
   /** Read `kafka://broker:port/topic` as a bounded batch DataFrame.
-    * `startOffset`/`endOffset`: "earliest"/"latest" or a numeric offset
-    * applied to every partition; the range resolves ON THE DRIVER at
-    * plan time, then each partition fetches its own slice on an
+    * `startOffset`/`endOffset`: "earliest"/"latest", a numeric offset
+    * applied to every partition, or `ts:<epoch-millis>` — resolved per
+    * partition via ListOffsets v1's timestamp lookup to the FIRST
+    * offset whose record timestamp is >= the bound (the reference's
+    * bounded time-window consume); a partition with no such record
+    * (broker answers -1) resolves to its log end, so a too-late start
+    * yields empty rather than wrong. The range resolves ON THE DRIVER
+    * at plan time, then each partition fetches its own slice on an
     * executor. `maxOffsetsPerPartition` caps each planned range in
     * OFFSETS — on compacted/transactional topics that is an upper
     * bound, not a record count (use limit() for exact counts). */
   def read(spark: SparkSession, url: String,
       startOffset: String = "earliest", endOffset: String = "latest",
       maxOffsetsPerPartition: Long = Long.MaxValue,
-      timeoutMs: Int = 15000, clientId: String = "graft-kafka"): DataFrame = {
+      timeoutMs: Int = 15000, clientId: String = "graft-kafka",
+      security: Security = Security()): DataFrame = {
     val uri = new URI(url)
     require(uri.getScheme == "kafka", s"not a kafka url: $url")
     val host = uri.getHost
@@ -336,7 +478,7 @@ object KafkaReader {
       .getOrElse(throw new IllegalArgumentException(s"no topic in kafka url $url"))
 
     // driver: handshake + metadata + offset range per partition
-    val boot = connect(host, port, timeoutMs, clientId)
+    val boot = connect(host, port, timeoutMs, clientId, security)
     val (brokers, parts, mdVersion) =
       try {
         val versions = apiVersions(boot)
@@ -353,22 +495,24 @@ object KafkaReader {
     require(parts.nonEmpty, s"kafka: topic '$topic' has no partitions")
 
     case class Slice(partition: Int, host: String, port: Int, start: Long, end: Long)
+    // "ts:<millis>" → first offset with timestamp >= millis; the broker
+    // answers -1 when no record qualifies → log end (empty, not wrong)
+    def resolve(c: Conn, partition: Int, spec: String): Long = spec match {
+      case "earliest" => listOffset(c, topic, partition, -2L)
+      case "latest"   => listOffset(c, topic, partition, -1L)
+      case ts if ts.startsWith("ts:") =>
+        val got = listOffset(c, topic, partition, ts.stripPrefix("ts:").toLong)
+        if (got < 0) listOffset(c, topic, partition, -1L) else got
+      case n => n.toLong
+    }
     val byLeader = parts.groupBy(_.leader)
     val slices: Seq[Slice] = byLeader.toSeq.flatMap { case (leaderId, ps) =>
       val node = brokers.getOrElse(leaderId, throw new IllegalArgumentException(
         s"kafka: leader $leaderId not in broker metadata"))
-      val c = connect(node.host, node.port, timeoutMs, clientId)
+      val c = connect(node.host, node.port, timeoutMs, clientId, security)
       try ps.map { pm =>
-        val start = startOffset match {
-          case "earliest" => listOffset(c, topic, pm.partition, -2L)
-          case "latest"   => listOffset(c, topic, pm.partition, -1L)
-          case n          => n.toLong
-        }
-        val end = endOffset match {
-          case "latest"   => listOffset(c, topic, pm.partition, -1L)
-          case "earliest" => listOffset(c, topic, pm.partition, -2L)
-          case n          => n.toLong
-        }
+        val start = resolve(c, pm.partition, startOffset)
+        val end = resolve(c, pm.partition, endOffset)
         // saturating add: the default cap is Long.MaxValue
         val cap =
           if (start > Long.MaxValue - maxOffsetsPerPartition) Long.MaxValue
@@ -381,6 +525,7 @@ object KafkaReader {
     val topicB = topic
     val timeoutB = timeoutMs
     val clientB = clientId
+    val secB = security
     val rows = spark.sparkContext
       .parallelize(slices, math.max(1, slices.size))
       .flatMap { s =>
@@ -392,12 +537,13 @@ object KafkaReader {
           // of materializing in executor heap. The connection closes on
           // task completion (normal or not), not via try/finally — the
           // iterator outlives this block.
-          val c = connect(s.host, s.port, timeoutB, clientB)
+          val c = connect(s.host, s.port, timeoutB, clientB, secB)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => scala.util.Try(c.close())))
           new Iterator[Row] {
             private var offset = s.start
             private var done = false
+            private var stalls = 0
             private var cur: Iterator[Row] = Iterator.empty
             private def fill(): Unit =
               while (!done && !cur.hasNext) {
@@ -410,8 +556,20 @@ object KafkaReader {
                   Row(r.key, r.value, topicB, s.partition, r.offset,
                     new java.sql.Timestamp(r.timestamp), r.timestampType,
                     r.headers.map { case (k, v) => Row(k, v) }))
-                if (next >= s.end || next <= offset || hw <= offset) done = true
-                else offset = next
+                if (next >= s.end || hw <= offset) done = true
+                else if (next > offset) { offset = next; stalls = 0 }
+                else {
+                  // err==0 yet no batch advanced the offset while the
+                  // broker still advertises data (offset < min(end, hw)):
+                  // silently stopping here would under-deliver the
+                  // planned range. Retry bounded, then fail loudly.
+                  stalls += 1
+                  require(stalls < 5,
+                    s"kafka: $topicB-${s.partition} stalled at offset $offset " +
+                      s"(planned end ${s.end}, high watermark $hw): the broker " +
+                      "returned empty fetches with no error 5 times — refusing " +
+                      "to silently under-deliver the planned offset range")
+                }
               }
             def hasNext: Boolean = { fill(); cur.hasNext }
             def next(): Row = { fill(); cur.next() }
@@ -439,7 +597,12 @@ class KafkaReaderImpl extends Reader {
     val df = KafkaReader.read(spark, ref.url,
       startOffset = ref.options.getOrElse("start_offset", "earliest"),
       endOffset = ref.options.getOrElse("end_offset", "latest"),
-      timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt)
+      timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt,
+      security = KafkaReader.Security(
+        protocol = ref.options.getOrElse("security_protocol", "PLAINTEXT"),
+        mechanism = ref.options.getOrElse("sasl_mechanism", "PLAIN"),
+        username = ref.options.getOrElse("sasl_username", null),
+        password = ref.options.getOrElse("sasl_password", null)))
     ref.options.get("max_records").map(n => df.limit(n.toInt)).getOrElse(df)
   }
 }

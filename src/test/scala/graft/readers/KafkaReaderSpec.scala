@@ -96,7 +96,17 @@ class KafkaReaderSpec extends SparkSpec {
       // (leaderId -> (host, port)) rows advertised besides this broker
       // (id 1); partitionLeaders overrides the default all-on-1 layout
       extraBrokers: Seq[(Int, String, Int)] = Nil,
-      partitionLeaders: Map[Int, Int] = Map.empty) {
+      partitionLeaders: Map[Int, Int] = Map.empty,
+      // SASL: nonEmpty = handshake required before data APIs; the
+      // server side of PLAIN and SCRAM is implemented HERE from the
+      // RFCs, independently of the reader's client side
+      saslMechanisms: Seq[String] = Nil,
+      users: Map[String, String] = Map.empty,
+      // per-partition (offset, timestamp) index for ListOffsets ts >= 0
+      tsIndex: Map[Int, Seq[(Long, Long)]] = Map.empty,
+      // serve an err==0 EMPTY fetch at this offset (broker bug /
+      // transient hole): the client must retry then refuse loudly
+      emptyFetchAtOffset: Long = -1L) {
     private val server = new ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
     @volatile private var running = true
@@ -110,9 +120,30 @@ class KafkaReaderSpec extends SparkSpec {
       if (n < 0) null else { val b = new Array[Byte](n); bb.get(b); new String(b, StandardCharsets.UTF_8) }
     }
 
+    // ---- server-side SCRAM (RFC 5802, implemented independently) ----
+    private def hmac(bits: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance(s"HmacSHA$bits")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, s"HmacSHA$bits")); m.doFinal(data)
+    }
+    private def salted(bits: Int, password: String, salt: Array[Byte], iter: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory.getInstance(s"PBKDF2WithHmacSHA$bits")
+        .generateSecret(new javax.crypto.spec.PBEKeySpec(
+          password.toCharArray, salt, iter, bits)).getEncoded
+
+    private class ScramState(val bits: Int) {
+      var clientFirstBare: String = _
+      var serverFirst: String = _
+      var saltBytes: Array[Byte] = Array.range(0, 16).map(_.toByte)
+      var user: String = _
+    }
+
     private def handle(sock: Socket): Unit = {
       val in = sock.getInputStream
       val out = sock.getOutputStream
+      // per-connection SASL state
+      var authed = saslMechanisms.isEmpty
+      var chosenMech: String = null
+      var scram: ScramState = null
       try {
         var open = true
         while (open) {
@@ -124,13 +155,85 @@ class KafkaReaderSpec extends SparkSpec {
             val apiVersion = req.getShort
             val corr = req.getInt
             readStr(req) // client id
+            if (!authed && apiKey != 18 && apiKey != 17 && apiKey != 36) {
+              sock.close(); return // broker drops unauthenticated data requests
+            }
             val body = new ByteArrayOutputStream()
             val w = new java.io.DataOutputStream(body)
             apiKey match {
               case 18 => // ApiVersions v0
-                w.writeShort(0); w.writeInt(4)
-                for ((k, lo, hi) <- Seq((18, 0, 3), (3, 1, metadataMax.toInt), (2, 1, 7), (1, 4, 13)))
+                w.writeShort(0); w.writeInt(6)
+                for ((k, lo, hi) <- Seq((18, 0, 3), (3, 1, metadataMax.toInt), (2, 1, 7),
+                    (1, 4, 13), (17, 0, 1), (36, 0, 2)))
                   { w.writeShort(k); w.writeShort(lo); w.writeShort(hi) }
+              case 17 => // SaslHandshake v1
+                val mech = readStr(req)
+                if (saslMechanisms.contains(mech)) { chosenMech = mech; w.writeShort(0) }
+                else w.writeShort(33) // UNSUPPORTED_SASL_MECHANISM
+                w.writeInt(saslMechanisms.size)
+                saslMechanisms.foreach(m => w.write(str(m)))
+              case 36 => // SaslAuthenticate v0
+                val n = req.getInt
+                val auth = { val b = new Array[Byte](n); req.get(b); b }
+                def fail(msg: String): Unit = {
+                  w.writeShort(58); w.write(str(msg)); w.writeInt(0) // SASL_AUTHENTICATION_FAILED
+                }
+                def ok(bytes: Array[Byte]): Unit = {
+                  w.writeShort(0); w.writeShort(-1); w.writeInt(bytes.length); w.write(bytes)
+                }
+                chosenMech match {
+                  case "PLAIN" =>
+                    new String(auth, StandardCharsets.UTF_8).split("\u0000", -1) match {
+                      case Array(_, u, p) if users.get(u).contains(p) =>
+                        authed = true; ok(Array.empty)
+                      case _ => fail("Authentication failed: invalid credentials")
+                    }
+                  case m if m.startsWith("SCRAM-SHA-") =>
+                    val bits = m.stripPrefix("SCRAM-SHA-").toInt
+                    if (scram == null) {
+                      val st = new ScramState(bits)
+                      val msg = new String(auth, StandardCharsets.UTF_8)
+                      st.clientFirstBare = msg.stripPrefix("n,,")
+                      val attrs = st.clientFirstBare.split(",").map(s =>
+                        s.take(1) -> s.drop(2)).toMap
+                      st.user = attrs("n").replace("=2C", ",").replace("=3D", "=")
+                      val snonce = attrs("r") + "srv" + port // server extends the nonce
+                      st.serverFirst = s"r=$snonce,s=${java.util.Base64.getEncoder
+                        .encodeToString(st.saltBytes)},i=4096"
+                      scram = st
+                      ok(st.serverFirst.getBytes(StandardCharsets.UTF_8))
+                    } else {
+                      val st = scram
+                      val msg = new String(auth, StandardCharsets.UTF_8)
+                      val withoutProof = msg.substring(0, msg.indexOf(",p="))
+                      val proof = java.util.Base64.getDecoder
+                        .decode(msg.substring(msg.indexOf(",p=") + 3))
+                      users.get(st.user) match {
+                        case None => fail(s"unknown user ${st.user}")
+                        case Some(pw) =>
+                          val sp = salted(st.bits, pw, st.saltBytes, 4096)
+                          val clientKey = hmac(st.bits, sp,
+                            "Client Key".getBytes(StandardCharsets.UTF_8))
+                          val storedKey = java.security.MessageDigest
+                            .getInstance(s"SHA-${st.bits}").digest(clientKey)
+                          val authMessage = (st.clientFirstBare + "," + st.serverFirst +
+                            "," + withoutProof).getBytes(StandardCharsets.UTF_8)
+                          val clientSig = hmac(st.bits, storedKey, authMessage)
+                          val recovered = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+                          val recoveredStored = java.security.MessageDigest
+                            .getInstance(s"SHA-${st.bits}").digest(recovered)
+                          if (java.util.Arrays.equals(recoveredStored, storedKey)) {
+                            authed = true
+                            val serverSig = hmac(st.bits,
+                              hmac(st.bits, sp, "Server Key".getBytes(StandardCharsets.UTF_8)),
+                              authMessage)
+                            ok(("v=" + java.util.Base64.getEncoder.encodeToString(serverSig))
+                              .getBytes(StandardCharsets.UTF_8))
+                          } else fail("Authentication failed: proof mismatch")
+                      }
+                    }
+                  case _ => fail("no mechanism handshaken")
+                }
               case 3 => // Metadata v1 or v4
                 if (apiVersion >= 3) w.writeInt(0) // throttle
                 w.writeInt(1 + extraBrokers.size) // brokers
@@ -161,7 +264,12 @@ class KafkaReaderSpec extends SparkSpec {
                 val (first, end) = if (log.isEmpty) (0L, 0L) else (log.head._1, log.last._2 + 1)
                 w.writeInt(1); w.write(str(topic)); w.writeInt(1)
                 w.writeInt(part); w.writeShort(0); w.writeLong(-1L)
-                w.writeLong(if (ts == -2L) first else end)
+                // ts >= 0: earliest offset whose record timestamp >= ts,
+                // or -1 when none (Kafka's answer for a too-late bound)
+                w.writeLong(
+                  if (ts == -2L) first
+                  else if (ts == -1L) end
+                  else tsIndex(part).collectFirst { case (o, t) if t >= ts => o }.getOrElse(-1L))
               case 1 => // Fetch v4
                 req.getInt; req.getInt; req.getInt; req.getInt; req.get() // replica..isolation
                 req.getInt; readStr(req); req.getInt // 1 topic, 1 partition
@@ -172,7 +280,9 @@ class KafkaReaderSpec extends SparkSpec {
                 val hw = if (log.isEmpty) 0L else log.last._2 + 1
                 // oneBatchPerFetch exercises the client's multi-roundtrip
                 // loop (a real broker bounds responses at max_bytes)
-                val eligible = log.filter(_._2 >= offset)
+                val eligible =
+                  if (offset == emptyFetchAtOffset) Nil // err==0 empty stall
+                  else log.filter(_._2 >= offset)
                 val serve = (if (oneBatchPerFetch) eligible.take(1) else eligible).map(_._3)
                 var set = serve.foldLeft(Array.empty[Byte])(_ ++ _)
                 // a broker may cut the LAST batch at max_bytes — clients
@@ -304,6 +414,100 @@ class KafkaReaderSpec extends SparkSpec {
     // the gated connector reader stays declared (first in preference
     // when its jar is present) but is not importable here
     assert(!importable.exists(_.name == "spark_kafka"))
+  }
+
+  // ------------------------------------------------------ SASL + TLS
+
+  private val creds = Map("alice" -> "s3cr=t,pw") // exercises saslname escaping
+
+  test("SASL PLAIN authenticates every connection, driver and executors alike") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("PLAIN"), users = creds)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security("SASL_PLAINTEXT", "PLAIN", "alice", "s3cr=t,pw"))
+      assert(df.count() == 9L)
+    } finally broker.close()
+  }
+
+  test("SCRAM-SHA-256 full RFC 5802 exchange against the independent server side") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("SCRAM-SHA-256"), users = creds)
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security(
+          "SASL_PLAINTEXT", "SCRAM-SHA-256", "alice", "s3cr=t,pw"))
+      assert(df.count() == 9L)
+    } finally broker.close()
+  }
+
+  test("SCRAM-SHA-512 via the registry reader's sasl_* options") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("SCRAM-SHA-512"), users = creds)
+    try {
+      val ref = graft.datatypes.DataRef("kafka_topic",
+        s"kafka://127.0.0.1:${broker.port}/events",
+        Map("security_protocol" -> "SASL_PLAINTEXT", "sasl_mechanism" -> "SCRAM-SHA-512",
+          "sasl_username" -> "alice", "sasl_password" -> "s3cr=t,pw"))
+      assert(new KafkaReaderImpl().read(spark, ref).count() == 9L)
+    } finally broker.close()
+  }
+
+  test("refusals: mechanism the broker does not enable (named), bad credentials, missing config") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("SCRAM-SHA-256"), users = creds)
+    try {
+      // PLAIN against a SCRAM-only broker: error names what the broker enables
+      val e1 = intercept[Exception](KafkaReader.read(spark,
+        s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security("SASL_PLAINTEXT", "PLAIN", "alice", "s3cr=t,pw")))
+      assert(e1.getMessage.contains("SCRAM-SHA-256"))
+      // wrong password dies in the authenticate exchange, not a decode error
+      val e2 = intercept[Exception](KafkaReader.read(spark,
+        s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security("SASL_PLAINTEXT", "SCRAM-SHA-256", "alice", "wrong")))
+      assert(e2.getMessage.toLowerCase.contains("authentication failed"))
+      // SASL protocol without credentials refuses at construction
+      val e3 = intercept[IllegalArgumentException](
+        KafkaReader.Security("SASL_SSL", "PLAIN", null, null))
+      assert(e3.getMessage.contains("sasl_username"))
+      // unknown mechanism names the connector jar
+      val e4 = intercept[IllegalArgumentException](
+        KafkaReader.Security("SASL_SSL", "GSSAPI", "a", "b"))
+      assert(e4.getMessage.contains("connector jar"))
+    } finally broker.close()
+  }
+
+  test("ts:<millis> bounds resolve per partition via ListOffsets timestamp lookup") {
+    val tsIdx = Map(
+      0 -> Seq((0L, 1000L), (1L, 1001L), (2L, 1002L), (3L, 2000L), (4L, 2001L)),
+      1 -> Seq((0L, 3000L), (1L, 3001L), (2L, 3500L), (3L, 4000L), (4L, 4500L)))
+    val broker = new FakeBroker("events", standardLogs, tsIndex = tsIdx)
+    try {
+      // start bound past p0's last record: p0 resolves to log end (empty),
+      // p1 starts mid-log — per-partition resolution, not a global offset
+      val late = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        startOffset = "ts:3800")
+      assert(late.collect().map(r => (r.getInt(3), r.getLong(4))).sorted.toSeq ==
+        Seq((1, 3L), (1, 4L)))
+      // end bound: rows strictly before the first record at/after the ts
+      val early = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        endOffset = "ts:2000")
+      assert(early.collect().map(r => (r.getInt(3), r.getLong(4))).sorted.toSeq ==
+        Seq((0, 0L), (0, 1L), (0, 2L)))
+    } finally broker.close()
+  }
+
+  test("empty no-error fetches below the planned end retry bounded then refuse loudly") {
+    val broker = new FakeBroker("events", standardLogs,
+      oneBatchPerFetch = true, emptyFetchAtOffset = 3L)
+    try {
+      val e = intercept[Exception](
+        KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events")
+          .where("partition = 0").count())
+      assert(e.getMessage.contains("stalled at offset 3") ||
+        Option(e.getCause).exists(_.getMessage.contains("stalled at offset 3")))
+    } finally broker.close()
   }
 
   test("max_records option bounds the registry read like the reference consumer") {
