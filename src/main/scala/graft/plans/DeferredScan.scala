@@ -91,11 +91,76 @@ object DeferredScan {
     org.apache.spark.sql.graft.bridge.ofRows(spark, node)
   }
 
-  /** Idempotently register the rewrite rule on `spark`. */
+  /** Idempotently register the rewrite rule (and its guard strategy) on
+    * `spark`. CAVEAT: both live in `spark.experimental` settings a user
+    * may reassign WHOLESALE (`extraOptimizations = Seq(myRule)`), which
+    * silently removes the rewrite — registered deferred frames then
+    * reach physical planning unrealized. [[DeferredScanGuardStrategy]]
+    * turns that state into an actionable error naming this method;
+    * every `frame()` call re-installs, so newly registered views heal
+    * the session as a side effect. */
   def install(spark: SparkSession): Unit = synchronized {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraOptimizations.contains(ResolveDeferredScans))
       exp.extraOptimizations = exp.extraOptimizations :+ ResolveDeferredScans
+    if (!exp.extraStrategies.contains(DeferredScanGuardStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ DeferredScanGuardStrategy
+  }
+}
+
+/** Clear failure when the rewrite rule has been removed (a user
+  * reassigning `spark.experimental.extraOptimizations` wholesale):
+  * without the rule a [[DeferredScan]] leaf reaches physical planning,
+  * where Spark's generic planner error names nothing actionable. This
+  * strategy only ever fires in that broken state — when the rule is
+  * installed, every leaf realizes during optimization — and names the
+  * one-line fix. (A user who wipes BOTH experimental settings removes
+  * this guard too; `frame()` re-installs on the next registration.) */
+object DeferredScanGuardStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = plan match {
+    case s: DeferredScan => throw new IllegalStateException(
+      s"graft: deferred scan '${s.tableDesc}' reached physical planning unrealized — " +
+        "spark.experimental.extraOptimizations no longer contains ResolveDeferredScans " +
+        "(usually a wholesale reassignment). Call graft.plans.DeferredScan.install(spark) " +
+        "to re-register, then re-run the query.")
+    case _ => Nil
+  }
+}
+
+/** Per-planning-pass snapshot pinning: two references to the same
+  * UNPINNED deferred table within ONE query (self-join legs, repeated
+  * subqueries) realize via independent rescans, so a writer committing
+  * mid-planning could hand the legs different snapshots — a
+  * within-query inconsistency a connector avoids by resolving the
+  * snapshot once per query. [[ResolveDeferredScans]] opens a scope
+  * around each optimization pass; the readers resolve their snapshot
+  * probe (Delta: log-tail version token; Iceberg: current metadata
+  * file) through [[pin]], so the FIRST resolution per table wins for
+  * every sibling leg in the pass. Live-table semantics across queries
+  * is untouched — each pass re-probes. Scopes nest (realizing a leg
+  * may run a bounded key-collect whose own planning re-enters the
+  * rule on this thread) and share the outermost pass's pins. */
+object SnapshotPin {
+  private final class Scope {
+    val pins = new java.util.HashMap[String, Any](); var depth = 0
+  }
+  private val tl = new ThreadLocal[Scope] { override def initialValue(): Scope = new Scope }
+  private[plans] def enter(): Unit = tl.get.depth += 1
+  private[plans] def exit(): Unit = {
+    val s = tl.get
+    s.depth -= 1
+    if (s.depth <= 0) { s.pins.clear(); s.depth = 0 }
+  }
+  /** Within an open scope the first `resolve` per key wins; outside any
+    * scope (an eager `read()` call, no deferred planning underway)
+    * resolves directly with no pinning. */
+  def pin[T](key: String)(resolve: => T): T = {
+    val s = tl.get
+    if (s.depth <= 0) resolve
+    else {
+      if (!s.pins.containsKey(key)) s.pins.put(key, resolve)
+      s.pins.get(key).asInstanceOf[T]
+    }
   }
 }
 
@@ -135,7 +200,16 @@ object DeferredScan {
   * prunes every file. */
 object ResolveDeferredScans extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast-path: queries with no deferred leaf (the overwhelming
+    // majority on a session that registered one view once) skip the
+    // scope bookkeeping and the join-matching transform entirely
+    if (!plan.exists(_.isInstanceOf[DeferredScan])) return plan
+    SnapshotPin.enter()
+    try applyResolved(plan) finally SnapshotPin.exit()
+  }
+
+  private def applyResolved(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case j @ Join(left, right, joinType, Some(cond), _) =>
       val newLeft =
         if (prunableSides(joinType).contains("left")) joinPruned(left, right, cond) else None

@@ -232,13 +232,71 @@ object DeltaReader {
     readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter, maxLiveFiles, schemaOnly)
   }
 
-  private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
-      maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int,
-      schemaOnly: Boolean = false): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val logDir = table.stripSuffix("/") + "/_delta_log"
-    val f = FileSystem.get(new URI(table).resolve("/"), conf)
-    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+  /** Fully-replayed snapshot state for one (table, pin): everything the
+    * scan build needs that is filter-INDEPENDENT. Immutable once built;
+    * safe to share across queries. */
+  private case class DeltaState(
+      live: Vector[FileEntry], schemaJson: String, partitionCols: Seq[String],
+      configuration: Map[String, String])
+
+  // Snapshot cache (repeated queries over a deferred view must not pay
+  // the full O(files) checkpoint + commit replay at every plan). Keyed
+  // by (table, version pin, cap); an UNPINNED entry is validated by a
+  // cheap log-tail probe — one listStatus of _delta_log plus the tiny
+  // _last_checkpoint read — so live-snapshot semantics is preserved: a
+  // new commit bumps the tail version and forces a fresh replay, while
+  // an unchanged table replays nothing (commit bodies and checkpoint
+  // parquet are immutable once written, so re-parsing them could only
+  // reproduce the cached state). Bounded: at most [[StateCacheTables]]
+  // tables LRU, each state already capped by maxLiveFiles (the
+  // existing driver-state bound).
+  private val StateCacheTables = 8
+  private val stateCache = new java.util.LinkedHashMap[
+      (String, Option[Long], Int), ((Long, Long), DeltaState)](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Option[Long], Int), ((Long, Long), DeltaState)]): Boolean =
+      size() > StateCacheTables
+  }
+
+  private def cachedState(spark: SparkSession, table: String, logDir: String,
+      f: FileSystem, versionAsOf: Option[Long], maxLiveFiles: Int): DeltaState = {
+    val probe: (Long, Long) = versionAsOf match {
+      // a pinned version's state is immutable — no tail probe needed
+      case Some(v) => (-2L, v)
+      // pinned per planning pass: sibling legs of one query resolve the
+      // same tail token, so they share one cache entry (one snapshot)
+      // even if a writer commits mid-planning
+      case None => graft.plans.SnapshotPin.pin(s"delta:$table") {
+        val mapper = new ObjectMapper()
+        val lastCp = new Path(logDir, "_last_checkpoint")
+        val cpV =
+          if (!f.exists(lastCp)) -1L
+          else {
+            val in = f.open(lastCp)
+            try mapper.readTree(in).get("version").asLong() finally in.close()
+          }
+        val maxCommit = f.listStatus(new Path(logDir)).toSeq
+          .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
+          .map(_.stripSuffix(".json").toLong).maxOption.getOrElse(-1L)
+        (cpV, maxCommit)
+      }
+    }
+    val key = (table, versionAsOf, maxLiveFiles)
+    stateCache.synchronized(Option(stateCache.get(key))) match {
+      case Some((tok, st)) if tok == probe => st
+      case _ =>
+        val st = replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles)
+        stateCache.synchronized(stateCache.put(key, (probe, st)))
+        st
+    }
+  }
+
+  /** Full log replay to the pinned (or latest) version: checkpoint
+    * state + ordered JSON commits → live-file set, schema, partition
+    * columns, table configuration — with the profile gates applied, so
+    * a cached state is always a readable one. */
+  private def replayState(spark: SparkSession, table: String, logDir: String,
+      f: FileSystem, versionAsOf: Option[Long], maxLiveFiles: Int): DeltaState = {
     val mapper = new ObjectMapper()
 
     // checkpoint hint (skipped when pinned before the checkpoint —
@@ -428,12 +486,26 @@ object DeltaReader {
       Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping").contains)
     require(minReader < 3 || gating.isEmpty,
       s"delta: reader features ${gating.mkString(",")} outside the supported profile")
-    val colMapping = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(Set("none", "name", "id").contains(colMapping),
-      s"delta: column mapping mode '$colMapping' outside the supported profile")
-    val mapped = colMapping != "none"
+    require(Set("none", "name", "id").contains(
+        configuration.getOrElse("delta.columnMapping.mode", "none")),
+      s"delta: column mapping mode '${configuration("delta.columnMapping.mode")}' outside the supported profile")
     require(live.nonEmpty, s"delta: table has no live data files")
     require(schemaJson != null, s"delta: no metaData action found in the log")
+    DeltaState(live.values.toVector, schemaJson, partitionCols, configuration)
+  }
+
+  private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
+      maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int,
+      schemaOnly: Boolean = false): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = table.stripSuffix("/") + "/_delta_log"
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+    val state = cachedState(spark, table, logDir, f, versionAsOf, maxLiveFiles)
+    val schemaJson = state.schemaJson
+    val partitionCols = state.partitionCols
+    val configuration = state.configuration
+    val mapped = configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
 
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def resolve(p: String): String = {
@@ -574,7 +646,7 @@ object DeltaReader {
           }
         }
       }.getOrElse(Nil)
-    var liveEntries: Seq[FileEntry] = live.values.toSeq
+    var liveEntries: Seq[FileEntry] = state.live
     if (filterConjs.nonEmpty) {
       if (partitionCols.nonEmpty) {
         val partFields = partitionCols.map(pc => StructField(pc, schema(pc).dataType))

@@ -79,6 +79,38 @@ object IcebergReader {
     * value, and concurrent reads can't race each other's caps. */
   val DefaultMaxManifestEntries: Long = 4_000_000L
 
+  /** One manifest entry as parsed from the Avro — the file's OWN fields
+    * only. Sequence inheritance and spec ids are properties of the
+    * manifest-list REFERENCE, attached after retrieval. */
+  private case class ManifestRow(status: Int, filePath: String, fileFormat: String,
+      content: Int, seqOpt: Option[Long], equalityIds: Seq[Int], partitionJson: String,
+      lowerJson: String, upperJson: String)
+
+  // Manifest cache (repeated queries over a deferred view must not
+  // re-read manifest Avro per plan): Iceberg manifest files are
+  // IMMUTABLE once written, so parsed rows never go stale and need no
+  // invalidation probe — a new snapshot's manifest list simply mixes
+  // already-cached manifests (hit) with fresh ones (read + cached).
+  // Pruning is unaffected: only manifests that survive summary-level
+  // skipping are ever looked up. Bounded LRU by TOTAL cached entries
+  // (the same order of driver state as one maximal read).
+  private val ManifestCacheMaxEntries: Long = DefaultMaxManifestEntries
+  private val manifestCache = new java.util.LinkedHashMap[String, Seq[ManifestRow]](64, 0.75f, true)
+  private var manifestCacheEntries = 0L // guarded by manifestCache's lock
+  private def manifestCacheGet(key: String): Option[Seq[ManifestRow]] =
+    manifestCache.synchronized(Option(manifestCache.get(key)))
+  private def manifestCachePut(key: String, rows: Seq[ManifestRow]): Unit =
+    manifestCache.synchronized {
+      if (rows.length <= ManifestCacheMaxEntries) {
+        Option(manifestCache.put(key, rows)).foreach(old => manifestCacheEntries -= old.length)
+        manifestCacheEntries += rows.length
+        val it = manifestCache.entrySet().iterator()
+        while (manifestCacheEntries > ManifestCacheMaxEntries && it.hasNext) {
+          val e = it.next(); manifestCacheEntries -= e.getValue.length; it.remove()
+        }
+      }
+    }
+
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a
   // deferred view realizing per query — must not pay SessionState
@@ -228,7 +260,8 @@ object IcebergReader {
       maxManifestEntries: Long = DefaultMaxManifestEntries,
       schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val meta: JsonNode = new ObjectMapper().readTree(readText(currentMetadataPath(table, conf), conf))
+    val meta: JsonNode = new ObjectMapper().readTree(readText(
+      graft.plans.SnapshotPin.pin(s"iceberg:$table")(currentMetadataPath(table, conf)), conf))
     import scala.jdk.CollectionConverters._
     // snapshot-log is the table's HISTORY — staged (WAP) or rolled-back
     // snapshots linger in `snapshots` until expiry but were never
@@ -285,7 +318,11 @@ object IcebergReader {
       maxManifestEntries: Long = DefaultMaxManifestEntries,
       schemaOnly: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val metaPath = currentMetadataPath(table, conf)
+    // pinned per planning pass: sibling legs of one query (self-join)
+    // resolve the same metadata file — one snapshot per query — even if
+    // a writer commits mid-planning; across queries each pass re-probes
+    val metaPath = graft.plans.SnapshotPin.pin(s"iceberg:$table")(
+      currentMetadataPath(table, conf))
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
     val formatVersion = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     require(formatVersion == 1 || formatVersion == 2,
@@ -446,12 +483,6 @@ object IcebergReader {
           .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false, 0, null, None))
     }
     require(manifestList.nonEmpty, s"iceberg: snapshot $currentId lists no manifests")
-    // inheritance lookup keyed in the scan's _metadata form; the RAW
-    // paths feed load() (hadoop Path treats % literally)
-    val manifestSeqs: Map[String, Long] =
-      manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.seq).toMap
-    val manifestSpecIds: Map[String, Int] =
-      manifestList.map(m => PathKeys.driverKey(m.path, tableFs) -> m.specId).toMap
 
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
         seq: Long, equalityIds: Seq[Int], partitionJson: String,
@@ -461,57 +492,83 @@ object IcebergReader {
     // next to v2 delete manifests, and one Avro read would infer a
     // single schema from whichever file it sampled — misclassifying
     // delete files as data rows or vice versa.
+    //
+    // Parsed rows are served from [[manifestCache]] when a prior query
+    // already read the manifest — manifest Avro files are immutable, so
+    // the cache never goes stale; a new snapshot simply lists a mix of
+    // cached and fresh manifest paths. Sequence-number inheritance and
+    // spec ids attach AFTER retrieval from the CURRENT manifest list
+    // (they are properties of the reference, not the file).
     def loadEntries(refs: Seq[ManifestRef]): Seq[Entry] = {
       if (refs.isEmpty) return Nil
       val distinctRefs = refs.distinctBy(_.path)
-      val manifests = spark.read.format(avroFmt).load(distinctRefs.map(_.path): _*)
+      val keyed = distinctRefs.map(m => m -> PathKeys.driverKey(m.path, tableFs))
+      val hits: Map[String, Seq[ManifestRow]] =
+        keyed.flatMap { case (_, k) => manifestCacheGet(k).map(k -> _) }.toMap
+      val missRefs = keyed.filterNot { case (_, k) => hits.contains(k) }
       // count before collect: bounds driver memory BEFORE materializing.
       // The manifest-list's own file counts supply it for free; only a
       // count-less list pays a second pass over the manifest Avro.
-      val n =
-        if (distinctRefs.forall(_.entryCount.isDefined)) distinctRefs.flatMap(_.entryCount).sum
-        else manifests.count()
-      require(n <= maxManifestEntries,
-        s"iceberg: $n manifest entries exceed $maxManifestEntries — beyond this native reader's " +
-          "driver-state bound; read it with the iceberg-spark connector jar on the classpath")
-      val entryCols = manifests.columns.toSet
-      val dfCols = manifests.select("data_file.*").columns.toSet
-      manifests
-        .selectExpr("status", "data_file.file_path as file_path",
-          "lower(data_file.file_format) as file_format",
-          if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
-          if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
-          if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
-          if (dfCols.contains("partition")) "to_json(data_file.partition) as partition_json"
-          else "cast(null as string) as partition_json",
-          // per-file column bounds (map field-id → single-value-serialized
-          // binary); JSON carries them as {id: base64}
-          if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lower_json"
-          else "cast(null as string) as lower_json",
-          if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as upper_json"
-          else "cast(null as string) as upper_json",
-          "_metadata.file_path as __manifest")
-        .collect().toSeq.map { r =>
-          // per-entry sequence number: explicit, else inherited from the
-          // entry's manifest (null is the normal Avro encoding for
-          // entries ADDED in the manifest's own snapshot). The manifest
-          // key arrives ALREADY encoded from _metadata — strip only,
-          // re-encoding would double-quote %; a miss is a read bug.
-          val mKey = PathKeys.scanKeyStr(r.getAs[String]("__manifest"))
-          val inherited = manifestSeqs.getOrElse(mKey,
-            throw new IllegalStateException(s"iceberg: manifest $mKey missing from the manifest-list sequence map"))
-          Entry(
-            r.getAs[Int]("status"),
-            r.getAs[String]("file_path"),
-            r.getAs[String]("file_format"),
-            Option(r.getAs[Number]("content")).map(_.intValue()).getOrElse(0),
-            Option(r.getAs[Number]("sequence_number")).map(_.longValue()).getOrElse(inherited),
-            Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
-              .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
-            r.getAs[String]("partition_json"),
-            r.getAs[String]("lower_json"), r.getAs[String]("upper_json"),
-            manifestSpecIds.getOrElse(mKey, 0))
+      val fresh: Map[String, Seq[ManifestRow]] =
+        if (missRefs.isEmpty) Map.empty
+        else {
+          val manifests = spark.read.format(avroFmt).load(missRefs.map(_._1.path): _*)
+          val nMiss =
+            if (missRefs.forall(_._1.entryCount.isDefined)) missRefs.flatMap(_._1.entryCount).sum
+            else manifests.count()
+          val n = hits.valuesIterator.map(_.length.toLong).sum + nMiss
+          require(n <= maxManifestEntries,
+            s"iceberg: $n manifest entries exceed $maxManifestEntries — beyond this native reader's " +
+              "driver-state bound; read it with the iceberg-spark connector jar on the classpath")
+          val entryCols = manifests.columns.toSet
+          val dfCols = manifests.select("data_file.*").columns.toSet
+          val rows = manifests
+            .selectExpr("status", "data_file.file_path as file_path",
+              "lower(data_file.file_format) as file_format",
+              if (dfCols.contains("content")) "data_file.content as content" else "0 as content",
+              if (entryCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+              if (dfCols.contains("equality_ids")) "data_file.equality_ids as equality_ids" else "null as equality_ids",
+              if (dfCols.contains("partition")) "to_json(data_file.partition) as partition_json"
+              else "cast(null as string) as partition_json",
+              // per-file column bounds (map field-id → single-value-serialized
+              // binary); JSON carries them as {id: base64}
+              if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lower_json"
+              else "cast(null as string) as lower_json",
+              if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as upper_json"
+              else "cast(null as string) as upper_json",
+              "_metadata.file_path as __manifest")
+            .collect().toSeq.map { r =>
+              // the manifest key arrives ALREADY encoded from _metadata —
+              // strip only, re-encoding would double-quote %
+              PathKeys.scanKeyStr(r.getAs[String]("__manifest")) -> ManifestRow(
+                r.getAs[Int]("status"),
+                r.getAs[String]("file_path"),
+                r.getAs[String]("file_format"),
+                Option(r.getAs[Number]("content")).map(_.intValue()).getOrElse(0),
+                Option(r.getAs[Number]("sequence_number")).map(_.longValue()),
+                Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
+                  .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
+                r.getAs[String]("partition_json"),
+                r.getAs[String]("lower_json"), r.getAs[String]("upper_json"))
+            }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          // a zero-entry manifest must cache too, or it re-reads forever
+          val byKey = missRefs.map { case (_, k) => k -> rows.getOrElse(k, Nil) }.toMap
+          byKey.foreach { case (k, rs) => manifestCachePut(k, rs) }
+          byKey
         }
+      distinctRefs.flatMap { m =>
+        val k = PathKeys.driverKey(m.path, tableFs)
+        hits.getOrElse(k, fresh.getOrElse(k,
+          throw new IllegalStateException(s"iceberg: manifest $k missing from the loaded set")))
+          .map { re =>
+            // per-entry sequence number: explicit, else inherited from
+            // the entry's manifest reference (null is the normal Avro
+            // encoding for entries ADDED in the manifest's own snapshot)
+            Entry(re.status, re.filePath, re.fileFormat, re.content,
+              re.seqOpt.getOrElse(m.seq), re.equalityIds, re.partitionJson,
+              re.lowerJson, re.upperJson, m.specId)
+          }
+      }
     }
     val (deleteManifests, allDataManifests) = manifestList.partition(_.isDelete)
     // ---- manifest-level file skipping -------------------------------

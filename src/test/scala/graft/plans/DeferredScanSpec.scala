@@ -234,6 +234,41 @@ class DeferredScanSpec extends SparkSpec {
     intercept[Exception](df.count())
   }
 
+  test("SnapshotPin: first resolution per key wins inside a pass; none outside") {
+    assert(SnapshotPin.pin("sp_k")(10) == 10)
+    assert(SnapshotPin.pin("sp_k")(20) == 20) // no scope open: resolve directly
+    SnapshotPin.enter()
+    try {
+      assert(SnapshotPin.pin("sp_k")(1) == 1)
+      assert(SnapshotPin.pin("sp_k")(2) == 1) // pinned for the pass
+      SnapshotPin.enter() // a nested pass shares the outermost pins
+      try assert(SnapshotPin.pin("sp_k")(3) == 1) finally SnapshotPin.exit()
+      assert(SnapshotPin.pin("sp_k")(4) == 1) // still pinned after nested exit
+      assert(SnapshotPin.pin("sp_other")(7) == 7)
+    } finally SnapshotPin.exit()
+    assert(SnapshotPin.pin("sp_k")(5) == 5) // scope closed: pins cleared
+  }
+
+  test("a wholesale extraOptimizations reset fails actionably; install() heals the session") {
+    // isolated session: ExperimentalMethods is per-SessionState, so the
+    // shared suite session never sees the wipe
+    val s2 = spark.newSession()
+    val df = DeltaReader.table(s2, delta100(7, 8).toString)
+    df.createOrReplaceTempView("ds_guard_v")
+    assert(s2.sql("SELECT count(*) FROM ds_guard_v WHERE p = 7").collect().head.getLong(0) == 2L)
+    // user code replaces the experimental optimizations wholesale: the
+    // rewrite is gone, but the guard strategy names the fix instead of
+    // Spark's generic planner error
+    val exp = s2.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    exp.extraOptimizations = Seq.empty
+    val e = intercept[Exception](s2.sql("SELECT count(*) FROM ds_guard_v WHERE p = 7").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("DeferredScan.install")))
+    DeferredScan.install(s2)
+    assert(s2.sql("SELECT count(*) FROM ds_guard_v WHERE p = 7").collect().head.getLong(0) == 2L)
+  }
+
   test("delta: a version-pinned deferred frame composes pinning with pruning") {
     val t = delta100(7, 8)
     // commit 1 adds a second real p=7 file — the pin must hide it

@@ -1,0 +1,160 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
+import org.apache.spark.sql.types._
+
+/** Snapshot/metadata caching for the native table readers (VERDICT r9
+  * #3): repeated queries over an unchanged table must not replay the
+  * table's metadata — proven the unfalsifiable way, by CORRUPTING the
+  * already-read metadata files on disk between queries (a re-read
+  * cannot even parse, let alone return rows), while a NEW commit /
+  * snapshot must still be picked up (live-table semantics).
+  */
+class SnapshotCacheSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  // ---- delta fixture (DeferredScanSpec mold, all files real) ---------
+
+  private val schemaJson = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType))).json
+  private def metaAction: String =
+    s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},
+       |"schemaString":${js(schemaJson)},
+       |"partitionColumns":[],"configuration":{},"createdTime":1}}""".stripMargin.replace("\n", "")
+  private def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private def addAction(path: String): String =
+    s"""{"add":{"path":${js(path)},"partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+  private def writeCommit(table: JPath, version: Long, actions: Seq[String]): JPath = {
+    val log = table.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve(f"$version%020d.json"), actions.mkString("\n") + "\n")
+  }
+  private def writeParquetFile(table: JPath, rel: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("scparts").toString
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(part), dest)
+  }
+
+  test("delta: an unchanged table replays no commit bodies; a new commit invalidates") {
+    val t = Files.createTempDirectory("scdelta")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
+    writeParquetFile(t, "f1.parquet", Seq((3L, "c")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
+    writeCommit(t, 1, Seq(addAction("f1.parquet")))
+    assert(DeltaReader.read(spark, t.toString).count() == 3L)
+
+    // corrupt BOTH commit bodies in place (names unchanged — the
+    // log-tail probe sees the same listing): a replay would die parsing
+    val log = t.resolve("_delta_log")
+    val originals = Seq(0L, 1L).map { v =>
+      val p = log.resolve(f"$v%020d.json"); p -> Files.readAllBytes(p)
+    }
+    originals.foreach { case (p, _) =>
+      Files.writeString(p, "THIS IS NOT JSON { ::: \n")
+    }
+    assert(DeltaReader.read(spark, t.toString).count() == 3L) // cache, not disk
+
+    // a NEW commit bumps the log tail: the probe invalidates and the
+    // fresh replay both parses the restored bodies and sees the add
+    originals.foreach { case (p, bytes) =>
+      Files.write(p, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    writeParquetFile(t, "f2.parquet", Seq((4L, "d"), (5L, "e")))
+    writeCommit(t, 2, Seq(addAction("f2.parquet")))
+    assert(DeltaReader.read(spark, t.toString).count() == 5L)
+  }
+
+  test("delta: a version-pinned read caches independently of the live tail") {
+    val t = Files.createTempDirectory("scdeltapin")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 1L)
+    // new commits never invalidate a pinned version's state: corrupting
+    // v0's body and appending v1 must leave the pinned read serving v0
+    val v0 = t.resolve("_delta_log").resolve(f"${0L}%020d.json")
+    Files.writeString(v0, "THIS IS NOT JSON\n")
+    writeParquetFile(t, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t, 1, Seq(addAction("f1.parquet")))
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 1L)
+  }
+
+  // ---- iceberg fixture (DeferredScanSpec mold, all files real) -------
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+  private def writeAvro(df: org.apache.spark.sql.DataFrame, dir: String): String = {
+    df.coalesce(1).write.format(avroFmt).save(dir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".avro")).get
+  }
+  private def withFieldIds(df: org.apache.spark.sql.DataFrame, ids: Map[String, Int]) =
+    df.select(df.columns.map(c => df(c).as(c,
+      new MetadataBuilder().putLong("parquet.field.id", ids(c).toLong).build())).toSeq: _*)
+
+  private def dataManifest(table: String, dir: String, files: Seq[String]): String = {
+    import spark.implicits._
+    val df = files.toDF("file_path").selectExpr("1 as status",
+      "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0) as data_file")
+    writeAvro(df, dir)
+  }
+  private def manifestList(table: String, dir: String, manifests: Seq[String]): String = {
+    import spark.implicits._
+    writeAvro(manifests.toDF("manifest_path")
+      .selectExpr("manifest_path", "0 as content", "0 as partition_spec_id"), dir)
+  }
+  private def writeMetadata(table: String, version: Int, listPath: String): Unit =
+    Files.writeString(Paths.get(s"$table/metadata/v$version.metadata.json"),
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": ${76 + version},
+         |  "snapshots": [{"snapshot-id": ${76 + version}, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+  private def dataFile(table: String, name: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val ids = Map("id" -> 1, "name" -> 2)
+    withFieldIds(rows.toDF("id", "name"), ids)
+      .coalesce(1).write.parquet(s"$table/data/$name")
+    Files.list(Paths.get(s"$table/data/$name")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+  }
+
+  test("iceberg: cached manifests survive corruption; a new snapshot mixes cache and fresh") {
+    val root = Files.createTempDirectory("sciceberg")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val f0 = dataFile(table, "d0", Seq((1L, "a"), (2L, "b")))
+    val m1 = dataManifest(table, s"$table/metadata/manifest1", Seq(f0))
+    val l1 = manifestList(table, s"$table/metadata/snap1", Seq(m1))
+    writeMetadata(table, 1, l1)
+    assert(IcebergReader.read(spark, table).count() == 2L)
+
+    // corrupt the manifest Avro in place: a re-read cannot parse, so
+    // rows can only come from the manifest cache (immutable-file key)
+    Files.write(Paths.get(m1), Array.fill[Byte](64)(0x5a),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    assert(IcebergReader.read(spark, table).count() == 2L)
+
+    // a new snapshot lists the (still corrupt) old manifest next to a
+    // fresh one: the old serves from cache, the new reads from disk,
+    // and the new metadata version is picked up — live semantics
+    val f1 = dataFile(table, "d1", Seq((3L, "c")))
+    val m2 = dataManifest(table, s"$table/metadata/manifest2", Seq(f1))
+    val l2 = manifestList(table, s"$table/metadata/snap2", Seq(m1, m2))
+    writeMetadata(table, 2, l2)
+    assert(IcebergReader.read(spark, table).count() == 3L)
+  }
+}
