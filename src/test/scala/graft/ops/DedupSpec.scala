@@ -138,4 +138,55 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
     assert(out == 1)
   }
+
+  test("scale invariance: LSH pairs identical and clusters coarsen when the corpus grows (q42/q63 net)") {
+    // Second-scale net under the two heaviest batch queries (VERDICT r9
+    // #7): D1 = the real sf0.001 documents restricted exactly like
+    // q42/q63; D2 = D1 plus 500 new docs — near-dup copies of the
+    // first 50 (ids +10000) and unrelated filler. MinHash signatures
+    // are per-doc and a pair is an LSH candidate iff ITS OWN two band
+    // signatures collide — independent of every other doc — so the
+    // q42-parameter pairs among D1's ids must be IDENTICAL at both
+    // scales: growing the corpus can neither create nor destroy a pair
+    // between existing docs (only a bucket-size cap overflow could, and
+    // these buckets are far under it). Connectivity only grows, so the
+    // q63-parameter clustering of D2 restricted to D1's ids must
+    // COARSEN D1's clustering: co-clustered stays co-clustered and the
+    // cluster count over D1's ids is monotone non-increasing.
+    val d1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val neardups = d1.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" trailing marker words")).as("text"))
+    val filler = spark.range(450).select((col("id") + 20000L).as("doc_id"),
+      concat(lit("unrelated filler document number "), col("id").cast("string"),
+        lit(" with its own entirely distinct vocabulary")).as("text"))
+    val d2 = d1.unionByName(neardups).unionByName(filler)
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minhashNearDupPairs(df, "doc_id", "text",
+        shingleN = 1, k = 64, bands = 16, threshold = 0.35)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val p1 = pairsOf(d1)
+    val p2 = pairsOf(d2)
+    assert(p1.nonEmpty) // the net is live, not vacuous
+    assert(p2.exists { case (a, b) => b >= 10000 && a < 10000 }) // new dups found
+    assert(p2.filter { case (a, b) => a < 10000 && b < 10000 } == p1)
+
+    def compsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(df, "doc_id", "text",
+          shingleN = 1, k = 64, bands = 16, threshold = 0.6).select("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+    val c1 = compsOf(d1)
+    val c2 = compsOf(d2)
+    assert(c1.nonEmpty)
+    c1.groupBy(_._2).values.foreach { members =>
+      val labels = members.keys.map(c2).toSet
+      assert(labels.size == 1, s"a D1 cluster split at the larger scale: ${members.keys}")
+    }
+    val d1Clustered = c1.keySet
+    assert(c2.filter(kv => d1Clustered.contains(kv._1)).values.toSet.size
+      <= c1.values.toSet.size)
+  }
 }
