@@ -551,6 +551,14 @@ object IcebergReader {
                 r.getAs[String]("partition_json"),
                 r.getAs[String]("lower_json"), r.getAs[String]("upper_json"))
             }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          // every collected row must key back to a requested manifest —
+          // a key-form mismatch (driverKey vs _metadata's scanKey) would
+          // otherwise cache Nil for the manifest and SILENTLY drop its
+          // entries (under-read / under-delete); refuse loudly instead
+          val missKeys = missRefs.map(_._2).toSet
+          val orphans = rows.keySet.diff(missKeys)
+          require(orphans.isEmpty,
+            s"iceberg: manifest keys ${orphans.mkString(", ")} not in the requested set — path keying bug")
           // a zero-entry manifest must cache too, or it re-reads forever
           val byKey = missRefs.map { case (_, k) => k -> rows.getOrElse(k, Nil) }.toMap
           byKey.foreach { case (k, rs) => manifestCachePut(k, rs) }
