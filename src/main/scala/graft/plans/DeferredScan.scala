@@ -177,13 +177,17 @@ object SnapshotPin {
   * Spark itself uses to call a side broadcast-worthy) and
   * replay-deterministic, the rule executes that side's distinct join
   * keys at planning time (bounded driver collect, cap
-  * `spark.graft.deferredScan.maxJoinKeys`, default 10000) and threads
-  * them into the reader as an `IN (<keys>)` conjunct — DSv2 runtime
-  * filtering / dynamic partition pruning semantics, built on the
-  * existing `rescan(filter)` path. The build side executes twice (once
-  * for keys, once in the join) — the trade Spark's own
-  * non-reuse DPP makes, and cheap by construction for a side the size
-  * gate already bounds.
+  * `spark.graft.deferredScan.maxJoinKeys`, default 10000) and INSERTS
+  * them as an `IN (<keys>)` conjunct into the Filter above the leaf —
+  * realization then happens in the ordinary Filter-above-leaf cases as
+  * the transform recurses, so conjuncts contributed by SEVERAL joins
+  * (a multi-dimension star, `fact JOIN dim1 ... JOIN dim2 ...`)
+  * accumulate and the leaf realizes ONCE with all of them plus its
+  * static conjuncts — DSv2 runtime filtering / dynamic partition
+  * pruning semantics, built on the existing `rescan(filter)` path.
+  * The build side executes twice (once for keys, once in the join) —
+  * the trade Spark's own non-reuse DPP makes, and cheap by
+  * construction for a side the size gate already bounds.
   *
   * Every gate fails OPEN (the leg realizes with its static conjuncts
   * only; correctness never depends on the IN list because the join
@@ -241,29 +245,47 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
     case _          => Set.empty // full outer, left anti, existence: neither
   }
 
-  /** A join leg that bottoms out in a deferred leaf: the leaf, the
-    * static filter above it (if any), and how to rebuild the leg around
-    * the realized plan (`keepFilter` = retain the original Filter node
-    * because not every static conjunct pushed). */
-  private case class Leg(scan: DeferredScan, cond: Option[Expression],
-      rebuild: (LogicalPlan, Boolean) => LogicalPlan)
-
-  private def decompose(p: LogicalPlan): Option[Leg] = p match {
-    case s: DeferredScan =>
-      Some(Leg(s, None, (r, _) => r))
-    case Project(ps, s: DeferredScan) if ps.forall(_.isInstanceOf[Attribute]) =>
-      Some(Leg(s, None, (r, _) => Project(ps, r)))
-    case Filter(c, s: DeferredScan) =>
-      Some(Leg(s, Some(c), (r, keep) => if (keep) Filter(c, r) else r))
-    case Filter(c, Project(ps, s: DeferredScan)) if ps.forall(_.isInstanceOf[Attribute]) =>
-      Some(Leg(s, Some(c), (r, keep) => {
-        val proj = Project(ps, r); if (keep) Filter(c, proj) else proj
-      }))
-    case Project(ps, Filter(c, s: DeferredScan)) if ps.forall(_.isInstanceOf[Attribute]) =>
-      Some(Leg(s, Some(c), (r, keep) =>
-        Project(ps, if (keep) Filter(c, r) else r)))
-    case _ => None
-  }
+  /** Find the deferred leaf a join leg bottoms out in, with a rebuilder
+    * that inserts one more conjunct into the Filter directly above it
+    * (creating that Filter when absent, merging via And when present).
+    *
+    * The leg may pass through row-INDEPENDENT operators only — bare
+    * Projects, Filters, and other Joins — because the inserted conjunct
+    * removes leaf rows that the CONTRIBUTING join would drop anyway,
+    * and that argument needs every intermediate operator to treat rows
+    * independently: a leaf row's removal must not change any OTHER
+    * row's survival or value. Filters qualify trivially; a Join of any
+    * type qualifies too (an unmatched-side row the removal orphans
+    * null-extends or drops, and its null/absent key then fails the
+    * contributing join exactly like the removed row it mirrored).
+    * Aggregates, windows, generators, limits do NOT (removal changes
+    * other rows' results) — recursion stops there, failing open. A
+    * semi/anti join leg whose output hides the leaf's columns
+    * self-guards: the outer condition cannot reference them, so no key
+    * pair matches and nothing is inserted. */
+  private def leafOf(p: LogicalPlan): Option[(DeferredScan, Expression => LogicalPlan)] =
+    p match {
+      case s: DeferredScan =>
+        Some((s, (e: Expression) => Filter(e, s)))
+      case f @ Filter(c, s: DeferredScan) =>
+        Some((s, (e: Expression) =>
+          f.copy(condition = org.apache.spark.sql.catalyst.expressions.And(c, e))))
+      case pj @ Project(ps, inner) if ps.forall(_.isInstanceOf[Attribute]) =>
+        leafOf(inner).map { case (s, rb) =>
+          (s, (e: Expression) => pj.copy(child = rb(e)))
+        }
+      case f @ Filter(_, inner) =>
+        leafOf(inner).map { case (s, rb) =>
+          (s, (e: Expression) => f.copy(child = rb(e)))
+        }
+      case j: Join =>
+        leafOf(j.left).map { case (s, rb) =>
+          (s, (e: Expression) => j.copy(left = rb(e)): LogicalPlan)
+        }.orElse(leafOf(j.right).map { case (s, rb) =>
+          (s, (e: Expression) => j.copy(right = rb(e)): LogicalPlan)
+        })
+      case _ => None
+    }
 
   /** Key types whose collected values render as EXACT SQL literals:
     * float/double (decimal text) and timestamp (sub-millisecond digits)
@@ -285,20 +307,26 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
       case node => node.expressions.exists(e => !e.deterministic)
     }
 
-  /** Narrow the deferred leaf under `leg` to the distinct join keys of
-    * `other`, or None to fail open into the ordinary static-filter
-    * realization (handled by the inner cases as the transform recurses). */
+  /** Insert the distinct join keys of `other` as an `IN` conjunct into
+    * the Filter above the deferred leaf `leg` bottoms out in, or None
+    * to fail open (the leg stays as-is). The leaf is NOT realized here:
+    * realization belongs to the Filter-above-leaf cases, which the
+    * transform reaches as it recurses into the rebuilt leg — so IN
+    * conjuncts contributed by SEVERAL joins (a multi-dimension star:
+    * `fact JOIN dim1 ... JOIN dim2 ...`) accumulate on the one Filter
+    * and the leaf realizes once with all of them plus its static
+    * conjuncts. */
   private def joinPruned(leg: LogicalPlan, other: LogicalPlan,
       cond: Expression): Option[LogicalPlan] = scala.util.Try {
-    val l = decompose(leg).getOrElse(return None)
+    val (scan, rebuild) = leafOf(leg).getOrElse(return None)
     // ambiguous names can't render; mirror pushable()'s gate
-    if (l.scan.output.map(_.name.toLowerCase).distinct.size != l.scan.output.size) return None
+    if (scan.output.map(_.name.toLowerCase).distinct.size != scan.output.size) return None
     // bare-attribute equi keys between the leaf and the other side
     val keyPairs: Seq[(Attribute, Attribute)] = splitConjuncts(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-        if l.scan.outputSet.contains(a) && other.outputSet.contains(b) => (a, b)
+        if scan.outputSet.contains(a) && other.outputSet.contains(b) => (a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
-        if l.scan.outputSet.contains(a) && other.outputSet.contains(b) => (a, b)
+        if scan.outputSet.contains(a) && other.outputSet.contains(b) => (a, b)
     }.filter { case (a, b) => literalExact(a.dataType) && a.dataType == b.dataType }
     if (keyPairs.isEmpty) return None
     val threshold = conf.autoBroadcastJoinThreshold
@@ -310,20 +338,16 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
     val keysPlan = Limit(Literal(cap + 1), Distinct(Project(keyPairs.map(_._2), other)))
     val rows = org.apache.spark.sql.graft.bridge.ofRows(spark, keysPlan).collect()
     if (rows.length > cap) return None
-    val inConjuncts: Seq[String] = keyPairs.zipWithIndex.map { case ((a, _), i) =>
-      val lits = rows.toSeq.filterNot(_.isNullAt(i))
-        .map(r => Literal.create(r.get(i), a.dataType).sql).distinct
+    val inConjuncts: Seq[Expression] = keyPairs.zipWithIndex.map { case ((a, _), i) =>
+      val lits: Seq[Expression] = rows.toSeq.filterNot(_.isNullAt(i))
+        .map(r => Literal.create(r.get(i), a.dataType): Expression).distinct
       // no non-null keys: IN (NULL) is never true — the correct result
       // for a join against an empty build side, and it prunes every file
-      s"`${a.name}` IN (${if (lits.isEmpty) "NULL" else lits.mkString(", ")})"
+      org.apache.spark.sql.catalyst.expressions.In(a,
+        if (lits.isEmpty) Seq(Literal.create(null, a.dataType)) else lits)
     }
-    val (staticSql, allPushed) = l.cond match {
-      case Some(c) => pushable(c, l.scan)
-      case None    => (None, true)
-    }
-    val combined = (staticSql.toSeq ++ inConjuncts.map(c => s"($c)")).mkString(" AND ")
-    val realized = realize(l.scan, Some(combined))
-    Some(l.rebuild(realized, !allPushed))
+    Some(rebuild(inConjuncts.reduce(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))))
   }.toOption.flatten
 
   /** Render the pushable conjuncts of `cond` as one ANSI SQL string for

@@ -597,6 +597,8 @@ class KafkaReaderImpl extends Reader {
     val df = KafkaReader.read(spark, ref.url,
       startOffset = ref.options.getOrElse("start_offset", "earliest"),
       endOffset = ref.options.getOrElse("end_offset", "latest"),
+      maxOffsetsPerPartition =
+        ref.options.get("max_offsets_per_partition").map(_.toLong).getOrElse(Long.MaxValue),
       timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt,
       security = KafkaReader.Security(
         protocol = ref.options.getOrElse("security_protocol", "PLAINTEXT"),

@@ -342,6 +342,40 @@ class DeferredScanSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(71L, 81L))
   }
 
+  test("multi-dim star: IN conjuncts from BOTH dims compose on one fact leaf") {
+    // fact partitioned by (p, q), 10×10 grid, ONLY (7, 3) real: pruning
+    // by p alone keeps the dangling (7, q≠3) adds and pruning by q
+    // alone keeps (p≠7, 3) — the scan is constructible ONLY when the
+    // IN lists from BOTH joins reach the leaf together.
+    val t = Files.createTempDirectory("dsdelta2d")
+    val schema2d = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("p", IntegerType), StructField("q", IntegerType))).json
+    writeParquetFile(t, "p=7/q=3/f.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    val adds = for (p <- 0 until 10; q <- 0 until 10)
+      yield addAction(f"p=$p/q=$q/f.parquet", s"""{"p":"$p","q":"$q"}""")
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schema2d, Seq("p", "q"))) ++ adds)
+    DeltaReader.table(spark, t.toString).createOrReplaceTempView("ds_fact_2d")
+    import spark.implicits._
+    val dim2dir = Files.createTempDirectory("dsdim2").toString
+    Seq((3, "three"), (4, "four"), (90, "absent")).toDF("m", "w")
+      .write.mode("overwrite").parquet(dim2dir)
+    spark.read.parquet(dim2dir).createOrReplaceTempView("ds_dim2_m")
+    dimView("ds_dim1_k")
+    val rows = spark.sql(
+      """SELECT f.id, f.name FROM ds_fact_2d f
+        |JOIN ds_dim1_k d1 ON f.p = d1.k
+        |JOIN ds_dim2_m d2 ON f.q = d2.m
+        |WHERE d1.v = 'seven' AND d2.w = 'three' ORDER BY f.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+    // negative control: a single dim alone cannot make the scan
+    // plannable — the other dimension's dangling adds remain
+    intercept[Exception](spark.sql(
+      """SELECT f.id FROM ds_fact_2d f JOIN ds_dim1_k d1 ON f.p = d1.k
+        |WHERE d1.v = 'seven'""".stripMargin).collect())
+  }
+
   test("join pruning: left outer keeps the fact side full; prunable on the inner side only") {
     val fact = DeltaReader.table(spark, delta100(7, 8).toString)
     fact.createOrReplaceTempView("ds_fact_lo")

@@ -517,6 +517,13 @@ class KafkaReaderSpec extends SparkSpec {
         s"kafka://127.0.0.1:${broker.port}/events", Map("max_records" -> "4"))
       val df = new KafkaReaderImpl().read(spark, ref)
       assert(df.count() == 4L)
+      // max_offsets_per_partition caps each planned range in OFFSETS
+      val ref2 = graft.datatypes.DataRef("kafka_topic",
+        s"kafka://127.0.0.1:${broker.port}/events",
+        Map("max_offsets_per_partition" -> "2"))
+      val got = new KafkaReaderImpl().read(spark, ref2)
+        .collect().map(r => (r.getInt(3), r.getLong(4))).sorted.toSeq
+      assert(got == Seq((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
     } finally broker.close()
   }
 }
