@@ -138,14 +138,16 @@ class StreamOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
     // mirror graft.queries.table: a NANOS-era events file reads as Long
-    // (legacy conf) and converts; a MICROS-era file reads as timestamp
-    // directly — the stream must make the same choice as the batch side
+    // (legacy conf) and converts; a MICROS-era file reads as
+    // TIMESTAMP_NTZ and casts to TIMESTAMP — the stream must surface
+    // the SAME type as the batch side or the window_start comparison
+    // below compares Timestamp against LocalDateTime
     val schema = spark.read.parquet(dir.toString).schema
     val raw = spark.readStream.schema(schema).parquet(dir.toString)
     val streamed =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
     val agg = StreamOps.windowedAgg(streamed, "ts", "1 hour",
       aggs = Seq(count(lit(1)).as("n")), keys = Seq("event_type"))
     val q = agg.writeStream.format("memory").queryName("filestream_out").outputMode("complete").start()
