@@ -42,6 +42,15 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    # queries.json (when Verify is new enough to write it) lists every
+    # ATTEMPTED query: one that failed writes no output dir, and without
+    # this check the gate silently shrinks instead of failing.
+    qpath = f"{out_dir}/queries.json"
+    if os.path.exists(qpath):
+        dumped = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+        for name in json.load(open(qpath)):
+            if name not in dumped:
+                results[name] = "MISSING_OUTPUT (query failed in Verify — see its stderr)"
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         files = glob.glob(f"{d}/*.parquet")
