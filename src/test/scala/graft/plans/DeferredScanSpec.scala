@@ -376,6 +376,29 @@ class DeferredScanSpec extends SparkSpec {
         |WHERE d1.v = 'seven'""".stripMargin).collect())
   }
 
+  test("multi-dim star: the IN conjunct reaches the leaf through a FULL OUTER inner join") {
+    // the hardest leg-walk case: removing a leaf row that cannot match
+    // the contributing join ORPHANS its full-outer partner, which then
+    // null-extends into a NEW intermediate row — but that row's null
+    // key fails the contributing join exactly like the removed row did,
+    // so pruning through it is sound. The fixture forces it: the fact
+    // scan is only constructible when dim keys reach the leaf THROUGH
+    // the full-outer join.
+    val fact = DeltaReader.table(spark, delta100(7, 8).toString)
+    fact.createOrReplaceTempView("ds_fact_fo")
+    dimView("ds_dim_fo")
+    import spark.implicits._
+    val sideDir = Files.createTempDirectory("dsside").toString
+    Seq((7, "x"), (55, "y")).toDF("sk", "sv").write.mode("overwrite").parquet(sideDir)
+    spark.read.parquet(sideDir).createOrReplaceTempView("ds_side_fo")
+    val rows = spark.sql(
+      """SELECT f.id FROM (SELECT f.id, f.p FROM ds_fact_fo f
+        |                  FULL OUTER JOIN ds_side_fo s ON f.p = s.sk) f
+        |JOIN ds_dim_fo d ON f.p = d.k
+        |WHERE d.v = 'seven' ORDER BY f.id""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("join pruning: left outer keeps the fact side full; prunable on the inner side only") {
     val fact = DeltaReader.table(spark, delta100(7, 8).toString)
     fact.createOrReplaceTempView("ds_fact_lo")
