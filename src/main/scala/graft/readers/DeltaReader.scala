@@ -218,18 +218,25 @@ object DeltaReader {
   def readAsOfTimestamp(spark: SparkSession, table: String, timestampMs: Long,
       maxPartitionScans: Int = 64, filter: Option[String] = None,
       maxLiveFiles: Int = DefaultMaxLiveFiles, schemaOnly: Boolean = false): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val logDir = table.stripSuffix("/") + "/_delta_log"
-    val f = FileSystem.get(new URI(table).resolve("/"), conf)
-    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
-    val commits = f.listStatus(new Path(logDir)).toSeq
-      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
-      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getModificationTime)
-      .sortBy(_._1)
-    val eligible = commits.filter(_._2 <= timestampMs)
-    require(eligible.nonEmpty,
-      s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
-    readImpl(spark, table, Some(eligible.last._1), maxPartitionScans, filter, maxLiveFiles, schemaOnly)
+    // version resolution pinned per planning pass: a PAST timestamp
+    // resolves identically on every probe, but a still-open bound (a
+    // timestamp at-or-after now) tracks the live tail, and self-join
+    // legs of one query must not watch it move mid-planning
+    val version = graft.plans.SnapshotPin.pin(s"delta-asof:$table:$timestampMs") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val logDir = table.stripSuffix("/") + "/_delta_log"
+      val f = FileSystem.get(new URI(table).resolve("/"), conf)
+      require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+      val commits = f.listStatus(new Path(logDir)).toSeq
+        .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+        .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getModificationTime)
+        .sortBy(_._1)
+      val eligible = commits.filter(_._2 <= timestampMs)
+      require(eligible.nonEmpty,
+        s"delta: no commit at or before timestamp $timestampMs (earliest is ${commits.headOption.map(_._2).getOrElse(-1L)})")
+      eligible.last._1
+    }
+    readImpl(spark, table, Some(version), maxPartitionScans, filter, maxLiveFiles, schemaOnly)
   }
 
   /** Fully-replayed snapshot state for one (table, pin): everything the
