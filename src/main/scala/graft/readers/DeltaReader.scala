@@ -254,15 +254,26 @@ object DeltaReader {
   // new commit bumps the tail version and forces a fresh replay, while
   // an unchanged table replays nothing (commit bodies and checkpoint
   // parquet are immutable once written, so re-parsing them could only
-  // reproduce the cached state). Bounded: at most [[StateCacheTables]]
-  // tables LRU, each state already capped by maxLiveFiles (the
-  // existing driver-state bound).
-  private val StateCacheTables = 8
+  // reproduce the cached state). Bounded by TOTAL cached live-file
+  // entries (the same order of driver state as ONE maximal read — a
+  // per-table-count bound would multiply the documented maxLiveFiles
+  // residency by the table count), LRU eviction.
+  private val StateCacheMaxEntries: Long = DefaultMaxLiveFiles.toLong
   private val stateCache = new java.util.LinkedHashMap[
-      (String, Option[Long], Int), ((Long, Long), DeltaState)](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, Option[Long], Int), ((Long, Long), DeltaState)]): Boolean =
-      size() > StateCacheTables
+      (String, Option[Long], Int), ((Long, Long), DeltaState)](16, 0.75f, true)
+  private var stateCacheEntries = 0L // guarded by stateCache's lock
+  private def stateCacheGet(key: (String, Option[Long], Int)): Option[((Long, Long), DeltaState)] =
+    stateCache.synchronized(Option(stateCache.get(key)))
+  private def stateCachePut(key: (String, Option[Long], Int),
+      value: ((Long, Long), DeltaState)): Unit = stateCache.synchronized {
+    if (value._2.live.length <= StateCacheMaxEntries) {
+      Option(stateCache.put(key, value)).foreach(old => stateCacheEntries -= old._2.live.length)
+      stateCacheEntries += value._2.live.length
+      val it = stateCache.entrySet().iterator()
+      while (stateCacheEntries > StateCacheMaxEntries && it.hasNext) {
+        val e = it.next(); stateCacheEntries -= e.getValue._2.live.length; it.remove()
+      }
+    }
   }
 
   private def cachedState(spark: SparkSession, table: String, logDir: String,
@@ -289,11 +300,11 @@ object DeltaReader {
       }
     }
     val key = (table, versionAsOf, maxLiveFiles)
-    stateCache.synchronized(Option(stateCache.get(key))) match {
+    stateCacheGet(key) match {
       case Some((tok, st)) if tok == probe => st
       case _ =>
         val st = replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles)
-        stateCache.synchronized(stateCache.put(key, (probe, st)))
+        stateCachePut(key, (probe, st))
         st
     }
   }
