@@ -111,6 +111,32 @@ object IcebergReader {
       }
     }
 
+  /** One manifest-list row (reference to a manifest + its list-scoped
+    * metadata). Manifest LIST files are immutable too — one per
+    * snapshot — so their parse caches by path with no invalidation,
+    * removing the last per-query Spark job at plan time for repeated
+    * queries of an unchanged snapshot (metadata.json stays re-read:
+    * it IS the live-snapshot probe). */
+  private case class ManifestListRow(path: String, seq: Long, isDelete: Boolean,
+      specId: Int, partitionsJson: String, entryCount: Option[Long])
+  private val ManifestListCacheMaxRows: Long = 1_000_000L
+  private val manifestListCache =
+    new java.util.LinkedHashMap[String, Seq[ManifestListRow]](16, 0.75f, true)
+  private var manifestListCacheRows = 0L // guarded by manifestListCache's lock
+  private def manifestListCacheGet(key: String): Option[Seq[ManifestListRow]] =
+    manifestListCache.synchronized(Option(manifestListCache.get(key)))
+  private def manifestListCachePut(key: String, rows: Seq[ManifestListRow]): Unit =
+    manifestListCache.synchronized {
+      if (rows.length <= ManifestListCacheMaxRows) {
+        Option(manifestListCache.put(key, rows)).foreach(old => manifestListCacheRows -= old.length)
+        manifestListCacheRows += rows.length
+        val it = manifestListCache.entrySet().iterator()
+        while (manifestListCacheRows > ManifestListCacheMaxRows && it.hasNext) {
+          val e = it.next(); manifestListCacheRows -= e.getValue.length; it.remove()
+        }
+      }
+    }
+
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a
   // deferred view realizing per query — must not pay SessionState
@@ -454,30 +480,37 @@ object IcebergReader {
         specId: Int, partitionsJson: String, entryCount: Option[Long])
     val manifestList: Seq[ManifestRef] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
-        val mlDf = spark.read.format(avroFmt).load(resolve(ml.asText(), table))
-        val mlCols = mlDf.columns.toSet
-        // entry count = added + existing + deleted (status-2 entries are
-        // still rows in the Avro); the v1 Avro names carry a data_ infix
-        def cntCol(v2: String, v1: String): String =
-          if (mlCols.contains(v2)) v2
-          else if (mlCols.contains(v1)) v1
-          else "cast(null as int)"
-        mlDf.selectExpr("manifest_path",
-          if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
-          if (mlCols.contains("content")) "content" else "0 as content",
-          if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
-          if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
-          else "cast(null as string) as partitions_json",
-          s"cast(${cntCol("added_files_count", "added_data_files_count")} as bigint) + " +
-            s"cast(${cntCol("existing_files_count", "existing_data_files_count")} as bigint) + " +
-            s"cast(${cntCol("deleted_files_count", "deleted_data_files_count")} as bigint) as entry_count")
-          .collect()
-          .map(r => ManifestRef(resolve(r.getString(0), table),
-            Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
-            Option(r.getAs[Number](2)).exists(_.intValue() == 1),
-            Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
-            r.getString(4),
-            Option(r.getAs[Number](5)).map(_.longValue()))).toSeq
+        val mlPath = resolve(ml.asText(), table)
+        val rows = manifestListCacheGet(mlPath).getOrElse {
+          val mlDf = spark.read.format(avroFmt).load(mlPath)
+          val mlCols = mlDf.columns.toSet
+          // entry count = added + existing + deleted (status-2 entries are
+          // still rows in the Avro); the v1 Avro names carry a data_ infix
+          def cntCol(v2: String, v1: String): String =
+            if (mlCols.contains(v2)) v2
+            else if (mlCols.contains(v1)) v1
+            else "cast(null as int)"
+          val parsed = mlDf.selectExpr("manifest_path",
+            if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+            if (mlCols.contains("content")) "content" else "0 as content",
+            if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
+            if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
+            else "cast(null as string) as partitions_json",
+            s"cast(${cntCol("added_files_count", "added_data_files_count")} as bigint) + " +
+              s"cast(${cntCol("existing_files_count", "existing_data_files_count")} as bigint) + " +
+              s"cast(${cntCol("deleted_files_count", "deleted_data_files_count")} as bigint) as entry_count")
+            .collect()
+            .map(r => ManifestListRow(resolve(r.getString(0), table),
+              Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
+              Option(r.getAs[Number](2)).exists(_.intValue() == 1),
+              Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
+              r.getString(4),
+              Option(r.getAs[Number](5)).map(_.longValue()))).toSeq
+          manifestListCachePut(mlPath, parsed)
+          parsed
+        }
+        rows.map(r =>
+          ManifestRef(r.path, r.seq, r.isDelete, r.specId, r.partitionsJson, r.entryCount))
       case None =>
         Option(snap.get("manifests")).toSeq.flatMap(_.elements().asScala).map(_.asText())
           .map(p => ManifestRef(resolve(p, table), 0L, isDelete = false, 0, null, None))

@@ -142,9 +142,12 @@ class SnapshotCacheSpec extends SparkSpec {
     writeMetadata(table, 1, l1)
     assert(IcebergReader.read(spark, table).count() == 2L)
 
-    // corrupt the manifest Avro in place: a re-read cannot parse, so
-    // rows can only come from the manifest cache (immutable-file key)
+    // corrupt the manifest Avro AND the manifest list in place: a
+    // re-read of either cannot parse, so rows can only come from the
+    // manifest + manifest-list caches (immutable-file keys)
     Files.write(Paths.get(m1), Array.fill[Byte](64)(0x5a),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.write(Paths.get(l1), Array.fill[Byte](64)(0x5a),
       StandardOpenOption.TRUNCATE_EXISTING)
     assert(IcebergReader.read(spark, table).count() == 2L)
 
