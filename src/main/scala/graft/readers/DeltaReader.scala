@@ -302,12 +302,74 @@ object DeltaReader {
     val key = (table, versionAsOf, maxLiveFiles)
     stateCacheGet(key) match {
       case Some((tok, st)) if tok == probe => st
-      case _ =>
-        val st = replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles)
+      case cached =>
+        // a stale UNPINNED entry first tries INCREMENTAL replay: apply
+        // only the commits past the cached tail instead of re-reading
+        // the checkpoint parquet (a Spark job at large file counts) and
+        // the whole commit chain per new commit
+        val st = cached
+          .filter(_ => versionAsOf.isEmpty)
+          .flatMap { case ((_, cachedTail), old) =>
+            incrementalState(logDir, f, old, cachedTail, probe._2, maxLiveFiles)
+          }
+          .getOrElse(replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles))
         stateCachePut(key, (probe, st))
         st
     }
   }
+
+  /** One add action → [[FileEntry]], shared by the full and incremental
+    * replay paths so their parse semantics cannot drift. */
+  private def parseFileEntry(node: JsonNode): FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val pv = Option(node.get("partitionValues")).map(_.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap)
+      .getOrElse(Map.empty[String, Option[String]])
+    val dv = Option(node.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DvDescriptor(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+        d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+    }
+    val stats = Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+    FileEntry(node.get("path").asText(), pv, dv, stats)
+  }
+
+  /** Incremental replay: apply commits (cachedTail, newTail] on top of
+    * a cached state. ONLY add/remove actions apply incrementally — a
+    * commit carrying metaData or protocol changes the schema/profile
+    * surface the full replay gates, so it returns None and the caller
+    * falls back to the full path (rare events: schema evolution,
+    * feature enablement). None likewise on any missing commit in the
+    * window or other surprise — fail open to the full replay, never
+    * guess. */
+  private def incrementalState(logDir: String, f: FileSystem, cached: DeltaState,
+      cachedTail: Long, newTail: Long, maxLiveFiles: Int): Option[DeltaState] = scala.util.Try {
+    if (newTail <= cachedTail) return None
+    val mapper = new ObjectMapper()
+    val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]() ++=
+      cached.live.map(e => e.path -> e)
+    for (v <- (cachedTail + 1) to newTail) {
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!f.exists(p)) return None // gap: let the full replay diagnose
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        if (action.has("metaData") || action.has("protocol")) return None
+        Option(action.get("add")).filterNot(_.isNull).foreach { add =>
+          val e = parseFileEntry(add)
+          live(e.path) = e
+          require(live.size <= maxLiveFiles,
+            s"delta: table has more than $maxLiveFiles live files — beyond this native reader's " +
+              "driver-state bound; read it with the delta-spark connector jar on the classpath")
+        }
+        Option(action.get("remove")).filterNot(_.isNull)
+          .foreach(rm => live.remove(rm.get("path").asText()))
+      }
+    }
+    require(live.nonEmpty, s"delta: table has no live data files")
+    Some(cached.copy(live = live.values.toVector))
+  }.toOption.flatten
 
   /** Full log replay to the pinned (or latest) version: checkpoint
     * state + ordered JSON commits → live-file set, schema, partition
@@ -399,29 +461,11 @@ object DeltaReader {
       readerFeatures = Option(p.get("readerFeatures")).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(readerFeatures)
     }
-    def partMap(n: JsonNode): Map[String, Option[String]] = {
-      import scala.jdk.CollectionConverters._
-      Option(n).map(_.properties().asScala.map(e =>
-        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap)
-        .getOrElse(Map.empty)
-    }
-    def parseDv(add: JsonNode): Option[DvDescriptor] =
-      Option(add.get("deletionVector")).filterNot(_.isNull).map { dv =>
-        DvDescriptor(
-          dv.get("storageType").asText(),
-          dv.get("pathOrInlineDv").asText(),
-          Option(dv.get("offset")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
-          dv.get("sizeInBytes").asInt(),
-          dv.get("cardinality").asLong())
-      }
-
     // 1. checkpoint state (adds are the live set at cpVersion). Removes
     // in a checkpoint are retention tombstones, never live state.
-    def parseStats(node: JsonNode): Option[String] =
-      Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
     def applyAdd(node: JsonNode): Unit = {
-      val p = node.get("path").asText()
-      live(p) = FileEntry(p, partMap(node.get("partitionValues")), parseDv(node), parseStats(node))
+      val e = parseFileEntry(node)
+      live(e.path) = e
       // checked on insert so peak driver memory is bounded by the cap,
       // not by however many adds a hostile/huge log contains
       require(live.size <= maxLiveFiles,

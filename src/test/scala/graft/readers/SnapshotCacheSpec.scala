@@ -43,7 +43,7 @@ class SnapshotCacheSpec extends SparkSpec {
     Files.copy(Paths.get(part), dest)
   }
 
-  test("delta: an unchanged table replays no commit bodies; a new commit invalidates") {
+  test("delta: unchanged tables replay nothing; new commits apply incrementally; metadata bails to full") {
     val t = Files.createTempDirectory("scdelta")
     writeParquetFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
     writeParquetFile(t, "f1.parquet", Seq((3L, "c")))
@@ -51,25 +51,25 @@ class SnapshotCacheSpec extends SparkSpec {
     writeCommit(t, 1, Seq(addAction("f1.parquet")))
     assert(DeltaReader.read(spark, t.toString).count() == 3L)
 
-    // corrupt BOTH commit bodies in place (names unchanged — the
-    // log-tail probe sees the same listing): a replay would die parsing
+    // corrupt BOTH replayed commit bodies in place (names unchanged —
+    // the log-tail probe sees the same listing): any re-read would die
+    // parsing, so answers can only come from the cached state
     val log = t.resolve("_delta_log")
-    val originals = Seq(0L, 1L).map { v =>
-      val p = log.resolve(f"$v%020d.json"); p -> Files.readAllBytes(p)
-    }
-    originals.foreach { case (p, _) =>
-      Files.writeString(p, "THIS IS NOT JSON { ::: \n")
-    }
+    Seq(0L, 1L).foreach(v =>
+      Files.writeString(log.resolve(f"$v%020d.json"), "THIS IS NOT JSON { ::: \n"))
     assert(DeltaReader.read(spark, t.toString).count() == 3L) // cache, not disk
 
-    // a NEW commit bumps the log tail: the probe invalidates and the
-    // fresh replay both parses the restored bodies and sees the add
-    originals.foreach { case (p, bytes) =>
-      Files.write(p, bytes, StandardOpenOption.TRUNCATE_EXISTING)
-    }
+    // a NEW add-only commit applies INCREMENTALLY on the cached state:
+    // the corrupt earlier bodies are never touched, only v2 is read
     writeParquetFile(t, "f2.parquet", Seq((4L, "d"), (5L, "e")))
     writeCommit(t, 2, Seq(addAction("f2.parquet")))
     assert(DeltaReader.read(spark, t.toString).count() == 5L)
+
+    // a metaData-carrying commit must NOT apply incrementally (schema /
+    // profile gates need the full chain): the full replay then hits the
+    // corrupt v0 — proving the bail-out engaged rather than guessing
+    writeCommit(t, 3, Seq(metaAction))
+    intercept[Exception](DeltaReader.read(spark, t.toString).count())
   }
 
   test("delta: a version-pinned read caches independently of the live tail") {
