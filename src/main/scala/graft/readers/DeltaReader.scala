@@ -309,8 +309,12 @@ object DeltaReader {
         // the whole commit chain per new commit
         val st = cached
           .filter(_ => versionAsOf.isEmpty)
-          .flatMap { case ((_, cachedTail), old) =>
-            incrementalState(logDir, f, old, cachedTail, probe._2, maxLiveFiles)
+          .flatMap { case ((cachedCp, cachedTail), old) =>
+            // a checkpoint-only state (no commit jsons at read time) has
+            // tail -1 but IS the state at the checkpoint version — later
+            // commits chain from max(checkpoint, tail), not from 0
+            incrementalState(logDir, f, old, math.max(cachedCp, cachedTail),
+              probe._2, maxLiveFiles)
           }
           .getOrElse(replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles))
         stateCachePut(key, (probe, st))
