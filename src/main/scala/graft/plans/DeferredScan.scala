@@ -270,6 +270,12 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
       case f @ Filter(c, s: DeferredScan) =>
         Some((s, (e: Expression) =>
           f.copy(condition = org.apache.spark.sql.catalyst.expressions.And(c, e))))
+      // the realize cases push a Filter sitting above an attribute-only
+      // Project — merge into THAT filter rather than opening a new one
+      // below it, or the static conjuncts would stop pushing
+      case f @ Filter(c, Project(ps, s: DeferredScan)) if ps.forall(_.isInstanceOf[Attribute]) =>
+        Some((s, (e: Expression) =>
+          f.copy(condition = org.apache.spark.sql.catalyst.expressions.And(c, e))))
       case pj @ Project(ps, inner) if ps.forall(_.isInstanceOf[Attribute]) =>
         leafOf(inner).map { case (s, rb) =>
           (s, (e: Expression) => pj.copy(child = rb(e)))
