@@ -72,6 +72,32 @@ class SnapshotCacheSpec extends SparkSpec {
     intercept[Exception](DeltaReader.read(spark, t.toString).count())
   }
 
+  test("delta: a checkpoint-only state chains incremental replay from the checkpoint version") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("scdeltacp")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
+    writeParquetFile(t, "f1.parquet", Seq((2L, "b"), (3L, "c")))
+    val log = t.resolve("_delta_log"); Files.createDirectories(log)
+    // checkpoint at v0, NO commit jsons — the cached tail is the
+    // checkpoint version, not a commit number
+    val cpLines = Seq(protocolAction, metaAction, addAction("f0.parquet")).toDS()
+    val cpTmp = Files.createTempDirectory("sccpw").toString
+    spark.read.json(cpLines).coalesce(1).write.mode("overwrite").parquet(cpTmp + "/out")
+    val cpPart = Files.list(Paths.get(cpTmp + "/out")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    Files.copy(Paths.get(cpPart), log.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":0,"size":3}""")
+    assert(DeltaReader.read(spark, t.toString).count() == 1L)
+
+    // corrupt the checkpoint parquet: a full replay would die reading
+    // it, so the add-only commit can only land incrementally — chained
+    // from the CHECKPOINT version, not from commit -1
+    Files.write(log.resolve(f"${0L}%020d.checkpoint.parquet"),
+      Array.fill[Byte](64)(0x5a), StandardOpenOption.TRUNCATE_EXISTING)
+    writeCommit(t, 1, Seq(addAction("f1.parquet")))
+    assert(DeltaReader.read(spark, t.toString).count() == 3L)
+  }
+
   test("delta: a version-pinned read caches independently of the live tail") {
     val t = Files.createTempDirectory("scdeltapin")
     writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
