@@ -539,6 +539,14 @@ object IcebergReader {
       val hits: Map[String, Seq[ManifestRow]] =
         keyed.flatMap { case (_, k) => manifestCacheGet(k).map(k -> _) }.toMap
       val missRefs = keyed.filterNot { case (_, k) => hits.contains(k) }
+      // the entry cap is a per-READ contract (refuse loudly past the
+      // caller's bound, naming the connector) — it must hold even when
+      // every manifest is a cache hit, not only on the cold path
+      if (missRefs.isEmpty)
+        require(hits.valuesIterator.map(_.length.toLong).sum <= maxManifestEntries,
+          s"iceberg: ${hits.valuesIterator.map(_.length.toLong).sum} manifest entries exceed " +
+            s"$maxManifestEntries — beyond this native reader's driver-state bound; " +
+            "read it with the iceberg-spark connector jar on the classpath")
       // count before collect: bounds driver memory BEFORE materializing.
       // The manifest-list's own file counts supply it for free; only a
       // count-less list pays a second pass over the manifest Avro.

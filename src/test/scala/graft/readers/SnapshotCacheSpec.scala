@@ -168,6 +168,12 @@ class SnapshotCacheSpec extends SparkSpec {
     writeMetadata(table, 1, l1)
     assert(IcebergReader.read(spark, table).count() == 2L)
 
+    // the per-read entry cap holds even when every manifest is a cache
+    // hit — the refusal contract must not depend on cache temperature
+    val capped = intercept[IllegalArgumentException](
+      IcebergReader.read(spark, table, maxManifestEntries = 0L))
+    assert(capped.getMessage.contains("connector"))
+
     // corrupt the manifest Avro AND the manifest list in place: a
     // re-read of either cannot parse, so rows can only come from the
     // manifest + manifest-list caches (immutable-file keys)
