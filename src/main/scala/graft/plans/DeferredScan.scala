@@ -2,13 +2,15 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
-  EqualTo, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference,
+  EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, NamedExpression,
+  SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter,
   LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, Join, LeafNode, Limit,
-  LogicalPlan, Project, Sample, Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LeafNode,
+  Limit, LogicalPlan, Project, Sample, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType,
   IntegerType, LongType, ShortType, StringType}
@@ -198,10 +200,14 @@ object SnapshotPin {
   * date/decimal — float/double text and timestamp sub-millis excluded,
   * the FileSkipping stance); a build side free of nondeterminism,
   * limits and samples (its planning-time and runtime executions must
-  * agree, or the IN list could drop rows the real join would match);
-  * and the key-count cap. An empty key set renders `IN (NULL)` —
-  * never-true, correct for a join whose build side is empty, and it
-  * prunes every file. */
+  * agree, or the IN list could drop rows the real join would match).
+  * An empty key set renders `IN (NULL)` — never-true, correct for a
+  * join whose build side is empty, and it prunes every file. The
+  * key-count cap no longer fails open outright: above it the rule
+  * falls back to a `key BETWEEN min AND max` conjunct from a 2-value
+  * build-side aggregate (see [[rangePruned]]) — always collectable,
+  * order-preserving, and it composes with the readers' existing
+  * stats/partition range pruning. */
 object ResolveDeferredScans extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -343,7 +349,7 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val keysPlan = Limit(Literal(cap + 1), Distinct(Project(keyPairs.map(_._2), other)))
     val rows = org.apache.spark.sql.graft.bridge.ofRows(spark, keysPlan).collect()
-    if (rows.length > cap) return None
+    if (rows.length > cap) return rangePruned(spark, keyPairs, other, rebuild)
     val inConjuncts: Seq[Expression] = keyPairs.zipWithIndex.map { case ((a, _), i) =>
       val lits: Seq[Expression] = rows.toSeq.filterNot(_.isNullAt(i))
         .map(r => Literal.create(r.get(i), a.dataType): Expression).distinct
@@ -352,9 +358,45 @@ object ResolveDeferredScans extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.expressions.In(a,
         if (lits.isEmpty) Seq(Literal.create(null, a.dataType)) else lits)
     }
-    Some(rebuild(inConjuncts.reduce(
-      org.apache.spark.sql.catalyst.expressions.And(_, _))))
+    Some(rebuild(inConjuncts.reduce(And(_, _))))
   }.toOption.flatten
+
+  /** Cap-overflow fallback (VERDICT r10 #1): a build side with more
+    * distinct keys than `maxJoinKeys` can't become an IN list, but its
+    * key RANGE is always collectable — a 2-value min/max aggregate
+    * returns one row regardless of cardinality, and min/max are
+    * order-preserving so `key BETWEEN min AND max` is implied by
+    * `key IN (<all keys>)`. The range conjunct composes with the
+    * readers' existing stats/partition range pruning (Delta partition
+    * values + parquet footers, Iceberg manifest bounds), so a 100k-key
+    * dim still excludes every fact file outside the dim's key span
+    * instead of scanning the whole table. Weaker than the IN list for
+    * sparse key sets — a file inside the range with no matching key
+    * survives — but the join re-filters, so like every other gate this
+    * only ever loses pruning power, never rows. An all-null/empty build
+    * side has null min: render the same never-true `IN (NULL)` as the
+    * list path. No bloom residual: the size gate already bounds the
+    * build side under the broadcast threshold, so the join executes as
+    * a broadcast hash join whose probe discards non-matching fact rows
+    * without a shuffle — a post-scan bloom would duplicate that probe
+    * without saving any IO. */
+  private def rangePruned(spark: SparkSession, keyPairs: Seq[(Attribute, Attribute)],
+      other: LogicalPlan, rebuild: Expression => LogicalPlan): Option[LogicalPlan] = {
+    val aggExprs: Seq[NamedExpression] = keyPairs.zipWithIndex.flatMap { case ((_, b), i) =>
+      Seq(Alias(Min(b).toAggregateExpression(), s"mn$i")(),
+        Alias(Max(b).toAggregateExpression(), s"mx$i")())
+    }
+    val row = org.apache.spark.sql.graft.bridge.ofRows(spark,
+      Aggregate(Nil, aggExprs, other)).collect().head
+    val conjuncts: Seq[Expression] = keyPairs.zipWithIndex.map { case ((a, _), i) =>
+      if (row.isNullAt(2 * i))
+        org.apache.spark.sql.catalyst.expressions.In(a, Seq(Literal.create(null, a.dataType)))
+      else And(
+        GreaterThanOrEqual(a, Literal.create(row.get(2 * i), a.dataType)),
+        LessThanOrEqual(a, Literal.create(row.get(2 * i + 1), a.dataType)))
+    }
+    Some(rebuild(conjuncts.reduce(And(_, _))))
+  }
 
   /** Render the pushable conjuncts of `cond` as one ANSI SQL string for
     * the reader's `filter` parameter; second member is true when EVERY

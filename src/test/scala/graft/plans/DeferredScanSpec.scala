@@ -419,13 +419,15 @@ class DeferredScanSpec extends SparkSpec {
       "SELECT f.id FROM ds_fact_lo f LEFT JOIN ds_dim_lo d ON f.p = d.k").collect())
   }
 
-  test("join pruning: key-count cap and nondeterministic build sides fail open") {
+  test("join pruning: above the key cap the RANGE fallback still prunes; nondeterministic build sides fail open") {
     import spark.implicits._
-    // TWO real partitions and a dim whose filter keeps BOTH keys: the
-    // same query prunes (and succeeds) at the default cap, and must
-    // fail open (crash on the dangling adds) when the cap is below the
-    // FILTERED build side's key count — the cap gates the collect the
-    // rule actually runs, not the raw dim size
+    // TWO real partitions, contiguous, and a dim whose filter keeps
+    // BOTH keys: at the default cap the IN list {7,8} prunes; with the
+    // cap below the FILTERED build side's key count the rule can't
+    // build an IN list, and the BETWEEN min/max fallback (VERDICT r10
+    // #1) must carry the pruning instead — the dangling adds outside
+    // [7,8] make an unpruned scan unplannable, so success proves the
+    // range conjunct reached the leaf
     val fact = DeltaReader.table(spark, delta100(7, 9).toString)
     fact.createOrReplaceTempView("ds_fact_gates")
     val dir = Files.createTempDirectory("dsdimgates").toString
@@ -437,7 +439,7 @@ class DeferredScanSpec extends SparkSpec {
         |WHERE d.v = 'seven'""".stripMargin
     assert(spark.sql(q).count() == 4L) // default cap: keys {7,8} prune
     spark.conf.set("spark.graft.deferredScan.maxJoinKeys", "1")
-    try intercept[Exception](spark.sql(q).collect())
+    try assert(spark.sql(q).count() == 4L) // cap overflow: range [7,8] prunes
     finally spark.conf.unset("spark.graft.deferredScan.maxJoinKeys")
     // a nondeterministic build side may replay differently between the
     // planning-time collect and the runtime join: refuse to prune. The
@@ -455,6 +457,35 @@ class DeferredScanSpec extends SparkSpec {
         |WHERE d.v = 'seven'""".stripMargin).collect())
     // ...and the happy path still works after both refusals
     assert(spark.sql(q).count() == 4L)
+  }
+
+  test("join pruning: the cap fallback is a RANGE — dangling files inside the span stay fatal") {
+    import spark.implicits._
+    // real partitions {7, 9} with p=8 DANGLING between them: the IN
+    // list {7,9} skips it, but the BETWEEN [7,9] fallback cannot — so
+    // the same query succeeds at the default cap and crashes on the
+    // dangling add under cap overflow. This is the discriminating
+    // fixture: a fallback that silently re-collected a key list would
+    // pass both, a fallback that pruned nothing would fail both.
+    val t = Files.createTempDirectory("dsdeltarange")
+    writeParquetFile(t, "p=7/f.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    Files.copy(t.resolve("p=7/f.parquet"), {
+      val d = t.resolve("p=9/f.parquet"); Files.createDirectories(d.getParent); d
+    })
+    val adds = (0 until 100).map(p => addAction(f"p=$p/f.parquet", s"""{"p":"$p"}"""))
+    writeCommit(t, 0, Seq(protocolAction, metaAction(schemaWithP, Seq("p"))) ++ adds)
+    DeltaReader.table(spark, t.toString).createOrReplaceTempView("ds_fact_range")
+    val dir = Files.createTempDirectory("dsdimrange").toString
+    Seq((7, "keep"), (9, "keep"), (55, "absent")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("ds_dim_range")
+    val q =
+      """SELECT f.id FROM ds_fact_range f JOIN ds_dim_range d ON f.p = d.k
+        |WHERE d.v = 'keep'""".stripMargin
+    assert(spark.sql(q).count() == 4L) // IN (7, 9): dangling p=8 skipped
+    spark.conf.set("spark.graft.deferredScan.maxJoinKeys", "1")
+    try intercept[Exception](spark.sql(q).collect()) // BETWEEN [7,9] keeps p=8
+    finally spark.conf.unset("spark.graft.deferredScan.maxJoinKeys")
   }
 
   test("join pruning: an empty build side renders a never-true IN and scans nothing") {
