@@ -212,6 +212,109 @@ object DeltaReader {
       () => run(None, schemaOnly = true), fs => run(fs, schemaOnly = false))
   }
 
+  /** Incremental batch read (adds-only CDF-lite; VERDICT r10 #2): the
+    * rows of every data file ADDED in commits (sinceVersion, head] that
+    * is STILL LIVE at head, each tagged `_commit_version` (the commit
+    * that last added its file) and `_commit_timestamp` (that commit's
+    * `commitInfo.timestamp`, falling back to the commit file's
+    * modification time — the same clock `timestampAsOf` reads). This
+    * serves incremental ETL — "give me what arrived since my last run's
+    * version" — without a streaming source and without the connector's
+    * CDF feature (which needs writer-side change files this reader
+    * could not conjure):
+    *
+    *  - a file added then REMOVED inside the window never surfaces
+    *    (its rows were never visible to any at-or-after-head read);
+    *  - a file added BEFORE the window stays out, even if untouched;
+    *  - row-level deletes are NOT represented (adds-only): a remove of
+    *    an old file emits nothing, matching an append-driven pipeline;
+    *  - the window's commit jsons must all be present — a cleaned log
+    *    refuses loudly rather than silently skipping arrivals;
+    *  - `sinceVersion = -1` means "from the beginning" (every live
+    *    file whose add is visible in the log window 0..head).
+    *
+    * Scale shape: the head state comes from the same snapshot cache /
+    * incremental replay as every other read; the window walk reads
+    * only the window's commit jsons on the driver; the data scan is
+    * the ordinary pruned parquet scan restricted to the new files,
+    * with the (file → version) map attached via a broadcast join on
+    * `_metadata.file_path` — O(new files) driver state, no shuffle. */
+  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long,
+      maxPartitionScans: Int = 64, filter: Option[String] = None,
+      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = table.stripSuffix("/") + "/_delta_log"
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+    val commitStatuses = f.listStatus(new Path(logDir)).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st)
+      .sortBy(_._1)
+    val mapper = new ObjectMapper()
+    val lastCp = new Path(logDir, "_last_checkpoint")
+    val cpV =
+      if (!f.exists(lastCp)) -1L
+      else { val in = f.open(lastCp); try mapper.readTree(in).get("version").asLong() finally in.close() }
+    val head = math.max(cpV, commitStatuses.map(_._1).maxOption.getOrElse(-1L))
+    require(head >= 0, s"delta: empty _delta_log at $logDir")
+    require(sinceVersion <= head,
+      s"delta: changes since version $sinceVersion requested but table head is $head")
+    if (sinceVersion == head)
+      return emptyChangesFrame(spark, table, maxPartitionScans, maxLiveFiles)
+    val window = commitStatuses.filter { case (v, _) => v > sinceVersion && v <= head }
+    val missing = ((math.max(sinceVersion, -1L) + 1) to head).toSet -- window.map(_._1).toSet
+    require(missing.isEmpty,
+      s"delta: cannot serve changes since $sinceVersion — commit json(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} missing from _delta_log (expired/cleaned log); " +
+        "re-baseline with a full read")
+    // last add version per path across the window, + per-commit timestamp
+    val addVersion = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    window.foreach { case (v, st) =>
+      var commitTs = st.getModificationTime
+      val in = f.open(st.getPath)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
+      lines.foreach(a => Option(a.get("commitInfo")).flatMap(ci => Option(ci.get("timestamp")))
+        .filterNot(_.isNull).foreach(ts => commitTs = ts.asLong()))
+      // dataChange=false adds are rearrangements (OPTIMIZE/compaction):
+      // their rows are OLD rows in new files — surfacing them would
+      // duplicate data for an incremental consumer, so they are skipped
+      // exactly as the connector's CDF skips dataChange=false commits
+      lines.foreach(a => Option(a.get("add")).filterNot(_.isNull)
+        .filter(add => Option(add.get("dataChange")).forall(n => n.isNull || n.asBoolean()))
+        .foreach(add => addVersion(add.get("path").asText()) = (v, commitTs)))
+      lines.foreach(a => Option(a.get("remove")).filterNot(_.isNull).foreach { rm =>
+        val p = rm.get("path").asText()
+        if (addVersion.contains(p)) {
+          val realDelete = Option(rm.get("dataChange")).forall(n => n.isNull || n.asBoolean())
+          // a compaction remove of an IN-WINDOW add moves those arrivals
+          // into dataChange=false files this adds-only reader skips —
+          // serving the window would silently lose them; refuse loudly
+          require(realDelete,
+            s"delta: changes since $sinceVersion unservable — file '$p' (added at version " +
+              s"${addVersion(p)._1}) was compacted away inside the window (dataChange=false " +
+              "remove); its rows moved to files an adds-only read cannot attribute. " +
+              "Re-baseline with a full read.")
+          addVersion.remove(p) // a real delete: the rows were retracted before head
+        }
+      })
+    }
+    if (addVersion.isEmpty)
+      return emptyChangesFrame(spark, table, maxPartitionScans, maxLiveFiles)
+    readImpl(spark, table, None, maxPartitionScans, filter, maxLiveFiles,
+      changes = Some(addVersion.toMap))
+  }
+
+  private def emptyChangesFrame(spark: SparkSession, table: String,
+      maxPartitionScans: Int, maxLiveFiles: Int): DataFrame = {
+    val base = readImpl(spark, table, None, maxPartitionScans, None, maxLiveFiles,
+      schemaOnly = true)
+    import org.apache.spark.sql.functions.lit
+    base.withColumn("_commit_version", lit(null).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("_commit_timestamp", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+      .where(lit(false))
+  }
+
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */
@@ -258,14 +361,29 @@ object DeltaReader {
   // entries (the same order of driver state as ONE maximal read — a
   // per-table-count bound would multiply the documented maxLiveFiles
   // residency by the table count), LRU eviction.
+  /** Cache-validation token. Version numbers alone are NOT identity:
+    * Delta commit filenames are pure version counters, so a table
+    * deleted and regenerated at the same path with the same commit
+    * count reproduces (cpVersion, tailVersion) exactly — the ADVICE
+    * r10 staleness hole. The ANCHOR file's modificationTime + length
+    * (the tail commit json, or `_last_checkpoint` for a commit-free
+    * log) come from the listStatus the probe already runs — zero extra
+    * IO — and a regenerated log rewrites that file, so the token
+    * changes. Pinned (versionAsOf) entries carry the same anchor
+    * (cpVersion slot = -2): their replayed state is immutable only
+    * while the TABLE is the same table, so a hit now validates the
+    * pinned commit file's current status too. */
+  private case class ProbeToken(cpVersion: Long, tailVersion: Long,
+      anchorMtime: Long, anchorLen: Long)
+
   private val StateCacheMaxEntries: Long = DefaultMaxLiveFiles.toLong
   private val stateCache = new java.util.LinkedHashMap[
-      (String, Option[Long], Int), ((Long, Long), DeltaState)](16, 0.75f, true)
+      (String, Option[Long], Int), (ProbeToken, DeltaState)](16, 0.75f, true)
   private var stateCacheEntries = 0L // guarded by stateCache's lock
-  private def stateCacheGet(key: (String, Option[Long], Int)): Option[((Long, Long), DeltaState)] =
+  private def stateCacheGet(key: (String, Option[Long], Int)): Option[(ProbeToken, DeltaState)] =
     stateCache.synchronized(Option(stateCache.get(key)))
   private def stateCachePut(key: (String, Option[Long], Int),
-      value: ((Long, Long), DeltaState)): Unit = stateCache.synchronized {
+      value: (ProbeToken, DeltaState)): Unit = stateCache.synchronized {
     if (value._2.live.length <= StateCacheMaxEntries) {
       Option(stateCache.put(key, value)).foreach(old => stateCacheEntries -= old._2.live.length)
       stateCacheEntries += value._2.live.length
@@ -276,11 +394,27 @@ object DeltaReader {
     }
   }
 
+  /** (mtime, length) of the file that anchors a token's identity, or
+    * (-1, -1) when it does not exist. */
+  private def anchorStatus(f: FileSystem, p: Path): (Long, Long) =
+    scala.util.Try {
+      val st = f.getFileStatus(p); (st.getModificationTime, st.getLen)
+    }.getOrElse((-1L, -1L))
+
   private def cachedState(spark: SparkSession, table: String, logDir: String,
       f: FileSystem, versionAsOf: Option[Long], maxLiveFiles: Int): DeltaState = {
-    val probe: (Long, Long) = versionAsOf match {
-      // a pinned version's state is immutable — no tail probe needed
-      case Some(v) => (-2L, v)
+    val probe: ProbeToken = versionAsOf match {
+      // a pinned version's replayed state is immutable, but only while
+      // the table IS that table — anchor on the pinned commit file (or
+      // `_last_checkpoint` when the json was vacuumed into a
+      // checkpoint) so a regenerate-in-place at the same path misses
+      case Some(v) => graft.plans.SnapshotPin.pin(s"delta-pin:$table:$v") {
+        val commitP = new Path(logDir, f"$v%020d.json")
+        val (m, l) =
+          if (f.exists(commitP)) anchorStatus(f, commitP)
+          else anchorStatus(f, new Path(logDir, "_last_checkpoint"))
+        ProbeToken(-2L, v, m, l)
+      }
       // pinned per planning pass: sibling legs of one query resolve the
       // same tail token, so they share one cache entry (one snapshot)
       // even if a writer commits mid-planning
@@ -293,10 +427,14 @@ object DeltaReader {
             val in = f.open(lastCp)
             try mapper.readTree(in).get("version").asLong() finally in.close()
           }
-        val maxCommit = f.listStatus(new Path(logDir)).toSeq
-          .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
-          .map(_.stripSuffix(".json").toLong).maxOption.getOrElse(-1L)
-        (cpV, maxCommit)
+        val commitStatuses = f.listStatus(new Path(logDir)).toSeq
+          .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+          .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st)
+        val (anchorM, anchorL) = commitStatuses.maxByOption(_._1) match {
+          case Some((_, st)) => (st.getModificationTime, st.getLen)
+          case None          => anchorStatus(f, lastCp) // commit-free log
+        }
+        ProbeToken(cpV, commitStatuses.map(_._1).maxOption.getOrElse(-1L), anchorM, anchorL)
       }
     }
     val key = (table, versionAsOf, maxLiveFiles)
@@ -309,12 +447,13 @@ object DeltaReader {
         // the whole commit chain per new commit
         val st = cached
           .filter(_ => versionAsOf.isEmpty)
-          .flatMap { case ((cachedCp, cachedTail), old) =>
+          .flatMap { case (cachedTok, old) =>
             // a checkpoint-only state (no commit jsons at read time) has
             // tail -1 but IS the state at the checkpoint version — later
             // commits chain from max(checkpoint, tail), not from 0
-            incrementalState(logDir, f, old, math.max(cachedCp, cachedTail),
-              probe._2, maxLiveFiles)
+            incrementalState(logDir, f, old, cachedTok,
+              math.max(cachedTok.cpVersion, cachedTok.tailVersion),
+              probe.tailVersion, maxLiveFiles)
           }
           .getOrElse(replayState(spark, table, logDir, f, versionAsOf, maxLiveFiles))
         stateCachePut(key, (probe, st))
@@ -345,10 +484,23 @@ object DeltaReader {
     * falls back to the full path (rare events: schema evolution,
     * feature enablement). None likewise on any missing commit in the
     * window or other surprise — fail open to the full replay, never
-    * guess. */
+    * guess.
+    *
+    * Prefix guard: chaining is sound only if the cached state's OWN
+    * history is still the table's history. A table regenerated in
+    * place with MORE commits than the cached tail would otherwise
+    * chain the new tail onto a dead table's state — so the cached
+    * token's anchor file (tail commit json, or `_last_checkpoint` for
+    * a checkpoint-only state) must still exist with the same
+    * mtime+length, else fall back to the full replay. */
   private def incrementalState(logDir: String, f: FileSystem, cached: DeltaState,
-      cachedTail: Long, newTail: Long, maxLiveFiles: Int): Option[DeltaState] = scala.util.Try {
+      cachedTok: ProbeToken, cachedTail: Long, newTail: Long,
+      maxLiveFiles: Int): Option[DeltaState] = scala.util.Try {
     if (newTail <= cachedTail) return None
+    val anchorP =
+      if (cachedTok.tailVersion >= 0) new Path(logDir, f"${cachedTok.tailVersion}%020d.json")
+      else new Path(logDir, "_last_checkpoint")
+    if (anchorStatus(f, anchorP) != ((cachedTok.anchorMtime, cachedTok.anchorLen))) return None
     val mapper = new ObjectMapper()
     val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]() ++=
       cached.live.map(e => e.path -> e)
@@ -562,7 +714,8 @@ object DeltaReader {
 
   private def readImpl(spark: SparkSession, table: String, versionAsOf: Option[Long],
       maxPartitionScans: Int, filterSql: Option[String], maxLiveFiles: Int,
-      schemaOnly: Boolean = false): DataFrame = {
+      schemaOnly: Boolean = false,
+      changes: Option[Map[String, (Long, Long)]] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = table.stripSuffix("/") + "/_delta_log"
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -712,7 +865,17 @@ object DeltaReader {
           }
         }
       }.getOrElse(Nil)
-    var liveEntries: Seq[FileEntry] = state.live
+    def emptyTyped(): DataFrame = {
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stripMeta(schema).asInstanceOf[StructType])
+      changes.fold(base)(_ => base
+        .withColumn("_commit_version", lit(null).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("_commit_timestamp", lit(null).cast(org.apache.spark.sql.types.TimestampType)))
+    }
+    // changes read: restrict the scan to the window's surviving adds
+    var liveEntries: Seq[FileEntry] =
+      changes.fold(state.live: Seq[FileEntry])(m => state.live.filter(e => m.contains(e.path)))
+    if (changes.isDefined && liveEntries.isEmpty) return emptyTyped()
     if (filterConjs.nonEmpty) {
       if (partitionCols.nonEmpty) {
         val partFields = partitionCols.map(pc => StructField(pc, schema(pc).dataType))
@@ -731,20 +894,20 @@ object DeltaReader {
           .foreach(kept => liveEntries = liveEntries.filter(e => kept.contains(e.path)))
       }
       if (liveEntries.isEmpty) // every file skipped: the empty result, typed
-        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          stripMeta(schema).asInstanceOf[StructType])
+        return emptyTyped()
     }
 
     val hasDv = liveEntries.exists(_.dv.isDefined)
+    val needTag = hasDv || changes.isDefined
     import org.apache.spark.sql.functions.{expr, regexp_replace}
     def norm(c: Column): Column = PathKeys.scanKey(c)
     // `_metadata` is only resolvable on a direct file scan, so the
     // file/row tags must attach at each scan base, not after the union
     def tag(df: DataFrame): DataFrame =
-      if (!hasDv) df
+      if (!needTag) df
       else df.withColumn("__file", norm(expr("_metadata.file_path")))
         .withColumn("__pos", expr("_metadata.row_index"))
-    val extraCols = if (hasDv) Seq("__file", "__pos") else Nil
+    val extraCols = if (needTag) Seq("__file", "__pos") else Nil
     def renameToLogical(df: DataFrame, fields: Seq[StructField]): DataFrame =
       if (!mapped) df
       else df.select(fields.map(fl =>
@@ -829,11 +992,35 @@ object DeltaReader {
         }.toDF("__del_file", "__del_pos")
       scanned.join(deletes,
         col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
-        .select(schema.fieldNames.map(col).toSeq: _*)
+        .select((schema.fieldNames.toSeq ++
+          (if (changes.isDefined) Seq("__file") else Nil)).map(col): _*)
+    }
+    // changes read: attach (_commit_version, _commit_timestamp) via a
+    // broadcast (file → version) join keyed on the scan's own
+    // `_metadata.file_path` — uniform across partition layouts, column
+    // mapping and DVs, O(new files) driver state
+    val withChanges = changes match {
+      case None => result
+      case Some(m) =>
+        val rows = liveEntries.map { e =>
+          val (v, ts) = m(e.path)
+          org.apache.spark.sql.Row(PathKeys.driverKey(resolve(e.path), f), v,
+            new java.sql.Timestamp(ts))
+        }
+        val chSchema = StructType(Seq(
+          StructField("__ch_file", org.apache.spark.sql.types.StringType),
+          StructField("__ch_version", org.apache.spark.sql.types.LongType),
+          StructField("__ch_ts", org.apache.spark.sql.types.TimestampType)))
+        val chDf = org.apache.spark.sql.functions.broadcast(
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), chSchema))
+        result.join(chDf, col("__file") === col("__ch_file"))
+          .select((schema.fieldNames.toSeq.map(col) :+
+            col("__ch_version").as("_commit_version") :+
+            col("__ch_ts").as("_commit_timestamp")): _*)
     }
     // residual filter: file skipping is a superset guarantee; applying
     // the whole predicate here makes the result exactly where(filter)
-    filterSql.map(fs => result.where(expr(fs))).getOrElse(result)
+    filterSql.map(fs => withChanges.where(expr(fs))).getOrElse(withChanges)
   }
 }
 
@@ -847,7 +1034,13 @@ class DeltaReaderImpl extends Reader {
   // an explicit `filter` option keeps the eager pruned read; otherwise
   // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
+    if (ref.options.contains("changesSince"))
+      // incremental batch read: rows added after the given version,
+      // tagged _commit_version/_commit_timestamp (always eager — the
+      // window is resolved at read time, like versionAsOf)
+      DeltaReader.readChangesSince(spark, ref.url, ref.options("changesSince").toLong,
+        filter = ref.options.get("filter"))
+    else (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
       case (Some(_), Some(ts)) =>
         DeltaReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
           filter = ref.options.get("filter"))

@@ -43,6 +43,20 @@ class SnapshotCacheSpec extends SparkSpec {
     Files.copy(Paths.get(part), dest)
   }
 
+  /** Corrupt a file's CONTENT while preserving its length and mtime:
+    * the cache probe validates by file STATUS (it must never read
+    * bodies), so a status-preserving corruption is exactly the state a
+    * cached table must keep answering through — while an ordinary
+    * in-place rewrite (length or mtime changed) now reads as a
+    * REGENERATED table and must invalidate (ADVICE r10). */
+  private def corruptPreservingStatus(p: JPath): Unit = {
+    val mtime = Files.getLastModifiedTime(p)
+    val size = Files.size(p)
+    Files.write(p, Array.fill[Byte](size.toInt)('Z'.toByte),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.setLastModifiedTime(p, mtime)
+  }
+
   test("delta: unchanged tables replay nothing; new commits apply incrementally; metadata bails to full") {
     val t = Files.createTempDirectory("scdelta")
     writeParquetFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
@@ -51,12 +65,13 @@ class SnapshotCacheSpec extends SparkSpec {
     writeCommit(t, 1, Seq(addAction("f1.parquet")))
     assert(DeltaReader.read(spark, t.toString).count() == 3L)
 
-    // corrupt BOTH replayed commit bodies in place (names unchanged —
-    // the log-tail probe sees the same listing): any re-read would die
-    // parsing, so answers can only come from the cached state
+    // corrupt BOTH replayed commit bodies in place, preserving each
+    // file's length and mtime (names, sizes, mtimes unchanged — the
+    // log-tail probe, which reads only statuses, cannot distinguish):
+    // any re-read would die parsing, so answers can only come from the
+    // cached state
     val log = t.resolve("_delta_log")
-    Seq(0L, 1L).foreach(v =>
-      Files.writeString(log.resolve(f"$v%020d.json"), "THIS IS NOT JSON { ::: \n"))
+    Seq(0L, 1L).foreach(v => corruptPreservingStatus(log.resolve(f"$v%020d.json")))
     assert(DeltaReader.read(spark, t.toString).count() == 3L) // cache, not disk
 
     // a NEW add-only commit applies INCREMENTALLY on the cached state:
@@ -104,12 +119,73 @@ class SnapshotCacheSpec extends SparkSpec {
     writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
     assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 1L)
     // new commits never invalidate a pinned version's state: corrupting
-    // v0's body and appending v1 must leave the pinned read serving v0
+    // v0's body (status-preserving — the pinned probe validates the
+    // commit file's mtime+length) and appending v1 must leave the
+    // pinned read serving v0
     val v0 = t.resolve("_delta_log").resolve(f"${0L}%020d.json")
-    Files.writeString(v0, "THIS IS NOT JSON\n")
+    corruptPreservingStatus(v0)
     writeParquetFile(t, "f1.parquet", Seq((2L, "b")))
     writeCommit(t, 1, Seq(addAction("f1.parquet")))
     assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 1L)
+  }
+
+  // ---- regeneration-in-place invalidation (ADVICE r10 medium) --------
+  // Delta commit filenames are pure version counters, so a table
+  // deleted and rebuilt at the same path with the same commit count
+  // reproduces every version number — only the anchor file's
+  // mtime+length tells the two lives apart.
+
+  test("delta: a table regenerated in place (same path, same commit count) is not served stale") {
+    val t = Files.createTempDirectory("scdeltaregen")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
+    assert(DeltaReader.read(spark, t.toString).count() == 1L) // cached
+    val log = t.resolve("_delta_log")
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(t.resolve("f0.parquet"))
+    writeParquetFile(t, "g0_regen.parquet", Seq((5L, "x"), (6L, "y"), (7L, "z")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("g0_regen.parquet")))
+    // same (checkpoint, tail) token as the dead table; serving the
+    // cached state would return 1 row over a vanished file
+    assert(DeltaReader.read(spark, t.toString).count() == 3L)
+  }
+
+  test("delta: a PINNED read is not served a dead table's state after regeneration") {
+    val t = Files.createTempDirectory("scdeltaregenpin")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 1L)
+    val log = t.resolve("_delta_log")
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(t.resolve("f0.parquet"))
+    writeParquetFile(t, "g0_regen.parquet", Seq((5L, "x"), (6L, "y")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("g0_regen.parquet")))
+    // the pinned key (table, Some(0)) is identical across both lives —
+    // the anchor status in the token is what invalidates
+    assert(DeltaReader.read(spark, t.toString, versionAsOf = Some(0L)).count() == 2L)
+  }
+
+  test("delta: regeneration with MORE commits cannot chain incrementally onto the dead state") {
+    val t = Files.createTempDirectory("scdeltaregeninc")
+    writeParquetFile(t, "f0.parquet", Seq((1L, "a")))
+    writeParquetFile(t, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("f0.parquet")))
+    writeCommit(t, 1, Seq(addAction("f1.parquet")))
+    assert(DeltaReader.read(spark, t.toString).count() == 2L) // cached, tail=1
+    val log = t.resolve("_delta_log")
+    Seq(0L, 1L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    Seq("f0.parquet", "f1.parquet").foreach(p => Files.delete(t.resolve(p)))
+    Seq("g0_regen.parquet", "g1_regen.parquet", "g2_regen.parquet").zipWithIndex.foreach {
+      case (p, i) => writeParquetFile(t, p, Seq((10L + i, s"r$i")))
+    }
+    writeCommit(t, 0, Seq(protocolAction, metaAction, addAction("g0_regen.parquet")))
+    writeCommit(t, 1, Seq(addAction("g1_regen.parquet")))
+    writeCommit(t, 2, Seq(addAction("g2_regen.parquet")))
+    // tail moved 1 → 2, so a naive incremental replay would chain v2
+    // onto the DEAD table's live set {f0, f1} (now vanished files); the
+    // prefix guard compares v1's current status against the cached
+    // anchor and falls back to a full replay of the new life
+    assert(DeltaReader.read(spark, t.toString).count() == 3L)
   }
 
   // ---- iceberg fixture (DeferredScanSpec mold, all files real) -------
