@@ -63,7 +63,10 @@ object DeltaReader {
     * concurrent reads in one JVM can't race each other's caps. */
   val DefaultMaxLiveFiles: Int = 4_000_000
 
-  private case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+  // private[readers]: IcebergReader reuses the descriptor + decode for
+  // v3 puffin deletion vectors (the serializations are identical by
+  // design of the Iceberg v3 spec)
+  private[readers] case class DvDescriptor(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
   private case class FileEntry(path: String, partitionValues: Map[String, Option[String]],
       dv: Option[DvDescriptor], stats: Option[String])

@@ -84,7 +84,10 @@ object IcebergReader {
     * manifest-list REFERENCE, attached after retrieval. */
   private case class ManifestRow(status: Int, filePath: String, fileFormat: String,
       content: Int, seqOpt: Option[Long], equalityIds: Seq[Int], partitionJson: String,
-      lowerJson: String, upperJson: String)
+      lowerJson: String, upperJson: String,
+      // v3 deletion-vector reference fields (null on v1/v2 manifests)
+      refDataFile: Option[String] = None, contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None, recordCount: Option[Long] = None)
 
   // Manifest cache (repeated queries over a deferred view must not
   // re-read manifest Avro per plan): Iceberg manifest files are
@@ -271,10 +274,18 @@ object IcebergReader {
           MapType(convert(t.get("key")), convert(t.get("value")), !Option(t.get("value-required")).exists(_.asBoolean()))
         case other => throw new IllegalArgumentException(s"iceberg: unsupported nested type $other")
       }
-    def structField(f: JsonNode): StructField =
+    def structField(f: JsonNode): StructField = {
+      // v3 default values: a field with initial-default must read that
+      // value for rows in files written BEFORE the field existed — a
+      // by-id scan would fabricate null there, a silent wrong answer
+      require(!f.hasNonNull("initial-default"),
+        s"iceberg: field '${f.get("name").asText()}' carries initial-default — " +
+          "v3 default values outside this native reader's profile; read the " +
+          "table with the iceberg-spark connector jar")
       StructField(f.get("name").asText(), convert(f.get("type")),
         nullable = !Option(f.get("required")).exists(_.asBoolean()),
         new MetadataBuilder().putLong("parquet.field.id", f.get("id").asLong()).build())
+    }
     StructType(schemaNode.get("fields").elements().asScala.map(structField).toArray)
   }
 
@@ -350,9 +361,15 @@ object IcebergReader {
     val metaPath = graft.plans.SnapshotPin.pin(s"iceberg:$table")(
       currentMetadataPath(table, conf))
     val meta: JsonNode = new ObjectMapper().readTree(readText(metaPath, conf))
+    // v3 (round 11): supported for the DELETION-VECTOR profile — puffin
+    // DVs decode and apply like position deletes (the serialization is
+    // Delta's, by design); v3 features that would silently corrupt a
+    // naive read refuse at their use sites (initial-default values in
+    // toSparkSchema, new types in prim, parquet position-delete files
+    // below — v3 forbids them, so their presence means a broken writer)
     val formatVersion = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
-    require(formatVersion == 1 || formatVersion == 2,
-      s"iceberg format-version $formatVersion outside the supported profile (1 or 2)")
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"iceberg format-version $formatVersion outside the supported profile (1-3)")
     val currentId = snapshotId.getOrElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong())
         .filter(_ != -1L)
@@ -519,7 +536,9 @@ object IcebergReader {
 
     case class Entry(status: Int, filePath: String, fileFormat: String, content: Int,
         seq: Long, equalityIds: Seq[Int], partitionJson: String,
-        lowerJson: String, upperJson: String, specId: Int)
+        lowerJson: String, upperJson: String, specId: Int,
+        refDataFile: Option[String] = None, contentOffset: Option[Long] = None,
+        contentSize: Option[Long] = None, recordCount: Option[Long] = None)
     // Data and delete manifests load SEPARATELY: a v1→v2-upgraded table
     // keeps old v1 data manifests (no entry seq, no data_file.content)
     // next to v2 delete manifests, and one Avro read would infer a
@@ -577,6 +596,15 @@ object IcebergReader {
               else "cast(null as string) as lower_json",
               if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as upper_json"
               else "cast(null as string) as upper_json",
+              // v3 deletion-vector reference (puffin blob address)
+              if (dfCols.contains("referenced_data_file")) "data_file.referenced_data_file as ref_data_file"
+              else "cast(null as string) as ref_data_file",
+              if (dfCols.contains("content_offset")) "data_file.content_offset as content_offset"
+              else "cast(null as bigint) as content_offset",
+              if (dfCols.contains("content_size_in_bytes")) "data_file.content_size_in_bytes as content_size"
+              else "cast(null as bigint) as content_size",
+              if (dfCols.contains("record_count")) "data_file.record_count as record_count"
+              else "cast(null as bigint) as record_count",
               "_metadata.file_path as __manifest")
             .collect().toSeq.map { r =>
               // the manifest key arrives ALREADY encoded from _metadata —
@@ -590,7 +618,11 @@ object IcebergReader {
                 Option(r.getAs[scala.collection.Seq[Any]]("equality_ids"))
                   .map(_.map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil),
                 r.getAs[String]("partition_json"),
-                r.getAs[String]("lower_json"), r.getAs[String]("upper_json"))
+                r.getAs[String]("lower_json"), r.getAs[String]("upper_json"),
+                Option(r.getAs[String]("ref_data_file")),
+                Option(r.getAs[Number]("content_offset")).map(_.longValue()),
+                Option(r.getAs[Number]("content_size")).map(_.longValue()),
+                Option(r.getAs[Number]("record_count")).map(_.longValue()))
             }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           // every collected row must key back to a requested manifest —
           // a key-form mismatch (driverKey vs _metadata's scanKey) would
@@ -615,7 +647,8 @@ object IcebergReader {
             // encoding for entries ADDED in the manifest's own snapshot)
             Entry(re.status, re.filePath, re.fileFormat, re.content,
               re.seqOpt.getOrElse(m.seq), re.equalityIds, re.partitionJson,
-              re.lowerJson, re.upperJson, m.specId)
+              re.lowerJson, re.upperJson, m.specId,
+              re.refDataFile, re.contentOffset, re.contentSize, re.recordCount)
           }
       }
     }
@@ -677,9 +710,11 @@ object IcebergReader {
     val liveDeleteManifests = deleteManifests.filterNot(manifestExcluded)
     val entries = loadEntries(dataManifests) ++ loadEntries(liveDeleteManifests)
     val live = entries.filter(_.status != 2) // 2 = DELETED entry
-    // content: 0 data, 1 position deletes, 2 equality deletes
+    // content: 0 data, 1 position deletes (v3: puffin deletion
+    // vectors), 2 equality deletes
     val (dataFiles, deleteFiles) = live.partition(_.content == 0)
-    val posDeleteFiles0 = deleteFiles.filter(_.content == 1)
+    val (dvFiles, posDeleteFiles0) = deleteFiles.filter(_.content == 1)
+      .partition(_.fileFormat == "puffin")
     val eqDeleteFiles0 = deleteFiles.filter(_.content == 2)
     val (supportedData, others) = dataFiles.partition(e => e.fileFormat == "parquet" || e.fileFormat == "orc")
     require(others.isEmpty,
@@ -689,10 +724,24 @@ object IcebergReader {
     // an ORC/Avro delete file misread as parquet would corrupt silently
     (posDeleteFiles0 ++ eqDeleteFiles0).foreach(e => require(e.fileFormat == "parquet",
       s"iceberg: ${e.fileFormat} delete files outside the supported profile"))
+    // deletion vectors are a v3 feature and v3 FORBIDS parquet position
+    // delete files (upgrades must rewrite them as DVs) — either
+    // mismatch means a broken writer, where guessing silently
+    // resurrects or double-deletes rows
+    require(dvFiles.isEmpty || formatVersion >= 3,
+      "iceberg: puffin deletion vectors in a v1/v2 table — outside the spec; refusing")
+    require(formatVersion < 3 || posDeleteFiles0.isEmpty,
+      "iceberg: parquet position delete files in a v3 table — the spec requires deletion " +
+        "vectors; refusing a log this native reader cannot reconcile")
+    dvFiles.foreach(e => require(
+      e.refDataFile.isDefined && e.contentOffset.isDefined &&
+        e.contentSize.isDefined && e.recordCount.isDefined,
+      s"iceberg: deletion vector ${e.filePath} lacks referenced_data_file/content_offset/" +
+        "content_size_in_bytes/record_count — cannot apply; refusing"))
     // Spark exposes _metadata.row_index for parquet only, so position
     // deletes cannot key rows inside ORC data files — letting them
     // silently miss would resurrect deleted rows; refuse the combination
-    require(posDeleteFiles0.isEmpty || !supportedData.exists(_.fileFormat == "orc"),
+    require((posDeleteFiles0.isEmpty && dvFiles.isEmpty) || !supportedData.exists(_.fileFormat == "orc"),
       "iceberg: position deletes with ORC data files outside the supported profile (no row_index metadata for ORC)")
     // schema.name-mapping.default (spec "Name Mapping Serialization"):
     // Hive migrate/add_files imports write data files WITHOUT field
@@ -797,6 +846,10 @@ object IcebergReader {
     // anything unreadable fails open exactly like the data path.
     val posDeleteFiles = pruneIdentity(posDeleteFiles0)
     val eqDeleteFiles = pruneIdentity(eqDeleteFiles0)
+    // deletion vectors prune like position deletes — a DV whose
+    // partition the filter excludes could only delete rows the residual
+    // filter drops (and its referenced data file is pruned with it)
+    val dvApplicable = pruneIdentity(dvFiles)
     // transform-aware per-file pruning. Bucket[N] fields support
     // equality/IN (the spec's murmur3 hash of the literal must equal
     // the stored bucket id); ORDER-PRESERVING transforms — truncate[W],
@@ -903,7 +956,7 @@ object IcebergReader {
         sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
           "iceberg: filter pruned every file but the metadata has no schema for an empty result")))
 
-    val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
+    val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty || dvApplicable.nonEmpty
     def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {
       val ps = entries.map(e => resolve(e.filePath, table)).distinct
       val base = (fmt, sparkSchemaOpt) match {
@@ -1022,6 +1075,39 @@ object IcebergReader {
         col("__file") === col("__del_file") && col("__pos") === col("__del_pos"), "left_anti")
     }
 
+    if (dvApplicable.nonEmpty) {
+      // v3 deletion vectors: each puffin blob is Delta's DV
+      // serialization by design ([len BE][magic LE + roaring64
+      // portable][CRC-32 BE of magic+vector]) with content_offset
+      // addressing the length word — so the decode IS
+      // [[DeltaReader.dvRows]] with the blob address as a 'p'
+      // descriptor, sharing its magic/CRC/cardinality integrity gates
+      // (record_count is the DV's cardinality per the v3 spec). Blobs
+      // decode ON EXECUTORS (the driver ships ~100-byte descriptors)
+      // into (referenced file, position) pairs that anti-join the
+      // scan's (_metadata.file_path, row_index) exactly like position
+      // deletes — path+pos keying is safe for the same immutable-path
+      // reason, and at most one DV per data file exists per snapshot.
+      val sconf = new graft.core.SerializableHadoopConf(conf)
+      val descs: Seq[(String, String, Long, Int, Long)] = dvApplicable.map { e =>
+        (new Path(resolve(e.refDataFile.get, table)).toUri.toString,
+          resolve(e.filePath, table), e.contentOffset.get,
+          (e.contentSize.get - 8).toInt, e.recordCount.get)
+      }
+      import spark.implicits._
+      val dvDeletes = spark.createDataset(descs)
+        .repartition(math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (refFile, puffin, off, sz, card) =>
+          require(off <= Int.MaxValue.toLong,
+            s"iceberg: deletion vector offset $off beyond this reader's 2 GiB puffin bound")
+          DeltaReader.dvRows("", DeltaReader.DvDescriptor("p", puffin, off.toInt, sz, card),
+            sconf.value).map(pos => (refFile, pos))
+        }.toDF("__dv_file0", "__dv_pos")
+        .select(norm(col("__dv_file0")).as("__dv_file"), col("__dv_pos"))
+      data = data.join(dvDeletes,
+        col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"), "left_anti")
+    }
+
     if (eqDeleteFiles.nonEmpty) {
       // Equality deletes: a delete file's rows remove any data row whose
       // equality columns match AND whose data file's sequence number is
@@ -1112,10 +1198,15 @@ object IcebergReader {
                 // truncate[W] scoping recomputes the prefix per data row
                 // (round 10): ints floor to the W-multiple (pure pmod
                 // Column — codegen'd), strings take the first W code
-                // points via the spec-pinned transform. Decimal/binary
-                // stay outside the profile (unscaled-value arithmetic /
-                // byte prefixes don't round-trip the JSON tuple text).
-                require(Set("int", "long", "string").contains(srcType),
+                // points via the spec-pinned transform. Decimals (round
+                // 11): the spec's truncate is W applied to the UNSCALED
+                // value — equivalently `d - pmod(d, W·10^-scale)` on the
+                // scaled value, pure decimal Column arithmetic — and the
+                // tuple text round-trips exactly through BigDecimal
+                // (both sides carry the column's own scale). Binary
+                // stays outside (byte prefixes have no JSON text form).
+                require(Set("int", "long", "string").contains(srcType) ||
+                  srcType.startsWith("decimal"),
                   s"iceberg: equality delete scoped by truncate over '$srcType' — outside this " +
                     "native reader's profile; read the table with the iceberg-spark connector jar")
                 ("truncate", w.toInt)
@@ -1199,17 +1290,33 @@ object IcebergReader {
             case "truncate" =>
               import org.apache.spark.sql.functions.pmod
               val w = arg
-              val tcol = srcType match {
+              srcType match {
                 case "string" =>
                   val u = udf((x: String) =>
                     if (x == null) null
                     else IcebergTransforms.truncateOf(x, w).map(_.asInstanceOf[String]).orNull)
-                  u(col(src))
+                  u(col(src)) <=> lit(v.orNull)
+                case d if d.startsWith("decimal") =>
+                  // spec: truncate W on the UNSCALED value, scale kept —
+                  // i.e. d - pmod(d, W·10^-scale); the tuple text parses
+                  // exactly via BigDecimal (scale-preserving), both
+                  // sides cast to the column's own type so the compare
+                  // is same-scale decimal, never a float detour
+                  val decRe = "decimal\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
+                  val scale = d.trim match {
+                    case decRe(s) => s.toInt
+                    case other => throw new IllegalArgumentException(
+                      s"iceberg: unparseable decimal type '$other' in truncate scope")
+                  }
+                  val dt = st(src).dataType
+                  val step = java.math.BigDecimal.valueOf(w.toLong).movePointLeft(scale)
+                  (col(src) - pmod(col(src), lit(step))).cast(dt) <=>
+                    lit(v.map(t => new java.math.BigDecimal(t)).orNull).cast(dt)
                 // int/long: floor to the W-multiple, pure Column (codegen'd)
-                case _ => col(src).cast("long") - pmod(col(src).cast("long"), lit(w.toLong))
+                case _ =>
+                  (col(src).cast("long") - pmod(col(src).cast("long"), lit(w.toLong))) <=>
+                    lit(v.map(t => java.lang.Long.valueOf(t.toLong)).orNull)
               }
-              if (srcType == "string") tcol <=> lit(v.orNull)
-              else tcol <=> lit(v.map(t => java.lang.Long.valueOf(t.toLong)).orNull)
           }
         }
         // same-spec gate (spec rule: the data file's partition — spec id

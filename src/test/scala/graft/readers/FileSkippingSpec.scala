@@ -915,6 +915,194 @@ class FileSkippingSpec extends SparkSpec {
     assert(IcebergReader.read(spark, t.toString).count() == 0L)
   }
 
+  test("iceberg: truncate-scoped equality deletes over DECIMAL columns floor the unscaled value") {
+    import spark.implicits._
+    // spec example: truncate[50] of decimal 10.65 (unscaled 1065, scale
+    // kept) → 10.50. fd1 (id 301, d 10.65 → group 10.50) matches the
+    // delete tuple and dies; fd2 (id 303, d 22.22 → group 22.00)
+    // recomputes to a different group and SURVIVES even though its id
+    // is among the delete values — the discriminating pair (round 11,
+    // converts the r10 decimal refusal into a scoped read).
+    val root = Files.createTempDirectory("icebergdectrunc")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val ids = Map("id" -> 1, "d" -> 2)
+    def dataFile(dir: String, id: Long, d: String): String = {
+      withFieldIds(Seq((id, d)).toDF("id", "dstr")
+        .selectExpr("id", "cast(dstr as decimal(9,2)) as d"), ids)
+        .coalesce(1).write.parquet(dir)
+      partFile(dir)
+    }
+    val fd1 = dataFile(s"$table/data/fd1", 301L, "10.65")
+    val fd2 = dataFile(s"$table/data/fd2", 303L, "22.22")
+    withFieldIds(Seq(301L, 303L).toDF("id"), Map("id" -> 1))
+      .coalesce(1).write.parquet(s"$table/data/eqdec")
+    val eqDec = partFile(s"$table/data/eqdec")
+    def manifest(dir: String, rows: Seq[(Int, String, Int, String, Seq[Int])]): String = {
+      val df = rows.map { case (st, p, c, tr, eq) =>
+        (st, p, c, tr, if (eq.isEmpty) null else eq) }
+        .toDF("status", "file_path", "content", "dstr", "eq_ids")
+        .selectExpr("status", "cast(null as bigint) as sequence_number",
+          """named_struct('file_path', file_path, 'file_format', 'PARQUET',
+            |'content', content, 'partition',
+            |named_struct('d_trunc', cast(dstr as decimal(9,2))),
+            |'equality_ids', eq_ids) as data_file""".stripMargin)
+      writeAvro(df, dir)
+    }
+    val m1 = manifest(s"$table/metadata/m1", Seq(
+      (1, fd1, 0, "10.50", Nil), (1, fd2, 0, "22.00", Nil)))
+    val dm = manifest(s"$table/metadata/dm1", Seq(
+      (1, eqDec, 2, "10.50", Seq(1))))
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("sequence_number", LongType), StructField("partition_spec_id", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    val listRows = Seq(
+      org.apache.spark.sql.Row(m1, 0, 1L, 1),
+      org.apache.spark.sql.Row(dm, 1, 3L, 1))
+    val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 2,
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "d", "type": "decimal(9, 2)"}]}],
+         |  "default-spec-id": 1,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": []},
+         |    {"spec-id": 1, "fields": [
+         |      {"name": "d_trunc", "transform": "truncate[50]", "source-id": 2, "field-id": 1000}]}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+    val df = IcebergReader.read(spark, table)
+    assert(df.select("id", "d").collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+      .toSeq == Seq((303L, "22.22")))
+  }
+
+  // ---- format-version 3: puffin deletion vectors (round 11) ----------
+
+  /** DV payload deleting `positions` (all < 2^16): magic + roaring64
+    * with one keyed roaring32 array container — Delta PROTOCOL.md
+    * layout, which the Iceberg v3 spec adopts verbatim for
+    * deletion-vector-v1 blobs. */
+  private def dvData(positions: Seq[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 + 2 * positions.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377).putLong(1L).putInt(0) // magic, nBitmaps, key 0
+    bb.putInt(12346).putInt(1)                  // roaring32 no-run cookie, 1 container
+    bb.putShort(0).putShort((positions.size - 1).toShort) // container key, card-1
+    bb.putInt(16)                               // offsets table (1 entry)
+    positions.sorted.foreach(p => bb.putShort(p.toShort))
+    bb.array()
+  }
+
+  /** v3 table: data p=3 (3 rows, real) + p=9 (NONEXISTENT path), plus
+    * a puffin DV over the p=3 file deleting positions {0, 2}. */
+  private def icebergV3Dv(formatVersion: Int = 3, withParquetPosDelete: Boolean = false,
+      recordCount: Long = 2L, initialDefault: Boolean = false): JPath = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icebergv3dv")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    val ids = Map("id" -> 1, "name" -> 2, "p" -> 3)
+    withFieldIds(Seq((1L, "a", 3), (2L, "b", 3), (3L, "c", 3)).toDF("id", "name", "p"), ids)
+      .coalesce(1).write.parquet(s"$table/data/fdv1")
+    val fdv1 = partFile(s"$table/data/fdv1")
+    // puffin: 4-byte header, then the DV blob ([len BE][magic+vector][CRC BE])
+    val dv = dvData(Seq(0, 2))
+    val crc = new java.util.zip.CRC32(); crc.update(dv)
+    val blob = java.nio.ByteBuffer.allocate(4 + dv.length + 4)
+      .putInt(dv.length).put(dv).putInt(crc.getValue.toInt).array()
+    val puffinPath = s"$table/data/dv1.puffin"
+    Files.write(Paths.get(puffinPath), "PFA1".getBytes ++ blob ++ "PFA1".getBytes)
+    def manifest(dir: String, rows: Seq[(Int, String, String, Int, Option[Int],
+        Option[(String, Long, Long, Long)])]): String = {
+      val df = rows.map { case (st, p, fmt, c, pv, dvRef) =>
+        (st, p, fmt, c, pv.map(_.toString).orNull, dvRef.map(_._1).orNull,
+          dvRef.map(d => java.lang.Long.valueOf(d._2)).orNull,
+          dvRef.map(d => java.lang.Long.valueOf(d._3)).orNull,
+          dvRef.map(d => java.lang.Long.valueOf(d._4)).orNull) }
+        .toDF("status", "file_path", "fmt", "content", "pstr", "refdf", "coff", "csz", "rcnt")
+        .selectExpr("status", "cast(null as bigint) as sequence_number",
+          """named_struct('file_path', file_path, 'file_format', fmt,
+            |'content', content, 'partition', named_struct('p', cast(pstr as int)),
+            |'referenced_data_file', refdf, 'content_offset', coff,
+            |'content_size_in_bytes', csz, 'record_count', rcnt) as data_file""".stripMargin)
+      writeAvro(df, dir)
+    }
+    val m0 = manifest(s"$table/metadata/m0", Seq(
+      (1, fdv1, "PARQUET", 0, Some(3), None),
+      (1, s"$table/data/DOES_NOT_EXIST_p9.parquet", "PARQUET", 0, Some(9), None)))
+    val dm = manifest(s"$table/metadata/dm0", Seq(
+      if (withParquetPosDelete) (1, s"$table/data/DOES_NOT_EXIST_pos.parquet", "PARQUET", 1, Some(3), None)
+      else (1, puffinPath, "PUFFIN", 1, Some(3),
+        Some((fdv1, 4L, blob.length.toLong, recordCount)))))
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("sequence_number", LongType), StructField("partition_spec_id", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    val listRows = Seq(
+      org.apache.spark.sql.Row(m0, 0, 1L, 0),
+      org.apache.spark.sql.Row(dm, 1, 2L, 0))
+    val listPath = writeAvro(spark.createDataFrame(listRows.asJava, listSchema), s"$table/metadata/snap1")
+    val defaultClause = if (initialDefault) """, "initial-default": 42""" else ""
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": $formatVersion,
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"$defaultClause},
+         |    {"id": 2, "name": "name", "type": "string"},
+         |    {"id": 3, "name": "p", "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "p", "transform": "identity", "source-id": 3, "field-id": 1000}]}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+    root
+  }
+
+  test("iceberg v3: puffin deletion vectors apply like position deletes; pruning still fires") {
+    import spark.implicits._
+    val t = icebergV3Dv()
+    // the p=9 data file does not exist: only a read that prunes it AND
+    // decodes the DV can answer — positions 0 and 2 of the p=3 file die
+    val df = IcebergReader.read(spark, t.toString, filter = Some("p = 3"))
+    assert(df.select("id", "name").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // negative control: unfiltered hits the dangling p=9 file
+    intercept[Exception](IcebergReader.read(spark, t.toString).count())
+  }
+
+  test("iceberg v3: a wrong record_count refuses (misparse gate), never silently misapplies") {
+    val t = icebergV3Dv(recordCount = 7L)
+    val e = intercept[Exception](
+      IcebergReader.read(spark, t.toString, filter = Some("p = 3")).count())
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("refusing a misparsed vector")))
+  }
+
+  test("iceberg v3 gates: DVs in v2 refuse; parquet position deletes in v3 refuse; initial-default refuses") {
+    val e1 = intercept[Exception](
+      IcebergReader.read(spark, icebergV3Dv(formatVersion = 2).toString, filter = Some("p = 3")))
+    assert(e1.getMessage.contains("v1/v2"))
+    val e2 = intercept[Exception](
+      IcebergReader.read(spark, icebergV3Dv(withParquetPosDelete = true).toString, filter = Some("p = 3")))
+    assert(e2.getMessage.contains("deletion"))
+    val e3 = intercept[Exception](
+      IcebergReader.read(spark, icebergV3Dv(initialDefault = true).toString, filter = Some("p = 3")))
+    assert(e3.getMessage.contains("initial-default"))
+  }
+
   test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
     // spec 5 partitions by year(p) — temporal scoping is outside the
     // profile (identity/bucket/truncate only); applying the delete
