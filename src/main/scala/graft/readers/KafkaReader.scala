@@ -61,29 +61,44 @@ object KafkaReader {
     * the shared [[Net.socket]] layer (SNI + endpoint identification,
     * the same transport the other service readers use); SASL speaks
     * SaslHandshake v1 + SaslAuthenticate v0 framed in the ordinary
-    * Kafka protocol. Mechanisms: PLAIN (RFC 4616) and
-    * SCRAM-SHA-256/512 (RFC 5802, with server-signature
-    * verification — a broker that cannot prove knowledge of the
-    * credential fails the read). Serializable: executors authenticate
-    * their own per-partition connections with the same config. */
+    * Kafka protocol. Mechanisms: PLAIN (RFC 4616), SCRAM-SHA-256/512
+    * (RFC 5802, with server-signature verification — a broker that
+    * cannot prove knowledge of the credential fails the read), and
+    * OAUTHBEARER (RFC 7628, static `token` — MSK-IAM/Confluent-OAuth
+    * brokers; refresh callbacks stay with the connector jar).
+    * Serializable: executors authenticate their own per-partition
+    * connections with the same config; `toString` redacts the
+    * password/token so plan text and logs never carry them. */
   case class Security(
       protocol: String = "PLAINTEXT",
       mechanism: String = "PLAIN",
       username: String = null,
-      password: String = null) {
+      password: String = null,
+      token: String = null) {
     require(Set("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL").contains(protocol),
       s"kafka: unknown security_protocol '$protocol' " +
         "(PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL)")
     def tls: Boolean = protocol == "SSL" || protocol == "SASL_SSL"
     def sasl: Boolean = protocol.startsWith("SASL_")
     if (sasl) {
-      require(Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512").contains(mechanism),
+      require(Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER").contains(mechanism),
         s"kafka: unsupported sasl_mechanism '$mechanism' " +
-          "(PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512); GSSAPI/OAUTHBEARER need the " +
+          "(PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512 | OAUTHBEARER); GSSAPI needs the " +
           "spark-sql-kafka connector jar")
-      require(username != null && password != null,
+      if (mechanism == "OAUTHBEARER")
+        require(token != null,
+          "kafka: sasl_mechanism=OAUTHBEARER requires sasl_token (a static bearer token; " +
+            "broker-side token refresh callbacks need the spark-sql-kafka connector jar)")
+      else require(username != null && password != null,
         s"kafka: security_protocol=$protocol requires sasl_username and sasl_password")
     }
+    // the credential rides the executor closure by necessity (each task
+    // authenticates its own partition connection) — but it must never
+    // ride a LOG LINE: case-class toString would print it via plan
+    // descriptions, task failure messages and debug dumps
+    override def toString: String =
+      s"Security($protocol,$mechanism,$username," +
+        s"${if (password == null) "null" else "***"},${if (token == null) "null" else "***"})"
   }
 
   // ------------------------------------------------------------ wire IO
@@ -162,7 +177,33 @@ object KafkaReader {
         roundTrip(cat(Array[Byte](0),
           sec.username.getBytes(StandardCharsets.UTF_8), Array[Byte](0),
           sec.password.getBytes(StandardCharsets.UTF_8)))
+      case "OAUTHBEARER" => oauthAuth(roundTrip, sec.token)
       case m => scramAuth(roundTrip, m, sec.username, sec.password)
+    }
+  }
+
+  /** RFC 7628 OAUTHBEARER with a static token (the MSK-IAM/Confluent-
+    * OAuth broker surface). Initial response: GS2 header + the
+    * `auth=Bearer <token>` kvpair framed by 0x01 separators. Success is
+    * an EMPTY server response; a non-empty response is the RFC's JSON
+    * error challenge (`{"status":"invalid_token",...}`) — the client
+    * must answer one dummy 0x01 (after which the server fails the
+    * exchange) and we surface the JSON loudly, naming the cause the
+    * broker gave (expired/invalid token) instead of a bare error code.
+    * A broker that instead short-circuits with a SaslAuthenticate
+    * error code fails inside roundTrip with its error_message. */
+  private[readers] def oauthAuth(roundTrip: Array[Byte] => Array[Byte], token: String): Unit = {
+    require(!token.exists(c => c == '\u0001' || c == '\r' || c == '\n'),
+      "kafka: OAUTHBEARER token contains kvpair framing characters — not a valid token")
+    val challenge = roundTrip(
+      s"n,,\u0001auth=Bearer $token\u0001\u0001".getBytes(StandardCharsets.UTF_8))
+    if (challenge.nonEmpty) {
+      // the dummy response is protocol-required; the server's failure
+      // answer to it carries no new information, so best-effort
+      scala.util.Try(roundTrip(Array[Byte](0x01)))
+      throw new IllegalArgumentException(
+        s"kafka: OAUTHBEARER authentication rejected by the broker: " +
+          new String(challenge, StandardCharsets.UTF_8))
     }
   }
 
@@ -191,12 +232,18 @@ object KafkaReader {
     val attrs = serverFirst.split(",").map(_.splitAt(2)).collect {
       case (k, v) if k.endsWith("=") => k.stripSuffix("=") -> v
     }.toMap
-    val nonce = attrs.getOrElse("r", throw new IllegalArgumentException(
-      s"kafka: malformed SCRAM server-first message: $serverFirst"))
+    def attr(k: String): String = attrs.getOrElse(k, throw new IllegalArgumentException(
+      s"kafka: malformed SCRAM server-first message (missing '$k='): $serverFirst"))
+    // RFC 5802: m= is a MANDATORY extension marker — a client that does
+    // not understand it MUST fail the exchange, not silently ignore it
+    require(!attrs.contains("m"),
+      s"kafka: SCRAM server-first message carries the mandatory extension attribute " +
+        s"'m=${attrs("m")}' this client does not implement — refusing per RFC 5802")
+    val nonce = attr("r")
     require(nonce.startsWith(cnonce) && nonce.length > cnonce.length,
       "kafka: SCRAM server nonce does not extend the client nonce — possible replay")
-    val salt = b64d.decode(attrs("s"))
-    val iterations = attrs("i").toInt
+    val salt = b64d.decode(attr("s"))
+    val iterations = attr("i").toInt
     val skf = javax.crypto.SecretKeyFactory.getInstance(s"PBKDF2WithHmacSHA$bits")
     val salted = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
       password.toCharArray, salt, iterations, bits)).getEncoded
@@ -600,11 +647,18 @@ class KafkaReaderImpl extends Reader {
       maxOffsetsPerPartition =
         ref.options.get("max_offsets_per_partition").map(_.toLong).getOrElse(Long.MaxValue),
       timeoutMs = ref.options.getOrElse("timeout_ms", "15000").toInt,
+      // NOTE plaintext-option trade-off: sasl_password/sasl_token are
+      // ordinary DataRef options (the reference passes confluent_kafka
+      // conf through the same way) — a catalog that persists this ref
+      // persists the credential. Security.toString redacts both, so
+      // closures/plan text/debug dumps never print them; keeping them
+      // out of saved catalogs is the CALLER's choice of secret store.
       security = KafkaReader.Security(
         protocol = ref.options.getOrElse("security_protocol", "PLAINTEXT"),
         mechanism = ref.options.getOrElse("sasl_mechanism", "PLAIN"),
         username = ref.options.getOrElse("sasl_username", null),
-        password = ref.options.getOrElse("sasl_password", null)))
+        password = ref.options.getOrElse("sasl_password", null),
+        token = ref.options.getOrElse("sasl_token", null)))
     ref.options.get("max_records").map(n => df.limit(n.toInt)).getOrElse(df)
   }
 }

@@ -102,6 +102,9 @@ class KafkaReaderSpec extends SparkSpec {
       // RFCs, independently of the reader's client side
       saslMechanisms: Seq[String] = Nil,
       users: Map[String, String] = Map.empty,
+      // OAUTHBEARER: tokens the server accepts; anything else gets the
+      // RFC 7628 JSON error challenge then a SASL failure
+      validTokens: Set[String] = Set.empty,
       // per-partition (offset, timestamp) index for ListOffsets ts >= 0
       tsIndex: Map[Int, Seq[(Long, Long)]] = Map.empty,
       // serve an err==0 EMPTY fetch at this offset (broker bug /
@@ -144,6 +147,7 @@ class KafkaReaderSpec extends SparkSpec {
       var authed = saslMechanisms.isEmpty
       var chosenMech: String = null
       var scram: ScramState = null
+      var oauthChallenged = false
       try {
         var open = true
         while (open) {
@@ -230,6 +234,25 @@ class KafkaReaderSpec extends SparkSpec {
                             ok(("v=" + java.util.Base64.getEncoder.encodeToString(serverSig))
                               .getBytes(StandardCharsets.UTF_8))
                           } else fail("Authentication failed: proof mismatch")
+                      }
+                    }
+                  case "OAUTHBEARER" =>
+                    // server side of RFC 7628: parse the kvpairs out of
+                    // the client-first, accept a known token with an
+                    // EMPTY success; otherwise send the JSON error
+                    // challenge and fail the (protocol-required) dummy
+                    // follow-up round
+                    if (oauthChallenged) fail("Authentication failed: token rejected")
+                    else {
+                      val msg = new String(auth, StandardCharsets.UTF_8)
+                      val token = msg.split("\u0001")
+                        .find(_.startsWith("auth=Bearer "))
+                        .map(_.stripPrefix("auth=Bearer ")).getOrElse("")
+                      if (validTokens.contains(token)) { authed = true; ok(Array.empty) }
+                      else {
+                        oauthChallenged = true
+                        ok("""{"status":"invalid_token","scope":"kafka-cluster"}"""
+                          .getBytes(StandardCharsets.UTF_8))
                       }
                     }
                   case _ => fail("no mechanism handshaken")
@@ -476,6 +499,62 @@ class KafkaReaderSpec extends SparkSpec {
         KafkaReader.Security("SASL_SSL", "GSSAPI", "a", "b"))
       assert(e4.getMessage.contains("connector jar"))
     } finally broker.close()
+  }
+
+  test("SASL OAUTHBEARER (RFC 7628) static token; registry sasl_token option") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("OAUTHBEARER"), validTokens = Set("tok-abc123"))
+    try {
+      val df = KafkaReader.read(spark, s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security("SASL_PLAINTEXT", "OAUTHBEARER", token = "tok-abc123"))
+      assert(df.count() == 9L) // driver and executor connections both authenticate
+      val ref = graft.datatypes.DataRef("kafka_topic",
+        s"kafka://127.0.0.1:${broker.port}/events",
+        Map("security_protocol" -> "SASL_PLAINTEXT", "sasl_mechanism" -> "OAUTHBEARER",
+          "sasl_token" -> "tok-abc123"))
+      assert(new KafkaReaderImpl().read(spark, ref).count() == 9L)
+    } finally broker.close()
+  }
+
+  test("OAUTHBEARER refusals: rejected token surfaces the broker's JSON cause; missing token named") {
+    val broker = new FakeBroker("events", standardLogs,
+      saslMechanisms = Seq("OAUTHBEARER"), validTokens = Set("good"))
+    try {
+      // expired/invalid token: the RFC error challenge's JSON reaches
+      // the error message — the CAUSE the broker gave, not a bare code
+      val e1 = intercept[Exception](KafkaReader.read(spark,
+        s"kafka://127.0.0.1:${broker.port}/events",
+        security = KafkaReader.Security("SASL_PLAINTEXT", "OAUTHBEARER", token = "expired-tok")))
+      assert(e1.getMessage.contains("invalid_token"))
+      // OAUTHBEARER without a token refuses at construction, naming the option
+      val e2 = intercept[IllegalArgumentException](
+        KafkaReader.Security("SASL_SSL", "OAUTHBEARER"))
+      assert(e2.getMessage.contains("sasl_token"))
+      // the credential never rides toString (plan text / debug dumps)
+      val s = KafkaReader.Security("SASL_PLAINTEXT", "OAUTHBEARER", token = "sekrit").toString
+      assert(!s.contains("sekrit") &&
+        !KafkaReader.Security("SASL_PLAINTEXT", "PLAIN", "u", "hunter2").toString.contains("hunter2"))
+    } finally broker.close()
+  }
+
+  test("SCRAM server-first hardening: missing s=/i= name the attribute; m= refuses per RFC") {
+    // the client nonce is random, so server-first must echo whatever
+    // arrives — use a capturing roundTrip that extends the real nonce
+    def attempt(mkServerFirst: String => String): Exception = {
+      var captured: String = null
+      val f: Array[Byte] => Array[Byte] = { bytes =>
+        val msg = new String(bytes, StandardCharsets.UTF_8)
+        require(captured == null, "should fail before round 2")
+        captured = msg.split(",").find(_.startsWith("r=")).get.drop(2)
+        mkServerFirst(captured).getBytes(StandardCharsets.UTF_8)
+      }
+      intercept[Exception](KafkaReader.scramAuth(f, "SCRAM-SHA-256", "u", "p"))
+    }
+    assert(attempt(cn => s"r=${cn}ext,i=4096").getMessage.contains("missing 's='"))
+    assert(attempt(cn => s"r=${cn}ext,s=${java.util.Base64.getEncoder.encodeToString("salt".getBytes)}")
+      .getMessage.contains("missing 'i='"))
+    assert(attempt(cn => s"m=ext,r=${cn}ext,s=c2FsdA==,i=4096")
+      .getMessage.contains("mandatory extension"))
   }
 
   test("ts:<millis> bounds resolve per partition via ListOffsets timestamp lookup") {
