@@ -129,4 +129,40 @@ class PlanShapeSpec extends SparkSpec {
     val comps = labels.select("component").distinct().as[Long].collect().toSeq
     assert(comps == Seq(0L))
   }
+
+  test("rdd-boundary upstream scans stay pruned (the PLANS.md rdd* footnote contract)") {
+    // q70/q74/q76/q81 end in a Scan ExistingRDD leaf (zipWithIndex
+    // global order, prefix-sum mapPartitions, localCheckpoint), so the
+    // plan audit's executed-plan string shows no parquet ReadSchema for
+    // them. The pruning claim lives HERE: the frame each op materializes
+    // at its RDD boundary (its sorted/derived input) must scan only the
+    // columns the query selected — over the real 5-column documents
+    // table, so a schema change that silently widens the scan fails.
+    import org.apache.spark.sql.execution.FormattedMode
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.columns.length == 5, docs.columns.mkString(","))
+    def readSchemaFields(df: DataFrame): Seq[Int] =
+      "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(df.queryExecution.explainString(FormattedMode))
+        .map(_.group(1).split(",").length).toSeq
+    // q70 (packSequencesGlobal) / q74 (lengthBuckets): the op sorts the
+    // 2-column projection then crosses to RDD — the sort's scan is what
+    // its zipWithIndex/prefix-sum job executes
+    val counts = docs.select(col("doc_id"), length(col("text")).cast("long").as("n_tokens"))
+    assert(readSchemaFields(counts.orderBy("doc_id")).forall(_ == 2),
+      "packing/bucket sort must scan 2 of 5 columns")
+    // q81 (deterministicShuffle): 1-column projection ordered by a
+    // derived md5 key
+    val oneCol = docs.select(col("doc_id"))
+    assert(readSchemaFields(oneCol.orderBy(md5(col("doc_id").cast("string")))).forall(_ == 1),
+      "shuffle-order sort must scan 1 of 5 columns")
+    // q76 (connectedComponents): round zero localCheckpoints the pair
+    // frame — the checkpoint job executes THIS plan, which must read
+    // only doc_id + text
+    val pairs = Dedup.exactJaccardPairs(
+      docs.filter(col("doc_id") < 50), "doc_id", "text", 0.55)
+      .select(col("id1"), col("id2"))
+    assert(readSchemaFields(pairs).nonEmpty && readSchemaFields(pairs).forall(_ == 2),
+      "CC pair graph must scan 2 of 5 columns")
+  }
 }
