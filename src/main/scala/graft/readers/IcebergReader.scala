@@ -140,6 +140,84 @@ object IcebergReader {
       }
     }
 
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Parse one manifest-list Avro (cached by path — one per snapshot,
+    * immutable). Shared by the scan walk and the changes walk so the
+    * v1/v2 column-name variance is handled in exactly one place. */
+  private def manifestListRows(spark: SparkSession, mlPath: String,
+      table: String): Seq[ManifestListRow] =
+    manifestListCacheGet(mlPath).getOrElse {
+      val mlDf = spark.read.format(AvroFmt).load(mlPath)
+      val mlCols = mlDf.columns.toSet
+      // entry count = added + existing + deleted (status-2 entries are
+      // still rows in the Avro); the v1 Avro names carry a data_ infix
+      def cntCol(v2: String, v1: String): String =
+        if (mlCols.contains(v2)) v2
+        else if (mlCols.contains(v1)) v1
+        else "cast(null as int)"
+      val parsed = mlDf.selectExpr("manifest_path",
+        if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
+        if (mlCols.contains("content")) "content" else "0 as content",
+        if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
+        if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
+        else "cast(null as string) as partitions_json",
+        s"cast(${cntCol("added_files_count", "added_data_files_count")} as bigint) + " +
+          s"cast(${cntCol("existing_files_count", "existing_data_files_count")} as bigint) + " +
+          s"cast(${cntCol("deleted_files_count", "deleted_data_files_count")} as bigint) as entry_count")
+        .collect()
+        .map(r => ManifestListRow(resolve(r.getString(0), table),
+          Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
+          Option(r.getAs[Number](2)).exists(_.intValue() == 1),
+          Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
+          r.getString(4),
+          Option(r.getAs[Number](5)).map(_.longValue()))).toSeq
+      manifestListCachePut(mlPath, parsed)
+      parsed
+    }
+
+  /** Live DATA file paths (raw manifest `file_path` strings) at one
+    * snapshot — the changes walk's set-difference primitive. Reads
+    * manifest-cache HITS as full rows; misses parse only
+    * (status, path, content) and deliberately do NOT populate the
+    * cache (a partial row would poison the scan walk's full parse). */
+  private def liveDataPaths(spark: SparkSession, table: String,
+      tableFs: FileSystem, snap: JsonNode, maxManifestEntries: Long): Set[String] = {
+    val ml = Option(snap.get("manifest-list")).getOrElse(throw new IllegalArgumentException(
+      s"iceberg: snapshot ${snap.get("snapshot-id")} has no manifest-list — " +
+        "the changes walk supports manifest-list snapshots only"))
+    val rows = manifestListRows(spark, resolve(ml.asText(), table), table)
+    val dataRefs = rows.filterNot(_.isDelete)
+    val counted = dataRefs.flatMap(_.entryCount)
+    require(counted.size < dataRefs.size || counted.sum <= maxManifestEntries,
+      s"iceberg: ${counted.sum} manifest entries exceed $maxManifestEntries — beyond this " +
+        "native reader's driver-state bound; read it with the iceberg-spark connector jar")
+    val out = Set.newBuilder[String]
+    var n = 0L
+    dataRefs.foreach { m =>
+      val k = PathKeys.driverKey(m.path, tableFs)
+      val paths: Seq[String] = manifestCacheGet(k) match {
+        case Some(cached) =>
+          cached.filter(r => r.status != 2 && r.content == 0).map(_.filePath)
+        case None =>
+          val df = spark.read.format(AvroFmt).load(m.path)
+          val dfCols = df.select("data_file.*").columns.toSet
+          df.selectExpr("status", "data_file.file_path as p",
+              if (dfCols.contains("content")) "data_file.content as c" else "0 as c")
+            .collect().toSeq
+            .filter(r => r.getAs[Number]("status").intValue() != 2 &&
+              Option(r.getAs[Number]("c")).forall(_.intValue() == 0))
+            .map(_.getAs[String]("p"))
+      }
+      n += paths.length
+      require(n <= maxManifestEntries,
+        s"iceberg: more than $maxManifestEntries manifest entries — beyond this " +
+          "native reader's driver-state bound; read it with the iceberg-spark connector jar")
+      out ++= paths
+    }
+    out.result()
+  }
+
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a
   // deferred view realizing per query — must not pay SessionState
@@ -350,10 +428,104 @@ object IcebergReader {
       () => run(None, schemaOnly = true), fs => run(fs, schemaOnly = false))
   }
 
+  /** Incremental batch read (adds-only; the Delta `readChangesSince`
+    * twin, VERDICT r10 #2 extended to Iceberg): rows of every data file
+    * that became live in snapshots AFTER `sinceSnapshotId` along the
+    * current ancestry chain and is STILL live at head, tagged
+    * `_snapshot_id` (the snapshot that added its file) and
+    * `_committed_at` (that snapshot's timestamp-ms). Matches the
+    * connector's incremental APPEND scan semantics:
+    *
+    *  - per-snapshot adds come from LIVE-SET DIFFERENCES between
+    *    consecutive ancestors (exact by definition, and served almost
+    *    entirely from the immutable manifest caches);
+    *  - `summary.operation`: `append` snapshots contribute their adds;
+    *    `replace` (compaction) snapshots contribute nothing — their new
+    *    files carry OLD rows — but a replace that rewrites an IN-WINDOW
+    *    add refuses loudly (those arrivals moved to files an adds-only
+    *    read must skip); `delete` snapshots retract in-window adds;
+    *    `overwrite` refuses (rewritten rows are unattributable);
+    *  - `sinceSnapshotId` must be an ancestor of head — a rollback or
+    *    expired snapshot refuses loudly naming a re-baseline;
+    *  - `sinceSnapshotId = -1` means "from the root" (every live file).
+    */
+  def readChangesSince(spark: SparkSession, table: String, sinceSnapshotId: Long,
+      filter: Option[String] = None,
+      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta: JsonNode = new ObjectMapper().readTree(readText(
+      currentMetadataPath(table, conf), conf))
+    import scala.jdk.CollectionConverters._
+    val snapsById: Map[Long, JsonNode] =
+      Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val head = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      .getOrElse(throw new IllegalArgumentException(
+        "iceberg: table has no current snapshot (empty table)"))
+    def emptyChanges(): DataFrame = {
+      val base = read(spark, table, None, None, maxManifestEntries, schemaOnly = true)
+      import org.apache.spark.sql.functions.lit
+      base.withColumn("_snapshot_id", lit(null).cast("bigint"))
+        .withColumn("_committed_at", lit(null).cast("timestamp"))
+        .where(lit(false))
+    }
+    if (sinceSnapshotId == head) return emptyChanges()
+    // ancestry chain head → since (exclusive), then walked ascending
+    var chain: List[JsonNode] = Nil
+    var cursor: Option[Long] = Some(head)
+    while (cursor.isDefined && !cursor.contains(sinceSnapshotId)) {
+      val s = snapsById.getOrElse(cursor.get, throw new IllegalArgumentException(
+        s"iceberg: snapshot ${cursor.get} on the ancestry chain is no longer in the " +
+          s"metadata (expired) — cannot serve changes since $sinceSnapshotId; " +
+          "re-baseline with a full read"))
+      chain ::= s
+      cursor = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong())
+    }
+    require(cursor.contains(sinceSnapshotId) || sinceSnapshotId == -1L,
+      s"iceberg: snapshot $sinceSnapshotId is not an ancestor of the current snapshot " +
+        s"$head (rolled back, branched, or never existed) — re-baseline with a full read")
+    val tableFs = fs(table, conf)
+    def op(s: JsonNode): String = Option(s.get("summary"))
+      .flatMap(su => Option(su.get("operation"))).map(_.asText()).getOrElse("append")
+    chain.foreach { s =>
+      val o = op(s)
+      require(Set("append", "replace", "delete").contains(o),
+        s"iceberg: snapshot ${s.get("snapshot-id")} has operation '$o' — an adds-only " +
+          "changes read cannot attribute its rows; re-baseline with a full read")
+    }
+    var prev: Set[String] = cursor match {
+      case Some(sid) => liveDataPaths(spark, table, tableFs, snapsById(sid), maxManifestEntries)
+      case None      => Set.empty // since = -1 at the root
+    }
+    val addVer = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    chain.foreach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      val ts = Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)
+      val cur = liveDataPaths(spark, table, tableFs, s, maxManifestEntries)
+      val o = op(s)
+      (prev -- cur).foreach { p =>
+        if (addVer.contains(p)) {
+          // a replace rewriting an IN-WINDOW add moves those arrivals
+          // into files this read skips — refusing beats losing them
+          require(o != "replace",
+            s"iceberg: changes since $sinceSnapshotId unservable — file '$p' (added at " +
+              s"snapshot ${addVer(p)._1}) was compacted away by replace snapshot $sid; " +
+              "re-baseline with a full read")
+          addVer.remove(p) // a delete: the rows were retracted before head
+        }
+      }
+      if (o == "append" || o == "delete") (cur -- prev).foreach(p => addVer(p) = (sid, ts))
+      prev = cur
+    }
+    if (addVer.isEmpty) emptyChanges()
+    else read(spark, table, None, filter, maxManifestEntries, changes = Some(addVer.toMap))
+  }
+
   def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
       filter: Option[String] = None,
       maxManifestEntries: Long = DefaultMaxManifestEntries,
-      schemaOnly: Boolean = false): DataFrame = {
+      schemaOnly: Boolean = false,
+      changes: Option[Map[String, (Long, Long)]] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     // pinned per planning pass: sibling legs of one query (self-join)
     // resolve the same metadata file — one snapshot per query — even if
@@ -497,35 +669,7 @@ object IcebergReader {
         specId: Int, partitionsJson: String, entryCount: Option[Long])
     val manifestList: Seq[ManifestRef] = Option(snap.get("manifest-list")) match {
       case Some(ml) =>
-        val mlPath = resolve(ml.asText(), table)
-        val rows = manifestListCacheGet(mlPath).getOrElse {
-          val mlDf = spark.read.format(avroFmt).load(mlPath)
-          val mlCols = mlDf.columns.toSet
-          // entry count = added + existing + deleted (status-2 entries are
-          // still rows in the Avro); the v1 Avro names carry a data_ infix
-          def cntCol(v2: String, v1: String): String =
-            if (mlCols.contains(v2)) v2
-            else if (mlCols.contains(v1)) v1
-            else "cast(null as int)"
-          val parsed = mlDf.selectExpr("manifest_path",
-            if (mlCols.contains("sequence_number")) "sequence_number" else "cast(null as bigint) as sequence_number",
-            if (mlCols.contains("content")) "content" else "0 as content",
-            if (mlCols.contains("partition_spec_id")) "partition_spec_id" else "cast(0 as int) as partition_spec_id",
-            if (mlCols.contains("partitions")) "to_json(partitions) as partitions_json"
-            else "cast(null as string) as partitions_json",
-            s"cast(${cntCol("added_files_count", "added_data_files_count")} as bigint) + " +
-              s"cast(${cntCol("existing_files_count", "existing_data_files_count")} as bigint) + " +
-              s"cast(${cntCol("deleted_files_count", "deleted_data_files_count")} as bigint) as entry_count")
-            .collect()
-            .map(r => ManifestListRow(resolve(r.getString(0), table),
-              Option(r.getAs[Number](1)).map(_.longValue()).getOrElse(0L),
-              Option(r.getAs[Number](2)).exists(_.intValue() == 1),
-              Option(r.getAs[Number](3)).map(_.intValue()).getOrElse(0),
-              r.getString(4),
-              Option(r.getAs[Number](5)).map(_.longValue()))).toSeq
-          manifestListCachePut(mlPath, parsed)
-          parsed
-        }
+        val rows = manifestListRows(spark, resolve(ml.asText(), table), table)
         rows.map(r =>
           ManifestRef(r.path, r.seq, r.isDelete, r.specId, r.partitionsJson, r.entryCount))
       case None =>
@@ -951,12 +1095,21 @@ object IcebergReader {
           }
         }
       }.getOrElse(scanData1)
-    if (scanData.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    def emptyTyped(): DataFrame = {
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         sparkSchemaOpt.getOrElse(throw new IllegalArgumentException(
           "iceberg: filter pruned every file but the metadata has no schema for an empty result")))
+      changes.fold(base)(_ => base
+        .withColumn("_snapshot_id", lit(null).cast("bigint"))
+        .withColumn("_committed_at", lit(null).cast("timestamp")))
+    }
+    // changes read: restrict the scan to the window's surviving adds
+    val scanDataC =
+      changes.fold(scanData)(m => scanData.filter(e => m.contains(e.filePath)))
+    if (scanDataC.isEmpty) return emptyTyped()
 
-    val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty || dvApplicable.nonEmpty
+    val needMeta = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty ||
+      dvApplicable.nonEmpty || changes.isDefined
     def mkScan(fmt: String, entries: Seq[Entry]): org.apache.spark.sql.DataFrame = {
       val ps = entries.map(e => resolve(e.filePath, table)).distinct
       val base = (fmt, sparkSchemaOpt) match {
@@ -1007,7 +1160,7 @@ object IcebergReader {
       else base.select(renamed :+ norm(expr("_metadata.file_path")).as("__file")
         :+ expr("_metadata.row_index").as("__pos"): _*)
     }
-    val byFmt = scanData.groupBy(_.fileFormat)
+    val byFmt = scanDataC.groupBy(_.fileFormat)
     val parquetData = byFmt.getOrElse("parquet", Nil).toSeq
     val (plainParquet: Seq[Entry], mappedScans: Seq[org.apache.spark.sql.DataFrame]) = nameMapping match {
       case None => (parquetData, Nil)
@@ -1134,7 +1287,7 @@ object IcebergReader {
       // raise, never guess. The spec id feeds the scoped application's
       // same-spec gate below (round 10).
       import spark.implicits._
-      val seqDf = broadcast(scanData.map(r =>
+      val seqDf = broadcast(scanDataC.map(r =>
         (PathKeys.driverKey(resolve(r.filePath, table), tableFs), r.seq, r.specId))
         .toSeq.toDF("__seq_file", "__seq0", "__spec"))
       data = data.join(seqDf, col("__file") === col("__seq_file"), "left")
@@ -1329,7 +1482,22 @@ object IcebergReader {
       }
     }
 
-    val result = if (needMeta) data.select(dataCols.map(col): _*) else data
+    // changes read: attach (_snapshot_id, _committed_at) via a
+    // broadcast (file → snapshot) join keyed on the scan's own
+    // `_metadata.file_path` — uniform across formats and delete
+    // application, O(new files) driver state (the Delta changes mold)
+    val result = changes match {
+      case None => if (needMeta) data.select(dataCols.map(col): _*) else data
+      case Some(m) =>
+        import spark.implicits._
+        val chDf = broadcast(scanDataC.map { e =>
+          val (sid, ts) = m(e.filePath)
+          (new Path(resolve(e.filePath, table)).toUri.toString, sid, new java.sql.Timestamp(ts))
+        }.distinct.toDF("__ch_file0", "__ch_snap", "__ch_ts"))
+        data.join(chDf, col("__file") === norm(col("__ch_file0")))
+          .select(dataCols.map(col) :+ col("__ch_snap").as("_snapshot_id") :+
+            col("__ch_ts").as("_committed_at"): _*)
+    }
     // residual filter: file skipping is a superset guarantee; applying
     // the whole predicate here makes the result exactly where(filter)
     val filtered = filter.map(fs => result.where(expr(fs))).getOrElse(result)
@@ -1353,7 +1521,13 @@ class IcebergReaderImpl extends Reader {
   // an explicit `filter` option keeps the eager pruned read; otherwise
   // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
+    if (ref.options.contains("changesSinceSnapshot"))
+      // incremental batch read: rows added after the given snapshot,
+      // tagged _snapshot_id/_committed_at (always eager — the window
+      // resolves at read time, like snapshotId)
+      IcebergReader.readChangesSince(spark, ref.url,
+        ref.options("changesSinceSnapshot").toLong, filter = ref.options.get("filter"))
+    else (ref.options.get("filter"), ref.options.get("timestampAsOf")) match {
       case (Some(_), Some(ts)) =>
         IcebergReader.readAsOfTimestamp(spark, ref.url, PathKeys.parseTimestampMs(ts),
           filter = ref.options.get("filter"))
