@@ -131,7 +131,7 @@ object KafkaReader {
     def close(): Unit = t.close()
   }
 
-  private def connect(host: String, port: Int, timeoutMs: Int, clientId: String,
+  private[readers] def connect(host: String, port: Int, timeoutMs: Int, clientId: String,
       sec: Security): Conn = {
     val c = new Conn(Net.socket(host, port, tls = sec.tls, soTimeoutMs = timeoutMs), clientId)
     if (sec.sasl) {
@@ -578,52 +578,57 @@ object KafkaReader {
       .flatMap { s =>
         if (s.start >= s.end) Iterator.empty
         else {
-          // LAZY fetch loop: at most one Fetch response (<= maxBytes
-          // compressed + its decoded batches) lives in memory at a time,
-          // so a 100M-record partition streams through the task instead
-          // of materializing in executor heap. The connection closes on
-          // task completion (normal or not), not via try/finally — the
-          // iterator outlives this block.
+          // the connection closes on task completion (normal or not),
+          // not via try/finally — the iterator outlives this block
           val c = connect(s.host, s.port, timeoutB, clientB, secB)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => scala.util.Try(c.close())))
-          new Iterator[Row] {
-            private var offset = s.start
-            private var done = false
-            private var stalls = 0
-            private var cur: Iterator[Row] = Iterator.empty
-            private def fill(): Unit =
-              while (!done && !cur.hasNext) {
-                val (err, hw, set) = fetch(c, topicB, s.partition, offset, 4 * 1024 * 1024)
-                require(err == 0, s"kafka: Fetch error $err for $topicB-${s.partition}" +
-                  (if (err == 1) " (OFFSET_OUT_OF_RANGE — data expired under the reader)" else ""))
-                val (records, next) = decodeRecordSet(set)
-                val lo = offset
-                cur = records.iterator.filter(r => r.offset >= lo && r.offset < s.end).map(r =>
-                  Row(r.key, r.value, topicB, s.partition, r.offset,
-                    new java.sql.Timestamp(r.timestamp), r.timestampType,
-                    r.headers.map { case (k, v) => Row(k, v) }))
-                if (next >= s.end || hw <= offset) done = true
-                else if (next > offset) { offset = next; stalls = 0 }
-                else {
-                  // err==0 yet no batch advanced the offset while the
-                  // broker still advertises data (offset < min(end, hw)):
-                  // silently stopping here would under-deliver the
-                  // planned range. Retry bounded, then fail loudly.
-                  stalls += 1
-                  require(stalls < 5,
-                    s"kafka: $topicB-${s.partition} stalled at offset $offset " +
-                      s"(planned end ${s.end}, high watermark $hw): the broker " +
-                      "returned empty fetches with no error 5 times — refusing " +
-                      "to silently under-deliver the planned offset range")
-                }
-              }
-            def hasNext: Boolean = { fill(); cur.hasNext }
-            def next(): Row = { fill(); cur.next() }
-          }
+          recordIterator(c, topicB, s.partition, s.start, s.end).map(r =>
+            Row(r.key, r.value, topicB, s.partition, r.offset,
+              new java.sql.Timestamp(r.timestamp), r.timestampType,
+              r.headers.map { case (k, v) => Row(k, v) }))
         }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** LAZY fetch loop over one partition's [start, end) slice: at most
+    * one Fetch response (<= maxBytes compressed + its decoded batches)
+    * lives in memory at a time, so a 100M-record partition streams
+    * through the task instead of materializing in executor heap.
+    * Shared by the batch read and the micro-batch streaming source so
+    * the stall/err semantics cannot drift. */
+  private[readers] def recordIterator(c: Conn, topic: String, part: Int,
+      start: Long, end: Long): Iterator[KRecord] = new Iterator[KRecord] {
+    private var offset = start
+    private var done = start >= end
+    private var stalls = 0
+    private var cur: Iterator[KRecord] = Iterator.empty
+    private def fill(): Unit =
+      while (!done && !cur.hasNext) {
+        val (err, hw, set) = fetch(c, topic, part, offset, 4 * 1024 * 1024)
+        require(err == 0, s"kafka: Fetch error $err for $topic-$part" +
+          (if (err == 1) " (OFFSET_OUT_OF_RANGE — data expired under the reader)" else ""))
+        val (records, next) = decodeRecordSet(set)
+        val lo = offset
+        cur = records.iterator.filter(r => r.offset >= lo && r.offset < end)
+        if (next >= end || hw <= offset) done = true
+        else if (next > offset) { offset = next; stalls = 0 }
+        else {
+          // err==0 yet no batch advanced the offset while the broker
+          // still advertises data (offset < min(end, hw)): silently
+          // stopping here would under-deliver the planned range.
+          // Retry bounded, then fail loudly.
+          stalls += 1
+          require(stalls < 5,
+            s"kafka: $topic-$part stalled at offset $offset " +
+              s"(planned end $end, high watermark $hw): the broker " +
+              "returned empty fetches with no error 5 times — refusing " +
+              "to silently under-deliver the planned offset range")
+        }
+      }
+    def hasNext: Boolean = { fill(); cur.hasNext }
+    def next(): KRecord = { fill(); cur.next() }
   }
 }
 

@@ -36,17 +36,29 @@ object StreamOps {
       topic: String,
       startingOffsets: String = "earliest"
   ): DataFrame = {
-    require(kafkaAvailable,
-      "the spark-sql-kafka connector is not on the classpath; add org.apache.spark:spark-sql-kafka-0-10 to use Kafka sources")
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    // connector jar first (richer: consumer groups, headersIncluded,
+    // Kafka-side config passthrough); otherwise the NATIVE micro-batch
+    // source (round 11, `graft.readers.KafkaStreamProvider` — the wire
+    // client behind the batch reader as a DSv2 MicroBatchStream), so a
+    // streaming topic read needs no jar at all
+    val base =
+      if (kafkaAvailable)
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("subscribe", topic)
+          .option("startingOffsets", startingOffsets)
+          .load()
+      else {
+        val bootstrap = brokers.split(",").head.trim
+        spark.readStream.format("graft-kafka")
+          .option("url", s"kafka://$bootstrap/$topic")
+          .option("start_offset", startingOffsets)
+          .load()
+      }
+    base.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
   }
 
   /** Kafka sink: rows need `key`/`value` (binary or string) columns. */

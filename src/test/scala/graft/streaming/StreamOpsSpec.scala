@@ -249,14 +249,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(statics.count() == 1)
   }
 
-  test("kafka source/sink are gated on the connector classpath") {
-    // this distribution ships without the sql-kafka jar: the wiring is
-    // code-complete and the gate must say exactly what is missing
+  test("kafka source falls back to the native micro-batch stream; sink stays connector-gated") {
+    // this distribution ships without the sql-kafka jar: the SOURCE now
+    // routes through the native graft-kafka MicroBatchStream (round 11)
+    // instead of refusing — proven E2E against the loopback broker
     assert(!StreamOps.kafkaAvailable)
-    val ex = intercept[IllegalArgumentException] {
-      StreamOps.kafkaSource(spark, "broker:9092", "events")
-    }
-    assert(ex.getMessage.contains("spark-sql-kafka"))
+    import graft.readers.KafkaFake._
+    val k = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val broker = new FakeBroker("events", Map(
+      0 -> Seq((0L, 1L, encodeBatch(0L, 1000L, Seq(
+        (k("k0"), k("v0"), Nil), (k("k1"), k("v1"), Nil)))))))
+    try {
+      val df = StreamOps.kafkaSource(spark, s"127.0.0.1:${broker.port}", "events")
+      assert(df.isStreaming)
+      val q = df.writeStream.format("memory").queryName("so_kafka_native").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("so_kafka_native").select("key", "value")
+          .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+        assert(rows.toSeq == Seq(("k0", "v0"), ("k1", "v1")))
+      } finally q.stop()
+    } finally broker.close()
+    // the SINK still needs the connector's producer — gate unchanged
     val ex2 = intercept[IllegalArgumentException] {
       StreamOps.kafkaSink(spark.range(1).selectExpr("id AS key", "id AS value"),
         "broker:9092", "out", "/tmp/ckpt")
