@@ -64,9 +64,10 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, De
   * leg (via [[MultiInstanceRelation]]) with no shared expression ids.
   *
   * Profile note: this machinery (and native-table file skipping in
-  * general) is BATCH-only. There is no native `readStream` over a
-  * Delta/Iceberg path — continuous log/snapshot tailing is the
-  * connector jars' job — so no streaming query composes with this leaf.
+  * general) is BATCH-only. The native `graft-delta` STREAMING source
+  * (round 11) tails the log through its own version-offset walk —
+  * [[graft.readers.DeltaStreamSource]] — and never composes with this
+  * leaf; Iceberg streaming stays with the connector jar.
   */
 case class DeferredScan(tableDesc: String, output: Seq[Attribute],
     rescan: Option[String] => DataFrame) extends LeafNode with MultiInstanceRelation {

@@ -318,6 +318,44 @@ object DeltaReader {
       .where(lit(false))
   }
 
+  /** The table's current version: max(checkpoint version, newest
+    * commit json). The streaming source's `getOffset` probe. */
+  private[readers] def currentVersion(spark: SparkSession, table: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = table.stripSuffix("/") + "/_delta_log"
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+    val maxCommit = f.listStatus(new Path(logDir)).toSeq
+      .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).maxOption.getOrElse(-1L)
+    val lastCp = new Path(logDir, "_last_checkpoint")
+    val cpV =
+      if (!f.exists(lastCp)) -1L
+      else {
+        val in = f.open(lastCp)
+        try new ObjectMapper().readTree(in).get("version").asLong() finally in.close()
+      }
+    val v = math.max(maxCommit, cpV)
+    require(v >= 0, s"delta: empty _delta_log at $logDir")
+    v
+  }
+
+  /** Schema without touching any data file (the deferred/streaming
+    * registration probe). */
+  private[readers] def schemaOf(spark: SparkSession, table: String): org.apache.spark.sql.types.StructType =
+    readImpl(spark, table, None, 64, None, DefaultMaxLiveFiles, schemaOnly = true).schema
+
+  /** Scan exactly `paths` as of `version` (the streaming source's
+    * per-version batch): the ordinary pinned read restricted to the
+    * subset, with the changes tag columns dropped back to the table
+    * schema (a stream's schema must be constant). */
+  private[readers] def readSubsetAt(spark: SparkSession, table: String, version: Long,
+      paths: Set[String]): DataFrame = {
+    val df = readImpl(spark, table, Some(version), 64, None, DefaultMaxLiveFiles,
+      changes = Some(paths.map(_ -> (version, 0L)).toMap))
+    df.drop("_commit_version", "_commit_timestamp")
+  }
+
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */

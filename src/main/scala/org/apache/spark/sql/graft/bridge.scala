@@ -24,4 +24,14 @@ object bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-expose a batch frame as a STREAMING-flagged one (v1
+    * `Source.getBatch` contract: MicroBatchExecution asserts
+    * `isStreaming` on the returned plan). The batch plan's `toRdd` is
+    * lazy, so nothing executes until the micro-batch runs. */
+  def streamingFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession
+    session.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
