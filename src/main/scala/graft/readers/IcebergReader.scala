@@ -218,6 +218,17 @@ object IcebergReader {
     out.result()
   }
 
+  // thin accessors for the streaming source (same package, different
+  // file): current metadata text, the table's FileSystem, and the
+  // changes walk's live-set primitive at the default entry cap
+  private[readers] def metadataText(table: String, conf: Configuration): String =
+    readText(currentMetadataPath(table, conf), conf)
+  private[readers] def tableFileSystem(table: String, conf: Configuration): FileSystem =
+    fs(table, conf)
+  private[readers] def liveDataPathsOf(spark: SparkSession, table: String,
+      tableFs: FileSystem, snap: JsonNode): Set[String] =
+    liveDataPaths(spark, table, tableFs, snap, DefaultMaxManifestEntries)
+
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a
   // deferred view realizing per query — must not pay SessionState

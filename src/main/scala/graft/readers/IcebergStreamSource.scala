@@ -1,0 +1,167 @@
+package graft.readers
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Native Iceberg micro-batch STREAMING source —
+  * `spark.readStream.format("graft-iceberg").load(path)` with NO
+  * connector jar: the `graft-delta` source's twin over the snapshot
+  * ancestry (the connector's incremental-append streaming read).
+  *
+  *  - the offset is the SNAPSHOT ID (checkpointed as its decimal
+  *    string); each micro-batch emits the data files that became live
+  *    in the ancestry window `(start, end]` — live-set differences
+  *    between consecutive ancestors, served from the immutable
+  *    manifest caches;
+  *  - the first batch is the full current snapshot
+  *    (`starting_snapshot_id`: a snapshot id starts tailing AFTER that
+  *    ancestor instead; `latest` emits nothing old and tails);
+  *  - `summary.operation` gates each window snapshot: `append`
+  *    contributes its adds; `replace` (compaction) contributes nothing
+  *    — its files carry rows the stream already emitted; `delete`
+  *    and `overwrite` refuse loudly (an append stream cannot retract
+  *    emitted rows), `delete` optionally skipped wholesale with
+  *    `skip_delete_snapshots=true`;
+  *  - a start snapshot that is no longer an ancestor of head (rolled
+  *    back / expired) refuses naming a re-baseline.
+  *
+  * With deletes refused or skipped, every windowed add is live at the
+  * window's END snapshot, so a multi-snapshot catch-up plans ONE
+  * pinned scan. Schema constancy rides the pinned read's own drift
+  * gates.
+  */
+class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-iceberg: a table path is required — readStream.format(\"graft-iceberg\").load(<path>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-iceberg",
+      IcebergReader.read(sqlContext.sparkSession, pathOf(parameters), schemaOnly = true).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+}
+
+private[readers] case class IcebergSnapshotOffset(snapshotId: Long) extends V1Offset {
+  override def json(): String = snapshotId.toString
+}
+
+private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
+    options: Map[String, String]) extends Source {
+
+  private val schema0 = IcebergReader.read(spark, table, schemaOnly = true).schema
+  private val skipDeleteSnapshots =
+    options.get("skip_delete_snapshots").exists(_.toBoolean)
+  private val startingSnapshot = options.get("starting_snapshot_id")
+
+  override def schema: StructType = schema0
+
+  private def meta(): JsonNode = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new ObjectMapper().readTree(graft.readers.IcebergReader.metadataText(table, conf))
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val m = meta()
+    Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      .map(IcebergSnapshotOffset(_))
+  }
+
+  private def ver(o: V1Offset): Long = o match {
+    case IcebergSnapshotOffset(v) => v
+    case other                    => other.json.trim.toLong
+  }
+
+  private def emptyBatch(): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = ver(end)
+    val batch = start match {
+      case Some(s) => changesBatch(ver(s), endId)
+      case None => startingSnapshot match {
+        case Some("latest") => emptyBatch()
+        case Some(v)        => changesBatch(v.toLong, endId) // changes AFTER that ancestor
+        case None           => IcebergReader.read(spark, table, snapshotId = Some(endId))
+      }
+    }
+    org.apache.spark.sql.graft.bridge.streamingFrame(batch)
+  }
+
+  /** Adds of ancestry snapshots (sinceId, endId], one pinned scan. */
+  private def changesBatch(sinceId: Long, endId: Long): DataFrame = {
+    if (sinceId == endId) return emptyBatch()
+    val m = meta()
+    import scala.jdk.CollectionConverters._
+    val snapsById: Map[Long, JsonNode] =
+      Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    // ancestry end → since (the same walk as readChangesSince, but the
+    // baseline must be a true ancestor — a stream cannot rewind)
+    var chain: List[JsonNode] = Nil
+    var cursor: Option[Long] = Some(endId)
+    while (cursor.isDefined && !cursor.contains(sinceId)) {
+      val s = snapsById.getOrElse(cursor.get, throw new IllegalArgumentException(
+        s"graft-iceberg: snapshot ${cursor.get} on the ancestry chain is no longer in " +
+          s"the metadata (expired) — cannot stream the window; re-baseline by " +
+          "restarting without a checkpoint"))
+      chain ::= s
+      cursor = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong())
+    }
+    require(cursor.contains(sinceId),
+      s"graft-iceberg: committed snapshot $sinceId is not an ancestor of the current " +
+        s"snapshot $endId (rolled back or branched) — re-baseline by restarting " +
+        "without a checkpoint")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableFs = IcebergReader.tableFileSystem(table, conf)
+    def op(s: JsonNode): String = Option(s.get("summary"))
+      .flatMap(su => Option(su.get("operation"))).map(_.asText()).getOrElse("append")
+    var prev = IcebergReader.liveDataPathsOf(spark, table, tableFs, snapsById(sinceId))
+    val adds = scala.collection.mutable.LinkedHashSet[String]()
+    chain.foreach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      val cur = IcebergReader.liveDataPathsOf(spark, table, tableFs, s)
+      op(s) match {
+        case "append"  => adds ++= (cur -- prev)
+        case "replace" => () // compaction: old rows in new files — already emitted
+        case "delete" =>
+          require(skipDeleteSnapshots,
+            s"graft-iceberg: snapshot $sid deletes data — an append stream cannot " +
+              "retract emitted rows. Set skip_delete_snapshots=true to skip such " +
+              "snapshots, or re-baseline with a batch read")
+          // skipped wholesale; rows it removed were already emitted and
+          // stay emitted (append-stream semantics)
+        case other => throw new IllegalArgumentException(
+          s"graft-iceberg: snapshot $sid has operation '$other' — an append stream " +
+            "cannot attribute its rows; re-baseline with a batch read")
+      }
+      prev = cur
+    }
+    // files an in-window snapshot REMOVED again cannot be scanned at
+    // endId — under 'replace' their rows were already emitted via the
+    // original adds; under a skipped 'delete' the add must still be
+    // emitted even though the file is gone from head, so scan only
+    // what survives and refuse if an add vanished (data loss)
+    val live = IcebergReader.liveDataPathsOf(spark, table, tableFs, snapsById(endId))
+    val vanished = adds.toSet -- live
+    require(vanished.isEmpty,
+      s"graft-iceberg: ${vanished.size} file(s) added in the window were removed again " +
+        s"before the batch was read (e.g. '${vanished.head}') — the stream cannot emit " +
+        "them exactly-once; re-baseline with a batch read")
+    if (adds.isEmpty) emptyBatch()
+    else IcebergReader.read(spark, table, snapshotId = Some(endId),
+      changes = Some(adds.map(_ -> (endId, 0L)).toMap))
+      .drop("_snapshot_id", "_committed_at")
+  }
+
+  override def stop(): Unit = ()
+}

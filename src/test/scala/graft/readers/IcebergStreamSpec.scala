@@ -1,0 +1,212 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** `graft-iceberg` streaming source: snapshot-then-tail over the
+  * ancestry chain, checkpointed restart, delete-snapshot refusal and
+  * skip, starting_snapshot_id options.
+  */
+class IcebergStreamSpec extends SparkSpec {
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+  private def writeAvro(df: org.apache.spark.sql.DataFrame, dir: String): String = {
+    df.coalesce(1).write.format(avroFmt).save(dir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".avro")).get
+  }
+  private def withFieldIds(df: org.apache.spark.sql.DataFrame, ids: Map[String, Int]) =
+    df.select(df.columns.map(c => df(c).as(c,
+      new MetadataBuilder().putLong("parquet.field.id", ids(c).toLong).build())).toSeq: _*)
+  private def dataFile(table: String, name: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    withFieldIds(rows.toDF("id", "name"), Map("id" -> 1, "name" -> 2))
+      .coalesce(1).write.parquet(s"$table/data/$name")
+    Files.list(Paths.get(s"$table/data/$name")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+  }
+  private def dataManifest(table: String, dir: String, files: Seq[String]): String = {
+    import spark.implicits._
+    val df = files.toDF("file_path").selectExpr("1 as status",
+      "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0) as data_file")
+    writeAvro(df, dir)
+  }
+  private def manifestList(table: String, dir: String, manifests: Seq[String]): String = {
+    import spark.implicits._
+    writeAvro(manifests.toDF("manifest_path")
+      .selectExpr("manifest_path", "0 as content", "0 as partition_spec_id"), dir)
+  }
+  private def writeMetadata(table: String, version: Int,
+      snapshots: Seq[(Long, java.lang.Long, Long, String, String)], currentId: Long): Unit = {
+    val snapJson = snapshots.map { case (id, parent, ts, op, list) =>
+      val parentClause = Option(parent).map(p => s""""parent-snapshot-id": $p, """).getOrElse("")
+      s"""{"snapshot-id": $id, $parentClause"timestamp-ms": $ts,
+         |"summary": {"operation": "$op"}, "manifest-list": "$list"}""".stripMargin
+        .replace("\n", " ")
+    }.mkString(",\n    ")
+    Files.writeString(Paths.get(s"$table/metadata/v$version.metadata.json"),
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "name", "type": "string"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": $currentId,
+         |  "snapshots": [
+         |    $snapJson
+         |  ]
+         |}""".stripMargin)
+  }
+
+  /** s1 (f0: ids 1,2). Returns (table, m1, l1). */
+  private def baseTable(): (String, String, String) = {
+    val root = Files.createTempDirectory("icestream")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    val f0 = dataFile(table, "d0", Seq((1L, "a"), (2L, "b")))
+    val m1 = dataManifest(table, s"$table/metadata/m1", Seq(f0))
+    val l1 = manifestList(table, s"$table/metadata/l1", Seq(m1))
+    writeMetadata(table, 1, Seq((1L, null, 1000L, "append", l1)), currentId = 1L)
+    (table, m1, l1)
+  }
+
+  test("snapshot-then-tail: append snapshots arrive incrementally; replace emits nothing") {
+    val (table, m1, l1) = baseTable()
+    val q = spark.readStream.format("graft-iceberg").load(table)
+      .writeStream.format("memory").queryName("is_mem").start()
+    try {
+      q.processAllAvailable()
+      def ids(): Seq[Long] =
+        spark.sql("SELECT id FROM is_mem").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids() == Seq(1L, 2L))
+      // s2 appends f1
+      val f1 = dataFile(table, "d1", Seq((3L, "c")))
+      val m2 = dataManifest(table, s"$table/metadata/m2", Seq(f1))
+      val l2 = manifestList(table, s"$table/metadata/l2", Seq(m1, m2))
+      writeMetadata(table, 2, Seq(
+        (1L, null, 1000L, "append", l1),
+        (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2)), currentId = 2L)
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L))
+      // s3 compacts both files into c0 (replace): nothing new emitted
+      val c0 = dataFile(table, "c0", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val mc = dataManifest(table, s"$table/metadata/mc", Seq(c0))
+      val l3 = manifestList(table, s"$table/metadata/l3", Seq(mc))
+      writeMetadata(table, 3, Seq(
+        (1L, null, 1000L, "append", l1),
+        (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2),
+        (3L, java.lang.Long.valueOf(2L), 3000L, "replace", l3)), currentId = 3L)
+      // s4 appends f3 on top of the compaction
+      val f3 = dataFile(table, "d3", Seq((4L, "d")))
+      val m4 = dataManifest(table, s"$table/metadata/m4", Seq(f3))
+      val l4 = manifestList(table, s"$table/metadata/l4", Seq(mc, m4))
+      writeMetadata(table, 4, Seq(
+        (1L, null, 1000L, "append", l1),
+        (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2),
+        (3L, java.lang.Long.valueOf(2L), 3000L, "replace", l3),
+        (4L, java.lang.Long.valueOf(3L), 4000L, "append", l4)), currentId = 4L)
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L, 4L)) // no duplicates from the compaction
+    } finally q.stop()
+  }
+
+  test("a checkpointed restart resumes at the committed snapshot") {
+    val (table, m1, l1) = baseTable()
+    val ckpt = Files.createTempDirectory("isckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").load(table)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => seen.synchronized { seen += r.getLong(0) }); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(seen.sorted.toSeq == Seq(1L, 2L))
+    // a snapshot lands while the query is DOWN
+    val f1 = dataFile(table, "d1", Seq((3L, "c"), (4L, "d")))
+    val m2 = dataManifest(table, s"$table/metadata/m2", Seq(f1))
+    val l2 = manifestList(table, s"$table/metadata/l2", Seq(m1, m2))
+    writeMetadata(table, 2, Seq(
+      (1L, null, 1000L, "append", l1),
+      (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2)), currentId = 2L)
+    seen.clear()
+    run()
+    assert(seen.sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("delete snapshots refuse; skip_delete_snapshots skips pre-window deletes") {
+    val (table, m1, l1) = baseTable()
+    def extend(table: String): Unit = {
+      // s2 appends f1; s3 DELETES f0 (pre-window data)
+      val f1 = dataFile(table, "d1", Seq((3L, "c")))
+      val m2 = dataManifest(table, s"$table/metadata/m2", Seq(f1))
+      val l2 = manifestList(table, s"$table/metadata/l2", Seq(m1, m2))
+      val l3 = manifestList(table, s"$table/metadata/l3", Seq(m2)) // f0's manifest dropped
+      writeMetadata(table, 3, Seq(
+        (1L, null, 1000L, "append", l1),
+        (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2),
+        (3L, java.lang.Long.valueOf(2L), 3000L, "delete", l3)), currentId = 3L)
+    }
+    val q1 = spark.readStream.format("graft-iceberg").load(table)
+      .writeStream.format("memory").queryName("is_fail").start()
+    try {
+      q1.processAllAvailable()
+      extend(table)
+      val e = intercept[Exception](q1.processAllAvailable())
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+      assert(chain(e).exists(_.contains("skip_delete_snapshots")), chain(e).mkString("|"))
+    } finally q1.stop()
+    // fresh table, same story, with the skip: f1's append still arrives
+    val (t2, m1b, l1b) = baseTable()
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("skip_delete_snapshots", "true").load(t2)
+      .writeStream.format("memory").queryName("is_skip").start()
+    try {
+      q2.processAllAvailable()
+      val f1 = dataFile(t2, "d1", Seq((3L, "c")))
+      val m2 = dataManifest(t2, s"$t2/metadata/m2", Seq(f1))
+      val l2 = manifestList(t2, s"$t2/metadata/l2", Seq(m1b, m2))
+      val l3 = manifestList(t2, s"$t2/metadata/l3", Seq(m2))
+      writeMetadata(t2, 3, Seq(
+        (1L, null, 1000L, "append", l1b),
+        (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2),
+        (3L, java.lang.Long.valueOf(2L), 3000L, "delete", l3)), currentId = 3L)
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT id FROM is_skip").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L)) // f0's rows stay emitted (append semantics); f1 arrives
+    } finally q2.stop()
+  }
+
+  test("starting_snapshot_id tails from an ancestor; 'latest' emits nothing old") {
+    val (table, m1, l1) = baseTable()
+    val f1 = dataFile(table, "d1", Seq((3L, "c")))
+    val m2 = dataManifest(table, s"$table/metadata/m2", Seq(f1))
+    val l2 = manifestList(table, s"$table/metadata/l2", Seq(m1, m2))
+    writeMetadata(table, 2, Seq(
+      (1L, null, 1000L, "append", l1),
+      (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2)), currentId = 2L)
+    val q = spark.readStream.format("graft-iceberg")
+      .option("starting_snapshot_id", "1").load(table)
+      .writeStream.format("memory").queryName("is_sv").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM is_sv").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(3L)) // s1's snapshot stays out
+    } finally q.stop()
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("starting_snapshot_id", "latest").load(table)
+      .writeStream.format("memory").queryName("is_latest").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("is_latest").isEmpty)
+    } finally q2.stop()
+  }
+}
