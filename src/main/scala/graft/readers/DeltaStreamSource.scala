@@ -4,8 +4,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import java.net.URI
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Native Delta micro-batch STREAMING source —
@@ -40,7 +41,8 @@ import org.apache.spark.sql.types.StructType
   * snapshot cache serves repeated pins). DVs/column mapping/partition
   * attachment ride the normal read path.
   */
-class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class DeltaStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-delta"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -55,6 +57,38 @@ class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  /** Streaming SINK: exactly-once Delta appends via the writer's txn
+    * action — a batch id at or below the table's committed txn version
+    * for this query's app id is a replay and skips (idempotent
+    * addBatch under retries AND restarts). Append mode appends;
+    * Complete mode overwrites the table per batch; Update refuses (a
+    * Delta table has no upsert path in this native writer). */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val appId = parameters.get("txn_app_id")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta sink: exactly-once needs a stable transaction id — set " +
+          "option(\"txn_app_id\", ...) (or a checkpointLocation, which doubles as one)"))
+    require(outputMode != OutputMode.Update(),
+      "graft-delta sink: Update output mode has no native upsert path; use Append or Complete")
+    new DeltaStreamSink(sqlContext.sparkSession, path, partitionColumns, outputMode, appId)
+  }
+}
+
+private[readers] class DeltaStreamSink(spark: SparkSession, table: String,
+    partitionColumns: Seq[String], outputMode: OutputMode, appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= DeltaWriter.lastTxnVersion(spark, table, appId)) return // replay
+    val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+    // the incoming frame is streaming-flagged; re-wrap the same
+    // incremental execution as a batch frame for the writer
+    DeltaWriter.write(spark, org.apache.spark.sql.graft.bridge.batchFrame(data), table,
+      mode = mode, partitionBy = partitionColumns, txn = Some(appId -> batchId))
+  }
+  override def toString: String = s"DeltaStreamSink[$table]"
 }
 
 private[readers] case class DeltaVersionOffset(version: Long) extends V1Offset {

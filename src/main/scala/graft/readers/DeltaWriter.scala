@@ -1,0 +1,316 @@
+package graft.readers
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native Delta Lake WRITER (append / overwrite, published transaction-
+  * log protocol) — the read path's counterpart, so a graft pipeline can
+  * land results in a table the native reader (and delta-spark, and the
+  * `graft-delta` streaming source) serves, with NO connector jar.
+  *
+  * Commit protocol: data files write to a staging directory (the
+  * ordinary distributed `df.write.parquet`, `partitionBy` respected),
+  * move into the table by rename, then ONE commit json is published
+  * with atomic create-no-overwrite — the same primitive delta-spark's
+  * HDFS LogStore uses. A concurrent writer winning the version race
+  * surfaces as FileAlreadyExists; appends (blind, conflict-free by
+  * construction) retry at the next version, overwrites RE-RESOLVE the
+  * live set they tombstone before retrying (their removes must name
+  * the winner's state, not the stale one). Object stores without
+  * atomic create (raw S3) are exactly where delta-spark requires a
+  * coordinating LogStore — this writer inherits the same caveat.
+  *
+  * Each add carries `partitionValues` (parsed from the staged
+  * partition directories, Spark's own escaping decoded) and a `stats`
+  * JSON (numRecords + per-primitive-column min/max/nullCount read from
+  * the parquet FOOTERS on the driver for the just-written files) — so
+  * tables this writer produces prune under the reader's stats skipping
+  * and partition pruning immediately.
+  *
+  * `txn` writes the app-level transaction action the streaming sink
+  * uses for exactly-once: a commit carrying {"txn": {appId, version}}
+  * marks the batch; [[lastTxnVersion]] replays the log for the highest
+  * committed version of an appId, and the sink skips batches at or
+  * below it (idempotent addBatch under retries and restarts).
+  *
+  * Schema contract: appends must match the table's existing schema
+  * (names + types, case-insensitive) and partitioning; mismatches
+  * refuse loudly (an evolved-schema write is the connector's job).
+  */
+object DeltaWriter {
+
+  private val mapper = new ObjectMapper()
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  /** Write `df` into the Delta table at `table`.
+    * mode: "append" | "overwrite" | "errorifexists" (create-only). */
+  def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "append", partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+    require(Set("append", "overwrite", "errorifexists").contains(mode),
+      s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val tablePath = new Path(table)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val exists = f.exists(logDir)
+    require(!(exists && mode == "errorifexists"),
+      s"delta writer: table already exists at $table (mode errorifexists)")
+
+    // against an existing table, the incoming frame must match its
+    // schema and partitioning — silently writing a drifted schema
+    // would corrupt every later read
+    val existingHead = if (exists) Some(currentState(spark, table)) else None
+    existingHead.foreach { head =>
+      val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      val got = df.schema
+      val same = expected.fields.length == got.fields.length &&
+        expected.fields.zip(got.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+        }
+      require(same,
+        s"delta writer: schema mismatch — table has " +
+          s"${expected.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}, " +
+          s"frame has ${got.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}; " +
+          "schema evolution is outside this native writer's profile")
+      require(head.partitionCols.map(_.toLowerCase) == partitionBy.map(_.toLowerCase) ||
+          (partitionBy.isEmpty && head.partitionCols.nonEmpty),
+        s"delta writer: partitioning mismatch — table is partitioned by " +
+          s"[${head.partitionCols.mkString(",")}], write requested [${partitionBy.mkString(",")}]")
+    }
+    val partCols = existingHead.map(_.partitionCols).getOrElse(partitionBy)
+
+    // 1. stage the data files (distributed write, partition dirs laid
+    // out by Spark itself)
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(staging.toString)
+    try {
+      // 2. move staged parquet files into the table, keeping their
+      // partition-relative paths (names carry task UUIDs — no clashes)
+      val staged = listParquet(f, staging)
+      val stagingQ = f.makeQualified(staging).toString.stripSuffix("/")
+      val adds = staged.map { st =>
+        val full = st.getPath.toString
+        require(full.startsWith(stagingQ), s"delta writer: staged file $full outside $stagingQ")
+        val rel = full.stripPrefix(stagingQ).stripPrefix("/")
+        val dest = new Path(tablePath, rel)
+        Option(dest.getParent).foreach(f.mkdirs(_))
+        require(f.rename(st.getPath, dest),
+          s"delta writer: rename ${st.getPath} -> $dest failed")
+        val destSt = f.getFileStatus(dest)
+        AddSpec(rel, partitionValues(rel), destSt.getLen, destSt.getModificationTime,
+          statsJson(f, dest, df.schema, partCols))
+      }
+      // 3. publish the commit, optimistic-concurrency loop
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val version = if (!f.exists(logDir)) 0L
+          else scala.util.Try(DeltaReader.currentVersion(spark, table) + 1L).getOrElse(0L)
+        val actions = Seq.newBuilder[String]
+        if (version == 0L) {
+          actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+          actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${js(df.schema.json)},""" +
+            s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
+            s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+        }
+        txn.foreach { case (appId, v) =>
+          actions += s"""{"txn":{"appId":${js(appId)},"version":$v}}"""
+        }
+        actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+          s""""operation":${js(if (mode == "overwrite" && version > 0) "WRITE.Overwrite" else "WRITE")}}}"""
+        if (mode == "overwrite" && version > 0)
+          // tombstone the CURRENT live set — re-resolved on every retry,
+          // so a lost race never removes against a stale state
+          currentState(spark, table).live.foreach(e =>
+            actions += s"""{"remove":{"path":${js(e)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
+        adds.foreach { a =>
+          val pv = a.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          // protocol: add.path is URL-encoded; the reader percent-
+          // decodes it back to the on-disk relative name
+          val encoded = new URI(null, null, "/" + a.path, null).getRawPath.stripPrefix("/")
+          actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
+            s""""modificationTime":${a.mtime},"dataChange":true""" +
+            a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
+        }
+        val commitPath = new Path(logDir, f"$version%020d.json")
+        f.mkdirs(logDir)
+        val ok = scala.util.Try {
+          val out = f.create(commitPath, /* overwrite = */ false)
+          try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        if (ok.isSuccess) committed = true
+        else {
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"delta writer: lost the commit race $maxRetries times at $table — " +
+              s"giving up (${ok.failed.get.getMessage})")
+        }
+      }
+    } finally scala.util.Try(f.delete(staging, true))
+  }
+
+  /** Highest txn version committed for `appId`, or -1 — the streaming
+    * sink's idempotence probe (walks the commit jsons; checkpoint
+    * crossings fall back to -1 + re-commit, which the atomic version
+    * create still keeps exactly-once per batch id). */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    if (!f.exists(logDir)) return -1L
+    val commits = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json")).sortBy(_.getPath.getName)
+    var last = -1L
+    commits.foreach { st =>
+      val in = f.open(st.getPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val a = mapper.readTree(line)
+        Option(a.get("txn")).filterNot(_.isNull).foreach { t =>
+          if (t.get("appId").asText() == appId) last = math.max(last, t.get("version").asLong())
+        }
+      }
+    }
+    last
+  }
+
+  // ---- internals -----------------------------------------------------
+
+  private case class AddSpec(path: String, partitionValues: Map[String, String],
+      size: Long, mtime: Long, stats: Option[String])
+
+  private case class HeadState(schemaJson: String, partitionCols: Seq[String], live: Seq[String])
+
+  /** Current schema/partitioning/live paths via a commit-json replay
+    * (log paths stay ENCODED — removes must tombstone the exact log
+    * string, not its decoded form). */
+  private def currentState(spark: SparkSession, table: String): HeadState = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val commits = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName.stripSuffix(".json").toLong)
+    require(commits.nonEmpty,
+      s"delta writer: cannot resolve the head state of $table — no commit jsons " +
+        "(checkpoint-only logs are outside this writer's overwrite/append validation profile)")
+    var schemaJson: String = null
+    var partitionCols: Seq[String] = Nil
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    import scala.jdk.CollectionConverters._
+    commits.foreach { st =>
+      val in = f.open(st.getPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val a = mapper.readTree(line)
+        Option(a.get("metaData")).filterNot(_.isNull).foreach { m =>
+          schemaJson = Option(m.get("schemaString")).map(_.asText()).getOrElse(schemaJson)
+          partitionCols = Option(m.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partitionCols)
+        }
+        Option(a.get("add")).filterNot(_.isNull).foreach(ad => live += ad.get("path").asText())
+        Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
+      }
+    }
+    require(schemaJson != null, s"delta writer: no metaData action in $table")
+    HeadState(schemaJson, partitionCols, live.toSeq)
+  }
+
+  private def listParquet(f: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = f.listFiles(dir, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.result()
+  }
+
+  /** `p=7/q=3/part-....parquet` → Map(p -> 7, q -> 3) with Spark's
+    * directory escaping decoded (a __HIVE_DEFAULT_PARTITION__ segment
+    * is a null value). */
+  private def partitionValues(rel: String): Map[String, String] =
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val k = seg.takeWhile(_ != '=')
+      val raw = seg.drop(k.length + 1)
+      val v = PathKeys.percentDecode(raw)
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+    }.toMap
+
+  /** Delta `stats` JSON from the parquet footer: numRecords always;
+    * min/max/nullCount for top-level primitive DATA columns whose
+    * footer statistics are present and exact. Timestamps are omitted
+    * (their JSON text would lose sub-millisecond precision and the
+    * reader's pruning would then be unsound); unknown/missing stats
+    * omit the column — the reader fails open per column. */
+  private def statsJson(f: FileSystem, file: Path, schema: StructType,
+      partCols: Seq[String]): Option[String] = scala.util.Try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, f.getConf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val dataFields = schema.fields.filterNot(fl => partCols.contains(fl.name))
+      val minB = Map.newBuilder[String, String]
+      val maxB = Map.newBuilder[String, String]
+      val nullB = Map.newBuilder[String, String]
+      dataFields.foreach { fl =>
+        val render: Any => Option[String] = fl.dataType match {
+          case IntegerType | ShortType | ByteType | LongType =>
+            v => Some(v.toString)
+          case FloatType | DoubleType => v => {
+            val d = v.toString.toDouble
+            if (d.isNaN || d.isInfinite) None else Some(v.toString)
+          }
+          case BooleanType => v => Some(v.toString)
+          case DateType => v => Some(
+            js(java.time.LocalDate.ofEpochDay(v.toString.toLong).toString))
+          case StringType => v => Some(js(new String(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, StandardCharsets.UTF_8)))
+          case _ => _ => None
+        }
+        val colStats = blocks.flatMap(_.getColumns.asScala
+          .find(c => c.getPath.toDotString == fl.name).map(_.getStatistics))
+        if (colStats.nonEmpty && colStats.forall(s =>
+            s != null && !s.isEmpty && s.hasNonNullValue && s.isNumNullsSet)) {
+          val mins = colStats.flatMap(s => render(s.genericGetMin))
+          val maxs = colStats.flatMap(s => render(s.genericGetMax))
+          nullB += fl.name -> colStats.map(_.getNumNulls).sum.toString
+          if (mins.size == colStats.size && maxs.size == colStats.size) {
+            // per-block extremes compare through the TYPED form, not text
+            def pick(vs: Seq[String], takeMax: Boolean): String = fl.dataType match {
+              case StringType | DateType =>
+                val unq = vs.map(s => mapper.readTree(s).asText())
+                js(if (takeMax) unq.max else unq.min)
+              case FloatType | DoubleType =>
+                val ds = vs.map(_.toDouble)
+                if (takeMax) vs(ds.indexOf(ds.max)) else vs(ds.indexOf(ds.min))
+              case _ =>
+                val ls = vs.map(_.toLong)
+                if (takeMax) vs(ls.indexOf(ls.max)) else vs(ls.indexOf(ls.min))
+            }
+            minB += fl.name -> pick(mins, takeMax = false)
+            maxB += fl.name -> pick(maxs, takeMax = true)
+          }
+        }
+      }
+      def obj(m: Map[String, String]): String =
+        m.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"numRecords":$numRecords,"minValues":${obj(minB.result())},""" +
+        s""""maxValues":${obj(maxB.result())},"nullCount":${obj(nullB.result())}}"""
+    } finally r.close()
+  }.toOption
+}

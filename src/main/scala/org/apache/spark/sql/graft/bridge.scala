@@ -34,4 +34,13 @@ object bridge {
     val session = ds.sparkSession
     session.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-expose a v1 `Sink.addBatch` frame (whose plan is
+    * flagged streaming and refuses batch writes) as an ordinary batch
+    * frame over the SAME incremental execution's rows. */
+  def batchFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession
+    session.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,152 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** Native Delta writer + streaming sink: create/append/overwrite
+  * round-trip through the native reader (and its pruning), schema and
+  * partitioning gates, optimistic commit retries, txn idempotence, and
+  * the full no-connector E2E loop — fake Kafka broker → graft-kafka
+  * stream → graft-delta sink → native read + graft-delta stream.
+  */
+class DeltaWriterSpec extends SparkSpec {
+
+  test("create + append + overwrite round-trip through the native reader") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dw").toString
+    DeltaWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    assert(DeltaReader.read(spark, t).count() == 2L)
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    val got = DeltaReader.read(spark, t).select("id", "name")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // version history: time travel still sees the first write alone
+    assert(DeltaReader.read(spark, t, versionAsOf = Some(0L)).count() == 2L)
+    DeltaWriter.write(spark, Seq((9L, "z")).toDF("id", "name"), t, mode = "overwrite")
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().toSeq == Seq(9L))
+    // errorifexists refuses the existing table
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((1L, "x")).toDF("id", "name"), t, mode = "errorifexists"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("partitioned writes carry partitionValues; reads prune by partition AND by stats") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwpart").toString
+    val df = Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8), (4L, "d", 8))
+      .toDF("id", "name", "p").repartition(2, org.apache.spark.sql.functions.col("p"))
+    DeltaWriter.write(spark, df, t, partitionBy = Seq("p"))
+    val all = DeltaReader.read(spark, t)
+    assert(all.count() == 4L)
+    // partition pruning: only p=7's file(s) open
+    val p7 = DeltaReader.read(spark, t, filter = Some("p = 7"))
+    assert(p7.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(p7.inputFiles.length < all.inputFiles.length,
+      s"partition filter must prune files: ${p7.inputFiles.length} vs ${all.inputFiles.length}")
+    // stats pruning: the writer's footer min/max excludes files whose
+    // id range cannot match
+    val hi = DeltaReader.read(spark, t, filter = Some("id >= 3"))
+    assert(hi.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(hi.inputFiles.length < all.inputFiles.length,
+      s"stats filter must prune files: ${hi.inputFiles.length} vs ${all.inputFiles.length}")
+    // appends must keep the table's partitioning
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((5L, "e", 9)).toDF("id", "name", "p"), t, partitionBy = Seq("name")))
+    assert(e.getMessage.contains("partitioning mismatch"))
+  }
+
+  test("schema drift refuses; the commit race retries to the next version") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwrace").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((1, "x")).toDF("id", "name"), t)) // id int, not long
+    assert(e.getMessage.contains("schema mismatch"))
+    // a rival writer takes version 1 — the commit loop must land at 2
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    Files.writeString(log.resolve(f"${1L}%020d.json"),
+      """{"commitInfo":{"timestamp":1,"operation":"RIVAL"}}""" + "\n")
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    assert(Files.exists(log.resolve(f"${2L}%020d.json")))
+    assert(DeltaReader.read(spark, t).count() == 2L)
+  }
+
+  test("txn versions make writes idempotent; lastTxnVersion tracks per app id") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwtxn").toString
+    assert(DeltaWriter.lastTxnVersion(spark, t, "job-1") == -1L)
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t, txn = Some("job-1" -> 0L))
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t, txn = Some("job-1" -> 1L))
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t, txn = Some("job-2" -> 5L))
+    assert(DeltaWriter.lastTxnVersion(spark, t, "job-1") == 1L)
+    assert(DeltaWriter.lastTxnVersion(spark, t, "job-2") == 5L)
+  }
+
+  test("streaming sink: exactly-once appends; a replayed batch id commits nothing") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwsink").toString
+    val ckpt = Files.createTempDirectory("dwsinkckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("id", "name").writeStream.format("graft-delta")
+      .option("path", t).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(DeltaReader.read(spark, t).count() == 2L)
+    // restart with MORE data: only the new batch lands; the committed
+    // txn version skips any replayed batch id
+    src.addData((3L, "c"))
+    val q2 = src.toDF().toDF("id", "name").writeStream.format("graft-delta")
+      .option("path", t).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val ids = DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // a manual replay of an old batch id is a no-op commit
+    val before = DeltaReader.currentVersion(spark, t)
+    val sink = new DeltaStreamSink(spark, t, Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append(), ckpt)
+    sink.addBatch(0L, Seq((99L, "dup")).toDF("id", "name"))
+    assert(DeltaReader.currentVersion(spark, t) == before)
+    assert(DeltaReader.read(spark, t).count() == 3L)
+  }
+
+  test("no-connector E2E: fake Kafka -> graft-kafka stream -> graft-delta sink -> native reads") {
+    import KafkaFake._
+    import spark.implicits._
+    val k = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val broker = new FakeBroker("events", Map(
+      0 -> Seq((0L, 2L, encodeBatch(0L, 1000L, Seq(
+        (k("k0"), k("v0"), Nil), (k("k1"), k("v1"), Nil), (k("k2"), k("v2"), Nil)))))))
+    val t = Files.createTempDirectory("dwe2e").toString
+    val ckpt = Files.createTempDirectory("dwe2eckpt").toString
+    try {
+      def runPipe(): Unit = {
+        val q = spark.readStream.format("graft-kafka")
+          .option("url", s"kafka://127.0.0.1:${broker.port}/events").load()
+          .selectExpr("offset AS id", "cast(value as string) AS name")
+          .writeStream.format("graft-delta")
+          .option("path", t).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runPipe()
+      assert(DeltaReader.read(spark, t).count() == 3L)
+      // tail the RESULT table with the graft-delta stream while more
+      // records land in Kafka and flow through the pipe
+      val downstream = spark.readStream.format("graft-delta").load(t)
+        .writeStream.format("memory").queryName("dw_e2e_tail").start()
+      try {
+        downstream.processAllAvailable()
+        assert(spark.table("dw_e2e_tail").count() == 3L)
+        broker.append(0, (3L, 3L, encodeBatch(3L, 2000L, Seq((k("k3"), k("v3"), Nil)))))
+        runPipe()
+        downstream.processAllAvailable()
+        val got = spark.sql("SELECT id, name FROM dw_e2e_tail")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        assert(got.toSeq == Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (3L, "v3")))
+      } finally downstream.stop()
+    } finally broker.close()
+  }
+}
