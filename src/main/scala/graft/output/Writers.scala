@@ -44,6 +44,22 @@ object Writers {
   def xml(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef =
     write(df, "xml", url, "xml", spec.copy(options = Map("rowTag" -> "row") ++ spec.options))
 
+  /** Native Delta table sink (round 11, [[graft.readers.DeltaWriter]]):
+    * append/overwrite with atomic commit publishing, partitionValues
+    * and footer stats in the log — the written table prunes under the
+    * native reader immediately and serves the `graft-delta` streaming
+    * source. Returns the `delta` DataRef so results re-enter the
+    * catalog through the native Delta read path. */
+  def delta(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef = {
+    val mode = spec.mode match {
+      case "error" | "errorIfExists" => "errorifexists"
+      case m => m
+    }
+    graft.readers.DeltaWriter.write(df.sparkSession, df, url,
+      mode = mode, partitionBy = spec.partitionBy)
+    DataRef("delta", url, spec.options)
+  }
+
   /** Save as a managed table; descriptor url is the table identifier. */
   def table(df: DataFrame, name: String, spec: WriteSpec = WriteSpec()): DataRef = {
     var w = df.write.mode(spec.mode).options(spec.options)

@@ -94,6 +94,11 @@ class ConvertAndOutputSpec extends SparkSpec {
     Writers.parquet(df, s"$dir/part.parquet", Writers.WriteSpec(partitionBy = Seq("s")))
     val parts = new java.io.File(s"$dir/part.parquet").listFiles().map(_.getName).filter(_.startsWith("s="))
     assert(parts.toSet == Set("s=x", "s=y"))
+    // the native Delta sink returns a delta DataRef the registry reads
+    // back through the native log-replay reader
+    val dref = Writers.delta(df, s"$dir/t.delta")
+    assert(dref.kind == "delta")
+    assert(new graft.readers.DeltaReaderImpl().read(spark, dref).count() == 2)
   }
 
   test("geojsonSeq writes newline-delimited features that re-read as GeoJSON") {
