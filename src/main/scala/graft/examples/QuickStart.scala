@@ -107,37 +107,38 @@ object QuickStart {
     println(s"[10] hygiene: ${cleanDocs.count()} of ${docsTbl.count()} docs kept, " +
       s"${sharded.select("shard").distinct().count()} shards")
 
-    // 11. Native Delta (no connector jar) as a LIVE deferred view: the
-    // query's own filters — and star-join keys — prune files at
-    // planning time, and repeated queries serve the table's metadata
-    // from the snapshot cache instead of replaying the log
-    val dt = java.nio.file.Files.createTempDirectory("qs_delta")
-    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.IntegerType))).json
-    val adds = (0 until 3).map { p =>
-      val dir = java.nio.file.Files.createTempDirectory("qs_part").toString
-      spark.range(p * 10, p * 10 + 10).selectExpr("id").coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
-        .map(_.toString).find(_.endsWith(".parquet")).get
-      val rel = s"p=$p/f.parquet"
-      val dest = dt.resolve(rel)
-      java.nio.file.Files.createDirectories(dest.getParent)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
-      s"""{"add":{"path":"$rel","partitionValues":{"p":"$p"},"size":1,"modificationTime":1,"dataChange":true}}"""
-    }
-    val log = dt.resolve("_delta_log")
-    java.nio.file.Files.createDirectories(log)
-    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
-      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        s"""{"metaData":{"id":"qs","format":{"provider":"parquet","options":{}},"schemaString":${
-          com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaJson)
-        },"partitionColumns":["p"],"configuration":{},"createdTime":1}}""") ++ adds).mkString("\n") + "\n")
-    graft.readers.DeltaReader.table(spark, dt.toString).createOrReplaceTempView("qs_dt")
+    // 11. Native Delta END TO END, no connector jar: write a
+    // partitioned table (the writer publishes stats + partitionValues
+    // into the log), register it as a LIVE deferred view whose queries
+    // prune files from their own WHERE, then append and read only the
+    // changes
+    val dt = java.nio.file.Files.createTempDirectory("qs_delta").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 30).selectExpr("id", "cast(id % 3 AS int) AS p"),
+      dt, partitionBy = Seq("p"))
+    graft.readers.DeltaReader.table(spark, dt).createOrReplaceTempView("qs_dt")
     val pruned = spark.sql("SELECT count(*) AS n FROM qs_dt WHERE p = 1").collect().head.getLong(0)
-    println(s"[11] deferred Delta view: p=1 partition holds $pruned rows " +
-      "(file skipping drove off the query's own WHERE; re-query hits the snapshot cache)")
+    println(s"[11] native Delta write -> deferred view: p=1 holds $pruned rows " +
+      "(file skipping drove off the query's own WHERE)")
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(100, 103).selectExpr("id", "cast(id % 3 AS int) AS p"), dt)
+    val changed = graft.readers.DeltaReader.readChangesSince(spark, dt, 0L)
+    println(s"[11]   readChangesSince(0): ${changed.count()} new rows, versions " +
+      changed.select("_commit_version").distinct().collect().map(_.getLong(0)).mkString(","))
+
+    // 12. Stream the same table with the graft-delta source: snapshot
+    // first, then the appended version — still no connector jar
+    val tail = spark.readStream.format("graft-delta").load(dt)
+      .writeStream.format("memory").queryName("qs_tail").start()
+    try {
+      tail.processAllAvailable()
+      val n0 = spark.table("qs_tail").count()
+      graft.readers.DeltaWriter.write(spark,
+        spark.range(200, 202).selectExpr("id", "cast(id % 3 AS int) AS p"), dt)
+      tail.processAllAvailable()
+      println(s"[12] graft-delta stream: snapshot $n0 rows, " +
+        s"then ${spark.table("qs_tail").count() - n0} more from the live append")
+    } finally tail.stop()
 
     spark.stop()
     println("QuickStart OK")

@@ -160,6 +160,86 @@ object DeltaWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
+  /** OPTIMIZE: rewrite each partition's live data files into one file,
+    * committed as a dataChange=false rearrangement — readers see
+    * identical rows (small-file pressure drops), the `graft-delta`
+    * stream emits NOTHING for it (dataChange=false adds are old rows),
+    * and `readChangesSince` windows refuse/skip it per their documented
+    * gates. Partitions already holding a single file are left alone.
+    *
+    * Concurrency: the commit loop re-resolves the live set per retry
+    * and REFUSES if any file it means to tombstone is no longer live
+    * (a concurrent delete won that race — rewriting would resurrect
+    * its rows). Returns the number of files compacted away. */
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 10): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val tablePath = new Path(table)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val head = currentState(spark, table)
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(schema.fields.filterNot(fl => head.partitionCols.contains(fl.name)))
+    // group live files by partition directory (the log path's prefix)
+    val groups = head.live.groupBy(p => p.split("/").dropRight(1).mkString("/"))
+      .filter(_._2.size > 1)
+    if (groups.isEmpty) return 0
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    try {
+      val adds = groups.toSeq.sortBy(_._1).map { case (partDir, oldPaths) =>
+        val srcs = oldPaths.map(p =>
+          new Path(tablePath, PathKeys.percentDecode(p)).toString)
+        val outDir = new Path(staging, if (partDir.isEmpty) "out" else partDir)
+        spark.read.schema(dataSchema).parquet(srcs: _*)
+          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+        val part = listParquet(f, outDir).head
+        val rel = (if (partDir.isEmpty) "" else partDir + "/") + part.getPath.getName
+        val dest = new Path(tablePath, PathKeys.percentDecode(rel))
+        Option(dest.getParent).foreach(f.mkdirs(_))
+        require(f.rename(part.getPath, dest),
+          s"delta compact: rename ${part.getPath} -> $dest failed")
+        val destSt = f.getFileStatus(dest)
+        (oldPaths, AddSpec(rel, partitionValues(rel), destSt.getLen,
+          destSt.getModificationTime, statsJson(f, dest, schema, head.partitionCols)))
+      }
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val nowLive = currentState(spark, table).live.toSet
+        val gone = adds.flatMap(_._1).filterNot(nowLive.contains)
+        require(gone.isEmpty,
+          s"delta compact: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
+            "concurrent writer — rewriting them would resurrect deleted rows; re-run")
+        val version = DeltaReader.currentVersion(spark, table) + 1L
+        val actions = Seq.newBuilder[String]
+        actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
+        adds.foreach { case (oldPaths, a) =>
+          oldPaths.foreach(p =>
+            actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""")
+          val pv = a.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          val encoded = new URI(null, null, "/" + a.path, null).getRawPath.stripPrefix("/")
+          actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
+            s""""modificationTime":${a.mtime},"dataChange":false""" +
+            a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
+        }
+        val commitPath = new Path(logDir, f"$version%020d.json")
+        val ok = scala.util.Try {
+          val out = f.create(commitPath, false)
+          try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        if (ok.isSuccess) committed = true
+        else {
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"delta compact: lost the commit race $maxRetries times at $table")
+        }
+      }
+      adds.map(_._1.size).sum
+    } finally scala.util.Try(f.delete(staging, true))
+  }
+
   /** Highest txn version committed for `appId`, or -1 — the streaming
     * sink's idempotence probe (walks the commit jsons; checkpoint
     * crossings fall back to -1 + re-commit, which the atomic version

@@ -83,6 +83,32 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.lastTxnVersion(spark, t, "job-2") == 5L)
   }
 
+  test("compact rewrites multi-file partitions as dataChange=false; streams emit nothing for it") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwcompact").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 7)).toDF("id", "name", "p"), t, partitionBy = Seq("p"))
+    DeltaWriter.write(spark, Seq((2L, "b", 7)).toDF("id", "name", "p"), t)
+    DeltaWriter.write(spark, Seq((3L, "c", 8)).toDF("id", "name", "p"), t)
+    // tail the table WHILE compacting: the rearrangement must emit
+    // nothing (its adds carry rows the stream already delivered)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("memory").queryName("dw_compact_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dw_compact_tail").count() == 3L)
+      assert(DeltaWriter.compact(spark, t) == 2) // p=7's two files merged; p=8 untouched
+      q.processAllAvailable()
+      assert(spark.table("dw_compact_tail").count() == 3L) // no duplicates, no failure
+    } finally q.stop()
+    // rows identical, one file per partition, still prunable
+    val all = DeltaReader.read(spark, t)
+    assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(all.inputFiles.length == 2)
+    assert(DeltaReader.read(spark, t, filter = Some("p = 8")).inputFiles.length == 1)
+    // nothing left to compact
+    assert(DeltaWriter.compact(spark, t) == 0)
+  }
+
   test("streaming sink: exactly-once appends; a replayed batch id commits nothing") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwsink").toString
