@@ -50,9 +50,12 @@ object DeltaWriter {
     * mode: "append" | "overwrite" | "errorifexists" (create-only). */
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10,
+      replaceWhere: Option[String] = None): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
+    require(replaceWhere.isEmpty || mode == "overwrite",
+      "delta writer: replaceWhere requires mode = overwrite")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val tablePath = new Path(table)
@@ -83,6 +86,23 @@ object DeltaWriter {
           s"[${head.partitionCols.mkString(",")}], write requested [${partitionBy.mkString(",")}]")
     }
     val partCols = existingHead.map(_.partitionCols).getOrElse(partitionBy)
+
+    // replaceWhere (partition-scoped overwrite): the predicate must
+    // cover ONLY partition columns — exact per-file evaluation is then
+    // possible (a data-column predicate would need row rewrites) — and
+    // every incoming row must satisfy it, or rows would land in
+    // partitions the overwrite claims not to touch
+    replaceWhere.foreach { rw =>
+      require(partCols.nonEmpty, "delta writer: replaceWhere needs a partitioned table")
+      val refs = FileSkipping.conjuncts(rw).flatMap(FileSkipping.usableRefs).flatten.toSet
+      require(refs.nonEmpty && refs.subsetOf(partCols.map(_.toLowerCase).toSet),
+        s"delta writer: replaceWhere '$rw' must reference partition columns only " +
+          s"([${partCols.mkString(",")}]); data-column predicates need the connector's row rewrite")
+      val violating = df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count()
+      require(violating == 0,
+        s"delta writer: incoming rows violate replaceWhere '$rw' — they would land " +
+          "outside the partitions being replaced")
+    }
 
     // 1. stage the data files (distributed write, partition dirs laid
     // out by Spark itself)
@@ -127,11 +147,19 @@ object DeltaWriter {
         }
         actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
           s""""operation":${js(if (mode == "overwrite" && version > 0) "WRITE.Overwrite" else "WRITE")}}}"""
-        if (mode == "overwrite" && version > 0)
+        if (mode == "overwrite" && version > 0) {
           // tombstone the CURRENT live set — re-resolved on every retry,
-          // so a lost race never removes against a stale state
-          currentState(spark, table).live.foreach(e =>
+          // so a lost race never removes against a stale state; under
+          // replaceWhere only files whose partition tuple MATCHES the
+          // predicate (exact driver-local evaluation) are replaced
+          val head = currentState(spark, table)
+          val doomed: Seq[String] = replaceWhere match {
+            case None => head.live
+            case Some(rw) => matchingFiles(spark, head, rw)
+          }
+          doomed.foreach(e =>
             actions += s"""{"remove":{"path":${js(e)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
+        }
         adds.foreach { a =>
           val pv = a.partitionValues.map { case (k, v) =>
             s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
@@ -270,11 +298,15 @@ object DeltaWriter {
   private case class AddSpec(path: String, partitionValues: Map[String, String],
       size: Long, mtime: Long, stats: Option[String])
 
-  private case class HeadState(schemaJson: String, partitionCols: Seq[String], live: Seq[String])
+  private case class LiveFile(path: String, partitionValues: Map[String, String])
+  private case class HeadState(schemaJson: String, partitionCols: Seq[String],
+      liveFiles: Seq[LiveFile]) {
+    def live: Seq[String] = liveFiles.map(_.path)
+  }
 
-  /** Current schema/partitioning/live paths via a commit-json replay
-    * (log paths stay ENCODED — removes must tombstone the exact log
-    * string, not its decoded form). */
+  /** Current schema/partitioning/live files (path + partitionValues)
+    * via a commit-json replay (log paths stay ENCODED — removes must
+    * tombstone the exact log string, not its decoded form). */
   private def currentState(spark: SparkSession, table: String): HeadState = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
@@ -287,7 +319,7 @@ object DeltaWriter {
         "(checkpoint-only logs are outside this writer's overwrite/append validation profile)")
     var schemaJson: String = null
     var partitionCols: Seq[String] = Nil
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     import scala.jdk.CollectionConverters._
     commits.foreach { st =>
       val in = f.open(st.getPath)
@@ -299,12 +331,76 @@ object DeltaWriter {
           partitionCols = Option(m.get("partitionColumns"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partitionCols)
         }
-        Option(a.get("add")).filterNot(_.isNull).foreach(ad => live += ad.get("path").asText())
+        Option(a.get("add")).filterNot(_.isNull).foreach { ad =>
+          val p = ad.get("path").asText()
+          val pv = Option(ad.get("partitionValues")).map(_.properties().asScala.map(e =>
+            e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          live(p) = LiveFile(p, pv)
+        }
         Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
       }
     }
     require(schemaJson != null, s"delta writer: no metaData action in $table")
-    HeadState(schemaJson, partitionCols, live.toSeq)
+    HeadState(schemaJson, partitionCols, live.values.toSeq)
+  }
+
+  /** Live files whose partition tuple satisfies `predicate`, evaluated
+    * EXACTLY (a NULL result keeps the file — it is not being replaced).
+    * Driver-local: one LocalRelation filter over the tuple strings cast
+    * to the schema's types, the partitionPrune mold but two-sided. */
+  private def matchingFiles(spark: SparkSession, head: HeadState, predicate: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val partFields = head.partitionCols.map(pc => schema(pc))
+    val strSchema = StructType(StructField("__path", StringType) +:
+      partFields.map(fl => StructField(fl.name, StringType)))
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = head.liveFiles.map(lf =>
+      org.apache.spark.sql.Row.fromSeq(lf.path +: head.partitionCols.map(pc =>
+        lf.partitionValues.getOrElse(pc, null)))).asJava
+    val typed = spark.createDataFrame(rows, strSchema)
+      .select(col("__path") +: partFields.map(fl =>
+        col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+    typed.where(expr(predicate)).select("__path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** VACUUM: delete data files under the table that the CURRENT version
+    * does not reference and whose modification time is older than
+    * `retentionMs` (time travel to versions needing them breaks — the
+    * same trade delta-spark documents; the default 7-day retention
+    * protects in-flight readers and writers, and shortening it requires
+    * `force = true` exactly like the connector's safety check).
+    * Leftover staging directories age out the same way. Returns the
+    * deleted paths; `dryRun` only lists them. */
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000, force: Boolean = false,
+      dryRun: Boolean = false): Seq[String] = {
+    require(retentionMs >= 7L * 24 * 3600 * 1000 || force,
+      s"delta writer: vacuum retention ${retentionMs}ms is under 7 days — in-flight " +
+        "readers/writers may still reference those files; pass force = true to override")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val tablePath = new Path(table)
+    val head = currentState(spark, table)
+    val liveResolved: Set[String] = head.live.map(p =>
+      f.makeQualified(new Path(tablePath, PathKeys.percentDecode(p))).toString).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val out = Seq.newBuilder[String]
+    val it = f.listFiles(tablePath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val full = f.makeQualified(st.getPath).toString
+      val inLog = full.contains("/_delta_log/")
+      val dataLike = st.isFile && st.getPath.getName.endsWith(".parquet")
+      val stagingLeftover = full.contains("/_staging_")
+      if (!inLog && (dataLike || stagingLeftover) && !liveResolved.contains(full) &&
+          st.getModificationTime < cutoff) {
+        out += full
+        if (!dryRun) f.delete(st.getPath, false)
+      }
+    }
+    out.result()
   }
 
   private def listParquet(f: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {

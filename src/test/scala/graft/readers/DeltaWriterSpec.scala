@@ -109,6 +109,50 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.compact(spark, t) == 0)
   }
 
+  test("replaceWhere overwrites exactly the matching partitions; gates refuse misuse") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwrw").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a", 7), (2L, "b", 8), (3L, "c", 9)).toDF("id", "name", "p"),
+      t, partitionBy = Seq("p"))
+    // replace p=8 only
+    DeltaWriter.write(spark, Seq((20L, "B", 8)).toDF("id", "name", "p"),
+      t, mode = "overwrite", replaceWhere = Some("p = 8"))
+    val got = DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 20L)) // p=7 and p=9 untouched
+    // incoming rows outside the predicate refuse
+    val e1 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((9L, "x", 9)).toDF("id", "name", "p"),
+      t, mode = "overwrite", replaceWhere = Some("p = 8")))
+    assert(e1.getMessage.contains("violate replaceWhere"))
+    // data-column predicates refuse (no row rewrite in this writer)
+    val e2 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((9L, "x", 8)).toDF("id", "name", "p"),
+      t, mode = "overwrite", replaceWhere = Some("name = 'a'")))
+    assert(e2.getMessage.contains("partition columns only"))
+  }
+
+  test("vacuum deletes only unreferenced files past retention; live data survives") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwvac").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t, mode = "overwrite")
+    // the v0 file is tombstoned but still on disk: time travel works...
+    assert(DeltaReader.read(spark, t, versionAsOf = Some(0L)).count() == 1L)
+    // retention floor: a short retention refuses without force
+    val e = intercept[Exception](DeltaWriter.vacuum(spark, t, retentionMs = 0L))
+    assert(e.getMessage.contains("force"))
+    val listed = DeltaWriter.vacuum(spark, t, retentionMs = 0L, force = true, dryRun = true)
+    assert(listed.size == 1, listed.toString)
+    val deleted = DeltaWriter.vacuum(spark, t, retentionMs = 0L, force = true)
+    assert(deleted == listed)
+    // the live version still reads; the vacuumed version no longer can
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().toSeq == Seq(2L))
+    intercept[Exception](DeltaReader.read(spark, t, versionAsOf = Some(0L)).count())
+    // idempotent: nothing left to delete
+    assert(DeltaWriter.vacuum(spark, t, retentionMs = 0L, force = true).isEmpty)
+  }
+
   test("streaming sink: exactly-once appends; a replayed batch id commits nothing") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwsink").toString
