@@ -268,28 +268,100 @@ object DeltaWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
+  /** Write a classic checkpoint at the table's current version: one
+    * parquet file holding the protocol + metaData + live add actions,
+    * plus the `_last_checkpoint` pointer — after which commit jsons at
+    * or below the checkpoint version may be aged out of the log (time
+    * travel to them breaks, the documented trade) and replay cost
+    * stops growing with table history. The action JSONs collected from
+    * the replay round-trip through `spark.read.json` → parquet, the
+    * exact struct-column layout the reader's checkpoint path consumes.
+    * Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val (cpV, cpLines) = checkpointLines(spark, f, logDir)
+    val commits = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName.stripSuffix(".json").toLong)
+      .filter(_.getPath.getName.stripSuffix(".json").toLong > cpV)
+    require(cpV >= 0 || commits.nonEmpty, s"delta writer: nothing to checkpoint at $table")
+    val version = commits.lastOption
+      .map(_.getPath.getName.stripSuffix(".json").toLong).getOrElse(cpV)
+    // replay keeping the last RAW action line per concern — the
+    // checkpoint must reproduce the actions verbatim (stats,
+    // partitionValues, dv descriptors all ride along untouched);
+    // an existing checkpoint seeds the state
+    var protocolLine: String = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    var metaLine: String = null
+    val liveAdds = scala.collection.mutable.LinkedHashMap[String, String]()
+    // app transactions persist through checkpoints (per the protocol),
+    // or the sink's exactly-once probe would forget committed batches
+    // once the jsons age out
+    val txns = scala.collection.mutable.LinkedHashMap[String, String]()
+    def applyLine(line: String): Unit = {
+      val a = mapper.readTree(line)
+      if (a.hasNonNull("protocol")) protocolLine = line
+      if (a.hasNonNull("metaData")) metaLine = line
+      Option(a.get("txn")).filterNot(_.isNull)
+        .foreach(t => txns(t.get("appId").asText()) = line)
+      Option(a.get("add")).filterNot(_.isNull)
+        .foreach(ad => liveAdds(ad.get("path").asText()) = line)
+      Option(a.get("remove")).filterNot(_.isNull)
+        .foreach(rm => liveAdds -= rm.get("path").asText())
+    }
+    cpLines.foreach(applyLine)
+    commits.foreach { st =>
+      val in = f.open(st.getPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach(applyLine)
+    }
+    require(metaLine != null, s"delta writer: no metaData action in $table")
+    val lines = Seq(protocolLine, metaLine) ++ txns.values ++ liveAdds.values
+    import spark.implicits._
+    val staged = new Path(table.stripSuffix("/") + s"/_staging_cp_${java.util.UUID.randomUUID()}")
+    try {
+      spark.read.json(lines.toDS()).coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      val part = listParquet(f, staged).head
+      val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
+      require(f.rename(part.getPath, cpPath) || f.exists(cpPath),
+        s"delta writer: publishing checkpoint $cpPath failed")
+      val lc = f.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(s"""{"version":$version,"size":${lines.size}}""".getBytes(StandardCharsets.UTF_8))
+      finally lc.close()
+      version
+    } finally scala.util.Try(f.delete(staged, true))
+  }
+
   /** Highest txn version committed for `appId`, or -1 — the streaming
-    * sink's idempotence probe (walks the commit jsons; checkpoint
-    * crossings fall back to -1 + re-commit, which the atomic version
-    * create still keeps exactly-once per batch id). */
+    * sink's idempotence probe. Seeds from the checkpoint's persisted
+    * txn rows, then walks the remaining commit jsons, so batch ids
+    * stay remembered across checkpoint + log cleanup. */
   def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     if (!f.exists(logDir)) return -1L
-    val commits = f.listStatus(logDir).toSeq
-      .filter(_.getPath.getName.matches("\\d{20}\\.json")).sortBy(_.getPath.getName)
     var last = -1L
-    commits.foreach { st =>
-      val in = f.open(st.getPath)
-      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-        val a = mapper.readTree(line)
-        Option(a.get("txn")).filterNot(_.isNull).foreach { t =>
-          if (t.get("appId").asText() == appId) last = math.max(last, t.get("version").asLong())
-        }
+    def applyLine(line: String): Unit = {
+      val a = mapper.readTree(line)
+      Option(a.get("txn")).filterNot(_.isNull).foreach { t =>
+        if (t.get("appId").asText() == appId) last = math.max(last, t.get("version").asLong())
       }
     }
+    val (cpV, cpLines) = checkpointLines(spark, f, logDir)
+    cpLines.foreach(applyLine)
+    f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .filter(_.getPath.getName.stripSuffix(".json").toLong > cpV)
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val in = f.open(st.getPath)
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach(applyLine)
+      }
     last
   }
 
@@ -304,42 +376,73 @@ object DeltaWriter {
     def live: Seq[String] = liveFiles.map(_.path)
   }
 
+  /** Raw action lines from a CLASSIC single-file checkpoint (the kind
+    * this writer publishes), or (-1, Nil) when the log carries none.
+    * Multipart/v2 checkpoints refuse — silently ignoring one would
+    * replay a truncated state into removes/rewrites. */
+  private def checkpointLines(spark: SparkSession, f: FileSystem,
+      logDir: Path): (Long, Seq[String]) = {
+    val lastCp = new Path(logDir, "_last_checkpoint")
+    if (!f.exists(lastCp)) return (-1L, Nil)
+    val in = f.open(lastCp)
+    val node = try mapper.readTree(in) finally in.close()
+    val v = node.get("version").asLong()
+    val classic = new Path(logDir, f"$v%020d.checkpoint.parquet")
+    require(f.exists(classic) && !node.hasNonNull("parts"),
+      s"delta writer: checkpoint $v is not a classic single-file checkpoint — " +
+        "multipart/v2 checkpoints are outside this writer's replay profile; " +
+        "read/maintain the table with the delta-spark connector")
+    import org.apache.spark.sql.functions.{col, to_json}
+    val cp = spark.read.parquet(classic.toString)
+    val cols = cp.columns.toSet
+    val lines = Seq.newBuilder[String]
+    Seq("protocol", "metaData", "txn", "add").filter(cols.contains).foreach { c =>
+      cp.where(col(c).isNotNull).select(to_json(col(c))).collect()
+        .foreach(r => lines += s"""{"$c":${r.getString(0)}}""")
+    }
+    (v, lines.result())
+  }
+
   /** Current schema/partitioning/live files (path + partitionValues)
-    * via a commit-json replay (log paths stay ENCODED — removes must
-    * tombstone the exact log string, not its decoded form). */
+    * via a checkpoint-seeded commit-json replay (log paths stay
+    * ENCODED — removes must tombstone the exact log string, not its
+    * decoded form). */
   private def currentState(spark: SparkSession, table: String): HeadState = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val (cpV, cpLines) = checkpointLines(spark, f, logDir)
     val commits = f.listStatus(logDir).toSeq
       .filter(_.getPath.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getPath.getName.stripSuffix(".json").toLong)
-    require(commits.nonEmpty,
-      s"delta writer: cannot resolve the head state of $table — no commit jsons " +
-        "(checkpoint-only logs are outside this writer's overwrite/append validation profile)")
+      .filter(_.getPath.getName.stripSuffix(".json").toLong > cpV)
+    require(cpV >= 0 || commits.nonEmpty,
+      s"delta writer: cannot resolve the head state of $table — no commit jsons or checkpoint")
     var schemaJson: String = null
     var partitionCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     import scala.jdk.CollectionConverters._
+    def applyLine(line: String): Unit = {
+      val a = mapper.readTree(line)
+      Option(a.get("metaData")).filterNot(_.isNull).foreach { m =>
+        schemaJson = Option(m.get("schemaString")).map(_.asText()).getOrElse(schemaJson)
+        partitionCols = Option(m.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partitionCols)
+      }
+      Option(a.get("add")).filterNot(_.isNull).foreach { ad =>
+        val p = ad.get("path").asText()
+        val pv = Option(ad.get("partitionValues")).map(_.properties().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty[String, String])
+        live(p) = LiveFile(p, pv)
+      }
+      Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
+    }
+    cpLines.foreach(applyLine)
     commits.foreach { st =>
       val in = f.open(st.getPath)
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-        val a = mapper.readTree(line)
-        Option(a.get("metaData")).filterNot(_.isNull).foreach { m =>
-          schemaJson = Option(m.get("schemaString")).map(_.asText()).getOrElse(schemaJson)
-          partitionCols = Option(m.get("partitionColumns"))
-            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partitionCols)
-        }
-        Option(a.get("add")).filterNot(_.isNull).foreach { ad =>
-          val p = ad.get("path").asText()
-          val pv = Option(ad.get("partitionValues")).map(_.properties().asScala.map(e =>
-            e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-            .getOrElse(Map.empty[String, String])
-          live(p) = LiveFile(p, pv)
-        }
-        Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
-      }
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach(applyLine)
     }
     require(schemaJson != null, s"delta writer: no metaData action in $table")
     HeadState(schemaJson, partitionCols, live.values.toSeq)

@@ -153,6 +153,38 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaWriter.vacuum(spark, t, retentionMs = 0L, force = true).isEmpty)
   }
 
+  test("checkpoint lets the aged-out log replay from the parquet state; stats survive the round-trip") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwcp").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    assert(DeltaWriter.checkpoint(spark, t) == 2L)
+    // age out EVERY commit json at or below the checkpoint: replay can
+    // only come from the checkpoint parquet now
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    (0L to 2L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    // fresh session: the suite session's snapshot cache must not mask
+    // a broken checkpoint path
+    val s2 = spark.newSession()
+    val got = DeltaReader.read(s2, t).select("id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // the add actions round-tripped VERBATIM: footer stats still prune
+    val hi = DeltaReader.read(s2, t, filter = Some("id >= 3"))
+    assert(hi.inputFiles.length == 1, hi.inputFiles.toSeq.toString)
+    // commits after the checkpoint chain on top of it
+    DeltaWriter.write(spark, Seq((4L, "d")).toDF("id", "name"), t)
+    assert(DeltaReader.read(s2, t).count() == 4L)
+    // txn actions PERSIST through checkpoint + cleanup: the sink's
+    // exactly-once probe must not forget committed batch ids
+    DeltaWriter.write(spark, Seq((5L, "e")).toDF("id", "name"), t, txn = Some("sinkapp" -> 7L))
+    DeltaWriter.checkpoint(spark, t)
+    (3L to 4L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    assert(DeltaWriter.lastTxnVersion(spark, t, "sinkapp") == 7L)
+    assert(DeltaReader.read(spark, t).count() == 5L)
+  }
+
   test("streaming sink: exactly-once appends; a replayed batch id commits nothing") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwsink").toString
