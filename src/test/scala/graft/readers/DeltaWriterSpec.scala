@@ -56,6 +56,24 @@ class DeltaWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioning mismatch"))
   }
 
+  test("special-character and null partition values round-trip the log encoding") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwenc").toString
+    // 'a b' exercises URI encoding in add.path; 'x%y' exercises the
+    // double-encoding trap (Spark escapes % on disk, the log encodes
+    // the DISK name again); null becomes __HIVE_DEFAULT_PARTITION__
+    val df = Seq((1L, "a b"), (2L, "x%y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "p")
+    DeltaWriter.write(spark, df, t, partitionBy = Seq("p"))
+    val back = DeltaReader.read(spark, t).select("id", "p")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a b"), (2L, "x%y"), (3L, null)))
+    // partition pruning still evaluates the decoded values exactly
+    val one = DeltaReader.read(spark, t, filter = Some("p = 'x%y'"))
+    assert(one.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(one.inputFiles.length == 1)
+  }
+
   test("schema drift refuses; the commit race retries to the next version") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwrace").toString
