@@ -60,6 +60,21 @@ object Writers {
     DataRef("delta", url, spec.options)
   }
 
+  /** Native Iceberg table sink ([[graft.readers.IcebergWriter]] —
+    * unpartitioned append/overwrite profile; partitioned/nested writes
+    * refuse naming the connector). Returns the `iceberg` DataRef. */
+  def iceberg(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef = {
+    require(spec.partitionBy.isEmpty,
+      "iceberg sink: partitioned writes are outside the native writer's profile; " +
+        "write with the iceberg-spark connector")
+    val mode = spec.mode match {
+      case "error" | "errorIfExists" => "errorifexists"
+      case m => m
+    }
+    graft.readers.IcebergWriter.write(df.sparkSession, df, url, mode = mode)
+    DataRef("iceberg", url, spec.options)
+  }
+
   /** Save as a managed table; descriptor url is the table identifier. */
   def table(df: DataFrame, name: String, spec: WriteSpec = WriteSpec()): DataRef = {
     var w = df.write.mode(spec.mode).options(spec.options)

@@ -228,6 +228,12 @@ object IcebergReader {
   private[readers] def liveDataPathsOf(spark: SparkSession, table: String,
       tableFs: FileSystem, snap: JsonNode): Set[String] =
     liveDataPaths(spark, table, tableFs, snap, DefaultMaxManifestEntries)
+  /** (path, sequenceNumber, specId, isDelete) per manifest-list row —
+    * the writer's retained-manifest walk. */
+  private[readers] def manifestListRowsOf(spark: SparkSession, mlPath: String,
+      table: String): Seq[(String, Long, Int, Boolean)] =
+    manifestListRows(spark, resolve(mlPath, table), table)
+      .map(r => (r.path, r.seq, r.specId, r.isDelete))
 
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a

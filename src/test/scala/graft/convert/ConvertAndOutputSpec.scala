@@ -99,6 +99,10 @@ class ConvertAndOutputSpec extends SparkSpec {
     val dref = Writers.delta(df, s"$dir/t.delta")
     assert(dref.kind == "delta")
     assert(new graft.readers.DeltaReaderImpl().read(spark, dref).count() == 2)
+    // ...and the Iceberg sink through the native metadata walk
+    val iref = Writers.iceberg(df, s"$dir/t.iceberg")
+    assert(iref.kind == "iceberg")
+    assert(new graft.readers.IcebergReaderImpl().read(spark, iref).count() == 2)
   }
 
   test("geojsonSeq writes newline-delimited features that re-read as GeoJSON") {
