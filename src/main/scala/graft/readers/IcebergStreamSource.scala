@@ -2,8 +2,9 @@ package graft.readers
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Native Iceberg micro-batch STREAMING source —
@@ -33,7 +34,8 @@ import org.apache.spark.sql.types.StructType
   * pinned scan. Schema constancy rides the pinned read's own drift
   * gates.
   */
-class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -49,6 +51,39 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  /** Streaming SINK (the graft-delta sink's twin): exactly-once via
+    * `graft.txn.*` snapshot-summary markers — a batch id at or below
+    * the ancestry's committed version for this query's app id is a
+    * replay and commits nothing. Append appends, Complete overwrites
+    * per batch, Update refuses. The writer's unpartitioned-primitive
+    * profile applies. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    require(partitionColumns.isEmpty,
+      "graft-iceberg sink: partitioned writes are outside the native writer's profile; " +
+        "write with the iceberg-spark connector")
+    val appId = parameters.get("txn_app_id")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-iceberg sink: exactly-once needs a stable transaction id — set " +
+          "option(\"txn_app_id\", ...) (or a checkpointLocation, which doubles as one)"))
+    require(outputMode != OutputMode.Update(),
+      "graft-iceberg sink: Update output mode has no native upsert path; use Append or Complete")
+    new IcebergStreamSink(sqlContext.sparkSession, path, outputMode, appId)
+  }
+}
+
+private[readers] class IcebergStreamSink(spark: SparkSession, table: String,
+    outputMode: OutputMode, appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= IcebergWriter.lastTxnVersion(spark, table, appId)) return // replay
+    val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+    IcebergWriter.write(spark, org.apache.spark.sql.graft.bridge.batchFrame(data), table,
+      mode = mode, txn = Some(appId -> batchId))
+  }
+  override def toString: String = s"IcebergStreamSink[$table]"
 }
 
 private[readers] case class IcebergSnapshotOffset(snapshotId: Long) extends V1Offset {

@@ -63,8 +63,36 @@ object IcebergWriter {
         "(top-level primitives only); write the table with the iceberg-spark connector")
   }
 
+  /** Highest `graft.txn.version` recorded in a snapshot summary for
+    * `appId` along the CURRENT ancestry chain, or -1 — the streaming
+    * sink's idempotence probe (Iceberg has no app-transaction action;
+    * the connector's sink stores its state in snapshot summaries the
+    * same way). Rolled-back snapshots drop off the ancestry and their
+    * batch ids correctly become re-committable. */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (scala.util.Try(IcebergReader.currentMetadataPath(table, conf)).isFailure) return -1L
+    val meta = mapper.readTree(IcebergReader.metadataText(table, conf))
+    import scala.jdk.CollectionConverters._
+    val snapsById = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    var cursor = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    var last = -1L
+    while (cursor.isDefined) {
+      val s = snapsById.get(cursor.get).getOrElse(return last) // expired tail
+      Option(s.get("summary")).foreach { su =>
+        if (Option(su.get("graft.txn.app-id")).exists(_.asText() == appId))
+          Option(su.get("graft.txn.version")).foreach(v =>
+            last = math.max(last, v.asText().toLong))
+      }
+      cursor = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong())
+    }
+    last
+  }
+
   def write(spark: SparkSession, df: DataFrame, table: String,
-      mode: String = "append", maxRetries: Int = 10): Unit = {
+      mode: String = "append", maxRetries: Int = 10,
+      txn: Option[(String, Long)] = None): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -189,10 +217,13 @@ object IcebergWriter {
         import scala.jdk.CollectionConverters._
         val priorSnaps: Seq[String] = head.toSeq.flatMap(m =>
           Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala).map(_.toString))
+        val txnProps = txn.map { case (appId, v) =>
+          s""", "graft.txn.app-id": ${js(appId)}, "graft.txn.version": ${js(v.toString)}"""
+        }.getOrElse("")
         val newSnap =
           s"""{"snapshot-id": $snapshotId, ${parentId.map(p => s""""parent-snapshot-id": $p, """).getOrElse("")}""" +
             s""""sequence-number": $seq, "timestamp-ms": $now, "schema-id": 0, """ +
-            s""""summary": {"operation": ${js(if (mode == "overwrite" && exists) "overwrite" else "append")}}, """ +
+            s""""summary": {"operation": ${js(if (mode == "overwrite" && exists) "overwrite" else "append")}$txnProps}, """ +
             s""""manifest-list": ${js(listPath)}}"""
         val priorLog: Seq[String] = head.toSeq.flatMap(m =>
           Option(m.get("snapshot-log")).toSeq.flatMap(_.elements().asScala).map(_.toString))

@@ -56,6 +56,35 @@ class IcebergWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink: exactly-once appends via snapshot-summary txn markers") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t = Files.createTempDirectory("iwsink").toString
+    val ckpt = Files.createTempDirectory("iwsinkckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    src.addData((1L, "a"), (2L, "b"))
+    def run(): Unit = {
+      val q = src.toDF().toDF("id", "name").writeStream.format("graft-iceberg")
+        .option("path", t).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(IcebergReader.read(spark, t).count() == 2L)
+    src.addData((3L, "c"))
+    run()
+    assert(IcebergReader.read(spark, t).select("id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // a manual replay of an old batch id commits nothing
+    val before = IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration)
+    val sink = new IcebergStreamSink(spark, t,
+      org.apache.spark.sql.streaming.OutputMode.Append(), ckpt)
+    sink.addBatch(0L, Seq((99L, "dup")).toDF("id", "name"))
+    assert(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration) == before)
+    assert(IcebergWriter.lastTxnVersion(spark, t, ckpt) == 1L)
+  }
+
   test("profile gates: external tables, schema drift, complex types, rival commits") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwgates").toString
