@@ -79,7 +79,11 @@ object ConversionGraph {
     // chains plan end-to-end
     val writerEdges = Seq(
       "parquet", "csv", "json", "orc", "avro", "text", "xml",
-      "zarr", "netcdf3", "hdf5", "geojson").map(f =>
+      "zarr", "netcdf3", "hdf5", "geojson",
+      // native lakehouse writers (round 11): written tables re-open
+      // through the native delta/iceberg readers, so write→read chains
+      // plan through the table formats too
+      "delta", "iceberg").map(f =>
       Edge(DataFrameType, s"datatype:$f", s"writer:$f"))
     val streamEdges = Seq(
       Edge(StreamingDataFrameType, DataFrameType, "converter:stream_to_batch_memory_sink"),

@@ -32,7 +32,7 @@ class ConvertAndOutputSpec extends SparkSpec {
   test("array and structured sinks are plannable graph endpoints") {
     val g = graft.convert.ConversionGraph.default()
     val dfType = graft.convert.ConversionGraph.DataFrameType
-    for (fmt <- Seq("zarr", "netcdf3", "hdf5", "geojson")) {
+    for (fmt <- Seq("zarr", "netcdf3", "hdf5", "geojson", "delta", "iceberg")) {
       // write (DataFrame -> file datatype) and re-open (datatype ->
       // DataFrame) both plan, so write->read chains exist end-to-end
       assert(g.paths(dfType, s"datatype:$fmt", cutoff = 1).nonEmpty, s"no writer edge for $fmt")
