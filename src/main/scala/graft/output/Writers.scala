@@ -61,17 +61,16 @@ object Writers {
   }
 
   /** Native Iceberg table sink ([[graft.readers.IcebergWriter]] —
-    * unpartitioned append/overwrite profile; partitioned/nested writes
-    * refuse naming the connector). Returns the `iceberg` DataRef. */
+    * append/overwrite, unpartitioned or identity-partitioned on
+    * int/long/string/date columns; other transforms/types refuse
+    * naming the connector). Returns the `iceberg` DataRef. */
   def iceberg(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef = {
-    require(spec.partitionBy.isEmpty,
-      "iceberg sink: partitioned writes are outside the native writer's profile; " +
-        "write with the iceberg-spark connector")
     val mode = spec.mode match {
       case "error" | "errorIfExists" => "errorifexists"
       case m => m
     }
-    graft.readers.IcebergWriter.write(df.sparkSession, df, url, mode = mode)
+    graft.readers.IcebergWriter.write(df.sparkSession, df, url, mode = mode,
+      partitionBy = spec.partitionBy)
     DataRef("iceberg", url, spec.options)
   }
 

@@ -56,14 +56,12 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
     * `graft.txn.*` snapshot-summary markers — a batch id at or below
     * the ancestry's committed version for this query's app id is a
     * replay and commits nothing. Append appends, Complete overwrites
-    * per batch, Update refuses. The writer's unpartitioned-primitive
-    * profile applies. */
+    * per batch, Update refuses. The writer's primitive-column profile
+    * applies; `partitionBy` threads through to identity partitioning
+    * (int/long/string/date — the writer gates). */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
-    require(partitionColumns.isEmpty,
-      "graft-iceberg sink: partitioned writes are outside the native writer's profile; " +
-        "write with the iceberg-spark connector")
     val appId = parameters.get("txn_app_id")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
@@ -71,17 +69,17 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
           "option(\"txn_app_id\", ...) (or a checkpointLocation, which doubles as one)"))
     require(outputMode != OutputMode.Update(),
       "graft-iceberg sink: Update output mode has no native upsert path; use Append or Complete")
-    new IcebergStreamSink(sqlContext.sparkSession, path, outputMode, appId)
+    new IcebergStreamSink(sqlContext.sparkSession, path, outputMode, appId, partitionColumns)
   }
 }
 
 private[readers] class IcebergStreamSink(spark: SparkSession, table: String,
-    outputMode: OutputMode, appId: String) extends Sink {
+    outputMode: OutputMode, appId: String, partitionBy: Seq[String]) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= IcebergWriter.lastTxnVersion(spark, table, appId)) return // replay
     val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
     IcebergWriter.write(spark, org.apache.spark.sql.graft.bridge.batchFrame(data), table,
-      mode = mode, txn = Some(appId -> batchId))
+      mode = mode, txn = Some(appId -> batchId), partitionBy = partitionBy)
   }
   override def toString: String = s"IcebergStreamSink[$table]"
 }

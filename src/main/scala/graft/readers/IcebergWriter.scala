@@ -10,9 +10,17 @@ import org.apache.spark.sql.types._
 /** Native Iceberg WRITER — the Delta writer's format twin, with a
   * deliberately narrower, loudly-gated profile:
   *
-  *  - UNPARTITIONED tables of top-level primitive columns (field ids
-  *    assigned at create; partitioned/nested writes name the
-  *    iceberg-spark connector);
+  *  - tables of top-level primitive columns, UNPARTITIONED or
+  *    IDENTITY-partitioned on dir-text-round-trip columns
+  *    (int/long/string/date — the same text-exactness stance the
+  *    reader's pruning takes; other transforms and partition types
+  *    name the iceberg-spark connector). Partitioned data stages
+  *    through Spark's distributed `partitionBy` over DUPLICATED
+  *    columns, so the data files keep every column (the spec's rule
+  *    for identity sources) while the directory layout yields one
+  *    partition tuple per file; manifests carry the typed
+  *    `data_file.partition` struct, so written tables prune under the
+  *    reader's per-file partition skipping immediately;
   *  - `append` / `overwrite` / `errorifexists`; each commit writes the
   *    data parquet (field ids in the footers, so the reader's by-id
   *    resolution works), ONE manifest Avro, a manifest-list Avro
@@ -92,7 +100,8 @@ object IcebergWriter {
 
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", maxRetries: Int = 10,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -122,37 +131,91 @@ object IcebergWriter {
       require(expected == got,
         s"iceberg writer: schema mismatch — table has ${expected.mkString(",")}, " +
           s"frame has ${got.mkString(",")}; schema evolution stays with the connector")
-      require(Option(meta.get("partition-specs")).forall { specs =>
-        import scala.jdk.CollectionConverters._
-        specs.elements().asScala.forall(sp =>
-          !sp.get("fields").elements().hasNext)
-      }, s"iceberg writer: $table is partitioned — outside this writer's profile")
+    }
+    // partitioning: an existing table's DEFAULT spec governs (the Delta
+    // writer's stance — an empty partitionBy adopts it, an explicit one
+    // must match exactly; partition-spec evolution stays with the
+    // connector). Writer-owned tables only ever carry identity fields,
+    // but the transform is re-checked defensively.
+    val tableSpec: Option[Seq[(String, String, Int)]] = prior.map { meta =>
+      import scala.jdk.CollectionConverters._
+      val cur = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+        .find(sp => Option(sp.get("spec-id")).map(_.asInt()).getOrElse(0) == cur)
+        .toSeq.flatMap(_.get("fields").elements().asScala)
+        .map(pf => (pf.get("name").asText(), pf.get("transform").asText(),
+          pf.get("source-id").asInt()))
+    }
+    tableSpec.foreach { flds =>
+      require(flds.forall(_._2 == "identity"),
+        s"iceberg writer: $table has non-identity partition transforms " +
+          s"(${flds.map(_._2).mkString(",")}) — outside this writer's profile; " +
+          "write it with the iceberg-spark connector")
+      require(partitionBy.isEmpty || partitionBy == flds.map(_._1),
+        s"iceberg writer: partitioning mismatch — table is partitioned by " +
+          s"[${flds.map(_._1).mkString(",")}], write requested [${partitionBy.mkString(",")}]; " +
+          "partition-spec evolution stays with the connector")
+    }
+    val partCols: Seq[String] = tableSpec.map(_.map(_._1)).getOrElse(partitionBy)
+    val partFields: Seq[StructField] = partCols.map { c =>
+      val i = df.schema.fieldNames.indexOf(c)
+      require(i >= 0, s"iceberg writer: partition column '$c' not in the frame " +
+        s"(${df.schema.fieldNames.mkString(",")})")
+      val fl = df.schema.fields(i)
+      require(Set[DataType](IntegerType, LongType, StringType, DateType)
+          .contains(fl.dataType),
+        s"iceberg writer: partition column '$c' of type ${fl.dataType.simpleString} — " +
+          "identity partitioning is limited to the dir-text-round-trip types " +
+          "(int/long/string/date); write the table with the iceberg-spark connector")
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"iceberg writer: partition column name '$c' outside [A-Za-z0-9_] — " +
+          "write the table with the iceberg-spark connector")
+      fl
     }
 
-    // 1. stage data files with field ids in the parquet footers
+    // 1. stage data files with field ids in the parquet footers.
+    // Partition columns are DUPLICATED under a staging-only prefix so
+    // Spark's partitionBy yields the one-tuple-per-file layout while
+    // the data files keep every real column (the spec's rule for
+    // identity sources — the reader scans data files as the full table).
     val withIds = df.select(df.schema.fields.zipWithIndex.map { case (fl, i) =>
       df(fl.name).as(fl.name,
         new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
     }.toSeq: _*)
+    val stagedDf = partCols.foldLeft(withIds)((d, c) => d.withColumn(DupPrefix + c, d(c)))
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
-    withIds.write.mode("overwrite").parquet(staging.toString)
+    val stWriter = stagedDf.write.mode("overwrite")
+    (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
+     else stWriter).parquet(staging.toString)
     try {
-      val stagedFiles = {
-        val it = f.listFiles(staging, false)
-        val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val stagingQ = f.makeQualified(staging).toString
+      val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
+        val it = f.listFiles(staging, true)
+        val out = Seq.newBuilder[(org.apache.hadoop.fs.FileStatus, String)]
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet")) out += st
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += ((st, f.makeQualified(st.getPath).toString.stripPrefix(stagingQ + "/")))
         }
         out.result()
       }
       val dataDir = new Path(table.stripSuffix("/") + "/data")
       f.mkdirs(dataDir)
-      val moved = stagedFiles.map { st =>
-        val dest = new Path(dataDir, st.getPath.getName)
+      val moved: Seq[(String, Long, Long, Map[String, String])] = stagedFiles.map { case (st, rel) =>
+        val tuple = partitionDirValues(rel)
+        require(partCols.forall(tuple.contains),
+          s"iceberg writer: staged file $rel missing partition segments for " +
+            s"[${partCols.filterNot(tuple.contains).mkString(",")}]")
+        // hive-style layout under data/ (strictly cosmetic — manifests
+        // carry absolute paths; the dirs keep same-named task files from
+        // different partitions apart and the table browsable)
+        val destDir = partCols.foldLeft(dataDir)((d, c) => new Path(d,
+          s"$c=${rel.split("/").find(_.startsWith(s"$DupPrefix$c=")).get.drop(DupPrefix.length + c.length + 1)}"))
+        f.mkdirs(destDir)
+        val dest = new Path(destDir, st.getPath.getName)
         require(f.rename(st.getPath, dest), s"iceberg writer: rename to $dest failed")
         val d = f.getFileStatus(dest)
-        (storedPath(d.getPath), d.getLen, rowCount(f, d.getPath))
+        (storedPath(d.getPath), d.getLen, rowCount(f, d.getPath), tuple)
       }
 
       // 2-4. manifest + manifest list + metadata, optimistic loop
@@ -171,11 +234,29 @@ object IcebergWriter {
         import spark.implicits._
         val manifest = {
           val dir = s"${table.stripSuffix("/")}/metadata/m-$uuid"
-          moved.toDF("p", "sz", "rc").selectExpr("1 as status",
-            s"cast($snapshotId as bigint) as snapshot_id",
-            "cast(null as bigint) as sequence_number",
-            """named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
-              |'record_count', rc, 'file_size_in_bytes', sz) as data_file""".stripMargin)
+          // typed rows (partition values parsed back from the staged
+          // dir text — int/long/string/date round-trip exactly, the
+          // profile gate above), so the Avro `data_file.partition`
+          // struct carries real logical types for the reader's
+          // per-file pruning
+          val rowSchema = StructType(
+            Seq(StructField("p", StringType), StructField("sz", LongType),
+              StructField("rc", LongType)) ++
+            partFields.map(pf => StructField(s"_pv_${pf.name}", pf.dataType)))
+          val rows = moved.map { case (p, sz, rc, tuple) =>
+            org.apache.spark.sql.Row.fromSeq(Seq[Any](p, sz, rc) ++
+              partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
+          }
+          val partExpr =
+            if (partFields.isEmpty) ""
+            else ", 'partition', named_struct(" +
+              partFields.map(pf => s"'${pf.name}', `_pv_${pf.name}`").mkString(", ") + ")"
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), rowSchema)
+            .selectExpr("1 as status",
+              s"cast($snapshotId as bigint) as snapshot_id",
+              "cast(null as bigint) as sequence_number",
+              s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
+                |'record_count', rc, 'file_size_in_bytes', sz$partExpr) as data_file""".stripMargin)
             .coalesce(1).write.format(AvroFmt).save(dir)
           val part = f.listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".avro")).get
           (storedPath(part.getPath), part.getLen)
@@ -238,8 +319,12 @@ object IcebergWriter {
              |  "current-schema-id": 0,
              |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [$schemaFields]}],
              |  "default-spec-id": 0,
-             |  "partition-specs": [{"spec-id": 0, "fields": []}],
-             |  "last-partition-id": 999,
+             |  "partition-specs": [{"spec-id": 0, "fields": [${
+                  partCols.zipWithIndex.map { case (c, i) =>
+                    s"""{"name": ${js(c)}, "transform": "identity", """ +
+                      s""""source-id": ${df.schema.fieldNames.indexOf(c) + 1}, "field-id": ${1000 + i}}"""
+                  }.mkString(", ")}]}],
+             |  "last-partition-id": ${999 + partCols.size},
              |  "default-sort-order-id": 0,
              |  "sort-orders": [{"order-id": 0, "fields": []}],
              |  "properties": {"graft.writer": "true"},
@@ -263,6 +348,32 @@ object IcebergWriter {
       }
     } finally scala.util.Try(f.delete(staging, true))
   }
+
+  /** Staging-only duplicate-column prefix: `partitionBy` consumes the
+    * duplicates (directory layout), the real columns stay in the data
+    * files. */
+  private val DupPrefix = "__graft_p_"
+
+  /** `__graft_p_c=7/part-….parquet` → Map(c -> "7") with Spark's
+    * directory escaping decoded (a __HIVE_DEFAULT_PARTITION__ segment
+    * is a null value). */
+  private def partitionDirValues(rel: String): Map[String, String] =
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val k = seg.takeWhile(_ != '=')
+      val raw = seg.drop(k.length + 1)
+      val v = PathKeys.percentDecode(raw)
+      (if (k.startsWith(DupPrefix)) k.drop(DupPrefix.length) else k) ->
+        (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+    }.toMap
+
+  private def typedPartitionValue(text: String, dt: DataType): Any =
+    if (text == null) null
+    else dt match {
+      case IntegerType => text.toInt
+      case LongType    => text.toLong
+      case DateType    => java.sql.Date.valueOf(text)
+      case _           => text
+    }
 
   private def rowCount(f: FileSystem, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader

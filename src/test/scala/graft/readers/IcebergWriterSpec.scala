@@ -79,7 +79,7 @@ class IcebergWriterSpec extends SparkSpec {
     // a manual replay of an old batch id commits nothing
     val before = IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration)
     val sink = new IcebergStreamSink(spark, t,
-      org.apache.spark.sql.streaming.OutputMode.Append(), ckpt)
+      org.apache.spark.sql.streaming.OutputMode.Append(), ckpt, Nil)
     sink.addBatch(0L, Seq((99L, "dup")).toDF("id", "name"))
     assert(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration) == before)
     assert(IcebergWriter.lastTxnVersion(spark, t, ckpt) == 1L)
@@ -121,5 +121,91 @@ class IcebergWriterSpec extends SparkSpec {
     IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$t/metadata/v3.metadata.json")))
     assert(IcebergReader.read(spark, t).count() == 2L)
+  }
+
+  private def deleteDataFiles(t: String, dirPrefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && p.toString.contains(dirPrefix))
+      .toSeq.foreach(java.nio.file.Files.delete)
+  }
+
+  test("identity-partitioned create + adopted append: round-trip, per-file pruning, spec gates") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwpart").toString
+    def frame(rows: (Long, String, Int, String)*) =
+      rows.toDF("id", "name", "p", "ds").withColumn("d", $"ds".cast("date")).drop("ds")
+    IcebergWriter.write(spark, frame((1L, "a", 1, "2024-01-01"), (2L, "b", 2, "2024-02-01")),
+      t, partitionBy = Seq("p", "d"))
+    // append ADOPTS the table's spec without restating it (the Delta
+    // writer's stance); data files keep every column, incl. the
+    // partition sources
+    IcebergWriter.write(spark, frame((3L, "c", 1, "2024-01-01")), t)
+    val all = IcebergReader.read(spark, t).select("id", "p", "d")
+      .as[(Long, Int, java.sql.Date)].collect().sortBy(_._1)
+    assert(all.toSeq.map(r => (r._1, r._2, r._3.toString)) ==
+      Seq((1L, 1, "2024-01-01"), (2L, 2, "2024-02-01"), (3L, 1, "2024-01-01")))
+    // pruning observable the dangling-file way: p=2's data file is
+    // DELETED, so a p=1 read can only answer if the manifest tuple
+    // pruned the file before any IO touched it
+    deleteDataFiles(t, "p=2")
+    val pruned = IcebergReader.read(spark, t, filter = Some("p = 1"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // …and the date leg of the tuple prunes on its own conjunct too
+    assert(IcebergReader.read(spark, t, filter = Some("d = date'2024-01-01'"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    intercept[Exception](IcebergReader.read(spark, t).count())
+    // explicit mismatching partitioning refuses — spec evolution stays
+    // with the connector
+    val e1 = intercept[Exception](IcebergWriter.write(spark,
+      frame((9L, "z", 9, "2024-09-01")), t, partitionBy = Seq("p")))
+    assert(e1.getMessage.contains("partitioning mismatch"))
+    // non-round-trip partition types refuse up front
+    val e2 = intercept[Exception](IcebergWriter.write(spark,
+      Seq((1L, 0.5)).toDF("id", "x"), Files.createTempDirectory("iwpt").toString,
+      partitionBy = Seq("x")))
+    assert(e2.getMessage.contains("dir-text-round-trip"))
+  }
+
+  test("partition values with special characters and nulls round-trip the dir encoding") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwpenc").toString
+    val vals = Seq("a b", "x=y", "a/b", "%41", null)
+    IcebergWriter.write(spark,
+      vals.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+      t, partitionBy = Seq("s"))
+    val got = IcebergReader.read(spark, t).select("s").as[String].collect().toSeq
+    assert(got.toSet == vals.toSet)
+    // the decoded tuple drives pruning: every other NON-NULL partition's
+    // file is gone, so `s = 'x=y'` answers only if its manifest tuple
+    // decoded back to the exact original text. The null partition's
+    // file stays — its JSON tuple omits the key (to_json drops nulls),
+    // so the reader keeps it fail-open by design and the residual
+    // filter discards its rows
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .filter { p =>
+        val dir = p.getParent.getFileName.toString
+        p.toString.endsWith(".parquet") &&
+          !dir.startsWith("s=x%3Dy") && !dir.startsWith("s=__HIVE_DEFAULT_PARTITION__")
+      }.toSeq.foreach(java.nio.file.Files.delete)
+    assert(IcebergReader.read(spark, t, filter = Some("s = 'x=y'"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("streaming sink: partitionBy threads through to identity partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t = Files.createTempDirectory("iwsinkpart").toString
+    val ckpt = Files.createTempDirectory("iwsinkpartckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int)](spark)
+    src.addData((1L, 1), (2L, 2))
+    val q = src.toDF().toDF("id", "p").writeStream.format("graft-iceberg")
+      .partitionBy("p").option("path", t).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    deleteDataFiles(t, "p=2")
+    assert(IcebergReader.read(spark, t, filter = Some("p = 1"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 }
