@@ -153,12 +153,21 @@ object DeltaWriter {
           // replaceWhere only files whose partition tuple MATCHES the
           // predicate (exact driver-local evaluation) are replaced
           val head = currentState(spark, table)
-          val doomed: Seq[String] = replaceWhere match {
-            case None => head.live
-            case Some(rw) => matchingFiles(spark, head, rw)
+          val doomed: Seq[LiveFile] = replaceWhere match {
+            case None => head.liveFiles
+            case Some(rw) =>
+              val matching = matchingFiles(spark, head, rw).toSet
+              head.liveFiles.filter(lf => matching.contains(lf.path))
           }
-          doomed.foreach(e =>
-            actions += s"""{"remove":{"path":${js(e)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
+          // removes carry partitionValues (delta-spark does the same):
+          // the change-feed's delete derivation needs the tuple, since
+          // data files do not store partition columns
+          doomed.foreach { e =>
+            val pv = e.partitionValues.map { case (k, v) =>
+              s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+            actions += s"""{"remove":{"path":${js(e.path)},"deletionTimestamp":${System.currentTimeMillis()},""" +
+              s""""dataChange":true,"partitionValues":$pv}}"""
+          }
         }
         adds.foreach { a =>
           val pv = a.partitionValues.map { case (k, v) =>
@@ -242,10 +251,13 @@ object DeltaWriter {
         val actions = Seq.newBuilder[String]
         actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
         adds.foreach { case (oldPaths, a) =>
-          oldPaths.foreach(p =>
-            actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""")
           val pv = a.partitionValues.map { case (k, v) =>
             s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          // compaction rewrites stay within one partition group, so the
+          // rewritten add's tuple IS each removed file's tuple
+          oldPaths.foreach(p =>
+            actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":${System.currentTimeMillis()},""" +
+              s""""dataChange":false,"partitionValues":$pv}}""")
           val encoded = new URI(null, null, "/" + a.path, null).getRawPath.stripPrefix("/")
           actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
             s""""modificationTime":${a.mtime},"dataChange":false""" +
