@@ -1,6 +1,7 @@
 package graft.readers
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import java.net.URI
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -230,37 +231,10 @@ object IcebergWriter {
         val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
         val parentId = head.flatMap(m => Option(m.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L))
-        val uuid = java.util.UUID.randomUUID()
-        import spark.implicits._
-        val manifest = {
-          val dir = s"${table.stripSuffix("/")}/metadata/m-$uuid"
-          // typed rows (partition values parsed back from the staged
-          // dir text — int/long/string/date round-trip exactly, the
-          // profile gate above), so the Avro `data_file.partition`
-          // struct carries real logical types for the reader's
-          // per-file pruning
-          val rowSchema = StructType(
-            Seq(StructField("p", StringType), StructField("sz", LongType),
-              StructField("rc", LongType)) ++
-            partFields.map(pf => StructField(s"_pv_${pf.name}", pf.dataType)))
-          val rows = moved.map { case (p, sz, rc, tuple) =>
-            org.apache.spark.sql.Row.fromSeq(Seq[Any](p, sz, rc) ++
-              partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
-          }
-          val partExpr =
-            if (partFields.isEmpty) ""
-            else ", 'partition', named_struct(" +
-              partFields.map(pf => s"'${pf.name}', `_pv_${pf.name}`").mkString(", ") + ")"
-          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), rowSchema)
-            .selectExpr("1 as status",
-              s"cast($snapshotId as bigint) as snapshot_id",
-              "cast(null as bigint) as sequence_number",
-              s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
-                |'record_count', rc, 'file_size_in_bytes', sz$partExpr) as data_file""".stripMargin)
-            .coalesce(1).write.format(AvroFmt).save(dir)
-          val part = f.listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".avro")).get
-          (storedPath(part.getPath), part.getLen)
-        }
+        val manifest = writeManifest(spark, f, table, snapshotId,
+          moved.map { case (p, sz, rc, tuple) =>
+            (p, sz, rc, partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
+          }, partFields)
         // retained manifests: append keeps the current snapshot's list
         // (with each manifest's ORIGINAL sequence number); overwrite
         // starts fresh
@@ -277,17 +251,8 @@ object IcebergWriter {
                   .map { case (p, sq, specId, isDel) => (p, 0L, sq, specId, isDel) }
               }
           }
-        val listPath = {
-          val dir = s"${table.stripSuffix("/")}/metadata/snap-$snapshotId-$uuid"
-          val rows = ((manifest._1, manifest._2, seq, 0, false) +: retained)
-          rows.toDF("manifest_path", "manifest_length", "sequence_number", "partition_spec_id", "is_delete")
-            .selectExpr("manifest_path", "manifest_length", "sequence_number",
-              "partition_spec_id", "if(is_delete, 1, 0) as content",
-              s"cast($snapshotId as bigint) as added_snapshot_id")
-            .coalesce(1).write.format(AvroFmt).save(dir)
-          storedPath(f.listStatus(new Path(dir))
-            .find(_.getPath.getName.endsWith(".avro")).get.getPath)
-        }
+        val listPath = writeManifestList(spark, f, table, snapshotId,
+          (manifest._1, manifest._2, seq, 0, false) +: retained)
         val version = head.map(_ => currentVersionOf(table, conf) + 1).getOrElse(1L)
         val tableUuid = head.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
           .getOrElse(java.util.UUID.randomUUID().toString)
@@ -349,6 +314,52 @@ object IcebergWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
+  /** One manifest Avro under `metadata/m-<uuid>`: typed rows (the
+    * partition struct carries real logical types, so the reader's
+    * per-file pruning casts exactly). Returns (storedPath, length). */
+  private def writeManifest(spark: SparkSession, f: FileSystem, table: String,
+      snapshotId: Long, rows: Seq[(String, Long, Long, Seq[Any])],
+      partFields: Seq[StructField]): (String, Long) = {
+    val dir = s"${table.stripSuffix("/")}/metadata/m-${java.util.UUID.randomUUID()}"
+    val rowSchema = StructType(
+      Seq(StructField("p", StringType), StructField("sz", LongType),
+        StructField("rc", LongType)) ++
+      partFields.map(pf => StructField(s"_pv_${pf.name}", pf.dataType)))
+    val sparkRows = rows.map { case (p, sz, rc, pv) =>
+      org.apache.spark.sql.Row.fromSeq(Seq[Any](p, sz, rc) ++ pv)
+    }
+    val partExpr =
+      if (partFields.isEmpty) ""
+      else ", 'partition', named_struct(" +
+        partFields.map(pf => s"'${pf.name}', `_pv_${pf.name}`").mkString(", ") + ")"
+    spark.createDataFrame(spark.sparkContext.parallelize(sparkRows, 1), rowSchema)
+      .selectExpr("1 as status",
+        s"cast($snapshotId as bigint) as snapshot_id",
+        "cast(null as bigint) as sequence_number",
+        s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
+          |'record_count', rc, 'file_size_in_bytes', sz$partExpr) as data_file""".stripMargin)
+      .coalesce(1).write.format(AvroFmt).save(dir)
+    val part = f.listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".avro")).get
+    (storedPath(part.getPath), part.getLen)
+  }
+
+  /** The snapshot's manifest-list Avro under `metadata/snap-<id>-<uuid>`;
+    * `manifests` rows are (path, length, sequenceNumber, specId,
+    * isDelete) — retained manifests keep their ORIGINAL sequence
+    * numbers. Returns the stored path. */
+  private def writeManifestList(spark: SparkSession, f: FileSystem, table: String,
+      snapshotId: Long, manifests: Seq[(String, Long, Long, Int, Boolean)]): String = {
+    import spark.implicits._
+    val dir = s"${table.stripSuffix("/")}/metadata/snap-$snapshotId-${java.util.UUID.randomUUID()}"
+    manifests.toDF("manifest_path", "manifest_length", "sequence_number", "partition_spec_id", "is_delete")
+      .selectExpr("manifest_path", "manifest_length", "sequence_number",
+        "partition_spec_id", "if(is_delete, 1, 0) as content",
+        s"cast($snapshotId as bigint) as added_snapshot_id")
+      .coalesce(1).write.format(AvroFmt).save(dir)
+    storedPath(f.listStatus(new Path(dir))
+      .find(_.getPath.getName.endsWith(".avro")).get.getPath)
+  }
+
   /** Staging-only duplicate-column prefix: `partitionBy` consumes the
     * duplicates (directory layout), the real columns stay in the data
     * files. */
@@ -374,6 +385,300 @@ object IcebergWriter {
       case DateType    => java.sql.Date.valueOf(text)
       case _           => text
     }
+
+  /** Inverse of [[icebergType]] for the writer-profile primitives
+    * (drives typed partition tuples when the schema comes from the
+    * table's own metadata rather than a caller frame). */
+  private def sparkTypeOf(t: String): DataType = t match {
+    case "boolean"     => BooleanType
+    case "int"         => IntegerType
+    case "long"        => LongType
+    case "float"       => FloatType
+    case "double"      => DoubleType
+    case "date"        => DateType
+    case "string"      => StringType
+    case "binary"      => BinaryType
+    case "timestamptz" => TimestampType
+    case "timestamp"   => TimestampNTZType
+    case d if d.startsWith("decimal") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => throw new IllegalArgumentException(
+      s"iceberg writer: table schema type '$other' outside the writer profile")
+  }
+
+  private case class LiveEntry(path: String, size: Long, records: Long, pvJson: String)
+
+  /** The writer-stamp gate + current metadata tree, shared by the
+    * lifecycle ops (they regenerate metadata from this model, which is
+    * only safe for tables this writer owns). */
+  private def ownedMeta(spark: SparkSession, table: String, op: String):
+      com.fasterxml.jackson.databind.node.ObjectNode = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = mapper.readTree(IcebergReader.metadataText(table, conf))
+    require(Option(meta.get("properties")).exists(p =>
+        Option(p.get("graft.writer")).exists(_.asText() == "true")),
+      s"iceberg $op: $table was not written by this writer — regenerating its metadata " +
+        "would drop state this model does not carry; use the iceberg-spark connector")
+    meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+  }
+
+  /** Identity partition fields of the table's default spec, typed from
+    * its own schema. */
+  private def tablePartFields(meta: JsonNode): Seq[StructField] = {
+    import scala.jdk.CollectionConverters._
+    val byId = Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+      .filter(s => s.get("schema-id").asInt() ==
+        Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0))
+      .flatMap(_.get("fields").elements().asScala)
+      .map(fl => fl.get("id").asInt() -> (fl.get("name").asText(), fl.get("type").asText()))
+      .toMap
+    val cur = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+      .find(sp => Option(sp.get("spec-id")).map(_.asInt()).getOrElse(0) == cur)
+      .toSeq.flatMap(_.get("fields").elements().asScala).map { pf =>
+        require(pf.get("transform").asText() == "identity",
+          s"iceberg: non-identity partition transform '${pf.get("transform").asText()}' — " +
+            "outside this writer's profile")
+        val (name, t) = byId(pf.get("source-id").asInt())
+        StructField(name, sparkTypeOf(t))
+      }
+  }
+
+  /** Current snapshot's live data-file entries (path, size, records,
+    * partition JSON) — writer-owned tables only carry data manifests
+    * this writer (or its retained chain) wrote. */
+  private def liveEntries(spark: SparkSession, meta: JsonNode, table: String): Seq[LiveEntry] = {
+    import scala.jdk.CollectionConverters._
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      .getOrElse(throw new IllegalArgumentException(s"iceberg: $table has no current snapshot"))
+    val snap = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == curId)
+      .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $curId missing from $table"))
+    val refs = IcebergReader.manifestListRowsOf(spark, snap.get("manifest-list").asText(), table)
+    require(refs.forall(!_._4), s"iceberg: $table carries delete manifests — " +
+      "outside this writer's profile; use the iceberg-spark connector")
+    if (refs.isEmpty) return Nil
+    val manifests = spark.read.format(AvroFmt).load(refs.map(_._1): _*)
+    val dfCols = manifests.select("data_file.*").columns.toSet
+    manifests.selectExpr("status", "data_file.file_path as p",
+        "data_file.file_size_in_bytes as sz", "data_file.record_count as rc",
+        if (dfCols.contains("partition")) "to_json(data_file.partition) as pv"
+        else "cast(null as string) as pv")
+      .collect().toSeq.filter(_.getAs[Int]("status") != 2)
+      .map(r => LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
+        r.getAs[Long]("rc"), r.getAs[String]("pv")))
+  }
+
+  private def typedTupleOf(pvJson: String, partFields: Seq[StructField]): Seq[Any] = {
+    if (partFields.isEmpty) return Nil
+    val node = if (pvJson == null) mapper.createObjectNode() else mapper.readTree(pvJson)
+    partFields.map { pf =>
+      Option(node.get(pf.name)).filterNot(_.isNull).map(v => pf.dataType match {
+        case IntegerType => v.asInt()
+        case LongType    => v.asLong()
+        case DateType    => java.sql.Date.valueOf(v.asText())
+        case _           => v.asText()
+      }).orNull
+    }
+  }
+
+  /** OPTIMIZE (the Delta writer's `compact` twin): every partition
+    * group with more than one live data file is rewritten into one,
+    * committed as a `replace` snapshot — the `graft-iceberg` stream
+    * emits nothing for it and `readChangesSince` windows refuse only
+    * when it rewrites an in-window add (both already spec'd on the
+    * read side). Old snapshots keep reading their own manifests
+    * untouched; [[expireSnapshots]] reclaims them. Field ids are
+    * re-attached to the rewritten parquet, so by-id resolution holds.
+    * The retry loop re-resolves the live set per attempt and refuses
+    * if a rival removed a file it meant to rewrite (rewriting it would
+    * resurrect deleted rows). Merged-manifest sequence numbers reset to
+    * the new snapshot's — safe because the writer profile admits no
+    * delete files, the only consumers of sequence ordering.
+    * Returns the number of partition groups compacted. */
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 10): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta0 = ownedMeta(spark, table, "compact")
+    val partFields = tablePartFields(meta0)
+    val live0 = liveEntries(spark, meta0, table)
+    val groups = live0.groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
+    val multi = groups.filter(_.size >= 2)
+    if (multi.isEmpty) return 0
+
+    // rewrite each multi-file group next to its sources (one tuple per
+    // group by construction, so the dir layout is preserved)
+    val schemaFields: Seq[(String, DataType)] = {
+      import scala.jdk.CollectionConverters._
+      Option(meta0.get("schemas")).toSeq.flatMap(_.elements().asScala)
+        .filter(s => s.get("schema-id").asInt() ==
+          Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0))
+        .flatMap(_.get("fields").elements().asScala)
+        .map(fl => fl.get("name").asText() -> sparkTypeOf(fl.get("type").asText()))
+    }
+    val rewrittenSources = multi.flatMap(_.map(_.path)).toSet
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    val newFiles: Seq[LiveEntry] = try {
+      multi.zipWithIndex.map { case (group, gi) =>
+        val df = spark.read.parquet(group.map(_.path): _*)
+        val withIds = df.select(schemaFields.zipWithIndex.map { case ((n, _), i) =>
+          df(n).as(n, new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
+        }: _*)
+        val gDir = new Path(staging, s"g$gi")
+        withIds.coalesce(1).write.parquet(gDir.toString)
+        val part = {
+          val it = f.listFiles(gDir, false)
+          var found: org.apache.hadoop.fs.FileStatus = null
+          while (it.hasNext) { val st = it.next(); if (st.getPath.getName.endsWith(".parquet")) found = st }
+          require(found != null, s"iceberg compact: no parquet staged for group $gi")
+          found
+        }
+        val destDir = new Path(group.head.path).getParent
+        val dest = new Path(destDir, s"compact-${java.util.UUID.randomUUID()}.parquet")
+        require(f.rename(part.getPath, dest), s"iceberg compact: rename to $dest failed")
+        val st = f.getFileStatus(dest)
+        LiveEntry(storedPath(st.getPath), st.getLen, rowCount(f, st.getPath), group.head.pvJson)
+      }
+    } finally scala.util.Try(f.delete(staging, true))
+
+    var attempt = 0
+    while (true) {
+      val meta = ownedMeta(spark, table, "compact")
+      val nowLive = liveEntries(spark, meta, table)
+      val gone = rewrittenSources -- nowLive.map(_.path).toSet
+      require(gone.isEmpty,
+        s"iceberg compact: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
+          "concurrent writer — rewriting them would resurrect deleted rows; re-run")
+      val kept = nowLive.filterNot(e => rewrittenSources.contains(e.path))
+      val entries = (kept ++ newFiles).map(e =>
+        (e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields)))
+      if (publishSnapshot(spark, f, table, meta, "replace", entries, partFields, txnProps = Map.empty))
+        return multi.size
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg compact: lost the commit race $maxRetries times at $table — giving up")
+    }
+    multi.size // unreachable
+  }
+
+  /** Retire history (the Delta writer's `vacuum`+log-aging twin in one
+    * step, Iceberg's expire_snapshots): keep the newest `keepLast`
+    * snapshots (the current snapshot always survives), rewrite the
+    * metadata without the expired ones, then delete every data file,
+    * manifest and manifest list referenced ONLY by expired snapshots.
+    * Time travel / changes / streaming baselines on expired snapshots
+    * refuse afterwards with the reader's existing re-baseline errors.
+    * Streaming-sink txn markers riding expired snapshots vanish with
+    * them (the rollback caveat) — keep at least one recent snapshot
+    * per active sink app. Returns the number of snapshots expired. */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
+      maxRetries: Int = 10): Int = {
+    require(keepLast >= 1, s"iceberg expireSnapshots: keepLast must be >= 1 (got $keepLast)")
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    var attempt = 0
+    while (true) {
+      val meta = ownedMeta(spark, table, "expireSnapshots")
+      val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala).toSeq
+      val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      val retainedIds = (snaps.takeRight(keepLast) ++
+        snaps.filter(s => curId.contains(s.get("snapshot-id").asLong())))
+        .map(_.get("snapshot-id").asLong()).toSet
+      val retained = snaps.filter(s => retainedIds.contains(s.get("snapshot-id").asLong()))
+      val expired = snaps.filterNot(s => retainedIds.contains(s.get("snapshot-id").asLong()))
+      if (expired.isEmpty) return 0
+      // reference sets: a file shared with any retained snapshot survives
+      def refsOf(ss: Seq[JsonNode]): (Set[String], Set[String], Set[String]) = {
+        val lists = ss.map(_.get("manifest-list").asText()).toSet
+        val manifests = ss.flatMap(s =>
+          IcebergReader.manifestListRowsOf(spark, s.get("manifest-list").asText(), table)
+            .map(_._1)).toSet
+        val data =
+          if (manifests.isEmpty) Set.empty[String]
+          else spark.read.format(AvroFmt).load(manifests.toSeq: _*)
+            .selectExpr("data_file.file_path as p").collect().map(_.getString(0)).toSet
+        (lists, manifests, data)
+      }
+      val (rLists, rManifests, rData) = refsOf(retained)
+      val (eLists, eManifests, eData) = refsOf(expired)
+      val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val snapArr = newMeta.putArray("snapshots")
+      retained.foreach(snapArr.add)
+      val logArr = newMeta.putArray("snapshot-log")
+      Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala)
+        .filter(e => retainedIds.contains(e.get("snapshot-id").asLong()))
+        .foreach(logArr.add)
+      newMeta.put("last-updated-ms", System.currentTimeMillis())
+      val version = currentVersionOf(table, conf) + 1
+      val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"), s"v$version.metadata.json")
+      val ok = scala.util.Try {
+        val out = f.create(metaPath, /* overwrite = */ false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      if (ok.isSuccess) {
+        // reclaim only what no retained snapshot references; deletes are
+        // best-effort (a missing file is already reclaimed)
+        ((eLists -- rLists) ++ (eManifests -- rManifests) ++ (eData -- rData))
+          .foreach(p => scala.util.Try(f.delete(new Path(p), false)))
+        return expired.size
+      }
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg expireSnapshots: lost the commit race $maxRetries times at $table — giving up")
+    }
+    0 // unreachable
+  }
+
+  /** One `replace`-style snapshot commit over an already-staged entry
+    * set: manifest + manifest list + Jackson-tree metadata update
+    * published create-no-overwrite. Returns false on a lost version
+    * race (caller re-resolves and retries). */
+  private def publishSnapshot(spark: SparkSession, f: FileSystem, table: String,
+      meta: com.fasterxml.jackson.databind.node.ObjectNode, operation: String,
+      entries: Seq[(String, Long, Long, Seq[Any])], partFields: Seq[StructField],
+      txnProps: Map[String, String]): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seq = Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val parentId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val manifest = writeManifest(spark, f, table, snapshotId, entries, partFields)
+    val listPath = writeManifestList(spark, f, table, snapshotId,
+      Seq((manifest._1, manifest._2, seq, 0, false)))
+    val now = System.currentTimeMillis()
+    val newSnap = mapper.createObjectNode()
+    newSnap.put("snapshot-id", snapshotId)
+    parentId.foreach(p => newSnap.put("parent-snapshot-id", p))
+    newSnap.put("sequence-number", seq)
+    newSnap.put("timestamp-ms", now)
+    newSnap.put("schema-id", 0)
+    val summary = newSnap.putObject("summary")
+    summary.put("operation", operation)
+    txnProps.foreach { case (k, v) => summary.put(k, v) }
+    newSnap.put("manifest-list", listPath)
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("current-snapshot-id", snapshotId)
+    def appendTo(field: String, node: JsonNode): Unit = Option(newMeta.get(field)) match {
+      case Some(arr: ArrayNode) => arr.add(node)
+      case _                    => newMeta.putArray(field).add(node)
+    }
+    appendTo("snapshots", newSnap)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("snapshot-id", snapshotId)
+    logEntry.put("timestamp-ms", now)
+    appendTo("snapshot-log", logEntry)
+    val version = currentVersionOf(table, conf) + 1
+    val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"), s"v$version.metadata.json")
+    scala.util.Try {
+      val out = f.create(metaPath, /* overwrite = */ false)
+      try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+        .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }.isSuccess
+  }
 
   private def rowCount(f: FileSystem, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader

@@ -193,6 +193,43 @@ class IcebergWriterSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compact rewrites multi-file groups as a replace snapshot; expireSnapshots reclaims only unshared files") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwlife").toString
+    IcebergWriter.write(spark, Seq((1L, 1), (2L, 2)).toDF("id", "p"), t, partitionBy = Seq("p")) // snap A
+    IcebergWriter.write(spark, Seq((3L, 1)).toDF("id", "p"), t)                                  // snap B
+    def filesIn(dir: String): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data/$dir")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(filesIn("p=1").size == 2 && filesIn("p=2").size == 1)
+    def snapIds: Seq[Long] = {
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+      meta.get("snapshots").elements().asScala.map(_.get("snapshot-id").asLong()).toSeq
+    }
+    val Seq(snapA, snapB) = snapIds
+    assert(IcebergWriter.compact(spark, t) == 1) // only p=1 had two files
+    // content identical; the group is one file now (old files still on
+    // disk — snap A/B's manifests reference them)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(filesIn("p=1").size == 3 && filesIn("p=1").count(_.toString.contains("compact-")) == 1)
+    assert(IcebergReader.read(spark, t, snapshotId = Some(snapB)).count() == 3L)
+    // a changes window that PRE-dates the compaction but not the adds:
+    // the replace contributes nothing
+    assert(IcebergReader.readChangesSince(spark, t, snapB).count() == 0L)
+    assert(IcebergWriter.expireSnapshots(spark, t, keepLast = 1) == 2)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // expired time travel refuses; unshared files reclaimed (p=1's two
+    // originals), shared ones kept (p=2's file rides snap A AND head)
+    intercept[Exception](IcebergReader.read(spark, t, snapshotId = Some(snapA)).count())
+    assert(filesIn("p=1").size == 1 && filesIn("p=2").size == 1)
+    // compacting an already-compact table is a no-op
+    assert(IcebergWriter.compact(spark, t) == 0)
+  }
+
   test("streaming sink: partitionBy threads through to identity partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
