@@ -56,7 +56,8 @@ object Writers {
       case m => m
     }
     graft.readers.DeltaWriter.write(df.sparkSession, df, url,
-      mode = mode, partitionBy = spec.partitionBy)
+      mode = mode, partitionBy = spec.partitionBy,
+      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
     DataRef("delta", url, spec.options)
   }
 

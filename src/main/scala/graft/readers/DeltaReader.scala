@@ -424,12 +424,29 @@ object DeltaReader {
       lines.foreach(a => Option(a.get("commitInfo")).flatMap(ci => Option(ci.get("timestamp")))
         .filterNot(_.isNull).foreach(ts => commitTs = ts.asLong()))
       lines.flatMap(a => Option(a.get("metaData")).filterNot(_.isNull)).foreach { md =>
-        val sameSchema = Option(md.get("schemaString")).exists(_.asText() == state.schemaJson)
+        // additive evolution is servable: a window metaData whose schema
+        // is a PREFIX of the head's (same names+types in order; head may
+        // append nullable columns) reads old rows under the head schema
+        // with the added columns nulled — delta's own semantics for old
+        // files. Renames/drops/type changes/layout changes refuse.
+        val okSchema = Option(md.get("schemaString")).exists { sj =>
+          scala.util.Try {
+            val mdFields = DataType.fromJson(sj.asText()).asInstanceOf[StructType].fields
+            mdFields.length <= schema.fields.length &&
+              mdFields.zip(schema.fields).forall { case (a, b) =>
+                a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+              }
+          }.getOrElse(false)
+        }
         val samePc = Option(md.get("partitionColumns")).map(_.elements().asScala.map(_.asText()).toSeq)
           .getOrElse(Nil) == partitionCols
-        require(sameSchema && samePc,
+        val sameMapping = Option(md.get("configuration")).flatMap(c =>
+          Option(c.get("delta.columnMapping.mode")).map(_.asText())).getOrElse("none") ==
+          state.configuration.getOrElse("delta.columnMapping.mode", "none")
+        require(okSchema && samePc && sameMapping,
           s"delta: change feed since $sinceVersion unservable — version $v changes the table " +
-            "metadata (schema/partitioning) under the feed; re-baseline with a full read")
+            "metadata (schema/partitioning/column mapping) beyond additive column evolution; " +
+            "re-baseline with a full read")
       }
       def pvOfNode(n: JsonNode): Map[String, Option[String]] =
         Option(n.get("partitionValues")).filterNot(_.isNull).map(_.fields().asScala.map(e =>

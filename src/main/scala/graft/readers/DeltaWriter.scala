@@ -37,9 +37,14 @@ import org.apache.spark.sql.types._
   * committed version of an appId, and the sink skips batches at or
   * below it (idempotent addBatch under retries and restarts).
   *
-  * Schema contract: appends must match the table's existing schema
-  * (names + types, case-insensitive) and partitioning; mismatches
-  * refuse loudly (an evolved-schema write is the connector's job).
+  * Schema contract: writes against an existing table must match its
+  * schema (names + types, case-insensitive) and partitioning;
+  * mismatches refuse loudly. `mergeSchema = true` (delta-spark's
+  * option) admits the ADD-NULLABLE-COLUMNS evolution profile: new
+  * columns append to the schema via a metaData action in the same
+  * commit, old files null them out under the by-name read, frames may
+  * omit non-partition table columns; type changes still refuse (the
+  * connector's widening is out of profile).
   */
 object DeltaWriter {
 
@@ -51,7 +56,7 @@ object DeltaWriter {
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10,
-      replaceWhere: Option[String] = None): Unit = {
+      replaceWhere: Option[String] = None, mergeSchema: Boolean = false): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
@@ -66,24 +71,46 @@ object DeltaWriter {
 
     // against an existing table, the incoming frame must match its
     // schema and partitioning — silently writing a drifted schema
-    // would corrupt every later read
+    // would corrupt every later read. `mergeSchema` (delta-spark's
+    // option) relaxes this to the ADD-NULLABLE-COLUMNS profile: common
+    // columns must keep their exact types (widening stays with the
+    // connector), frame-only columns append to the schema as nullable,
+    // table-only columns may be absent from the frame (the new files
+    // simply lack them — a by-name parquet read nulls them out, the
+    // same way old files null out the added columns)
     val existingHead = if (exists) Some(currentState(spark, table)) else None
     existingHead.foreach { head =>
       val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val got = df.schema
-      val same = expected.fields.length == got.fields.length &&
-        expected.fields.zip(got.fields).forall { case (a, b) =>
-          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+      if (mergeSchema) {
+        val conflicts = got.fields.flatMap { b =>
+          expected.fields.find(_.name.equalsIgnoreCase(b.name))
+            .filter(_.dataType != b.dataType).map(a => (a.name, a.dataType, b.dataType))
         }
-      require(same,
-        s"delta writer: schema mismatch — table has " +
-          s"${expected.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}, " +
-          s"frame has ${got.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}; " +
-          "schema evolution is outside this native writer's profile")
+        require(conflicts.isEmpty,
+          s"delta writer: mergeSchema cannot change column types — " +
+            conflicts.map { case (n, a, b) => s"$n: ${a.simpleString} -> ${b.simpleString}" }
+              .mkString(", ") + "; type widening stays with the connector")
+      } else {
+        val same = expected.fields.length == got.fields.length &&
+          expected.fields.zip(got.fields).forall { case (a, b) =>
+            a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+          }
+        require(same,
+          s"delta writer: schema mismatch — table has " +
+            s"${expected.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}, " +
+            s"frame has ${got.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}; " +
+            "pass mergeSchema = true to add nullable columns (other evolution stays with the connector)")
+      }
       require(head.partitionCols.map(_.toLowerCase) == partitionBy.map(_.toLowerCase) ||
           (partitionBy.isEmpty && head.partitionCols.nonEmpty),
         s"delta writer: partitioning mismatch — table is partitioned by " +
           s"[${head.partitionCols.mkString(",")}], write requested [${partitionBy.mkString(",")}]")
+      // every partition column must ride along in the frame — a merged
+      // append cannot drop the layout's own columns
+      require(head.partitionCols.forall(pc => df.schema.fieldNames.exists(_.equalsIgnoreCase(pc))),
+        s"delta writer: the frame is missing partition column(s) " +
+          s"${head.partitionCols.filterNot(pc => df.schema.fieldNames.exists(_.equalsIgnoreCase(pc))).mkString(",")}")
     }
     val partCols = existingHead.map(_.partitionCols).getOrElse(partitionBy)
 
@@ -141,6 +168,23 @@ object DeltaWriter {
             s""""schemaString":${js(df.schema.json)},""" +
             s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
             s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+        } else if (mergeSchema) {
+          // schema evolution rides THIS commit as a metaData action with
+          // the merged schema (table order first, frame-only columns
+          // appended nullable); id/configuration/createdTime carry over
+          // from the head's own metaData. Re-resolved per attempt so a
+          // rival evolution landing first merges against ITS result.
+          val headNow = currentState(spark, table)
+          val expected = DataType.fromJson(headNow.schemaJson).asInstanceOf[StructType]
+          val newFields = df.schema.fields.filterNot(b =>
+            expected.fields.exists(_.name.equalsIgnoreCase(b.name)))
+          if (newFields.nonEmpty) {
+            val merged = StructType(expected.fields ++ newFields.map(_.copy(nullable = true)))
+            val mdNode = mapper.readTree(headNow.metaJson)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            mdNode.put("schemaString", merged.json)
+            actions += s"""{"metaData":${mdNode.toString}}"""
+          }
         }
         txn.foreach { case (appId, v) =>
           actions += s"""{"txn":{"appId":${js(appId)},"version":$v}}"""
@@ -384,7 +428,7 @@ object DeltaWriter {
 
   private case class LiveFile(path: String, partitionValues: Map[String, String])
   private case class HeadState(schemaJson: String, partitionCols: Seq[String],
-      liveFiles: Seq[LiveFile]) {
+      liveFiles: Seq[LiveFile], metaJson: String = null) {
     def live: Seq[String] = liveFiles.map(_.path)
   }
 
@@ -432,6 +476,7 @@ object DeltaWriter {
       s"delta writer: cannot resolve the head state of $table — no commit jsons or checkpoint")
     var schemaJson: String = null
     var partitionCols: Seq[String] = Nil
+    var metaJson: String = null
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     import scala.jdk.CollectionConverters._
     def applyLine(line: String): Unit = {
@@ -440,6 +485,7 @@ object DeltaWriter {
         schemaJson = Option(m.get("schemaString")).map(_.asText()).getOrElse(schemaJson)
         partitionCols = Option(m.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partitionCols)
+        metaJson = m.toString
       }
       Option(a.get("add")).filterNot(_.isNull).foreach { ad =>
         val p = ad.get("path").asText()
@@ -457,7 +503,7 @@ object DeltaWriter {
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach(applyLine)
     }
     require(schemaJson != null, s"delta writer: no metaData action in $table")
-    HeadState(schemaJson, partitionCols, live.values.toSeq)
+    HeadState(schemaJson, partitionCols, live.values.toSeq, metaJson)
   }
 
   /** Live files whose partition tuple satisfies `predicate`, evaluated

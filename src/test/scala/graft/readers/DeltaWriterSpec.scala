@@ -269,4 +269,35 @@ class DeltaWriterSpec extends SparkSpec {
       } finally downstream.stop()
     } finally broker.close()
   }
+
+  test("mergeSchema appends nullable columns via a metaData action; strict mode still refuses") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwmerge").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    // strict append refuses, naming the option
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((2L, "b", 7)).toDF("id", "name", "score"), t))
+    assert(e.getMessage.contains("mergeSchema"))
+    DeltaWriter.write(spark, Seq((2L, "b", 7)).toDF("id", "name", "score"), t,
+      mergeSchema = true)
+    val df = DeltaReader.read(spark, t)
+    // table order first, the new column appended; old rows null it out
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(df.select("id", "name", "score").collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .sortBy(_._1).toSeq == Seq((1L, "a", None), (2L, "b", Some(7))))
+    // a merged frame may omit a non-partition column: its files simply
+    // lack it and the by-name read nulls it
+    DeltaWriter.write(spark, Seq((3L, 9)).toDF("id", "score"), t, mergeSchema = true)
+    val r3 = DeltaReader.read(spark, t).where("id = 3").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("name")) && r3.getInt(r3.fieldIndex("score")) == 9)
+    // type changes refuse even under mergeSchema
+    val e2 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((4L, "oops")).toDF("id", "score"), t, mergeSchema = true))
+    assert(e2.getMessage.contains("cannot change column types"))
+    // the change feed serves the evolution window (each commit's
+    // metaData states what the head states)
+    val feed = DeltaReader.readChangeFeed(spark, t, -1L)
+    assert(feed.where("_change_type = 'insert'").count() == 3L)
+  }
 }
