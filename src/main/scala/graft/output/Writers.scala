@@ -71,7 +71,8 @@ object Writers {
       case m => m
     }
     graft.readers.IcebergWriter.write(df.sparkSession, df, url, mode = mode,
-      partitionBy = spec.partitionBy)
+      partitionBy = spec.partitionBy,
+      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
     DataRef("iceberg", url, spec.options)
   }
 

@@ -35,6 +35,13 @@ import org.apache.spark.sql.types._
   *    properties, branches): tables are stamped with a
   *    `graft.writer=true` property at create and appends to tables
   *    without the stamp refuse, naming the connector;
+  *  - `mergeSchema = true` admits ADDITIVE column evolution (the Delta
+  *    writer's twin): frame-only columns append to the schema with
+  *    fresh field ids under a new schema-id, old files null them by
+  *    id; merged frames may omit non-partition columns; type changes
+  *    refuse. Field ids equal schema positions across the table's
+  *    whole history (create assigns 1..n, evolution appends) — the
+  *    invariant the partition-spec source-ids and compaction lean on;
   *  - snapshots carry `summary.operation` append/overwrite, a parent
   *    chain and sequence numbers — so `readChangesSince`, the
   *    `graft-iceberg` streaming source and snapshot time travel work
@@ -102,7 +109,8 @@ object IcebergWriter {
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", maxRetries: Int = 10,
       txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -129,10 +137,41 @@ object IcebergWriter {
       }
       val expected = fields.map(fl => (fl.get("name").asText(), fl.get("type").asText()))
       val got = df.schema.fields.toSeq.map(fl => (fl.name, icebergType(fl.dataType)))
-      require(expected == got,
+      if (mergeSchema) {
+        val conflicts = got.filter { case (n, t) => expected.exists(e => e._1 == n && e._2 != t) }
+        require(conflicts.isEmpty,
+          s"iceberg writer: mergeSchema cannot change column types — " +
+            conflicts.map(_._1).mkString(",") + "; type evolution stays with the connector")
+      } else require(expected == got,
         s"iceberg writer: schema mismatch — table has ${expected.mkString(",")}, " +
-          s"frame has ${got.mkString(",")}; schema evolution stays with the connector")
+          s"frame has ${got.mkString(",")}; pass mergeSchema = true to add columns " +
+          "(other evolution stays with the connector)")
     }
+    // merged schema: table fields first — their field ids ARE their
+    // positions (the writer assigns 1..n at create, and additive
+    // evolution appends with last-column-id+1.., so the invariant
+    // holds across the table's whole history) — frame-only columns
+    // appended with fresh ids. A merged frame may omit non-partition
+    // table columns: its data files simply lack those field ids and
+    // the reader's by-id resolution nulls them, exactly like old files
+    // null the added columns.
+    val tableFields: Option[Seq[(String, String)]] = prior.map { meta =>
+      import scala.jdk.CollectionConverters._
+      val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+        .find(s => s.get("schema-id").asInt() == cur).toSeq
+        .flatMap(_.get("fields").elements().asScala)
+        .map(fl => (fl.get("name").asText(), fl.get("type").asText()))
+    }
+    val mergedFields: Seq[(String, DataType)] = tableFields match {
+      case None => df.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
+      case Some(exp) =>
+        exp.map { case (n, t) => (n, sparkTypeOf(t)) } ++
+          df.schema.fields.toSeq.filterNot(fl => exp.exists(_._1 == fl.name))
+            .map(fl => (fl.name, fl.dataType))
+    }
+    val mergedNames = mergedFields.map(_._1)
+    val schemaChanged = tableFields.exists(_.map(_._1) != mergedNames)
     // partitioning: an existing table's DEFAULT spec governs (the Delta
     // writer's stance — an empty partitionBy adopts it, an explicit one
     // must match exactly; partition-spec evolution stays with the
@@ -179,9 +218,10 @@ object IcebergWriter {
     // Spark's partitionBy yields the one-tuple-per-file layout while
     // the data files keep every real column (the spec's rule for
     // identity sources — the reader scans data files as the full table).
-    val withIds = df.select(df.schema.fields.zipWithIndex.map { case (fl, i) =>
+    val withIds = df.select(df.schema.fields.map { fl =>
       df(fl.name).as(fl.name,
-        new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
+        new MetadataBuilder().putLong("parquet.field.id",
+          (mergedNames.indexOf(fl.name) + 1).toLong).build())
     }.toSeq: _*)
     val stagedDf = partCols.foldLeft(withIds)((d, c) => d.withColumn(DupPrefix + c, d(c)))
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
@@ -257,10 +297,31 @@ object IcebergWriter {
         val tableUuid = head.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
           .getOrElse(java.util.UUID.randomUUID().toString)
         val now = System.currentTimeMillis()
-        val schemaFields = df.schema.fields.zipWithIndex.map { case (fl, i) =>
-          s"""{"id": ${i + 1}, "name": ${js(fl.name)}, "required": false, "type": ${js(icebergType(fl.dataType))}}"""
+        val schemaFields = mergedFields.zipWithIndex.map { case ((n, dt), i) =>
+          s"""{"id": ${i + 1}, "name": ${js(n)}, "required": false, "type": ${js(icebergType(dt))}}"""
         }.mkString(", ")
         import scala.jdk.CollectionConverters._
+        // schema history: unchanged writes reuse the head's schemas
+        // verbatim; an additive evolution appends a NEW schema object
+        // with the next schema-id and bumps current-schema-id (old
+        // snapshots keep referencing theirs)
+        val priorSchemas: Seq[String] = head.toSeq.flatMap(m =>
+          Option(m.get("schemas")).toSeq.flatMap(_.elements().asScala).map(_.toString))
+        val priorCurSchemaId = head.flatMap(m =>
+          Option(m.get("current-schema-id")).map(_.asInt())).getOrElse(0)
+        val curSchemaId =
+          if (!exists) 0
+          else if (!schemaChanged) priorCurSchemaId
+          else head.toSeq.flatMap(m => Option(m.get("schemas")).toSeq
+            .flatMap(_.elements().asScala).map(_.get("schema-id").asInt())).maxOption.getOrElse(-1) + 1
+        val schemasJson =
+          if (priorSchemas.isEmpty)
+            s"""[{"schema-id": $curSchemaId, "type": "struct", "fields": [$schemaFields]}]"""
+          else if (schemaChanged)
+            (priorSchemas :+
+              s"""{"schema-id": $curSchemaId, "type": "struct", "fields": [$schemaFields]}""")
+              .mkString("[", ",\n    ", "]")
+          else priorSchemas.mkString("[", ",\n    ", "]")
         val priorSnaps: Seq[String] = head.toSeq.flatMap(m =>
           Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala).map(_.toString))
         val txnProps = txn.map { case (appId, v) =>
@@ -268,7 +329,7 @@ object IcebergWriter {
         }.getOrElse("")
         val newSnap =
           s"""{"snapshot-id": $snapshotId, ${parentId.map(p => s""""parent-snapshot-id": $p, """).getOrElse("")}""" +
-            s""""sequence-number": $seq, "timestamp-ms": $now, "schema-id": 0, """ +
+            s""""sequence-number": $seq, "timestamp-ms": $now, "schema-id": $curSchemaId, """ +
             s""""summary": {"operation": ${js(if (mode == "overwrite" && exists) "overwrite" else "append")}$txnProps}, """ +
             s""""manifest-list": ${js(listPath)}}"""
         val priorLog: Seq[String] = head.toSeq.flatMap(m =>
@@ -280,14 +341,14 @@ object IcebergWriter {
              |  "location": ${js(table.stripSuffix("/"))},
              |  "last-sequence-number": $seq,
              |  "last-updated-ms": $now,
-             |  "last-column-id": ${df.schema.fields.length},
-             |  "current-schema-id": 0,
-             |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [$schemaFields]}],
+             |  "last-column-id": ${mergedFields.length},
+             |  "current-schema-id": $curSchemaId,
+             |  "schemas": $schemasJson,
              |  "default-spec-id": 0,
              |  "partition-specs": [{"spec-id": 0, "fields": [${
                   partCols.zipWithIndex.map { case (c, i) =>
                     s"""{"name": ${js(c)}, "transform": "identity", """ +
-                      s""""source-id": ${df.schema.fieldNames.indexOf(c) + 1}, "field-id": ${1000 + i}}"""
+                      s""""source-id": ${mergedNames.indexOf(c) + 1}, "field-id": ${1000 + i}}"""
                   }.mkString(", ")}]}],
              |  "last-partition-id": ${999 + partCols.size},
              |  "default-sort-order-id": 0,

@@ -193,6 +193,39 @@ class IcebergWriterSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("mergeSchema: additive evolution under fresh field ids; by-id nulls both directions; strict mode refuses") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwmerge").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val e = intercept[Exception](IcebergWriter.write(spark,
+      Seq((2L, "b", 7)).toDF("id", "name", "score"), t))
+    assert(e.getMessage.contains("mergeSchema"))
+    IcebergWriter.write(spark, Seq((2L, "b", 7)).toDF("id", "name", "score"), t,
+      mergeSchema = true)
+    val df = IcebergReader.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(7))))
+    // a merged frame may omit a non-partition column — its files lack
+    // that field id and the by-id read nulls it
+    IcebergWriter.write(spark, Seq((3L, 9)).toDF("id", "score"), t, mergeSchema = true)
+    val r3 = IcebergReader.read(spark, t).where("id = 3").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("name")) && r3.getInt(r3.fieldIndex("score")) == 9)
+    // type changes refuse even merged
+    val e2 = intercept[Exception](IcebergWriter.write(spark,
+      Seq((4L, "oops")).toDF("id", "score"), t, mergeSchema = true))
+    assert(e2.getMessage.contains("cannot change column types"))
+    // the schema history is recorded: a new schema-id is current, the
+    // creation schema object survives for its snapshots
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    import scala.jdk.CollectionConverters._
+    val ids = meta.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).toSeq
+    assert(ids == Seq(0, 1) && meta.get("current-schema-id").asInt() == 1)
+    assert(meta.get("last-column-id").asInt() == 3)
+  }
+
   test("compact rewrites multi-file groups as a replace snapshot; expireSnapshots reclaims only unshared files") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
