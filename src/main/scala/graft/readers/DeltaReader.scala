@@ -369,7 +369,8 @@ object DeltaReader {
     * typed literals; no shuffle, no driver row funnel. */
   def readChangeFeed(spark: SparkSession, table: String, sinceVersion: Long,
       filter: Option[String] = None,
-      maxLiveFiles: Int = DefaultMaxLiveFiles): DataFrame = {
+      maxLiveFiles: Int = DefaultMaxLiveFiles,
+      endVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_millis}
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -389,10 +390,16 @@ object DeltaReader {
     val cpV =
       if (!f.exists(lastCp)) -1L
       else { val in = f.open(lastCp); try mapper.readTree(in).get("version").asLong() finally in.close() }
-    val head = math.max(cpV, commitStatuses.map(_._1).maxOption.getOrElse(-1L))
-    require(head >= 0, s"delta: empty _delta_log at $logDir")
+    val tableHead = math.max(cpV, commitStatuses.map(_._1).maxOption.getOrElse(-1L))
+    require(tableHead >= 0, s"delta: empty _delta_log at $logDir")
+    // an explicit end bounds the window (the table_changes
+    // (start, end) form); the head STATE still governs schema/gates —
+    // conservative for post-end evolution (refuses, never mislabels)
+    endVersion.foreach(e => require(e >= 0 && e <= tableHead,
+      s"delta: change feed endVersion $e outside the log (head $tableHead)"))
+    val head = endVersion.getOrElse(tableHead)
     require(sinceVersion <= head,
-      s"delta: change feed since version $sinceVersion requested but table head is $head")
+      s"delta: change feed since version $sinceVersion requested but window end is $head")
     def resolve(p: String): String = {
       val decoded = PathKeys.percentDecode(p)
       if (decoded.contains("://") || decoded.startsWith("/")) decoded
@@ -1280,7 +1287,8 @@ class DeltaReaderImpl extends Reader {
       // row-level change feed (cdc actions + add/remove derivation),
       // tagged _change_type/_commit_version/_commit_timestamp
       DeltaReader.readChangeFeed(spark, ref.url, ref.options("changeFeedSince").toLong,
-        filter = ref.options.get("filter"))
+        filter = ref.options.get("filter"),
+        endVersion = ref.options.get("changeFeedEnd").map(_.toLong))
     else if (ref.options.contains("changesSince"))
       // incremental batch read: rows added after the given version,
       // tagged _commit_version/_commit_timestamp (always eager — the

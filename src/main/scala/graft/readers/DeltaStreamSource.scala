@@ -56,7 +56,7 @@ class DeltaStreamProvider extends StreamSourceProvider with StreamSinkProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters, metadataPath)
 
   /** Streaming SINK: exactly-once Delta appends via the writer's txn
     * action — a batch id at or below the table's committed txn version
@@ -96,18 +96,54 @@ private[readers] case class DeltaVersionOffset(version: Long) extends V1Offset {
 }
 
 private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String], metadataPath: String = "") extends Source {
 
   private val schema0 = DeltaReader.schemaOf(spark, table)
   private val skipChangeCommits =
     options.get("skip_change_commits").exists(_.toBoolean)
   private val startingVersion = options.get("startingVersion")
     .orElse(options.get("starting_version"))
+  // admission control: at most N versions per micro-batch (the commit
+  // is this profile's atomic arrival unit — sub-version slicing would
+  // need file-index offsets). A long catch-up then lands in bounded
+  // chunks instead of one giant scan.
+  private val maxVersions = options.get("max_versions_per_trigger")
+    .orElse(options.get("maxVersionsPerTrigger")).map(_.toInt)
+  maxVersions.foreach(n => require(n >= 1,
+    s"graft-delta: max_versions_per_trigger must be >= 1 (got $n)"))
+  private var lastEndSeen: Option[Long] = None
+
+  // a numeric startingVersion may seed the cap only for a provably
+  // FRESH query: after a restart the committed offset (recovered via
+  // getBatch) must win, or the cap could offer an offset BEHIND the
+  // checkpoint — a regression the offset log would record, re-emitting
+  // rows on the next restart. Fresh = the query's offsets log is still
+  // empty (createSource runs before the first offset write).
+  private lazy val freshQuery: Boolean = scala.util.Try {
+    metadataPath.isEmpty || {
+      val off = new Path(new Path(metadataPath).getParent.getParent, "offsets")
+      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(off) || fs.listStatus(off).isEmpty
+    }
+  }.getOrElse(false)
 
   override def schema: StructType = schema0
 
-  override def getOffset: Option[V1Offset] =
-    Some(DeltaVersionOffset(DeltaReader.currentVersion(spark, table)))
+  override def getOffset: Option[V1Offset] = {
+    val cur = DeltaReader.currentVersion(spark, table)
+    // the cap anchors on the last offered/committed end (recovered from
+    // the checkpoint via getBatch on restart), or on a numeric
+    // startingVersion for a fresh query; the no-anchor first batch is
+    // the snapshot read — a single quantum regardless
+    val anchor = lastEndSeen.orElse(
+      if (freshQuery) startingVersion.filter(_ != "latest").map(_.toLong - 1) else None)
+    val offered = (maxVersions, anchor) match {
+      case (Some(n), Some(a)) => math.max(a, math.min(cur, a + n))
+      case _                  => cur
+    }
+    lastEndSeen = Some(offered)
+    Some(DeltaVersionOffset(offered))
+  }
 
   private def ver(o: V1Offset): Long = o match {
     case DeltaVersionOffset(v) => v
@@ -119,6 +155,7 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = ver(end)
+    lastEndSeen = Some(lastEndSeen.fold(endV)(math.max(_, endV)))
     val batch = start match {
       case Some(s) => changesBatch(ver(s), endV)
       case None => startingVersion match {

@@ -50,7 +50,7 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters, metadataPath)
 
   /** Streaming SINK (the graft-delta sink's twin): exactly-once via
     * `graft.txn.*` snapshot-summary markers — a batch id at or below
@@ -89,12 +89,31 @@ private[readers] case class IcebergSnapshotOffset(snapshotId: Long) extends V1Of
 }
 
 private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String], metadataPath: String = "") extends Source {
 
   private val schema0 = IcebergReader.read(spark, table, schemaOnly = true).schema
   private val skipDeleteSnapshots =
     options.get("skip_delete_snapshots").exists(_.toBoolean)
   private val startingSnapshot = options.get("starting_snapshot_id")
+  // admission control (the graft-delta source's twin): at most N
+  // ancestry snapshots per micro-batch — a long catch-up lands in
+  // bounded chunks
+  private val maxSnapshots = options.get("max_snapshots_per_trigger").map(_.toInt)
+  maxSnapshots.foreach(n => require(n >= 1,
+    s"graft-iceberg: max_snapshots_per_trigger must be >= 1 (got $n)"))
+  private var lastEndSeen: Option[Long] = None
+
+  // see DeltaStreamSource.freshQuery: a starting anchor may seed the
+  // cap only before the first offset is logged, or a restart could
+  // offer an offset behind the checkpoint
+  private lazy val freshQuery: Boolean = scala.util.Try {
+    metadataPath.isEmpty || {
+      val off = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(metadataPath).getParent.getParent, "offsets")
+      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(off) || fs.listStatus(off).isEmpty
+    }
+  }.getOrElse(false)
 
   override def schema: StructType = schema0
 
@@ -105,8 +124,40 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val m = meta()
-    Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
-      .map(IcebergSnapshotOffset(_))
+    val cur = Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val offered = (cur, maxSnapshots) match {
+      case (Some(c), Some(n)) =>
+        val anchor = lastEndSeen.orElse(
+          if (freshQuery) startingSnapshot.filter(_ != "latest").map(_.toLong) else None)
+        anchor.filter(_ != c) match {
+          case None => cur // fresh full-snapshot batch: a single quantum
+          case Some(a) =>
+            // ancestry from the head back to the anchor; the offered end
+            // is n steps FORWARD of the anchor along that chain. A
+            // non-ancestor anchor offers the head and lets getBatch
+            // refuse with its re-baseline error.
+            import scala.jdk.CollectionConverters._
+            val snapsById = Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+              .map(s => s.get("snapshot-id").asLong() -> s).toMap
+            val chain = scala.collection.mutable.ArrayBuffer[Long]()
+            var cursor: Option[Long] = Some(c)
+            var found = false
+            while (cursor.isDefined && !found) {
+              val id = cursor.get
+              if (id == a) found = true
+              else {
+                chain += id
+                cursor = snapsById.get(id).flatMap(s =>
+                  Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()))
+              }
+            }
+            if (!found) Some(c)
+            else chain.reverse.take(n).lastOption.orElse(Some(c))
+        }
+      case _ => cur
+    }
+    offered.foreach(o => lastEndSeen = Some(o))
+    offered.map(IcebergSnapshotOffset(_))
   }
 
   private def ver(o: V1Offset): Long = o match {
@@ -119,6 +170,7 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endId = ver(end)
+    lastEndSeen = Some(endId)
     val batch = start match {
       case Some(s) => changesBatch(ver(s), endId)
       case None => startingSnapshot match {

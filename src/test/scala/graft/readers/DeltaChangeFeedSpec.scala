@@ -167,13 +167,21 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(e5.getMessage.contains("partitionValues"))
   }
 
-  test("registry option changeFeedSince routes a DataRef read through the feed") {
+  test("registry option changeFeedSince routes a DataRef read through the feed; endVersion bounds it") {
     import spark.implicits._
     val t = Files.createTempDirectory("cdfreg").toString
     DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
     DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
     val df = new DeltaReaderImpl().read(spark,
       DataRef("delta", t, Map("changeFeedSince" -> "0", "filter" -> "id = 2")))
     assert(feedRows(df) == Seq((2L, "insert", 1L)))
+    // a bounded window (0, 1] excludes version 2's insert
+    val bounded = new DeltaReaderImpl().read(spark,
+      DataRef("delta", t, Map("changeFeedSince" -> "0", "changeFeedEnd" -> "1")))
+    assert(feedRows(bounded) == Seq((2L, "insert", 1L)))
+    val e = intercept[Exception](DeltaReader.readChangeFeed(spark, t, 0L,
+      endVersion = Some(99L)).count())
+    assert(e.getMessage.contains("outside the log"))
   }
 }

@@ -180,4 +180,28 @@ class DeltaStreamSpec extends SparkSpec {
       assert(chain(e).exists(_.contains("schema must be constant")), chain(e).mkString("|"))
     } finally q.stop()
   }
+
+  test("max_versions_per_trigger paces a fresh catch-up in bounded micro-batches") {
+    val t = baseTable()
+    writeParquetFile(t, "f1.parquet", Seq((3L, "c")))
+    writeParquetFile(t, "f2.parquet", Seq((4L, "d")))
+    writeParquetFile(t, "f3.parquet", Seq((5L, "e")))
+    writeCommit(t, 1, Seq(addAction("f1.parquet")))
+    writeCommit(t, 2, Seq(addAction("f2.parquet")))
+    writeCommit(t, 3, Seq(addAction("f3.parquet")))
+    // startingVersion=1 + cap 1: the catch-up 1..3 must land as THREE
+    // one-version batches, not one
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "1").option("max_versions_per_trigger", "1")
+      .load(t.toString)
+      .writeStream.format("memory").queryName("ds_paced")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM ds_paced").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(3L, 4L, 5L))
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty == 3, s"expected 3 paced batches, saw $nonEmpty")
+    } finally q.stop()
+  }
 }

@@ -209,4 +209,31 @@ class IcebergStreamSpec extends SparkSpec {
       assert(spark.table("is_latest").isEmpty)
     } finally q2.stop()
   }
+
+  test("max_snapshots_per_trigger paces a fresh catch-up along the ancestry") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("ispaced").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val first = {
+      import scala.jdk.CollectionConverters._
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+        .get("snapshots").elements().asScala.next().get("snapshot-id").asLong()
+    }
+    IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    IcebergWriter.write(spark, Seq((4L, "d")).toDF("id", "name"), t)
+    val q = spark.readStream.format("graft-iceberg")
+      .option("starting_snapshot_id", first.toString)
+      .option("max_snapshots_per_trigger", "1").load(t)
+      .writeStream.format("memory").queryName("is_paced")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM is_paced").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 3L, 4L))
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty == 3, s"expected 3 paced batches, saw $nonEmpty")
+    } finally q.stop()
+  }
 }
