@@ -41,6 +41,17 @@ import org.apache.spark.sql.types._
   * making the frame a bounded, deterministic batch (the reference's
   * bounded-consume semantics; streaming belongs to the gated source).
   *
+  * Fetch SESSIONS (KIP-227, Fetch v7+) are deliberately not spoken:
+  * their incremental saving is omitting UNCHANGED partitions from
+  * follow-up requests, which pays off for consumers multiplexing many
+  * mostly-idle partitions over one connection. This reader fetches
+  * exactly one partition per connection and every request advances
+  * that partition's position, so an incremental request would always
+  * carry the one changed partition anyway — the saving collapses to
+  * the topic-name bytes (~30 B) against multi-MB responses. Full
+  * Fetch v4 requests keep the wire format simpler and every broker
+  * generation serves them.
+  *
   * Columns mirror spark-sql-kafka: key/value binary, topic, partition,
   * offset, timestamp, timestampType, headers array<struct<key,value>>.
   */
