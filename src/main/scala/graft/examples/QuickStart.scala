@@ -140,6 +140,33 @@ object QuickStart {
         s"then ${spark.table("qs_tail").count() - n0} more from the live append")
     } finally tail.stop()
 
+    // 13. Row-level change feed + lifecycle on the same table: evolve
+    // the schema additively, compact, and read the whole history as
+    // typed changes — overwrites surface as delete+insert pairs
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(300, 302).selectExpr("id", "cast(id % 3 AS int) AS p", "'fresh' AS tag"),
+      dt, mergeSchema = true)
+    graft.readers.DeltaWriter.compact(spark, dt)
+    val feed = graft.readers.DeltaReader.readChangeFeed(spark, dt, 2L)
+    println(s"[13] change feed since v2: " +
+      feed.groupBy("_change_type").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ") +
+      " (the OPTIMIZE commit is invisible — dataChange=false)")
+
+    // 14. Native Iceberg: identity-partitioned write, snapshot
+    // compaction, history expiry — written tables prune immediately
+    val it = java.nio.file.Files.createTempDirectory("qs_iceberg").toString
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(0, 20).selectExpr("id", "cast(id % 2 AS int) AS p"),
+      it, partitionBy = Seq("p"))
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(20, 30).selectExpr("id", "cast(id % 2 AS int) AS p"), it)
+    val groupsCompacted = graft.readers.IcebergWriter.compact(spark, it)
+    val expired = graft.readers.IcebergWriter.expireSnapshots(spark, it, keepLast = 1)
+    println(s"[14] native Iceberg: $groupsCompacted partition groups compacted, " +
+      s"$expired snapshots expired, " +
+      s"${graft.readers.IcebergReader.read(spark, it, filter = Some("p = 1")).count()} rows in p=1")
+
     spark.stop()
     println("QuickStart OK")
   }

@@ -582,7 +582,12 @@ object IcebergWriter {
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[LiveEntry] = try {
       multi.zipWithIndex.map { case (group, gi) =>
-        val df = spark.read.parquet(group.map(_.path): _*)
+        // read under the EXPLICIT current schema: after additive
+        // evolution a group mixes files with and without the new
+        // columns, and letting parquet sample one file's schema would
+        // silently drop the others' columns from the rewrite
+        val readSchema = StructType(schemaFields.map { case (n, dt) => StructField(n, dt) })
+        val df = spark.read.schema(readSchema).parquet(group.map(_.path): _*)
         val withIds = df.select(schemaFields.zipWithIndex.map { case ((n, _), i) =>
           df(n).as(n, new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
         }: _*)
@@ -632,7 +637,9 @@ object IcebergWriter {
     * refuse afterwards with the reader's existing re-baseline errors.
     * Streaming-sink txn markers riding expired snapshots vanish with
     * them (the rollback caveat) — keep at least one recent snapshot
-    * per active sink app. Returns the number of snapshots expired. */
+    * per active sink app. Crashed-write `_staging_*` leftovers age out
+    * under the Delta vacuum's 7-day cutoff. Returns the number of
+    * snapshots expired. */
   def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
       maxRetries: Int = 10): Int = {
     require(keepLast >= 1, s"iceberg expireSnapshots: keepLast must be >= 1 (got $keepLast)")
@@ -684,6 +691,16 @@ object IcebergWriter {
         // best-effort (a missing file is already reclaimed)
         ((eLists -- rLists) ++ (eManifests -- rManifests) ++ (eData -- rData))
           .foreach(p => scala.util.Try(f.delete(new Path(p), false)))
+        // staging leftovers from crashed writes age out under the same
+        // 7-day cutoff the Delta vacuum applies to its own staging dirs
+        val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+        scala.util.Try {
+          f.listStatus(new Path(table.stripSuffix("/"))).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.startsWith("_staging_") &&
+                st.getModificationTime < cutoff)
+              f.delete(st.getPath, true)
+          }
+        }
         return expired.size
       }
       attempt += 1

@@ -224,6 +224,14 @@ class IcebergWriterSpec extends SparkSpec {
     val ids = meta.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).toSeq
     assert(ids == Seq(0, 1) && meta.get("current-schema-id").asInt() == 1)
     assert(meta.get("last-column-id").asInt() == 3)
+    // compacting the evolved table must NOT lose the new column: the
+    // group mixes pre- and post-evolution files, and a sampled parquet
+    // schema would silently drop `score` from the rewrite
+    assert(IcebergWriter.compact(spark, t) == 1)
+    val after = IcebergReader.read(spark, t).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1).toSeq
+    assert(after == Seq((1L, "a", None), (2L, "b", Some(7)), (3L, null, Some(9))))
   }
 
   test("compact rewrites multi-file groups as a replace snapshot; expireSnapshots reclaims only unshared files") {
@@ -252,7 +260,16 @@ class IcebergWriterSpec extends SparkSpec {
     // a changes window that PRE-dates the compaction but not the adds:
     // the replace contributes nothing
     assert(IcebergReader.readChangesSince(spark, t, snapB).count() == 0L)
+    // a crashed write's staging dir ages out with expiry; a fresh one
+    // (a write possibly in flight) survives
+    val oldStage = java.nio.file.Paths.get(s"$t/_staging_dead")
+    val newStage = java.nio.file.Paths.get(s"$t/_staging_live")
+    java.nio.file.Files.createDirectories(oldStage)
+    java.nio.file.Files.createDirectories(newStage)
+    java.nio.file.Files.setLastModifiedTime(oldStage,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
     assert(IcebergWriter.expireSnapshots(spark, t, keepLast = 1) == 2)
+    assert(!java.nio.file.Files.exists(oldStage) && java.nio.file.Files.exists(newStage))
     assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
     // expired time travel refuses; unshared files reclaimed (p=1's two
