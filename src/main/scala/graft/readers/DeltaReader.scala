@@ -459,8 +459,15 @@ object DeltaReader {
         Option(n.get("partitionValues")).filterNot(_.isNull).map(_.fields().asScala.map(e =>
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap)
           .getOrElse(Map.empty)
-      def hasPv(n: JsonNode): Boolean =
-        Option(n.get("partitionValues")).exists(!_.isNull)
+      // a usable remove tuple must COVER every partition column (keys
+      // may map to null — a null partition value — but an absent key
+      // means the tuple is unrecoverable and deriving would emit rows
+      // into the wrong (null) partition)
+      def coversPartitions(n: JsonNode): Boolean = {
+        val pvm = pvOfNode(n)
+        partitionCols.forall(pc =>
+          pvm.contains(physNameOf(schema(pc), mapped)) || pvm.contains(pc))
+      }
       def isDataChange(n: JsonNode): Boolean =
         Option(n.get("dataChange")).forall(x => x.isNull || x.asBoolean())
       val cdcs = lines.flatMap(a => Option(a.get("cdc")).filterNot(_.isNull))
@@ -476,10 +483,11 @@ object DeltaReader {
               "on the writer or re-baseline with a full read")
         }
         removes.foreach { rm =>
-          require(partitionCols.isEmpty || hasPv(rm),
+          require(partitionCols.isEmpty || coversPartitions(rm),
             s"delta: change feed since $sinceVersion unservable — version $v removes " +
-              s"'${rm.get("path").asText()}' without partitionValues (data files do not store " +
-              "partition columns, so the tuple is unrecoverable); re-baseline with a full read")
+              s"'${rm.get("path").asText()}' without a full partitionValues tuple (data files " +
+              "do not store partition columns, so the tuple is unrecoverable); re-baseline " +
+              "with a full read")
           val p = resolve(rm.get("path").asText())
           require(f.exists(new Path(p)),
             s"delta: change feed since $sinceVersion unservable — version $v removed '$p' " +

@@ -117,15 +117,8 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
   // FRESH query: after a restart the committed offset (recovered via
   // getBatch) must win, or the cap could offer an offset BEHIND the
   // checkpoint — a regression the offset log would record, re-emitting
-  // rows on the next restart. Fresh = the query's offsets log is still
-  // empty (createSource runs before the first offset write).
-  private lazy val freshQuery: Boolean = scala.util.Try {
-    metadataPath.isEmpty || {
-      val off = new Path(new Path(metadataPath).getParent.getParent, "offsets")
-      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !fs.exists(off) || fs.listStatus(off).isEmpty
-    }
-  }.getOrElse(false)
+  // rows on the next restart.
+  private lazy val freshQuery: Boolean = StreamAnchors.freshQuery(spark, metadataPath)
 
   override def schema: StructType = schema0
 
@@ -220,4 +213,20 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** Shared by the graft-delta and graft-iceberg sources: a starting
+  * anchor may seed the admission-control cap only BEFORE the query's
+  * first offset is logged (createSource runs before the first offset
+  * write) — anchoring a restarted query on its starting option could
+  * offer an offset behind the checkpoint, an offset regression that
+  * re-emits rows on the next restart. */
+private[readers] object StreamAnchors {
+  def freshQuery(spark: SparkSession, metadataPath: String): Boolean = scala.util.Try {
+    metadataPath.isEmpty || {
+      val off = new Path(new Path(metadataPath).getParent.getParent, "offsets")
+      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(off) || fs.listStatus(off).isEmpty
+    }
+  }.getOrElse(false)
 }

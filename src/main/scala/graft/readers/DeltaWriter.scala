@@ -176,6 +176,18 @@ object DeltaWriter {
           // rival evolution landing first merges against ITS result.
           val headNow = currentState(spark, table)
           val expected = DataType.fromJson(headNow.schemaJson).asInstanceOf[StructType]
+          // the up-front conflict check ran against the PRE-race head;
+          // a rival evolution may have landed a same-named column of a
+          // different type since — the staged files would then violate
+          // the table schema, so the check re-runs per attempt
+          val conflicts = df.schema.fields.flatMap { b =>
+            expected.fields.find(_.name.equalsIgnoreCase(b.name))
+              .filter(_.dataType != b.dataType).map(_.name)
+          }
+          require(conflicts.isEmpty,
+            s"delta writer: the schema of $table changed under this write (a concurrent " +
+              s"evolution landed conflicting type(s) for ${conflicts.mkString(",")}); " +
+              "re-run the write against the new schema")
           val newFields = df.schema.fields.filterNot(b =>
             expected.fields.exists(_.name.equalsIgnoreCase(b.name)))
           if (newFields.nonEmpty) {

@@ -103,17 +103,10 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
     s"graft-iceberg: max_snapshots_per_trigger must be >= 1 (got $n)"))
   private var lastEndSeen: Option[Long] = None
 
-  // see DeltaStreamSource.freshQuery: a starting anchor may seed the
+  // see [[StreamAnchors.freshQuery]]: a starting anchor may seed the
   // cap only before the first offset is logged, or a restart could
   // offer an offset behind the checkpoint
-  private lazy val freshQuery: Boolean = scala.util.Try {
-    metadataPath.isEmpty || {
-      val off = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(metadataPath).getParent.getParent, "offsets")
-      val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !fs.exists(off) || fs.listStatus(off).isEmpty
-    }
-  }.getOrElse(false)
+  private lazy val freshQuery: Boolean = StreamAnchors.freshQuery(spark, metadataPath)
 
   override def schema: StructType = schema0
 

@@ -106,6 +106,20 @@ object IcebergWriter {
     last
   }
 
+  /** Field nodes of the metadata's CURRENT schema (the one
+    * current-schema-id names) — the one walk every schema consumer
+    * shares. */
+  private def currentSchemaFieldNodes(meta: JsonNode): Seq[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+      .find(s => s.get("schema-id").asInt() == cur).toSeq
+      .flatMap(_.get("fields").elements().asScala)
+  }
+  private def currentSchemaNameTypes(meta: JsonNode): Seq[(String, String)] =
+    currentSchemaFieldNodes(meta).map(fl =>
+      (fl.get("name").asText(), fl.get("type").asText()))
+
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", maxRetries: Int = 10,
       txn: Option[(String, Long)] = None,
@@ -129,13 +143,7 @@ object IcebergWriter {
         s"iceberg writer: $table was not written by this writer — regenerating its " +
           "metadata would drop state this model does not carry (sort orders, branches, " +
           "properties); write it with the iceberg-spark connector")
-      val fields = Option(meta.get("schemas")).toSeq.flatMap { ss =>
-        import scala.jdk.CollectionConverters._
-        val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-        ss.elements().asScala.find(s => s.get("schema-id").asInt() == cur).toSeq
-          .flatMap(_.get("fields").elements().asScala)
-      }
-      val expected = fields.map(fl => (fl.get("name").asText(), fl.get("type").asText()))
+      val expected = currentSchemaNameTypes(meta)
       val got = df.schema.fields.toSeq.map(fl => (fl.name, icebergType(fl.dataType)))
       if (mergeSchema) {
         val conflicts = got.filter { case (n, t) => expected.exists(e => e._1 == n && e._2 != t) }
@@ -155,14 +163,7 @@ object IcebergWriter {
     // table columns: its data files simply lack those field ids and
     // the reader's by-id resolution nulls them, exactly like old files
     // null the added columns.
-    val tableFields: Option[Seq[(String, String)]] = prior.map { meta =>
-      import scala.jdk.CollectionConverters._
-      val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-      Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
-        .find(s => s.get("schema-id").asInt() == cur).toSeq
-        .flatMap(_.get("fields").elements().asScala)
-        .map(fl => (fl.get("name").asText(), fl.get("type").asText()))
-    }
+    val tableFields: Option[Seq[(String, String)]] = prior.map(currentSchemaNameTypes)
     val mergedFields: Seq[(String, DataType)] = tableFields match {
       case None => df.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
       case Some(exp) =>
@@ -265,6 +266,23 @@ object IcebergWriter {
       while (!committed) {
         val head = if (!exists) None
           else Some(mapper.readTree(IcebergReader.metadataText(table, conf)))
+        // concurrency guard, re-run per attempt: the staged parquet
+        // footers carry field ids from the merge computed BEFORE
+        // staging. If a rival evolution landed since (the head schema
+        // no longer derives the same merged layout), those ids would
+        // bind to the RIVAL's columns — publishing would be silent
+        // by-id corruption, so refuse and let the caller re-run.
+        head.foreach { m =>
+          val nowFields = currentSchemaNameTypes(m)
+          val nowMerged = nowFields.map(_._1) ++
+            df.schema.fieldNames.toSeq.filterNot(n => nowFields.exists(_._1 == n))
+          val typesAgree = nowFields.forall { case (n, t) =>
+            mergedFields.exists { case (mn, mdt) => mn == n && icebergType(mdt) == t } }
+          require(nowMerged == mergedNames && typesAgree,
+            s"iceberg writer: the schema of $table changed under this write (a concurrent " +
+              "evolution landed) — the staged files' field ids would bind to the wrong " +
+              "columns; re-run the write against the new schema")
+        }
         val lastSeq = head.flatMap(m => Option(m.get("last-sequence-number")).map(_.asLong()))
           .getOrElse(0L)
         val seq = lastSeq + 1
@@ -488,10 +506,7 @@ object IcebergWriter {
     * its own schema. */
   private def tablePartFields(meta: JsonNode): Seq[StructField] = {
     import scala.jdk.CollectionConverters._
-    val byId = Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
-      .filter(s => s.get("schema-id").asInt() ==
-        Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0))
-      .flatMap(_.get("fields").elements().asScala)
+    val byId = currentSchemaFieldNodes(meta)
       .map(fl => fl.get("id").asInt() -> (fl.get("name").asText(), fl.get("type").asText()))
       .toMap
     val cur = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
@@ -570,14 +585,8 @@ object IcebergWriter {
 
     // rewrite each multi-file group next to its sources (one tuple per
     // group by construction, so the dir layout is preserved)
-    val schemaFields: Seq[(String, DataType)] = {
-      import scala.jdk.CollectionConverters._
-      Option(meta0.get("schemas")).toSeq.flatMap(_.elements().asScala)
-        .filter(s => s.get("schema-id").asInt() ==
-          Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0))
-        .flatMap(_.get("fields").elements().asScala)
-        .map(fl => fl.get("name").asText() -> sparkTypeOf(fl.get("type").asText()))
-    }
+    val schemaFields: Seq[(String, DataType)] =
+      currentSchemaNameTypes(meta0).map { case (n, t) => n -> sparkTypeOf(t) }
     val rewrittenSources = multi.flatMap(_.map(_.path)).toSet
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[LiveEntry] = try {
@@ -731,7 +740,10 @@ object IcebergWriter {
     parentId.foreach(p => newSnap.put("parent-snapshot-id", p))
     newSnap.put("sequence-number", seq)
     newSnap.put("timestamp-ms", now)
-    newSnap.put("schema-id", 0)
+    // bind the snapshot to the schema its rewritten files carry — the
+    // CURRENT one, not the creation schema
+    newSnap.put("schema-id",
+      Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0))
     val summary = newSnap.putObject("summary")
     summary.put("operation", operation)
     txnProps.foreach { case (k, v) => summary.put(k, v) }

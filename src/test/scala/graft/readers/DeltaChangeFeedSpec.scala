@@ -165,6 +165,18 @@ class DeltaChangeFeedSpec extends SparkSpec {
     writeCommit(t5, 1, Seq(commitInfo(2), removeAction("f0.parquet", pv = None)))
     val e5 = intercept[Exception](DeltaReader.readChangeFeed(spark, t5.toString, 0L))
     assert(e5.getMessage.contains("partitionValues"))
+    // …and an EMPTY tuple is just as unrecoverable as a missing one —
+    // deriving would emit the deletes into the (null) partition
+    val t6 = Files.createTempDirectory("cdfemptypv")
+    writeParquetFile(t6, "f0.parquet", Seq((1L, "a")))
+    writeParquetFile(t6, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t6, 0, Seq(protocolAction,
+      metaAction(schema = partSchema, partitionCols = Seq("p")),
+      addAction("f0.parquet", pv = """{"p":"1"}"""),
+      addAction("f1.parquet", pv = """{"p":"2"}""")))
+    writeCommit(t6, 1, Seq(commitInfo(2), removeAction("f0.parquet", pv = Some("{}"))))
+    val e6 = intercept[Exception](DeltaReader.readChangeFeed(spark, t6.toString, 0L))
+    assert(e6.getMessage.contains("partitionValues"))
   }
 
   test("registry option changeFeedSince routes a DataRef read through the feed; endVersion bounds it") {
