@@ -124,9 +124,12 @@ object IcebergWriter {
       mode: String = "append", maxRetries: Int = 10,
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil,
-      mergeSchema: Boolean = false): Unit = {
+      mergeSchema: Boolean = false,
+      replaceWhere: Option[String] = None): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
+    require(replaceWhere.isEmpty || mode == "overwrite",
+      "iceberg writer: replaceWhere requires mode = overwrite")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val metaDir = new Path(table.stripSuffix("/") + "/metadata")
@@ -214,6 +217,23 @@ object IcebergWriter {
       fl
     }
 
+    // replaceWhere (partition-scoped overwrite, the Delta writer's
+    // stance): the predicate must cover ONLY partition columns — exact
+    // per-file evaluation is then possible — and every incoming row
+    // must satisfy it, or rows would land in partitions the overwrite
+    // claims not to touch
+    replaceWhere.foreach { rw =>
+      require(partCols.nonEmpty, "iceberg writer: replaceWhere needs a partitioned table")
+      val refs = FileSkipping.conjuncts(rw).flatMap(FileSkipping.usableRefs).flatten.toSet
+      require(refs.nonEmpty && refs.subsetOf(partCols.map(_.toLowerCase).toSet),
+        s"iceberg writer: replaceWhere '$rw' must reference partition columns only " +
+          s"([${partCols.mkString(",")}]); data-column predicates need the connector's row rewrite")
+      val violating = df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count()
+      require(violating == 0,
+        s"iceberg writer: incoming rows violate replaceWhere '$rw' — they would land " +
+          "outside the partitions being replaced")
+    }
+
     // 1. stage data files with field ids in the parquet footers.
     // Partition columns are DUPLICATED under a staging-only prefix so
     // Spark's partitionBy yields the one-tuple-per-file layout while
@@ -289,10 +309,24 @@ object IcebergWriter {
         val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
         val parentId = head.flatMap(m => Option(m.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L))
-        val manifest = writeManifest(spark, f, table, snapshotId,
-          moved.map { case (p, sz, rc, tuple) =>
-            (p, sz, rc, partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
-          }, partFields)
+        val movedRows = moved.map { case (p, sz, rc, tuple) =>
+          (p, sz, rc, partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
+        }
+        val manifestRows = (replaceWhere, head) match {
+          case (Some(rw), Some(m)) =>
+            // partition-scoped overwrite: the merged manifest carries
+            // the SURVIVING live entries next to the new files —
+            // re-resolved per attempt, so a lost race never tombstones
+            // stale state (the Delta twin's discipline). Sequence
+            // numbers reset like compact's merge; safe absent delete
+            // files, which the profile excludes.
+            val live = liveEntries(spark, m, table)
+            val doomed = matchingEntryPaths(spark, live, partFields, rw)
+            live.filterNot(e => doomed.contains(e.path)).map(e =>
+              (e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields))) ++ movedRows
+          case _ => movedRows
+        }
+        val manifest = writeManifest(spark, f, table, snapshotId, manifestRows, partFields)
         // retained manifests: append keeps the current snapshot's list
         // (with each manifest's ORIGINAL sequence number); overwrite
         // starts fresh
@@ -544,6 +578,20 @@ object IcebergWriter {
       .collect().toSeq.filter(_.getAs[Int]("status") != 2)
       .map(r => LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
         r.getAs[Long]("rc"), r.getAs[String]("pv")))
+  }
+
+  /** Live entries whose partition tuple satisfies `predicate`,
+    * evaluated by Spark itself driver-local (same engine and session
+    * timezone as the scan-time residual, so semantics match by
+    * construction — the Delta writer's matchingFiles shape). */
+  private def matchingEntryPaths(spark: SparkSession, entries: Seq[LiveEntry],
+      partFields: Seq[StructField], predicate: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(StructField("__path", StringType) +: partFields)
+    val rows: java.util.List[org.apache.spark.sql.Row] = entries.map(e =>
+      org.apache.spark.sql.Row.fromSeq(e.path +: typedTupleOf(e.pvJson, partFields))).asJava
+    spark.createDataFrame(rows, schema).where(predicate)
+      .select("__path").collect().map(_.getString(0)).toSet
   }
 
   private def typedTupleOf(pvJson: String, partFields: Seq[StructField]): Seq[Any] = {

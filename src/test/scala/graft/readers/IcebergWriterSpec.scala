@@ -234,6 +234,36 @@ class IcebergWriterSpec extends SparkSpec {
     assert(after == Seq((1L, "a", None), (2L, "b", Some(7)), (3L, null, Some(9))))
   }
 
+  test("replaceWhere overwrites exactly the matching partitions; gates refuse misuse") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwrw").toString
+    IcebergWriter.write(spark, Seq((1L, 1), (2L, 2), (3L, 1)).toDF("id", "p"), t,
+      partitionBy = Seq("p"))
+    IcebergWriter.write(spark, Seq((9L, 1)).toDF("id", "p"), t,
+      mode = "overwrite", replaceWhere = Some("p = 1"))
+    assert(IcebergReader.read(spark, t).select("id", "p").as[(Long, Int)].collect().toSet ==
+      Set((9L, 1), (2L, 2)))
+    // the merged manifest still prunes: p=2's surviving file deleted on
+    // disk, the p=1 read answers off its tuple alone
+    deleteDataFiles(t, "p=2")
+    assert(IcebergReader.read(spark, t, filter = Some("p = 1"))
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // incoming rows outside the replaced partitions refuse
+    val e1 = intercept[Exception](IcebergWriter.write(spark, Seq((5L, 2)).toDF("id", "p"), t,
+      mode = "overwrite", replaceWhere = Some("p = 1")))
+    assert(e1.getMessage.contains("violate"))
+    // data-column predicates refuse naming the connector's row rewrite
+    val e2 = intercept[Exception](IcebergWriter.write(spark, Seq((5L, 1)).toDF("id", "p"), t,
+      mode = "overwrite", replaceWhere = Some("id = 1")))
+    assert(e2.getMessage.contains("partition columns only"))
+    // an unpartitioned table has no partitions to scope
+    val t2 = Files.createTempDirectory("iwrwu").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t2)
+    val e3 = intercept[Exception](IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t2,
+      mode = "overwrite", replaceWhere = Some("id = 1")))
+    assert(e3.getMessage.contains("partitioned table"))
+  }
+
   test("compact rewrites multi-file groups as a replace snapshot; expireSnapshots reclaims only unshared files") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
