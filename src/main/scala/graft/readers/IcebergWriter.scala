@@ -179,8 +179,9 @@ object IcebergWriter {
     // partitioning: an existing table's DEFAULT spec governs (the Delta
     // writer's stance — an empty partitionBy adopts it, an explicit one
     // must match exactly; partition-spec evolution stays with the
-    // connector). Writer-owned tables only ever carry identity fields,
-    // but the transform is re-checked defensively.
+    // connector). Tokens: a bare column name is identity; a
+    // `bucket(N, col)` token is the spec's bucket[N] over the column
+    // (the murmur3 the reader's transform pruning recomputes).
     val tableSpec: Option[Seq[(String, String, Int)]] = prior.map { meta =>
       import scala.jdk.CollectionConverters._
       val cur = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
@@ -190,18 +191,30 @@ object IcebergWriter {
         .map(pf => (pf.get("name").asText(), pf.get("transform").asText(),
           pf.get("source-id").asInt()))
     }
-    tableSpec.foreach { flds =>
-      require(flds.forall(_._2 == "identity"),
-        s"iceberg writer: $table has non-identity partition transforms " +
-          s"(${flds.map(_._2).mkString(",")}) — outside this writer's profile; " +
-          "write it with the iceberg-spark connector")
-      require(partitionBy.isEmpty || partitionBy == flds.map(_._1),
+    val requested: Seq[(String, Option[Int])] = partitionBy.map(parsePartToken)
+    val tableTokens: Option[Seq[(String, Option[Int])]] = tableSpec.map(_.map { case (name, transform, sourceId) =>
+      val srcCol = tableFields.flatMap(_.lift(sourceId - 1)).map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg writer: partition source-id $sourceId outside the schema of $table"))
+      transform match {
+        case "identity"  => (srcCol, None)
+        case BucketTfRe(n) => (srcCol, Some(n.toInt))
+        case other => throw new IllegalArgumentException(
+          s"iceberg writer: $table has partition transform '$other' — outside this " +
+            "writer's profile; write it with the iceberg-spark connector")
+      }
+    })
+    tableTokens.foreach { toks =>
+      require(requested.isEmpty || requested == toks,
         s"iceberg writer: partitioning mismatch — table is partitioned by " +
-          s"[${flds.map(_._1).mkString(",")}], write requested [${partitionBy.mkString(",")}]; " +
-          "partition-spec evolution stays with the connector")
+          s"[${toks.map(renderPartToken).mkString(",")}], write requested " +
+          s"[${partitionBy.mkString(",")}]; partition-spec evolution stays with the connector")
     }
-    val partCols: Seq[String] = tableSpec.map(_.map(_._1)).getOrElse(partitionBy)
-    val partFields: Seq[StructField] = partCols.map { c =>
+    val partTokens: Seq[(String, Option[Int])] = tableTokens.getOrElse(requested)
+    // one entry per partition field: (field name, source column, bucket
+    // n option, the TUPLE type — int for bucket ordinals, the source
+    // type for identity)
+    val partDefs: Seq[(String, String, Option[Int], DataType)] = partTokens.map { case (c, b) =>
       val i = df.schema.fieldNames.indexOf(c)
       require(i >= 0, s"iceberg writer: partition column '$c' not in the frame " +
         s"(${df.schema.fieldNames.mkString(",")})")
@@ -209,13 +222,18 @@ object IcebergWriter {
       require(Set[DataType](IntegerType, LongType, StringType, DateType)
           .contains(fl.dataType),
         s"iceberg writer: partition column '$c' of type ${fl.dataType.simpleString} — " +
-          "identity partitioning is limited to the dir-text-round-trip types " +
+          "identity/bucket partitioning is limited to the dir-text-round-trip types " +
           "(int/long/string/date); write the table with the iceberg-spark connector")
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"iceberg writer: partition column name '$c' outside [A-Za-z0-9_] — " +
           "write the table with the iceberg-spark connector")
-      fl
+      b match {
+        case Some(n) => (s"${c}_bucket", c, b, IntegerType: DataType)
+        case None    => (c, c, None, fl.dataType)
+      }
     }
+    val partCols: Seq[String] = partDefs.map(_._1) // partition FIELD names
+    val partFields: Seq[StructField] = partDefs.map(d => StructField(d._1, d._4))
 
     // replaceWhere (partition-scoped overwrite, the Delta writer's
     // stance): the predicate must cover ONLY partition columns — exact
@@ -224,10 +242,14 @@ object IcebergWriter {
     // claims not to touch
     replaceWhere.foreach { rw =>
       require(partCols.nonEmpty, "iceberg writer: replaceWhere needs a partitioned table")
+      // identity fields only: a bucket field's source predicate cannot
+      // scope files exactly (one bucket holds many source values)
+      val identityCols = partDefs.filter(_._3.isEmpty).map(_._2.toLowerCase).toSet
       val refs = FileSkipping.conjuncts(rw).flatMap(FileSkipping.usableRefs).flatten.toSet
-      require(refs.nonEmpty && refs.subsetOf(partCols.map(_.toLowerCase).toSet),
-        s"iceberg writer: replaceWhere '$rw' must reference partition columns only " +
-          s"([${partCols.mkString(",")}]); data-column predicates need the connector's row rewrite")
+      require(refs.nonEmpty && refs.subsetOf(identityCols),
+        s"iceberg writer: replaceWhere '$rw' must reference identity partition columns only " +
+          s"([${partDefs.filter(_._3.isEmpty).map(_._2).mkString(",")}]); data-column and " +
+          "bucket-source predicates need the connector's row rewrite")
       val violating = df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count()
       require(violating == 0,
         s"iceberg writer: incoming rows violate replaceWhere '$rw' — they would land " +
@@ -244,7 +266,13 @@ object IcebergWriter {
         new MetadataBuilder().putLong("parquet.field.id",
           (mergedNames.indexOf(fl.name) + 1).toLong).build())
     }.toSeq: _*)
-    val stagedDf = partCols.foldLeft(withIds)((d, c) => d.withColumn(DupPrefix + c, d(c)))
+    val stagedDf = partDefs.foldLeft(withIds) { case (d, (fieldName, srcCol, bucket, _)) =>
+      val value = bucket match {
+        case Some(n) => bucketColumn(d(srcCol), df.schema(df.schema.fieldIndex(srcCol)).dataType, n)
+        case None    => d(srcCol)
+      }
+      d.withColumn(DupPrefix + fieldName, value)
+    }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val stWriter = stagedDf.write.mode("overwrite")
     (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
@@ -398,9 +426,10 @@ object IcebergWriter {
              |  "schemas": $schemasJson,
              |  "default-spec-id": 0,
              |  "partition-specs": [{"spec-id": 0, "fields": [${
-                  partCols.zipWithIndex.map { case (c, i) =>
-                    s"""{"name": ${js(c)}, "transform": "identity", """ +
-                      s""""source-id": ${mergedNames.indexOf(c) + 1}, "field-id": ${1000 + i}}"""
+                  partDefs.zipWithIndex.map { case ((fieldName, srcCol, bucket, _), i) =>
+                    val transform = bucket.fold("identity")(n => s"bucket[$n]")
+                    s"""{"name": ${js(fieldName)}, "transform": ${js(transform)}, """ +
+                      s""""source-id": ${mergedNames.indexOf(srcCol) + 1}, "field-id": ${1000 + i}}"""
                   }.mkString(", ")}]}],
              |  "last-partition-id": ${999 + partCols.size},
              |  "default-sort-order-id": 0,
@@ -478,6 +507,38 @@ object IcebergWriter {
     * files. */
   private val DupPrefix = "__graft_p_"
 
+  private val BucketTokenRe = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+  private[readers] val BucketTfRe = "bucket\\[(\\d+)\\]".r
+  /** partitionBy token → (source column, bucket n): a bare name is
+    * identity, `bucket(N, col)` the spec's bucket[N]. */
+  private def parsePartToken(t: String): (String, Option[Int]) = t.trim match {
+    case BucketTokenRe(n, c) => (c, Some(n.toInt))
+    case c                   => (c, None)
+  }
+  private def renderPartToken(t: (String, Option[Int])): String =
+    t._2.fold(t._1)(n => s"bucket($n, ${t._1})")
+
+  /** The spec's bucket[n] ordinal as a Column — murmur3 per
+    * [[IcebergTransforms]] (the one UDF exception, shared stance with
+    * the reader's delete-scoping path; a Column expression cannot
+    * express the spec's byte-level hash). Null sources bucket to null
+    * (the null partition). */
+  private def bucketColumn(src: org.apache.spark.sql.Column, dt: DataType, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{datediff, lit, udf}
+    val longBucket = udf((x: java.lang.Long) =>
+      if (x == null) null.asInstanceOf[java.lang.Integer]
+      else java.lang.Integer.valueOf(IcebergTransforms.bucketOf(x.longValue(), n).getOrElse(-1)))
+    dt match {
+      case StringType =>
+        val u = udf((x: String) =>
+          if (x == null) null.asInstanceOf[java.lang.Integer]
+          else java.lang.Integer.valueOf(IcebergTransforms.bucketOf(x, n).getOrElse(-1)))
+        u(src)
+      case DateType => longBucket(datediff(src, lit("1970-01-01")).cast("long"))
+      case _        => longBucket(src.cast("long")) // int, long
+    }
+  }
+
   /** `__graft_p_c=7/part-….parquet` → Map(c -> "7") with Spark's
     * directory escaping decoded (a __HIVE_DEFAULT_PARTITION__ segment
     * is a null value). */
@@ -547,11 +608,17 @@ object IcebergWriter {
     Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
       .find(sp => Option(sp.get("spec-id")).map(_.asInt()).getOrElse(0) == cur)
       .toSeq.flatMap(_.get("fields").elements().asScala).map { pf =>
-        require(pf.get("transform").asText() == "identity",
-          s"iceberg: non-identity partition transform '${pf.get("transform").asText()}' — " +
-            "outside this writer's profile")
-        val (name, t) = byId(pf.get("source-id").asInt())
-        StructField(name, sparkTypeOf(t))
+        pf.get("transform").asText() match {
+          case "identity" =>
+            val (name, t) = byId(pf.get("source-id").asInt())
+            // identity fields take the source column's NAME and type
+            StructField(name, sparkTypeOf(t))
+          case BucketTfRe(_) =>
+            // bucket tuples are int ordinals under the field's own name
+            StructField(pf.get("name").asText(), IntegerType)
+          case other => throw new IllegalArgumentException(
+            s"iceberg: partition transform '$other' — outside this writer's profile")
+        }
       }
   }
 

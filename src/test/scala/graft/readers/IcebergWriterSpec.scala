@@ -234,6 +234,37 @@ class IcebergWriterSpec extends SparkSpec {
     assert(after == Seq((1L, "a", None), (2L, "b", Some(7)), (3L, null, Some(9))))
   }
 
+  test("bucket(N, col) partitioning: written tuples drive the reader's transform pruning") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwbucket").toString
+    // ids 100..139 over 4 buckets; two appends so several files per bucket
+    IcebergWriter.write(spark, (100L until 120L).map(i => (i, s"v$i")).toDF("id", "name"),
+      t, partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.write(spark, (120L until 140L).map(i => (i, s"v$i")).toDF("id", "name"), t)
+    assert(IcebergReader.read(spark, t).count() == 40L)
+    // the spec-pinned murmur3 decides which dirs exist
+    val target = 107L
+    val bucket = IcebergTransforms.bucketOf(target, 4).get
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dirs.exists(_.startsWith("id_bucket=")))
+    // dangling-file proof: every OTHER bucket's files deleted; an
+    // `id = 107` read answers only if the stored bucket ordinal pruned
+    // them before any IO
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getParent.getFileName.toString.equals(s"id_bucket=$bucket"))
+      .toSeq.foreach(java.nio.file.Files.delete)
+    assert(IcebergReader.read(spark, t, filter = Some(s"id = $target"))
+      .select("name").as[String].collect().toSeq == Seq(s"v$target"))
+    intercept[Exception](IcebergReader.read(spark, t).count())
+    // appends ADOPT the bucket spec; a mismatching token refuses
+    val e = intercept[Exception](IcebergWriter.write(spark,
+      Seq((1L, "x")).toDF("id", "name"), t, partitionBy = Seq("bucket(8, id)")))
+    assert(e.getMessage.contains("partitioning mismatch"))
+  }
+
   test("replaceWhere overwrites exactly the matching partitions; gates refuse misuse") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwrw").toString
