@@ -259,7 +259,7 @@ object FileSkipping {
     * characters BELOW U+E000..U+FFFF — a pruning decision made in that
     * order could wrongly drop a file whose bounds straddle the BMP
     * boundary. */
-  private def codePointCompare(x: String, y: String): Int = {
+  private[readers] def codePointCompare(x: String, y: String): Int = {
     var i = 0
     var j = 0
     while (i < x.length && j < y.length) {

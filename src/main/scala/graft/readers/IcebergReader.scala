@@ -231,9 +231,9 @@ object IcebergReader {
   /** (path, sequenceNumber, specId, isDelete) per manifest-list row —
     * the writer's retained-manifest walk. */
   private[readers] def manifestListRowsOf(spark: SparkSession, mlPath: String,
-      table: String): Seq[(String, Long, Int, Boolean)] =
+      table: String): Seq[(String, Long, Int, Boolean, String)] =
     manifestListRows(spark, resolve(mlPath, table), table)
-      .map(r => (r.path, r.seq, r.specId, r.isDelete))
+      .map(r => (r.path, r.seq, r.specId, r.isDelete, r.partitionsJson))
 
   // one conf-scoped clone per caller session, rebuilt only when the
   // caller's runtime confs change (a repeated-query workload — e.g. a

@@ -356,9 +356,9 @@ object IcebergWriter {
         }
         val manifest = writeManifest(spark, f, table, snapshotId, manifestRows, partFields)
         // retained manifests: append keeps the current snapshot's list
-        // (with each manifest's ORIGINAL sequence number); overwrite
-        // starts fresh
-        val retained: Seq[(String, Long, Long, Int, Boolean)] =
+        // (with each manifest's ORIGINAL sequence number and partition
+        // summaries); overwrite starts fresh
+        val retained: Seq[(String, Long, Long, Int, Boolean, Option[Seq[FieldSummary]])] =
           if (mode != "append") Nil
           else head.toSeq.flatMap { m =>
             import scala.jdk.CollectionConverters._
@@ -368,11 +368,13 @@ object IcebergWriter {
               .flatMap { snap =>
                 IcebergReader.manifestListRowsOf(spark,
                   snap.get("manifest-list").asText(), table)
-                  .map { case (p, sq, specId, isDel) => (p, 0L, sq, specId, isDel) }
+                  .map { case (p, sq, specId, isDel, pj) =>
+                    (p, 0L, sq, specId, isDel, summariesFromJson(pj)) }
               }
           }
         val listPath = writeManifestList(spark, f, table, snapshotId,
-          (manifest._1, manifest._2, seq, 0, false) +: retained)
+          (manifest._1, manifest._2, seq, 0, false,
+            if (partFields.isEmpty) None else Some(manifest._3)) +: retained)
         val version = head.map(_ => currentVersionOf(table, conf) + 1).getOrElse(1L)
         val tableUuid = head.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
           .getOrElse(java.util.UUID.randomUUID().toString)
@@ -456,12 +458,76 @@ object IcebergWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
+  /** A manifest-list field summary (spec `field_summary`): drives
+    * whole-manifest skipping before any manifest read. */
+  private case class FieldSummary(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
+  /** Single-value serialization for summary bounds — the exact inverse
+    * of the reader's decodeBound (ints/longs/dates little-endian,
+    * strings raw UTF-8). */
+  private def encodeBound(v: Any): Option[Array[Byte]] = {
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Option[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(bb); Some(bb.array())
+    }
+    v match {
+      case i: java.lang.Integer => le(4)(_.putInt(i))
+      case l: java.lang.Long    => le(8)(_.putLong(l))
+      case d: java.sql.Date     => le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt))
+      case s: String            => Some(s.getBytes(StandardCharsets.UTF_8))
+      case _                    => None
+    }
+  }
+
+  /** Per-field summaries of a manifest's entry tuples. String bounds
+    * order by CODE POINTS — the same comparator the reader's
+    * rangeExcludes applies, so the bounds are conservative by
+    * construction. */
+  private def summarize(rows: Seq[(String, Long, Long, Seq[Any])],
+      partFields: Seq[StructField]): Seq[FieldSummary] =
+    partFields.zipWithIndex.map { case (pf, i) =>
+      val vs = rows.map(_._4(i))
+      val nonNull = vs.filter(_ != null)
+      if (nonNull.isEmpty) FieldSummary(containsNull = vs.nonEmpty, None, None)
+      else {
+        val ord: Ordering[Any] = pf.dataType match {
+          case StringType => Ordering.comparatorToOrdering(
+            ((a: Any, b: Any) => FileSkipping.codePointCompare(
+              a.asInstanceOf[String], b.asInstanceOf[String])): java.util.Comparator[Any])
+          case DateType => Ordering.by((x: Any) => x.asInstanceOf[java.sql.Date].getTime)
+          case _        => Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+        }
+        FieldSummary(vs.exists(_ == null),
+          encodeBound(nonNull.min(ord)), encodeBound(nonNull.max(ord)))
+      }
+    }
+
+  /** Retained manifests carry their ORIGINAL summaries forward: the
+    * stored partitions JSON (to_json of the field_summary array)
+    * decodes back to bytes. None on anything unexpected — the skip
+    * fails open for that manifest. */
+  private def summariesFromJson(pj: String): Option[Seq[FieldSummary]] =
+    Option(pj).flatMap(p => scala.util.Try {
+      val arr = mapper.readTree(p)
+      (0 until arr.size()).map { i =>
+        val n = arr.get(i)
+        FieldSummary(
+          Option(n.get("contains_null")).exists(x => !x.isNull && x.asBoolean()),
+          Option(n.get("lower_bound")).filterNot(_.isNull)
+            .map(x => java.util.Base64.getDecoder.decode(x.asText())),
+          Option(n.get("upper_bound")).filterNot(_.isNull)
+            .map(x => java.util.Base64.getDecoder.decode(x.asText())))
+      }
+    }.toOption)
+
   /** One manifest Avro under `metadata/m-<uuid>`: typed rows (the
     * partition struct carries real logical types, so the reader's
-    * per-file pruning casts exactly). Returns (storedPath, length). */
+    * per-file pruning casts exactly). Returns (storedPath, length,
+    * per-field summaries for the manifest list). */
   private def writeManifest(spark: SparkSession, f: FileSystem, table: String,
       snapshotId: Long, rows: Seq[(String, Long, Long, Seq[Any])],
-      partFields: Seq[StructField]): (String, Long) = {
+      partFields: Seq[StructField]): (String, Long, Seq[FieldSummary]) = {
     val dir = s"${table.stripSuffix("/")}/metadata/m-${java.util.UUID.randomUUID()}"
     val rowSchema = StructType(
       Seq(StructField("p", StringType), StructField("sz", LongType),
@@ -482,21 +548,35 @@ object IcebergWriter {
           |'record_count', rc, 'file_size_in_bytes', sz$partExpr) as data_file""".stripMargin)
       .coalesce(1).write.format(AvroFmt).save(dir)
     val part = f.listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".avro")).get
-    (storedPath(part.getPath), part.getLen)
+    (storedPath(part.getPath), part.getLen, summarize(rows, partFields))
   }
 
   /** The snapshot's manifest-list Avro under `metadata/snap-<id>-<uuid>`;
     * `manifests` rows are (path, length, sequenceNumber, specId,
-    * isDelete) — retained manifests keep their ORIGINAL sequence
-    * numbers. Returns the stored path. */
+    * isDelete, field summaries) — retained manifests keep their
+    * ORIGINAL sequence numbers and summaries. The `partitions`
+    * summaries let the reader skip whole manifests unread, so a long
+    * append history filters without touching most of its manifest
+    * Avros. Returns the stored path. */
   private def writeManifestList(spark: SparkSession, f: FileSystem, table: String,
-      snapshotId: Long, manifests: Seq[(String, Long, Long, Int, Boolean)]): String = {
-    import spark.implicits._
+      snapshotId: Long,
+      manifests: Seq[(String, Long, Long, Int, Boolean, Option[Seq[FieldSummary]])]): String = {
     val dir = s"${table.stripSuffix("/")}/metadata/snap-$snapshotId-${java.util.UUID.randomUUID()}"
-    manifests.toDF("manifest_path", "manifest_length", "sequence_number", "partition_spec_id", "is_delete")
-      .selectExpr("manifest_path", "manifest_length", "sequence_number",
-        "partition_spec_id", "if(is_delete, 1, 0) as content",
-        s"cast($snapshotId as bigint) as added_snapshot_id")
+    val sumType = ArrayType(StructType(Seq(
+      StructField("contains_null", BooleanType),
+      StructField("lower_bound", BinaryType),
+      StructField("upper_bound", BinaryType))))
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("manifest_length", LongType),
+      StructField("sequence_number", LongType), StructField("partition_spec_id", IntegerType),
+      StructField("content", IntegerType), StructField("added_snapshot_id", LongType),
+      StructField("partitions", sumType)))
+    val rows = manifests.map { case (p, len, seq, specId, isDelete, sums) =>
+      org.apache.spark.sql.Row(p, len, seq, specId, if (isDelete) 1 else 0, snapshotId,
+        sums.map(_.map(fs =>
+          org.apache.spark.sql.Row(fs.containsNull, fs.lower.orNull, fs.upper.orNull))).orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .coalesce(1).write.format(AvroFmt).save(dir)
     storedPath(f.listStatus(new Path(dir))
       .find(_.getPath.getName.endsWith(".avro")).get.getPath)
@@ -848,7 +928,8 @@ object IcebergWriter {
     val parentId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
     val manifest = writeManifest(spark, f, table, snapshotId, entries, partFields)
     val listPath = writeManifestList(spark, f, table, snapshotId,
-      Seq((manifest._1, manifest._2, seq, 0, false)))
+      Seq((manifest._1, manifest._2, seq, 0, false,
+        if (partFields.isEmpty) None else Some(manifest._3))))
     val now = System.currentTimeMillis()
     val newSnap = mapper.createObjectNode()
     newSnap.put("snapshot-id", snapshotId)

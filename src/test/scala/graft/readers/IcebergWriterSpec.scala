@@ -234,6 +234,28 @@ class IcebergWriterSpec extends SparkSpec {
     assert(after == Seq((1L, "a", None), (2L, "b", Some(7)), (3L, null, Some(9))))
   }
 
+  test("manifest-list partition summaries skip whole manifests unread on written tables") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwsum").toString
+    def manifestDirs: Set[String] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$t/metadata")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("m-")).toSet
+    IcebergWriter.write(spark, Seq((1L, 1), (2L, 1)).toDF("id", "p"), t, partitionBy = Seq("p"))
+    val before = manifestDirs
+    IcebergWriter.write(spark, Seq((3L, 2), (4L, 2)).toDF("id", "p"), t)
+    // corrupt the p=2 append's manifest IN PLACE: a p=1 read can only
+    // answer if the manifest LIST's summaries excluded it unread —
+    // parsing the Avro is impossible
+    val m2dir = (manifestDirs -- before).head
+    val avro = java.nio.file.Files.list(java.nio.file.Paths.get(s"$t/metadata/$m2dir"))
+      .iterator().asScala.find(_.toString.endsWith(".avro")).get
+    java.nio.file.Files.write(avro, Array.fill[Byte](64)(0x5a))
+    assert(IcebergReader.read(spark, t, filter = Some("p = 1"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[Exception](IcebergReader.read(spark, t).count())
+  }
+
   test("bucket(N, col) partitioning: written tuples drive the reader's transform pruning") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwbucket").toString
