@@ -291,7 +291,7 @@ object IcebergWriter {
       }
       val dataDir = new Path(table.stripSuffix("/") + "/data")
       f.mkdirs(dataDir)
-      val moved: Seq[(String, Long, Long, Map[String, String])] = stagedFiles.map { case (st, rel) =>
+      val moved: Seq[(String, Long, FooterStats, Map[String, String])] = stagedFiles.map { case (st, rel) =>
         val tuple = partitionDirValues(rel)
         require(partCols.forall(tuple.contains),
           s"iceberg writer: staged file $rel missing partition segments for " +
@@ -305,7 +305,7 @@ object IcebergWriter {
         val dest = new Path(destDir, st.getPath.getName)
         require(f.rename(st.getPath, dest), s"iceberg writer: rename to $dest failed")
         val d = f.getFileStatus(dest)
-        (storedPath(d.getPath), d.getLen, rowCount(f, d.getPath), tuple)
+        (storedPath(d.getPath), d.getLen, footerStats(f, d.getPath, mergedFields), tuple)
       }
 
       // 2-4. manifest + manifest list + metadata, optimistic loop
@@ -337,8 +337,10 @@ object IcebergWriter {
         val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
         val parentId = head.flatMap(m => Option(m.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L))
-        val movedRows = moved.map { case (p, sz, rc, tuple) =>
-          (p, sz, rc, partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)))
+        val movedRows = moved.map { case (p, sz, fs, tuple) =>
+          ManifestEntry(p, sz, fs.records,
+            partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)),
+            fs.lower, fs.upper)
         }
         val manifestRows = (replaceWhere, head) match {
           case (Some(rw), Some(m)) =>
@@ -350,8 +352,8 @@ object IcebergWriter {
             // files, which the profile excludes.
             val live = liveEntries(spark, m, table)
             val doomed = matchingEntryPaths(spark, live, partFields, rw)
-            live.filterNot(e => doomed.contains(e.path)).map(e =>
-              (e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields))) ++ movedRows
+            live.filterNot(e => doomed.contains(e.path)).map(toManifestEntry(_, partFields)) ++
+              movedRows
           case _ => movedRows
         }
         val manifest = writeManifest(spark, f, table, snapshotId, manifestRows, partFields)
@@ -484,10 +486,10 @@ object IcebergWriter {
     * order by CODE POINTS — the same comparator the reader's
     * rangeExcludes applies, so the bounds are conservative by
     * construction. */
-  private def summarize(rows: Seq[(String, Long, Long, Seq[Any])],
+  private def summarize(rows: Seq[ManifestEntry],
       partFields: Seq[StructField]): Seq[FieldSummary] =
     partFields.zipWithIndex.map { case (pf, i) =>
-      val vs = rows.map(_._4(i))
+      val vs = rows.map(_.tuple(i))
       val nonNull = vs.filter(_ != null)
       if (nonNull.isEmpty) FieldSummary(containsNull = vs.nonEmpty, None, None)
       else {
@@ -521,20 +523,32 @@ object IcebergWriter {
       }
     }.toOption)
 
+  /** One data-file row bound for a manifest: typed partition tuple plus
+    * per-column bounds keyed by FIELD ID text (the reader's object-form
+    * lower_bounds/upper_bounds). */
+  private case class ManifestEntry(path: String, size: Long, records: Long,
+      tuple: Seq[Any],
+      lower: Map[String, Array[Byte]] = Map.empty,
+      upper: Map[String, Array[Byte]] = Map.empty)
+
   /** One manifest Avro under `metadata/m-<uuid>`: typed rows (the
     * partition struct carries real logical types, so the reader's
-    * per-file pruning casts exactly). Returns (storedPath, length,
-    * per-field summaries for the manifest list). */
+    * per-file pruning casts exactly; per-column bounds ride as
+    * id-keyed maps the reader's stats pruning range-tests). Returns
+    * (storedPath, length, per-field summaries for the manifest list). */
   private def writeManifest(spark: SparkSession, f: FileSystem, table: String,
-      snapshotId: Long, rows: Seq[(String, Long, Long, Seq[Any])],
+      snapshotId: Long, rows: Seq[ManifestEntry],
       partFields: Seq[StructField]): (String, Long, Seq[FieldSummary]) = {
     val dir = s"${table.stripSuffix("/")}/metadata/m-${java.util.UUID.randomUUID()}"
     val rowSchema = StructType(
       Seq(StructField("p", StringType), StructField("sz", LongType),
-        StructField("rc", LongType)) ++
+        StructField("rc", LongType),
+        StructField("lb", MapType(StringType, BinaryType)),
+        StructField("ub", MapType(StringType, BinaryType))) ++
       partFields.map(pf => StructField(s"_pv_${pf.name}", pf.dataType)))
-    val sparkRows = rows.map { case (p, sz, rc, pv) =>
-      org.apache.spark.sql.Row.fromSeq(Seq[Any](p, sz, rc) ++ pv)
+    val sparkRows = rows.map { e =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq[Any](e.path, e.size, e.records, e.lower, e.upper) ++ e.tuple)
     }
     val partExpr =
       if (partFields.isEmpty) ""
@@ -545,7 +559,8 @@ object IcebergWriter {
         s"cast($snapshotId as bigint) as snapshot_id",
         "cast(null as bigint) as sequence_number",
         s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
-          |'record_count', rc, 'file_size_in_bytes', sz$partExpr) as data_file""".stripMargin)
+          |'record_count', rc, 'file_size_in_bytes', sz,
+          |'lower_bounds', lb, 'upper_bounds', ub$partExpr) as data_file""".stripMargin)
       .coalesce(1).write.format(AvroFmt).save(dir)
     val part = f.listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".avro")).get
     (storedPath(part.getPath), part.getLen, summarize(rows, partFields))
@@ -661,7 +676,12 @@ object IcebergWriter {
       s"iceberg writer: table schema type '$other' outside the writer profile")
   }
 
-  private case class LiveEntry(path: String, size: Long, records: Long, pvJson: String)
+  private case class LiveEntry(path: String, size: Long, records: Long, pvJson: String,
+      lowerJson: String = null, upperJson: String = null)
+
+  private def toManifestEntry(e: LiveEntry, partFields: Seq[StructField]): ManifestEntry =
+    ManifestEntry(e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields),
+      boundsFromJson(e.lowerJson), boundsFromJson(e.upperJson))
 
   /** The writer-stamp gate + current metadata tree, shared by the
     * lifecycle ops (they regenerate metadata from this model, which is
@@ -721,10 +741,15 @@ object IcebergWriter {
     manifests.selectExpr("status", "data_file.file_path as p",
         "data_file.file_size_in_bytes as sz", "data_file.record_count as rc",
         if (dfCols.contains("partition")) "to_json(data_file.partition) as pv"
-        else "cast(null as string) as pv")
+        else "cast(null as string) as pv",
+        if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lbj"
+        else "cast(null as string) as lbj",
+        if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as ubj"
+        else "cast(null as string) as ubj")
       .collect().toSeq.filter(_.getAs[Int]("status") != 2)
       .map(r => LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
-        r.getAs[Long]("rc"), r.getAs[String]("pv")))
+        r.getAs[Long]("rc"), r.getAs[String]("pv"),
+        r.getAs[String]("lbj"), r.getAs[String]("ubj")))
   }
 
   /** Live entries whose partition tuple satisfies `predicate`,
@@ -784,7 +809,7 @@ object IcebergWriter {
       currentSchemaNameTypes(meta0).map { case (n, t) => n -> sparkTypeOf(t) }
     val rewrittenSources = multi.flatMap(_.map(_.path)).toSet
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
-    val newFiles: Seq[LiveEntry] = try {
+    val newFiles: Seq[ManifestEntry] = try {
       multi.zipWithIndex.map { case (group, gi) =>
         // read under the EXPLICIT current schema: after additive
         // evolution a group mixes files with and without the new
@@ -808,7 +833,9 @@ object IcebergWriter {
         val dest = new Path(destDir, s"compact-${java.util.UUID.randomUUID()}.parquet")
         require(f.rename(part.getPath, dest), s"iceberg compact: rename to $dest failed")
         val st = f.getFileStatus(dest)
-        LiveEntry(storedPath(st.getPath), st.getLen, rowCount(f, st.getPath), group.head.pvJson)
+        val fs = footerStats(f, st.getPath, schemaFields)
+        ManifestEntry(storedPath(st.getPath), st.getLen, fs.records,
+          typedTupleOf(group.head.pvJson, partFields), fs.lower, fs.upper)
       }
     } finally scala.util.Try(f.delete(staging, true))
 
@@ -821,8 +848,7 @@ object IcebergWriter {
         s"iceberg compact: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
           "concurrent writer — rewriting them would resurrect deleted rows; re-run")
       val kept = nowLive.filterNot(e => rewrittenSources.contains(e.path))
-      val entries = (kept ++ newFiles).map(e =>
-        (e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields)))
+      val entries = kept.map(toManifestEntry(_, partFields)) ++ newFiles
       if (publishSnapshot(spark, f, table, meta, "replace", entries, partFields, txnProps = Map.empty))
         return multi.size
       attempt += 1
@@ -920,7 +946,7 @@ object IcebergWriter {
     * race (caller re-resolves and retries). */
   private def publishSnapshot(spark: SparkSession, f: FileSystem, table: String,
       meta: com.fasterxml.jackson.databind.node.ObjectNode, operation: String,
-      entries: Seq[(String, Long, Long, Seq[Any])], partFields: Seq[StructField],
+      entries: Seq[ManifestEntry], partFields: Seq[StructField],
       txnProps: Map[String, String]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val seq = Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1
@@ -966,15 +992,90 @@ object IcebergWriter {
     }.isSuccess
   }
 
-  private def rowCount(f: FileSystem, p: Path): Long = {
+  private case class FooterStats(records: Long,
+      lower: Map[String, Array[Byte]], upper: Map[String, Array[Byte]])
+
+  /** Row count + per-column bounds from the parquet footer, keyed by
+    * field-id text (= schema position + 1). Bound validity leans on
+    * parquet-mr's own truncator (a truncated max increments its final
+    * byte, staying >= the true max); NaN extremes and non-profile
+    * types are skipped — the reader fails open per column. */
+  private def footerStats(f: FileSystem, p: Path,
+      fields: Seq[(String, DataType)]): FooterStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, f.getConf))
     try {
       import scala.jdk.CollectionConverters._
-      r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val records = blocks.map(_.getRowCount).sum
+      val lb = Map.newBuilder[String, Array[Byte]]
+      val ub = Map.newBuilder[String, Array[Byte]]
+      def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        fill(bb); bb.array()
+      }
+      fields.zipWithIndex.foreach { case ((name, dt), i) =>
+        val id = (i + 1).toString
+        val colStats = blocks.flatMap(_.getColumns.asScala
+          .find(c => c.getPath.toDotString == name).map(_.getStatistics))
+        if (colStats.nonEmpty && colStats.forall(s =>
+            s != null && !s.isEmpty && s.hasNonNullValue)) {
+          val mins = colStats.map(_.genericGetMin)
+          val maxs = colStats.map(_.genericGetMax)
+          def encAll(vs: Seq[Any], takeMax: Boolean): Option[Array[Byte]] = dt match {
+            case IntegerType | DateType =>
+              val xs = vs.map(_.asInstanceOf[Number].intValue())
+              Some(le(4)(_.putInt(if (takeMax) xs.max else xs.min)))
+            case LongType =>
+              val xs = vs.map(_.asInstanceOf[Number].longValue())
+              Some(le(8)(_.putLong(if (takeMax) xs.max else xs.min)))
+            case FloatType =>
+              val xs = vs.map(_.asInstanceOf[Number].floatValue())
+              if (xs.exists(_.isNaN)) None
+              else Some(le(4)(_.putFloat(if (takeMax) xs.max else xs.min)))
+            case DoubleType =>
+              val xs = vs.map(_.asInstanceOf[Number].doubleValue())
+              if (xs.exists(_.isNaN)) None
+              else Some(le(8)(_.putDouble(if (takeMax) xs.max else xs.min)))
+            case StringType =>
+              val xs = vs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              // unsigned byte order = UTF-8 code-point order, the
+              // reader's string comparator
+              val ord: Ordering[Array[Byte]] = (a, b) => {
+                val n = math.min(a.length, b.length)
+                var i = 0
+                var c = 0
+                while (i < n && c == 0) { c = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+                if (c != 0) c else a.length - b.length
+              }
+              Some(if (takeMax) xs.max(ord) else xs.min(ord))
+            case _ => None
+          }
+          for (lo <- encAll(mins, takeMax = false); hi <- encAll(maxs, takeMax = true)) {
+            lb += id -> lo
+            ub += id -> hi
+          }
+        }
+      }
+      FooterStats(records, lb.result(), ub.result())
     } finally r.close()
   }
+
+  /** Object-form bounds JSON (`{"1": "<base64>"}`) back to bytes — how
+    * a retained/kept entry's bounds carry through a manifest merge.
+    * Anything unexpected (the array form of an external writer) drops
+    * to empty: only pruning power is ever at stake. */
+  private def boundsFromJson(j: String): Map[String, Array[Byte]] =
+    Option(j).flatMap(s => scala.util.Try {
+      val node = mapper.readTree(s)
+      if (!node.isObject) Map.empty[String, Array[Byte]]
+      else {
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala.filterNot(_.getValue.isNull).map(e =>
+          e.getKey -> java.util.Base64.getDecoder.decode(e.getValue.asText())).toMap
+      }
+    }.toOption).getOrElse(Map.empty)
 
   private def currentVersionOf(table: String, conf: org.apache.hadoop.conf.Configuration): Long = {
     val name = new Path(IcebergReader.currentMetadataPath(table, conf)).getName

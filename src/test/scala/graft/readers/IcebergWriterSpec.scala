@@ -256,6 +256,25 @@ class IcebergWriterSpec extends SparkSpec {
     intercept[Exception](IcebergReader.read(spark, t).count())
   }
 
+  test("written manifests carry per-file column bounds the reader's stats pruning uses") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwstats").toString
+    def dataFiles: Set[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSet
+    IcebergWriter.write(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("id", "name"), t)
+    val before = dataFiles
+    IcebergWriter.write(spark, (100L until 110L).map(i => (i, s"b$i")).toDF("id", "name"), t)
+    // dangling-file proof: the second append's files deleted — a
+    // bounded read answers only if the manifest's id/name bounds
+    // pruned them before any IO
+    (dataFiles -- before).foreach(java.nio.file.Files.delete)
+    assert(IcebergReader.read(spark, t, filter = Some("id < 50")).count() == 10L)
+    assert(IcebergReader.read(spark, t, filter = Some("name < 'b'")).count() == 10L)
+    intercept[Exception](IcebergReader.read(spark, t).count())
+  }
+
   test("bucket(N, col) partitioning: written tuples drive the reader's transform pruning") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwbucket").toString
