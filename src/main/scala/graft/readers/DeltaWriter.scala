@@ -121,7 +121,15 @@ object DeltaWriter {
     // partitions the overwrite claims not to touch
     replaceWhere.foreach { rw =>
       require(partCols.nonEmpty, "delta writer: replaceWhere needs a partitioned table")
-      val refs = FileSkipping.conjuncts(rw).flatMap(FileSkipping.usableRefs).flatten.toSet
+      val conjs = FileSkipping.conjuncts(rw)
+      val perConj = conjs.map(FileSkipping.usableRefs)
+      // EVERY conjunct must analyze — a silently dropped one (qualified
+      // ref, nondeterministic call) would pass the gate here and fail
+      // only inside the commit loop, after the frame staged
+      require(conjs.nonEmpty && perConj.forall(_.isDefined),
+        s"delta writer: replaceWhere '$rw' has conjunct(s) this writer cannot analyze " +
+          "(qualified, nondeterministic or subquery references); use bare partition column names")
+      val refs = perConj.flatten.flatten.toSet
       require(refs.nonEmpty && refs.subsetOf(partCols.map(_.toLowerCase).toSet),
         s"delta writer: replaceWhere '$rw' must reference partition columns only " +
           s"([${partCols.mkString(",")}]); data-column predicates need the connector's row rewrite")

@@ -613,7 +613,7 @@ object IcebergReader {
     // (a hash preserves no order); the order-preserving transforms
     // (identity, truncate, year/month/day/hour) admit ranges with
     // strict ops relaxed (`ts > v` implies `day(ts) >= day(v)`).
-    val bucketRe = "bucket\\[(\\d+)\\]".r
+    val bucketRe = IcebergTransforms.BucketRe
     val truncRe = "truncate\\[(\\d+)\\]".r
     def parseTransform(t: String): Option[(String, Int)] = t match {
       case "identity"                        => Some(("identity", 0))
@@ -863,10 +863,17 @@ object IcebergReader {
     val dataManifests = allDataManifests.filterNot(manifestExcluded)
     if (dataManifests.isEmpty && allDataManifests.nonEmpty) {
       // the filter excluded every data manifest (skip implies the
-      // schema node exists) — return the empty result, typed
+      // schema node exists) — return the empty result, typed, with the
+      // changes tag columns when this is a changes read (its schema
+      // must not vary with how much the filter pruned)
       val st = currentSchemaNode(meta).map(toSparkSchema).getOrElse(
         throw new IllegalStateException("iceberg: manifest skipping without a schema"))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      return changes.fold(base) { _ =>
+        import org.apache.spark.sql.functions.lit
+        base.withColumn("_snapshot_id", lit(null).cast("bigint"))
+          .withColumn("_committed_at", lit(null).cast("timestamp"))
+      }
     }
     val liveDeleteManifests = deleteManifests.filterNot(manifestExcluded)
     val entries = loadEntries(dataManifests) ++ loadEntries(liveDeleteManifests)

@@ -15,6 +15,10 @@ package graft.readers
   */
 object IcebergTransforms {
 
+  /** The spec's bucket transform grammar, shared by reader and writer
+    * so the two cannot drift. */
+  val BucketRe = "bucket\\[(\\d+)\\]".r
+
   /** Murmur3 x86 32-bit (public algorithm; spec Appendix B). */
   def murmur3(data: Array[Byte], seed: Int = 0): Int = {
     val c1 = 0xcc9e2d51

@@ -245,7 +245,15 @@ object IcebergWriter {
       // identity fields only: a bucket field's source predicate cannot
       // scope files exactly (one bucket holds many source values)
       val identityCols = partDefs.filter(_._3.isEmpty).map(_._2.toLowerCase).toSet
-      val refs = FileSkipping.conjuncts(rw).flatMap(FileSkipping.usableRefs).flatten.toSet
+      val conjs = FileSkipping.conjuncts(rw)
+      val perConj = conjs.map(FileSkipping.usableRefs)
+      // EVERY conjunct must analyze — a silently dropped one (qualified
+      // ref, nondeterministic call) would pass the gate here and fail
+      // only inside the commit loop, after the frame staged
+      require(conjs.nonEmpty && perConj.forall(_.isDefined),
+        s"iceberg writer: replaceWhere '$rw' has conjunct(s) this writer cannot analyze " +
+          "(qualified, nondeterministic or subquery references); use bare partition column names")
+      val refs = perConj.flatten.flatten.toSet
       require(refs.nonEmpty && refs.subsetOf(identityCols),
         s"iceberg writer: replaceWhere '$rw' must reference identity partition columns only " +
           s"([${partDefs.filter(_._3.isEmpty).map(_._2).mkString(",")}]); data-column and " +
@@ -465,21 +473,23 @@ object IcebergWriter {
   private case class FieldSummary(containsNull: Boolean,
       lower: Option[Array[Byte]], upper: Option[Array[Byte]])
 
+  /** The spec's single-value little-endian framing, shared by summary
+    * and per-file bound encoders (one copy, or the two could drift
+    * against the reader's decodeBound). */
+  private def leBytes(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fill(bb); bb.array()
+  }
+
   /** Single-value serialization for summary bounds — the exact inverse
     * of the reader's decodeBound (ints/longs/dates little-endian,
     * strings raw UTF-8). */
-  private def encodeBound(v: Any): Option[Array[Byte]] = {
-    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Option[Array[Byte]] = {
-      val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      fill(bb); Some(bb.array())
-    }
-    v match {
-      case i: java.lang.Integer => le(4)(_.putInt(i))
-      case l: java.lang.Long    => le(8)(_.putLong(l))
-      case d: java.sql.Date     => le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt))
-      case s: String            => Some(s.getBytes(StandardCharsets.UTF_8))
-      case _                    => None
-    }
+  private def encodeBound(v: Any): Option[Array[Byte]] = v match {
+    case i: java.lang.Integer => Some(leBytes(4)(_.putInt(i)))
+    case l: java.lang.Long    => Some(leBytes(8)(_.putLong(l)))
+    case d: java.sql.Date     => Some(leBytes(4)(_.putInt(d.toLocalDate.toEpochDay.toInt)))
+    case s: String            => Some(s.getBytes(StandardCharsets.UTF_8))
+    case _                    => None
   }
 
   /** Per-field summaries of a manifest's entry tuples. String bounds
@@ -603,11 +613,15 @@ object IcebergWriter {
   private val DupPrefix = "__graft_p_"
 
   private val BucketTokenRe = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
-  private[readers] val BucketTfRe = "bucket\\[(\\d+)\\]".r
+  private[readers] val BucketTfRe = IcebergTransforms.BucketRe
   /** partitionBy token → (source column, bucket n): a bare name is
     * identity, `bucket(N, col)` the spec's bucket[N]. */
   private def parsePartToken(t: String): (String, Option[Int]) = t.trim match {
-    case BucketTokenRe(n, c) => (c, Some(n.toInt))
+    case BucketTokenRe(n, c) =>
+      val parsed = n.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"iceberg writer: bucket count '$n' in '$t' is not a 32-bit integer"))
+      require(parsed >= 1, s"iceberg writer: bucket count must be >= 1 (got '$t')")
+      (c, Some(parsed))
     case c                   => (c, None)
   }
   private def renderPartToken(t: (String, Option[Int])): String =
@@ -1011,10 +1025,6 @@ object IcebergWriter {
       val records = blocks.map(_.getRowCount).sum
       val lb = Map.newBuilder[String, Array[Byte]]
       val ub = Map.newBuilder[String, Array[Byte]]
-      def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
-        val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        fill(bb); bb.array()
-      }
       fields.zipWithIndex.foreach { case ((name, dt), i) =>
         val id = (i + 1).toString
         val colStats = blocks.flatMap(_.getColumns.asScala
@@ -1026,18 +1036,18 @@ object IcebergWriter {
           def encAll(vs: Seq[Any], takeMax: Boolean): Option[Array[Byte]] = dt match {
             case IntegerType | DateType =>
               val xs = vs.map(_.asInstanceOf[Number].intValue())
-              Some(le(4)(_.putInt(if (takeMax) xs.max else xs.min)))
+              Some(leBytes(4)(_.putInt(if (takeMax) xs.max else xs.min)))
             case LongType =>
               val xs = vs.map(_.asInstanceOf[Number].longValue())
-              Some(le(8)(_.putLong(if (takeMax) xs.max else xs.min)))
+              Some(leBytes(8)(_.putLong(if (takeMax) xs.max else xs.min)))
             case FloatType =>
               val xs = vs.map(_.asInstanceOf[Number].floatValue())
               if (xs.exists(_.isNaN)) None
-              else Some(le(4)(_.putFloat(if (takeMax) xs.max else xs.min)))
+              else Some(leBytes(4)(_.putFloat(if (takeMax) xs.max else xs.min)))
             case DoubleType =>
               val xs = vs.map(_.asInstanceOf[Number].doubleValue())
               if (xs.exists(_.isNaN)) None
-              else Some(le(8)(_.putDouble(if (takeMax) xs.max else xs.min)))
+              else Some(leBytes(8)(_.putDouble(if (takeMax) xs.max else xs.min)))
             case StringType =>
               val xs = vs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
               // unsigned byte order = UTF-8 code-point order, the

@@ -155,6 +155,17 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, t, filter = Some("d = date'2024-01-01'"))
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
     intercept[Exception](IcebergReader.read(spark, t).count())
+    // a CHANGES read whose filter the manifest summaries exclude
+    // entirely must keep its tag columns — the result schema cannot
+    // vary with how much the filter pruned
+    val firstSnap = {
+      import scala.jdk.CollectionConverters._
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+        .get("snapshots").elements().asScala.next().get("snapshot-id").asLong()
+    }
+    val ch = IcebergReader.readChangesSince(spark, t, firstSnap, filter = Some("p = 999"))
+    assert(ch.columns.contains("_snapshot_id") && ch.count() == 0L)
     // explicit mismatching partitioning refuses — spec evolution stays
     // with the connector
     val e1 = intercept[Exception](IcebergWriter.write(spark,
