@@ -624,6 +624,11 @@ object IcebergReader {
     }
     def deriveCmp(c: FileSkipping.Cmp, kind: String, arg: Int,
         srcType: String): Option[FileSkipping.Cmp] = {
+      // the literals must live in the SOURCE type's raw comparison
+      // domain — a date column tested against a timestamp literal would
+      // compare days to micros and derive a WRONG exclusion (Spark's
+      // own residual evaluation coerces; this raw path must fail open)
+      if (!FileSkipping.literalsMatch(c, srcType)) return None
       if (kind == "identity") return Some(c)
       if (kind == "bucket" && c.op != "=") return None
       def tl(v: Any): Option[Any] = kind match {
@@ -660,6 +665,9 @@ object IcebergReader {
         icebergType match {
           case "int" | "date" if bytes.length == 4 => Some(bb.getInt.toLong)
           case "long" if bytes.length == 8         => Some(bb.getLong)
+          // epoch micros — comparable against the (type-guarded)
+          // timestamp literal domain; literalsMatch keeps days out
+          case "timestamp" | "timestamptz" if bytes.length == 8 => Some(bb.getLong)
           case "float" if bytes.length == 4        => Some(bb.getFloat.toDouble)
           case "double" if bytes.length == 8       => Some(bb.getDouble)
           case "string"                            =>
@@ -1113,7 +1121,11 @@ object IcebergReader {
           scanData1.filterNot { e =>
             (e.lowerJson != null || e.upperJson != null) && shapes.exists { c =>
               byColName.get(c.name.toLowerCase).exists { case (id, t) =>
-                FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
+                // same-domain literals only (days vs micros vs ints are
+                // all bare Longs here — a mixed compare would prune
+                // wrong files, not fewer)
+                FileSkipping.literalsMatch(c, t) &&
+                  FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
               }
             }
           }

@@ -283,8 +283,10 @@ object IcebergWriter {
     }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val stWriter = stagedDf.write.mode("overwrite")
-    (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
-     else stWriter).parquet(staging.toString)
+    withMicrosTimestamps(spark) {
+      (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
+       else stWriter).parquet(staging.toString)
+    }
     try {
       val stagingQ = f.makeQualified(staging).toString
       val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
@@ -607,6 +609,18 @@ object IcebergWriter {
       .find(_.getPath.getName.endsWith(".avro")).get.getPath)
   }
 
+
+  /** The Iceberg spec stores timestamps as INT64 micros in parquet data
+    * files; Spark's default outputTimestampType is the non-spec INT96
+    * (whose footer stats parquet-mr refuses to use, killing bounds
+    * too). Staging runs under a scoped override, restored after. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Staging-only duplicate-column prefix: `partitionBy` consumes the
     * duplicates (directory layout), the real columns stay in the data
     * files. */
@@ -835,7 +849,7 @@ object IcebergWriter {
           df(n).as(n, new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
         }: _*)
         val gDir = new Path(staging, s"g$gi")
-        withIds.coalesce(1).write.parquet(gDir.toString)
+        withMicrosTimestamps(spark) { withIds.coalesce(1).write.parquet(gDir.toString) }
         val part = {
           val it = f.listFiles(gDir, false)
           var found: org.apache.hadoop.fs.FileStatus = null
@@ -1025,7 +1039,7 @@ object IcebergWriter {
       val records = blocks.map(_.getRowCount).sum
       val lb = Map.newBuilder[String, Array[Byte]]
       val ub = Map.newBuilder[String, Array[Byte]]
-      fields.zipWithIndex.foreach { case ((name, dt), i) =>
+      fields.zipWithIndex.foreach { case ((name, dt), i) => scala.util.Try {
         val id = (i + 1).toString
         val colStats = blocks.flatMap(_.getColumns.asScala
           .find(c => c.getPath.toDotString == name).map(_.getStatistics))
@@ -1037,7 +1051,10 @@ object IcebergWriter {
             case IntegerType | DateType =>
               val xs = vs.map(_.asInstanceOf[Number].intValue())
               Some(leBytes(4)(_.putInt(if (takeMax) xs.max else xs.min)))
-            case LongType =>
+            // timestamps stage as INT64 micros (Spark's parquet writer);
+            // an INT96-era Binary stat fails the Number cast and the
+            // Try skips the column — the reader fails open for it
+            case LongType | TimestampType | TimestampNTZType =>
               val xs = vs.map(_.asInstanceOf[Number].longValue())
               Some(leBytes(8)(_.putLong(if (takeMax) xs.max else xs.min)))
             case FloatType =>
@@ -1067,7 +1084,7 @@ object IcebergWriter {
             ub += id -> hi
           }
         }
-      }
+      } }
       FooterStats(records, lb.result(), ub.result())
     } finally r.close()
   }

@@ -286,6 +286,40 @@ class IcebergWriterSpec extends SparkSpec {
     intercept[Exception](IcebergReader.read(spark, t).count())
   }
 
+  test("bounds pruning is literal-domain-guarded: a timestamp literal never mis-prunes a date column") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwdomain").toString
+    IcebergWriter.write(spark,
+      Seq((1L, java.sql.Date.valueOf("2024-06-01"))).toDF("id", "d"), t)
+    // days-vs-micros: the raw range test would see the date bound
+    // (~19875) far below the timestamp literal's micros and wrongly
+    // exclude the file; the domain guard fails open and the residual
+    // filter answers exactly
+    assert(IcebergReader.read(spark, t,
+      filter = Some("d > TIMESTAMP '1970-01-05 00:00:00'")).count() == 1L)
+    // …while a same-domain DATE literal still prunes for real
+    assert(IcebergReader.read(spark, t,
+      filter = Some("d > DATE '2024-12-31'")).count() == 0L)
+  }
+
+  test("timestamp column bounds prune written tables (epoch-micros domain)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwtsb").toString
+    def dataFiles: Set[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSet
+    def frame(ts: String*) = ts.zipWithIndex
+      .map { case (s, i) => (i.toLong, java.sql.Timestamp.valueOf(s)) }.toDF("id", "ts")
+    IcebergWriter.write(spark, frame("2024-01-01 00:00:00", "2024-01-02 00:00:00"), t)
+    val before = dataFiles
+    IcebergWriter.write(spark, frame("2024-06-01 00:00:00", "2024-06-02 00:00:00"), t)
+    (dataFiles -- before).foreach(java.nio.file.Files.delete)
+    assert(IcebergReader.read(spark, t,
+      filter = Some("ts < TIMESTAMP '2024-03-01 00:00:00'")).count() == 2L)
+    intercept[Exception](IcebergReader.read(spark, t).count())
+  }
+
   test("bucket(N, col) partitioning: written tuples drive the reader's transform pruning") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwbucket").toString
