@@ -57,7 +57,8 @@ object Writers {
     }
     graft.readers.DeltaWriter.write(df.sparkSession, df, url,
       mode = mode, partitionBy = spec.partitionBy,
-      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
+      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")),
+      replaceWhere = spec.options.get("replaceWhere"))
     DataRef("delta", url, spec.options)
   }
 
@@ -72,7 +73,8 @@ object Writers {
     }
     graft.readers.IcebergWriter.write(df.sparkSession, df, url, mode = mode,
       partitionBy = spec.partitionBy,
-      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
+      mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")),
+      replaceWhere = spec.options.get("replaceWhere"))
     DataRef("iceberg", url, spec.options)
   }
 
