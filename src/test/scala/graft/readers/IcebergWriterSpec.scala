@@ -381,6 +381,39 @@ class IcebergWriterSpec extends SparkSpec {
     assert(e3.getMessage.contains("partitioned table"))
   }
 
+  test("mixed identity+bucket partitioning composes with evolution and replaceWhere") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwmixed").toString
+    IcebergWriter.write(spark, Seq((1L, 1), (2L, 2)).toDF("id", "p"), t,
+      partitionBy = Seq("p", "bucket(4, id)"))
+    // evolution on the partitioned table: spec source-ids stay valid
+    // (field ids are positions, and partition sources are table-prefix
+    // fields)
+    IcebergWriter.write(spark, Seq((3L, 1, "x")).toDF("id", "p", "tag"), t,
+      mergeSchema = true)
+    // replaceWhere scopes on the IDENTITY leg of the mixed spec
+    IcebergWriter.write(spark, Seq((9L, 1, "y")).toDF("id", "p", "tag"), t,
+      mode = "overwrite", replaceWhere = Some("p = 1"))
+    val got = IcebergReader.read(spark, t).collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set((9L, 1, "y"), (2L, 2, null)))
+    // the two-level dirs exist and the p leg still prunes: p=2's file
+    // deleted, the p=1 read answers off the tuple
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .exists(p => p.toString.contains("p=1/id_bucket=")))
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("p=2"))
+      .toSeq.foreach(java.nio.file.Files.delete)
+    assert(IcebergReader.read(spark, t, filter = Some("p = 1"))
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // …and a bucket-source predicate cannot drive replaceWhere
+    val e = intercept[Exception](IcebergWriter.write(spark,
+      Seq((5L, 1, "z")).toDF("id", "p", "tag"), t,
+      mode = "overwrite", replaceWhere = Some("id = 9")))
+    assert(e.getMessage.contains("identity partition columns only"))
+  }
+
   test("compact rewrites multi-file groups as a replace snapshot; expireSnapshots reclaims only unshared files") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
