@@ -272,9 +272,6 @@ object FileSkipping {
     Integer.compare(x.length - i, y.length - j)
   }
 
-  /** Does the closed range [lower, upper] (either side possibly
-    * unknown) DEFINITELY exclude every value satisfying `c`? Unknown
-    * comparisons never exclude (fail open). */
   /** Whether a conjunct's literals live in the same raw comparison
     * domain as an Iceberg column/partition type. The driver-side range
     * tests compare BARE ordinals (days, micros, ints are all Longs), so
@@ -283,20 +280,18 @@ object FileSkipping {
     * own evaluation coerces such comparisons, this path must refuse
     * them (fail open; the residual filter still answers exactly). */
   def literalsMatch(c: Cmp, icebergType: String): Boolean = {
-    def numericOk(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
-      case _: org.apache.spark.sql.types.DecimalType => true
+    def numericOk(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: DecimalType => true
       case _ => false
     }
     c.values.forall { l =>
       icebergType match {
-        case "date"        => l.dataType == org.apache.spark.sql.types.DateType
-        case "timestamp"   => l.dataType == org.apache.spark.sql.types.TimestampNTZType
-        case "timestamptz" => l.dataType == org.apache.spark.sql.types.TimestampType
-        case "string"      => l.dataType == org.apache.spark.sql.types.StringType
-        case "boolean"     => l.dataType == org.apache.spark.sql.types.BooleanType
+        case "date"        => l.dataType == DateType
+        case "timestamp"   => l.dataType == TimestampNTZType
+        case "timestamptz" => l.dataType == TimestampType
+        case "string"      => l.dataType == StringType
+        case "boolean"     => l.dataType == BooleanType
         case "int" | "long" | "float" | "double" => numericOk(l.dataType)
         case t if t.startsWith("decimal") => numericOk(l.dataType)
         case _ => false
@@ -304,6 +299,9 @@ object FileSkipping {
     }
   }
 
+  /** Does the closed range [lower, upper] (either side possibly
+    * unknown) DEFINITELY exclude every value satisfying `c`? Unknown
+    * comparisons never exclude (fail open). */
   def rangeExcludes(c: Cmp, lower: Option[Any], upper: Option[Any]): Boolean = {
     val vals = c.values.map(literalValue)
     if (vals.exists(_.isEmpty)) return false

@@ -1118,15 +1118,16 @@ object IcebergReader {
                 else Option(node.get(id.toString))
               v.flatMap(n => decodeBound(n, t))
             }
+          // same-domain literals only (days vs micros vs ints are all
+          // bare Longs here — a mixed compare would prune wrong files,
+          // not fewer); the guard depends on (shape, column type) only,
+          // so it runs once here, not per file entry
+          val guarded = shapes.flatMap(c => byColName.get(c.name.toLowerCase)
+            .filter { case (_, t) => FileSkipping.literalsMatch(c, t) }
+            .map(ct => (c, ct._1, ct._2)))
           scanData1.filterNot { e =>
-            (e.lowerJson != null || e.upperJson != null) && shapes.exists { c =>
-              byColName.get(c.name.toLowerCase).exists { case (id, t) =>
-                // same-domain literals only (days vs micros vs ints are
-                // all bare Longs here — a mixed compare would prune
-                // wrong files, not fewer)
-                FileSkipping.literalsMatch(c, t) &&
-                  FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
-              }
+            (e.lowerJson != null || e.upperJson != null) && guarded.exists { case (c, id, t) =>
+              FileSkipping.rangeExcludes(c, bound(e.lowerJson, id, t), bound(e.upperJson, id, t))
             }
           }
         }

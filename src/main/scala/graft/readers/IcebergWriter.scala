@@ -283,7 +283,7 @@ object IcebergWriter {
     }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val stWriter = stagedDf.write.mode("overwrite")
-    withMicrosTimestamps(spark) {
+    withMicrosTimestamps(stagedDf.sparkSession) {
       (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
        else stWriter).parquet(staging.toString)
     }
@@ -613,13 +613,22 @@ object IcebergWriter {
   /** The Iceberg spec stores timestamps as INT64 micros in parquet data
     * files; Spark's default outputTimestampType is the non-spec INT96
     * (whose footer stats parquet-mr refuses to use, killing bounds
-    * too). Staging runs under a scoped override, restored after. */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally spark.conf.set(key, prev)
-  }
+    * too). A per-write option cannot carry this key — ParquetFileFormat
+    * re-stamps it into the job conf from the session SQLConf — so
+    * staging runs under a scoped SESSION override on the frame's OWN
+    * session (the one that executes the write), serialized through a
+    * writer-global lock so concurrent graft writers can neither stage
+    * INT96 nor leak the override through interleaved restores. Other
+    * threads' unrelated parquet writes inside the window stage micros
+    * too — a readable, spec-preferred layout, not a corruption. */
+  private val microsLock = new Object
+  private def withMicrosTimestamps[T](session: SparkSession)(body: => T): T =
+    microsLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = session.conf.get(key)
+      session.conf.set(key, "TIMESTAMP_MICROS")
+      try body finally session.conf.set(key, prev)
+    }
 
   /** Staging-only duplicate-column prefix: `partitionBy` consumes the
     * duplicates (directory layout), the real columns stay in the data
@@ -849,7 +858,9 @@ object IcebergWriter {
           df(n).as(n, new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
         }: _*)
         val gDir = new Path(staging, s"g$gi")
-        withMicrosTimestamps(spark) { withIds.coalesce(1).write.parquet(gDir.toString) }
+        withMicrosTimestamps(withIds.sparkSession) {
+          withIds.coalesce(1).write.parquet(gDir.toString)
+        }
         val part = {
           val it = f.listFiles(gDir, false)
           var found: org.apache.hadoop.fs.FileStatus = null

@@ -288,18 +288,31 @@ class IcebergWriterSpec extends SparkSpec {
 
   test("bounds pruning is literal-domain-guarded: a timestamp literal never mis-prunes a date column") {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val t = Files.createTempDirectory("iwdomain").toString
+    def dataFiles: Set[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSet
     IcebergWriter.write(spark,
       Seq((1L, java.sql.Date.valueOf("2024-06-01"))).toDF("id", "d"), t)
-    // days-vs-micros: the raw range test would see the date bound
-    // (~19875) far below the timestamp literal's micros and wrongly
-    // exclude the file; the domain guard fails open and the residual
-    // filter answers exactly
+    val before = dataFiles
+    IcebergWriter.write(spark,
+      Seq((2L, java.sql.Date.valueOf("2025-02-01"))).toDF("id", "d"), t)
+    // days-vs-micros: the raw range test would see the date bounds
+    // (~19875 days) far below the timestamp literal's micros and
+    // wrongly exclude BOTH files; the domain guard fails open and the
+    // residual filter answers exactly
     assert(IcebergReader.read(spark, t,
-      filter = Some("d > TIMESTAMP '1970-01-05 00:00:00'")).count() == 1L)
-    // …while a same-domain DATE literal still prunes for real
+      filter = Some("d > TIMESTAMP '1970-01-05 00:00:00'")).count() == 2L)
+    // prune PROOF both ways on the dangling 2025 file: the same-domain
+    // DATE literal excludes it unread, while the mixed-domain filter
+    // must keep it (fail open) and so must hit the missing file —
+    // under the old bug it would have silently pruned to zero rows
+    (dataFiles -- before).foreach(java.nio.file.Files.delete)
     assert(IcebergReader.read(spark, t,
-      filter = Some("d > DATE '2024-12-31'")).count() == 0L)
+      filter = Some("d < DATE '2024-12-31'")).count() == 1L)
+    intercept[Exception](IcebergReader.read(spark, t,
+      filter = Some("d > TIMESTAMP '1970-01-05 00:00:00'")).count())
   }
 
   test("timestamp column bounds prune written tables (epoch-micros domain)") {
