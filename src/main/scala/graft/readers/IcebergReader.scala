@@ -54,7 +54,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * matching neither ids nor mapping refuse loudly, as does the
   * ORC + name-mapping combination.
   * Time travel: `snapshotId` pins any snapshot the metadata still
-  * references. When the real connector jar IS on the classpath the
+  * references, read under the snapshot's OWN schema-id (the spec's
+  * binding; a pre-evolution snapshot surfaces only its own columns). When the real connector jar IS on the classpath the
   * gated `spark_iceberg` FormatReader outranks this one in the
   * registry, so the native path is the fallback, not a replacement.
   *
@@ -567,6 +568,19 @@ object IcebergReader {
     val snapshots = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
     val snap = snapshots.find(s => s.get("snapshot-id").asLong() == currentId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
+    // an EXPLICIT time travel reads under the snapshot's OWN schema
+    // (the spec binds each snapshot to a schema-id; Delta's versionAsOf
+    // replays historical metadata the same way) — live reads, and
+    // snapshots predating schema tracking, keep the current schema
+    val schemaNode: Option[JsonNode] = {
+      val pinned = for {
+        _ <- snapshotId
+        sid <- Option(snap.get("schema-id")).map(_.asInt())
+        ss <- Option(meta.get("schemas"))
+        s <- ss.elements().asScala.find(x => Option(x.get("schema-id")).exists(_.asInt() == sid))
+      } yield s
+      pinned.orElse(currentSchemaNode(meta))
+    }
 
     // deferred registration probe: metadata + snapshot validated; stop
     // BEFORE any manifest or data file is touched — the first query's
@@ -574,7 +588,7 @@ object IcebergReader {
     // without a schema node (pathological early-v1) falls through to
     // the full walk, whose merged-schema read is the only schema source.
     if (schemaOnly) {
-      currentSchemaNode(meta).map(toSparkSchema) match {
+      schemaNode.map(toSparkSchema) match {
         case Some(st) =>
           return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         case None => () // fall through to the full walk
@@ -585,7 +599,7 @@ object IcebergReader {
     // (drives file skipping below; empty/ignored when no filter given)
     val filterConjs = filter.toSeq.flatMap(FileSkipping.conjuncts)
     // primitive schema fields by id: id → (name, iceberg type string)
-    val schemaFieldById: Map[Int, (String, String)] = currentSchemaNode(meta).toSeq
+    val schemaFieldById: Map[Int, (String, String)] = schemaNode.toSeq
       .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
       .filter(fld => fld.get("type").isTextual)
       .map(fld => fld.get("id").asInt() -> (fld.get("name").asText(), fld.get("type").asText()))
@@ -874,7 +888,7 @@ object IcebergReader {
       // schema node exists) — return the empty result, typed, with the
       // changes tag columns when this is a changes read (its schema
       // must not vary with how much the filter pruned)
-      val st = currentSchemaNode(meta).map(toSparkSchema).getOrElse(
+      val st = schemaNode.map(toSparkSchema).getOrElse(
         throw new IllegalStateException("iceberg: manifest skipping without a schema"))
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       return changes.fold(base) { _ =>
@@ -954,7 +968,7 @@ object IcebergReader {
     // — Spark's ORC source has no field-id matcher, so column renames
     // don't resolve for them (documented profile caveat; adds/deletes
     // still behave).
-    val sparkSchemaOpt = currentSchemaNode(meta).map(toSparkSchema)
+    val sparkSchemaOpt = schemaNode.map(toSparkSchema)
     // Field-id parquet resolution is scoped to a SESSION CLONE instead
     // of mutating the caller's conf: a file relation keeps the session
     // it was created with (FileSourceScanExec builds its reader from

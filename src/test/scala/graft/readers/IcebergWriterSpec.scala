@@ -235,6 +235,13 @@ class IcebergWriterSpec extends SparkSpec {
     val ids = meta.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).toSeq
     assert(ids == Seq(0, 1) && meta.get("current-schema-id").asInt() == 1)
     assert(meta.get("last-column-id").asInt() == 3)
+    // time travel reads under the snapshot's OWN schema: the
+    // pre-evolution snapshot has no `score` column at all
+    val preEvolution = meta.get("snapshots").elements().asScala.toSeq.head
+      .get("snapshot-id").asLong()
+    val tt = IcebergReader.read(spark, t, snapshotId = Some(preEvolution))
+    assert(tt.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(tt.count() == 1L)
     // compacting the evolved table must NOT lose the new column: the
     // group mixes pre- and post-evolution files, and a sampled parquet
     // schema would silently drop `score` from the rewrite
