@@ -58,7 +58,8 @@ object Writers {
     graft.readers.DeltaWriter.write(df.sparkSession, df, url,
       mode = mode, partitionBy = spec.partitionBy,
       mergeSchema = spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true")),
-      replaceWhere = spec.options.get("replaceWhere"))
+      replaceWhere = spec.options.get("replaceWhere"),
+      overwriteSchema = spec.options.get("overwriteSchema").exists(_.equalsIgnoreCase("true")))
     DataRef("delta", url, spec.options)
   }
 

@@ -56,11 +56,24 @@ object DeltaWriter {
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10,
-      replaceWhere: Option[String] = None, mergeSchema: Boolean = false): Unit = {
+      replaceWhere: Option[String] = None, mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
       "delta writer: replaceWhere requires mode = overwrite")
+    // overwriteSchema (delta-spark's option): a full-recompute
+    // overwrite REPLACES the schema and partitioning outright — the
+    // commit's metaData states the frame's own layout. Streams refuse
+    // the metadata change (restart to adopt), the change feed gates it
+    // (non-prefix evolution), both by their existing rules.
+    require(!overwriteSchema || mode == "overwrite",
+      "delta writer: overwriteSchema requires mode = overwrite")
+    require(!(overwriteSchema && mergeSchema),
+      "delta writer: overwriteSchema and mergeSchema are mutually exclusive")
+    require(!(overwriteSchema && replaceWhere.isDefined),
+      "delta writer: overwriteSchema cannot combine with replaceWhere (a partition-scoped " +
+        "overwrite keeps rows the old schema wrote)")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val tablePath = new Path(table)
@@ -79,7 +92,7 @@ object DeltaWriter {
     // simply lack them — a by-name parquet read nulls them out, the
     // same way old files null out the added columns)
     val existingHead = if (exists) Some(currentState(spark, table)) else None
-    existingHead.foreach { head =>
+    existingHead.filterNot(_ => overwriteSchema).foreach { head =>
       val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val got = df.schema
       if (mergeSchema) {
@@ -112,7 +125,9 @@ object DeltaWriter {
         s"delta writer: the frame is missing partition column(s) " +
           s"${head.partitionCols.filterNot(pc => df.schema.fieldNames.exists(_.equalsIgnoreCase(pc))).mkString(",")}")
     }
-    val partCols = existingHead.map(_.partitionCols).getOrElse(partitionBy)
+    val partCols =
+      if (overwriteSchema) partitionBy
+      else existingHead.map(_.partitionCols).getOrElse(partitionBy)
 
     // replaceWhere (partition-scoped overwrite): the predicate must
     // cover ONLY partition columns — exact per-file evaluation is then
@@ -176,6 +191,16 @@ object DeltaWriter {
             s""""schemaString":${js(df.schema.json)},""" +
             s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
             s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+        } else if (overwriteSchema) {
+          // the recompute's metaData states the frame's OWN layout;
+          // id/configuration carry over from the head's metaData
+          val headNow = currentState(spark, table)
+          val mdNode = mapper.readTree(headNow.metaJson)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          mdNode.put("schemaString", df.schema.json)
+          val pcArr = mdNode.putArray("partitionColumns")
+          partCols.foreach(pcArr.add)
+          actions += s"""{"metaData":${mdNode.toString}}"""
         } else if (mergeSchema) {
           // schema evolution rides THIS commit as a metaData action with
           // the merged schema (table order first, frame-only columns

@@ -300,4 +300,34 @@ class DeltaWriterSpec extends SparkSpec {
     val feed = DeltaReader.readChangeFeed(spark, t, -1L)
     assert(feed.where("_change_type = 'insert'").count() == 3L)
   }
+
+  test("overwriteSchema replaces the table layout on a full recompute") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwos").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    // a different layout refuses without the option…
+    val e1 = intercept[Exception](DeltaWriter.write(spark,
+      Seq(("k1", 0.5)).toDF("k", "v"), t, mode = "overwrite"))
+    assert(e1.getMessage.contains("schema mismatch"))
+    // …and lands with it, new partitioning included
+    DeltaWriter.write(spark, Seq(("k1", 0.5), ("k2", 1.5)).toDF("k", "v"), t,
+      mode = "overwrite", overwriteSchema = true, partitionBy = Seq("k"))
+    val df = DeltaReader.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("v", "k") ||
+      df.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(df.count() == 2L)
+    // the new layout governs appends: the OLD schema now refuses and
+    // the new one lands, partition-pruned under the new column
+    intercept[Exception](DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t))
+    DeltaWriter.write(spark, Seq(("k1", 2.5)).toDF("k", "v"), t)
+    assert(DeltaReader.read(spark, t, filter = Some("k = 'k1'")).count() == 2L)
+    // option misuse refuses loudly
+    val e2 = intercept[Exception](DeltaWriter.write(spark,
+      Seq(("k", 1.0)).toDF("k", "v"), t, overwriteSchema = true))
+    assert(e2.getMessage.contains("requires mode = overwrite"))
+    val e3 = intercept[Exception](DeltaWriter.write(spark,
+      Seq(("k", 1.0)).toDF("k", "v"), t, mode = "overwrite",
+      overwriteSchema = true, mergeSchema = true))
+    assert(e3.getMessage.contains("mutually exclusive"))
+  }
 }
