@@ -91,8 +91,9 @@ object DeltaWriter {
     // table-only columns may be absent from the frame (the new files
     // simply lack them — a by-name parquet read nulls them out, the
     // same way old files null out the added columns)
-    val existingHead = if (exists) Some(currentState(spark, table)) else None
-    existingHead.filterNot(_ => overwriteSchema).foreach { head =>
+    val existingHead =
+      if (exists && !overwriteSchema) Some(currentState(spark, table)) else None
+    existingHead.foreach { head =>
       val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val got = df.schema
       if (mergeSchema) {
@@ -183,6 +184,10 @@ object DeltaWriter {
       while (!committed) {
         val version = if (!f.exists(logDir)) 0L
           else scala.util.Try(DeltaReader.currentVersion(spark, table) + 1L).getOrElse(0L)
+        // ONE head replay per attempt, shared by the metaData branches
+        // and the overwrite tombstones (each must see the post-race
+        // state, none should pay the log walk twice)
+        lazy val headNow: HeadState = currentState(spark, table)
         val actions = Seq.newBuilder[String]
         if (version == 0L) {
           actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -193,10 +198,19 @@ object DeltaWriter {
             s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
         } else if (overwriteSchema) {
           // the recompute's metaData states the frame's OWN layout;
-          // id/configuration carry over from the head's metaData
-          val headNow = currentState(spark, table)
+          // id carries over from the head's metaData. A column-mapped
+          // table refuses: its configuration demands physicalName/id
+          // field metadata this plain schemaString cannot supply, and
+          // carrying the mode over would break every compliant reader
           val mdNode = mapper.readTree(headNow.metaJson)
             .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val mappingMode = Option(mdNode.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .filterNot(_.isNull).map(_.asText()).getOrElse("none")
+          require(mappingMode == "none",
+            s"delta writer: overwriteSchema on a column-mapped table (mode $mappingMode) — " +
+              "the replacement schema would lack the mapping metadata the mode requires; " +
+              "rewrite it with the delta-spark connector")
           mdNode.put("schemaString", df.schema.json)
           val pcArr = mdNode.putArray("partitionColumns")
           partCols.foreach(pcArr.add)
@@ -207,7 +221,6 @@ object DeltaWriter {
           // appended nullable); id/configuration/createdTime carry over
           // from the head's own metaData. Re-resolved per attempt so a
           // rival evolution landing first merges against ITS result.
-          val headNow = currentState(spark, table)
           val expected = DataType.fromJson(headNow.schemaJson).asInstanceOf[StructType]
           // the up-front conflict check ran against the PRE-race head;
           // a rival evolution may have landed a same-named column of a
@@ -241,12 +254,11 @@ object DeltaWriter {
           // so a lost race never removes against a stale state; under
           // replaceWhere only files whose partition tuple MATCHES the
           // predicate (exact driver-local evaluation) are replaced
-          val head = currentState(spark, table)
           val doomed: Seq[LiveFile] = replaceWhere match {
-            case None => head.liveFiles
+            case None => headNow.liveFiles
             case Some(rw) =>
-              val matching = matchingFiles(spark, head, rw).toSet
-              head.liveFiles.filter(lf => matching.contains(lf.path))
+              val matching = matchingFiles(spark, headNow, rw).toSet
+              headNow.liveFiles.filter(lf => matching.contains(lf.path))
           }
           // removes carry partitionValues (delta-spark does the same):
           // the change-feed's delete derivation needs the tuple, since

@@ -543,7 +543,8 @@ object IcebergReader {
       filter: Option[String] = None,
       maxManifestEntries: Long = DefaultMaxManifestEntries,
       schemaOnly: Boolean = false,
-      changes: Option[Map[String, (Long, Long)]] = None): DataFrame = {
+      changes: Option[Map[String, (Long, Long)]] = None,
+      snapshotSchema: Boolean = true): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     // pinned per planning pass: sibling legs of one query (self-join)
     // resolve the same metadata file — one snapshot per query — even if
@@ -574,8 +575,8 @@ object IcebergReader {
     // snapshots predating schema tracking, keep the current schema
     val schemaNode: Option[JsonNode] = {
       val pinned = for {
-        _ <- snapshotId
-        sid <- Option(snap.get("schema-id")).map(_.asInt())
+        _ <- snapshotId if snapshotSchema
+        sid <- Option(snap.get("schema-id")).filterNot(_.isNull).map(_.asInt())
         ss <- Option(meta.get("schemas"))
         s <- ss.elements().asScala.find(x => Option(x.get("schema-id")).exists(_.asInt() == sid))
       } yield s
@@ -1330,7 +1331,14 @@ object IcebergReader {
         val current = currentSchemaNode(meta).toSeq
           .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
           .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
-        historic ++ current
+        // the SCAN's columns follow schemaNode (the pinned snapshot
+        // schema under explicit time travel) — its names must win, or
+        // a post-snapshot rename would build the delete condition over
+        // a column the pinned frame does not carry
+        val scanNames = schemaNode.toSeq
+          .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+          .map(fld => fld.get("id").asInt() -> fld.get("name").asText()).toMap
+        historic ++ current ++ scanNames
       }
       // per-file sequence numbers AND spec ids attach via a tiny
       // broadcast lookup (a when()-chain would grow the expression tree

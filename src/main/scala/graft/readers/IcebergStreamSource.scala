@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.StructType
   *
   * With deletes refused or skipped, every windowed add is live at the
   * window's END snapshot, so a multi-snapshot catch-up plans ONE
-  * pinned scan. Schema constancy rides the pinned read's own drift
-  * gates.
+  * pinned scan — read with `snapshotSchema = false`: a stream's schema
+  * is FIXED at start, so pinned batches must not adopt a window
+  * snapshot's own (possibly older) schema; an evolution mid-stream
+  * still surfaces loudly as a batch-arity mismatch, restart to adopt.
   */
 class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
@@ -169,7 +171,8 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
       case None => startingSnapshot match {
         case Some("latest") => emptyBatch()
         case Some(v)        => changesBatch(v.toLong, endId) // changes AFTER that ancestor
-        case None           => IcebergReader.read(spark, table, snapshotId = Some(endId))
+        case None           => IcebergReader.read(spark, table, snapshotId = Some(endId),
+          snapshotSchema = false) // a stream's schema is FIXED at start
       }
     }
     org.apache.spark.sql.graft.bridge.streamingFrame(batch)
@@ -236,7 +239,7 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
         s"before the batch was read (e.g. '${vanished.head}') — the stream cannot emit " +
         "them exactly-once; re-baseline with a batch read")
     if (adds.isEmpty) emptyBatch()
-    else IcebergReader.read(spark, table, snapshotId = Some(endId),
+    else IcebergReader.read(spark, table, snapshotId = Some(endId), snapshotSchema = false,
       changes = Some(adds.map(_ -> (endId, 0L)).toMap))
       .drop("_snapshot_id", "_committed_at")
   }

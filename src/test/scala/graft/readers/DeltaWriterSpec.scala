@@ -329,5 +329,22 @@ class DeltaWriterSpec extends SparkSpec {
       Seq(("k", 1.0)).toDF("k", "v"), t, mode = "overwrite",
       overwriteSchema = true, mergeSchema = true))
     assert(e3.getMessage.contains("mutually exclusive"))
+    // a column-mapped table refuses: the replacement schemaString would
+    // lack the physicalName metadata the mode demands of every field
+    val tm = Files.createTempDirectory("dwosmap")
+    val log = tm.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val mappedSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType, nullable = true,
+        org.apache.spark.sql.types.Metadata.fromJson(
+          """{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-1"}"""))
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(mappedSchema.json)
+        },"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"1"},"createdTime":1}}""" + "\n")
+    val e4 = intercept[Exception](DeltaWriter.write(spark,
+      Seq(("k", 1.0)).toDF("k", "v"), tm.toString, mode = "overwrite", overwriteSchema = true))
+    assert(e4.getMessage.contains("column-mapped"))
   }
 }

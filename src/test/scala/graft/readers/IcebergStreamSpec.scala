@@ -210,6 +210,42 @@ class IcebergStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a paced catch-up across additive evolution keeps the stream's fixed schema") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("isevolve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("isevolveckpt").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Option[Int])]()
+    def run(paced: Boolean): Unit = {
+      val reader = spark.readStream.format("graft-iceberg")
+      val q = (if (paced) reader.option("max_snapshots_per_trigger", "1") else reader)
+        .load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val score = if (df.columns.contains("score") && !r.isNullAt(r.fieldIndex("score")))
+              Some(r.getInt(r.fieldIndex("score"))) else None
+            seen.synchronized { seen += ((r.getLong(r.fieldIndex("id")), score)) }
+          }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(paced = false)
+    assert(seen.map(_._1).sorted.toSeq == Seq(1L))
+    // two commits land while the stream is down: a plain append, then
+    // an ADDITIVE evolution append — the restarted catch-up (paced one
+    // snapshot per batch, so the pre-evolution window scans PINNED)
+    // must read every batch under the stream's CURRENT schema, not the
+    // window snapshot's own older one
+    IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    IcebergWriter.write(spark, Seq((3L, "c", 7)).toDF("id", "name", "score"), t,
+      mergeSchema = true)
+    seen.clear()
+    run(paced = true)
+    assert(seen.sortBy(_._1).toSeq == Seq((2L, None), (3L, Some(7))))
+  }
+
   test("max_snapshots_per_trigger paces a fresh catch-up along the ancestry") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("ispaced").toString
