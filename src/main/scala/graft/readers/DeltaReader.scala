@@ -393,8 +393,8 @@ object DeltaReader {
     val tableHead = math.max(cpV, commitStatuses.map(_._1).maxOption.getOrElse(-1L))
     require(tableHead >= 0, s"delta: empty _delta_log at $logDir")
     // an explicit end bounds the window (the table_changes
-    // (start, end) form); the head STATE still governs schema/gates —
-    // conservative for post-end evolution (refuses, never mislabels)
+    // (start, end) form); the head STATE still governs the serving
+    // schema, and the post-end gate below keeps that sound
     endVersion.foreach(e => require(e >= 0 && e <= tableHead,
       s"delta: change feed endVersion $e outside the log (head $tableHead)"))
     val head = endVersion.getOrElse(tableHead)
@@ -419,6 +419,33 @@ object DeltaReader {
       s"delta: cannot serve the change feed since $sinceVersion — commit json(s) " +
         s"${missing.toSeq.sorted.mkString(", ")} missing from _delta_log (expired/cleaned log); " +
         "re-baseline with a full read")
+
+    // With an explicit end, the in-window metadata gate alone is not
+    // enough: a NON-ADDITIVE evolution committed AFTER endVersion
+    // (overwriteSchema, a rename under column mapping) lives outside
+    // the window, yet the feed serves under the HEAD schema — old
+    // files would read back with dropped/renamed columns nulled
+    // instead of refusing. Resolve the state AS OF endVersion and
+    // require the end→head evolution itself to be additive (appended
+    // nullable columns, same partitioning, same mapping mode); then
+    // head-schema serving nulls the appended columns exactly like
+    // delta's own old-file semantics, and anything else refuses.
+    endVersion.filter(_ < tableHead).foreach { e =>
+      val endState = cachedState(spark, table, logDir, f, Some(e), maxLiveFiles)
+      val endSchema = DataType.fromJson(endState.schemaJson).asInstanceOf[StructType]
+      val additive = endSchema.fields.length <= schema.fields.length &&
+        endSchema.fields.zip(schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+        }
+      val samePc = endState.partitionCols == partitionCols
+      val sameMapping =
+        endState.configuration.getOrElse("delta.columnMapping.mode", "none") ==
+          state.configuration.getOrElse("delta.columnMapping.mode", "none")
+      require(additive && samePc && sameMapping,
+        s"delta: change feed window ($sinceVersion, $e] unservable — the table metadata " +
+          "changed after the window end beyond additive column evolution, so window rows " +
+          "cannot be labelled under the current schema; re-baseline with a full read")
+    }
 
     // None changeType = a cdc file (rows carry their own _change_type)
     case class FileChange(path: String, pv: Map[String, Option[String]], changeType: Option[String])

@@ -188,6 +188,27 @@ object DeltaWriter {
         // and the overwrite tombstones (each must see the post-race
         // state, none should pay the log walk twice)
         lazy val headNow: HeadState = currentState(spark, table)
+        if (version > 0L && !overwriteSchema) {
+          // the up-front schema/partitioning validation ran against the
+          // PRE-race head; a rival overwriteSchema can replace both
+          // between that check and a winning retry, and the staged
+          // files/dirs cannot adapt — re-guard per attempt (the Iceberg
+          // writer's stance) and refuse on drift
+          require(headNow.partitionCols.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+            s"delta writer: the partitioning of $table changed under this write " +
+              s"(now [${headNow.partitionCols.mkString(",")}], staged " +
+              s"[${partCols.mkString(",")}]); re-run against the new layout")
+          if (!mergeSchema) {
+            val expectedNow = DataType.fromJson(headNow.schemaJson).asInstanceOf[StructType]
+            val same = expectedNow.fields.length == df.schema.fields.length &&
+              expectedNow.fields.zip(df.schema.fields).forall { case (a, b) =>
+                a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+              }
+            require(same,
+              s"delta writer: the schema of $table changed under this write (a concurrent " +
+                "writer replaced it); re-run against the new schema")
+          }
+        }
         val actions = Seq.newBuilder[String]
         if (version == 0L) {
           actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""

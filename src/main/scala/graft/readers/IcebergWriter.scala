@@ -235,6 +235,27 @@ object IcebergWriter {
     val partCols: Seq[String] = partDefs.map(_._1) // partition FIELD names
     val partFields: Seq[StructField] = partDefs.map(d => StructField(d._1, d._4))
 
+    // '' in a string IDENTITY partition source stages as Spark's
+    // __HIVE_DEFAULT_PARTITION__ directory, which the dir-text round
+    // trip reads back as a NULL tuple — replaceWhere "p = ''" would
+    // then pass the row gate yet match no manifest entries (old rows
+    // stay live), and spec-compliant readers projecting identity values
+    // from the tuple would surface null instead of ''. Refuse, naming
+    // the connector — consistent with the other round-trip gates.
+    // (Bucket fields are immune: their tuple is the int ordinal.)
+    {
+      val emptyable = partDefs.filter(d => d._3.isEmpty &&
+        df.schema(d._2).dataType == StringType).map(_._2)
+      if (emptyable.nonEmpty) {
+        val pred = emptyable.map(c => s"`$c` = ''").mkString(" OR ")
+        require(df.where(pred).limit(1).count() == 0,
+          s"iceberg writer: empty-string value(s) in string identity partition column(s) " +
+            s"[${emptyable.mkString(",")}] — '' does not survive the directory-text round " +
+            "trip (it stages as the null partition); write the table with the " +
+            "iceberg-spark connector or filter/replace the empty values")
+      }
+    }
+
     // replaceWhere (partition-scoped overwrite, the Delta writer's
     // stance): the predicate must cover ONLY partition columns — exact
     // per-file evaluation is then possible — and every incoming row

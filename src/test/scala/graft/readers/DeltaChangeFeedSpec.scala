@@ -179,6 +179,42 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(e6.getMessage.contains("partitionValues"))
   }
 
+  test("non-additive evolution AFTER endVersion refuses; additive post-end evolution serves with nulled columns") {
+    // the bounded feed serves under the HEAD schema, so a post-end
+    // schema REPLACEMENT (outside the in-window gate's reach) must
+    // refuse — old files would come back with retyped/dropped columns
+    // silently nulled instead
+    val t1 = Files.createTempDirectory("cdfpostend")
+    writeParquetFile(t1, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t1, 0, Seq(protocolAction, metaAction(), addAction("f0.parquet")))
+    writeParquetFile(t1, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t1, 1, Seq(commitInfo(2), addAction("f1.parquet")))
+    val retyped = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType))).json
+    writeCommit(t1, 2, Seq(commitInfo(3), metaAction(schema = retyped)))
+    val e = intercept[Exception](
+      DeltaReader.readChangeFeed(spark, t1.toString, 0L, endVersion = Some(1L)))
+    assert(e.getMessage.contains("after the window end"))
+    // ...but ADDITIVE post-end evolution (appended nullable column) is
+    // delta's own old-file semantics: the window serves under the head
+    // schema with the appended column nulled
+    val t2 = Files.createTempDirectory("cdfpostendok")
+    writeParquetFile(t2, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t2, 0, Seq(protocolAction, metaAction(), addAction("f0.parquet")))
+    writeParquetFile(t2, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t2, 1, Seq(commitInfo(2), addAction("f1.parquet")))
+    val widened = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("extra", LongType))).json
+    writeCommit(t2, 2, Seq(commitInfo(3), metaAction(schema = widened)))
+    val feed = DeltaReader.readChangeFeed(spark, t2.toString, 0L, endVersion = Some(1L))
+    assert(feed.columns.toSeq == Seq("id", "name", "extra",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    import spark.implicits._
+    assert(feed.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq == Seq((2L, "insert", 1L)))
+    assert(feed.select("extra").as[Option[Long]].collect().toSeq == Seq(None))
+  }
+
   test("registry option changeFeedSince routes a DataRef read through the feed; endVersion bounds it") {
     import spark.implicits._
     val t = Files.createTempDirectory("cdfreg").toString

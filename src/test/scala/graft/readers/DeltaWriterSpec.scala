@@ -90,6 +90,47 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaReader.read(spark, t).count() == 2L)
   }
 
+  test("a rival schema replacement landing mid-write refuses at commit instead of publishing stale adds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val t = Files.createTempDirectory("dwrivalschema").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t) // v0: (id long, name string)
+    // the rival's overwriteSchema-style commit (id retyped to int)
+    // lands as soon as the victim finishes its up-front validation and
+    // starts staging — the staging dir is the observable boundary
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val retyped = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))).json
+    val rival = s"""{"metaData":{"id":"r1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(retyped)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":1}}""" + "\n" +
+      """{"commitInfo":{"timestamp":1,"operation":"RIVAL.OverwriteSchema"}}"""
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    @volatile var landed = false
+    val watcher = new Thread(() => {
+      val dir = java.nio.file.Paths.get(t)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!landed && System.nanoTime() < deadline) {
+        val staging = Files.list(dir).toArray.exists(_.toString.contains("_staging_"))
+        if (staging) {
+          Files.writeString(log.resolve(f"${1L}%020d.json"), rival + "\n")
+          landed = true
+        } else Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    // slow the staging job enough that the watcher always wins the race
+    val slow = udf((s: String) => { Thread.sleep(500); s })
+    val df = Seq((2L, "b")).toDF("id", "name").withColumn("name", slow(col("name")))
+    val e = intercept[Exception](DeltaWriter.write(spark, df, t))
+    watcher.join()
+    assert(landed, "test harness: the rival commit never landed")
+    assert(e.getMessage.contains("changed under this write"))
+    // the victim's adds must NOT have published at version 2
+    assert(!Files.exists(log.resolve(f"${2L}%020d.json")))
+  }
+
   test("txn versions make writes idempotent; lastTxnVersion tracks per app id") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwtxn").toString

@@ -123,6 +123,29 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, t).count() == 2L)
   }
 
+  test("empty-string identity partition values refuse (the dir-text round trip maps '' to null)") {
+    import spark.implicits._
+    // Spark stages '' as __HIVE_DEFAULT_PARTITION__, so the manifest
+    // tuple would record NULL: replaceWhere "p = ''" would match no
+    // entries (old rows stay live) and tuple-projecting readers would
+    // surface null — refuse instead
+    val t = Files.createTempDirectory("iwempty").toString
+    val e = intercept[Exception](IcebergWriter.write(spark,
+      Seq((1L, ""), (2L, "b")).toDF("id", "p"), t, partitionBy = Seq("p")))
+    assert(e.getMessage.contains("empty-string"))
+    // bucket partitioning is immune (the tuple is the int ordinal):
+    // the same data writes and '' round-trips through the data file
+    val t2 = Files.createTempDirectory("iwemptyb").toString
+    IcebergWriter.write(spark, Seq((1L, ""), (2L, "b")).toDF("id", "p"), t2,
+      partitionBy = Seq("bucket(4, p)"))
+    assert(IcebergReader.read(spark, t2).select("id", "p")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == Seq((1L, ""), (2L, "b")))
+    // and an unpartitioned write keeps '' as a plain data value
+    val t3 = Files.createTempDirectory("iwemptyu").toString
+    IcebergWriter.write(spark, Seq((1L, "")).toDF("id", "p"), t3)
+    assert(IcebergReader.read(spark, t3).select("p").as[String].collect().toSeq == Seq(""))
+  }
+
   private def deleteDataFiles(t: String, dirPrefix: String): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
