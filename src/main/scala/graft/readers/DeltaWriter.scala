@@ -94,6 +94,15 @@ object DeltaWriter {
     val existingHead =
       if (exists && !overwriteSchema) Some(currentState(spark, table)) else None
     existingHead.foreach { head =>
+      // a column-mapped table's data files must carry PHYSICAL names
+      // with field ids; the plain logical-name parquet this writer
+      // stages would read back as all-null under the mapped read —
+      // silent corruption, so refuse (the overwriteSchema branch gates
+      // mapped tables separately inside the commit loop)
+      require(head.mappingMode == "none",
+        s"delta writer: $table uses column mapping (mode ${head.mappingMode}) — this " +
+          "writer stages logical-name parquet the mapped read would null out; " +
+          "write it with the delta-spark connector")
       val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val got = df.schema
       if (mergeSchema) {
@@ -337,6 +346,7 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
+    requireRewritable(head, table, "compact")
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val dataSchema = StructType(schema.fields.filterNot(fl => head.partitionCols.contains(fl.name)))
     // group live files by partition directory (the log path's prefix)
@@ -499,15 +509,337 @@ object DeltaWriter {
     last
   }
 
+  /** DELETE WHERE with DATA-COLUMN predicates — copy-on-write per
+    * touched file, the delta-spark `DeltaTable.delete` surface (the
+    * `replaceWhere` partition gate stays for overwrite; this is the row
+    * rewrite it points at).
+    *
+    * Shape at scale: ONE distributed detection scan over the live files
+    * (predicate pushed to parquet, so footer stats skip clean files)
+    * aggregates the matched count plus the distinct FILE KEYS — only
+    * (file, count) cross the wire, never rows. Files with no matching
+    * row are untouched: their bytes are not rewritten and their adds
+    * stay live. Touched files rewrite their SURVIVORS (predicate false
+    * or null — SQL delete semantics) through a second pruned scan, and
+    * one commit publishes the remove/add pairs with dataChange=true, so
+    * the change feed derives the row-level diff for free.
+    *
+    * Concurrency: the optimistic loop re-resolves the head per attempt
+    * and REFUSES if the schema/partitioning changed, a touched file
+    * vanished, or ANY new file landed (its rows were never scanned, so
+    * committing would silently miss them — delta-spark's
+    * ConcurrentAppendException stance). Returns the deleted row count. */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val head = currentState(spark, table)
+    requireRewritable(head, table, "delete")
+    // the same analyzable-conjunct profile as replaceWhere: a
+    // nondeterministic predicate would match DIFFERENT rows in the
+    // detection scan and the rewrite scan — silent corruption — and a
+    // silently unanalyzable conjunct would fail after staging
+    val conjs = FileSkipping.conjuncts(predicate)
+    require(conjs.nonEmpty && conjs.map(FileSkipping.usableRefs).forall(_.isDefined),
+      s"delta delete: predicate '$predicate' has conjunct(s) this writer cannot analyze " +
+        "(qualified/nested references, subqueries or nondeterministic functions); " +
+        "use bare column names and deterministic expressions")
+    if (head.liveFiles.isEmpty) return 0L
+    val scan = scanLive(spark, f, table, head, head.liveFiles)
+    val agg = scan.where(expr(predicate))
+      .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
+    val deletedRows = agg.getLong(0)
+    if (deletedRows == 0L) return 0L
+    val touchedKeys = agg.getSeq[String](1).toSet
+    val touched = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
+    val survivors = scanLive(spark, f, table, head, touched)
+      .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
+    rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries)
+    deletedRows
+  }
+
+  /** MERGE (upsert) by key — the delta-spark
+    * `whenMatched(updateAll|delete) / whenNotMatched(insertAll)`
+    * surface, copy-on-write per touched file.
+    *
+    * Semantics: target rows whose `on`-key equals a source key are
+    * replaced by the source row (`whenMatched = "update"`, every column
+    * taken from the source) or dropped (`"delete"`); source rows
+    * matching no target row insert when `insertNotMatched` (rows with a
+    * NULL key never match — SQL equality — so they always insert).
+    * A source with duplicate non-null keys refuses up front: one target
+    * row matching two source rows is nondeterministic, the same error
+    * delta-spark raises, but caught before anything stages.
+    *
+    * Shape at scale: touched-file detection is one semi-join of the
+    * live-file scan against the DISTINCT source keys, carrying only
+    * (key, file) through the join — matching rows can only live in
+    * files the semi-join names, so untouched files never rewrite.
+    * Survivors anti-join the key set, updates re-join the source
+    * (multiplicity = matched target rows), inserts anti-join the
+    * touched keys; all three stage through ONE distributed partitioned
+    * write and publish in ONE commit (remove/add pairs,
+    * dataChange=true), so streams and the change feed see a single
+    * atomic version.
+    *
+    * Concurrency: same per-attempt guards as [[deleteWhere]] — any
+    * concurrent add refuses (its rows were never probed for matches;
+    * committing would both miss updates and duplicate inserts).
+    * `txn` marks the commit for exactly-once streaming upserts. */
+  def merge(spark: SparkSession, source: DataFrame, table: String, on: Seq[String],
+      whenMatched: String = "update", insertNotMatched: Boolean = true,
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    require(Set("update", "delete").contains(whenMatched),
+      s"delta merge: unknown whenMatched '$whenMatched' (update | delete)")
+    require(on.nonEmpty, "delta merge: at least one key column required")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val head = currentState(spark, table)
+    requireRewritable(head, table, "merge")
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val onT: Seq[String] = on.map(k =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"delta merge: key column '$k' not in the table schema (${schema.fieldNames.mkString(",")})")))
+    onT.foreach(k => require(source.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"delta merge: key column '$k' not in the source frame (${source.schema.fieldNames.mkString(",")})"))
+    // update/insert take EVERY column from the source, so those shapes
+    // need the full table schema (the append contract); a pure
+    // delete-by-key merge needs only the key columns, matching types
+    val needFull = whenMatched == "update" || insertNotMatched
+    if (needFull) {
+      val same = schema.fields.length == source.schema.fields.length &&
+        schema.fields.zip(source.schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+        }
+      require(same,
+        s"delta merge: source schema must match the table — table has " +
+          s"${schema.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}, " +
+          s"source has ${source.schema.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}")
+    } else onT.foreach { k =>
+      val tt = schema(k).dataType
+      val st = source.schema(source.schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType
+      require(tt == st, s"delta merge: key column '$k' is ${tt.simpleString} in the table " +
+        s"but ${st.simpleString} in the source")
+    }
+    val keyNonNull = onT.map(source(_).isNotNull).reduce(_ && _)
+    val dupKeys = source.where(keyNonNull).groupBy(onT.map(source(_)): _*)
+      .count().where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"delta merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
+        "a target row matching several source rows is nondeterministic (delta-spark " +
+        "raises the same error); de-duplicate the source first")
+    val srcKeys = source.where(keyNonNull).select(onT.map(source(_)): _*).distinct()
+
+    val order = schema.fieldNames.toSeq
+    val (touched, out) =
+      if (head.liveFiles.isEmpty) (Nil, if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None)
+      else {
+        val scan = scanLive(spark, f, table, head, head.liveFiles)
+        val touchedKeys = scan.join(srcKeys, onT, "left_semi")
+          .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+        val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
+        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
+        else {
+          val tRows =
+            if (touchedFiles.isEmpty) None
+            else Some(scanLive(spark, f, table, head, touchedFiles).drop(FileCol))
+          val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
+          val updated =
+            if (whenMatched == "update")
+              tRows.map(_.select(onT.map(col): _*).join(source, onT, "inner")
+                .select(order.map(col): _*))
+            else None
+          val inserts =
+            if (insertNotMatched) {
+              val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
+              Some(matchedKeys.fold(source.select(order.map(source(_)): _*))(mk =>
+                source.join(mk, onT, "left_anti").select(order.map(col): _*)))
+            } else None
+          val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
+          (touchedFiles, frames.reduceOption(_ unionByName _))
+        }
+      }
+    if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+    rewriteCommit(spark, f, table, head, touched,
+      out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries)
+  }
+
   // ---- internals -----------------------------------------------------
+
+  /** Canonical scan-key column attached by [[scanLive]] — joins against
+    * [[liveKey]] on the driver side. */
+  private val FileCol = "__graft_file"
+
+  private def resolveLogPath(table: String, p: String): String = {
+    val decoded = PathKeys.percentDecode(p)
+    if (decoded.contains("://") || decoded.startsWith("/")) decoded
+    else table.stripSuffix("/") + "/" + decoded
+  }
+
+  private def liveKey(f: FileSystem, table: String, lf: LiveFile): String =
+    PathKeys.driverKey(resolveLogPath(table, lf.path), f)
+
+  /** One pruned scan per partition tuple over `files`, the full LOGICAL
+    * schema re-attached (partition values as typed literals — data
+    * files do not store partition columns) plus [[FileCol]]. Column
+    * pruning still applies: consumers selecting only keys carry only
+    * keys through the scan. */
+  private def scanLive(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, files: Seq[LiveFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(schema.fields.filterNot(fl =>
+      head.partitionCols.exists(_.equalsIgnoreCase(fl.name))))
+    val frames = files.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(group.map(g => resolveLogPath(table, g.path)): _*)
+        .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      head.partitionCols.foldLeft(base) { (df, pc) =>
+        val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
+        df.withColumn(fl.name, Option(pv.getOrElse(pc, null)) match {
+          case Some(s) => lit(s).cast(fl.dataType)
+          case None    => lit(null).cast(fl.dataType)
+        })
+      }.select((schema.fieldNames.toSeq :+ FileCol).map(col): _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Shared tail of delete/merge: stage `output` (ordinary distributed
+    * partitioned write — rows never pass the driver), rename in, and
+    * publish ONE commit removing `touched` and adding the staged files
+    * with footer stats (rewritten tables prune immediately). The
+    * optimistic loop re-resolves the head per attempt and refuses on
+    * metadata drift, vanished touched files, or ANY concurrent add
+    * (its rows were never scanned by the rewrite's plan — committing
+    * would silently miss them; the caller re-runs against the new
+    * state, delta-spark's ConcurrentAppendException stance). */
+  private def rewriteCommit(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, touched: Seq[LiveFile], output: DataFrame,
+      operation: String, txn: Option[(String, Long)], maxRetries: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tablePath = new Path(table)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val partCols = head.partitionCols
+    // canonical table-case names so partition dirs and staged columns
+    // never depend on a caller frame's spelling
+    val canon = output.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    val w = canon.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    try {
+      val staged = listParquet(f, staging)
+      val stagingQ = f.makeQualified(staging).toString.stripSuffix("/")
+      val adds = staged.map { st =>
+        val full = st.getPath.toString
+        require(full.startsWith(stagingQ), s"delta $operation: staged file $full outside $stagingQ")
+        val rel = full.stripPrefix(stagingQ).stripPrefix("/")
+        val dest = new Path(tablePath, rel)
+        Option(dest.getParent).foreach(f.mkdirs(_))
+        require(f.rename(st.getPath, dest),
+          s"delta $operation: rename ${st.getPath} -> $dest failed")
+        val destSt = f.getFileStatus(dest)
+        AddSpec(rel, partitionValues(rel), destSt.getLen, destSt.getModificationTime,
+          statsJson(f, dest, schema, partCols))
+      }
+      var attempt = 0
+      var committed = false
+      val snapshotLive = head.live.toSet
+      while (!committed) {
+        val headNow = currentState(spark, table)
+        require(headNow.schemaJson == head.schemaJson &&
+            headNow.partitionCols == head.partitionCols,
+          s"delta $operation: the table metadata of $table changed under this rewrite; re-run")
+        val nowLive = headNow.live.toSet
+        val gone = touched.map(_.path).filterNot(nowLive.contains)
+        require(gone.isEmpty,
+          s"delta $operation: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
+            "concurrent writer during the rewrite — committing would resurrect/duplicate " +
+            "rows; re-run")
+        val added = (nowLive -- snapshotLive).toSeq.sorted
+        require(added.isEmpty,
+          s"delta $operation: concurrent write added file(s) ${added.take(3).mkString(", ")} " +
+            "whose rows this rewrite never scanned — committing would miss them; re-run")
+        val version = DeltaReader.currentVersion(spark, table) + 1L
+        val actions = Seq.newBuilder[String]
+        actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+          s""""operation":${js(operation)}}}"""
+        txn.foreach { case (appId, v) =>
+          actions += s"""{"txn":{"appId":${js(appId)},"version":$v}}"""
+        }
+        touched.foreach { e =>
+          val pv = e.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          actions += s"""{"remove":{"path":${js(e.path)},"deletionTimestamp":${System.currentTimeMillis()},""" +
+            s""""dataChange":true,"partitionValues":$pv}}"""
+        }
+        adds.foreach { a =>
+          val pv = a.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          val encoded = new URI(null, null, "/" + a.path, null).getRawPath.stripPrefix("/")
+          actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
+            s""""modificationTime":${a.mtime},"dataChange":true""" +
+            a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
+        }
+        val commitPath = new Path(logDir, f"$version%020d.json")
+        val ok = scala.util.Try {
+          val out = f.create(commitPath, false)
+          try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        if (ok.isSuccess) committed = true
+        else {
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"delta $operation: lost the commit race $maxRetries times at $table — " +
+              s"giving up (${ok.failed.get.getMessage})")
+        }
+      }
+    } finally scala.util.Try(f.delete(staging, true))
+  }
 
   private case class AddSpec(path: String, partitionValues: Map[String, String],
       size: Long, mtime: Long, stats: Option[String])
 
-  private case class LiveFile(path: String, partitionValues: Map[String, String])
+  private case class LiveFile(path: String, partitionValues: Map[String, String],
+      hasDv: Boolean = false)
   private case class HeadState(schemaJson: String, partitionCols: Seq[String],
       liveFiles: Seq[LiveFile], metaJson: String = null) {
     def live: Seq[String] = liveFiles.map(_.path)
+    def mappingMode: String =
+      Option(metaJson).flatMap(mj => scala.util.Try {
+        Option(mapper.readTree(mj).get("configuration"))
+          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+          .filterNot(_.isNull).map(_.asText())
+      }.toOption.flatten).getOrElse("none")
+  }
+
+  /** Gate for every read-and-rewrite operation (compact/delete/merge):
+    * a column-mapped table's data files carry PHYSICAL names this
+    * writer's logical-schema scan would silently null out, and a file
+    * with a deletion vector read as raw parquet RESURRECTS its deleted
+    * rows — both are wrong-answer corruptions, so both refuse naming
+    * the connector. */
+  private def requireRewritable(head: HeadState, table: String, op: String): Unit = {
+    require(head.mappingMode == "none",
+      s"delta $op: $table uses column mapping (mode ${head.mappingMode}) — this " +
+        "writer's rewrite reads logical names and would null out every mapped column; " +
+        "run it with the delta-spark connector")
+    val dv = head.liveFiles.count(_.hasDv)
+    require(dv == 0,
+      s"delta $op: $dv live file(s) at $table carry deletion vectors — rewriting them " +
+        "from raw parquet would resurrect their deleted rows; run it with the " +
+        "delta-spark connector")
   }
 
   /** Raw action lines from a CLASSIC single-file checkpoint (the kind
@@ -570,7 +902,7 @@ object DeltaWriter {
         val pv = Option(ad.get("partitionValues")).map(_.properties().asScala.map(e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
           .getOrElse(Map.empty[String, String])
-        live(p) = LiveFile(p, pv)
+        live(p) = LiveFile(p, pv, hasDv = ad.hasNonNull("deletionVector"))
       }
       Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
     }

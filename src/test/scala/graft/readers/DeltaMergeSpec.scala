@@ -1,0 +1,214 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+
+/** Row-level writes on the native Delta writer: MERGE (upsert /
+  * delete-by-key) and DELETE WHERE with data-column predicates —
+  * copy-on-write per touched file over the existing commit machinery.
+  * Covers: one-commit upsert round-tripping through the native read,
+  * time travel and the change feed; exact delete semantics (predicate
+  * TRUE deletes, FALSE and NULL survive); untouched files are never
+  * rewritten (inputFiles proof); partition moves; the refusal gates
+  * (duplicate source keys, deletion vectors, column mapping,
+  * nondeterministic predicates, concurrent adds); txn idempotence
+  * marks for the streaming upsert sink.
+  */
+class DeltaMergeSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  private def writeCommit(table: String, version: Long, actions: Seq[String]): Unit = {
+    val log = java.nio.file.Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    Files.writeString(log.resolve(f"$version%020d.json"), actions.mkString("\n") + "\n")
+  }
+  private val plainSchemaJson = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType))).json
+  private def metaAction(configuration: String = "{}"): String =
+    s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${js(plainSchemaJson)},"partitionColumns":[],""" +
+      s""""configuration":$configuration,"createdTime":1}}"""
+
+  test("merge upserts in ONE commit; native read, time travel and the change feed all agree") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmup").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v").coalesce(1), t)
+    DeltaWriter.merge(spark,
+      Seq((2L, "B", 21), (4L, "d", 40)).toDF("id", "name", "v"), t, on = Seq("id"))
+    val got = DeltaReader.read(spark, t).select("id", "name", "v")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30), (4L, "d", 40)))
+    // exactly one commit landed: version 1 is the head, version 0 pre-merge
+    assert(DeltaReader.currentVersion(spark, t) == 1L)
+    assert(DeltaReader.read(spark, t, versionAsOf = Some(0L)).count() == 3L)
+    // the change feed derives the row diff: the touched file's 3 rows
+    // delete, survivors + the update re-insert, plus the new key
+    val feed = DeltaReader.readChangeFeed(spark, t, 0L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 3L, "insert" -> 4L))
+  }
+
+  test("merge rewrites ONLY touched files; multiplicity and null-key semantics match delta") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmtouch").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "name", "v").coalesce(1), t)
+    val before = DeltaReader.read(spark, t).inputFiles.toSet
+    assert(before.size == 2)
+    // touches only the file holding id=1; a NULL-key source row never
+    // matches and therefore inserts
+    DeltaWriter.merge(spark,
+      Seq((java.lang.Long.valueOf(1L), "A", 11), (null.asInstanceOf[java.lang.Long], "n", 0))
+        .toDF("id", "name", "v"), t, on = Seq("id"))
+    val after = DeltaReader.read(spark, t).inputFiles.toSet
+    // the untouched file survives byte-identical (same path still live)
+    assert((before -- after).size == 1, "exactly the touched file was replaced")
+    assert((before & after).size == 1, "the untouched file must not be rewritten")
+    val got = DeltaReader.read(spark, t).select("id", "name", "v")
+      .as[(Option[Long], String, Int)].collect().sortBy(_._1.getOrElse(-1L))
+    assert(got.toSeq == Seq((None, "n", 0), (Some(1L), "A", 11), (Some(2L), "b", 20),
+      (Some(3L), "c", 30), (Some(4L), "d", 40)))
+    // a source key matching TWO target rows updates both (multiplicity)
+    val t2 = Files.createTempDirectory("dmmult").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 1), (1L, "a2", 2), (2L, "b", 3))
+      .toDF("id", "name", "v").coalesce(1), t2)
+    DeltaWriter.merge(spark, Seq((1L, "X", 9)).toDF("id", "name", "v"), t2, on = Seq("id"))
+    val got2 = DeltaReader.read(spark, t2).select("id", "name", "v")
+      .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(got2.toSeq == Seq((1L, "X", 9), (1L, "X", 9), (2L, "b", 3)))
+  }
+
+  test("merge moves a row across partitions; whenMatched=delete takes a key-only source") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmpart").toString
+    val df = Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8)).toDF("id", "name", "p")
+      .repartition(2, org.apache.spark.sql.functions.col("p"))
+    DeltaWriter.write(spark, df, t, partitionBy = Seq("p"))
+    val p8Before = DeltaReader.read(spark, t, filter = Some("p = 8")).inputFiles.toSet
+    // id=2 moves p 7 -> 8
+    DeltaWriter.merge(spark, Seq((2L, "B", 8)).toDF("id", "name", "p"), t, on = Seq("id"))
+    val got = DeltaReader.read(spark, t).select("id", "name", "p")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 7), (2L, "B", 8), (3L, "c", 8)))
+    val p8After = DeltaReader.read(spark, t, filter = Some("p = 8")).inputFiles.toSet
+    assert(p8Before.subsetOf(p8After) && p8After.size == p8Before.size + 1,
+      "p=8's original file is untouched; the moved row lands in a new file")
+    // delete-by-key: the source carries ONLY the key column
+    DeltaWriter.merge(spark, Seq(1L, 3L).toDF("id"), t, on = Seq("id"),
+      whenMatched = "delete", insertNotMatched = false)
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("deleteWhere removes exactly the matching rows; NULL predicate rows survive; no-match is a no-op") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmdel").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String])).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((4L, "delta")).toDF("id", "name").coalesce(1), t)
+    val before = DeltaReader.read(spark, t).inputFiles.toSet
+    // 'name < f' is TRUE for alpha/beta/delta, NULL for the null row —
+    // SQL delete semantics keep the NULL row
+    val n = DeltaWriter.deleteWhere(spark, t, "name < 'c' AND id <= 2")
+    assert(n == 2L)
+    val got = DeltaReader.read(spark, t).select("id", "name")
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((3L, None), (4L, Some("delta"))))
+    // the second file (id=4) was untouched
+    val after = DeltaReader.read(spark, t).inputFiles.toSet
+    assert((before & after).size == 1)
+    // a predicate matching nothing publishes NO commit
+    val v = DeltaReader.currentVersion(spark, t)
+    assert(DeltaWriter.deleteWhere(spark, t, "id = 999") == 0L)
+    assert(DeltaReader.currentVersion(spark, t) == v)
+    // deleting every remaining row leaves a valid empty table
+    assert(DeltaWriter.deleteWhere(spark, t, "id > 0") == 2L)
+    assert(DeltaReader.read(spark, t).count() == 0L)
+  }
+
+  test("gates: duplicate source keys, deletion vectors, column mapping, nondeterministic predicates") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmgate").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val e1 = intercept[Exception](DeltaWriter.merge(spark,
+      Seq((1L, "x"), (1L, "y")).toDF("id", "name"), t, on = Seq("id")))
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[Exception](DeltaWriter.deleteWhere(spark, t, "rand() < 0.5"))
+    assert(e2.getMessage.contains("cannot analyze"))
+    // a live file carrying a deletion vector: rewriting raw parquet
+    // would resurrect its deleted rows — merge/delete/compact refuse
+    val tdv = Files.createTempDirectory("dmdv").toString
+    writeCommit(tdv, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaAction(),
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,""" +
+        """"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e3 = intercept[Exception](DeltaWriter.deleteWhere(spark, tdv, "id = 1"))
+    assert(e3.getMessage.contains("deletion vectors"))
+    val e4 = intercept[Exception](DeltaWriter.merge(spark,
+      Seq((1L, "a")).toDF("id", "name"), tdv, on = Seq("id")))
+    assert(e4.getMessage.contains("deletion vectors"))
+    val e5 = intercept[Exception](DeltaWriter.compact(spark, tdv))
+    assert(e5.getMessage.contains("deletion vectors"))
+    // a column-mapped table: logical-name scans/stages would silently
+    // null physical columns — append, rewrite ops and compact refuse
+    val tcm = Files.createTempDirectory("dmcm").toString
+    writeCommit(tcm, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(configuration = """{"delta.columnMapping.mode":"name"}""")))
+    val e6 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((1L, "a")).toDF("id", "name"), tcm))
+    assert(e6.getMessage.contains("column mapping"))
+    val e7 = intercept[Exception](DeltaWriter.deleteWhere(spark, tcm, "id = 1"))
+    assert(e7.getMessage.contains("column mapping"))
+    val e8 = intercept[Exception](DeltaWriter.compact(spark, tcm))
+    assert(e8.getMessage.contains("column mapping"))
+  }
+
+  test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val t = Files.createTempDirectory("dmrace").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t) // v0
+    val rival =
+      """{"commitInfo":{"timestamp":1,"operation":"RIVAL.Append"}}""" + "\n" +
+        """{"add":{"path":"rival.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    @volatile var landed = false
+    val watcher = new Thread(() => {
+      val dir = java.nio.file.Paths.get(t)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!landed && System.nanoTime() < deadline) {
+        if (Files.list(dir).toArray.exists(_.toString.contains("_staging_"))) {
+          Files.writeString(log.resolve(f"${1L}%020d.json"), rival + "\n")
+          landed = true
+        } else Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    val slow = udf((s: String) => { Thread.sleep(500); s })
+    val src = Seq((1L, "A")).toDF("id", "name").withColumn("name", slow(col("name")))
+    val e = intercept[Exception](DeltaWriter.merge(spark, src, t, on = Seq("id")))
+    watcher.join()
+    assert(landed, "test harness: the rival commit never landed")
+    assert(e.getMessage.contains("concurrent write added"))
+  }
+
+  test("merge txn marks the commit for exactly-once streaming upserts") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmtxn").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    DeltaWriter.merge(spark, Seq((1L, "A")).toDF("id", "name"), t, on = Seq("id"),
+      txn = Some("upsert-app" -> 7L))
+    assert(DeltaWriter.lastTxnVersion(spark, t, "upsert-app") == 7L)
+    // even a provably-no-op merge records its txn (the sink's replay
+    // probe must remember empty batches)
+    DeltaWriter.merge(spark, Seq((9L, "z")).toDF("id", "name"), t, on = Seq("id"),
+      insertNotMatched = false, txn = Some("upsert-app" -> 8L))
+    assert(DeltaWriter.lastTxnVersion(spark, t, "upsert-app") == 8L)
+    assert(DeltaReader.read(spark, t).select("name").as[String].collect().toSeq == Seq("A"))
+  }
+}
