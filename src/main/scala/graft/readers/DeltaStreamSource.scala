@@ -58,12 +58,15 @@ class DeltaStreamProvider extends StreamSourceProvider with StreamSinkProvider
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters, metadataPath)
 
-  /** Streaming SINK: exactly-once Delta appends via the writer's txn
+  /** Streaming SINK: exactly-once Delta writes via the writer's txn
     * action — a batch id at or below the table's committed txn version
     * for this query's app id is a replay and skips (idempotent
     * addBatch under retries AND restarts). Append mode appends;
-    * Complete mode overwrites the table per batch; Update refuses (a
-    * Delta table has no upsert path in this native writer). */
+    * Complete mode overwrites the table per batch; Update mode UPSERTS
+    * by key through the native MERGE (option `merge_keys` = the
+    * comma-separated key columns; the usual shape is a streaming
+    * aggregation whose changed groups upsert in place each trigger —
+    * a no-op batch still records its txn so replays stay idempotent). */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
@@ -72,21 +75,47 @@ class DeltaStreamProvider extends StreamSourceProvider with StreamSinkProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-delta sink: exactly-once needs a stable transaction id — set " +
           "option(\"txn_app_id\", ...) (or a checkpointLocation, which doubles as one)"))
-    require(outputMode != OutputMode.Update(),
-      "graft-delta sink: Update output mode has no native upsert path; use Append or Complete")
-    new DeltaStreamSink(sqlContext.sparkSession, path, partitionColumns, outputMode, appId)
+    val mergeKeys: Seq[String] = parameters.get("merge_keys")
+      .orElse(parameters.get("mergeKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (outputMode == OutputMode.Update())
+      require(mergeKeys.nonEmpty,
+        "graft-delta sink: Update output mode upserts by key — set " +
+          "option(\"merge_keys\", \"k1,k2\") (rows whose key exists update in place, " +
+          "new keys insert)")
+    else require(mergeKeys.isEmpty,
+      "graft-delta sink: merge_keys only applies to Update output mode")
+    new DeltaStreamSink(sqlContext.sparkSession, path, partitionColumns, outputMode,
+      appId, mergeKeys)
   }
 }
 
 private[readers] class DeltaStreamSink(spark: SparkSession, table: String,
-    partitionColumns: Seq[String], outputMode: OutputMode, appId: String) extends Sink {
+    partitionColumns: Seq[String], outputMode: OutputMode, appId: String,
+    mergeKeys: Seq[String] = Nil) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= DeltaWriter.lastTxnVersion(spark, table, appId)) return // replay
-    val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
     // the incoming frame is streaming-flagged; re-wrap the same
     // incremental execution as a batch frame for the writer
-    DeltaWriter.write(spark, org.apache.spark.sql.graft.bridge.batchFrame(data), table,
-      mode = mode, partitionBy = partitionColumns, txn = Some(appId -> batchId))
+    val frame = org.apache.spark.sql.graft.bridge.batchFrame(data)
+    if (outputMode == OutputMode.Update()) {
+      // the first batch CREATES the table (an upsert into nothing is an
+      // insert); after that the table's own layout governs and the
+      // merge path publishes one commit per batch
+      val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+      val f = FileSystem.get(new URI(table).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(logDir))
+        DeltaWriter.write(spark, frame, table, mode = "append",
+          partitionBy = partitionColumns, txn = Some(appId -> batchId))
+      else
+        DeltaWriter.merge(spark, frame, table, on = mergeKeys,
+          txn = Some(appId -> batchId))
+    } else {
+      val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+      DeltaWriter.write(spark, frame, table, mode = mode,
+        partitionBy = partitionColumns, txn = Some(appId -> batchId))
+    }
   }
   override def toString: String = s"DeltaStreamSink[$table]"
 }

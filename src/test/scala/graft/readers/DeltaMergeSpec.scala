@@ -197,6 +197,50 @@ class DeltaMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent write added"))
   }
 
+  test("Update-mode streaming sink upserts by key — exactly-once across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    import org.apache.spark.sql.streaming.Trigger
+    val t = Files.createTempDirectory("dmupdsink").toString
+    val ckpt = Files.createTempDirectory("dmupdckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
+    def run(): Unit = {
+      val q = src.toDF().toDF("k", "v").groupBy("k").agg(count("*").as("n"))
+        .writeStream.format("graft-delta").outputMode("update")
+        .option("merge_keys", "k")
+        .option("path", t).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    src.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    run()
+    assert(DeltaReader.read(spark, t).select("k", "n").as[(String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq(("a", 2L), ("b", 1L)))
+    // restart: 'a' grows to 3, 'c' appears — the changed groups upsert
+    // in place, 'b' is untouched
+    src.addData(("a", 5L), ("c", 9L))
+    run()
+    assert(DeltaReader.read(spark, t).select("k", "n").as[(String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    // a manual replay of an old batch id is a no-op
+    val before = DeltaReader.currentVersion(spark, t)
+    val sink = new DeltaStreamSink(spark, t, Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update(), ckpt, Seq("k"))
+    sink.addBatch(0L, Seq(("zz", 99L)).toDF("k", "n"))
+    assert(DeltaReader.currentVersion(spark, t) == before)
+    assert(DeltaReader.read(spark, t).where("k = 'zz'").count() == 0L)
+    // Update without merge_keys refuses loudly
+    val e = intercept[Exception] {
+      src.toDF().toDF("k", "v").groupBy("k").agg(count("*").as("n"))
+        .writeStream.format("graft-delta").outputMode("update")
+        .option("path", Files.createTempDirectory("dmupdbad").toString)
+        .option("checkpointLocation", Files.createTempDirectory("dmupdbadc").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("merge_keys") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge_keys")))
+  }
+
   test("merge txn marks the commit for exactly-once streaming upserts") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmtxn").toString
