@@ -79,6 +79,19 @@ object Writers {
     DataRef("iceberg", url, spec.options)
   }
 
+  /** Native Kafka topic sink (round 12, [[graft.readers.KafkaWriter]] —
+    * Produce v3 over the wire client, NO connector jar): `value`
+    * required, `key`/`partition`/`headers`/`timestamp` optional,
+    * at-least-once with acks=all. Options pass through
+    * (`compression`, `acks`, `batch_max_records`, `security_protocol`/
+    * `sasl_*`). Returns the `kafka_topic` DataRef so the produced topic
+    * re-enters the catalog through the native Kafka read path. */
+  def kafka(df: DataFrame, url: String, spec: WriteSpec = WriteSpec()): DataRef = {
+    graft.readers.KafkaWriter.writeWithOptions(df.sparkSession, df,
+      spec.options + ("url" -> url))
+    DataRef("kafka_topic", url, spec.options)
+  }
+
   /** Save as a managed table; descriptor url is the table identifier. */
   def table(df: DataFrame, name: String, spec: WriteSpec = WriteSpec()): DataRef = {
     var w = df.write.mode(spec.mode).options(spec.options)

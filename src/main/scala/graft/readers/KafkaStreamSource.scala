@@ -10,7 +10,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,12 +50,51 @@ import scala.jdk.CollectionConverters._
   *    batch loudly — the failOnDataLoss=true stance, the only honest
   *    one for an engine that cannot know what vanished.
   */
-class KafkaStreamProvider extends TableProvider with DataSourceRegister {
+class KafkaStreamProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft-kafka"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = KafkaReader.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KafkaStreamTable(new CaseInsensitiveStringMap(properties))
+
+  /** Streaming SINK over the native producer ([[KafkaWriter]]) — the
+    * table above carries no STREAMING_WRITE capability, so Spark falls
+    * back to this v1 sink for `writeStream.format("graft-kafka")`.
+    * AT-LEAST-ONCE like the connector's sink (a retried micro-batch
+    * re-produces; Kafka-side dedup needs broker transactions, which
+    * stay with the connector jar). All output modes are accepted — the
+    * rows handed to addBatch are produced as-is, the connector's own
+    * stance. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new KafkaStreamSink(sqlContext.sparkSession, parameters)
+
+  /** Batch `df.write.format("graft-kafka").option("url", ...).save()`.
+    * A topic only appends: Overwrite/Ignore modes refuse loudly. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    require(mode == SaveMode.Append || mode == SaveMode.ErrorIfExists,
+      s"graft-kafka: save mode $mode is meaningless for a topic (records only append); " +
+        "use Append")
+    KafkaWriter.writeWithOptions(sqlContext.sparkSession, data, parameters)
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
+}
+
+private[readers] class KafkaStreamSink(spark: org.apache.spark.sql.SparkSession,
+    parameters: Map[String, String]) extends Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
+    KafkaWriter.writeWithOptions(spark,
+      org.apache.spark.sql.graft.bridge.batchFrame(data), parameters)
+  override def toString: String = s"KafkaStreamSink[${parameters.getOrElse("url", "?")}]"
 }
 
 private class KafkaStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {

@@ -83,6 +83,84 @@ object KafkaFake {
     bb.array()
   }
 
+  // ------------------------------------ record batch v2 DECODER (server
+  // side, written from the published format independently of BOTH the
+  // reader's decoder and the writer's encoder — what the produce spec
+  // asserts against)
+
+  def readVarintI(bb: ByteBuffer): Int = {
+    var value = 0; var shift = 0
+    var b = bb.get().toInt
+    while ((b & 0x80) != 0) { value |= (b & 0x7f) << shift; shift += 7; b = bb.get().toInt }
+    value |= b << shift
+    (value >>> 1) ^ -(value & 1)
+  }
+  def readVarlongI(bb: ByteBuffer): Long = {
+    var value = 0L; var shift = 0
+    var b = bb.get().toLong
+    while ((b & 0x80L) != 0L) { value |= (b & 0x7fL) << shift; shift += 7; b = bb.get().toLong }
+    value |= b << shift
+    (value >>> 1) ^ -(value & 1L)
+  }
+  def decompressI(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case 0 => data
+    case 1 =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 2 =>
+      val in = new org.xerial.snappy.SnappyInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 3 =>
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+    case 4 =>
+      val in = new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(data))
+      try in.readAllBytes() finally in.close()
+  }
+
+  case class DecodedRecord(offset: Long, tsMs: Long, key: Array[Byte],
+      value: Array[Byte], headers: Seq[(String, Array[Byte])])
+
+  /** Decode ONE v2 batch, CRC-verified. */
+  def decodeBatchIndependent(batch: Array[Byte]): Seq[DecodedRecord] = {
+    val bb = ByteBuffer.wrap(batch)
+    val baseOffset = bb.getLong
+    val batchLength = bb.getInt
+    require(bb.remaining() == batchLength, s"batch length mismatch: $batchLength vs ${bb.remaining()}")
+    bb.getInt // leader epoch
+    require(bb.get() == 2, "not a v2 batch")
+    val crc = bb.getInt
+    val check = new java.util.zip.CRC32C()
+    check.update(batch, 8 + 4 + 4 + 1 + 4, batch.length - (8 + 4 + 4 + 1 + 4))
+    require(check.getValue.toInt == crc, "server-side CRC32C mismatch")
+    val attributes = bb.getShort
+    bb.getInt // lastOffsetDelta
+    val baseTs = bb.getLong
+    bb.getLong // maxTs
+    bb.getLong; bb.getShort; bb.getInt // producer id/epoch/sequence
+    val count = bb.getInt
+    val payload = { val b = new Array[Byte](bb.remaining()); bb.get(b); b }
+    val records = ByteBuffer.wrap(decompressI(attributes & 0x07, payload))
+    (0 until count).map { _ =>
+      readVarintI(records) // length
+      records.get()        // record attributes
+      val tsDelta = readVarlongI(records)
+      val offDelta = readVarintI(records)
+      def bytes(): Array[Byte] = {
+        val n = readVarintI(records)
+        if (n < 0) null else { val b = new Array[Byte](n); records.get(b); b }
+      }
+      val k = bytes(); val v = bytes()
+      val nH = readVarintI(records)
+      val hs = (0 until nH).map { _ =>
+        val klen = readVarintI(records)
+        val kb = new Array[Byte](klen); records.get(kb)
+        new String(kb, StandardCharsets.UTF_8) -> bytes()
+      }
+      DecodedRecord(baseOffset + offDelta, baseTs + tsDelta, k, v, hs)
+    }
+  }
+
   // ------------------------------------------------------- fake broker
 
   /** Loopback broker: leader for every partition of one topic, logs =
@@ -112,6 +190,11 @@ object KafkaFake {
     def append(partition: Int, entry: (Long, Long, Array[Byte])): Unit = synchronized {
       logsNow = logsNow.updated(partition, logsNow.getOrElse(partition, Nil) :+ entry)
     }
+    // every batch landed via Produce, in arrival order, with its
+    // broker-patched base offset — what the produce spec decodes
+    // independently
+    @volatile private var producedNow: Seq[(Int, Array[Byte])] = Nil
+    def producedBatches: Seq[(Int, Array[Byte])] = producedNow
     private val server = new ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
     @volatile private var running = true
@@ -168,9 +251,9 @@ object KafkaFake {
             val w = new java.io.DataOutputStream(body)
             apiKey match {
               case 18 => // ApiVersions v0
-                w.writeShort(0); w.writeInt(6)
+                w.writeShort(0); w.writeInt(7)
                 for ((k, lo, hi) <- Seq((18, 0, 3), (3, 1, metadataMax.toInt), (2, 1, 7),
-                    (1, 4, 13), (17, 0, 1), (36, 0, 2)))
+                    (1, 4, 13), (17, 0, 1), (36, 0, 2), (0, 2, 8)))
                   { w.writeShort(k); w.writeShort(lo); w.writeShort(hi) }
               case 17 => // SaslHandshake v1
                 val mech = readStr(req)
@@ -295,6 +378,49 @@ object KafkaFake {
                   if (ts == -2L) first
                   else if (ts == -1L) end
                   else tsIndex(part).collectFirst { case (o, t) if t >= ts => o }.getOrElse(-1L))
+              case 0 => // Produce v3
+                readStr(req) // transactional_id (nullable)
+                req.getShort // acks
+                req.getInt   // timeout_ms
+                val nT = req.getInt
+                require(nT == 1, s"fake broker: produce with $nT topics")
+                val tName = readStr(req)
+                val nP = req.getInt
+                val results = (0 until nP).map { _ =>
+                  val pIdx = req.getInt
+                  val setLen = req.getInt
+                  val set = new Array[Byte](setLen); req.get(set)
+                  // server-side validation, independent of the client:
+                  // magic + CRC32C over everything after the crc field
+                  val hdr = ByteBuffer.wrap(set)
+                  hdr.getLong; hdr.getInt; hdr.getInt
+                  val magic = hdr.get()
+                  val crc = hdr.getInt
+                  val check = new java.util.zip.CRC32C()
+                  check.update(set, 8 + 4 + 4 + 1 + 4, setLen - (8 + 4 + 4 + 1 + 4))
+                  if (tName != topic) (pIdx, 3.toShort, -1L) // UNKNOWN_TOPIC_OR_PARTITION
+                  else if (magic != 2 || check.getValue.toInt != crc)
+                    (pIdx, 2.toShort, -1L) // CORRUPT_MESSAGE
+                  else FakeBroker.this.synchronized {
+                    val log = logsNow.getOrElse(pIdx, Nil)
+                    val base = if (log.isEmpty) 0L else log.last._2 + 1
+                    // the real broker assigns offsets by PATCHING
+                    // baseOffset in place — it precedes the crc field,
+                    // so no re-checksum (the format's own design)
+                    val patched = set.clone()
+                    ByteBuffer.wrap(patched).putLong(0, base)
+                    val lastOffsetDelta = ByteBuffer.wrap(set).getInt(8 + 4 + 4 + 1 + 4 + 2)
+                    logsNow = logsNow.updated(pIdx, log :+ ((base, base + lastOffsetDelta, patched)))
+                    producedNow = producedNow :+ ((pIdx, patched))
+                    (pIdx, 0.toShort, base)
+                  }
+                }
+                w.writeInt(1); w.write(str(topic))
+                w.writeInt(results.size)
+                results.foreach { case (pIdx, err, base) =>
+                  w.writeInt(pIdx); w.writeShort(err); w.writeLong(base); w.writeLong(-1L)
+                }
+                w.writeInt(0) // throttle_time_ms (tail position in Produce)
               case 1 => // Fetch v4
                 req.getInt; req.getInt; req.getInt; req.getInt; req.get() // replica..isolation
                 req.getInt; readStr(req); req.getInt // 1 topic, 1 partition

@@ -249,10 +249,11 @@ class StreamOpsSpec extends SparkSpec {
     assert(statics.count() == 1)
   }
 
-  test("kafka source falls back to the native micro-batch stream; sink stays connector-gated") {
-    // this distribution ships without the sql-kafka jar: the SOURCE now
+  test("kafka source AND sink fall back to the native wire client (no connector jar)") {
+    // this distribution ships without the sql-kafka jar: the SOURCE
     // routes through the native graft-kafka MicroBatchStream (round 11)
-    // instead of refusing — proven E2E against the loopback broker
+    // and the SINK through the native producer (round 12) — both proven
+    // E2E against the loopback broker
     assert(!StreamOps.kafkaAvailable)
     import graft.readers.KafkaFake._
     val k = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -269,12 +270,20 @@ class StreamOpsSpec extends SparkSpec {
           .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
         assert(rows.toSeq == Seq(("k0", "v0"), ("k1", "v1")))
       } finally q.stop()
+      // the SINK routes through the native producer: stream a memory
+      // source back into the same topic and re-read it off the broker
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)](spark)
+      src.addData(("k9", "v9"))
+      val ckpt = java.nio.file.Files.createTempDirectory("sosinkckpt").toString
+      val sq = StreamOps.kafkaSink(src.toDF().toDF("key", "value"),
+          s"127.0.0.1:${broker.port}", "events", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val all = graft.readers.KafkaReader.read(spark,
+          s"kafka://127.0.0.1:${broker.port}/events")
+        .selectExpr("cast(value as string) v").collect().map(_.getString(0)).toSet
+      assert(all == Set("v0", "v1", "v9"))
     } finally broker.close()
-    // the SINK still needs the connector's producer — gate unchanged
-    val ex2 = intercept[IllegalArgumentException] {
-      StreamOps.kafkaSink(spark.range(1).selectExpr("id AS key", "id AS value"),
-        "broker:9092", "out", "/tmp/ckpt")
-    }
-    assert(ex2.getMessage.contains("spark-sql-kafka"))
   }
 }
