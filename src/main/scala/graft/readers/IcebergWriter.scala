@@ -75,8 +75,126 @@ object IcebergWriter {
     case TimestampNTZType => "timestamp"
     case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"iceberg writer: column type ${other.simpleString} outside the supported profile " +
-        "(top-level primitives only); write the table with the iceberg-spark connector")
+      s"iceberg writer: type ${other.simpleString} outside the supported profile " +
+        "(primitive leaves boolean/int/long/float/double/date/string/binary/" +
+        "timestamp/decimal, composed through struct/array/map); " +
+        "write the table with the iceberg-spark connector")
+  }
+
+  /** Writer-profile validation for a FRAME column: primitive leaves
+    * composed through struct/array/map (round 12 — the reader already
+    * resolves nested types, so writes were the asymmetry). */
+  private def validateType(dt: DataType, at: String): Unit = dt match {
+    case st: StructType =>
+      require(st.fields.nonEmpty, s"iceberg writer: empty struct at '$at'")
+      st.fields.foreach(f => validateType(f.dataType, s"$at.${f.name}"))
+    case a: ArrayType => validateType(a.elementType, s"$at.element")
+    case m: MapType =>
+      validateType(m.keyType, s"$at.key"); validateType(m.valueType, s"$at.value")
+    case prim => icebergType(prim)
+  }
+
+  /** Render a Spark type as the schema-JSON type VALUE (a quoted string
+    * for primitives, the spec's object form for struct/list/map),
+    * allocating ids for every NESTED field/element/key/value from
+    * `alloc` — pre-order, so an appended column's subtree ids are
+    * contiguous after its own id. */
+  private def typeJsonAlloc(dt: DataType, alloc: () => Int): String = dt match {
+    case st: StructType =>
+      val fields = st.fields.map { fl =>
+        val id = alloc()
+        s"""{"id": $id, "name": ${js(fl.name)}, "required": false, """ +
+          s""""type": ${typeJsonAlloc(fl.dataType, alloc)}}"""
+      }
+      s"""{"type": "struct", "fields": [${fields.mkString(", ")}]}"""
+    case a: ArrayType =>
+      val id = alloc()
+      s"""{"type": "list", "element-id": $id, "element-required": ${!a.containsNull}, """ +
+        s""""element": ${typeJsonAlloc(a.elementType, alloc)}}"""
+    case m: MapType =>
+      val kid = alloc()
+      val vid = alloc()
+      s"""{"type": "map", "key-id": $kid, "key": ${typeJsonAlloc(m.keyType, alloc)}, """ +
+        s""""value-id": $vid, "value": ${typeJsonAlloc(m.valueType, alloc)}, """ +
+        s""""value-required": ${!m.valueContainsNull}}"""
+    case prim => js(icebergType(prim))
+  }
+
+  /** Schema-JSON type node → Spark type — the writer-side twin of the
+    * reader's convert, so table metadata drives typed comparisons and
+    * compaction read schemas for the nested profile too. */
+  private def sparkTypeOfNode(t: JsonNode): DataType = {
+    import scala.jdk.CollectionConverters._
+    if (t.isTextual) sparkTypeOf(t.asText())
+    else Option(t.get("type")).map(_.asText()) match {
+      case Some("struct") => StructType(t.get("fields").elements().asScala.map(f =>
+        StructField(f.get("name").asText(), sparkTypeOfNode(f.get("type")),
+          nullable = !Option(f.get("required")).exists(_.asBoolean()))).toArray)
+      case Some("list") => ArrayType(sparkTypeOfNode(t.get("element")),
+        !Option(t.get("element-required")).exists(_.asBoolean()))
+      case Some("map") => MapType(sparkTypeOfNode(t.get("key")),
+        sparkTypeOfNode(t.get("value")),
+        !Option(t.get("value-required")).exists(_.asBoolean()))
+      case other => throw new IllegalArgumentException(
+        s"iceberg writer: table schema type '$other' outside the writer profile")
+    }
+  }
+
+  /** Structural type equality ignoring nullability and metadata at
+    * every level (Iceberg required-ness and field ids are the
+    * writer's, not the frame's). */
+  private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameShape(f.dataType, g.dataType) }
+    case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+    case _ => a == b
+  }
+
+  /** The frame type with `parquet.field.id` metadata attached to every
+    * STRUCT member from the schema-JSON node, so staged footers carry
+    * ids at each level Spark's parquet writer can express (list/map
+    * repeated groups have no Spark-settable ids — the same limitation
+    * the iceberg-spark writer inherits from Spark; inner list/map
+    * resolution stays positional, matching the native reader). */
+  private def attachIds(dt: DataType, t: JsonNode): DataType = (dt, t) match {
+    case (st: StructType, node) if node != null && node.isObject &&
+        Option(node.get("type")).exists(_.asText() == "struct") =>
+      import scala.jdk.CollectionConverters._
+      val byName = node.get("fields").elements().asScala.toSeq
+        .map(f => f.get("name").asText() -> f).toMap
+      StructType(st.fields.map { fl =>
+        byName.get(fl.name) match {
+          case Some(fn) => StructField(fl.name, attachIds(fl.dataType, fn.get("type")),
+            fl.nullable,
+            new MetadataBuilder().putLong("parquet.field.id", fn.get("id").asLong()).build())
+          case None => fl
+        }
+      })
+    case (a: ArrayType, node) if node != null && node.isObject =>
+      a.copy(elementType = attachIds(a.elementType, node.get("element")))
+    case (m: MapType, node) if node != null && node.isObject =>
+      m.copy(keyType = attachIds(m.keyType, node.get("key")),
+        valueType = attachIds(m.valueType, node.get("value")))
+    case _ => dt
+  }
+
+  /** Every field id in a schema field node's subtree (fallback for
+    * metadata missing `last-column-id`). */
+  private def idsIn(t: JsonNode): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    if (t == null || t.isTextual || !t.isObject) Nil
+    else Option(t.get("type")).map(_.asText()) match {
+      case Some("struct") => t.get("fields").elements().asScala.toSeq.flatMap(f =>
+        f.get("id").asInt() +: idsIn(f.get("type")))
+      case Some("list") => t.get("element-id").asInt() +: idsIn(t.get("element"))
+      case Some("map") => Seq(t.get("key-id").asInt(), t.get("value-id").asInt()) ++
+        idsIn(t.get("key")) ++ idsIn(t.get("value"))
+      case _ => Nil
+    }
   }
 
   /** Highest `graft.txn.version` recorded in a snapshot summary for
@@ -137,7 +255,7 @@ object IcebergWriter {
       scala.util.Try(IcebergReader.currentMetadataPath(table, conf)).isSuccess
     require(!(exists && mode == "errorifexists"),
       s"iceberg writer: table already exists at $table (mode errorifexists)")
-    df.schema.fields.foreach(fl => icebergType(fl.dataType)) // gate up front
+    df.schema.fields.foreach(fl => validateType(fl.dataType, fl.name)) // gate up front
 
     val prior = if (exists) Some(mapper.readTree(IcebergReader.metadataText(table, conf))) else None
     prior.foreach { meta =>
@@ -146,36 +264,69 @@ object IcebergWriter {
         s"iceberg writer: $table was not written by this writer — regenerating its " +
           "metadata would drop state this model does not carry (sort orders, branches, " +
           "properties); write it with the iceberg-spark connector")
-      val expected = currentSchemaNameTypes(meta)
-      val got = df.schema.fields.toSeq.map(fl => (fl.name, icebergType(fl.dataType)))
+      // typed (node-driven) comparison so nested columns compare by
+      // structure, not by a flattened type string; sameType ignores
+      // nullability at every level (Iceberg required-ness is ours)
+      val expected = currentSchemaFieldNodes(meta).map(n =>
+        (n.get("name").asText(), sparkTypeOfNode(n.get("type"))))
+      val got = df.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
       if (mergeSchema) {
-        val conflicts = got.filter { case (n, t) => expected.exists(e => e._1 == n && e._2 != t) }
+        val conflicts = got.filter { case (n, t) =>
+          expected.exists(e => e._1 == n && !sameShape(e._2, t)) }
         require(conflicts.isEmpty,
           s"iceberg writer: mergeSchema cannot change column types — " +
             conflicts.map(_._1).mkString(",") + "; type evolution stays with the connector")
-      } else require(expected == got,
-        s"iceberg writer: schema mismatch — table has ${expected.mkString(",")}, " +
-          s"frame has ${got.mkString(",")}; pass mergeSchema = true to add columns " +
-          "(other evolution stays with the connector)")
+      } else require(expected.length == got.length &&
+          expected.zip(got).forall { case ((en, et), (gn, gt)) => en == gn && sameShape(et, gt) },
+        s"iceberg writer: schema mismatch — table has " +
+          s"${expected.map(e => s"${e._1}:${e._2.simpleString}").mkString(",")}, " +
+          s"frame has ${got.map(g => s"${g._1}:${g._2.simpleString}").mkString(",")}; " +
+          "pass mergeSchema = true to add columns (other evolution stays with the connector)")
     }
-    // merged schema: table fields first — their field ids ARE their
-    // positions (the writer assigns 1..n at create, and additive
-    // evolution appends with last-column-id+1.., so the invariant
-    // holds across the table's whole history) — frame-only columns
-    // appended with fresh ids. A merged frame may omit non-partition
-    // table columns: its data files simply lack those field ids and
-    // the reader's by-id resolution nulls them, exactly like old files
-    // null the added columns.
-    val tableFields: Option[Seq[(String, String)]] = prior.map(currentSchemaNameTypes)
-    val mergedFields: Seq[(String, DataType)] = tableFields match {
-      case None => df.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
-      case Some(exp) =>
-        exp.map { case (n, t) => (n, sparkTypeOf(t)) } ++
-          df.schema.fields.toSeq.filterNot(fl => exp.exists(_._1 == fl.name))
-            .map(fl => (fl.name, fl.dataType))
+    // merged schema: table fields first, carrying their EXISTING ids
+    // and type JSON verbatim (ids must never re-derive — nested
+    // subtrees allocated ids at their own creation time); frame-only
+    // columns append with fresh ids past last-column-id. On a fresh
+    // table, TOP-LEVEL ids are 1..n (the primitive-era invariant the
+    // partition source-ids and existing tables rely on) and nested
+    // field/element/key/value ids allocate after n, pre-order. A
+    // merged frame may omit non-partition table columns: its data
+    // files simply lack those field ids and the reader's resolution
+    // nulls them, exactly like old files null the added columns.
+    case class SField(name: String, id: Int, dt: DataType, typeJson: String)
+    val (schemaFieldsAll: Seq[SField], lastColumnId: Int) = prior match {
+      case None =>
+        var next = df.schema.fields.length + 1
+        val alloc = () => { val i = next; next += 1; i }
+        val fs = df.schema.fields.toSeq.zipWithIndex.map { case (fl, i) =>
+          SField(fl.name, i + 1, fl.dataType, typeJsonAlloc(fl.dataType, alloc)) }
+        (fs, next - 1)
+      case Some(meta) =>
+        val nodes = currentSchemaFieldNodes(meta)
+        val existing = nodes.map { n =>
+          val t = n.get("type")
+          SField(n.get("name").asText(), n.get("id").asInt(), sparkTypeOfNode(t),
+            if (t.isTextual) js(t.asText()) else t.toString)
+        }
+        val floor = Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(
+          (nodes.map(_.get("id").asInt()) ++ nodes.flatMap(n => idsIn(n.get("type"))))
+            .maxOption.getOrElse(0))
+        var next = floor + 1
+        val alloc = () => { val i = next; next += 1; i }
+        val appended = df.schema.fields.toSeq
+          .filterNot(fl => existing.exists(_.name == fl.name)).map { fl =>
+            val id = alloc()
+            SField(fl.name, id, fl.dataType, typeJsonAlloc(fl.dataType, alloc))
+          }
+        (existing ++ appended, next - 1)
     }
-    val mergedNames = mergedFields.map(_._1)
-    val schemaChanged = tableFields.exists(_.map(_._1) != mergedNames)
+    val mergedFields: Seq[(String, DataType)] = schemaFieldsAll.map(sf => (sf.name, sf.dt))
+    val mergedNames = schemaFieldsAll.map(_.name)
+    val topIdOf: Map[String, Int] = schemaFieldsAll.map(sf => sf.name -> sf.id).toMap
+    val statFields: Seq[(String, DataType, Int)] =
+      schemaFieldsAll.map(sf => (sf.name, sf.dt, sf.id))
+    val schemaChanged = prior.exists(meta =>
+      currentSchemaFieldNodes(meta).map(_.get("name").asText()) != mergedNames)
     // partitioning: an existing table's DEFAULT spec governs (the Delta
     // writer's stance — an empty partitionBy adopts it, an explicit one
     // must match exactly; partition-spec evolution stays with the
@@ -193,7 +344,7 @@ object IcebergWriter {
     }
     val requested: Seq[(String, Option[Int])] = partitionBy.map(parsePartToken)
     val tableTokens: Option[Seq[(String, Option[Int])]] = tableSpec.map(_.map { case (name, transform, sourceId) =>
-      val srcCol = tableFields.flatMap(_.lift(sourceId - 1)).map(_._1).getOrElse(
+      val srcCol = schemaFieldsAll.find(_.id == sourceId).map(_.name).getOrElse(
         throw new IllegalArgumentException(
           s"iceberg writer: partition source-id $sourceId outside the schema of $table"))
       transform match {
@@ -285,15 +436,24 @@ object IcebergWriter {
           "outside the partitions being replaced")
     }
 
-    // 1. stage data files with field ids in the parquet footers.
-    // Partition columns are DUPLICATED under a staging-only prefix so
-    // Spark's partitionBy yields the one-tuple-per-file layout while
-    // the data files keep every real column (the spec's rule for
-    // identity sources — the reader scans data files as the full table).
+    // 1. stage data files with field ids in the parquet footers — at
+    // the top level AND on nested struct members (Dataset.to applies
+    // the target schema's metadata at every level; list/map repeated
+    // groups have no Spark-settable ids, the iceberg-spark writer's
+    // own inherited limitation). Partition columns are DUPLICATED
+    // under a staging-only prefix so Spark's partitionBy yields the
+    // one-tuple-per-file layout while the data files keep every real
+    // column (the spec's rule for identity sources — the reader scans
+    // data files as the full table).
     val withIds = df.select(df.schema.fields.map { fl =>
-      df(fl.name).as(fl.name,
-        new MetadataBuilder().putLong("parquet.field.id",
-          (mergedNames.indexOf(fl.name) + 1).toLong).build())
+      val sf = schemaFieldsAll.find(_.name == fl.name).get
+      val attached = attachIds(fl.dataType, mapper.readTree(sf.typeJson))
+      // nested ids ride a same-shape CAST (target type differs only in
+      // nested StructField metadata, which the parquet writer reads);
+      // the top-level id rides the alias metadata as before
+      val base = if (attached == fl.dataType) df(fl.name) else df(fl.name).cast(attached)
+      base.as(fl.name,
+        new MetadataBuilder().putLong("parquet.field.id", sf.id.toLong).build())
     }.toSeq: _*)
     val stagedDf = partDefs.foldLeft(withIds) { case (d, (fieldName, srcCol, bucket, _)) =>
       val value = bucket match {
@@ -336,7 +496,7 @@ object IcebergWriter {
         val dest = new Path(destDir, st.getPath.getName)
         require(f.rename(st.getPath, dest), s"iceberg writer: rename to $dest failed")
         val d = f.getFileStatus(dest)
-        (storedPath(d.getPath), d.getLen, footerStats(f, d.getPath, mergedFields), tuple)
+        (storedPath(d.getPath), d.getLen, footerStats(f, d.getPath, statFields), tuple)
       }
 
       // 2-4. manifest + manifest list + metadata, optimistic loop
@@ -352,11 +512,14 @@ object IcebergWriter {
         // bind to the RIVAL's columns — publishing would be silent
         // by-id corruption, so refuse and let the caller re-run.
         head.foreach { m =>
-          val nowFields = currentSchemaNameTypes(m)
-          val nowMerged = nowFields.map(_._1) ++
-            df.schema.fieldNames.toSeq.filterNot(n => nowFields.exists(_._1 == n))
-          val typesAgree = nowFields.forall { case (n, t) =>
-            mergedFields.exists { case (mn, mdt) => mn == n && icebergType(mdt) == t } }
+          val nowNodes = currentSchemaFieldNodes(m)
+          val nowMerged = nowNodes.map(_.get("name").asText()) ++
+            df.schema.fieldNames.toSeq.filterNot(n =>
+              nowNodes.exists(_.get("name").asText() == n))
+          val typesAgree = nowNodes.forall { n =>
+            val nm = n.get("name").asText()
+            mergedFields.exists { case (mn, mdt) =>
+              mn == nm && sameShape(mdt, sparkTypeOfNode(n.get("type"))) } }
           require(nowMerged == mergedNames && typesAgree,
             s"iceberg writer: the schema of $table changed under this write (a concurrent " +
               "evolution landed) — the staged files' field ids would bind to the wrong " +
@@ -412,8 +575,8 @@ object IcebergWriter {
         val tableUuid = head.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
           .getOrElse(java.util.UUID.randomUUID().toString)
         val now = System.currentTimeMillis()
-        val schemaFields = mergedFields.zipWithIndex.map { case ((n, dt), i) =>
-          s"""{"id": ${i + 1}, "name": ${js(n)}, "required": false, "type": ${js(icebergType(dt))}}"""
+        val schemaFields = schemaFieldsAll.map { sf =>
+          s"""{"id": ${sf.id}, "name": ${js(sf.name)}, "required": false, "type": ${sf.typeJson}}"""
         }.mkString(", ")
         import scala.jdk.CollectionConverters._
         // schema history: unchanged writes reuse the head's schemas
@@ -456,7 +619,7 @@ object IcebergWriter {
              |  "location": ${js(table.stripSuffix("/"))},
              |  "last-sequence-number": $seq,
              |  "last-updated-ms": $now,
-             |  "last-column-id": ${mergedFields.length},
+             |  "last-column-id": $lastColumnId,
              |  "current-schema-id": $curSchemaId,
              |  "schemas": $schemasJson,
              |  "default-spec-id": 0,
@@ -464,7 +627,7 @@ object IcebergWriter {
                   partDefs.zipWithIndex.map { case ((fieldName, srcCol, bucket, _), i) =>
                     val transform = bucket.fold("identity")(n => s"bucket[$n]")
                     s"""{"name": ${js(fieldName)}, "transform": ${js(transform)}, """ +
-                      s""""source-id": ${mergedNames.indexOf(srcCol) + 1}, "field-id": ${1000 + i}}"""
+                      s""""source-id": ${topIdOf(srcCol)}, "field-id": ${1000 + i}}"""
                   }.mkString(", ")}]}],
              |  "last-partition-id": ${999 + partCols.size},
              |  "default-sort-order-id": 0,
@@ -863,8 +1026,9 @@ object IcebergWriter {
 
     // rewrite each multi-file group next to its sources (one tuple per
     // group by construction, so the dir layout is preserved)
-    val schemaFields: Seq[(String, DataType)] =
-      currentSchemaNameTypes(meta0).map { case (n, t) => n -> sparkTypeOf(t) }
+    val fieldNodes = currentSchemaFieldNodes(meta0)
+    val schemaFields: Seq[(String, DataType, Int)] = fieldNodes.map(n =>
+      (n.get("name").asText(), sparkTypeOfNode(n.get("type")), n.get("id").asInt()))
     val rewrittenSources = multi.flatMap(_.map(_.path)).toSet
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[ManifestEntry] = try {
@@ -873,11 +1037,18 @@ object IcebergWriter {
         // evolution a group mixes files with and without the new
         // columns, and letting parquet sample one file's schema would
         // silently drop the others' columns from the rewrite
-        val readSchema = StructType(schemaFields.map { case (n, dt) => StructField(n, dt) })
+        val readSchema = StructType(schemaFields.map { case (n, dt, _) => StructField(n, dt) })
         val df = spark.read.schema(readSchema).parquet(group.map(_.path): _*)
-        val withIds = df.select(schemaFields.zipWithIndex.map { case ((n, _), i) =>
-          df(n).as(n, new MetadataBuilder().putLong("parquet.field.id", (i + 1).toLong).build())
-        }: _*)
+        // rewritten files must carry the ORIGINAL ids at every level —
+        // re-derived ids would bind compacted rows to the wrong columns
+        val withIds = df.select(fieldNodes.map { n =>
+          val nm = n.get("name").asText()
+          val dt = sparkTypeOfNode(n.get("type"))
+          val attached = attachIds(dt, n.get("type"))
+          val base = if (attached == dt) df(nm) else df(nm).cast(attached)
+          base.as(nm,
+            new MetadataBuilder().putLong("parquet.field.id", n.get("id").asLong()).build())
+        }.toSeq: _*)
         val gDir = new Path(staging, s"g$gi")
         withMicrosTimestamps(withIds.sparkSession) {
           withIds.coalesce(1).write.parquet(gDir.toString)
@@ -1056,12 +1227,14 @@ object IcebergWriter {
       lower: Map[String, Array[Byte]], upper: Map[String, Array[Byte]])
 
   /** Row count + per-column bounds from the parquet footer, keyed by
-    * field-id text (= schema position + 1). Bound validity leans on
+    * field-id text (the schema's ACTUAL top-level ids — positions only
+    * coincide on primitive-era tables). Bound validity leans on
     * parquet-mr's own truncator (a truncated max increments its final
-    * byte, staying >= the true max); NaN extremes and non-profile
-    * types are skipped — the reader fails open per column. */
+    * byte, staying >= the true max); NaN extremes, nested columns and
+    * non-profile types are skipped — the reader fails open per
+    * column. */
   private def footerStats(f: FileSystem, p: Path,
-      fields: Seq[(String, DataType)]): FooterStats = {
+      fields: Seq[(String, DataType, Int)]): FooterStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, f.getConf))
@@ -1071,8 +1244,8 @@ object IcebergWriter {
       val records = blocks.map(_.getRowCount).sum
       val lb = Map.newBuilder[String, Array[Byte]]
       val ub = Map.newBuilder[String, Array[Byte]]
-      fields.zipWithIndex.foreach { case ((name, dt), i) => scala.util.Try {
-        val id = (i + 1).toString
+      fields.foreach { case (name, dt, fid) => scala.util.Try {
+        val id = fid.toString
         val colStats = blocks.flatMap(_.getColumns.asScala
           .find(c => c.getPath.toDotString == name).map(_.getStatistics))
         if (colStats.nonEmpty && colStats.forall(s =>

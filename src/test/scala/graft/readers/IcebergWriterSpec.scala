@@ -93,10 +93,12 @@ class IcebergWriterSpec extends SparkSpec {
     val e1 = intercept[Exception](IcebergWriter.write(spark,
       Seq((1, "x")).toDF("id", "name"), t)) // int id, table has long
     assert(e1.getMessage.contains("schema mismatch"))
-    // complex column types refuse up front
+    // unsupported LEAF types refuse up front, even nested inside a
+    // struct (complex composition itself is in-profile since round 12)
     val e2 = intercept[Exception](IcebergWriter.write(spark,
-      Seq((1L, Seq("x"))).toDF("id", "tags"), Files.createTempDirectory("iwc").toString))
-    assert(e2.getMessage.contains("primitives only"))
+      Seq(1L).toDF("id").selectExpr("id", "named_struct('d', make_dt_interval(0, 1)) as s"),
+      Files.createTempDirectory("iwc").toString))
+    assert(e2.getMessage.contains("outside the supported profile"))
     // a table whose metadata lacks the graft.writer stamp refuses —
     // regenerating an external table's metadata would drop its state
     val ext = Files.createTempDirectory("iwext").toString
@@ -144,6 +146,73 @@ class IcebergWriterSpec extends SparkSpec {
     val t3 = Files.createTempDirectory("iwemptyu").toString
     IcebergWriter.write(spark, Seq((1L, "")).toDF("id", "p"), t3)
     assert(IcebergReader.read(spark, t3).select("p").as[String].collect().toSeq == Seq(""))
+  }
+
+  test("nested columns (struct/array/map) round-trip with evolution, pruning and compaction intact") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwnested").toString
+    val frame = Seq(
+      (1L, ("web", 0.9), Seq("a", "b"), Map("k1" -> 10L), 7),
+      (2L, ("api", 0.5), Seq("c"), Map("k2" -> 20L), 8))
+      .toDF("id", "meta", "tags", "attrs", "p")
+      .selectExpr("id", "named_struct('src', meta._1, 'score', meta._2) as meta",
+        "tags", "attrs", "p")
+    IcebergWriter.write(spark, frame.repartition(2,
+      org.apache.spark.sql.functions.col("p")), t, partitionBy = Seq("p"))
+    val back = IcebergReader.read(spark, t)
+      .selectExpr("id", "meta.src", "meta.score", "tags", "attrs['k1']", "p")
+      .as[(Long, String, Double, Seq[String], Option[Long], Int)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "web", 0.9, Seq("a", "b"), Some(10L), 7),
+      (2L, "api", 0.5, Seq("c"), None, 8)))
+    // every field id in the schema JSON is unique (top-level + nested)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    def allIds(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      if (n == null || !n.isContainerNode) Nil
+      else if (n.isObject)
+        n.properties().asScala.toSeq.flatMap(e =>
+          (if (e.getKey == "id" || e.getKey.endsWith("-id")) Seq(e.getValue.asInt()) else Nil) ++
+            allIds(e.getValue))
+      else n.elements().asScala.toSeq.flatMap(allIds)
+    }
+    import scala.jdk.CollectionConverters._
+    val cur = meta.get("current-schema-id").asInt()
+    val schemaNode = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == cur).get
+    val ids = allIds(schemaNode.get("fields"))
+    assert(ids.distinct.size == ids.size, s"duplicate field ids: $ids")
+    assert(meta.get("last-column-id").asInt() == ids.max)
+    // partition pruning and id-bounds stats pruning still work
+    val all = IcebergReader.read(spark, t)
+    val p7 = IcebergReader.read(spark, t, filter = Some("p = 7"))
+    assert(p7.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(p7.inputFiles.length < all.inputFiles.length)
+    // additive evolution appends a NESTED column with fresh non-
+    // colliding ids; old rows null it
+    val evolved = Seq((3L, ("ml", 0.7), Seq("d"), Map("k3" -> 30L), 7, ("x", 1L)))
+      .toDF("id", "meta", "tags", "attrs", "p", "extra")
+      .selectExpr("id", "named_struct('src', meta._1, 'score', meta._2) as meta",
+        "tags", "attrs", "p", "named_struct('tag', extra._1, 'n', extra._2) as extra")
+    IcebergWriter.write(spark, evolved, t, mergeSchema = true)
+    val afterMeta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    val cur2 = afterMeta.get("current-schema-id").asInt()
+    val ids2 = allIds(afterMeta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == cur2).get.get("fields"))
+    assert(ids2.distinct.size == ids2.size, s"duplicate field ids after evolution: $ids2")
+    val got2 = IcebergReader.read(spark, t).selectExpr("id", "extra.n")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq((1L, None), (2L, None), (3L, Some(1L))))
+    // compaction rewrites the two p=7 files into one, nested data intact
+    assert(IcebergWriter.compact(spark, t) >= 1)
+    val after = IcebergReader.read(spark, t)
+      .selectExpr("id", "meta.src", "tags[0]", "attrs", "extra.tag")
+      .as[(Long, String, String, Map[String, Long], Option[String])].collect().sortBy(_._1)
+    assert(after.toSeq == Seq(
+      (1L, "web", "a", Map("k1" -> 10L), None),
+      (2L, "api", "c", Map("k2" -> 20L), None),
+      (3L, "ml", "d", Map("k3" -> 30L), Some("x"))))
   }
 
   private def deleteDataFiles(t: String, dirPrefix: String): Unit = {
