@@ -43,9 +43,12 @@ import scala.jdk.CollectionConverters._
   *    lazy fetch loop, so CRC/stall/err semantics cannot drift from
   *    the batch path; TLS/SASL (`security_protocol`/`sasl_*` options,
   *    PLAIN/SCRAM/OAUTHBEARER) authenticate every connection;
-  *  - a topic whose PARTITION COUNT changes under a running query
-  *    refuses loudly at the next trigger (new partitions would
-  *    otherwise be silently unread; restarting re-resolves);
+  *  - a topic GROWING partitions under a running query reassigns at
+  *    the next trigger: the new partitions join at their EARLIEST
+  *    offset (the connector's stance — records written since creation
+  *    are never skipped) and the committed offset map simply carries
+  *    the extra keys; a topic LOSING partitions (deleted/recreated)
+  *    refuses loudly;
   *  - expired data under the reader (OFFSET_OUT_OF_RANGE) fails the
   *    batch loudly — the failOnDataLoss=true stance, the only honest
   *    one for an engine that cannot know what vanished.
@@ -210,13 +213,27 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     val endsNow = offsetsAt("latest")
     val ends = availableNowBound.fold(endsNow)(b =>
       endsNow.map { case (p, e) => p -> math.min(e, b.getOrElse(p, e)) })
-    require(ends.keySet == startMap.keySet,
-      s"kafka: topic '$topic' partition set changed under the stream " +
-        s"(${startMap.keySet.toSeq.sorted.mkString(",")} -> ${ends.keySet.toSeq.sorted.mkString(",")}) — " +
-        "restart the query to re-resolve partitions")
+    // partition SHRINK means the topic was deleted/recreated — offsets
+    // are meaningless against the new incarnation, refuse. GROWTH
+    // (repartitioned topic) reassigns like the connector: the new
+    // partitions join at their EARLIEST offset (records written to
+    // them since creation must not be skipped), and the next committed
+    // offset map simply carries the extra keys — checkpoint-compatible
+    // by construction.
+    val removed = startMap.keySet -- ends.keySet
+    require(removed.isEmpty,
+      s"kafka: topic '$topic' lost partition(s) ${removed.toSeq.sorted.mkString(",")} " +
+        "under the stream (deleted/recreated topic) — restart the query to re-baseline")
+    val added = ends.keySet -- startMap.keySet
+    val startAll =
+      if (added.isEmpty) startMap
+      else {
+        val earliest = offsetsAt("earliest")
+        startMap ++ added.map(p => p -> earliest.getOrElse(p, 0L))
+      }
     limit match {
       case mr: ReadMaxRows =>
-        val backlog = ends.map { case (p, e) => p -> math.max(0L, e - startMap(p)) }
+        val backlog = ends.map { case (p, e) => p -> math.max(0L, e - startAll(p)) }
         val total = backlog.values.sum
         if (total <= mr.maxRows) KafkaSourceOffset(ends)
         else {
@@ -225,7 +242,7 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
           // partition however skewed the backlog
           val capped = backlog.map { case (p, b) =>
             val alloc = if (b == 0) 0L else math.max(1L, mr.maxRows * b / total)
-            p -> (startMap(p) + math.min(b, alloc))
+            p -> (startAll(p) + math.min(b, alloc))
           }
           KafkaSourceOffset(capped)
         }
@@ -238,11 +255,20 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[KafkaSourceOffset].partitionOffsets
     withLeaders { (brokers, parts) =>
       parts.flatMap { pm =>
+        def nodeOf = brokers.getOrElse(pm.leader, throw new IllegalArgumentException(
+          s"kafka: leader ${pm.leader} not in broker metadata"))
         (s.get(pm.partition), e.get(pm.partition)) match {
           case (Some(lo), Some(hi)) if hi > lo =>
-            val node = brokers.getOrElse(pm.leader, throw new IllegalArgumentException(
-              s"kafka: leader ${pm.leader} not in broker metadata"))
-            Some(KafkaStreamPartition(topic, pm.partition, node.host, node.port, lo, hi))
+            Some(KafkaStreamPartition(topic, pm.partition, nodeOf.host, nodeOf.port, lo, hi))
+          case (None, Some(hi)) =>
+            // a partition created mid-stream: absent from the committed
+            // start map, present in the offered end — its slice begins
+            // at EARLIEST, the same anchor latestOffset capped against
+            val node = nodeOf
+            val c = KafkaReader.connect(node.host, node.port, timeoutMs, clientId, security)
+            val lo = try KafkaReader.listOffset(c, topic, pm.partition, -2L) finally c.close()
+            if (hi > lo) Some(KafkaStreamPartition(topic, pm.partition, node.host, node.port, lo, hi))
+            else None
           case _ => None
         }
       }.toArray[InputPartition]

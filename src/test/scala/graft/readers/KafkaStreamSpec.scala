@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.Trigger
   * the shared loopback fake broker: offsets checkpoint and resume,
   * appended batches arrive in later triggers, admission control rates
   * micro-batches, SASL authenticates stream connections, and partition
-  * growth refuses loudly.
+  * growth reassigns new partitions from earliest (lost partitions
+  * refuse).
   */
 class KafkaStreamSpec extends SparkSpec {
 
@@ -115,7 +116,7 @@ class KafkaStreamSpec extends SparkSpec {
     } finally broker.close()
   }
 
-  test("SASL SCRAM authenticates stream connections; partition growth refuses loudly") {
+  test("SASL SCRAM authenticates stream connections; partition growth reassigns from earliest") {
     val broker = new FakeBroker("events", twoPartLogs,
       saslMechanisms = Seq("SCRAM-SHA-256"), users = Map("alice" -> "pw1"))
     try {
@@ -129,17 +130,58 @@ class KafkaStreamSpec extends SparkSpec {
       try {
         q.processAllAvailable()
         assert(spark.table("ks_sasl").count() == 5L)
-        // a NEW partition appearing under the running stream would be
-        // silently unread — the next trigger must fail loudly instead
+        // a NEW partition appearing under the running stream joins at
+        // its earliest offset on the next trigger — its records arrive
+        // alongside the continuing partitions' (round 12; previously a
+        // loud refusal)
         broker.append(2, (0L, 0L, encodeBatch(0L, 5000L, Seq((k("x"), k("y"), Nil)))))
-        val e = intercept[Exception] {
-          broker.append(0, (3L, 3L, encodeBatch(3L, 2000L, Seq((k("k3"), k("v3"), Nil)))))
-          q.processAllAvailable()
-        }
-        def chain(x: Throwable): Seq[String] =
-          if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
-        assert(chain(e).exists(_.contains("partition set changed")), chain(e).mkString("|"))
+        broker.append(0, (3L, 3L, encodeBatch(3L, 2000L, Seq((k("k3"), k("v3"), Nil)))))
+        q.processAllAvailable()
+        val got = spark.sql("SELECT partition, offset, cast(value as string) FROM ks_sasl")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+        assert(got.contains((2, 0L, "y")), s"new partition's record missing: $got")
+        assert(got.contains((0, 3L, "v3")))
+        assert(got.size == 7)
       } finally q.stop()
+    } finally broker.close()
+  }
+
+  test("partition growth across a RESTART stays checkpoint-compatible; lost partitions refuse") {
+    val broker = new FakeBroker("grow", Map(
+      0 -> Seq((0L, 1L, encodeBatch(0L, 1000L, Seq((k("k0"), k("v0"), Nil), (k("k1"), k("v1"), Nil)))))))
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ksgrow").toString
+      val seen = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-kafka")
+          .option("url", s"kafka://127.0.0.1:${broker.port}/grow")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.selectExpr("partition", "offset", "cast(value as string)").collect()
+              .foreach(r => seen.synchronized {
+                seen += ((r.getInt(0), r.getLong(1), r.getString(2))) })
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run()
+      assert(seen.sortBy(t => (t._1, t._2)).toSeq ==
+        Seq((0, 0L, "v0"), (0, 1L, "v1")))
+      // the topic grows between runs: the restarted query's committed
+      // offset map lacks partition 1 — it must join at earliest, and
+      // already-committed partition-0 rows must not re-emit
+      broker.append(1, (0L, 1L, encodeBatch(0L, 2000L, Seq((k("a0"), k("b0"), Nil), (k("a1"), k("b1"), Nil)))))
+      seen.clear()
+      run()
+      assert(seen.sortBy(t => (t._1, t._2)).toSeq ==
+        Seq((1, 0L, "b0"), (1, 1L, "b1")))
+      // no duplicates on a further no-op run
+      seen.clear()
+      run()
+      assert(seen.isEmpty)
     } finally broker.close()
   }
 }
