@@ -405,6 +405,14 @@ object DeltaReader {
       if (decoded.contains("://") || decoded.startsWith("/")) decoded
       else table.stripSuffix("/") + "/" + decoded
     }
+    // evolution identity for the additive-prefix gates: under column
+    // mapping a field's identity is its PHYSICAL name (id-stable), so
+    // a pure logical RENAME serves — old rows read by physical name
+    // and label under the head's logical names, delta's own CDF
+    // semantics; drops/retypes/layout changes still refuse. Unmapped
+    // tables keep the case-insensitive logical-name identity.
+    def evoKey(fl: StructField): (String, DataType) =
+      (physNameOf(fl, mapped).toLowerCase, stripMetaType(fl.dataType))
     def emptyFeed(): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           stripMetaType(schema).asInstanceOf[StructType])
@@ -434,9 +442,7 @@ object DeltaReader {
       val endState = cachedState(spark, table, logDir, f, Some(e), maxLiveFiles)
       val endSchema = DataType.fromJson(endState.schemaJson).asInstanceOf[StructType]
       val additive = endSchema.fields.length <= schema.fields.length &&
-        endSchema.fields.zip(schema.fields).forall { case (a, b) =>
-          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
-        }
+        endSchema.fields.zip(schema.fields).forall { case (a, b) => evoKey(a) == evoKey(b) }
       val samePc = endState.partitionCols == partitionCols
       val sameMapping =
         endState.configuration.getOrElse("delta.columnMapping.mode", "none") ==
@@ -459,17 +465,17 @@ object DeltaReader {
         .filterNot(_.isNull).foreach(ts => commitTs = ts.asLong()))
       lines.flatMap(a => Option(a.get("metaData")).filterNot(_.isNull)).foreach { md =>
         // additive evolution is servable: a window metaData whose schema
-        // is a PREFIX of the head's (same names+types in order; head may
-        // append nullable columns) reads old rows under the head schema
-        // with the added columns nulled — delta's own semantics for old
-        // files. Renames/drops/type changes/layout changes refuse.
+        // is a PREFIX of the head's (same identities+types in order;
+        // head may append nullable columns) reads old rows under the
+        // head schema with the added columns nulled — delta's own
+        // semantics for old files. Under column mapping the identity is
+        // the physical name, so logical renames serve too (evoKey);
+        // drops/type changes/layout changes refuse.
         val okSchema = Option(md.get("schemaString")).exists { sj =>
           scala.util.Try {
             val mdFields = DataType.fromJson(sj.asText()).asInstanceOf[StructType].fields
             mdFields.length <= schema.fields.length &&
-              mdFields.zip(schema.fields).forall { case (a, b) =>
-                a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
-              }
+              mdFields.zip(schema.fields).forall { case (a, b) => evoKey(a) == evoKey(b) }
           }.getOrElse(false)
         }
         val samePc = Option(md.get("partitionColumns")).map(_.elements().asScala.map(_.asText()).toSeq)

@@ -179,6 +179,54 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(e6.getMessage.contains("partitionValues"))
   }
 
+  test("a column-mapping RENAME mid-window serves under the head names; a drop still refuses") {
+    import spark.implicits._
+    def mMeta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    def mappedSchema(nameCol: String): String = StructType(Seq(
+      StructField("id", LongType, nullable = true, mMeta("col-aaa", 1)),
+      StructField(nameCol, StringType, nullable = true, mMeta("col-bbb", 2)))).json
+    def mappedMeta(nameCol: String): String =
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(mappedSchema(nameCol))},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""
+    def writePhys(table: JPath, rel: String, rows: Seq[(Long, String)]): Unit =
+      writeFrame(table, rel) {
+        import spark.implicits._; rows.toDF("col-aaa", "col-bbb")
+      }
+    val t = Files.createTempDirectory("cdfrename")
+    writePhys(t, "f0.parquet", Seq((1L, "a")))
+    writeCommit(t, 0, Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMeta("name"), addAction("f0.parquet")))
+    writePhys(t, "f1.parquet", Seq((2L, "b")))
+    writeCommit(t, 1, Seq(commitInfo(2), addAction("f1.parquet")))
+    // v2 RENAMES name -> label (same physical name + id); v3 adds more
+    writeCommit(t, 2, Seq(commitInfo(3), mappedMeta("label")))
+    writePhys(t, "f2.parquet", Seq((3L, "c")))
+    writeCommit(t, 3, Seq(commitInfo(4), addAction("f2.parquet")))
+    val feed = DeltaReader.readChangeFeed(spark, t.toString, -1L)
+    assert(feed.columns.take(2).toSeq == Seq("id", "label"))
+    assert(feed.select("id", "label", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((1L, "a", "insert", 0L), (2L, "b", "insert", 1L), (3L, "c", "insert", 3L)))
+    // the rename AFTER a bounded window end is additive under the same
+    // identity — the (−1, 1] window serves too
+    assert(DeltaReader.readChangeFeed(spark, t.toString, -1L, endVersion = Some(1L))
+      .count() == 2L)
+    // a DROP under mapping changes the field-id layout — still refuses
+    val dropped = StructType(Seq(
+      StructField("id", LongType, nullable = true, mMeta("col-aaa", 1)))).json
+    writeCommit(t, 4, Seq(commitInfo(5),
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(dropped)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""))
+    val e = intercept[Exception](DeltaReader.readChangeFeed(spark, t.toString, -1L))
+    assert(e.getMessage.contains("metadata"))
+  }
+
   test("non-additive evolution AFTER endVersion refuses; additive post-end evolution serves with nulled columns") {
     // the bounded feed serves under the HEAD schema, so a post-end
     // schema REPLACEMENT (outside the in-window gate's reach) must
