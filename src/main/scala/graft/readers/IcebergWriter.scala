@@ -342,14 +342,16 @@ object IcebergWriter {
         .map(pf => (pf.get("name").asText(), pf.get("transform").asText(),
           pf.get("source-id").asInt()))
     }
-    val requested: Seq[(String, Option[Int])] = partitionBy.map(parsePartToken)
-    val tableTokens: Option[Seq[(String, Option[Int])]] = tableSpec.map(_.map { case (name, transform, sourceId) =>
+    val requested: Seq[(String, PTf)] = partitionBy.map(parsePartToken)
+    val tableTokens: Option[Seq[(String, PTf)]] = tableSpec.map(_.map { case (name, transform, sourceId) =>
       val srcCol = schemaFieldsAll.find(_.id == sourceId).map(_.name).getOrElse(
         throw new IllegalArgumentException(
           s"iceberg writer: partition source-id $sourceId outside the schema of $table"))
       transform match {
-        case "identity"  => (srcCol, None)
-        case BucketTfRe(n) => (srcCol, Some(n.toInt))
+        case "identity"      => (srcCol, PIdentity: PTf)
+        case BucketTfRe(n)   => (srcCol, PBucket(n.toInt))
+        case TruncateTfRe(w) => (srcCol, PTruncate(w.toInt))
+        case k @ ("year" | "month" | "day" | "hour") => (srcCol, PTemporal(k))
         case other => throw new IllegalArgumentException(
           s"iceberg writer: $table has partition transform '$other' — outside this " +
             "writer's profile; write it with the iceberg-spark connector")
@@ -361,41 +363,51 @@ object IcebergWriter {
           s"[${toks.map(renderPartToken).mkString(",")}], write requested " +
           s"[${partitionBy.mkString(",")}]; partition-spec evolution stays with the connector")
     }
-    val partTokens: Seq[(String, Option[Int])] = tableTokens.getOrElse(requested)
-    // one entry per partition field: (field name, source column, bucket
-    // n option, the TUPLE type — int for bucket ordinals, the source
-    // type for identity)
-    val partDefs: Seq[(String, String, Option[Int], DataType)] = partTokens.map { case (c, b) =>
+    val partTokens: Seq[(String, PTf)] = tableTokens.getOrElse(requested)
+    // one entry per partition field: (field name, source column,
+    // transform, the TUPLE type — int for bucket/temporal ordinals,
+    // the source type for identity/truncate)
+    val partDefs: Seq[(String, String, PTf, DataType)] = partTokens.map { case (c, tf) =>
       val i = df.schema.fieldNames.indexOf(c)
       require(i >= 0, s"iceberg writer: partition column '$c' not in the frame " +
         s"(${df.schema.fieldNames.mkString(",")})")
       val fl = df.schema.fields(i)
-      require(Set[DataType](IntegerType, LongType, StringType, DateType)
-          .contains(fl.dataType),
+      val allowed: Set[DataType] = tf match {
+        case PIdentity | PBucket(_) => Set(IntegerType, LongType, StringType, DateType)
+        case PTruncate(_)           => Set(IntegerType, LongType, StringType)
+        case PTemporal("hour")      => Set(TimestampType, TimestampNTZType)
+        case PTemporal(_)           => Set(DateType, TimestampType, TimestampNTZType)
+      }
+      require(allowed.contains(fl.dataType),
         s"iceberg writer: partition column '$c' of type ${fl.dataType.simpleString} — " +
-          "identity/bucket partitioning is limited to the dir-text-round-trip types " +
-          "(int/long/string/date); write the table with the iceberg-spark connector")
+          s"the ${renderPartToken((c, tf))} transform supports " +
+          s"[${allowed.map(_.simpleString).mkString("/")}] sources in this writer's " +
+          "profile; write the table with the iceberg-spark connector")
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"iceberg writer: partition column name '$c' outside [A-Za-z0-9_] — " +
           "write the table with the iceberg-spark connector")
-      b match {
-        case Some(n) => (s"${c}_bucket", c, b, IntegerType: DataType)
-        case None    => (c, c, None, fl.dataType)
+      tf match {
+        case PIdentity    => (c, c, tf, fl.dataType)
+        case PBucket(_)   => (s"${c}_bucket", c, tf, IntegerType: DataType)
+        case PTruncate(_) => (s"${c}_trunc", c, tf, fl.dataType)
+        case PTemporal(k) => (s"${c}_$k", c, tf, IntegerType: DataType)
       }
     }
     val partCols: Seq[String] = partDefs.map(_._1) // partition FIELD names
     val partFields: Seq[StructField] = partDefs.map(d => StructField(d._1, d._4))
 
-    // '' in a string IDENTITY partition source stages as Spark's
-    // __HIVE_DEFAULT_PARTITION__ directory, which the dir-text round
-    // trip reads back as a NULL tuple — replaceWhere "p = ''" would
-    // then pass the row gate yet match no manifest entries (old rows
-    // stay live), and spec-compliant readers projecting identity values
-    // from the tuple would surface null instead of ''. Refuse, naming
-    // the connector — consistent with the other round-trip gates.
-    // (Bucket fields are immune: their tuple is the int ordinal.)
+    // '' in a string IDENTITY (or truncate — '' truncates to '')
+    // partition source stages as Spark's __HIVE_DEFAULT_PARTITION__
+    // directory, which the dir-text round trip reads back as a NULL
+    // tuple — replaceWhere "p = ''" would then pass the row gate yet
+    // match no manifest entries (old rows stay live), and
+    // spec-compliant readers projecting identity values from the tuple
+    // would surface null instead of ''. Refuse, naming the connector —
+    // consistent with the other round-trip gates. (Bucket/temporal
+    // fields are immune: their tuple is the int ordinal.)
     {
-      val emptyable = partDefs.filter(d => d._3.isEmpty &&
+      val emptyable = partDefs.filter(d =>
+        (d._3 == PIdentity || d._3.isInstanceOf[PTruncate]) &&
         df.schema(d._2).dataType == StringType).map(_._2)
       if (emptyable.nonEmpty) {
         val pred = emptyable.map(c => s"`$c` = ''").mkString(" OR ")
@@ -416,7 +428,7 @@ object IcebergWriter {
       require(partCols.nonEmpty, "iceberg writer: replaceWhere needs a partitioned table")
       // identity fields only: a bucket field's source predicate cannot
       // scope files exactly (one bucket holds many source values)
-      val identityCols = partDefs.filter(_._3.isEmpty).map(_._2.toLowerCase).toSet
+      val identityCols = partDefs.filter(_._3 == PIdentity).map(_._2.toLowerCase).toSet
       val conjs = FileSkipping.conjuncts(rw)
       val perConj = conjs.map(FileSkipping.usableRefs)
       // EVERY conjunct must analyze — a silently dropped one (qualified
@@ -428,7 +440,7 @@ object IcebergWriter {
       val refs = perConj.flatten.flatten.toSet
       require(refs.nonEmpty && refs.subsetOf(identityCols),
         s"iceberg writer: replaceWhere '$rw' must reference identity partition columns only " +
-          s"([${partDefs.filter(_._3.isEmpty).map(_._2).mkString(",")}]); data-column and " +
+          s"([${partDefs.filter(_._3 == PIdentity).map(_._2).mkString(",")}]); data-column and " +
           "bucket-source predicates need the connector's row rewrite")
       val violating = df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count()
       require(violating == 0,
@@ -455,10 +467,13 @@ object IcebergWriter {
       base.as(fl.name,
         new MetadataBuilder().putLong("parquet.field.id", sf.id.toLong).build())
     }.toSeq: _*)
-    val stagedDf = partDefs.foldLeft(withIds) { case (d, (fieldName, srcCol, bucket, _)) =>
-      val value = bucket match {
-        case Some(n) => bucketColumn(d(srcCol), df.schema(df.schema.fieldIndex(srcCol)).dataType, n)
-        case None    => d(srcCol)
+    val stagedDf = partDefs.foldLeft(withIds) { case (d, (fieldName, srcCol, tf, _)) =>
+      val srcDt = df.schema(df.schema.fieldIndex(srcCol)).dataType
+      val value = tf match {
+        case PBucket(n)   => bucketColumn(d(srcCol), srcDt, n)
+        case PTruncate(w) => truncateColumn(d(srcCol), srcDt, w)
+        case PTemporal(k) => temporalColumn(d(srcCol), srcDt, k)
+        case PIdentity    => d(srcCol)
       }
       d.withColumn(DupPrefix + fieldName, value)
     }
@@ -624,8 +639,13 @@ object IcebergWriter {
              |  "schemas": $schemasJson,
              |  "default-spec-id": 0,
              |  "partition-specs": [{"spec-id": 0, "fields": [${
-                  partDefs.zipWithIndex.map { case ((fieldName, srcCol, bucket, _), i) =>
-                    val transform = bucket.fold("identity")(n => s"bucket[$n]")
+                  partDefs.zipWithIndex.map { case ((fieldName, srcCol, tf, _), i) =>
+                    val transform = tf match {
+                      case PIdentity    => "identity"
+                      case PBucket(n)   => s"bucket[$n]"
+                      case PTruncate(w) => s"truncate[$w]"
+                      case PTemporal(k) => k
+                    }
                     s"""{"name": ${js(fieldName)}, "transform": ${js(transform)}, """ +
                       s""""source-id": ${topIdOf(srcCol)}, "field-id": ${1000 + i}}"""
                   }.mkString(", ")}]}],
@@ -819,20 +839,44 @@ object IcebergWriter {
     * files. */
   private val DupPrefix = "__graft_p_"
 
+  /** Writer-profile partition transforms (round 12 grows the set from
+    * identity/bucket to the spec's truncate[W] and temporal family,
+    * all recomputed by the same [[IcebergTransforms]] ordinals the
+    * reader's pruning applies). */
+  private[readers] sealed trait PTf
+  private[readers] case object PIdentity extends PTf
+  private[readers] final case class PBucket(n: Int) extends PTf
+  private[readers] final case class PTruncate(w: Int) extends PTf
+  private[readers] final case class PTemporal(kind: String) extends PTf
+
   private val BucketTokenRe = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+  private val TruncateTokenRe = "truncate\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+  private val TemporalTokenRe = "(year|month|day|hour)\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
   private[readers] val BucketTfRe = IcebergTransforms.BucketRe
-  /** partitionBy token → (source column, bucket n): a bare name is
-    * identity, `bucket(N, col)` the spec's bucket[N]. */
-  private def parsePartToken(t: String): (String, Option[Int]) = t.trim match {
+  private val TruncateTfRe = "truncate\\[(\\d+)\\]".r
+  /** partitionBy token → (source column, transform): a bare name is
+    * identity; `bucket(N, col)`, `truncate(W, col)`,
+    * `year|month|day|hour(col)` the spec transforms. */
+  private def parsePartToken(t: String): (String, PTf) = t.trim match {
     case BucketTokenRe(n, c) =>
       val parsed = n.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"iceberg writer: bucket count '$n' in '$t' is not a 32-bit integer"))
       require(parsed >= 1, s"iceberg writer: bucket count must be >= 1 (got '$t')")
-      (c, Some(parsed))
-    case c                   => (c, None)
+      (c, PBucket(parsed))
+    case TruncateTokenRe(w, c) =>
+      val parsed = w.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"iceberg writer: truncate width '$w' in '$t' is not a 32-bit integer"))
+      require(parsed >= 1, s"iceberg writer: truncate width must be >= 1 (got '$t')")
+      (c, PTruncate(parsed))
+    case TemporalTokenRe(k, c) => (c, PTemporal(k))
+    case c                     => (c, PIdentity)
   }
-  private def renderPartToken(t: (String, Option[Int])): String =
-    t._2.fold(t._1)(n => s"bucket($n, ${t._1})")
+  private def renderPartToken(t: (String, PTf)): String = t._2 match {
+    case PIdentity    => t._1
+    case PBucket(n)   => s"bucket($n, ${t._1})"
+    case PTruncate(w) => s"truncate($w, ${t._1})"
+    case PTemporal(k) => s"$k(${t._1})"
+  }
 
   /** The spec's bucket[n] ordinal as a Column — murmur3 per
     * [[IcebergTransforms]] (the one UDF exception, shared stance with
@@ -852,6 +896,58 @@ object IcebergWriter {
         u(src)
       case DateType => longBucket(datediff(src, lit("1970-01-01")).cast("long"))
       case _        => longBucket(src.cast("long")) // int, long
+    }
+  }
+
+  /** The spec's truncate[w] ordinal as a Column: integers floor to the
+    * nearest multiple of w (pure Column arithmetic, codegen'd); strings
+    * truncate to w UNICODE CODE POINTS via [[IcebergTransforms]] (the
+    * UDF exception shared with bucket — substring() counts UTF-16
+    * units, which over-truncates astral-plane text). */
+  private def truncateColumn(src: org.apache.spark.sql.Column, dt: DataType, w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.udf
+    dt match {
+      case IntegerType | LongType =>
+        (src - (((src % w) + w) % w)).cast(dt)
+      case StringType =>
+        val u = udf((s: String) =>
+          if (s == null) null
+          else IcebergTransforms.truncateOf(s, w).map(_.asInstanceOf[String]).orNull)
+        u(src)
+      case other => throw new IllegalArgumentException(
+        s"iceberg writer: truncate[$w] over ${other.simpleString}")
+    }
+  }
+
+  /** The spec's year/month/day/hour ordinal as a Column, through the
+    * same [[IcebergTransforms.temporalOf]] the reader's pruning
+    * recomputes — writer and pruner cannot drift. Ordinals stage as
+    * INT (days/months/years/hours since the epoch); nulls map to the
+    * null partition. */
+  private def temporalColumn(src: org.apache.spark.sql.Column, dt: DataType, kind: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.udf
+    def boxed(v: Option[Long]): java.lang.Integer =
+      v.map(x => java.lang.Integer.valueOf(x.toInt)).orNull
+    dt match {
+      case DateType =>
+        val u = udf((d: java.sql.Date) =>
+          if (d == null) null.asInstanceOf[java.lang.Integer]
+          else boxed(IcebergTransforms.temporalOf(d.toLocalDate.toEpochDay, "date", kind)))
+        u(src)
+      case TimestampType =>
+        val u = udf((t: java.sql.Timestamp) =>
+          if (t == null) null.asInstanceOf[java.lang.Integer]
+          else boxed(IcebergTransforms.temporalOf(t.getTime * 1000L, "timestamptz", kind)))
+        u(src)
+      case TimestampNTZType =>
+        val u = udf((t: java.time.LocalDateTime) =>
+          if (t == null) null.asInstanceOf[java.lang.Integer]
+          else boxed(IcebergTransforms.temporalOf(
+            t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L,
+            "timestamp", kind)))
+        u(src)
+      case other => throw new IllegalArgumentException(
+        s"iceberg writer: $kind() over ${other.simpleString}")
     }
   }
 

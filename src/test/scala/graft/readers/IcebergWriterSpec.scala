@@ -215,6 +215,56 @@ class IcebergWriterSpec extends SparkSpec {
       (3L, "ml", "d", Map("k3" -> 30L), Some("x"))))
   }
 
+  test("truncate and temporal partition transforms write, round-trip, prune and adopt on append") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwtf").toString
+    val df = Seq(
+      (1L, "apple", "2024-01-05"),
+      (2L, "apex", "2024-01-20"),
+      (3L, "banana", "2024-02-10"))
+      .toDF("id", "name", "d").selectExpr("id", "name", "cast(d as date) as d")
+    IcebergWriter.write(spark, df.coalesce(1), t,
+      partitionBy = Seq("truncate(2, name)", "month(d)"))
+    val all = IcebergReader.read(spark, t)
+    assert(all.select("id", "name").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "apple"), (2L, "apex"), (3L, "banana")))
+    // the spec records the transforms; the reader's transform pruning
+    // recomputes the same ordinals and skips files
+    val ba = IcebergReader.read(spark, t, filter = Some("name = 'banana'"))
+    assert(ba.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(ba.inputFiles.length < all.inputFiles.length,
+      s"truncate pruning: ${ba.inputFiles.length} vs ${all.inputFiles.length}")
+    val feb = IcebergReader.read(spark, t, filter = Some("d = date'2024-02-10'"))
+    assert(feb.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(feb.inputFiles.length < all.inputFiles.length)
+    // an empty partitionBy APPEND adopts the table's transform spec
+    IcebergWriter.write(spark,
+      Seq((4L, "apricot", "2024-02-01")).toDF("id", "name", "d")
+        .selectExpr("id", "name", "cast(d as date) as d"), t)
+    assert(IcebergReader.read(spark, t, filter = Some("name = 'apricot'"))
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // an hour() table over timestamps
+    val t2 = Files.createTempDirectory("iwhour").toString
+    val tsDf = Seq((1L, "2024-03-01 10:15:00"), (2L, "2024-03-01 11:45:00"))
+      .toDF("id", "ts").selectExpr("id", "cast(ts as timestamp) as ts")
+    IcebergWriter.write(spark, tsDf.coalesce(1), t2, partitionBy = Seq("hour(ts)"))
+    val h = IcebergReader.read(spark, t2,
+      filter = Some("ts = timestamp'2024-03-01 10:15:00'"))
+    assert(h.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(h.inputFiles.length <
+      IcebergReader.read(spark, t2).inputFiles.length)
+    // transform/source-type gates refuse loudly
+    val e1 = intercept[Exception](IcebergWriter.write(spark, df,
+      Files.createTempDirectory("iwtfg1").toString, partitionBy = Seq("truncate(2, d)")))
+    assert(e1.getMessage.contains("transform supports"))
+    val e2 = intercept[Exception](IcebergWriter.write(spark, df,
+      Files.createTempDirectory("iwtfg2").toString, partitionBy = Seq("hour(d)")))
+    assert(e2.getMessage.contains("transform supports"))
+    val e3 = intercept[Exception](IcebergWriter.write(spark, df,
+      Files.createTempDirectory("iwtfg3").toString, partitionBy = Seq("year(name)")))
+    assert(e3.getMessage.contains("transform supports"))
+  }
+
   private def deleteDataFiles(t: String, dirPrefix: String): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data")).iterator().asScala
@@ -267,7 +317,7 @@ class IcebergWriterSpec extends SparkSpec {
     val e2 = intercept[Exception](IcebergWriter.write(spark,
       Seq((1L, 0.5)).toDF("id", "x"), Files.createTempDirectory("iwpt").toString,
       partitionBy = Seq("x")))
-    assert(e2.getMessage.contains("dir-text-round-trip"))
+    assert(e2.getMessage.contains("transform supports"))
   }
 
   test("partition values with special characters and nulls round-trip the dir encoding") {
