@@ -374,12 +374,15 @@ object DeltaWriter {
       var attempt = 0
       var committed = false
       while (!committed) {
+        // version FIRST, state SECOND (see rewriteCommit): a rival
+        // landing between the two either shows in nowLive or collides
+        // at the create — never escapes both
+        val version = DeltaReader.currentVersion(spark, table) + 1L
         val nowLive = currentState(spark, table).live.toSet
         val gone = adds.flatMap(_._1).filterNot(nowLive.contains)
         require(gone.isEmpty,
           s"delta compact: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
             "concurrent writer — rewriting them would resurrect deleted rows; re-run")
-        val version = DeltaReader.currentVersion(spark, table) + 1L
         val actions = Seq.newBuilder[String]
         actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
         adds.foreach { case (oldPaths, a) =>
@@ -756,6 +759,12 @@ object DeltaWriter {
       var committed = false
       val snapshotLive = head.live.toSet
       while (!committed) {
+        // version FIRST, state SECOND: a rival landing between the two
+        // then either shows up in headNow (guards refuse) or took this
+        // version (create collides, retry) — the reverse order leaves a
+        // window where a rival escapes both (the Iceberg twin's
+        // round-12 race find)
+        val version = DeltaReader.currentVersion(spark, table) + 1L
         val headNow = currentState(spark, table)
         require(headNow.schemaJson == head.schemaJson &&
             headNow.partitionCols == head.partitionCols,
@@ -770,7 +779,6 @@ object DeltaWriter {
         require(added.isEmpty,
           s"delta $operation: concurrent write added file(s) ${added.take(3).mkString(", ")} " +
             "whose rows this rewrite never scanned — committing would miss them; re-run")
-        val version = DeltaReader.currentVersion(spark, table) + 1L
         val actions = Seq.newBuilder[String]
         actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
           s""""operation":${js(operation)}}}"""

@@ -224,6 +224,10 @@ object IcebergReader {
   // changes walk's live-set primitive at the default entry cap
   private[readers] def metadataText(table: String, conf: Configuration): String =
     readText(currentMetadataPath(table, conf), conf)
+  /** Read an ALREADY-RESOLVED metadata path — the writer's optimistic
+    * loops must parse state and version from ONE resolution. */
+  private[readers] def readTextAt(url: String, conf: Configuration): String =
+    readText(url, conf)
   private[readers] def tableFileSystem(table: String, conf: Configuration): FileSystem =
     fs(table, conf)
   private[readers] def liveDataPathsOf(spark: SparkSession, table: String,

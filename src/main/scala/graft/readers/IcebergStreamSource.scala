@@ -58,9 +58,10 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
     * `graft.txn.*` snapshot-summary markers — a batch id at or below
     * the ancestry's committed version for this query's app id is a
     * replay and commits nothing. Append appends, Complete overwrites
-    * per batch, Update refuses. The writer's primitive-column profile
-    * applies; `partitionBy` threads through to identity partitioning
-    * (int/long/string/date — the writer gates). */
+    * per batch, Update (round 12) UPSERTS by key through the native
+    * MERGE (option `merge_keys`; first batch creates the table; a
+    * no-op batch still publishes its marker). `partitionBy` threads
+    * through to the writer's partitioning profile. */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
@@ -69,19 +70,42 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-iceberg sink: exactly-once needs a stable transaction id — set " +
           "option(\"txn_app_id\", ...) (or a checkpointLocation, which doubles as one)"))
-    require(outputMode != OutputMode.Update(),
-      "graft-iceberg sink: Update output mode has no native upsert path; use Append or Complete")
-    new IcebergStreamSink(sqlContext.sparkSession, path, outputMode, appId, partitionColumns)
+    val mergeKeys: Seq[String] = parameters.get("merge_keys")
+      .orElse(parameters.get("mergeKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (outputMode == OutputMode.Update())
+      require(mergeKeys.nonEmpty,
+        "graft-iceberg sink: Update output mode upserts by key — set " +
+          "option(\"merge_keys\", \"k1,k2\") (rows whose key exists update in place, " +
+          "new keys insert)")
+    else require(mergeKeys.isEmpty,
+      "graft-iceberg sink: merge_keys only applies to Update output mode")
+    new IcebergStreamSink(sqlContext.sparkSession, path, outputMode, appId,
+      partitionColumns, mergeKeys)
   }
 }
 
 private[readers] class IcebergStreamSink(spark: SparkSession, table: String,
-    outputMode: OutputMode, appId: String, partitionBy: Seq[String]) extends Sink {
+    outputMode: OutputMode, appId: String, partitionBy: Seq[String],
+    mergeKeys: Seq[String] = Nil) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= IcebergWriter.lastTxnVersion(spark, table, appId)) return // replay
-    val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
-    IcebergWriter.write(spark, org.apache.spark.sql.graft.bridge.batchFrame(data), table,
-      mode = mode, txn = Some(appId -> batchId), partitionBy = partitionBy)
+    val frame = org.apache.spark.sql.graft.bridge.batchFrame(data)
+    if (outputMode == OutputMode.Update()) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val exists = scala.util.Try(
+        IcebergReader.currentMetadataPath(table, conf)).isSuccess
+      if (!exists)
+        IcebergWriter.write(spark, frame, table, mode = "append",
+          txn = Some(appId -> batchId), partitionBy = partitionBy)
+      else
+        IcebergWriter.merge(spark, frame, table, on = mergeKeys,
+          txn = Some(appId -> batchId))
+    } else {
+      val mode = if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+      IcebergWriter.write(spark, frame, table,
+        mode = mode, txn = Some(appId -> batchId), partitionBy = partitionBy)
+    }
   }
   override def toString: String = s"IcebergStreamSink[$table]"
 }

@@ -518,8 +518,12 @@ object IcebergWriter {
       var attempt = 0
       var committed = false
       while (!committed) {
-        val head = if (!exists) None
-          else Some(mapper.readTree(IcebergReader.metadataText(table, conf)))
+        val headPath = if (!exists) None
+          else Some(IcebergReader.currentMetadataPath(table, conf))
+        // state and version parse from ONE path resolution — a fresh
+        // version read after a rival landed would commit past it and
+        // silently drop its snapshot (see ownedMetaV)
+        val head = headPath.map(p => mapper.readTree(IcebergReader.readTextAt(p, conf)))
         // concurrency guard, re-run per attempt: the staged parquet
         // footers carry field ids from the merge computed BEFORE
         // staging. If a rival evolution landed since (the head schema
@@ -586,7 +590,7 @@ object IcebergWriter {
         val listPath = writeManifestList(spark, f, table, snapshotId,
           (manifest._1, manifest._2, seq, 0, false,
             if (partFields.isEmpty) None else Some(manifest._3)) +: retained)
-        val version = head.map(_ => currentVersionOf(table, conf) + 1).getOrElse(1L)
+        val version = headPath.map(p => versionOfName(new Path(p).getName) + 1).getOrElse(1L)
         val tableUuid = head.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
           .getOrElse(java.util.UUID.randomUUID().toString)
         val now = System.currentTimeMillis()
@@ -1000,23 +1004,293 @@ object IcebergWriter {
     ManifestEntry(e.path, e.size, e.records, typedTupleOf(e.pvJson, partFields),
       boundsFromJson(e.lowerJson), boundsFromJson(e.upperJson))
 
-  /** The writer-stamp gate + current metadata tree, shared by the
-    * lifecycle ops (they regenerate metadata from this model, which is
-    * only safe for tables this writer owns). */
-  private def ownedMeta(spark: SparkSession, table: String, op: String):
-      com.fasterxml.jackson.databind.node.ObjectNode = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val meta = mapper.readTree(IcebergReader.metadataText(table, conf))
-    require(Option(meta.get("properties")).exists(p =>
-        Option(p.get("graft.writer")).exists(_.asText() == "true")),
-      s"iceberg $op: $table was not written by this writer — regenerating its metadata " +
-        "would drop state this model does not carry; use the iceberg-spark connector")
-    meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+  /** Canonical scan-key column attached by the rewrite scans (joins
+    * against `PathKeys.driverKey` of the manifests' absolute paths). */
+  private val FileCol = "__graft_file"
+
+  /** Stage `df` (the table's current schema order) through the
+    * ordinary distributed partitioned write — transform columns
+    * recomputed, field ids attached at every level — and move the
+    * staged parquet into `data/`, returning the new [[ManifestEntry]]
+    * rows with footer stats and typed partition tuples. Shared by the
+    * row-level DELETE/MERGE rewrites. */
+  private def stageRewrite(spark: SparkSession, f: FileSystem, table: String,
+      df: DataFrame, fieldNodes: Seq[JsonNode],
+      partDefs: Seq[(String, String, PTf, DataType)]): Seq[ManifestEntry] = {
+    val partCols = partDefs.map(_._1)
+    val partFields = partDefs.map(d => StructField(d._1, d._4))
+    val statFields: Seq[(String, DataType, Int)] = fieldNodes.map(n =>
+      (n.get("name").asText(), sparkTypeOfNode(n.get("type")), n.get("id").asInt()))
+    val withIds = df.select(fieldNodes.map { n =>
+      val nm = n.get("name").asText()
+      val dt = sparkTypeOfNode(n.get("type"))
+      val attached = attachIds(dt, n.get("type"))
+      val base = if (attached == dt) df(nm) else df(nm).cast(attached)
+      base.as(nm,
+        new MetadataBuilder().putLong("parquet.field.id", n.get("id").asLong()).build())
+    }.toSeq: _*)
+    val stagedDf = partDefs.foldLeft(withIds) { case (d, (fieldName, srcCol, tf, _)) =>
+      val srcDt = statFields.find(_._1 == srcCol).get._2
+      val value = tf match {
+        case PBucket(n)   => bucketColumn(d(srcCol), srcDt, n)
+        case PTruncate(w) => truncateColumn(d(srcCol), srcDt, w)
+        case PTemporal(k) => temporalColumn(d(srcCol), srcDt, k)
+        case PIdentity    => d(srcCol)
+      }
+      d.withColumn(DupPrefix + fieldName, value)
+    }
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    try {
+      val stWriter = stagedDf.write.mode("overwrite")
+      withMicrosTimestamps(stagedDf.sparkSession) {
+        (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
+         else stWriter).parquet(staging.toString)
+      }
+      val stagingQ = f.makeQualified(staging).toString
+      val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
+        val it = f.listFiles(staging, true)
+        val out = Seq.newBuilder[(org.apache.hadoop.fs.FileStatus, String)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += ((st, f.makeQualified(st.getPath).toString.stripPrefix(stagingQ + "/")))
+        }
+        out.result()
+      }
+      val dataDir = new Path(table.stripSuffix("/") + "/data")
+      f.mkdirs(dataDir)
+      stagedFiles.map { case (st, rel) =>
+        val tuple = partitionDirValues(rel)
+        require(partCols.forall(tuple.contains),
+          s"iceberg rewrite: staged file $rel missing partition segments for " +
+            s"[${partCols.filterNot(tuple.contains).mkString(",")}]")
+        val destDir = partCols.foldLeft(dataDir)((d, c) => new Path(d,
+          s"$c=${rel.split("/").find(_.startsWith(s"$DupPrefix$c=")).get.drop(DupPrefix.length + c.length + 1)}"))
+        f.mkdirs(destDir)
+        val dest = new Path(destDir, st.getPath.getName)
+        require(f.rename(st.getPath, dest), s"iceberg rewrite: rename to $dest failed")
+        val d = f.getFileStatus(dest)
+        val fs = footerStats(f, d.getPath, statFields)
+        ManifestEntry(storedPath(d.getPath), d.getLen, fs.records,
+          partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)),
+          fs.lower, fs.upper)
+      }
+    } finally scala.util.Try(f.delete(staging, true))
   }
 
-  /** Identity partition fields of the table's default spec, typed from
-    * its own schema. */
-  private def tablePartFields(meta: JsonNode): Seq[StructField] = {
+  /** Shared commit tail of the row-level rewrites: per optimistic
+    * attempt the head re-resolves, and metadata drift, a vanished
+    * touched file, or ANY concurrent add refuses (rows the rewrite's
+    * plan never scanned cannot be silently missed — the Delta twin's
+    * ConcurrentAppendException stance). `summary.operation` reflects
+    * the shape: overwrite (rewrite + adds), delete (pure file drops),
+    * append (inserts only / txn-marker no-op). */
+  private def commitRewrite(spark: SparkSession, f: FileSystem, table: String,
+      op: String, schemaIdAtScan: Int, snapshot: Seq[LiveEntry], touched: Seq[LiveEntry],
+      newEntries: Seq[ManifestEntry], partFields: Seq[StructField],
+      txnProps: Map[String, String], maxRetries: Int): Unit = {
+    val snapKeys = snapshot.map(_.path).toSet
+    val touchedPaths = touched.map(_.path).toSet
+    val operation =
+      if (touched.nonEmpty && newEntries.nonEmpty) "overwrite"
+      else if (touched.nonEmpty) "delete"
+      else "append"
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, op)
+      require(Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0) == schemaIdAtScan &&
+          Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0) == 0,
+        s"iceberg $op: the schema of $table changed under this rewrite (a concurrent " +
+          "evolution landed); re-run against the new schema")
+      val nowLive = liveEntries(spark, meta, table)
+      val gone = touchedPaths -- nowLive.map(_.path).toSet
+      require(gone.isEmpty,
+        s"iceberg $op: file(s) ${gone.take(3).mkString(", ")} were removed by a concurrent " +
+          "writer during the rewrite — committing would resurrect/duplicate rows; re-run")
+      val added = (nowLive.map(_.path).toSet -- snapKeys).toSeq.sorted
+      require(added.isEmpty,
+        s"iceberg $op: concurrent write added file(s) ${added.take(3).mkString(", ")} whose " +
+          "rows this rewrite never scanned — committing would miss them; re-run")
+      val kept = nowLive.filterNot(e => touchedPaths.contains(e.path))
+      val entries = kept.map(toManifestEntry(_, partFields)) ++ newEntries
+      if (publishSnapshot(spark, f, table, meta, metaV, operation, entries, partFields, txnProps))
+        return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg $op: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
+  /** DELETE WHERE with data-column predicates (round 12, the Delta
+    * writer's twin) — copy-on-write per touched file: one detection
+    * scan (predicate pushed to parquet) aggregates the matched count
+    * plus distinct file keys, survivors (predicate FALSE or NULL — SQL
+    * delete semantics) rewrite through a second scan over only the
+    * touched files, and one snapshot publishes the change. Files with
+    * no matching row are never rewritten. Returns the deleted row
+    * count; a no-match delete publishes NO snapshot. */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta0 = ownedMeta(spark, table, "delete")
+    val fieldNodes = currentSchemaFieldNodes(meta0)
+    val schema = StructType(fieldNodes.map(n =>
+      StructField(n.get("name").asText(), sparkTypeOfNode(n.get("type")))).toArray)
+    val conjs = FileSkipping.conjuncts(predicate)
+    require(conjs.nonEmpty && conjs.map(FileSkipping.usableRefs).forall(_.isDefined),
+      s"iceberg delete: predicate '$predicate' has conjunct(s) this writer cannot analyze " +
+        "(qualified/nested references, subqueries or nondeterministic functions); " +
+        "use bare column names and deterministic expressions")
+    val live0 = liveEntries(spark, meta0, table)
+    if (live0.isEmpty) return 0L
+    def scanOf(entries: Seq[LiveEntry]): DataFrame =
+      spark.read.schema(schema).parquet(entries.map(_.path): _*)
+        .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+    val agg = scanOf(live0).where(expr(predicate))
+      .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
+    val deleted = agg.getLong(0)
+    if (deleted == 0L) return 0L
+    val touchedKeys = agg.getSeq[String](1).toSet
+    val touched = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
+    val survivors = scanOf(touched)
+      .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
+    val partDefs = tablePartDefs(meta0)
+    val newEntries = stageRewrite(spark, f, table, survivors, fieldNodes, partDefs)
+    commitRewrite(spark, f, table, "delete",
+      Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
+      live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
+      Map.empty, maxRetries)
+    deleted
+  }
+
+  /** MERGE (upsert) by key (round 12, the Delta writer's twin):
+    * matched target rows update from the source (every column) or
+    * drop; unmatched source rows insert; NULL-key source rows never
+    * match (SQL equality) and insert. Duplicate non-null source keys
+    * refuse up front. Touched-file detection is a semi-join against
+    * the distinct source keys; survivors/updates/inserts publish in
+    * ONE snapshot. `txn` stamps the snapshot summary for the
+    * streaming upsert sink's replay probe (a provably-no-op merge with
+    * a txn still publishes the marker). */
+  def merge(spark: SparkSession, source: DataFrame, table: String, on: Seq[String],
+      whenMatched: String = "update", insertNotMatched: Boolean = true,
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    require(Set("update", "delete").contains(whenMatched),
+      s"iceberg merge: unknown whenMatched '$whenMatched' (update | delete)")
+    require(on.nonEmpty, "iceberg merge: at least one key column required")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta0 = ownedMeta(spark, table, "merge")
+    val fieldNodes = currentSchemaFieldNodes(meta0)
+    val schema = StructType(fieldNodes.map(n =>
+      StructField(n.get("name").asText(), sparkTypeOfNode(n.get("type")))).toArray)
+    val onT: Seq[String] = on.map(k =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"iceberg merge: key column '$k' not in the table schema (${schema.fieldNames.mkString(",")})")))
+    onT.foreach(k => require(source.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"iceberg merge: key column '$k' not in the source frame (${source.schema.fieldNames.mkString(",")})"))
+    val needFull = whenMatched == "update" || insertNotMatched
+    if (needFull) {
+      val same = schema.fields.length == source.schema.fields.length &&
+        schema.fields.zip(source.schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && sameShape(a.dataType, b.dataType)
+        }
+      require(same,
+        s"iceberg merge: source schema must match the table — table has " +
+          s"${schema.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}, " +
+          s"source has ${source.schema.map(fl => s"${fl.name}:${fl.dataType.simpleString}").mkString(",")}")
+    } else onT.foreach { k =>
+      val tt = schema(k).dataType
+      val st = source.schema(source.schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType
+      require(sameShape(tt, st), s"iceberg merge: key column '$k' is ${tt.simpleString} in " +
+        s"the table but ${st.simpleString} in the source")
+    }
+    val keyNonNull = onT.map(source(_).isNotNull).reduce(_ && _)
+    val dupKeys = source.where(keyNonNull).groupBy(onT.map(source(_)): _*)
+      .count().where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"iceberg merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
+        "a target row matching several source rows is nondeterministic; de-duplicate first")
+    val srcKeys = source.where(keyNonNull).select(onT.map(source(_)): _*).distinct()
+    val live0 = liveEntries(spark, meta0, table)
+    val order = schema.fieldNames.toSeq
+    def scanOf(entries: Seq[LiveEntry]): DataFrame =
+      spark.read.schema(schema).parquet(entries.map(_.path): _*)
+        .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+    val (touched, out) =
+      if (live0.isEmpty)
+        (Nil, if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None)
+      else {
+        val touchedKeys = scanOf(live0).join(srcKeys, onT, "left_semi")
+          .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+        val touchedFiles = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
+        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
+        else {
+          val tRows =
+            if (touchedFiles.isEmpty) None else Some(scanOf(touchedFiles).drop(FileCol))
+          val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
+          val updated =
+            if (whenMatched == "update")
+              tRows.map(_.select(onT.map(col): _*).join(source, onT, "inner")
+                .select(order.map(col): _*))
+            else None
+          val inserts =
+            if (insertNotMatched) {
+              val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
+              Some(matchedKeys.fold(source.select(order.map(source(_)): _*))(mk =>
+                source.join(mk, onT, "left_anti").select(order.map(col): _*)))
+            } else None
+          val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
+          (touchedFiles, frames.reduceOption(_ unionByName _))
+        }
+      }
+    if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+    val partDefs = tablePartDefs(meta0)
+    val newEntries = out.map(o =>
+      stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
+    val txnProps = txn.map { case (appId, v) =>
+      Map("graft.txn.app-id" -> appId, "graft.txn.version" -> v.toString)
+    }.getOrElse(Map.empty[String, String])
+    commitRewrite(spark, f, table, "merge",
+      Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
+      live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
+      txnProps, maxRetries)
+  }
+
+  /** The writer-stamp gate + current metadata tree AND its file
+    * version from ONE path resolution, shared by the lifecycle ops.
+    * The version the optimistic create keys on MUST come from the same
+    * read as the state: a fresh `currentVersionOf` after a rival
+    * landed would target the version PAST the rival, the create would
+    * SUCCEED, and the rival's snapshot would silently vanish from the
+    * regenerated metadata instead of colliding at create-no-overwrite
+    * (found by the round-12 merge race spec). */
+  private def ownedMetaV(spark: SparkSession, table: String, op: String):
+      (com.fasterxml.jackson.databind.node.ObjectNode, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = IcebergReader.currentMetadataPath(table, conf)
+    val meta = mapper.readTree(IcebergReader.readTextAt(p, conf))
+    require(Option(meta.get("properties")).exists(pr =>
+        Option(pr.get("graft.writer")).exists(_.asText() == "true")),
+      s"iceberg $op: $table was not written by this writer — regenerating its metadata " +
+        "would drop state this model does not carry; use the iceberg-spark connector")
+    (meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+      versionOfName(new Path(p).getName))
+  }
+
+  private def ownedMeta(spark: SparkSession, table: String, op: String):
+      com.fasterxml.jackson.databind.node.ObjectNode = ownedMetaV(spark, table, op)._1
+
+  /** Partition definitions (field name, source column, transform,
+    * tuple type) of the table's default spec, from its own metadata —
+    * drives lifecycle rewrites (compact/delete/merge) over every
+    * transform the writer can stage. Identity fields take the source
+    * column's name; bucket/temporal tuples are int ordinals, truncate
+    * tuples the source type. */
+  private def tablePartDefs(meta: JsonNode): Seq[(String, String, PTf, DataType)] = {
     import scala.jdk.CollectionConverters._
     val byId = currentSchemaFieldNodes(meta)
       .map(fl => fl.get("id").asInt() -> (fl.get("name").asText(), fl.get("type").asText()))
@@ -1025,19 +1299,21 @@ object IcebergWriter {
     Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
       .find(sp => Option(sp.get("spec-id")).map(_.asInt()).getOrElse(0) == cur)
       .toSeq.flatMap(_.get("fields").elements().asScala).map { pf =>
+        val (srcName, srcT) = byId(pf.get("source-id").asInt())
         pf.get("transform").asText() match {
-          case "identity" =>
-            val (name, t) = byId(pf.get("source-id").asInt())
-            // identity fields take the source column's NAME and type
-            StructField(name, sparkTypeOf(t))
-          case BucketTfRe(_) =>
-            // bucket tuples are int ordinals under the field's own name
-            StructField(pf.get("name").asText(), IntegerType)
+          case "identity"      => (srcName, srcName, PIdentity: PTf, sparkTypeOf(srcT))
+          case BucketTfRe(n)   => (pf.get("name").asText(), srcName, PBucket(n.toInt), IntegerType: DataType)
+          case TruncateTfRe(w) => (pf.get("name").asText(), srcName, PTruncate(w.toInt), sparkTypeOf(srcT))
+          case k @ ("year" | "month" | "day" | "hour") =>
+            (pf.get("name").asText(), srcName, PTemporal(k), IntegerType: DataType)
           case other => throw new IllegalArgumentException(
             s"iceberg: partition transform '$other' — outside this writer's profile")
         }
       }
   }
+
+  private def tablePartFields(meta: JsonNode): Seq[StructField] =
+    tablePartDefs(meta).map(d => StructField(d._1, d._4))
 
   /** Current snapshot's live data-file entries (path, size, records,
     * partition JSON) — writer-owned tables only carry data manifests
@@ -1168,7 +1444,7 @@ object IcebergWriter {
 
     var attempt = 0
     while (true) {
-      val meta = ownedMeta(spark, table, "compact")
+      val (meta, metaV) = ownedMetaV(spark, table, "compact")
       val nowLive = liveEntries(spark, meta, table)
       val gone = rewrittenSources -- nowLive.map(_.path).toSet
       require(gone.isEmpty,
@@ -1176,7 +1452,7 @@ object IcebergWriter {
           "concurrent writer — rewriting them would resurrect deleted rows; re-run")
       val kept = nowLive.filterNot(e => rewrittenSources.contains(e.path))
       val entries = kept.map(toManifestEntry(_, partFields)) ++ newFiles
-      if (publishSnapshot(spark, f, table, meta, "replace", entries, partFields, txnProps = Map.empty))
+      if (publishSnapshot(spark, f, table, meta, metaV, "replace", entries, partFields, txnProps = Map.empty))
         return multi.size
       attempt += 1
       require(attempt <= maxRetries,
@@ -1205,7 +1481,7 @@ object IcebergWriter {
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     var attempt = 0
     while (true) {
-      val meta = ownedMeta(spark, table, "expireSnapshots")
+      val (meta, metaV) = ownedMetaV(spark, table, "expireSnapshots")
       val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala).toSeq
       val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
       val retainedIds = (snaps.takeRight(keepLast) ++
@@ -1236,7 +1512,7 @@ object IcebergWriter {
         .filter(e => retainedIds.contains(e.get("snapshot-id").asLong()))
         .foreach(logArr.add)
       newMeta.put("last-updated-ms", System.currentTimeMillis())
-      val version = currentVersionOf(table, conf) + 1
+      val version = metaV + 1
       val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"), s"v$version.metadata.json")
       val ok = scala.util.Try {
         val out = f.create(metaPath, /* overwrite = */ false)
@@ -1272,8 +1548,8 @@ object IcebergWriter {
     * published create-no-overwrite. Returns false on a lost version
     * race (caller re-resolves and retries). */
   private def publishSnapshot(spark: SparkSession, f: FileSystem, table: String,
-      meta: com.fasterxml.jackson.databind.node.ObjectNode, operation: String,
-      entries: Seq[ManifestEntry], partFields: Seq[StructField],
+      meta: com.fasterxml.jackson.databind.node.ObjectNode, metaVersion: Long,
+      operation: String, entries: Seq[ManifestEntry], partFields: Seq[StructField],
       txnProps: Map[String, String]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val seq = Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1
@@ -1310,7 +1586,10 @@ object IcebergWriter {
     logEntry.put("snapshot-id", snapshotId)
     logEntry.put("timestamp-ms", now)
     appendTo("snapshot-log", logEntry)
-    val version = currentVersionOf(table, conf) + 1
+    // keyed on the version of the metadata this state was READ from: a
+    // rival landing since then collides at create-no-overwrite and the
+    // caller retries against the re-read head
+    val version = metaVersion + 1
     val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"), s"v$version.metadata.json")
     scala.util.Try {
       val out = f.create(metaPath, /* overwrite = */ false)
@@ -1405,12 +1684,14 @@ object IcebergWriter {
       }
     }.toOption).getOrElse(Map.empty)
 
-  private def currentVersionOf(table: String, conf: org.apache.hadoop.conf.Configuration): Long = {
-    val name = new Path(IcebergReader.currentMetadataPath(table, conf)).getName
+  private def versionOfName(name: String): Long = {
     val n = name.stripSuffix(".metadata.json")
     (if (n.startsWith("v")) n.drop(1) else n.takeWhile(_.isDigit)) match {
       case "" => 0L
       case d  => d.takeWhile(_.isDigit).toLong
     }
   }
+
+  private def currentVersionOf(table: String, conf: org.apache.hadoop.conf.Configuration): Long =
+    versionOfName(new Path(IcebergReader.currentMetadataPath(table, conf)).getName)
 }

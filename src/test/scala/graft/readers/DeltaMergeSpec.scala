@@ -182,7 +182,9 @@ class DeltaMergeSpec extends SparkSpec {
       val dir = java.nio.file.Paths.get(t)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!landed && System.nanoTime() < deadline) {
-        if (Files.list(dir).toArray.exists(_.toString.contains("_staging_"))) {
+        val ls = Files.list(dir)
+        val staging = try ls.toArray.exists(_.toString.contains("_staging_")) finally ls.close()
+        if (staging) {
           Files.writeString(log.resolve(f"${1L}%020d.json"), rival + "\n")
           landed = true
         } else Thread.sleep(1)

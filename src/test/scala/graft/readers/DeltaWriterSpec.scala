@@ -112,7 +112,8 @@ class DeltaWriterSpec extends SparkSpec {
       val dir = java.nio.file.Paths.get(t)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!landed && System.nanoTime() < deadline) {
-        val staging = Files.list(dir).toArray.exists(_.toString.contains("_staging_"))
+        val ls = Files.list(dir)
+        val staging = try ls.toArray.exists(_.toString.contains("_staging_")) finally ls.close()
         if (staging) {
           Files.writeString(log.resolve(f"${1L}%020d.json"), rival + "\n")
           landed = true

@@ -1,0 +1,226 @@
+package graft.readers
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Row-level writes on the native Iceberg writer (round 12, the Delta
+  * twin): MERGE (upsert / delete-by-key) and DELETE WHERE with
+  * data-column predicates — copy-on-write per touched file publishing
+  * ONE snapshot. Covers exact semantics, untouched-file preservation,
+  * partition moves and pruning after rewrites, lifecycle on transform
+  * partitioning, refusal gates, the concurrent-append race, and the
+  * Update-mode streaming sink.
+  */
+class IcebergMergeSpec extends SparkSpec {
+
+  test("merge upserts in ONE snapshot; time travel sees the pre-merge state; changes windows gate the rewrite") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imup").toString
+    IcebergWriter.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v").coalesce(1), t)
+    val meta0 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    val snap0 = meta0.get("current-snapshot-id").asLong()
+    IcebergWriter.merge(spark,
+      Seq((2L, "B", 21), (4L, "d", 40)).toDF("id", "name", "v"), t, on = Seq("id"))
+    val got = IcebergReader.read(spark, t).select("id", "name", "v")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30), (4L, "d", 40)))
+    // exactly one snapshot landed, operation=overwrite
+    val meta1 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    import scala.jdk.CollectionConverters._
+    val snaps = meta1.get("snapshots").elements().asScala.toSeq
+    assert(snaps.size == 2)
+    assert(snaps.last.get("summary").get("operation").asText() == "overwrite")
+    // time travel to the pre-merge snapshot
+    assert(IcebergReader.read(spark, t, snapshotId = Some(snap0))
+      .select("v").as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    // an incremental changes window crossing the rewrite refuses (the
+    // documented overwrite gate — streams re-baseline)
+    val e = intercept[Exception](IcebergReader.readChangesSince(spark, t, snap0).count())
+    assert(e.getMessage.contains("overwrite"))
+    // a source key matching TWO target rows updates both
+    val t2 = Files.createTempDirectory("immult").toString
+    IcebergWriter.write(spark, Seq((1L, "a", 1), (1L, "a2", 2), (2L, "b", 3))
+      .toDF("id", "name", "v").coalesce(1), t2)
+    IcebergWriter.merge(spark, Seq((1L, "X", 9)).toDF("id", "name", "v"), t2, on = Seq("id"))
+    assert(IcebergReader.read(spark, t2).select("id", "name", "v")
+      .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._3)).toSeq ==
+      Seq((1L, "X", 9), (1L, "X", 9), (2L, "b", 3)))
+  }
+
+  test("merge rewrites ONLY touched files; deleteWhere keeps NULL rows and untouched files") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imtouch").toString
+    IcebergWriter.write(spark, Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name").coalesce(1), t)
+    IcebergWriter.write(spark, Seq((3L, null.asInstanceOf[String]), (4L, "delta"))
+      .toDF("id", "name").coalesce(1), t)
+    val before = IcebergReader.read(spark, t).inputFiles.toSet
+    assert(before.size == 2)
+    IcebergWriter.merge(spark, Seq((1L, "A")).toDF("id", "name"), t, on = Seq("id"))
+    val after = IcebergReader.read(spark, t).inputFiles.toSet
+    assert((before -- after).size == 1, "exactly the touched file was replaced")
+    assert((before & after).size == 1, "the untouched file must not be rewritten")
+    // delete: predicate TRUE goes, FALSE and NULL survive
+    val n = IcebergWriter.deleteWhere(spark, t, "name < 'b' AND id <= 2")
+    assert(n == 1L) // only (1, "A")
+    val got = IcebergReader.read(spark, t).select("id", "name")
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, Some("beta")), (3L, None), (4L, Some("delta"))))
+    // no-match delete publishes NO snapshot
+    val metaBefore = IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration)
+    assert(IcebergWriter.deleteWhere(spark, t, "id = 999") == 0L)
+    assert(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration) == metaBefore)
+    // deleting everything leaves a valid empty table
+    assert(IcebergWriter.deleteWhere(spark, t, "id > 0") == 3L)
+    assert(IcebergReader.read(spark, t).count() == 0L)
+  }
+
+  test("partition-move updates re-route rows; pruning stays intact after rewrites; key-only delete merge") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("impart").toString
+    val df = Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8)).toDF("id", "name", "p")
+      .repartition(2, org.apache.spark.sql.functions.col("p"))
+    IcebergWriter.write(spark, df, t, partitionBy = Seq("p"))
+    // id=2 moves p 7 -> 8 (iceberg data files carry partition sources,
+    // so the staged rewrite recomputes the layout from row values)
+    IcebergWriter.merge(spark, Seq((2L, "B", 8)).toDF("id", "name", "p"), t, on = Seq("id"))
+    assert(IcebergReader.read(spark, t).select("id", "name", "p")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 7), (2L, "B", 8), (3L, "c", 8)))
+    val all = IcebergReader.read(spark, t)
+    val p8 = IcebergReader.read(spark, t, filter = Some("p = 8"))
+    assert(p8.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(p8.inputFiles.length < all.inputFiles.length, "partition pruning intact after merge")
+    // delete-by-key with a key-only source
+    IcebergWriter.merge(spark, Seq(1L, 3L).toDF("id"), t, on = Seq("id"),
+      whenMatched = "delete", insertNotMatched = false)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("compact works on truncate/temporal-partitioned tables (tablePartDefs covers every staged transform)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imtfcompact").toString
+    def frame(rows: (Long, String)*) = rows.toDF("id", "name")
+    IcebergWriter.write(spark, frame((1L, "apple")).coalesce(1), t,
+      partitionBy = Seq("truncate(2, name)"))
+    IcebergWriter.write(spark, frame((2L, "apex")).coalesce(1), t) // same 'ap' partition
+    IcebergWriter.write(spark, frame((3L, "banana")).coalesce(1), t)
+    assert(IcebergWriter.compact(spark, t) == 1) // the two 'ap' files merge
+    val all = IcebergReader.read(spark, t)
+    assert(all.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val ap = IcebergReader.read(spark, t, filter = Some("name = 'apple'"))
+    assert(ap.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(ap.inputFiles.length < all.inputFiles.length, "truncate pruning after compact")
+    // and row-level delete works over the transform layout too
+    assert(IcebergWriter.deleteWhere(spark, t, "name = 'apex'") == 1L)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("gates: duplicate source keys, nondeterministic predicates, external tables") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imgate").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    val e1 = intercept[Exception](IcebergWriter.merge(spark,
+      Seq((1L, "x"), (1L, "y")).toDF("id", "name"), t, on = Seq("id")))
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[Exception](IcebergWriter.deleteWhere(spark, t, "rand() < 0.5"))
+    assert(e2.getMessage.contains("cannot analyze"))
+    // an external (unstamped) table refuses — regenerating its metadata
+    // would drop state this model does not carry
+    val ext = Files.createTempDirectory("imext").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ext/metadata"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$ext/metadata/v1.metadata.json"),
+      """{"format-version": 2, "location": "x", "current-schema-id": 0,
+        |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "id", "type": "long"}]}],
+        |"default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        |"current-snapshot-id": -1, "snapshots": []}""".stripMargin)
+    val e3 = intercept[Exception](IcebergWriter.deleteWhere(spark, ext, "id = 1"))
+    assert(e3.getMessage.contains("not written by this writer"))
+    val e4 = intercept[Exception](IcebergWriter.merge(spark,
+      Seq(1L).toDF("id"), ext, on = Seq("id"), whenMatched = "delete",
+      insertNotMatched = false))
+    assert(e4.getMessage.contains("not written by this writer"))
+  }
+
+  test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val t = Files.createTempDirectory("imrace").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    @volatile var landed = false
+    @volatile var rivalErr: Throwable = null
+    val watcher = new Thread(() => {
+      try {
+        val dir = java.nio.file.Paths.get(t)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!landed && System.nanoTime() < deadline) {
+          val ls = Files.list(dir)
+          val staging = try ls.toArray.exists(_.toString.contains("_staging_")) finally ls.close()
+          if (staging) {
+            IcebergWriter.write(spark, Seq((7L, "rival")).toDF("id", "name"), t)
+            landed = true
+          } else Thread.sleep(1)
+        }
+      } catch { case e: Throwable => rivalErr = e }
+    })
+    watcher.start()
+    // the repartition puts an exchange UNDER the slow udf, so the udf
+    // evaluates in the WRITE job's final stage (visible staging dir),
+    // not in AQE's pre-staged shuffle jobs or — worse — at plan time
+    // via ConvertToLocalRelation; the insert-leg row keeps the final
+    // stage busy for the whole sleep while the rival lands
+    val slow = udf((s: String) => { Thread.sleep(4000); s })
+    val src = Seq((1L, "A"), (9L, "new")).toDF("id", "raw")
+      .repartition(2).withColumn("name", slow(col("raw"))).select("id", "name")
+    val e = intercept[Exception](IcebergWriter.merge(spark, src, t, on = Seq("id")))
+    watcher.join()
+    assert(rivalErr == null, s"rival write failed: $rivalErr")
+    assert(landed, "test harness: the rival append never landed")
+    assert(e.getMessage.contains("concurrent write added"))
+  }
+
+  test("Update-mode streaming sink upserts by key — exactly-once across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    import org.apache.spark.sql.streaming.Trigger
+    val t = Files.createTempDirectory("imupdsink").toString
+    val ckpt = Files.createTempDirectory("imupdckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
+    def run(): Unit = {
+      val q = src.toDF().toDF("k", "v").groupBy("k").agg(count("*").as("n"))
+        .writeStream.format("graft-iceberg").outputMode("update")
+        .option("merge_keys", "k")
+        .option("path", t).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    src.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    run()
+    assert(IcebergReader.read(spark, t).select("k", "n").as[(String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq(("a", 2L), ("b", 1L)))
+    src.addData(("a", 5L), ("c", 9L))
+    run()
+    assert(IcebergReader.read(spark, t).select("k", "n").as[(String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    // a manual replay of an old batch id is a no-op
+    val before = IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration)
+    val sink = new IcebergStreamSink(spark, t,
+      org.apache.spark.sql.streaming.OutputMode.Update(), ckpt, Nil, Seq("k"))
+    sink.addBatch(0L, Seq(("zz", 99L)).toDF("k", "n"))
+    assert(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration) == before)
+    // Update without merge_keys refuses loudly
+    val e = intercept[Exception] {
+      src.toDF().toDF("k", "v").groupBy("k").agg(count("*").as("n"))
+        .writeStream.format("graft-iceberg").outputMode("update")
+        .option("path", Files.createTempDirectory("imupdbad").toString)
+        .option("checkpointLocation", Files.createTempDirectory("imupdbadc").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("merge_keys") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge_keys")))
+  }
+}
