@@ -167,6 +167,42 @@ object QuickStart {
       s"$expired snapshots expired, " +
       s"${graft.readers.IcebergReader.read(spark, it, filter = Some("p = 1")).count()} rows in p=1")
 
+    // 15. Row-level writes (round 12): MERGE upserts by key and DELETE
+    // WHERE takes data-column predicates — copy-on-write per touched
+    // file, one commit, and the change feed derives the row diff
+    val mt = java.nio.file.Files.createTempDirectory("qs_merge").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 10).selectExpr("id", "concat('u', id) AS name"), mt)
+    graft.readers.DeltaWriter.merge(spark,
+      spark.range(8, 12).selectExpr("id", "concat('U', id) AS name"), mt, on = Seq("id"))
+    val deletedRows = graft.readers.DeltaWriter.deleteWhere(spark, mt, "id < 3")
+    println(s"[15] delta merge+delete: upserted 8..11, deleted $deletedRows rows, " +
+      s"${graft.readers.DeltaReader.read(spark, mt).count()} remain; feed diff = " +
+      graft.readers.DeltaReader.readChangeFeed(spark, mt, 0L)
+        .groupBy("_change_type").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+
+    // 16. Iceberg round 12: NESTED columns + transform partitioning +
+    // the same row-level merge — written tables prune on the transform
+    val it2 = java.nio.file.Files.createTempDirectory("qs_iceberg2").toString
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(0, 12).selectExpr("id",
+        "named_struct('src', concat('s', id % 3), 'score', cast(id AS double)) AS meta",
+        "concat('cat-', id % 4) AS label"),
+      it2, partitionBy = Seq("truncate(5, label)"))
+    graft.readers.IcebergWriter.merge(spark,
+      spark.range(0, 2).selectExpr("id",
+        "named_struct('src', 'merged', 'score', 9.9d) AS meta",
+        "concat('cat-', id % 4) AS label"),
+      it2, on = Seq("id"))
+    val prunedIce = graft.readers.IcebergReader.read(spark, it2,
+      filter = Some("label = 'cat-1'"))
+    println(s"[16] iceberg nested+truncate: merged structs, " +
+      s"${prunedIce.count()} rows in cat-1 via " +
+      s"${prunedIce.inputFiles.length} pruned file(s); merged meta.src = " +
+      graft.readers.IcebergReader.read(spark, it2).where("id = 0")
+        .selectExpr("meta.src").collect().head.getString(0))
+
     spark.stop()
     println("QuickStart OK")
   }
