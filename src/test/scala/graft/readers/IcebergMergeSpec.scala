@@ -11,6 +11,17 @@ import java.nio.file.Files
   * partitioning, refusal gates, the concurrent-append race, and the
   * Update-mode streaming sink.
   */
+object IcebergMergeSpec {
+  // local-mode rendezvous: executors share this JVM, so the victim's
+  // source udf can signal "scan finished, rewrite in flight" on its
+  // FIRST evaluation (always after the merge read its snapshot) and
+  // then WAIT for the rival to land — load-proof determinism with no
+  // guessed sleeps. (The staging dir is NOT a usable trigger: AQE's
+  // broadcast-build jobs evaluate the udf before any staging exists.)
+  @volatile var victimInUdf = false
+  @volatile var rivalLanded = false
+}
+
 class IcebergMergeSpec extends SparkSpec {
 
   test("merge upserts in ONE snapshot; time travel sees the pre-merge state; changes windows gate the rewrite") {
@@ -146,41 +157,45 @@ class IcebergMergeSpec extends SparkSpec {
     assert(e4.getMessage.contains("not written by this writer"))
   }
 
-  test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
+  test("a concurrent append landing mid-rewrite refuses at commit (its rows were never probed)") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, udf}
     val t = Files.createTempDirectory("imrace").toString
     IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
-    @volatile var landed = false
+    // rendezvous inside the DETECTION scan: the gate udf fires only
+    // after deleteWhere read its snapshot (detection scans the live
+    // files of the snapshot it resolved) and holds the scan open until
+    // the rival append lands — deterministic under any load, and the
+    // detection phase holds no writer lock, so the rival cannot
+    // deadlock on the staged-write micros lock
+    IcebergMergeSpec.victimInUdf = false
+    IcebergMergeSpec.rivalLanded = false
     @volatile var rivalErr: Throwable = null
     val watcher = new Thread(() => {
       try {
-        val dir = java.nio.file.Paths.get(t)
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!landed && System.nanoTime() < deadline) {
-          val ls = Files.list(dir)
-          val staging = try ls.toArray.exists(_.toString.contains("_staging_")) finally ls.close()
-          if (staging) {
-            IcebergWriter.write(spark, Seq((7L, "rival")).toDF("id", "name"), t)
-            landed = true
-          } else Thread.sleep(1)
-        }
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!IcebergMergeSpec.victimInUdf && System.nanoTime() < deadline)
+          Thread.sleep(1)
+        if (IcebergMergeSpec.victimInUdf)
+          IcebergWriter.write(spark, Seq((7L, "rival")).toDF("id", "name"), t)
       } catch { case e: Throwable => rivalErr = e }
+      finally IcebergMergeSpec.rivalLanded = true // release the victim either way
     })
     watcher.start()
-    // the repartition puts an exchange UNDER the slow udf, so the udf
-    // evaluates in the WRITE job's final stage (visible staging dir),
-    // not in AQE's pre-staged shuffle jobs or — worse — at plan time
-    // via ConvertToLocalRelation; the insert-leg row keeps the final
-    // stage busy for the whole sleep while the rival lands
-    val slow = udf((s: String) => { Thread.sleep(4000); s })
-    val src = Seq((1L, "A"), (9L, "new")).toDF("id", "raw")
-      .repartition(2).withColumn("name", slow(col("raw"))).select("id", "name")
-    val e = intercept[Exception](IcebergWriter.merge(spark, src, t, on = Seq("id")))
+    spark.udf.register("im_race_gate", (s: String) => {
+      IcebergMergeSpec.victimInUdf = true
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!IcebergMergeSpec.rivalLanded && System.nanoTime() < deadline) Thread.sleep(10)
+      true
+    })
+    val e = intercept[Exception](
+      IcebergWriter.deleteWhere(spark, t, "im_race_gate(name) AND id >= 1"))
     watcher.join()
     assert(rivalErr == null, s"rival write failed: $rivalErr")
-    assert(landed, "test harness: the rival append never landed")
     assert(e.getMessage.contains("concurrent write added"))
+    // the rewrite never committed: the original row AND the rival's
+    // row are both intact
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 7L))
   }
 
   test("Update-mode streaming sink upserts by key — exactly-once across a restart") {
