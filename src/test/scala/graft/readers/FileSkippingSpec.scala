@@ -1091,16 +1091,77 @@ class FileSkippingSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("refusing a misparsed vector")))
   }
 
-  test("iceberg v3 gates: DVs in v2 refuse; parquet position deletes in v3 refuse; initial-default refuses") {
+  test("iceberg v3 gates: DVs in v2 refuse; parquet position deletes in v3 refuse; id-bearing files ignore initial-default") {
+    import spark.implicits._
     val e1 = intercept[Exception](
       IcebergReader.read(spark, icebergV3Dv(formatVersion = 2).toString, filter = Some("p = 3")))
     assert(e1.getMessage.contains("v1/v2"))
     val e2 = intercept[Exception](
       IcebergReader.read(spark, icebergV3Dv(withParquetPosDelete = true).toString, filter = Some("p = 3")))
     assert(e2.getMessage.contains("deletion"))
-    val e3 = intercept[Exception](
-      IcebergReader.read(spark, icebergV3Dv(initialDefault = true).toString, filter = Some("p = 3")))
-    assert(e3.getMessage.contains("initial-default"))
+    // initial-default on a top-level primitive SERVES (round 12): this
+    // fixture's data file CARRIES the field id, so its real values win
+    // over the default and the DV still applies
+    val served = IcebergReader.read(spark,
+      icebergV3Dv(initialDefault = true).toString, filter = Some("p = 3"))
+    assert(served.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("iceberg v3 initial-default: files predating the field read the default; id-bearing files keep real values/nulls") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberbdefaults")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    // old file: written BEFORE tag/d existed (only id, with its field id)
+    withFieldIds(Seq(1L, 2L).toDF("id"), Map("id" -> 1))
+      .coalesce(1).write.parquet(s"$table/data/old")
+    // new file: carries every field id, including a REAL NULL tag
+    withFieldIds(Seq((3L, "real", "2024-06-01"), (4L, null.asInstanceOf[String], "2024-06-02"))
+      .toDF("id", "tag", "d").selectExpr("id", "tag", "cast(d as date) as d"),
+      Map("id" -> 1, "tag" -> 2, "d" -> 3))
+      .coalesce(1).write.parquet(s"$table/data/new")
+    val m = writeAvro(Seq(partFile(s"$table/data/old"), partFile(s"$table/data/new"))
+      .toDF("file_path")
+      .selectExpr("1 as status", "cast(null as bigint) as sequence_number",
+        "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0) as data_file"),
+      s"$table/metadata/m0")
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("sequence_number", LongType), StructField("partition_spec_id", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    val listPath = writeAvro(spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(m, 0, 1L, 0)).asJava, listSchema), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 3,
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "tag", "type": "string", "initial-default": "legacy"},
+         |    {"id": 3, "name": "d", "type": "date", "initial-default": "2020-01-05"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+    val got = IcebergReader.read(spark, table)
+      .selectExpr("id", "tag", "cast(d as string) as d")
+      .as[(Long, Option[String], String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("legacy"), "2020-01-05"),   // predates the fields: defaults
+      (2L, Some("legacy"), "2020-01-05"),
+      (3L, Some("real"), "2024-06-01"),     // real values win
+      (4L, None, "2024-06-02")))            // a REAL null stays null
+    // NESTED initial-default still refuses loudly at schema conversion
+    val nested = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"schema-id": 0, "type": "struct", "fields": [
+        |  {"id": 1, "name": "s", "type": {"type": "struct", "fields": [
+        |    {"id": 2, "name": "x", "type": "long", "initial-default": 9}]}}]}""".stripMargin)
+    val e = intercept[Exception](IcebergReader.toSparkSchema(nested))
+    assert(e.getMessage.contains("NESTED"))
   }
 
   test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
