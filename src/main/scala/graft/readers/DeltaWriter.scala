@@ -95,14 +95,27 @@ object DeltaWriter {
       if (exists && !overwriteSchema) Some(currentState(spark, table)) else None
     existingHead.foreach { head =>
       // a column-mapped table's data files must carry PHYSICAL names
-      // with field ids; the plain logical-name parquet this writer
-      // stages would read back as all-null under the mapped read —
-      // silent corruption, so refuse (the overwriteSchema branch gates
-      // mapped tables separately inside the commit loop)
-      require(head.mappingMode == "none",
-        s"delta writer: $table uses column mapping (mode ${head.mappingMode}) — this " +
-          "writer stages logical-name parquet the mapped read would null out; " +
-          "write it with the delta-spark connector")
+      // (with field ids): round 12 stages them by renaming the frame's
+      // logical columns through the schema's mapping metadata. The
+      // profile is exact-schema append/overwrite over simple-typed
+      // columns — evolution on mapped tables (fresh physicalName/id
+      // assignment racing concurrent evolutions) stays with the
+      // connector, as do nested mapped columns (inner physical names).
+      if (head.mappingMode != "none") {
+        require(Set("name", "id").contains(head.mappingMode),
+          s"delta writer: unknown column mapping mode '${head.mappingMode}' at $table")
+        require(!mergeSchema,
+          s"delta writer: mergeSchema on a column-mapped table — new columns need " +
+            "physicalName/id assignment this writer does not race; evolve with the " +
+            "delta-spark connector")
+        val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        require(expected.fields.forall(fl => fl.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => false
+          case _ => true
+        }), s"delta writer: $table is column-mapped with NESTED columns — inner " +
+          "physical names are outside this writer's profile; write it with the " +
+          "delta-spark connector")
+      }
       val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val got = df.schema
       if (mergeSchema) {
@@ -165,10 +178,37 @@ object DeltaWriter {
     }
 
     // 1. stage the data files (distributed write, partition dirs laid
-    // out by Spark itself)
+    // out by Spark itself). A column-mapped table stages PHYSICAL
+    // column names with field ids (renamed through the schema's
+    // mapping metadata), so partition dirs, partitionValues keys and
+    // footer stats all carry the physical identity the mapped read
+    // resolves — delta-spark's own layout.
+    val mappedHead = existingHead.filter(_.mappingMode != "none")
+    val (stageDf, stagePartCols, statsSchema, statsPartCols) = mappedHead match {
+      case None => (df, partCols, df.schema, partCols)
+      case Some(head) =>
+        val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        def physOf(fl: StructField): (String, Option[Long]) = (
+          if (fl.metadata.contains("delta.columnMapping.physicalName"))
+            fl.metadata.getString("delta.columnMapping.physicalName") else fl.name,
+          if (fl.metadata.contains("delta.columnMapping.id"))
+            Some(fl.metadata.getLong("delta.columnMapping.id")) else None)
+        def fieldOf(logical: String): StructField =
+          expected.fields.find(_.name.equalsIgnoreCase(logical)).get
+        val renamed = df.select(df.schema.fields.map { fl =>
+          val (phys, fid) = physOf(fieldOf(fl.name))
+          val mb = new MetadataBuilder()
+          fid.foreach(mb.putLong("parquet.field.id", _))
+          df(fl.name).as(phys, mb.build())
+        }.toSeq: _*)
+        val physParts = partCols.map(pc => physOf(fieldOf(pc))._1)
+        val physSchema = StructType(expected.fields.map(fl =>
+          StructField(physOf(fl)._1, fl.dataType)))
+        (renamed, physParts, physSchema, physParts)
+    }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+    val writer = stageDf.write.mode("overwrite")
+    (if (stagePartCols.nonEmpty) writer.partitionBy(stagePartCols: _*) else writer)
       .parquet(staging.toString)
     try {
       // 2. move staged parquet files into the table, keeping their
@@ -185,7 +225,7 @@ object DeltaWriter {
           s"delta writer: rename ${st.getPath} -> $dest failed")
         val destSt = f.getFileStatus(dest)
         AddSpec(rel, partitionValues(rel), destSt.getLen, destSt.getModificationTime,
-          statsJson(f, dest, df.schema, partCols))
+          statsJson(f, dest, statsSchema, statsPartCols))
       }
       // 3. publish the commit, optimistic-concurrency loop
       var attempt = 0
@@ -935,9 +975,16 @@ object DeltaWriter {
     val strSchema = StructType(StructField("__path", StringType) +:
       partFields.map(fl => StructField(fl.name, StringType)))
     import scala.jdk.CollectionConverters._
+    // under column mapping, add.partitionValues keys are PHYSICAL names
+    val physByLogical: Map[String, String] = head.partitionCols.map { pc =>
+      val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).getOrElse(pc))
+      pc -> (if (fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else pc)
+    }.toMap
     val rows: java.util.List[org.apache.spark.sql.Row] = head.liveFiles.map(lf =>
       org.apache.spark.sql.Row.fromSeq(lf.path +: head.partitionCols.map(pc =>
-        lf.partitionValues.getOrElse(pc, null)))).asJava
+        lf.partitionValues.get(physByLogical(pc))
+          .orElse(lf.partitionValues.get(pc)).orNull))).asJava
     val typed = spark.createDataFrame(rows, strSchema)
       .select(col("__path") +: partFields.map(fl =>
         col(fl.name).cast(fl.dataType).as(fl.name)): _*)

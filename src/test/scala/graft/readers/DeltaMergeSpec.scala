@@ -153,19 +153,58 @@ class DeltaMergeSpec extends SparkSpec {
     assert(e4.getMessage.contains("deletion vectors"))
     val e5 = intercept[Exception](DeltaWriter.compact(spark, tdv))
     assert(e5.getMessage.contains("deletion vectors"))
-    // a column-mapped table: logical-name scans/stages would silently
-    // null physical columns — append, rewrite ops and compact refuse
+    // a column-mapped table: APPENDS stage physical names (round 12,
+    // spec'd separately), but logical-name REWRITE scans would silently
+    // null physical columns — delete/merge/compact refuse
     val tcm = Files.createTempDirectory("dmcm").toString
     writeCommit(tcm, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaAction(configuration = """{"delta.columnMapping.mode":"name"}""")))
-    val e6 = intercept[Exception](DeltaWriter.write(spark,
-      Seq((1L, "a")).toDF("id", "name"), tcm))
-    assert(e6.getMessage.contains("column mapping"))
     val e7 = intercept[Exception](DeltaWriter.deleteWhere(spark, tcm, "id = 1"))
     assert(e7.getMessage.contains("column mapping"))
     val e8 = intercept[Exception](DeltaWriter.compact(spark, tcm))
     assert(e8.getMessage.contains("column mapping"))
+  }
+
+  test("appends to a column-mapped table stage physical names; replaceWhere scopes by physical tuples; rewrites still refuse") {
+    import spark.implicits._
+    // a NAME-mapped partitioned table, logical (id, name, p) over
+    // physical (col-aaa, col-bbb, col-ppp)
+    def mMeta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mMeta("col-aaa", 1)),
+      StructField("name", StringType, nullable = true, mMeta("col-bbb", 2)),
+      StructField("p", IntegerType, nullable = true, mMeta("col-ppp", 3)))).json
+    val t = Files.createTempDirectory("dmmapped").toString
+    writeCommit(t, 0, Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(mappedSchema)},"partitionColumns":["p"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3"},"createdTime":1}}"""))
+    // append through the native writer: stages physical columns, so the
+    // mapped read resolves them (an unmapped stage would read all-null)
+    DeltaWriter.write(spark, Seq((1L, "a", 7), (2L, "b", 8)).toDF("id", "name", "p"), t,
+      partitionBy = Seq("p"))
+    val got = DeltaReader.read(spark, t).select("id", "name", "p")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 7), (2L, "b", 8)))
+    // partition pruning works over the physical partitionValues keys
+    val p7 = DeltaReader.read(spark, t, filter = Some("p = 7"))
+    assert(p7.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(p7.inputFiles.length < DeltaReader.read(spark, t).inputFiles.length)
+    // replaceWhere scopes by the physical tuple: only p=7 is replaced
+    DeltaWriter.write(spark, Seq((9L, "z", 7)).toDF("id", "name", "p"), t,
+      mode = "overwrite", partitionBy = Seq("p"), replaceWhere = Some("p = 7"))
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 9L))
+    // evolution and rewrites stay with the connector
+    val e1 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((3L, "c", 7, 1.0)).toDF("id", "name", "p", "x"), t, mergeSchema = true))
+    assert(e1.getMessage.contains("column-mapped"))
+    val e2 = intercept[Exception](DeltaWriter.deleteWhere(spark, t, "id = 9"))
+    assert(e2.getMessage.contains("column mapping"))
   }
 
   test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
