@@ -191,4 +191,56 @@ class IcebergChangesSpec extends SparkSpec {
       DataRef("iceberg", table, Map("changesSinceSnapshot" -> "1", "filter" -> "id >= 4")))
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
   }
+
+  test("row-level change feed over writer history: inserts, update pairs, deletes; compaction invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("icefeed").toString
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def snapId(): Long = om.readTree(IcebergReader.metadataText(
+      t, spark.sparkContext.hadoopConfiguration)).get("current-snapshot-id").asLong()
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), t)
+    val s0 = snapId()
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name").coalesce(1), t) // append
+    val s1 = snapId()
+    IcebergWriter.merge(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "name"), t, on = Seq("id"))
+    val s2 = snapId()
+    assert(IcebergWriter.deleteWhere(spark, t, "id = 3") == 1L)
+    val s3 = snapId()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] =
+      df.select(col("id"), col("name"), col("_change_type"), col("_snapshot_id"))
+        .as[(Long, String, String, Long)].collect().toSet
+    // full feed: creation inserts, append insert, the merge's
+    // delete+insert pairs over its touched file, the delete's pair-less
+    // retractions
+    val full = rows(IcebergReader.readChangeFeed(spark, t, -1L))
+    assert(full == Set(
+      (1L, "a", "insert", s0), (2L, "b", "insert", s0),
+      (3L, "c", "insert", s1),
+      // merge touched the (1,2) file: both rows delete, survivors +
+      // update + the new key re-insert
+      (1L, "a", "delete", s2), (2L, "b", "delete", s2),
+      (1L, "a", "insert", s2), (2L, "B", "insert", s2), (4L, "d", "insert", s2),
+      // delete-where removed the whole (3) file: no survivors staged
+      (3L, "c", "delete", s3)))
+    // a bounded window sees only its own snapshots
+    assert(rows(IcebergReader.readChangeFeed(spark, t, s1)).forall(r => r._4 == s2 || r._4 == s3))
+    // compaction (replace) contributes nothing
+    IcebergWriter.write(spark, Seq((5L, "e")).toDF("id", "name").coalesce(1), t)
+    val s4 = snapId()
+    IcebergWriter.compact(spark, t)
+    val afterCompact = rows(IcebergReader.readChangeFeed(spark, t, s3))
+    assert(afterCompact == Set((5L, "e", "insert", s4)))
+    // filter + registry option route
+    val reg = new IcebergReaderImpl().read(spark, DataRef("iceberg", t,
+      Map("changeFeedSinceSnapshot" -> s1.toString, "filter" -> "_change_type = 'delete'")))
+    assert(reg.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // empty window: typed empty frame
+    val cur = snapId()
+    val empty = IcebergReader.readChangeFeed(spark, t, cur)
+    assert(empty.count() == 0L && empty.columns.contains("_change_type"))
+    // a non-ancestor baseline refuses
+    val e = intercept[Exception](IcebergReader.readChangeFeed(spark, t, 999999L))
+    assert(e.getMessage.contains("not an ancestor"))
+  }
 }
