@@ -57,7 +57,8 @@ object DeltaWriter {
       mode: String = "append", partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10,
       replaceWhere: Option[String] = None, mergeSchema: Boolean = false,
-      overwriteSchema: Boolean = false): Unit = {
+      overwriteSchema: Boolean = false,
+      tableConf: Map[String, String] = Map.empty): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
@@ -260,12 +261,19 @@ object DeltaWriter {
         }
         val actions = Seq.newBuilder[String]
         if (version == 0L) {
-          actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+          // table properties at CREATE (delta.enableChangeDataFeed=true
+          // turns on cdc emission for the row-level rewrites below;
+          // CDF requires writer version 4 per the protocol)
+          val wv = if (tableConf.get("delta.enableChangeDataFeed")
+              .exists(_.equalsIgnoreCase("true"))) 4 else 2
+          val confJson = tableConf.map { case (k, v) => s"${js(k)}:${js(v)}" }
+            .mkString("{", ",", "}")
+          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
           actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":${js(df.schema.json)},""" +
             s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
-            s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+            s""""configuration":$confJson,"createdTime":${System.currentTimeMillis()}}}"""
         } else if (overwriteSchema) {
           // the recompute's metaData states the frame's OWN layout;
           // id carries over from the head's metaData. A column-mapped
@@ -600,7 +608,13 @@ object DeltaWriter {
     val touched = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
     val survivors = scanLive(spark, f, table, head, touched)
       .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
-    rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries)
+    // CDF-enabled tables get the precise row diff as cdc files: exactly
+    // the deleted rows, so the feed never shows the rewrite's survivors
+    val cdc =
+      if (!head.cdfEnabled) None
+      else Some(scanLive(spark, f, table, head, touched).where(expr(predicate))
+        .drop(FileCol).withColumn("_change_type", lit("delete")))
+    rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries, cdc)
     deletedRows
   }
 
@@ -679,20 +693,28 @@ object DeltaWriter {
         "raises the same error); de-duplicate the source first")
     val srcKeys = source.where(keyNonNull).select(onT.map(source(_)): _*).distinct()
 
+    import org.apache.spark.sql.functions.lit
+    val cdfOn = head.cdfEnabled
+    def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
     val order = schema.fieldNames.toSeq
-    val (touched, out) =
-      if (head.liveFiles.isEmpty) (Nil, if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None)
+    val (touched, out, cdc) =
+      if (head.liveFiles.isEmpty)
+        (Nil,
+          if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None,
+          if (cdfOn && insertNotMatched)
+            Some(tag(source.select(order.map(source(_)): _*), "insert")) else None)
       else {
         val scan = scanLive(spark, f, table, head, head.liveFiles)
         val touchedKeys = scan.join(srcKeys, onT, "left_semi")
           .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
         val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
-        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
+        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None, None)
         else {
           val tRows =
             if (touchedFiles.isEmpty) None
             else Some(scanLive(spark, f, table, head, touchedFiles).drop(FileCol))
           val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
+          val matched = tRows.map(_.join(srcKeys, onT, "left_semi").select(order.map(col): _*))
           val updated =
             if (whenMatched == "update")
               tRows.map(_.select(onT.map(col): _*).join(source, onT, "inner")
@@ -705,12 +727,21 @@ object DeltaWriter {
                 source.join(mk, onT, "left_anti").select(order.map(col): _*)))
             } else None
           val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
-          (touchedFiles, frames.reduceOption(_ unionByName _))
+          // CDF: precise diffs only — matched pre-images (update pairs
+          // or plain deletes), post-images, inserts; never survivors
+          val cdcFrames =
+            if (!cdfOn) Nil
+            else matched.map(m => tag(m,
+                if (whenMatched == "update") "update_preimage" else "delete")).toSeq ++
+              updated.map(tag(_, "update_postimage")).toSeq ++
+              inserts.map(tag(_, "insert")).toSeq
+          (touchedFiles, frames.reduceOption(_ unionByName _),
+            cdcFrames.reduceOption(_ unionByName _))
         }
       }
     if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
     rewriteCommit(spark, f, table, head, touched,
-      out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries)
+      out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries, cdc)
   }
 
   // ---- internals -----------------------------------------------------
@@ -768,7 +799,8 @@ object DeltaWriter {
     * state, delta-spark's ConcurrentAppendException stance). */
   private def rewriteCommit(spark: SparkSession, f: FileSystem, table: String,
       head: HeadState, touched: Seq[LiveFile], output: DataFrame,
-      operation: String, txn: Option[(String, Long)], maxRetries: Int): Unit = {
+      operation: String, txn: Option[(String, Long)], maxRetries: Int,
+      cdc: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val tablePath = new Path(table)
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
@@ -794,6 +826,33 @@ object DeltaWriter {
         val destSt = f.getFileStatus(dest)
         AddSpec(rel, partitionValues(rel), destSt.getLen, destSt.getModificationTime,
           statsJson(f, dest, schema, partCols))
+      }
+      // cdc files (delta.enableChangeDataFeed): the caller's precise
+      // row-diff (_change_type column) stages into _change_data/, and
+      // cdc actions ride THIS commit — the change feed then serves the
+      // exact update_preimage/postimage pairs instead of deriving a
+      // full-file delete+insert from the rewrite's add/remove noise.
+      // dataChange=false per the protocol (cdc rows are bookkeeping).
+      val cdcSpecs: Seq[AddSpec] = cdc.toSeq.flatMap { cdf =>
+        val cdcCanon = cdf.select((schema.fieldNames.toSeq :+ "_change_type")
+          .map(n => col(n).as(n)): _*)
+        val cdcStaging = new Path(table.stripSuffix("/") +
+          s"/_staging_cdc_${java.util.UUID.randomUUID()}")
+        try {
+          val cw = cdcCanon.write.mode("overwrite")
+          (if (partCols.nonEmpty) cw.partitionBy(partCols: _*) else cw)
+            .parquet(cdcStaging.toString)
+          val cq = f.makeQualified(cdcStaging).toString.stripSuffix("/")
+          listParquet(f, cdcStaging).map { st =>
+            val rel = st.getPath.toString.stripPrefix(cq).stripPrefix("/")
+            val dest = new Path(tablePath, "_change_data/" + rel)
+            Option(dest.getParent).foreach(f.mkdirs(_))
+            require(f.rename(st.getPath, dest),
+              s"delta $operation: rename ${st.getPath} -> $dest failed")
+            AddSpec("_change_data/" + rel, partitionValues(rel),
+              f.getFileStatus(dest).getLen, 0L, None)
+          }
+        } finally scala.util.Try(f.delete(cdcStaging, true))
       }
       var attempt = 0
       var committed = false
@@ -839,6 +898,13 @@ object DeltaWriter {
             s""""modificationTime":${a.mtime},"dataChange":true""" +
             a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
         }
+        cdcSpecs.foreach { c =>
+          val pv = c.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          val encoded = new URI(null, null, "/" + c.path, null).getRawPath.stripPrefix("/")
+          actions += s"""{"cdc":{"path":${js(encoded)},"partitionValues":$pv,""" +
+            s""""size":${c.size},"dataChange":false}}"""
+        }
         val commitPath = new Path(logDir, f"$version%020d.json")
         val ok = scala.util.Try {
           val out = f.create(commitPath, false)
@@ -870,6 +936,12 @@ object DeltaWriter {
           .flatMap(c => Option(c.get("delta.columnMapping.mode")))
           .filterNot(_.isNull).map(_.asText())
       }.toOption.flatten).getOrElse("none")
+    def cdfEnabled: Boolean =
+      Option(metaJson).flatMap(mj => scala.util.Try {
+        Option(mapper.readTree(mj).get("configuration"))
+          .flatMap(c => Option(c.get("delta.enableChangeDataFeed")))
+          .filterNot(_.isNull).map(_.asText())
+      }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
   }
 
   /** Gate for every read-and-rewrite operation (compact/delete/merge):

@@ -282,6 +282,42 @@ class DeltaMergeSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("merge_keys")))
   }
 
+  test("CDF-enabled tables: merge/delete emit cdc files — the feed serves precise update pairs, never survivors") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmcdf").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v").coalesce(1), t,
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.merge(spark,
+      Seq((2L, "B", 21), (4L, "d", 40)).toDF("id", "name", "v"), t, on = Seq("id"))
+    val feed = DeltaReader.readChangeFeed(spark, t, 0L)
+    val got = feed.select("id", "name", "v", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    // PRECISE diff: survivors (1, 3) do NOT appear — only the matched
+    // row's update pair and the new key's insert
+    assert(got == Set(
+      (2L, "b", 20, "update_preimage"),
+      (2L, "B", 21, "update_postimage"),
+      (4L, "d", 40, "insert")))
+    // delete-where on the CDF table: exactly the deleted row
+    assert(DeltaWriter.deleteWhere(spark, t, "v = 10") == 1L)
+    val feed2 = DeltaReader.readChangeFeed(spark, t, 1L)
+    assert(feed2.select("id", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((1L, "delete")))
+    // the table itself reads correctly after both rewrites
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // partitioned CDF table: cdc files carry partition tuples
+    val t2 = Files.createTempDirectory("dmcdfp").toString
+    DeltaWriter.write(spark, Seq((1L, 7), (2L, 8)).toDF("id", "p")
+      .repartition(2, org.apache.spark.sql.functions.col("p")), t2,
+      partitionBy = Seq("p"), tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.merge(spark, Seq((1L, 7)).toDF("id", "p"), t2, on = Seq("id"))
+    val pfeed = DeltaReader.readChangeFeed(spark, t2, 0L)
+      .select("id", "p", "_change_type").as[(Long, Int, String)].collect().toSet
+    assert(pfeed == Set((1L, 7, "update_preimage"), (1L, 7, "update_postimage")))
+  }
+
   test("merge txn marks the commit for exactly-once streaming upserts") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmtxn").toString
