@@ -203,6 +203,24 @@ object QuickStart {
       graft.readers.IcebergReader.read(spark, it2).where("id = 0")
         .selectExpr("meta.src").collect().head.getString(0))
 
+    // 17. Row-level CHANGE FEEDS both formats: Iceberg derives
+    // delete+insert pairs from its snapshot diffs; a CDF-enabled Delta
+    // table gets PRECISE update pairs from the native merge's cdc files
+    val feedIce = graft.readers.IcebergReader.readChangeFeed(spark, it2, -1L)
+      .groupBy("_change_type").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val ct = java.nio.file.Files.createTempDirectory("qs_cdf").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 6).selectExpr("id", "concat('u', id) AS name"), ct,
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    graft.readers.DeltaWriter.merge(spark,
+      spark.range(4, 8).selectExpr("id", "concat('U', id) AS name"), ct, on = Seq("id"))
+    val feedCdf = graft.readers.DeltaReader.readChangeFeed(spark, ct, 0L)
+      .groupBy("_change_type").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[17] change feeds: iceberg ($feedIce); delta CDF precise ($feedCdf — " +
+      "update pairs + inserts only, survivors never appear)")
+
     spark.stop()
     println("QuickStart OK")
   }

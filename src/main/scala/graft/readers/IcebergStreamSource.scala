@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.StructType
   *    contributes its adds; `replace` (compaction) contributes nothing
   *    — its files carry rows the stream already emitted; `delete`
   *    and `overwrite` refuse loudly (an append stream cannot retract
-  *    emitted rows), `delete` optionally skipped wholesale with
-  *    `skip_delete_snapshots=true`;
+  *    or attribute rewritten rows), each optionally skipped wholesale
+  *    with `skip_delete_snapshots=true` /
+  *    `skip_overwrite_snapshots=true` (round 12 — skipped upserts do
+  *    NOT emit; `readChangeFeed` carries the row-level diffs);
   *  - a start snapshot that is no longer an ancestor of head (rolled
   *    back / expired) refuses naming a re-baseline.
   *
@@ -120,6 +122,8 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
   private val schema0 = IcebergReader.read(spark, table, schemaOnly = true).schema
   private val skipDeleteSnapshots =
     options.get("skip_delete_snapshots").exists(_.toBoolean)
+  private val skipOverwriteSnapshots =
+    options.get("skip_overwrite_snapshots").exists(_.toBoolean)
   private val startingSnapshot = options.get("starting_snapshot_id")
   // admission control (the graft-delta source's twin): at most N
   // ancestry snapshots per micro-batch — a long catch-up lands in
@@ -245,6 +249,17 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
               "snapshots, or re-baseline with a batch read")
           // skipped wholesale; rows it removed were already emitted and
           // stay emitted (append-stream semantics)
+        case "overwrite" if skipOverwriteSnapshots => ()
+          // skipped wholesale (round 12, the delete-skip's rewrite
+          // twin): a merge/delete-where/replaceWhere snapshot's rows
+          // are unattributable to an append stream, so NONE of them
+          // emit — consume row-level diffs with readChangeFeed instead
+        case "overwrite" => throw new IllegalArgumentException(
+          s"graft-iceberg: snapshot $sid rewrites rows (overwrite — merge/delete-where/" +
+            "replaceWhere) — an append stream cannot attribute them. Set " +
+            "skip_overwrite_snapshots=true to skip such snapshots wholesale (their " +
+            "upserts will NOT be emitted), consume readChangeFeed for row-level diffs, " +
+            "or re-baseline with a batch read")
         case other => throw new IllegalArgumentException(
           s"graft-iceberg: snapshot $sid has operation '$other' — an append stream " +
             "cannot attribute its rows; re-baseline with a batch read")

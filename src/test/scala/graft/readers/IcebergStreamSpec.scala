@@ -272,4 +272,38 @@ class IcebergStreamSpec extends SparkSpec {
       assert(nonEmpty == 3, s"expected 3 paced batches, saw $nonEmpty")
     } finally q.stop()
   }
+
+  test("a merge under the stream refuses; skip_overwrite_snapshots skips it wholesale, appends keep flowing") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("isovr").toString
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    val q = spark.readStream.format("graft-iceberg").load(t)
+      .writeStream.format("memory").queryName("is_ovr").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("is_ovr").count() == 2L)
+      IcebergWriter.merge(spark, Seq((1L, "A"), (3L, "c")).toDF("id", "name"), t, on = Seq("id"))
+      val e = intercept[Exception](q.processAllAvailable())
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+      assert(chain(e).exists(_.contains("skip_overwrite_snapshots")), chain(e).mkString("|"))
+    } finally q.stop()
+    // with the option, the rewrite snapshot skips wholesale and later
+    // plain appends keep flowing (the skipped upserts never emit —
+    // readChangeFeed carries the row-level diffs)
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("skip_overwrite_snapshots", "true").load(t)
+      .writeStream.format("memory").queryName("is_ovr2").start()
+    try {
+      q2.processAllAvailable()
+      val snap = spark.table("is_ovr2").count() // full current snapshot first
+      IcebergWriter.merge(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "name"), t, on = Seq("id"))
+      IcebergWriter.write(spark, Seq((9L, "z")).toDF("id", "name"), t)
+      q2.processAllAvailable()
+      val vals = spark.sql("SELECT id FROM is_ovr2").collect().map(_.getLong(0)).toSet
+      assert(vals.contains(9L), s"the append after the skipped merge must flow: $vals")
+      assert(!vals.contains(4L), s"the skipped merge's upserts must NOT emit: $vals")
+      assert(spark.table("is_ovr2").count() == snap + 1)
+    } finally q2.stop()
+  }
 }
