@@ -591,6 +591,19 @@ object IcebergReader {
         "iceberg: table has no current snapshot (empty table)"))
     val headSchema = currentSchemaNode(meta).map(toSparkSchema).getOrElse(
       throw new IllegalArgumentException(s"iceberg: $table has no schema in its metadata"))
+    // the feed scans group files DIRECTLY (they may be dead at head),
+    // so the full read's initial-default overlay and name-mapping
+    // resolution do not run here — serving either silently (defaults
+    // as nulls, id-less files all-null) would be a wrong answer
+    require(!currentSchemaNode(meta).toSeq
+        .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+        .exists(_.hasNonNull("initial-default")),
+      s"iceberg: change feed over a table with initial-default values — outside this " +
+        "native reader's feed profile; read with the iceberg-spark connector")
+    require(Option(meta.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default"))).forall(_.isNull),
+      s"iceberg: change feed over a name-mapped table — id-less files would read " +
+        "all-null; read with the iceberg-spark connector")
     def emptyFeed(): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headSchema)
         .withColumn("_change_type", lit(null).cast("string"))
