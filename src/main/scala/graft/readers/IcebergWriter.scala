@@ -1021,6 +1021,21 @@ object IcebergWriter {
     val partFields = partDefs.map(d => StructField(d._1, d._4))
     val statFields: Seq[(String, DataType, Int)] = fieldNodes.map(n =>
       (n.get("name").asText(), sparkTypeOfNode(n.get("type")), n.get("id").asInt()))
+    // the write() path's '' round-trip gate applies to REWRITES too: a
+    // merge update could otherwise introduce '' into an identity/
+    // truncate string partition source, staging a null tuple that
+    // mislabels the rows (ingestion-time rows are already gated, so
+    // this fires only on rewritten values)
+    val emptyable = partDefs.filter(d =>
+      (d._3 == PIdentity || d._3.isInstanceOf[PTruncate]) &&
+        statFields.find(_._1 == d._2).exists(_._2 == StringType)).map(_._2)
+    if (emptyable.nonEmpty) {
+      val pred = emptyable.map(c => s"`$c` = ''").mkString(" OR ")
+      require(df.where(pred).limit(1).count() == 0,
+        s"iceberg rewrite: empty-string value(s) in string identity/truncate partition " +
+          s"column(s) [${emptyable.mkString(",")}] — '' does not survive the " +
+          "directory-text round trip; filter/replace the empty values")
+    }
     val withIds = df.select(fieldNodes.map { n =>
       val nm = n.get("name").asText()
       val dt = sparkTypeOfNode(n.get("type"))

@@ -238,4 +238,17 @@ class IcebergMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_keys") ||
       Option(e.getCause).exists(_.getMessage.contains("merge_keys")))
   }
+
+  test("a merge update introducing '' into a string partition source refuses (rewrite-side round-trip gate)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imempty").toString
+    IcebergWriter.write(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "p").coalesce(1), t,
+      partitionBy = Seq("p"))
+    val e = intercept[Exception](IcebergWriter.merge(spark,
+      Seq((1L, "")).toDF("id", "p"), t, on = Seq("id")))
+    assert(e.getMessage.contains("empty-string"))
+    // the table is untouched
+    assert(IcebergReader.read(spark, t).select("p")
+      .as[String].collect().sorted.toSeq == Seq("x", "y"))
+  }
 }
