@@ -82,6 +82,10 @@ object DeltaWriter {
     val exists = f.exists(logDir)
     require(!(exists && mode == "errorifexists"),
       s"delta writer: table already exists at $table (mode errorifexists)")
+    require(tableConf.isEmpty || !exists,
+      s"delta writer: tableConf applies at CREATE only — $table already exists " +
+        "(silently ignoring the properties would be worse than refusing; alter table " +
+        "configuration with the delta-spark connector)")
 
     // against an existing table, the incoming frame must match its
     // schema and partitioning — silently writing a drifted schema
