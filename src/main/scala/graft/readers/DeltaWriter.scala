@@ -86,6 +86,23 @@ object DeltaWriter {
       s"delta writer: tableConf applies at CREATE only — $table already exists " +
         "(silently ignoring the properties would be worse than refusing; alter table " +
         "configuration with the delta-spark connector)")
+    // Behavior-bearing `delta.*` properties are ALLOWLISTED: writing
+    // e.g. delta.columnMapping.mode=name or delta.enableDeletionVectors
+    // verbatim would create a table whose configuration contradicts the
+    // staged files (logical column names, no physicalName/id metadata,
+    // minReader 1 / minWriter 2) — silent corruption for compliant
+    // readers instead of this writer's refuse-loudly stance. Only keys
+    // whose semantics this writer actually honors pass; custom non-
+    // delta.* properties are inert metadata and pass verbatim.
+    val honoredDeltaKeys = Set("delta.enablechangedatafeed")
+    val unsupported = tableConf.keys.filter(k =>
+      k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase))
+    require(unsupported.isEmpty,
+      s"delta writer: tableConf propert${if (unsupported.size == 1) "y" else "ies"} " +
+        s"${unsupported.mkString(", ")} would declare behavior this writer does not " +
+        "implement (the staged files would contradict the configuration, corrupting " +
+        "compliant readers); create the table with the delta-spark connector — " +
+        "supported here: delta.enableChangeDataFeed")
 
     // against an existing table, the incoming frame must match its
     // schema and partitioning — silently writing a drifted schema
@@ -252,6 +269,18 @@ object DeltaWriter {
             s"delta writer: the partitioning of $table changed under this write " +
               s"(now [${headNow.partitionCols.mkString(",")}], staged " +
               s"[${partCols.mkString(",")}]); re-run against the new layout")
+          // Column-mapped appends staged files under the PRE-race head's
+          // PHYSICAL names/ids; a logical-name comparison would pass a
+          // rival drop+re-add that kept names but regenerated
+          // physicalName/id, and the committed files' physical columns
+          // would then resolve to nothing (mapped readers null every
+          // column). Exact metadata equality — rewriteCommit's stance.
+          existingHead.filter(_.mappingMode != "none").foreach { h =>
+            require(headNow.schemaJson == h.schemaJson,
+              s"delta writer: the column-mapping metadata of $table changed under this " +
+                "write (a concurrent writer replaced physical names/ids the staged files " +
+                "carry); re-run against the new mapping")
+          }
           if (!mergeSchema) {
             val expectedNow = DataType.fromJson(headNow.schemaJson).asInstanceOf[StructType]
             val same = expectedNow.fields.length == df.schema.fields.length &&
@@ -603,22 +632,52 @@ object DeltaWriter {
         "(qualified/nested references, subqueries or nondeterministic functions); " +
         "use bare column names and deterministic expressions")
     if (head.liveFiles.isEmpty) return 0L
-    val scan = scanLive(spark, f, table, head, head.liveFiles)
+    // Pre-prune the DETECTION file list with the reader's own skipping
+    // machinery BEFORE any data file is opened: exact partition-tuple
+    // evaluation (a false-or-NULL tuple cannot contain a matching row —
+    // SQL delete semantics), then conservative add.stats min/max
+    // ranges. Both fail open, and the detection scan re-applies the
+    // full predicate, so skipping is correctness-neutral — but a
+    // partition-scoped delete on a 100 TB table now opens only its own
+    // partition's footers instead of every live file's.
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    var candidates = head.liveFiles
+    if (head.partitionCols.nonEmpty) {
+      val partFields = head.partitionCols.map(pc =>
+        schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get))
+      FileSkipping.partitionPrune(spark, partFields,
+        candidates.map(lf => lf.path ->
+          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null))), conjs)
+        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
+    }
+    if (candidates.nonEmpty)
+      FileSkipping.statsPrune(spark, schema,
+        candidates.map(lf => lf.path -> lf.stats.orNull), conjs)
+        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
+    if (candidates.isEmpty) return 0L
+    val scan = scanLive(spark, f, table, head, candidates)
     val agg = scan.where(expr(predicate))
       .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
     val deletedRows = agg.getLong(0)
     if (deletedRows == 0L) return 0L
     val touchedKeys = agg.getSeq[String](1).toSet
     val touched = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
-    val survivors = scanLive(spark, f, table, head, touched)
-      .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
-    // CDF-enabled tables get the precise row diff as cdc files: exactly
-    // the deleted rows, so the feed never shows the rewrite's survivors
-    val cdc =
-      if (!head.cdfEnabled) None
-      else Some(scanLive(spark, f, table, head, touched).where(expr(predicate))
-        .drop(FileCol).withColumn("_change_type", lit("delete")))
-    rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries, cdc)
+    // ONE scan over the touched files feeds both the survivor rewrite
+    // and the cdc diff — persisted only when both consumers exist, so
+    // the touched bytes are read once, not twice
+    val touchedScan = scanLive(spark, f, table, head, touched)
+    val shared = if (head.cdfEnabled) touchedScan.persist() else touchedScan
+    try {
+      val survivors = shared
+        .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
+      // CDF-enabled tables get the precise row diff as cdc files: exactly
+      // the deleted rows, so the feed never shows the rewrite's survivors
+      val cdc =
+        if (!head.cdfEnabled) None
+        else Some(shared.where(expr(predicate))
+          .drop(FileCol).withColumn("_change_type", lit("delete")))
+      rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries, cdc)
+    } finally if (head.cdfEnabled) shared.unpersist()
     deletedRows
   }
 
@@ -688,64 +747,82 @@ object DeltaWriter {
       require(tt == st, s"delta merge: key column '$k' is ${tt.simpleString} in the table " +
         s"but ${st.simpleString} in the source")
     }
-    val keyNonNull = onT.map(source(_).isNotNull).reduce(_ && _)
-    val dupKeys = source.where(keyNonNull).groupBy(onT.map(source(_)): _*)
-      .count().where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"delta merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
-        "a target row matching several source rows is nondeterministic (delta-spark " +
-        "raises the same error); de-duplicate the source first")
-    val srcKeys = source.where(keyNonNull).select(onT.map(source(_)): _*).distinct()
+    // The source frame is consumed up to four times below (dup-key
+    // gate, distinct keys, the update join, the insert anti-join); for
+    // a source that is itself an expensive query, re-running its plan
+    // per consumer would multiply its cost — one persist bounds it to
+    // a single evaluation, released after the commit.
+    val src = source.persist()
+    val tScans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val keyNonNull = onT.map(src(_).isNotNull).reduce(_ && _)
+      val dupKeys = src.where(keyNonNull).groupBy(onT.map(src(_)): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"delta merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
+          "a target row matching several source rows is nondeterministic (delta-spark " +
+          "raises the same error); de-duplicate the source first")
+      val srcKeys = src.where(keyNonNull).select(onT.map(src(_)): _*).distinct()
 
-    import org.apache.spark.sql.functions.lit
-    val cdfOn = head.cdfEnabled
-    def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
-    val order = schema.fieldNames.toSeq
-    val (touched, out, cdc) =
-      if (head.liveFiles.isEmpty)
-        (Nil,
-          if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None,
-          if (cdfOn && insertNotMatched)
-            Some(tag(source.select(order.map(source(_)): _*), "insert")) else None)
-      else {
-        val scan = scanLive(spark, f, table, head, head.liveFiles)
-        val touchedKeys = scan.join(srcKeys, onT, "left_semi")
-          .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
-        val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
-        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None, None)
+      import org.apache.spark.sql.functions.lit
+      val cdfOn = head.cdfEnabled
+      def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
+      val order = schema.fieldNames.toSeq
+      val (touched, out, cdc) =
+        if (head.liveFiles.isEmpty)
+          (Nil,
+            if (insertNotMatched) Some(src.select(order.map(src(_)): _*)) else None,
+            if (cdfOn && insertNotMatched)
+              Some(tag(src.select(order.map(src(_)): _*), "insert")) else None)
         else {
-          val tRows =
-            if (touchedFiles.isEmpty) None
-            else Some(scanLive(spark, f, table, head, touchedFiles).drop(FileCol))
-          val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
-          val matched = tRows.map(_.join(srcKeys, onT, "left_semi").select(order.map(col): _*))
-          val updated =
-            if (whenMatched == "update")
-              tRows.map(_.select(onT.map(col): _*).join(source, onT, "inner")
-                .select(order.map(col): _*))
-            else None
-          val inserts =
-            if (insertNotMatched) {
-              val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
-              Some(matchedKeys.fold(source.select(order.map(source(_)): _*))(mk =>
-                source.join(mk, onT, "left_anti").select(order.map(col): _*)))
-            } else None
-          val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
-          // CDF: precise diffs only — matched pre-images (update pairs
-          // or plain deletes), post-images, inserts; never survivors
-          val cdcFrames =
-            if (!cdfOn) Nil
-            else matched.map(m => tag(m,
-                if (whenMatched == "update") "update_preimage" else "delete")).toSeq ++
-              updated.map(tag(_, "update_postimage")).toSeq ++
-              inserts.map(tag(_, "insert")).toSeq
-          (touchedFiles, frames.reduceOption(_ unionByName _),
-            cdcFrames.reduceOption(_ unionByName _))
+          val scan = scanLive(spark, f, table, head, head.liveFiles)
+          val touchedKeys = scan.join(srcKeys, onT, "left_semi")
+            .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+          val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
+          if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None, None)
+          else {
+            // the touched files feed survivors + matched + updated +
+            // matched-keys — ONE persisted scan reads their bytes once
+            val tRows =
+              if (touchedFiles.isEmpty) None
+              else {
+                val s = scanLive(spark, f, table, head, touchedFiles).drop(FileCol).persist()
+                tScans += s
+                Some(s)
+              }
+            val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
+            val matched = tRows.map(_.join(srcKeys, onT, "left_semi").select(order.map(col): _*))
+            val updated =
+              if (whenMatched == "update")
+                tRows.map(_.select(onT.map(col): _*).join(src, onT, "inner")
+                  .select(order.map(col): _*))
+              else None
+            val inserts =
+              if (insertNotMatched) {
+                val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
+                Some(matchedKeys.fold(src.select(order.map(src(_)): _*))(mk =>
+                  src.join(mk, onT, "left_anti").select(order.map(col): _*)))
+              } else None
+            val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
+            // CDF: precise diffs only — matched pre-images (update pairs
+            // or plain deletes), post-images, inserts; never survivors
+            val cdcFrames =
+              if (!cdfOn) Nil
+              else matched.map(m => tag(m,
+                  if (whenMatched == "update") "update_preimage" else "delete")).toSeq ++
+                updated.map(tag(_, "update_postimage")).toSeq ++
+                inserts.map(tag(_, "insert")).toSeq
+            (touchedFiles, frames.reduceOption(_ unionByName _),
+              cdcFrames.reduceOption(_ unionByName _))
+          }
         }
-      }
-    if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
-    rewriteCommit(spark, f, table, head, touched,
-      out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries, cdc)
+      if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+      rewriteCommit(spark, f, table, head, touched,
+        out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries, cdc)
+    } finally {
+      src.unpersist()
+      tScans.foreach(_.unpersist())
+    }
   }
 
   // ---- internals -----------------------------------------------------
@@ -763,30 +840,62 @@ object DeltaWriter {
   private def liveKey(f: FileSystem, table: String, lf: LiveFile): String =
     PathKeys.driverKey(resolveLogPath(table, lf.path), f)
 
-  /** One pruned scan per partition tuple over `files`, the full LOGICAL
-    * schema re-attached (partition values as typed literals — data
-    * files do not store partition columns) plus [[FileCol]]. Column
-    * pruning still applies: consumers selecting only keys carry only
-    * keys through the scan. */
-  private def scanLive(spark: SparkSession, f: FileSystem, table: String,
+  /** Cap on the one-scan-per-partition-tuple plan shape: past it, ONE
+    * scan with a broadcast (file → partition values) join keeps the
+    * plan O(1) instead of O(distinct tuples) union-reduced FileScan
+    * nodes — the reader's round-7 `maxPartitionScans` stance
+    * (`DeltaReader.readImpl`), inherited here so merge/deleteWhere
+    * detection and rewrite scans survive high-cardinality
+    * (date-per-day, id-bucketed) partitioning. */
+  private val maxPartitionScans = 64
+
+  /** Pruned scan over `files`, the full LOGICAL schema re-attached
+    * (partition values as typed literals — data files do not store
+    * partition columns) plus [[FileCol]]. Up to [[maxPartitionScans]]
+    * distinct tuples: one scan per tuple with the values constant-
+    * folded; above it: ONE scan + broadcast (file → values) join, so
+    * plan size never tracks partition cardinality. Column pruning
+    * still applies: consumers selecting only keys carry only keys
+    * through the scan. */
+  private[readers] def scanLive(spark: SparkSession, f: FileSystem, table: String,
       head: HeadState, files: Seq[LiveFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val dataSchema = StructType(schema.fields.filterNot(fl =>
       head.partitionCols.exists(_.equalsIgnoreCase(fl.name))))
-    val frames = files.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
+    val groups = files.groupBy(_.partitionValues).toSeq
+    if (groups.size <= maxPartitionScans) {
+      val frames = groups.map { case (pv, group) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(group.map(g => resolveLogPath(table, g.path)): _*)
+          .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+        head.partitionCols.foldLeft(base) { (df, pc) =>
+          val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
+          df.withColumn(fl.name, Option(pv.getOrElse(pc, null)) match {
+            case Some(s) => lit(s).cast(fl.dataType)
+            case None    => lit(null).cast(fl.dataType)
+          })
+        }.select((schema.fieldNames.toSeq :+ FileCol).map(col): _*)
+      }
+      frames.reduce(_ unionByName _)
+    } else {
       val base = spark.read.schema(dataSchema)
-        .parquet(group.map(g => resolveLogPath(table, g.path)): _*)
+        .parquet(files.map(g => resolveLogPath(table, g.path)): _*)
         .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
-      head.partitionCols.foldLeft(base) { (df, pc) =>
+      val pvSchema = StructType(StructField("__pv_file", StringType) +:
+        head.partitionCols.map(pc => StructField(s"__pv_$pc", StringType)))
+      val pvRows = files.map { lf =>
+        org.apache.spark.sql.Row.fromSeq(liveKey(f, table, lf) +:
+          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null)))
+      }
+      val pvDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+      val joined = base.join(pvDf, col(FileCol) === col("__pv_file"), "left")
+      head.partitionCols.foldLeft(joined) { (df, pc) =>
         val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
-        df.withColumn(fl.name, Option(pv.getOrElse(pc, null)) match {
-          case Some(s) => lit(s).cast(fl.dataType)
-          case None    => lit(null).cast(fl.dataType)
-        })
+        df.withColumn(fl.name, col(s"__pv_$pc").cast(fl.dataType))
       }.select((schema.fieldNames.toSeq :+ FileCol).map(col): _*)
     }
-    frames.reduce(_ unionByName _)
   }
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
@@ -929,9 +1038,9 @@ object DeltaWriter {
   private case class AddSpec(path: String, partitionValues: Map[String, String],
       size: Long, mtime: Long, stats: Option[String])
 
-  private case class LiveFile(path: String, partitionValues: Map[String, String],
-      hasDv: Boolean = false)
-  private case class HeadState(schemaJson: String, partitionCols: Seq[String],
+  private[readers] case class LiveFile(path: String, partitionValues: Map[String, String],
+      hasDv: Boolean = false, stats: Option[String] = None)
+  private[readers] case class HeadState(schemaJson: String, partitionCols: Seq[String],
       liveFiles: Seq[LiveFile], metaJson: String = null) {
     def live: Seq[String] = liveFiles.map(_.path)
     def mappingMode: String =
@@ -997,7 +1106,7 @@ object DeltaWriter {
     * via a checkpoint-seeded commit-json replay (log paths stay
     * ENCODED — removes must tombstone the exact log string, not its
     * decoded form). */
-  private def currentState(spark: SparkSession, table: String): HeadState = {
+  private[readers] def currentState(spark: SparkSession, table: String): HeadState = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -1026,7 +1135,8 @@ object DeltaWriter {
         val pv = Option(ad.get("partitionValues")).map(_.properties().asScala.map(e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
           .getOrElse(Map.empty[String, String])
-        live(p) = LiveFile(p, pv, hasDv = ad.hasNonNull("deletionVector"))
+        live(p) = LiveFile(p, pv, hasDv = ad.hasNonNull("deletionVector"),
+          stats = Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
       }
       Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
     }

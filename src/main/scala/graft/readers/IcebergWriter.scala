@@ -1223,56 +1223,72 @@ object IcebergWriter {
       require(sameShape(tt, st), s"iceberg merge: key column '$k' is ${tt.simpleString} in " +
         s"the table but ${st.simpleString} in the source")
     }
-    val keyNonNull = onT.map(source(_).isNotNull).reduce(_ && _)
-    val dupKeys = source.where(keyNonNull).groupBy(onT.map(source(_)): _*)
-      .count().where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"iceberg merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
-        "a target row matching several source rows is nondeterministic; de-duplicate first")
-    val srcKeys = source.where(keyNonNull).select(onT.map(source(_)): _*).distinct()
-    val live0 = liveEntries(spark, meta0, table)
-    val order = schema.fieldNames.toSeq
-    def scanOf(entries: Seq[LiveEntry]): DataFrame =
-      spark.read.schema(schema).parquet(entries.map(_.path): _*)
-        .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
-    val (touched, out) =
-      if (live0.isEmpty)
-        (Nil, if (insertNotMatched) Some(source.select(order.map(source(_)): _*)) else None)
-      else {
-        val touchedKeys = scanOf(live0).join(srcKeys, onT, "left_semi")
-          .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
-        val touchedFiles = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
-        if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
+    // one persist bounds the source plan to a single evaluation across
+    // its four consumers (dup-key gate, distinct keys, update join,
+    // insert anti-join), released after the commit — the Delta twin's
+    // stance
+    val src = source.persist()
+    val tScans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val keyNonNull = onT.map(src(_).isNotNull).reduce(_ && _)
+      val dupKeys = src.where(keyNonNull).groupBy(onT.map(src(_)): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"iceberg merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
+          "a target row matching several source rows is nondeterministic; de-duplicate first")
+      val srcKeys = src.where(keyNonNull).select(onT.map(src(_)): _*).distinct()
+      val live0 = liveEntries(spark, meta0, table)
+      val order = schema.fieldNames.toSeq
+      def scanOf(entries: Seq[LiveEntry]): DataFrame =
+        spark.read.schema(schema).parquet(entries.map(_.path): _*)
+          .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      val (touched, out) =
+        if (live0.isEmpty)
+          (Nil, if (insertNotMatched) Some(src.select(order.map(src(_)): _*)) else None)
         else {
-          val tRows =
-            if (touchedFiles.isEmpty) None else Some(scanOf(touchedFiles).drop(FileCol))
-          val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
-          val updated =
-            if (whenMatched == "update")
-              tRows.map(_.select(onT.map(col): _*).join(source, onT, "inner")
-                .select(order.map(col): _*))
-            else None
-          val inserts =
-            if (insertNotMatched) {
-              val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
-              Some(matchedKeys.fold(source.select(order.map(source(_)): _*))(mk =>
-                source.join(mk, onT, "left_anti").select(order.map(col): _*)))
-            } else None
-          val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
-          (touchedFiles, frames.reduceOption(_ unionByName _))
+          val touchedKeys = scanOf(live0).join(srcKeys, onT, "left_semi")
+            .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+          val touchedFiles = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
+          if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
+          else {
+            val tRows =
+              if (touchedFiles.isEmpty) None
+              else {
+                val s = scanOf(touchedFiles).drop(FileCol).persist()
+                tScans += s
+                Some(s)
+              }
+            val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
+            val updated =
+              if (whenMatched == "update")
+                tRows.map(_.select(onT.map(col): _*).join(src, onT, "inner")
+                  .select(order.map(col): _*))
+              else None
+            val inserts =
+              if (insertNotMatched) {
+                val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
+                Some(matchedKeys.fold(src.select(order.map(src(_)): _*))(mk =>
+                  src.join(mk, onT, "left_anti").select(order.map(col): _*)))
+              } else None
+            val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
+            (touchedFiles, frames.reduceOption(_ unionByName _))
+          }
         }
-      }
-    if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
-    val partDefs = tablePartDefs(meta0)
-    val newEntries = out.map(o =>
-      stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
-    val txnProps = txn.map { case (appId, v) =>
-      Map("graft.txn.app-id" -> appId, "graft.txn.version" -> v.toString)
-    }.getOrElse(Map.empty[String, String])
-    commitRewrite(spark, f, table, "merge",
-      Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
-      live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
-      txnProps, maxRetries)
+      if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+      val partDefs = tablePartDefs(meta0)
+      val newEntries = out.map(o =>
+        stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
+      val txnProps = txn.map { case (appId, v) =>
+        Map("graft.txn.app-id" -> appId, "graft.txn.version" -> v.toString)
+      }.getOrElse(Map.empty[String, String])
+      commitRewrite(spark, f, table, "merge",
+        Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
+        live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
+        txnProps, maxRetries)
+    } finally {
+      src.unpersist()
+      tScans.foreach(_.unpersist())
+    }
   }
 
   /** The writer-stamp gate + current metadata tree AND its file

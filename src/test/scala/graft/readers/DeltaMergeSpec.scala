@@ -318,6 +318,101 @@ class DeltaMergeSpec extends SparkSpec {
     assert(pfeed == Set((1L, 7, "update_preimage"), (1L, 7, "update_postimage")))
   }
 
+  test(">64 partition tuples: detection/rewrite scans collapse to ONE FileScan + broadcast join; merge and delete stay correct") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmwide").toString
+    // 70 distinct partition tuples — past the 64-tuple cap the union-
+    // of-per-tuple-scans plan shape is a planner bottleneck; the writer
+    // must fall back to the reader's one-scan + broadcast join shape
+    val df = spark.range(70).select($"id", ($"id" % 70).cast("int").as("p"),
+      ($"id" * 10).cast("int").as("v"))
+    DeltaWriter.write(spark, df, t, partitionBy = Seq("p"))
+    val head = DeltaWriter.currentState(spark, t)
+    assert(head.liveFiles.map(_.partitionValues).distinct.size == 70)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(t).resolve("/"), spark.sparkContext.hadoopConfiguration)
+    val scan = DeltaWriter.scanLive(spark, fs, t, head, head.liveFiles)
+    val plan = scan.queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"expected ONE FileScan above the tuple cap, plan had $nScans")
+    // the broadcast-attached partition values are typed and correct
+    assert(scan.where("p = 13").select("id").as[Long].collect().toSeq == Seq(13L))
+    // deleteWhere through the capped shape: correct rows, one commit
+    assert(DeltaWriter.deleteWhere(spark, t, "v >= 650") == 5L)
+    assert(DeltaReader.read(spark, t).count() == 65L)
+    // merge through the capped shape: update one row, insert one
+    DeltaWriter.merge(spark,
+      Seq((3L, 3, 999), (200L, 71, 1)).toDF("id", "p", "v"), t, on = Seq("id"))
+    val got = DeltaReader.read(spark, t).where("id = 3 OR id = 200")
+      .select("id", "v").as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((3L, 999), (200L, 1)))
+    assert(DeltaReader.read(spark, t).count() == 66L)
+  }
+
+  test("deleteWhere pre-prunes detection: clean partitions' and stats-excluded files are NEVER opened") {
+    import spark.implicits._
+    // partition pruning: make p=8's data file DANGLE (bytes deleted,
+    // add still live) — a detection scan that listed it would fail at
+    // plan time, so a green partition-scoped delete proves the file
+    // was never touched
+    val t = Files.createTempDirectory("dmprune").toString
+    val df = Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8)).toDF("id", "name", "p")
+      .repartition(2, org.apache.spark.sql.functions.col("p"))
+    DeltaWriter.write(spark, df, t, partitionBy = Seq("p"))
+    DeltaReader.read(spark, t, filter = Some("p = 8")).inputFiles.foreach { u =>
+      assert(new java.io.File(new java.net.URI(u)).delete())
+    }
+    assert(DeltaWriter.deleteWhere(spark, t, "p = 7 AND id = 1") == 1L)
+    assert(DeltaReader.read(spark, t, filter = Some("p = 7"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // stats pruning (unpartitioned): two files with disjoint id ranges,
+    // the high-range file dangling — a delete scoped under its min must
+    // skip it from the add.stats ranges alone
+    val t2 = Files.createTempDirectory("dmprune2").toString
+    DeltaWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), t2)
+    DeltaWriter.write(spark, Seq((100L, "x"), (200L, "y")).toDF("id", "name").coalesce(1), t2)
+    val hiFile = DeltaReader.read(spark, t2, filter = Some("id >= 100")).inputFiles
+    assert(hiFile.length == 1)
+    hiFile.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
+    assert(DeltaWriter.deleteWhere(spark, t2, "id = 2") == 1L)
+    assert(DeltaReader.read(spark, t2, filter = Some("id < 100"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("merge evaluates its source plan exactly ONCE (persisted across the four consumers)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmsrc1").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v").coalesce(1), t)
+    val acc = spark.sparkContext.longAccumulator("srcEvals")
+    val src = spark.createDataset(Seq((2L, "B", 21), (4L, "d", 40)))
+      .map { r => acc.add(1); r }.toDF("id", "name", "v")
+    DeltaWriter.merge(spark, src, t, on = Seq("id"))
+    assert(acc.value == 2L,
+      s"source rows were evaluated ${acc.value} times across dup-gate/keys/update/insert — expected once each")
+    assert(DeltaReader.read(spark, t).select("id", "v").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, 10), (2L, 21), (4L, 40)))
+  }
+
+  test("tableConf allowlists delta.* keys at create: behavior-bearing properties refuse, custom keys pass") {
+    import spark.implicits._
+    for (bad <- Seq("delta.columnMapping.mode" -> "name",
+        "delta.enableDeletionVectors" -> "true", "delta.appendOnly" -> "true")) {
+      val t = Files.createTempDirectory("dmconf").toString
+      val e = intercept[Exception](DeltaWriter.write(spark,
+        Seq((1L, "a")).toDF("id", "name"), t, tableConf = Map(bad)))
+      assert(e.getMessage.contains("delta-spark connector"), s"$bad must refuse")
+    }
+    // non-delta custom properties are inert metadata — pass verbatim
+    // alongside the honored CDF key
+    val t = Files.createTempDirectory("dmconfok").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t,
+      tableConf = Map("graft.pipeline" -> "nightly", "delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, t, "id = 1") == 1L)
+    assert(DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_change_type = 'delete'").count() == 1L)
+  }
+
   test("merge txn marks the commit for exactly-once streaming upserts") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmtxn").toString

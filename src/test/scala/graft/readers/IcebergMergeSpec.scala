@@ -130,6 +130,21 @@ class IcebergMergeSpec extends SparkSpec {
       Seq(1L, 3L))
   }
 
+  test("merge evaluates its source plan exactly ONCE (persisted across the four consumers)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imsrc1").toString
+    IcebergWriter.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v").coalesce(1), t)
+    val acc = spark.sparkContext.longAccumulator("srcEvals")
+    val src = spark.createDataset(Seq((2L, "B", 21), (4L, "d", 40)))
+      .map { r => acc.add(1); r }.toDF("id", "name", "v")
+    IcebergWriter.merge(spark, src, t, on = Seq("id"))
+    assert(acc.value == 2L,
+      s"source rows were evaluated ${acc.value} times across dup-gate/keys/update/insert — expected once each")
+    assert(IcebergReader.read(spark, t).select("id", "v").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, 10), (2L, 21), (4L, 40)))
+  }
+
   test("gates: duplicate source keys, nondeterministic predicates, external tables") {
     import spark.implicits._
     val t = Files.createTempDirectory("imgate").toString
