@@ -103,6 +103,15 @@ object DeltaWriter {
         "implement (the staged files would contradict the configuration, corrupting " +
         "compliant readers); create the table with the delta-spark connector — " +
         "supported here: delta.enableChangeDataFeed")
+    // honored keys canonicalize to their exact protocol spelling: the
+    // gate admits any case, but the honor paths (CDF activation below,
+    // `cdfEnabled` reads) match exact-case — a Delta.EnableChangeDataFeed
+    // written verbatim would pass the gate yet silently never activate,
+    // the silent-ignore outcome the gate exists to prevent
+    val tableConfC = tableConf.map { case (k, v) =>
+      (if (k.equalsIgnoreCase("delta.enableChangeDataFeed")) "delta.enableChangeDataFeed"
+       else k) -> v
+    }
 
     // against an existing table, the incoming frame must match its
     // schema and partitioning — silently writing a drifted schema
@@ -297,9 +306,9 @@ object DeltaWriter {
           // table properties at CREATE (delta.enableChangeDataFeed=true
           // turns on cdc emission for the row-level rewrites below;
           // CDF requires writer version 4 per the protocol)
-          val wv = if (tableConf.get("delta.enableChangeDataFeed")
+          val wv = if (tableConfC.get("delta.enableChangeDataFeed")
               .exists(_.equalsIgnoreCase("true"))) 4 else 2
-          val confJson = tableConf.map { case (k, v) => s"${js(k)}:${js(v)}" }
+          val confJson = tableConfC.map { case (k, v) => s"${js(k)}:${js(v)}" }
             .mkString("{", ",", "}")
           actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
           actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
@@ -641,19 +650,7 @@ object DeltaWriter {
     // partition-scoped delete on a 100 TB table now opens only its own
     // partition's footers instead of every live file's.
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    var candidates = head.liveFiles
-    if (head.partitionCols.nonEmpty) {
-      val partFields = head.partitionCols.map(pc =>
-        schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get))
-      FileSkipping.partitionPrune(spark, partFields,
-        candidates.map(lf => lf.path ->
-          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null))), conjs)
-        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
-    }
-    if (candidates.nonEmpty)
-      FileSkipping.statsPrune(spark, schema,
-        candidates.map(lf => lf.path -> lf.stats.orNull), conjs)
-        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
+    val candidates = pruneLiveFiles(spark, head, schema, head.liveFiles, conjs)
     if (candidates.isEmpty) return 0L
     val scan = scanLive(spark, f, table, head, candidates)
     val agg = scan.where(expr(predicate))
@@ -751,8 +748,13 @@ object DeltaWriter {
     // gate, distinct keys, the update join, the insert anti-join); for
     // a source that is itself an expensive query, re-running its plan
     // per consumer would multiply its cost — one persist bounds it to
-    // a single evaluation, released after the commit.
-    val src = source.persist()
+    // a single evaluation, released after the commit. Spark's cache is
+    // NOT refcounted, so a source the caller already cached is used
+    // as-is and never unpersisted here (unpersisting would silently
+    // drop the caller's cache).
+    val srcPersistedHere =
+      source.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (srcPersistedHere) source.persist() else source
     val tScans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val keyNonNull = onT.map(src(_).isNotNull).reduce(_ && _)
@@ -775,9 +777,16 @@ object DeltaWriter {
             if (cdfOn && insertNotMatched)
               Some(tag(src.select(order.map(src(_)): _*), "insert")) else None)
         else {
-          val scan = scanLive(spark, f, table, head, head.liveFiles)
-          val touchedKeys = scan.join(srcKeys, onT, "left_semi")
-            .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+          // detection pre-pruning by the source keys' [min,max]: a
+          // file whose stats / partition tuple exclude every source
+          // key cannot hold a matched row, so a key-bounded merge into
+          // a 100 TB table opens only the files its keys could live in
+          val detectFiles = pruneLiveFiles(spark, head, schema, head.liveFiles,
+            FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+          val touchedKeys =
+            if (detectFiles.isEmpty) Set.empty[String]
+            else scanLive(spark, f, table, head, detectFiles).join(srcKeys, onT, "left_semi")
+              .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
           val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
           if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None, None)
           else {
@@ -820,7 +829,7 @@ object DeltaWriter {
       rewriteCommit(spark, f, table, head, touched,
         out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries, cdc)
     } finally {
-      src.unpersist()
+      if (srcPersistedHere) src.unpersist()
       tScans.foreach(_.unpersist())
     }
   }
@@ -839,6 +848,38 @@ object DeltaWriter {
 
   private def liveKey(f: FileSystem, table: String, lf: LiveFile): String =
     PathKeys.driverKey(resolveLogPath(table, lf.path), f)
+
+  /** Pre-prune the DETECTION candidates of a row-level rewrite with
+    * the reader's own skipping machinery BEFORE any data file is
+    * opened: exact partition-tuple evaluation (a false-or-NULL tuple
+    * cannot contain a matching row — SQL delete semantics), then
+    * conservative add.stats min/max ranges. Both stages fail open, and
+    * the detection scan re-applies the full predicate, so skipping is
+    * correctness-neutral — but a partition-scoped delete (or a
+    * key-bounded merge) on a 100 TB table opens only its own
+    * partition's footers instead of every live file's. A declared
+    * partition column absent from the schema (a malformed log this
+    * writer didn't produce) skips partition pruning rather than
+    * throwing — pruning is an optimization. */
+  private def pruneLiveFiles(spark: SparkSession, head: HeadState, schema: StructType,
+      files: Seq[LiveFile],
+      conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[LiveFile] = {
+    if (conjs.isEmpty || files.isEmpty) return files
+    var candidates = files
+    val partFields = head.partitionCols.flatMap(pc =>
+      schema.fieldNames.find(_.equalsIgnoreCase(pc)).map(schema(_)))
+    if (head.partitionCols.nonEmpty && partFields.size == head.partitionCols.size) {
+      FileSkipping.partitionPrune(spark, partFields,
+        candidates.map(lf => lf.path ->
+          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null))), conjs)
+        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
+    }
+    if (candidates.nonEmpty)
+      FileSkipping.statsPrune(spark, schema,
+        candidates.map(lf => lf.path -> lf.stats.orNull), conjs)
+        .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
+    candidates
+  }
 
   /** Cap on the one-scan-per-partition-tuple plan shape: past it, ONE
     * scan with a broadcast (file → partition values) join keeps the
@@ -1281,8 +1322,16 @@ object DeltaWriter {
             // per-block extremes compare through the TYPED form, not text
             def pick(vs: Seq[String], takeMax: Boolean): String = fl.dataType match {
               case StringType | DateType =>
+                // code-point order, matching FileSkipping.statsPrune's
+                // comparison domain (UTF8String byte order) — String's
+                // UTF-16 code-unit order ranks supplementary-plane
+                // chars below U+E000..U+FFFF, so a max picked that way
+                // could sort BELOW the true max and let the stats
+                // pruner wrongly skip this file
+                val ord = Ordering.fromLessThan[String](
+                  (a, b) => FileSkipping.codePointCompare(a, b) < 0)
                 val unq = vs.map(s => mapper.readTree(s).asText())
-                js(if (takeMax) unq.max else unq.min)
+                js(if (takeMax) unq.max(ord) else unq.min(ord))
               case FloatType | DoubleType =>
                 val ds = vs.map(_.toDouble)
                 if (takeMax) vs(ds.indexOf(ds.max)) else vs(ds.indexOf(ds.min))

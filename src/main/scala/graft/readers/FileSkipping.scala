@@ -318,4 +318,76 @@ object FileSkipping {
       case _    => false
     }
   }
+
+  /** Iceberg "single-value serialization" bound decode (spec Appendix D:
+    * little-endian numerics, epoch micros for timestamps, raw UTF-8 for
+    * strings, big-endian two's-complement unscaled decimals) — shared by
+    * the reader's per-file bounds stage and the writer's row-level
+    * detection pre-pruning. Unknown types / malformed bytes fail open
+    * (None → the caller keeps the file). */
+  def decodeIcebergBound(node: com.fasterxml.jackson.databind.JsonNode,
+      icebergType: String): Option[Any] =
+    Option(node).filterNot(_.isNull).flatMap { n =>
+      Try {
+        val bytes = java.util.Base64.getDecoder.decode(n.asText())
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        icebergType match {
+          case "int" | "date" if bytes.length == 4              => Some(bb.getInt.toLong)
+          case "long" if bytes.length == 8                      => Some(bb.getLong)
+          case "timestamp" | "timestamptz" if bytes.length == 8 => Some(bb.getLong)
+          case "float" if bytes.length == 4                     => Some(bb.getFloat.toDouble)
+          case "double" if bytes.length == 8                    => Some(bb.getDouble)
+          case "string" =>
+            Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case d if d.startsWith("decimal(") =>
+            Try {
+              val scale = d.stripPrefix("decimal(").stripSuffix(")").split(",")(1).trim.toInt
+              new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+            }.toOption
+          case _ => None
+        }
+      }.toOption.flatten
+    }
+
+  /** Conjuncts bounding merge key columns to the source keys' [min,
+    * max] — detection pre-pruning for row-level MERGE: a file whose
+    * stats / partition tuple excludes every source key cannot hold a
+    * matched row, so the key-range conjuncts prune the detection scan
+    * exactly like a delete predicate would. One small aggregate over
+    * the (persisted) distinct-key frame; un-orderable key types or any
+    * failure contribute nothing (fail open). */
+  def keyBoundConjuncts(srcKeys: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      schema: StructType): Seq[Expression] =
+    Try {
+      import org.apache.spark.sql.functions.{max => maxF, min => minF}
+      val aggs = keys.flatMap(k => Seq(minF(col(k)), maxF(col(k))))
+      val r = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        val dt = schema(schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType
+        (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+          case (Some(mn), Some(mx)) => Seq[Expression](
+            GreaterThanOrEqual(UnresolvedAttribute(Seq(k)), Literal.create(mn, dt)),
+            LessThanOrEqual(UnresolvedAttribute(Seq(k)), Literal.create(mx, dt)))
+          case _ => Nil // empty/all-null key frame: nothing to bound
+        }
+      }
+    }.getOrElse(Nil)
+
+  /** One field's bound out of a manifest `lower_bounds`/`upper_bounds`
+    * JSON — accepts both the Avro array-of-{key,value} record form real
+    * manifests carry and the object form keyed by field-id text. */
+  def icebergBound(json: String, fieldId: Int, icebergType: String): Option[Any] =
+    Option(json).flatMap { j =>
+      Try {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        val v =
+          if (node.isArray)
+            node.elements().asScala
+              .find(e => Option(e.get("key")).exists(_.asInt() == fieldId))
+              .flatMap(e => Option(e.get("value")))
+          else Option(node.get(fieldId.toString))
+        v.flatMap(decodeIcebergBound(_, icebergType))
+      }.toOption.flatten
+    }
 }

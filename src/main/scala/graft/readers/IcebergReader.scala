@@ -828,31 +828,14 @@ object IcebergReader {
       case _                       => "int" // bucket, year, month, hour
     }
 
-    // spec "single-value serialization": bounds are little-endian for
-    // the numeric types, raw UTF-8 for strings; unknowns fail open
+    // spec "single-value serialization": little-endian numerics, epoch
+    // micros for timestamps (comparable against the type-guarded
+    // literal domain; literalsMatch keeps days out), raw UTF-8 strings,
+    // BIG-endian unscaled decimals; unknowns fail open — shared decode
+    // lives in FileSkipping (the writer's detection pre-pruning uses it
+    // too, so writer and pruner cannot drift)
     def decodeBound(node: JsonNode, icebergType: String): Option[Any] =
-      Option(node).filterNot(_.isNull).flatMap { n =>
-        val bytes = java.util.Base64.getDecoder.decode(n.asText())
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        icebergType match {
-          case "int" | "date" if bytes.length == 4 => Some(bb.getInt.toLong)
-          case "long" if bytes.length == 8         => Some(bb.getLong)
-          // epoch micros — comparable against the (type-guarded)
-          // timestamp literal domain; literalsMatch keeps days out
-          case "timestamp" | "timestamptz" if bytes.length == 8 => Some(bb.getLong)
-          case "float" if bytes.length == 4        => Some(bb.getFloat.toDouble)
-          case "double" if bytes.length == 8       => Some(bb.getDouble)
-          case "string"                            =>
-            Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          case d if d.startsWith("decimal(") =>
-            // spec: unscaled value, two's-complement BIG-endian
-            scala.util.Try {
-              val scale = d.stripPrefix("decimal(").stripSuffix(")").split(",")(1).trim.toInt
-              new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
-            }.toOption
-          case _                                   => None
-        }
-      }
+      FileSkipping.decodeIcebergBound(node, icebergType)
 
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
     val tableFs = fs(table, conf)
@@ -1280,16 +1263,7 @@ object IcebergReader {
           // records (the avro map form needs string keys); a true map
           // serializes as a JSON object keyed by the id — accept both
           def bound(json: String, id: Int, t: String): Option[Any] =
-            Option(json).flatMap { j =>
-              val node = om.readTree(j)
-              val v =
-                if (node.isArray)
-                  node.elements().asScala
-                    .find(e => Option(e.get("key")).exists(_.asInt() == id))
-                    .flatMap(e => Option(e.get("value")))
-                else Option(node.get(id.toString))
-              v.flatMap(n => decodeBound(n, t))
-            }
+            FileSkipping.icebergBound(json, id, t)
           // same-domain literals only (days vs micros vs ints are all
           // bare Longs here — a mixed compare would prune wrong files,
           // not fewer); the guard depends on (shape, column type) only,

@@ -1160,15 +1160,17 @@ object IcebergWriter {
         "use bare column names and deterministic expressions")
     val live0 = liveEntries(spark, meta0, table)
     if (live0.isEmpty) return 0L
+    val candidates = pruneDetection(spark, meta0, fieldNodes, live0, conjs)
+    if (candidates.isEmpty) return 0L
     def scanOf(entries: Seq[LiveEntry]): DataFrame =
       spark.read.schema(schema).parquet(entries.map(_.path): _*)
         .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
-    val agg = scanOf(live0).where(expr(predicate))
+    val agg = scanOf(candidates).where(expr(predicate))
       .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
     val deleted = agg.getLong(0)
     if (deleted == 0L) return 0L
     val touchedKeys = agg.getSeq[String](1).toSet
-    val touched = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
+    val touched = candidates.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
     val survivors = scanOf(touched)
       .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
     val partDefs = tablePartDefs(meta0)
@@ -1226,8 +1228,11 @@ object IcebergWriter {
     // one persist bounds the source plan to a single evaluation across
     // its four consumers (dup-key gate, distinct keys, update join,
     // insert anti-join), released after the commit — the Delta twin's
-    // stance
-    val src = source.persist()
+    // stance. Spark's cache is not refcounted: a source the caller
+    // already cached is used as-is and never unpersisted here.
+    val srcPersistedHere =
+      source.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (srcPersistedHere) source.persist() else source
     val tScans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val keyNonNull = onT.map(src(_).isNotNull).reduce(_ && _)
@@ -1246,8 +1251,16 @@ object IcebergWriter {
         if (live0.isEmpty)
           (Nil, if (insertNotMatched) Some(src.select(order.map(src(_)): _*)) else None)
         else {
-          val touchedKeys = scanOf(live0).join(srcKeys, onT, "left_semi")
-            .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+          // detection pre-pruning by the source keys' [min,max]: a
+          // file whose bounds / identity tuple exclude every source
+          // key cannot hold a matched row, so a key-bounded merge into
+          // a 100 TB table opens only the files its keys could live in
+          val detectEntries = pruneDetection(spark, meta0, fieldNodes, live0,
+            FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+          val touchedKeys =
+            if (detectEntries.isEmpty) Set.empty[String]
+            else scanOf(detectEntries).join(srcKeys, onT, "left_semi")
+              .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
           val touchedFiles = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
           if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
           else {
@@ -1286,7 +1299,7 @@ object IcebergWriter {
         live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
         txnProps, maxRetries)
     } finally {
-      src.unpersist()
+      if (srcPersistedHere) src.unpersist()
       tScans.foreach(_.unpersist())
     }
   }
@@ -1374,6 +1387,62 @@ object IcebergWriter {
       .map(r => LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
         r.getAs[Long]("rc"), r.getAs[String]("pv"),
         r.getAs[String]("lbj"), r.getAs[String]("ubj")))
+  }
+
+  /** Pre-prune the DETECTION candidates of a row-level rewrite with
+    * the reader's own skipping machinery BEFORE any data file's footer
+    * opens (the round-13 Delta shape, ported): exact identity-
+    * partition-tuple evaluation, then conservative per-file column
+    * bounds (manifest lower_bounds/upper_bounds, the SAME single-value
+    * decode the reader prunes with, so writer and pruner cannot
+    * drift). Both stages fail open and the detection scan re-applies
+    * the full predicate, so skipping is correctness-neutral — but a
+    * partition-scoped delete (or a key-bounded merge) on a 100 TB
+    * table opens only its own partition's files, not every live file. */
+  private def pruneDetection(spark: SparkSession, meta: JsonNode,
+      fieldNodes: Seq[JsonNode], entries: Seq[LiveEntry],
+      conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[LiveEntry] = {
+    if (conjs.isEmpty || entries.isEmpty) return entries
+    var candidates = entries
+    val identityFields = tablePartDefs(meta).collect {
+      case (_, src, PIdentity, dt) => StructField(src, dt)
+    }
+    if (identityFields.nonEmpty) scala.util.Try {
+      // entries without a readable tuple for every identity field fail
+      // open (kept) — partitionPrune would read an absent key as a
+      // genuine NULL and wrongly drop the file
+      val (withPv, withoutPv) = candidates.partition(e => e.pvJson != null && {
+        val node = mapper.readTree(e.pvJson)
+        identityFields.forall(pf => node.has(pf.name))
+      })
+      val tuples = withPv.map { e =>
+        val node = mapper.readTree(e.pvJson)
+        e.path -> identityFields.map(pf =>
+          Option(node.get(pf.name)).filterNot(_.isNull).map(_.asText()).orNull)
+      }
+      FileSkipping.partitionPrune(spark, identityFields, tuples, conjs).foreach(kept =>
+        candidates = withPv.filter(e => kept.contains(e.path)) ++ withoutPv)
+    }
+    if (candidates.nonEmpty) scala.util.Try {
+      val shapes = conjs.flatMap(FileSkipping.simpleShape)
+        .collect { case c: FileSkipping.Cmp => c }
+      val byColName = fieldNodes.map(n => n.get("name").asText().toLowerCase ->
+        (n.get("id").asInt(), n.get("type").asText())).toMap
+      // same-domain literals only (bare ordinals: days vs micros vs
+      // ints would compare WRONG, not fewer — the reader's guard)
+      val guarded = shapes.flatMap(c => byColName.get(c.name.toLowerCase)
+        .filter { case (_, t) => FileSkipping.literalsMatch(c, t) }
+        .map(ct => (c, ct._1, ct._2)))
+      if (guarded.nonEmpty)
+        candidates = candidates.filterNot { e =>
+          (e.lowerJson != null || e.upperJson != null) && guarded.exists { case (c, id, t) =>
+            FileSkipping.rangeExcludes(c,
+              FileSkipping.icebergBound(e.lowerJson, id, t),
+              FileSkipping.icebergBound(e.upperJson, id, t))
+          }
+        }
+    }
+    candidates
   }
 
   /** Live entries whose partition tuple satisfies `predicate`,

@@ -379,6 +379,85 @@ class DeltaMergeSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("merge pre-prunes detection by the source keys' [min,max]: out-of-range files are NEVER opened") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmkprune").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 10), (2L, "b", 20))
+      .toDF("id", "name", "v").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((100L, "x", 1), (200L, "y", 2))
+      .toDF("id", "name", "v").coalesce(1), t)
+    // the high-range file dangles: a detection semi-join that scanned
+    // it would fail at plan time, so a green merge whose keys all sit
+    // in [1,2] proves the key-bound conjuncts pruned it via add.stats
+    val hiFile = DeltaReader.read(spark, t, filter = Some("id >= 100")).inputFiles
+    assert(hiFile.length == 1)
+    hiFile.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
+    DeltaWriter.merge(spark, Seq((2L, "B", 21)).toDF("id", "name", "v"), t,
+      on = Seq("id"), insertNotMatched = false)
+    assert(DeltaReader.read(spark, t, filter = Some("id < 100"))
+      .select("id", "name", "v").as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10), (2L, "B", 21)))
+  }
+
+  test("merge leaves a source the CALLER cached exactly as it found it (no refcount-free unpersist)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmcached").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 10)).toDF("id", "name", "v").coalesce(1), t)
+    val src = Seq((1L, "A", 11), (2L, "b", 20)).toDF("id", "name", "v").persist()
+    try {
+      src.count() // materialize the caller's cache
+      DeltaWriter.merge(spark, src, t, on = Seq("id"))
+      assert(src.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "merge dropped the caller's cache — Spark's cache is not refcounted")
+      assert(DeltaReader.read(spark, t).select("id", "v").as[(Long, Int)]
+        .collect().sortBy(_._1).toSeq == Seq((1L, 11), (2L, 20)))
+    } finally src.unpersist()
+  }
+
+  test("tableConf honors delta.enableChangeDataFeed in ANY case (canonicalized, not silently inert)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmconfcase").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t,
+      tableConf = Map("DELTA.EnableChangeDataFeed" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, t, "id = 1") == 1L)
+    // a differently-cased key that merely passed the gate verbatim
+    // would leave writer version 2 and emit no cdc files
+    assert(DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_change_type = 'delete'").count() == 1L)
+  }
+
+  test("string stats extremes are picked in code-point order across row groups (pruning-safe max)") {
+    import spark.implicits._
+    // one file, multiple row groups: the early groups' strings sort
+    // HIGH in UTF-16 code-unit order (U+E000 block) but LOW in code
+    // point / UTF8String byte order against the late groups'
+    // supplementary-plane strings (U+1F600). A max picked with
+    // String's natural ordering would record the U+E000 string,
+    // sorting BELOW the true max in the pruner's domain — and the
+    // delete below would be wrongly pruned to zero rows.
+    val pad = "x" * 80
+    val rows = (0 until 250).map(i => (i.toLong, "" + f"$i%04d" + pad)) ++
+      (250 until 500).map(i => (i.toLong, "😀" + f"$i%04d" + pad))
+    val t = Files.createTempDirectory("dmcp").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "2048")
+    try DeltaWriter.write(spark, rows.toDF("id", "s").coalesce(1), t)
+    finally prior match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None    => hc.unset("parquet.block.size")
+    }
+    // the fixture only bites with >1 row group in the single data file
+    val file = DeltaReader.read(spark, t).inputFiles
+    assert(file.length == 1)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      hc, new org.apache.hadoop.fs.Path(new java.net.URI(file(0))),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    assert(footer.getBlocks.size() > 1, "fixture needs multiple row groups")
+    assert(DeltaWriter.deleteWhere(spark, t, "s >= '😀'") == 250L)
+    assert(DeltaReader.read(spark, t).count() == 250L)
+  }
+
   test("merge evaluates its source plan exactly ONCE (persisted across the four consumers)") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmsrc1").toString

@@ -254,6 +254,56 @@ class IcebergMergeSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("merge_keys")))
   }
 
+  test("deleteWhere pre-prunes detection: clean partitions' and bounds-excluded files are NEVER opened") {
+    import spark.implicits._
+    // identity-partition pruning: p=8's data file DANGLES (bytes
+    // deleted, manifest entry live) — a detection scan that listed it
+    // would fail at plan time, so a green partition-scoped delete
+    // proves it was never touched (the round-13 Delta fixture, ported)
+    val t = Files.createTempDirectory("imprune").toString
+    val df = Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8)).toDF("id", "name", "p")
+      .repartition(2, org.apache.spark.sql.functions.col("p"))
+    IcebergWriter.write(spark, df, t, partitionBy = Seq("p"))
+    IcebergReader.read(spark, t, filter = Some("p = 8")).inputFiles.foreach { u =>
+      assert(new java.io.File(new java.net.URI(u)).delete())
+    }
+    assert(IcebergWriter.deleteWhere(spark, t, "p = 7 AND id = 1") == 1L)
+    assert(IcebergReader.read(spark, t, filter = Some("p = 7"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // column-bounds pruning (unpartitioned): two files with disjoint
+    // id ranges, the high-range file dangling — the manifest
+    // lower/upper bounds alone must skip it
+    val t2 = Files.createTempDirectory("imprune2").toString
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), t2)
+    IcebergWriter.write(spark, Seq((100L, "x"), (200L, "y")).toDF("id", "name").coalesce(1), t2)
+    val hiFile = IcebergReader.read(spark, t2, filter = Some("id >= 100")).inputFiles
+    assert(hiFile.length == 1)
+    hiFile.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
+    assert(IcebergWriter.deleteWhere(spark, t2, "id = 2") == 1L)
+    assert(IcebergReader.read(spark, t2, filter = Some("id < 100"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("merge pre-prunes detection by the source keys' [min,max]: out-of-range files are NEVER opened") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imkprune").toString
+    IcebergWriter.write(spark, Seq((1L, "a", 10), (2L, "b", 20))
+      .toDF("id", "name", "v").coalesce(1), t)
+    IcebergWriter.write(spark, Seq((100L, "x", 1), (200L, "y", 2))
+      .toDF("id", "name", "v").coalesce(1), t)
+    // the high-range file dangles: a detection semi-join that scanned
+    // it would fail at plan time, so a green merge whose keys all sit
+    // in [1,2] proves the key-bound conjuncts pruned it
+    val hiFile = IcebergReader.read(spark, t, filter = Some("id >= 100")).inputFiles
+    assert(hiFile.length == 1)
+    hiFile.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
+    IcebergWriter.merge(spark, Seq((2L, "B", 21)).toDF("id", "name", "v"), t,
+      on = Seq("id"), insertNotMatched = false)
+    assert(IcebergReader.read(spark, t, filter = Some("id < 100"))
+      .select("id", "name", "v").as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10), (2L, "B", 21)))
+  }
+
   test("a merge update introducing '' into a string partition source refuses (rewrite-side round-trip gate)") {
     import spark.implicits._
     val t = Files.createTempDirectory("imempty").toString
