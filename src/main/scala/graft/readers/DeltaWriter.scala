@@ -680,38 +680,52 @@ object DeltaWriter {
 
   /** MERGE (upsert) by key — the delta-spark
     * `whenMatched(updateAll|delete) / whenNotMatched(insertAll)`
-    * surface, copy-on-write per touched file.
-    *
-    * Semantics: target rows whose `on`-key equals a source key are
-    * replaced by the source row (`whenMatched = "update"`, every column
-    * taken from the source) or dropped (`"delete"`); source rows
-    * matching no target row insert when `insertNotMatched` (rows with a
-    * NULL key never match — SQL equality — so they always insert).
-    * A source with duplicate non-null keys refuses up front: one target
-    * row matching two source rows is nondeterministic, the same error
-    * delta-spark raises, but caught before anything stages.
-    *
-    * Shape at scale: touched-file detection is one semi-join of the
-    * live-file scan against the DISTINCT source keys, carrying only
-    * (key, file) through the join — matching rows can only live in
-    * files the semi-join names, so untouched files never rewrite.
-    * Survivors anti-join the key set, updates re-join the source
-    * (multiplicity = matched target rows), inserts anti-join the
-    * touched keys; all three stage through ONE distributed partitioned
-    * write and publish in ONE commit (remove/add pairs,
-    * dataChange=true), so streams and the change feed see a single
-    * atomic version.
-    *
-    * Concurrency: same per-attempt guards as [[deleteWhere]] — any
-    * concurrent add refuses (its rows were never probed for matches;
-    * committing would both miss updates and duplicate inserts).
-    * `txn` marks the commit for exactly-once streaming upserts. */
+    * simple surface; delegates to [[mergeClauses]] (the full builder
+    * surface: conditional clauses, partial-column set expressions,
+    * `whenNotMatchedBySource`). Source rows with a NULL key never
+    * match (SQL equality), so they always insert. */
   def merge(spark: SparkSession, source: DataFrame, table: String, on: Seq[String],
       whenMatched: String = "update", insertNotMatched: Boolean = true,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
-    import org.apache.spark.sql.functions.{col, collect_set}
     require(Set("update", "delete").contains(whenMatched),
       s"delta merge: unknown whenMatched '$whenMatched' (update | delete)")
+    mergeClauses(spark, source, table, on,
+      Seq(MergeClause("matched", whenMatched)) ++
+        (if (insertNotMatched) Seq(MergeClause("notMatched", "insert")) else Nil),
+      txn, maxRetries)
+  }
+
+  /** MERGE with the full delta-spark builder surface as data clauses
+    * ([[MergeClause]]): conditional `whenMatched` update/delete with
+    * partial-column set expressions (`t.`/`s.` qualification),
+    * conditional `whenNotMatched` insert (full or partial), and
+    * `whenNotMatchedBySource` update/delete — copy-on-write per
+    * touched file, ONE commit.
+    *
+    * Semantics (SQL MERGE): per row and per kind, the FIRST clause
+    * whose condition holds applies; rows no clause applies to survive
+    * unchanged (or don't insert). A source with duplicate non-null
+    * keys refuses up front (one target row matching two source rows is
+    * nondeterministic — delta-spark's error, caught before staging).
+    *
+    * Shape at scale: matched-file detection is one semi-join of the
+    * (key-bound pre-pruned) live-file scan against the DISTINCT source
+    * keys, carrying only (key, file) through the join; bySource
+    * detection is one anti-join + condition filter over the live scan
+    * (pre-pruned by the condition's conjuncts when analyzable) — files
+    * neither names never rewrite. All output rows assemble from ONE
+    * persisted touched-file scan ([[MergeClauses.assemble]]) and stage
+    * through one distributed partitioned write publishing one commit
+    * (remove/add pairs, dataChange=true), so streams and the change
+    * feed see a single atomic version.
+    *
+    * Concurrency: same per-attempt guards as [[deleteWhere]] — any
+    * concurrent add refuses (its rows were never probed for matches).
+    * `txn` marks the commit for exactly-once streaming upserts. */
+  def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
+      on: Seq[String], clauses: Seq[MergeClause],
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, collect_set, expr, lit}
     require(on.nonEmpty, "delta merge: at least one key column required")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -720,16 +734,16 @@ object DeltaWriter {
     val head = currentState(spark, table)
     requireRewritable(head, table, "merge")
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    MergeClauses.validate(clauses, schema, "delta")
     val onT: Seq[String] = on.map(k =>
       schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
         s"delta merge: key column '$k' not in the table schema (${schema.fieldNames.mkString(",")})")))
     onT.foreach(k => require(source.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"delta merge: key column '$k' not in the source frame (${source.schema.fieldNames.mkString(",")})"))
-    // update/insert take EVERY column from the source, so those shapes
-    // need the full table schema (the append contract); a pure
-    // delete-by-key merge needs only the key columns, matching types
-    val needFull = whenMatched == "update" || insertNotMatched
-    if (needFull) {
+    // updateAll/insertAll take EVERY column from the source, so those
+    // shapes need the full table schema (the append contract); set-
+    // expression clauses need only the key columns, matching types
+    if (MergeClauses.needsFullSchema(clauses)) {
       val same = schema.fields.length == source.schema.fields.length &&
         schema.fields.zip(source.schema.fields).forall { case (a, b) =>
           a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
@@ -744,9 +758,9 @@ object DeltaWriter {
       require(tt == st, s"delta merge: key column '$k' is ${tt.simpleString} in the table " +
         s"but ${st.simpleString} in the source")
     }
-    // The source frame is consumed up to four times below (dup-key
-    // gate, distinct keys, the update join, the insert anti-join); for
-    // a source that is itself an expensive query, re-running its plan
+    // The source frame is consumed several times below (dup-key gate,
+    // distinct keys, the matched join, the insert anti-join); for a
+    // source that is itself an expensive query, re-running its plan
     // per consumer would multiply its cost — one persist bounds it to
     // a single evaluation, released after the commit. Spark's cache is
     // NOT refcounted, so a source the caller already cached is used
@@ -765,65 +779,91 @@ object DeltaWriter {
           "a target row matching several source rows is nondeterministic (delta-spark " +
           "raises the same error); de-duplicate the source first")
       val srcKeys = src.where(keyNonNull).select(onT.map(src(_)): _*).distinct()
-
-      import org.apache.spark.sql.functions.lit
       val cdfOn = head.cdfEnabled
-      def tag(df: DataFrame, t: String): DataFrame = df.withColumn("_change_type", lit(t))
-      val order = schema.fieldNames.toSeq
+      val matchedOn = clauses.exists(_.kind == "matched")
+      val bySourceCs = clauses.filter(_.kind == "notMatchedBySource")
+      val insertOn = clauses.exists(_.kind == "notMatched")
       val (touched, out, cdc) =
-        if (head.liveFiles.isEmpty)
-          (Nil,
-            if (insertNotMatched) Some(src.select(order.map(src(_)): _*)) else None,
-            if (cdfOn && insertNotMatched)
-              Some(tag(src.select(order.map(src(_)): _*), "insert")) else None)
-        else {
-          // detection pre-pruning by the source keys' [min,max]: a
-          // file whose stats / partition tuple exclude every source
-          // key cannot hold a matched row, so a key-bounded merge into
-          // a 100 TB table opens only the files its keys could live in
-          val detectFiles = pruneLiveFiles(spark, head, schema, head.liveFiles,
-            FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
-          val touchedKeys =
-            if (detectFiles.isEmpty) Set.empty[String]
-            else scanLive(spark, f, table, head, detectFiles).join(srcKeys, onT, "left_semi")
-              .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
-          val touchedFiles = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
-          if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None, None)
-          else {
-            // the touched files feed survivors + matched + updated +
-            // matched-keys — ONE persisted scan reads their bytes once
-            val tRows =
-              if (touchedFiles.isEmpty) None
+        if (head.liveFiles.isEmpty) {
+          val (o, c) = MergeClauses.assemble(None, src, srcKeys, None,
+            onT, schema, clauses, cdfOn)
+          (Nil, o, c)
+        } else {
+          // matched-file detection, pre-pruned by the source keys'
+          // [min,max]: a file whose stats / partition tuple exclude
+          // every source key cannot hold a matched row, so a
+          // key-bounded merge into a 100 TB table opens only the
+          // files its keys could live in
+          val detectedFiles =
+            if (!matchedOn) Nil
+            else {
+              val cand = pruneLiveFiles(spark, head, schema, head.liveFiles,
+                FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+              if (cand.isEmpty) Nil
               else {
-                val s = scanLive(spark, f, table, head, touchedFiles).drop(FileCol).persist()
-                tScans += s
-                Some(s)
+                val ks = scanLive(spark, f, table, head, cand)
+                  .join(srcKeys, onT, "left_semi")
+                  .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+                head.liveFiles.filter(lf => ks.contains(liveKey(f, table, lf)))
               }
-            val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
-            val matched = tRows.map(_.join(srcKeys, onT, "left_semi").select(order.map(col): _*))
-            val updated =
-              if (whenMatched == "update")
-                tRows.map(_.select(onT.map(col): _*).join(src, onT, "inner")
-                  .select(order.map(col): _*))
-              else None
-            val inserts =
-              if (insertNotMatched) {
-                val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
-                Some(matchedKeys.fold(src.select(order.map(src(_)): _*))(mk =>
-                  src.join(mk, onT, "left_anti").select(order.map(col): _*)))
-              } else None
-            val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
-            // CDF: precise diffs only — matched pre-images (update pairs
-            // or plain deletes), post-images, inserts; never survivors
-            val cdcFrames =
-              if (!cdfOn) Nil
-              else matched.map(m => tag(m,
-                  if (whenMatched == "update") "update_preimage" else "delete")).toSeq ++
-                updated.map(tag(_, "update_postimage")).toSeq ++
-                inserts.map(tag(_, "insert")).toSeq
-            (touchedFiles, frames.reduceOption(_ unionByName _),
-              cdcFrames.reduceOption(_ unionByName _))
-          }
+            }
+          // bySource detection: files holding at least one UNmatched
+          // row some bySource clause condition admits must rewrite;
+          // a single conditioned clause pre-prunes by its conjuncts
+          // (fail open — the scan re-applies the condition)
+          val bsFiles =
+            if (bySourceCs.isEmpty) Nil
+            else {
+              val cand = bySourceCs match {
+                case Seq(one) if one.condition.isDefined =>
+                  scala.util.Try(FileSkipping.conjuncts(one.condition.get)).toOption
+                    .filter(cs => cs.nonEmpty &&
+                      cs.map(FileSkipping.usableRefs).forall(_.isDefined))
+                    .map(cs => pruneLiveFiles(spark, head, schema, head.liveFiles, cs))
+                    .getOrElse(head.liveFiles)
+                case _ => head.liveFiles
+              }
+              if (cand.isEmpty) Nil
+              else {
+                val any = bySourceCs.map(c => c.condition.map(expr).getOrElse(lit(true)))
+                  .reduce(_ || _)
+                val ks = scanLive(spark, f, table, head, cand).as("t")
+                  .join(srcKeys, onT, "left_anti").where(any)
+                  .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+                head.liveFiles.filter(lf => ks.contains(liveKey(f, table, lf)))
+              }
+            }
+          val touchedFiles = (detectedFiles ++ bsFiles).distinctBy(_.path)
+          // the touched files feed matched + survivors + bySource +
+          // matched-keys — ONE persisted scan reads their bytes once
+          val tRows =
+            if (touchedFiles.isEmpty) None
+            else {
+              val s0 = scanLive(spark, f, table, head, touchedFiles).drop(FileCol).persist()
+              tScans += s0
+              Some(s0)
+            }
+          // insert exclusion: target keys matching a source key can
+          // only live in matched-detected files. With matched clauses
+          // those files are touched (tRows covers them); an
+          // insert-only merge resolves the key set in ONE pruned
+          // key-column scan instead of collecting a file list first.
+          val matchedKeys =
+            if (!insertOn) None
+            else if (matchedOn) {
+              if (detectedFiles.isEmpty) None
+              else tRows.map(_.select(onT.map(col): _*).distinct())
+            } else {
+              val cand = pruneLiveFiles(spark, head, schema, head.liveFiles,
+                FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+              if (cand.isEmpty) None
+              else Some(scanLive(spark, f, table, head, cand)
+                .join(srcKeys, onT, "left_semi")
+                .select(onT.map(col): _*).distinct())
+            }
+          val (o, c) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+            onT, schema, clauses, cdfOn)
+          (touchedFiles, o, c)
         }
       if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
       rewriteCommit(spark, f, table, head, touched,

@@ -55,7 +55,7 @@ object FileSkipping {
   // differ between the prune and the lazy scan) — never prune on such a
   // conjunct. `unix_timestamp` is time-dependent ONLY in its zero-arg
   // form (with arguments it is a pure conversion), handled separately.
-  private val nondeterministic = Set(
+  private[readers] val nondeterministic = Set(
     "rand", "randn", "random", "uuid", "shuffle", "monotonically_increasing_id",
     "current_timestamp", "now", "current_date", "curdate", "localtimestamp",
     "input_file_name", "spark_partition_id")

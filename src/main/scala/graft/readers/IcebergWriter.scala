@@ -1185,18 +1185,38 @@ object IcebergWriter {
   /** MERGE (upsert) by key (round 12, the Delta writer's twin):
     * matched target rows update from the source (every column) or
     * drop; unmatched source rows insert; NULL-key source rows never
-    * match (SQL equality) and insert. Duplicate non-null source keys
-    * refuse up front. Touched-file detection is a semi-join against
-    * the distinct source keys; survivors/updates/inserts publish in
-    * ONE snapshot. `txn` stamps the snapshot summary for the
-    * streaming upsert sink's replay probe (a provably-no-op merge with
-    * a txn still publishes the marker). */
+    * match (SQL equality) and insert. Delegates to [[mergeClauses]]
+    * (the full builder surface: conditional clauses, partial-column
+    * set expressions, `whenNotMatchedBySource`). */
   def merge(spark: SparkSession, source: DataFrame, table: String, on: Seq[String],
       whenMatched: String = "update", insertNotMatched: Boolean = true,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
-    import org.apache.spark.sql.functions.{col, collect_set}
     require(Set("update", "delete").contains(whenMatched),
       s"iceberg merge: unknown whenMatched '$whenMatched' (update | delete)")
+    mergeClauses(spark, source, table, on,
+      Seq(MergeClause("matched", whenMatched)) ++
+        (if (insertNotMatched) Seq(MergeClause("notMatched", "insert")) else Nil),
+      txn, maxRetries)
+  }
+
+  /** MERGE with the full builder surface as data clauses
+    * ([[MergeClause]]), the Delta writer's [[DeltaWriter.mergeClauses]]
+    * twin: conditional `whenMatched` update/delete with partial-column
+    * set expressions (`t.`/`s.` qualification), conditional
+    * `whenNotMatched` insert, `whenNotMatchedBySource` update/delete —
+    * copy-on-write per touched file, ONE snapshot. Per kind, the FIRST
+    * clause whose condition holds applies; no-clause rows survive
+    * unchanged (or don't insert). Duplicate non-null source keys
+    * refuse up front. Matched detection is a semi-join against the
+    * distinct source keys over the key-bound pre-pruned live set;
+    * bySource detection is an anti-join + condition filter (conjunct
+    * pre-pruned when analyzable). `txn` stamps the snapshot summary
+    * for the streaming upsert sink's replay probe (a provably-no-op
+    * merge with a txn still publishes the marker). */
+  def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
+      on: Seq[String], clauses: Seq[MergeClause],
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, collect_set, expr, lit}
     require(on.nonEmpty, "iceberg merge: at least one key column required")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -1204,13 +1224,13 @@ object IcebergWriter {
     val fieldNodes = currentSchemaFieldNodes(meta0)
     val schema = StructType(fieldNodes.map(n =>
       StructField(n.get("name").asText(), sparkTypeOfNode(n.get("type")))).toArray)
+    MergeClauses.validate(clauses, schema, "iceberg")
     val onT: Seq[String] = on.map(k =>
       schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
         s"iceberg merge: key column '$k' not in the table schema (${schema.fieldNames.mkString(",")})")))
     onT.foreach(k => require(source.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"iceberg merge: key column '$k' not in the source frame (${source.schema.fieldNames.mkString(",")})"))
-    val needFull = whenMatched == "update" || insertNotMatched
-    if (needFull) {
+    if (MergeClauses.needsFullSchema(clauses)) {
       val same = schema.fields.length == source.schema.fields.length &&
         schema.fields.zip(source.schema.fields).forall { case (a, b) =>
           a.name.equalsIgnoreCase(b.name) && sameShape(a.dataType, b.dataType)
@@ -1243,49 +1263,87 @@ object IcebergWriter {
           "a target row matching several source rows is nondeterministic; de-duplicate first")
       val srcKeys = src.where(keyNonNull).select(onT.map(src(_)): _*).distinct()
       val live0 = liveEntries(spark, meta0, table)
-      val order = schema.fieldNames.toSeq
+      val matchedOn = clauses.exists(_.kind == "matched")
+      val bySourceCs = clauses.filter(_.kind == "notMatchedBySource")
+      val insertOn = clauses.exists(_.kind == "notMatched")
       def scanOf(entries: Seq[LiveEntry]): DataFrame =
         spark.read.schema(schema).parquet(entries.map(_.path): _*)
           .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
       val (touched, out) =
-        if (live0.isEmpty)
-          (Nil, if (insertNotMatched) Some(src.select(order.map(src(_)): _*)) else None)
-        else {
-          // detection pre-pruning by the source keys' [min,max]: a
-          // file whose bounds / identity tuple exclude every source
-          // key cannot hold a matched row, so a key-bounded merge into
-          // a 100 TB table opens only the files its keys could live in
-          val detectEntries = pruneDetection(spark, meta0, fieldNodes, live0,
-            FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
-          val touchedKeys =
-            if (detectEntries.isEmpty) Set.empty[String]
-            else scanOf(detectEntries).join(srcKeys, onT, "left_semi")
-              .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
-          val touchedFiles = live0.filter(e => touchedKeys.contains(PathKeys.driverKey(e.path, f)))
-          if (touchedFiles.isEmpty && !insertNotMatched) (Nil, None)
-          else {
-            val tRows =
-              if (touchedFiles.isEmpty) None
+        if (live0.isEmpty) {
+          val (o, _) = MergeClauses.assemble(None, src, srcKeys, None,
+            onT, schema, clauses, withCdc = false)
+          (Nil, o)
+        } else {
+          // matched detection, pre-pruned by the source keys'
+          // [min,max]: a file whose bounds / identity tuple exclude
+          // every source key cannot hold a matched row, so a
+          // key-bounded merge into a 100 TB table opens only the
+          // files its keys could live in
+          val detectedFiles =
+            if (!matchedOn) Nil
+            else {
+              val cand = pruneDetection(spark, meta0, fieldNodes, live0,
+                FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+              if (cand.isEmpty) Nil
               else {
-                val s = scanOf(touchedFiles).drop(FileCol).persist()
-                tScans += s
-                Some(s)
+                val ks = scanOf(cand).join(srcKeys, onT, "left_semi")
+                  .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+                live0.filter(e => ks.contains(PathKeys.driverKey(e.path, f)))
               }
-            val survivors = tRows.map(_.join(srcKeys, onT, "left_anti").select(order.map(col): _*))
-            val updated =
-              if (whenMatched == "update")
-                tRows.map(_.select(onT.map(col): _*).join(src, onT, "inner")
-                  .select(order.map(col): _*))
-              else None
-            val inserts =
-              if (insertNotMatched) {
-                val matchedKeys = tRows.map(_.select(onT.map(col): _*).distinct())
-                Some(matchedKeys.fold(src.select(order.map(src(_)): _*))(mk =>
-                  src.join(mk, onT, "left_anti").select(order.map(col): _*)))
-              } else None
-            val frames = survivors.toSeq ++ updated.toSeq ++ inserts.toSeq
-            (touchedFiles, frames.reduceOption(_ unionByName _))
-          }
+            }
+          // bySource detection: files holding at least one UNmatched
+          // row some bySource clause condition admits must rewrite; a
+          // single conditioned clause pre-prunes by its conjuncts
+          // (fail open — the scan re-applies the condition)
+          val bsFiles =
+            if (bySourceCs.isEmpty) Nil
+            else {
+              val cand = bySourceCs match {
+                case Seq(one) if one.condition.isDefined =>
+                  scala.util.Try(FileSkipping.conjuncts(one.condition.get)).toOption
+                    .filter(cs => cs.nonEmpty &&
+                      cs.map(FileSkipping.usableRefs).forall(_.isDefined))
+                    .map(cs => pruneDetection(spark, meta0, fieldNodes, live0, cs))
+                    .getOrElse(live0)
+                case _ => live0
+              }
+              if (cand.isEmpty) Nil
+              else {
+                val any = bySourceCs.map(c => c.condition.map(expr).getOrElse(lit(true)))
+                  .reduce(_ || _)
+                val ks = scanOf(cand).as("t")
+                  .join(srcKeys, onT, "left_anti").where(any)
+                  .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
+                live0.filter(e => ks.contains(PathKeys.driverKey(e.path, f)))
+              }
+            }
+          val touchedFiles = (detectedFiles ++ bsFiles).distinctBy(_.path)
+          val tRows =
+            if (touchedFiles.isEmpty) None
+            else {
+              val s = scanOf(touchedFiles).drop(FileCol).persist()
+              tScans += s
+              Some(s)
+            }
+          // insert exclusion: target keys matching a source key can
+          // only live in matched-detected files; an insert-only merge
+          // resolves the key set in ONE pruned key-column scan
+          val matchedKeys =
+            if (!insertOn) None
+            else if (matchedOn) {
+              if (detectedFiles.isEmpty) None
+              else tRows.map(_.select(onT.map(col): _*).distinct())
+            } else {
+              val cand = pruneDetection(spark, meta0, fieldNodes, live0,
+                FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
+              if (cand.isEmpty) None
+              else Some(scanOf(cand).join(srcKeys, onT, "left_semi")
+                .select(onT.map(col): _*).distinct())
+            }
+          val (o, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+            onT, schema, clauses, withCdc = false)
+          (touchedFiles, o)
         }
       if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
       val partDefs = tablePartDefs(meta0)

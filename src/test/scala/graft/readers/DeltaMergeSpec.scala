@@ -379,6 +379,85 @@ class DeltaMergeSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("mergeClauses: partial-column updates, conditional clauses, whenNotMatchedBySource — precise CDC") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmclause").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a", 10, 1.0, "keep"), (2L, "b", 20, 2.0, "keep"),
+          (3L, "c", 30, 3.0, "drop"), (4L, "d", 40, 4.0, "keep"))
+        .toDF("id", "name", "v", "w", "tagc").coalesce(1), t,
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    // the source carries ONLY the key and the columns being assigned —
+    // updating two columns of a wide table must not require
+    // reconstructing full rows
+    val src = Seq((1L, 100, "x"), (3L, 300, "y"), (9L, 900, "z")).toDF("id", "nv", "nn")
+    DeltaWriter.mergeClauses(spark, src, t, on = Seq("id"), clauses = Seq(
+      MergeClause.matchedDelete(condition = "t.tagc = 'drop'"),
+      MergeClause.matchedUpdate(set = Map("v" -> "s.nv", "name" -> "concat(t.name, '+')")),
+      MergeClause.insert(set = Map("id" -> "s.id", "v" -> "s.nv", "name" -> "s.nn"),
+        condition = "s.nv >= 900"),
+      MergeClause.bySourceUpdate(set = Map("tagc" -> "'stale'"), condition = "t.id = 4")))
+    val got = DeltaReader.read(spark, t)
+      .selectExpr("id", "name", "v", "coalesce(w, -1.0) as w", "coalesce(tagc, '-') as tagc")
+      .as[(Long, String, Int, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a+", 100, 1.0, "keep"), // two-column update; w untouched
+      (2L, "b", 20, 2.0, "keep"),   // unmatched, bySource cond false — unchanged
+      (4L, "d", 40, 4.0, "stale"),  // bySource update
+      (9L, "z", 900, -1.0, "-")))   // conditional partial insert, rest NULL
+    // id=3 matched the delete condition; the nv=300 source row matched
+    // no insert condition and id=3 was deleted, so 300 appears nowhere
+    // CDC precision: pairs only for applied rows, never survivors
+    val feed = DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_commit_version = 1")
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed.sorted == Seq(
+      (1L, "update_postimage"), (1L, "update_preimage"),
+      (3L, "delete"),
+      (4L, "update_postimage"), (4L, "update_preimage"),
+      (9L, "insert")).sorted)
+    assert(!feed.exists(_._1 == 2L), "survivors must never reach the change feed")
+  }
+
+  test("mergeClauses: unconditioned whenNotMatchedBySource delete removes every unmatched target row") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmbsdel").toString
+    DeltaWriter.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.mergeClauses(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "name"), t,
+      on = Seq("id"), clauses = Seq(
+        MergeClause.matchedUpdate(), // updateAll
+        MergeClause.insert(),        // insertAll
+        MergeClause.bySourceDelete()))
+    // the table becomes exactly the source (classic sync-to-source merge)
+    assert(DeltaReader.read(spark, t).select("id", "name").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((2L, "B"), (4L, "d")))
+  }
+
+  test("mergeClauses validation: bad shapes refuse before anything stages") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmcgate").toString
+    DeltaWriter.write(spark, Seq((1L, "a", 1)).toDF("id", "name", "v").coalesce(1), t)
+    val src = Seq((1L, "A", 2)).toDF("id", "name", "v")
+    def refuse(msgPart: String)(clauses: Seq[MergeClause]): Unit = {
+      val e = intercept[Exception](
+        DeltaWriter.mergeClauses(spark, src, t, Seq("id"), clauses))
+      assert(e.getMessage.contains(msgPart), s"expected '$msgPart' in: ${e.getMessage}")
+    }
+    refuse("at least one clause")(Nil)
+    refuse("cannot take action")(Seq(MergeClause("matched", "insert")))
+    refuse("unknown clause kind")(Seq(MergeClause("sometimes", "update")))
+    refuse("not a table column")(Seq(MergeClause.matchedUpdate(set = Map("nope" -> "1"))))
+    refuse("explicit set expressions")(
+      Seq(MergeClause("notMatchedBySource", "update")))
+    refuse("nondeterministic")(
+      Seq(MergeClause.matchedDelete(condition = "rand() > 0.5")))
+    refuse("delete clause cannot carry")(
+      Seq(MergeClause("matched", "delete", None, Map("v" -> "1"))))
+    // the table is untouched by every refusal
+    assert(DeltaReader.read(spark, t).count() == 1L)
+  }
+
   test("merge pre-prunes detection by the source keys' [min,max]: out-of-range files are NEVER opened") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmkprune").toString

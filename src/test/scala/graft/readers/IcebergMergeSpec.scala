@@ -304,6 +304,44 @@ class IcebergMergeSpec extends SparkSpec {
       Seq((1L, "a", 10), (2L, "B", 21)))
   }
 
+  test("mergeClauses: partial-column updates, conditional delete, whenNotMatchedBySource (Delta twin)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("imclause").toString
+    IcebergWriter.write(spark,
+      Seq((1L, "a", 10, 1.0, "keep"), (2L, "b", 20, 2.0, "keep"),
+          (3L, "c", 30, 3.0, "drop"), (4L, "d", 40, 4.0, "keep"))
+        .toDF("id", "name", "v", "w", "tagc").coalesce(1), t)
+    // source carries ONLY the key + the assigned columns
+    val src = Seq((1L, 100, "x"), (3L, 300, "y"), (9L, 900, "z")).toDF("id", "nv", "nn")
+    IcebergWriter.mergeClauses(spark, src, t, on = Seq("id"), clauses = Seq(
+      MergeClause.matchedDelete(condition = "t.tagc = 'drop'"),
+      MergeClause.matchedUpdate(set = Map("v" -> "s.nv", "name" -> "concat(t.name, '+')")),
+      MergeClause.insert(set = Map("id" -> "s.id", "v" -> "s.nv", "name" -> "s.nn"),
+        condition = "s.nv >= 900"),
+      MergeClause.bySourceUpdate(set = Map("tagc" -> "'stale'"), condition = "t.id = 4")))
+    val got = IcebergReader.read(spark, t)
+      .selectExpr("id", "name", "v", "coalesce(w, -1.0) as w", "coalesce(tagc, '-') as tagc")
+      .as[(Long, String, Int, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a+", 100, 1.0, "keep"),
+      (2L, "b", 20, 2.0, "keep"),
+      (4L, "d", 40, 4.0, "stale"),
+      (9L, "z", 900, -1.0, "-")))
+    // unconditioned bySource delete: sync-to-source
+    val t2 = Files.createTempDirectory("imbsdel").toString
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "name").coalesce(1), t2)
+    IcebergWriter.mergeClauses(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "name"), t2,
+      on = Seq("id"), clauses = Seq(
+        MergeClause.matchedUpdate(), MergeClause.insert(), MergeClause.bySourceDelete()))
+    assert(IcebergReader.read(spark, t2).select("id", "name").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((2L, "B"), (4L, "d")))
+    // validation refuses before anything stages
+    val e = intercept[Exception](IcebergWriter.mergeClauses(spark, src, t, Seq("id"),
+      Seq(MergeClause.matchedDelete(condition = "rand() > 0.5"))))
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
   test("a merge update introducing '' into a string partition source refuses (rewrite-side round-trip gate)") {
     import spark.implicits._
     val t = Files.createTempDirectory("imempty").toString
