@@ -215,27 +215,35 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       endsNow.map { case (p, e) => p -> math.min(e, b.getOrElse(p, e)) })
     // partition SHRINK means the topic was deleted/recreated — offsets
     // are meaningless against the new incarnation, refuse. GROWTH
-    // (repartitioned topic) reassigns like the connector: the new
-    // partitions join at their EARLIEST offset (records written to
-    // them since creation must not be skipped), and the next committed
-    // offset map simply carries the extra keys — checkpoint-compatible
-    // by construction.
+    // (repartitioned topic): the new partitions must join at their
+    // EARLIEST offset (records written since creation must not be
+    // skipped) — and that start must be CHECKPOINTED, not re-resolved:
+    // the discovery batch REGISTERS each new partition by ending it at
+    // the earliest offset resolved HERE (consuming nothing from it),
+    // so the next batch's committed start map carries exactly that
+    // value. A replayed or retention-raced batch then delivers the
+    // identical slice, and a start the broker has since expired fails
+    // loudly in the fetch (OFFSET_OUT_OF_RANGE) — the
+    // failOnDataLoss=true stance. Re-resolving earliest at plan time
+    // instead could silently skip records the first resolution saw.
     val removed = startMap.keySet -- ends.keySet
     require(removed.isEmpty,
       s"kafka: topic '$topic' lost partition(s) ${removed.toSeq.sorted.mkString(",")} " +
         "under the stream (deleted/recreated topic) — restart the query to re-baseline")
     val added = ends.keySet -- startMap.keySet
-    val startAll =
-      if (added.isEmpty) startMap
+    val registered: Map[Int, Long] =
+      if (added.isEmpty) Map.empty
       else {
         val earliest = offsetsAt("earliest")
-        startMap ++ added.map(p => p -> earliest.getOrElse(p, 0L))
+        added.map(p => p -> earliest.getOrElse(p, 0L)).toMap
       }
+    val startAll = startMap ++ registered
+    val endsR = ends ++ registered // new partitions: register-only this batch
     limit match {
       case mr: ReadMaxRows =>
-        val backlog = ends.map { case (p, e) => p -> math.max(0L, e - startAll(p)) }
+        val backlog = endsR.map { case (p, e) => p -> math.max(0L, e - startAll(p)) }
         val total = backlog.values.sum
-        if (total <= mr.maxRows) KafkaSourceOffset(ends)
+        if (total <= mr.maxRows) KafkaSourceOffset(endsR)
         else {
           // proportional soft cap: every lagging partition advances by
           // at least one offset, so the stream cannot starve a
@@ -246,7 +254,7 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
           }
           KafkaSourceOffset(capped)
         }
-      case _ => KafkaSourceOffset(ends)
+      case _ => KafkaSourceOffset(endsR)
     }
   }
 
@@ -261,9 +269,12 @@ private[readers] class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
           case (Some(lo), Some(hi)) if hi > lo =>
             Some(KafkaStreamPartition(topic, pm.partition, nodeOf.host, nodeOf.port, lo, hi))
           case (None, Some(hi)) =>
-            // a partition created mid-stream: absent from the committed
-            // start map, present in the offered end — its slice begins
-            // at EARLIEST, the same anchor latestOffset capped against
+            // a partition absent from the committed start map: in the
+            // current protocol latestOffset registers new partitions
+            // end=earliest, so this resolves to an empty slice in the
+            // discovery batch; a non-empty slice here only replays a
+            // checkpoint from before the register-only protocol, where
+            // best-effort earliest is all the log ever recorded
             val node = nodeOf
             val c = KafkaReader.connect(node.host, node.port, timeoutMs, clientId, security)
             val lo = try KafkaReader.listOffset(c, topic, pm.partition, -2L) finally c.close()

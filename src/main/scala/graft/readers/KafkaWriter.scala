@@ -264,8 +264,13 @@ object KafkaWriter {
         .getOrElse(lit(null).cast(IntegerType)).as("partition"),
       fieldOf("headers").map(fl => col(fl.name).cast(headersType))
         .getOrElse(lit(null).cast(headersType)).as("headers"),
-      fieldOf("timestamp").map(fl => col(fl.name).cast(TimestampType))
-        .getOrElse(lit(null).cast(TimestampType)).as("timestamp"))
+      // epoch millis, not TimestampType: the executor loop reads a
+      // plain Long, so the row codec is identical whether the session
+      // externalizes timestamps as java.sql.Timestamp or (under
+      // spark.sql.datetime.java8API.enabled) java.time.Instant
+      fieldOf("timestamp").map(fl =>
+          org.apache.spark.sql.functions.unix_millis(col(fl.name).cast(TimestampType)))
+        .getOrElse(lit(null).cast(LongType)).as("timestamp"))
 
     // driver: handshake + metadata only
     val boot = KafkaReader.connect(host, port, timeoutMs, clientId, security)
@@ -328,7 +333,7 @@ object KafkaWriter {
             .map(h => h.getString(0) -> h.getAs[Array[Byte]](1))
         val ts =
           if (row.isNullAt(row.fieldIndex("timestamp"))) System.currentTimeMillis()
-          else row.getAs[java.sql.Timestamp]("timestamp").getTime
+          else row.getLong(row.fieldIndex("timestamp"))
         val buf = buffers.getOrElseUpdate(target,
           scala.collection.mutable.ArrayBuffer.empty[PRecord])
         buf += PRecord(key, value, headers, ts)

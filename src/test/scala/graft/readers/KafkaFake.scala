@@ -190,6 +190,13 @@ object KafkaFake {
     def append(partition: Int, entry: (Long, Long, Array[Byte])): Unit = synchronized {
       logsNow = logsNow.updated(partition, logsNow.getOrElse(partition, Nil) :+ entry)
     }
+    // retention simulation: drop batches wholly below `newStart`; a
+    // subsequent fetch below the new log start gets OFFSET_OUT_OF_RANGE
+    // like a real broker
+    def trim(partition: Int, newStart: Long): Unit = synchronized {
+      logsNow = logsNow.updated(partition,
+        logsNow.getOrElse(partition, Nil).filter(_._2 >= newStart))
+    }
     // every batch landed via Produce, in arrival order, with its
     // broker-patched base offset — what the produce spec decodes
     // independently
@@ -429,22 +436,32 @@ object KafkaFake {
                 req.getInt // partition_max_bytes
                 val log = logsNow(part)
                 val hw = if (log.isEmpty) 0L else log.last._2 + 1
-                // oneBatchPerFetch exercises the client's multi-roundtrip
-                // loop (a real broker bounds responses at max_bytes)
-                val eligible =
-                  if (offset == emptyFetchAtOffset) Nil // err==0 empty stall
-                  else log.filter(_._2 >= offset)
-                val serve = (if (oneBatchPerFetch) eligible.take(1) else eligible).map(_._3)
-                var set = serve.foldLeft(Array.empty[Byte])(_ ++ _)
-                // a broker may cut the LAST batch at max_bytes — clients
-                // must treat the partial tail as end-of-response
-                if (truncateTail && serve.nonEmpty)
-                  set = set ++ serve.last.take(17)
-                w.writeInt(0) // throttle
-                w.writeInt(1); w.write(str(topic)); w.writeInt(1)
-                w.writeInt(part); w.writeShort(0); w.writeLong(hw); w.writeLong(hw)
-                w.writeInt(0) // aborted txns
-                w.writeInt(set.length); w.write(set)
+                val logStart = if (log.isEmpty) 0L else log.head._1
+                if (offset < logStart) {
+                  // a real broker refuses a fetch below the log start
+                  // (retention passed it): OFFSET_OUT_OF_RANGE, err 1
+                  w.writeInt(0) // throttle
+                  w.writeInt(1); w.write(str(topic)); w.writeInt(1)
+                  w.writeInt(part); w.writeShort(1); w.writeLong(hw); w.writeLong(hw)
+                  w.writeInt(0); w.writeInt(0)
+                } else {
+                  // oneBatchPerFetch exercises the client's multi-roundtrip
+                  // loop (a real broker bounds responses at max_bytes)
+                  val eligible =
+                    if (offset == emptyFetchAtOffset) Nil // err==0 empty stall
+                    else log.filter(_._2 >= offset)
+                  val serve = (if (oneBatchPerFetch) eligible.take(1) else eligible).map(_._3)
+                  var set = serve.foldLeft(Array.empty[Byte])(_ ++ _)
+                  // a broker may cut the LAST batch at max_bytes — clients
+                  // must treat the partial tail as end-of-response
+                  if (truncateTail && serve.nonEmpty)
+                    set = set ++ serve.last.take(17)
+                  w.writeInt(0) // throttle
+                  w.writeInt(1); w.write(str(topic)); w.writeInt(1)
+                  w.writeInt(part); w.writeShort(0); w.writeLong(hw); w.writeLong(hw)
+                  w.writeInt(0) // aborted txns
+                  w.writeInt(set.length); w.write(set)
+                }
             }
             val b = body.toByteArray
             val frame = ByteBuffer.allocate(4 + 4 + b.length)

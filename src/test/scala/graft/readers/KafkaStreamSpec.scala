@@ -146,6 +146,45 @@ class KafkaStreamSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("growth REGISTERS the new partition's earliest in the committed offsets — never re-resolved at plan") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val broker = new FakeBroker("reg", Map(
+      0 -> Seq((0L, 0L, encodeBatch(0L, 1000L, Seq((k("k0"), k("v0"), Nil)))))))
+    try {
+      val src = new KafkaMicroBatchStream(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("url" -> s"kafka://127.0.0.1:${broker.port}/reg").asJava))
+      // partition 1 appears with its log already starting at offset 2
+      // (batches below it expired before discovery)
+      broker.append(1, (2L, 2L, encodeBatch(2L, 2000L, Seq((k("a2"), k("b2"), Nil)))))
+      broker.append(1, (3L, 3L, encodeBatch(3L, 2100L, Seq((k("a3"), k("b3"), Nil)))))
+      val start = KafkaSourceOffset(Map(0 -> 1L))
+      val end = src.latestOffset(start, ReadLimit.allAvailable())
+        .asInstanceOf[KafkaSourceOffset].partitionOffsets
+      // the discovery batch registers p1 at its resolved EARLIEST (2),
+      // consuming nothing — the start lands in the committed offset map
+      assert(end == Map(0 -> 1L, 1 -> 2L), s"register-only discovery, got $end")
+      assert(src.planInputPartitions(start, KafkaSourceOffset(end)).isEmpty,
+        "the discovery batch must deliver nothing from the new partition")
+      // the next batch consumes exactly [registered, latest)
+      val end2 = src.latestOffset(KafkaSourceOffset(end), ReadLimit.allAvailable())
+        .asInstanceOf[KafkaSourceOffset].partitionOffsets
+      assert(end2 == Map(0 -> 1L, 1 -> 4L))
+      val slices = src.planInputPartitions(KafkaSourceOffset(end), KafkaSourceOffset(end2))
+        .map(_.asInstanceOf[KafkaStreamPartition])
+      assert(slices.toSeq.map(p => (p.partition, p.start, p.end)) == Seq((1, 2L, 4L)))
+      // retention advancing past the REGISTERED start refuses loudly at
+      // fetch (OFFSET_OUT_OF_RANGE) instead of silently re-resolving a
+      // later start and skipping records — the failOnDataLoss stance
+      broker.trim(1, 3L)
+      val c = KafkaReader.connect("127.0.0.1", broker.port, 15000, "spec", KafkaReader.Security())
+      val e = intercept[Exception] {
+        try KafkaReader.recordIterator(c, "reg", 1, 2L, 4L).toList finally c.close()
+      }
+      assert(e.getMessage.contains("OFFSET_OUT_OF_RANGE"), e.getMessage)
+    } finally broker.close()
+  }
+
   test("partition growth across a RESTART stays checkpoint-compatible; lost partitions refuse") {
     val broker = new FakeBroker("grow", Map(
       0 -> Seq((0L, 1L, encodeBatch(0L, 1000L, Seq((k("k0"), k("v0"), Nil), (k("k1"), k("v1"), Nil)))))))

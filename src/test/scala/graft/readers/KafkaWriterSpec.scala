@@ -86,6 +86,30 @@ class KafkaWriterSpec extends SparkSpec {
     }
   }
 
+  test("timestamp column survives spark.sql.datetime.java8API.enabled=true (epoch-millis projection)") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    val broker = new FakeBroker("j8", Map(0 -> Nil))
+    try {
+      val url = s"kafka://127.0.0.1:${broker.port}/j8"
+      val df = Seq(("a", "pay-1")).toDF("key", "value")
+        .withColumn("timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(
+            org.apache.spark.sql.functions.lit(1700000123456L)))
+      // pre-fix this threw: java.time.Instant is not java.sql.Timestamp
+      KafkaWriter.write(spark, df.coalesce(1), url)
+      val dec = broker.producedBatches.flatMap(b => decodeBatchIndependent(b._2))
+      assert(dec.map(_.tsMs).toSeq == Seq(1700000123456L))
+    } finally {
+      broker.close()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+        case None    => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+      }
+    }
+  }
+
   test("batchMaxRecords bounds each produce request; offsets stay contiguous across batches") {
     import spark.implicits._
     val broker = new FakeBroker("many", Map(0 -> Nil))
