@@ -678,6 +678,97 @@ object DeltaWriter {
     deletedRows
   }
 
+  /** RESTORE the table to `version` (delta-spark's
+    * `RESTORE TABLE ... TO VERSION AS OF`): ONE commit whose removes
+    * drop the files the target version does not reference and whose
+    * adds resurrect the files it does (original partitionValues and
+    * stats re-emitted verbatim), with the target's metaData re-declared
+    * when schema/partitioning/configuration differ. History is
+    * APPENDED, never truncated — time travel to the pre-restore
+    * versions keeps working until [[vacuum]] reclaims their files.
+    *
+    * Metadata-only on the data path: no data file is read or written,
+    * so the operation is O(live files) driver work however large the
+    * table. Refusals: a file to resurrect whose bytes were vacuumed
+    * (restoring would publish dangling adds — delta-spark surfaces the
+    * same break), any involved file carrying a deletion vector (the
+    * replay keeps only a flag, not the descriptor), a version the
+    * cleaned log can no longer reconstruct.
+    *
+    * Streams: a restore that drops files is a data-removing version
+    * and a metaData re-declaration is a metadata change — the
+    * `graft-delta` source refuses both by its existing rules (restart
+    * to re-baseline), exactly the honest behavior for a history fork.
+    * The change feed derives the diff from the remove/add pairs
+    * (dataChange=true). Returns (files removed, files resurrected). */
+  def restore(spark: SparkSession, table: String, version: Long,
+      maxRetries: Int = 10): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val target = stateAt(spark, table, Some(version))
+    var attempt = 0
+    while (true) {
+      val curV = DeltaReader.currentVersion(spark, table)
+      require(version <= curV,
+        s"delta restore: version $version is beyond the head of $table ($curV)")
+      val head = currentState(spark, table)
+      val tgtByPath = target.liveFiles.map(lf => lf.path -> lf).toMap
+      val nowByPath = head.liveFiles.map(lf => lf.path -> lf).toMap
+      val removes = head.liveFiles.filterNot(lf => tgtByPath.contains(lf.path))
+      val adds = target.liveFiles.filterNot(lf => nowByPath.contains(lf.path))
+      val dvInvolved = (removes ++ adds).count(_.hasDv)
+      require(dvInvolved == 0,
+        s"delta restore: $dvInvolved file(s) crossing the restore carry deletion " +
+          "vectors — the replay keeps only a flag, not the descriptor a re-emitted " +
+          "add/remove needs; run it with the delta-spark connector")
+      val missing = adds.map(a => resolveLogPath(table, a.path))
+        .filterNot(p => f.exists(new Path(p)))
+      require(missing.isEmpty,
+        s"delta restore: file(s) ${missing.take(3).mkString(", ")} referenced by " +
+          s"version $version were vacuumed — that version is no longer restorable")
+      val metaChanged = head.schemaJson != target.schemaJson ||
+        head.partitionCols != target.partitionCols ||
+        Option(head.metaJson).map(_.toString) != Option(target.metaJson).map(_.toString)
+      if (removes.isEmpty && adds.isEmpty && !metaChanged) return (0, 0) // already there
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+        s""""operation":"RESTORE","operationParameters":{"version":"$version"}}}"""
+      if (metaChanged) actions += s"""{"metaData":${target.metaJson}}"""
+      removes.foreach { e =>
+        val pv = e.partitionValues.map { case (k, v) =>
+          s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+        actions += s"""{"remove":{"path":${js(e.path)},""" +
+          s""""deletionTimestamp":${System.currentTimeMillis()},""" +
+          s""""dataChange":true,"partitionValues":$pv}}"""
+      }
+      adds.foreach { a =>
+        // log paths re-emit VERBATIM (already log-encoded); size/mtime
+        // re-read from the still-present bytes just verified above
+        val st = f.getFileStatus(new Path(resolveLogPath(table, a.path)))
+        val pv = a.partitionValues.map { case (k, v) =>
+          s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+        actions += s"""{"add":{"path":${js(a.path)},"partitionValues":$pv,""" +
+          s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+          s""""dataChange":true""" +
+          a.stats.map(s0 => s""","stats":${js(s0)}""").getOrElse("") + "}}"
+      }
+      val commitPath = new Path(logDir, f"${curV + 1}%020d.json")
+      val ok = scala.util.Try {
+        val out = f.create(commitPath, false)
+        try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return (removes.size, adds.size)
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta restore: lost the commit race $maxRetries times at $table — giving up " +
+          s"(${ok.failed.get.getMessage})")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** MERGE (upsert) by key — the delta-spark
     * `whenMatched(updateAll|delete) / whenNotMatched(insertAll)`
     * simple surface; delegates to [[mergeClauses]] (the full builder
@@ -1187,15 +1278,38 @@ object DeltaWriter {
     * via a checkpoint-seeded commit-json replay (log paths stay
     * ENCODED — removes must tombstone the exact log string, not its
     * decoded form). */
-  private[readers] def currentState(spark: SparkSession, table: String): HeadState = {
+  private[readers] def currentState(spark: SparkSession, table: String): HeadState =
+    stateAt(spark, table, None)
+
+  /** [[currentState]] generalized to a pinned version ([[restore]]'s
+    * replay): with a checkpoint at or below the target the replay
+    * seeds from it, otherwise it re-runs the raw json chain from 0 —
+    * refusing when log cleaning removed that chain. */
+  private[readers] def stateAt(spark: SparkSession, table: String,
+      versionAsOf: Option[Long]): HeadState = {
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
-    val (cpV, cpLines) = checkpointLines(spark, f, logDir)
-    val commits = f.listStatus(logDir).toSeq
+    val (cpV0, cpLines0) = checkpointLines(spark, f, logDir)
+    val allCommits = f.listStatus(logDir).toSeq
       .filter(_.getPath.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getPath.getName.stripSuffix(".json").toLong)
-      .filter(_.getPath.getName.stripSuffix(".json").toLong > cpV)
+    def verOf(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.stripSuffix(".json").toLong
+    val (cpV, cpLines, commits) = versionAsOf match {
+      case None => (cpV0, cpLines0, allCommits.filter(verOf(_) > cpV0))
+      case Some(v) =>
+        require(allCommits.exists(verOf(_) == v) || cpV0 == v,
+          s"delta: version $v does not exist at $table")
+        if (cpV0 <= v) (cpV0, cpLines0, allCommits.filter(st => verOf(st) > cpV0 && verOf(st) <= v))
+        else {
+          val upTo = allCommits.filter(verOf(_) <= v)
+          require(upTo.map(verOf) == (0L to v),
+            s"delta: cannot reconstruct version $v of $table — the log below " +
+              s"checkpoint $cpV0 was cleaned")
+          (-1L, Nil, upTo)
+        }
+    }
     require(cpV >= 0 || commits.nonEmpty,
       s"delta writer: cannot resolve the head state of $table — no commit jsons or checkpoint")
     var schemaJson: String = null

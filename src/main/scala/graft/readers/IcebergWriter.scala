@@ -1631,6 +1631,71 @@ object IcebergWriter {
     * per active sink app. Crashed-write `_staging_*` leftovers age out
     * under the Delta vacuum's 7-day cutoff. Returns the number of
     * snapshots expired. */
+  /** Roll the table back to `snapshotId` (iceberg's
+    * `rollback_to_snapshot`): a METADATA-ONLY commit — the new
+    * metadata file re-points `current-snapshot-id` at the target
+    * ancestor and appends a snapshot-log entry; no snapshot is created
+    * or destroyed, so time travel to the abandoned head keeps working
+    * until [[expireSnapshots]] reclaims it. O(1) in table size.
+    *
+    * The target must be an ANCESTOR of the current snapshot (walked
+    * along parent-snapshot-id, the spec's rollback rule —
+    * `set_current_snapshot` to an arbitrary branch is out of profile)
+    * and must still be listed (not expired). Streams: the
+    * `graft-iceberg` source anchors on ancestry — a rollback makes the
+    * checkpointed anchor a NON-ancestor, which the source's existing
+    * lineage walk refuses loudly (restart to re-baseline). */
+  def rollbackTo(spark: SparkSession, table: String, snapshotId: Long,
+      maxRetries: Int = 10): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, "rollback")
+      val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala).toSeq
+      val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+      require(byId.contains(snapshotId),
+        s"iceberg rollback: snapshot $snapshotId is not listed at $table (expired?)")
+      val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg rollback: $table has no current snapshot"))
+      if (curId == snapshotId) return // already there
+      // ancestry walk: rollback only ever rewinds a lineage
+      var anc = Option(curId)
+      var isAncestor = false
+      while (anc.isDefined && !isAncestor) {
+        if (anc.get == snapshotId) isAncestor = true
+        else anc = byId.get(anc.get).flatMap(s =>
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()))
+      }
+      require(isAncestor,
+        s"iceberg rollback: snapshot $snapshotId is not an ancestor of the current " +
+          s"snapshot $curId — rollback only rewinds a lineage (the spec's " +
+          "rollback_to_snapshot rule)")
+      val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      newMeta.put("current-snapshot-id", snapshotId)
+      val logArr = newMeta.putArray("snapshot-log")
+      Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala).foreach(logArr.add)
+      val entry = logArr.addObject()
+      entry.put("timestamp-ms", System.currentTimeMillis())
+      entry.put("snapshot-id", snapshotId)
+      newMeta.put("last-updated-ms", System.currentTimeMillis())
+      val version = metaV + 1
+      val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"),
+        s"v$version.metadata.json")
+      val ok = scala.util.Try {
+        val out = f.create(metaPath, /* overwrite = */ false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg rollback: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
   def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
       maxRetries: Int = 10): Int = {
     require(keepLast >= 1, s"iceberg expireSnapshots: keepLast must be >= 1 (got $keepLast)")

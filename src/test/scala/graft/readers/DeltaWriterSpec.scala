@@ -389,4 +389,56 @@ class DeltaWriterSpec extends SparkSpec {
       Seq(("k", 1.0)).toDF("k", "v"), tm.toString, mode = "overwrite", overwriteSchema = true))
     assert(e4.getMessage.contains("column-mapped"))
   }
+
+  test("RESTORE rewinds the table in one APPENDED commit; history, no-ops, vacuum and stream refusals hold") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("dwrestore").toString
+    DeltaWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), t) // v0
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name").coalesce(1), t)            // v1
+    DeltaWriter.write(spark, Seq((9L, "X")).toDF("id", "name").coalesce(1), t,
+      mode = "overwrite")                                                                 // v2: bad overwrite
+    assert(DeltaReader.read(spark, t).count() == 1L)
+    assert(DeltaWriter.restore(spark, t, 1L) == ((1, 2)))                                 // v3
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // history is appended, never truncated: the bad head still time-travels
+    assert(DeltaReader.read(spark, t, versionAsOf = Some(2L))
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    assert(DeltaReader.currentVersion(spark, t) == 3L)
+    // restoring to the current state is a provable no-op — no commit
+    assert(DeltaWriter.restore(spark, t, 3L) == ((0, 0)))
+    assert(DeltaReader.currentVersion(spark, t) == 3L)
+    // rewind further: back to v0
+    assert(DeltaWriter.restore(spark, t, 0L) == ((1, 0)))
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val e = intercept[Exception](DeltaWriter.restore(spark, t, 99L))
+    assert(e.getMessage.contains("does not exist"))
+    // vacuum reclaims a version's files -> that version is no longer
+    // restorable, and the refusal says so instead of publishing
+    // dangling adds
+    val t2 = java.nio.file.Files.createTempDirectory("dwrestorevac").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), t2)
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name").coalesce(1), t2,
+      mode = "overwrite")
+    DeltaWriter.vacuum(spark, t2, retentionMs = 0L, force = true)
+    val e2 = intercept[Exception](DeltaWriter.restore(spark, t2, 0L))
+    assert(e2.getMessage.contains("vacuumed"))
+    // a restore under a running stream is a data-removing version —
+    // the graft-delta source refuses it by its existing rule
+    val t3 = java.nio.file.Files.createTempDirectory("dwrestorestream").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), t3)
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name").coalesce(1), t3)
+    val q = spark.readStream.format("graft-delta").load(t3)
+      .writeStream.format("memory").queryName("dw_restore_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dw_restore_stream").count() == 2L)
+      DeltaWriter.restore(spark, t3, 0L)
+      val e3 = intercept[Exception](q.processAllAvailable())
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+      assert(chain(e3).exists(_.contains("skip_change_commits")), chain(e3).mkString("|"))
+    } finally q.stop()
+  }
 }

@@ -637,4 +637,43 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergReader.read(spark, t, filter = Some("p = 1"))
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("rollbackTo rewinds the lineage metadata-only; ancestry gates and changes windows hold") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("iwrollback").toString
+    def curSnap(): Long = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+      .get("current-snapshot-id").asLong()
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), t)
+    val s1 = curSnap()
+    IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name").coalesce(1), t)
+    val s2 = curSnap()
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name").coalesce(1), t)
+    val s3 = curSnap()
+    IcebergWriter.rollbackTo(spark, t, s2)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // no snapshot was destroyed: the abandoned head still time-travels
+    assert(IcebergReader.read(spark, t, snapshotId = Some(s3)).count() == 3L)
+    // new writes build on the rolled-back lineage (parent = s2)
+    IcebergWriter.write(spark, Seq((4L, "d")).toDF("id", "name").coalesce(1), t)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // s3 is now a dead branch: it is not an ancestor, so neither a
+    // further rollback nor an incremental changes window may anchor on it
+    val e = intercept[Exception](IcebergWriter.rollbackTo(spark, t, s3))
+    assert(e.getMessage.contains("ancestor"))
+    val e2 = intercept[Exception](IcebergReader.readChangesSince(spark, t, s3).count())
+    assert(e2.getMessage.contains("ancestor"))
+    // a changes window anchored BELOW the rollback point keeps serving
+    assert(IcebergReader.readChangesSince(spark, t, s1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // an expired / unknown snapshot refuses by name
+    val e3 = intercept[Exception](IcebergWriter.rollbackTo(spark, t, 424242L))
+    assert(e3.getMessage.contains("not listed"))
+    // rolling back to the current snapshot is a no-op (no new metadata version)
+    val before = IcebergReader.currentMetadataPath(t, spark.sparkContext.hadoopConfiguration)
+    IcebergWriter.rollbackTo(spark, t, curSnap())
+    assert(IcebergReader.currentMetadataPath(t, spark.sparkContext.hadoopConfiguration) == before)
+  }
 }
