@@ -73,7 +73,7 @@ object DeltaReader {
 
   // ---- deletion vectors (delta PROTOCOL.md "Deletion Vectors") --------
 
-  private val Z85Alphabet =
+  private[readers] val Z85Alphabet =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
   private val z85Rev: Array[Int] = {
     val r = Array.fill(128)(-1)

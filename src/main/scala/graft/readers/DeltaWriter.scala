@@ -94,7 +94,7 @@ object DeltaWriter {
     // readers instead of this writer's refuse-loudly stance. Only keys
     // whose semantics this writer actually honors pass; custom non-
     // delta.* properties are inert metadata and pass verbatim.
-    val honoredDeltaKeys = Set("delta.enablechangedatafeed")
+    val honoredDeltaKeys = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors")
     val unsupported = tableConf.keys.filter(k =>
       k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase))
     require(unsupported.isEmpty,
@@ -102,15 +102,16 @@ object DeltaWriter {
         s"${unsupported.mkString(", ")} would declare behavior this writer does not " +
         "implement (the staged files would contradict the configuration, corrupting " +
         "compliant readers); create the table with the delta-spark connector — " +
-        "supported here: delta.enableChangeDataFeed")
+        "supported here: delta.enableChangeDataFeed, delta.enableDeletionVectors")
     // honored keys canonicalize to their exact protocol spelling: the
-    // gate admits any case, but the honor paths (CDF activation below,
-    // `cdfEnabled` reads) match exact-case — a Delta.EnableChangeDataFeed
-    // written verbatim would pass the gate yet silently never activate,
-    // the silent-ignore outcome the gate exists to prevent
+    // gate admits any case, but the honor paths (CDF/DV activation
+    // below, `cdfEnabled`/`dvEnabled` reads) match exact-case — a
+    // Delta.EnableChangeDataFeed written verbatim would pass the gate
+    // yet silently never activate, the silent-ignore outcome the gate
+    // exists to prevent
+    val canonicalKeys = Seq("delta.enableChangeDataFeed", "delta.enableDeletionVectors")
     val tableConfC = tableConf.map { case (k, v) =>
-      (if (k.equalsIgnoreCase("delta.enableChangeDataFeed")) "delta.enableChangeDataFeed"
-       else k) -> v
+      canonicalKeys.find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
     }
 
     // against an existing table, the incoming frame must match its
@@ -303,14 +304,28 @@ object DeltaWriter {
         }
         val actions = Seq.newBuilder[String]
         if (version == 0L) {
-          // table properties at CREATE (delta.enableChangeDataFeed=true
-          // turns on cdc emission for the row-level rewrites below;
-          // CDF requires writer version 4 per the protocol)
-          val wv = if (tableConfC.get("delta.enableChangeDataFeed")
-              .exists(_.equalsIgnoreCase("true"))) 4 else 2
+          // table properties at CREATE: delta.enableChangeDataFeed=true
+          // turns on cdc emission for the row-level rewrites (writer
+          // version 4 per the protocol); delta.enableDeletionVectors
+          // lets deleteWhere commit merge-on-read vectors — a TABLE
+          // FEATURE, so reader 3 / writer 7 with the feature lists
+          // (old readers must not silently resurrect deleted rows)
+          val cdfOn0 = tableConfC.get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true"))
+          val dvOn0 = tableConfC.get("delta.enableDeletionVectors")
+            .exists(_.equalsIgnoreCase("true"))
           val confJson = tableConfC.map { case (k, v) => s"${js(k)}:${js(v)}" }
             .mkString("{", ",", "}")
-          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
+          actions +=
+            (if (dvOn0) {
+              val wf = Seq("deletionVectors") ++ (if (cdfOn0) Seq("changeDataFeed") else Nil)
+              s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                s""""readerFeatures":["deletionVectors"],""" +
+                s""""writerFeatures":[${wf.map(js).mkString(",")}]}}"""
+            } else {
+              val wv = if (cdfOn0) 4 else 2
+              s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
+            })
           actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":${js(df.schema.json)},""" +
@@ -630,7 +645,6 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
-    requireRewritable(head, table, "delete")
     // the same analyzable-conjunct profile as replaceWhere: a
     // nondeterministic predicate would match DIFFERENT rows in the
     // detection scan and the rewrite scan — silent corruption — and a
@@ -640,6 +654,11 @@ object DeltaWriter {
       s"delta delete: predicate '$predicate' has conjunct(s) this writer cannot analyze " +
         "(qualified/nested references, subqueries or nondeterministic functions); " +
         "use bare column names and deterministic expressions")
+    // merge-on-read tables (delta.enableDeletionVectors) take the DV
+    // path below, which handles existing vectors itself; everything
+    // else keeps the rewrite gates (mapping / foreign DVs refuse)
+    val dvPath = head.dvEnabled && head.mappingMode == "none"
+    if (!dvPath) requireRewritable(head, table, "delete")
     if (head.liveFiles.isEmpty) return 0L
     // Pre-prune the DETECTION file list with the reader's own skipping
     // machinery BEFORE any data file is opened: exact partition-tuple
@@ -652,6 +671,10 @@ object DeltaWriter {
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val candidates = pruneLiveFiles(spark, head, schema, head.liveFiles, conjs)
     if (candidates.isEmpty) return 0L
+    // merge-on-read: a DV-enabled table commits deletion vectors for
+    // small deletes instead of rewriting file bytes
+    if (dvPath)
+      return deleteWhereDv(spark, f, table, head, schema, predicate, candidates, maxRetries)
     val scan = scanLive(spark, f, table, head, candidates)
     val agg = scan.where(expr(predicate))
       .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
@@ -673,7 +696,134 @@ object DeltaWriter {
         if (!head.cdfEnabled) None
         else Some(shared.where(expr(predicate))
           .drop(FileCol).withColumn("_change_type", lit("delete")))
-      rewriteCommit(spark, f, table, head, touched, survivors, "DELETE", None, maxRetries, cdc)
+      rewriteCommit(spark, f, table, head, touched, Some(survivors), "DELETE", None, maxRetries, cdc)
+    } finally if (head.cdfEnabled) shared.unpersist()
+    deletedRows
+  }
+
+  /** Driver-side safety cap for the merge-on-read path: matched (file,
+    * row-index) pairs funnel through the driver to become vectors, so
+    * past this many the delete falls back to the distributed rewrite. */
+  private val DvMaxCollectRows = 2000000
+
+  /** Fraction of a file's LIVE rows (physical numRecords minus its
+    * existing vector's cardinality) above which rewriting survivors
+    * beats carrying a vector — delta-spark's same trade. */
+  private val DvMaxFraction = 0.5
+
+  /** Merge-on-read DELETE: commit an inline deletion vector per touched
+    * file — remove+add of the SAME path, bytes untouched — so a point
+    * delete in a 1 GB file is O(matched rows), not a file rewrite.
+    * Existing vectors decode driver-side (each bounded by this writer's
+    * own threshold), exclude already-deleted rows from detection, and
+    * union into the rewritten vectors. Falls back to the masked
+    * copy-on-write rewrite when any file's fresh deletions exceed
+    * [[DvMaxFraction]] of its live rows (or the driver cap). CDF tables
+    * stage cdc files for exactly the freshly deleted rows, so the feed
+    * stays precise (a DV change without cdc is unservable by the
+    * feed's own rule). */
+  private def deleteWhereDv(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, schema: StructType, predicate: String,
+      candidates: Seq[LiveFile], maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byKey = candidates.map(lf => liveKey(f, table, lf) -> lf).toMap
+    val existing: Map[String, Array[Long]] = candidates.flatMap { lf =>
+      lf.dvJson.map { dj =>
+        val d = mapper.readTree(dj)
+        val desc = DeltaReader.DvDescriptor(d.get("storageType").asText(),
+          d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+          d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+        liveKey(f, table, lf) -> DeltaReader.dvRows(table, desc, conf)
+      }
+    }.toMap
+    val scan = scanLive(spark, f, table, head, candidates, withRowIndex = true)
+    val matchedRows = scan.where(expr(predicate))
+      .select(col(FileCol), col(RowIdxCol))
+      .limit(DvMaxCollectRows + 1).collect()
+    if (matchedRows.length > DvMaxCollectRows)
+      return deleteWhereMaskedRewrite(spark, f, table, head, predicate,
+        candidates, existing, maxRetries)
+    val perFile: Map[String, Array[Long]] = matchedRows.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    val newPerFile: Map[String, Array[Long]] = perFile.flatMap { case (k, ps) =>
+      val ex = existing.get(k).map(_.toSet).getOrElse(Set.empty[Long])
+      val fresh = ps.filterNot(ex.contains)
+      if (fresh.isEmpty) None else Some(k -> fresh)
+    }
+    val deletedRows = newPerFile.values.map(_.length.toLong).sum
+    if (deletedRows == 0L) return 0L
+    val overThreshold = newPerFile.exists { case (k, fresh) =>
+      byKey.get(k).flatMap(_.numRecords) match {
+        case Some(n) =>
+          val live = n - existing.get(k).map(_.length.toLong).getOrElse(0L)
+          live > 0 && fresh.length.toDouble / live.toDouble > DvMaxFraction
+        case None => fresh.length > 100000 // stats-less file: absolute bound
+      }
+    }
+    if (overThreshold)
+      return deleteWhereMaskedRewrite(spark, f, table, head, predicate,
+        candidates, existing, maxRetries)
+    val dvRewrites: Seq[(LiveFile, String)] = newPerFile.toSeq.map { case (k, fresh) =>
+      byKey(k) -> dvDescriptorJson((existing.getOrElse(k, Array.empty[Long]) ++ fresh).sorted)
+    }
+    val cdc =
+      if (!head.cdfEnabled) None
+      else {
+        // exactly the freshly deleted rows: semi-join the scan against
+        // the broadcast (file, row-index) pairs just assembled
+        val pairSchema = StructType(Seq(
+          StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
+        val rows = newPerFile.toSeq.flatMap { case (k, ps) =>
+          ps.map(p => org.apache.spark.sql.Row(k, p)) }
+        val fdf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), pairSchema))
+        Some(scan.join(fdf, Seq(FileCol, RowIdxCol), "left_semi")
+          .drop(FileCol, RowIdxCol).withColumn("_change_type", lit("delete")))
+      }
+    rewriteCommit(spark, f, table, head, Nil, None,
+      "DELETE", None, maxRetries, cdc, dvRewrites)
+    deletedRows
+  }
+
+  /** Copy-on-write DELETE with existing vectors masked out: the
+    * fallback when fresh deletions are too large a fraction for a
+    * vector. Touched files rewrite WITHOUT vectors (their masked rows
+    * drop with the matched ones); untouched files keep theirs. */
+  private def deleteWhereMaskedRewrite(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, predicate: String, candidates: Seq[LiveFile],
+      existing: Map[String, Array[Long]], maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, expr, lit}
+    val pairSchema = StructType(Seq(
+      StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
+    def masked(files: Seq[LiveFile]): DataFrame = {
+      val s0 = scanLive(spark, f, table, head, files, withRowIndex = true)
+      if (existing.isEmpty) s0.drop(RowIdxCol)
+      else {
+        val rows = existing.toSeq.flatMap { case (k, ps) =>
+          ps.map(p => org.apache.spark.sql.Row(k, p)) }
+        val edf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), pairSchema))
+        s0.join(edf, Seq(FileCol, RowIdxCol), "left_anti").drop(RowIdxCol)
+      }
+    }
+    val agg = masked(candidates).where(expr(predicate))
+      .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
+    val deletedRows = agg.getLong(0)
+    if (deletedRows == 0L) return 0L
+    val touchedKeys = agg.getSeq[String](1).toSet
+    val touched = head.liveFiles.filter(lf => touchedKeys.contains(liveKey(f, table, lf)))
+    val touchedScan = masked(touched)
+    val shared = if (head.cdfEnabled) touchedScan.persist() else touchedScan
+    try {
+      val survivors = shared
+        .where(s"NOT ($predicate) OR ($predicate) IS NULL").drop(FileCol)
+      val cdc =
+        if (!head.cdfEnabled) None
+        else Some(shared.where(expr(predicate))
+          .drop(FileCol).withColumn("_change_type", lit("delete")))
+      rewriteCommit(spark, f, table, head, touched, Some(survivors), "DELETE", None, maxRetries, cdc)
     } finally if (head.cdfEnabled) shared.unpersist()
     deletedRows
   }
@@ -958,7 +1108,7 @@ object DeltaWriter {
         }
       if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
       rewriteCommit(spark, f, table, head, touched,
-        out.getOrElse(emptyFrame(spark, schema)), "MERGE", txn, maxRetries, cdc)
+        out, "MERGE", txn, maxRetries, cdc)
     } finally {
       if (srcPersistedHere) src.unpersist()
       tScans.foreach(_.unpersist())
@@ -1012,6 +1162,77 @@ object DeltaWriter {
     candidates
   }
 
+  /** ZeroMQ Z85 encode (4 bytes → 5 chars), the exact inverse of the
+    * reader's `z85Decode` — same alphabet constant, so encoder and
+    * decoder cannot drift. */
+  private[readers] def z85Encode(data: Array[Byte]): String = {
+    require(data.length % 4 == 0, s"z85: length ${data.length} not a multiple of 4")
+    val sb = new StringBuilder(data.length / 4 * 5)
+    var i = 0
+    while (i < data.length) {
+      var v = ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+      val chars = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chars(k) = DeltaReader.Z85Alphabet.charAt((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chars)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Serialize deleted row indexes as a delta DV blob (PROTOCOL.md
+    * "Deletion Vector Format"): LE magic 1681511377 + LE64 bitmap
+    * count + per high-32-bit key (LE32 key + a portable 32-bit roaring
+    * bitmap, no-run cookie 12346 with real container offsets) — the
+    * exact layout the reader's `decodeDvData`/`parseRoaringSized`
+    * walks, padded with trailing zeros to the 4-byte multiple Z85
+    * needs (the decoder stops after the declared bitmaps). */
+  private[readers] def encodeDvData(rows: Array[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def le64(v: Long): Unit = { le32((v & 0xffffffffL).toInt); le32((v >>> 32).toInt) }
+    val byKey = rows.sorted.distinct.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
+    le32(1681511377)
+    le64(byKey.size.toLong)
+    byKey.foreach { case (key, vs) =>
+      le32(key)
+      val vals32 = vs.map(v => (v & 0xffffffffL).toInt) // sorted already
+      val containers = vals32.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      le32(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      le32(containers.size)
+      containers.foreach { case (hi, cv) => le16(hi); le16(cv.length - 1) }
+      // container byte offsets from the start of this bitmap's blob
+      var off = 8 + 4 * containers.size + 4 * containers.size
+      containers.foreach { case (_, cv) =>
+        le32(off)
+        off += (if (cv.length <= 4096) 2 * cv.length else 8192)
+      }
+      containers.foreach { case (_, cv) =>
+        if (cv.length <= 4096) cv.foreach(v => le16(v & 0xffff))
+        else {
+          val words = new Array[Long](1024)
+          cv.foreach { v => val low = v & 0xffff; words(low >> 6) |= (1L << (low & 63)) }
+          words.foreach(le64)
+        }
+      }
+    }
+    while (bos.size() % 4 != 0) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** Inline DV descriptor JSON for `rows` deleted row indexes. */
+  private def dvDescriptorJson(rows: Array[Long]): String = {
+    val data = encodeDvData(rows)
+    s"""{"storageType":"i","pathOrInlineDv":${js(z85Encode(data))},""" +
+      s""""offset":0,"sizeInBytes":${data.length},"cardinality":${rows.length}}"""
+  }
+
+  /** Row-index metadata column attached by [[scanLive]] on request —
+    * the DV write path keys deletions on (file, row_index). */
+  private val RowIdxCol = "__graft_row_idx"
+
   /** Cap on the one-scan-per-partition-tuple plan shape: past it, ONE
     * scan with a broadcast (file → partition values) join keeps the
     * plan O(1) instead of O(distinct tuples) union-reduced FileScan
@@ -1030,30 +1251,34 @@ object DeltaWriter {
     * still applies: consumers selecting only keys carry only keys
     * through the scan. */
   private[readers] def scanLive(spark: SparkSession, f: FileSystem, table: String,
-      head: HeadState, files: Seq[LiveFile]): DataFrame = {
+      head: HeadState, files: Seq[LiveFile], withRowIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val dataSchema = StructType(schema.fields.filterNot(fl =>
       head.partitionCols.exists(_.equalsIgnoreCase(fl.name))))
+    val outCols = schema.fieldNames.toSeq ++ Seq(FileCol) ++
+      (if (withRowIndex) Seq(RowIdxCol) else Nil)
+    def withMeta(df: DataFrame): DataFrame = {
+      val a = df.withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      if (withRowIndex) a.withColumn(RowIdxCol, col("_metadata.row_index")) else a
+    }
     val groups = files.groupBy(_.partitionValues).toSeq
     if (groups.size <= maxPartitionScans) {
       val frames = groups.map { case (pv, group) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(group.map(g => resolveLogPath(table, g.path)): _*)
-          .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+        val base = withMeta(spark.read.schema(dataSchema)
+          .parquet(group.map(g => resolveLogPath(table, g.path)): _*))
         head.partitionCols.foldLeft(base) { (df, pc) =>
           val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
           df.withColumn(fl.name, Option(pv.getOrElse(pc, null)) match {
             case Some(s) => lit(s).cast(fl.dataType)
             case None    => lit(null).cast(fl.dataType)
           })
-        }.select((schema.fieldNames.toSeq :+ FileCol).map(col): _*)
+        }.select(outCols.map(col): _*)
       }
       frames.reduce(_ unionByName _)
     } else {
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(g => resolveLogPath(table, g.path)): _*)
-        .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      val base = withMeta(spark.read.schema(dataSchema)
+        .parquet(files.map(g => resolveLogPath(table, g.path)): _*))
       val pvSchema = StructType(StructField("__pv_file", StringType) +:
         head.partitionCols.map(pc => StructField(s"__pv_$pc", StringType)))
       val pvRows = files.map { lf =>
@@ -1066,12 +1291,9 @@ object DeltaWriter {
       head.partitionCols.foldLeft(joined) { (df, pc) =>
         val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
         df.withColumn(fl.name, col(s"__pv_$pc").cast(fl.dataType))
-      }.select((schema.fieldNames.toSeq :+ FileCol).map(col): _*)
+      }.select(outCols.map(col): _*)
     }
   }
-
-  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Shared tail of delete/merge: stage `output` (ordinary distributed
     * partitioned write — rows never pass the driver), rename in, and
@@ -1083,22 +1305,33 @@ object DeltaWriter {
     * would silently miss them; the caller re-runs against the new
     * state, delta-spark's ConcurrentAppendException stance). */
   private def rewriteCommit(spark: SparkSession, f: FileSystem, table: String,
-      head: HeadState, touched: Seq[LiveFile], output: DataFrame,
+      head: HeadState, touched: Seq[LiveFile], output: Option[DataFrame],
       operation: String, txn: Option[(String, Long)], maxRetries: Int,
-      cdc: Option[DataFrame] = None): Unit = {
+      cdc: Option[DataFrame] = None,
+      // merge-on-read: (file, descriptor json) pairs re-added IN PLACE
+      // with a deletion vector — remove+add of the SAME path, bytes
+      // untouched; concurrency-guarded like touched files plus a
+      // descriptor-drift check (a rival DV landing between scan and
+      // commit would otherwise be silently overwritten)
+      dvRewrites: Seq[(LiveFile, String)] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val tablePath = new Path(table)
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val partCols = head.partitionCols
-    // canonical table-case names so partition dirs and staged columns
-    // never depend on a caller frame's spelling
-    val canon = output.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
-    val w = canon.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    // a row-less output (txn markers, pure-DV commits) skips staging
+    // outright — an empty staged part file would otherwise become a
+    // spurious zero-row add
+    output.foreach { o =>
+      // canonical table-case names so partition dirs and staged columns
+      // never depend on a caller frame's spelling
+      val canon = o.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+      val w = canon.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    }
     try {
-      val staged = listParquet(f, staging)
+      val staged = if (output.isDefined) listParquet(f, staging) else Nil
       val stagingQ = f.makeQualified(staging).toString.stripSuffix("/")
       val adds = staged.map { st =>
         val full = st.getPath.toString
@@ -1154,11 +1387,20 @@ object DeltaWriter {
             headNow.partitionCols == head.partitionCols,
           s"delta $operation: the table metadata of $table changed under this rewrite; re-run")
         val nowLive = headNow.live.toSet
-        val gone = touched.map(_.path).filterNot(nowLive.contains)
+        val gone = (touched.map(_.path) ++ dvRewrites.map(_._1.path)).filterNot(nowLive.contains)
         require(gone.isEmpty,
           s"delta $operation: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
             "concurrent writer during the rewrite — committing would resurrect/duplicate " +
             "rows; re-run")
+        val nowByPath = headNow.liveFiles.map(lf => lf.path -> lf).toMap
+        (dvRewrites.map(_._1) ++ touched).foreach { lf =>
+          // a rival vector landing between scan and commit would be
+          // silently overwritten (dv path) or its deletions
+          // resurrected (rewrite path, survivors computed pre-rival)
+          require(nowByPath.get(lf.path).forall(_.dvJson == lf.dvJson),
+            s"delta $operation: the deletion vector of ${lf.path} changed under this " +
+              "rewrite (a rival row-level write landed); re-run")
+        }
         val added = (nowLive -- snapshotLive).toSeq.sorted
         require(added.isEmpty,
           s"delta $operation: concurrent write added file(s) ${added.take(3).mkString(", ")} " +
@@ -1182,6 +1424,21 @@ object DeltaWriter {
           actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
             s""""modificationTime":${a.mtime},"dataChange":true""" +
             a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
+        }
+        dvRewrites.foreach { case (lf, dvJson) =>
+          val pv = lf.partitionValues.map { case (k, v) =>
+            s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+          actions += s"""{"remove":{"path":${js(lf.path)},""" +
+            s""""deletionTimestamp":${System.currentTimeMillis()},""" +
+            s""""dataChange":true,"partitionValues":$pv}}"""
+          // the SAME file re-adds with the vector: log path verbatim,
+          // size/mtime from the untouched bytes, physical stats kept
+          // (min/max stay conservative over deleted rows — pruning-safe)
+          val st = f.getFileStatus(new Path(resolveLogPath(table, lf.path)))
+          actions += s"""{"add":{"path":${js(lf.path)},"partitionValues":$pv,""" +
+            s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+            s""""dataChange":true,"deletionVector":$dvJson""" +
+            lf.stats.map(s0 => s""","stats":${js(s0)}""").getOrElse("") + "}}"
         }
         cdcSpecs.foreach { c =>
           val pv = c.partitionValues.map { case (k, v) =>
@@ -1211,7 +1468,12 @@ object DeltaWriter {
       size: Long, mtime: Long, stats: Option[String])
 
   private[readers] case class LiveFile(path: String, partitionValues: Map[String, String],
-      hasDv: Boolean = false, stats: Option[String] = None)
+      hasDv: Boolean = false, stats: Option[String] = None,
+      dvJson: Option[String] = None) {
+    /** Physical row count from add.stats, if recorded. */
+    def numRecords: Option[Long] = stats.flatMap(s => scala.util.Try(
+      Option(new ObjectMapper().readTree(s).get("numRecords")).map(_.asLong())).toOption.flatten)
+  }
   private[readers] case class HeadState(schemaJson: String, partitionCols: Seq[String],
       liveFiles: Seq[LiveFile], metaJson: String = null) {
     def live: Seq[String] = liveFiles.map(_.path)
@@ -1225,6 +1487,12 @@ object DeltaWriter {
       Option(metaJson).flatMap(mj => scala.util.Try {
         Option(mapper.readTree(mj).get("configuration"))
           .flatMap(c => Option(c.get("delta.enableChangeDataFeed")))
+          .filterNot(_.isNull).map(_.asText())
+      }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
+    def dvEnabled: Boolean =
+      Option(metaJson).flatMap(mj => scala.util.Try {
+        Option(mapper.readTree(mj).get("configuration"))
+          .flatMap(c => Option(c.get("delta.enableDeletionVectors")))
           .filterNot(_.isNull).map(_.asText())
       }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
   }
@@ -1331,7 +1599,8 @@ object DeltaWriter {
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
           .getOrElse(Map.empty[String, String])
         live(p) = LiveFile(p, pv, hasDv = ad.hasNonNull("deletionVector"),
-          stats = Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+          stats = Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
+          dvJson = Option(ad.get("deletionVector")).filterNot(_.isNull).map(_.toString))
       }
       Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
     }

@@ -555,7 +555,7 @@ class DeltaMergeSpec extends SparkSpec {
   test("tableConf allowlists delta.* keys at create: behavior-bearing properties refuse, custom keys pass") {
     import spark.implicits._
     for (bad <- Seq("delta.columnMapping.mode" -> "name",
-        "delta.enableDeletionVectors" -> "true", "delta.appendOnly" -> "true")) {
+        "delta.appendOnly" -> "true", "delta.isolationLevel" -> "Serializable")) {
       val t = Files.createTempDirectory("dmconf").toString
       val e = intercept[Exception](DeltaWriter.write(spark,
         Seq((1L, "a")).toDF("id", "name"), t, tableConf = Map(bad)))
@@ -569,6 +569,66 @@ class DeltaMergeSpec extends SparkSpec {
     assert(DeltaWriter.deleteWhere(spark, t, "id = 1") == 1L)
     assert(DeltaReader.readChangeFeed(spark, t, 0L)
       .where("_change_type = 'delete'").count() == 1L)
+  }
+
+  test("encodeDvData round-trips through the reader's decoder (array, bitset and multi-key shapes)") {
+    val shapes = Seq(
+      Array(1L, 5L, 7L),
+      (0L until 5000L).toArray,       // > 4096 → 8 KiB bitset container
+      Array(3L, 70000L),              // two containers under one key
+      Array(1L, (1L << 32) + 7L))     // two high-32-bit bitmap keys
+    shapes.foreach { rows =>
+      val data = DeltaWriter.encodeDvData(rows)
+      assert(data.length % 4 == 0, "z85 needs 4-byte multiples")
+      assert(DeltaReader.decodeDvData(data, rows.length.toLong).toSeq == rows.sorted.toSeq)
+    }
+  }
+
+  test("DV-enabled tables: deleteWhere commits an inline deletion vector — file bytes untouched") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmdv").toString
+    DeltaWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1), t,
+      tableConf = Map("delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    // deletion vectors are a TABLE FEATURE: reader 3 / writer 7
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_delta_log", "0" * 20 + ".json"))
+    assert(v0.contains("\"minReaderVersion\":3") && v0.contains("deletionVectors"))
+    val file0 = DeltaReader.read(spark, t).inputFiles
+    assert(file0.length == 1)
+    val p0 = java.nio.file.Paths.get(new java.net.URI(file0(0)))
+    val bytes0 = java.nio.file.Files.readAllBytes(p0)
+    // a 3-row point delete commits a vector, not a rewrite
+    assert(DeltaWriter.deleteWhere(spark, t, "id IN (3, 5, 9)") == 3L)
+    // the read may reference the parquet once per plan leg (data + DV
+    // mask) — the SET of files is what must be unchanged
+    assert(DeltaReader.read(spark, t).inputFiles.toSet == file0.toSet)
+    assert(java.util.Arrays.equals(bytes0, java.nio.file.Files.readAllBytes(p0)),
+      "the data file's bytes must be untouched")
+    assert(DeltaReader.read(spark, t).count() == 97L)
+    assert(DeltaReader.read(spark, t).where("id IN (3, 5, 9)").count() == 0L)
+    // the change feed serves exactly the three deleted rows (cdc files)
+    assert(DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_commit_version = 1 AND _change_type = 'delete'")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 9L))
+    // a second delete UNIONS into the vector; an already-deleted row
+    // matching the predicate neither recounts nor reappears in cdc
+    assert(DeltaWriter.deleteWhere(spark, t, "id IN (5, 7)") == 1L)
+    assert(DeltaReader.read(spark, t).count() == 96L)
+    assert(DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_commit_version = 2 AND _change_type = 'delete'")
+      .select("id").as[Long].collect().toSeq == Seq(7L))
+    // history intact: the pre-delete version serves all 100 rows
+    assert(DeltaReader.read(spark, t, versionAsOf = Some(0L)).count() == 100L)
+    // over the matched-fraction threshold the delete falls back to the
+    // masked copy-on-write rewrite: new file, no vector, masked rows
+    // stay deleted through the rewrite
+    assert(DeltaWriter.deleteWhere(spark, t, "id < 60") == 56L)
+    assert(DeltaReader.read(spark, t).inputFiles.toSet != file0.toSet,
+      "an over-threshold delete must rewrite")
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      (60L until 100L))
   }
 
   test("merge txn marks the commit for exactly-once streaming upserts") {
