@@ -371,4 +371,77 @@ class ZarrReaderSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(back == Map(0L -> 7.0, 1L -> 8.0, 2L -> 0.0, 3L -> 9.0))
   }
+
+  test("group walk: a 2-variable store lists both arrays, each reads through the array path") {
+    import spark.implicits._
+    // the writer itself builds the member arrays — the group is just
+    // the reference's ZarrGroupCatalog dispatch over them
+    val dir = Files.createTempDirectory("zarrgrp")
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format":2}""")
+    graft.output.ZarrWriter.write(Seq((0L, 1.0), (1L, 2.0)).toDF("dim0", "value"),
+      s"file://$dir/temp", chunks = Seq(2), shape = Seq(2), dtype = "<f8")
+    graft.output.ZarrWriter.write(Seq((0L, 5.0)).toDF("dim0", "value"),
+      s"file://$dir/salt", chunks = Seq(1), shape = Seq(1), dtype = "<f8")
+    // a nested subgroup recurses like the reference's zarr_cat entries
+    val sub = dir.resolve("stats")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve(".zgroup"), """{"zarr_format":2}""")
+    graft.output.ZarrWriter.write(Seq((0L, 9.0)).toDF("dim0", "value"),
+      s"file://$dir/stats/mean", chunks = Seq(1), shape = Seq(1), dtype = "<f8")
+    val cat = ZarrReader.listArrays(s"file://$dir")
+    assert(cat.aliases.keySet == Set("temp", "salt", "stats/mean"))
+    assert(cat("temp").read(spark).as[(Long, Double)].collect().sorted.toSeq ==
+      Seq((0L, 1.0), (1L, 2.0)))
+    assert(cat("stats/mean").read(spark).as[(Long, Double)].collect().toSeq ==
+      Seq((0L, 9.0)))
+    // component scoping (the reference's kwarg)
+    assert(ZarrReader.listArrays(s"file://$dir", component = Some("stats"))
+      .aliases.keySet == Set("mean"))
+    // an ARRAY node refuses by name — read it directly instead
+    val e = intercept[Exception](ZarrReader.listArrays(s"file://$dir/temp"))
+    assert(e.getMessage.contains("ARRAY node"))
+  }
+
+  test("group walk: consolidated .zmetadata serves the hierarchy from ONE read (no listing)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrcons")
+    graft.output.ZarrWriter.write(Seq((0L, 3.0)).toDF("dim0", "value"),
+      s"file://$dir/a", chunks = Seq(1), shape = Seq(1), dtype = "<f8")
+    graft.output.ZarrWriter.write(Seq((0L, 4.0)).toDF("dim0", "value"),
+      s"file://$dir/sub/b", chunks = Seq(1), shape = Seq(1), dtype = "<f8")
+    Files.writeString(dir.resolve(".zmetadata"),
+      """{"zarr_consolidated_format":1,"metadata":{
+        |".zgroup":{"zarr_format":2},
+        |"a/.zarray":{},"sub/.zgroup":{"zarr_format":2},"sub/b/.zarray":{},
+        |"ghost/.zarray":{}}}""".stripMargin)
+    // the fast path trusts the consolidated keys — including a member
+    // whose directory does not even exist (proves no listing happened)
+    val cat = ZarrReader.listArrays(s"file://$dir")
+    assert(cat.aliases.keySet == Set("a", "sub/b", "ghost"))
+    assert(cat("a").read(spark).as[(Long, Double)].collect().toSeq == Seq((0L, 3.0)))
+    assert(ZarrReader.listArrays(s"file://$dir", component = Some("sub"))
+      .aliases.keySet == Set("b"))
+  }
+
+  test("v3 group walk dispatches on member zarr.json node types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrv3g")
+    Files.writeString(dir.resolve("zarr.json"), """{"zarr_format":3,"node_type":"group"}""")
+    // one v3 member array (uint16 fixture shape from the v3 read spec)
+    val a = dir.resolve("counts")
+    Files.createDirectories(a)
+    Files.writeString(a.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[2],"data_type":"uint16",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}]}""".stripMargin)
+    val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(7.toShort); bb.putShort(9.toShort)
+    Files.createDirectories(a.resolve("c"))
+    Files.write(a.resolve("c").resolve("0"), bb.array())
+    val cat = ZarrReader.listArrays(s"file://$dir")
+    assert(cat.aliases.keySet == Set("counts"))
+    assert(cat("counts").read(spark).as[(Long, Double)].collect().sorted.toSeq ==
+      Seq((0L, 7.0), (1L, 9.0)))
+  }
 }
