@@ -120,8 +120,13 @@ private[readers] class DeltaStreamSink(spark: SparkSession, table: String,
   override def toString: String = s"DeltaStreamSink[$table]"
 }
 
-private[readers] case class DeltaVersionOffset(version: Long) extends V1Offset {
-  override def json(): String = version.toString
+/** Stream offset: a fully-emitted `version`, or — under
+  * `max_files_per_trigger` — a PARTIAL one (`part` = how many of the
+  * version's path-sorted adds are emitted), serialized `v` / `v:part`
+  * so pre-existing checkpoints parse unchanged. */
+private[readers] case class DeltaVersionOffset(version: Long,
+    part: Option[Long] = None) extends V1Offset {
+  override def json(): String = part.fold(version.toString)(k => s"$version:$k")
 }
 
 private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
@@ -140,7 +145,45 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
     .orElse(options.get("maxVersionsPerTrigger")).map(_.toInt)
   maxVersions.foreach(n => require(n >= 1,
     s"graft-delta: max_versions_per_trigger must be >= 1 (got $n)"))
-  private var lastEndSeen: Option[Long] = None
+  // finer admission: at most N FILES per micro-batch (delta-spark's
+  // maxFilesPerTrigger) — an oversized commit splits across triggers
+  // via partial offsets over its PATH-SORTED adds, so the slicing is
+  // deterministic across restarts. Composes with the version cap.
+  private val maxFiles = options.get("max_files_per_trigger")
+    .orElse(options.get("maxFilesPerTrigger")).map(_.toLong)
+  maxFiles.foreach(n => require(n >= 1,
+    s"graft-delta: max_files_per_trigger must be >= 1 (got $n)"))
+  private var lastEndSeen: Option[(Long, Option[Long])] = None
+
+  // per-version (path-sorted dataChange adds, has dataChange removes,
+  // changes metadata/protocol), shared by the admission walk and
+  // getBatch so both slice the same order; entries behind the anchor
+  // are dropped each walk
+  private val versionMetaCache =
+    scala.collection.mutable.LongMap.empty[(Seq[String], Boolean, Boolean)]
+  private def versionMetaOf(v: Long): (Seq[String], Boolean, Boolean) =
+    versionMetaCache.getOrElseUpdate(v, {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = FileSystem.get(new URI(table).resolve("/"), conf)
+      val p = new Path(table.stripSuffix("/") + "/_delta_log", f"$v%020d.json")
+      require(f.exists(p),
+        s"graft-delta: commit json $v missing from _delta_log (expired/cleaned log) — " +
+          "cannot stream the window; re-baseline by restarting without a checkpoint")
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val mapper = new ObjectMapper()
+      val actions = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(mapper.readTree).toSeq
+      def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        Option(n.get("dataChange")).forall(x => x.isNull || x.asBoolean())
+      val adds = actions.flatMap(a => Option(a.get("add")).filterNot(_.isNull))
+        .filter(dataChange).map(_.get("path").asText()).distinct.sorted
+      val hasRemoves = actions.flatMap(a => Option(a.get("remove")).filterNot(_.isNull))
+        .exists(dataChange)
+      val changesMeta = actions.exists(a => a.has("metaData") || a.has("protocol"))
+      (adds, hasRemoves, changesMeta)
+    })
 
   // a numeric startingVersion may seed the cap only for a provably
   // FRESH query: after a restart the committed offset (recovered via
@@ -151,72 +194,99 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
 
   override def schema: StructType = schema0
 
+  /** (version, part) ordering: a partial offset sits BELOW the full
+    * version it belongs to. */
+  private def offLt(a: (Long, Option[Long]), b: (Long, Option[Long])): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && ((a._2, b._2) match {
+      case (Some(x), Some(y)) => x < y
+      case (Some(_), None)    => true
+      case _                  => false
+    }))
+
   override def getOffset: Option[V1Offset] = {
     val cur = DeltaReader.currentVersion(spark, table)
-    // the cap anchors on the last offered/committed end (recovered from
+    // the caps anchor on the last offered/committed end (recovered from
     // the checkpoint via getBatch on restart), or on a numeric
     // startingVersion for a fresh query; the no-anchor first batch is
     // the snapshot read — a single quantum regardless
-    val anchor = lastEndSeen.orElse(
-      if (freshQuery) startingVersion.filter(_ != "latest").map(_.toLong - 1) else None)
-    val offered = (maxVersions, anchor) match {
-      case (Some(n), Some(a)) => math.max(a, math.min(cur, a + n))
-      case _                  => cur
+    val anchor: Option[(Long, Option[Long])] = lastEndSeen.orElse(
+      if (freshQuery) startingVersion.filter(_ != "latest").map(v => (v.toLong - 1, None))
+      else None)
+    val offered: (Long, Option[Long]) = anchor match {
+      case None               => (cur, None)
+      case Some((aV, aPart)) =>
+        val vCap = maxVersions.fold(cur)(n => math.max(aV, math.min(cur, aV + n)))
+        maxFiles match {
+          case None => (vCap, None)
+          case Some(budget0) =>
+            // walk forward spending the file budget; an oversized
+            // version ends the offer PARTIAL over its sorted adds
+            versionMetaCache.filterInPlace((k, _) => k >= aV) // bound the cache
+            var budget = budget0
+            var res: (Long, Option[Long]) = (aV, aPart)
+            var v = if (aPart.isDefined) aV else aV + 1
+            var emitted = aPart.getOrElse(0L)
+            while (v <= vCap && budget > 0) {
+              val (adds, hasRemoves, _) = versionMetaOf(v)
+              // a version the stream will skip wholesale costs nothing
+              val eff = if (hasRemoves && skipChangeCommits) 0L else adds.size.toLong
+              val remaining = eff - emitted
+              if (remaining <= budget) {
+                res = (v, None); budget -= remaining; v += 1; emitted = 0L
+              } else {
+                res = (v, Some(emitted + budget)); budget = 0L
+              }
+            }
+            res
+        }
     }
     lastEndSeen = Some(offered)
-    Some(DeltaVersionOffset(offered))
+    Some(DeltaVersionOffset(offered._1, offered._2))
   }
 
-  private def ver(o: V1Offset): Long = o match {
-    case DeltaVersionOffset(v) => v
-    case other                 => other.json.trim.toLong // SerializedOffset on restart
+  private[readers] def ver(o: V1Offset): (Long, Option[Long]) = o match {
+    case DeltaVersionOffset(v, p) => (v, p)
+    case other => other.json.trim.split(":") match { // SerializedOffset on restart
+      case Array(v)    => (v.toLong, None)
+      case Array(v, k) => (v.toLong, Some(k.toLong))
+      case _ => throw new IllegalArgumentException(s"graft-delta: bad offset '${other.json}'")
+    }
   }
 
   private def emptyBatch(): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endV = ver(end)
-    lastEndSeen = Some(lastEndSeen.fold(endV)(math.max(_, endV)))
+    val endO = ver(end)
+    lastEndSeen = Some(lastEndSeen.filter(a => !offLt(a, endO)).getOrElse(endO))
     val batch = start match {
-      case Some(s) => changesBatch(ver(s), endV)
+      case Some(s) => changesBatch(ver(s), endO)
       case None => startingVersion match {
-        case Some("latest") => emptyBatch() // tail from here; endV is the new baseline
-        case Some(v)        => changesBatch(v.toLong - 1, endV) // v's changes included
-        case None           => DeltaReader.read(spark, table, versionAsOf = Some(endV))
+        case Some("latest") => emptyBatch() // tail from here; endO is the new baseline
+        case Some(v)        => changesBatch((v.toLong - 1, None), endO) // v's changes included
+        case None           =>
+          // snapshot quantum: the no-anchor first offer is never partial
+          DeltaReader.read(spark, table, versionAsOf = Some(endO._1))
       }
     }
     // v1 contract: the returned frame must carry isStreaming=true
     org.apache.spark.sql.graft.bridge.streamingFrame(batch)
   }
 
-  /** The adds of versions (sinceV, endV]. */
-  private def changesBatch(sinceV: Long, endV: Long): DataFrame = {
-    if (endV <= sinceV) return emptyBatch()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val logDir = table.stripSuffix("/") + "/_delta_log"
-    val f = FileSystem.get(new URI(table).resolve("/"), conf)
-    val mapper = new ObjectMapper()
-    val addsByVersion: Seq[(Long, Set[String])] = ((sinceV + 1) to endV).flatMap { v =>
-      val p = new Path(logDir, f"$v%020d.json")
-      require(f.exists(p),
-        s"graft-delta: commit json $v missing from _delta_log (expired/cleaned log) — " +
-          "cannot stream the window; re-baseline by restarting without a checkpoint")
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val actions = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(mapper.readTree).toSeq
-      def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
-        Option(n.get("dataChange")).forall(x => x.isNull || x.asBoolean())
-      val removes = actions.flatMap(a => Option(a.get("remove")).filterNot(_.isNull))
-        .filter(dataChange)
-      val adds = actions.flatMap(a => Option(a.get("add")).filterNot(_.isNull))
-        .filter(dataChange).map(_.get("path").asText()).toSet
-      require(!actions.exists(a => a.has("metaData") || a.has("protocol")),
+  /** The adds of the window (since, end] — partial bounds slice a
+    * version's PATH-SORTED adds, so a split commit re-assembles
+    * exactly across triggers and restarts. */
+  private def changesBatch(since: (Long, Option[Long]), end: (Long, Option[Long])): DataFrame = {
+    if (!offLt(since, end)) return emptyBatch()
+    val (sV, sPart) = since
+    val (eV, ePart) = end
+    val firstV = if (sPart.isDefined) sV else sV + 1
+    val addsByVersion: Seq[(Long, Seq[String])] = (firstV to eV).flatMap { v =>
+      val (adds, hasRemoves, changesMeta) = versionMetaOf(v)
+      require(!changesMeta,
         s"graft-delta: version $v changes the table metadata/protocol under the stream — " +
           "a stream's schema must be constant; restart the query to adopt it")
-      if (removes.nonEmpty) {
+      if (hasRemoves) {
         // rows already emitted cannot be retracted from an append
         // stream — refuse, or skip the whole version on request
         require(skipChangeCommits,
@@ -224,20 +294,25 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
             "cannot retract emitted rows. Set skip_change_commits=true to skip such " +
             "versions, or re-baseline with a batch read")
         None
-      } else if (adds.isEmpty) None
-      else Some(v -> adds)
+      } else {
+        val from = if (v == sV) sPart.getOrElse(0L).toInt else 0
+        val until = if (v == eV) ePart.map(_.toInt).getOrElse(adds.size) else adds.size
+        val slice = adds.slice(from, until)
+        if (slice.isEmpty) None else Some(v -> slice)
+      }
     }
     if (addsByVersion.isEmpty) emptyBatch()
     else if (!skipChangeCommits)
-      // with removes refused, every in-window add is live at endV — a
+      // with removes refused, every in-window add is live at eV — a
       // multi-version catch-up is ONE pinned scan, not O(versions)
       // unioned plans
-      DeltaReader.readSubsetAt(spark, table, endV, addsByVersion.flatMap(_._2).toSet)
+      DeltaReader.readSubsetAt(spark, table, eV, addsByVersion.flatMap(_._2).toSet)
     else
       // under skip_change_commits a SKIPPED later version may have
       // removed an earlier in-window add, so each version scans as of
       // itself (where its adds are live by construction)
-      addsByVersion.map { case (v, adds) => DeltaReader.readSubsetAt(spark, table, v, adds) }
+      addsByVersion.map { case (v, adds) =>
+        DeltaReader.readSubsetAt(spark, table, v, adds.toSet) }
         .reduce(_ unionByName _)
   }
 

@@ -204,4 +204,52 @@ class DeltaStreamSpec extends SparkSpec {
       assert(nonEmpty == 3, s"expected 3 paced batches, saw $nonEmpty")
     } finally q.stop()
   }
+
+  test("max_files_per_trigger splits an oversized commit across triggers — no loss/duplication across restart") {
+    val t = baseTable() // v0: f0 with ids 1, 2
+    // ONE commit adding 12 files: with a 5-file cap it must arrive as
+    // partial offsets over the version's sorted adds (5 + 5 + 2)
+    (0 until 12).foreach(i => writeParquetFile(t, f"g$i%02d.parquet", Seq((100L + i, s"g$i"))))
+    writeCommit(t, 1, (0 until 12).map(i => addAction(f"g$i%02d.parquet")))
+    val ckpt = Files.createTempDirectory("dsfiles").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "1").option("max_files_per_trigger", "5")
+        .load(t.toString)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids; if (ids.nonEmpty) sizes += ids.length.toLong }
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(25)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toSeq == (0 until 12).map(100L + _),
+      s"split commit must reassemble exactly: $seen")
+    assert(sizes.toSeq == Seq(5L, 5L, 2L), s"expected 5+5+2 file-paced batches: $sizes")
+    // a restart mid-history replays NOTHING (offsets carry the partial
+    // coordinates), and a new oversized commit splits the same way
+    seen.clear(); sizes.clear()
+    (0 until 7).foreach(i => writeParquetFile(t, f"h$i.parquet", Seq((200L + i, s"h$i"))))
+    writeCommit(t, 2, (0 until 7).map(i => addAction(s"h$i.parquet")))
+    run()
+    assert(seen.sorted.toSeq == (0 until 7).map(200L + _), s"got $seen")
+    assert(sizes.toSeq == Seq(5L, 2L), s"expected 5+2: $sizes")
+    // and nothing more on a no-op run
+    seen.clear(); sizes.clear()
+    run()
+    assert(seen.isEmpty && sizes.isEmpty)
+    // the partial coordinate round-trips serialization both ways — a
+    // restart recovering a mid-split offset resumes at the same slice
+    assert(DeltaVersionOffset(3L, Some(4L)).json == "3:4")
+    val src = new DeltaStreamSource(spark, t.toString, Map.empty)
+    assert(src.ver(new org.apache.spark.sql.execution.streaming.Offset {
+      override def json(): String = "3:4" }) == ((3L, Some(4L))))
+    assert(src.ver(new org.apache.spark.sql.execution.streaming.Offset {
+      override def json(): String = "7" }) == ((7L, None)))
+  }
 }
