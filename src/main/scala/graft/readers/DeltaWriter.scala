@@ -722,13 +722,14 @@ object DeltaWriter {
     * stage cdc files for exactly the freshly deleted rows, so the feed
     * stays precise (a DV change without cdc is unservable by the
     * feed's own rule). */
-  private def deleteWhereDv(spark: SparkSession, f: FileSystem, table: String,
-      head: HeadState, schema: StructType, predicate: String,
-      candidates: Seq[LiveFile], maxRetries: Int): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+  /** Existing deletion-vector row sets of `files`, decoded DRIVER-side
+    * (each bounded by this writer's own write threshold), keyed by the
+    * scan key — detection exclusions, vector unions and masked rewrite
+    * scans all start here. */
+  private def existingDvs(spark: SparkSession, f: FileSystem, table: String,
+      files: Seq[LiveFile]): Map[String, Array[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val byKey = candidates.map(lf => liveKey(f, table, lf) -> lf).toMap
-    val existing: Map[String, Array[Long]] = candidates.flatMap { lf =>
+    files.flatMap { lf =>
       lf.dvJson.map { dj =>
         val d = mapper.readTree(dj)
         val desc = DeltaReader.DvDescriptor(d.get("storageType").asText(),
@@ -738,13 +739,42 @@ object DeltaWriter {
         liveKey(f, table, lf) -> DeltaReader.dvRows(table, desc, conf)
       }
     }.toMap
+  }
+
+  /** [[scanLive]] with the rows existing deletion vectors delete
+    * REMOVED (broadcast anti-join on (file, row-index)) — the frame
+    * every rewrite consumer must see on a merge-on-read table. A clean
+    * file set pays nothing. */
+  private def scanLiveVisible(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, files: Seq[LiveFile]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ex = existingDvs(spark, f, table, files.filter(_.hasDv))
+    if (ex.isEmpty) scanLive(spark, f, table, head, files)
+    else {
+      val pairSchema = StructType(Seq(
+        StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
+      val rows = ex.toSeq.flatMap { case (k, ps) =>
+        ps.map(p => org.apache.spark.sql.Row(k, p)) }
+      val edf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), pairSchema))
+      scanLive(spark, f, table, head, files, withRowIndex = true)
+        .join(edf, Seq(FileCol, RowIdxCol), "left_anti").drop(RowIdxCol)
+    }
+  }
+
+  private def deleteWhereDv(spark: SparkSession, f: FileSystem, table: String,
+      head: HeadState, schema: StructType, predicate: String,
+      candidates: Seq[LiveFile], maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+    val byKey = candidates.map(lf => liveKey(f, table, lf) -> lf).toMap
+    val existing = existingDvs(spark, f, table, candidates.filter(_.hasDv))
     val scan = scanLive(spark, f, table, head, candidates, withRowIndex = true)
     val matchedRows = scan.where(expr(predicate))
       .select(col(FileCol), col(RowIdxCol))
       .limit(DvMaxCollectRows + 1).collect()
     if (matchedRows.length > DvMaxCollectRows)
       return deleteWhereMaskedRewrite(spark, f, table, head, predicate,
-        candidates, existing, maxRetries)
+        candidates, maxRetries)
     val perFile: Map[String, Array[Long]] = matchedRows.groupBy(_.getString(0))
       .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
     val newPerFile: Map[String, Array[Long]] = perFile.flatMap { case (k, ps) =>
@@ -764,7 +794,7 @@ object DeltaWriter {
     }
     if (overThreshold)
       return deleteWhereMaskedRewrite(spark, f, table, head, predicate,
-        candidates, existing, maxRetries)
+        candidates, maxRetries)
     val dvRewrites: Seq[(LiveFile, String)] = newPerFile.toSeq.map { case (k, fresh) =>
       byKey(k) -> dvDescriptorJson((existing.getOrElse(k, Array.empty[Long]) ++ fresh).sorted)
     }
@@ -793,21 +823,10 @@ object DeltaWriter {
     * drop with the matched ones); untouched files keep theirs. */
   private def deleteWhereMaskedRewrite(spark: SparkSession, f: FileSystem, table: String,
       head: HeadState, predicate: String, candidates: Seq[LiveFile],
-      existing: Map[String, Array[Long]], maxRetries: Int): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, expr, lit}
-    val pairSchema = StructType(Seq(
-      StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
-    def masked(files: Seq[LiveFile]): DataFrame = {
-      val s0 = scanLive(spark, f, table, head, files, withRowIndex = true)
-      if (existing.isEmpty) s0.drop(RowIdxCol)
-      else {
-        val rows = existing.toSeq.flatMap { case (k, ps) =>
-          ps.map(p => org.apache.spark.sql.Row(k, p)) }
-        val edf = broadcast(spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), pairSchema))
-        s0.join(edf, Seq(FileCol, RowIdxCol), "left_anti").drop(RowIdxCol)
-      }
-    }
+      maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit}
+    def masked(files: Seq[LiveFile]): DataFrame =
+      scanLiveVisible(spark, f, table, head, files)
     val agg = masked(candidates).where(expr(predicate))
       .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
     val deletedRows = agg.getLong(0)
@@ -973,7 +992,13 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
-    requireRewritable(head, table, "merge")
+    // merge-on-read tables: this writer's own vectors MASK through
+    // every rewrite scan below (scanLiveVisible), so merging after a
+    // DV delete works — touched files rewrite without vectors, their
+    // masked rows dropping; untouched files keep theirs. Foreign DV
+    // tables / column mapping still refuse.
+    val dvTable = head.dvEnabled && head.mappingMode == "none"
+    if (!dvTable) requireRewritable(head, table, "merge")
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     MergeClauses.validate(clauses, schema, "delta")
     val onT: Seq[String] = on.map(k =>
@@ -1042,7 +1067,7 @@ object DeltaWriter {
                 FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
               if (cand.isEmpty) Nil
               else {
-                val ks = scanLive(spark, f, table, head, cand)
+                val ks = scanLiveVisible(spark, f, table, head, cand)
                   .join(srcKeys, onT, "left_semi")
                   .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
                 head.liveFiles.filter(lf => ks.contains(liveKey(f, table, lf)))
@@ -1068,7 +1093,7 @@ object DeltaWriter {
               else {
                 val any = bySourceCs.map(c => c.condition.map(expr).getOrElse(lit(true)))
                   .reduce(_ || _)
-                val ks = scanLive(spark, f, table, head, cand).as("t")
+                val ks = scanLiveVisible(spark, f, table, head, cand).as("t")
                   .join(srcKeys, onT, "left_anti").where(any)
                   .agg(collect_set(col(FileCol))).collect()(0).getSeq[String](0).toSet
                 head.liveFiles.filter(lf => ks.contains(liveKey(f, table, lf)))
@@ -1080,7 +1105,8 @@ object DeltaWriter {
           val tRows =
             if (touchedFiles.isEmpty) None
             else {
-              val s0 = scanLive(spark, f, table, head, touchedFiles).drop(FileCol).persist()
+              val s0 = scanLiveVisible(spark, f, table, head, touchedFiles)
+                .drop(FileCol).persist()
               tScans += s0
               Some(s0)
             }
@@ -1098,7 +1124,7 @@ object DeltaWriter {
               val cand = pruneLiveFiles(spark, head, schema, head.liveFiles,
                 FileSkipping.keyBoundConjuncts(srcKeys, onT, schema))
               if (cand.isEmpty) None
-              else Some(scanLive(spark, f, table, head, cand)
+              else Some(scanLiveVisible(spark, f, table, head, cand)
                 .join(srcKeys, onT, "left_semi")
                 .select(onT.map(col): _*).distinct())
             }

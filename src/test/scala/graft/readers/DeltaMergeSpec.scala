@@ -631,6 +631,24 @@ class DeltaMergeSpec extends SparkSpec {
       (60L until 100L))
   }
 
+  test("merge after a DV delete: vectors mask through the rewrite scans, masked rows never resurrect") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmdvmerge").toString
+    DeltaWriter.write(spark,
+      (0 until 10).map(i => (i.toLong, i * 10)).toDF("id", "v").coalesce(1), t,
+      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, t, "id IN (2, 4)") == 2L)
+    // the touched DV'd file rewrites through the merge with its masked
+    // rows DROPPED — not resurrected, not double-counted
+    DeltaWriter.merge(spark, Seq((3L, 999), (42L, 1)).toDF("id", "v"), t, on = Seq("id"))
+    val got = DeltaReader.read(spark, t).select("id", "v").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0), (1L, 10), (3L, 999), (5L, 50), (6L, 60),
+      (7L, 70), (8L, 80), (9L, 90), (42L, 1)))
+    // the rewrite cleared the vector: no live file carries one anymore
+    assert(DeltaWriter.currentState(spark, t).liveFiles.forall(!_.hasDv))
+  }
+
   test("merge txn marks the commit for exactly-once streaming upserts") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmtxn").toString
