@@ -451,12 +451,18 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
-    requireRewritable(head, table, "compact")
+    // merge-on-read tables compact THROUGH their vectors: the group
+    // scan masks deleted rows (dropping them from the rewrite), so
+    // OPTIMIZE doubles as a vector purge — a lone DV'd file is a
+    // compactable group of one
+    val dvTable = head.dvEnabled && head.mappingMode == "none"
+    if (!dvTable) requireRewritable(head, table, "compact")
+    val byPath = head.liveFiles.map(lf => lf.path -> lf).toMap
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val dataSchema = StructType(schema.fields.filterNot(fl => head.partitionCols.contains(fl.name)))
     // group live files by partition directory (the log path's prefix)
     val groups = head.live.groupBy(p => p.split("/").dropRight(1).mkString("/"))
-      .filter(_._2.size > 1)
+      .filter { case (_, ps) => ps.size > 1 || ps.exists(p => byPath(p).hasDv) }
     if (groups.isEmpty) return 0
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     try {
@@ -464,8 +470,25 @@ object DeltaWriter {
         val srcs = oldPaths.map(p =>
           new Path(tablePath, PathKeys.percentDecode(p)).toString)
         val outDir = new Path(staging, if (partDir.isEmpty) "out" else partDir)
-        spark.read.schema(dataSchema).parquet(srcs: _*)
-          .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+        val groupFiles = oldPaths.map(byPath)
+        val raw = spark.read.schema(dataSchema).parquet(srcs: _*)
+        val visible =
+          if (!groupFiles.exists(_.hasDv)) raw
+          else {
+            import org.apache.spark.sql.functions.{broadcast, col}
+            val ex = existingDvs(spark, f, table, groupFiles.filter(_.hasDv))
+            val pairSchema = StructType(Seq(
+              StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
+            val rows = ex.toSeq.flatMap { case (k, ps2) =>
+              ps2.map(p2 => org.apache.spark.sql.Row(k, p2)) }
+            val edf = broadcast(spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), pairSchema))
+            raw.withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+              .withColumn(RowIdxCol, col("_metadata.row_index"))
+              .join(edf, Seq(FileCol, RowIdxCol), "left_anti")
+              .drop(FileCol, RowIdxCol)
+          }
+        visible.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
         val part = listParquet(f, outDir).head
         val rel = (if (partDir.isEmpty) "" else partDir + "/") + part.getPath.getName
         val dest = new Path(tablePath, PathKeys.percentDecode(rel))
@@ -483,11 +506,19 @@ object DeltaWriter {
         // landing between the two either shows in nowLive or collides
         // at the create — never escapes both
         val version = DeltaReader.currentVersion(spark, table) + 1L
-        val nowLive = currentState(spark, table).live.toSet
+        val nowState = currentState(spark, table)
+        val nowLive = nowState.live.toSet
         val gone = adds.flatMap(_._1).filterNot(nowLive.contains)
         require(gone.isEmpty,
           s"delta compact: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
             "concurrent writer — rewriting them would resurrect deleted rows; re-run")
+        val nowBy = nowState.liveFiles.map(lf => lf.path -> lf).toMap
+        adds.flatMap(_._1).foreach { p =>
+          // a rival vector landing on a file mid-compact would have its
+          // deletions resurrected by the pre-rival group scan
+          require(nowBy.get(p).forall(_.dvJson == byPath(p).dvJson),
+            s"delta compact: the deletion vector of $p changed under this rewrite; re-run")
+        }
         val actions = Seq.newBuilder[String]
         actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
         adds.foreach { case (oldPaths, a) =>

@@ -649,6 +649,23 @@ class DeltaMergeSpec extends SparkSpec {
     assert(DeltaWriter.currentState(spark, t).liveFiles.forall(!_.hasDv))
   }
 
+  test("OPTIMIZE purges vectors: a lone DV'd file compacts to a clean file with identical rows") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dmdvopt").toString
+    DeltaWriter.write(spark,
+      (0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1), t,
+      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, t, "id IN (2, 4)") == 2L)
+    assert(DeltaWriter.compact(spark, t) == 1) // the DV'd file is a group of one
+    val head = DeltaWriter.currentState(spark, t)
+    assert(head.liveFiles.size == 1 && head.liveFiles.forall(!_.hasDv),
+      "compaction must rewrite the vector away")
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 5L, 6L, 7L, 8L, 9L))
+    // nothing left to compact
+    assert(DeltaWriter.compact(spark, t) == 0)
+  }
+
   test("merge txn marks the commit for exactly-once streaming upserts") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmtxn").toString
