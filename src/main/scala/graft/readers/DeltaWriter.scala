@@ -777,10 +777,10 @@ object DeltaWriter {
     * every rewrite consumer must see on a merge-on-read table. A clean
     * file set pays nothing. */
   private def scanLiveVisible(spark: SparkSession, f: FileSystem, table: String,
-      head: HeadState, files: Seq[LiveFile]): DataFrame = {
+      head: HeadState, files: Seq[LiveFile], keepRowIdx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val ex = existingDvs(spark, f, table, files.filter(_.hasDv))
-    if (ex.isEmpty) scanLive(spark, f, table, head, files)
+    if (ex.isEmpty) scanLive(spark, f, table, head, files, withRowIndex = keepRowIdx)
     else {
       val pairSchema = StructType(Seq(
         StructField(FileCol, StringType), StructField(RowIdxCol, LongType)))
@@ -788,8 +788,9 @@ object DeltaWriter {
         ps.map(p => org.apache.spark.sql.Row(k, p)) }
       val edf = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), pairSchema))
-      scanLive(spark, f, table, head, files, withRowIndex = true)
-        .join(edf, Seq(FileCol, RowIdxCol), "left_anti").drop(RowIdxCol)
+      val joined = scanLive(spark, f, table, head, files, withRowIndex = true)
+        .join(edf, Seq(FileCol, RowIdxCol), "left_anti")
+      if (keepRowIdx) joined else joined.drop(RowIdxCol)
     }
   }
 
@@ -1080,11 +1081,11 @@ object DeltaWriter {
       val matchedOn = clauses.exists(_.kind == "matched")
       val bySourceCs = clauses.filter(_.kind == "notMatchedBySource")
       val insertOn = clauses.exists(_.kind == "notMatched")
-      val (touched, out, cdc) =
+      val (touched, out, cdc, dvRw) =
         if (head.liveFiles.isEmpty) {
-          val (o, c) = MergeClauses.assemble(None, src, srcKeys, None,
+          val (o, c, _) = MergeClauses.assemble(None, src, srcKeys, None,
             onT, schema, clauses, cdfOn)
-          (Nil, o, c)
+          (Nil, o, c, Nil)
         } else {
           // matched-file detection, pre-pruned by the source keys'
           // [min,max]: a file whose stats / partition tuple exclude
@@ -1136,8 +1137,11 @@ object DeltaWriter {
           val tRows =
             if (touchedFiles.isEmpty) None
             else {
-              val s0 = scanLiveVisible(spark, f, table, head, touchedFiles)
-                .drop(FileCol).persist()
+              // merge-on-read keeps the (file, row-index) metadata so
+              // applied rows can become vector positions
+              val base = scanLiveVisible(spark, f, table, head, touchedFiles,
+                keepRowIdx = dvTable)
+              val s0 = (if (dvTable) base else base.drop(FileCol)).persist()
               tScans += s0
               Some(s0)
             }
@@ -1159,13 +1163,50 @@ object DeltaWriter {
                 .join(srcKeys, onT, "left_semi")
                 .select(onT.map(col): _*).distinct())
             }
-          val (o, c) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
-            onT, schema, clauses, cdfOn)
-          (touchedFiles, o, c)
+          if (!dvTable) {
+            val (o, c, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+              onT, schema, clauses, cdfOn)
+            (touchedFiles, o, c, Nil)
+          } else {
+            // MERGE-ON-READ attempt: applied target rows become vector
+            // positions (remove+add of the SAME files), only update
+            // post-images + inserts land in new files — an upsert
+            // touching k rows of a 1 GB file costs O(k), not a rewrite
+            val (oMor, cMor, affOpt) = MergeClauses.assemble(tRows, src, srcKeys,
+              matchedKeys, onT, schema, clauses, cdfOn,
+              morMeta = Some((FileCol, RowIdxCol)))
+            val affRows = affOpt.map(_.limit(DvMaxCollectRows + 1).collect())
+              .getOrElse(Array.empty[org.apache.spark.sql.Row])
+            val tByKey = touchedFiles.map(lf => liveKey(f, table, lf) -> lf).toMap
+            val perFile: Map[String, Array[Long]] = affRows.groupBy(_.getString(0))
+              .map { case (k, rs) => k -> rs.map(_.getLong(1)).distinct.sorted }
+            val existing = existingDvs(spark, f, table, touchedFiles.filter(_.hasDv))
+            val over = affRows.length > DvMaxCollectRows || perFile.exists { case (k, ps) =>
+              tByKey.get(k).flatMap(_.numRecords) match {
+                case Some(n) =>
+                  val live = n - existing.get(k).map(_.length.toLong).getOrElse(0L)
+                  live > 0 && ps.length.toDouble / live.toDouble > DvMaxFraction
+                case None => ps.length > 100000
+              }
+            }
+            if (over) {
+              // too large a fraction: the full masked rewrite wins
+              val (o, c, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+                onT, schema, clauses, cdfOn)
+              (touchedFiles, o, c, Nil)
+            } else {
+              val rw = perFile.toSeq.map { case (k, fresh) =>
+                tByKey(k) -> dvDescriptorJson(
+                  (existing.getOrElse(k, Array.empty[Long]) ++ fresh).sorted)
+              }
+              (Nil, oMor, cMor, rw)
+            }
+          }
         }
-      if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+      if (touched.isEmpty && out.isEmpty && dvRw.isEmpty && txn.isEmpty)
+        return // provably a no-op
       rewriteCommit(spark, f, table, head, touched,
-        out, "MERGE", txn, maxRetries, cdc)
+        out, "MERGE", txn, maxRetries, cdc, dvRw)
     } finally {
       if (srcPersistedHere) src.unpersist()
       tScans.foreach(_.unpersist())

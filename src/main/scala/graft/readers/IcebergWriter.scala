@@ -1271,7 +1271,7 @@ object IcebergWriter {
           .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
       val (touched, out) =
         if (live0.isEmpty) {
-          val (o, _) = MergeClauses.assemble(None, src, srcKeys, None,
+          val (o, _, _) = MergeClauses.assemble(None, src, srcKeys, None,
             onT, schema, clauses, withCdc = false)
           (Nil, o)
         } else {
@@ -1341,7 +1341,7 @@ object IcebergWriter {
               else Some(scanOf(cand).join(srcKeys, onT, "left_semi")
                 .select(onT.map(col): _*).distinct())
             }
-          val (o, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+          val (o, _, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
             onT, schema, clauses, withCdc = false)
           (touchedFiles, o)
         }

@@ -134,12 +134,23 @@ private[readers] object MergeClauses {
     * unchanged (or don't insert). Update/insert values cast to the
     * table column types so the staged parquet schema never drifts.
     *
-    * Returns (output rows, cdc rows) — cdc carries `_change_type` of
-    * insert / delete / update_preimage / update_postimage for exactly
-    * the rows a clause applied to, never survivors. */
+    * Returns (output rows, cdc rows, affected positions) — cdc carries
+    * `_change_type` of insert / delete / update_preimage /
+    * update_postimage for exactly the rows a clause applied to, never
+    * survivors.
+    *
+    * `morMeta` = Some((fileCol, rowIdxCol)) switches to MERGE-ON-READ
+    * assembly: `tRows` carries those metadata columns, the output
+    * holds ONLY the rows that must land in new files (update
+    * post-images + inserts — survivors and unchanged rows stay in
+    * their files), and the third element is the (fileCol, rowIdxCol)
+    * frame of every target row a clause applied to — the rows the
+    * caller masks with deletion vectors. */
   def assemble(tRows: Option[DataFrame], src: DataFrame, srcKeys: DataFrame,
       matchedKeys: Option[DataFrame], onT: Seq[String], schema: StructType,
-      clauses: Seq[MergeClause], withCdc: Boolean): (Option[DataFrame], Option[DataFrame]) = {
+      clauses: Seq[MergeClause], withCdc: Boolean,
+      morMeta: Option[(String, String)] = None):
+      (Option[DataFrame], Option[DataFrame], Option[DataFrame]) = {
     val order = schema.fieldNames.toSeq
     def typed(cn: String) = schema(cn).dataType
     val matchedCs = clauses.filter(_.kind == "matched").zipWithIndex
@@ -170,13 +181,18 @@ private[readers] object MergeClauses {
 
     val outB = Seq.newBuilder[DataFrame]
     val cdcB = Seq.newBuilder[DataFrame]
+    val affB = Seq.newBuilder[DataFrame]
+    def affCols: Seq[Column] = morMeta.toSeq.flatMap { case (fc, ric) =>
+      Seq(col(fc).as(fc), col(ric).as(ric)) }
 
     // ---- matched target rows (paired 1:1 with their source row) -----
     tRows.foreach { t =>
       if (matchedCs.isEmpty) {
         // no matched clause: matched rows in touched files (a bySource
-        // rewrite can touch files holding matched rows) pass through
-        outB += t.join(srcKeys, onT, "left_semi").select(order.map(col): _*)
+        // rewrite can touch files holding matched rows) pass through —
+        // under merge-on-read they simply STAY in their files
+        if (morMeta.isEmpty)
+          outB += t.join(srcKeys, onT, "left_semi").select(order.map(col): _*)
       } else {
         val keyCond = onT.map(k => col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _)
         val joined = t.as("t").join(src.as("s"), keyCond, "inner")
@@ -184,10 +200,20 @@ private[readers] object MergeClauses {
         val delIdx = matchedCs.collect { case (c, i) if c.action == "delete" => i }
         val outCols = order.map(cn =>
           overlay(matchedCs, cn, col(s"t.`$cn`"), col(s"s.`$cn`")).as(cn))
-        val kept =
-          if (delIdx.isEmpty) joined
-          else joined.where(!col(A).isin(delIdx.map(Int.box): _*))
-        outB += kept.select(outCols: _*)
+        morMeta match {
+          case None =>
+            val kept =
+              if (delIdx.isEmpty) joined
+              else joined.where(!col(A).isin(delIdx.map(Int.box): _*))
+            outB += kept.select(outCols: _*)
+          case Some(_) =>
+            // new files carry only the post-images; applied rows (the
+            // pre-images, update AND delete) mask out via vectors
+            val ui = updIdxs(matchedCs)
+            if (ui.nonEmpty)
+              outB += joined.where(col(A).isin(ui.map(Int.box): _*)).select(outCols: _*)
+            affB += joined.where(col(A) >= 0).select(affCols: _*)
+        }
         if (withCdc) {
           val applied = joined.where(col(A) >= 0)
           val ui = updIdxs(matchedCs)
@@ -207,18 +233,27 @@ private[readers] object MergeClauses {
     // ---- unmatched target rows (survivors / bySource clauses) -------
     tRows.foreach { t =>
       val un0 = t.join(srcKeys, onT, "left_anti")
-      if (bySourceCs.isEmpty) outB += un0.select(order.map(col): _*)
-      else {
+      if (bySourceCs.isEmpty) {
+        if (morMeta.isEmpty) outB += un0.select(order.map(col): _*)
+      } else {
         val un = un0.as("t").withColumn(A, appliedIdx(bySourceCs))
         val delIdx = bySourceCs.collect { case (c, i) if c.action == "delete" => i }
         val outCols = order.map(cn =>
           // bySource update has no source row; empty sets are refused
           // by validate, so the emptySetValue branch is unreachable
           overlay(bySourceCs, cn, col(s"t.`$cn`"), col(s"t.`$cn`")).as(cn))
-        val kept =
-          if (delIdx.isEmpty) un
-          else un.where(!col(A).isin(delIdx.map(Int.box): _*))
-        outB += kept.select(outCols: _*)
+        morMeta match {
+          case None =>
+            val kept =
+              if (delIdx.isEmpty) un
+              else un.where(!col(A).isin(delIdx.map(Int.box): _*))
+            outB += kept.select(outCols: _*)
+          case Some(_) =>
+            val ui = updIdxs(bySourceCs)
+            if (ui.nonEmpty)
+              outB += un.where(col(A).isin(ui.map(Int.box): _*)).select(outCols: _*)
+            affB += un.where(col(A) >= 0).select(affCols: _*)
+        }
         if (withCdc) {
           val applied = un.where(col(A) >= 0)
           val ui = updIdxs(bySourceCs)
@@ -254,6 +289,7 @@ private[readers] object MergeClauses {
     }
 
     (outB.result().reduceOption(_ unionByName _),
-      if (withCdc) cdcB.result().reduceOption(_ unionByName _) else None)
+      if (withCdc) cdcB.result().reduceOption(_ unionByName _) else None,
+      affB.result().reduceOption(_ unionByName _))
   }
 }

@@ -631,22 +631,48 @@ class DeltaMergeSpec extends SparkSpec {
       (60L until 100L))
   }
 
-  test("merge after a DV delete: vectors mask through the rewrite scans, masked rows never resurrect") {
+  test("MERGE-ON-READ: a small upsert extends the vector and stages only its new rows; big merges rewrite") {
     import spark.implicits._
     val t = Files.createTempDirectory("dmdvmerge").toString
     DeltaWriter.write(spark,
       (0 until 10).map(i => (i.toLong, i * 10)).toDF("id", "v").coalesce(1), t,
-      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+      tableConf = Map("delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    val origPath = DeltaWriter.currentState(spark, t).liveFiles.head.path
     assert(DeltaWriter.deleteWhere(spark, t, "id IN (2, 4)") == 2L)
-    // the touched DV'd file rewrites through the merge with its masked
-    // rows DROPPED — not resurrected, not double-counted
+    // a 1-matched-row upsert: the old file's BYTES stay, its vector
+    // grows by the updated row's position, and only the post-image +
+    // the insert land in a new file — O(matched), not a rewrite
     DeltaWriter.merge(spark, Seq((3L, 999), (42L, 1)).toDF("id", "v"), t, on = Seq("id"))
     val got = DeltaReader.read(spark, t).select("id", "v").as[(Long, Int)]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq((0L, 0), (1L, 10), (3L, 999), (5L, 50), (6L, 60),
       (7L, 70), (8L, 80), (9L, 90), (42L, 1)))
-    // the rewrite cleared the vector: no live file carries one anymore
+    val head1 = DeltaWriter.currentState(spark, t)
+    val old1 = head1.liveFiles.find(_.path == origPath)
+      .getOrElse(fail("the original file must still be live"))
+    assert(old1.hasDv)
+    assert(head1.liveFiles.filterNot(_.path == origPath).forall(!_.hasDv),
+      "new-row files never carry vectors")
+    // the feed stays precise across the MoR commit (version 2): one
+    // update pair + one insert, nothing for survivors or masked rows
+    assert(DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_commit_version = 2").selectExpr("id", "_change_type")
+      .as[(Long, String)].collect().sorted.toSeq == Seq(
+        (3L, "update_postimage"), (3L, "update_preimage"), (42L, "insert")).sorted)
+    val card = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(old1.dvJson.get).get("cardinality").asLong()
+    assert(card == 3L, s"2 deletes + 1 update pre-image, got $card")
+    // a merge matching most of the file's live rows exceeds the
+    // fraction threshold: full masked rewrite, vectors cleared, masked
+    // rows never resurrect
+    DeltaWriter.merge(spark,
+      Seq((0L, -1), (1L, -1), (5L, -1), (6L, -1), (7L, -1)).toDF("id", "v"), t,
+      on = Seq("id"), insertNotMatched = false)
     assert(DeltaWriter.currentState(spark, t).liveFiles.forall(!_.hasDv))
+    assert(DeltaReader.read(spark, t).select("id", "v").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq == Seq((0L, -1), (1L, -1), (3L, 999),
+      (5L, -1), (6L, -1), (7L, -1), (8L, 80), (9L, 90), (42L, 1)))
   }
 
   test("OPTIMIZE purges vectors: a lone DV'd file compacts to a clean file with identical rows") {
