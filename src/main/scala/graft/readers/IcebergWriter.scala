@@ -758,7 +758,8 @@ object IcebergWriter {
     * (storedPath, length, per-field summaries for the manifest list). */
   private def writeManifest(spark: SparkSession, f: FileSystem, table: String,
       snapshotId: Long, rows: Seq[ManifestEntry],
-      partFields: Seq[StructField]): (String, Long, Seq[FieldSummary]) = {
+      partFields: Seq[StructField],
+      content: Int = 0): (String, Long, Seq[FieldSummary]) = {
     val dir = s"${table.stripSuffix("/")}/metadata/m-${java.util.UUID.randomUUID()}"
     val rowSchema = StructType(
       Seq(StructField("p", StringType), StructField("sz", LongType),
@@ -778,7 +779,7 @@ object IcebergWriter {
       .selectExpr("1 as status",
         s"cast($snapshotId as bigint) as snapshot_id",
         "cast(null as bigint) as sequence_number",
-        s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', 0,
+        s"""named_struct('file_path', p, 'file_format', 'PARQUET', 'content', $content,
           |'record_count', rc, 'file_size_in_bytes', sz,
           |'lower_bounds', lb, 'upper_bounds', ub$partExpr) as data_file""".stripMargin)
       .coalesce(1).write.format(AvroFmt).save(dir)
@@ -1143,10 +1144,22 @@ object IcebergWriter {
     * delete semantics) rewrite through a second scan over only the
     * touched files, and one snapshot publishes the change. Files with
     * no matching row are never rewritten. Returns the deleted row
-    * count; a no-match delete publishes NO snapshot. */
+    * count; a no-match delete publishes NO snapshot.
+    *
+    * `mode = "merge-on-read"` (iceberg's `write.delete.mode`) commits
+    * a parquet POSITION-DELETE file instead of rewriting anything: one
+    * snapshot retains every existing manifest and appends one delete
+    * manifest — a point delete in a 1 GB file is O(matched rows). The
+    * native reader (and iceberg-spark) applies the deletes at read.
+    * Repeated MoR deletes stack delete files (already-deleted rows
+    * are excluded from detection, so counts stay exact);
+    * [[materializeDeletes]] folds them back into clean data files —
+    * which the other rewrite ops require. */
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, mode: String = "copy-on-write"): Long = {
     import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit}
+    require(Set("copy-on-write", "merge-on-read").contains(mode),
+      s"iceberg delete: unknown mode '$mode' (copy-on-write | merge-on-read)")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val meta0 = ownedMeta(spark, table, "delete")
@@ -1158,6 +1171,9 @@ object IcebergWriter {
       s"iceberg delete: predicate '$predicate' has conjunct(s) this writer cannot analyze " +
         "(qualified/nested references, subqueries or nondeterministic functions); " +
         "use bare column names and deterministic expressions")
+    if (mode == "merge-on-read")
+      return deleteWhereMor(spark, f, table, meta0, fieldNodes, schema,
+        predicate, conjs, maxRetries)
     val live0 = liveEntries(spark, meta0, table)
     if (live0.isEmpty) return 0L
     val candidates = pruneDetection(spark, meta0, fieldNodes, live0, conjs)
@@ -1180,6 +1196,180 @@ object IcebergWriter {
       live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
       Map.empty, maxRetries)
     deleted
+  }
+
+  /** Row-index metadata column for the merge-on-read scans. */
+  private val RowIdxCol = "__graft_row_idx"
+
+  /** Driver-side cap on (file, position) pairs for the merge-on-read
+    * paths — past it, point deletes are the wrong tool. */
+  private val MorMaxCollectRows = 2000000
+
+  /** Merge-on-read DELETE: stage ONE sorted parquet position-delete
+    * file (`file_path` raw manifest paths, `pos` row indexes) for the
+    * freshly matched rows and publish a snapshot that RETAINS every
+    * existing manifest verbatim plus one delete manifest (content=1,
+    * the new snapshot's sequence number) — no data file is rewritten.
+    * The reader applies deletes by path+pos (its documented keying),
+    * and seq-ordered engines agree (every data seq < the delete's).
+    * Existing delete files load driver-side (bounded) to exclude
+    * already-deleted rows from detection — repeat deletes stay exact. */
+  private def deleteWhereMor(spark: SparkSession, f: FileSystem, table: String,
+      meta0: JsonNode, fieldNodes: Seq[JsonNode], schema: StructType,
+      predicate: String,
+      conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import scala.jdk.CollectionConverters._
+    val (data0, del0) = liveEntriesAll(spark, meta0, table)
+    if (data0.isEmpty) return 0L
+    val candidates = pruneDetection(spark, meta0, fieldNodes, data0, conjs)
+    if (candidates.isEmpty) return 0L
+    val byKey = candidates.map(e => PathKeys.driverKey(e.path, f) -> e).toMap
+    val existingPairs: Set[(String, Long)] =
+      if (del0.isEmpty) Set.empty
+      else {
+        val rows = spark.read.parquet(del0.map(_.path): _*)
+          .select("file_path", "pos").limit(MorMaxCollectRows + 1).collect()
+        require(rows.length <= MorMaxCollectRows,
+          s"iceberg delete: over $MorMaxCollectRows accumulated position-delete rows — " +
+            "run IcebergWriter.materializeDeletes first")
+        rows.iterator.map(r => PathKeys.driverKey(r.getString(0), f) -> r.getLong(1))
+          .filter(t => byKey.contains(t._1)).toSet
+      }
+    val matched = spark.read.schema(schema).parquet(candidates.map(_.path): _*)
+      .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      .withColumn(RowIdxCol, col("_metadata.row_index"))
+      .where(expr(predicate)).select(col(FileCol), col(RowIdxCol))
+      .limit(MorMaxCollectRows + 1).collect()
+    require(matched.length <= MorMaxCollectRows,
+      s"iceberg delete: over $MorMaxCollectRows matched rows — merge-on-read is for " +
+        "point/small deletes; use mode=copy-on-write")
+    val fresh = matched.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .distinct.filterNot(existingPairs.contains)
+    if (fresh.isEmpty) return 0L
+    // the delete file references the RAW manifest path strings
+    val delRows = fresh.map { case (k, pos) => (byKey(k).path, pos) }.sorted
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_del_${java.util.UUID.randomUUID()}")
+    val dest = new Path(table.stripSuffix("/") + "/data",
+      s"delete-${java.util.UUID.randomUUID()}.parquet")
+    {
+      import spark.implicits._
+      delRows.toDF("file_path", "pos").coalesce(1)
+        .sortWithinPartitions("file_path", "pos").write.parquet(staging.toString)
+    }
+    try {
+      val part = f.listStatus(staging)
+        .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
+          throw new IllegalStateException("iceberg delete: no staged delete part file"))
+      Option(dest.getParent).foreach(f.mkdirs(_))
+      require(f.rename(part.getPath, dest),
+        s"iceberg delete: rename ${part.getPath} -> $dest failed")
+      val delSize = f.getFileStatus(dest).getLen
+      val delPath = storedPath(f.makeQualified(dest))
+      val schemaIdAtScan = Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      var attempt = 0
+      while (true) {
+        val (meta, metaV) = ownedMetaV(spark, table, "delete")
+        require(Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0) == schemaIdAtScan &&
+            Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0) == 0,
+          s"iceberg delete: the schema of $table changed under this delete; re-run")
+        val (dataNow, delNow) = liveEntriesAll(spark, meta, table)
+        require(dataNow.map(_.path).toSet == data0.map(_.path).toSet,
+          s"iceberg delete: a concurrent write changed the live data set of $table " +
+            "under this delete (its rows were never probed); re-run")
+        require(delNow.map(_.path).toSet == del0.map(_.path).toSet,
+          s"iceberg delete: a concurrent row-level write landed at $table under this " +
+            "delete; re-run")
+        val curId = meta.get("current-snapshot-id").asLong()
+        val snap = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+          .find(_.get("snapshot-id").asLong() == curId).get
+        val retained = IcebergReader.manifestListRowsOf(spark,
+            snap.get("manifest-list").asText(), table)
+          .map { case (p, sq, specId, isDel, pj) =>
+            (p, 0L, sq, specId, isDel, summariesFromJson(pj)) }
+        val ok = publishSnapshotRows(spark, f, table, meta, metaV, "delete", Map.empty,
+          (snapshotId, seq) => {
+            val dm = writeManifest(spark, f, table, snapshotId,
+              Seq(ManifestEntry(delPath, delSize, delRows.size.toLong, Nil)),
+              Nil, content = 1)
+            (dm._1, dm._2, seq, 0, true, None) +: retained
+          })
+        if (ok) return fresh.size.toLong
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"iceberg delete: lost the commit race $maxRetries times at $table — giving up")
+      }
+      throw new IllegalStateException("unreachable")
+    } finally scala.util.Try(f.delete(staging, true))
+  }
+
+  /** Fold accumulated position deletes back into clean data files: the
+    * data files any delete references rewrite WITHOUT their deleted
+    * rows (one distributed anti-join on (file, row-index) — no driver
+    * row funnel), untouched files keep their entries, and the new
+    * snapshot carries NO delete manifests — restoring the full rewrite
+    * surface (merge/compact/copy-on-write delete refuse while delete
+    * files exist). Returns (data files rewritten, delete files
+    * dropped). */
+  def materializeDeletes(spark: SparkSession, table: String,
+      maxRetries: Int = 10): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, udf}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta0 = ownedMeta(spark, table, "materializeDeletes")
+    val fieldNodes = currentSchemaFieldNodes(meta0)
+    val schema = StructType(fieldNodes.map(n =>
+      StructField(n.get("name").asText(), sparkTypeOfNode(n.get("type")))).toArray)
+    val (data0, del0) = liveEntriesAll(spark, meta0, table)
+    if (del0.isEmpty) return (0, 0)
+    require(data0.nonEmpty, s"iceberg: $table has delete files but no data files")
+    // which data files do the deletes reference? (small distinct set)
+    val refPaths = spark.read.parquet(del0.map(_.path): _*)
+      .select("file_path").distinct().collect().map(_.getString(0))
+      .map(PathKeys.driverKey(_, f)).toSet
+    val byKey = data0.map(e => PathKeys.driverKey(e.path, f) -> e).toMap
+    val touched = data0.filter(e => refPaths.contains(PathKeys.driverKey(e.path, f)))
+    // survivors: one distributed anti-join against the delete pairs,
+    // both sides keyed identically (encode raw paths like the reader)
+    val encPath = udf((p: String) => new Path(p).toUri.toString)
+    val delPairs = spark.read.parquet(del0.map(_.path): _*)
+      .select(PathKeys.scanKey(encPath(col("file_path"))).as(FileCol),
+        col("pos").as(RowIdxCol))
+    val survivors = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+      .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
+      .withColumn(RowIdxCol, col("_metadata.row_index"))
+      .join(broadcast(delPairs), Seq(FileCol, RowIdxCol), "left_anti")
+      .drop(FileCol, RowIdxCol)
+    val partDefs = tablePartDefs(meta0)
+    val newEntries = stageRewrite(spark, f, table, survivors, fieldNodes, partDefs)
+    val partFields = partDefs.map(d => StructField(d._1, d._4))
+    val schemaIdAtScan = Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, "materializeDeletes")
+      require(Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0) == schemaIdAtScan &&
+          Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0) == 0,
+        s"iceberg materializeDeletes: the schema of $table changed under this rewrite; re-run")
+      val (dataNow, delNow) = liveEntriesAll(spark, meta, table)
+      require(dataNow.map(_.path).toSet == data0.map(_.path).toSet &&
+          delNow.map(_.path).toSet == del0.map(_.path).toSet,
+        s"iceberg materializeDeletes: a concurrent write changed $table under this " +
+          "rewrite; re-run")
+      val kept = dataNow.filterNot(e => refPaths.contains(PathKeys.driverKey(e.path, f)))
+      val entries = kept.map(toManifestEntry(_, partFields)) ++ newEntries
+      // publishSnapshot writes a FRESH single-manifest list: the delete
+      // manifests vanish with this snapshot (old snapshots keep them
+      // until expireSnapshots)
+      if (publishSnapshot(spark, f, table, meta, metaV, "replace", entries, partFields,
+          Map.empty))
+        return (touched.size, del0.size)
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg materializeDeletes: lost the commit race $maxRetries times at $table — " +
+          "giving up")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE (upsert) by key (round 12, the Delta writer's twin):
@@ -1421,6 +1611,20 @@ object IcebergWriter {
     * partition JSON) — writer-owned tables only carry data manifests
     * this writer (or its retained chain) wrote. */
   private def liveEntries(spark: SparkSession, meta: JsonNode, table: String): Seq[LiveEntry] = {
+    val (data, dels) = liveEntriesAll(spark, meta, table)
+    require(dels.isEmpty, s"iceberg: $table carries delete manifests — rewrite ops on " +
+      "such tables refuse (raw scans would resurrect deleted rows); run " +
+      "IcebergWriter.materializeDeletes to fold the deletes into data files, or use " +
+      "the iceberg-spark connector")
+    data
+  }
+
+  /** Live (data, position-delete) entries of the current snapshot —
+    * the tolerant variant the merge-on-read delete and
+    * [[materializeDeletes]] use; everything else goes through
+    * [[liveEntries]]'s refusal. */
+  private def liveEntriesAll(spark: SparkSession, meta: JsonNode,
+      table: String): (Seq[LiveEntry], Seq[LiveEntry]) = {
     import scala.jdk.CollectionConverters._
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: $table has no current snapshot"))
@@ -1428,23 +1632,36 @@ object IcebergWriter {
       .find(_.get("snapshot-id").asLong() == curId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $curId missing from $table"))
     val refs = IcebergReader.manifestListRowsOf(spark, snap.get("manifest-list").asText(), table)
-    require(refs.forall(!_._4), s"iceberg: $table carries delete manifests — " +
-      "outside this writer's profile; use the iceberg-spark connector")
-    if (refs.isEmpty) return Nil
-    val manifests = spark.read.format(AvroFmt).load(refs.map(_._1): _*)
-    val dfCols = manifests.select("data_file.*").columns.toSet
-    manifests.selectExpr("status", "data_file.file_path as p",
-        "data_file.file_size_in_bytes as sz", "data_file.record_count as rc",
-        if (dfCols.contains("partition")) "to_json(data_file.partition) as pv"
-        else "cast(null as string) as pv",
-        if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lbj"
-        else "cast(null as string) as lbj",
-        if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as ubj"
-        else "cast(null as string) as ubj")
-      .collect().toSeq.filter(_.getAs[Int]("status") != 2)
-      .map(r => LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
-        r.getAs[Long]("rc"), r.getAs[String]("pv"),
-        r.getAs[String]("lbj"), r.getAs[String]("ubj")))
+    if (refs.isEmpty) return (Nil, Nil)
+    // DATA and DELETE manifests load separately: their Avro schemas
+    // differ (delete manifests carry no partition struct), and a mixed
+    // multi-file load would resolve against one group's schema
+    def load(paths: Seq[String]): Seq[(Int, LiveEntry)] =
+      if (paths.isEmpty) Nil
+      else {
+        val manifests = spark.read.format(AvroFmt).load(paths: _*)
+        val dfCols = manifests.select("data_file.*").columns.toSet
+        manifests.selectExpr("status", "data_file.file_path as p",
+            "data_file.file_size_in_bytes as sz", "data_file.record_count as rc",
+            if (dfCols.contains("content")) "data_file.content as c" else "0 as c",
+            if (dfCols.contains("partition")) "to_json(data_file.partition) as pv"
+            else "cast(null as string) as pv",
+            if (dfCols.contains("lower_bounds")) "to_json(data_file.lower_bounds) as lbj"
+            else "cast(null as string) as lbj",
+            if (dfCols.contains("upper_bounds")) "to_json(data_file.upper_bounds) as ubj"
+            else "cast(null as string) as ubj")
+          .collect().toSeq.filter(_.getAs[Int]("status") != 2)
+          .map(r => (Option(r.getAs[Number]("c")).map(_.intValue()).getOrElse(0),
+            LiveEntry(r.getAs[String]("p"), r.getAs[Long]("sz"),
+              r.getAs[Long]("rc"), r.getAs[String]("pv"),
+              r.getAs[String]("lbj"), r.getAs[String]("ubj"))))
+      }
+    val (delRefs, dataRefs) = refs.partition(_._4)
+    val fromData = load(dataRefs.map(_._1))
+    val fromDel = load(delRefs.map(_._1))
+    // entry-level content is the belt to the list-level flag's braces
+    (fromData.filter(_._1 == 0).map(_._2),
+      fromDel.map(_._2) ++ fromData.filter(_._1 != 0).map(_._2))
   }
 
   /** Pre-prune the DETECTION candidates of a row-level rewrite with
@@ -1773,15 +1990,28 @@ object IcebergWriter {
   private def publishSnapshot(spark: SparkSession, f: FileSystem, table: String,
       meta: com.fasterxml.jackson.databind.node.ObjectNode, metaVersion: Long,
       operation: String, entries: Seq[ManifestEntry], partFields: Seq[StructField],
-      txnProps: Map[String, String]): Boolean = {
+      txnProps: Map[String, String]): Boolean =
+    publishSnapshotRows(spark, f, table, meta, metaVersion, operation, txnProps,
+      (snapshotId, seq) => {
+        val manifest = writeManifest(spark, f, table, snapshotId, entries, partFields)
+        Seq((manifest._1, manifest._2, seq, 0, false,
+          if (partFields.isEmpty) None else Some(manifest._3)))
+      })
+
+  /** [[publishSnapshot]] generalized to CALLER-built manifest-list rows
+    * — `rows(snapshotId, seq)` returns the full list (retained
+    * manifests verbatim + any new ones), so a merge-on-read delete can
+    * retain every existing manifest and append one delete manifest. */
+  private def publishSnapshotRows(spark: SparkSession, f: FileSystem, table: String,
+      meta: com.fasterxml.jackson.databind.node.ObjectNode, metaVersion: Long,
+      operation: String, txnProps: Map[String, String],
+      rows: (Long, Long) => Seq[(String, Long, Long, Int, Boolean, Option[Seq[FieldSummary]])]):
+      Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val seq = Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val parentId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
-    val manifest = writeManifest(spark, f, table, snapshotId, entries, partFields)
-    val listPath = writeManifestList(spark, f, table, snapshotId,
-      Seq((manifest._1, manifest._2, seq, 0, false,
-        if (partFields.isEmpty) None else Some(manifest._3))))
+    val listPath = writeManifestList(spark, f, table, snapshotId, rows(snapshotId, seq))
     val now = System.currentTimeMillis()
     val newSnap = mapper.createObjectNode()
     newSnap.put("snapshot-id", snapshotId)

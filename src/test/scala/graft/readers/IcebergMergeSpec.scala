@@ -342,6 +342,65 @@ class IcebergMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("nondeterministic"))
   }
 
+  test("merge-on-read deleteWhere commits a position-delete file; materializeDeletes folds it back") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("immor").toString
+    IcebergWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1), t)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val snap0 = om.readTree(IcebergReader.metadataText(t,
+      spark.sparkContext.hadoopConfiguration)).get("current-snapshot-id").asLong()
+    val file0 = IcebergReader.read(spark, t).inputFiles
+    assert(file0.length == 1)
+    val p0 = java.nio.file.Paths.get(new java.net.URI(file0(0)))
+    val bytes0 = java.nio.file.Files.readAllBytes(p0)
+    // a 3-row point delete: ONE position-delete file, no data rewrite
+    assert(IcebergWriter.deleteWhere(spark, t, "id IN (3, 5, 9)",
+      mode = "merge-on-read") == 3L)
+    assert(IcebergReader.read(spark, t).count() == 97L)
+    assert(IcebergReader.read(spark, t).where("id IN (3, 5, 9)").count() == 0L)
+    assert(java.util.Arrays.equals(bytes0, java.nio.file.Files.readAllBytes(p0)),
+      "the data file's bytes must be untouched")
+    // a second MoR delete stacks a second delete file; an
+    // already-deleted row matching the predicate does not recount
+    assert(IcebergWriter.deleteWhere(spark, t, "id IN (5, 7)",
+      mode = "merge-on-read") == 1L)
+    assert(IcebergReader.read(spark, t).count() == 96L)
+    // the pre-delete snapshot still serves every row
+    assert(IcebergReader.read(spark, t, snapshotId = Some(snap0)).count() == 100L)
+    // rewrite ops refuse while delete files exist — naming the remedy
+    val e = intercept[Exception](IcebergWriter.merge(spark,
+      Seq((1L, "x")).toDF("id", "name"), t, on = Seq("id")))
+    assert(e.getMessage.contains("materializeDeletes"))
+    // materialize: deletes fold into clean data files, the full
+    // rewrite surface returns
+    assert(IcebergWriter.materializeDeletes(spark, t) == ((1, 2)))
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filterNot(Set(3L, 5L, 7L, 9L)))
+    assert(IcebergWriter.deleteWhere(spark, t, "id = 0") == 1L) // copy-on-write works again
+    assert(IcebergReader.read(spark, t).count() == 95L)
+    assert(IcebergWriter.materializeDeletes(spark, t) == ((0, 0))) // nothing left
+  }
+
+  test("merge-on-read deletes on a PARTITIONED table: detection prunes, reads stay partition-pruned") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("immorp").toString
+    IcebergWriter.write(spark,
+      Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 8), (4L, "d", 8))
+        .toDF("id", "name", "p").repartition(2, org.apache.spark.sql.functions.col("p")),
+      t, partitionBy = Seq("p"))
+    assert(IcebergWriter.deleteWhere(spark, t, "p = 7 AND id = 1",
+      mode = "merge-on-read") == 1L)
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(IcebergReader.read(spark, t, filter = Some("p = 8"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // materialize on the partitioned layout round-trips too
+    assert(IcebergWriter.materializeDeletes(spark, t) == ((1, 1)))
+    assert(IcebergReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+  }
+
   test("a merge update introducing '' into a string partition source refuses (rewrite-side round-trip gate)") {
     import spark.implicits._
     val t = Files.createTempDirectory("imempty").toString
