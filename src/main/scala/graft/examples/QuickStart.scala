@@ -221,6 +221,50 @@ object QuickStart {
     println(s"[17] change feeds: iceberg ($feedIce); delta CDF precise ($feedCdf — " +
       "update pairs + inserts only, survivors never appear)")
 
+    // 18. Round 14 — the full merge-builder surface: conditional
+    // clauses, partial-column updates, whenNotMatchedBySource; plus
+    // RESTORE rewinding the table in one appended commit
+    import graft.readers.MergeClause
+    val bt = java.nio.file.Files.createTempDirectory("qs_builder").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 6).selectExpr("id", "concat('u', id) AS name",
+        "cast(id * 10 AS int) AS v"), bt)
+    graft.readers.DeltaWriter.mergeClauses(spark,
+      spark.range(4, 8).selectExpr("id", "cast(id AS int) AS nv"), bt, on = Seq("id"),
+      clauses = Seq(
+        MergeClause.matchedDelete(condition = "t.id = 4"),
+        MergeClause.matchedUpdate(set = Map("v" -> "s.nv")), // name untouched
+        MergeClause.insert(set = Map("id" -> "s.id", "v" -> "s.nv")),
+        MergeClause.bySourceUpdate(set = Map("name" -> "concat(t.name, '!')"),
+          condition = "t.id = 0")))
+    val v1 = 1L // the merge's commit
+    val (rm18, add18) = graft.readers.DeltaWriter.restore(spark, bt, 0L)
+    println(s"[18] merge clauses: ${graft.readers.DeltaReader.read(spark, bt, versionAsOf = Some(v1))
+        .selectExpr("concat_ws(':', id, coalesce(name, '-'), v)")
+        .collect().map(_.getString(0)).sorted.mkString(" ")}; " +
+      s"restore(0) removed $rm18 / resurrected $add18 -> " +
+      s"${graft.readers.DeltaReader.read(spark, bt).count()} rows again")
+
+    // 19. Merge-on-read both formats: point deletes cost O(matched
+    // rows) — Delta commits inline deletion vectors, Iceberg position-
+    // delete files; maintenance folds them back into clean files
+    val dvT = java.nio.file.Files.createTempDirectory("qs_dv").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 1000).selectExpr("id", "concat('r', id) AS name"), dvT,
+      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    val dvDel = graft.readers.DeltaWriter.deleteWhere(spark, dvT, "id IN (7, 13, 42)")
+    val morT = java.nio.file.Files.createTempDirectory("qs_mor").toString
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(0, 1000).selectExpr("id", "concat('r', id) AS name"), morT)
+    val morDel = graft.readers.IcebergWriter.deleteWhere(spark, morT, "id IN (7, 13)",
+      mode = "merge-on-read")
+    val (matData, matDel) = graft.readers.IcebergWriter.materializeDeletes(spark, morT)
+    println(s"[19] merge-on-read: delta DV delete ($dvDel rows, " +
+      s"${graft.readers.DeltaReader.read(spark, dvT).count()} remain, bytes untouched); " +
+      s"iceberg position deletes ($morDel rows) then materializeDeletes " +
+      s"($matData data file(s) rewritten, $matDel delete file(s) folded, " +
+      s"${graft.readers.IcebergReader.read(spark, morT).count()} remain)")
+
     spark.stop()
     println("QuickStart OK")
   }
