@@ -1249,26 +1249,11 @@ object IcebergWriter {
       .distinct.filterNot(existingPairs.contains)
     if (fresh.isEmpty) return 0L
     // the delete file references the RAW manifest path strings
-    val delRows = fresh.map { case (k, pos) => (byKey(k).path, pos) }.sorted
-    val staging = new Path(table.stripSuffix("/") + s"/_staging_del_${java.util.UUID.randomUUID()}")
-    val dest = new Path(table.stripSuffix("/") + "/data",
-      s"delete-${java.util.UUID.randomUUID()}.parquet")
-    {
-      import spark.implicits._
-      delRows.toDF("file_path", "pos").coalesce(1)
-        .sortWithinPartitions("file_path", "pos").write.parquet(staging.toString)
-    }
-    try {
-      val part = f.listStatus(staging)
-        .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
-          throw new IllegalStateException("iceberg delete: no staged delete part file"))
-      Option(dest.getParent).foreach(f.mkdirs(_))
-      require(f.rename(part.getPath, dest),
-        s"iceberg delete: rename ${part.getPath} -> $dest failed")
-      val delSize = f.getFileStatus(dest).getLen
-      val delPath = storedPath(f.makeQualified(dest))
-      val schemaIdAtScan = Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-      var attempt = 0
+    val delRows: Seq[(String, Long)] =
+      fresh.map { case (k, pos) => (byKey(k).path, pos) }.sorted
+    val (delPath, delSize) = stageDeleteFile(spark, f, table, delRows)
+    val schemaIdAtScan = Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    var attempt = 0
       while (true) {
         val (meta, metaV) = ownedMetaV(spark, table, "delete")
         require(Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0) == schemaIdAtScan &&
@@ -1301,6 +1286,26 @@ object IcebergWriter {
           s"iceberg delete: lost the commit race $maxRetries times at $table — giving up")
       }
       throw new IllegalStateException("unreachable")
+  }
+
+  /** Stage one sorted parquet position-delete file under `data/` —
+    * returns its (stored path, size). */
+  private def stageDeleteFile(spark: SparkSession, f: FileSystem, table: String,
+      delRows: Seq[(String, Long)]): (String, Long) = {
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_del_${java.util.UUID.randomUUID()}")
+    val dest = new Path(table.stripSuffix("/") + "/data",
+      s"delete-${java.util.UUID.randomUUID()}.parquet")
+    try {
+      import spark.implicits._
+      delRows.toDF("file_path", "pos").coalesce(1)
+        .sortWithinPartitions("file_path", "pos").write.parquet(staging.toString)
+      val part = f.listStatus(staging)
+        .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
+          throw new IllegalStateException("iceberg: no staged delete part file"))
+      Option(dest.getParent).foreach(f.mkdirs(_))
+      require(f.rename(part.getPath, dest),
+        s"iceberg: rename ${part.getPath} -> $dest failed")
+      (storedPath(f.makeQualified(dest)), f.getFileStatus(dest).getLen)
     } finally scala.util.Try(f.delete(staging, true))
   }
 
@@ -1405,9 +1410,21 @@ object IcebergWriter {
     * merge with a txn still publishes the marker). */
   def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
       on: Seq[String], clauses: Seq[MergeClause],
-      txn: Option[(String, Long)] = None, maxRetries: Int = 10): Unit = {
-    import org.apache.spark.sql.functions.{col, collect_set, expr, lit}
+      txn: Option[(String, Long)] = None, maxRetries: Int = 10,
+      mode: String = "copy-on-write"): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, expr, lit, udf}
     require(on.nonEmpty, "iceberg merge: at least one key column required")
+    require(Set("copy-on-write", "merge-on-read").contains(mode),
+      s"iceberg merge: unknown mode '$mode' (copy-on-write | merge-on-read)")
+    // merge-on-read (iceberg's write.merge.mode): applied target rows
+    // become POSITION-DELETE entries on their own files, only update
+    // post-images + inserts land in new data files, and one snapshot
+    // retains every existing manifest plus a delete manifest and a data
+    // manifest — an upsert touching k rows of a 1 GB file costs O(k).
+    // Works on delete-carrying tables (existing deletes mask the scans
+    // distributedly); copy-on-write refuses those until
+    // materializeDeletes.
+    val morOn = mode == "merge-on-read"
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val meta0 = ownedMeta(spark, table, "merge")
@@ -1452,18 +1469,33 @@ object IcebergWriter {
         s"iceberg merge: the source has duplicate values for key [${onT.mkString(",")}] — " +
           "a target row matching several source rows is nondeterministic; de-duplicate first")
       val srcKeys = src.where(keyNonNull).select(onT.map(src(_)): _*).distinct()
-      val live0 = liveEntries(spark, meta0, table)
+      val (live0, del0) =
+        if (morOn) liveEntriesAll(spark, meta0, table)
+        else (liveEntries(spark, meta0, table), Nil)
       val matchedOn = clauses.exists(_.kind == "matched")
       val bySourceCs = clauses.filter(_.kind == "notMatchedBySource")
       val insertOn = clauses.exists(_.kind == "notMatched")
-      def scanOf(entries: Seq[LiveEntry]): DataFrame =
-        spark.read.schema(schema).parquet(entries.map(_.path): _*)
+      val encPathU = udf((p: String) => new Path(p).toUri.toString)
+      lazy val delPairsDf = spark.read.parquet(del0.map(_.path): _*)
+        .select(PathKeys.scanKey(encPathU(col("file_path"))).as(FileCol),
+          col("pos").as(RowIdxCol))
+      def scanOf(entries: Seq[LiveEntry]): DataFrame = {
+        val base = spark.read.schema(schema).parquet(entries.map(_.path): _*)
           .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
-      val (touched, out) =
+        if (!morOn) base
+        else {
+          // MoR scans carry the row index (vector positions) and mask
+          // rows existing position deletes already removed
+          val withIdx = base.withColumn(RowIdxCol, col("_metadata.row_index"))
+          if (del0.isEmpty) withIdx
+          else withIdx.join(broadcast(delPairsDf), Seq(FileCol, RowIdxCol), "left_anti")
+        }
+      }
+      val (touched, out, affOpt) =
         if (live0.isEmpty) {
           val (o, _, _) = MergeClauses.assemble(None, src, srcKeys, None,
             onT, schema, clauses, withCdc = false)
-          (Nil, o)
+          (Nil, o, None)
         } else {
           // matched detection, pre-pruned by the source keys'
           // [min,max]: a file whose bounds / identity tuple exclude
@@ -1512,7 +1544,8 @@ object IcebergWriter {
           val tRows =
             if (touchedFiles.isEmpty) None
             else {
-              val s = scanOf(touchedFiles).drop(FileCol).persist()
+              val base = scanOf(touchedFiles)
+              val s = (if (morOn) base else base.drop(FileCol)).persist()
               tScans += s
               Some(s)
             }
@@ -1531,21 +1564,85 @@ object IcebergWriter {
               else Some(scanOf(cand).join(srcKeys, onT, "left_semi")
                 .select(onT.map(col): _*).distinct())
             }
-          val (o, _, _) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
-            onT, schema, clauses, withCdc = false)
-          (touchedFiles, o)
+          val (o, _, aff) = MergeClauses.assemble(tRows, src, srcKeys, matchedKeys,
+            onT, schema, clauses, withCdc = false,
+            morMeta = if (morOn) Some((FileCol, RowIdxCol)) else None)
+          (touchedFiles, o, aff)
         }
-      if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
       val partDefs = tablePartDefs(meta0)
-      val newEntries = out.map(o =>
-        stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
+      val partFields = partDefs.map(d => StructField(d._1, d._4))
       val txnProps = txn.map { case (appId, v) =>
         Map("graft.txn.app-id" -> appId, "graft.txn.version" -> v.toString)
       }.getOrElse(Map.empty[String, String])
-      commitRewrite(spark, f, table, "merge",
-        Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
-        live0, touched, newEntries, partDefs.map(d => StructField(d._1, d._4)),
-        txnProps, maxRetries)
+      if (!morOn) {
+        if (touched.isEmpty && out.isEmpty && txn.isEmpty) return // provably a no-op
+        val newEntries = out.map(o =>
+          stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
+        commitRewrite(spark, f, table, "merge",
+          Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0),
+          live0, touched, newEntries, partFields, txnProps, maxRetries)
+      } else {
+        val affRows = affOpt.map(_.limit(MorMaxCollectRows + 1).collect())
+          .getOrElse(Array.empty[org.apache.spark.sql.Row])
+        require(affRows.length <= MorMaxCollectRows,
+          s"iceberg merge: over $MorMaxCollectRows affected rows — merge-on-read is for " +
+            "small upserts; use mode=copy-on-write" +
+            (if (del0.nonEmpty) " after materializeDeletes" else ""))
+        val tByKey = touched.map(e => PathKeys.driverKey(e.path, f) -> e).toMap
+        val delRows: Seq[(String, Long)] = affRows.iterator
+          .map(r => (tByKey(r.getString(0)).path, r.getLong(1))).toSeq.distinct.sorted
+        val newEntries = out.map(o =>
+          stageRewrite(spark, f, table, o, fieldNodes, partDefs)).getOrElse(Nil)
+        if (delRows.isEmpty && newEntries.isEmpty && txn.isEmpty) return
+        val delFile = if (delRows.isEmpty) None
+          else Some(stageDeleteFile(spark, f, table, delRows))
+        val op = if (delRows.isEmpty) "append" else "overwrite"
+        val schemaIdAtScan = Option(meta0.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val (meta, metaV) = ownedMetaV(spark, table, "merge")
+          require(Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0) == schemaIdAtScan &&
+              Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0) == 0,
+            s"iceberg merge: the schema of $table changed under this merge; re-run")
+          val (dataNow, delNow) = liveEntriesAll(spark, meta, table)
+          require(dataNow.map(_.path).toSet == live0.map(_.path).toSet &&
+              delNow.map(_.path).toSet == del0.map(_.path).toSet,
+            s"iceberg merge: a concurrent write changed $table under this merge " +
+              "(its rows were never probed); re-run")
+          import scala.jdk.CollectionConverters._
+          val retained = Option(meta.get("current-snapshot-id")).map(_.asLong())
+            .filter(_ != -1L).toSeq.flatMap { curId =>
+              val snap = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+                .find(_.get("snapshot-id").asLong() == curId).get
+              IcebergReader.manifestListRowsOf(spark,
+                  snap.get("manifest-list").asText(), table)
+                .map { case (p, sq, specId, isDel, pj) =>
+                  (p, 0L, sq, specId, isDel, summariesFromJson(pj)) }
+            }
+          val ok = publishSnapshotRows(spark, f, table, meta, metaV, op, txnProps,
+            (snapshotId, seq) => {
+              val newRows = Seq.newBuilder[(String, Long, Long, Int, Boolean, Option[Seq[FieldSummary]])]
+              if (newEntries.nonEmpty) {
+                val dm = writeManifest(spark, f, table, snapshotId, newEntries, partFields)
+                newRows += ((dm._1, dm._2, seq, 0, false,
+                  if (partFields.isEmpty) None else Some(dm._3)))
+              }
+              delFile.foreach { case (dp, dsz) =>
+                val dm = writeManifest(spark, f, table, snapshotId,
+                  Seq(ManifestEntry(dp, dsz, delRows.size.toLong, Nil)), Nil, content = 1)
+                newRows += ((dm._1, dm._2, seq, 0, true, None))
+              }
+              newRows.result() ++ retained
+            })
+          if (ok) done = true
+          else {
+            attempt += 1
+            require(attempt <= maxRetries,
+              s"iceberg merge: lost the commit race $maxRetries times at $table — giving up")
+          }
+        }
+      }
     } finally {
       if (srcPersistedHere) src.unpersist()
       tScans.foreach(_.unpersist())

@@ -382,6 +382,41 @@ class IcebergMergeSpec extends SparkSpec {
     assert(IcebergWriter.materializeDeletes(spark, t) == ((0, 0))) // nothing left
   }
 
+  test("merge-on-read MERGE: applied rows become position deletes, only new rows stage; all MoR ops compose") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("immormg").toString
+    IcebergWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, i * 10)).toDF("id", "v").coalesce(1), t)
+    val file0 = IcebergReader.read(spark, t).inputFiles
+    assert(file0.length == 1)
+    val p0 = java.nio.file.Paths.get(new java.net.URI(file0(0)))
+    val bytes0 = java.nio.file.Files.readAllBytes(p0)
+    // MoR upsert: the matched row's pre-image becomes a position
+    // delete; post-image + insert land in a new file — bytes untouched
+    IcebergWriter.mergeClauses(spark, Seq((3L, 999), (420L, 1)).toDF("id", "v"), t,
+      on = Seq("id"), clauses = Seq(MergeClause.matchedUpdate(), MergeClause.insert()),
+      mode = "merge-on-read")
+    assert(IcebergReader.read(spark, t).count() == 101L)
+    assert(IcebergReader.read(spark, t).where("id = 3").select("v")
+      .as[Int].collect().toSeq == Seq(999))
+    assert(java.util.Arrays.equals(bytes0, java.nio.file.Files.readAllBytes(p0)))
+    // MoR delete and a second MoR merge COMPOSE on the now
+    // delete-carrying table (copy-on-write would refuse)
+    assert(IcebergWriter.deleteWhere(spark, t, "id = 5", mode = "merge-on-read") == 1L)
+    IcebergWriter.mergeClauses(spark, Seq((7L, -1)).toDF("id", "v"), t, on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate()), mode = "merge-on-read")
+    assert(IcebergReader.read(spark, t).count() == 100L)
+    assert(IcebergReader.read(spark, t).where("id = 7").select("v")
+      .as[Int].collect().toSeq == Seq(-1))
+    assert(IcebergReader.read(spark, t).where("id = 5").count() == 0L)
+    // materialize folds the three stacked delete files; the original
+    // file (the only one any delete references) rewrites clean
+    assert(IcebergWriter.materializeDeletes(spark, t) == ((1, 3)))
+    assert(IcebergReader.read(spark, t).count() == 100L)
+    assert(IcebergReader.read(spark, t).where("id IN (3, 7)").select("v")
+      .as[Int].collect().sorted.toSeq == Seq(-1, 999))
+  }
+
   test("merge-on-read deletes on a PARTITIONED table: detection prunes, reads stay partition-pruned") {
     import spark.implicits._
     val t = Files.createTempDirectory("immorp").toString
