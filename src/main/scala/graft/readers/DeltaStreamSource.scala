@@ -153,15 +153,22 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
     .orElse(options.get("maxFilesPerTrigger")).map(_.toLong)
   maxFiles.foreach(n => require(n >= 1,
     s"graft-delta: max_files_per_trigger must be >= 1 (got $n)"))
+  // byte-budget twin (delta-spark's maxBytesPerTrigger): a SOFT cap —
+  // files admit while the running total is under it, so the boundary
+  // file is included and every batch takes at least one file
+  private val maxBytes = options.get("max_bytes_per_trigger")
+    .orElse(options.get("maxBytesPerTrigger")).map(_.toLong)
+  maxBytes.foreach(n => require(n >= 1,
+    s"graft-delta: max_bytes_per_trigger must be >= 1 (got $n)"))
   private var lastEndSeen: Option[(Long, Option[Long])] = None
 
-  // per-version (path-sorted dataChange adds, has dataChange removes,
-  // changes metadata/protocol), shared by the admission walk and
-  // getBatch so both slice the same order; entries behind the anchor
-  // are dropped each walk
+  // per-version (path-sorted dataChange adds with sizes, has
+  // dataChange removes, changes metadata/protocol), shared by the
+  // admission walk and getBatch so both slice the same order; entries
+  // behind the anchor are dropped each walk
   private val versionMetaCache =
-    scala.collection.mutable.LongMap.empty[(Seq[String], Boolean, Boolean)]
-  private def versionMetaOf(v: Long): (Seq[String], Boolean, Boolean) =
+    scala.collection.mutable.LongMap.empty[(Seq[(String, Long)], Boolean, Boolean)]
+  private def versionMetaOf(v: Long): (Seq[(String, Long)], Boolean, Boolean) =
     versionMetaCache.getOrElseUpdate(v, {
       val conf = spark.sparkContext.hadoopConfiguration
       val f = FileSystem.get(new URI(table).resolve("/"), conf)
@@ -178,7 +185,10 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
       def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
         Option(n.get("dataChange")).forall(x => x.isNull || x.asBoolean())
       val adds = actions.flatMap(a => Option(a.get("add")).filterNot(_.isNull))
-        .filter(dataChange).map(_.get("path").asText()).distinct.sorted
+        .filter(dataChange)
+        .map(a => a.get("path").asText() ->
+          Option(a.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
+        .distinctBy(_._1).sortBy(_._1)
       val hasRemoves = actions.flatMap(a => Option(a.get("remove")).filterNot(_.isNull))
         .exists(dataChange)
       val changesMeta = actions.exists(a => a.has("metaData") || a.has("protocol"))
@@ -216,28 +226,34 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
       case None               => (cur, None)
       case Some((aV, aPart)) =>
         val vCap = maxVersions.fold(cur)(n => math.max(aV, math.min(cur, aV + n)))
-        maxFiles match {
-          case None => (vCap, None)
-          case Some(budget0) =>
-            // walk forward spending the file budget; an oversized
-            // version ends the offer PARTIAL over its sorted adds
-            versionMetaCache.filterInPlace((k, _) => k >= aV) // bound the cache
-            var budget = budget0
-            var res: (Long, Option[Long]) = (aV, aPart)
-            var v = if (aPart.isDefined) aV else aV + 1
-            var emitted = aPart.getOrElse(0L)
-            while (v <= vCap && budget > 0) {
-              val (adds, hasRemoves, _) = versionMetaOf(v)
-              // a version the stream will skip wholesale costs nothing
-              val eff = if (hasRemoves && skipChangeCommits) 0L else adds.size.toLong
-              val remaining = eff - emitted
-              if (remaining <= budget) {
-                res = (v, None); budget -= remaining; v += 1; emitted = 0L
-              } else {
-                res = (v, Some(emitted + budget)); budget = 0L
-              }
+        if (maxFiles.isEmpty && maxBytes.isEmpty) (vCap, None)
+        else {
+          // walk forward spending the file/byte budgets; an oversized
+          // version ends the offer PARTIAL over its sorted adds. Bytes
+          // are a soft cap: files admit while the running total is
+          // under it, so a batch always takes at least one file.
+          versionMetaCache.filterInPlace((k, _) => k >= aV) // bound the cache
+          val fileCap = maxFiles.getOrElse(Long.MaxValue)
+          val byteCap = maxBytes.getOrElse(Long.MaxValue)
+          var files = 0L
+          var bytes = 0L
+          var res: (Long, Option[Long]) = (aV, aPart)
+          var v = if (aPart.isDefined) aV else aV + 1
+          var emitted = aPart.getOrElse(0L)
+          var full = false
+          while (v <= vCap && !full) {
+            val (adds, hasRemoves, _) = versionMetaOf(v)
+            // a version the stream will skip wholesale costs nothing
+            val eff = if (hasRemoves && skipChangeCommits) Nil else adds
+            var i = emitted.toInt
+            while (i < eff.size && !full) {
+              if (files >= fileCap || bytes >= byteCap) full = true
+              else { files += 1; bytes += eff(i)._2; i += 1 }
             }
-            res
+            if (i >= eff.size) { res = (v, None); v += 1; emitted = 0L }
+            else res = (v, Some(i.toLong))
+          }
+          res
         }
     }
     lastEndSeen = Some(offered)
@@ -297,7 +313,7 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
       } else {
         val from = if (v == sV) sPart.getOrElse(0L).toInt else 0
         val until = if (v == eV) ePart.map(_.toInt).getOrElse(adds.size) else adds.size
-        val slice = adds.slice(from, until)
+        val slice = adds.slice(from, until).map(_._1)
         if (slice.isEmpty) None else Some(v -> slice)
       }
     }

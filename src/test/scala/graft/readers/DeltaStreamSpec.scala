@@ -243,6 +243,26 @@ class DeltaStreamSpec extends SparkSpec {
     seen.clear(); sizes.clear()
     run()
     assert(seen.isEmpty && sizes.isEmpty)
+    // max_bytes_per_trigger is the byte-budget twin — a SOFT cap, so a
+    // 1-byte budget admits exactly one file per batch (the first file
+    // always fits); totals reassemble exactly
+    val ckptB = Files.createTempDirectory("dsbytes").toString
+    val seenB = scala.collection.mutable.ArrayBuffer[Long]()
+    val sizesB = scala.collection.mutable.ArrayBuffer[Long]()
+    val qb = spark.readStream.format("graft-delta")
+      .option("startingVersion", "2").option("max_bytes_per_trigger", "1")
+      .load(t.toString)
+      .writeStream.option("checkpointLocation", ckptB)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        seenB.synchronized { seenB ++= ids; if (ids.nonEmpty) sizesB += ids.length.toLong }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try qb.processAllAvailable() finally qb.stop()
+    assert(seenB.sorted.toSeq == (0 until 7).map(200L + _), s"got $seenB")
+    assert(sizesB.toSeq == Seq.fill(7)(1L), s"one file per 1-byte batch: $sizesB")
+
     // the partial coordinate round-trips serialization both ways — a
     // restart recovering a mid-split offset resumes at the same slice
     assert(DeltaVersionOffset(3L, Some(4L)).json == "3:4")

@@ -417,6 +417,23 @@ class IcebergMergeSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq == Seq(-1, 999))
   }
 
+  test("expireSnapshots reclaims an expired delete file and keeps live ones (MoR lifecycle)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("immorexp").toString
+    IcebergWriter.write(spark,
+      (0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1), t)
+    assert(IcebergWriter.deleteWhere(spark, t, "id = 1", mode = "merge-on-read") == 1L)
+    // materialize: the delete file is now referenced ONLY by the
+    // intermediate snapshot; expire drops that snapshot and its file
+    assert(IcebergWriter.materializeDeletes(spark, t) == ((1, 1)))
+    val delFiles = new java.io.File(t, "data").listFiles()
+      .filter(_.getName.startsWith("delete-"))
+    assert(delFiles.length == 1)
+    assert(IcebergWriter.expireSnapshots(spark, t, keepLast = 1) == 2)
+    assert(!delFiles(0).exists(), "the orphaned delete file must be reclaimed")
+    assert(IcebergReader.read(spark, t).count() == 9L)
+  }
+
   test("merge-on-read deletes on a PARTITIONED table: detection prunes, reads stay partition-pruned") {
     import spark.implicits._
     val t = Files.createTempDirectory("immorp").toString
