@@ -689,7 +689,7 @@ object DeltaWriter {
     // path below, which handles existing vectors itself; everything
     // else keeps the rewrite gates (mapping / foreign DVs refuse)
     val dvPath = head.dvEnabled && head.mappingMode == "none"
-    if (!dvPath) requireRewritable(head, table, "delete")
+    if (!dvPath) requireRewritable(head, table, "delete", allowMapped = true)
     if (head.liveFiles.isEmpty) return 0L
     // Pre-prune the DETECTION file list with the reader's own skipping
     // machinery BEFORE any data file is opened: exact partition-tuple
@@ -1030,7 +1030,7 @@ object DeltaWriter {
     // masked rows dropping; untouched files keep theirs. Foreign DV
     // tables / column mapping still refuse.
     val dvTable = head.dvEnabled && head.mappingMode == "none"
-    if (!dvTable) requireRewritable(head, table, "merge")
+    if (!dvTable) requireRewritable(head, table, "merge", allowMapped = true)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     MergeClauses.validate(clauses, schema, "delta")
     val onT: Seq[String] = on.map(k =>
@@ -1245,17 +1245,26 @@ object DeltaWriter {
       conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[LiveFile] = {
     if (conjs.isEmpty || files.isEmpty) return files
     var candidates = files
+    // under column mapping add.partitionValues and add.stats key by
+    // PHYSICAL names — look tuples up physically, hand statsPrune the
+    // logical->physical key map
+    val physOf: Map[String, String] = schema.fields.map { fl =>
+      fl.name -> (if (fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else fl.name)
+    }.toMap
     val partFields = head.partitionCols.flatMap(pc =>
       schema.fieldNames.find(_.equalsIgnoreCase(pc)).map(schema(_)))
     if (head.partitionCols.nonEmpty && partFields.size == head.partitionCols.size) {
       FileSkipping.partitionPrune(spark, partFields,
         candidates.map(lf => lf.path ->
-          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null))), conjs)
+          partFields.map(fl => lf.partitionValues.get(physOf(fl.name))
+            .orElse(lf.partitionValues.get(fl.name)).orNull)), conjs)
         .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
     }
     if (candidates.nonEmpty)
       FileSkipping.statsPrune(spark, schema,
-        candidates.map(lf => lf.path -> lf.stats.orNull), conjs)
+        candidates.map(lf => lf.path -> lf.stats.orNull), conjs,
+        statsKey = physOf.filter { case (k, v) => k != v })
         .foreach(kept => candidates = candidates.filter(lf => kept.contains(lf.path)))
     candidates
   }
@@ -1352,13 +1361,28 @@ object DeltaWriter {
       head: HeadState, files: Seq[LiveFile], withRowIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val dataSchema = StructType(schema.fields.filterNot(fl =>
-      head.partitionCols.exists(_.equalsIgnoreCase(fl.name))))
+    // column-mapped tables: data files carry PHYSICAL column names —
+    // the scan reads them and immediately renames back to logical, so
+    // every consumer above stays logical (the mapped-append inverse)
+    val physOf: Map[String, String] = schema.fields.map { fl =>
+      fl.name -> (if (fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else fl.name)
+    }.toMap
+    def pvOf(pv: Map[String, String], pc: String): Option[String] = {
+      val fl = schema.fieldNames.find(_.equalsIgnoreCase(pc))
+      fl.flatMap(n => pv.get(physOf(n))).orElse(pv.get(pc))
+    }
+    val dataFields = schema.fields.filterNot(fl =>
+      head.partitionCols.exists(_.equalsIgnoreCase(fl.name)))
+    val dataSchema = StructType(dataFields.map(fl =>
+      StructField(physOf(fl.name), fl.dataType, fl.nullable)))
     val outCols = schema.fieldNames.toSeq ++ Seq(FileCol) ++
       (if (withRowIndex) Seq(RowIdxCol) else Nil)
     def withMeta(df: DataFrame): DataFrame = {
       val a = df.withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
-      if (withRowIndex) a.withColumn(RowIdxCol, col("_metadata.row_index")) else a
+      val b = if (withRowIndex) a.withColumn(RowIdxCol, col("_metadata.row_index")) else a
+      b.select(dataFields.map(fl => col(s"`${physOf(fl.name)}`").as(fl.name)) ++
+        Seq(col(FileCol)) ++ (if (withRowIndex) Seq(col(RowIdxCol)) else Nil): _*)
     }
     val groups = files.groupBy(_.partitionValues).toSeq
     if (groups.size <= maxPartitionScans) {
@@ -1367,7 +1391,7 @@ object DeltaWriter {
           .parquet(group.map(g => resolveLogPath(table, g.path)): _*))
         head.partitionCols.foldLeft(base) { (df, pc) =>
           val fl = schema(schema.fieldNames.find(_.equalsIgnoreCase(pc)).get)
-          df.withColumn(fl.name, Option(pv.getOrElse(pc, null)) match {
+          df.withColumn(fl.name, pvOf(pv, pc) match {
             case Some(s) => lit(s).cast(fl.dataType)
             case None    => lit(null).cast(fl.dataType)
           })
@@ -1381,7 +1405,7 @@ object DeltaWriter {
         head.partitionCols.map(pc => StructField(s"__pv_$pc", StringType)))
       val pvRows = files.map { lf =>
         org.apache.spark.sql.Row.fromSeq(liveKey(f, table, lf) +:
-          head.partitionCols.map(pc => lf.partitionValues.getOrElse(pc, null)))
+          head.partitionCols.map(pc => pvOf(lf.partitionValues, pc).orNull))
       }
       val pvDf = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(pvRows, 1), pvSchema))
@@ -1418,6 +1442,18 @@ object DeltaWriter {
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val partCols = head.partitionCols
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    // column-mapped tables stage PHYSICAL names with field ids (the
+    // append path's layout) and record stats under them; unmapped
+    // tables stage as-is
+    val physOf: Map[String, String] = schema.fields.map { fl =>
+      fl.name -> (if (fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else fl.name)
+    }.toMap
+    val mapped = head.mappingMode != "none"
+    val stageParts = if (mapped) partCols.map(physOf) else partCols
+    val statsSchema =
+      if (!mapped) schema
+      else StructType(schema.fields.map(fl => StructField(physOf(fl.name), fl.dataType)))
     // a row-less output (txn markers, pure-DV commits) skips staging
     // outright — an empty staged part file would otherwise become a
     // spurious zero-row add
@@ -1425,8 +1461,16 @@ object DeltaWriter {
       // canonical table-case names so partition dirs and staged columns
       // never depend on a caller frame's spelling
       val canon = o.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
-      val w = canon.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+      val stageDf =
+        if (!mapped) canon
+        else canon.select(schema.fields.map { fl =>
+          val mb = new MetadataBuilder()
+          if (fl.metadata.contains("delta.columnMapping.id"))
+            mb.putLong("parquet.field.id", fl.metadata.getLong("delta.columnMapping.id"))
+          canon(fl.name).as(physOf(fl.name), mb.build())
+        }.toSeq: _*)
+      val w = stageDf.write.mode("overwrite")
+      (if (stageParts.nonEmpty) w.partitionBy(stageParts: _*) else w).parquet(staging.toString)
     }
     try {
       val staged = if (output.isDefined) listParquet(f, staging) else Nil
@@ -1441,7 +1485,7 @@ object DeltaWriter {
           s"delta $operation: rename ${st.getPath} -> $dest failed")
         val destSt = f.getFileStatus(dest)
         AddSpec(rel, partitionValues(rel), destSt.getLen, destSt.getModificationTime,
-          statsJson(f, dest, schema, partCols))
+          statsJson(f, dest, statsSchema, stageParts))
       }
       // cdc files (delta.enableChangeDataFeed): the caller's precise
       // row-diff (_change_type column) stages into _change_data/, and
@@ -1601,11 +1645,31 @@ object DeltaWriter {
     * with a deletion vector read as raw parquet RESURRECTS its deleted
     * rows — both are wrong-answer corruptions, so both refuse naming
     * the connector. */
-  private def requireRewritable(head: HeadState, table: String, op: String): Unit = {
-    require(head.mappingMode == "none",
-      s"delta $op: $table uses column mapping (mode ${head.mappingMode}) — this " +
-        "writer's rewrite reads logical names and would null out every mapped column; " +
-        "run it with the delta-spark connector")
+  private def requireRewritable(head: HeadState, table: String, op: String,
+      allowMapped: Boolean = false): Unit = {
+    if (!allowMapped)
+      require(head.mappingMode == "none",
+        s"delta $op: $table uses column mapping (mode ${head.mappingMode}) — this " +
+          "writer's rewrite reads logical names and would null out every mapped column; " +
+          "run it with the delta-spark connector")
+    else if (head.mappingMode != "none") {
+      // delete/merge rewrite mapped tables through the physical-scan /
+      // physical-stage round trip — same profile as mapped appends:
+      // top-level simple columns, known mode, and no CDF (cdc files
+      // under mapping are staged by the connector, not here)
+      require(Set("name", "id").contains(head.mappingMode),
+        s"delta $op: unknown column mapping mode '${head.mappingMode}' at $table")
+      val sch = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(sch.fields.forall(fl => fl.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }), s"delta $op: $table is column-mapped with NESTED columns — inner physical " +
+        "names are outside this writer's profile; use the delta-spark connector")
+      require(!head.cdfEnabled,
+        s"delta $op: $table is column-mapped with change data feed enabled — cdc " +
+          "staging under mapping is outside this writer's profile; use the " +
+          "delta-spark connector")
+    }
     val dv = head.liveFiles.count(_.hasDv)
     require(dv == 0,
       s"delta $op: $dv live file(s) at $table carry deletion vectors — rewriting them " +

@@ -160,8 +160,10 @@ class DeltaMergeSpec extends SparkSpec {
     writeCommit(tcm, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaAction(configuration = """{"delta.columnMapping.mode":"name"}""")))
-    val e7 = intercept[Exception](DeltaWriter.deleteWhere(spark, tcm, "id = 1"))
-    assert(e7.getMessage.contains("column mapping"))
+    // round 14: delete/merge rewrite mapped tables (physical round
+    // trip) — an empty mapped table deletes zero rows instead of
+    // refusing; compact keeps the refusal (unmapped staging)
+    assert(DeltaWriter.deleteWhere(spark, tcm, "id = 1") == 0L)
     val e8 = intercept[Exception](DeltaWriter.compact(spark, tcm))
     assert(e8.getMessage.contains("column mapping"))
   }
@@ -199,12 +201,37 @@ class DeltaMergeSpec extends SparkSpec {
       mode = "overwrite", partitionBy = Seq("p"), replaceWhere = Some("p = 7"))
     assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
       Seq(2L, 9L))
-    // evolution and rewrites stay with the connector
+    // evolution stays with the connector
     val e1 = intercept[Exception](DeltaWriter.write(spark,
       Seq((3L, "c", 7, 1.0)).toDF("id", "name", "p", "x"), t, mergeSchema = true))
     assert(e1.getMessage.contains("column-mapped"))
-    val e2 = intercept[Exception](DeltaWriter.deleteWhere(spark, t, "id = 9"))
-    assert(e2.getMessage.contains("column mapping"))
+    // ROW-LEVEL REWRITES work through the physical round trip (round
+    // 14): the scan renames physical->logical, the restage renames
+    // back with field ids, stats/partitionValues stay physical
+    assert(DeltaWriter.deleteWhere(spark, t, "id = 9") == 1L)
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().toSeq == Seq(2L))
+    DeltaWriter.mergeClauses(spark, Seq((2L, 99), (5L, 50)).toDF("id", "nv"), t,
+      on = Seq("id"), clauses = Seq(
+        MergeClause.matchedUpdate(set = Map("name" -> "concat(t.name, '+')")),
+        MergeClause.insert(set = Map("id" -> "s.id", "p" -> "s.nv"))))
+    assert(DeltaReader.read(spark, t).select("id", "name", "p")
+      .selectExpr("id", "coalesce(name, '-') as name", "p")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, "b+", 8), (5L, "-", 50)))
+    // the rewritten files still serve PRUNED mapped reads (physical
+    // partitionValues survived the restage)
+    assert(DeltaReader.read(spark, t, filter = Some("p = 50"))
+      .select("id").as[Long].collect().toSeq == Seq(5L))
+    // detection pre-pruning over physical stats: a dangling file whose
+    // physical-keyed stats exclude the predicate is never opened
+    val hi = DeltaReader.read(spark, t, filter = Some("id >= 5")).inputFiles
+    assert(hi.length == 1)
+    hi.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
+    assert(DeltaWriter.deleteWhere(spark, t, "id = 2") == 1L)
+    assert(DeltaReader.read(spark, t, filter = Some("id < 5")).count() == 0L)
+    // compact keeps refusing mapped tables (its staging is not mapped)
+    val e3 = intercept[Exception](DeltaWriter.compact(spark, t))
+    assert(e3.getMessage.contains("column mapping"))
   }
 
   test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
