@@ -456,10 +456,21 @@ object DeltaWriter {
     // OPTIMIZE doubles as a vector purge — a lone DV'd file is a
     // compactable group of one
     val dvTable = head.dvEnabled && head.mappingMode == "none"
-    if (!dvTable) requireRewritable(head, table, "compact")
+    if (!dvTable) requireRewritable(head, table, "compact", allowMapped = true)
     val byPath = head.liveFiles.map(lf => lf.path -> lf).toMap
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val dataSchema = StructType(schema.fields.filterNot(fl => head.partitionCols.contains(fl.name)))
+    // mapped tables compact entirely in PHYSICAL terms: the group scan
+    // reads physical names, the rewrite stages them back with field
+    // ids, stats stay physical — no logical round trip is needed since
+    // compaction never looks at a value
+    val physOf: Map[String, String] = schema.fields.map { fl =>
+      fl.name -> (if (fl.metadata.contains("delta.columnMapping.physicalName"))
+        fl.metadata.getString("delta.columnMapping.physicalName") else fl.name)
+    }.toMap
+    val mappedT = head.mappingMode != "none"
+    val dataSchema = StructType(schema.fields
+      .filterNot(fl => head.partitionCols.contains(fl.name))
+      .map(fl => StructField(physOf(fl.name), fl.dataType, fl.nullable)))
     // group live files by partition directory (the log path's prefix)
     val groups = head.live.groupBy(p => p.split("/").dropRight(1).mkString("/"))
       .filter { case (_, ps) => ps.size > 1 || ps.exists(p => byPath(p).hasDv) }
@@ -488,7 +499,16 @@ object DeltaWriter {
               .join(edf, Seq(FileCol, RowIdxCol), "left_anti")
               .drop(FileCol, RowIdxCol)
           }
-        visible.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+        val staged0 =
+          if (!mappedT) visible
+          else visible.select(visible.columns.toSeq.map { pn =>
+            val fl = schema.fields.find(x => physOf(x.name) == pn).get
+            val mb = new MetadataBuilder()
+            if (fl.metadata.contains("delta.columnMapping.id"))
+              mb.putLong("parquet.field.id", fl.metadata.getLong("delta.columnMapping.id"))
+            visible(s"`$pn`").as(pn, mb.build())
+          }: _*)
+        staged0.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
         val part = listParquet(f, outDir).head
         val rel = (if (partDir.isEmpty) "" else partDir + "/") + part.getPath.getName
         val dest = new Path(tablePath, PathKeys.percentDecode(rel))
@@ -497,7 +517,12 @@ object DeltaWriter {
           s"delta compact: rename ${part.getPath} -> $dest failed")
         val destSt = f.getFileStatus(dest)
         (oldPaths, AddSpec(rel, partitionValues(rel), destSt.getLen,
-          destSt.getModificationTime, statsJson(f, dest, schema, head.partitionCols)))
+          destSt.getModificationTime, statsJson(f, dest,
+            if (mappedT) StructType(schema.fields.map(fl =>
+              StructField(physOf(fl.name), fl.dataType))) else schema,
+            if (mappedT) head.partitionCols.map(pc => physOf.getOrElse(
+              schema.fieldNames.find(_.equalsIgnoreCase(pc)).getOrElse(pc), pc))
+            else head.partitionCols)))
       }
       var attempt = 0
       var committed = false
@@ -1450,7 +1475,10 @@ object DeltaWriter {
         fl.metadata.getString("delta.columnMapping.physicalName") else fl.name)
     }.toMap
     val mapped = head.mappingMode != "none"
-    val stageParts = if (mapped) partCols.map(physOf) else partCols
+    val stageParts =
+      if (!mapped) partCols
+      else partCols.map(pc => physOf.getOrElse(
+        schema.fieldNames.find(_.equalsIgnoreCase(pc)).getOrElse(pc), pc))
     val statsSchema =
       if (!mapped) schema
       else StructType(schema.fields.map(fl => StructField(physOf(fl.name), fl.dataType)))

@@ -160,12 +160,11 @@ class DeltaMergeSpec extends SparkSpec {
     writeCommit(tcm, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaAction(configuration = """{"delta.columnMapping.mode":"name"}""")))
-    // round 14: delete/merge rewrite mapped tables (physical round
-    // trip) — an empty mapped table deletes zero rows instead of
-    // refusing; compact keeps the refusal (unmapped staging)
+    // round 14: delete/merge/compact work on mapped tables (physical
+    // round trip) — an empty mapped table deletes zero rows and
+    // compacts nothing instead of refusing
     assert(DeltaWriter.deleteWhere(spark, tcm, "id = 1") == 0L)
-    val e8 = intercept[Exception](DeltaWriter.compact(spark, tcm))
-    assert(e8.getMessage.contains("column mapping"))
+    assert(DeltaWriter.compact(spark, tcm) == 0)
   }
 
   test("appends to a column-mapped table stage physical names; replaceWhere scopes by physical tuples; rewrites still refuse") {
@@ -222,16 +221,22 @@ class DeltaMergeSpec extends SparkSpec {
     // partitionValues survived the restage)
     assert(DeltaReader.read(spark, t, filter = Some("p = 50"))
       .select("id").as[Long].collect().toSeq == Seq(5L))
+    // OPTIMIZE compacts a mapped partition entirely in physical terms:
+    // stack a second file into p=8, compact, and the mapped read still
+    // serves and prunes
+    DeltaWriter.write(spark, Seq((7L, "g", 8)).toDF("id", "name", "p"), t,
+      partitionBy = Seq("p"))
+    assert(DeltaWriter.compact(spark, t) == 2) // the two p=8 files merged
+    assert(DeltaReader.read(spark, t, filter = Some("p = 8"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 7L))
     // detection pre-pruning over physical stats: a dangling file whose
     // physical-keyed stats exclude the predicate is never opened
-    val hi = DeltaReader.read(spark, t, filter = Some("id >= 5")).inputFiles
+    val hi = DeltaReader.read(spark, t, filter = Some("id >= 5 AND p = 50")).inputFiles
     assert(hi.length == 1)
     hi.foreach(u => assert(new java.io.File(new java.net.URI(u)).delete()))
     assert(DeltaWriter.deleteWhere(spark, t, "id = 2") == 1L)
-    assert(DeltaReader.read(spark, t, filter = Some("id < 5")).count() == 0L)
-    // compact keeps refusing mapped tables (its staging is not mapped)
-    val e3 = intercept[Exception](DeltaWriter.compact(spark, t))
-    assert(e3.getMessage.contains("column mapping"))
+    assert(DeltaReader.read(spark, t, filter = Some("p = 8"))
+      .select("id").as[Long].collect().toSeq == Seq(7L))
   }
 
   test("a concurrent append landing mid-merge refuses at commit (its rows were never probed)") {
