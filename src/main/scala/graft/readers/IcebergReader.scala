@@ -88,7 +88,10 @@ object IcebergReader {
       lowerJson: String, upperJson: String,
       // v3 deletion-vector reference fields (null on v1/v2 manifests)
       refDataFile: Option[String] = None, contentOffset: Option[Long] = None,
-      contentSize: Option[Long] = None, recordCount: Option[Long] = None)
+      contentSize: Option[Long] = None, recordCount: Option[Long] = None,
+      // data_file.file_size_in_bytes — the streaming source's byte-budget
+      // admission reads it off cache hits without re-opening the Avro
+      fileSize: Option[Long] = None)
 
   // Manifest cache (repeated queries over a deferred view must not
   // re-read manifest Avro per plan): Iceberg manifest files are
@@ -183,7 +186,16 @@ object IcebergReader {
     * (status, path, content) and deliberately do NOT populate the
     * cache (a partial row would poison the scan walk's full parse). */
   private def liveDataPaths(spark: SparkSession, table: String,
-      tableFs: FileSystem, snap: JsonNode, maxManifestEntries: Long): Set[String] = {
+      tableFs: FileSystem, snap: JsonNode, maxManifestEntries: Long): Set[String] =
+    liveDataFiles(spark, table, tableFs, snap, maxManifestEntries).keySet
+
+  /** Live DATA files with their `file_size_in_bytes` at one snapshot —
+    * the changes walk's set-difference primitive plus the streaming
+    * source's byte-budget admission input. Size 0 stands in where the
+    * manifest omits the field (pre-cache-era rows cannot occur: the
+    * cache is per-JVM and always carries fileSize). */
+  private def liveDataFiles(spark: SparkSession, table: String,
+      tableFs: FileSystem, snap: JsonNode, maxManifestEntries: Long): Map[String, Long] = {
     val ml = Option(snap.get("manifest-list")).getOrElse(throw new IllegalArgumentException(
       s"iceberg: snapshot ${snap.get("snapshot-id")} has no manifest-list — " +
         "the changes walk supports manifest-list snapshots only"))
@@ -193,22 +205,26 @@ object IcebergReader {
     require(counted.size < dataRefs.size || counted.sum <= maxManifestEntries,
       s"iceberg: ${counted.sum} manifest entries exceed $maxManifestEntries — beyond this " +
         "native reader's driver-state bound; read it with the iceberg-spark connector jar")
-    val out = Set.newBuilder[String]
+    val out = Map.newBuilder[String, Long]
     var n = 0L
     dataRefs.foreach { m =>
       val k = PathKeys.driverKey(m.path, tableFs)
-      val paths: Seq[String] = manifestCacheGet(k) match {
+      val paths: Seq[(String, Long)] = manifestCacheGet(k) match {
         case Some(cached) =>
-          cached.filter(r => r.status != 2 && r.content == 0).map(_.filePath)
+          cached.filter(r => r.status != 2 && r.content == 0)
+            .map(r => r.filePath -> r.fileSize.getOrElse(0L))
         case None =>
           val df = spark.read.format(AvroFmt).load(m.path)
           val dfCols = df.select("data_file.*").columns.toSet
           df.selectExpr("status", "data_file.file_path as p",
-              if (dfCols.contains("content")) "data_file.content as c" else "0 as c")
+              if (dfCols.contains("content")) "data_file.content as c" else "0 as c",
+              if (dfCols.contains("file_size_in_bytes")) "data_file.file_size_in_bytes as sz"
+              else "cast(null as bigint) as sz")
             .collect().toSeq
             .filter(r => r.getAs[Number]("status").intValue() != 2 &&
               Option(r.getAs[Number]("c")).forall(_.intValue() == 0))
-            .map(_.getAs[String]("p"))
+            .map(r => r.getAs[String]("p") ->
+              Option(r.getAs[Number]("sz")).map(_.longValue()).getOrElse(0L))
       }
       n += paths.length
       require(n <= maxManifestEntries,
@@ -233,6 +249,11 @@ object IcebergReader {
   private[readers] def liveDataPathsOf(spark: SparkSession, table: String,
       tableFs: FileSystem, snap: JsonNode): Set[String] =
     liveDataPaths(spark, table, tableFs, snap, DefaultMaxManifestEntries)
+  /** Sized twin — (path → file_size_in_bytes), the streaming source's
+    * byte-budget admission input. */
+  private[readers] def liveDataFilesOf(spark: SparkSession, table: String,
+      tableFs: FileSystem, snap: JsonNode): Map[String, Long] =
+    liveDataFiles(spark, table, tableFs, snap, DefaultMaxManifestEntries)
   /** (path, sequenceNumber, specId, isDelete) per manifest-list row —
     * the writer's retained-manifest walk. */
   private[readers] def manifestListRowsOf(spark: SparkSession, mlPath: String,
@@ -929,6 +950,8 @@ object IcebergReader {
               else "cast(null as bigint) as content_size",
               if (dfCols.contains("record_count")) "data_file.record_count as record_count"
               else "cast(null as bigint) as record_count",
+              if (dfCols.contains("file_size_in_bytes")) "data_file.file_size_in_bytes as file_size"
+              else "cast(null as bigint) as file_size",
               "_metadata.file_path as __manifest")
             .collect().toSeq.map { r =>
               // the manifest key arrives ALREADY encoded from _metadata —
@@ -946,7 +969,8 @@ object IcebergReader {
                 Option(r.getAs[String]("ref_data_file")),
                 Option(r.getAs[Number]("content_offset")).map(_.longValue()),
                 Option(r.getAs[Number]("content_size")).map(_.longValue()),
-                Option(r.getAs[Number]("record_count")).map(_.longValue()))
+                Option(r.getAs[Number]("record_count")).map(_.longValue()),
+                Option(r.getAs[Number]("file_size")).map(_.longValue()))
             }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           // every collected row must key back to a requested manifest —
           // a key-form mismatch (driverKey vs _metadata's scanKey) would

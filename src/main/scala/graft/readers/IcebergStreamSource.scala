@@ -112,8 +112,14 @@ private[readers] class IcebergStreamSink(spark: SparkSession, table: String,
   override def toString: String = s"IcebergStreamSink[$table]"
 }
 
-private[readers] case class IcebergSnapshotOffset(snapshotId: Long) extends V1Offset {
-  override def json(): String = snapshotId.toString
+/** Stream offset: a fully-emitted SNAPSHOT, or — under
+  * `max_files_per_trigger` / `max_bytes_per_trigger` — a PARTIAL one
+  * (`part` = how many of the snapshot's path-sorted adds are emitted),
+  * serialized `id` / `id:part` so pre-existing checkpoints parse
+  * unchanged. */
+private[readers] case class IcebergSnapshotOffset(snapshotId: Long,
+    part: Option[Long] = None) extends V1Offset {
+  override def json(): String = part.fold(snapshotId.toString)(k => s"$snapshotId:$k")
 }
 
 private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
@@ -131,7 +137,52 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
   private val maxSnapshots = options.get("max_snapshots_per_trigger").map(_.toInt)
   maxSnapshots.foreach(n => require(n >= 1,
     s"graft-iceberg: max_snapshots_per_trigger must be >= 1 (got $n)"))
-  private var lastEndSeen: Option[Long] = None
+  // finer admission (the graft-delta source's file/byte twins): at most
+  // N FILES per micro-batch — an oversized snapshot splits across
+  // triggers via partial offsets over its PATH-SORTED adds, so the
+  // slicing is deterministic across restarts. Composes with the
+  // snapshot cap. Bytes are a SOFT cap — files admit while the running
+  // total is under it, so every batch takes at least one file.
+  private val maxFiles = options.get("max_files_per_trigger")
+    .orElse(options.get("maxFilesPerTrigger")).map(_.toLong)
+  maxFiles.foreach(n => require(n >= 1,
+    s"graft-iceberg: max_files_per_trigger must be >= 1 (got $n)"))
+  private val maxBytes = options.get("max_bytes_per_trigger")
+    .orElse(options.get("maxBytesPerTrigger")).map(_.toLong)
+  maxBytes.foreach(n => require(n >= 1,
+    s"graft-iceberg: max_bytes_per_trigger must be >= 1 (got $n)"))
+  private var lastEndSeen: Option[(Long, Option[Long])] = None
+
+  private def op(s: JsonNode): String = Option(s.get("summary"))
+    .flatMap(su => Option(su.get("operation"))).map(_.asText()).getOrElse("append")
+
+  // per-snapshot PATH-SORTED adds with sizes (live-set diff vs parent),
+  // shared by the admission walk and getBatch so both slice the same
+  // order; snapshots/manifests are immutable so entries never go stale.
+  // Non-append snapshots contribute no adds (replace = already-emitted
+  // rows; delete/overwrite gate loudly in the batch walk).
+  private val snapAddsCache =
+    scala.collection.mutable.LongMap.empty[Seq[(String, Long)]]
+  private def addsOf(snapsById: Map[Long, JsonNode], sid: Long): Seq[(String, Long)] =
+    snapAddsCache.getOrElseUpdate(sid, {
+      val s = snapsById.getOrElse(sid, throw new IllegalArgumentException(
+        s"graft-iceberg: snapshot $sid on the ancestry chain is no longer in the " +
+          "metadata (expired) — cannot stream the window; re-baseline by restarting " +
+          "without a checkpoint"))
+      if (op(s) != "append") Nil
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tableFs = IcebergReader.tableFileSystem(table, conf)
+        val cur = IcebergReader.liveDataFilesOf(spark, table, tableFs, s)
+        val parent = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong())
+        val prevPaths = parent.map(p => IcebergReader.liveDataPathsOf(spark, table, tableFs,
+          snapsById.getOrElse(p, throw new IllegalArgumentException(
+            s"graft-iceberg: parent snapshot $p of $sid is no longer in the metadata " +
+              "(expired) — cannot stream the window; re-baseline by restarting without " +
+              "a checkpoint")))).getOrElse(Set.empty[String])
+        cur.filterNot { case (p, _) => prevPaths(p) }.toSeq.sortBy(_._1)
+      }
+    })
 
   // see [[StreamAnchors.freshQuery]]: a starting anchor may seed the
   // cap only before the first offset is logged, or a restart could
@@ -148,17 +199,23 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
   override def getOffset: Option[V1Offset] = {
     val m = meta()
     val cur = Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
-    val offered = (cur, maxSnapshots) match {
-      case (Some(c), Some(n)) =>
-        val anchor = lastEndSeen.orElse(
-          if (freshQuery) startingSnapshot.filter(_ != "latest").map(_.toLong) else None)
-        anchor.filter(_ != c) match {
-          case None => cur // fresh full-snapshot batch: a single quantum
-          case Some(a) =>
+    val anyCap = maxSnapshots.isDefined || maxFiles.isDefined || maxBytes.isDefined
+    val offered: Option[(Long, Option[Long])] = cur match {
+      case None => None
+      case Some(c) if !anyCap => Some((c, None))
+      case Some(c) =>
+        val anchor: Option[(Long, Option[Long])] = lastEndSeen.orElse(
+          if (freshQuery) startingSnapshot.filter(_ != "latest").map(v => (v.toLong, None))
+          else None)
+        anchor match {
+          case None => Some((c, None)) // fresh full-snapshot batch: a single quantum
+          case Some((aId, None)) if aId == c => Some((c, None)) // caught up
+          case Some((aId, aPart)) =>
             // ancestry from the head back to the anchor; the offered end
-            // is n steps FORWARD of the anchor along that chain. A
-            // non-ancestor anchor offers the head and lets getBatch
-            // refuse with its re-baseline error.
+            // walks FORWARD of the anchor along that chain spending the
+            // snapshot/file/byte budgets. A non-ancestor anchor offers
+            // the head and lets getBatch refuse with its re-baseline
+            // error.
             import scala.jdk.CollectionConverters._
             val snapsById = Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala)
               .map(s => s.get("snapshot-id").asLong() -> s).toMap
@@ -167,48 +224,105 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
             var found = false
             while (cursor.isDefined && !found) {
               val id = cursor.get
-              if (id == a) found = true
+              if (id == aId) found = true
               else {
                 chain += id
                 cursor = snapsById.get(id).flatMap(s =>
                   Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()))
               }
             }
-            if (!found) Some(c)
-            else chain.reverse.take(n).lastOption.orElse(Some(c))
+            if (!found) Some((c, None))
+            else {
+              val forward = maxSnapshots.fold(chain.reverse.toSeq)(n =>
+                chain.reverse.take(n).toSeq)
+              if (maxFiles.isEmpty && maxBytes.isEmpty)
+                // snapshot cap only: finish a partial anchor's snapshot
+                // plus up to n full snapshots forward of it
+                Some((forward.lastOption.getOrElse(aId), None))
+              else {
+                // walk forward spending the file/byte budgets; an
+                // oversized snapshot ends the offer PARTIAL over its
+                // sorted adds. A partial anchor resumes inside its own
+                // snapshot first.
+                snapAddsCache.filterInPlace((k, _) =>
+                  k == aId || chain.contains(k)) // bound the cache
+                val fileCap = maxFiles.getOrElse(Long.MaxValue)
+                val byteCap = maxBytes.getOrElse(Long.MaxValue)
+                var files = 0L
+                var bytes = 0L
+                var res: (Long, Option[Long]) = (aId, aPart)
+                var full = false
+                val toWalk = (if (aPart.isDefined) Seq(aId) else Nil) ++ forward
+                toWalk.foreach { sid =>
+                  if (!full) {
+                    val eff = addsOf(snapsById, sid)
+                    var i = if (sid == aId) aPart.getOrElse(0L).toInt else 0
+                    while (i < eff.size && !full) {
+                      if (files >= fileCap || bytes >= byteCap) full = true
+                      else { files += 1; bytes += eff(i)._2; i += 1 }
+                    }
+                    if (i >= eff.size) res = (sid, None)
+                    else res = (sid, Some(i.toLong))
+                  }
+                }
+                Some(res)
+              }
+            }
         }
-      case _ => cur
     }
     offered.foreach(o => lastEndSeen = Some(o))
-    offered.map(IcebergSnapshotOffset(_))
+    offered.map { case (id, p) => IcebergSnapshotOffset(id, p) }
   }
 
-  private def ver(o: V1Offset): Long = o match {
-    case IcebergSnapshotOffset(v) => v
-    case other                    => other.json.trim.toLong
+  private[readers] def ver(o: V1Offset): (Long, Option[Long]) = o match {
+    case IcebergSnapshotOffset(v, p) => (v, p)
+    case other => other.json.trim.split(":") match { // SerializedOffset on restart
+      case Array(v)    => (v.toLong, None)
+      case Array(v, k) => (v.toLong, Some(k.toLong))
+      case _ => throw new IllegalArgumentException(
+        s"graft-iceberg: bad offset '${other.json}'")
+    }
   }
 
   private def emptyBatch(): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
 
+  /** (snapshot, part) progress ordering WITHIN one snapshot — ids are
+    * not ordered across snapshots (ancestry is), so this only decides
+    * whether an end offset makes progress over a same-id anchor. */
+  private def samePartLe(a: (Long, Option[Long]), b: (Long, Option[Long])): Boolean =
+    a._1 == b._1 && ((a._2, b._2) match {
+      case (Some(x), Some(y)) => x <= y
+      case (Some(_), None)    => true
+      case (None, None)       => true
+      case (None, Some(_))    => false
+    })
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endId = ver(end)
-    lastEndSeen = Some(endId)
+    val endO = ver(end)
+    // keep a further-along same-snapshot anchor (a replayed partial
+    // batch must not rewind the admission walk); across different ids
+    // the freshest getBatch end wins — v1 replays arrive in order
+    lastEndSeen = Some(lastEndSeen.filter(a => samePartLe(endO, a)).getOrElse(endO))
     val batch = start match {
-      case Some(s) => changesBatch(ver(s), endId)
+      case Some(s) => changesBatch(ver(s), endO)
       case None => startingSnapshot match {
         case Some("latest") => emptyBatch()
-        case Some(v)        => changesBatch(v.toLong, endId) // changes AFTER that ancestor
-        case None           => IcebergReader.read(spark, table, snapshotId = Some(endId),
+        case Some(v)        => changesBatch((v.toLong, None), endO) // changes AFTER that ancestor
+        case None           => IcebergReader.read(spark, table, snapshotId = Some(endO._1),
           snapshotSchema = false) // a stream's schema is FIXED at start
       }
     }
     org.apache.spark.sql.graft.bridge.streamingFrame(batch)
   }
 
-  /** Adds of ancestry snapshots (sinceId, endId], one pinned scan. */
-  private def changesBatch(sinceId: Long, endId: Long): DataFrame = {
-    if (sinceId == endId) return emptyBatch()
+  /** Adds of ancestry snapshots (since, end], one pinned scan. Partial
+    * bounds slice a snapshot's PATH-SORTED adds, so a split snapshot
+    * re-assembles exactly across triggers and restarts. */
+  private def changesBatch(since: (Long, Option[Long]), end: (Long, Option[Long])): DataFrame = {
+    if (since == end) return emptyBatch()
+    val (sId, sPart) = since
+    val (eId, ePart) = end
     val m = meta()
     import scala.jdk.CollectionConverters._
     val snapsById: Map[Long, JsonNode] =
@@ -216,31 +330,34 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
         .map(s => s.get("snapshot-id").asLong() -> s).toMap
     // ancestry end → since (the same walk as readChangesSince, but the
     // baseline must be a true ancestor — a stream cannot rewind)
-    var chain: List[JsonNode] = Nil
-    var cursor: Option[Long] = Some(endId)
-    while (cursor.isDefined && !cursor.contains(sinceId)) {
+    var chain: List[Long] = Nil
+    var cursor: Option[Long] = Some(eId)
+    while (cursor.isDefined && !cursor.contains(sId)) {
       val s = snapsById.getOrElse(cursor.get, throw new IllegalArgumentException(
         s"graft-iceberg: snapshot ${cursor.get} on the ancestry chain is no longer in " +
           s"the metadata (expired) — cannot stream the window; re-baseline by " +
           "restarting without a checkpoint"))
-      chain ::= s
+      chain ::= cursor.get
       cursor = Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong())
     }
-    require(cursor.contains(sinceId),
-      s"graft-iceberg: committed snapshot $sinceId is not an ancestor of the current " +
-        s"snapshot $endId (rolled back or branched) — re-baseline by restarting " +
+    require(cursor.contains(sId),
+      s"graft-iceberg: committed snapshot $sId is not an ancestor of the current " +
+        s"snapshot $eId (rolled back or branched) — re-baseline by restarting " +
         "without a checkpoint")
     val conf = spark.sparkContext.hadoopConfiguration
     val tableFs = IcebergReader.tableFileSystem(table, conf)
-    def op(s: JsonNode): String = Option(s.get("summary"))
-      .flatMap(su => Option(su.get("operation"))).map(_.asText()).getOrElse("append")
-    var prev = IcebergReader.liveDataPathsOf(spark, table, tableFs, snapsById(sinceId))
+    // a partially-emitted anchor snapshot contributes its REMAINING
+    // adds before the chain proper
+    val ordered: Seq[Long] = (if (sPart.isDefined) Seq(sId) else Nil) ++ chain
     val adds = scala.collection.mutable.LinkedHashSet[String]()
-    chain.foreach { s =>
-      val sid = s.get("snapshot-id").asLong()
-      val cur = IcebergReader.liveDataPathsOf(spark, table, tableFs, s)
+    ordered.foreach { sid =>
+      val s = snapsById(sid)
       op(s) match {
-        case "append"  => adds ++= (cur -- prev)
+        case "append" =>
+          val all = addsOf(snapsById, sid)
+          val from = if (sid == sId && sPart.isDefined) sPart.get.toInt else 0
+          val until = if (sid == eId && ePart.isDefined) ePart.get.toInt else all.size
+          adds ++= all.slice(from, until).map(_._1)
         case "replace" => () // compaction: old rows in new files — already emitted
         case "delete" =>
           require(skipDeleteSnapshots,
@@ -264,22 +381,21 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
           s"graft-iceberg: snapshot $sid has operation '$other' — an append stream " +
             "cannot attribute its rows; re-baseline with a batch read")
       }
-      prev = cur
     }
     // files an in-window snapshot REMOVED again cannot be scanned at
     // endId — under 'replace' their rows were already emitted via the
     // original adds; under a skipped 'delete' the add must still be
     // emitted even though the file is gone from head, so scan only
     // what survives and refuse if an add vanished (data loss)
-    val live = IcebergReader.liveDataPathsOf(spark, table, tableFs, snapsById(endId))
+    val live = IcebergReader.liveDataPathsOf(spark, table, tableFs, snapsById(eId))
     val vanished = adds.toSet -- live
     require(vanished.isEmpty,
       s"graft-iceberg: ${vanished.size} file(s) added in the window were removed again " +
         s"before the batch was read (e.g. '${vanished.head}') — the stream cannot emit " +
         "them exactly-once; re-baseline with a batch read")
     if (adds.isEmpty) emptyBatch()
-    else IcebergReader.read(spark, table, snapshotId = Some(endId), snapshotSchema = false,
-      changes = Some(adds.map(_ -> (endId, 0L)).toMap))
+    else IcebergReader.read(spark, table, snapshotId = Some(eId), snapshotSchema = false,
+      changes = Some(adds.map(_ -> (eId, 0L)).toMap))
       .drop("_snapshot_id", "_committed_at")
   }
 

@@ -28,7 +28,8 @@ class IcebergStreamSpec extends SparkSpec {
   private def dataManifest(table: String, dir: String, files: Seq[String]): String = {
     import spark.implicits._
     val df = files.toDF("file_path").selectExpr("1 as status",
-      "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0) as data_file")
+      "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0, " +
+        "'file_size_in_bytes', cast(100 as bigint)) as data_file")
     writeAvro(df, dir)
   }
   private def manifestList(table: String, dir: String, manifests: Seq[String]): String = {
@@ -305,5 +306,83 @@ class IcebergStreamSpec extends SparkSpec {
       assert(!vals.contains(4L), s"the skipped merge's upserts must NOT emit: $vals")
       assert(spark.table("is_ovr2").count() == snap + 1)
     } finally q2.stop()
+  }
+
+  test("max_files_per_trigger splits an oversized snapshot across triggers — no loss/duplication across restart") {
+    val (table, m1, l1) = baseTable() // s1: f0 with ids 1, 2
+    // ONE snapshot appending 12 files: with a 5-file cap it must arrive
+    // as partial offsets over the snapshot's path-sorted adds (5 + 5 + 2)
+    val gFiles = (0 until 12).map(i => dataFile(table, f"g$i%02d", Seq((100L + i, s"g$i"))))
+    val m2 = dataManifest(table, s"$table/metadata/m2", gFiles)
+    val l2 = manifestList(table, s"$table/metadata/l2", Seq(m1, m2))
+    writeMetadata(table, 2, Seq(
+      (1L, null, 1000L, "append", l1),
+      (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2)), currentId = 2L)
+    val ckpt = Files.createTempDirectory("isfiles").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("starting_snapshot_id", "1").option("max_files_per_trigger", "5")
+        .load(table)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids; if (ids.nonEmpty) sizes += ids.length.toLong }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toSeq == (0 until 12).map(100L + _),
+      s"split snapshot must reassemble exactly: $seen")
+    assert(sizes.toSeq == Seq(5L, 5L, 2L), s"expected 5+5+2 file-paced batches: $sizes")
+    // a restart mid-history replays NOTHING (offsets carry the partial
+    // coordinates), and a new oversized snapshot splits the same way
+    seen.clear(); sizes.clear()
+    val hFiles = (0 until 7).map(i => dataFile(table, s"h$i", Seq((200L + i, s"h$i"))))
+    val m3 = dataManifest(table, s"$table/metadata/m3", hFiles)
+    val l3 = manifestList(table, s"$table/metadata/l3", Seq(m1, m2, m3))
+    writeMetadata(table, 3, Seq(
+      (1L, null, 1000L, "append", l1),
+      (2L, java.lang.Long.valueOf(1L), 2000L, "append", l2),
+      (3L, java.lang.Long.valueOf(2L), 3000L, "append", l3)), currentId = 3L)
+    run()
+    assert(seen.sorted.toSeq == (0 until 7).map(200L + _), s"got $seen")
+    assert(sizes.toSeq == Seq(5L, 2L), s"expected 5+2: $sizes")
+    // and nothing more on a no-op run
+    seen.clear(); sizes.clear()
+    run()
+    assert(seen.isEmpty && sizes.isEmpty)
+    // max_bytes_per_trigger is the byte-budget twin — a SOFT cap, so a
+    // 1-byte budget admits exactly one file per batch (the first file
+    // always fits; the fixture manifests carry file_size_in_bytes=100);
+    // totals reassemble exactly
+    val ckptB = Files.createTempDirectory("isbytes").toString
+    val seenB = scala.collection.mutable.ArrayBuffer[Long]()
+    val sizesB = scala.collection.mutable.ArrayBuffer[Long]()
+    val qb = spark.readStream.format("graft-iceberg")
+      .option("starting_snapshot_id", "2").option("max_bytes_per_trigger", "1")
+      .load(table)
+      .writeStream.option("checkpointLocation", ckptB)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        seenB.synchronized { seenB ++= ids; if (ids.nonEmpty) sizesB += ids.length.toLong }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25)).start()
+    try qb.processAllAvailable() finally qb.stop()
+    assert(seenB.sorted.toSeq == (0 until 7).map(200L + _), s"got $seenB")
+    assert(sizesB.toSeq == Seq.fill(7)(1L), s"one file per 1-byte batch: $sizesB")
+
+    // the partial coordinate round-trips serialization both ways — a
+    // restart recovering a mid-split offset resumes at the same slice
+    assert(IcebergSnapshotOffset(3L, Some(4L)).json == "3:4")
+    val src = new IcebergStreamSource(spark, table, Map.empty)
+    assert(src.ver(new org.apache.spark.sql.execution.streaming.Offset {
+      override def json(): String = "3:4" }) == ((3L, Some(4L))))
+    assert(src.ver(new org.apache.spark.sql.execution.streaming.Offset {
+      override def json(): String = "7" }) == ((7L, None)))
   }
 }
