@@ -136,12 +136,8 @@ object DeltaWriter {
       if (head.mappingMode != "none") {
         require(Set("name", "id").contains(head.mappingMode),
           s"delta writer: unknown column mapping mode '${head.mappingMode}' at $table")
-        require(!mergeSchema,
-          s"delta writer: mergeSchema on a column-mapped table — new columns need " +
-            "physicalName/id assignment this writer does not race; evolve with the " +
-            "delta-spark connector")
         val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-        require(expected.fields.forall(fl => fl.dataType match {
+        require((expected.fields ++ df.schema.fields).forall(fl => fl.dataType match {
           case _: StructType | _: ArrayType | _: MapType => false
           case _ => true
         }), s"delta writer: $table is column-mapped with NESTED columns — inner " +
@@ -216,17 +212,48 @@ object DeltaWriter {
     // footer stats all carry the physical identity the mapped read
     // resolves — delta-spark's own layout.
     val mappedHead = existingHead.filter(_.mappingMode != "none")
+    // mergeSchema on a mapped table: frame-only columns are assigned a
+    // FRESH physicalName (col-<uuid>, delta-spark's shape) and id
+    // (maxColumnId + k) HERE, so staging and the commit's merged
+    // metaData carry the identical mapping; the per-attempt exact
+    // schemaJson guard below refuses any rival evolution, so the
+    // pre-assigned ids can never collide with a racer's
+    val mappedNewFields: Seq[StructField] = mappedHead match {
+      case Some(head) if mergeSchema =>
+        val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val confMaxId = scala.util.Try {
+          Option(mapper.readTree(head.metaJson).get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.maxColumnId")))
+            .filterNot(_.isNull).map(_.asText().toLong)
+        }.toOption.flatten
+        val fieldMaxId = expected.fields.flatMap(fl =>
+          if (fl.metadata.contains("delta.columnMapping.id"))
+            Some(fl.metadata.getLong("delta.columnMapping.id")) else None)
+          .maxOption.getOrElse(0L)
+        val baseId = math.max(confMaxId.getOrElse(0L), fieldMaxId)
+        df.schema.fields.toSeq
+          .filterNot(b => expected.fields.exists(_.name.equalsIgnoreCase(b.name)))
+          .zipWithIndex.map { case (fl, i) =>
+            val mb = new MetadataBuilder()
+            mb.putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            mb.putLong("delta.columnMapping.id", baseId + i + 1)
+            StructField(fl.name, fl.dataType, nullable = true, mb.build())
+          }
+      case _ => Nil
+    }
     val (stageDf, stagePartCols, statsSchema, statsPartCols) = mappedHead match {
       case None => (df, partCols, df.schema, partCols)
       case Some(head) =>
         val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val allMapped = expected.fields.toSeq ++ mappedNewFields
         def physOf(fl: StructField): (String, Option[Long]) = (
           if (fl.metadata.contains("delta.columnMapping.physicalName"))
             fl.metadata.getString("delta.columnMapping.physicalName") else fl.name,
           if (fl.metadata.contains("delta.columnMapping.id"))
             Some(fl.metadata.getLong("delta.columnMapping.id")) else None)
         def fieldOf(logical: String): StructField =
-          expected.fields.find(_.name.equalsIgnoreCase(logical)).get
+          allMapped.find(_.name.equalsIgnoreCase(logical)).get
         val renamed = df.select(df.schema.fields.map { fl =>
           val (phys, fid) = physOf(fieldOf(fl.name))
           val mb = new MetadataBuilder()
@@ -234,7 +261,7 @@ object DeltaWriter {
           df(fl.name).as(phys, mb.build())
         }.toSeq: _*)
         val physParts = partCols.map(pc => physOf(fieldOf(pc))._1)
-        val physSchema = StructType(expected.fields.map(fl =>
+        val physSchema = StructType(allMapped.map(fl =>
           StructField(physOf(fl)._1, fl.dataType)))
         (renamed, physParts, physSchema, physParts)
     }
@@ -372,10 +399,24 @@ object DeltaWriter {
           val newFields = df.schema.fields.filterNot(b =>
             expected.fields.exists(_.name.equalsIgnoreCase(b.name)))
           if (newFields.nonEmpty) {
-            val merged = StructType(expected.fields ++ newFields.map(_.copy(nullable = true)))
+            // a mapped table's new columns carry the pre-assigned
+            // physicalName/id the staged files were written under, and
+            // configuration.maxColumnId advances past the new ids (the
+            // exact-schemaJson guard above already refused any rival
+            // evolution this attempt could race)
+            val mergedTail: Seq[StructField] =
+              if (mappedNewFields.nonEmpty) mappedNewFields
+              else newFields.toSeq.map(_.copy(nullable = true))
+            val merged = StructType(expected.fields ++ mergedTail)
             val mdNode = mapper.readTree(headNow.metaJson)
               .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
             mdNode.put("schemaString", merged.json)
+            if (mappedNewFields.nonEmpty) {
+              val confNode = mdNode.withObject("/configuration")
+              val newMax = mappedNewFields
+                .map(_.metadata.getLong("delta.columnMapping.id")).max
+              confNode.put("delta.columnMapping.maxColumnId", newMax.toString)
+            }
             actions += s"""{"metaData":${mdNode.toString}}"""
           }
         }
@@ -993,6 +1034,125 @@ object DeltaWriter {
           s"(${ok.failed.get.getMessage})")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** RENAME COLUMN — METADATA-ONLY on a column-mapped table (the whole
+    * point of column mapping: data files key columns by stable
+    * physicalName/id, so a logical rename is one metaData action and
+    * zero data IO — delta-spark's `ALTER TABLE RENAME COLUMN`, which
+    * likewise requires the mapping). Partition columns rename too
+    * (metaData.partitionColumns carries LOGICAL names; the adds'
+    * partitionValues key physically and stay valid verbatim). An
+    * unmapped table refuses: its files key by the logical name, so a
+    * rename would need a full rewrite.
+    *
+    * Concurrency: the optimistic loop re-resolves the head per attempt
+    * and publishes via create-no-overwrite; streams refuse the
+    * metadata change by their existing rule (restart to adopt). */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String,
+      maxRetries: Int = 10): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    require(to.nonEmpty && !to.exists(c => "[ ,;{}()\n\t=]".contains(c)),
+      s"delta rename: invalid column name '$to'")
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      require(head.mappingMode != "none",
+        s"delta rename: $table is not column-mapped — its data files key columns by " +
+          "the logical name, so a rename needs a full rewrite; enable column mapping " +
+          "(delta-spark: delta.columnMapping.mode=name) or rewrite with the connector")
+      val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(from))
+      require(idx >= 0, s"delta rename: column '$from' does not exist at $table " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fields.zipWithIndex.exists { case (fl, i) =>
+          i != idx && fl.name.equalsIgnoreCase(to) },
+        s"delta rename: column '$to' already exists at $table")
+      val renamed = StructType(schema.fields.zipWithIndex.map { case (fl, i) =>
+        if (i == idx) fl.copy(name = to) else fl
+      })
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mdNode.put("schemaString", renamed.json)
+      if (head.partitionCols.exists(_.equalsIgnoreCase(from))) {
+        val pcArr = mdNode.putArray("partitionColumns")
+        head.partitionCols.foreach(pc =>
+          pcArr.add(if (pc.equalsIgnoreCase(from)) to else pc))
+      }
+      val actions = Seq(
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+          s""""operation":"RENAME COLUMN","operationParameters":""" +
+          s"""{"from":${js(from)},"to":${js(to)}}}}""",
+        s"""{"metaData":${mdNode.toString}}""")
+      val curV = DeltaReader.currentVersion(spark, table)
+      val commitPath = new Path(logDir, f"${curV + 1}%020d.json")
+      val ok = scala.util.Try {
+        val out = f.create(commitPath, false)
+        try out.write((actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta rename: lost the commit race $maxRetries times at $table — giving up " +
+          s"(${ok.failed.get.getMessage})")
+    }
+  }
+
+  /** DROP COLUMN — METADATA-ONLY on a column-mapped table: the logical
+    * schema hides the column while the data files keep their bytes
+    * (delta-spark's `ALTER TABLE DROP COLUMN`, same mapping
+    * requirement). A later mergeSchema re-adding the same LOGICAL name
+    * assigns a FRESH physicalName/id, so the dropped column's old
+    * values can never resurrect. Partition columns refuse (the layout
+    * depends on them); dropping the last column refuses. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      require(head.mappingMode != "none",
+        s"delta drop: $table is not column-mapped — its data files carry the column " +
+          "under its logical name, so a drop needs a full rewrite; enable column " +
+          "mapping (delta-spark: delta.columnMapping.mode=name) or rewrite with the " +
+          "connector")
+      val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(schema.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"delta drop: column '$name' does not exist at $table " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!head.partitionCols.exists(_.equalsIgnoreCase(name)),
+        s"delta drop: '$name' is a partition column of $table — the layout depends " +
+          "on it; repartition with overwriteSchema instead")
+      val remaining = schema.fields.filterNot(_.name.equalsIgnoreCase(name))
+      require(remaining.nonEmpty, s"delta drop: cannot drop the last column of $table")
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mdNode.put("schemaString", StructType(remaining).json)
+      val actions = Seq(
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+          s""""operation":"DROP COLUMNS","operationParameters":""" +
+          s"""{"columns":${js(name)}}}}""",
+        s"""{"metaData":${mdNode.toString}}""")
+      val curV = DeltaReader.currentVersion(spark, table)
+      val commitPath = new Path(logDir, f"${curV + 1}%020d.json")
+      val ok = scala.util.Try {
+        val out = f.create(commitPath, false)
+        try out.write((actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta drop: lost the commit race $maxRetries times at $table — giving up " +
+          s"(${ok.failed.get.getMessage})")
+    }
   }
 
   /** MERGE (upsert) by key — the delta-spark

@@ -200,10 +200,6 @@ class DeltaMergeSpec extends SparkSpec {
       mode = "overwrite", partitionBy = Seq("p"), replaceWhere = Some("p = 7"))
     assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
       Seq(2L, 9L))
-    // evolution stays with the connector
-    val e1 = intercept[Exception](DeltaWriter.write(spark,
-      Seq((3L, "c", 7, 1.0)).toDF("id", "name", "p", "x"), t, mergeSchema = true))
-    assert(e1.getMessage.contains("column-mapped"))
     // ROW-LEVEL REWRITES work through the physical round trip (round
     // 14): the scan renames physical->logical, the restage renames
     // back with field ids, stats/partitionValues stay physical
@@ -737,5 +733,95 @@ class DeltaMergeSpec extends SparkSpec {
       insertNotMatched = false, txn = Some("upsert-app" -> 8L))
     assert(DeltaWriter.lastTxnVersion(spark, t, "upsert-app") == 8L)
     assert(DeltaReader.read(spark, t).select("name").as[String].collect().toSeq == Seq("A"))
+  }
+
+  test("mapped-table evolution: mergeSchema assigns fresh physicalName/id; rename and drop are metadata-only") {
+    import spark.implicits._
+    def mMeta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mMeta("col-aaa", 1)),
+      StructField("name", StringType, nullable = true, mMeta("col-bbb", 2)),
+      StructField("p", IntegerType, nullable = true, mMeta("col-ppp", 3)))).json
+    val t = Files.createTempDirectory("dmevolve").toString
+    writeCommit(t, 0, Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(mappedSchema)},"partitionColumns":["p"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3"},"createdTime":1}}"""))
+    DeltaWriter.write(spark, Seq((1L, "a", 7), (2L, "b", 8)).toDF("id", "name", "p"), t,
+      partitionBy = Seq("p"))
+    val filesV1 = DeltaReader.read(spark, t).inputFiles.toSet
+    // mergeSchema ADD: the new column stages under a FRESH physical
+    // name/id and the committed metaData carries the same mapping plus
+    // the advanced maxColumnId
+    DeltaWriter.write(spark, Seq((3L, "c", 7, 1.5)).toDF("id", "name", "p", "x"), t,
+      partitionBy = Seq("p"), mergeSchema = true)
+    val afterAdd = DeltaReader.read(spark, t)
+      .selectExpr("id", "coalesce(x, -1.0) as x").as[(Long, Double)].collect().sortBy(_._1)
+    assert(afterAdd.toSeq == Seq((1L, -1.0), (2L, -1.0), (3L, 1.5)))
+    val head1 = DeltaWriter.currentState(spark, t)
+    val xField = org.apache.spark.sql.types.DataType.fromJson(head1.schemaJson)
+      .asInstanceOf[StructType].fields.find(_.name == "x").get
+    assert(xField.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(xField.metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(mapper.readTree(head1.metaJson).get("configuration")
+      .get("delta.columnMapping.maxColumnId").asText() == "4")
+    // the staged file carries the PHYSICAL column name, not 'x'
+    val newFile = (DeltaReader.read(spark, t).inputFiles.toSet -- filesV1).head
+    val rawCols = spark.read.parquet(newFile).columns.toSet
+    assert(rawCols.contains(xField.metadata.getString("delta.columnMapping.physicalName"))
+      && !rawCols.contains("x"), s"raw columns: $rawCols")
+    // RENAME: metadata-only — values serve under the new logical name,
+    // the version advances by exactly one commit, no data file changes
+    val filesBefore = DeltaReader.read(spark, t).inputFiles.sorted.toSeq
+    DeltaWriter.renameColumn(spark, t, "name", "title")
+    assert(DeltaReader.read(spark, t).inputFiles.sorted.toSeq == filesBefore)
+    assert(DeltaReader.read(spark, t).selectExpr("title")
+      .as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    // renaming a PARTITION column updates partitionColumns; pruning
+    // still works (partitionValues key physically and stay valid)
+    DeltaWriter.renameColumn(spark, t, "p", "pt")
+    val p7 = DeltaReader.read(spark, t, filter = Some("pt = 7"))
+    assert(p7.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(p7.inputFiles.length < DeltaReader.read(spark, t).inputFiles.length)
+    // appends under the NEW logical names land; row-level rewrites
+    // round-trip through the evolved mapping
+    DeltaWriter.write(spark, Seq((5L, "e", 9, 2.5)).toDF("id", "title", "pt", "x"), t,
+      partitionBy = Seq("pt"))
+    assert(DeltaWriter.deleteWhere(spark, t, "title = 'b'") == 1L)
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    // DROP: metadata-only; a later mergeSchema re-adding the same
+    // LOGICAL name gets a FRESH physical column — old values can NEVER
+    // resurrect (they sit under the orphaned physical name)
+    DeltaWriter.dropColumn(spark, t, "x")
+    assert(!DeltaReader.read(spark, t).columns.contains("x"))
+    DeltaWriter.write(spark, Seq((6L, "f", 9, 9.9)).toDF("id", "title", "pt", "x"), t,
+      partitionBy = Seq("pt"), mergeSchema = true)
+    val resurrect = DeltaReader.read(spark, t)
+      .selectExpr("id", "coalesce(x, -1.0) as x").as[(Long, Double)].collect().sortBy(_._1)
+    assert(resurrect.toSeq == Seq((1L, -1.0), (3L, -1.0), (5L, -1.0), (6L, 9.9)),
+      s"dropped values must not resurrect: ${resurrect.toSeq}")
+    val head2 = DeltaWriter.currentState(spark, t)
+    val x2 = org.apache.spark.sql.types.DataType.fromJson(head2.schemaJson)
+      .asInstanceOf[StructType].fields.find(_.name == "x").get
+    assert(x2.metadata.getLong("delta.columnMapping.id") == 5L)
+    assert(x2.metadata.getString("delta.columnMapping.physicalName") !=
+      xField.metadata.getString("delta.columnMapping.physicalName"))
+    // refusals: unmapped tables, partition columns, collisions, misses
+    val tu = Files.createTempDirectory("dmevplain").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), tu)
+    val e1 = intercept[Exception](DeltaWriter.renameColumn(spark, tu, "name", "title"))
+    assert(e1.getMessage.contains("not column-mapped"))
+    val e2 = intercept[Exception](DeltaWriter.dropColumn(spark, tu, "name"))
+    assert(e2.getMessage.contains("not column-mapped"))
+    val e3 = intercept[Exception](DeltaWriter.renameColumn(spark, t, "id", "title"))
+    assert(e3.getMessage.contains("already exists"))
+    val e4 = intercept[Exception](DeltaWriter.dropColumn(spark, t, "pt"))
+    assert(e4.getMessage.contains("partition column"))
+    val e5 = intercept[Exception](DeltaWriter.renameColumn(spark, t, "nope", "x2"))
+    assert(e5.getMessage.contains("does not exist"))
   }
 }
