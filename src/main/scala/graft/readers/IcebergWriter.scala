@@ -2010,6 +2010,109 @@ object IcebergWriter {
     }
   }
 
+  /** RENAME COLUMN — METADATA-ONLY schema evolution by field id
+    * (Iceberg's marquee correctness feature, spec §Schemas "Column
+    * Projection": readers resolve columns by id, so a rename is one
+    * appended schema object + a current-schema-id bump and ZERO data
+    * IO; reference `intake/readers/readers.py` Iceberg family reads
+    * whatever the connector evolved). Old data files keep their
+    * parquet field ids and serve the NEW name; old snapshots keep
+    * referencing THEIR schema-id, so time travel still serves the
+    * name that was current then.
+    *
+    * Partition SOURCE columns refuse: this writer regenerates the
+    * identity spec's field names from the current schema at every
+    * write, and the reader keys partition tuples by spec field name —
+    * a renamed source would desync every existing manifest's tuples. */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String,
+      maxRetries: Int = 10): Unit =
+    evolveSchema(spark, table, "renameColumn", from, maxRetries) { (fields, idx) =>
+      import scala.jdk.CollectionConverters._
+      require(to.nonEmpty && !to.exists(c => "[ ,;{}()\n\t=]".contains(c)),
+        s"iceberg renameColumn: invalid column name '$to'")
+      require(!fields.asScala.exists(_.get("name").asText().equalsIgnoreCase(to)),
+        s"iceberg renameColumn: column '$to' already exists at $table")
+      fields.get(idx).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("name", to)
+    }
+
+  /** DROP COLUMN — METADATA-ONLY: the appended schema object simply
+    * omits the field; data files keep the bytes but no reader under
+    * the new schema projects them. `last-column-id` never decreases,
+    * so a later re-add of the same NAME gets a FRESH id and old
+    * values can never resurrect (spec-pinned). Partition sources
+    * refuse (their spec references the id). */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Unit =
+    evolveSchema(spark, table, "dropColumn", name, maxRetries) { (fields, idx) =>
+      require(fields.size() > 1,
+        s"iceberg dropColumn: cannot drop the only column of $table")
+      fields.remove(idx)
+    }
+
+  /** Shared metadata-only schema-evolution commit: locate `col` in
+    * the CURRENT schema, let `mutate` rewrite a deep copy of its
+    * field array, then append the result as a NEW schema object with
+    * the next schema-id and bump current-schema-id — the rollbackTo
+    * optimistic-commit shape (per-attempt head re-resolve,
+    * create-no-overwrite publish). */
+  private def evolveSchema(spark: SparkSession, table: String, op: String,
+      col: String, maxRetries: Int)(
+      mutate: (com.fasterxml.jackson.databind.node.ArrayNode, Int) => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, op)
+      val curSchemaId = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      val schemas = Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala).toSeq
+      val curSchema = schemas.find(s =>
+          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0) == curSchemaId)
+        .getOrElse(throw new IllegalStateException(
+          s"iceberg $op: current-schema-id $curSchemaId not in schemas at $table"))
+      val newSchema = curSchema.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val fields = newSchema.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val fieldSeq = fields.elements().asScala.toSeq
+      val idx = fieldSeq.indexWhere(_.get("name").asText().equalsIgnoreCase(col))
+      require(idx >= 0, s"iceberg $op: no top-level column '$col' at $table " +
+        s"(have: ${fieldSeq.map(_.get("name").asText()).mkString(", ")})")
+      val fieldId = fieldSeq(idx).get("id").asInt()
+      val specSources = Option(meta.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala)
+        .flatMap(sp => Option(sp.get("fields")).toSeq.flatMap(_.elements().asScala))
+        .map(_.get("source-id").asInt()).toSet
+      require(!specSources.contains(fieldId),
+        s"iceberg $op: column '$col' (id $fieldId) is a partition SOURCE — this " +
+          "writer regenerates identity spec field names from the current schema and " +
+          "partition tuples key by spec field name, so evolving a source column would " +
+          "desync existing manifests; rewrite the table under the new layout instead")
+      mutate(fields, idx)
+      val newSchemaId = schemas
+        .map(s => Option(s.get("schema-id")).map(_.asInt()).getOrElse(0))
+        .maxOption.getOrElse(-1) + 1
+      newSchema.put("schema-id", newSchemaId)
+      val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+        .add(newSchema)
+      newMeta.put("current-schema-id", newSchemaId)
+      newMeta.put("last-updated-ms", System.currentTimeMillis())
+      val version = metaV + 1
+      val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"),
+        s"v$version.metadata.json")
+      val ok = scala.util.Try {
+        val out = f.create(metaPath, /* overwrite = */ false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg $op: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
   def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
       maxRetries: Int = 10): Int = {
     require(keepLast >= 1, s"iceberg expireSnapshots: keepLast must be >= 1 (got $keepLast)")

@@ -676,4 +676,73 @@ class IcebergWriterSpec extends SparkSpec {
     IcebergWriter.rollbackTo(spark, t, curSnap())
     assert(IcebergReader.currentMetadataPath(t, spark.sparkContext.hadoopConfiguration) == before)
   }
+
+  test("renameColumn/dropColumn: metadata-only by-field-id evolution; re-add never resurrects") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwrename").toString
+    IcebergWriter.write(spark, Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "score"), t)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(t), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val p = it.next().getPath.toString
+        if (p.endsWith(".parquet") && !p.contains("/metadata/")) b += p }
+      b.result()
+    }
+    def meta() = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    val filesBefore = dataFiles()
+    val preRenameSnap = meta().get("current-snapshot-id").asLong()
+
+    // rename: OLD data files (old parquet column name, same field id) serve the NEW name
+    IcebergWriter.renameColumn(spark, t, "name", "label")
+    assert(dataFiles() == filesBefore) // metadata-only: zero data IO
+    val r1 = IcebergReader.read(spark, t)
+    assert(r1.schema.fieldNames.toSeq == Seq("id", "label", "score"))
+    assert(r1.select("id", "label").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // appends under the renamed schema mix with pre-rename files
+    IcebergWriter.write(spark, Seq((3L, "c", 30)).toDF("id", "label", "score"), t)
+    assert(IcebergReader.read(spark, t).select("id", "label").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel serves the name that was current THEN
+    val tt = IcebergReader.read(spark, t, snapshotId = Some(preRenameSnap))
+    assert(tt.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+
+    // drop: the column disappears; bytes stay but no current-schema read projects them
+    val filesPreDrop = dataFiles()
+    IcebergWriter.dropColumn(spark, t, "score")
+    assert(dataFiles() == filesPreDrop)
+    assert(IcebergReader.read(spark, t).schema.fieldNames.toSeq == Seq("id", "label"))
+    // re-add of the dropped NAME gets a FRESH id: old values can never resurrect
+    IcebergWriter.write(spark, Seq((4L, "d", 99)).toDF("id", "label", "score"), t,
+      mergeSchema = true)
+    val m = meta()
+    assert(m.get("last-column-id").asInt() == 4)
+    val back = IcebergReader.read(spark, t).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1).toSeq
+    assert(back == Seq((1L, None), (2L, None), (3L, None), (4L, Some(99))))
+    // schema history: creation(0) + rename(1) + drop(2) + re-add(3)
+    assert(m.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).toSeq ==
+      Seq(0, 1, 2, 3) && m.get("current-schema-id").asInt() == 3)
+
+    // refusals: collision, unknown column, last column, partition source
+    assert(intercept[Exception](IcebergWriter.renameColumn(spark, t, "id", "label"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](IcebergWriter.dropColumn(spark, t, "nope"))
+      .getMessage.contains("no top-level column"))
+    val t1 = Files.createTempDirectory("iwone").toString
+    IcebergWriter.write(spark, Seq(1L).toDF("id"), t1)
+    assert(intercept[Exception](IcebergWriter.dropColumn(spark, t1, "id"))
+      .getMessage.contains("only column"))
+    val tp = Files.createTempDirectory("iwpart").toString
+    IcebergWriter.write(spark, Seq((1L, "x")).toDF("id", "p"), tp,
+      partitionBy = Seq("p"))
+    assert(intercept[Exception](IcebergWriter.renameColumn(spark, tp, "p", "q"))
+      .getMessage.contains("partition SOURCE"))
+    assert(intercept[Exception](IcebergWriter.dropColumn(spark, tp, "p"))
+      .getMessage.contains("partition SOURCE"))
+  }
 }
