@@ -384,37 +384,73 @@ object IcebergReader {
       case other => // uuid, time, unknown future types
         throw new IllegalArgumentException(s"iceberg type '$other' outside the supported profile")
     }
-    def convert(t: JsonNode): DataType =
+    def convert(t: JsonNode, inCollection: Boolean): DataType =
       if (t.isTextual) prim(t.asText())
       else Option(t.get("type")).map(_.asText()) match {
         case Some("struct") =>
           StructType(t.get("fields").elements().asScala
-            .map(structField(_, topLevel = false)).toArray)
+            .map(structField(_, inCollection)).toArray)
         case Some("list") =>
-          ArrayType(convert(t.get("element")), !Option(t.get("element-required")).exists(_.asBoolean()))
+          ArrayType(convert(t.get("element"), inCollection = true),
+            !Option(t.get("element-required")).exists(_.asBoolean()))
         case Some("map") =>
-          MapType(convert(t.get("key")), convert(t.get("value")), !Option(t.get("value-required")).exists(_.asBoolean()))
+          MapType(convert(t.get("key"), inCollection = true),
+            convert(t.get("value"), inCollection = true),
+            !Option(t.get("value-required")).exists(_.asBoolean()))
         case other => throw new IllegalArgumentException(s"iceberg: unsupported nested type $other")
       }
-    def structField(f: JsonNode, topLevel: Boolean): StructField = {
+    def structField(f: JsonNode, inCollection: Boolean): StructField = {
       // v3 default values: a field with initial-default must read that
       // value for rows in files written BEFORE the field existed — a
       // by-id scan would fabricate null there, a silent wrong answer.
-      // Round 12 SERVES top-level primitive defaults (the read path
-      // groups files by footer field presence and overlays the default
-      // literal); NESTED defaults keep refusing — per-file presence
-      // tracking inside struct/list/map subtrees is outside the
-      // profile, and fabricated nulls there would be silently wrong.
-      require(topLevel || !f.hasNonNull("initial-default"),
-        s"iceberg: NESTED field '${f.get("name").asText()}' carries initial-default — " +
-          "outside this native reader's profile (top-level defaults serve); read the " +
-          "table with the iceberg-spark connector jar")
-      StructField(f.get("name").asText(), convert(f.get("type")),
+      // Round 12 SERVES top-level primitive defaults; round 15 extends
+      // that to STRUCT-nested primitives (the read path's footer
+      // grouping walks nested parquet groups and overlays via
+      // withField). Defaults inside list/map subtrees keep refusing —
+      // per-ELEMENT presence has no footer-level answer, and
+      // fabricated nulls there would be silently wrong.
+      require(!inCollection || !f.hasNonNull("initial-default"),
+        s"iceberg: field '${f.get("name").asText()}' inside a list/map carries " +
+          "initial-default — outside this native reader's profile (top-level and " +
+          "struct-nested defaults serve); read the table with the iceberg-spark " +
+          "connector jar")
+      StructField(f.get("name").asText(), convert(f.get("type"), inCollection),
         nullable = !Option(f.get("required")).exists(_.asBoolean()),
         new MetadataBuilder().putLong("parquet.field.id", f.get("id").asLong()).build())
     }
     StructType(schemaNode.get("fields").elements().asScala
-      .map(structField(_, topLevel = true)).toArray)
+      .map(structField(_, inCollection = false)).toArray)
+  }
+
+  /** Every `initial-default`-carrying field reachable through STRUCT
+    * nesting: (path from the root, field id, ancestor STRUCT ids
+    * outermost-first, iceberg type text, default text). Collection
+    * subtrees never contribute (toSparkSchema refuses defaults there). */
+  private[readers] def defaultFieldsOf(schemaNode: JsonNode):
+      Seq[(Seq[String], Int, Seq[Int], String, String)] = {
+    import scala.jdk.CollectionConverters._
+    def walk(fields: Seq[JsonNode], path: Seq[String], ancestors: Seq[Int]):
+        Seq[(Seq[String], Int, Seq[Int], String, String)] =
+      fields.flatMap { f =>
+        val name = f.get("name").asText()
+        val id = f.get("id").asInt()
+        val t = f.get("type")
+        val here =
+          if (!f.hasNonNull("initial-default")) Nil
+          else {
+            require(t.isTextual && t.asText() != "binary" && !t.asText().startsWith("fixed"),
+              s"iceberg: initial-default on field '$name' of type $t — only primitive " +
+                "(non-binary) defaults serve in this native reader; read the table " +
+                "with the iceberg-spark connector jar")
+            Seq((path :+ name, id, ancestors, t.asText(), f.get("initial-default").asText()))
+          }
+        val below =
+          if (!t.isTextual && Option(t.get("type")).exists(_.asText() == "struct"))
+            walk(t.get("fields").elements().asScala.toSeq, path :+ name, ancestors :+ id)
+          else Nil
+        here ++ below
+      }
+    walk(Option(schemaNode.get("fields")).toSeq.flatMap(_.elements().asScala), Nil, Nil)
   }
 
   /** Time travel by timestamp: the latest snapshot whose `timestamp-ms`
@@ -616,11 +652,10 @@ object IcebergReader {
     // so the full read's initial-default overlay and name-mapping
     // resolution do not run here — serving either silently (defaults
     // as nulls, id-less files all-null) would be a wrong answer
-    require(!currentSchemaNode(meta).toSeq
-        .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
-        .exists(_.hasNonNull("initial-default")),
-      s"iceberg: change feed over a table with initial-default values — outside this " +
-        "native reader's feed profile; read with the iceberg-spark connector")
+    require(currentSchemaNode(meta).toSeq.flatMap(defaultFieldsOf).isEmpty,
+      s"iceberg: change feed over a table with initial-default values (top-level or " +
+        "struct-nested) — outside this native reader's feed profile; read with the " +
+        "iceberg-spark connector")
     require(Option(meta.get("properties"))
         .flatMap(p => Option(p.get("schema.name-mapping.default"))).forall(_.isNull),
       s"iceberg: change feed over a name-mapped table — id-less files would read " +
@@ -1409,34 +1444,33 @@ object IcebergReader {
         }.groupBy(_._1).map { case (res, ps) => mkMappedScan(res, ps.map(_._2)) }.toSeq
         (withIds.map(f => byResolved(f._1)), groups)
     }
-    // ---- v3 initial-default application (round 12) -------------------
-    // A top-level primitive field carrying initial-default reads that
-    // CONSTANT for rows in files written before the field existed.
-    // "Before" is decided from each file's parquet FOOTER (the same
-    // executor-side inspection the name-mapping path pays): files
-    // whose footer lacks the field's id overlay the default literal,
-    // files carrying the id keep their real values — including real
-    // nulls. Nested defaults refuse in toSparkSchema; ORC data and
-    // name-mapped tables refuse the combination (no footer-id grouping
-    // there, and a silent null would be a wrong answer).
-    val defaultFields: Seq[(String, Int, String, String)] = schemaNode.toSeq
-      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
-      .filter(_.hasNonNull("initial-default"))
-      .map { f =>
-        val t = f.get("type")
-        require(t.isTextual && t.asText() != "binary" && !t.asText().startsWith("fixed"),
-          s"iceberg: initial-default on field '${f.get("name").asText()}' of type $t — " +
-            "only top-level primitive (non-binary) defaults serve in this native " +
-            "reader; read the table with the iceberg-spark connector jar")
-        (f.get("name").asText(), f.get("id").asInt(), t.asText(),
-          f.get("initial-default").asText())
-      }
+    // ---- v3 initial-default application (rounds 12 + 15) -------------
+    // A primitive field carrying initial-default — top-level OR nested
+    // through structs — reads that CONSTANT for rows in files written
+    // before the field existed. "Before" is decided from each file's
+    // parquet FOOTER (the same executor-side inspection the
+    // name-mapping path pays), walking nested groups for nested ids:
+    // files whose footer lacks the field's id overlay the default
+    // (nested ones via withField on the enclosing struct column, which
+    // leaves a NULL parent struct null — iceberg-java's own missing-
+    // struct semantics), files carrying the id keep their real values —
+    // including real nulls. Defaults inside list/map subtrees refuse in
+    // toSparkSchema; ORC data and name-mapped tables refuse the
+    // combination (no footer-id grouping there, and a silent null
+    // would be a wrong answer).
+    val defaultFields: Seq[(Seq[String], Int, Seq[Int], String, String)] =
+      schemaNode.toSeq.flatMap(defaultFieldsOf)
     val (plainParquet2: Seq[Entry], defaultScans: Seq[org.apache.spark.sql.DataFrame]) =
       if (defaultFields.isEmpty || plainParquet.isEmpty) (plainParquet, Nil)
       else {
         require(byFmt.get("orc").forall(_.isEmpty) && mappedScans.isEmpty,
           "iceberg: initial-default with ORC data files or name mapping — outside " +
             "this native reader's profile; read the table with the iceberg-spark connector jar")
+        defaultFields.filter(_._1.size > 1).foreach(d =>
+          require(d._1.forall(!_.contains(".")),
+            s"iceberg: nested initial-default path ${d._1.mkString("/")} has a '.' in a " +
+              "field name — withField addressing cannot express it; read the table " +
+              "with the iceberg-spark connector jar"))
         val st = sparkSchemaOpt.get
         val byResolved = plainParquet.map(e => resolve(e.filePath, table) -> e).toMap
         val sconf2 = new graft.core.SerializableHadoopConf(conf)
@@ -1450,20 +1484,39 @@ object IcebergReader {
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try {
               import scala.jdk.CollectionConverters._
+              def idsOf(t: org.apache.parquet.schema.Type): Set[Int] = {
+                val here = Option(t.getId).map(_.intValue()).toSet
+                t match {
+                  case g: org.apache.parquet.schema.GroupType =>
+                    here ++ g.getFields.asScala.flatMap(idsOf)
+                  case _ => here
+                }
+              }
               val ids = r.getFooter.getFileMetaData.getSchema.getFields.asScala
-                .flatMap(fl => Option(fl.getId).map(_.intValue())).toSet
+                .flatMap(idsOf).toSet
               (p, ids.intersect(defIds))
             } finally r.close()
           }.collect().toSeq
         val groups = presence.groupBy(pr => defIds -- pr._2) // keyed by ABSENT ids
         val plainPaths = groups.getOrElse(Set.empty[Int], Nil).map(_._1)
+        def typeAt(path: Seq[String]): org.apache.spark.sql.types.DataType =
+          path.foldLeft(st: org.apache.spark.sql.types.DataType) {
+            case (s: org.apache.spark.sql.types.StructType, n) => s(n).dataType
+            case (other, n) => throw new IllegalStateException(
+              s"iceberg: default path component '$n' under non-struct $other")
+          }
         val overlays = (groups - Set.empty[Int]).toSeq.map { case (absent, ps) =>
           val base = mkScan("parquet", ps.map(p => byResolved(p._1)))
+          val absentByHead = defaultFields
+            .filter(d => absent.contains(d._2)).groupBy(_._1.head)
           val overlayCols = st.fields.toSeq.map { f =>
-            val fid = f.metadata.getLong("parquet.field.id").toInt
-            defaultFields.find(d => d._2 == fid && absent.contains(fid)) match {
-              case Some((_, _, _, v)) => lit(v).cast(f.dataType).as(f.name)
-              case None               => col(f.name)
+            absentByHead.get(f.name) match {
+              case None => col(f.name)
+              case Some(ds) => ds.foldLeft(col(f.name)) { (c, d) =>
+                  if (d._1.size == 1) lit(d._5).cast(f.dataType)
+                  else c.withField(d._1.tail.mkString("."),
+                    lit(d._5).cast(typeAt(d._1)))
+                }.as(f.name)
             }
           }
           val metaCols = if (needMeta) Seq(col("__file"), col("__pos")) else Nil

@@ -1155,13 +1155,79 @@ class FileSkippingSpec extends SparkSpec {
       (2L, Some("legacy"), "2020-01-05"),
       (3L, Some("real"), "2024-06-01"),     // real values win
       (4L, None, "2024-06-02")))            // a REAL null stays null
-    // NESTED initial-default still refuses loudly at schema conversion
-    val nested = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+    // initial-default inside a list/map subtree still refuses loudly at
+    // schema conversion (struct-nested serves as of round 15)
+    val inList = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       """{"schema-id": 0, "type": "struct", "fields": [
-        |  {"id": 1, "name": "s", "type": {"type": "struct", "fields": [
-        |    {"id": 2, "name": "x", "type": "long", "initial-default": 9}]}}]}""".stripMargin)
-    val e = intercept[Exception](IcebergReader.toSparkSchema(nested))
-    assert(e.getMessage.contains("NESTED"))
+        |  {"id": 1, "name": "a", "type": {"type": "list", "element-id": 2, "element":
+        |    {"type": "struct", "fields": [
+        |      {"id": 3, "name": "x", "type": "long", "initial-default": 9}]}}}]}""".stripMargin)
+    val e = intercept[Exception](IcebergReader.toSparkSchema(inList))
+    assert(e.getMessage.contains("list/map"))
+  }
+
+  test("iceberg v3 nested initial-default: struct-nested defaults serve; null parent structs stay null") {
+    import org.apache.spark.sql.Row
+    val root = Files.createTempDirectory("icebergnesteddef")
+    val table = root.toString
+    Files.createDirectories(Paths.get(s"$table/metadata"))
+    def partFile(dir: String): String =
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    def fid(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    import scala.jdk.CollectionConverters._
+    // old file: written BEFORE s.y existed — s carries only x(3); one
+    // row's s is NULL outright (must STAY null: a missing parent struct
+    // never materializes from a child default, iceberg-java semantics)
+    val oldSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fid(1)),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, fid(3)))), nullable = true, fid(2))))
+    spark.createDataFrame(
+      Seq(Row(1L, Row(10L)), Row(2L, null)).asJava, oldSchema)
+      .coalesce(1).write.parquet(s"$table/data/old")
+    // new file: carries y(4), including a REAL NULL y
+    val newSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, fid(1)),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, fid(3)),
+        StructField("y", IntegerType, nullable = true, fid(4)))), nullable = true, fid(2))))
+    spark.createDataFrame(
+      Seq(Row(3L, Row(30L, 5)), Row(4L, Row(40L, null))).asJava, newSchema)
+      .coalesce(1).write.parquet(s"$table/data/new")
+    import spark.implicits._
+    val m = writeAvro(Seq(partFile(s"$table/data/old"), partFile(s"$table/data/new"))
+      .toDF("file_path")
+      .selectExpr("1 as status", "cast(null as bigint) as sequence_number",
+        "named_struct('file_path', file_path, 'file_format', 'PARQUET', 'content', 0) as data_file"),
+      s"$table/metadata/m0")
+    val listSchema = StructType(Seq(
+      StructField("manifest_path", StringType), StructField("content", IntegerType),
+      StructField("sequence_number", LongType), StructField("partition_spec_id", IntegerType)))
+    val listPath = writeAvro(spark.createDataFrame(
+      Seq(Row(m, 0, 1L, 0)).asJava, listSchema), s"$table/metadata/snap1")
+    Files.writeString(Paths.get(s"$table/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 3,
+         |  "location": "$table",
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "type": "long"},
+         |    {"id": 2, "name": "s", "type": {"type": "struct", "fields": [
+         |      {"id": 3, "name": "x", "type": "long"},
+         |      {"id": 4, "name": "y", "type": "int", "initial-default": 7}]}}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [{"snapshot-id": 77, "manifest-list": "$listPath"}]
+         |}""".stripMargin)
+    val got = IcebergReader.read(spark, table)
+      .selectExpr("id", "s.x as x", "s.y as y")
+      .as[(Long, Option[Long], Option[Int])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(7)),   // predates y: the nested default
+      (2L, None, None),           // null parent struct stays null
+      (3L, Some(30L), Some(5)),   // real values win
+      (4L, Some(40L), None)))     // a REAL null stays null
   }
 
   test("iceberg: equality deletes under an unsupported partition transform refuse loudly") {
