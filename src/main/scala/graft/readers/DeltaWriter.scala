@@ -617,6 +617,108 @@ object DeltaWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
+  /** OPTIMIZE ZORDER BY — rewrite the table's live files clustered on
+    * a Z-order (Morton) curve over `zCols`, delta-spark's
+    * `OPTIMIZE ... ZORDER BY (a, b)` (reference readers consume
+    * whatever layout the connector optimized; the clustering itself is
+    * the engine's own data-skipping lever). Each rewritten file then
+    * covers a small range of EVERY clustering column, so the add.stats
+    * min/max that [[graft.plans.FileSkipping]] prunes with become
+    * selective for conjuncts on any subset of `zCols` — the point of
+    * z-order over a plain sort, which serves only its leading column.
+    *
+    * Scale shape: pass 1 is a COLUMN-PRUNED scan (only `zCols` reach
+    * the parquet reader) feeding one `approxQuantile` sketch per
+    * column — `ranks` range boundaries, the sampled-boundary approach
+    * of Spark's own RangePartitioner; pass 2 computes each row's rank
+    * per column in pure Column arithmetic (no UDF: a sum of
+    * boundary comparisons, then bit interleave via shift/and), range-
+    * repartitions on (partition tuple, z) into ceil(bytes/target)
+    * output partitions and stages through [[rewriteCommit]] — rows
+    * never pass the driver. dataChange=false: streams and the change
+    * feed correctly see a layout-only commit. Merge-on-read tables
+    * z-order THROUGH their vectors (masked rows drop, vectors purge),
+    * like compact. Returns the number of files rewritten. */
+  def zorder(spark: SparkSession, table: String, zCols: Seq[String],
+      targetFileBytes: Long = 128L << 20, ranks: Int = 64,
+      maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty && zCols.size <= 4,
+      s"delta zorder: 1-4 clustering columns (got ${zCols.size}) — beyond 4 the " +
+        "interleaved ranges stop being selective for any of them")
+    require(ranks >= 2 && ranks <= 256 && (ranks & (ranks - 1)) == 0,
+      s"delta zorder: ranks must be a power of two in [2, 256] (got $ranks)")
+    require(targetFileBytes > 0,
+      s"delta zorder: targetFileBytes must be positive (got $targetFileBytes)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val head = currentState(spark, table)
+    val dvTable = head.dvEnabled && head.mappingMode == "none"
+    if (!dvTable) requireRewritable(head, table, "zorder", allowMapped = true)
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val names = zCols.map { c =>
+      val fl = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"delta zorder: no column '$c' at $table (have: ${schema.fieldNames.mkString(", ")})"))
+      require(!head.partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"delta zorder: '$c' is a partition column — its files already carry one value " +
+          "each; z-order data columns")
+      fl
+    }
+    if (head.liveFiles.isEmpty) return 0
+    val visible = scanLiveVisible(spark, f, table, head, head.liveFiles)
+    // an order-preserving DOUBLE proxy per clustering column (ranking
+    // only needs order, and 48 bits of a string prefix is exact in a
+    // double); strings compare byte-wise in Spark, so the hex of the
+    // first UTF-8 bytes ranks identically
+    def proxy(fl: StructField): org.apache.spark.sql.Column = {
+      val c = visible(s"`${fl.name}`")
+      fl.dataType match {
+        case _: NumericType => c.cast("double")
+        case BooleanType    => c.cast("int").cast("double")
+        case DateType       => unix_date(c).cast("double")
+        case TimestampType  => unix_micros(c).cast("double")
+        case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
+        case StringType =>
+          conv(rpad(hex(encode(substring(c, 1, 6), "UTF-8")), 12, "0"), 16, 10).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"delta zorder: column '${fl.name}' of type ${other.simpleString} is not " +
+            "orderable for clustering (numeric/string/date/timestamp/boolean)")
+      }
+    }
+    val probs = (1 until ranks).map(_.toDouble / ranks).toArray
+    val boundaries: Seq[Seq[Double]] = visible
+      .select(names.zipWithIndex.map { case (fl, i) => proxy(fl).as(s"__p$i") }: _*)
+      .stat.approxQuantile((0 until names.size).map(i => s"__p$i").toArray, probs, 0.01)
+      .toSeq.map(_.toSeq.distinct.sorted)
+    val k = names.size
+    val nBits = Integer.numberOfTrailingZeros(ranks)
+    // rank = how many boundaries the value passes (nulls rank 0, the
+    // low end — delta-spark's own null placement); z = bit interleave
+    val zExpr = names.zipWithIndex.map { case (fl, i) =>
+      val p = proxy(fl)
+      val rank = boundaries(i).foldLeft(lit(0))((acc, b) =>
+        acc + when(p.isNotNull && p >= lit(b), 1).otherwise(0))
+      (0 until nBits).map(j =>
+        shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * k + i).cast("long"))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val totalBytes = head.liveFiles.map(_.size).sum
+    val nFiles = math.max(1L, math.min(
+      (totalBytes + targetFileBytes - 1) / targetFileBytes, 1L << 20)).toInt
+    val zc = "__graft_z"
+    val orderCols = head.partitionCols.map(pc => col(s"`$pc`")) :+ col(zc)
+    val arranged = visible.withColumn(zc, zExpr)
+      .repartitionByRange(nFiles, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .drop(zc)
+    rewriteCommit(spark, f, table, head, head.liveFiles, Some(arranged),
+      "OPTIMIZE", None, maxRetries, dataChange = false)
+    head.liveFiles.size
+  }
+
   /** Write a classic checkpoint at the table's current version: one
     * parquet file holding the protocol + metaData + live add actions,
     * plus the `_last_checkpoint` pointer — after which commit jsons at
@@ -1620,7 +1722,10 @@ object DeltaWriter {
       // untouched; concurrency-guarded like touched files plus a
       // descriptor-drift check (a rival DV landing between scan and
       // commit would otherwise be silently overwritten)
-      dvRewrites: Seq[(LiveFile, String)] = Nil): Unit = {
+      dvRewrites: Seq[(LiveFile, String)] = Nil,
+      // false for layout-only rewrites (OPTIMIZE/zorder): incremental
+      // consumers must not see a reshuffle of existing rows as data
+      dataChange: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
     val tablePath = new Path(table)
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
@@ -1745,14 +1850,14 @@ object DeltaWriter {
           val pv = e.partitionValues.map { case (k, v) =>
             s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
           actions += s"""{"remove":{"path":${js(e.path)},"deletionTimestamp":${System.currentTimeMillis()},""" +
-            s""""dataChange":true,"partitionValues":$pv}}"""
+            s""""dataChange":$dataChange,"partitionValues":$pv}}"""
         }
         adds.foreach { a =>
           val pv = a.partitionValues.map { case (k, v) =>
             s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
           val encoded = new URI(null, null, "/" + a.path, null).getRawPath.stripPrefix("/")
           actions += s"""{"add":{"path":${js(encoded)},"partitionValues":$pv,"size":${a.size},""" +
-            s""""modificationTime":${a.mtime},"dataChange":true""" +
+            s""""modificationTime":${a.mtime},"dataChange":$dataChange""" +
             a.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
         }
         dvRewrites.foreach { case (lf, dvJson) =>
@@ -1799,7 +1904,7 @@ object DeltaWriter {
 
   private[readers] case class LiveFile(path: String, partitionValues: Map[String, String],
       hasDv: Boolean = false, stats: Option[String] = None,
-      dvJson: Option[String] = None) {
+      dvJson: Option[String] = None, size: Long = 0L) {
     /** Physical row count from add.stats, if recorded. */
     def numRecords: Option[Long] = stats.flatMap(s => scala.util.Try(
       Option(new ObjectMapper().readTree(s).get("numRecords")).map(_.asLong())).toOption.flatten)
@@ -1950,7 +2055,8 @@ object DeltaWriter {
           .getOrElse(Map.empty[String, String])
         live(p) = LiveFile(p, pv, hasDv = ad.hasNonNull("deletionVector"),
           stats = Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
-          dvJson = Option(ad.get("deletionVector")).filterNot(_.isNull).map(_.toString))
+          dvJson = Option(ad.get("deletionVector")).filterNot(_.isNull).map(_.toString),
+          size = Option(ad.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
       }
       Option(a.get("remove")).filterNot(_.isNull).foreach(rm => live -= rm.get("path").asText())
     }

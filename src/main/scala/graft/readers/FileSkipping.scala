@@ -40,10 +40,19 @@ import scala.util.Try
   */
 object FileSkipping {
 
-  /** Parse a boolean SQL expression into its top-level AND conjuncts. */
+  /** Parse a boolean SQL expression into its top-level AND conjuncts.
+    * `x BETWEEN a AND b` splits into its two comparisons: since Spark
+    * 3.3 the parser emits a `Between` RuntimeReplaceable instead of the
+    * `And` it desugars to, which would otherwise be invisible to every
+    * shape matcher downstream (no partition/stats pruning for the most
+    * idiomatic range filter). */
   def conjuncts(filterSql: String): Seq[Expression] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("between") && f.arguments.size == 3 =>
+        val Seq(v, lower, upper) = f.arguments
+        split(GreaterThanOrEqual(v, lower)) ++ split(LessThanOrEqual(v, upper))
       case other     => Seq(other)
     }
     split(CatalystSqlParser.parseExpression(filterSql))

@@ -441,4 +441,115 @@ class DeltaWriterSpec extends SparkSpec {
       assert(chain(e3).exists(_.contains("skip_change_commits")), chain(e3).mkString("|"))
     } finally q.stop()
   }
+
+  test("zorder: clustered rewrite makes multi-column skipping real; layout-only commit") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwz").toString
+    // 2048 rows over a 32x32 grid, round-robined into 4 files so EVERY
+    // file spans the full range of both columns — no filter can prune
+    val rows = for { a <- 0 until 32; b <- 0 until 32; r <- 0 until 2 }
+      yield (a, b, s"v-$a-$b-$r")
+    DeltaWriter.write(spark, rows.toDF("a", "b", "v").repartition(4), t)
+    val filter = "a >= 10 AND a <= 12 AND b >= 20 AND b <= 22"
+    assert(DeltaReader.read(spark, t, filter = Some(filter)).inputFiles.length == 4)
+    assert(DeltaWriter.zorder(spark, t, Seq("a", "b"), targetFileBytes = 2500) == 4)
+    val all = DeltaReader.read(spark, t)
+    val totalFiles = all.inputFiles.length
+    assert(totalFiles > 4, s"expected a multi-file clustered layout, got $totalFiles")
+    assert(all.count() == 2048L)
+    assert(all.select("a", "b", "v").as[(Int, Int, String)].collect().sorted.toSeq ==
+      rows.sorted)
+    // the 3x3 box now lives in a few z-contiguous files: stats pruning
+    // fires on BOTH columns (the point of z-order over a plain sort)
+    val post = DeltaReader.read(spark, t, filter = Some(filter))
+    assert(post.select("a", "b").distinct().count() == 9L)
+    assert(post.inputFiles.length * 2 <= totalFiles,
+      s"expected at least half the $totalFiles files pruned, scanned ${post.inputFiles.length}")
+    // layout-only: every remove/add in the OPTIMIZE commit carries
+    // dataChange=false, so streams and the change feed skip it
+    val lastCommit = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted.last
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(lastCommit))
+    assert(text.contains("\"operation\":\"OPTIMIZE\""))
+    assert(text.contains("\"dataChange\":false") && !text.contains("\"dataChange\":true"))
+    // refusals: unknown column, partition columns, arity, ranks
+    assert(intercept[Exception](DeltaWriter.zorder(spark, t, Seq("nope")))
+      .getMessage.contains("no column"))
+    assert(intercept[Exception](DeltaWriter.zorder(spark, t, Seq("a", "b", "v", "a", "b")))
+      .getMessage.contains("1-4"))
+    assert(intercept[Exception](DeltaWriter.zorder(spark, t, Seq("a"), ranks = 3))
+      .getMessage.contains("power of two"))
+    val tp = Files.createTempDirectory("dwzp").toString
+    DeltaWriter.write(spark, Seq((1, "x")).toDF("a", "p"), tp, partitionBy = Seq("p"))
+    assert(intercept[Exception](DeltaWriter.zorder(spark, tp, Seq("p")))
+      .getMessage.contains("partition column"))
+  }
+
+  test("zorder: partitioned tables cluster within each partition dir; DV rows purge through the rewrite") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwzdv").toString
+    DeltaWriter.write(spark,
+      (0 until 200).map(i => (i.toLong, i % 2, s"n$i")).toDF("id", "p", "name")
+        .repartition(3), t,
+      partitionBy = Seq("p"),
+      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, t, "id IN (4, 6, 8)") == 3L)
+    // the delete committed vectors, not rewrites (DV-enabled table)
+    val headBefore = DeltaReader.read(spark, t)
+    assert(headBefore.count() == 197L)
+    DeltaWriter.zorder(spark, t, Seq("id"), targetFileBytes = 1500)
+    val after = DeltaReader.read(spark, t)
+    assert(after.count() == 197L)
+    assert(after.where("id IN (4, 6, 8)").count() == 0L, "masked rows must not resurrect")
+    // vectors purged: no live add carries a deletionVector any more
+    val live = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+      .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    val lastText = live.last
+    assert(lastText.contains("\"operation\":\"OPTIMIZE\""))
+    assert(!lastText.contains("\"deletionVector\""),
+      "the clustered rewrite must purge deletion vectors")
+    // partition dirs keep their rows separated
+    assert(after.where("p = 0").count() == after.collect().count(_.getInt(1) == 0))
+    // a partition-scoped range query prunes within the dir
+    val p0Files = DeltaReader.read(spark, t, filter = Some("p = 0")).inputFiles.length
+    assert(p0Files > 1, s"expected the p=0 dir to hold multiple clustered files, got $p0Files")
+    val pruned = DeltaReader.read(spark, t, filter = Some("p = 0 AND id < 20"))
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (0L until 20L).filter(i => i % 2 == 0 && !Set(4L, 6L, 8L).contains(i)).toSet)
+    assert(pruned.inputFiles.length < p0Files)
+  }
+
+  test("zorder: column-mapped tables cluster through the physical round trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // NAME-mapped table fixture: logical (id, word) over physical
+    // (col-aaa, col-bbb) — the create stays with the connector, so the
+    // v0 commit is hand-written like the DeltaMergeSpec fixtures
+    val t = Files.createTempDirectory("dwzmap").toString
+    def mMeta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mMeta("col-aaa", 1)),
+      StructField("word", StringType, nullable = true, mMeta("col-bbb", 2)))).json
+    val js = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_delta_log"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(t, "_delta_log", "0" * 20 + ".json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        s"""{"metaData":{"id":"zm1","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js.writeValueAsString(mappedSchema)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""" + "\n")
+    DeltaWriter.write(spark,
+      (0 until 300).map(i => (i.toLong, s"w$i")).toDF("id", "word").repartition(3), t)
+    DeltaWriter.zorder(spark, t, Seq("id"), targetFileBytes = 1500)
+    val back = DeltaReader.read(spark, t)
+    assert(back.count() == 300L)
+    assert(back.select("id", "word").as[(Long, String)].collect().sorted.toSeq ==
+      (0 until 300).map(i => (i.toLong, s"w$i")))
+    val pruned = DeltaReader.read(spark, t, filter = Some("id BETWEEN 100 AND 110"))
+    assert(pruned.select("id").as[Long].collect().toSet == (100L to 110L).toSet)
+    assert(pruned.inputFiles.length < back.inputFiles.length)
+  }
 }

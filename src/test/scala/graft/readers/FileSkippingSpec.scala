@@ -28,6 +28,17 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.simpleShape(rev).exists {
       case FileSkipping.Cmp("id", ">=", _) => true; case _ => false
     })
+    // BETWEEN splits into its two comparisons (the Spark 4 parser emits
+    // an unresolved `between` FUNCTION, not the And it desugars to — a
+    // shape every matcher here would otherwise fail open on)
+    val bt = FileSkipping.conjuncts("p = 7 AND id BETWEEN 10 AND 20")
+    assert(bt.length == 3)
+    assert(FileSkipping.simpleShape(bt(1)).exists {
+      case FileSkipping.Cmp("id", ">=", _) => true; case _ => false
+    })
+    assert(FileSkipping.simpleShape(bt(2)).exists {
+      case FileSkipping.Cmp("id", "<=", _) => true; case _ => false
+    })
   }
 
   test("usableRefs fails closed on qualified names, subqueries, nondeterminism") {
@@ -178,6 +189,11 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.inputFiles.length == 2, s"expected f2+f3, got ${df.inputFiles.toSeq}")
     assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((150L, "gamma"), (200L, "delta"))) // residual filter still exact on f3
+    // BETWEEN prunes like its two comparisons (end-to-end through the
+    // stats path, not just the conjunct splitter)
+    val bt = DeltaReader.read(spark, t.toString, filter = Some("id BETWEEN 150 AND 160"))
+    assert(bt.inputFiles.length == 2, s"expected f2+f3, got ${bt.inputFiles.toSeq}")
+    assert(bt.as[(Long, String)].collect().toSeq == Seq((150L, "gamma")))
   }
 
   test("iceberg: p IS NULL skips manifests whose summary says contains_null=false") {
