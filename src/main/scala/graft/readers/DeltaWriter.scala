@@ -643,13 +643,7 @@ object DeltaWriter {
       targetFileBytes: Long = 128L << 20, ranks: Int = 64,
       maxRetries: Int = 10): Int = {
     import org.apache.spark.sql.functions._
-    require(zCols.nonEmpty && zCols.size <= 4,
-      s"delta zorder: 1-4 clustering columns (got ${zCols.size}) — beyond 4 the " +
-        "interleaved ranges stop being selective for any of them")
-    require(ranks >= 2 && ranks <= 256 && (ranks & (ranks - 1)) == 0,
-      s"delta zorder: ranks must be a power of two in [2, 256] (got $ranks)")
-    require(targetFileBytes > 0,
-      s"delta zorder: targetFileBytes must be positive (got $targetFileBytes)")
+    ZOrder.validate(zCols, ranks, targetFileBytes, "delta zorder")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
@@ -669,42 +663,8 @@ object DeltaWriter {
     }
     if (head.liveFiles.isEmpty) return 0
     val visible = scanLiveVisible(spark, f, table, head, head.liveFiles)
-    // an order-preserving DOUBLE proxy per clustering column (ranking
-    // only needs order, and 48 bits of a string prefix is exact in a
-    // double); strings compare byte-wise in Spark, so the hex of the
-    // first UTF-8 bytes ranks identically
-    def proxy(fl: StructField): org.apache.spark.sql.Column = {
-      val c = visible(s"`${fl.name}`")
-      fl.dataType match {
-        case _: NumericType => c.cast("double")
-        case BooleanType    => c.cast("int").cast("double")
-        case DateType       => unix_date(c).cast("double")
-        case TimestampType  => unix_micros(c).cast("double")
-        case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
-        case StringType =>
-          conv(rpad(hex(encode(substring(c, 1, 6), "UTF-8")), 12, "0"), 16, 10).cast("double")
-        case other => throw new IllegalArgumentException(
-          s"delta zorder: column '${fl.name}' of type ${other.simpleString} is not " +
-            "orderable for clustering (numeric/string/date/timestamp/boolean)")
-      }
-    }
-    val probs = (1 until ranks).map(_.toDouble / ranks).toArray
-    val boundaries: Seq[Seq[Double]] = visible
-      .select(names.zipWithIndex.map { case (fl, i) => proxy(fl).as(s"__p$i") }: _*)
-      .stat.approxQuantile((0 until names.size).map(i => s"__p$i").toArray, probs, 0.01)
-      .toSeq.map(_.toSeq.distinct.sorted)
-    val k = names.size
-    val nBits = Integer.numberOfTrailingZeros(ranks)
-    // rank = how many boundaries the value passes (nulls rank 0, the
-    // low end — delta-spark's own null placement); z = bit interleave
-    val zExpr = names.zipWithIndex.map { case (fl, i) =>
-      val p = proxy(fl)
-      val rank = boundaries(i).foldLeft(lit(0))((acc, b) =>
-        acc + when(p.isNotNull && p >= lit(b), 1).otherwise(0))
-      (0 until nBits).map(j =>
-        shiftleft(shiftright(rank, j).bitwiseAND(lit(1)), j * k + i).cast("long"))
-        .reduce(_ + _)
-    }.reduce(_ + _)
+    val zExpr = ZOrder.zColumn(visible,
+      names.map(fl => fl.name -> fl.dataType), ranks, "delta zorder")
     val totalBytes = head.liveFiles.map(_.size).sum
     val nFiles = math.max(1L, math.min(
       (totalBytes + targetFileBytes - 1) / targetFileBytes, 1L << 20)).toInt

@@ -1933,6 +1933,115 @@ object IcebergWriter {
     multi.size // unreachable
   }
 
+  /** OPTIMIZE ZORDER — rewrite each partition group's live files
+    * clustered on a Z-order curve over `zCols` (iceberg-spark's
+    * `rewrite_data_files(strategy => 'sort', sort_order =>
+    * 'zorder(a, b)')`). Every rewritten file then covers a small range
+    * of EVERY clustering column, so the per-file `lower_bounds` /
+    * `upper_bounds` this writer records in its manifests — the same
+    * bounds [[IcebergReader]] range-prunes with — become selective for
+    * conjuncts on any subset of `zCols`.
+    *
+    * Shares the Delta twin's [[ZOrder]] machinery (one approxQuantile
+    * sketch per group feeding pure-Column rank/interleave, no UDF) and
+    * compact's staging/publish shape: per-group distributed rewrites,
+    * ONE `replace` snapshot, rival-removal check per attempt. Tables
+    * carrying delete files refuse via [[liveEntries]] naming
+    * materializeDeletes (a raw group scan would resurrect deleted
+    * rows). Returns the number of files rewritten. */
+  def zorder(spark: SparkSession, table: String, zCols: Seq[String],
+      targetFileBytes: Long = 128L << 20, ranks: Int = 64,
+      maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.col
+    ZOrder.validate(zCols, ranks, targetFileBytes, "iceberg zorder")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta0 = ownedMeta(spark, table, "zorder")
+    val partFields = tablePartFields(meta0)
+    val partDefs = tablePartDefs(meta0)
+    val live0 = liveEntries(spark, meta0, table)
+    if (live0.isEmpty) return 0
+    val fieldNodes = currentSchemaFieldNodes(meta0)
+    val schemaFields: Seq[(String, DataType, Int)] = fieldNodes.map(n =>
+      (n.get("name").asText(), sparkTypeOfNode(n.get("type")), n.get("id").asInt()))
+    val zFields: Seq[(String, DataType)] = zCols.map { c =>
+      val fl = schemaFields.find(_._1.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"iceberg zorder: no column '$c' at $table " +
+          s"(have: ${schemaFields.map(_._1).mkString(", ")})"))
+      require(!partDefs.exists(_._2.equalsIgnoreCase(c)),
+        s"iceberg zorder: '$c' is a partition SOURCE column — its files are already " +
+          "scoped by their tuples; z-order data columns")
+      (fl._1, fl._2)
+    }
+    val readSchema = StructType(schemaFields.map { case (n, dt, _) => StructField(n, dt) })
+    val rewrittenSources = live0.map(_.path).toSet
+    val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
+    val newFiles: Seq[ManifestEntry] = try {
+      live0.groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
+        .sortBy(_.head.path).zipWithIndex.flatMap { case (group, gi) =>
+          val df = spark.read.schema(readSchema).parquet(group.map(_.path): _*)
+          val zc = "__graft_z"
+          val nFiles = math.max(1L, math.min(
+            (group.map(_.size).sum + targetFileBytes - 1) / targetFileBytes, 1L << 20)).toInt
+          val arranged = df
+            .withColumn(zc, ZOrder.zColumn(df, zFields, ranks, "iceberg zorder"))
+            .repartitionByRange(nFiles, col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc)
+          // rewritten files carry the ORIGINAL ids at every level (the
+          // compact rule — re-derived ids would bind rows to the wrong
+          // columns)
+          val withIds = arranged.select(fieldNodes.map { n =>
+            val nm = n.get("name").asText()
+            val dt = sparkTypeOfNode(n.get("type"))
+            val attached = attachIds(dt, n.get("type"))
+            val base = if (attached == dt) arranged(s"`$nm`") else arranged(s"`$nm`").cast(attached)
+            base.as(nm,
+              new MetadataBuilder().putLong("parquet.field.id", n.get("id").asLong()).build())
+          }.toSeq: _*)
+          val gDir = new Path(staging, s"g$gi")
+          withMicrosTimestamps(withIds.sparkSession) {
+            withIds.write.parquet(gDir.toString)
+          }
+          val destDir = new Path(group.head.path).getParent
+          val parts = {
+            val it = f.listFiles(gDir, false)
+            val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+            while (it.hasNext) { val st = it.next()
+              if (st.getPath.getName.endsWith(".parquet")) b += st }
+            b.result().sortBy(_.getPath.getName)
+          }
+          parts.map { part =>
+            val dest = new Path(destDir, s"zorder-${java.util.UUID.randomUUID()}.parquet")
+            require(f.rename(part.getPath, dest), s"iceberg zorder: rename to $dest failed")
+            val st = f.getFileStatus(dest)
+            val fs = footerStats(f, st.getPath, schemaFields)
+            ManifestEntry(storedPath(st.getPath), st.getLen, fs.records,
+              typedTupleOf(group.head.pvJson, partFields), fs.lower, fs.upper)
+          }
+        }
+    } finally scala.util.Try(f.delete(staging, true))
+
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, "zorder")
+      val nowLive = liveEntries(spark, meta, table)
+      val gone = rewrittenSources -- nowLive.map(_.path).toSet
+      require(gone.isEmpty,
+        s"iceberg zorder: file(s) ${gone.take(3).mkString(", ")} were removed by a " +
+          "concurrent writer — rewriting them would resurrect deleted rows; re-run")
+      val kept = nowLive.filterNot(e => rewrittenSources.contains(e.path))
+      val entries = kept.map(toManifestEntry(_, partFields)) ++ newFiles
+      if (publishSnapshot(spark, f, table, meta, metaV, "replace", entries, partFields,
+          txnProps = Map.empty))
+        return live0.size
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg zorder: lost the commit race $maxRetries times at $table — giving up")
+    }
+    live0.size // unreachable
+  }
+
   /** Retire history (the Delta writer's `vacuum`+log-aging twin in one
     * step, Iceberg's expire_snapshots): keep the newest `keepLast`
     * snapshots (the current snapshot always survives), rewrite the

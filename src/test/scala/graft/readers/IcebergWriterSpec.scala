@@ -745,4 +745,67 @@ class IcebergWriterSpec extends SparkSpec {
     assert(intercept[Exception](IcebergWriter.dropColumn(spark, tp, "p"))
       .getMessage.contains("partition SOURCE"))
   }
+
+  test("zorder: clustered rewrite makes multi-column bound pruning real; one replace snapshot") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwz").toString
+    // 2048 rows over a 32x32 grid, round-robined into 4 files so EVERY
+    // file spans the full range of both columns — bounds cannot prune
+    val rows = for { a <- 0 until 32; b <- 0 until 32; r <- 0 until 2 }
+      yield (a, b, s"v-$a-$b-$r")
+    IcebergWriter.write(spark, rows.toDF("a", "b", "v").repartition(4), t)
+    val filter = "a >= 10 AND a <= 12 AND b >= 20 AND b <= 22"
+    assert(IcebergReader.read(spark, t, filter = Some(filter)).inputFiles.length == 4)
+    assert(IcebergWriter.zorder(spark, t, Seq("a", "b"), targetFileBytes = 2500) == 4)
+    val all = IcebergReader.read(spark, t)
+    val totalFiles = all.inputFiles.length
+    assert(totalFiles > 4, s"expected a multi-file clustered layout, got $totalFiles")
+    assert(all.count() == 2048L)
+    assert(all.select("a", "b", "v").as[(Int, Int, String)].collect().sorted.toSeq ==
+      rows.sorted)
+    // the 3x3 box now lives in a few z-contiguous files: the manifests'
+    // per-file lower/upper bounds prune on BOTH columns
+    val post = IcebergReader.read(spark, t, filter = Some(filter))
+    assert(post.select("a", "b").distinct().count() == 9L)
+    assert(post.inputFiles.length * 2 <= totalFiles,
+      s"expected at least half the $totalFiles files pruned, scanned ${post.inputFiles.length}")
+    // ONE replace snapshot on top of the write
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+    import scala.jdk.CollectionConverters._
+    val ops = meta.get("snapshots").elements().asScala.toSeq
+      .map(_.get("summary").get("operation").asText())
+    assert(ops == Seq("append", "replace"))
+    // refusals: unknown column, partition source, delete-carrying table
+    assert(intercept[Exception](IcebergWriter.zorder(spark, t, Seq("nope")))
+      .getMessage.contains("no column"))
+    val tp = Files.createTempDirectory("iwzp").toString
+    IcebergWriter.write(spark, Seq((1L, 2L)).toDF("id", "p"), tp, partitionBy = Seq("p"))
+    assert(intercept[Exception](IcebergWriter.zorder(spark, tp, Seq("p")))
+      .getMessage.contains("partition SOURCE"))
+    val td = Files.createTempDirectory("iwzd").toString
+    IcebergWriter.write(spark, (0L until 50L).map(i => (i, s"n$i")).toDF("id", "name"), td)
+    assert(IcebergWriter.deleteWhere(spark, td, "id = 3", mode = "merge-on-read") == 1L)
+    assert(intercept[Exception](IcebergWriter.zorder(spark, td, Seq("id")))
+      .getMessage.contains("materializeDeletes"))
+  }
+
+  test("zorder: identity-partitioned tables cluster within each partition dir") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwzpart").toString
+    IcebergWriter.write(spark,
+      (0 until 400).map(i => (i.toLong, i % 2, s"n$i")).toDF("id", "p", "name")
+        .repartition(3), t,
+      partitionBy = Seq("p"))
+    IcebergWriter.zorder(spark, t, Seq("id"), targetFileBytes = 2000)
+    val after = IcebergReader.read(spark, t)
+    assert(after.count() == 400L)
+    assert(after.select("id").as[Long].collect().sorted.toSeq == (0L until 400L))
+    val p0Files = IcebergReader.read(spark, t, filter = Some("p = 0")).inputFiles.length
+    assert(p0Files > 1, s"expected the p=0 dir to hold multiple clustered files, got $p0Files")
+    val pruned = IcebergReader.read(spark, t, filter = Some("p = 0 AND id < 50"))
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (0L until 50L).filter(_ % 2 == 0).toSet)
+    assert(pruned.inputFiles.length < p0Files)
+  }
 }
