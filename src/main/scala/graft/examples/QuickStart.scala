@@ -265,6 +265,33 @@ object QuickStart {
       s"($matData data file(s) rewritten, $matDel delete file(s) folded, " +
       s"${graft.readers.IcebergReader.read(spark, morT).count()} remain)")
 
+    // 20. Round 15 — metadata-only schema evolution by stable ids and
+    // OPTIMIZE ZORDER on both formats: a rename costs zero data IO
+    // (old files resolve by field id), and the clustered rewrite makes
+    // multi-column stats/bounds skipping real — including for BETWEEN
+    val zt = java.nio.file.Files.createTempDirectory("qs_z").toString
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(0, 4096).selectExpr("id", "cast(id % 64 AS int) AS a",
+        "cast((id * 37) % 64 AS int) AS b").repartition(4), zt)
+    graft.readers.IcebergWriter.renameColumn(spark, zt, "b", "bb")
+    val zn = graft.readers.IcebergWriter.zorder(spark, zt, Seq("a", "bb"),
+      targetFileBytes = 8000)
+    val zPruned = graft.readers.IcebergReader.read(spark, zt,
+      filter = Some("a BETWEEN 10 AND 12 AND bb BETWEEN 22 AND 24"))
+    val dzt = java.nio.file.Files.createTempDirectory("qs_dz").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 4096).selectExpr("id", "cast(id % 64 AS int) AS a",
+        "cast((id * 37) % 64 AS int) AS b").repartition(4), dzt)
+    val dzn = graft.readers.DeltaWriter.zorder(spark, dzt, Seq("a", "b"),
+      targetFileBytes = 8000)
+    val dzPruned = graft.readers.DeltaReader.read(spark, dzt,
+      filter = Some("a BETWEEN 10 AND 12 AND b BETWEEN 22 AND 24"))
+    println(s"[20] rename+zorder: iceberg $zn files rewritten, box scan " +
+      s"${zPruned.inputFiles.length}/${graft.readers.IcebergReader.read(spark, zt).inputFiles.length} " +
+      s"files (${zPruned.count()} rows); delta $dzn rewritten, box scan " +
+      s"${dzPruned.inputFiles.length}/${graft.readers.DeltaReader.read(spark, dzt).inputFiles.length} " +
+      s"files (${dzPruned.count()} rows)")
+
     spark.stop()
     println("QuickStart OK")
   }

@@ -274,7 +274,7 @@ object IcebergReader {
     * semantics must match the caller), the two fieldId confs forced on,
     * and the caller's session-registered FUNCTIONS carried over so a
     * residual filter naming one still resolves here. */
-  private def scanClone(spark: SparkSession): SparkSession = cloneCache.synchronized {
+  private[readers] def scanClone(spark: SparkSession): SparkSession = cloneCache.synchronized {
     val confs = spark.conf.getAll
     val cached = Option(cloneCache.get(spark)).collect { case (k, s2) if k == confs => s2 }
     val s2 = cached.getOrElse {

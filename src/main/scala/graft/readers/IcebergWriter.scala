@@ -1179,7 +1179,7 @@ object IcebergWriter {
     val candidates = pruneDetection(spark, meta0, fieldNodes, live0, conjs)
     if (candidates.isEmpty) return 0L
     def scanOf(entries: Seq[LiveEntry]): DataFrame =
-      spark.read.schema(schema).parquet(entries.map(_.path): _*)
+      idScan(spark, meta0, entries.map(_.path))
         .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
     val agg = scanOf(candidates).where(expr(predicate))
       .agg(count(lit(1)).as("n"), collect_set(col(FileCol)).as("files")).collect()(0)
@@ -1237,7 +1237,7 @@ object IcebergWriter {
         rows.iterator.map(r => PathKeys.driverKey(r.getString(0), f) -> r.getLong(1))
           .filter(t => byKey.contains(t._1)).toSet
       }
-    val matched = spark.read.schema(schema).parquet(candidates.map(_.path): _*)
+    val matched = idScan(spark, meta0, candidates.map(_.path))
       .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
       .withColumn(RowIdxCol, col("_metadata.row_index"))
       .where(expr(predicate)).select(col(FileCol), col(RowIdxCol))
@@ -1341,7 +1341,7 @@ object IcebergWriter {
     val delPairs = spark.read.parquet(del0.map(_.path): _*)
       .select(PathKeys.scanKey(encPath(col("file_path"))).as(FileCol),
         col("pos").as(RowIdxCol))
-    val survivors = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val survivors = idScan(spark, meta0, touched.map(_.path))
       .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
       .withColumn(RowIdxCol, col("_metadata.row_index"))
       .join(broadcast(delPairs), Seq(FileCol, RowIdxCol), "left_anti")
@@ -1480,7 +1480,7 @@ object IcebergWriter {
         .select(PathKeys.scanKey(encPathU(col("file_path"))).as(FileCol),
           col("pos").as(RowIdxCol))
       def scanOf(entries: Seq[LiveEntry]): DataFrame = {
-        val base = spark.read.schema(schema).parquet(entries.map(_.path): _*)
+        val base = idScan(spark, meta0, entries.map(_.path))
           .withColumn(FileCol, PathKeys.scanKey(col("_metadata.file_path")))
         if (!morOn) base
         else {
@@ -1704,6 +1704,20 @@ object IcebergWriter {
   private def tablePartFields(meta: JsonNode): Seq[StructField] =
     tablePartDefs(meta).map(d => StructField(d._1, d._4))
 
+  /** FIELD-ID-resolved scan of writer-owned data files under the
+    * CURRENT schema — the scan every rewrite op must use: after
+    * [[renameColumn]], data files keep their pre-rename parquet column
+    * names, so a plain by-name read would silently null every renamed
+    * column out of a delete/merge/compact/zorder rewrite. The reader's
+    * own field-id scan session plus the id-carrying schema resolve by
+    * id exactly like the full read (files predating an additive
+    * evolution null the new columns, same as the read path). */
+  private def idScan(spark: SparkSession, meta: JsonNode, paths: Seq[String]): DataFrame = {
+    val idSchema = IcebergReader.currentSchemaNode(meta).map(IcebergReader.toSparkSchema)
+      .getOrElse(throw new IllegalStateException("iceberg: table has no current schema"))
+    IcebergReader.scanClone(spark).read.schema(idSchema).parquet(paths: _*)
+  }
+
   /** Current snapshot's live data-file entries (path, size, records,
     * partition JSON) — writer-owned tables only carry data manifests
     * this writer (or its retained chain) wrote. */
@@ -1877,12 +1891,12 @@ object IcebergWriter {
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[ManifestEntry] = try {
       multi.zipWithIndex.map { case (group, gi) =>
-        // read under the EXPLICIT current schema: after additive
-        // evolution a group mixes files with and without the new
-        // columns, and letting parquet sample one file's schema would
-        // silently drop the others' columns from the rewrite
-        val readSchema = StructType(schemaFields.map { case (n, dt, _) => StructField(n, dt) })
-        val df = spark.read.schema(readSchema).parquet(group.map(_.path): _*)
+        // read under the EXPLICIT current schema, resolved by FIELD ID:
+        // after additive evolution a group mixes files with and without
+        // the new columns (a sampled schema would drop columns), and
+        // after renameColumn the files carry pre-rename names (a
+        // by-name read would null the renamed columns)
+        val df = idScan(spark, meta0, group.map(_.path))
         // rewritten files must carry the ORIGINAL ids at every level —
         // re-derived ids would bind compacted rows to the wrong columns
         val withIds = df.select(fieldNodes.map { n =>
@@ -1973,13 +1987,13 @@ object IcebergWriter {
           "scoped by their tuples; z-order data columns")
       (fl._1, fl._2)
     }
-    val readSchema = StructType(schemaFields.map { case (n, dt, _) => StructField(n, dt) })
     val rewrittenSources = live0.map(_.path).toSet
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[ManifestEntry] = try {
       live0.groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
         .sortBy(_.head.path).zipWithIndex.flatMap { case (group, gi) =>
-          val df = spark.read.schema(readSchema).parquet(group.map(_.path): _*)
+          // field-id-resolved like compact's group read (see there)
+          val df = idScan(spark, meta0, group.map(_.path))
           val zc = "__graft_z"
           val nFiles = math.max(1L, math.min(
             (group.map(_.size).sum + targetFileBytes - 1) / targetFileBytes, 1L << 20)).toInt

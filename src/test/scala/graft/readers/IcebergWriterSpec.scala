@@ -746,6 +746,29 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("partition SOURCE"))
   }
 
+  test("rewrites after renameColumn resolve by field id — no silent nulls") {
+    import spark.implicits._
+    // every rewrite op scans existing files whose parquet columns keep
+    // their PRE-RENAME names; a by-name read would null the renamed
+    // column out of the rewrite (caught live by QuickStart §20)
+    val t = Files.createTempDirectory("iwrenrw").toString
+    IcebergWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(2), t)
+    IcebergWriter.renameColumn(spark, t, "name", "label")
+    def labels(): Seq[(Long, String)] = IcebergReader.read(spark, t)
+      .select("id", "label").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(IcebergWriter.compact(spark, t) == 1)
+    assert(labels() == (0 until 100).map(i => (i.toLong, s"n$i")))
+    assert(IcebergWriter.deleteWhere(spark, t, "id < 10") == 10L)
+    assert(labels() == (10 until 100).map(i => (i.toLong, s"n$i")))
+    IcebergWriter.zorder(spark, t, Seq("id"), targetFileBytes = 1500)
+    assert(labels() == (10 until 100).map(i => (i.toLong, s"n$i")))
+    IcebergWriter.mergeClauses(spark, Seq((50L, "X")).toDF("id", "label"), t,
+      on = Seq("id"), clauses = Seq(MergeClause.matchedUpdate(set = Map("label" -> "s.label"))))
+    assert(labels() == (10 until 100).map(i =>
+      (i.toLong, if (i == 50) "X" else s"n$i")))
+  }
+
   test("zorder: clustered rewrite makes multi-column bound pruning real; one replace snapshot") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwz").toString
