@@ -757,7 +757,8 @@ object IcebergReader {
       maxManifestEntries: Long = DefaultMaxManifestEntries,
       schemaOnly: Boolean = false,
       changes: Option[Map[String, (Long, Long)]] = None,
-      snapshotSchema: Boolean = true): DataFrame = {
+      snapshotSchema: Boolean = true,
+      ref: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     // pinned per planning pass: sibling legs of one query (self-join)
     // resolve the same metadata file — one snapshot per query — even if
@@ -774,21 +775,37 @@ object IcebergReader {
     val formatVersion = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     require(formatVersion >= 1 && formatVersion <= 3,
       s"iceberg format-version $formatVersion outside the supported profile (1-3)")
-    val currentId = snapshotId.getOrElse(
+    // named ref (spec `refs`): resolve tag/branch → snapshot id. TAG
+    // reads use the snapshot's own schema (an immutable label on the
+    // past); BRANCH reads use the table's CURRENT schema (a branch
+    // receives future writes) — Iceberg's documented split.
+    require(ref.isEmpty || snapshotId.isEmpty,
+      "iceberg: give one of ref / snapshotId, not both")
+    import scala.jdk.CollectionConverters._
+    val refResolved: Option[(Long, Boolean)] = ref.map { name =>
+      val r = Option(meta.get("refs")).flatMap(rs => Option(rs.get(name)))
+        .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
+          s"iceberg: no ref '$name' at $table" + Option(meta.get("refs")).map(rs =>
+            s" (have: ${rs.fieldNames().asScala.mkString(", ")})").getOrElse("")))
+      (r.get("snapshot-id").asLong(),
+        Option(r.get("type")).map(_.asText()).getOrElse("branch") == "tag")
+    }
+    val currentId = snapshotId.orElse(refResolved.map(_._1)).getOrElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong())
         .filter(_ != -1L)
         .getOrElse(throw new IllegalArgumentException("iceberg: table has no current snapshot (empty table)")))
-    import scala.jdk.CollectionConverters._
     val snapshots = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
     val snap = snapshots.find(s => s.get("snapshot-id").asLong() == currentId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: snapshot $currentId not in metadata"))
-    // an EXPLICIT time travel reads under the snapshot's OWN schema
-    // (the spec binds each snapshot to a schema-id; Delta's versionAsOf
-    // replays historical metadata the same way) — live reads, and
-    // snapshots predating schema tracking, keep the current schema
+    // an EXPLICIT time travel (and a TAG ref) reads under the
+    // snapshot's OWN schema (the spec binds each snapshot to a
+    // schema-id; Delta's versionAsOf replays historical metadata the
+    // same way) — live reads, branch refs, and snapshots predating
+    // schema tracking keep the current schema
+    val pinSchema = (snapshotId.isDefined && snapshotSchema) || refResolved.exists(_._2)
     val schemaNode: Option[JsonNode] = {
       val pinned = for {
-        _ <- snapshotId if snapshotSchema
+        _ <- Some(()) if pinSchema
         sid <- Option(snap.get("schema-id")).filterNot(_.isNull).map(_.asInt())
         ss <- Option(meta.get("schemas"))
         s <- ss.elements().asScala.find(x => Option(x.get("schema-id")).exists(_.asInt() == sid))

@@ -621,6 +621,11 @@ object IcebergWriter {
           else priorSchemas.mkString("[", ",\n    ", "]")
         val priorSnaps: Seq[String] = head.toSeq.flatMap(m =>
           Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala).map(_.toString))
+        // refs (tags/branches) ride through appends verbatim — this
+        // template regenerates the metadata, so an unthreaded field
+        // would be silently DROPPED by the first write after tagging
+        val refsLine: String = head.flatMap(m => Option(m.get("refs")).filterNot(_.isNull))
+          .map(r => s""""refs": ${r.toString},\n             |  """.stripMargin).getOrElse("")
         val txnProps = txn.map { case (appId, v) =>
           s""", "graft.txn.app-id": ${js(appId)}, "graft.txn.version": ${js(v.toString)}"""
         }.getOrElse("")
@@ -657,7 +662,7 @@ object IcebergWriter {
              |  "default-sort-order-id": 0,
              |  "sort-orders": [{"order-id": 0, "fields": []}],
              |  "properties": {"graft.writer": "true"},
-             |  "current-snapshot-id": $snapshotId,
+             |  $refsLine"current-snapshot-id": $snapshotId,
              |  "snapshots": [${(priorSnaps :+ newSnap).mkString(",\n    ")}],
              |  "snapshot-log": [${(priorLog :+ s"""{"snapshot-id": $snapshotId, "timestamp-ms": $now}""").mkString(",\n    ")}]
              |}""".stripMargin
@@ -2236,6 +2241,72 @@ object IcebergWriter {
     }
   }
 
+  /** TAG a snapshot (spec `refs`, type `tag`): one metadata-only
+    * commit adding a named immutable label — [[IcebergReader.read]]
+    * serves it via `ref = Some(name)` under the snapshot's OWN schema,
+    * and [[expireSnapshots]] retains tagged snapshots (and their
+    * files) regardless of `keepLast`, Iceberg's ref-pinned retention.
+    * Defaults to the current snapshot. Branch CREATION stays with the
+    * connector (a branch without branch writes is a lie); branch refs
+    * written by other engines still read via `ref`. */
+  def tagSnapshot(spark: SparkSession, table: String, name: String,
+      snapshotId: Option[Long] = None, maxRetries: Int = 10): Unit = {
+    require(name.nonEmpty, "iceberg tag: empty ref name")
+    editRefs(spark, table, "tag", maxRetries) { (meta, refs) =>
+      import scala.jdk.CollectionConverters._
+      require(!refs.hasNonNull(name),
+        s"iceberg tag: ref '$name' already exists at $table")
+      val id = snapshotId.getOrElse(
+        Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg tag: $table has no current snapshot")))
+      require(Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+          .exists(_.get("snapshot-id").asLong() == id),
+        s"iceberg tag: snapshot $id is not listed at $table (expired?)")
+      val entry = refs.putObject(name)
+      entry.put("snapshot-id", id)
+      entry.put("type", "tag")
+    }
+  }
+
+  /** Remove a named ref (tag or branch): the snapshot it pinned
+    * becomes expirable again. */
+  def removeRef(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Unit =
+    editRefs(spark, table, "removeRef", maxRetries) { (_, refs) =>
+      require(refs.hasNonNull(name),
+        s"iceberg removeRef: no ref '$name' at $table")
+      refs.remove(name)
+    }
+
+  /** Shared metadata-only `refs` edit — the rollbackTo optimistic-
+    * commit shape (per-attempt head re-resolve, create-no-overwrite). */
+  private def editRefs(spark: SparkSession, table: String, op: String, maxRetries: Int)(
+      mutate: (JsonNode, com.fasterxml.jackson.databind.node.ObjectNode) => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    var attempt = 0
+    while (true) {
+      val (meta, metaV) = ownedMetaV(spark, table, op)
+      val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val refs = newMeta.withObject("/refs")
+      mutate(newMeta, refs)
+      if (refs.isEmpty) newMeta.remove("refs")
+      newMeta.put("last-updated-ms", System.currentTimeMillis())
+      val metaPath = new Path(new Path(table.stripSuffix("/") + "/metadata"),
+        s"v${metaV + 1}.metadata.json")
+      val ok = scala.util.Try {
+        val out = f.create(metaPath, /* overwrite = */ false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"iceberg $op: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
   def expireSnapshots(spark: SparkSession, table: String, keepLast: Int = 1,
       maxRetries: Int = 10): Int = {
     require(keepLast >= 1, s"iceberg expireSnapshots: keepLast must be >= 1 (got $keepLast)")
@@ -2247,9 +2318,15 @@ object IcebergWriter {
       val (meta, metaV) = ownedMetaV(spark, table, "expireSnapshots")
       val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala).toSeq
       val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      // ref-pinned retention: a tagged/branched snapshot (and its
+      // files) survives regardless of keepLast — the spec's rule, and
+      // the only behavior under which a tag stays readable
+      val refIds = Option(meta.get("refs")).toSeq
+        .flatMap(_.properties().asScala.map(_.getValue))
+        .flatMap(r => Option(r.get("snapshot-id")).map(_.asLong())).toSet
       val retainedIds = (snaps.takeRight(keepLast) ++
         snaps.filter(s => curId.contains(s.get("snapshot-id").asLong())))
-        .map(_.get("snapshot-id").asLong()).toSet
+        .map(_.get("snapshot-id").asLong()).toSet ++ refIds
       val retained = snaps.filter(s => retainedIds.contains(s.get("snapshot-id").asLong()))
       val expired = snaps.filterNot(s => retainedIds.contains(s.get("snapshot-id").asLong()))
       if (expired.isEmpty) return 0

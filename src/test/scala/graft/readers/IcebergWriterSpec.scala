@@ -813,6 +813,67 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("materializeDeletes"))
   }
 
+  test("refs: tags pin snapshots through writes and retention; tag reads use the snapshot's schema, branch refs the current one") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("iwrefs").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def meta() = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    val snap1 = meta().get("current-snapshot-id").asLong()
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    IcebergWriter.tagSnapshot(spark, t, "baseline", Some(snap1))
+    assert(IcebergReader.read(spark, t, ref = Some("baseline")).count() == 2L)
+    // a TAG is immutable history: after a rename it still serves the
+    // schema that was current AT the snapshot
+    IcebergWriter.renameColumn(spark, t, "name", "label")
+    assert(IcebergReader.read(spark, t, ref = Some("baseline"))
+      .schema.fieldNames.toSeq == Seq("id", "name"))
+    // refs ride through subsequent WRITES (the metadata template must
+    // carry them — an unthreaded field would be silently dropped)
+    IcebergWriter.write(spark, Seq((4L, "d")).toDF("id", "label"), t)
+    assert(meta().get("refs").get("baseline").get("snapshot-id").asLong() == snap1)
+    assert(IcebergReader.read(spark, t, ref = Some("baseline")).count() == 2L)
+    // ref-pinned retention: keepLast=1 would expire snap1, but the tag
+    // retains it (and its files stay readable)
+    val expired1 = IcebergWriter.expireSnapshots(spark, t, keepLast = 1)
+    assert(expired1 >= 1)
+    assert(IcebergReader.read(spark, t, ref = Some("baseline"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a BRANCH ref (foreign writers create these) reads under the
+    // table's CURRENT schema — the branch receives future writes
+    val mPath = IcebergReader.currentMetadataPath(t, conf)
+    val mNode = meta().deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val bRef = mNode.withObject("/refs").putObject("dev")
+    bRef.put("snapshot-id", snap1)
+    bRef.put("type", "branch")
+    val v = mPath.split("/").last.stripPrefix("v").stripSuffix(".metadata.json").toLong + 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "metadata", s"v$v.metadata.json"), mNode.toString)
+    val branch = IcebergReader.read(spark, t, ref = Some("dev"))
+    assert(branch.schema.fieldNames.toSeq == Seq("id", "label")) // current schema
+    assert(branch.select("id", "label").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"))) // old files resolve the rename by field id
+    // removeRef releases the pin: the next expire reclaims the snapshot
+    IcebergWriter.removeRef(spark, t, "baseline")
+    IcebergWriter.removeRef(spark, t, "dev")
+    assert(IcebergWriter.expireSnapshots(spark, t, keepLast = 1) >= 1)
+    assert(intercept[Exception](IcebergReader.read(spark, t, ref = Some("baseline")))
+      .getMessage.contains("no ref"))
+    // refusals: duplicate tag, unknown snapshot, unknown ref, both selectors
+    IcebergWriter.tagSnapshot(spark, t, "head")
+    assert(intercept[Exception](IcebergWriter.tagSnapshot(spark, t, "head"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](IcebergWriter.tagSnapshot(spark, t, "x", Some(12345L)))
+      .getMessage.contains("not listed"))
+    assert(intercept[Exception](IcebergWriter.removeRef(spark, t, "nope"))
+      .getMessage.contains("no ref"))
+    assert(intercept[Exception](IcebergReader.read(spark, t,
+        snapshotId = Some(snap1), ref = Some("head")))
+      .getMessage.contains("not both"))
+  }
+
   test("zorder: identity-partitioned tables cluster within each partition dir") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwzpart").toString
