@@ -619,6 +619,59 @@ object DeltaReader {
     df.drop("_commit_version", "_commit_timestamp")
   }
 
+  /** DESCRIBE HISTORY (delta-spark `DeltaTable.history()`): one row
+    * per commit json still in the log, newest first — version,
+    * timestamp (commitInfo's if present, else the commit file's
+    * mtime, the same clock timestampAsOf reads), operation, add/remove
+    * counts and whether any action changed data. Driver-metadata only
+    * (the log is metadata-scale by design); versions aged out below a
+    * checkpoint are simply absent, like delta-spark after log cleanup. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val mapper = new ObjectMapper()
+    val rows = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(-_.getPath.getName.stripSuffix(".json").toLong)
+      .map { st =>
+        val version = st.getPath.getName.stripSuffix(".json").toLong
+        val in = f.open(st.getPath)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        var ts: Long = st.getModificationTime
+        var op: String = null
+        var adds = 0L; var removes = 0L; var dataChange = false
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val a = mapper.readTree(line)
+          Option(a.get("commitInfo")).filterNot(_.isNull).foreach { ci =>
+            Option(ci.get("timestamp")).filterNot(_.isNull).foreach(t => ts = t.asLong())
+            Option(ci.get("operation")).filterNot(_.isNull).foreach(o => op = o.asText())
+          }
+          Option(a.get("add")).filterNot(_.isNull).foreach { ad =>
+            adds += 1
+            if (Option(ad.get("dataChange")).forall(_.asBoolean())) dataChange = true
+          }
+          Option(a.get("remove")).filterNot(_.isNull).foreach { rm =>
+            removes += 1
+            if (Option(rm.get("dataChange")).forall(_.asBoolean())) dataChange = true
+          }
+        }
+        Row(version, new java.sql.Timestamp(ts), op, adds, removes, dataChange)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("num_added_files", LongType),
+      StructField("num_removed_files", LongType),
+      StructField("data_change", BooleanType))))
+  }
+
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */

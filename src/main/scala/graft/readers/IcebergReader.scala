@@ -535,6 +535,143 @@ object IcebergReader {
     *    expired snapshot refuses loudly naming a re-baseline;
     *  - `sinceSnapshotId = -1` means "from the root" (every live file).
     */
+  /** Iceberg's METADATA TABLES (`SELECT * FROM tbl$history` etc.) as a
+    * reader call — the inspection surface every Iceberg user leans on.
+    * Driver-metadata kinds (`history`, `snapshots`, `refs`,
+    * `manifests`) come from the tiny metadata json / manifest-list
+    * Avros as LocalRelations; `files` and `partitions` are
+    * DISTRIBUTED scans over the data manifests (a 100 TB table's file
+    * listing is itself big data), with delete manifests listed too
+    * (content 1/2) for `files`. */
+  def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta: JsonNode = new ObjectMapper().readTree(
+      readText(currentMetadataPath(table, conf), conf))
+    val snaps = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala).toSeq
+    val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    def local(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    def currentManifests(): Seq[(String, Long, Int, Boolean, String)] =
+      curId.flatMap(byId.get).toSeq.flatMap(s =>
+        manifestListRowsOf(spark, s.get("manifest-list").asText(), table))
+    // one distributed frame over the current snapshot's data or delete
+    // manifests (loaded separately — their Avro schemas differ)
+    def filesFrame(wantDeletes: Boolean): Option[DataFrame] = {
+      val paths = currentManifests().filter(_._4 == wantDeletes).map(_._1).distinct
+      if (paths.isEmpty) None
+      else {
+        val m = scanClone(spark).read.format(AvroFmt).load(paths: _*)
+        val cols = m.select("data_file.*").columns.toSet
+        Some(m.where("status != 2").selectExpr(
+          if (cols.contains("content")) "data_file.content as content"
+          else s"${if (wantDeletes) 1 else 0} as content",
+          "data_file.file_path as file_path",
+          "lower(data_file.file_format) as file_format",
+          "data_file.record_count as record_count",
+          "data_file.file_size_in_bytes as file_size_in_bytes",
+          if (cols.contains("partition")) "to_json(data_file.partition) as partition"
+          else "cast(null as string) as partition"))
+      }
+    }
+    kind.toLowerCase match {
+      case "history" =>
+        // is_current_ancestor: on the parent chain of the current
+        // snapshot (rolled-back branches list false — iceberg's shape)
+        val ancestors = {
+          var acc = Set.empty[Long]
+          var at = curId
+          while (at.isDefined) {
+            acc += at.get
+            at = byId.get(at.get).flatMap(s =>
+              Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()))
+          }
+          acc
+        }
+        val rows = Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala)
+          .map { e =>
+            val id = e.get("snapshot-id").asLong()
+            Row(new java.sql.Timestamp(e.get("timestamp-ms").asLong()), id,
+              byId.get(id).flatMap(s => Option(s.get("parent-snapshot-id"))
+                .filterNot(_.isNull).map(l => java.lang.Long.valueOf(l.asLong()))).orNull,
+              ancestors.contains(id))
+          }.toSeq
+        local(StructType(Seq(
+          StructField("made_current_at", TimestampType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("is_current_ancestor", BooleanType))), rows)
+      case "snapshots" =>
+        val rows = snaps.map { s =>
+          Row(new java.sql.Timestamp(Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)),
+            s.get("snapshot-id").asLong(),
+            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+              .map(l => java.lang.Long.valueOf(l.asLong())).orNull,
+            Option(s.get("summary")).flatMap(su => Option(su.get("operation")))
+              .map(_.asText()).orNull,
+            Option(s.get("manifest-list")).map(_.asText()).orNull,
+            Option(s.get("summary")).map(su => su.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String]))
+        }
+        local(StructType(Seq(
+          StructField("committed_at", TimestampType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("operation", StringType),
+          StructField("manifest_list", StringType),
+          StructField("summary", MapType(StringType, StringType)))), rows)
+      case "refs" =>
+        val rows = Option(meta.get("refs")).toSeq
+          .flatMap(_.properties().asScala).map { e =>
+            Row(e.getKey,
+              Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch"),
+              e.getValue.get("snapshot-id").asLong())
+          }
+        local(StructType(Seq(
+          StructField("name", StringType),
+          StructField("type", StringType),
+          StructField("snapshot_id", LongType))), rows)
+      case "manifests" =>
+        val rows = currentManifests().map { case (p, seq, specId, isDel, _) =>
+          Row(p, if (isDel) 1 else 0, seq, specId)
+        }
+        local(StructType(Seq(
+          StructField("path", StringType),
+          StructField("content", IntegerType),
+          StructField("sequence_number", LongType),
+          StructField("partition_spec_id", IntegerType))), rows)
+      case "files" =>
+        val data = filesFrame(wantDeletes = false)
+        val dels = filesFrame(wantDeletes = true)
+        (data.toSeq ++ dels.toSeq).reduceOption(_ unionByName _).getOrElse(
+          local(StructType(Seq(
+            StructField("content", IntegerType),
+            StructField("file_path", StringType),
+            StructField("file_format", StringType),
+            StructField("record_count", LongType),
+            StructField("file_size_in_bytes", LongType),
+            StructField("partition", StringType))), Nil))
+      case "partitions" =>
+        filesFrame(wantDeletes = false) match {
+          case Some(df) => df.groupBy("partition")
+            .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("file_count"),
+              org.apache.spark.sql.functions.sum("record_count").as("record_count"),
+              org.apache.spark.sql.functions.sum("file_size_in_bytes").as("total_size_in_bytes"))
+          case None => local(StructType(Seq(
+            StructField("partition", StringType),
+            StructField("file_count", LongType),
+            StructField("record_count", LongType),
+            StructField("total_size_in_bytes", LongType))), Nil)
+        }
+      case other => throw new IllegalArgumentException(
+        s"iceberg metadataTable: unknown kind '$other' " +
+          "(history | snapshots | refs | manifests | files | partitions)")
+    }
+  }
+
   def readChangesSince(spark: SparkSession, table: String, sinceSnapshotId: Long,
       filter: Option[String] = None,
       maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {

@@ -442,6 +442,25 @@ class DeltaWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("history: one row per commit, newest first, with counts and the data_change flag") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwhist").toString
+    DeltaWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.zorder(spark, t, Seq("id"))
+    val h = DeltaReader.history(spark, t)
+      .select("version", "operation", "num_added_files", "num_removed_files", "data_change")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(h.map(_._1) == Seq(2L, 1L, 0L)) // newest first
+    assert(h.map(_._2) == Seq("OPTIMIZE", "WRITE", "WRITE"))
+    assert(h(0)._4 == 2L && !h(0)._5)      // layout-only rewrite removed both files
+    assert(h(1)._3 == 1L && h(1)._5 && h(2)._3 == 1L && h(2)._5)
+    // timestamps are monotone non-decreasing oldest->newest
+    val ts = DeltaReader.history(spark, t).orderBy("version")
+      .select("timestamp").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.sorted.toSeq == ts.toSeq)
+  }
+
   test("zorder: clustered rewrite makes multi-column skipping real; layout-only commit") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwz").toString

@@ -874,6 +874,52 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("not both"))
   }
 
+  test("metadataTable: history/snapshots/refs/manifests/files/partitions inspection surface") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwmeta").toString
+    IcebergWriter.write(spark, Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "p", "name"), t,
+      partitionBy = Seq("p"))
+    val snap1 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, spark.sparkContext.hadoopConfiguration))
+      .get("current-snapshot-id").asLong()
+    IcebergWriter.write(spark, Seq((3L, 0, "c")).toDF("id", "p", "name"), t)
+    IcebergWriter.tagSnapshot(spark, t, "base", Some(snap1))
+
+    val snapsT = IcebergReader.metadataTable(spark, t, "snapshots")
+    assert(snapsT.count() == 2L)
+    assert(snapsT.select("operation").as[String].collect().toSet == Set("append"))
+    val hist = IcebergReader.metadataTable(spark, t, "history")
+      .select("snapshot_id", "is_current_ancestor").as[(Long, Boolean)].collect()
+    assert(hist.length == 2 && hist.forall(_._2))
+    val refsT = IcebergReader.metadataTable(spark, t, "refs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refsT == Seq(("base", "tag", snap1)))
+    assert(IcebergReader.metadataTable(spark, t, "manifests")
+      .select("content").as[Int].collect().forall(_ == 0))
+    val files = IcebergReader.metadataTable(spark, t, "files")
+    assert(files.count() == IcebergReader.read(spark, t).inputFiles.length.toLong)
+    assert(files.selectExpr("sum(record_count)").as[Long].collect().head == 3L)
+    val parts = IcebergReader.metadataTable(spark, t, "partitions")
+      .orderBy("partition").collect()
+    assert(parts.length == 2)
+    assert(parts.map(_.getLong(2)).sum == 3L) // record_count over both tuples
+    // a rolled-back head shows is_current_ancestor=false for the
+    // abandoned snapshot (iceberg's history-table shape)
+    IcebergWriter.rollbackTo(spark, t, snap1)
+    val hist2 = IcebergReader.metadataTable(spark, t, "history")
+      .select("snapshot_id", "is_current_ancestor").as[(Long, Boolean)].collect().toSeq
+    assert(hist2.count(_._1 == snap1) == 2 && hist2.filter(_._1 == snap1).forall(_._2))
+    assert(hist2.filter(_._1 != snap1).forall(!_._2))
+    // a merge-on-read delete (on the rolled-back head) surfaces its
+    // delete file as content=1
+    IcebergWriter.deleteWhere(spark, t, "id = 1", mode = "merge-on-read")
+    val contents = IcebergReader.metadataTable(spark, t, "files")
+      .select("content").as[Int].collect().toSeq
+    assert(contents.count(_ == 0) >= 2 && contents.count(_ > 0) == 1)
+    assert(intercept[Exception](IcebergReader.metadataTable(spark, t, "nope"))
+      .getMessage.contains("unknown kind"))
+  }
+
   test("zorder: identity-partitioned tables cluster within each partition dir") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwzpart").toString
