@@ -2065,6 +2065,40 @@ object DeltaWriter {
     * `force = true` exactly like the connector's safety check).
     * Leftover staging directories age out the same way. Returns the
     * deleted paths; `dryRun` only lists them. */
+  /** Age out commit jsons the checkpoint has subsumed (delta-spark's
+    * metadata cleanup under `delta.logRetentionDuration`, default 30
+    * days) — the third leg of retention next to [[checkpoint]] (replay
+    * cost) and [[vacuum]] (data files). Only versions AT OR BELOW the
+    * current checkpoint delete (replay seeds from the checkpoint, so
+    * the head is never at risk), and only when older than `retentionMs`
+    * — time travel and change reads below the cleaned range refuse
+    * afterwards with the reader's existing "log was cleaned" errors,
+    * the same trade delta-spark documents. Returns the commit jsons
+    * deleted. */
+  def cleanupLog(spark: SparkSession, table: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000, force: Boolean = false,
+      dryRun: Boolean = false): Seq[String] = {
+    require(retentionMs >= 7L * 24 * 3600 * 1000 || force,
+      s"delta writer: log retention ${retentionMs}ms is under 7 days — streams and " +
+        "time-travel readers may still replay those commits; pass force = true to override")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    val (cpV, _) = checkpointLines(spark, f, logDir)
+    require(cpV >= 0,
+      s"delta cleanupLog: $table has no checkpoint — deleting commit jsons would " +
+        "break head replay entirely; run DeltaWriter.checkpoint first")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val victims = f.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.matches("\\d{20}\\.json"))
+      .filter(st => st.getPath.getName.stripSuffix(".json").toLong <= cpV)
+      .filter(_.getModificationTime < cutoff)
+      .sortBy(_.getPath.getName)
+    if (!dryRun) victims.foreach(st => f.delete(st.getPath, false))
+    victims.map(_.getPath.getName)
+  }
+
   def vacuum(spark: SparkSession, table: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000, force: Boolean = false,
       dryRun: Boolean = false): Seq[String] = {

@@ -442,6 +442,37 @@ class DeltaWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanupLog ages out checkpoint-subsumed commits; the head replays, deep time travel refuses") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwclean").toString
+    DeltaWriter.write(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((2L, "b")).toDF("id", "name").coalesce(1), t)
+    DeltaWriter.write(spark, Seq((3L, "c")).toDF("id", "name").coalesce(1), t)
+    // no checkpoint yet: refusal names the remedy
+    assert(intercept[Exception](DeltaWriter.cleanupLog(spark, t, retentionMs = 0,
+      force = true)).getMessage.contains("checkpoint"))
+    assert(DeltaWriter.checkpoint(spark, t) == 2L)
+    // dry run lists but deletes nothing
+    val dry = DeltaWriter.cleanupLog(spark, t, retentionMs = 0, force = true, dryRun = true)
+    assert(dry.size == 3)
+    def logJsons() = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(logJsons() == 3)
+    // under-retention cleanup requires force (streams may still replay)
+    assert(intercept[Exception](DeltaWriter.cleanupLog(spark, t, retentionMs = 0))
+      .getMessage.contains("force"))
+    assert(DeltaWriter.cleanupLog(spark, t, retentionMs = 0, force = true).size == 3)
+    assert(logJsons() == 0)
+    // the head replays from the checkpoint; new writes take the next version
+    assert(DeltaReader.read(spark, t).count() == 3L)
+    DeltaWriter.write(spark, Seq((4L, "d")).toDF("id", "name").coalesce(1), t)
+    assert(DeltaReader.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // time travel below the cleaned range refuses loudly
+    assert(intercept[Exception](DeltaReader.read(spark, t, versionAsOf = Some(1L))
+      .count()).getMessage.contains("not present in _delta_log"))
+  }
+
   test("history: one row per commit, newest first, with counts and the data_change flag") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwhist").toString
