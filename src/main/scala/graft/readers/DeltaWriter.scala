@@ -2065,6 +2065,72 @@ object DeltaWriter {
     * `force = true` exactly like the connector's safety check).
     * Leftover staging directories age out the same way. Returns the
     * deleted paths; `dryRun` only lists them. */
+  /** SHALLOW CLONE (delta-spark `CREATE TABLE dst SHALLOW CLONE src`):
+    * a ZERO-COPY table — one commit whose adds reference the source's
+    * live files by ABSOLUTE path (the protocol's absolute-path form,
+    * which the reader already resolves), with partitionValues and
+    * stats carried verbatim so pruning works identically. O(live
+    * files) driver metadata, no data IO — the way to fork a 100 TB
+    * table for a dev/test run. The clone then evolves independently:
+    * appends/deletes/optimize land in ITS directory; vacuum on the
+    * clone never touches source files (they live outside its root) —
+    * but vacuum on the SOURCE can reclaim files the clone still
+    * references, delta-spark's own documented hazard. Sources with
+    * live deletion vectors refuse (DV descriptors are table-relative;
+    * OPTIMIZE the source first to purge them). Returns the number of
+    * files referenced. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcF = FileSystem.get(new URI(src).resolve("/"), conf)
+    val f = FileSystem.get(new URI(dst).resolve("/"), conf)
+    val srcLog = new Path(src.stripSuffix("/") + "/_delta_log")
+    require(srcF.exists(srcLog), s"not a delta table (no _delta_log): $src")
+    val dstLog = new Path(dst.stripSuffix("/") + "/_delta_log")
+    require(!f.exists(dstLog), s"delta clone: $dst is already a delta table")
+    val head = currentState(spark, src)
+    require(head.liveFiles.forall(!_.hasDv),
+      s"delta clone: $src has live deletion vectors — their descriptors are " +
+        "table-relative and cannot be referenced across roots; run " +
+        "DeltaWriter.compact (OPTIMIZE purges vectors) first")
+    // the last protocol action wins (same replay rule as metaData)
+    val (_, cpLines) = checkpointLines(spark, srcF, srcLog)
+    val commitTexts = srcF.listStatus(srcLog).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val in = srcF.open(st.getPath)
+        val t = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        t.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }
+    val protocol = (cpLines ++ commitTexts)
+      .filter(l => scala.util.Try(mapper.readTree(l).hasNonNull("protocol")).getOrElse(false))
+      .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    // the clone is a NEW table: fresh id, same schema/partitioning/conf
+    val mdNode = mapper.readTree(head.metaJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mdNode.put("id", java.util.UUID.randomUUID().toString)
+    mdNode.put("createdTime", System.currentTimeMillis())
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+      s""""operation":"CLONE","operationParameters":{"source":${js(src)}}}}"""
+    actions += protocol
+    actions += s"""{"metaData":${mdNode.toString}}"""
+    head.liveFiles.foreach { lf =>
+      val abs = srcF.makeQualified(new Path(resolveLogPath(src, lf.path))).toUri.toString
+      val pv = lf.partitionValues.map { case (k, v) =>
+        s"${js(k)}:${if (v == null) "null" else js(v)}" }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":${js(abs)},"partitionValues":$pv,"size":${lf.size},""" +
+        s""""modificationTime":0,"dataChange":true""" +
+        lf.stats.map(st => s""","stats":${js(st)}""").getOrElse("") + "}}"
+    }
+    f.mkdirs(dstLog)
+    val commitPath = new Path(dstLog, f"${0L}%020d.json")
+    val out = f.create(commitPath, /* overwrite = */ false)
+    try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    head.liveFiles.size
+  }
+
   /** Age out commit jsons the checkpoint has subsumed (delta-spark's
     * metadata cleanup under `delta.logRetentionDuration`, default 30
     * days) — the third leg of retention next to [[checkpoint]] (replay

@@ -442,6 +442,54 @@ class DeltaWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cloneTable: zero-copy shallow clone; clones prune, evolve independently, and vacuum safely") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("dwclsrc").toString
+    val dst = Files.createTempDirectory("dwcldst").toString + "/t"
+    DeltaWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, i % 2, s"n$i")).toDF("id", "p", "name"), src,
+      partitionBy = Seq("p"))
+    DeltaWriter.write(spark,
+      Seq((100L, 0, "x")).toDF("id", "p", "name"), src, partitionBy = Seq("p"))
+    val srcFiles = DeltaReader.read(spark, src).inputFiles.toSet
+    assert(DeltaWriter.cloneTable(spark, src, dst) == srcFiles.size)
+    // zero copy: the clone's own tree holds NO parquet, reads serve the
+    // source's files and values identically
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).toArray
+      .exists(_.toString.endsWith(".parquet")))
+    val back = DeltaReader.read(spark, dst)
+    assert(back.count() == 101L)
+    assert(back.inputFiles.toSet == srcFiles)
+    // pruning rides the carried stats/partitionValues
+    val pruned = DeltaReader.read(spark, dst, filter = Some("p = 1"))
+    assert(pruned.count() == 50L)
+    assert(pruned.inputFiles.length < back.inputFiles.length)
+    // the clone evolves independently: a delete + append there leaves
+    // the source untouched; a source append is invisible to the clone
+    assert(DeltaWriter.deleteWhere(spark, dst, "id < 10") == 10L)
+    DeltaWriter.write(spark, Seq((200L, 1, "y")).toDF("id", "p", "name"), dst,
+      partitionBy = Seq("p"))
+    assert(DeltaReader.read(spark, dst).count() == 92L)
+    assert(DeltaReader.read(spark, src).count() == 101L)
+    DeltaWriter.write(spark, Seq((300L, 0, "z")).toDF("id", "p", "name"), src,
+      partitionBy = Seq("p"))
+    assert(DeltaReader.read(spark, dst).count() == 92L)
+    // vacuum on the CLONE never touches source files (outside its root)
+    DeltaWriter.vacuum(spark, dst, retentionMs = 0, force = true)
+    assert(DeltaReader.read(spark, src).count() == 102L)
+    assert(DeltaReader.read(spark, dst).count() == 92L)
+    // refusals: existing destination; DV-carrying source names OPTIMIZE
+    assert(intercept[Exception](DeltaWriter.cloneTable(spark, src, dst))
+      .getMessage.contains("already a delta table"))
+    val tdv = Files.createTempDirectory("dwcldv").toString
+    DeltaWriter.write(spark, (0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .coalesce(1), tdv, tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaWriter.deleteWhere(spark, tdv, "id = 3") == 1L)
+    assert(intercept[Exception](DeltaWriter.cloneTable(spark, tdv,
+        Files.createTempDirectory("dwcldv2").toString + "/t"))
+      .getMessage.contains("deletion vectors"))
+  }
+
   test("cleanupLog ages out checkpoint-subsumed commits; the head replays, deep time travel refuses") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwclean").toString
