@@ -512,8 +512,15 @@ object DeltaWriter {
     val dataSchema = StructType(schema.fields
       .filterNot(fl => head.partitionCols.contains(fl.name))
       .map(fl => StructField(physOf(fl.name), fl.dataType, fl.nullable)))
-    // group live files by partition directory (the log path's prefix)
-    val groups = head.live.groupBy(p => p.split("/").dropRight(1).mkString("/"))
+    // group live files by partition directory (the log path's prefix).
+    // Zero-copy groups (a shallow clone's ABSOLUTE references) skip:
+    // their rewrite would land next to the SOURCE's files — a zorder
+    // (staged under this root) materializes them instead
+    val groups = head.live
+      .filterNot { p =>
+        val d = PathKeys.percentDecode(p); d.contains("://") || d.startsWith("/")
+      }
+      .groupBy(p => p.split("/").dropRight(1).mkString("/"))
       .filter { case (_, ps) => ps.size > 1 || ps.exists(p => byPath(p).hasDv) }
     if (groups.isEmpty) return 0
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")

@@ -1883,7 +1883,12 @@ object IcebergWriter {
     val meta0 = ownedMeta(spark, table, "compact")
     val partFields = tablePartFields(meta0)
     val live0 = liveEntries(spark, meta0, table)
-    val groups = live0.groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
+    // zero-copy groups (a shallow clone's references outside this root)
+    // skip: their rewrite would land next to the SOURCE's files
+    val root = f.makeQualified(new Path(table.stripSuffix("/"))).toString + "/"
+    val groups = live0.filter(e =>
+        f.makeQualified(new Path(e.path)).toString.startsWith(root))
+      .groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
     val multi = groups.filter(_.size >= 2)
     if (multi.isEmpty) return 0
 
@@ -1992,6 +1997,11 @@ object IcebergWriter {
           "scoped by their tuples; z-order data columns")
       (fl._1, fl._2)
     }
+    val zroot = f.makeQualified(new Path(table.stripSuffix("/"))).toString + "/"
+    require(live0.forall(e => f.makeQualified(new Path(e.path)).toString.startsWith(zroot)),
+      s"iceberg zorder: $table references files outside its root (a shallow clone) — " +
+        "the clustered rewrite would land in the source tree; rewrite the shared " +
+        "files first (overwrite or row-level ops) or z-order the source")
     val rewrittenSources = live0.map(_.path).toSet
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val newFiles: Seq[ManifestEntry] = try {
@@ -2241,6 +2251,41 @@ object IcebergWriter {
     }
   }
 
+  /** SHALLOW CLONE (iceberg-spark's `snapshot` procedure spirit): a
+    * ZERO-COPY fork — every Iceberg path (manifest lists, manifests,
+    * data files) is stored ABSOLUTE, so the clone is one new metadata
+    * json with a fresh table-uuid and the new location; snapshots,
+    * schemas and refs carry verbatim, so time travel, tags and
+    * incremental reads all work against the shared files. O(1) in
+    * table size. The clone evolves independently: appends and
+    * row-level rewrites stage under ITS root (stageRewrite renames
+    * into `<table>/data`); [[expireSnapshots]]'s root-guard never
+    * deletes a file outside the clone's root, so source files are
+    * safe from the clone's retention — but expire on the SOURCE can
+    * reclaim files the clone still references, the same documented
+    * hazard as the Delta twin. [[compact]] skips zero-copy groups;
+    * [[zorder]] refuses until the shared files are rewritten (e.g. by
+    * a merge/delete or an overwrite). Returns the number of live data
+    * files referenced. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(dst).resolve("/"), conf)
+    val meta = ownedMeta(spark, src, "clone")
+    val dstMetaDir = new Path(dst.stripSuffix("/") + "/metadata")
+    require(!f.exists(dstMetaDir), s"iceberg clone: $dst is already an iceberg table")
+    val (data, _) = liveEntriesAll(spark, meta, src)
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("location", dst.stripSuffix("/"))
+    newMeta.put("table-uuid", java.util.UUID.randomUUID().toString)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    f.mkdirs(dstMetaDir)
+    val metaPath = new Path(dstMetaDir, "v1.metadata.json")
+    val out = f.create(metaPath, /* overwrite = */ false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+      .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    data.size
+  }
+
   /** TAG a snapshot (spec `refs`, type `tag`): one metadata-only
     * commit adding a named immutable label — [[IcebergReader.read]]
     * serves it via `ref = Some(name)` under the snapshot's OWN schema,
@@ -2361,8 +2406,13 @@ object IcebergWriter {
       }
       if (ok.isSuccess) {
         // reclaim only what no retained snapshot references; deletes are
-        // best-effort (a missing file is already reclaimed)
+        // best-effort (a missing file is already reclaimed). ROOT-GUARD:
+        // never delete a file outside this table's own root — a shallow
+        // clone references the source's files by absolute path, and
+        // expiring the clone's history must not reclaim them
+        val root = f.makeQualified(new Path(table.stripSuffix("/"))).toString + "/"
         ((eLists -- rLists) ++ (eManifests -- rManifests) ++ (eData -- rData))
+          .filter(p => f.makeQualified(new Path(p)).toString.startsWith(root))
           .foreach(p => scala.util.Try(f.delete(new Path(p), false)))
         // staging leftovers from crashed writes age out under the same
         // 7-day cutoff the Delta vacuum applies to its own staging dirs

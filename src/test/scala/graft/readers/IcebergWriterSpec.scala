@@ -874,6 +874,42 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("not both"))
   }
 
+  test("cloneTable: zero-copy metadata fork; root-guarded retention; maintenance respects clone roots") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("iwclsrc").toString
+    val dst = Files.createTempDirectory("iwcldst").toString + "/t"
+    IcebergWriter.write(spark,
+      (0 until 100).map(i => (i.toLong, i % 2, s"n$i")).toDF("id", "p", "name"), src,
+      partitionBy = Seq("p"))
+    IcebergWriter.write(spark, Seq((100L, 0, "x")).toDF("id", "p", "name"), src)
+    val srcFiles = IcebergReader.read(spark, src).inputFiles.toSet
+    assert(IcebergWriter.cloneTable(spark, src, dst) == srcFiles.size)
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).toArray
+      .exists(_.toString.endsWith(".parquet")))
+    val back = IcebergReader.read(spark, dst)
+    assert(back.count() == 101L && back.inputFiles.toSet == srcFiles)
+    // pruning and snapshot history carry verbatim
+    assert(IcebergReader.read(spark, dst, filter = Some("p = 1")).count() == 50L)
+    assert(IcebergReader.metadataTable(spark, dst, "snapshots").count() == 2L)
+    // compact SKIPS zero-copy groups; zorder refuses naming the clone
+    assert(IcebergWriter.compact(spark, dst) == 0)
+    assert(intercept[Exception](IcebergWriter.zorder(spark, dst, Seq("id")))
+      .getMessage.contains("shallow clone"))
+    // a row-level rewrite stages under the CLONE's root; source untouched
+    assert(IcebergWriter.deleteWhere(spark, dst, "id < 10") == 10L)
+    assert(IcebergReader.read(spark, dst).count() == 91L)
+    assert(IcebergReader.read(spark, src).count() == 101L)
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).toArray
+      .exists(_.toString.endsWith(".parquet"))) // the rewritten survivors
+    // expire on the clone is ROOT-GUARDED: shared files it no longer
+    // references survive for the source
+    assert(IcebergWriter.expireSnapshots(spark, dst, keepLast = 1) >= 1)
+    assert(IcebergReader.read(spark, src).count() == 101L)
+    assert(IcebergReader.read(spark, dst).count() == 91L)
+    assert(intercept[Exception](IcebergWriter.cloneTable(spark, src, dst))
+      .getMessage.contains("already an iceberg table"))
+  }
+
   test("metadataTable: history/snapshots/refs/manifests/files/partitions inspection surface") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwmeta").toString
