@@ -1377,7 +1377,10 @@ class DeltaReaderImpl extends Reader {
   // an explicit `filter` option keeps the eager pruned read; otherwise
   // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    if (ref.options.contains("changeFeedSince"))
+    if (ref.options.get("history").exists(_.equalsIgnoreCase("true")))
+      // DESCRIBE HISTORY through the catalog route
+      DeltaReader.history(spark, ref.url)
+    else if (ref.options.contains("changeFeedSince"))
       // row-level change feed (cdc actions + add/remove derivation),
       // tagged _change_type/_commit_version/_commit_timestamp
       DeltaReader.readChangeFeed(spark, ref.url, ref.options("changeFeedSince").toLong,

@@ -2004,7 +2004,15 @@ class IcebergReaderImpl extends Reader {
   // an explicit `filter` option keeps the eager pruned read; otherwise
   // the deferred frame lets the QUERY's own filters drive file skipping
   def read(spark: SparkSession, ref: DataRef): DataFrame =
-    if (ref.options.contains("changeFeedSinceSnapshot"))
+    if (ref.options.contains("metadataTable"))
+      // inspection surface (tbl$history / $snapshots / $refs /
+      // $manifests / $files / $partitions) through the catalog route
+      IcebergReader.metadataTable(spark, ref.url, ref.options("metadataTable"))
+    else if (ref.options.contains("ref"))
+      // named tag/branch read (tag → snapshot schema, branch → current)
+      IcebergReader.read(spark, ref.url, ref = Some(ref.options("ref")),
+        filter = ref.options.get("filter"))
+    else if (ref.options.contains("changeFeedSinceSnapshot"))
       // row-level change feed: insert/delete-labelled rows per ancestry
       // step (the Delta changeFeedSince twin)
       IcebergReader.readChangeFeed(spark, ref.url,

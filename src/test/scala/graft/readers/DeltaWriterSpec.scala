@@ -538,6 +538,9 @@ class DeltaWriterSpec extends SparkSpec {
     val ts = DeltaReader.history(spark, t).orderBy("version")
       .select("timestamp").collect().map(_.getTimestamp(0).getTime)
     assert(ts.sorted.toSeq == ts.toSeq)
+    // the catalog route reaches it via the DataRef history option
+    assert(new DeltaReaderImpl().read(spark, graft.datatypes.DataRef("delta", t,
+      Map("history" -> "true"))).count() == 3L)
   }
 
   test("zorder: clustered rewrite makes multi-column skipping real; layout-only commit") {

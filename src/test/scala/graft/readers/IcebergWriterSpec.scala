@@ -954,6 +954,11 @@ class IcebergWriterSpec extends SparkSpec {
     assert(contents.count(_ == 0) >= 2 && contents.count(_ > 0) == 1)
     assert(intercept[Exception](IcebergReader.metadataTable(spark, t, "nope"))
       .getMessage.contains("unknown kind"))
+    // the catalog route reaches the same surfaces via DataRef options
+    assert(new IcebergReaderImpl().read(spark, graft.datatypes.DataRef("iceberg", t,
+      Map("metadataTable" -> "snapshots"))).count() == 3L) // +1 from the MoR delete
+    assert(new IcebergReaderImpl().read(spark, graft.datatypes.DataRef("iceberg", t,
+      Map("ref" -> "base"))).count() == 2L)
   }
 
   test("zorder: identity-partitioned tables cluster within each partition dir") {
