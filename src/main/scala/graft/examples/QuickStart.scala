@@ -292,6 +292,22 @@ object QuickStart {
       s"${dzPruned.inputFiles.length}/${graft.readers.DeltaReader.read(spark, dzt).inputFiles.length} " +
       s"files (${dzPruned.count()} rows)")
 
+    // 21. Lifecycle + inspection: tags pin history by name, shallow
+    // clones fork a table with zero data IO, and both formats answer
+    // "what happened" (DESCRIBE HISTORY / metadata tables)
+    graft.readers.IcebergWriter.tagSnapshot(spark, zt, "prod")
+    val tagged = graft.readers.IcebergReader.read(spark, zt, ref = Some("prod")).count()
+    val cloneDst = java.nio.file.Files.createTempDirectory("qs_clone").toString + "/t"
+    val cloned = graft.readers.IcebergWriter.cloneTable(spark, zt, cloneDst)
+    val dhist = graft.readers.DeltaReader.history(spark, dzt)
+      .selectExpr("concat_ws(':', version, operation)")
+      .collect().map(_.getString(0)).sorted.mkString(" ")
+    val ifiles = graft.readers.IcebergReader.metadataTable(spark, zt, "files")
+    println(s"[21] lifecycle: tag 'prod' reads $tagged rows; clone referenced $cloned " +
+      s"files with zero copies (${graft.readers.IcebergReader.read(spark, cloneDst).count()} rows); " +
+      s"delta history = [$dhist]; iceberg files table: " +
+      s"${ifiles.count()} files / ${ifiles.selectExpr("sum(record_count)").collect().head.getLong(0)} rows")
+
     spark.stop()
     println("QuickStart OK")
   }
