@@ -126,6 +126,17 @@ object DeltaWriter {
     val existingHead =
       if (exists && !overwriteSchema) Some(currentState(spark, table)) else None
     existingHead.foreach { head =>
+      // CHECK constraints gate every append/overwrite; a constrained
+      // column ABSENT from the frame stages as null, and SQL CHECK
+      // passes on null — model that by augmenting before the check
+      if (head.constraints.nonEmpty) {
+        import org.apache.spark.sql.functions.lit
+        val tblSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val dfForCheck = tblSchema.fields
+          .filterNot(fl => df.schema.fieldNames.exists(_.equalsIgnoreCase(fl.name)))
+          .foldLeft(df)((d, fl) => d.withColumn(fl.name, lit(null).cast(fl.dataType)))
+        enforceConstraints(dfForCheck, head.constraints, table, "write")
+      }
       // a column-mapped table's data files must carry PHYSICAL names
       // (with field ids): round 12 stages them by renaming the frame's
       // logical columns through the schema's mapping metadata. The
@@ -1721,6 +1732,10 @@ object DeltaWriter {
       // canonical table-case names so partition dirs and staged columns
       // never depend on a caller frame's spelling
       val canon = o.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+      // CHECK constraints gate rewritten rows (merge post-images,
+      // inserts); layout-only rewrites (dataChange=false) reshuffle
+      // rows that already passed and skip the extra scan
+      if (dataChange) enforceConstraints(canon, head.constraints, table, operation)
       val stageDf =
         if (!mapped) canon
         else canon.select(schema.fields.map { fl =>
@@ -1897,6 +1912,37 @@ object DeltaWriter {
           .flatMap(c => Option(c.get("delta.enableDeletionVectors")))
           .filterNot(_.isNull).map(_.asText())
       }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
+    /** CHECK constraints (`delta.constraints.<name>` → expr SQL). */
+    def constraints: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      Option(metaJson).flatMap(mj => scala.util.Try {
+        Option(mapper.readTree(mj).get("configuration")).map(_.properties().asScala
+          .filter(_.getKey.toLowerCase.startsWith("delta.constraints."))
+          .map(e => e.getKey.stripPrefix("delta.constraints.") -> e.getValue.asText())
+          .toMap)
+      }.toOption.flatten).getOrElse(Map.empty)
+    }
+  }
+
+  /** Enforce every CHECK constraint on rows about to stage — ONE
+    * aggregate pass evaluating all of them (an appended 100 TB frame
+    * must not pay one scan per constraint). SQL CHECK semantics: a row
+    * violates only when the expression is FALSE (NULL passes). */
+  private def enforceConstraints(df: DataFrame, constraints: Map[String, String],
+      table: String, op: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, max, when, lit}
+    val ordered = constraints.toSeq.sortBy(_._1)
+    val flags = ordered.map { case (n, e) =>
+      max(when(expr(s"($e)") <=> lit(false), 1).otherwise(0)).as(s"__c_$n")
+    }
+    val row = df.agg(flags.head, flags.tail: _*).collect()(0)
+    val violated = ordered.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 => s"$n CHECK ($e)"
+    }
+    require(violated.isEmpty,
+      s"delta $op: row(s) violate CHECK constraint${if (violated.size == 1) "" else "s"} " +
+        s"${violated.mkString("; ")} at $table")
   }
 
   /** Gate for every read-and-rewrite operation (compact/delete/merge):
@@ -2072,6 +2118,127 @@ object DeltaWriter {
     * `force = true` exactly like the connector's safety check).
     * Leftover staging directories age out the same way. Returns the
     * deleted paths; `dryRun` only lists them. */
+  /** The table's effective protocol action (replay rule: the last one
+    * wins), from the checkpoint + commit jsons. */
+  private def lastProtocolLine(spark: SparkSession, f: FileSystem, logDir: Path): String = {
+    val (_, cpLines) = checkpointLines(spark, f, logDir)
+    val commitTexts = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val t = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        t.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }
+    (cpLines ++ commitTexts)
+      .filter(l => scala.util.Try(mapper.readTree(l).hasNonNull("protocol")).getOrElse(false))
+      .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+  }
+
+  /** ADD CONSTRAINT (delta-spark `ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (expr)`): validates EXISTING rows in one distributed scan
+    * (a violated constraint cannot be declared), then publishes a
+    * metadata-only commit adding `delta.constraints.<name>` and — when
+    * the current protocol is below it — the writer version 3 the
+    * protocol requires for CHECK constraints (feature-listed tables
+    * append the checkConstraints writer feature instead). Every later
+    * append/merge/update through this writer enforces the constraint
+    * in ONE aggregate pass over the staged rows; SQL CHECK semantics
+    * (NULL passes). */
+  def addConstraint(spark: SparkSession, table: String, name: String, exprSql: String,
+      maxRetries: Int = 10): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
+      s"delta addConstraint: invalid constraint name '$name'")
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      require(!head.constraints.keys.exists(_.equalsIgnoreCase(name)),
+        s"delta addConstraint: constraint '$name' already exists at $table")
+      // existing rows must satisfy — a DV-masked scan so already-deleted
+      // rows cannot veto
+      if (head.liveFiles.nonEmpty)
+        enforceConstraints(
+          scanLiveVisible(spark, f, table, head, head.liveFiles),
+          Map(name -> exprSql), table, "addConstraint")
+      else // empty table: still analyze the expression against the schema
+        enforceConstraints(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            DataType.fromJson(head.schemaJson).asInstanceOf[StructType]),
+          Map(name -> exprSql), table, "addConstraint")
+      val version = DeltaReader.currentVersion(spark, table) + 1L
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mdNode.withObject("/configuration").put(s"delta.constraints.$name", exprSql)
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+        s""""operation":"ADD CONSTRAINT"}}"""
+      // protocol: CHECK constraints need writer version 3; feature-
+      // listed tables (writer 7) add the checkConstraints feature
+      val proto = mapper.readTree(lastProtocolLine(spark, f, logDir)).get("protocol")
+      val wv = Option(proto.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
+      if (proto.hasNonNull("writerFeatures")) {
+        import scala.jdk.CollectionConverters._
+        val feats = proto.get("writerFeatures").elements().asScala.map(_.asText()).toSeq
+        if (!feats.contains("checkConstraints")) {
+          val p = proto.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          val arr = p.putArray("writerFeatures")
+          (feats :+ "checkConstraints").foreach(arr.add)
+          actions += s"""{"protocol":${p.toString}}"""
+        }
+      } else if (wv < 3)
+        actions += s"""{"protocol":{"minReaderVersion":${
+          Option(proto.get("minReaderVersion")).map(_.asInt()).getOrElse(1)},"minWriterVersion":3}}"""
+      actions += s"""{"metaData":${mdNode.toString}}"""
+      val ok = scala.util.Try {
+        val out = f.create(new Path(logDir, f"$version%020d.json"), false)
+        try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta addConstraint: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
+  /** DROP CONSTRAINT: metadata-only removal of the configuration key
+    * (no protocol downgrade — the spec has none). */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      val key = head.constraints.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"delta dropConstraint: no constraint '$name' at $table " +
+            s"(have: ${head.constraints.keys.toSeq.sorted.mkString(", ")})"))
+      val version = DeltaReader.currentVersion(spark, table) + 1L
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mdNode.withObject("/configuration").remove(s"delta.constraints.$key")
+      val actions = Seq(
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DROP CONSTRAINT"}}""",
+        s"""{"metaData":${mdNode.toString}}""")
+      val ok = scala.util.Try {
+        val out = f.create(new Path(logDir, f"$version%020d.json"), false)
+        try out.write((actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta dropConstraint: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
   /** SHALLOW CLONE (delta-spark `CREATE TABLE dst SHALLOW CLONE src`):
     * a ZERO-COPY table — one commit whose adds reference the source's
     * live files by ABSOLUTE path (the protocol's absolute-path form,
@@ -2100,18 +2267,7 @@ object DeltaWriter {
         "table-relative and cannot be referenced across roots; run " +
         "DeltaWriter.compact (OPTIMIZE purges vectors) first")
     // the last protocol action wins (same replay rule as metaData)
-    val (_, cpLines) = checkpointLines(spark, srcF, srcLog)
-    val commitTexts = srcF.listStatus(srcLog).toSeq
-      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
-      .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val in = srcF.open(st.getPath)
-        val t = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-        t.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      }
-    val protocol = (cpLines ++ commitTexts)
-      .filter(l => scala.util.Try(mapper.readTree(l).hasNonNull("protocol")).getOrElse(false))
-      .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val protocol = lastProtocolLine(spark, srcF, srcLog)
     // the clone is a NEW table: fresh id, same schema/partitioning/conf
     val mdNode = mapper.readTree(head.metaJson)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]

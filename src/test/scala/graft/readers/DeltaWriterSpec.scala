@@ -442,6 +442,56 @@ class DeltaWriterSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CHECK constraints: declared only over satisfying rows; enforced on appends and merge post-images; NULL passes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwcons").toString
+    DeltaWriter.write(spark, (1 to 5).map(i => (i.toLong, i)).toDF("id", "qty"), t)
+    DeltaWriter.addConstraint(spark, t, "qty_pos", "qty > 0")
+    // the declaring commit bumps the protocol to writer version 3
+    val logs = () => java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+      .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    assert(logs().last.contains("\"minWriterVersion\":3"))
+    assert(intercept[Exception](DeltaWriter.addConstraint(spark, t, "qty_pos", "qty > 1"))
+      .getMessage.contains("already exists"))
+    // a constraint the existing rows violate cannot be declared
+    assert(intercept[Exception](DeltaWriter.addConstraint(spark, t, "small", "qty < 3"))
+      .getMessage.contains("small CHECK"))
+    // appends enforce; the violating batch names the constraint and commits nothing
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((9L, -1)).toDF("id", "qty"), t))
+    assert(e.getMessage.contains("qty_pos CHECK (qty > 0)"))
+    assert(DeltaReader.read(spark, t).count() == 5L)
+    // SQL CHECK: NULL passes — both an explicit null and an absent column
+    DeltaWriter.write(spark, Seq((6L, Option.empty[Int])).toDF("id", "qty"), t)
+    DeltaWriter.write(spark, Seq(Tuple1(7L)).toDF("id"), t, mergeSchema = true)
+    assert(DeltaReader.read(spark, t).count() == 7L)
+    // merge post-images enforce through the rewrite path
+    val e2 = intercept[Exception](DeltaWriter.mergeClauses(spark,
+      Seq((1L, -5)).toDF("id", "nv"), t, on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("qty" -> "s.nv")))))
+    assert(e2.getMessage.contains("qty_pos CHECK"))
+    DeltaWriter.mergeClauses(spark, Seq((1L, 50)).toDF("id", "nv"), t, on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("qty" -> "s.nv"))))
+    assert(DeltaReader.read(spark, t).where("id = 1").select("qty")
+      .as[Int].collect().toSeq == Seq(50))
+    // drop releases the gate; unknown drop refuses
+    DeltaWriter.dropConstraint(spark, t, "qty_pos")
+    DeltaWriter.write(spark, Seq((9L, -1)).toDF("id", "qty"), t)
+    assert(DeltaReader.read(spark, t).count() == 8L)
+    assert(intercept[Exception](DeltaWriter.dropConstraint(spark, t, "nope"))
+      .getMessage.contains("no constraint"))
+    // feature-listed tables (DV, writer 7) append the checkConstraints feature
+    val tdv = Files.createTempDirectory("dwconsdv").toString
+    DeltaWriter.write(spark, Seq((1L, 2)).toDF("id", "qty"), tdv,
+      tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWriter.addConstraint(spark, tdv, "pos", "qty > 0")
+    val lastDv = java.nio.file.Files.list(java.nio.file.Paths.get(tdv, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted.last
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(lastDv))
+      .contains("checkConstraints"))
+  }
+
   test("cloneTable: zero-copy shallow clone; clones prune, evolve independently, and vacuum safely") {
     import spark.implicits._
     val src = Files.createTempDirectory("dwclsrc").toString
