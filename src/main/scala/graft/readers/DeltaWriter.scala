@@ -53,12 +53,16 @@ object DeltaWriter {
 
   /** Write `df` into the Delta table at `table`.
     * mode: "append" | "overwrite" | "errorifexists" (create-only). */
-  def write(spark: SparkSession, df: DataFrame, table: String,
+  def write(spark: SparkSession, dfIn: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None, maxRetries: Int = 10,
       replaceWhere: Option[String] = None, mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
-      tableConf: Map[String, String] = Map.empty): Unit = {
+      tableConf: Map[String, String] = Map.empty,
+      // CREATE-only declarations (delta-spark's DDL surface): NOT NULL
+      // columns and generated columns (delta.generationExpression)
+      notNull: Seq[String] = Nil,
+      generatedColumns: Map[String, String] = Map.empty): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"delta writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
@@ -123,20 +127,73 @@ object DeltaWriter {
     // table-only columns may be absent from the frame (the new files
     // simply lack them — a by-name parquet read nulls them out, the
     // same way old files null out the added columns)
+    require(notNull.isEmpty || !exists,
+      s"delta writer: notNull applies at CREATE only — $table already exists " +
+        "(NOT NULL on an existing table needs a metadata commit; alter it with " +
+        "the delta-spark connector)")
+    require(generatedColumns.isEmpty || !exists,
+      s"delta writer: generatedColumns applies at CREATE only — $table already exists")
+    require(notNull.forall(n => dfIn.schema.fieldNames.exists(_.equalsIgnoreCase(n))),
+      s"delta writer: notNull column(s) ${notNull.filterNot(n =>
+        dfIn.schema.fieldNames.exists(_.equalsIgnoreCase(n))).mkString(",")} " +
+        "not in the frame")
     val existingHead =
       if (exists && !overwriteSchema) Some(currentState(spark, table)) else None
-    existingHead.foreach { head =>
-      // CHECK constraints gate every append/overwrite; a constrained
-      // column ABSENT from the frame stages as null, and SQL CHECK
-      // passes on null — model that by augmenting before the check
-      if (head.constraints.nonEmpty) {
-        import org.apache.spark.sql.functions.lit
-        val tblSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-        val dfForCheck = tblSchema.fields
-          .filterNot(fl => df.schema.fieldNames.exists(_.equalsIgnoreCase(fl.name)))
-          .foldLeft(df)((d, fl) => d.withColumn(fl.name, lit(null).cast(fl.dataType)))
-        enforceConstraints(dfForCheck, head.constraints, table, "write")
+
+    // Generated columns (delta.generationExpression — the table's
+    // declaration, or the create-time param): an ABSENT generated
+    // column is COMPUTED here, so the staged files carry real values
+    // and the reader's generated-partition pruning has something to
+    // prune on; a PRESENT one must EQUAL its expression (the
+    // protocol's writer requirement) — that rides the row gates below.
+    val genExprs: Seq[(String, String)] = existingHead match {
+      case Some(h) => generationExprs(h)
+      case None => generatedColumns.toSeq.sortBy(_._1)
+    }
+    val df: DataFrame = {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val tblSchemaOpt = existingHead.map(h =>
+        DataType.fromJson(h.schemaJson).asInstanceOf[StructType])
+      val genTypeOf: String => Option[DataType] = n =>
+        tblSchemaOpt.flatMap(_.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType))
+      val (absentGen, presentGen) = genExprs.partition { case (n, _) =>
+        !dfIn.schema.fieldNames.exists(_.equalsIgnoreCase(n)) }
+      val computed = absentGen.foldLeft(dfIn) { case (d, (n, e)) =>
+        d.withColumn(n, genTypeOf(n).map(expr(e).cast(_)).getOrElse(expr(e))) }
+      // computed columns appended at the END; the existing-table schema
+      // gate below is positional, so reorder to the table's order
+      // (frame-only mergeSchema columns keep their relative order)
+      val ordered = tblSchemaOpt match {
+        case Some(ts) if absentGen.nonEmpty =>
+          val tableCols = ts.fieldNames.toSeq.filter(n =>
+            computed.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+          val extras = computed.schema.fieldNames.toSeq.filterNot(n =>
+            ts.fieldNames.exists(_.equalsIgnoreCase(n)))
+          computed.select((tableCols ++ extras).map(col): _*)
+        case _ => computed
       }
+      // row gates: the table's CHECK constraints + invariants + NOT
+      // NULL fields, plus present-generated-column equality and the
+      // create-time notNull declaration — evaluated IN the staging
+      // scan (zero extra passes). A gate may reference a table column
+      // ABSENT from the frame (it stages as null): augment with null
+      // literals for evaluation, then select the real columns back.
+      val genGates = presentGen.map { case (n, e) =>
+        s"$n GENERATED AS ($e)" -> s"`$n` <=> ($e)" }
+      val createGates = notNull.map(n =>
+        s"$n NOT NULL" -> s"`$n` IS NOT NULL")
+      val gates = existingHead.map(rowGates).getOrElse(Nil) ++ genGates ++ createGates
+      if (gates.isEmpty) ordered
+      else {
+        val absentTbl = tblSchemaOpt.map(_.fields.toSeq).getOrElse(Nil)
+          .filterNot(fl => ordered.schema.fieldNames.exists(_.equalsIgnoreCase(fl.name)))
+        val aug = absentTbl.foldLeft(ordered)((d, fl) =>
+          d.withColumn(fl.name, lit(null).cast(fl.dataType)))
+        withRowGates(aug, gates, table, "write")
+          .select(ordered.schema.fieldNames.map(col): _*)
+      }
+    }
+    existingHead.foreach { head =>
       // a column-mapped table's data files must carry PHYSICAL names
       // (with field ids): round 12 stages them by renaming the frame's
       // logical columns through the schema's mapping metadata. The
@@ -210,7 +267,7 @@ object DeltaWriter {
       require(refs.nonEmpty && refs.subsetOf(partCols.map(_.toLowerCase).toSet),
         s"delta writer: replaceWhere '$rw' must reference partition columns only " +
           s"([${partCols.mkString(",")}]); data-column predicates need the connector's row rewrite")
-      val violating = df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count()
+      val violating = rethrowGate(df.where(s"NOT ($rw) OR ($rw) IS NULL").limit(1).count())
       require(violating == 0,
         s"delta writer: incoming rows violate replaceWhere '$rw' — they would land " +
           "outside the partitions being replaced")
@@ -278,8 +335,10 @@ object DeltaWriter {
     }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val writer = stageDf.write.mode("overwrite")
-    (if (stagePartCols.nonEmpty) writer.partitionBy(stagePartCols: _*) else writer)
-      .parquet(staging.toString)
+    rethrowGate {
+      (if (stagePartCols.nonEmpty) writer.partitionBy(stagePartCols: _*) else writer)
+        .parquet(staging.toString)
+    }
     try {
       // 2. move staged parquet files into the table, keeping their
       // partition-relative paths (names carry task UUIDs — no clashes)
@@ -356,17 +415,32 @@ object DeltaWriter {
             .mkString("{", ",", "}")
           actions +=
             (if (dvOn0) {
-              val wf = Seq("deletionVectors") ++ (if (cdfOn0) Seq("changeDataFeed") else Nil)
+              val wf = Seq("deletionVectors") ++ (if (cdfOn0) Seq("changeDataFeed") else Nil) ++
+                (if (genExprs.nonEmpty) Seq("generatedColumns") else Nil)
               s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
                 s""""readerFeatures":["deletionVectors"],""" +
                 s""""writerFeatures":[${wf.map(js).mkString(",")}]}}"""
             } else {
-              val wv = if (cdfOn0) 4 else 2
+              // generated columns need writer v4 (same tier as CDF)
+              val wv = if (cdfOn0 || genExprs.nonEmpty) 4 else 2
               s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
             })
+          // the recorded schema is NULLABLE except declared NOT NULL
+          // columns (delta-spark's ImplicitMetadataOperation stance: a
+          // frame's incidental nullable=false — every toDF primitive —
+          // must not become an accidental constraint every later append
+          // pays to re-prove); generated columns carry their expression
+          // as the protocol's delta.generationExpression metadata
+          val createSchema = StructType(df.schema.fields.map { fl =>
+            val mb = new MetadataBuilder().withMetadata(fl.metadata)
+            genExprs.find(_._1.equalsIgnoreCase(fl.name)).foreach { case (_, e) =>
+              mb.putString("delta.generationExpression", e) }
+            fl.copy(nullable = !notNull.exists(_.equalsIgnoreCase(fl.name)),
+              metadata = mb.build())
+          })
           actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
             s""""format":{"provider":"parquet","options":{}},""" +
-            s""""schemaString":${js(df.schema.json)},""" +
+            s""""schemaString":${js(createSchema.json)},""" +
             s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
             s""""configuration":$confJson,"createdTime":${System.currentTimeMillis()}}}"""
         } else if (overwriteSchema) {
@@ -384,7 +458,18 @@ object DeltaWriter {
             s"delta writer: overwriteSchema on a column-mapped table (mode $mappingMode) — " +
               "the replacement schema would lack the mapping metadata the mode requires; " +
               "rewrite it with the delta-spark connector")
-          mdNode.put("schemaString", df.schema.json)
+          // CHECK constraints live in configuration, not the schema —
+          // they would silently survive the replacement and reference
+          // columns it may have dropped
+          val consNow = headNow.constraints
+          require(consNow.isEmpty,
+            s"delta writer: overwriteSchema with CHECK constraint(s) " +
+              s"${consNow.keys.toSeq.sorted.mkString(",")} declared — dropConstraint first " +
+              "(they would survive referencing columns the new schema may drop)")
+          // nullable like CREATE: the frame's incidental nullability
+          // must not become a constraint
+          mdNode.put("schemaString", StructType(
+            df.schema.fields.map(_.copy(nullable = true))).json)
           val pcArr = mdNode.putArray("partitionColumns")
           partCols.foreach(pcArr.add)
           actions += s"""{"metaData":${mdNode.toString}}"""
@@ -1731,11 +1816,22 @@ object DeltaWriter {
     output.foreach { o =>
       // canonical table-case names so partition dirs and staged columns
       // never depend on a caller frame's spelling
-      val canon = o.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
-      // CHECK constraints gate rewritten rows (merge post-images,
-      // inserts); layout-only rewrites (dataChange=false) reshuffle
-      // rows that already passed and skip the extra scan
-      if (dataChange) enforceConstraints(canon, head.constraints, table, operation)
+      val canon0 = o.select(schema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+      // generated columns RECOMPUTE over the final rows (an update that
+      // touched a source column silently keeps the declaration true —
+      // the protocol requires value == expression, so overwriting is
+      // always correct), then CHECK constraints + invariants + NOT NULL
+      // gate the rewritten rows IN this staging scan (zero extra
+      // passes). Layout-only rewrites (dataChange=false) reshuffle rows
+      // that already passed and skip both.
+      val canon = if (!dataChange) canon0 else {
+        import org.apache.spark.sql.functions.expr
+        val regen = generationExprs(head).foldLeft(canon0) { case (d, (n, e)) =>
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+          d.withColumn(n, dt.map(expr(e).cast(_)).getOrElse(expr(e)))
+        }
+        withRowGates(regen, rowGates(head), table, operation)
+      }
       val stageDf =
         if (!mapped) canon
         else canon.select(schema.fields.map { fl =>
@@ -1745,7 +1841,9 @@ object DeltaWriter {
           canon(fl.name).as(physOf(fl.name), mb.build())
         }.toSeq: _*)
       val w = stageDf.write.mode("overwrite")
-      (if (stageParts.nonEmpty) w.partitionBy(stageParts: _*) else w).parquet(staging.toString)
+      rethrowGate {
+        (if (stageParts.nonEmpty) w.partitionBy(stageParts: _*) else w).parquet(staging.toString)
+      }
     }
     try {
       val staged = if (output.isDefined) listParquet(f, staging) else Nil
@@ -1924,10 +2022,10 @@ object DeltaWriter {
     }
   }
 
-  /** Enforce every CHECK constraint on rows about to stage — ONE
-    * aggregate pass evaluating all of them (an appended 100 TB frame
-    * must not pay one scan per constraint). SQL CHECK semantics: a row
-    * violates only when the expression is FALSE (NULL passes). */
+  /** Validate CHECK constraints over EXISTING rows (addConstraint's
+    * declaration gate) — ONE aggregate pass evaluating all of them,
+    * naming every violated constraint at once. SQL CHECK semantics: a
+    * row violates only when the expression is FALSE (NULL passes). */
   private def enforceConstraints(df: DataFrame, constraints: Map[String, String],
       table: String, op: String): Unit = {
     if (constraints.isEmpty) return
@@ -1944,6 +2042,72 @@ object DeltaWriter {
       s"delta $op: row(s) violate CHECK constraint${if (violated.size == 1) "" else "s"} " +
         s"${violated.mkString("; ")} at $table")
   }
+
+  private val GateTag = "delta write gate:"
+
+  /** The table's declared row gates for a write — CHECK constraints
+    * (`delta.constraints.*`), column invariants (schema metadata
+    * `delta.invariants`, writer v2) and NOT NULL fields — as (label,
+    * SQL) pairs under SQL CHECK semantics (only FALSE violates; a
+    * NOT NULL gate's `IS NOT NULL` is false exactly on null). */
+  private[readers] def rowGates(head: HeadState): Seq[(String, String)] = {
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val checks = head.constraints.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n CHECK ($e)" -> e }
+    val invariants = schema.fields.toSeq.flatMap { fl =>
+      if (!fl.metadata.contains("delta.invariants")) Nil
+      else scala.util.Try {
+        val node = mapper.readTree(fl.metadata.getString("delta.invariants"))
+          .at("/expression/expression")
+        if (node.isMissingNode || node.asText().isEmpty) Nil
+        else Seq(s"${fl.name} INVARIANT (${node.asText()})" -> node.asText())
+      }.getOrElse(Nil)
+    }
+    val notNulls = schema.fields.toSeq.filterNot(_.nullable)
+      .map(fl => s"${fl.name} NOT NULL" -> s"`${fl.name}` IS NOT NULL")
+    checks ++ invariants ++ notNulls
+  }
+
+  /** Generated columns (`delta.generationExpression` schema metadata):
+    * (column, generation SQL) in table order. */
+  private[readers] def generationExprs(head: HeadState): Seq[(String, String)] = {
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    schema.fields.toSeq.filter(_.metadata.contains("delta.generationExpression"))
+      .map(fl => fl.name -> fl.metadata.getString("delta.generationExpression"))
+  }
+
+  /** Apply row gates IN the staging pass itself — the write that is
+    * already scanning every row evaluates them, so a gated append costs
+    * ZERO extra scans (an appended 100 TB frame must not pay a second
+    * read just to validate; delta-spark's InvariantCheck does the
+    * same). A violating row raises from inside the job; `rethrowGate`
+    * unwraps the task failure to a clean named error. */
+  private def withRowGates(df: DataFrame, gates: Seq[(String, String)],
+      table: String, op: String): DataFrame = {
+    if (gates.isEmpty) return df
+    import org.apache.spark.sql.functions.{expr, lit, when, raise_error}
+    val ok = gates.map { case (label, e) =>
+      when(expr(s"($e)") <=> lit(false),
+        raise_error(lit(s"$GateTag row(s) violate $label at $table ($op)")))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    df.where(ok)
+  }
+
+  /** Unwrap a gate violation raised inside a staging job to the named
+    * error (the job failure buries it in the cause chain). */
+  private def rethrowGate[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        val msg = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(20)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains(GateTag))
+        msg match {
+          case Some(m) => throw new IllegalArgumentException(m.substring(m.indexOf(GateTag)))
+          case None => throw e
+        }
+    }
 
   /** Gate for every read-and-rewrite operation (compact/delete/merge):
     * a column-mapped table's data files carry PHYSICAL names this

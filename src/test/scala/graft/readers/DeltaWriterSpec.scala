@@ -492,6 +492,83 @@ class DeltaWriterSpec extends SparkSpec {
       .contains("checkConstraints"))
   }
 
+  test("NOT NULL + invariants + generated columns: declared at create, computed and enforced in the staging pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Files.createTempDirectory("dwgen").toString
+    val src = Seq((1L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (2L, Timestamp.valueOf("2024-02-03 11:00:00"))).toDF("id", "ts")
+    // the generated partition column is ABSENT from the frame: computed
+    DeltaWriter.write(spark, src, t, partitionBy = Seq("day"),
+      notNull = Seq("id"), generatedColumns = Map("day" -> "CAST(ts AS DATE)"))
+    val r = DeltaReader.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "ts", "day"))
+    assert(r.where("day = DATE'2024-01-02'").select("id").as[Long].collect().toSeq == Seq(1L))
+    // the declaration landed as protocol metadata: writer v4 +
+    // delta.generationExpression + NOT NULL recorded, everything else
+    // nullable (a frame's incidental nullable=false must not become a
+    // constraint)
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_delta_log", "0" * 19 + "0.json"))
+    assert(v0.contains("\"minWriterVersion\":4"))
+    assert(v0.contains("delta.generationExpression"))
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(v0.linesIterator.find(_.contains("metaData")).get)
+        .at("/metaData/schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!sch("id").nullable && sch("ts").nullable && sch("day").nullable)
+    // NOT NULL enforced on appends (gate runs inside the staging scan)
+    val e = intercept[Exception](DeltaWriter.write(spark,
+      Seq((Option.empty[Long], Timestamp.valueOf("2024-03-04 09:00:00"))).toDF("id", "ts"), t))
+    assert(e.getMessage.contains("id NOT NULL"))
+    assert(DeltaReader.read(spark, t).count() == 2L)
+    // appends compute the absent generated column (and partition by it)
+    DeltaWriter.write(spark,
+      Seq((3L, Timestamp.valueOf("2024-03-04 09:00:00"))).toDF("id", "ts"), t)
+    assert(DeltaReader.read(spark, t).where("id = 3").select("day")
+      .as[java.sql.Date].collect().toSeq == Seq(java.sql.Date.valueOf("2024-03-04")))
+    // a PRESENT generated column must equal its expression
+    val e2 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((4L, Timestamp.valueOf("2024-03-04 09:00:00"), java.sql.Date.valueOf("1999-01-01")))
+        .toDF("id", "ts", "day"), t))
+    assert(e2.getMessage.contains("day GENERATED AS"))
+    // ...and a consistent one passes
+    DeltaWriter.write(spark,
+      Seq((4L, Timestamp.valueOf("2024-03-05 09:00:00"), java.sql.Date.valueOf("2024-03-05")))
+        .toDF("id", "ts", "day"), t)
+    assert(DeltaReader.read(spark, t).count() == 4L)
+    // rewrites recompute generated columns and re-gate NOT NULL: a
+    // merge update moving ts also moves day without being asked to
+    DeltaWriter.mergeClauses(spark,
+      Seq((3L, Timestamp.valueOf("2024-07-08 12:00:00"))).toDF("id", "nts"), t,
+      on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("ts" -> "s.nts"))))
+    assert(DeltaReader.read(spark, t).where("id = 3").select("day")
+      .as[java.sql.Date].collect().toSeq == Seq(java.sql.Date.valueOf("2024-07-08")))
+    // declared NOT NULL column absent from a mergeSchema append: the
+    // files would stage null — refuse
+    val e3 = intercept[Exception](DeltaWriter.write(spark,
+      Seq(Tuple1(Timestamp.valueOf("2024-05-06 08:00:00"))).toDF("ts"), t, mergeSchema = true))
+    assert(e3.getMessage.contains("id NOT NULL"))
+    // column invariants (delta.invariants metadata, writer v2) enforce
+    // the same way — declared here via frame field metadata at create
+    val t2 = Files.createTempDirectory("dwinv").toString
+    val inv = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.invariants", """{"expression":{"expression":"qty < 100"}}""").build()
+    val invSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.IntegerType, nullable = true, inv)))
+    val dfI = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](org.apache.spark.sql.Row(5)), invSchema)
+    DeltaWriter.write(spark, dfI, t2)
+    val e4 = intercept[Exception](DeltaWriter.write(spark,
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(500)), invSchema), t2))
+    assert(e4.getMessage.contains("qty INVARIANT (qty < 100)"))
+    assert(DeltaReader.read(spark, t2).count() == 1L)
+  }
+
   test("cloneTable: zero-copy shallow clone; clones prune, evolve independently, and vacuum safely") {
     import spark.implicits._
     val src = Files.createTempDirectory("dwclsrc").toString
