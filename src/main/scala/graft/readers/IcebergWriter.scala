@@ -243,11 +243,26 @@ object IcebergWriter {
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil,
       mergeSchema: Boolean = false,
-      replaceWhere: Option[String] = None): Unit = {
+      replaceWhere: Option[String] = None,
+      // write-to-branch (iceberg's toBranch): the commit advances the
+      // named branch ref instead of main — current-snapshot-id and the
+      // snapshot-log stay untouched, so main readers and streams never
+      // see the branch's rows until fastForward publishes them
+      toBranch: Option[String] = None): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
       "iceberg writer: replaceWhere requires mode = overwrite")
+    toBranch.foreach { b =>
+      require(mode != "errorifexists",
+        "iceberg writer: toBranch needs an existing table (mode errorifexists contradicts it)")
+      require(replaceWhere.isEmpty,
+        "iceberg writer: replaceWhere cannot target a branch — its merged manifest would " +
+          "tombstone against MAIN's live set, not the branch's")
+      require(!mergeSchema,
+        "iceberg writer: mergeSchema on a branch write would publish a schema evolution " +
+          "main never sees consistently; evolve on main first, then write to the branch")
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val metaDir = new Path(table.stripSuffix("/") + "/metadata")
@@ -255,6 +270,9 @@ object IcebergWriter {
       scala.util.Try(IcebergReader.currentMetadataPath(table, conf)).isSuccess
     require(!(exists && mode == "errorifexists"),
       s"iceberg writer: table already exists at $table (mode errorifexists)")
+    require(toBranch.isEmpty || exists,
+      s"iceberg writer: toBranch '${toBranch.getOrElse("")}' needs an existing table " +
+        s"(no iceberg table at $table)")
     df.schema.fields.foreach(fl => validateType(fl.dataType, fl.name)) // gate up front
 
     val prior = if (exists) Some(mapper.readTree(IcebergReader.metadataText(table, conf))) else None
@@ -544,12 +562,34 @@ object IcebergWriter {
               "evolution landed) — the staged files' field ids would bind to the wrong " +
               "columns; re-run the write against the new schema")
         }
+        // branch writes: the REF's head is parent and retained-manifest
+        // base — re-resolved per attempt, so a rival branch write just
+        // retries against the advanced head. A branch write on an
+        // evolved-schema frame refused above (schemaChanged gate below).
+        val branchHead: Option[Long] = toBranch.map { b =>
+          val m = head.get
+          val r = Option(m.get("refs")).flatMap(rs => Option(rs.get(b))).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg writer: no branch '$b' at $table — createBranch first" +
+                Option(m.get("refs")).map(rs => {
+                  import scala.jdk.CollectionConverters._
+                  s" (have: ${rs.properties().asScala.map(_.getKey).toSeq.sorted.mkString(", ")})"
+                }).getOrElse("")))
+          require(Option(r.get("type")).forall(_.asText() == "branch"),
+            s"iceberg writer: ref '$b' at $table is a tag — tags are immutable; " +
+              "branch from it with createBranch")
+          r.get("snapshot-id").asLong()
+        }
+        if (toBranch.isDefined) require(!schemaChanged,
+          "iceberg writer: a branch write cannot evolve the schema (the evolution would " +
+            "publish to main's schema history from a branch commit); evolve on main first")
         val lastSeq = head.flatMap(m => Option(m.get("last-sequence-number")).map(_.asLong()))
           .getOrElse(0L)
         val seq = lastSeq + 1
         val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-        val parentId = head.flatMap(m => Option(m.get("current-snapshot-id"))
+        val mainHeadId = head.flatMap(m => Option(m.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L))
+        val parentId = if (toBranch.isDefined) branchHead else mainHeadId
         val movedRows = moved.map { case (p, sz, fs, tuple) =>
           ManifestEntry(p, sz, fs.records,
             partFields.map(pf => typedPartitionValue(tuple(pf.name), pf.dataType)),
@@ -577,7 +617,10 @@ object IcebergWriter {
           if (mode != "append") Nil
           else head.toSeq.flatMap { m =>
             import scala.jdk.CollectionConverters._
-            val curId = Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+            // an append's base is the lineage being advanced: the
+            // branch ref's head for branch writes, main otherwise
+            val curId = if (toBranch.isDefined) branchHead
+              else Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
             val snaps = Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala)
             curId.flatMap(id => snaps.find(_.get("snapshot-id").asLong() == id)).toSeq
               .flatMap { snap =>
@@ -623,9 +666,28 @@ object IcebergWriter {
           Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala).map(_.toString))
         // refs (tags/branches) ride through appends verbatim — this
         // template regenerates the metadata, so an unthreaded field
-        // would be silently DROPPED by the first write after tagging
-        val refsLine: String = head.flatMap(m => Option(m.get("refs")).filterNot(_.isNull))
-          .map(r => s""""refs": ${r.toString},\n             |  """.stripMargin).getOrElse("")
+        // would be silently DROPPED by the first write after tagging.
+        // A branch write ADVANCES its ref to the new snapshot here.
+        val refsJson: Option[String] = {
+          val base = head.flatMap(m => Option(m.get("refs")).filterNot(_.isNull))
+            .map(_.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+          toBranch match {
+            case Some(b) =>
+              val node = base.getOrElse(mapper.createObjectNode())
+              val e = node.putObject(b)
+              e.put("snapshot-id", snapshotId)
+              e.put("type", "branch")
+              Some(node.toString)
+            case None => base.map(_.toString)
+          }
+        }
+        val refsLine: String = refsJson
+          .map(r => s""""refs": $r,\n             |  """.stripMargin).getOrElse("")
+        // a branch commit leaves main untouched: current-snapshot-id
+        // keeps pointing at main's head and the snapshot-log (main's
+        // lineage record) gains nothing
+        val curAfter: Long =
+          if (toBranch.isDefined) mainHeadId.getOrElse(-1L) else snapshotId
         val txnProps = txn.map { case (appId, v) =>
           s""", "graft.txn.app-id": ${js(appId)}, "graft.txn.version": ${js(v.toString)}"""
         }.getOrElse("")
@@ -662,9 +724,11 @@ object IcebergWriter {
              |  "default-sort-order-id": 0,
              |  "sort-orders": [{"order-id": 0, "fields": []}],
              |  "properties": {"graft.writer": "true"},
-             |  $refsLine"current-snapshot-id": $snapshotId,
+             |  $refsLine"current-snapshot-id": $curAfter,
              |  "snapshots": [${(priorSnaps :+ newSnap).mkString(",\n    ")}],
-             |  "snapshot-log": [${(priorLog :+ s"""{"snapshot-id": $snapshotId, "timestamp-ms": $now}""").mkString(",\n    ")}]
+             |  "snapshot-log": [${(if (toBranch.isDefined) priorLog
+                  else priorLog :+ s"""{"snapshot-id": $snapshotId, "timestamp-ms": $now}""")
+                    .mkString(",\n    ")}]
              |}""".stripMargin
         val metaPath = new Path(metaDir, s"v$version.metadata.json")
         f.mkdirs(metaDir)
@@ -2312,6 +2376,77 @@ object IcebergWriter {
       entry.put("snapshot-id", id)
       entry.put("type", "tag")
     }
+  }
+
+  /** CREATE BRANCH (iceberg `ALTER TABLE ... CREATE BRANCH name`): a
+    * MUTABLE named ref pinned at a snapshot (default: current head).
+    * `write(toBranch = name)` advances it; main readers and streams
+    * never see branch commits until `fastForward` publishes them.
+    * Ref-pinned retention protects the branch head from
+    * expireSnapshots exactly like tags. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      snapshotId: Option[Long] = None, maxRetries: Int = 10): Unit = {
+    require(name.nonEmpty, "iceberg createBranch: empty ref name")
+    editRefs(spark, table, "createBranch", maxRetries) { (meta, refs) =>
+      import scala.jdk.CollectionConverters._
+      require(!refs.hasNonNull(name),
+        s"iceberg createBranch: ref '$name' already exists at $table")
+      val id = snapshotId.getOrElse(
+        Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg createBranch: $table has no current snapshot")))
+      require(Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+          .exists(_.get("snapshot-id").asLong() == id),
+        s"iceberg createBranch: snapshot $id is not listed at $table (expired?)")
+      val entry = refs.putObject(name)
+      entry.put("snapshot-id", id)
+      entry.put("type", "branch")
+    }
+  }
+
+  /** FAST-FORWARD (iceberg's `fast_forward` procedure, main-target
+    * profile): main advances to the branch's head, REQUIRING main's
+    * current head to be an ancestor of it — a pure pointer move that
+    * publishes the branch's commits without rewriting anything.
+    * Diverged lineages refuse (merging them is a rewrite this writer
+    * does not do). Streams keep flowing: the move is ancestry-
+    * preserving, so an incremental reader's last-seen snapshot is
+    * still on the lineage. Returns the new main head snapshot id. */
+  def fastForward(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Long = {
+    var result = -1L
+    editRefs(spark, table, "fastForward", maxRetries) { (meta, refs) =>
+      import scala.jdk.CollectionConverters._
+      val r = Option(refs.get(name)).filterNot(_.isNull).getOrElse(
+        throw new IllegalArgumentException(
+          s"iceberg fastForward: no ref '$name' at $table"))
+      require(Option(r.get("type")).forall(_.asText() == "branch"),
+        s"iceberg fastForward: ref '$name' at $table is a tag, not a branch")
+      val target = r.get("snapshot-id").asLong()
+      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      val parentOf: Map[Long, Option[Long]] =
+        Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+          .map(s => s.get("snapshot-id").asLong() ->
+            Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()))
+          .toMap
+      var cursor: Option[Long] = Some(target)
+      var isAncestor = cur.isEmpty
+      while (cursor.isDefined && !isAncestor) {
+        if (cur.contains(cursor.get)) isAncestor = true
+        else cursor = parentOf.get(cursor.get).flatten
+      }
+      require(isAncestor,
+        s"iceberg fastForward: main (${cur.getOrElse(-1L)}) is not an ancestor of " +
+          s"branch '$name' head $target — the lineages diverged; rebuild the branch " +
+          "from main (createBranch) instead of merging")
+      val mNode = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      mNode.put("current-snapshot-id", target)
+      val logEntry = mNode.withArray("/snapshot-log").addObject()
+      logEntry.put("snapshot-id", target)
+      logEntry.put("timestamp-ms", System.currentTimeMillis())
+      result = target
+    }
+    result
   }
 
   /** Remove a named ref (tag or branch): the snapshot it pinned

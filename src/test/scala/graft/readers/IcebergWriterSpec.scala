@@ -874,6 +874,79 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("not both"))
   }
 
+  test("write-to-branch: commits advance the branch ref only; fastForward publishes to main; streams keep flowing") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwbr").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def meta() = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    val mainHead = meta().get("current-snapshot-id").asLong()
+    // branch must exist first; tags refuse writes
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((3L, "c")).toDF("id", "name"), t, toBranch = Some("audit")))
+      .getMessage.contains("createBranch first"))
+    IcebergWriter.tagSnapshot(spark, t, "pinned")
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((3L, "c")).toDF("id", "name"), t, toBranch = Some("pinned")))
+      .getMessage.contains("tags are immutable"))
+    IcebergWriter.createBranch(spark, t, "audit")
+    assert(intercept[Exception](IcebergWriter.createBranch(spark, t, "audit"))
+      .getMessage.contains("already exists"))
+    // two branch appends: branch sees 4 rows, main still 2, and main's
+    // head + snapshot-log never moved
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t, toBranch = Some("audit"))
+    IcebergWriter.write(spark, Seq((4L, "d")).toDF("id", "name"), t, toBranch = Some("audit"))
+    assert(IcebergReader.read(spark, t).count() == 2L)
+    assert(IcebergReader.read(spark, t, ref = Some("audit"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(meta().get("current-snapshot-id").asLong() == mainHead)
+    import scala.jdk.CollectionConverters._
+    assert(meta().get("snapshot-log").elements().asScala.size == 1)
+    // branch lineage: audit head's parent chain reaches main's head
+    val auditHead = meta().get("refs").get("audit").get("snapshot-id").asLong()
+    val parents = meta().get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() ->
+        Option(s.get("parent-snapshot-id")).map(_.asLong())).toMap
+    assert(parents(auditHead).flatMap(p => parents(p)) == Some(mainHead))
+    // an incremental main stream is running; fastForward publishes the
+    // branch and the stream serves exactly the published rows
+    val since = meta().get("current-snapshot-id").asLong()
+    val newMain = IcebergWriter.fastForward(spark, t, "audit")
+    assert(newMain == auditHead)
+    assert(IcebergReader.read(spark, t).count() == 4L)
+    val changes = IcebergReader.readChangesSince(spark, t, since)
+    assert(changes.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // a diverged branch refuses the fast-forward: main moved past the
+    // branch point by its own append
+    IcebergWriter.createBranch(spark, t, "stale", Some(mainHead))
+    IcebergWriter.write(spark, Seq((9L, "z")).toDF("id", "name"), t, toBranch = Some("stale"))
+    assert(intercept[Exception](IcebergWriter.fastForward(spark, t, "stale"))
+      .getMessage.contains("diverged"))
+    assert(intercept[Exception](IcebergWriter.fastForward(spark, t, "pinned"))
+      .getMessage.contains("not a branch"))
+    // overwrite-to-branch replaces the BRANCH's live set only
+    IcebergWriter.write(spark, Seq((7L, "w")).toDF("id", "name"), t,
+      mode = "overwrite", toBranch = Some("stale"))
+    assert(IcebergReader.read(spark, t, ref = Some("stale"))
+      .select("id").as[Long].collect().toSeq == Seq(7L))
+    assert(IcebergReader.read(spark, t).count() == 4L)
+    // guards: replaceWhere and mergeSchema refuse branch targets;
+    // branch writes on a missing table refuse
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((8L, "y")).toDF("id", "name"), t, mode = "overwrite",
+      replaceWhere = Some("id = 7"), toBranch = Some("stale")))
+      .getMessage.contains("replaceWhere cannot target a branch"))
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((8L, "y", 1)).toDF("id", "name", "extra"), t,
+      mergeSchema = true, toBranch = Some("stale")))
+      .getMessage.contains("mergeSchema on a branch write"))
+    val t2 = Files.createTempDirectory("iwbr2").toString + "/nope"
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((1L, "a")).toDF("id", "name"), t2, toBranch = Some("b")))
+      .getMessage.contains("needs an existing table"))
+  }
+
   test("cloneTable: zero-copy metadata fork; root-guarded retention; maintenance respects clone roots") {
     import spark.implicits._
     val src = Files.createTempDirectory("iwclsrc").toString
