@@ -140,6 +140,39 @@ object IcebergWriter {
     }
   }
 
+  private val GateTag = "iceberg write gate:"
+
+  /** NOT NULL (required) columns gate IN the staging scan itself — the
+    * write that is already reading every row evaluates them, so a
+    * gated append costs zero extra passes. A violating row raises from
+    * inside the job; `rethrowGate` unwraps to the clean named error. */
+  private def withNotNullGate(df: DataFrame, requiredCols: Seq[String],
+      table: String, op: String): DataFrame = {
+    if (requiredCols.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, lit, when, raise_error}
+    val ok = requiredCols.map { c =>
+      when(col(c).isNull,
+        raise_error(lit(s"$GateTag row(s) violate $c NOT NULL at $table ($op)")))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    df.where(ok)
+  }
+
+  /** Unwrap a gate violation raised inside a staging job to the named
+    * error (the job failure buries it in the cause chain). */
+  private def rethrowGate[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        val msg = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(20)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains(GateTag))
+        msg match {
+          case Some(m) => throw new IllegalArgumentException(m.substring(m.indexOf(GateTag)))
+          case None => throw e
+        }
+    }
+
   /** Structural type equality ignoring nullability and metadata at
     * every level (Iceberg required-ness and field ids are the
     * writer's, not the frame's). */
@@ -248,7 +281,11 @@ object IcebergWriter {
       // named branch ref instead of main — current-snapshot-id and the
       // snapshot-log stay untouched, so main readers and streams never
       // see the branch's rows until fastForward publishes them
-      toBranch: Option[String] = None): Unit = {
+      toBranch: Option[String] = None,
+      // CREATE-only: top-level columns declared `required` in the
+      // schema (iceberg NOT NULL); every write gates them in the
+      // staging scan itself (zero extra passes)
+      notNull: Seq[String] = Nil): Unit = {
     require(Set("append", "overwrite", "errorifexists").contains(mode),
       s"iceberg writer: unknown mode '$mode' (append | overwrite | errorifexists)")
     require(replaceWhere.isEmpty || mode == "overwrite",
@@ -273,6 +310,12 @@ object IcebergWriter {
     require(toBranch.isEmpty || exists,
       s"iceberg writer: toBranch '${toBranch.getOrElse("")}' needs an existing table " +
         s"(no iceberg table at $table)")
+    require(notNull.isEmpty || !exists,
+      s"iceberg writer: notNull applies at CREATE only — $table already exists " +
+        "(required-ness evolution stays with the iceberg-spark connector)")
+    require(notNull.forall(n => df.schema.fieldNames.exists(_.equalsIgnoreCase(n))),
+      s"iceberg writer: notNull column(s) ${notNull.filterNot(n =>
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(n))).mkString(",")} not in the frame")
     df.schema.fields.foreach(fl => validateType(fl.dataType, fl.name)) // gate up front
 
     val prior = if (exists) Some(mapper.readTree(IcebergReader.metadataText(table, conf))) else None
@@ -311,20 +354,23 @@ object IcebergWriter {
     // merged frame may omit non-partition table columns: its data
     // files simply lack those field ids and the reader's resolution
     // nulls them, exactly like old files null the added columns.
-    case class SField(name: String, id: Int, dt: DataType, typeJson: String)
+    case class SField(name: String, id: Int, dt: DataType, typeJson: String,
+        required: Boolean = false)
     val (schemaFieldsAll: Seq[SField], lastColumnId: Int) = prior match {
       case None =>
         var next = df.schema.fields.length + 1
         val alloc = () => { val i = next; next += 1; i }
         val fs = df.schema.fields.toSeq.zipWithIndex.map { case (fl, i) =>
-          SField(fl.name, i + 1, fl.dataType, typeJsonAlloc(fl.dataType, alloc)) }
+          SField(fl.name, i + 1, fl.dataType, typeJsonAlloc(fl.dataType, alloc),
+            required = notNull.exists(_.equalsIgnoreCase(fl.name))) }
         (fs, next - 1)
       case Some(meta) =>
         val nodes = currentSchemaFieldNodes(meta)
         val existing = nodes.map { n =>
           val t = n.get("type")
           SField(n.get("name").asText(), n.get("id").asInt(), sparkTypeOfNode(t),
-            if (t.isTextual) js(t.asText()) else t.toString)
+            if (t.isTextual) js(t.asText()) else t.toString,
+            required = Option(n.get("required")).exists(_.asBoolean()))
         }
         val floor = Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(
           (nodes.map(_.get("id").asInt()) ++ nodes.flatMap(n => idsIn(n.get("type"))))
@@ -475,13 +521,24 @@ object IcebergWriter {
     // one-tuple-per-file layout while the data files keep every real
     // column (the spec's rule for identity sources — the reader scans
     // data files as the full table).
-    val withIds = df.select(df.schema.fields.map { fl =>
+    // required (NOT NULL) columns: a merged frame omitting one would
+    // stage files that serve null — refuse up front; present ones gate
+    // in the staging scan below (zero extra passes)
+    val requiredCols = schemaFieldsAll.filter(_.required).map(_.name)
+    val missingReq = requiredCols.filterNot(rc =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
+    require(missingReq.isEmpty,
+      s"iceberg writer: required (NOT NULL) column(s) ${missingReq.mkString(",")} " +
+        s"absent from the frame — the staged files would serve null at $table")
+    val dfGated = withNotNullGate(df, requiredCols.filter(rc =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(rc))), table, "write")
+    val withIds = dfGated.select(df.schema.fields.map { fl =>
       val sf = schemaFieldsAll.find(_.name == fl.name).get
       val attached = attachIds(fl.dataType, mapper.readTree(sf.typeJson))
       // nested ids ride a same-shape CAST (target type differs only in
       // nested StructField metadata, which the parquet writer reads);
       // the top-level id rides the alias metadata as before
-      val base = if (attached == fl.dataType) df(fl.name) else df(fl.name).cast(attached)
+      val base = if (attached == fl.dataType) dfGated(fl.name) else dfGated(fl.name).cast(attached)
       base.as(fl.name,
         new MetadataBuilder().putLong("parquet.field.id", sf.id.toLong).build())
     }.toSeq: _*)
@@ -497,10 +554,10 @@ object IcebergWriter {
     }
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     val stWriter = stagedDf.write.mode("overwrite")
-    withMicrosTimestamps(stagedDf.sparkSession) {
+    rethrowGate(withMicrosTimestamps(stagedDf.sparkSession) {
       (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
        else stWriter).parquet(staging.toString)
-    }
+    })
     try {
       val stagingQ = f.makeQualified(staging).toString
       val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
@@ -638,7 +695,8 @@ object IcebergWriter {
           .getOrElse(java.util.UUID.randomUUID().toString)
         val now = System.currentTimeMillis()
         val schemaFields = schemaFieldsAll.map { sf =>
-          s"""{"id": ${sf.id}, "name": ${js(sf.name)}, "required": false, "type": ${sf.typeJson}}"""
+          s"""{"id": ${sf.id}, "name": ${js(sf.name)}, "required": ${sf.required}, """ +
+            s""""type": ${sf.typeJson}}"""
         }.mkString(", ")
         import scala.jdk.CollectionConverters._
         // schema history: unchanged writes reuse the head's schemas
@@ -1106,11 +1164,17 @@ object IcebergWriter {
           s"column(s) [${emptyable.mkString(",")}] — '' does not survive the " +
           "directory-text round trip; filter/replace the empty values")
     }
-    val withIds = df.select(fieldNodes.map { n =>
+    // required (NOT NULL) columns gate REWRITTEN rows too — a merge
+    // post-image nulling a required column must refuse exactly like an
+    // append (same in-scan gate, zero extra passes)
+    val requiredCols = fieldNodes.filter(n =>
+      Option(n.get("required")).exists(_.asBoolean())).map(_.get("name").asText())
+    val dfGated = withNotNullGate(df, requiredCols, table, "rewrite")
+    val withIds = dfGated.select(fieldNodes.map { n =>
       val nm = n.get("name").asText()
       val dt = sparkTypeOfNode(n.get("type"))
       val attached = attachIds(dt, n.get("type"))
-      val base = if (attached == dt) df(nm) else df(nm).cast(attached)
+      val base = if (attached == dt) dfGated(nm) else dfGated(nm).cast(attached)
       base.as(nm,
         new MetadataBuilder().putLong("parquet.field.id", n.get("id").asLong()).build())
     }.toSeq: _*)
@@ -1127,10 +1191,10 @@ object IcebergWriter {
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     try {
       val stWriter = stagedDf.write.mode("overwrite")
-      withMicrosTimestamps(stagedDf.sparkSession) {
+      rethrowGate(withMicrosTimestamps(stagedDf.sparkSession) {
         (if (partCols.nonEmpty) stWriter.partitionBy(partCols.map(DupPrefix + _): _*)
          else stWriter).parquet(staging.toString)
-      }
+      })
       val stagingQ = f.makeQualified(staging).toString
       val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
         val it = f.listFiles(staging, true)

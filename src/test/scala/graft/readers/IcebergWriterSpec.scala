@@ -947,6 +947,54 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("needs an existing table"))
   }
 
+  test("notNull: required columns declared at create, gated in the staging scan on appends and rewrites") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwnn").toString
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t,
+      notNull = Seq("id"))
+    // the declaration landed as spec required-ness
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    import scala.jdk.CollectionConverters._
+    val fields = meta.get("schemas").elements().asScala.next()
+      .get("fields").elements().asScala.toSeq
+    assert(fields.find(_.get("name").asText() == "id").get.get("required").asBoolean())
+    assert(!fields.find(_.get("name").asText() == "name").get.get("required").asBoolean())
+    // appends gate in the staging scan; nothing commits on violation
+    val e = intercept[Exception](IcebergWriter.write(spark,
+      Seq((Option.empty[Long], "c")).toDF("id", "name"), t))
+    assert(e.getMessage.contains("id NOT NULL"))
+    assert(IcebergReader.read(spark, t).count() == 2L)
+    // nullable column still takes nulls; required-ness survives appends
+    IcebergWriter.write(spark, Seq((3L, Option.empty[String])).toDF("id", "name"), t)
+    assert(IcebergReader.read(spark, t).count() == 3L)
+    val meta2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    assert(meta2.get("schemas").elements().asScala.next()
+      .get("fields").elements().asScala
+      .find(_.get("name").asText() == "id").get.get("required").asBoolean())
+    // a mergeSchema frame omitting the required column refuses up front
+    val e2 = intercept[Exception](IcebergWriter.write(spark,
+      Seq(Tuple1("x")).toDF("name"), t, mergeSchema = true))
+    assert(e2.getMessage.contains("required (NOT NULL) column"))
+    // rewrites gate too: a merge post-image nulling id refuses
+    val e3 = intercept[Exception](IcebergWriter.mergeClauses(spark,
+      Seq(("b", Option.empty[Long])).toDF("name", "nid"), t, on = Seq("name"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("id" -> "s.nid")))))
+    assert(e3.getMessage.contains("id NOT NULL"))
+    assert(IcebergReader.read(spark, t).where("name = 'b'").select("id")
+      .as[Long].collect().toSeq == Seq(2L))
+    // declaring on an existing table refuses; unknown column refuses
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((4L, "d")).toDF("id", "name"), t, notNull = Seq("id")))
+      .getMessage.contains("CREATE only"))
+    val t2 = Files.createTempDirectory("iwnn2").toString
+    assert(intercept[Exception](IcebergWriter.write(spark,
+      Seq((1L, "a")).toDF("id", "name"), t2, notNull = Seq("nope")))
+      .getMessage.contains("not in the frame"))
+  }
+
   test("cloneTable: zero-copy metadata fork; root-guarded retention; maintenance respects clone roots") {
     import spark.implicits._
     val src = Files.createTempDirectory("iwclsrc").toString
