@@ -308,6 +308,39 @@ object QuickStart {
       s"delta history = [$dhist]; iceberg files table: " +
       s"${ifiles.count()} files / ${ifiles.selectExpr("sum(record_count)").collect().head.getLong(0)} rows")
 
+    // 22. Round 15 — data quality gates + write-audit-publish: CHECK
+    // constraints / NOT NULL / generated columns evaluate inside the
+    // staging scan (a gated 100 TB append pays zero extra reads), and
+    // Iceberg branches isolate unaudited writes until fastForward
+    // publishes them to main atomically
+    val consT = java.nio.file.Files.createTempDirectory("qs_cons").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 100).selectExpr("id",
+        "timestamp'2024-01-02 10:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts"),
+      consT, partitionBy = Seq("day"), notNull = Seq("id"),
+      generatedColumns = Map("day" -> "CAST(ts AS DATE)"))
+    graft.readers.DeltaWriter.addConstraint(spark, consT, "id_pos", "id >= 0")
+    val rejected = scala.util.Try(graft.readers.DeltaWriter.write(spark,
+      spark.range(1).selectExpr("-5 AS id", "current_timestamp() AS ts"), consT)).isFailure
+    val dayFiles = graft.readers.DeltaReader.read(spark, consT,
+      filter = Some("day = DATE'2024-01-03'")).inputFiles.length
+    val wapT = java.nio.file.Files.createTempDirectory("qs_wap").toString
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(0, 500).selectExpr("id", "concat('r', id) AS name"), wapT,
+      notNull = Seq("id"))
+    graft.readers.IcebergWriter.createBranch(spark, wapT, "staging")
+    graft.readers.IcebergWriter.write(spark,
+      spark.range(500, 600).selectExpr("id", "concat('r', id) AS name"), wapT,
+      toBranch = Some("staging"))
+    val mainBefore = graft.readers.IcebergReader.read(spark, wapT).count()
+    val audited = graft.readers.IcebergReader.read(spark, wapT,
+      ref = Some("staging")).where("id IS NULL OR id < 0").count() == 0 // the audit
+    graft.readers.IcebergWriter.fastForward(spark, wapT, "staging")
+    println(s"[22] gates+WAP: violating append rejected=$rejected before any commit; " +
+      s"generated day column prunes to $dayFiles file(s); branch isolated " +
+      s"$mainBefore->main rows until audit passed=$audited and fastForward " +
+      s"published ${graft.readers.IcebergReader.read(spark, wapT).count()}")
+
     spark.stop()
     println("QuickStart OK")
   }

@@ -100,13 +100,15 @@ object DeltaWriter {
     // delta.* properties are inert metadata and pass verbatim.
     val honoredDeltaKeys = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors")
     val unsupported = tableConf.keys.filter(k =>
-      k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase))
+      k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase) &&
+        !k.toLowerCase.startsWith("delta.constraints."))
     require(unsupported.isEmpty,
       s"delta writer: tableConf propert${if (unsupported.size == 1) "y" else "ies"} " +
         s"${unsupported.mkString(", ")} would declare behavior this writer does not " +
         "implement (the staged files would contradict the configuration, corrupting " +
         "compliant readers); create the table with the delta-spark connector — " +
-        "supported here: delta.enableChangeDataFeed, delta.enableDeletionVectors")
+        "supported here: delta.enableChangeDataFeed, delta.enableDeletionVectors, " +
+        "delta.constraints.<name>")
     // honored keys canonicalize to their exact protocol spelling: the
     // gate admits any case, but the honor paths (CDF/DV activation
     // below, `cdfEnabled`/`dvEnabled` reads) match exact-case — a
@@ -181,7 +183,11 @@ object DeltaWriter {
       val genGates = presentGen.map { case (n, e) =>
         s"$n GENERATED AS ($e)" -> s"`$n` <=> ($e)" }
       val createGates = notNull.map(n =>
-        s"$n NOT NULL" -> s"`$n` IS NOT NULL")
+        s"$n NOT NULL" -> s"`$n` IS NOT NULL") ++
+        // CHECK constraints declared at create (tableConf
+        // delta.constraints.*) gate this first write's own rows too
+        tableConfC.collect { case (k, v) if k.toLowerCase.startsWith("delta.constraints.") =>
+          s"${k.substring("delta.constraints.".length)} CHECK ($v)" -> v }.toSeq.sortBy(_._1)
       val gates = existingHead.map(rowGates).getOrElse(Nil) ++ genGates ++ createGates
       if (gates.isEmpty) ordered
       else {
@@ -413,16 +419,19 @@ object DeltaWriter {
             .exists(_.equalsIgnoreCase("true"))
           val confJson = tableConfC.map { case (k, v) => s"${js(k)}:${js(v)}" }
             .mkString("{", ",", "}")
+          val consOn0 = tableConfC.keys.exists(_.toLowerCase.startsWith("delta.constraints."))
           actions +=
             (if (dvOn0) {
               val wf = Seq("deletionVectors") ++ (if (cdfOn0) Seq("changeDataFeed") else Nil) ++
-                (if (genExprs.nonEmpty) Seq("generatedColumns") else Nil)
+                (if (genExprs.nonEmpty) Seq("generatedColumns") else Nil) ++
+                (if (consOn0) Seq("checkConstraints") else Nil)
               s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
                 s""""readerFeatures":["deletionVectors"],""" +
                 s""""writerFeatures":[${wf.map(js).mkString(",")}]}}"""
             } else {
-              // generated columns need writer v4 (same tier as CDF)
-              val wv = if (cdfOn0 || genExprs.nonEmpty) 4 else 2
+              // generated columns need writer v4 (same tier as CDF);
+              // CHECK constraints writer v3
+              val wv = if (cdfOn0 || genExprs.nonEmpty) 4 else if (consOn0) 3 else 2
               s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
             })
           // the recorded schema is NULLABLE except declared NOT NULL
@@ -1867,7 +1876,16 @@ object DeltaWriter {
       // full-file delete+insert from the rewrite's add/remove noise.
       // dataChange=false per the protocol (cdc rows are bookkeeping).
       val cdcSpecs: Seq[AddSpec] = cdc.toSeq.flatMap { cdf =>
-        val cdcCanon = cdf.select((schema.fieldNames.toSeq :+ "_change_type")
+        // generated columns recompute here too, or the change feed's
+        // update_postimage rows would disagree with the data files the
+        // same commit staged (preimage/delete rows already satisfy
+        // value==expression, so recomputing them is a no-op)
+        val cdfRegen = generationExprs(head).foldLeft(cdf) { case (d, (n, e)) =>
+          import org.apache.spark.sql.functions.expr
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+          d.withColumn(n, dt.map(expr(e).cast(_)).getOrElse(expr(e)))
+        }
+        val cdcCanon = cdfRegen.select((schema.fieldNames.toSeq :+ "_change_type")
           .map(n => col(n).as(n)): _*)
         val cdcStaging = new Path(table.stripSuffix("/") +
           s"/_staging_cdc_${java.util.UUID.randomUUID()}")

@@ -567,6 +567,42 @@ class DeltaWriterSpec extends SparkSpec {
         org.apache.spark.sql.Row(500)), invSchema), t2))
     assert(e4.getMessage.contains("qty INVARIANT (qty < 100)"))
     assert(DeltaReader.read(spark, t2).count() == 1L)
+    // CHECK constraints declare AT CREATE through tableConf (the
+    // allowlist admits honored keys): the first write's own rows gate,
+    // nothing is created on violation, and the protocol lands at v3
+    val t3 = Files.createTempDirectory("dwconscr").toString + "/t"
+    val e5 = intercept[Exception](DeltaWriter.write(spark,
+      Seq((1L, -1)).toDF("id", "qty"), t3,
+      tableConf = Map("delta.constraints.q" -> "qty > 0")))
+    assert(e5.getMessage.contains("q CHECK (qty > 0)"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t3, "_delta_log")))
+    DeltaWriter.write(spark, Seq((1L, 1)).toDF("id", "qty"), t3,
+      tableConf = Map("delta.constraints.q" -> "qty > 0"))
+    val v0c = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t3, "_delta_log", "0" * 19 + "0.json"))
+    assert(v0c.contains("\"minWriterVersion\":3"))
+    assert(intercept[Exception](DeltaWriter.write(spark,
+      Seq((2L, -9)).toDF("id", "qty"), t3)).getMessage.contains("q CHECK (qty > 0)"))
+  }
+
+  test("change feed post-images recompute generated columns exactly like the data files") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Files.createTempDirectory("dwgencdf").toString
+    DeltaWriter.write(spark,
+      Seq((1L, Timestamp.valueOf("2024-01-02 10:00:00"))).toDF("id", "ts"), t,
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"),
+      generatedColumns = Map("day" -> "CAST(ts AS DATE)"))
+    DeltaWriter.mergeClauses(spark,
+      Seq((1L, Timestamp.valueOf("2024-09-10 08:00:00"))).toDF("id", "nts"), t,
+      on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("ts" -> "s.nts"))))
+    val post = DeltaReader.readChangeFeed(spark, t, 0L)
+      .where("_change_type = 'update_postimage'")
+      .select("day").as[java.sql.Date].collect().toSeq
+    assert(post == Seq(java.sql.Date.valueOf("2024-09-10")))
+    assert(DeltaReader.read(spark, t).select("day").as[java.sql.Date].collect().toSeq ==
+      Seq(java.sql.Date.valueOf("2024-09-10")))
   }
 
   test("cloneTable: zero-copy shallow clone; clones prune, evolve independently, and vacuum safely") {
