@@ -98,7 +98,8 @@ object DeltaWriter {
     // readers instead of this writer's refuse-loudly stance. Only keys
     // whose semantics this writer actually honors pass; custom non-
     // delta.* properties are inert metadata and pass verbatim.
-    val honoredDeltaKeys = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors")
+    val honoredDeltaKeys = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors",
+      "delta.appendonly")
     val unsupported = tableConf.keys.filter(k =>
       k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase) &&
         !k.toLowerCase.startsWith("delta.constraints."))
@@ -108,14 +109,15 @@ object DeltaWriter {
         "implement (the staged files would contradict the configuration, corrupting " +
         "compliant readers); create the table with the delta-spark connector — " +
         "supported here: delta.enableChangeDataFeed, delta.enableDeletionVectors, " +
-        "delta.constraints.<name>")
+        "delta.appendOnly, delta.constraints.<name>")
     // honored keys canonicalize to their exact protocol spelling: the
     // gate admits any case, but the honor paths (CDF/DV activation
     // below, `cdfEnabled`/`dvEnabled` reads) match exact-case — a
     // Delta.EnableChangeDataFeed written verbatim would pass the gate
     // yet silently never activate, the silent-ignore outcome the gate
     // exists to prevent
-    val canonicalKeys = Seq("delta.enableChangeDataFeed", "delta.enableDeletionVectors")
+    val canonicalKeys = Seq("delta.enableChangeDataFeed", "delta.enableDeletionVectors",
+      "delta.appendOnly")
     val tableConfC = tableConf.map { case (k, v) =>
       canonicalKeys.find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
     }
@@ -200,6 +202,7 @@ object DeltaWriter {
       }
     }
     existingHead.foreach { head =>
+      if (mode == "overwrite") requireNotAppendOnly(head, table, "writer")
       // a column-mapped table's data files must carry PHYSICAL names
       // (with field ids): round 12 stages them by renaming the frame's
       // logical columns through the schema's mapping metadata. The
@@ -470,6 +473,7 @@ object DeltaWriter {
           // CHECK constraints live in configuration, not the schema —
           // they would silently survive the replacement and reference
           // columns it may have dropped
+          requireNotAppendOnly(headNow, table, "writer")
           val consNow = headNow.constraints
           require(consNow.isEmpty,
             s"delta writer: overwriteSchema with CHECK constraint(s) " +
@@ -916,6 +920,7 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
+    requireNotAppendOnly(head, table, "delete")
     // the same analyzable-conjunct profile as replaceWhere: a
     // nondeterministic predicate would match DIFFERENT rows in the
     // detection scan and the rewrite scan — silent corruption — and a
@@ -1155,6 +1160,7 @@ object DeltaWriter {
       require(version <= curV,
         s"delta restore: version $version is beyond the head of $table ($curV)")
       val head = currentState(spark, table)
+      requireNotAppendOnly(head, table, "restore")
       val tgtByPath = target.liveFiles.map(lf => lf.path -> lf).toMap
       val nowByPath = head.liveFiles.map(lf => lf.path -> lf).toMap
       val removes = head.liveFiles.filterNot(lf => tgtByPath.contains(lf.path))
@@ -1383,6 +1389,10 @@ object DeltaWriter {
     val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
     require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
     val head = currentState(spark, table)
+    // an insert-only merge appends; any matched/bySource clause
+    // rewrites committed rows and the append-only declaration refuses
+    if (clauses.exists(_.kind != "notMatched"))
+      requireNotAppendOnly(head, table, "merge")
     // merge-on-read tables: this writer's own vectors MASK through
     // every rewrite scan below (scanLiveVisible), so merging after a
     // DV delete works — touched files rewrite without vectors, their
@@ -2028,6 +2038,12 @@ object DeltaWriter {
           .flatMap(c => Option(c.get("delta.enableDeletionVectors")))
           .filterNot(_.isNull).map(_.asText())
       }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
+    def appendOnly: Boolean =
+      Option(metaJson).flatMap(mj => scala.util.Try {
+        Option(mapper.readTree(mj).get("configuration"))
+          .flatMap(c => Option(c.get("delta.appendOnly")))
+          .filterNot(_.isNull).map(_.asText())
+      }.toOption.flatten).exists(_.equalsIgnoreCase("true"))
     /** CHECK constraints (`delta.constraints.<name>` → expr SQL). */
     def constraints: Map[String, String] = {
       import scala.jdk.CollectionConverters._
@@ -2060,6 +2076,14 @@ object DeltaWriter {
       s"delta $op: row(s) violate CHECK constraint${if (violated.size == 1) "" else "s"} " +
         s"${violated.mkString("; ")} at $table")
   }
+
+  /** `delta.appendOnly=true` (writer v2): any operation that removes
+    * or rewrites committed rows refuses — appends (and layout-only
+    * OPTIMIZE/ZORDER, which preserve every row) stay allowed. */
+  private def requireNotAppendOnly(head: HeadState, table: String, op: String): Unit =
+    require(!head.appendOnly,
+      s"delta $op: $table is append-only (delta.appendOnly=true) — removing or " +
+        "rewriting committed rows is refused by the table's own declaration")
 
   private val GateTag = "delta write gate:"
 

@@ -131,6 +131,11 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
   private val skipOverwriteSnapshots =
     options.get("skip_overwrite_snapshots").exists(_.toBoolean)
   private val startingSnapshot = options.get("starting_snapshot_id")
+  // follow a BRANCH ref instead of main (the write-audit-publish
+  // pattern's audit tail): offsets resolve from the ref's head, so the
+  // stream sees branch commits the moment they land while main-only
+  // readers see nothing until fastForward
+  private val branch = options.get("branch")
   // admission control (the graft-delta source's twin): at most N
   // ancestry snapshots per micro-batch — a long catch-up lands in
   // bounded chunks
@@ -198,7 +203,18 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val m = meta()
-    val cur = Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val cur = branch match {
+      case Some(b) =>
+        val r = Option(m.get("refs")).flatMap(rs => Option(rs.get(b))).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-iceberg: no branch '$b' at $table — createBranch first " +
+              "(a silently-empty stream would hide the typo)"))
+        require(Option(r.get("type")).forall(_.asText() == "branch"),
+          s"graft-iceberg: ref '$b' at $table is a tag, not a branch")
+        Some(r.get("snapshot-id").asLong())
+      case None =>
+        Option(m.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    }
     val anyCap = maxSnapshots.isDefined || maxFiles.isDefined || maxBytes.isDefined
     val offered: Option[(Long, Option[Long])] = cur match {
       case None => None

@@ -585,6 +585,33 @@ class DeltaWriterSpec extends SparkSpec {
       Seq((2L, -9)).toDF("id", "qty"), t3)).getMessage.contains("q CHECK (qty > 0)"))
   }
 
+  test("delta.appendOnly: appends and layout rewrites pass; overwrite/delete/merge-rewrite/restore refuse") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwao").toString
+    DeltaWriter.write(spark, (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "name"), t,
+      tableConf = Map("delta.appendOnly" -> "true"))
+    DeltaWriter.write(spark, Seq((11L, "r11")).toDF("id", "name"), t)
+    assert(DeltaReader.read(spark, t).count() == 11L)
+    // OPTIMIZE preserves every row — allowed
+    DeltaWriter.compact(spark, t)
+    assert(DeltaReader.read(spark, t).count() == 11L)
+    // anything that removes/rewrites rows refuses by the declaration
+    assert(intercept[Exception](DeltaWriter.write(spark,
+      Seq((1L, "x")).toDF("id", "name"), t, mode = "overwrite"))
+      .getMessage.contains("append-only"))
+    assert(intercept[Exception](DeltaWriter.deleteWhere(spark, t, "id = 1"))
+      .getMessage.contains("append-only"))
+    assert(intercept[Exception](DeltaWriter.merge(spark,
+      Seq((1L, "x")).toDF("id", "name"), t, on = Seq("id")))
+      .getMessage.contains("append-only"))
+    assert(intercept[Exception](DeltaWriter.restore(spark, t, 0L))
+      .getMessage.contains("append-only"))
+    // an insert-only merge is an append — allowed
+    DeltaWriter.mergeClauses(spark, Seq((12L, "r12")).toDF("id", "name"), t,
+      on = Seq("id"), clauses = Seq(MergeClause.insert()))
+    assert(DeltaReader.read(spark, t).count() == 12L)
+  }
+
   test("change feed post-images recompute generated columns exactly like the data files") {
     import spark.implicits._
     import java.sql.Timestamp

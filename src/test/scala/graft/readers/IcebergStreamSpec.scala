@@ -247,6 +247,48 @@ class IcebergStreamSpec extends SparkSpec {
     assert(seen.sortBy(_._1).toSeq == Seq((2L, None), (3L, Some(7))))
   }
 
+  test("branch option: the stream tails the branch ref; main stream stays silent until fastForward") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("isbranch").toString
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    IcebergWriter.createBranch(spark, t, "staging")
+    def tailOnce(opts: Map[String, String], ckpt: String): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      val reader = opts.foldLeft(spark.readStream.format("graft-iceberg")) {
+        case (r, (k, v)) => r.option(k, v) }
+      val q = reader.load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.synchronized { got += r.getLong(0) }); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+      try q.processAllAvailable() finally q.stop()
+      got.sorted.toSeq
+    }
+    val auditCkpt = java.nio.file.Files.createTempDirectory("isbrckpt").toString
+    val mainCkpt = java.nio.file.Files.createTempDirectory("isbrmain").toString
+    // snapshot batch on the branch serves the branch head (= main now)
+    assert(tailOnce(Map("branch" -> "staging"), auditCkpt) == Seq(1L))
+    assert(tailOnce(Map.empty, mainCkpt) == Seq(1L))
+    // branch commits: the audit tail sees them, main does not
+    IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t, toBranch = Some("staging"))
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t, toBranch = Some("staging"))
+    assert(tailOnce(Map("branch" -> "staging"), auditCkpt) == Seq(2L, 3L))
+    assert(tailOnce(Map.empty, mainCkpt) == Seq.empty)
+    // fastForward publishes: the main tail now serves exactly the
+    // branch window (ancestry-preserving pointer move)
+    IcebergWriter.fastForward(spark, t, "staging")
+    assert(tailOnce(Map.empty, mainCkpt) == Seq(2L, 3L))
+    // a missing branch refuses loudly (silent emptiness would hide typos)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-iceberg").option("branch", "nope").load(t)
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("no branch 'nope'") ||
+      Option(e.getCause).exists(_.getMessage.contains("no branch 'nope'")))
+  }
+
   test("max_snapshots_per_trigger paces a fresh catch-up along the ancestry") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("ispaced").toString
