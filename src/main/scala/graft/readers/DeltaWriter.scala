@@ -2341,6 +2341,151 @@ object DeltaWriter {
       .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
   }
 
+  /** Writer features each protocol version IMPLIES — the upgrade rule:
+    * converting a version-protocol table to the feature-listed form
+    * must list everything the old version granted, or a compliant
+    * writer would refuse behaviors the table legally used. */
+  private def impliedWriterFeatures(wv: Int): Seq[String] =
+    Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (v, ft) if wv >= v => ft }
+
+  /** SET TBLPROPERTIES (delta-spark `ALTER TABLE ... SET TBLPROPERTIES`):
+    * metadata-only commit updating `configuration`, with the protocol
+    * upgrades each honored key demands — enabling CDF mid-life bumps to
+    * writer v4 (or appends the changeDataFeed feature), enabling
+    * deletion vectors converts to the feature-listed protocol (reader
+    * 3 / writer 7) carrying every feature the old version implied.
+    * The same allowlist as CREATE: behavior-bearing `delta.*` keys this
+    * writer does not honor refuse; constraints have their own ops
+    * (addConstraint validates existing rows — a raw property set
+    * cannot). Custom non-delta keys pass verbatim. */
+  def setTableConf(spark: SparkSession, table: String, conf: Map[String, String],
+      maxRetries: Int = 10): Unit = {
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), hConf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    require(!conf.keys.exists(_.toLowerCase.startsWith("delta.constraints.")),
+      "delta setTableConf: CHECK constraints declare through addConstraint (it " +
+        "validates existing rows; a raw property set cannot)")
+    val honored = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors",
+      "delta.appendonly")
+    val unsupported = conf.keys.filter(k =>
+      k.toLowerCase.startsWith("delta.") && !honored.contains(k.toLowerCase))
+    require(unsupported.isEmpty,
+      s"delta setTableConf: propert${if (unsupported.size == 1) "y" else "ies"} " +
+        s"${unsupported.mkString(", ")} would declare behavior this writer does not " +
+        "implement; alter with the delta-spark connector — supported here: " +
+        "delta.enableChangeDataFeed, delta.enableDeletionVectors, delta.appendOnly")
+    val canonical = Seq("delta.enableChangeDataFeed", "delta.enableDeletionVectors",
+      "delta.appendOnly")
+    val confC = conf.map { case (k, v) =>
+      canonical.find(_.equalsIgnoreCase(k)).getOrElse(k) -> v }
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      val cdfOn = confC.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")) &&
+        !head.cdfEnabled
+      val dvOn = confC.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true")) &&
+        !head.dvEnabled
+      require(!(dvOn && head.mappingMode != "none"),
+        s"delta setTableConf: enabling deletion vectors on the column-mapped table " +
+          s"$table is outside this writer's profile; alter with the connector")
+      val version = DeltaReader.currentVersion(spark, table) + 1L
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val cNode = mdNode.withObject("/configuration")
+      confC.foreach { case (k, v) => cNode.put(k, v) }
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+        s""""operation":"SET TBLPROPERTIES"}}"""
+      val proto = mapper.readTree(lastProtocolLine(spark, f, logDir)).get("protocol")
+      val wv = Option(proto.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
+      val rv = Option(proto.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      if (dvOn && !proto.hasNonNull("writerFeatures")) {
+        // version protocol → feature-listed: carry every implied
+        // feature plus the vectors (old readers must not resurrect
+        // deleted rows, hence reader 3)
+        val wf = (impliedWriterFeatures(wv) :+ "deletionVectors").distinct
+        val rf = Seq("deletionVectors") ++
+          (if (head.mappingMode != "none") Seq("columnMapping") else Nil)
+        actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[${rf.map(js).mkString(",")}],""" +
+          s""""writerFeatures":[${wf.map(js).mkString(",")}]}}"""
+      } else if (proto.hasNonNull("writerFeatures")) {
+        import scala.jdk.CollectionConverters._
+        val feats = proto.get("writerFeatures").elements().asScala.map(_.asText()).toSeq
+        val want = (if (dvOn) Seq("deletionVectors") else Nil) ++
+          (if (cdfOn) Seq("changeDataFeed") else Nil)
+        val missing = want.filterNot(feats.contains)
+        if (missing.nonEmpty) {
+          val p = proto.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          val arr = p.putArray("writerFeatures")
+          (feats ++ missing).foreach(arr.add)
+          if (dvOn) {
+            val rfOld = Option(proto.get("readerFeatures")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText()))
+            if (!rfOld.contains("deletionVectors")) {
+              val rArr = p.putArray("readerFeatures")
+              (rfOld :+ "deletionVectors").foreach(rArr.add)
+              p.put("minReaderVersion", 3)
+            }
+          }
+          actions += s"""{"protocol":${p.toString}}"""
+        }
+      } else if (cdfOn && wv < 4)
+        actions += s"""{"protocol":{"minReaderVersion":$rv,"minWriterVersion":4}}"""
+      actions += s"""{"metaData":${mdNode.toString}}"""
+      val ok = scala.util.Try {
+        val out = f.create(new Path(logDir, f"$version%020d.json"), false)
+        try out.write((actions.result().mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta setTableConf: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
+  /** UNSET TBLPROPERTIES: metadata-only key removal (no protocol
+    * downgrade — the spec has none). Disabling CDF/DV this way is the
+    * connector's own semantics: emission stops, existing files stay. */
+  def unsetTableConf(spark: SparkSession, table: String, keys: Seq[String],
+      maxRetries: Int = 10): Unit = {
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), hConf)
+    val logDir = new Path(table.stripSuffix("/") + "/_delta_log")
+    require(f.exists(logDir), s"not a delta table (no _delta_log): $table")
+    require(!keys.exists(_.toLowerCase.startsWith("delta.constraints.")),
+      "delta unsetTableConf: constraints drop through dropConstraint")
+    var attempt = 0
+    while (true) {
+      val head = currentState(spark, table)
+      val version = DeltaReader.currentVersion(spark, table) + 1L
+      val mdNode = mapper.readTree(head.metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val cNode = mdNode.withObject("/configuration")
+      import scala.jdk.CollectionConverters._
+      val present = cNode.properties().asScala.map(_.getKey).toSeq
+      keys.foreach { k =>
+        present.find(_.equalsIgnoreCase(k)).foreach(cNode.remove) }
+      val actions = Seq(
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"UNSET TBLPROPERTIES"}}""",
+        s"""{"metaData":${mdNode.toString}}""")
+      val ok = scala.util.Try {
+        val out = f.create(new Path(logDir, f"$version%020d.json"), false)
+        try out.write((actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      if (ok.isSuccess) return
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"delta unsetTableConf: lost the commit race $maxRetries times at $table — giving up")
+    }
+  }
+
   /** ADD CONSTRAINT (delta-spark `ALTER TABLE ... ADD CONSTRAINT name
     * CHECK (expr)`): validates EXISTING rows in one distributed scan
     * (a violated constraint cannot be declared), then publishes a

@@ -741,6 +741,16 @@ object IcebergWriter {
         }
         val refsLine: String = refsJson
           .map(r => s""""refs": $r,\n             |  """.stripMargin).getOrElse("")
+        // properties ride through writes verbatim (same threading rule
+        // as refs — the template regenerates the metadata); the
+        // ownership stamp is re-asserted on top
+        val propsJson: String = {
+          val node = head.flatMap(m => Option(m.get("properties")).filterNot(_.isNull))
+            .map(_.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+            .getOrElse(mapper.createObjectNode())
+          node.put("graft.writer", "true")
+          node.toString
+        }
         // a branch commit leaves main untouched: current-snapshot-id
         // keeps pointing at main's head and the snapshot-log (main's
         // lineage record) gains nothing
@@ -781,7 +791,7 @@ object IcebergWriter {
              |  "last-partition-id": ${999 + partCols.size},
              |  "default-sort-order-id": 0,
              |  "sort-orders": [{"order-id": 0, "fields": []}],
-             |  "properties": {"graft.writer": "true"},
+             |  "properties": $propsJson,
              |  $refsLine"current-snapshot-id": $curAfter,
              |  "snapshots": [${(priorSnaps :+ newSnap).mkString(",\n    ")}],
              |  "snapshot-log": [${(if (toBranch.isDefined) priorLog
@@ -2511,6 +2521,37 @@ object IcebergWriter {
       result = target
     }
     result
+  }
+
+  /** SET TBLPROPERTIES (iceberg `ALTER TABLE ... SET TBLPROPERTIES`):
+    * metadata-only property update. Iceberg properties are writer
+    * defaults / advisory tuning, not reader-facing declarations, so
+    * they pass verbatim — except the `graft.*` ownership stamp, which
+    * the writer's own gates depend on. */
+  def setProperties(spark: SparkSession, table: String, props: Map[String, String],
+      maxRetries: Int = 10): Unit = {
+    require(!props.keys.exists(_.toLowerCase.startsWith("graft.")),
+      "iceberg setProperties: graft.* is the writer's own ownership stamp")
+    require(props.nonEmpty, "iceberg setProperties: empty property map")
+    editRefs(spark, table, "setProperties", maxRetries) { (meta, _) =>
+      val pNode = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .withObject("/properties")
+      props.foreach { case (k, v) => pNode.put(k, v) }
+    }
+  }
+
+  /** UNSET TBLPROPERTIES: metadata-only key removal (graft.* guarded). */
+  def removeProperties(spark: SparkSession, table: String, keys: Seq[String],
+      maxRetries: Int = 10): Unit = {
+    require(!keys.exists(_.toLowerCase.startsWith("graft.")),
+      "iceberg removeProperties: graft.* is the writer's own ownership stamp")
+    editRefs(spark, table, "removeProperties", maxRetries) { (meta, _) =>
+      val pNode = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .withObject("/properties")
+      import scala.jdk.CollectionConverters._
+      val present = pNode.properties().asScala.map(_.getKey).toSeq
+      keys.foreach(k => present.find(_.equalsIgnoreCase(k)).foreach(pNode.remove))
+    }
   }
 
   /** Remove a named ref (tag or branch): the snapshot it pinned

@@ -612,6 +612,47 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaReader.read(spark, t).count() == 12L)
   }
 
+  test("setTableConf: CDF and DV enable mid-life with their protocol upgrades; unset stops emission") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwsetconf").toString
+    DeltaWriter.write(spark,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(2), t)
+    // enable CDF mid-life: protocol bumps to writer 4, the next
+    // row-level rewrite emits precise cdc pairs
+    DeltaWriter.setTableConf(spark, t, Map("delta.enableChangeDataFeed" -> "true"))
+    val logs = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+    val alterTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(logs.last))
+    assert(alterTxt.contains("\"minWriterVersion\":4") && alterTxt.contains("SET TBLPROPERTIES"))
+    val sinceV = DeltaReader.currentVersion(spark, t)
+    DeltaWriter.deleteWhere(spark, t, "id = 1")
+    assert(DeltaReader.readChangeFeed(spark, t, sinceV)
+      .where("_change_type = 'delete'").count() == 1L)
+    // enable DV mid-life: feature-protocol conversion carries the
+    // implied features; deletes now commit vectors (bytes untouched)
+    DeltaWriter.setTableConf(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val logs2 = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+      .toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+    val dvTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(logs2.last))
+    assert(dvTxt.contains("\"minWriterVersion\":7") && dvTxt.contains("deletionVectors")
+      && dvTxt.contains("changeDataFeed") && dvTxt.contains("invariants"))
+    val bytesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(t)).toArray
+      .map(_.toString).filter(p => p.endsWith(".parquet") && !p.contains("_change_data"))
+      .sorted.toSeq
+    DeltaWriter.deleteWhere(spark, t, "id = 2")
+    val bytesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(t)).toArray
+      .map(_.toString).filter(p => p.endsWith(".parquet") && !p.contains("_change_data"))
+      .sorted.toSeq
+    assert(bytesBefore == bytesAfter) // DV delete: no file rewritten
+    assert(DeltaReader.read(spark, t).count() == 98L)
+    // unset stops CDF emission; constraints refuse naming their ops
+    DeltaWriter.unsetTableConf(spark, t, Seq("delta.enableChangeDataFeed"))
+    assert(intercept[Exception](DeltaWriter.setTableConf(spark, t,
+      Map("delta.constraints.x" -> "id > 0"))).getMessage.contains("addConstraint"))
+    assert(intercept[Exception](DeltaWriter.setTableConf(spark, t,
+      Map("delta.columnMapping.mode" -> "name"))).getMessage.contains("does not"))
+  }
+
   test("change feed post-images recompute generated columns exactly like the data files") {
     import spark.implicits._
     import java.sql.Timestamp

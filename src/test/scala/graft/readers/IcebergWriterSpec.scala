@@ -995,6 +995,29 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("not in the frame"))
   }
 
+  test("setProperties: metadata-only, survives writes verbatim; graft.* guarded") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwprops").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def props() = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf)).get("properties")
+    IcebergWriter.write(spark, Seq((1L, "a")).toDF("id", "name"), t)
+    IcebergWriter.setProperties(spark, t,
+      Map("write.target-file-size-bytes" -> "134217728", "owner" -> "etl"))
+    assert(props().get("write.target-file-size-bytes").asText() == "134217728")
+    // the next append's regenerated metadata THREADS them (an
+    // unthreaded field would be silently dropped, the refs lesson)
+    IcebergWriter.write(spark, Seq((2L, "b")).toDF("id", "name"), t)
+    assert(props().get("owner").asText() == "etl")
+    assert(props().get("graft.writer").asText() == "true")
+    IcebergWriter.removeProperties(spark, t, Seq("owner"))
+    assert(props().get("owner") == null)
+    assert(intercept[Exception](IcebergWriter.setProperties(spark, t,
+      Map("graft.writer" -> "false"))).getMessage.contains("ownership"))
+    assert(intercept[Exception](IcebergWriter.removeProperties(spark, t,
+      Seq("graft.writer"))).getMessage.contains("ownership"))
+  }
+
   test("cloneTable: zero-copy metadata fork; root-guarded retention; maintenance respects clone roots") {
     import spark.implicits._
     val src = Files.createTempDirectory("iwclsrc").toString
