@@ -99,7 +99,7 @@ object DeltaWriter {
     // whose semantics this writer actually honors pass; custom non-
     // delta.* properties are inert metadata and pass verbatim.
     val honoredDeltaKeys = Set("delta.enablechangedatafeed", "delta.enabledeletionvectors",
-      "delta.appendonly")
+      "delta.appendonly", "delta.columnmapping.mode")
     val unsupported = tableConf.keys.filter(k =>
       k.toLowerCase.startsWith("delta.") && !honoredDeltaKeys.contains(k.toLowerCase) &&
         !k.toLowerCase.startsWith("delta.constraints."))
@@ -117,7 +117,7 @@ object DeltaWriter {
     // yet silently never activate, the silent-ignore outcome the gate
     // exists to prevent
     val canonicalKeys = Seq("delta.enableChangeDataFeed", "delta.enableDeletionVectors",
-      "delta.appendOnly")
+      "delta.appendOnly", "delta.columnMapping.mode")
     val tableConfC = tableConf.map { case (k, v) =>
       canonicalKeys.find(_.equalsIgnoreCase(k)).getOrElse(k) -> v
     }
@@ -289,6 +289,28 @@ object DeltaWriter {
     // footer stats all carry the physical identity the mapped read
     // resolves — delta-spark's own layout.
     val mappedHead = existingHead.filter(_.mappingMode != "none")
+    // CREATE with column mapping (tableConf delta.columnMapping.mode):
+    // physicalName (col-<uuid>) and id (1..n) assign HERE — delta-
+    // spark's CREATE shape — so staging and the commit's metaData carry
+    // the identical mapping. The profile matches appends: top-level
+    // simple columns only.
+    val createMappedFields: Option[Seq[StructField]] =
+      tableConfC.get("delta.columnMapping.mode").filterNot(_ => exists).map { m =>
+        require(Set("name", "id").contains(m),
+          s"delta writer: unknown delta.columnMapping.mode '$m' (name | id)")
+        require(df.schema.fields.forall(fl => fl.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => false
+          case _ => true
+        }), "delta writer: column mapping with NESTED columns is outside this " +
+          "writer's profile (inner physical names); create with the delta-spark connector")
+        df.schema.fields.toSeq.zipWithIndex.map { case (fl, i) =>
+          val mb = new MetadataBuilder().withMetadata(fl.metadata)
+          mb.putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          mb.putLong("delta.columnMapping.id", i + 1L)
+          fl.copy(metadata = mb.build())
+        }
+      }
     // mergeSchema on a mapped table: frame-only columns are assigned a
     // FRESH physicalName (col-<uuid>, delta-spark's shape) and id
     // (maxColumnId + k) HERE, so staging and the commit's merged
@@ -319,11 +341,15 @@ object DeltaWriter {
           }
       case _ => Nil
     }
-    val (stageDf, stagePartCols, statsSchema, statsPartCols) = mappedHead match {
-      case None => (df, partCols, df.schema, partCols)
-      case Some(head) =>
-        val expected = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-        val allMapped = expected.fields.toSeq ++ mappedNewFields
+    val (stageDf, stagePartCols, statsSchema, statsPartCols) = (mappedHead, createMappedFields) match {
+      case (None, None) => (df, partCols, df.schema, partCols)
+      case (mh, cm) =>
+        val allMapped: Seq[StructField] = mh match {
+          case Some(head) =>
+            DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+              .fields.toSeq ++ mappedNewFields
+          case None => cm.get
+        }
         def physOf(fl: StructField): (String, Option[Long]) = (
           if (fl.metadata.contains("delta.columnMapping.physicalName"))
             fl.metadata.getString("delta.columnMapping.physicalName") else fl.name,
@@ -371,6 +397,12 @@ object DeltaWriter {
       while (!committed) {
         val version = if (!f.exists(logDir)) 0L
           else scala.util.Try(DeltaReader.currentVersion(spark, table) + 1L).getOrElse(0L)
+        // a mapped CREATE that lost its race cannot degrade to an
+        // append: the staged files carry THIS create's physical names/
+        // ids, which can never bind to a rival's mapping
+        require(createMappedFields.isEmpty || version == 0L,
+          s"delta writer: a table appeared at $table under this mapped CREATE — the " +
+            "staged files' physical names cannot bind to the rival's mapping; re-run")
         // ONE head replay per attempt, shared by the metaData branches
         // and the overwrite tombstones (each must see the post-race
         // state, none should pay the log walk twice)
@@ -420,30 +452,42 @@ object DeltaWriter {
             .exists(_.equalsIgnoreCase("true"))
           val dvOn0 = tableConfC.get("delta.enableDeletionVectors")
             .exists(_.equalsIgnoreCase("true"))
-          val confJson = tableConfC.map { case (k, v) => s"${js(k)}:${js(v)}" }
+          val mapOn0 = createMappedFields.isDefined
+          // a mapped create records maxColumnId next to the mode
+          val confJson = (tableConfC ++ createMappedFields.map(fs =>
+              "delta.columnMapping.maxColumnId" -> fs.size.toString))
+            .map { case (k, v) => s"${js(k)}:${js(v)}" }
             .mkString("{", ",", "}")
           val consOn0 = tableConfC.keys.exists(_.toLowerCase.startsWith("delta.constraints."))
           actions +=
             (if (dvOn0) {
               val wf = Seq("deletionVectors") ++ (if (cdfOn0) Seq("changeDataFeed") else Nil) ++
                 (if (genExprs.nonEmpty) Seq("generatedColumns") else Nil) ++
-                (if (consOn0) Seq("checkConstraints") else Nil)
+                (if (consOn0) Seq("checkConstraints") else Nil) ++
+                (if (mapOn0) Seq("columnMapping") else Nil)
+              val rf = Seq("deletionVectors") ++ (if (mapOn0) Seq("columnMapping") else Nil)
               s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-                s""""readerFeatures":["deletionVectors"],""" +
+                s""""readerFeatures":[${rf.map(js).mkString(",")}],""" +
                 s""""writerFeatures":[${wf.map(js).mkString(",")}]}}"""
             } else {
               // generated columns need writer v4 (same tier as CDF);
-              // CHECK constraints writer v3
-              val wv = if (cdfOn0 || genExprs.nonEmpty) 4 else if (consOn0) 3 else 2
-              s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
+              // CHECK constraints writer v3; column mapping reader 2 +
+              // writer 5
+              val wv = Seq(2, if (cdfOn0 || genExprs.nonEmpty) 4 else 2,
+                if (consOn0) 3 else 2, if (mapOn0) 5 else 2).max
+              val rv = if (mapOn0) 2 else 1
+              s"""{"protocol":{"minReaderVersion":$rv,"minWriterVersion":$wv}}"""
             })
           // the recorded schema is NULLABLE except declared NOT NULL
           // columns (delta-spark's ImplicitMetadataOperation stance: a
           // frame's incidental nullable=false — every toDF primitive —
           // must not become an accidental constraint every later append
           // pays to re-prove); generated columns carry their expression
-          // as the protocol's delta.generationExpression metadata
-          val createSchema = StructType(df.schema.fields.map { fl =>
+          // as the protocol's delta.generationExpression metadata, and
+          // a mapped create's fields carry the physicalName/id the
+          // staged files were written under
+          val createBase = createMappedFields.getOrElse(df.schema.fields.toSeq)
+          val createSchema = StructType(createBase.map { fl =>
             val mb = new MetadataBuilder().withMetadata(fl.metadata)
             genExprs.find(_._1.equalsIgnoreCase(fl.name)).foreach { case (_, e) =>
               mb.putString("delta.generationExpression", e) }

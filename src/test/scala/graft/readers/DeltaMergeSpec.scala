@@ -582,8 +582,11 @@ class DeltaMergeSpec extends SparkSpec {
 
   test("tableConf allowlists delta.* keys at create: behavior-bearing properties refuse, custom keys pass") {
     import spark.implicits._
-    for (bad <- Seq("delta.columnMapping.mode" -> "name",
-        "delta.appendOnly" -> "true", "delta.isolationLevel" -> "Serializable")) {
+    // rounds 13-15 moved columnMapping.mode / appendOnly / constraints
+    // INTO the honored set — only genuinely-unimplemented behavior
+    // keys still refuse
+    for (bad <- Seq("delta.isolationLevel" -> "Serializable",
+        "delta.enableRowTracking" -> "true", "delta.checkpointPolicy" -> "v2")) {
       val t = Files.createTempDirectory("dmconf").toString
       val e = intercept[Exception](DeltaWriter.write(spark,
         Seq((1L, "a")).toDF("id", "name"), t, tableConf = Map(bad)))

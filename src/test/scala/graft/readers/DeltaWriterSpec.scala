@@ -612,6 +612,45 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaReader.read(spark, t).count() == 12L)
   }
 
+  test("mapped CREATE: delta.columnMapping.mode at create stages physical names; evolution and rewrites work from birth") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwmapcr").toString
+    DeltaWriter.write(spark,
+      (1 to 20).map(i => (i.toLong, s"n$i", i % 2)).toDF("id", "name", "p"), t,
+      partitionBy = Seq("p"),
+      tableConf = Map("delta.columnMapping.mode" -> "name"))
+    // the protocol landed at reader 2 / writer 5 and the schema carries
+    // physicalName/id; partition dirs are PHYSICAL (col-*)
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_delta_log", "0" * 19 + "0.json"))
+    assert(v0.contains("\"minReaderVersion\":2") && v0.contains("\"minWriterVersion\":5"))
+    assert(v0.contains("delta.columnMapping.physicalName") &&
+      v0.contains("\"delta.columnMapping.maxColumnId\":\"3\""))
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .toArray.map(_.toString.split("/").last).filter(_.contains("="))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("col-")))
+    // native read resolves logical names; pruning by the mapped
+    // partition column works
+    val r = DeltaReader.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "name", "p"))
+    assert(r.where("p = 1").count() == 10L)
+    // appends keep staging physical; rename/drop evolve by id from birth
+    DeltaWriter.write(spark, Seq((21L, "n21", 1)).toDF("id", "name", "p"), t)
+    DeltaWriter.renameColumn(spark, t, "name", "label")
+    assert(DeltaReader.read(spark, t).where("label = 'n21'").count() == 1L)
+    // row-level rewrite on the mapped table
+    DeltaWriter.deleteWhere(spark, t, "id <= 5")
+    assert(DeltaReader.read(spark, t).count() == 16L)
+    DeltaWriter.dropColumn(spark, t, "label")
+    assert(DeltaReader.read(spark, t).columns.toSeq == Seq("id", "p"))
+    // nested columns refuse at mapped create
+    assert(intercept[Exception](DeltaWriter.write(spark,
+      Seq((1L, (2, 3))).toDF("id", "s"),
+      Files.createTempDirectory("dwmapnest").toString,
+      tableConf = Map("delta.columnMapping.mode" -> "name")))
+      .getMessage.contains("NESTED"))
+  }
+
   test("setTableConf: CDF and DV enable mid-life with their protocol upgrades; unset stops emission") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwsetconf").toString
