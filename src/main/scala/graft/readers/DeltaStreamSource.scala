@@ -50,8 +50,19 @@ class DeltaStreamProvider extends StreamSourceProvider with StreamSinkProvider
       "graft-delta: a table path is required — readStream.format(\"graft-delta\").load(<path>)"))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-delta", DeltaReader.schemaOf(sqlContext.sparkSession, pathOf(parameters)))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = DeltaReader.schemaOf(sqlContext.sparkSession, pathOf(parameters))
+    val cdf = parameters.get("read_change_feed")
+      .orElse(parameters.get("readChangeFeed")).exists(_.toBoolean)
+    ("graft-delta", if (!cdf) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -132,9 +143,26 @@ private[readers] case class DeltaVersionOffset(version: Long,
 private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
     options: Map[String, String], metadataPath: String = "") extends Source {
 
-  private val schema0 = DeltaReader.schemaOf(spark, table)
+  // CDF streaming (delta-spark's readChangeFeed option): batches serve
+  // ROW-LEVEL changes — table columns + _change_type/_commit_version/
+  // _commit_timestamp — through the batch change-feed's bounded-window
+  // form, so deletes and updates flow as retraction rows instead of
+  // refusing the stream
+  private val readCdf = options.get("read_change_feed")
+    .orElse(options.get("readChangeFeed")).exists(_.toBoolean)
+  private val schema0 = {
+    val base = DeltaReader.schemaOf(spark, table)
+    if (!readCdf) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+  }
   private val skipChangeCommits =
     options.get("skip_change_commits").exists(_.toBoolean)
+  require(!(readCdf && skipChangeCommits),
+    "graft-delta: read_change_feed serves change commits as rows — " +
+      "skip_change_commits contradicts it")
   private val startingVersion = options.get("startingVersion")
     .orElse(options.get("starting_version"))
   // admission control: at most N versions per micro-batch (the commit
@@ -160,6 +188,9 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
     .orElse(options.get("maxBytesPerTrigger")).map(_.toLong)
   maxBytes.foreach(n => require(n >= 1,
     s"graft-delta: max_bytes_per_trigger must be >= 1 (got $n)"))
+  require(!(readCdf && (maxFiles.isDefined || maxBytes.isDefined)),
+    "graft-delta: read_change_feed windows are whole versions — file/byte caps cannot " +
+      "split change rows; pace with max_versions_per_trigger")
   private var lastEndSeen: Option[(Long, Option[Long])] = None
 
   // per-version (path-sorted dataChange adds with sizes, has
@@ -275,7 +306,31 @@ private[readers] class DeltaStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = ver(end)
     lastEndSeen = Some(lastEndSeen.filter(a => !offLt(a, endO)).getOrElse(endO))
-    val batch = start match {
+    val batch = if (readCdf) {
+      import org.apache.spark.sql.functions.{lit, timestamp_millis}
+      start match {
+        case Some(s) if !offLt(ver(s), endO) => emptyBatch()
+        case Some(s) =>
+          DeltaReader.readChangeFeed(spark, table, ver(s)._1, endVersion = Some(endO._1))
+        case None => startingVersion match {
+          case Some("latest") => emptyBatch()
+          case Some(v) =>
+            DeltaReader.readChangeFeed(spark, table, v.toLong - 1, endVersion = Some(endO._1))
+          case None =>
+            // initial snapshot serves as `insert` rows at the anchor
+            // version (delta-spark's readChangeFeed stream seed)
+            val conf = spark.sparkContext.hadoopConfiguration
+            val f = FileSystem.get(new URI(table).resolve("/"), conf)
+            val cj = new Path(table.stripSuffix("/") + "/_delta_log", f"${endO._1}%020d.json")
+            val ts = scala.util.Try(f.getFileStatus(cj).getModificationTime)
+              .getOrElse(System.currentTimeMillis())
+            DeltaReader.read(spark, table, versionAsOf = Some(endO._1))
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(endO._1))
+              .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+        }
+      }
+    } else start match {
       case Some(s) => changesBatch(ver(s), endO)
       case None => startingVersion match {
         case Some("latest") => emptyBatch() // tail from here; endO is the new baseline

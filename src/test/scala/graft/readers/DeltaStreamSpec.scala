@@ -167,6 +167,49 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("read_change_feed: row-level changes stream — snapshot seeds as inserts, deletes and update pairs flow, restart resumes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dscdf").toString
+    val ckpt = Files.createTempDirectory("dscdfckpt").toString
+    DeltaWriter.write(spark, (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "name"), t,
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("read_change_feed", "true").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_change_type", "_commit_version").collect().foreach(r =>
+            seen.synchronized { seen += ((r.getLong(0), r.getString(1), r.getLong(2))) }); ()
+        }
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // the initial snapshot seeds as insert rows at the anchor version
+    assert(seen.sorted.toSeq == Seq((1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 0L)))
+    // a delete and a merge-update land while the stream is down; the
+    // restarted tail serves the precise row-level changes — the
+    // append-only source would have refused both commits
+    DeltaWriter.deleteWhere(spark, t, "id = 1")
+    DeltaWriter.mergeClauses(spark, Seq((2L, "R2")).toDF("id", "nv"), t, on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("name" -> "s.nv"))))
+    seen.clear()
+    run()
+    assert(seen.sortBy(r => (r._3, r._2)).toSeq == Seq(
+      (1L, "delete", 1L),
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L)))
+    // contradictory options refuse (inside the query thread)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-delta")
+        .option("read_change_feed", "true").option("skip_change_commits", "true").load(t)
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(c => Option(c.getMessage).exists(_.contains("contradicts"))))
+  }
+
   test("a metadata change under the stream refuses loudly") {
     val t = baseTable()
     val q = spark.readStream.format("graft-delta").load(t.toString)
