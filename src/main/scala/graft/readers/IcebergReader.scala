@@ -771,7 +771,10 @@ object IcebergReader {
     * manifest metadata only; each (snapshot, kind) group is ONE scan. */
   def readChangeFeed(spark: SparkSession, table: String, sinceSnapshotId: Long,
       filter: Option[String] = None,
-      maxManifestEntries: Long = DefaultMaxManifestEntries): DataFrame = {
+      maxManifestEntries: Long = DefaultMaxManifestEntries,
+      // bounded-window form (the streaming source's batch contract):
+      // the walk ends at this snapshot instead of the current head
+      endSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, timestamp_millis}
     val conf = spark.sparkContext.hadoopConfiguration
     val meta: JsonNode = new ObjectMapper().readTree(readText(
@@ -780,9 +783,12 @@ object IcebergReader {
     val snapsById: Map[Long, JsonNode] =
       Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
         .map(s => s.get("snapshot-id").asLong() -> s).toMap
-    val head = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
-      .getOrElse(throw new IllegalArgumentException(
-        "iceberg: table has no current snapshot (empty table)"))
+    endSnapshotId.foreach(e => require(snapsById.contains(e),
+      s"iceberg: change feed endSnapshotId $e is not listed at $table (expired?)"))
+    val head = endSnapshotId.getOrElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+        .getOrElse(throw new IllegalArgumentException(
+          "iceberg: table has no current snapshot (empty table)")))
     val headSchema = currentSchemaNode(meta).map(toSparkSchema).getOrElse(
       throw new IllegalArgumentException(s"iceberg: $table has no schema in its metadata"))
     // the feed scans group files DIRECTLY (they may be dead at head),

@@ -47,9 +47,13 @@ class IcebergStreamProvider extends StreamSourceProvider with StreamSinkProvider
       "graft-iceberg: a table path is required — readStream.format(\"graft-iceberg\").load(<path>)"))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-iceberg",
-      IcebergReader.read(sqlContext.sparkSession, pathOf(parameters), schemaOnly = true).schema)
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = IcebergReader.read(sqlContext.sparkSession, pathOf(parameters),
+      schemaOnly = true).schema
+    val cdf = parameters.get("read_change_feed")
+      .orElse(parameters.get("readChangeFeed")).exists(_.toBoolean)
+    ("graft-iceberg", if (!cdf) base else IcebergStreamSource.withCdfColumns(base))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -122,10 +126,31 @@ private[readers] case class IcebergSnapshotOffset(snapshotId: Long,
   override def json(): String = part.fold(snapshotId.toString)(k => s"$snapshotId:$k")
 }
 
+private[readers] object IcebergStreamSource {
+  /** The change feed's serving columns appended to a table schema. */
+  def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_snapshot_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_committed_at",
+        org.apache.spark.sql.types.TimestampType)))
+}
+
 private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
     options: Map[String, String], metadataPath: String = "") extends Source {
 
-  private val schema0 = IcebergReader.read(spark, table, schemaOnly = true).schema
+  // CDF streaming (the graft-delta source's twin): batches serve
+  // row-level changes through the bounded-window change feed, so
+  // delete and overwrite snapshots flow as retraction rows instead of
+  // refusing the stream
+  private val readCdf = options.get("read_change_feed")
+    .orElse(options.get("readChangeFeed")).exists(_.toBoolean)
+  private val schema0 = {
+    val base = IcebergReader.read(spark, table, schemaOnly = true).schema
+    if (!readCdf) base else IcebergStreamSource.withCdfColumns(base)
+  }
   private val skipDeleteSnapshots =
     options.get("skip_delete_snapshots").exists(_.toBoolean)
   private val skipOverwriteSnapshots =
@@ -156,6 +181,12 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
     .orElse(options.get("maxBytesPerTrigger")).map(_.toLong)
   maxBytes.foreach(n => require(n >= 1,
     s"graft-iceberg: max_bytes_per_trigger must be >= 1 (got $n)"))
+  require(!(readCdf && (skipDeleteSnapshots || skipOverwriteSnapshots)),
+    "graft-iceberg: read_change_feed serves delete/overwrite snapshots as change rows — " +
+      "skip_delete_snapshots/skip_overwrite_snapshots contradict it")
+  require(!(readCdf && (maxFiles.isDefined || maxBytes.isDefined)),
+    "graft-iceberg: read_change_feed windows are whole snapshots — file/byte caps " +
+      "cannot split change rows; pace with max_snapshots_per_trigger")
   private var lastEndSeen: Option[(Long, Option[Long])] = None
 
   private def op(s: JsonNode): String = Option(s.get("summary"))
@@ -320,7 +351,35 @@ private[readers] class IcebergStreamSource(spark: SparkSession, table: String,
     // batch must not rewind the admission walk); across different ids
     // the freshest getBatch end wins — v1 replays arrive in order
     lastEndSeen = Some(lastEndSeen.filter(a => samePartLe(endO, a)).getOrElse(endO))
-    val batch = start match {
+    val batch = if (readCdf) {
+      import org.apache.spark.sql.functions.{lit, timestamp_millis}
+      start match {
+        case Some(s) if ver(s)._1 == endO._1 => emptyBatch()
+        case Some(s) =>
+          IcebergReader.readChangeFeed(spark, table, ver(s)._1,
+            endSnapshotId = Some(endO._1))
+        case None => startingSnapshot match {
+          case Some("latest") => emptyBatch()
+          case Some(v) =>
+            IcebergReader.readChangeFeed(spark, table, v.toLong,
+              endSnapshotId = Some(endO._1))
+          case None =>
+            // initial snapshot serves as `insert` rows at the anchor
+            val ts = {
+              import scala.jdk.CollectionConverters._
+              Option(meta().get("snapshots")).toSeq.flatMap(_.elements().asScala)
+                .find(_.get("snapshot-id").asLong() == endO._1)
+                .flatMap(s => Option(s.get("timestamp-ms")).map(_.asLong()))
+                .getOrElse(System.currentTimeMillis())
+            }
+            IcebergReader.read(spark, table, snapshotId = Some(endO._1),
+              snapshotSchema = false)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_snapshot_id", lit(endO._1))
+              .withColumn("_committed_at", timestamp_millis(lit(ts)))
+        }
+      }
+    } else start match {
       case Some(s) => changesBatch(ver(s), endO)
       case None => startingSnapshot match {
         case Some("latest") => emptyBatch()

@@ -289,6 +289,49 @@ class IcebergStreamSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no branch 'nope'")))
   }
 
+  test("read_change_feed: row-level changes stream — deletes and merge updates flow as change rows") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("iscdf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("iscdfckpt").toString
+    IcebergWriter.write(spark, (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "name"), t)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("read_change_feed", "true").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_change_type").collect().foreach(r =>
+            seen.synchronized { seen += ((r.getLong(0), r.getString(1))) }); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toSeq == Seq((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    // a copy-on-write delete and a merge-update land while the stream
+    // is down — the append-only source would refuse both snapshots;
+    // the feed serves them as row-level changes
+    IcebergWriter.deleteWhere(spark, t, "id = 1")
+    IcebergWriter.mergeClauses(spark, Seq((2L, "R2")).toDF("id", "nv"), t, on = Seq("id"),
+      clauses = Seq(MergeClause.matchedUpdate(set = Map("name" -> "s.nv"))))
+    seen.clear()
+    run()
+    // file-level diff truth: the delete surfaces as a delete row; the
+    // update as delete+insert of the touched file's rows (the feed's
+    // documented add/remove derivation)
+    assert(seen.count(_ == (1L, "delete")) == 1)
+    assert(seen.exists(r => r._1 == 2L && r._2 == "insert"))
+    // contradictory options refuse inside the query thread
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("read_change_feed", "true").option("skip_delete_snapshots", "true").load(t)
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(c => Option(c.getMessage).exists(_.contains("contradict"))))
+  }
+
   test("max_snapshots_per_trigger paces a fresh catch-up along the ancestry") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("ispaced").toString
