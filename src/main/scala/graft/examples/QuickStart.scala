@@ -341,6 +341,51 @@ object QuickStart {
       s"$mainBefore->main rows until audit passed=$audited and fastForward " +
       s"published ${graft.readers.IcebergReader.read(spark, wapT).count()}")
 
+    // 23. Round 15, part two — ALTER surface + CDF streaming: turn on
+    // the change feed mid-life (protocol upgrade rides the same
+    // commit), then tail ROW-LEVEL changes as a stream — deletes and
+    // merge updates arrive as retraction/update rows the append-only
+    // source would have refused
+    val altT = java.nio.file.Files.createTempDirectory("qs_alter").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 50).selectExpr("id", "concat('r', id) AS name"), altT)
+    graft.readers.DeltaWriter.setTableConf(spark, altT,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val cdfCkpt = java.nio.file.Files.createTempDirectory("qs_cdfck").toString
+    val cdfSeen = new java.util.concurrent.atomic.AtomicReference(Seq.empty[String])
+    val cdfQ = spark.readStream.format("graft-delta")
+      .option("read_change_feed", "true")
+      .option("startingVersion", "latest").load(altT)
+      .writeStream.option("checkpointLocation", cdfCkpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.selectExpr("concat(_change_type, ':', id)")
+          .collect().map(_.getString(0)).toSeq
+        cdfSeen.updateAndGet(_ ++ rows); ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    try {
+      cdfQ.processAllAvailable()
+      graft.readers.DeltaWriter.deleteWhere(spark, altT, "id = 7")
+      graft.readers.DeltaWriter.mergeClauses(spark,
+        spark.range(1).selectExpr("CAST(8 AS BIGINT) AS id", "'R8' AS nv"), altT, on = Seq("id"),
+        clauses = Seq(graft.readers.MergeClause.matchedUpdate(set = Map("name" -> "s.nv"))))
+      cdfQ.processAllAvailable()
+    } finally cdfQ.stop()
+    // a mapped create (column names fully decoupled from file layout)
+    // and an append-only declaration round out the ALTER story
+    val mapT = java.nio.file.Files.createTempDirectory("qs_mapped").toString
+    graft.readers.DeltaWriter.write(spark,
+      spark.range(0, 10).selectExpr("id", "concat('n', id) AS name"), mapT,
+      tableConf = Map("delta.columnMapping.mode" -> "name"))
+    graft.readers.DeltaWriter.renameColumn(spark, mapT, "name", "label")
+    val aoT = java.nio.file.Files.createTempDirectory("qs_ao").toString
+    graft.readers.DeltaWriter.write(spark, spark.range(5).selectExpr("id"), aoT,
+      tableConf = Map("delta.appendOnly" -> "true"))
+    val aoRefused = scala.util.Try(
+      graft.readers.DeltaWriter.deleteWhere(spark, aoT, "id = 1")).isFailure
+    println(s"[23] alter+CDF-stream: feed rows = ${cdfSeen.get.sorted.mkString(", ")}; " +
+      s"mapped create + rename reads ${graft.readers.DeltaReader.read(spark, mapT)
+        .where("label = 'n3'").count()} row; append-only delete refused=$aoRefused")
+
     spark.stop()
     println("QuickStart OK")
   }
