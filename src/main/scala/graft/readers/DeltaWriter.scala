@@ -627,18 +627,28 @@ object DeltaWriter {
     } finally scala.util.Try(f.delete(staging, true))
   }
 
-  /** OPTIMIZE: rewrite each partition's live data files into one file,
-    * committed as a dataChange=false rearrangement — readers see
-    * identical rows (small-file pressure drops), the `graft-delta`
-    * stream emits NOTHING for it (dataChange=false adds are old rows),
-    * and `readChangesSince` windows refuse/skip it per their documented
-    * gates. Partitions already holding a single file are left alone.
+  /** OPTIMIZE: BIN-PACK each partition's live data files toward
+    * `targetFileBytes` (delta-spark's 1 GB default) — first-fit-
+    * decreasing, each bin rewriting to one file — committed as a
+    * dataChange=false rearrangement: readers see identical rows
+    * (small-file pressure drops), the `graft-delta` stream emits
+    * NOTHING for it (dataChange=false adds are old rows), and
+    * `readChangesSince` windows refuse/skip it per their documented
+    * gates. A 1 TB partition therefore lands as ~1 GB files, never one
+    * giant one; single-file clean bins are left alone (oversized files
+    * are not split — the connector's semantics). `where` scopes the
+    * rewrite to matching PARTITIONS (delta-spark's `OPTIMIZE WHERE`;
+    * partition-column predicates only, evaluated exactly per file) —
+    * at 100 TB, compacting yesterday's partition must not touch the
+    * other 10 years.
     *
     * Concurrency: the commit loop re-resolves the live set per retry
     * and REFUSES if any file it means to tombstone is no longer live
     * (a concurrent delete won that race — rewriting would resurrect
     * its rows). Returns the number of files compacted away. */
-  def compact(spark: SparkSession, table: String, maxRetries: Int = 10): Int = {
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 10,
+      where: Option[String] = None, targetFileBytes: Long = 1L << 30): Int = {
+    require(targetFileBytes >= 1, s"delta compact: targetFileBytes must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val tablePath = new Path(table)
@@ -665,23 +675,60 @@ object DeltaWriter {
     val dataSchema = StructType(schema.fields
       .filterNot(fl => head.partitionCols.contains(fl.name))
       .map(fl => StructField(physOf(fl.name), fl.dataType, fl.nullable)))
-    // group live files by partition directory (the log path's prefix).
-    // Zero-copy groups (a shallow clone's ABSOLUTE references) skip:
-    // their rewrite would land next to the SOURCE's files — a zorder
-    // (staged under this root) materializes them instead
-    val groups = head.live
+    // OPTIMIZE WHERE: the scope predicate covers partition columns
+    // only (replaceWhere's analyzable-conjunct gate) and selects whole
+    // partitions by exact per-file tuple evaluation
+    val scoped: Option[Set[String]] = where.map { w =>
+      require(head.partitionCols.nonEmpty,
+        "delta compact: where needs a partitioned table")
+      val conjs = FileSkipping.conjuncts(w)
+      require(conjs.nonEmpty && conjs.map(FileSkipping.usableRefs).forall(_.isDefined),
+        s"delta compact: where '$w' has conjunct(s) this writer cannot analyze; " +
+          "use bare partition column names and deterministic expressions")
+      val refs = conjs.flatMap(FileSkipping.usableRefs).flatten.toSet
+      require(refs.nonEmpty && refs.subsetOf(head.partitionCols.map(_.toLowerCase).toSet),
+        s"delta compact: where '$w' must reference partition columns only " +
+          s"([${head.partitionCols.mkString(",")}])")
+      matchingFiles(spark, head, w).toSet
+    }
+    // group live files by partition directory (the log path's prefix),
+    // then FIRST-FIT-DECREASING bin-pack toward the target size — each
+    // bin is one rewrite. Zero-copy groups (a shallow clone's ABSOLUTE
+    // references) skip: their rewrite would land next to the SOURCE's
+    // files — a zorder (staged under this root) materializes them
+    // instead
+    def packBins(ps: Seq[String]): Seq[Seq[String]] = {
+      val sorted = ps.sortBy(p => -byPath(p).size)
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val out = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
+      sorted.foreach { p =>
+        val sz = byPath(p).size
+        val i = sizes.indexWhere(_ + sz <= targetFileBytes)
+        if (i >= 0) { sizes(i) += sz; out(i) += p }
+        else { sizes += sz; out += scala.collection.mutable.ArrayBuffer(p) }
+      }
+      out.map(_.toSeq).toSeq
+    }
+    val groups: Seq[(String, Seq[String])] = head.live
       .filterNot { p =>
         val d = PathKeys.percentDecode(p); d.contains("://") || d.startsWith("/")
       }
+      .filter(p => scoped.forall(_.contains(p)))
       .groupBy(p => p.split("/").dropRight(1).mkString("/"))
-      .filter { case (_, ps) => ps.size > 1 || ps.exists(p => byPath(p).hasDv) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (partDir, ps) =>
+        packBins(ps).collect {
+          case bin if bin.size > 1 || bin.exists(p => byPath(p).hasDv) => (partDir, bin)
+        }
+      }
     if (groups.isEmpty) return 0
     val staging = new Path(table.stripSuffix("/") + s"/_staging_${java.util.UUID.randomUUID()}")
     try {
-      val adds = groups.toSeq.sortBy(_._1).map { case (partDir, oldPaths) =>
+      val adds = groups.zipWithIndex.map { case ((partDir, oldPaths), binIdx) =>
         val srcs = oldPaths.map(p =>
           new Path(tablePath, PathKeys.percentDecode(p)).toString)
-        val outDir = new Path(staging, if (partDir.isEmpty) "out" else partDir)
+        val outDir = new Path(staging,
+          (if (partDir.isEmpty) "out" else partDir) + s"/bin-$binIdx")
         val groupFiles = oldPaths.map(byPath)
         val raw = spark.read.schema(dataSchema).parquet(srcs: _*)
         val visible =

@@ -2014,20 +2014,56 @@ object IcebergWriter {
     * resurrect deleted rows). Merged-manifest sequence numbers reset to
     * the new snapshot's — safe because the writer profile admits no
     * delete files, the only consumers of sequence ordering.
-    * Returns the number of partition groups compacted. */
-  def compact(spark: SparkSession, table: String, maxRetries: Int = 10): Int = {
+    * `where` scopes the rewrite to matching partitions (identity
+    * partition columns, evaluated exactly per entry tuple — at 100 TB,
+    * compacting one day must not touch the others); `targetFileBytes`
+    * BIN-PACKS each partition's files first-fit-decreasing toward the
+    * target (1 GB default), so a huge partition lands as right-sized
+    * files instead of one giant one (oversized files are not split).
+    * Returns the number of bins compacted. */
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 10,
+      where: Option[String] = None, targetFileBytes: Long = 1L << 30): Int = {
+    require(targetFileBytes >= 1, "iceberg compact: targetFileBytes must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val f = FileSystem.get(new URI(table).resolve("/"), conf)
     val meta0 = ownedMeta(spark, table, "compact")
     val partFields = tablePartFields(meta0)
     val live0 = liveEntries(spark, meta0, table)
+    val scoped: Option[Set[String]] = where.map { w =>
+      val partDefs = tablePartDefs(meta0)
+      val identityCols = partDefs.filter(_._3 == PIdentity).map(_._2.toLowerCase).toSet
+      require(identityCols.nonEmpty,
+        "iceberg compact: where needs identity partition columns")
+      val conjs = FileSkipping.conjuncts(w)
+      require(conjs.nonEmpty && conjs.map(FileSkipping.usableRefs).forall(_.isDefined),
+        s"iceberg compact: where '$w' has conjunct(s) this writer cannot analyze; " +
+          "use bare partition column names and deterministic expressions")
+      val refs = conjs.flatMap(FileSkipping.usableRefs).flatten.toSet
+      require(refs.nonEmpty && refs.subsetOf(identityCols),
+        s"iceberg compact: where '$w' must reference identity partition columns only " +
+          s"([${identityCols.toSeq.sorted.mkString(",")}])")
+      matchingEntryPaths(spark, live0, partFields, w)
+    }
     // zero-copy groups (a shallow clone's references outside this root)
     // skip: their rewrite would land next to the SOURCE's files
     val root = f.makeQualified(new Path(table.stripSuffix("/"))).toString + "/"
     val groups = live0.filter(e =>
         f.makeQualified(new Path(e.path)).toString.startsWith(root))
+      .filter(e => scoped.forall(_.contains(e.path)))
       .groupBy(e => Option(e.pvJson).getOrElse("")).values.toSeq
-    val multi = groups.filter(_.size >= 2)
+    // first-fit-decreasing bins toward the target; single-file bins
+    // need no rewrite
+    val multi: Seq[Seq[LiveEntry]] = groups.flatMap { g =>
+      val sorted = g.sortBy(e => -e.size)
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[LiveEntry]]()
+      sorted.foreach { e =>
+        val i = sizes.indexWhere(_ + e.size <= targetFileBytes)
+        if (i >= 0) { sizes(i) += e.size; bins(i) += e }
+        else { sizes += e.size; bins += scala.collection.mutable.ArrayBuffer(e) }
+      }
+      bins.map(_.toSeq).filter(_.size >= 2).toSeq
+    }
     if (multi.isEmpty) return 0
 
     // rewrite each multi-file group next to its sources (one tuple per

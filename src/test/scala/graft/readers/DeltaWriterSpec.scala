@@ -612,6 +612,38 @@ class DeltaWriterSpec extends SparkSpec {
     assert(DeltaReader.read(spark, t).count() == 12L)
   }
 
+  test("OPTIMIZE WHERE + bin-packing: scoped partitions compact; bins respect targetFileBytes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dwoptw").toString
+    // 4 files per partition (repartition by range within each p write)
+    (0 until 4).foreach { i =>
+      DeltaWriter.write(spark,
+        ((0 until 250).map(j => ((i * 1000 + j).toLong, s"r$j", 1)) ++
+         (0 until 250).map(j => ((i * 1000 + j).toLong, s"r$j", 2)))
+          .toDF("id", "name", "p").coalesce(1),
+        t, partitionBy = Seq("p"))
+    }
+    def filesOf(p: Int) = DeltaReader.read(spark, t)
+      .where(s"p = $p").inputFiles.length
+    assert(filesOf(1) == 4 && filesOf(2) == 4)
+    // WHERE scopes the rewrite: p=1 compacts, p=2 untouched
+    assert(DeltaWriter.compact(spark, t, where = Some("p = 1")) == 4)
+    assert(filesOf(1) == 1 && filesOf(2) == 4)
+    assert(DeltaReader.read(spark, t).count() == 2000L)
+    // bin-packing: a tiny target keeps multiple output files (each
+    // existing ~several-KB file pairs into bins of <= target)
+    val szs = DeltaReader.read(spark, t).where("p = 2").inputFiles
+      .map(u => java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(u)))).toSeq
+    val target = szs.sorted.take(2).sum // fits exactly two smallest
+    DeltaWriter.compact(spark, t, where = Some("p = 2"), targetFileBytes = target)
+    val after = filesOf(2)
+    assert(after > 1 && after < 4, s"expected partial coalesce, got $after")
+    assert(DeltaReader.read(spark, t).count() == 2000L)
+    // gates: data-column predicates refuse
+    assert(intercept[Exception](DeltaWriter.compact(spark, t, where = Some("id = 1")))
+      .getMessage.contains("partition columns only"))
+  }
+
   test("mapped CREATE: delta.columnMapping.mode at create stages physical names; evolution and rewrites work from birth") {
     import spark.implicits._
     val t = Files.createTempDirectory("dwmapcr").toString

@@ -995,6 +995,37 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("not in the frame"))
   }
 
+  test("compact where + bin-packing: scoped identity partitions compact toward targetFileBytes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iwoptw").toString
+    (0 until 4).foreach { i =>
+      IcebergWriter.write(spark,
+        ((0 until 100).map(j => ((i * 1000 + j).toLong, s"r$j", 1)) ++
+         (0 until 100).map(j => ((i * 1000 + j).toLong, s"r$j", 2)))
+          .toDF("id", "name", "p").coalesce(1),
+        t, partitionBy = Seq("p"))
+    }
+    def filesOf(p: Int) = IcebergReader.read(spark, t,
+      filter = Some(s"p = $p")).inputFiles.length
+    assert(filesOf(1) == 4 && filesOf(2) == 4)
+    // where scopes: p=1 compacts into one bin, p=2 untouched
+    assert(IcebergWriter.compact(spark, t, where = Some("p = 1")) == 1)
+    assert(filesOf(1) == 1 && filesOf(2) == 4)
+    assert(IcebergReader.read(spark, t).count() == 800L)
+    // a tiny target yields multiple bins instead of one giant file
+    val szs = IcebergReader.read(spark, t, filter = Some("p = 2")).inputFiles
+      .map(u => java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(u)))).toSeq
+    val target = szs.sorted.take(2).sum
+    assert(IcebergWriter.compact(spark, t, where = Some("p = 2"),
+      targetFileBytes = target) >= 1)
+    val after = filesOf(2)
+    assert(after > 1 && after < 4, s"expected partial coalesce, got $after")
+    assert(IcebergReader.read(spark, t).count() == 800L)
+    // data-column predicates refuse
+    assert(intercept[Exception](IcebergWriter.compact(spark, t, where = Some("id = 1")))
+      .getMessage.contains("identity partition columns only"))
+  }
+
   test("setProperties: metadata-only, survives writes verbatim; graft.* guarded") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwprops").toString
