@@ -2559,6 +2559,51 @@ object IcebergWriter {
     result
   }
 
+  /** REMOVE ORPHAN FILES (iceberg's `remove_orphan_files` procedure):
+    * delete files under the table's `data/` that NO listed snapshot
+    * references — crash leftovers from a writer that renamed staged
+    * files into place but died before its commit published. The
+    * 3-day default age floor protects exactly that in-flight window
+    * (a just-renamed file becomes referenced only when its commit
+    * lands); metadata/manifests are not touched (expireSnapshots owns
+    * those), and `_staging_*` dirs age out the same way. Driver cost:
+    * one listing of data/ plus one distributed read over every
+    * snapshot's manifests. Returns the deleted (or, under `dryRun`,
+    * the would-be-deleted) paths. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000, dryRun: Boolean = false): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    val meta = ownedMeta(spark, table, "removeOrphanFiles")
+    // referenced = every data/delete file of EVERY listed snapshot
+    // (time travel to any of them must keep working)
+    val manifestPaths: Seq[String] =
+      Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+        .flatMap(s => IcebergReader.manifestListRowsOf(spark,
+          s.get("manifest-list").asText(), table).map(_._1))
+        .distinct
+    val referenced: Set[String] =
+      if (manifestPaths.isEmpty) Set.empty
+      else spark.read.format(AvroFmt).load(manifestPaths: _*)
+        .selectExpr("data_file.file_path AS p").distinct()
+        .collect().map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+    val dataDir = new Path(table.stripSuffix("/") + "/data")
+    if (!f.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = Seq.newBuilder[Path]
+    val it = f.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getModificationTime < cutoff &&
+          !referenced.contains(f.makeQualified(st.getPath).toString))
+        orphans += st.getPath
+    }
+    val out = orphans.result()
+    if (!dryRun) out.foreach(p => f.delete(p, false))
+    out.map(_.toString)
+  }
+
   /** SET TBLPROPERTIES (iceberg `ALTER TABLE ... SET TBLPROPERTIES`):
     * metadata-only property update. Iceberg properties are writer
     * defaults / advisory tuning, not reader-facing declarations, so

@@ -1026,6 +1026,34 @@ class IcebergWriterSpec extends SparkSpec {
       .getMessage.contains("identity partition columns only"))
   }
 
+  test("removeOrphanFiles: crash leftovers in data/ reclaim past the age floor; referenced files survive") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("iworph").toString
+    IcebergWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    IcebergWriter.write(spark, Seq((3L, "c")).toDF("id", "name"), t)
+    // a crash leftover: a parquet renamed into data/ whose commit died
+    val orphan = java.nio.file.Paths.get(t, "data", "part-dead-00000.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    // inside the age floor: protected (could be an in-flight commit)
+    assert(IcebergWriter.removeOrphanFiles(spark, t).isEmpty)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 4L * 24 * 3600 * 1000))
+    // dryRun lists without deleting; the real run reclaims exactly it
+    val dry = IcebergWriter.removeOrphanFiles(spark, t, dryRun = true)
+    assert(dry.size == 1 && dry.head.endsWith("part-dead-00000.parquet"))
+    assert(java.nio.file.Files.exists(orphan))
+    val gone = IcebergWriter.removeOrphanFiles(spark, t)
+    assert(gone.size == 1 && !java.nio.file.Files.exists(orphan))
+    // every snapshot's files survive — time travel included
+    assert(IcebergReader.read(spark, t).count() == 3L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergReader.metadataText(t, conf))
+    import scala.jdk.CollectionConverters._
+    val first = meta.get("snapshots").elements().asScala.next().get("snapshot-id").asLong()
+    assert(IcebergReader.read(spark, t, snapshotId = Some(first)).count() == 2L)
+  }
+
   test("setProperties: metadata-only, survives writes verbatim; graft.* guarded") {
     import spark.implicits._
     val t = Files.createTempDirectory("iwprops").toString
