@@ -672,6 +672,61 @@ object DeltaReader {
       StructField("data_change", BooleanType))))
   }
 
+  /** DESCRIBE DETAIL (delta-spark's `DeltaTable.detail`): ONE row of
+    * table-level facts — format, id, location, partitioning, live
+    * file count/bytes, configuration, protocol — from the same state
+    * replay every read performs (no data IO). */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = table.stripSuffix("/") + "/_delta_log"
+    val f = FileSystem.get(new URI(table).resolve("/"), conf)
+    require(f.exists(new Path(logDir)), s"not a delta table (no _delta_log): $table")
+    val state = DeltaWriter.currentState(spark, table)
+    val mapper = new ObjectMapper()
+    val (id, createdAt) = scala.util.Try {
+      val md = mapper.readTree(state.metaJson)
+      (Option(md.get("id")).map(_.asText()).orNull,
+        Option(md.get("createdTime")).filterNot(_.isNull).map(_.asLong()))
+    }.getOrElse((null, None))
+    val configuration: Map[String, String] = scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      Option(mapper.readTree(state.metaJson).get("configuration"))
+        .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty)
+    // protocol: last action wins, replayed from the same log walk
+    val commits = f.listStatus(new Path(logDir)).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json")).sortBy(_.getPath.getName)
+    val proto = commits.reverseIterator.flatMap { st =>
+      val in = f.open(st.getPath)
+      val t = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      t.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(mapper.readTree)
+        .flatMap(a => Option(a.get("protocol")).filterNot(_.isNull)).toSeq.lastOption
+    }.toSeq.headOption
+    val (rv, wv) = proto.map(p => (
+      Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+      Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2))).getOrElse((1, 2))
+    val row = Row("delta", id, table.stripSuffix("/"),
+      createdAt.map(new java.sql.Timestamp(_)).orNull,
+      state.partitionCols, state.liveFiles.size.toLong,
+      state.liveFiles.map(_.size).sum, configuration, rv, wv)
+    spark.createDataFrame(Seq(row).asJava, StructType(Seq(
+      StructField("format", StringType),
+      StructField("id", StringType),
+      StructField("location", StringType),
+      StructField("createdAt", TimestampType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))
+  }
+
   /** Time travel by timestamp (the delta-rs `load_with_datetime` /
     * Spark `timestampAsOf` semantics): the last commit whose file
     * modification time is <= the given epoch-millis instant. */

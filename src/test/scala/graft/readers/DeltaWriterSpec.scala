@@ -843,6 +843,19 @@ class DeltaWriterSpec extends SparkSpec {
     // the catalog route reaches it via the DataRef history option
     assert(new DeltaReaderImpl().read(spark, graft.datatypes.DataRef("delta", t,
       Map("history" -> "true"))).count() == 3L)
+    // DESCRIBE DETAIL: one row of table facts from the state replay
+    val d = DeltaReader.detail(spark, t).collect().head
+    assert(d.getAs[String]("format") == "delta" && d.getAs[String]("id") != null)
+    assert(d.getAs[Long]("numFiles") == 1L && d.getAs[Long]("sizeInBytes") > 0L)
+    assert(d.getAs[Int]("minWriterVersion") == 2)
+    val dp = Files.createTempDirectory("dwdet2").toString
+    DeltaWriter.write(spark, Seq((1L, 7)).toDF("id", "p"), dp, partitionBy = Seq("p"),
+      tableConf = Map("delta.enableChangeDataFeed" -> "true"))
+    val d2 = DeltaReader.detail(spark, dp).collect().head
+    assert(d2.getAs[Seq[String]]("partitionColumns") == Seq("p"))
+    assert(d2.getAs[Map[String, String]]("properties")
+      .get("delta.enableChangeDataFeed").contains("true"))
+    assert(d2.getAs[Int]("minWriterVersion") == 4)
   }
 
   test("zorder: clustered rewrite makes multi-column skipping real; layout-only commit") {
