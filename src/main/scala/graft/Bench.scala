@@ -155,6 +155,29 @@ object Bench {
     // cores/query; one tiny serial query pays it once at full speed.
     // Seed time is INSIDE the cold wall — the cold number stays the
     // honest time-to-first-batch-done on a fresh session.
+    // Pre-launch contention gate: round 15's record published warm2=47s
+    // at loadavg 15.9 where the same commit measured 13.2s idle — a
+    // phantom 3x regression from a box that was loaded BEFORE the bench
+    // began (pre-launch loadavg 5.76). The only uncontaminated load
+    // signal is the one taken before we submit any work, so: if the box
+    // is busy at launch, wait (bounded) for it to drain rather than
+    // record garbage. If it never drains, run anyway but stamp the
+    // record "contended":true so a loaded pass can never be read as a
+    // code regression.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "300").toInt
+    val gateT0 = System.nanoTime()
+    var preLoad = loadAvg()
+    while (preLoad > loadGate && (System.nanoTime() - gateT0) / 1e9 < gateWaitSec) {
+      System.err.println(f"[bench] loadavg $preLoad%.2f > gate $loadGate%.2f — waiting for the box to drain")
+      Thread.sleep(15000)
+      preLoad = loadAvg()
+    }
+    val gateWaited = (System.nanoTime() - gateT0) / 1e9
+    val contended = preLoad > loadGate
+    if (contended)
+      System.err.println(f"[bench] WARNING: starting contended (loadavg $preLoad%.2f after $gateWaited%.0fs wait) — record will carry contended:true")
+
     val loadCold = loadAvg()
     val coldT0 = System.nanoTime()
     val seedNames = if (priorTimes.nonEmpty)
@@ -167,10 +190,24 @@ object Bench {
     val (warm1Results, warm1Wall) = runBatch()
     val loadW2 = loadAvg()
     val (warm2Results, warm2Wall) = runBatch()
-    val (results, wall) =
-      if (warm1Wall <= warm2Wall) (warm1Results, warm1Wall) else (warm2Results, warm2Wall)
+    // Mid-run spike guard: the two warm passes measure the same code on
+    // the same warm JVM — a >1.5x disagreement means one was hit by
+    // transient load, so spend ONE extra pass and let best-of-N absorb
+    // it (bounded: a persistently loaded box stops at 3 warm passes and
+    // the contended flag tells the reader why the number is soft).
+    val spikeRatio = math.max(warm1Wall, warm2Wall) / math.min(warm1Wall, warm2Wall)
+    val (warm3Results, warm3Wall, loadW3) =
+      if (spikeRatio > 1.5) {
+        System.err.println(f"[bench] warm passes disagree ${spikeRatio}%.2fx ($warm1Wall%.1fs vs $warm2Wall%.1fs) — running a third warm pass")
+        val l = loadAvg(); val (r, w) = runBatch(); (Some(r), Some(w), Some(l))
+      } else (None, None, None)
+    val warmPasses = Seq((warm1Results, warm1Wall), (warm2Results, warm2Wall)) ++
+      warm3Results.map(r => (r, warm3Wall.get))
+    val (results, wall) = warmPasses.minBy(_._2)
     pool.shutdown()
-    val passes = f""""passes":{"cold":$coldWall%.3f,"cold_batch":$coldBatchWall%.3f,"warm1":$warm1Wall%.3f,"warm2":$warm2Wall%.3f},"loadavg":{"cold":$loadCold%.2f,"warm1":$loadW1%.2f,"warm2":$loadW2%.2f}"""
+    val warm3Json = warm3Wall.map(w => f""","warm3":$w%.3f""").getOrElse("")
+    val loadW3Json = loadW3.map(l => f""","warm3":$l%.2f""").getOrElse("")
+    val passes = f""""passes":{"cold":$coldWall%.3f,"cold_batch":$coldBatchWall%.3f,"warm1":$warm1Wall%.3f,"warm2":$warm2Wall%.3f$warm3Json},"loadavg":{"pre":$preLoad%.2f,"cold":$loadCold%.2f,"warm1":$loadW1%.2f,"warm2":$loadW2%.2f$loadW3Json},"contended":$contended,"gate_waited_sec":${f"$gateWaited%.1f"}"""
 
     def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -89,6 +89,14 @@ object ConversionGraph {
       Edge(StreamingDataFrameType, DataFrameType, "converter:stream_to_batch_memory_sink"),
       Edge(DataFrameType, StreamingDataFrameType, "converter:batch_as_stream_source")
     )
-    ConversionGraph(readerEdges ++ writerEdges ++ streamEdges)
+    // LLM service chain (reference convert.py:561 GGUFToLlamaCPPService,
+    // :569 LLamaCPPServiceToOpenAIService): a GGUF model file plans to a
+    // spawned llama.cpp server (ops.LlmService.start) whose /v1 surface
+    // is an OpenAI endpoint feeding LlmOps transports.
+    val serviceEdges = Seq(
+      Edge("datatype:gguf", "service:llama_cpp", "reader:llama_server"),
+      Edge("service:llama_cpp", "service:openai", "converter:llama_to_openai")
+    )
+    ConversionGraph(readerEdges ++ writerEdges ++ streamEdges ++ serviceEdges)
   }
 }

@@ -87,10 +87,16 @@ object Decontam {
   /** Cross-source contamination matrix: for every unordered source pair,
     * the count of DISTINCT word n-grams both sources contain — the
     * corpus-audit view of [[ngramOverlap]] (which crawl/benchmark
-    * sources leak into which). Scale shape: grams dedup per source
-    * BEFORE the self-join (partial-agg distinct), the join key is the
-    * 64-bit gram hash when `hashGrams` (no strings through the
-    * shuffle), and the output is O(sources²) rows, never O(docs).
+    * sources leak into which). Scale shape: ONE shuffle — grams group
+    * straight to a per-gram source SET (`collect_set` dedups with
+    * map-side partial aggregation, so the per-source `distinct` +
+    * gram-keyed self-join the round-15 profile flagged at 4.0x DuckDB
+    * never happens); pair expansion is a map-side double-explode of a
+    * set bounded by the SOURCE cardinality (tiny — sources are
+    * crawls/datasets, not docs), and the final pair count partial-aggs
+    * to O(partitions x sources²) rows. The join key is the 64-bit gram
+    * hash when `hashGrams` (no strings through the shuffle); output is
+    * O(sources²) rows, never O(docs).
     */
   def crossSourceOverlap(
       docs: DataFrame,
@@ -102,11 +108,13 @@ object Decontam {
   ): DataFrame = {
     val key = if (hashGrams) xxhash64(col("_gram")) else col("_gram")
     val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
-    val grams = explodedGrams(base, sourceCol, textCol, n)
-      .select(col(sourceCol), key.as("_g")).distinct()
-    val a = grams.select(col(sourceCol).as("source_a"), col("_g"))
-    val b = grams.select(col(sourceCol).as("source_b"), col("_g"))
-    a.join(b, Seq("_g"))
+    val bySources = explodedGrams(base, sourceCol, textCol, n)
+      .select(key.as("_g"), col(sourceCol))
+      .groupBy(col("_g")).agg(collect_set(col(sourceCol)).as("_ss"))
+      .where(size(col("_ss")) >= 2)
+    bySources
+      .select(explode(col("_ss")).as("source_a"), col("_ss"))
+      .select(col("source_a"), explode(col("_ss")).as("source_b"))
       .where(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_grams"))

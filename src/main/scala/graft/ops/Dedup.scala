@@ -386,54 +386,102 @@ object Dedup {
     lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
   }
 
-  /** Connected components over a near-dup pair list by iterative
-    * min-label propagation: every node repeatedly adopts the smallest
-    * label among itself and its neighbors. Each round is one join + one
-    * aggregation (shuffle on node id); rounds are bounded — near-dup
-    * graphs are dense cliques with tiny diameters, so a handful of
-    * rounds converges (SURVEY §7 step 9 "connected components via
-    * iterative join, bounded rounds"). Returns (id, component) where
-    * component is the minimum id reachable within `maxIter` hops.
+  /** Connected components over a near-dup pair list by the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * the edge set toward stars centered at component minima —
+    *   large-star: every node points its LARGER neighbors at the min of
+    *     its closed neighborhood;
+    *   small-star: every node folds its smaller neighbors (and itself)
+    *     onto that min.
+    * The edge set converges to one star per component in O(log d)
+    * rounds (vs d rounds for hop-by-hop min-label propagation — the
+    * round-15 profile showed the per-hop variant paying 4 full
+    * join+agg+checkpoint rounds where cliques need 1 star round), and
+    * every intermediate edge set is no larger than the input, so no
+    * round shuffles more than the pair list itself. Returns
+    * (id, component) where component is the min id in the node's
+    * component (exact once converged; min-reachable-within-2^rounds
+    * under a blind cap). Rows mentioned only in self-pairs label
+    * themselves, matching the old propagation contract.
+    *
+    * `maxIter` bounds ROUNDS (each covers ~2x the diameter of the last);
+    * `checkConvergence` stops early via a (count, hash-sum) fingerprint
+    * of the edge set — one tiny agg job per round over the checkpointed
+    * (and shrinking) edges, far cheaper than the old join-based change
+    * detection (+8s on the sf0.1 warm batch).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20, checkConvergence: Boolean = true): DataFrame = {
     // Materialize the pair list ONCE and truncate its lineage: the pair
-    // plan is referenced by every propagation round, and without
-    // truncation each round re-embeds the entire upstream (LSH) DAG in
-    // its plan — the round-1 plan audit measured 161 exchanges / 490
-    // broadcasts for a single CC round. With per-round localCheckpoint
-    // the plan stays O(1) in rounds instead of O(2^rounds). Checkpoint
-    // BEFORE mirroring, not after: a union of two live LSH branches
-    // would evaluate the signature pipeline twice in the one job.
+    // plan is referenced by every star round, and without truncation
+    // each round re-embeds the entire upstream (LSH) DAG in its plan —
+    // the round-1 plan audit measured 161 exchanges / 490 broadcasts
+    // for a single CC round. Per-round localCheckpoint keeps the plan
+    // O(1) in rounds instead of O(2^rounds).
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
-    val edges = p.unionByName(p.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("component", col("id"))
+    val nodes = p.select(col("id1").as("id")).unionByName(p.select(col("id2").as("id"))).distinct()
+    // Round 1 mirrors the RAW pair list (self-pairs dropped): duplicate
+    // edges never change a min, so the canonicalize+distinct+checkpoint
+    // a separate init pass would pay (one serialized job, two exchanges)
+    // is folded into the first round for free.
+    var edges = p.filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("lo"), greatest(col("id1"), col("id2")).as("hi"))
     var iter = 0
     var converged = false
-    // The default is convergence-checked (one cheap limit(1).count() per
-    // round) with a generous round cap: at scale a chain-shaped component
-    // would silently under-merge under a small blind round count, with no
-    // signal. Callers with a KNOWN graph shape (dense near-dup cliques)
-    // or a matched-round oracle pass an explicit small maxIter — early
-    // convergence never changes labels, it only skips no-op rounds.
+    var lastFp: Option[(Long, Long)] = None
     while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "_nc"), Seq("id2"))
-        .groupBy(col("id1").as("id"))
-        .agg(min("_nc").as("_minNeighbor"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("_minNeighbor"), col("component"))).as("component"))
+      // large-star: per-node min over the MIRRORED neighborhood, pointing
+      // every larger neighbor v at m = min(N(u) ∪ {u}); m <= u < v keeps
+      // the lo<hi invariant. The explicit repartition on u lets the
+      // groupBy AND the re-attach join both reuse ONE exchange (verified:
+      // without it the mirrored frame shuffles twice). min-via-groupBy +
+      // join, NOT collect_list or a window: a hub node's neighbor list
+      // must never materialize in one task's buffer.
+      val mirrored = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+        .repartition(col("u"))
+      val largeMin = mirrored.groupBy("u").agg(min("v").as("mn"))
+      val large = mirrored.join(largeMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("mn"), col("u")).as("lo"), col("v").as("hi"))
+        .repartition(col("hi"))
+      // small-star: group all smaller neighbors on hi; m = min(los) < hi.
+      // Fold the remaining los and hi itself onto m. Same one-exchange
+      // reuse trick on hi.
+      val smallMin = large.groupBy("hi").agg(min("lo").as("mn"))
+      val folded = large.join(smallMin, Seq("hi"))
+        .filter(col("lo") =!= col("mn"))
+        .select(col("mn").as("lo"), col("lo").as("hi"))
+        .unionByName(smallMin.select(col("mn").as("lo"), col("hi")))
+        .distinct() // the fingerprint below is a SET fingerprint
+      // Convergence rides the checkpoint job as OBSERVED metrics — zero
+      // extra jobs per round (the round-16 profile showed a separate
+      // fingerprint agg adding a serialized job per round). bit_xor, not
+      // sum: xor of distinct-edge hashes is a set fingerprint with no
+      // ANSI overflow path.
+      val obs = if (checkConvergence)
+        Some(new org.apache.spark.sql.Observation(s"cc_fp_$iter")) else None
+      val next = obs.fold(folded)(o => folded.observe(o,
+        count(lit(1)).as("n"), bit_xor(xxhash64(col("lo"), col("hi"))).as("x")))
         .localCheckpoint() // truncate: next round's plan starts from a leaf
-      if (checkConvergence) {
-        val changed = updated.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
-          .filter(col("component") =!= col("_old")).limit(1).count()
-        converged = changed == 0
-      }
-      labels = updated
+      edges = next
       iter += 1
+      obs.foreach { o =>
+        val m = o.get // action already ran; this only waits on the listener
+        val cur = (m("n").asInstanceOf[Long], Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L))
+        converged = lastFp.contains(cur)
+        lastFp = Some(cur)
+      }
     }
-    labels
+    // At convergence edges are stars: hi -> lo IS the labeling and each
+    // hi appears once; under a blind cap a node may still sit in several
+    // partially-folded edges, so take the min. Centers and edge-less
+    // nodes label themselves. NOT checkpointed: the plan is O(1) already
+    // (two exchanges over the checkpointed star edges) and callers fold
+    // it into their own next job instead of paying a serialized one here.
+    val starLabels = edges.groupBy(col("hi").as("id")).agg(min("lo").as("_comp"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_comp"), col("id")).as("component"))
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH pairs → connected components

@@ -88,22 +88,54 @@ object Similarity {
       groups: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
-    def banded(df: DataFrame, idc: String, vecc: String, idOut: String, vecOut: String): DataFrame = {
+    // Band rows carry ONLY (id, band, bucket): the candidate join and the
+    // pair dedup below must not shuffle the embedding vectors groupsx
+    // over — at scale the shuffle width is the whole game (the
+    // lshCandidatePairs mold, Dedup.scala). Vectors re-attach AFTER the
+    // id-only dedup: the query side re-attaches via broadcast (queries
+    // are the small side by contract), the corpus side via one equi-join.
+    bucketedTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
+      v => VectorFunctions.lshBandBuckets(v, bitsPerGroup, groups, dim, seed))
+  }
+
+  /** Shared candidate pipeline for bucketed ANN: `bucketsOf` maps a vector
+    * column to an array of per-band bucket keys; rows sharing any
+    * (band, bucket) become candidates.
+    */
+  private def bucketedTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      bucketsOf: Column => Column
+  ): DataFrame = {
+    def banded(df: DataFrame, idc: String, vecc: String, idOut: String): DataFrame = {
       df.select(
         col(idc).as(idOut),
-        col(vecc).as(vecOut),
-        posexplode(VectorFunctions.lshBandBuckets(col(vecc), bitsPerGroup, groups, dim, seed))
+        posexplode(bucketsOf(col(vecc)))
       )
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
     }
-    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", "_cv")
-    val q = banded(queries, queryId, queryVec, "query_id", "_qv")
-    val cand = c
+    val c = banded(corpus, corpusId, corpusVec, "neighbor_id")
+    val q = banded(queries, queryId, queryVec, "query_id")
+    val candIds = c
       .join(q, Seq("_band", "_bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    // corpus re-attach FIRST (the only vector-carrying exchange — its
+    // left side is still id-width), THEN the broadcast query re-attach
+    // (exchange-free): the other order would ship _qv through the
+    // corpus join's shuffle.
+    val cand = candIds
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))),
+        Seq("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -111,6 +143,64 @@ object Similarity {
       )
     Relational.topKPerGroup(cand, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
+
+  /** Hash-exact oracle twin of the hyperplane buckets: INTEGER
+    * hyperplanes — coefficient for (hyperplane h, 1-based dim i) is
+    * `(a_h*i + b_h) mod (2^31-1) - 2^30` over components quantized to
+    * `floor(v*1000)` — so the sign bits, and therefore every bucket,
+    * are exact BIGINT arithmetic any engine reproduces bit-for-bit (the
+    * q78 md5 mold applied to ANN; the scale path keeps the codegen'd
+    * float hyperplanes of [[VectorFunctions.lshBandBuckets]]). Overflow
+    * headroom under ANSI Long: |dot| <= dims * 1000*|v|max * 2^30 —
+    * ~6e16 for unit-norm 64-dim embeddings.
+    */
+  def portableLshBuckets(vec: Column, bitsPerGroup: Int, groups: Int, seed: Long): Column = {
+    val (a, b) = graft.ops.Dedup.portableCoeffs(groups * bitsPerGroup, seed)
+    val P = 2147483647L
+    val half = P / 2
+    val q = transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
+    array((0 until groups).map { g =>
+      (0 until bitsPerGroup).map { j =>
+        val h = g * bitsPerGroup + j
+        val dot = aggregate(
+          zip_with(q, sequence(lit(1L), size(vec).cast("long")),
+            (x, i) => x * ((lit(a(h)) * i + lit(b(h))) % P - half)),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** [[lshTopK]] with the portable integer-hyperplane buckets — the ANN
+    * variant whose WHOLE pipeline (quantize, sign bits, banding,
+    * candidate join, exact cosine, top-k) is value-checked against a
+    * DuckDB oracle instead of rows-only.
+    */
+  def portableLshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      bitsPerGroup: Int = 6,
+      groups: Int = 6,
+      seed: Long = 42L
+  ): DataFrame =
+    bucketedTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
+      v => portableLshBuckets(v, bitsPerGroup, groups, seed))
+
+  /** Portable centroid seeding: the centroids ARE the corpus rows with
+    * id < n, in id order — no sample, no Lloyd rounds — so the whole IVF
+    * assignment (argmax cosine, ties to the lower centroid id, matching
+    * [[nearestCentroid]]'s strict-> scan) is replicable in engine-neutral
+    * SQL. Driver-side collect of n rows (n x dim floats, tiny), the same
+    * boundedness contract as [[trainIvfCentroids]]'s sample.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Float]] =
+    corpus.filter(col(idCol) < n).orderBy(idCol).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toArray)
 
   /** IVF (inverted-file) index: k-means coarse centroids trained with a
     * few Lloyd iterations. Centroids live on the driver (k×dim floats —

@@ -438,24 +438,23 @@ object TextQueries {
     ),
     (
       "q76_cc_exact",
-      // Connected components oracle-checked: the same min-label
-      // propagation the near-dup clustering runs (Dedup.connectedComponents),
-      // over the DuckDB-replicable exact-Jaccard pair graph of q41, with
-      // the SAME fixed round count on both sides — so labels match even
-      // if a component's diameter exceeds the rounds.
+      // Connected components oracle-checked: the alternating large-star/
+      // small-star rewiring the near-dup clustering runs
+      // (Dedup.connectedComponents), over the DuckDB-replicable
+      // exact-Jaccard pair graph of q41. Both sides now compute TRUE
+      // components (min reachable id, any diameter): the Spark side via
+      // star convergence (fingerprint-checked, O(log d) rounds), the SQL
+      // via a recursive label-closure CTE — a stronger contract than the
+      // old matched-4-round unroll, and one that stays green at any SF.
       (s, dir) => {
         val pairs = Dedup.exactJaccardPairs(
           table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.55)
           .select(col("id1"), col("id2"))
-        // checkConvergence=false: the round count IS the oracle contract
-        // here (the SQL unrolls exactly 4 rounds), and the per-round
-        // change-detection action costs a serialized job per round —
-        // measured +8s on the sf0.1 warm batch when left on.
-        Dedup.connectedComponents(pairs, maxIter = 4, checkConvergence = false)
+        Dedup.connectedComponents(pairs)
           .select(col("id"), col("component"))
       },
       Some(s"""
-        WITH words AS (
+        WITH RECURSIVE words AS (
           SELECT doc_id AS _id, unnest(list_distinct(${duckTokens("text")})) AS _w
           FROM documents WHERE doc_id < 200
         ), sizes AS (
@@ -471,26 +470,15 @@ object TextQueries {
           WHERE CAST(_inter AS DOUBLE) / (s1._n + s2._n - _inter) >= 0.55
         ), e AS (
           SELECT id1, id2 FROM pairs UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs
-        ), l0 AS (
-          SELECT DISTINCT id1 AS id, id1 AS comp FROM e
-        ), l1 AS (
-          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
-          FROM l0 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l0 n ON n.id = e.id2
-          GROUP BY l.id, l.comp
-        ), l2 AS (
-          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
-          FROM l1 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l1 n ON n.id = e.id2
-          GROUP BY l.id, l.comp
-        ), l3 AS (
-          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
-          FROM l2 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l2 n ON n.id = e.id2
-          GROUP BY l.id, l.comp
-        ), l4 AS (
-          SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
-          FROM l3 l LEFT JOIN e ON e.id1 = l.id LEFT JOIN l3 n ON n.id = e.id2
-          GROUP BY l.id, l.comp
+        ), r(id, m) AS (
+          -- label closure: every node starts as its own label; labels
+          -- flow across edges until fixpoint (UNION dedups → terminates).
+          -- Exact min-reachable-id at oracle scale (components are small).
+          SELECT DISTINCT id1 AS id, id1 AS m FROM e
+          UNION
+          SELECT e.id1 AS id, r.m FROM e JOIN r ON r.id = e.id2
         )
-        SELECT id, comp AS component FROM l4
+        SELECT id, min(m) AS component FROM r GROUP BY id
       """)
     ),
     (
@@ -800,6 +788,106 @@ object TextQueries {
                CAST(max(ord) AS BIGINT) AS last_order,
                CAST(sum(ord) AS BIGINT) AS sum_order
         FROM s GROUP BY shard
+      """)
+    ),
+    (
+      "q86_lsh_knn_portable",
+      // Hash-exact ANN twin of q51: integer hyperplanes (quantize to
+      // floor(v*1000), coefficient (a_h*i+b_h) mod 2^31-1 shifted to be
+      // signed) make every sign bit, band bucket, candidate pair, and
+      // rounded cosine value-checkable against DuckDB — q51's recall
+      // stays spec'd in RecallSweepSpec; THIS pins the pipeline.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.portableLshTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, bitsPerGroup = 6, groups = 6, seed = 42L)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some {
+        val (a, b) = Dedup.portableCoeffs(36, 42L)
+        def bucketExpr(g: Int): String = (0 until 6).map { j =>
+          val h = g * 6 + j
+          s"""(CASE WHEN list_sum(list_transform(qv, (x,i) -> x * ((${a(h)} * i + ${b(h)}) % 2147483647 - 1073741823))) > 0 THEN ${1L << j} ELSE 0 END)"""
+        }.mkString("(", " + ", ")")
+        val buckets = (0 until 6).map(bucketExpr).mkString(",\n                 ")
+        s"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+          FROM embeddings
+        ), bk AS (
+          SELECT vec_id, unnest(range(0, 6)) AS band,
+                 unnest([$buckets]) AS bucket
+          FROM q
+        ), cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM (SELECT * FROM bk WHERE vec_id < 10) qb
+          JOIN bk cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+                    AND cb.vec_id <> qb.vec_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(qe.embedding, ce.embedding) AS cos
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.query_id
+          JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
+        """
+      }
+    ),
+    (
+      "q87_ivf_knn_portable",
+      // Hash-exact IVF twin of q58: centroids are the FIRST 16 corpus
+      // vectors (no sample, no Lloyd rounds), so assignment (argmax
+      // cosine, ties to lower centroid id), probing (top-4 cells), and
+      // scoring replicate in SQL — q58's k-means recall stays spec'd;
+      // THIS pins the assign→probe→join→top-k machinery.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, centroids, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+        ), assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cents c)
+          WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(qe.embedding, ce.embedding) AS cos
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.query_id
+          JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
       """)
     )
   )

@@ -712,7 +712,7 @@ object DeltaReader {
       Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2))).getOrElse((1, 2))
     val row = Row("delta", id, table.stripSuffix("/"),
       createdAt.map(new java.sql.Timestamp(_)).orNull,
-      state.partitionCols, state.liveFiles.size.toLong,
+      state.partitionCols.toList, state.liveFiles.size.toLong,
       state.liveFiles.map(_.size).sum, configuration, rv, wv)
     spark.createDataFrame(Seq(row).asJava, StructType(Seq(
       StructField("format", StringType),

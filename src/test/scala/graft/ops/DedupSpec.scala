@@ -85,17 +85,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents default converges a diameter-5 chain fully") {
-    // 1-2-3-4-5-6: min-label propagation moves one hop per round, so a
-    // blind 3-round cap under-merges (node 6 would stop at label 3).
-    // The convergence-checked default must fully merge to label 1 — the
-    // scale-path guarantee for chain-shaped components (VERDICT r4 #3).
+    // 1-2-3-4-5-6: a blind 1-round cap under-merges a long chain even
+    // under star rewiring. The convergence-checked default must fully
+    // merge to label 1 — the scale-path guarantee for chain-shaped
+    // components (VERDICT r4 #3).
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id1", "id2")
     val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
     assert(comps.size == 6)
     (1L to 6L).foreach(id => assert(comps(id) == 1L, s"node $id got ${comps(id)}"))
-    // explicit small cap keeps matched-round semantics for the oracles
-    val capped = Dedup.connectedComponents(chain, maxIter = 1).as[(Long, Long)].collect().toMap
-    assert(capped(6L) == 5L) // one hop only
+    // one large-star+small-star round on the chain: node 6's closed
+    // neighborhood min is 4 (via 5's large-star emit (6,4)), not yet 1 —
+    // a blind cap is partial, by design, and callers own that choice
+    val capped = Dedup.connectedComponents(chain, maxIter = 1, checkConvergence = false)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(6L) == 4L && capped(1L) == 1L)
   }
 
   test("md5Hash31 matches DuckDB md5_number_upper % (2^31-1)") {

@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.PosixFilePermissions
+
+import graft.SparkSpec
+import graft.datatypes.DataRef
+import org.apache.spark.sql.functions._
+
+/** E2E lifecycle: GGUF DataRef → spawned (fake) llama.cpp server process →
+  * health poll → OpenAI transport → distributed embed/complete — the whole
+  * reference chain (readers.py:583 LlamaServerReader, convert.py:561/569)
+  * against a REAL child process, offline (FakeLlamaServer).
+  */
+class LlmServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A shell shim standing in for the llama-server binary: launches
+    * FakeLlamaServer from this JVM's classpath with the argv the manager
+    * builds (`exe -m model --host h --port p ...`). */
+  private lazy val fakeExe: Path = {
+    val cp = System.getProperty("java.class.path")
+    val java = System.getProperty("java.home") + "/bin/java"
+    val script = Files.createTempFile("fake-llama-server", ".sh",
+      PosixFilePermissions.asFileAttribute(PosixFilePermissions.fromString("rwx------")))
+    Files.writeString(script,
+      s"""#!/bin/sh
+         |exec "$java" -cp "$cp" graft.ops.FakeLlamaServer "$$@"
+         |""".stripMargin)
+    script
+  }
+
+  private lazy val ggufModel: Path = {
+    val f = Files.createTempFile("model", ".gguf")
+    Files.write(f, "GGUF".getBytes("ISO-8859-1") ++ Array.fill[Byte](16)(0))
+    f
+  }
+
+  test("normalizeArgs: short names expand, underscores dash, bare flags pass") {
+    val out = LlmService.normalizeArgs(Seq(
+      "c" -> Some("2048"),           // short -> --ctx-size 2048
+      "n_gpu_layers" -> Some("0"),   // underscore -> dash
+      "verbose" -> None,             // bare flag
+      "--log-disable" -> Some("")))  // already-dashed, empty value -> bare
+    assert(out == Seq("--ctx-size", "2048", "--n-gpu-layers", "0", "--verbose", "--log-disable"))
+  }
+
+  test("start refuses a non-GGUF model and a missing executable loudly") {
+    val notGguf = Files.createTempFile("model", ".gguf")
+    Files.write(notGguf, "NOPE".getBytes("ISO-8859-1"))
+    val e = intercept[IllegalArgumentException] {
+      LlmService.start(notGguf.toString, executable = Some(fakeExe.toString))
+    }
+    assert(e.getMessage.contains("bad magic"))
+  }
+
+  test("start spawns, health-polls through a slow boot, serves, and stops") {
+    val h = LlmService.start(
+      ggufModel.toString,
+      executable = Some(fakeExe.toString),
+      args = Seq("startup_delay_ms" -> Some("800")), // forces >1 poll round
+      startupTimeoutSec = 30)
+    try {
+      assert(h.alive)
+      assert(h.url.startsWith("http://127.0.0.1:"))
+      assert(h.openAiUrl.endsWith("/v1"))
+      // the transport speaks OpenAI against the spawned process — from
+      // executors via mapPartitions, the LlmOps scale shape
+      val docs = Seq((0L, "hello spark"), (1L, "hello spark"), (2L, "other")).toDF("id", "text")
+      val emb = LlmOps.embedText(docs, "text", h.transport(), batchSize = 2)
+        .select(col("id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+      assert(emb(0L) == emb(1L) && emb(0L) != emb(2L))
+      assert(emb(0L) == FakeLlamaServer.detEmbedding("hello spark").toSeq)
+      val comp = LlmOps.completeText(docs, "text", h.transport(), batchSize = 2)
+        .select(col("id"), col("completion")).as[(Long, String)].collect().toMap
+      assert(comp(2L) == "echo:other")
+    } finally h.stop()
+    assert(!h.alive)
+    assert(h.process.exists(!_.isAlive))
+  }
+
+  test("startup failure: early process death fails fast with the log path") {
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] {
+      LlmService.start(
+        ggufModel.toString,
+        executable = Some(fakeExe.toString),
+        args = Seq("die" -> None),
+        startupTimeoutSec = 60)
+    }
+    assert(e.getMessage.contains("could not start") && e.getMessage.contains(".log"))
+    // died-process detection, not timeout expiry (readers.py:755 P.poll())
+    assert((System.nanoTime() - t0) < 30L * 1000000000L)
+  }
+
+  test("startOrAttach attaches to a live server instead of respawning; attach never kills") {
+    val h1 = LlmService.start(ggufModel.toString, executable = Some(fakeExe.toString))
+    try {
+      val port = h1.url.split(":").last.toInt
+      val h2 = LlmService.startOrAttach(ggufModel.toString, port = port)
+      assert(h2.url == h1.url && h2.process.isEmpty) // attached, not owned
+      h2.stop()                                      // non-owning: no kill
+      assert(h1.alive)
+    } finally h1.stop()
+  }
+
+  test("fromGguf runs the whole DataRef chain with option pass-through") {
+    val ref = DataRef("gguf", ggufModel.toString,
+      Map("executable" -> fakeExe.toString, "startup_timeout" -> "30",
+        "startup_delay_ms" -> "200"))
+    val h = LlmService.fromGguf(ref)
+    try {
+      assert(h.alive)
+      val Seq(v) = h.transport().embed(Seq("abc"))
+      assert(v.toSeq == FakeLlamaServer.detEmbedding("abc").toSeq)
+    } finally h.stop()
+  }
+
+  test("fromGguf rejects non-gguf refs") {
+    intercept[IllegalArgumentException] {
+      LlmService.fromGguf(DataRef("parquet", "/tmp/x.parquet"))
+    }
+  }
+}

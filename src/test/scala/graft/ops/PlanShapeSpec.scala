@@ -41,6 +41,41 @@ class PlanShapeSpec extends SparkSpec {
       s"query side must broadcast:\n$plan")
   }
 
+  test("lshTopK: the candidate-pair dedup exchange carries ids only, no vectors") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(50)(i => (i.toLong, Array.fill(4)(i.toFloat + 1))).toDF("id", "embedding")
+    val queries = Seq.tabulate(3)(i => (1000L + i, Array.fill(4)(0.5f + i))).toDF("qid", "qemb")
+    withStaticPlans {
+    val df = Similarity.lshTopK(corpus, "id", "embedding", queries, "qid", "qemb",
+      k = 3, dim = 4)
+    // The banded candidate join and the pair dedup run BEFORE vectors
+    // re-attach, so their exchanges must be id-width: a vector column
+    // (array<float>) inside any multi-key-partitioned exchange marks the
+    // round-15 width regression (VERDICT r15 #4) — bands x full
+    // embeddings through the wire. The ONE allowed vector-carrying
+    // shuffle is the single-key corpus re-attach join after the dedup.
+    def isVec(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the candidate dedup to shuffle")
+    val vecWide = exchanges.filter(_.output.exists(a => isVec(a.dataType)))
+    val multiKeyVec = vecWide.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => h.expressions.length >= 2
+      case _ => true // range/single-partition exchanges must never carry vectors here
+    })
+    assert(multiKeyVec.isEmpty,
+      s"candidate/dedup shuffles must carry ids only, found vector columns in:\n${multiKeyVec.map(_.output.mkString(",")).mkString("\n")}")
+    assert(vecWide.size <= 1,
+      s"at most the corpus re-attach join may shuffle vectors, found ${vecWide.size}")
+    // and the result is still a real top-k
+    assert(df.count() > 0)
+    }
+  }
+
   test("exact dedup plans a partial (map-side) aggregate before the shuffle") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong, s"doc${i % 10}")).toDF("doc_id", "text")
@@ -113,19 +148,25 @@ class PlanShapeSpec extends SparkSpec {
 
   test("connected components' per-round localCheckpoint keeps the returned plan O(1) in rounds") {
     import spark.implicits._
-    // A 9-node chain forces 8 real propagation rounds (min-label moves
-    // one hop per round). Without the per-round lineage truncation the
-    // 8-round plan re-embeds every prior round's joins (the round-1
-    // audit measured 161 exchanges); with it, the returned frame reads
-    // from a checkpointed RDD leaf.
+    // A 9-node chain takes several star rounds. Without the per-round
+    // lineage truncation an N-round plan re-embeds every prior round's
+    // joins (the round-1 audit measured 161 exchanges); with it, the
+    // returned frame is a CONSTANT-size label extraction over a
+    // checkpointed edge leaf — the same exchange count whether the loop
+    // ran 1 round or 8.
     val pairs = Seq.tabulate(8)(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
-    val labels = Dedup.connectedComponents(pairs, maxIter = 8, checkConvergence = false)
-    val plan = physical(labels)
-    val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges == 0, s"returned CC plan must be a checkpointed leaf, found $exchanges exchanges:\n$plan")
-    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
-      s"expected a checkpoint-scan leaf:\n$plan")
+    def planOf(rounds: Int): String = physical(
+      Dedup.connectedComponents(pairs, maxIter = rounds, checkConvergence = false))
+    val plan1 = planOf(1)
+    val plan8 = planOf(8)
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    assert(exchanges(plan8) <= exchanges(plan1),
+      s"label-extraction plan must not grow with rounds: ${exchanges(plan1)} vs ${exchanges(plan8)}:\n$plan8")
+    assert(exchanges(plan8) <= 5, s"label extraction must stay a small constant plan:\n$plan8")
+    assert(plan8.contains("ExistingRDD") || plan8.contains("LocalTableScan"),
+      s"expected checkpoint-scan leaves under the label extraction:\n$plan8")
     // And the labels are right: the whole chain collapses to component 0.
+    val labels = Dedup.connectedComponents(pairs, maxIter = 8, checkConvergence = false)
     val comps = labels.select("component").distinct().as[Long].collect().toSeq
     assert(comps == Seq(0L))
   }

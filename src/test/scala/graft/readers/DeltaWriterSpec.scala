@@ -852,7 +852,7 @@ class DeltaWriterSpec extends SparkSpec {
     DeltaWriter.write(spark, Seq((1L, 7)).toDF("id", "p"), dp, partitionBy = Seq("p"),
       tableConf = Map("delta.enableChangeDataFeed" -> "true"))
     val d2 = DeltaReader.detail(spark, dp).collect().head
-    assert(d2.getAs[Seq[String]]("partitionColumns") == Seq("p"))
+    assert(d2.getSeq[String](d2.fieldIndex("partitionColumns")).toSeq == Seq("p"))
     assert(d2.getAs[Map[String, String]]("properties")
       .get("delta.enableChangeDataFeed").contains("true"))
     assert(d2.getAs[Int]("minWriterVersion") == 4)
