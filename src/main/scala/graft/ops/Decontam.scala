@@ -38,6 +38,32 @@ object Decontam {
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_gram")
     )
 
+  /** The hashGrams fast path: 64-bit gram hashes per row, exploded —
+    * gram strings never materialize ([[Dedup.gramHashes]]); the string
+    * path above stays for `hashGrams=false` oracle runs. `perRowDistinct`
+    * stays ON for every caller: even the set-valued consumer
+    * (crossSourceOverlap's collect_set) measured 3x slower without it —
+    * repetitive text makes within-row dup grams common enough that the
+    * per-row hash-set walk pays for itself before the shuffle. */
+  private def explodedGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
+      perRowDistinct: Boolean = true) = {
+    // STAGED through a projection: the gram expression references the
+    // token-hash array 4x (size guard, short-text branch, sequence bound,
+    // slice source), and interpreted HOF trees re-evaluate each
+    // occurrence — inlined, the regex tokenizer ran 4x per row (round-16
+    // profile). An alias boundary makes it once; CollapseProject leaves
+    // multi-referenced non-cheap aliases alone.
+    val th = df.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+    val gs = when(size(col("_th")) < n, array(xxhash64(col("_th"))))
+      .otherwise(transform(sequence(lit(0), size(col("_th")) - n),
+        i => xxhash64(slice(col("_th"), i + 1, lit(n)))))
+    th.select(
+      col(idCol),
+      explode(if (perRowDistinct) array_distinct(gs) else gs).as("_g")
+    )
+  }
+
   /** Per-(document, probe) n-gram overlap: one row for each training doc
     * sharing at least one word n-gram with a probe document, with the
     * shared-gram count and the contaminated fraction of the probe's grams.
@@ -57,15 +83,15 @@ object Decontam {
       broadcastProbes: Boolean = true,
       repartitionTo: Option[Int] = None
   ): DataFrame = {
-    val key = if (hashGrams) xxhash64(col("_gram")) else col("_gram")
     // A 100 TB corpus arrives in thousands of scan partitions; a local
     // single-parquet-file scan arrives in ONE, serializing the gram
     // pipeline — spread it before the compute-heavy shingling stage.
     val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
-    val docGrams = explodedGrams(base, idCol, textCol, n)
-      .select(col(idCol), key.as("_k"))
-    val probeGramsRaw = explodedGrams(probes, probeIdCol, probeTextCol, n)
-      .select(col(probeIdCol), key.as("_k"))
+    def grams(df: DataFrame, id: String, text: String): DataFrame =
+      if (hashGrams) explodedGramHashes(df, id, text, n).withColumnRenamed("_g", "_k")
+      else explodedGrams(df, id, text, n).select(col(id), col("_gram").as("_k"))
+    val docGrams = grams(base, idCol, textCol)
+    val probeGramsRaw = grams(probes, probeIdCol, probeTextCol)
     val probeSizes = probeGramsRaw.groupBy(probeIdCol).agg(count(lit(1)).as("probe_grams"))
     val probeGrams = {
       val p = probeGramsRaw.join(probeSizes, Seq(probeIdCol))
@@ -106,10 +132,11 @@ object Decontam {
       hashGrams: Boolean = true,
       repartitionTo: Option[Int] = None
   ): DataFrame = {
-    val key = if (hashGrams) xxhash64(col("_gram")) else col("_gram")
     val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
-    val bySources = explodedGrams(base, sourceCol, textCol, n)
-      .select(key.as("_g"), col(sourceCol))
+    val sourceGrams =
+      if (hashGrams) explodedGramHashes(base, sourceCol, textCol, n)
+      else explodedGrams(base, sourceCol, textCol, n).select(col(sourceCol), col("_gram").as("_g"))
+    val bySources = sourceGrams
       .groupBy(col("_g")).agg(collect_set(col(sourceCol)).as("_ss"))
       .where(size(col("_ss")) >= 2)
     bySources

@@ -55,6 +55,27 @@ object Dedup {
       )
   }
 
+  /** 64-bit n-gram hashes WITHOUT materializing gram strings: each token
+    * hashes once, each gram is the structural xxhash64 of its n-token
+    * hash slice — so the per-gram work is n long-copies + one 40-byte
+    * hash instead of an n-token string concat + a ~30-char string hash
+    * (the round-16 q85 profile put gram-string building at most of the
+    * query). Distinctness matches [[shingles]] modulo 64-bit collisions —
+    * the same ~G²/2⁶⁴ argument the hashed join keys already carry. Texts
+    * shorter than n tokens contribute one whole-sequence gram, same
+    * convention as [[shingles]].
+    */
+  def gramHashes(text: Column, n: Int): Column = {
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    when(size(th) < n, array(xxhash64(th)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(th) - n),
+          i => xxhash64(slice(th, i + 1, lit(n)))
+        )
+      )
+  }
+
   // 2^31-1: products a*h stay below 2^62, safe under ANSI Long arithmetic.
   private val MersennePrime = (1L << 31) - 1
 
@@ -411,7 +432,21 @@ object Dedup {
     * (and shrinking) edges, far cheaper than the old join-based change
     * detection (+8s on the sf0.1 warm batch).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20, checkConvergence: Boolean = true): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20, checkConvergence: Boolean = true): DataFrame =
+    connectedComponents(pairs, maxIter, checkConvergence, smallGraphEdges = 1L << 20)
+
+  /** @param smallGraphEdges pair lists at or under this size skip the
+    *        distributed rounds entirely: one bounded collect (≤1M edges
+    *        ≈ 16 MB of ids — the same boundedness class as the IVF
+    *        centroid sample) and a driver union-find produce the exact
+    *        labels in a single job where the iterative path pays
+    *        rounds x exchanges of pure fixed cost. The pair count is
+    *        known for free off the checkpointed pair frame. 0 disables.
+    *        At 100 TB near-dup pair lists blow past any such cap in the
+    *        first partition — the star rounds stay the scale path.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int, checkConvergence: Boolean,
+      smallGraphEdges: Long): DataFrame = {
     // Materialize the pair list ONCE and truncate its lineage: the pair
     // plan is referenced by every star round, and without truncation
     // each round re-embeds the entire upstream (LSH) DAG in its plan —
@@ -419,6 +454,7 @@ object Dedup {
     // for a single CC round. Per-round localCheckpoint keeps the plan
     // O(1) in rounds instead of O(2^rounds).
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    if (smallGraphEdges > 0 && p.count() <= smallGraphEdges) return unionFindLocal(p)
     val nodes = p.select(col("id1").as("id")).unionByName(p.select(col("id2").as("id"))).distinct()
     // Round 1 mirrors the RAW pair list (self-pairs dropped): duplicate
     // edges never change a min, so the canonicalize+distinct+checkpoint
@@ -482,6 +518,45 @@ object Dedup {
     val starLabels = edges.groupBy(col("hi").as("id")).agg(min("lo").as("_comp"))
     nodes.join(starLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("_comp"), col("id")).as("component"))
+  }
+
+  /** Exact driver-side labels for a SMALL (pre-counted, bounded) pair
+    * list: path-compressed union-find, roots resolved to the component
+    * MINIMUM so the labels are identical to the converged star rounds.
+    * Ids stay their runtime type (Long/Int/String — anything Comparable).
+    */
+  private def unionFindLocal(p: DataFrame): DataFrame = {
+    val rows = p.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n } // path-compress
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // resolve every root to its component minimum (natural ordering)
+    val minOf = new java.util.HashMap[Any, Any]()
+    val keys = parent.keySet().toArray
+    keys.foreach { k =>
+      val r = find(k)
+      val cur = minOf.get(r)
+      if (cur == null || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0) minOf.put(r, k)
+    }
+    val idType = p.schema.fields(0).dataType
+    val out = keys.toSeq.map(k => org.apache.spark.sql.Row(k, minOf.get(find(k))))
+    p.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType))))
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH pairs → connected components

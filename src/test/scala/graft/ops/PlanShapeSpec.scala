@@ -155,8 +155,10 @@ class PlanShapeSpec extends SparkSpec {
     // checkpointed edge leaf — the same exchange count whether the loop
     // ran 1 round or 8.
     val pairs = Seq.tabulate(8)(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    // smallGraphEdges=0: this test pins the DISTRIBUTED star path's plan
+    // (the default would take the driver union-find shortcut here)
     def planOf(rounds: Int): String = physical(
-      Dedup.connectedComponents(pairs, maxIter = rounds, checkConvergence = false))
+      Dedup.connectedComponents(pairs, rounds, false, smallGraphEdges = 0L))
     val plan1 = planOf(1)
     val plan8 = planOf(8)
     def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
