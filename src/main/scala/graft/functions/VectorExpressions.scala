@@ -233,6 +233,103 @@ case class LshBandBuckets(
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Engine-neutral (hash-exact) LSH band buckets: INTEGER hyperplanes over
+  * components quantized to floor(v*1000) — coefficient for (hyperplane h,
+  * 1-based dim i) is `(a(h)*i + b(h)) mod (2^31-1) - 2^30`, all BIGINT
+  * arithmetic any engine reproduces bit-for-bit (the q78 md5 mold applied
+  * to ANN). Same compiled-loop shape as [[LshBandBuckets]]: the
+  * HOF-composed version of this computation re-quantized the vector and
+  * ran 36 interpreted zip_with/aggregate passes per row, measuring
+  * ~2.5 s on the q86 serial wall; this quantizes once and runs one
+  * codegen'd loop.
+  * Coefficients arrive as params so the caller (and its SQL oracle) pin
+  * the exact same literals.
+  */
+case class PortableLshBuckets(
+    child: Expression,
+    bitsPerGroup: Int,
+    groups: Int,
+    a: Seq[Long],
+    b: Seq[Long]
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(a.length == bitsPerGroup * groups && b.length == a.length,
+    s"need ${bitsPerGroup * groups} coefficient pairs, got ${a.length}/${b.length}")
+  override def prettyName: String = "portable_lsh_buckets"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other                   => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+  }
+
+  private val P = 2147483647L // 2^31-1; halfP below recenters to signed
+  private val halfP = P / 2
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // quantize once per row, not once per hyperplane
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = math.floor(arr.getFloat(i).toDouble * 1000).toLong; i += 1 }
+    val out = new Array[Long](groups)
+    var bit = 0
+    var g = 0
+    while (g < groups) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerGroup) {
+        val ah = aArr(bit); val bh = bArr(bit)
+        var dot = 0L
+        i = 0
+        while (i < n) { dot += q(i) * ((ah * (i + 1) + bh) % P - halfP); i += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1; bit += 1
+      }
+      out(g) = bucket
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("a", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("b", bArr, "long[]")
+      val out = ctx.freshName("out"); val q = ctx.freshName("q")
+      val n = ctx.freshName("n"); val bit = ctx.freshName("bit")
+      val g = ctx.freshName("g"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket")
+      val ah = ctx.freshName("ah"); val bh = ctx.freshName("bh")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $q[$i] = (long) java.lang.Math.floor((double) $arr.getFloat($i) * 1000.0);
+         |}
+         |long[] $out = new long[$groups];
+         |int $bit = 0;
+         |for (int $g = 0; $g < $groups; $g++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerGroup; $j++) {
+         |    long $ah = $aRef[$bit]; long $bh = $bRef[$bit];
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $q[$i] * (($ah * ($i + 1) + $bh) % ${P}L - ${halfP}L);
+         |    }
+         |    if ($dot > 0) $bucket |= (1L << $j);
+         |    $bit++;
+         |  }
+         |  $out[$g] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   private def f(c: Column): Expression = bridge.expression(c.cast(ArrayType(FloatType)))
 
@@ -244,4 +341,7 @@ object VectorFunctions {
 
   def lshBandBuckets(vec: Column, bitsPerGroup: Int, groups: Int, dim: Int, seed: Long = 42L): Column =
     bridge.column(LshBandBuckets(f(vec), bitsPerGroup, groups, dim, seed))
+
+  def portableLshBuckets(vec: Column, bitsPerGroup: Int, groups: Int, a: Seq[Long], b: Seq[Long]): Column =
+    bridge.column(PortableLshBuckets(f(vec), bitsPerGroup, groups, a, b))
 }

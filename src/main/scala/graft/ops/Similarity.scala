@@ -156,19 +156,7 @@ object Similarity {
     */
   def portableLshBuckets(vec: Column, bitsPerGroup: Int, groups: Int, seed: Long): Column = {
     val (a, b) = graft.ops.Dedup.portableCoeffs(groups * bitsPerGroup, seed)
-    val P = 2147483647L
-    val half = P / 2
-    val q = transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
-    array((0 until groups).map { g =>
-      (0 until bitsPerGroup).map { j =>
-        val h = g * bitsPerGroup + j
-        val dot = aggregate(
-          zip_with(q, sequence(lit(1L), size(vec).cast("long")),
-            (x, i) => x * ((lit(a(h)) * i + lit(b(h))) % P - half)),
-          lit(0L), (acc, v) => acc + v)
-        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    VectorFunctions.portableLshBuckets(vec, bitsPerGroup, groups, a, b)
   }
 
   /** [[lshTopK]] with the portable integer-hyperplane buckets — the ANN
