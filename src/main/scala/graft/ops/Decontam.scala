@@ -114,15 +114,25 @@ object Decontam {
     * the count of DISTINCT word n-grams both sources contain — the
     * corpus-audit view of [[ngramOverlap]] (which crawl/benchmark
     * sources leak into which). Scale shape: ONE shuffle — grams group
-    * straight to a per-gram source SET (`collect_set` dedups with
-    * map-side partial aggregation, so the per-source `distinct` +
-    * gram-keyed self-join the round-15 profile flagged at 4.0x DuckDB
-    * never happens); pair expansion is a map-side double-explode of a
-    * set bounded by the SOURCE cardinality (tiny — sources are
-    * crawls/datasets, not docs), and the final pair count partial-aggs
-    * to O(partitions x sources²) rows. The join key is the 64-bit gram
-    * hash when `hashGrams` (no strings through the shuffle); output is
-    * O(sources²) rows, never O(docs).
+    * straight to a per-gram source summary, so the per-source `distinct`
+    * + gram-keyed self-join the round-15 profile flagged at 4.0x DuckDB
+    * never happens. Two summary shapes:
+    *  - default: per-gram source SET (`collect_set`, map-side partial
+    *    agg) + map-side pair double-explode — measured FASTER at bench
+    *    scale (no extra job);
+    *  - `knownSources` (<=62 of them — sources are crawls/datasets, a
+    *    catalog-level fact the caller usually has): a source-id BITMASK
+    *    folded with `bit_or` — the shuffle carries (long, long) rows,
+    *    the aggregate stays primitive inside whole-stage codegen
+    *    (collect_set is an ObjectHashAggregate and breaks the span),
+    *    and pair counts come from grouping the handful of distinct
+    *    masks and expanding bit pairs weighted by mask count. THE
+    *    100 TB shape — at bench scale its advantage is smaller than a
+    *    discovery job would cost, which is why the dictionary must
+    *    arrive from the caller rather than be collected here (A/B:
+    *    0.78 s set vs 1.18 s mask+dict-job at sf0.1 serial).
+    * The join key is the 64-bit gram hash when `hashGrams` (no strings
+    * through the shuffle); output is O(sources²) rows, never O(docs).
     */
   def crossSourceOverlap(
       docs: DataFrame,
@@ -130,21 +140,58 @@ object Decontam {
       textCol: String,
       n: Int = 5,
       hashGrams: Boolean = true,
-      repartitionTo: Option[Int] = None
+      repartitionTo: Option[Int] = None,
+      knownSources: Option[Seq[String]] = None
   ): DataFrame = {
     val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
     val sourceGrams =
       if (hashGrams) explodedGramHashes(base, sourceCol, textCol, n)
       else explodedGrams(base, sourceCol, textCol, n).select(col(sourceCol), col("_gram").as("_g"))
-    val bySources = sourceGrams
-      .groupBy(col("_g")).agg(collect_set(col(sourceCol)).as("_ss"))
-      .where(size(col("_ss")) >= 2)
-    bySources
-      .select(explode(col("_ss")).as("source_a"), col("_ss"))
-      .select(col("source_a"), explode(col("_ss")).as("source_b"))
-      .where(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("shared_grams"))
+    val sources = knownSources.map(_.distinct.map(String.valueOf(_)).sorted.toArray).getOrElse(Array.empty)
+    if (knownSources.isDefined && sources.length <= 62) {
+      val srcArr = array(sources.map(lit): _*)
+      // chained CASE over the bounded dictionary: a plain literal-table
+      // lookup that codegens to a switch (the Scala shiftleft builder
+      // wants a literal bit count anyway)
+      val bitOf = sources.zipWithIndex.tail
+        .foldLeft(when(col(sourceCol) === lit(sources.head), lit(1L))) {
+          case (acc, (s, i)) => acc.when(col(sourceCol) === lit(s), lit(1L << i))
+        }
+        // a source missing from the caller's dictionary must fail the
+        // job, not silently drop out of the matrix
+        .otherwise(assert_true(lit(false),
+          concat(lit("source not in knownSources: "), col(sourceCol))).cast("long"))
+      val byMask = sourceGrams
+        .groupBy(col("_g")).agg(bit_or(bitOf).as("_mask"))
+        .where(bit_count(col("_mask")) >= 2)
+        .groupBy(col("_mask")).agg(count(lit(1)).as("_n"))
+      // expand each mask's present-bit pairs, weighted by its gram count
+      // — byMask is at most 2^|sources| rows and in practice a handful
+      // SQL-side lambda: the Scala shiftleft/shiftright builders take a
+      // literal Int bit count, but here the bit index is the lambda var
+      val bitsOf = expr(
+        s"filter(sequence(0, ${sources.length - 1}), b -> (shiftleft(CAST(1 AS BIGINT), b) & _mask) != 0)")
+      byMask
+        .select(col("_n"), explode(bitsOf).as("_i"), col("_mask"))
+        .select(col("_n"), col("_i"), explode(bitsOf).as("_j"))
+        .where(col("_i") < col("_j"))
+        .select(
+          element_at(srcArr, col("_i").cast("int") + 1).as("source_a"),
+          element_at(srcArr, col("_j").cast("int") + 1).as("source_b"),
+          col("_n"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("_n")).as("shared_grams"))
+    } else {
+      val bySources = sourceGrams
+        .groupBy(col("_g")).agg(collect_set(col(sourceCol)).as("_ss"))
+        .where(size(col("_ss")) >= 2)
+      bySources
+        .select(explode(col("_ss")).as("source_a"), col("_ss"))
+        .select(col("source_a"), explode(col("_ss")).as("source_b"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+    }
   }
 
   /** Remove contaminated documents: drop every doc whose shared-gram count

@@ -75,6 +75,20 @@ class DecontamSpec extends SparkSpec {
     val str = Decontam.crossSourceOverlap(corpus, "source", "text", n = 5, hashGrams = false)
       .as[(String, String, Long)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
     assert(str == out)
+    // the knownSources bitmask path (the 100 TB shape: primitive bit_or
+    // shuffle, no ObjectHashAggregate) produces the identical matrix
+    val mask = Decontam.crossSourceOverlap(corpus, "source", "text", n = 5,
+      knownSources = Some(Seq("web", "books", "forums")))
+      .as[(String, String, Long)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(mask == out)
+    // a source missing from the dictionary fails loudly, never silently
+    // drops out of the matrix
+    val e = intercept[Exception] {
+      Decontam.crossSourceOverlap(corpus, "source", "text", n = 5,
+        knownSources = Some(Seq("web", "books"))).collect()
+    }
+    assert(e.getMessage.contains("source not in knownSources") ||
+      Option(e.getCause).exists(_.getMessage.contains("source not in knownSources")))
   }
 
   test("broadcast probe side appears in the plan") {
