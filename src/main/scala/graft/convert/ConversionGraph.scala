@@ -84,7 +84,11 @@ object ConversionGraph {
       // through the native delta/iceberg readers, so write→read chains
       // plan through the table formats too
       "delta", "iceberg").map(f =>
-      Edge(DataFrameType, s"datatype:$f", s"writer:$f"))
+      Edge(DataFrameType, s"datatype:$f", s"writer:$f")) :+
+      // chart rendering (reference output.py:132 ToMatplotlib + :147
+      // MatplotlibToPNG): DataFrame plans straight to a PNG datatype via
+      // the headless rasterizer (output.ChartRenderer.toPngFile)
+      Edge(DataFrameType, "datatype:png", "writer:chart_png")
     val streamEdges = Seq(
       Edge(StreamingDataFrameType, DataFrameType, "converter:stream_to_batch_memory_sink"),
       Edge(DataFrameType, StreamingDataFrameType, "converter:batch_as_stream_source")
