@@ -46,23 +46,8 @@ object Decontam {
     * repetitive text makes within-row dup grams common enough that the
     * per-row hash-set walk pays for itself before the shuffle. */
   private def explodedGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
-      perRowDistinct: Boolean = true) = {
-    // STAGED through a projection: the gram expression references the
-    // token-hash array 4x (size guard, short-text branch, sequence bound,
-    // slice source), and interpreted HOF trees re-evaluate each
-    // occurrence — inlined, the regex tokenizer ran 4x per row (round-16
-    // profile). An alias boundary makes it once; CollapseProject leaves
-    // multi-referenced non-cheap aliases alone.
-    val th = df.select(col(idCol),
-      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
-    val gs = when(size(col("_th")) < n, array(xxhash64(col("_th"))))
-      .otherwise(transform(sequence(lit(0), size(col("_th")) - n),
-        i => xxhash64(slice(col("_th"), i + 1, lit(n)))))
-    th.select(
-      col(idCol),
-      explode(if (perRowDistinct) array_distinct(gs) else gs).as("_g")
-    )
-  }
+      perRowDistinct: Boolean = true) =
+    Dedup.explodeGramHashes(df, idCol, textCol, n, perRowDistinct)
 
   /** Per-(document, probe) n-gram overlap: one row for each training doc
     * sharing at least one word n-gram with a probe document, with the

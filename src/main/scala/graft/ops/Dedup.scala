@@ -55,6 +55,67 @@ object Dedup {
       )
   }
 
+  /** Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated >=n-token
+    * substrings across the corpus — the suffix-array pass re-expressed
+    * as a span-gram aggregation): every n-token window of every doc,
+    * grouped corpus-wide; spans seen in >= `minDocs` distinct docs come
+    * back with their document frequency, total occurrence count (within-
+    * row repeats counted), and the smallest containing doc id.
+    *
+    * Scale shape: ONE shuffle — span keys groupBy with partial
+    * aggregation; `hashSpans=true` (default) keys on the structural
+    * 64-bit token-hash-slice hash so span STRINGS never enter the
+    * shuffle (the q85 argument); `hashSpans=false` keys on the literal
+    * span text — the DuckDB-oracle path, and what a removal pass joins
+    * back on. countDistinct is Spark's two-phase distinct aggregate —
+    * no row funnel.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 10,
+      minDocs: Int = 2,
+      hashSpans: Boolean = true,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
+    val spans =
+      if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
+        .withColumnRenamed("_g", "span")
+      else base.select(col(idCol), explode(shingles(col(textCol), n)).as("span"))
+    spans
+      .groupBy(col("span"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_id"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** [[gramHashes]] exploded to (id, "_g") rows THROUGH a projection
+    * boundary: the gram expression references the token-hash array 4x
+    * (size guard, short-text branch, sequence bound, slice source) and
+    * interpreted HOF trees re-evaluate each occurrence — inlined, the
+    * regex tokenizer ran 4x per row (round-16 profile, ~35% of the map
+    * side). An alias boundary makes it once; CollapseProject leaves
+    * multi-referenced non-cheap aliases alone. `perRowDistinct` for
+    * consumers whose counts need within-row dedup.
+    */
+  def explodeGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
+      perRowDistinct: Boolean = true): DataFrame = {
+    val th = df.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+    val gs = when(size(col("_th")) < n, array(xxhash64(col("_th"))))
+      .otherwise(transform(sequence(lit(0), size(col("_th")) - n),
+        i => xxhash64(slice(col("_th"), i + 1, lit(n)))))
+    th.select(
+      col(idCol),
+      explode(if (perRowDistinct) array_distinct(gs) else gs).as("_g")
+    )
+  }
+
   /** 64-bit n-gram hashes WITHOUT materializing gram strings: each token
     * hashes once, each gram is the structural xxhash64 of its n-token
     * hash slice — so the per-gram work is n long-copies + one 40-byte

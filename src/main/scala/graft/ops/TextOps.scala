@@ -155,6 +155,38 @@ object TextOps {
       .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
   }
 
+  /** C4-style line keep predicate (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2 cleaning rules): a line survives
+    * when it ends in terminal punctuation (. ! ? "), has at least
+    * `minWords` words, and mentions neither "lorem ipsum", "javascript",
+    * nor a curly brace. Pure Column predicate over one line.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"]$") &&
+      size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords &&
+      !lower(t).contains("lorem ipsum") &&
+      !lower(t).contains("javascript") &&
+      !t.contains("{")
+  }
+
+  /** C4 line cleaning: drop non-surviving lines, re-join with \n. */
+  def c4Clean(text: Column, minWords: Int = 5): Column =
+    array_join(filter(lines(text), l => c4KeepLine(l, minWords)), "\n")
+
+  /** C4 page keep: the CLEANED page still has >= `minSentences`
+    * sentences (terminal-punctuation count), and the ORIGINAL page
+    * contains neither "lorem ipsum" nor "{" (page-level removals in the
+    * C4 recipe — a single policy line condemns the page, not the line).
+    */
+  def c4Keep(text: Column, minWords: Int = 5, minSentences: Int = 3): Column = {
+    val cleaned = c4Clean(text, minWords)
+    val sentences = size(split(cleaned, "[.!?]")) - 1
+    sentences >= minSentences &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
+  }
+
   /** Adjacent-token bigrams ("a b") of the normalized token stream. */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)

@@ -889,6 +889,85 @@ object TextQueries {
               FROM scored)
         WHERE rn <= 3
       """)
+    ),
+    (
+      "q88_duplicate_spans",
+      // Exact duplicate-span detection (Lee et al. 2022): 10-token
+      // windows shared by >=2 docs, with doc frequency / total
+      // occurrences / smallest containing doc. hashSpans=false keys on
+      // the literal span so the oracle joins strings; the scale path
+      // (hashSpans=true) is spec'd equal in DedupSpec.
+      (s, dir) => {
+        Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 10, minDocs = 2, hashSpans = false,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) < 10 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 9),
+                                       i -> array_to_string(tk[i:i+9], ' ')) END) AS span
+          FROM toks)
+        SELECT span, count(DISTINCT doc_id) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS first_id
+        FROM g GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+      """)
+    ),
+    (
+      "q89_c4_clean",
+      // C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
+      // punctuation / min-words / lorem-ipsum / javascript / brace
+      // filters, page-level >=3-sentence + lorem/brace keeps — the
+      // whole rule set value-checked per document. The synthetic corpus
+      // has no newlines or punctuation (every rule would be vacuously
+      // false), so BOTH engines first derive line structure with the
+      // same deterministic rewrite: each " table " becomes ".\n", and
+      // doc_id-keyed suffixes plant lorem-ipsum / brace pages.
+      (s, dir) => {
+        val t2 = expr("replace(text, ' table ', concat('.', chr(10)))")
+        val t = when(col("doc_id") % 29 === 0, concat(t2, lit(" lorem ipsum here.")))
+          .when(col("doc_id") % 31 === 0, concat(t2, lit(" { code }")))
+          .otherwise(t2)
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.c4Keep(t).as("kept"),
+          size(filter(TextOps.lines(t), l => TextOps.c4KeepLine(l))).as("n_lines_kept"),
+          length(TextOps.c4Clean(t)).as("clean_nchars"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 29 = 0 THEN t2 || ' lorem ipsum here.'
+                      WHEN doc_id % 31 = 0 THEN t2 || ' { code }'
+                      ELSE t2 END AS text
+          FROM (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS t2 FROM documents)
+        ), l AS (
+          SELECT doc_id, text,
+                 list_filter(
+                   list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> len(w) > 0)) >= 5
+                        AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                        AND NOT contains(lower(trim(x)), 'javascript')
+                        AND NOT contains(trim(x), '{')) AS keptlines
+          FROM d
+        ), c AS (
+          SELECT doc_id, text, len(keptlines) AS n_lines_kept,
+                 coalesce(array_to_string(keptlines, chr(10)), '') AS clean
+          FROM l
+        )
+        SELECT doc_id,
+               (len(string_split_regex(clean, '[.!?]')) - 1 >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS kept,
+               n_lines_kept,
+               CAST(len(clean) AS INT) AS clean_nchars
+        FROM c
+      """)
     )
   )
 }

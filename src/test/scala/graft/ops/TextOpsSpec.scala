@@ -98,4 +98,54 @@ class TextOpsSpec extends SparkSpec {
     val clean = "no personal data here 12.5 degrees v1.2.3.4x"
     assert(Seq(clean).toDF("t").select(TextOps.redactPii(col("t"))).as[String].head() == clean)
   }
+
+  test("c4 cleaning: every published line rule fires; page keep needs 3 sentences") {
+    val page = Seq(
+      "This line has enough words and ends well.",   // kept
+      "Too short.",                                  // < 5 words
+      "This line has no terminal punctuation at all",// no [.!?"]
+      "Enable javascript to view this fancy page!",  // javascript line drops
+      "A perfectly reasonable second sentence here!",// kept
+      "And a third good sentence finishes the page." // kept
+    ).mkString("\n")
+    val df = Seq(page).toDF("t")
+    assert(df.select(size(filter(TextOps.lines(col("t")),
+      l => TextOps.c4KeepLine(l)))).as[Int].head() == 3)
+    // a javascript LINE drops the line, not the page (C4's page-level
+    // removals are lorem ipsum and braces only)
+    assert(df.select(TextOps.c4Keep(col("t"))).as[Boolean].head())
+    // cleaned text contains only the survivors, in order
+    val cleaned = df.select(TextOps.c4Clean(col("t"))).as[String].head()
+    assert(cleaned.split("\n").length == 3 && !cleaned.contains("javascript"))
+    // two sentences only -> page dropped
+    val two = Seq(Seq(
+      "This line has enough words and ends well.",
+      "A perfectly reasonable second sentence here!").mkString("\n")).toDF("t")
+    assert(!two.select(TextOps.c4Keep(col("t"))).as[Boolean].head())
+    // a single brace or lorem ipsum ANYWHERE condemns the page
+    assert(!Seq(page + "\nvar x = { y: 1 } and more words here.").toDF("t")
+      .select(TextOps.c4Keep(col("t"))).as[Boolean].head())
+    assert(!Seq(page + "\nsome Lorem Ipsum trailing filler words here.").toDF("t")
+      .select(TextOps.c4Keep(col("t"))).as[Boolean].head())
+  }
+
+  test("duplicateSpans finds cross-doc repeated windows; hash and string paths agree") {
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"prefix words here $shared suffix tail"),
+      (2L, s"$shared completely different ending part"),
+      (3L, s"unrelated text with no repeats at all in sight today ok")
+    ).toDF("doc_id", "text")
+    val str = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10, minDocs = 2, hashSpans = false)
+      .as[(String, Long, Long, Long)].collect()
+    assert(str.nonEmpty)
+    assert(str.exists(_._1 == shared), s"the planted shared 10-gram must surface: ${str.map(_._1).mkString("; ")}")
+    val planted = str.find(_._1 == shared).get
+    assert(planted._2 == 2L && planted._3 == 2L && planted._4 == 1L)
+    // scale path: same (n_docs, n_occurrences, first_id) multiset
+    val hashed = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hashed.map(t => (t._2, t._3, t._4)).sorted.toSeq ==
+      str.map(t => (t._2, t._3, t._4)).sorted.toSeq)
+  }
 }
