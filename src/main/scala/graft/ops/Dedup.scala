@@ -94,6 +94,62 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Per-document duplicate-span exposure — the second half of the Lee
+    * et al. pipeline: for every doc, how many of its n-token windows are
+    * corpus-wide duplicates ([[duplicateSpans]] hits), as a count and a
+    * fraction. Shape: spans exploded once, the flagged-span set derived
+    * from the SAME exploded frame (no second tokenize pass), one
+    * hash-keyed equi-join back, one per-doc aggregation. Everything
+    * partial-aggregates; nothing funnels to the driver.
+    */
+  def dupSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 10,
+      minDocs: Int = 2,
+      hashSpans: Boolean = true,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
+    val spans = (
+      if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
+        .withColumnRenamed("_g", "span")
+      else base.select(col(idCol), explode(shingles(col(textCol), n)).as("span"))
+    ).localCheckpoint() // referenced twice (flag set + join back): one tokenize pass
+    val flagged = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("span"), lit(1).as("_dup"))
+    spans.join(flagged, Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("_dup")).as("n_dup_spans"))
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_fraction"))
+  }
+
+  /** Drop documents whose duplicate-span fraction exceeds the threshold
+    * (the doc-level removal policy over [[dupSpanStats]]). */
+  def dropSpanDuplicatedDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupFraction: Double,
+      n: Int = 10,
+      minDocs: Int = 2,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val stats = dupSpanStats(df, idCol, textCol, n, minDocs, hashSpans = true, repartitionTo)
+      .where(col("dup_fraction") > maxDupFraction)
+      .select(col(idCol))
+    df.join(stats, Seq(idCol), "left_anti")
+  }
+
   /** [[gramHashes]] exploded to (id, "_g") rows THROUGH a projection
     * boundary: the gram expression references the token-hash array 4x
     * (size guard, short-text branch, sequence bound, slice source) and

@@ -918,6 +918,33 @@ object TextQueries {
       """)
     ),
     (
+      "q90_dup_span_stats",
+      // Per-doc duplicate-span exposure (the removal-policy view of
+      // q88): n-token windows of each doc that are corpus-wide
+      // duplicates, as count + fraction.
+      (s, dir) => {
+        Dedup.dupSpanStats(table(s, dir, "documents"), "doc_id", "text",
+          n = 10, minDocs = 2, hashSpans = false,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) < 10 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 9),
+                                       i -> array_to_string(tk[i:i+9], ' ')) END) AS span
+          FROM toks),
+        flagged AS (
+          SELECT span FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN f.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(sum(CASE WHEN f.span IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS dup_fraction
+        FROM g LEFT JOIN flagged f USING (span)
+        GROUP BY g.doc_id
+      """)
+    ),
+    (
       "q89_c4_clean",
       // C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
       // punctuation / min-words / lorem-ipsum / javascript / brace

@@ -147,5 +147,18 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(hashed.map(t => (t._2, t._3, t._4)).sorted.toSeq ==
       str.map(t => (t._2, t._3, t._4)).sorted.toSeq)
+
+    // per-doc exposure + the removal policy over it
+    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", n = 10, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(stats(3L)._3 == 0L && stats(3L)._4 == 0.0)       // clean doc
+    assert(stats(1L)._3 > 0L && stats(2L)._3 > 0L)          // both carriers flagged
+    assert(stats(1L)._4 > 0.0 && stats(1L)._4 <= 1.0)
+    val kept = Dedup.dropSpanDuplicatedDocs(docs, "doc_id", "text", maxDupFraction = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))                                  // any exposure drops
+    val keepAll = Dedup.dropSpanDuplicatedDocs(docs, "doc_id", "text", maxDupFraction = 1.0)
+      .count()
+    assert(keepAll == 3L)
   }
 }
