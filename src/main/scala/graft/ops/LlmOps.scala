@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   */
 object LlmOps {
 
+  /** Non-2xx response, with the status code for retry classification. */
+  final class HttpStatusException(val code: Int, msg: String)
+      extends java.io.IOException(msg)
+
   /** One request batch: texts in → one vector or string per text out. */
   trait Transport extends Serializable {
     def embed(texts: Seq[String]): Seq[Array[Float]]
@@ -27,10 +31,19 @@ object LlmOps {
   /** Minimal JSON-over-HTTP transport for OpenAI-shaped endpoints
     * (`/v1/embeddings`, `/v1/completions`). Connection reuse comes from
     * the JVM's keep-alive pooling; one transport instance per partition.
+    *
+    * Retries: a 100 TB embed pass makes millions of requests from
+    * hundreds of executors — transient connection resets and 429/5xx
+    * throttle responses are CERTAIN, and one must not fail a 20-minute
+    * task. Bounded exponential backoff (maxRetries attempts, base
+    * `backoffMs` doubling, jittered by attempt) on IOException and
+    * retryable status codes; 4xx application errors (except 429) fail
+    * fast — retrying a malformed request burns quota for nothing.
     */
-  final class HttpTransport(baseUrl: String, model: String = "default", apiKey: String = "")
+  final class HttpTransport(baseUrl: String, model: String = "default", apiKey: String = "",
+      maxRetries: Int = 3, backoffMs: Long = 200L)
       extends Transport {
-    private def post(path: String, body: String): String = {
+    private def postOnce(path: String, body: String): String = {
       val conn = new java.net.URL(baseUrl + path).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST")
@@ -38,7 +51,31 @@ object LlmOps {
       if (apiKey.nonEmpty) conn.setRequestProperty("Authorization", s"Bearer $apiKey")
       conn.setDoOutput(true)
       conn.getOutputStream.write(body.getBytes("UTF-8"))
-      new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      val code = conn.getResponseCode
+      if (code >= 200 && code < 300)
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      else {
+        val err = Option(conn.getErrorStream)
+          .map(s => new String(s.readAllBytes(), "UTF-8")).getOrElse("")
+        throw new HttpStatusException(code, s"$path -> HTTP $code: ${err.take(200)}")
+      }
+    }
+    private def retryable(t: Throwable): Boolean = t match {
+      case e: HttpStatusException => e.code == 429 || e.code >= 500
+      case _: java.io.IOException => true
+      case _                      => false
+    }
+    private def post(path: String, body: String): String = {
+      var attempt = 0
+      while (true) {
+        try return postOnce(path, body)
+        catch {
+          case t: Throwable if retryable(t) && attempt < maxRetries =>
+            attempt += 1
+            Thread.sleep(backoffMs * (1L << (attempt - 1)))
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
     private def jsonStr(s: String): String =
       "\"" + s.flatMap {

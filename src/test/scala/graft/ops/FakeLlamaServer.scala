@@ -46,6 +46,7 @@ object FakeLlamaServer {
     var host = "127.0.0.1"
     var port = 0
     var delayMs = 0L
+    var flakyFails = 0
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -53,10 +54,17 @@ object FakeLlamaServer {
         case "--host"         => host = args(i + 1); i += 2
         case "--port"         => port = args(i + 1).toInt; i += 2
         case "--startup-delay-ms" => delayMs = args(i + 1).toLong; i += 2
+        case "--flaky-fails"  => flakyFails = args(i + 1).toInt; i += 2
         case "--die"          => sys.exit(7) // spec: early-death path
         case _                => i += 1     // tolerate pass-through flags
       }
     }
+    // throttle simulation: the first N data-plane requests 503 (retry spec)
+    val remainingFails = new java.util.concurrent.atomic.AtomicInteger(flakyFails)
+    def maybeThrottle(ex: HttpExchange): Boolean =
+      if (remainingFails.getAndDecrement() > 0) {
+        respond(ex, 503, """{"error":"loading model"}"""); true
+      } else false
     require(model.nonEmpty && Files.isReadable(Paths.get(model)), s"bad -m $model")
     if (delayMs > 0) Thread.sleep(delayMs) // spec: health-poll actually polls
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
@@ -78,11 +86,13 @@ object FakeLlamaServer {
       respond(ex, 200, s"""{"choices":[{"text":"echo:${p.take(24)}"}]}""")
     })
     server.createContext("/v1/embeddings", { (ex: HttpExchange) =>
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      val data = strArrayField(body, "input").zipWithIndex.map { case (t, idx) =>
-        s"""{"index":$idx,"embedding":[${detEmbedding(t).mkString(",")}]}"""
+      if (!maybeThrottle(ex)) {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val data = strArrayField(body, "input").zipWithIndex.map { case (t, idx) =>
+          s"""{"index":$idx,"embedding":[${detEmbedding(t).mkString(",")}]}"""
+        }
+        respond(ex, 200, s"""{"data":[${data.mkString(",")}]}""")
       }
-      respond(ex, 200, s"""{"data":[${data.mkString(",")}]}""")
     })
     server.start()
     // park the main thread like a real server process

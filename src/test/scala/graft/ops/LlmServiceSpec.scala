@@ -116,6 +116,25 @@ class LlmServiceSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("transport rides out transient 503s with bounded backoff; exhaustion surfaces the status") {
+    val h = LlmService.start(ggufModel.toString, executable = Some(fakeExe.toString),
+      args = Seq("flaky_fails" -> Some("2"))) // first two data requests 503
+    try {
+      // default maxRetries=3 absorbs both throttles inside ONE logical call
+      val t = new LlmOps.HttpTransport(h.url, backoffMs = 20L)
+      val Seq(v) = t.embed(Seq("abc"))
+      assert(v.toSeq == FakeLlamaServer.detEmbedding("abc").toSeq)
+    } finally h.stop()
+    // a fresh server failing more times than the retry budget -> the 503 surfaces
+    val h2 = LlmService.start(ggufModel.toString, executable = Some(fakeExe.toString),
+      args = Seq("flaky_fails" -> Some("10")))
+    try {
+      val t2 = new LlmOps.HttpTransport(h2.url, maxRetries = 1, backoffMs = 10L)
+      val e = intercept[LlmOps.HttpStatusException] { t2.embed(Seq("abc")) }
+      assert(e.code == 503)
+    } finally h2.stop()
+  }
+
   test("fromGguf rejects non-gguf refs") {
     intercept[IllegalArgumentException] {
       LlmService.fromGguf(DataRef("parquet", "/tmp/x.parquet"))

@@ -76,6 +76,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceOverlap: knownSources path keeps the gram aggregate in codegen (no ObjectHashAggregate)") {
+    import spark.implicits._
+    val corpus = Seq(("a", "w x y z q r s"), ("b", "w x y z q r s")).toDF("source", "text")
+    val dfMask = Decontam.crossSourceOverlap(corpus, "source", "text", n = 5,
+      knownSources = Some(Seq("a", "b")))
+    val pMask = physical(dfMask)
+    assert(!pMask.contains("ObjectHashAggregate"),
+      s"bit_or path must stay a primitive HashAggregate:\n$pMask")
+    // and the default (collect_set) path is the one that pays the object agg
+    val pSet = physical(Decontam.crossSourceOverlap(corpus, "source", "text", n = 5))
+    assert(pSet.contains("ObjectHashAggregate"))
+    // both compute the same matrix
+    assert(dfMask.as[(String, String, Long)].collect().toSet ==
+      Decontam.crossSourceOverlap(corpus, "source", "text", n = 5)
+        .as[(String, String, Long)].collect().toSet)
+  }
+
   test("exact dedup plans a partial (map-side) aggregate before the shuffle") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong, s"doc${i % 10}")).toDF("doc_id", "text")
