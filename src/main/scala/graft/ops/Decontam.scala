@@ -33,10 +33,7 @@ object Decontam {
     * [[Dedup.shingles]]).
     */
   private def explodedGrams(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(
-      col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_gram")
-    )
+    Dedup.explodeShingles(df, idCol, textCol, n, outCol = "_gram", perRowDistinct = true)
 
   /** The hashGrams fast path: 64-bit gram hashes per row, exploded —
     * gram strings never materialize ([[Dedup.gramHashes]]); the string

@@ -84,7 +84,7 @@ object Dedup {
     val spans =
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
-      else base.select(col(idCol), explode(shingles(col(textCol), n)).as("span"))
+      else explodeShingles(base, idCol, textCol, n, outCol = "span")
     spans
       .groupBy(col("span"))
       .agg(
@@ -92,6 +92,20 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         min(col(idCol)).as("first_id"))
       .where(col("n_docs") >= minDocs)
+  }
+
+  /** [[shingles]] exploded to (id, outCol) rows THROUGH a projection
+    * boundary — same staging rationale as [[explodeGramHashes]]: the
+    * shingle expression references the token array 3x and interpreted
+    * HOF trees re-run the regex tokenizer per reference when inlined.
+    */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      outCol: String = "_gram", perRowDistinct: Boolean = false): DataFrame = {
+    val tk = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_tk"))
+    val sh = when(size(col("_tk")) < n, array(concat_ws(" ", col("_tk"))))
+      .otherwise(transform(sequence(lit(0), size(col("_tk")) - n),
+        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n)))))
+    tk.select(col(idCol), explode(if (perRowDistinct) array_distinct(sh) else sh).as(outCol))
   }
 
   /** Per-document duplicate-span exposure — the second half of the Lee
@@ -115,7 +129,7 @@ object Dedup {
     val spans = (
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
-      else base.select(col(idCol), explode(shingles(col(textCol), n)).as("span"))
+      else explodeShingles(base, idCol, textCol, n, outCol = "span")
     ).localCheckpoint() // referenced twice (flag set + join back): one tokenize pass
     val flagged = spans.groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("_nd"))
