@@ -161,4 +161,15 @@ class TextOpsSpec extends SparkSpec {
       .count()
     assert(keepAll == 3L)
   }
+
+  test("c4Clean is idempotent over the real corpus derivation") {
+    // cleaning a cleaned page changes nothing: every surviving line
+    // still satisfies every line rule — a regression here means a rule
+    // inspects cross-line state it shouldn't
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("replace(text, ' table ', concat('.', chr(10)))").as("t"))
+    val once = docs.select(TextOps.c4Clean(col("t")).as("c1"))
+    val twice = once.select(col("c1"), TextOps.c4Clean(col("c1")).as("c2"))
+    assert(twice.where(col("c1") =!= col("c2")).count() == 0)
+  }
 }
