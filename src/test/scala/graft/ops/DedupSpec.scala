@@ -106,6 +106,30 @@ class DedupSpec extends SparkSpec {
     assert(capped(6L) == 4L && capped(1L) == 1L)
   }
 
+  test("connectedComponents: star rounds equal driver union-find on seeded random graphs") {
+    // the two implementations share no code path — agreement on random
+    // topologies (including multi-component, self-loops, duplicate and
+    // reversed edges) pins the round-16 algorithm swap
+    val rnd = new scala.util.Random(4242L)
+    (1 to 3).foreach { trial =>
+      val nNodes = 60 + trial * 40
+      val edges = Seq.fill(nNodes * 2) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (rnd.nextBoolean()) (a, b) else (b, a) // orientation noise
+      } ++ Seq((7L, 7L)) // self-loop
+      val df = edges.toDF("id1", "id2")
+      val local = Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(df, 20, true, smallGraphEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == local, s"trial $trial: star labels diverge from union-find")
+      // labels are true minima: every component labels to its min member
+      local.groupBy(_._2).foreach { case (compLabel, members) =>
+        assert(members.keys.min == compLabel)
+      }
+    }
+  }
+
   test("md5Hash31 matches DuckDB md5_number_upper % (2^31-1)") {
     // Expected values computed with DuckDB v1.0:
     //   SELECT CAST(md5_number_upper(s) % 2147483647 AS BIGINT)
