@@ -224,5 +224,12 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("id1"), col("id2"))
     assert(readSchemaFields(pairs).nonEmpty && readSchemaFields(pairs).forall(_ == 2),
       "CC pair graph must scan 2 of 5 columns")
+    // q90 (dupSpanStats): the exploded span frame localCheckpoints once
+    // (referenced by flag-set AND join-back) — the checkpoint job's scan
+    // must read only doc_id + text
+    val spanFrame = docs.select(col("doc_id"),
+      explode(graft.ops.Dedup.gramHashes(col("text"), 10)).as("span"))
+    assert(readSchemaFields(spanFrame).nonEmpty && readSchemaFields(spanFrame).forall(_ == 2),
+      "span explode must scan 2 of 5 columns")
   }
 }
