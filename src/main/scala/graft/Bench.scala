@@ -84,12 +84,13 @@ object Bench {
     // it against new measurements, it is dead weight on every run after
     // the first and is expected to rot as queries change.
     val heavy = Seq(
-      "q42_minhash_lsh", "q63_neardup_clusters", "q51_lsh_knn", "q41_jaccard_pairs",
+      "q42_minhash_lsh", "q63_neardup_clusters", "q78_minhash_portable",
+      "q88_duplicate_spans", "q90_dup_span_stats", "q51_lsh_knn", "q41_jaccard_pairs",
       "q50_embedding_neardup", "q46_lang_quality", "q47_wordcount", "q49_knn_cosine",
-      "q78_minhash_portable", "q76_cc_exact", "q77_decontaminate",
+      "q85_source_overlap", "q76_cc_exact", "q77_decontaminate",
       "q52_quality_filter", "q59_multiset_ops", "q03_segment_top_revenue",
       "q05_nation_revenue", "q53_stream_tumbling_batch", "q54_stream_session_batch",
-      "q56_group_sketch_union", "q57_salted_join", "q58_ivf_knn"
+      "q56_group_sketch_union", "q57_salted_join", "q58_ivf_knn", "q87_ivf_knn_portable"
     )
     val rank = heavy.zipWithIndex.toMap
     val ordered =
