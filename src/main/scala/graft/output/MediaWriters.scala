@@ -67,6 +67,64 @@ object MediaWriters {
     DataRef("png", base)
   }
 
+  /** Minimal baseline TIFF (little-endian, one uncompressed RGB strip):
+    * II42 header + a 9-tag IFD (width/length/bits 8,8,8/compression 1/
+    * photometric RGB/strip offset/samples 3/rows-per-strip/byte count) —
+    * the smallest layout every baseline reader (incl. the JDK ImageIO
+    * codec the repo's own decode path uses) accepts. Reference
+    * output.py:298 NumpyToTIFF / :358 PILImageToTIFF, there via PIL.
+    */
+  def encodeTiff(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val nTags = 9
+    val ifdStart = 8
+    val bitsAt = ifdStart + 2 + nTags * 12 + 4 // after entry count + entries + next-IFD
+    val dataAt = bitsAt + 6
+    val bb = java.nio.ByteBuffer.allocate(dataAt + rgb.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStart)
+    bb.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
+      bb.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    // SHORT values sit in the low bytes of the 4-byte value slot (LE)
+    tag(256, 4, 1, w)            // ImageWidth LONG
+    tag(257, 4, 1, h)            // ImageLength LONG
+    tag(258, 3, 3, bitsAt)       // BitsPerSample SHORT[3] -> offset
+    tag(259, 3, 1, 1)            // Compression: none
+    tag(262, 3, 1, 2)            // Photometric: RGB
+    tag(273, 4, 1, dataAt)       // StripOffsets
+    tag(277, 3, 1, 3)            // SamplesPerPixel
+    tag(278, 4, 1, h)            // RowsPerStrip: one strip
+    tag(279, 4, 1, rgb.length)   // StripByteCounts
+    bb.putInt(0)                 // next IFD: none
+    bb.putShort(8).putShort(8).putShort(8)
+    bb.put(rgb)
+    bb.array()
+  }
+
+  /** Write one baseline TIFF per row — same row shape as [[pngImages]]. */
+  def tiffImages(
+      df: DataFrame,
+      url: String,
+      nameCol: String = "name",
+      widthCol: String = "width",
+      heightCol: String = "height",
+      pixelsCol: String = "pixels_rgb"
+  ): DataRef = {
+    val base = url.stripSuffix("/")
+    val sconf = graft.core.SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(nameCol).cast("string"), col(widthCol).cast("int"), col(heightCol).cast("int"), col(pixelsCol))
+      .rdd.foreachPartition { it =>
+        val fs = FileSystem.get(new URI(base).resolve("/"), sconf.value)
+        it.foreach { r =>
+          val tif = encodeTiff(r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))
+          val out = fs.create(new Path(s"$base/${r.getString(0)}.tiff"), true)
+          try out.write(tif) finally out.close()
+        }
+      }
+    DataRef("tiff", base)
+  }
+
   /** Write one JPEG per row via the JDK's bundled ImageIO codec
     * (reference output.py:342 PILImageToJPEG). Same row shape as
     * [[pngImages]]; `quality` in (0, 1].
