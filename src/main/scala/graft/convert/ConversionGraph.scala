@@ -88,7 +88,12 @@ object ConversionGraph {
       // chart rendering (reference output.py:132 ToMatplotlib + :147
       // MatplotlibToPNG): DataFrame plans straight to a PNG datatype via
       // the headless rasterizer (output.ChartRenderer.toPngFile)
-      Edge(DataFrameType, "datatype:png", "writer:chart_png")
+      Edge(DataFrameType, "datatype:png", "writer:chart_png") :+
+      // round-16 media/array sinks: per-row baseline TIFFs
+      // (MediaWriters.tiffImages) and the NRRD array sink (NrrdWriter) —
+      // both round-trip through this registry's own readers
+      Edge(DataFrameType, "datatype:tiff", "writer:tiff_images") :+
+      Edge(DataFrameType, "datatype:nrrd", "writer:nrrd")
     val streamEdges = Seq(
       Edge(StreamingDataFrameType, DataFrameType, "converter:stream_to_batch_memory_sink"),
       Edge(DataFrameType, StreamingDataFrameType, "converter:batch_as_stream_source")
