@@ -62,6 +62,25 @@ class RecallSweepSpec extends SparkSpec {
       "groups knob changed neither recall cost nor candidates — sweep is vacuous")
   }
 
+  test("portable (integer-hyperplane) LSH recall is monotone in groups and holds the floor") {
+    // the hash-exact oracle twin (q86) must be a REAL ANN, not just a
+    // value-checkable one: same monotonicity + planted floor as the
+    // float-hyperplane path
+    import spark.implicits._
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 60)
+    val sweep = Seq(2, 4, 8).map { groups =>
+      val found = Similarity.portableLshTopK(corpus, "id", "vec", queries, "id", "vec",
+        k = 1, bitsPerGroup = 6, groups = groups)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      groups -> recallOf(found)
+    }
+    sweep.sliding(2).foreach { case Seq((g1, r1), (g2, r2)) =>
+      assert(r2 >= r1, s"portable recall fell from $r1 (groups=$g1) to $r2 (groups=$g2)")
+    }
+    assert(sweep.last._2 >= 0.9, s"top-of-sweep portable recall ${sweep.last._2} below the planted floor")
+  }
+
   test("IVF recall is monotone in nProbe and doesn't collapse at defaults") {
     import spark.implicits._
     val corpus = (base ++ planted).toDF("id", "vec")
