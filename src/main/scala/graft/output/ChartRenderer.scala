@@ -173,12 +173,16 @@ object ChartRenderer {
   def histogram(df: DataFrame, valueCol: String, bins: Int = 50,
       width: Int = 800, height: Int = 600): Array[Byte] = {
     require(bins >= 1 && bins <= 10000, s"bins out of range: $bins")
+    // NaNs would throw in the ANSI int cast below (and poison extents);
+    // a chart silently skipping them is the plotting convention
+    val v0 = col(valueCol).cast("double")
+    val df2 = df.where(v0.isNotNull && !isnan(v0))
     val v = col(valueCol).cast("double")
-    val ext = df.agg(min(v).as("lo"), max(v).as("hi")).collect()(0)
+    val ext = df2.agg(min(v).as("lo"), max(v).as("hi")).collect()(0)
     require(!ext.isNullAt(0), s"no non-null values in $valueCol")
     val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
     val w = if (hi == lo) 1.0 else (hi - lo) / bins
-    val counts = df.select(least(floor((v - lo) / w).cast("int"), lit(bins - 1)).as("_b"))
+    val counts = df2.select(least(floor((v - lo) / w).cast("int"), lit(bins - 1)).as("_b"))
       .where(col("_b").isNotNull)
       .groupBy("_b").agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
