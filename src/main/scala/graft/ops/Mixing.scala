@@ -27,6 +27,45 @@ object Mixing {
       .drop("_rn", "_n")
   }
 
+  /** Temperature-based mixture weights — the multilingual sampling rule
+    * (XLM-R, mC4: p_g ∝ n_g^alpha): per-group row counts raised to
+    * `alpha`, normalized. alpha=1 is proportional to size, alpha→0
+    * uniform across groups; alpha<1 upsamples low-resource groups
+    * relative to their share. One groupBy shuffle; O(groups) rows out.
+    * alpha=0.5 routes through `sqrt` (IEEE correctly-rounded, so the
+    * weights are engine-exact; `pow` carries ULP slack) — the canonical
+    * setting and the oracle-checked one.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val powered =
+      if (alpha == 0.5) sqrt(col("n_rows").cast("double"))
+      else if (alpha == 1.0) col("n_rows").cast("double")
+      else pow(col("n_rows").cast("double"), alpha)
+    val wTotal = Window.partitionBy()
+    counts.withColumn("_p", powered)
+      .withColumn("weight", col("_p") / sum(col("_p")).over(wTotal))
+      .drop("_p")
+  }
+
+  /** Realize [[temperatureWeights]] against a row budget: group g keeps
+    * its `min(n_g, round(budget * w_g))` hash-first rows (the same
+    * md5-order determinism as [[stratifiedSample]] — no RNG). Groups
+    * whose target exceeds their size keep everything — sampling without
+    * replacement can't upsample; epoch repetition handles >1x.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budgetRows: Long): DataFrame = {
+    val weights = temperatureWeights(df.select(col(groupCol)), groupCol, alpha)
+      .withColumn("_target", round(col("weight") * budgetRows).cast("long"))
+      .select(col(groupCol), col("_target"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(weights), Seq(groupCol)) // O(groups) rows: always broadcast
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_target"))
+      .drop("_rn", "_target")
+  }
+
   /** Deterministic Bernoulli sample by hash THRESHOLD: keep rows whose
     * `md5Hash31(id)` falls below `frac` of the hash range. Map-only — no
     * window, no sort, no shuffle — so it scales embarrassingly where

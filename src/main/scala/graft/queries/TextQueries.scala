@@ -918,6 +918,23 @@ object TextQueries {
       """)
     ),
     (
+      "q91_temperature_weights",
+      // XLM-R/mC4 temperature sampling weights at the canonical
+      // alpha=0.5 (sqrt is IEEE correctly-rounded in both engines, so
+      // the weights compare value-exact at 6dp).
+      (s, dir) => {
+        Mixing.temperatureWeights(table(s, dir, "documents"), "source", alpha = 0.5)
+          .select(col("source"), col("n_rows"), round(col("weight"), 6).as("weight"))
+      },
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source)
+        SELECT source, n_rows,
+               round(sqrt(CAST(n_rows AS DOUBLE)) /
+                     sum(sqrt(CAST(n_rows AS DOUBLE))) OVER (), 6) AS weight
+        FROM c
+      """)
+    ),
+    (
       "q90_dup_span_stats",
       // Per-doc duplicate-span exposure (the removal-policy view of
       // q88): n-token windows of each doc that are corpus-wide

@@ -43,6 +43,41 @@ class MixingSpec extends SparkSpec {
     assert(sizes.values.max <= 3 * sizes.values.min) // rough uniformity at n=200
   }
 
+  test("temperature weights: alpha=1 proportional, alpha->0 flattens, sampler honors budget") {
+    import org.apache.spark.sql.functions.col
+    // 3 groups: 160 / 30 / 10 rows
+    val df = ((0 until 160).map(i => (i.toLong, "big")) ++
+      (200 until 230).map(i => (i.toLong, "mid")) ++
+      (300 until 310).map(i => (i.toLong, "small"))).toDF("id", "src")
+    def weights(alpha: Double): Map[String, Double] =
+      Mixing.temperatureWeights(df, "src", alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("big") - 0.8) < 1e-9 && math.abs(w1("small") - 0.05) < 1e-9)
+    val w5 = weights(0.5)
+    // sqrt compresses the ratio: big/small falls from 16x to 4x
+    assert(math.abs(w5("big") / w5("small") - 4.0) < 1e-9)
+    val w01 = weights(0.1)
+    assert(w01("big") / w01("small") < 2.0) // near-uniform as alpha -> 0
+    // weights always normalize
+    Seq(w1, w5, w01).foreach(w => assert(math.abs(w.values.sum - 1.0) < 1e-9))
+    // sampler: budget 40 at alpha=0.5 -> targets round(40*w); small
+    // groups upsample RELATIVELY but never beyond their size
+    val kept = Mixing.temperatureSample(df, "src", "id", alpha = 0.5, budgetRows = 40)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("big") == math.round(40 * w5("big")))
+    assert(kept("mid") == math.round(40 * w5("mid")))
+    assert(kept("small") == math.round(40 * w5("small")))
+    assert(kept.values.sum <= 41) // rounding slack only
+    // determinism: same call, same rows
+    val a = Mixing.temperatureSample(df, "src", "id", 0.5, 40).select("id").collect().map(_.getLong(0)).toSet
+    val b = Mixing.temperatureSample(df, "src", "id", 0.5, 40).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // an over-budget request caps at group size, never duplicates
+    val all = Mixing.temperatureSample(df, "src", "id", 0.5, 100000)
+    assert(all.count() == df.count() && all.select("id").distinct().count() == df.count())
+  }
+
   test("centroidOutliers ranks a planted far vector first") {
     val base = (0 until 50).map(i => (i.toLong, Array.fill(8)(0.01f * (i % 3))))
     val planted = Seq((999L, Array.fill(8)(1.9f)))
