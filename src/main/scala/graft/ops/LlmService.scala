@@ -76,6 +76,31 @@ object LlmService {
       }
     }
 
+  /** Read the GGUF metadata KV section off the file's prefix (the same
+    * parse `inspect.HeaderParsers.gguf` serves catalogs with —
+    * readers.py:2643 GGUFMetadataReader's surface). */
+  def ggufMetadata(modelPath: String, capBytes: Int = 1 << 20): Map[String, Any] = {
+    val in = Files.newInputStream(Paths.get(modelPath))
+    val bytes = try in.readNBytes(capBytes) finally in.close()
+    graft.inspect.HeaderParsers.gguf(bytes)
+  }
+
+  /** Derive server CLI defaults from the model's own GGUF metadata:
+    * `--ctx-size` from `<architecture>.context_length` when the caller
+    * didn't choose one. User args always win; a model without the keys
+    * (or an unparsable KV section) contributes nothing.
+    */
+  def autoArgs(metadata: Map[String, Any],
+      userArgs: Seq[(String, Option[String])]): Seq[(String, Option[String])] = {
+    val userKeys = userArgs.map { case (k, _) =>
+      shortArgs.getOrElse(k, k).replace('_', '-').stripPrefix("--") }.toSet
+    val ctx = metadata.get("general.architecture").collect { case a: String =>
+      metadata.get(s"$a.context_length")
+    }.flatten.collect { case n: Number => n.longValue() }
+    if (ctx.isEmpty || userKeys.contains("ctx-size")) userArgs
+    else userArgs :+ ("ctx-size" -> Some(ctx.get.toString))
+  }
+
   /** Locate the server binary on PATH: `llama-server`, falling back to the
     * pre-rename `server` (readers.py:671-679; the executables were renamed
     * in llama.cpp PR 7809). */
@@ -146,8 +171,11 @@ object LlmService {
     val url = s"http://$host:$p"
     if (portInUse(host, p)) throw new IllegalStateException(s"$url in use")
     val log = logFile.getOrElse(Files.createTempFile("llama-cpp", ".log"))
+    // model-derived defaults (ctx-size from the GGUF's own metadata);
+    // a stub/truncated KV section contributes nothing rather than failing
+    val fullArgs = scala.util.Try(autoArgs(ggufMetadata(modelPath), args)).getOrElse(args)
     val cmd = Seq(exe, "-m", modelPath, "--host", host, "--port", p.toString) ++
-      normalizeArgs(args)
+      normalizeArgs(fullArgs)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectOutput(ProcessBuilder.Redirect.appendTo(log.toFile))
     pb.redirectErrorStream(true)

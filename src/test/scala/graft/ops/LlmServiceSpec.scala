@@ -36,6 +36,29 @@ class LlmServiceSpec extends SparkSpec {
     f
   }
 
+  test("autoArgs derives --ctx-size from GGUF metadata; user args always win") {
+    val meta = Map[String, Any]("general.architecture" -> "llama",
+      "llama.context_length" -> 4096L)
+    assert(LlmService.autoArgs(meta, Nil) == Seq("ctx-size" -> Some("4096")))
+    // explicit ctx wins, through the short name too
+    assert(LlmService.autoArgs(meta, Seq("c" -> Some("2048"))) == Seq("c" -> Some("2048")))
+    assert(LlmService.autoArgs(meta, Seq("ctx_size" -> Some("1024"))) ==
+      Seq("ctx_size" -> Some("1024")))
+    // no architecture keys -> nothing derived
+    assert(LlmService.autoArgs(Map("version" -> 3), Seq("verbose" -> None)) ==
+      Seq("verbose" -> None))
+    // a REAL crafted GGUF KV section parses end-to-end
+    val bb = java.nio.ByteBuffer.allocate(256).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GGUF".getBytes("ISO-8859-1")).putInt(3).putLong(0L).putLong(2L)
+    def putStr(s: String): Unit = { bb.putLong(s.length); bb.put(s.getBytes("UTF-8")) }
+    putStr("general.architecture"); bb.putInt(8); putStr("llama")
+    putStr("llama.context_length"); bb.putInt(4); bb.putInt(8192)
+    val f = Files.createTempFile("meta", ".gguf")
+    Files.write(f, java.util.Arrays.copyOf(bb.array(), bb.position()))
+    val derived = LlmService.autoArgs(LlmService.ggufMetadata(f.toString), Nil)
+    assert(derived == Seq("ctx-size" -> Some("8192")))
+  }
+
   test("normalizeArgs: short names expand, underscores dash, bare flags pass") {
     val out = LlmService.normalizeArgs(Seq(
       "c" -> Some("2048"),           // short -> --ctx-size 2048
