@@ -35,10 +35,13 @@ object LlmOps {
     * Retries: a 100 TB embed pass makes millions of requests from
     * hundreds of executors — transient connection resets and 429/5xx
     * throttle responses are CERTAIN, and one must not fail a 20-minute
-    * task. Bounded exponential backoff (maxRetries attempts, base
-    * `backoffMs` doubling, jittered by attempt) on IOException and
-    * retryable status codes; 4xx application errors (except 429) fail
-    * fast — retrying a malformed request burns quota for nothing.
+    * task. Bounded exponential backoff (`maxRetries` retries, so
+    * maxRetries+1 attempts total; base `backoffMs` doubling per attempt,
+    * each sleep multiplied by a uniform random factor in [0.5, 1.0] so a
+    * fleet of throttled executors de-synchronizes instead of re-spiking
+    * the endpoint in lockstep) on IOException and retryable status
+    * codes; 4xx application errors (except 429) fail fast — retrying a
+    * malformed request burns quota for nothing.
     */
   final class HttpTransport(baseUrl: String, model: String = "default", apiKey: String = "",
       maxRetries: Int = 3, backoffMs: Long = 200L)
@@ -72,7 +75,12 @@ object LlmOps {
         catch {
           case t: Throwable if retryable(t) && attempt < maxRetries =>
             attempt += 1
-            Thread.sleep(backoffMs * (1L << (attempt - 1)))
+            val base = backoffMs * (1L << (attempt - 1))
+            // uniform jitter in [base/2, base]: keeps the bound while
+            // spreading a fleet's synchronized retries over half a window
+            val jittered =
+              base / 2 + java.util.concurrent.ThreadLocalRandom.current().nextLong(base / 2 + 1)
+            Thread.sleep(jittered)
         }
       }
       throw new IllegalStateException("unreachable")

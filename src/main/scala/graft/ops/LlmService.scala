@@ -54,7 +54,11 @@ object LlmService {
     "ptc" -> "prompt-token-count", "r" -> "reverse-prompt", "sp" -> "special",
     "cnv" -> "conversation", "l" -> "logit-bias", "j" -> "json-schema",
     "gan" -> "grp-attn-n", "gaw" -> "grp-attn-w", "dkvc" -> "dump-kv-cache",
-    "nkvo" -> "no-ko-offload", "ctk" -> "cache-type-k", "ctv" -> "cache-type-v",
+    // deliberate divergence from the reference map (readers.py:611-668),
+    // which spells this "no-ko-offload" — llama.cpp's actual flag is
+    // --no-kv-offload, and the typo'd form makes the server exit on an
+    // unknown option
+    "nkvo" -> "no-kv-offload", "ctk" -> "cache-type-k", "ctv" -> "cache-type-v",
     "dt" -> "defrag-thold", "np" -> "parallel", "ns" -> "sequences",
     "cb" -> "cont-batching", "ngl" -> "gpu-layers", "ngld" -> "gpu-layers-draft",
     "sm" -> "split-mode", "ts" -> "tensor-split", "mg" -> "main-gpu",

@@ -132,7 +132,11 @@ object ChartRenderer {
     val rows = proj.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"chart input exceeds maxRows=$maxRows points — downsample first (hashSample/exactSampleK)")
-    rows.filterNot(r => (0 to yCols.length).exists(r.isNullAt))
+    // drop null AND NaN cells: one NaN poisons the Frame extents
+    // (min/max become NaN) and NaN.round.toInt lands at pixel 0 —
+    // mirrors histogram's isnan filter
+    rows.filterNot(r =>
+        (0 to yCols.length).exists(i => r.isNullAt(i) || r.getDouble(i).isNaN))
       .map(r => Array.tabulate(yCols.length + 1)(r.getDouble))
   }
 

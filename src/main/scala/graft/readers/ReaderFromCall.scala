@@ -161,14 +161,19 @@ object ReaderFromCall {
     * become reader options verbatim. */
   def toDataRef(c: Call, vars: Map[String, String] = Map.empty): DataRef = {
     val segs = c.func.split("\\.")
-    val (kind0, stripFmt) = segs match {
-      case Array(_, "read", "format", f) => (evalValue(f, vars), true)
+    val kind0 = segs match {
+      case Array(_, "read", "format", f) => evalValue(f, vars)
       case _ if segs.length >= 2 && segs(segs.length - 2) == "read" &&
-        sparkReadFormats.contains(segs.last) => (segs.last, false)
+        sparkReadFormats.contains(segs.last) => segs.last
+      // a bare spark.read.load("p") has NO format — it must not fall
+      // through to funcKinds("load") (np.load → "numpy")
+      case _ if segs.length >= 2 && segs(segs.length - 2) == "read" && segs.last == "load" =>
+        throw new IllegalArgumentException(
+          s"spark.read.load without .format(...) — add .format(\"...\") or use spark.read.<fmt>(path): ${c.func}")
       case _ =>
-        (funcKinds.getOrElse(segs.last,
+        funcKinds.getOrElse(segs.last,
           throw new IllegalArgumentException(
-            s"unknown read function '${c.func}' — supported: ${funcKinds.keys.toSeq.sorted.mkString(", ")}, spark.read.*")), false)
+            s"unknown read function '${c.func}' — supported: ${funcKinds.keys.toSeq.sorted.mkString(", ")}, spark.read.*"))
     }
     val urlKw = c.kwargs.find { case (k, _) =>
       Set("path", "filepath_or_buffer", "source", "url", "file").contains(k) }
@@ -181,7 +186,6 @@ object ReaderFromCall {
       if (k.length >= 2 && (k.head == '\'' || k.head == '"') && k.last == k.head)
         k.substring(1, k.length - 1) else k
     val opts = optKws.map { case (k, v) => key(k) -> evalValue(v, vars) }.toMap
-    val _ = stripFmt
     DataRef(kind0, evalValue(url, vars), opts)
   }
 

@@ -66,6 +66,9 @@ class LlmServiceSpec extends SparkSpec {
       "verbose" -> None,             // bare flag
       "--log-disable" -> Some("")))  // already-dashed, empty value -> bare
     assert(out == Seq("--ctx-size", "2048", "--n-gpu-layers", "0", "--verbose", "--log-disable"))
+    // nkvo must map to llama.cpp's real flag (the reference map carries
+    // a "no-ko-offload" typo we deliberately diverge from)
+    assert(LlmService.normalizeArgs(Seq("nkvo" -> None)) == Seq("--no-kv-offload"))
   }
 
   test("start refuses a non-GGUF model and a missing executable loudly") {

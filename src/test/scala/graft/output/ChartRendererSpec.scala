@@ -38,6 +38,17 @@ class ChartRendererSpec extends SparkSpec {
     assert(cs.contains(0x1f77b4) && cs.contains(0xd62728))
   }
 
+  test("NaN rows are dropped, not allowed to poison the extents") {
+    // without the NaN filter the frame extents become NaN and every
+    // point collapses to pixel 0 — the plot renders but is garbage
+    val clean = (0 until 50).map(i => (i.toDouble, i * 2.0))
+    val dirty = clean :+ (Double.NaN, 1.0) :+ (25.0, Double.NaN)
+    val pngClean = ChartRenderer.linePlot(clean.toDF("x", "y"), "x", Seq("y"), width = 300, height = 200)
+    val pngDirty = ChartRenderer.linePlot(dirty.toDF("x", "y"), "x", Seq("y"), width = 300, height = 200)
+    assert(java.util.Arrays.equals(pngClean, pngDirty),
+      "a NaN x or y must render identically to the clean frame")
+  }
+
   test("histogram bins distributed and draws bars proportional to counts") {
     // 90 values in [0,1), 10 in [9,10) — with 10 bins, bin 0 is 9x bin 9
     val df = ((0 until 90).map(_ % 10 / 10.0) ++ (0 until 10).map(9 + _ / 10.0)).toDF("v")

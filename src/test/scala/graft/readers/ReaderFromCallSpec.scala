@@ -56,6 +56,10 @@ class ReaderFromCallSpec extends SparkSpec {
     assert(kindOf("""xr.open_zarr("s")""") == "zarr")
     assert(kindOf("""spark.read.parquet("p")""") == "parquet")
     intercept[IllegalArgumentException] { kindOf("""pd.to_csv("p")""") }
+    // a bare spark.read.load has no format — it must refuse, not be
+    // silently classified as np.load's "numpy"
+    val e = intercept[IllegalArgumentException] { kindOf("""spark.read.load("p")""") }
+    assert(e.getMessage.contains("without .format"))
   }
 
   test("spark.read.format chain: format/option/options/load") {
