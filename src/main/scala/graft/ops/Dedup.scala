@@ -63,13 +63,21 @@ object Dedup {
     * back with their document frequency, total occurrence count (within-
     * row repeats counted), and the smallest containing doc id.
     *
-    * Scale shape: ONE shuffle — span keys groupBy with partial
-    * aggregation; `hashSpans=true` (default) keys on the structural
-    * 64-bit token-hash-slice hash so span STRINGS never enter the
-    * shuffle (the q85 argument); `hashSpans=false` keys on the literal
-    * span text — the DuckDB-oracle path, and what a removal pass joins
-    * back on. countDistinct is Spark's two-phase distinct aggregate —
-    * no row funnel.
+    * Scale shape: ONE exchange — the exploded span rows hash-partition
+    * on `span` once, and BOTH aggregation levels reuse that
+    * partitioning: a (span, doc) pre-aggregate collapses within-doc
+    * repeats, then the span-level aggregate derives n_docs = count,
+    * n_occurrences = sum(cnt), first_id = min(doc) with no further
+    * exchange (HashPartitioning(span) satisfies the clustering of both
+    * groupBys). This replaces countDistinct's Expand + two shuffle
+    * phases — the round-16 profile's 3x-vs-oracle cost. A
+    * hyper-duplicated span concentrates on one reducer, but its per-row
+    * work is a hash-probe increment — bounded the same way the q85
+    * gram aggregation is. `hashSpans=true` (default) keys on the
+    * structural 64-bit token-hash-slice hash so span STRINGS never
+    * enter the shuffle (the q85 argument); `hashSpans=false` keys on
+    * the literal span text — the DuckDB-oracle path, and what a
+    * removal pass joins back on.
     */
   def duplicateSpans(
       df: DataFrame,
@@ -85,14 +93,23 @@ object Dedup {
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
       else explodeShingles(base, idCol, textCol, n, outCol = "span")
-    spans
+    spanAgg(spans.repartition(col("span")), idCol, minDocs)
+  }
+
+  /** The shared exchange-free aggregation tail of [[duplicateSpans]] /
+    * [[dupSpanStats]]: REQUIRES the input already hash-partitioned on
+    * `span` (both groupBys then plan without an exchange).
+    */
+  private def spanAgg(spansBySpan: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    spansBySpan
+      .groupBy(col("span"), col(idCol))
+      .agg(count(lit(1)).as("_cnt"))
       .groupBy(col("span"))
       .agg(
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_cnt")).as("n_occurrences"),
         min(col(idCol)).as("first_id"))
       .where(col("n_docs") >= minDocs)
-  }
 
   /** [[shingles]] exploded to (id, outCol) rows THROUGH a projection
     * boundary — same staging rationale as [[explodeGramHashes]]: the
@@ -111,10 +128,13 @@ object Dedup {
   /** Per-document duplicate-span exposure — the second half of the Lee
     * et al. pipeline: for every doc, how many of its n-token windows are
     * corpus-wide duplicates ([[duplicateSpans]] hits), as a count and a
-    * fraction. Shape: spans exploded once, the flagged-span set derived
-    * from the SAME exploded frame (no second tokenize pass), one
-    * hash-keyed equi-join back, one per-doc aggregation. Everything
-    * partial-aggregates; nothing funnels to the driver.
+    * fraction. Shape: spans exploded once and hash-partitioned on span
+    * BEFORE the localCheckpoint, so the checkpointed partitioning feeds
+    * the flag-set aggregation chain (zero exchanges — the
+    * [[duplicateSpans]] two-level mold), the span-keyed join back
+    * (both sides already clustered on span), and only the final per-doc
+    * aggregation exchanges again. Two exchanges total; nothing funnels
+    * to the driver.
     */
   def dupSpanStats(
       df: DataFrame,
@@ -130,10 +150,12 @@ object Dedup {
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
       else explodeShingles(base, idCol, textCol, n, outCol = "span")
-    ).localCheckpoint() // referenced twice (flag set + join back): one tokenize pass
-    val flagged = spans.groupBy(col("span"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= minDocs)
+    ).repartition(col("span"))
+      // referenced twice (flag set + join back): one tokenize pass; the
+      // checkpoint captures HashPartitioning(span), so both consumers
+      // plan exchange-free off it
+      .localCheckpoint()
+    val flagged = spanAgg(spans, idCol, minDocs)
       .select(col("span"), lit(1).as("_dup"))
     spans.join(flagged, Seq("span"), "left")
       .groupBy(col(idCol))
