@@ -38,10 +38,16 @@ object Decontam {
   /** The hashGrams fast path: 64-bit gram hashes per row, exploded —
     * gram strings never materialize ([[Dedup.gramHashes]]); the string
     * path above stays for `hashGrams=false` oracle runs. `perRowDistinct`
-    * stays ON for every caller: even the set-valued consumer
-    * (crossSourceOverlap's collect_set) measured 3x slower without it —
-    * repetitive text makes within-row dup grams common enough that the
-    * per-row hash-set walk pays for itself before the shuffle. */
+    * stays ON for [[ngramOverlap]], whose n_shared semantics REQUIRE one
+    * count per distinct gram per doc. The set-valued consumer
+    * ([[crossSourceOverlap]]) turns it OFF: collect_set / bit_or absorb
+    * duplicate gram rows anyway, and since grams became hashed longs the
+    * per-row array_distinct hash-walk costs more than shuffling the dup
+    * longs (round-17 A/B at sf0.1 warm serial: 0.56 s without vs 0.73 s
+    * with — the inverse of the round-15 gram-STRING measurement this doc
+    * previously recorded). At 100 TB the trade tilts back for highly
+    * repetitive corpora (shuffle bytes beat local CPU), which is what
+    * [[crossSourceOverlap]]'s `perRowDistinct` knob is for. */
   private def explodedGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
       perRowDistinct: Boolean = true) =
     Dedup.explodeGramHashes(df, idCol, textCol, n, perRowDistinct)
@@ -115,6 +121,11 @@ object Decontam {
     *    0.78 s set vs 1.18 s mask+dict-job at sf0.1 serial).
     * The join key is the 64-bit gram hash when `hashGrams` (no strings
     * through the shuffle); output is O(sources²) rows, never O(docs).
+    * `perRowDistinct` (default off): both summary shapes absorb
+    * within-row duplicate grams in the aggregate, so the per-row
+    * array_distinct walk is pure overhead at bench scale (A/B in
+    * [[explodedGramHashes]]'s doc); switch it on for highly repetitive
+    * corpora where shuffle bytes dominate local CPU.
     */
   def crossSourceOverlap(
       docs: DataFrame,
@@ -123,11 +134,12 @@ object Decontam {
       n: Int = 5,
       hashGrams: Boolean = true,
       repartitionTo: Option[Int] = None,
-      knownSources: Option[Seq[String]] = None
+      knownSources: Option[Seq[String]] = None,
+      perRowDistinct: Boolean = false
   ): DataFrame = {
     val base = repartitionTo.map(docs.repartition(_)).getOrElse(docs)
     val sourceGrams =
-      if (hashGrams) explodedGramHashes(base, sourceCol, textCol, n)
+      if (hashGrams) explodedGramHashes(base, sourceCol, textCol, n, perRowDistinct)
       else explodedGrams(base, sourceCol, textCol, n).select(col(sourceCol), col("_gram").as("_g"))
     val sources = knownSources.map(_.distinct.map(String.valueOf(_)).sorted.toArray).getOrElse(Array.empty)
     if (knownSources.isDefined && sources.length <= 62) {
