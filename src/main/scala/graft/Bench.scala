@@ -20,6 +20,36 @@ import scala.util.Try
   * whole batch; per-query entries are individual durations.
   */
 object Bench {
+
+  /** Per-query drift vs a committed reference: a query drifts when its
+    * measured wall is BOTH >= `ratio` x its reference AND at least
+    * `minExcessSec` above it — the ratio alone would flag 0.1 s -> 0.2 s
+    * scheduling jitter (in-batch walls share cores deliberately), the
+    * absolute floor alone would miss a 2 s query doubling. Returns
+    * query -> measured/reference ratio (2dp). Queries absent from the
+    * reference (new this round) never drift — they have no baseline.
+    */
+  def drift(reference: Map[String, Double], measured: Map[String, Double],
+            ratio: Double = 1.5, minExcessSec: Double = 0.5): Map[String, Double] =
+    measured.flatMap { case (q, t) =>
+      reference.get(q).collect {
+        case r if r > 0 && t >= r * ratio && t - r >= minExcessSec =>
+          q -> math.round(t / r * 100.0) / 100.0
+      }
+    }
+
+  /** Extract the `"queries"` object of a bench-summary-shaped JSON text
+    * (same brace-matching extraction the LPT tiering uses). */
+  private[graft] def parseQueryTimes(txt: String): Map[String, Double] = {
+    val qSec = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
+    val start = txt.indexOf('{', txt.indexOf("\"queries\""))
+    var depth = 0
+    var end = start
+    while (end < txt.length && { if (txt(end) == '{') depth += 1 else if (txt(end) == '}') depth -= 1; depth > 0 }) end += 1
+    qSec.findAllMatchIn(txt.substring(start, end + 1))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,19 +95,12 @@ object Bench {
     // hand-list silently degrades LPT); the static tier list is only the
     // first-run fallback. Unknown queries default to mid-tier.
     val summaryPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "target/bench_summary.json"))
+    // Minimal extraction of the "queries" object: "name":secs pairs.
+    // Scans to the BRACE MATCHING the object opener, not the first '}'
+    // — first-'}' only works while "queries" happens to precede
+    // "cold_queries" in the line, a field-order accident.
     val priorTimes: Map[String, Double] = Try {
-      val txt = new String(Files.readAllBytes(summaryPath), StandardCharsets.UTF_8)
-      // Minimal extraction of the "queries" object: "name":secs pairs.
-      // Scan to the BRACE MATCHING the object opener, not the first '}'
-      // — first-'}' only works while "queries" happens to precede
-      // "cold_queries" in the line, a field-order accident.
-      val qSec = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
-      val start = txt.indexOf('{', txt.indexOf("\"queries\""))
-      var depth = 0
-      var end = start
-      while (end < txt.length && { if (txt(end) == '{') depth += 1 else if (txt(end) == '}') depth -= 1; depth > 0 }) end += 1
-      qSec.findAllMatchIn(txt.substring(start, end + 1))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      parseQueryTimes(new String(Files.readAllBytes(summaryPath), StandardCharsets.UTF_8))
     }.getOrElse(Map.empty)
     // NON-AUTHORITATIVE first-run fallback ONLY: once a summary file
     // exists, priorTimes supersedes this list entirely — do not hand-tune
@@ -206,14 +229,42 @@ object Bench {
       warm3Results.map(r => (r, warm3Wall.get))
     val (results, wall) = warmPasses.minBy(_._2)
     pool.shutdown()
+
+    // Per-query drift gate (VERDICT r16 #5): best-across-warm-passes
+    // walls vs the COMMITTED in-batch reference (tools/bench_reference
+    // .json, refreshed when the reference table is re-measured) — a
+    // regression in one query can no longer hide inside a healthy batch
+    // total. Best-of-passes damps the deliberate core-sharing noise of
+    // in-batch walls; the committed reference is the same mode
+    // (in-batch warm best), never the serial table — serial walls carry
+    // per-query fixed overhead the batch amortizes, so cross-mode
+    // ratios would false-alarm. A contended box invalidates every wall,
+    // so drift reports null rather than 30 phantom regressions.
+    val bestPerQuery: Map[String, Double] =
+      warmPasses.map(_._1).reduce((a, b) => (a.keySet ++ b.keySet).map { k =>
+        k -> math.min(a.getOrElse(k, Double.MaxValue), b.getOrElse(k, Double.MaxValue))
+      }.toMap)
+    val referencePath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REFERENCE", "tools/bench_reference.json"))
+    val referenceTimes: Map[String, Double] = Try {
+      parseQueryTimes(new String(Files.readAllBytes(referencePath), StandardCharsets.UTF_8))
+    }.getOrElse(Map.empty)
+    val driftJson: String =
+      if (contended) "null"
+      else {
+        val d = drift(referenceTimes, bestPerQuery)
+        if (d.nonEmpty)
+          System.err.println(s"[bench] DRIFT WARNING — queries >=1.5x their committed reference: " +
+            d.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
+        d.toSeq.sortBy(_._1).map { case (q, r) => "\"" + q + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      }
     val warm3Json = warm3Wall.map(w => f""","warm3":$w%.3f""").getOrElse("")
     val loadW3Json = loadW3.map(l => f""","warm3":$l%.2f""").getOrElse("")
     val passes = f""""passes":{"cold":$coldWall%.3f,"cold_batch":$coldBatchWall%.3f,"warm1":$warm1Wall%.3f,"warm2":$warm2Wall%.3f$warm3Json},"loadavg":{"pre":$preLoad%.2f,"cold":$loadCold%.2f,"warm1":$loadW1%.2f,"warm2":$loadW2%.2f$loadW3Json},"contended":$contended,"gate_waited_sec":${f"$gateWaited%.1f"}"""
 
     def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"queries":${j(results)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above carries two ~80-entry maps (~4 KB) and the
     // harness tail-captures a bounded window, which truncated the

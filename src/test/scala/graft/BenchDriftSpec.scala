@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bench per-query drift gate (VERDICT r16 #5): a slowed query must
+  * trip it, in-batch scheduling jitter and brand-new queries must not.
+  */
+class BenchDriftSpec extends AnyFunSuite {
+
+  private val reference = Map(
+    "q42_minhash_lsh" -> 2.0,
+    "q02_filter" -> 0.1,
+    "q63_neardup_clusters" -> 3.0)
+
+  test("a deliberately slowed query trips the gate with its ratio") {
+    val measured = Map("q42_minhash_lsh" -> 4.1, "q63_neardup_clusters" -> 3.1)
+    val d = Bench.drift(reference, measured)
+    assert(d == Map("q42_minhash_lsh" -> 2.05))
+  }
+
+  test("small-absolute jitter on a cheap query does not trip (ratio alone is not enough)") {
+    // 0.1s -> 0.3s is 3x but only 0.2s excess — in-batch core-sharing noise
+    assert(Bench.drift(reference, Map("q02_filter" -> 0.3)).isEmpty)
+  }
+
+  test("a big query must exceed BOTH the ratio and the absolute floor") {
+    // 3.0 -> 4.0 is +1.0s but only 1.33x — below the ratio gate
+    assert(Bench.drift(reference, Map("q63_neardup_clusters" -> 4.0)).isEmpty)
+    // 3.0 -> 4.6 is 1.53x and +1.6s — trips
+    assert(Bench.drift(reference, Map("q63_neardup_clusters" -> 4.6)) ==
+      Map("q63_neardup_clusters" -> 1.53))
+  }
+
+  test("queries with no committed reference (new this round) never drift") {
+    assert(Bench.drift(reference, Map("q99_brand_new" -> 60.0)).isEmpty)
+  }
+
+  test("parseQueryTimes reads the queries object past nested cold_queries") {
+    val txt = """{"value":7.2,"queries":{"q01_agg":0.312,"q42_minhash_lsh":2.931},"cold_queries":{"q01_agg":9.1}}"""
+    assert(Bench.parseQueryTimes(txt) == Map("q01_agg" -> 0.312, "q42_minhash_lsh" -> 2.931))
+  }
+
+  test("the committed reference file parses and covers the whole query inventory") {
+    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+    assume(java.nio.file.Files.exists(p), "reference not committed yet")
+    val ref = Bench.parseQueryTimes(java.nio.file.Files.readString(p))
+    val missing = SparkEntry.queries.keySet -- ref.keySet
+    // new queries legitimately have no baseline until the next refresh;
+    // the gate must at least see the bulk of the inventory
+    assert(ref.size >= 80 && missing.size <= SparkEntry.queries.size / 10,
+      s"reference stale: ${ref.size} entries, missing ${missing.toSeq.sorted.take(10)}")
+    assert(ref.values.forall(v => v > 0 && v < 120))
+  }
+}

@@ -166,4 +166,29 @@ class LlmServiceSpec extends SparkSpec {
       LlmService.fromGguf(DataRef("parquet", "/tmp/x.parquet"))
     }
   }
+
+  test("real llama-server CLI smoke (PATH-gated: cancels where the binary is absent)") {
+    // Everything else in this suite runs against the fake server shim;
+    // this one exercises the flag surface [[LlmService.normalizeArgs]]
+    // emits against an ACTUAL llama-server --help, where one is
+    // installed. The asserted subset is the stable core of the CLI —
+    // the full shortArgs map tracks the reference's convenience table,
+    // whose tail flags churn across llama.cpp releases.
+    val exe = System.getenv("PATH").split(java.io.File.pathSeparator)
+      .map(d => java.nio.file.Paths.get(d, "llama-server"))
+      .find(p => Files.isRegularFile(p) && Files.isExecutable(p))
+    assume(exe.isDefined, "llama-server not on PATH — smoke skipped")
+    val proc = new ProcessBuilder(exe.get.toString, "--help").redirectErrorStream(true).start()
+    val help = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    proc.waitFor()
+    val core = Seq("c" -> "ctx-size", "t" -> "threads", "b" -> "batch-size",
+      "ub" -> "ubatch-size", "s" -> "seed", "n" -> "predict",
+      "nkvo" -> "no-kv-offload", "np" -> "parallel", "ngl" -> "gpu-layers")
+    core.foreach { case (short, long) =>
+      assert(LlmService.shortArgs(short) == long, s"shortArgs($short)")
+      assert(help.contains(s"--$long"), s"real llama-server --help lacks --$long")
+    }
+    // the reference map's typo must never resurface
+    assert(!help.contains("--no-ko-offload"))
+  }
 }
