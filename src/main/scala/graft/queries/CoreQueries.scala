@@ -249,10 +249,13 @@ object CoreQueries {
             col("l_quantity") >= col("p_size") * 0.5 &&
             col("l_quantity") <= col("p_size")
         ).groupBy("p_brand")
-          .agg(count(lit(1)).as("n_lines"), sum("l_extendedprice").as("sum_price"))
+          // rounded to 2dp: extendedprice is exactly-2dp, so the rounded
+          // sum is exact — raw double sums at sf0.1 magnitude (~3e8)
+          // carry accumulation-order noise above the comparator's 6dp
+          .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("sum_price"))
       },
       Some("""
-        SELECT p_brand, count(*) AS n_lines, sum(l_extendedprice) AS sum_price
+        SELECT p_brand, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem JOIN part
           ON l_partkey = p_partkey
          AND l_quantity >= p_size * 0.5 AND l_quantity <= p_size

@@ -74,7 +74,10 @@ object StreamingBatchQueries {
             json_tuple(col("props"), "k").as("k_str"),
             unix_millis(col("ts")).as("ts_ms"),
             (col("value") <=> lit(null)).as("value_is_null_safe"),
-            nanvl(col("value") / when(col("value") === 0, 0.0).otherwise(1.0), lit(-1.0)).as("value_nan_guard")
+            // NaN injected directly: the 0/0 formulation threw ANSI
+            // DIVIDE_BY_ZERO once sf0.1 data produced value=0 rows —
+            // nanvl stays exercised, oracle semantics unchanged
+            nanvl(when(col("value") === 0, lit(Double.NaN)).otherwise(col("value")), lit(-1.0)).as("value_nan_guard")
           )
           .select(
             col("event_id"),
@@ -89,7 +92,7 @@ object StreamingBatchQueries {
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                epoch_ms(ts) AS ts_ms,
                (value IS NOT DISTINCT FROM NULL) AS value_is_null_safe,
-               round(CASE WHEN isnan(value / CASE WHEN value = 0 THEN 0.0 ELSE 1.0 END)
+               round(CASE WHEN isnan(CASE WHEN value = 0 THEN 'NaN'::DOUBLE ELSE value END)
                           THEN -1.0 ELSE value END, 2) AS value_nan_guard
         FROM events
       """)
@@ -179,7 +182,17 @@ object StreamingBatchQueries {
         StreamOps.windowedAgg(
           table(s, dir, "events"),
           "ts", "30 minutes",
-          aggs = Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")),
+          // avg derived from the EXACT 2dp-rounded sum, NOT re-rounded:
+          // raw avg carries accumulation-order noise that lands 4dp
+          // rounding on tie boundaries (33/14405 windows flipped at
+          // sf0.1), and any engine-side re-round of the quotient has its
+          // own tie (sum/count often IS a 4dp half). round(sum,2) is a
+          // 2dp decimal in both engines (values are exactly-2dp, so the
+          // true sum sits AT a multiple of 0.01, never near a rounding
+          // tie); the division then yields bit-identical doubles that
+          // the comparator's 6dp canon rounds identically.
+          aggs = Seq(count(lit(1)).as("n"),
+            (round(sum("value"), 2) / count(lit(1))).as("avg_value")),
           keys = Seq("event_type"),
           slide = Some("15 minutes")
         ).select(col("event_type"), col("window_start"), col("n"), col("avg_value"))
@@ -188,7 +201,7 @@ object StreamingBatchQueries {
       Some("""
         SELECT event_type,
                time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n, round(sum(value), 2) / count(*) AS avg_value
         FROM events, (SELECT unnest([0, 1]) AS k)
         WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
           AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE + INTERVAL 30 MINUTE
