@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe of the heavy-tail dedup queries (VERDICT r16 #8):
+  * derives an sf1 documents slice from the provided sf0.1 table —
+  * 10 replicas, every token prefixed with a replica tag so replicas
+  * share NO shingles (within-replica dup/similarity structure is
+  * preserved exactly; cross-replica similarity is zero, so the corpus
+  * scales 10x without changing its per-doc statistics or artificially
+  * chaining near-dup components) — then wall-clocks the named queries
+  * at both SFs and prints per-query scaling exponents
+  * (log10 t_sf1/t_sf0.1: 1.0 = linear, <1 = sub-linear amortization).
+  *
+  * `sbt "runMain graft.tools.ScaleProbe [sf0.1dir] [outDir]"`. The sf1
+  * slice lands under target/ (never committed, never under /root/testdata).
+  */
+object ScaleProbe {
+  import org.apache.spark.sql.DataFrame
+
+  /** q42/q63 cap their input at doc_id < 200 (the deterministic oracle
+    * subset), so corpus scaling never reaches them — the probe drives
+    * their OPERATORS over the full table instead; q78/q88 already scan
+    * everything and run as-is. */
+  val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q78_minhash_portable" -> ((s, d) => SparkEntry.queries("q78_minhash_portable")(s, d)),
+    "q88_duplicate_spans" -> ((s, d) => SparkEntry.queries("q88_duplicate_spans")(s, d)),
+    "lsh_pairs_full" -> ((s, d) =>
+      graft.ops.Dedup.minhashNearDupPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5,
+        repartitionTo = Some(s.sparkContext.defaultParallelism))),
+    "cc_clusters_full" -> ((s, d) =>
+      graft.ops.Dedup.dedupNearDups(
+        s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, shingleN = 3,
+        repartitionTo = Some(s.sparkContext.defaultParallelism))))
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val sf1 = (0 until 10).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * idStride)).as("doc_id"),
+        (if (r == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    sf1.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs to $outDir")
+
+    def best(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String, reps: Int = 3): (Double, Long) =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
+
+    probes.foreach { case (q, fn) =>
+      best(fn, sf01, reps = 1) // warm codegen/JIT on the small SF first
+      val (t01, n01) = best(fn, sf01)
+      val (t1, n1) = best(fn, outDir)
+      val exp = math.log10(t1 / t01)
+      println(f"[probe] $q%-24s sf0.1=$t01%6.2fs ($n01 rows) sf1=$t1%7.2fs ($n1 rows) ratio=${t1 / t01}%5.1fx exponent=$exp%.2f")
+    }
+    spark.stop()
+  }
+}
