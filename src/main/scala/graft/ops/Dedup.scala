@@ -128,13 +128,16 @@ object Dedup {
   /** Per-document duplicate-span exposure — the second half of the Lee
     * et al. pipeline: for every doc, how many of its n-token windows are
     * corpus-wide duplicates ([[duplicateSpans]] hits), as a count and a
-    * fraction. Shape: spans exploded once and hash-partitioned on span
-    * BEFORE the localCheckpoint, so the checkpointed partitioning feeds
-    * the flag-set aggregation chain (zero exchanges — the
-    * [[duplicateSpans]] two-level mold), the span-keyed join back
-    * (both sides already clustered on span), and only the final per-doc
-    * aggregation exchanges again. Two exchanges total; nothing funnels
-    * to the driver.
+    * fraction. Shape: spans exploded once and localCheckpointed RAW —
+    * NOT pre-partitioned: under AQE the checkpointed LogicalRDD reports
+    * UnknownPartitioning, so a repartition inside the checkpoint is a
+    * wasted shuffle the consumers cannot reuse (measured: the round-17
+    * first cut paid it and the flagged chain re-exchanged twice anyway).
+    * The flagged set derives via the [[duplicateSpans]] single-exchange
+    * mold (repartition on span AFTER the checkpoint, both aggregation
+    * levels reuse it); the join back broadcasts the small flagged side;
+    * the final per-doc aggregation is the only other exchange. Nothing
+    * funnels to the driver.
     */
   def dupSpanStats(
       df: DataFrame,
@@ -150,12 +153,8 @@ object Dedup {
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
       else explodeShingles(base, idCol, textCol, n, outCol = "span")
-    ).repartition(col("span"))
-      // referenced twice (flag set + join back): one tokenize pass; the
-      // checkpoint captures HashPartitioning(span), so both consumers
-      // plan exchange-free off it
-      .localCheckpoint()
-    val flagged = spanAgg(spans, idCol, minDocs)
+    ).localCheckpoint() // referenced twice (flag set + join back): one tokenize pass
+    val flagged = spanAgg(spans.repartition(col("span")), idCol, minDocs)
       .select(col("span"), lit(1).as("_dup"))
     spans.join(flagged, Seq("span"), "left")
       .groupBy(col(idCol))
