@@ -41,7 +41,8 @@ object Bench {
   /** Extract the `"queries"` object of a bench-summary-shaped JSON text
     * (same brace-matching extraction the LPT tiering uses). */
   private[graft] def parseQueryTimes(txt: String): Map[String, Double] = {
-    val qSec = """"(q[0-9][A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
+    // \s* after the colon: the committed reference is pretty-printed
+    val qSec = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9]+\.?[0-9]*)""".r
     val start = txt.indexOf('{', txt.indexOf("\"queries\""))
     var depth = 0
     var end = start
