@@ -93,6 +93,18 @@ class PlanShapeSpec extends SparkSpec {
         .as[(String, String, Long)].collect().toSet)
   }
 
+  test("duplicateSpans: one span exchange feeds both aggregation levels — no Expand, no second shuffle") {
+    import spark.implicits._
+    val df = Seq.tabulate(30)(i => (i.toLong, s"alpha beta gamma delta t$i common tail words here")).toDF("doc_id", "text")
+    withStaticPlans {
+      val plan = physical(Dedup.duplicateSpans(df, "doc_id", "text", n = 3))
+      // a regression back to countDistinct plans Expand + two shuffle phases
+      assert(!plan.contains("Expand"), s"distinct-aggregate Expand reappeared:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected ONE span exchange, got $exchanges:\n$plan")
+    }
+  }
+
   test("exact dedup plans a partial (map-side) aggregate before the shuffle") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong, s"doc${i % 10}")).toDF("doc_id", "text")
