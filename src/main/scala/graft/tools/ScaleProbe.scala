@@ -36,7 +36,11 @@ object ScaleProbe {
       graft.ops.Dedup.dedupNearDups(
         s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
         "doc_id", "text", threshold = 0.5, shingleN = 3,
-        repartitionTo = Some(s.sparkContext.defaultParallelism))))
+        repartitionTo = Some(s.sparkContext.defaultParallelism))),
+    "q85_source_overlap" -> ((s, d) => SparkEntry.queries("q85_source_overlap")(s, d)),
+    "q90_dup_span_stats" -> ((s, d) => SparkEntry.queries("q90_dup_span_stats")(s, d)),
+    "q51_lsh_knn" -> ((s, d) => SparkEntry.queries("q51_lsh_knn")(s, d)),
+    "q58_ivf_knn" -> ((s, d) => SparkEntry.queries("q58_ivf_knn")(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -62,6 +66,27 @@ object ScaleProbe {
     sf1.repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     println(s"[probe] wrote ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs to $outDir")
+
+    // embeddings: 10 replicas under a replica-wide deterministic sign
+    // pattern — cosine structure WITHIN a replica is exactly preserved
+    // (a common sign flip cancels in the dot product), cross-replica
+    // similarities decorrelate, so the ANN probes face a 10x corpus
+    // with the same per-replica neighbor structure
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val emb1 = (0 until 10).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r * vecStride)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else zip_with(col("embedding"),
+           transform(sequence(lit(0), size(col("embedding")) - 1),
+             i => when((i + lit(r * 7)) % 3 === 0, lit(-1.0f)).otherwise(lit(1.0f))),
+           (v, sgn) => v * sgn)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    emb1.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/embeddings.parquet").count()} vectors to $outDir")
 
     def best(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String, reps: Int = 3): (Double, Long) =
