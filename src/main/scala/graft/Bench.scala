@@ -43,10 +43,17 @@ object Bench {
   private[graft] def parseQueryTimes(txt: String): Map[String, Double] = {
     // \s* after the colon: the committed reference is pretty-printed
     val qSec = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9]+\.?[0-9]*)""".r
-    val start = txt.indexOf('{', txt.indexOf("\"queries\""))
+    val key = txt.indexOf("\"queries\"")
+    // a text WITHOUT a "queries" object must parse empty, not scan from
+    // offset 0 — e.g. the compact summary line carries q-named DRIFT
+    // RATIOS that would otherwise be returned as reference seconds
+    if (key < 0) return Map.empty
+    val start = txt.indexOf('{', key)
+    if (start < 0) return Map.empty
     var depth = 0
     var end = start
     while (end < txt.length && { if (txt(end) == '{') depth += 1 else if (txt(end) == '}') depth -= 1; depth > 0 }) end += 1
+    if (depth != 0) return Map.empty // unbalanced braces: refuse, don't throw
     qSec.findAllMatchIn(txt.substring(start, end + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }

@@ -106,7 +106,10 @@ object Dedup {
       .agg(count(lit(1)).as("_cnt"))
       .groupBy(col("span"))
       .agg(
-        count(lit(1)).as("n_docs"),
+        // count(idCol), NOT count(*): a NULL doc id forms its own
+        // pre-aggregate group, and counting that row would diverge from
+        // countDistinct's (and the oracle's) NULL-ignoring semantics
+        count(col(idCol)).as("n_docs"),
         sum(col("_cnt")).as("n_occurrences"),
         min(col(idCol)).as("first_id"))
       .where(col("n_docs") >= minDocs)

@@ -132,11 +132,11 @@ object ChartRenderer {
     val rows = proj.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"chart input exceeds maxRows=$maxRows points — downsample first (hashSample/exactSampleK)")
-    // drop null AND NaN cells: one NaN poisons the Frame extents
-    // (min/max become NaN) and NaN.round.toInt lands at pixel 0 —
-    // mirrors histogram's isnan filter
+    // drop null and non-finite cells: one NaN makes the Frame extents
+    // NaN, one Infinity collapses every finite point onto the frame
+    // edge — either way NaN.round.toInt lands at pixel 0
     rows.filterNot(r =>
-        (0 to yCols.length).exists(i => r.isNullAt(i) || r.getDouble(i).isNaN))
+        (0 to yCols.length).exists(i => r.isNullAt(i) || !java.lang.Double.isFinite(r.getDouble(i))))
       .map(r => Array.tabulate(yCols.length + 1)(r.getDouble))
   }
 

@@ -161,15 +161,18 @@ object ReaderFromCall {
     * become reader options verbatim. */
   def toDataRef(c: Call, vars: Map[String, String] = Map.empty): DataRef = {
     val segs = c.func.split("\\.")
+    val formatKw = c.kwargs.find(_._1 == "format")
     val kind0 = segs match {
       case Array(_, "read", "format", f) => evalValue(f, vars)
       case _ if segs.length >= 2 && segs(segs.length - 2) == "read" &&
         sparkReadFormats.contains(segs.last) => segs.last
-      // a bare spark.read.load("p") has NO format — it must not fall
-      // through to funcKinds("load") (np.load → "numpy")
+      // spark.read.load: PySpark's load(path, format="csv") carries the
+      // format as a kwarg; WITHOUT one there is no format at all and it
+      // must not fall through to funcKinds("load") (np.load → "numpy")
       case _ if segs.length >= 2 && segs(segs.length - 2) == "read" && segs.last == "load" =>
-        throw new IllegalArgumentException(
-          s"spark.read.load without .format(...) — add .format(\"...\") or use spark.read.<fmt>(path): ${c.func}")
+        formatKw.map(kv => evalValue(kv._2, vars)).getOrElse(
+          throw new IllegalArgumentException(
+            s"spark.read.load without a format — add .format(\"...\"), format=..., or use spark.read.<fmt>(path): ${c.func}"))
       case _ =>
         funcKinds.getOrElse(segs.last,
           throw new IllegalArgumentException(
@@ -179,7 +182,12 @@ object ReaderFromCall {
       Set("path", "filepath_or_buffer", "source", "url", "file").contains(k) }
     val url = urlKw.map(_._2).orElse(c.args.headOption).getOrElse(
       throw new IllegalArgumentException(s"no path argument in: ${c.func}(...)"))
-    val optKws = c.kwargs.filterNot(urlKw.toSeq.contains(_))
+    // the format kwarg became the kind in the spark.read.load case —
+    // it is not a reader option either way
+    val consumed = urlKw.toSeq ++
+      (if (segs.length >= 2 && segs(segs.length - 2) == "read" && segs.last == "load") formatKw.toSeq
+       else Nil)
+    val optKws = c.kwargs.filterNot(consumed.contains(_))
     // chain-style .option("header","true") keys arrive quoted; kwarg
     // keys arrive bare — normalize both
     def key(k: String): String =

@@ -70,8 +70,11 @@ object ScaleProbe {
     // embeddings: 10 replicas under a replica-wide deterministic sign
     // pattern — cosine structure WITHIN a replica is exactly preserved
     // (a common sign flip cancels in the dot product), cross-replica
-    // similarities decorrelate, so the ANN probes face a 10x corpus
-    // with the same per-replica neighbor structure
+    // similarities decorrelate. The sign of dimension i in replica r is
+    // the parity of xxhash64(i, r): DISTINCT for every replica — a
+    // modular pattern like (i + 7r) % 3 repeats every 3 replicas and
+    // plants exact cross-replica clone vectors (round-17 review catch),
+    // which would hand the ANN probes a clone-dominated corpus.
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
     val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
     val emb1 = (0 until 10).map { r =>
@@ -80,7 +83,7 @@ object ScaleProbe {
         (if (r == 0) col("embedding")
          else zip_with(col("embedding"),
            transform(sequence(lit(0), size(col("embedding")) - 1),
-             i => when((i + lit(r * 7)) % 3 === 0, lit(-1.0f)).otherwise(lit(1.0f))),
+             i => when(pmod(xxhash64(i, lit(r)), lit(2)) === 0, lit(-1.0f)).otherwise(lit(1.0f))),
            (v, sgn) => v * sgn)).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)

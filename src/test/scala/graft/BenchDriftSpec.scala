@@ -40,6 +40,15 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parseQueryTimes(txt) == Map("q01_agg" -> 0.312, "q42_minhash_lsh" -> 2.931))
   }
 
+  test("parseQueryTimes refuses texts without a queries object instead of scanning from 0") {
+    // the compact summary line carries q-named DRIFT RATIOS — returning
+    // those as reference seconds would flood the gate with phantom drift
+    val compact = """{"value":7.2,"drift":{"q42_minhash_lsh":2.05},"n_queries":89}"""
+    assert(Bench.parseQueryTimes(compact).isEmpty)
+    assert(Bench.parseQueryTimes("").isEmpty)
+    assert(Bench.parseQueryTimes(""""queries":{"q01_agg":0.3""").isEmpty) // unbalanced
+  }
+
   test("the committed reference file parses and covers the whole query inventory") {
     val p = java.nio.file.Paths.get("tools/bench_reference.json")
     assume(java.nio.file.Files.exists(p), "reference not committed yet")

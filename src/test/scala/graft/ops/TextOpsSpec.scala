@@ -162,6 +162,21 @@ class TextOpsSpec extends SparkSpec {
     assert(keepAll == 3L)
   }
 
+  test("duplicateSpans ignores NULL doc ids in n_docs (countDistinct semantics)") {
+    // the (span, doc) pre-aggregate keeps a NULL id as its own group;
+    // the outer count must skip it — a span shared by one real doc and
+    // one NULL-id row is NOT a cross-doc duplicate (round-17 review catch)
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (Some(1L), s"prefix words $shared end bits"),
+      (Option.empty[Long], s"$shared other trailing words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10, minDocs = 2, hashSpans = false)
+      .as[(String, Long, Long, Long)].collect()
+    assert(!out.exists(_._1 == shared),
+      s"NULL-id occurrence must not count toward n_docs: ${out.mkString("; ")}")
+  }
+
   test("c4Clean is idempotent over the real corpus derivation") {
     // cleaning a cleaned page changes nothing: every surviving line
     // still satisfies every line rule — a regression here means a rule

@@ -38,11 +38,13 @@ class ChartRendererSpec extends SparkSpec {
     assert(cs.contains(0x1f77b4) && cs.contains(0xd62728))
   }
 
-  test("NaN rows are dropped, not allowed to poison the extents") {
-    // without the NaN filter the frame extents become NaN and every
-    // point collapses to pixel 0 — the plot renders but is garbage
+  test("NaN and infinite rows are dropped, not allowed to poison the extents") {
+    // without the finiteness filter a NaN makes the extents NaN and an
+    // Infinity collapses every finite point onto one frame edge — the
+    // plot renders but is garbage either way
     val clean = (0 until 50).map(i => (i.toDouble, i * 2.0))
-    val dirty = clean :+ (Double.NaN, 1.0) :+ (25.0, Double.NaN)
+    val dirty = clean :+ (Double.NaN, 1.0) :+ (25.0, Double.NaN) :+
+      (26.0, Double.PositiveInfinity) :+ (Double.NegativeInfinity, 3.0)
     val pngClean = ChartRenderer.linePlot(clean.toDF("x", "y"), "x", Seq("y"), width = 300, height = 200)
     val pngDirty = ChartRenderer.linePlot(dirty.toDF("x", "y"), "x", Seq("y"), width = 300, height = 200)
     assert(java.util.Arrays.equals(pngClean, pngDirty),

@@ -59,7 +59,13 @@ class ReaderFromCallSpec extends SparkSpec {
     // a bare spark.read.load has no format — it must refuse, not be
     // silently classified as np.load's "numpy"
     val e = intercept[IllegalArgumentException] { kindOf("""spark.read.load("p")""") }
-    assert(e.getMessage.contains("without .format"))
+    assert(e.getMessage.contains("without a format"))
+    // ...but PySpark's load(path, format=..., **options) form is valid:
+    // the kwarg IS the format, and it must not leak into reader options
+    val ref = ReaderFromCall.toDataRef(ReaderFromCall.parseCall(
+      """spark.read.load("/data/x", format="csv", header="true")"""))
+    assert(ref.kind == "csv" && ref.url == "/data/x")
+    assert(ref.options == Map("header" -> "true"))
   }
 
   test("spark.read.format chain: format/option/options/load") {
