@@ -386,6 +386,40 @@ object QuickStart {
       s"mapped create + rename reads ${graft.readers.DeltaReader.read(spark, mapT)
         .where("label = 'n3'").count()} row; append-only delete refused=$aoRefused")
 
+    // 24. Round 17 — the LLM training-data pipeline end-to-end, every
+    // stage an operator from this library composed on DataFrames:
+    // C4-clean pages -> drop span-duplicated docs (Lee et al.) ->
+    // near-dup dedup (MinHash-LSH -> connected components) ->
+    // benchmark decontamination -> temperature-sampled source mix ->
+    // reproducible shard assignment. Each stage keeps the one-shuffle
+    // discipline documented in SCALE.md, so the same chain runs on a
+    // 100 TB corpus unchanged.
+    // the synthetic corpus has no sentence punctuation (every C4 line
+    // rule would be vacuous), so derive line structure the same way the
+    // q89 oracle does before cleaning
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("text", expr("replace(text, ' table ', concat('.', chr(10)))"))
+    val benchmarkProbes = corpus.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val cleaned = corpus
+      .withColumn("text", TextOps.c4Clean(col("text")))
+      .filter(TextOps.c4Keep(col("text"), minSentences = 1) && length(col("text")) > 0)
+    val spanDeduped = Dedup.dropSpanDuplicatedDocs(cleaned, "doc_id", "text",
+      maxDupFraction = 0.5, n = 10)
+    val nearDeduped = Dedup.dedupNearDups(spanDeduped.select("doc_id", "text", "source"),
+      "doc_id", "text", threshold = 0.7, shingleN = 3)
+    val decontaminated = graft.ops.Decontam.decontaminate(nearDeduped, "doc_id", "text",
+      benchmarkProbes, "probe_id", "text", n = 13)
+    val mixed = graft.ops.Mixing.temperatureSample(decontaminated, "source", "doc_id",
+      alpha = 0.5, budgetRows = 200)
+    val trainShards = graft.ops.Mixing.assignShards(mixed, "doc_id", n = 4)
+    val perShard = trainShards.groupBy("shard").count().orderBy("shard")
+      .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"[24] training pipeline: ${corpus.count()} raw -> ${cleaned.count()} c4-kept -> " +
+      s"${spanDeduped.count()} span-deduped -> ${nearDeduped.count()} near-deduped -> " +
+      s"${decontaminated.count()} decontaminated -> ${mixed.count()} in mix (alpha=0.5, budget 200) " +
+      s"-> shards [$perShard]")
+
     spark.stop()
     println("QuickStart OK")
   }
