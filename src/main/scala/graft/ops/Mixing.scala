@@ -66,6 +66,48 @@ object Mixing {
       .drop("_rn", "_target")
   }
 
+  /** Map-only realization of [[temperatureWeights]] — the 100 TB path:
+    * per-group hash-threshold keep, where group g's threshold is
+    * `min(1, round(budget*w_g)/n_g)` of the md5Hash31 range. The rank
+    * window in [[temperatureSample]] funnels each group through ONE
+    * task (all 5 TB of a source on one core at corpus scale); this
+    * variant is a broadcast join of O(groups) thresholds + a per-row
+    * hash compare — no window, no sort, the one exchange is the tiny
+    * per-group count. The trade: group sizes are binomial around the
+    * target instead of exact ([[hashSample]]'s standard trade).
+    * Cross-engine exact (every arithmetic step is deterministic double
+    * math both engines share; the hash is the md5_number_upper-parity
+    * [[Dedup.md5Hash31]] value) — oracle-checked as q92.
+    */
+  def temperatureSampleThreshold(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budgetRows: Long): DataFrame = {
+    val p = (1L << 31) - 1
+    val thresholds = temperatureWeights(df.select(col(groupCol)), groupCol, alpha)
+      .withColumn("_target", round(col("weight") * budgetRows))
+      .withColumn("_thr",
+        floor(least(lit(1.0), col("_target") / col("n_rows")) * p).cast("long"))
+      .select(col(groupCol), col("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(md5Mod31(col(idCol).cast("string")) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** md5Hash31 as one fused JIT loop (same value as [[Dedup.md5Hash31]],
+    * ~6x faster than its 18-node expression tree — the [[hashSample]]
+    * lesson), returning the hash so callers can compare against per-row
+    * thresholds. */
+  private val md5Mod31 = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var le = 0L
+      var i = 7
+      while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
+      java.lang.Long.valueOf(java.lang.Long.remainderUnsigned(le, (1L << 31) - 1))
+    }
+  }
+
   /** Deterministic Bernoulli sample by hash THRESHOLD: keep rows whose
     * `md5Hash31(id)` falls below `frac` of the hash range. Map-only — no
     * window, no sort, no shuffle — so it scales embarrassingly where

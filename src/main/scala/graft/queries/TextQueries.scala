@@ -935,6 +935,32 @@ object TextQueries {
       """)
     ),
     (
+      "q92_temperature_threshold",
+      // Map-only temperature-sample realization (the 100 TB path of
+      // q91's weights): per-source hash-threshold keep, every step —
+      // sqrt weights, rounded targets, frac, floor threshold, md5
+      // hash — deterministic double/int math both engines share, so
+      // the SAMPLED ROW SET is value-exact cross-engine.
+      (s, dir) => {
+        Mixing.temperatureSampleThreshold(
+          table(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", alpha = 0.5, budgetRows = 200)
+      },
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+        w AS (SELECT source, n_rows,
+                     sqrt(CAST(n_rows AS DOUBLE)) /
+                       sum(sqrt(CAST(n_rows AS DOUBLE))) OVER () AS wt
+              FROM c),
+        t AS (SELECT source,
+                     CAST(floor(least(1.0, round(wt * 200) / n_rows) * 2147483647) AS BIGINT) AS thr
+              FROM w)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN t USING (source)
+        WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 2147483647 < t.thr
+      """)
+    ),
+    (
       "q90_dup_span_stats",
       // Per-doc duplicate-span exposure (the removal-policy view of
       // q88): n-token windows of each doc that are corpus-wide

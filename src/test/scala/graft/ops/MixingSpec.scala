@@ -78,6 +78,41 @@ class MixingSpec extends SparkSpec {
     assert(all.count() == df.count() && all.select("id").distinct().count() == df.count())
   }
 
+  test("temperatureSampleThreshold: map-only plan (no window), subset, deterministic, caps at group size") {
+    val df = (0 until 900).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val kept = Mixing.temperatureSampleThreshold(df, "src", "id", alpha = 0.5, budgetRows = 300)
+    // THE reason this variant exists: temperatureSample's rank window
+    // funnels each group through one task. The DATA side here must be a
+    // pure broadcast-join filter — no window, no sort, no exchange at
+    // all. (The broadcast BUILD side may window/single-partition freely:
+    // it is the O(groups) threshold table, bounded at any corpus size.)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Mixing.temperatureSampleThreshold(df, "src", "id", 0.5, 300)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"expected a broadcast threshold join:\n$plan")
+      val probe = joins.head.children(if (joins.head.buildSide.toString == "BuildRight") 0 else 1)
+      val probeStr = probe.toString
+      Seq("Window", "Exchange", "Sort").foreach(op =>
+        assert(!probeStr.contains(op), s"data side must be map-only, found $op:\n$probeStr"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // subset of the input, deterministic, binomial around the budget
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf((0L until 900L).toSet))
+    val n = ids.size
+    assert(n > 200 && n < 400, s"binomial around 300, got $n")
+    val again = Mixing.temperatureSampleThreshold(df, "src", "id", 0.5, 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+    // an over-budget request keeps everything (threshold caps at the
+    // full hash range), never duplicates
+    val all = Mixing.temperatureSampleThreshold(df, "src", "id", 0.5, 100000)
+    assert(all.count() == 900 && all.select("id").distinct().count() == 900)
+  }
+
   test("centroidOutliers ranks a planted far vector first") {
     val base = (0 until 50).map(i => (i.toLong, Array.fill(8)(0.01f * (i % 3))))
     val planted = Seq((999L, Array.fill(8)(1.9f)))
