@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Degenerate-input sweep: every inventory query runs against ZERO-ROW
+  * tables (same schemas as the testdata). At 100 TB empty partitions,
+  * empty filter results and empty sources are routine — an operator
+  * that head()s, divides, or windows its way into an exception on
+  * empty input fails there, not just here. Queries are allowed to
+  * return 0 rows or a defined aggregate; they may also refuse LOUDLY
+  * (IllegalArgumentException with a message) where the operation is
+  * undefined on empty input (e.g. training IVF centroids on nothing) —
+  * what they must never do is throw an obscure internal error
+  * (NoSuchElement, ArithmeticException, NPE).
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("sfempty").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val p = s"$src/$t.parquet"
+      if (new java.io.File(p).exists())
+        graft.queries.table(spark, src, t).limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every query handles zero-row tables: empty result or a LOUD refusal") {
+    val obscure = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, emptyDir).count()
+        assert(n >= 0)
+      } catch {
+        case e: IllegalArgumentException if e.getMessage != null && e.getMessage.nonEmpty =>
+          // documented loud refusal — acceptable for train-on-empty ops
+          ()
+        case e: Throwable =>
+          obscure += s"$name -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
+    }
+    val bad = obscure.result()
+    assert(bad.isEmpty,
+      s"${bad.size} queries die with obscure errors on empty input:\n${bad.mkString("\n")}")
+  }
+}
