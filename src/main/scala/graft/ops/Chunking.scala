@@ -83,8 +83,13 @@ object Chunking {
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
+    // null token counts (null/undecodable text) pack as 0 tokens — the
+    // doc rides along for free rather than killing the job; null ids
+    // can't be assigned a pack at all and are dropped
     val sorted = df
-      .select(col(idCol).cast("long").as("id"), col(nTokensCol).cast("long").as("n_tokens"))
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .where(col("id").isNotNull)
       .orderBy(col("id"))
     val sortedRdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = sortedRdd

@@ -304,6 +304,11 @@ object Dedup {
     val kk = k
     val nSh = shingleN
     val sigUdf = udf { (tokenHashes: Seq[Long]) =>
+      // null text → null token array → null signature: the row drops out
+      // of LSH banding (explode of null), the same exclusion a NULL
+      // produces in the oracle SQL's list pipeline
+      if (tokenHashes == null) null
+      else {
       val th = tokenHashes.toArray
       var i = 0
       while (i < th.length) { th(i) = ((th(i) % p) + p) % p; i += 1 }
@@ -326,6 +331,7 @@ object Dedup {
         j += 1
       }
       if (th.isEmpty) Array.fill(kk)(0L) else out
+      }
     }
     val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
     base.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
@@ -464,6 +470,8 @@ object Dedup {
     val kk = k
     val nSh = shingleN
     val sigUdf = udf { (toks: Seq[String]) =>
+      if (toks == null) null // null text: no signature, row leaves the LSH pipeline
+      else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val arr = toks.toArray
       val out = Array.fill(kk)(Long.MaxValue)
@@ -481,6 +489,7 @@ object Dedup {
         while (j < kk) { val v = (aArr(j) * h + bArr(j)) % p; if (v < out(j)) out(j) = v; j += 1 }
       }
       out
+      }
     }
     df.withColumn(outCol, sigUdf(TextOps.tokens(col(textCol))))
   }
@@ -772,6 +781,8 @@ object Dedup {
     */
   def simhashPortable(text: Column): Column = {
     val sigUdf = udf { (toks: Seq[String]) =>
+      if (toks == null) null.asInstanceOf[java.lang.Long] // null text → null simhash
+      else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val sums = new Array[Int](64)
       toks.foreach { t =>
@@ -786,7 +797,8 @@ object Dedup {
       var sig = 0L
       var j = 0
       while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
-      sig
+      java.lang.Long.valueOf(sig)
+      }
     }
     sigUdf(TextOps.tokens(text))
   }

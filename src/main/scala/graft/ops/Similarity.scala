@@ -186,9 +186,16 @@ object Similarity {
     * SQL. Driver-side collect of n rows (n x dim floats, tiny), the same
     * boundedness contract as [[trainIvfCentroids]]'s sample.
     */
-  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Float]] =
-    corpus.filter(col(idCol) < n).orderBy(idCol).select(vecCol)
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Float]] = {
+    // NULL vectors can't seed cells (the oracle's list_cosine on NULL
+    // excludes them from argmax the same way) — and zero non-null seeds
+    // must refuse loudly, not NPE downstream
+    val seeds = corpus.filter(col(idCol) < n && col(vecCol).isNotNull)
+      .orderBy(idCol).select(vecCol)
       .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, s"no non-null vectors with $idCol < $n to seed IVF centroids")
+    seeds
+  }
 
   /** IVF (inverted-file) index: k-means coarse centroids trained with a
     * few Lloyd iterations. Centroids live on the driver (k×dim floats —
@@ -202,9 +209,12 @@ object Similarity {
       iterations: Int = 5,
       sampleRows: Int = 10000
   ): Array[Array[Float]] = {
-    val sample = corpus.select(vecCol).limit(sampleRows)
+    // NULL vectors can't train anything — drop them before sampling
+    // (getSeq returns null for a NULL cell; .toArray on it NPEs)
+    val sample = corpus.select(vecCol).where(col(vecCol).isNotNull).limit(sampleRows)
       .collect().map(_.getSeq[Float](0).toArray)
-    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    require(sample.length >= k,
+      s"need >= $k non-null sample vectors to train IVF centroids, got ${sample.length}")
     var centroids = sample.take(k).map(_.clone())
     (1 to iterations).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](centroids(0).length))
@@ -258,10 +268,18 @@ object Similarity {
       nProbe: Int = 2
   ): DataFrame = {
     val cents = centroids // closure capture for the UDFs
-    val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, cents) }
+    // null vectors assign/probe to null — the null cell equi-joins
+    // nothing, so the row leaves the pipeline instead of NPE-ing
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else java.lang.Integer.valueOf(nearestCentroid(v.toArray, cents))
+    }
     val probeUdf = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      cents.indices.sortBy(c => -cosineArr(arr, cents(c))).take(nProbe)
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        cents.indices.sortBy(c => -cosineArr(arr, cents(c))).take(nProbe)
+      }
     }
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
       .withColumn("_cell", assignUdf(col("_cv")))

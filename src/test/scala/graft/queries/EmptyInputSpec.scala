@@ -31,11 +31,11 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("every query handles zero-row tables: empty result or a LOUD refusal") {
+  private def sweep(dir: String, regime: String): Unit = {
     val obscure = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val n = fn(spark, emptyDir).count()
+        val n = fn(spark, dir).count()
         assert(n >= 0)
       } catch {
         case e: IllegalArgumentException if e.getMessage != null && e.getMessage.nonEmpty =>
@@ -47,6 +47,30 @@ class EmptyInputSpec extends SparkSpec {
     }
     val bad = obscure.result()
     assert(bad.isEmpty,
-      s"${bad.size} queries die with obscure errors on empty input:\n${bad.mkString("\n")}")
+      s"${bad.size} queries die with obscure errors on $regime input:\n${bad.mkString("\n")}")
+  }
+
+  test("every query handles zero-row tables: empty result or a LOUD refusal") {
+    sweep(emptyDir, "zero-row")
+  }
+
+  test("every query handles all-NULL text/embedding payloads") {
+    // rows exist but every text and embedding is NULL — the regime a
+    // corrupt shard or an outer join produces; null-intolerant
+    // expressions (codegen NPEs, .head on null-filtered frames) die here
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("sfnull").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = graft.queries.table(spark, src, t)
+      val nulled = df.columns.foldLeft(df) { (d, c) =>
+        if (c == "text" || c == "embedding" || c == "props")
+          d.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(df.schema(c).dataType))
+        else d
+      }
+      nulled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    sweep(dir, "all-NULL payload")
   }
 }
