@@ -73,4 +73,27 @@ class EmptyInputSpec extends SparkSpec {
     }
     sweep(dir, "all-NULL payload")
   }
+
+  test("every query handles empty-string text and zero-norm embeddings") {
+    // text = "" (tokenizes to an empty array, not null) and embeddings
+    // of all zeros (norm 0 — the divide-by-norm edge of every cosine) —
+    // the regime aggressive cleaning or zero-initialized upstream
+    // models produce
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("sfzero").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    import org.apache.spark.sql.functions._
+    tables.foreach { t =>
+      val df = graft.queries.table(spark, src, t)
+      val zeroed = df.columns.foldLeft(df) { (d, c) =>
+        if (c == "text") d.withColumn(c, lit(""))
+        else if (c == "embedding")
+          d.withColumn(c, expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+        else d
+      }
+      zeroed.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    sweep(dir, "empty-text/zero-norm")
+  }
 }
