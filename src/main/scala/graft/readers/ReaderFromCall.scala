@@ -134,9 +134,13 @@ object ReaderFromCall {
     while (rest.contains("(")) {
       val open = rest.indexOf('(')
       val name = rest.substring(0, open).split("\\.").last
-      // find the matching close paren (quote-aware)
+      // find the matching close paren (quote-aware); an unbalanced
+      // paren or quote must refuse loudly, not index past the end
       var depth = 0; var i = open; var quote: Char = 0
-      while ({ val c = rest(i)
+      while ({
+        require(i < rest.length,
+          s"unbalanced call chain (unclosed '(' or quote): $text")
+        val c = rest(i)
         if (quote != 0) { if (c == quote && rest(i - 1) != '\\') quote = 0 }
         else if (c == '\'' || c == '"') quote = c
         else if (c == '(') depth += 1
@@ -144,8 +148,12 @@ object ReaderFromCall {
         depth > 0 }) i += 1
       val parts = splitArgs(rest.substring(open + 1, i))
       name match {
-        case "format"  => fmt = parts.head
-        case "option"  => opts += ((parts(0), parts(1)))
+        case "format" =>
+          require(parts.nonEmpty && parts.head.nonEmpty, s".format() needs an argument: $text")
+          fmt = parts.head
+        case "option" =>
+          require(parts.length >= 2, s".option() needs a key and a value: $text")
+          opts += ((parts(0), parts(1)))
         case "options" => splitKw(parts)._2.foreach(opts += _)
         case "load"    => path = parts.headOption.getOrElse("")
         case _         => // .schema(), .table() etc: pass through

@@ -68,6 +68,21 @@ class ReaderFromCallSpec extends SparkSpec {
     assert(ref.options == Map("header" -> "true"))
   }
 
+  test("malformed call strings refuse loudly, never with index errors") {
+    val bad = Seq(
+      """spark.read.format("csv").option(a,(b).load("p")""", // unbalanced nesting in chain
+      """spark.read.format("x).load("p")""",                 // quote swallows the close paren
+      """pd.read_csv("unclosed""",                           // no trailing paren at all
+      """spark.read.format().load()""",                      // empty format and path
+      "not a call at all")
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException] {
+        ReaderFromCall.toDataRef(ReaderFromCall.parseCall(s))
+      }
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"silent failure for: $s")
+    }
+  }
+
   test("spark.read.format chain: format/option/options/load") {
     val ref = ReaderFromCall.toDataRef(ReaderFromCall.parseCall(
       """spark.read.format("csv").option("header", "true").option("sep", "|").load("/data/x.csv")"""))
