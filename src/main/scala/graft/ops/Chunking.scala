@@ -82,10 +82,14 @@ object Chunking {
       budget: Long
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // a non-numeric id column would cast-coerce EVERY id to null and
+    // silently return an empty result — refuse at plan time instead
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequencesGlobal needs a numeric id column; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     // null token counts (null/undecodable text) pack as 0 tokens — the
-    // doc rides along for free rather than killing the job; null ids
-    // can't be assigned a pack at all and are dropped
+    // doc rides along for free rather than killing the job; genuinely
+    // null ids can't be assigned a pack at all and are dropped
     val sorted = df
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n_tokens"))

@@ -304,9 +304,9 @@ object Dedup {
     val kk = k
     val nSh = shingleN
     val sigUdf = udf { (tokenHashes: Seq[Long]) =>
-      // null text → null token array → null signature: the row drops out
-      // of LSH banding (explode of null), the same exclusion a NULL
-      // produces in the oracle SQL's list pipeline
+      // null text → null token array → null signature; the banding
+      // entry points filter null signatures explicitly (xxhash64 skips
+      // null args, so an unfiltered null sig would degenerate-bucket)
       if (tokenHashes == null) null
       else {
       val th = tokenHashes.toArray
@@ -371,8 +371,13 @@ object Dedup {
   ): DataFrame = {
     // Signatures are reused by the banding explode AND the final scoring
     // joins — cache once (the same call MLlib's MinHashLSH makes; k longs
-    // per row, tiny next to the corpus).
+    // per row, tiny next to the corpus). Null signatures (null text) are
+    // dropped HERE: xxhash64 skips null arguments, so a null _sig would
+    // otherwise produce bands of identical degenerate buckets — every
+    // null-text doc colliding into one bucket per band, quadratic
+    // spurious pairs that only die at a downstream threshold filter.
     val base = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .where(col("_sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandW = floor(size(col("_sig")) / bands).cast("int")
 
@@ -470,7 +475,8 @@ object Dedup {
     val kk = k
     val nSh = shingleN
     val sigUdf = udf { (toks: Seq[String]) =>
-      if (toks == null) null // null text: no signature, row leaves the LSH pipeline
+      // null text: no signature — the banding entry points filter these
+      if (toks == null) null
       else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val arr = toks.toArray
@@ -510,6 +516,9 @@ object Dedup {
     val sigs = withPortableMinhashSignature(
       repartitionTo.map(df.repartition(_)).getOrElse(df), textCol, "_sig", shingleN, k, seed)
       .select(col(idCol).as("_id"), col("_sig"))
+      // null text → null signature: drop before banding, or concat_ws of
+      // a null slice ("") would bucket every null-text doc together
+      .where(col("_sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The returned plan is lazy, so the cache can't unpersist inside this
     // call; bound the footprint to the last few lineages (FIFO) so

@@ -92,10 +92,13 @@ object Mixing {
       .drop("_thr")
   }
 
-  /** md5Hash31 as one fused JIT loop (same value as [[Dedup.md5Hash31]],
-    * ~6x faster than its 18-node expression tree — the [[hashSample]]
-    * lesson), returning the hash so callers can compare against per-row
-    * thresholds. */
+  /** md5Hash31 as one fused JIT loop (same VALUE as [[Dedup.md5Hash31]]:
+    * little-endian uint64 of the first 8 md5 bytes mod 2^31-1 — DuckDB
+    * md5_number_upper parity), ~6x faster than the 18-node
+    * md5/substring/conv/DECIMAL expression tree (the same lesson as the
+    * portable minhash signatures). The ONE copy of this loop —
+    * [[hashSample]] and [[temperatureSampleThreshold]] both compare its
+    * output against their thresholds. */
   private val md5Mod31 = udf { (s: String) =>
     if (s == null) null.asInstanceOf[java.lang.Long]
     else {
@@ -122,23 +125,10 @@ object Mixing {
     require(frac >= 0 && frac <= 1, s"frac out of range: $frac")
     val p = (1L << 31) - 1
     val threshold = (frac * p).toLong
-    // Same VALUE as Dedup.md5Hash31 (little-endian uint64 of the first 8
-    // md5 bytes mod 2^31-1 — DuckDB md5_number_upper parity), but as one
-    // fused JIT loop instead of the 18-node md5/substring/conv/DECIMAL
-    // expression tree, which profiled ~6x slower per row (the same
-    // lesson as the portable minhash signatures).
-    val keep = udf { (s: String) =>
-      if (s == null) false
-      else {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var le = 0L
-        var i = 7
-        while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
-        java.lang.Long.remainderUnsigned(le, p) < threshold
-      }
-    }
-    df.filter(keep(col(idCol).cast("string")))
+    // md5Mod31 is the shared fused loop (null ids hash to null, and
+    // null < threshold filters false — same exclusion the old boolean
+    // UDF applied)
+    df.filter(md5Mod31(col(idCol).cast("string")) < threshold)
   }
 
   /** Global 1-based rank of `df` under `sortCols`, computed WITHOUT an

@@ -221,4 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(c2.filter(kv => d1Clustered.contains(kv._1)).values.toSet.size
       <= c1.values.toSet.size)
   }
+
+  test("null-text docs leave the LSH pipeline before banding — no degenerate bucket") {
+    // xxhash64/concat_ws SKIP null inputs, so an unfiltered null
+    // signature would give every null-text doc the same bucket per band
+    // — quadratic spurious candidate pairs among corrupt-shard rows.
+    // The banding entry points must drop null signatures outright.
+    val docs = (
+      (0 until 6).map(i => (i.toLong, null.asInstanceOf[String])) :+
+      (100L, "alpha beta gamma delta epsilon zeta") :+
+      (101L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "_sig", shingleN = 1, k = 16)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4).collect()
+    assert(pairs.forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L),
+      s"null-text docs produced candidate pairs: ${pairs.mkString("; ")}")
+    assert(pairs.nonEmpty, "the real duplicate pair must still surface")
+    val portable = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+      shingleN = 1, k = 16, bands = 4, threshold = 0.5).collect()
+    assert(portable.forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L))
+    assert(portable.nonEmpty)
+  }
 }
