@@ -32,20 +32,31 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   private def sweep(dir: String, regime: String): Unit = {
-    val obscure = Seq.newBuilder[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // 8-way pool: 90 tiny queries serially is mostly per-job overhead —
+    // overlapping them cuts the suite cost of each regime ~4x (and all
+    // queries are read-only over the same dir, so overlap is safe)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val bad =
       try {
-        val n = fn(spark, dir).count()
-        assert(n >= 0)
-      } catch {
-        case e: IllegalArgumentException if e.getMessage != null && e.getMessage.nonEmpty =>
-          // documented loud refusal — acceptable for train-on-empty ops
-          ()
-        case e: Throwable =>
-          obscure += s"$name -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
-      }
-    }
-    val bad = obscure.result()
+        val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          Future {
+            try {
+              val n = fn(spark, dir).count()
+              assert(n >= 0)
+              None
+            } catch {
+              case e: IllegalArgumentException if e.getMessage != null && e.getMessage.nonEmpty =>
+                None // documented loud refusal — acceptable for train-on-empty ops
+              case e: Throwable =>
+                Some(s"$name -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+            }
+          }
+        }
+        Await.result(Future.sequence(futures), 15.minutes).flatten
+      } finally pool.shutdown()
     assert(bad.isEmpty,
       s"${bad.size} queries die with obscure errors on $regime input:\n${bad.mkString("\n")}")
   }
