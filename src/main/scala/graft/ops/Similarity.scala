@@ -299,18 +299,31 @@ object Similarity {
   /** All pairs with cosine >= threshold among rows of `df` — embedding
     * near-dup detection.
     *
-    * Scale path (default): banded hyperplane-LSH self-join — vectors
-    * sharing any (band, sign-bits) bucket become candidates, then the
-    * EXACT cosine filters them, so there are no false positives. The
-    * bucket equi-join shuffles on the bucket key; no cross join appears
-    * in the plan and cost is linear in corpus + candidates. Recall is
-    * probabilistic (misses a qualifying pair with prob
+    * Scale path (default): banded hyperplane LSH with ONE bucket
+    * exchange — `lshBandBuckets` evaluates once per vector, band rows
+    * (id, band, bucket) group on the bucket key, and candidate pairs
+    * expand MAP-SIDE inside each bucket (ids sorted, so id1 < id2 by
+    * construction). The EXACT cosine then filters the deduped
+    * candidates, so there are no false positives. The previous shape
+    * self-joined the banded frame, which evaluated the 128-hyperplane
+    * bucket expression twice per vector — a full second pass over every
+    * embedding at scale. Buckets larger than `maxBucket` drop before
+    * expansion (skew guard: a degenerate bucket would be quadratic).
+    * Recall is probabilistic (misses a qualifying pair with prob
     * `(1 - p^bitsPerGroup)^groups`, p = 1 - acos(threshold)/pi); the
     * defaults put that under ~6% at cosine = 0.8 and under 0.1% for
     * true near-dups (cosine >= 0.95) — the regime the operator targets.
     *
-    * `exact = true` forces the all-pairs brute force: O(n^2), only for
-    * oracle-scale verification, never the 100 TB path.
+    * Cost-based small-input path: when the corpus has at most
+    * `bruteForceMax` rows (one cheap count job — parquet footer counts —
+    * the same runtime-stats move AQE makes for join strategy), the
+    * exact all-pairs plan wins outright: n^2 * dim FMAs beat the LSH
+    * pipeline's fixed 4-stage depth below ~10^4 rows AND recall becomes
+    * perfect. Above the threshold the LSH pipeline is the only plan
+    * that survives — at 10^9 vectors brute force is 10^18 pairs.
+    * `exact = true` forces the brute force regardless of size (oracle
+    * verification); `bruteForceMax = 0` forces the LSH path (plan-shape
+    * tests, A/B tooling).
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -321,16 +334,106 @@ object Similarity {
       bitsPerGroup: Int = 8,
       groups: Int = 16,
       seed: Long = 42L,
-      exact: Boolean = false
+      exact: Boolean = false,
+      maxBucket: Int = 1000,
+      bruteForceMax: Long = 10000L
   ): DataFrame = {
-    if (exact) {
-      val l = df.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
-      val r = df.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
-      l.crossJoin(r)
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_v2")).as("cosine"))
-        .filter(col("cosine") >= threshold)
-    } else {
+    val narrowed = df.select(col(idCol), col(vecCol))
+    // One bounded probe replaces a separate count job: collect at most
+    // max+1 (id, vec) rows — <= 2.5 MB at the 10k default, the same
+    // bounded-collect class as IVF's centroid sample — and the overflow
+    // row IS the "corpus is big, take the LSH path" signal.
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (exact) Some(narrowed.collect())
+      else if (bruteForceMax > 0) {
+        val rows = narrowed.limit((bruteForceMax + 1).toInt).collect()
+        if (rows.length <= bruteForceMax) Some(rows) else None
+      } else None
+    probed match {
+      case Some(rows) => bruteCosinePairs(df, narrowed, rows, threshold)
+      case None =>
+        lshCosinePairs(df, idCol, vecCol, threshold, dim, bitsPerGroup, groups, seed, maxBucket)
+    }
+  }
+
+  /** The small-corpus exact plan: broadcast the probed (id, vec) rows
+    * and run ONE parallelized map stage whose hand-fused pair loop
+    * replaces BroadcastNestedLoopJoin's per-pair interpreted condition
+    * (the NLJ spends ~10x the dot product's cost on expression dispatch
+    * at this shape — A/B in tools/ProfQ50.scala). Nulls drop as the Column plan
+    * would (null id/vec never satisfies `<` or `>=`); cosine uses
+    * [[graft.functions.VectorFunctions.cosineSim]]'s zero-norm = 0.0
+    * convention, and the threshold compare uses java.lang.Double
+    * ordering (NaN largest) to match Spark SQL's. Ids order via JVM
+    * `Comparable`, identical to the Column `<` for numeric/long/string
+    * ASCII ids (the oracle surface).
+    */
+  private def bruteCosinePairs(
+      df: DataFrame,
+      narrowed: DataFrame,
+      rows: Array[org.apache.spark.sql.Row],
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val idType = narrowed.schema.fields(0).dataType
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+      if (r.isNullAt(1)) null
+      else r.getAs[scala.collection.Seq[Float]](1).toArray
+    val side = rows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), vecOf(r)))
+      .toArray
+    val bc = df.sparkSession.sparkContext.broadcast(side)
+    val schema = StructType(Seq(
+      StructField("id1", idType, nullable = true),
+      StructField("id2", idType, nullable = true),
+      StructField("cosine", DoubleType, nullable = true)))
+    // The probe already holds the whole corpus, so parallelize it back
+    // out rather than paying a second scan job — the loop body is still
+    // a distributed map stage, just seeded from the bounded probe.
+    val sc = df.sparkSession.sparkContext
+    val out = sc.parallelize(rows.toIndexedSeq, sc.defaultParallelism).mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val id1 = r.get(0)
+          val v1 = r.getAs[scala.collection.Seq[Float]](1).toArray
+          arr.iterator.flatMap { case (id2, v2) =>
+            if (id1.asInstanceOf[Comparable[Any]].compareTo(id2) >= 0) Iterator.empty
+            else {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              val n = math.min(v1.length, v2.length)
+              var i = 0
+              while (i < n) {
+                val x = v1(i).toDouble; val y = v2(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
+              }
+              val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+              if (java.lang.Double.compare(c, threshold) >= 0)
+                Iterator.single(org.apache.spark.sql.Row(id1, id2, c))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  private def lshCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bitsPerGroup: Int,
+      groups: Int,
+      seed: Long,
+      maxBucket: Int
+  ): DataFrame = {
+    {
       // Band rows carry only (band, bucket, id) — the vectors would be
       // replicated `groups`x through the shuffle otherwise. Vectors
       // re-attach to the deduped candidate pairs afterwards.
@@ -341,15 +444,36 @@ object Similarity {
         )
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
-      val candidates = banded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
-        .join(banded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
-        .filter(col("id1") < col("id2"))
-        .dropDuplicates("id1", "id2")
+      // ONE exchange on (band, bucket); singleton buckets die in the
+      // size filter, oversized ones in the skew guard. Pair expansion is
+      // a HOF over the collected id list — no self-join, no second
+      // bucket evaluation.
+      val buckets = banded
+        .groupBy("_band", "_bucket")
+        .agg(sort_array(collect_list("_id")).as("_ids"))
+        .where(size(col("_ids")).between(2, maxBucket))
+      val candidates = buckets
+        .select(explode(flatten(transform(col("_ids"), (x, i) =>
+          transform(slice(col("_ids"), i + lit(2), size(col("_ids"))), y =>
+            struct(x.as("id1"), y.as("id2")))))).as("_p"))
+        .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // Verify BEFORE dedup: a pair colliding in k bands costs k cosine
+      // evaluations (64 FMAs each) instead of shipping the whole
+      // candidate set through a dedup exchange — the candidates are the
+      // LARGEST frame in this plan (LSH banding over-generates on
+      // low-similarity corpora), the threshold survivors the smallest,
+      // so deduping last minimizes shuffle bytes at any scale. Both
+      // re-attach joins read the IDENTICAL corpus subtree so its
+      // exchange (broadcast at oracle scale, id-hash shuffle at 100 TB)
+      // builds once and the second join is a ReusedExchange.
+      val corpusKeyed = df.select(col(idCol).as("_jid"), col(vecCol).as("_jv"))
       candidates
-        .join(df.select(col(idCol).as("id1"), col(vecCol).as("_v1")), Seq("id1"))
-        .join(df.select(col(idCol).as("id2"), col(vecCol).as("_v2")), Seq("id2"))
-        .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_v2")).as("cosine"))
+        .join(corpusKeyed, col("id1") === col("_jid"))
+        .withColumnRenamed("_jv", "_v1").drop("_jid")
+        .join(corpusKeyed, col("id2") === col("_jid"))
+        .select(col("id1"), col("id2"), VectorFunctions.cosineSim(col("_v1"), col("_jv")).as("cosine"))
         .filter(col("cosine") >= threshold)
+        .dropDuplicates("id1", "id2")
     }
   }
 

@@ -161,6 +161,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupPairs LSH path: ONE band-bucket exchange, ONE lshBandBuckets evaluation, reused corpus exchange") {
+    import spark.implicits._
+    withStaticPlans {
+      val df = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i.toFloat + 1))).toDF("id", "vec")
+      val out = Similarity.cosineNearDupPairs(df, "id", "vec", 0.9,
+        dim = 8, bitsPerGroup = 4, groups = 4, bruteForceMax = 0)
+      val plan = physical(out)
+      // the pre-r18 self-join shape evaluated the 128-hyperplane bucket
+      // expression once PER JOIN SIDE — a full second pass over every
+      // embedding at scale
+      val bucketEvals = "lsh_band_buckets".r.findAllIn(plan).size
+      assert(bucketEvals == 1, s"lshBandBuckets must evaluate once, found $bucketEvals:\n$plan")
+      val bandExchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("_band") => e
+      }
+      assert(bandExchanges.size == 1, s"expected ONE (_band,_bucket) exchange, got ${bandExchanges.size}:\n$plan")
+      // both vector re-attach joins read the identical corpus subtree:
+      // its exchange builds once, the second join reuses it
+      assert(plan.contains("ReusedExchange"), s"corpus re-attach exchange must be reused:\n$plan")
+    }
+  }
+
+  test("cosineNearDupPairs small-corpus path: no NestedLoopJoin, one parallelized map stage") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i.toFloat + 1))).toDF("id", "vec")
+    val plan = physical(Similarity.cosineNearDupPairs(df, "id", "vec", 0.9, dim = 8))
+    // the hand-fused pair loop replaced BNLJ's per-pair interpreted
+    // condition (~10x the dot product's cost — tools/ProfQ50.scala)
+    assert(!plan.contains("NestedLoop"), s"brute path must not plan a nested-loop join:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), s"brute path runs from the bounded probe:\n$plan")
+  }
+
   test("decontamination broadcasts the probe-gram side even with size-based broadcast off") {
     import spark.implicits._
     withStaticPlans {

@@ -81,6 +81,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L)))
   }
 
+  test("cosineNearDupPairs: the LSH scale path agrees with the exact path on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(60)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    def pairs(bruteForceMax: Long): Set[(Long, Long)] =
+      Similarity.cosineNearDupPairs(corpus, "id", "vec", 0.95, bruteForceMax = bruteForceMax)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = pairs(bruteForceMax = 10000L) // cost-based: 80 rows → brute path
+    val lsh = pairs(bruteForceMax = 0L)       // forced scale path
+    // at cosine >= 0.95 the default (8,16) banding misses with prob ~1e-4
+    assert(exact.nonEmpty && lsh == exact,
+      s"LSH path diverged from exact: missing=${exact -- lsh}, extra=${lsh -- exact}")
+  }
+
   test("int8 quantization round-trips within one scale step and preserves ranking") {
     import spark.implicits._
     val vecs = Seq(
