@@ -43,17 +43,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
   }
 
-  /** Word n-gram shingles of a text column (array of strings). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-        )
-      )
-  }
+  /** Word n-gram shingles of a text column (array of strings), via the
+    * fused [[graft.functions.SpanGrams]] codegen expression — the HOF
+    * formulation (`transform` + `slice` + `concat_ws` per gram) runs
+    * interpreted and paid a lambda dispatch plus a slice allocation per
+    * gram (A/B in tools/ProfQ88.scala).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.spanGrams(TextOps.tokens(text), n)
 
   /** Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": repeated >=n-token
@@ -114,18 +111,17 @@ object Dedup {
         min(col(idCol)).as("first_id"))
       .where(col("n_docs") >= minDocs)
 
-  /** [[shingles]] exploded to (id, outCol) rows THROUGH a projection
-    * boundary — same staging rationale as [[explodeGramHashes]]: the
-    * shingle expression references the token array 3x and interpreted
-    * HOF trees re-run the regex tokenizer per reference when inlined.
+  /** [[shingles]] exploded to (id, outCol) rows. The fused SpanGrams
+    * expression references its token-array child exactly once, so the
+    * whole tokenize→gram pipeline inlines into the Generate's single
+    * codegen'd projection — the pre-r18 HOF tree needed a staging
+    * projection because it referenced the token array 3x and
+    * interpreted HOFs re-run the regex tokenizer per reference.
     */
   def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       outCol: String = "_gram", perRowDistinct: Boolean = false): DataFrame = {
-    val tk = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_tk"))
-    val sh = when(size(col("_tk")) < n, array(concat_ws(" ", col("_tk"))))
-      .otherwise(transform(sequence(lit(0), size(col("_tk")) - n),
-        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n)))))
-    tk.select(col(idCol), explode(if (perRowDistinct) array_distinct(sh) else sh).as(outCol))
+    val sh = shingles(col(textCol), n)
+    df.select(col(idCol), explode(if (perRowDistinct) array_distinct(sh) else sh).as(outCol))
   }
 
   /** Per-document duplicate-span exposure — the second half of the Lee
@@ -199,37 +195,29 @@ object Dedup {
     */
   def explodeGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
       perRowDistinct: Boolean = true): DataFrame = {
-    val th = df.select(col(idCol),
-      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
-    val gs = when(size(col("_th")) < n, array(xxhash64(col("_th"))))
-      .otherwise(transform(sequence(lit(0), size(col("_th")) - n),
-        i => xxhash64(slice(col("_th"), i + 1, lit(n)))))
-    th.select(
+    val gs = gramHashes(col(textCol), n)
+    df.select(
       col(idCol),
       explode(if (perRowDistinct) array_distinct(gs) else gs).as("_g")
     )
   }
 
   /** 64-bit n-gram hashes WITHOUT materializing gram strings: each token
-    * hashes once, each gram is the structural xxhash64 of its n-token
-    * hash slice — so the per-gram work is n long-copies + one 40-byte
-    * hash instead of an n-token string concat + a ~30-char string hash
+    * hashes once, each gram is the xxhash64 element-chain of its n-token
+    * hash window — so the per-gram work is n compiled hash rounds
+    * instead of an n-token string concat + a ~30-char string hash
     * (the round-16 q85 profile put gram-string building at most of the
-    * query). Distinctness matches [[shingles]] modulo 64-bit collisions —
-    * the same ~G²/2⁶⁴ argument the hashed join keys already carry. Texts
-    * shorter than n tokens contribute one whole-sequence gram, same
-    * convention as [[shingles]].
+    * query). Since round 18 this is the fused
+    * [[graft.functions.GramHashes]] codegen expression — bit-for-bit
+    * the values of the previous interpreted HOF tree (pinned by
+    * DedupSpec), with zero per-gram allocations (A/B in
+    * tools/ProfQ88.scala). Distinctness matches [[shingles]] modulo
+    * 64-bit collisions — the same ~G²/2⁶⁴ argument the hashed join keys
+    * already carry. Texts shorter than n tokens contribute one
+    * whole-sequence gram, same convention as [[shingles]].
     */
-  def gramHashes(text: Column, n: Int): Column = {
-    val th = transform(TextOps.tokens(text), t => xxhash64(t))
-    when(size(th) < n, array(xxhash64(th)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(th) - n),
-          i => xxhash64(slice(th, i + 1, lit(n)))
-        )
-      )
-  }
+  def gramHashes(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.gramHashes(TextOps.tokens(text), n)
 
   // 2^31-1: products a*h stay below 2^62, safe under ANSI Long arithmetic.
   private val MersennePrime = (1L << 31) - 1
