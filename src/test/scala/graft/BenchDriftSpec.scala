@@ -35,6 +35,26 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.drift(reference, Map("q99_brand_new" -> 60.0)).isEmpty)
   }
 
+  test("a scheduling fluke dies at the serial re-measure (r17 false-alarm mold)") {
+    // in-batch wall tripped the gate, but alone on all cores the query
+    // is back at its reference — pool placement, not a regression
+    val suspects = Bench.drift(reference, Map("q42_minhash_lsh" -> 4.1))
+    assert(suspects.nonEmpty)
+    assert(Bench.confirmDrift(suspects, reference, _ => 1.9).isEmpty)
+  }
+
+  test("a real regression survives the serial re-measure and reports the serial ratio") {
+    val suspects = Bench.drift(reference, Map("q42_minhash_lsh" -> 4.1))
+    assert(Bench.confirmDrift(suspects, reference, _ => 4.5) ==
+      Map("q42_minhash_lsh" -> 2.25))
+  }
+
+  test("serial confirmation applies the same absolute floor as the gate") {
+    // cheap-query serial jitter: 3x the 0.1s reference but only +0.25s
+    val suspects = Map("q02_filter" -> 3.5)
+    assert(Bench.confirmDrift(suspects, reference, _ => 0.35).isEmpty)
+  }
+
   test("parseQueryTimes reads the queries object past nested cold_queries") {
     val txt = """{"value":7.2,"queries":{"q01_agg":0.312,"q42_minhash_lsh":2.931},"cold_queries":{"q01_agg":9.1}}"""
     assert(Bench.parseQueryTimes(txt) == Map("q01_agg" -> 0.312, "q42_minhash_lsh" -> 2.931))
