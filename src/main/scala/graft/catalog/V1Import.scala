@@ -10,6 +10,20 @@ import scala.jdk.CollectionConverters._
   * `{{ param }}` templating — reference intake/catalog/local.py:333
   * CatalogParser, fixtures intake/tests/catalog1.yml). Lowers v1 sources
   * into v2 entries (SURVEY §7 step 10).
+  *
+  * Inheritance semantics mirror the reference:
+  *   - catalog-level `metadata.parameters` become catalog user
+  *     parameters (local.py:741-744); an entry-local parameter of the
+  *     same name wins (base.py:345-355 `_get_entry` prepends only
+  *     unshadowed catalog parameters) — our `Catalog.rehydrate` merge
+  *     order (catalog then entry) reproduces exactly that.
+  *   - `yaml_file_cat` sources (local.py:826-860) are nested catalogs:
+  *     they import eagerly and their entries join the parent under
+  *     dotted names (`nested.ex1` — the access path the reference's
+  *     test_top_level.py:150 exercises via `cat["nested.ex1"]`), with
+  *     `args.user_parameters` passed down (test_parameters.py:232
+  *     catalog passthrough: `subcat.ex2` sees the parent's `bucket`
+  *     and the passed `inner`).
   */
 object V1Import {
 
@@ -30,58 +44,122 @@ object V1Import {
     "postgres" -> ("spark_jdbc", "sql_query")
   )
 
-  def fromV1YamlString(s: String, catalogDir: String = ""): Catalog = {
-    val root = new Yaml().load[java.util.Map[String, Any]](s).asScala
+  // jinja-ish "{{ name }}" → our "{name}" placeholders
+  private def lowerTemplate(v: String): String =
+    "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r.replaceAllIn(v, m => s"{${m.group(1)}}")
+
+  private def asScalaMap(v: Any): scala.collection.Map[String, Any] = v match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> x }
+    case _                      => Map.empty[String, Any]
+  }
+
+  /** One v1 `parameters:` item → a user parameter (local.py:28
+    * UserParameter: name/description/type/default).
+    */
+  private def parseParam(name: String, spec: Any): UserParameter = {
+    val pm = asScalaMap(spec)
+    SimpleUserParameter(
+      name,
+      pm.getOrElse("description", "").toString,
+      pm.getOrElse("type", "str").toString match {
+        case "int" => "int"; case "float" => "float"; case "bool" => "bool"; case _ => "str"
+      },
+      pm.getOrElse("default", null)
+    )
+  }
+
+  private def parseParams(v: Option[Any]): Seq[UserParameter] = v match {
+    case Some(m: java.util.Map[_, _]) =>
+      m.asScala.toSeq.map { case (n, spec) => parseParam(n.toString, spec) }
+    case _ => Nil
+  }
+
+  def fromV1YamlString(s: String, catalogDir: String = ""): Catalog =
+    importV1(s, catalogDir, Set.empty)
+
+  private def importV1(s: String, catalogDir: String, seenPaths: Set[String]): Catalog = {
+    val root = Option(new Yaml().load[java.util.Map[String, Any]](s))
+      .map(_.asScala).getOrElse(scala.collection.mutable.Map.empty[String, Any])
     val sources = root.get("sources") match {
       case Some(m: java.util.Map[_, _]) =>
-        m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[java.util.Map[String, Any]].asScala }
-      case _ => Map.empty[String, scala.collection.mutable.Map[String, Any]]
+        m.asScala.map { case (k, v) => k.toString -> asScalaMap(v) }
+      case _ => Map.empty[String, scala.collection.Map[String, Any]]
     }
 
-    // jinja-ish "{{ name }}" → our "{name}" placeholders
-    def lowerTemplate(v: String): String =
-      "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r.replaceAllIn(v, m => s"{${m.group(1)}}")
-
-    val catParams = Seq(SimpleUserParameter("CATALOG_DIR", "directory of the catalog file", "str", catalogDir))
+    // catalog-level shared parameters (local.py:741-744): every entry
+    // sees them unless it declares a parameter of the same name
+    val rootMeta = root.get("metadata").map(asScalaMap).getOrElse(Map.empty[String, Any])
+    val sharedParams = parseParams(rootMeta.get("parameters"))
+    val catParams =
+      Seq(SimpleUserParameter("CATALOG_DIR", "directory of the catalog file", "str", catalogDir)) ++
+        sharedParams
 
     sources.foldLeft(Catalog(userParameters = catParams)) { case (cat, (name, src)) =>
       val driver = src.getOrElse("driver", "").toString
-      val args = src.get("args") match {
-        case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
-        case _                            => Map.empty[String, String]
-      }
-      val params: Seq[UserParameter] = src.get("parameters") match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asScala.toSeq.map { case (pname, pv) =>
-            val pm = pv.asInstanceOf[java.util.Map[String, Any]].asScala
-            SimpleUserParameter(
-              pname.toString,
-              pm.getOrElse("description", "").toString,
-              pm.getOrElse("type", "str").toString match {
-                case "int" => "int"; case "float" => "float"; case "bool" => "bool"; case _ => "str"
-              },
-              pm.getOrElse("default", null)
-            )
-          }
-        case _ => Nil
-      }
-      val url = lowerTemplate(args.getOrElse("urlpath", args.getOrElse("uri", "")))
-      val options = (args - "urlpath" - "uri").map { case (k, v) => k -> lowerTemplate(v) }
-      val (reader, kind) = driverMap.getOrElse(driver, (s"unsupported:$driver", driver))
-      val description = src.getOrElse("description", "").toString
+      val rawArgs = src.get("args").map(asScalaMap).getOrElse(Map.empty[String, Any])
+      val params: Seq[UserParameter] = parseParams(src.get("parameters"))
+      val srcMetadata: Map[String, String] = src.get("metadata").map(asScalaMap)
+        .getOrElse(Map.empty[String, Any])
+        .map { case (k, v) => k -> String.valueOf(v) }.toMap
 
-      val dd = DataDescription(DataRef(kind, url, options), userParameters = params)
-      val rd = ReaderDescription(
-        reader,
-        Map("data" -> s"{data(${dd.token})}"),
-        userParameters = params,
-        metadata = Map("description" -> description, "v1_driver" -> driver)
-      )
-      cat.copy(
-        entries = cat.entries + (rd.token -> rd),
-        data = cat.data + (dd.token -> dd),
-        aliases = cat.aliases + (name -> rd.token)
-      )
+      if (driver == "yaml_file_cat") {
+        // Nested catalog: import it now and join its entries under
+        // "<name>.<subName>". The sub-catalog's own catalog-level
+        // parameters (incl. its CATALOG_DIR) move onto each imported
+        // entry so they override the parent's at rehydrate time; the
+        // `args.user_parameters` passthrough appends last.
+        val rawPath = String.valueOf(rawArgs.getOrElse("path", ""))
+        val path = Templates.resolve(lowerTemplate(rawPath), Map("CATALOG_DIR" -> catalogDir))
+        val f = new java.io.File(path)
+        val canon = f.getCanonicalPath
+        if (seenPaths.contains(canon))
+          throw new IllegalStateException(s"cyclic nested catalog reference at $canon")
+        if (!f.isFile)
+          throw new java.io.FileNotFoundException(
+            s"v1 nested catalog '$name' points at missing file $path")
+        val in = new FileInputStream(f)
+        val subYaml = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val passed: Seq[UserParameter] = rawArgs.get("user_parameters") match {
+          case Some(m: java.util.Map[_, _]) =>
+            m.asScala.toSeq.map { case (n, spec) => parseParam(n.toString, spec) }
+          case _ => Nil
+        }
+        val sub = importV1(subYaml, Option(f.getParent).getOrElse(""), seenPaths + canon)
+        sub.aliases.foldLeft(cat) { case (c, (subName, subTok)) =>
+          val srd = sub.entries(subTok)
+          val nrd = srd.copy(
+            userParameters = sub.userParameters ++ srd.userParameters ++ params ++ passed)
+          c.copy(
+            entries = c.entries + (nrd.token -> nrd),
+            data = c.data ++ sub.data,
+            aliases = c.aliases + (s"$name.$subName" -> nrd.token))
+        }
+      } else {
+        val args = rawArgs.map { case (k, v) => k -> String.valueOf(v) }
+        val url = lowerTemplate(args.getOrElse("urlpath", args.getOrElse("uri", "")))
+        val options = (args - "urlpath" - "uri").map { case (k, v) => k -> lowerTemplate(v) }
+        val (reader, kind) = driverMap.getOrElse(driver, (s"unsupported:$driver", driver))
+        val description = src.getOrElse("description", "").toString
+
+        val dd = DataDescription(DataRef(kind, url, options.toMap), userParameters = params)
+        // "v1_name" keeps same-args sources DISTINCT entries: the token
+        // hashes (reader, kwargs) only, and v1 catalogs legitimately
+        // declare identical driver+args under different names with
+        // different parameters/metadata (catalog1.yml ex1/ex2,
+        // catalog_inherit_params.yml param/local_param_overwrites) —
+        // without it the second source silently replaced the first.
+        val rd = ReaderDescription(
+          reader,
+          Map("data" -> s"{data(${dd.token})}", "v1_name" -> name),
+          userParameters = params,
+          metadata = srcMetadata ++ Map("description" -> description, "v1_driver" -> driver)
+        )
+        cat.copy(
+          entries = cat.entries + (rd.token -> rd),
+          data = cat.data + (dd.token -> dd),
+          aliases = cat.aliases + (name -> rd.token)
+        )
+      }
     }
   }
 

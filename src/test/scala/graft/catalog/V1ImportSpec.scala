@@ -47,6 +47,88 @@ class V1ImportSpec extends SparkSpec {
     intercept[NoSuchElementException](cat("exotic").read(spark))
   }
 
+  // ---- the reference's REAL v1 fixture files (read verbatim) ----
+  private val refTests = "/root/reference/intake/tests"
+
+  test("reference catalog1.yml imports with per-source metadata preserved") {
+    val cat = V1Import.fromV1YamlFile(s"$refTests/catalog1.yml")
+    assert(cat.names.toSet == Set("ex1", "ex2"))
+    val ex2 = cat.entries(cat.aliases("ex2"))
+    assert(ex2.metadata("foo") == "bar")
+    assert(ex2.metadata("bar") == "[1, 2, 3]") // stringified list survives
+    assert(ex2.metadata("description") == "this source doesn't work")
+    assert(ex2.reader == "spark_csv")
+  }
+
+  test("reference catalog_nested.yml resolves its CATALOG_DIR sub-catalog into dotted entries") {
+    // mirror the reference harness (tests/test_utils.py:64 copy_test_file):
+    // catalog_nested.yml references __unit_test_catalog_nested_sub.yml,
+    // which the reference test copies next to it under that name
+    val dir = Files.createTempDirectory("v1nested")
+    Files.copy(java.nio.file.Paths.get(s"$refTests/catalog_nested.yml"), dir.resolve("catalog_nested.yml"))
+    Files.copy(java.nio.file.Paths.get(s"$refTests/catalog_nested_sub.yml"),
+      dir.resolve("__unit_test_catalog_nested_sub.yml"))
+    val cat = V1Import.fromV1YamlFile(dir.resolve("catalog_nested.yml").toString)
+    // the access path the reference's test_top_level.py:150 exercises
+    assert(cat.names.toSet == Set("nested.ex1", "nested.ex2"))
+    assert(cat.entries(cat.aliases("nested.ex1")).metadata("description") == "this is a sub-resource")
+    assert(cat("nested.ex1").ref.url == "")
+  }
+
+  test("reference catalog_inherit_params.yml: global/local/runtime parameter semantics") {
+    val cat = V1Import.fromV1YamlFile(s"$refTests/catalog_inherit_params.yml")
+    // test_local.py:863 test_inherit_params — catalog-level default
+    assert(cat("param").ref.url == "s3://test_bucket/file.parquet")
+    // test_local.py:867 test_runtime_overwrite_params
+    assert(cat("param", Map("bucket" -> "runtime_overwrite")).ref.url
+      == "s3://runtime_overwrite/file.parquet")
+    // test_local.py:874 — a local parameter of the same name wins
+    assert(cat("local_param_overwrites").ref.url == "s3://local_param/file.parquet")
+    // test_local.py:878 — local and global parameters merge
+    assert(cat("local_and_global_params").ref.url == "s3://test_bucket/local_filename.parquet")
+  }
+
+  test("reference catalog_inherit_params.yml: subcat passthrough (parent params + passed user_parameters)") {
+    val cat = V1Import.fromV1YamlFile(s"$refTests/catalog_inherit_params.yml")
+    // test_parameters.py:232 test_catalog_passthrough
+    assert(cat.names.count(_.startsWith("subcat.")) == 2)
+    assert(cat("subcat.ex2").ref.url == "test_bucket/test_name")
+    assert(cat("subcat.ex2", Map("bucket" -> "hi", "inner" -> "ho")).ref.url == "hi/ho")
+    // clone-style partial overrides (test_parameters.py:242-245)
+    assert(cat("subcat.ex2", Map("bucket" -> "yet", "inner" -> "another")).ref.url == "yet/another")
+    assert(cat("subcat.ex1").ref.url == "")
+  }
+
+  test("a nested catalog pointing at a missing file refuses loudly") {
+    val dir = Files.createTempDirectory("v1missing")
+    val yml =
+      """sources:
+        |  broken:
+        |    driver: yaml_file_cat
+        |    args:
+        |      path: "{{ CATALOG_DIR }}/does_not_exist.yml"
+        |""".stripMargin
+    val p = dir.resolve("cat.yml")
+    Files.writeString(p, yml)
+    val e = intercept[java.io.FileNotFoundException](V1Import.fromV1YamlFile(p.toString))
+    assert(e.getMessage.contains("does_not_exist.yml"))
+  }
+
+  test("self-referencing nested catalogs are cycle-guarded") {
+    val dir = Files.createTempDirectory("v1cycle")
+    val yml =
+      """sources:
+        |  self:
+        |    driver: yaml_file_cat
+        |    args:
+        |      path: "{{ CATALOG_DIR }}/cat.yml"
+        |""".stripMargin
+    val p = dir.resolve("cat.yml")
+    Files.writeString(p, yml)
+    val e = intercept[IllegalStateException](V1Import.fromV1YamlFile(p.toString))
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("openCatalog dispatches v1 vs v2 by version key") {
     val dir = Files.createTempDirectory("cats")
     val v1Path = dir.resolve("cat_v1.yml")
