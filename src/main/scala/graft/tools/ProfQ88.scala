@@ -50,9 +50,18 @@ object ProfQ88 {
         val n = f
         println(f"[$label] run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
       }
-    time("a-hof")(aggTail(hofSpans()))
-    time("b-fused")(
-      Dedup.duplicateSpans(docs, "doc_id", "text", n = 10, minDocs = 2, hashSpans = false).count())
+    // Interleave the two shapes: a monotone warmup (C2 JIT, page cache)
+    // otherwise biases whichever runs first — the round-18 first cut
+    // read a 45% win that an alternated re-run shrank to ~10%.
+    def runA(): Long = aggTail(hofSpans())
+    def runB(): Long =
+      Dedup.duplicateSpans(docs, "doc_id", "text", n = 10, minDocs = 2, hashSpans = false).count()
+    runA(); runB() // shared warmup, untimed
+    (1 to 4).foreach { i =>
+      val tA0 = System.nanoTime(); val nA = runA(); val tA = (System.nanoTime() - tA0) / 1e9
+      val tB0 = System.nanoTime(); val nB = runB(); val tB = (System.nanoTime() - tB0) / 1e9
+      println(f"[ab-interleaved] round $i: a-hof $tA%.2fs (rows=$nA)  b-fused $tB%.2fs (rows=$nB)")
+    }
     spark.stop()
   }
 }
