@@ -55,7 +55,8 @@ object Bench {
       reference.get(q).flatMap { r =>
         val t = serialWall(q)
         if (r > 0 && t >= r * ratio && t - r >= minExcessSec)
-          Some(q -> math.round(t / r * 100.0) / 100.0)
+          // cap: a failed re-run reports infinity — keep the JSON finite
+          Some(q -> math.round(math.min(t / r, 99.0) * 100.0) / 100.0)
         else None
       }
     }
@@ -296,8 +297,14 @@ object Bench {
               benchQueries.get(q).map { fn =>
                 (1 to 2).map { _ =>
                   val t0 = System.nanoTime()
-                  Try(fn(spark, sfDir).count())
-                  (System.nanoTime() - t0) / 1e9
+                  val ok = Try(fn(spark, sfDir).count())
+                  // a query that THROWS on the serial re-run is the
+                  // worst kind of drift — a swallowed failure would
+                  // measure as a near-zero wall and CLEAR the suspect
+                  if (ok.isFailure) {
+                    System.err.println(s"[bench] $q FAILED during serial drift re-measure: ${ok.failed.get.getMessage}")
+                    Double.PositiveInfinity
+                  } else (System.nanoTime() - t0) / 1e9
                 }.min
               }.getOrElse(0.0))
           }

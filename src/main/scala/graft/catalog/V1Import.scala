@@ -125,13 +125,25 @@ object V1Import {
           case _ => Nil
         }
         val sub = importV1(subYaml, Option(f.getParent).getOrElse(""), seenPaths + canon)
-        sub.aliases.foldLeft(cat) { case (c, (subName, subTok)) =>
+        val withData = cat.copy(data = cat.data ++ sub.data)
+        sub.aliases.foldLeft(withData) { case (c, (subName, subTok)) =>
           val srd = sub.entries(subTok)
+          // Precedence weakest→strongest mirrors the reference: parent
+          // source-level `parameters`, then the passed
+          // `args.user_parameters`, then the sub-catalog's own globals
+          // (local.py:742 .update — the sub's yaml wins over passed,
+          // and its CATALOG_DIR must shadow the parent's), and the
+          // entry's OWN parameters always win (base.py:345-355 only
+          // prepends unshadowed catalog parameters).
+          // The dotted v1_name re-keys the entry so same-args sources
+          // in two DIFFERENT sub-catalogs don't collide (their
+          // userParameters — e.g. each sub's CATALOG_DIR — differ but
+          // the token ignores userParameters).
           val nrd = srd.copy(
-            userParameters = sub.userParameters ++ srd.userParameters ++ params ++ passed)
+            kwargs = srd.kwargs + ("v1_name" -> s"$name.$subName"),
+            userParameters = params ++ passed ++ sub.userParameters ++ srd.userParameters)
           c.copy(
             entries = c.entries + (nrd.token -> nrd),
-            data = c.data ++ sub.data,
             aliases = c.aliases + (s"$name.$subName" -> nrd.token))
         }
       } else {
@@ -148,11 +160,17 @@ object V1Import {
         // different parameters/metadata (catalog1.yml ex1/ex2,
         // catalog_inherit_params.yml param/local_param_overwrites) —
         // without it the second source silently replaced the first.
+        // a source-metadata "description" survives unless the source has
+        // a real top-level description of its own (don't clobber with "")
+        val descEntry =
+          if (description.nonEmpty || !srcMetadata.contains("description"))
+            Map("description" -> description)
+          else Map.empty[String, String]
         val rd = ReaderDescription(
           reader,
           Map("data" -> s"{data(${dd.token})}", "v1_name" -> name),
           userParameters = params,
-          metadata = srcMetadata ++ Map("description" -> description, "v1_driver" -> driver)
+          metadata = srcMetadata ++ descEntry + ("v1_driver" -> driver)
         )
         cat.copy(
           entries = cat.entries + (rd.token -> rd),

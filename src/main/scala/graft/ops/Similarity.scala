@@ -314,6 +314,16 @@ object Similarity {
     * defaults put that under ~6% at cosine = 0.8 and under 0.1% for
     * true near-dups (cosine >= 0.95) — the regime the operator targets.
     *
+    * The `maxBucket` skew guard drops (band, bucket) groups larger than
+    * `maxBucket` BEFORE pair expansion — without it one degenerate
+    * bucket (e.g. a mass-duplicated vector) is quadratic. The flip side
+    * is a recall cliff on duplicate CLIQUES larger than `maxBucket`:
+    * all their buckets are oversized, so none of their pairs emit. Run
+    * exact/MinHash dedup first (the pipeline order QuickStart §24
+    * uses) or raise `maxBucket` if clique-scale duplicates must come
+    * out of THIS operator; same contract as
+    * [[graft.ops.Dedup.lshCandidatePairs]].
+    *
     * Cost-based small-input path: when the corpus has at most
     * `bruteForceMax` rows (one cheap count job — parquet footer counts —
     * the same runtime-stats move AQE makes for join strategy), the
@@ -338,16 +348,23 @@ object Similarity {
       maxBucket: Int = 1000,
       bruteForceMax: Long = 10000L
   ): DataFrame = {
-    val narrowed = df.select(col(idCol), col(vecCol))
+    // The cast matches every VectorFunctions wrapper (they all cast to
+    // array<float>), so double/int vector columns work on this path too.
+    val narrowed = df.select(col(idCol),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     // One bounded probe replaces a separate count job: collect at most
     // max+1 (id, vec) rows — <= 2.5 MB at the 10k default, the same
     // bounded-collect class as IVF's centroid sample — and the overflow
-    // row IS the "corpus is big, take the LSH path" signal.
+    // row IS the "corpus is big, take the LSH path" signal. NOTE this
+    // probe job runs at DataFrame-CONSTRUCTION time (the AQE-style
+    // runtime-stats cost of being cost-based); `exact = true` instead
+    // collects the WHOLE corpus — oracle/test scale only, by contract.
+    val lim = math.min(bruteForceMax, Int.MaxValue - 1L).toInt
     val probed: Option[Array[org.apache.spark.sql.Row]] =
       if (exact) Some(narrowed.collect())
       else if (bruteForceMax > 0) {
-        val rows = narrowed.limit((bruteForceMax + 1).toInt).collect()
-        if (rows.length <= bruteForceMax) Some(rows) else None
+        val rows = narrowed.limit(lim + 1).collect()
+        if (rows.length <= lim) Some(rows) else None
       } else None
     probed match {
       case Some(rows) => bruteCosinePairs(df, narrowed, rows, threshold)
@@ -376,9 +393,10 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val idType = narrowed.schema.fields(0).dataType
+    // rows come from `narrowed`, whose vec column is cast to
+    // array<float> — one extraction shared by both loop sides
     def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
-      if (r.isNullAt(1)) null
-      else r.getAs[scala.collection.Seq[Float]](1).toArray
+      r.getAs[scala.collection.Seq[Float]](1).toArray
     val side = rows.iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.get(0), vecOf(r)))
@@ -398,7 +416,7 @@ object Similarity {
         if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
         else {
           val id1 = r.get(0)
-          val v1 = r.getAs[scala.collection.Seq[Float]](1).toArray
+          val v1 = vecOf(r)
           arr.iterator.flatMap { case (id2, v2) =>
             if (id1.asInstanceOf[Comparable[Any]].compareTo(id2) >= 0) Iterator.empty
             else {

@@ -49,6 +49,14 @@ class BenchDriftSpec extends AnyFunSuite {
       Map("q42_minhash_lsh" -> 2.25))
   }
 
+  test("a query that FAILS its serial re-measure confirms drift (capped ratio), never clears it") {
+    // a swallowed exception would measure near-zero wall and clear the
+    // suspect — the re-measure reports infinity instead, capped for JSON
+    val suspects = Bench.drift(reference, Map("q42_minhash_lsh" -> 4.1))
+    assert(Bench.confirmDrift(suspects, reference, _ => Double.PositiveInfinity) ==
+      Map("q42_minhash_lsh" -> 99.0))
+  }
+
   test("serial confirmation applies the same absolute floor as the gate") {
     // cheap-query serial jitter: 3x the 0.1s reference but only +0.25s
     val suspects = Map("q02_filter" -> 3.5)

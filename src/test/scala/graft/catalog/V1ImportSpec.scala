@@ -99,6 +99,83 @@ class V1ImportSpec extends SparkSpec {
     assert(cat("subcat.ex1").ref.url == "")
   }
 
+  test("same-args sources in two different sub-catalogs stay distinct (per-sub CATALOG_DIR)") {
+    // the nested re-key bug: identical (reader, kwargs) entries from two
+    // sub-catalogs hashed to one token, so the later import silently
+    // replaced the earlier entry's userParameters — incl. CATALOG_DIR
+    val dirA = Files.createTempDirectory("v1subA")
+    val dirB = Files.createTempDirectory("v1subB")
+    val subYaml =
+      """sources:
+        |  ex:
+        |    driver: csv
+        |    args:
+        |      urlpath: "{{ CATALOG_DIR }}/data.csv"
+        |""".stripMargin
+    Files.writeString(dirA.resolve("sub.yml"), subYaml)
+    Files.writeString(dirB.resolve("sub.yml"), subYaml)
+    val parentDir = Files.createTempDirectory("v1parent")
+    Files.writeString(parentDir.resolve("cat.yml"),
+      s"""sources:
+         |  a:
+         |    driver: yaml_file_cat
+         |    args:
+         |      path: "$dirA/sub.yml"
+         |  b:
+         |    driver: yaml_file_cat
+         |    args:
+         |      path: "$dirB/sub.yml"
+         |""".stripMargin)
+    val cat = V1Import.fromV1YamlFile(parentDir.resolve("cat.yml").toString)
+    assert(cat("a.ex").ref.url == s"$dirA/data.csv")
+    assert(cat("b.ex").ref.url == s"$dirB/data.csv")
+  }
+
+  test("passed user_parameters do NOT override a sub-entry's own parameters (entry-local wins)") {
+    val subDir = Files.createTempDirectory("v1subLocal")
+    Files.writeString(subDir.resolve("sub.yml"),
+      """sources:
+        |  ex:
+        |    driver: csv
+        |    parameters:
+        |      bucket:
+        |        type: str
+        |        description: d
+        |        default: entry_local
+        |    args:
+        |      urlpath: "{{ bucket }}/data.csv"
+        |""".stripMargin)
+    val parentDir = Files.createTempDirectory("v1parentLocal")
+    Files.writeString(parentDir.resolve("cat.yml"),
+      s"""sources:
+         |  sub:
+         |    driver: yaml_file_cat
+         |    args:
+         |      path: "$subDir/sub.yml"
+         |      user_parameters:
+         |        bucket:
+         |          type: str
+         |          description: d
+         |          default: passed_down
+         |""".stripMargin)
+    val cat = V1Import.fromV1YamlFile(parentDir.resolve("cat.yml").toString)
+    // base.py:345-355: only UNSHADOWED catalog parameters prepend
+    assert(cat("sub.ex").ref.url == "entry_local/data.csv")
+    assert(cat("sub.ex", Map("bucket" -> "runtime")).ref.url == "runtime/data.csv")
+  }
+
+  test("a metadata-level description survives when the source has no top-level description") {
+    val cat = V1Import.fromV1YamlString(
+      """sources:
+        |  m:
+        |    driver: csv
+        |    metadata:
+        |      description: from metadata
+        |    args: {}
+        |""".stripMargin)
+    assert(cat.entries(cat.aliases("m")).metadata("description") == "from metadata")
+  }
+
   test("a nested catalog pointing at a missing file refuses loudly") {
     val dir = Files.createTempDirectory("v1missing")
     val yml =

@@ -81,6 +81,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L)))
   }
 
+  test("cosineNearDupPairs accepts array<double> vectors on both paths (the wrappers' cast contract)") {
+    val df = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 0.001)),
+      (2L, Array(0.0, 1.0))
+    ).toDF("id", "vec")
+    // brute (cost-based) path
+    val brute = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(brute == Seq((0L, 1L)))
+    // forced LSH path must also analyze and run (casts inside the wrappers)
+    val lsh = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99, dim = 2, bruteForceMax = 0)
+    assert(lsh.columns.toSeq == Seq("id1", "id2", "cosine"))
+    lsh.count() // executes
+  }
+
   test("cosineNearDupPairs: the LSH scale path agrees with the exact path on planted near-dups") {
     val rnd = new scala.util.Random(7)
     val base = Seq.tabulate(60)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
