@@ -334,6 +334,13 @@ object Similarity {
     * `exact = true` forces the brute force regardless of size (oracle
     * verification); `bruteForceMax = 0` forces the LSH path (plan-shape
     * tests, A/B tooling).
+    *
+    * `autoTune` (default on) grows the banding with the corpus — one
+    * count job, then [[autoLshParams]] treats (bitsPerGroup, groups) as
+    * minimums. Fixed-width banding does NOT survive scale-up: candidate
+    * pairs grow ~ C(n,2) * groups * 2^-bits (quadratic), so the 8-bit
+    * default that is right at 2k rows generates ~1.2B spurious
+    * candidates at 200k rows (measured, tools/DeepScaleProbe.scala).
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -346,7 +353,8 @@ object Similarity {
       seed: Long = 42L,
       exact: Boolean = false,
       maxBucket: Int = 1000,
-      bruteForceMax: Long = 10000L
+      bruteForceMax: Long = 10000L,
+      autoTune: Boolean = true
   ): DataFrame = {
     // The cast matches every VectorFunctions wrapper (they all cast to
     // array<float>), so double/int vector columns work on this path too.
@@ -369,7 +377,14 @@ object Similarity {
     probed match {
       case Some(rows) => bruteCosinePairs(df, narrowed, rows, threshold)
       case None =>
-        lshCosinePairs(df, idCol, vecCol, threshold, dim, bitsPerGroup, groups, seed, maxBucket)
+        // auto-scaled banding (see autoLshParams): the caller's
+        // (bitsPerGroup, groups) are minimums; one count job buys the
+        // corpus size the scaling rule needs — without it the fixed
+        // 8-bit banding generates C(n,2)*groups/256 candidate pairs.
+        val (bits, gps) =
+          if (autoTune) autoLshParams(df.count(), minBits = bitsPerGroup, minGroups = groups)
+          else (bitsPerGroup, groups)
+        lshCosinePairs(df, idCol, vecCol, threshold, dim, bits, gps, seed, maxBucket)
     }
   }
 
@@ -438,6 +453,39 @@ object Similarity {
       }
     }
     df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Auto-scaled banding parameters: hold the expected LSH bucket size
+    * near `targetBucket` as the corpus grows (`bits ≈ log2(n /
+    * targetBucket)`) and re-derive the band count to keep the
+    * design-point recall (miss <= `targetMiss` for pairs at cosine
+    * `designCosine`). The caller's explicit (bits, groups) act as
+    * MINIMUMS, so the (8, 16) defaults reproduce exactly at their
+    * natural scale (n <= ~2k) and only grow beyond it.
+    *
+    * Why this must scale with n: banded LSH generates candidate pairs
+    * at rate ~ C(n,2) * groups * 2^-bits on a low-similarity corpus —
+    * QUADRATIC with a constant only the bit width controls. The
+    * round-18 deep probe measured the failure concretely: at 200k
+    * random vectors the fixed 8-bit banding yields ~1.2B spurious
+    * candidates (the probe run died), while 15-bit/31-group auto-tuned
+    * banding yields ~19M with BETTER recall at the 0.95 design point.
+    */
+  def autoLshParams(
+      n: Long,
+      minBits: Int = 8,
+      minGroups: Int = 16,
+      targetBucket: Int = 8,
+      designCosine: Double = 0.95,
+      targetMiss: Double = 1e-3
+  ): (Int, Int) = {
+    val bits = math.max(minBits,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
+    val p = 1 - math.acos(designCosine) / math.Pi
+    val pBand = math.pow(p, bits)
+    val groups = math.max(minGroups,
+      math.ceil(math.log(targetMiss) / math.log(1 - pBand)).toInt)
+    (bits, groups)
   }
 
   private def lshCosinePairs(

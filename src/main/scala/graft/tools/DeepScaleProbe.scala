@@ -24,7 +24,14 @@ object DeepScaleProbe {
   val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q88_duplicate_spans" -> ((s, d) => SparkEntry.queries("q88_duplicate_spans")(s, d)),
     "q85_source_overlap" -> ((s, d) => SparkEntry.queries("q85_source_overlap")(s, d)),
-    "q90_dup_span_stats" -> ((s, d) => SparkEntry.queries("q90_dup_span_stats")(s, d)))
+    "q90_dup_span_stats" -> ((s, d) => SparkEntry.queries("q90_dup_span_stats")(s, d)),
+    // the round-18 reshaped LSH path, FORCED at every SF (the cost-based
+    // switch would take the brute path at sf0.1's 2k vectors and make
+    // the exponent meaningless)
+    "q50_lsh_path" -> ((s, d) =>
+      graft.ops.Similarity.cosineNearDupPairs(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.8,
+        bruteForceMax = 0)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -54,6 +61,30 @@ object DeepScaleProbe {
     }
     derive(10, s"$outBase/sf1")
     derive(100, s"$outBase/sf10")
+
+    // embeddings scale under the ScaleProbe replica-wide xxhash64-parity
+    // sign pattern: within-replica cosine structure exact (a common sign
+    // flip cancels in the dot product), every replica's pattern distinct
+    // (no cross-replica clones)
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    def deriveEmb(replicas: Int, outDir: String): Unit = {
+      val big = (0 until replicas).map { r =>
+        emb.select(
+          (col("vec_id") + lit(r * vecStride)).as("vec_id"),
+          (if (r == 0) col("embedding")
+           else zip_with(col("embedding"),
+             transform(sequence(lit(0), size(col("embedding")) - 1),
+               i => when(pmod(xxhash64(i, lit(r)), lit(2)) === 0, lit(-1.0f)).otherwise(lit(1.0f))),
+             (v, sgn) => v * sgn)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+      big.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"[deep] wrote ${spark.read.parquet(s"$outDir/embeddings.parquet").count()} vectors to $outDir")
+    }
+    deriveEmb(10, s"$outBase/sf1")
+    deriveEmb(100, s"$outBase/sf10")
 
     def best(fn: (SparkSession, String) => DataFrame, dir: String, reps: Int): (Double, Long) =
       (1 to reps).map { _ =>

@@ -114,6 +114,28 @@ class SimilaritySpec extends SparkSpec {
       s"LSH path diverged from exact: missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
+  test("autoLshParams: defaults reproduce at small n, bits/groups grow with the corpus") {
+    // at the 8-bit default's natural scale the (8, 16) defaults come back
+    assert(Similarity.autoLshParams(2000) == (8, 16))
+    assert(Similarity.autoLshParams(0) == (8, 16))
+    // a decade up: bucket-size control forces 12 bits, recall holds via 22 groups
+    val (b1, g1) = Similarity.autoLshParams(20000)
+    assert(b1 == 12 && g1 == 22, s"($b1,$g1)")
+    // two decades: 15 bits / 31 groups — candidate rate per pair drops
+    // from 16/256 to 31/32768 while miss@0.95 stays <= 1e-3
+    val (b2, g2) = Similarity.autoLshParams(200000)
+    assert(b2 == 15 && g2 == 31, s"($b2,$g2)")
+    // explicit params act as minimums
+    assert(Similarity.autoLshParams(100, minBits = 10, minGroups = 40)._1 == 10)
+    assert(Similarity.autoLshParams(100, minBits = 10, minGroups = 40)._2 == 40)
+    // the recall identity the derivation promises: (1 - p^bits)^groups <= 1e-3
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      val (b, g) = Similarity.autoLshParams(n)
+      val p = 1 - math.acos(0.95) / math.Pi
+      assert(math.pow(1 - math.pow(p, b), g) <= 1e-3 + 1e-12, s"n=$n ($b,$g)")
+    }
+  }
+
   test("int8 quantization round-trips within one scale step and preserves ranking") {
     import spark.implicits._
     val vecs = Seq(
