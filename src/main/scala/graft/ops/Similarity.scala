@@ -336,9 +336,12 @@ object Similarity {
     * tests, A/B tooling).
     *
     * `autoTune` (default on) grows the banding with the corpus — one
-    * count job, then [[autoLshParams]] treats (bitsPerGroup, groups) as
-    * minimums. Fixed-width banding does NOT survive scale-up: candidate
-    * pairs grow ~ C(n,2) * groups * 2^-bits (quadratic), so the 8-bit
+    * count job over the pruned projection, then [[autoLshParams]]
+    * treats (bitsPerGroup, groups) as minimums and re-derives the band
+    * count to hold the ~6% miss contract AT THE CALLER'S THRESHOLD for
+    * any corpus size (the fixed defaults hold it only at ~2k rows).
+    * Fixed-width banding does NOT survive scale-up: candidate pairs
+    * grow ~ C(n,2) * groups * 2^-bits (quadratic), so the 8-bit
     * default that is right at 2k rows generates ~1.2B spurious
     * candidates at 200k rows (measured, tools/DeepScaleProbe.scala).
     */
@@ -378,11 +381,18 @@ object Similarity {
       case Some(rows) => bruteCosinePairs(df, narrowed, rows, threshold)
       case None =>
         // auto-scaled banding (see autoLshParams): the caller's
-        // (bitsPerGroup, groups) are minimums; one count job buys the
-        // corpus size the scaling rule needs — without it the fixed
+        // (bitsPerGroup, groups) are minimums and the recall contract
+        // is held at the CALLER'S threshold; one count job — over the
+        // column-pruned projection, not the full lineage — buys the
+        // corpus size the scaling rule needs. Without it the fixed
         // 8-bit banding generates C(n,2)*groups/256 candidate pairs.
+        // (Construction is therefore eager: the probe + this count run
+        // at DataFrame-build time. Callers with expensive upstream
+        // lineage should cache df first.)
         val (bits, gps) =
-          if (autoTune) autoLshParams(df.count(), minBits = bitsPerGroup, minGroups = groups)
+          if (autoTune)
+            autoLshParams(narrowed.count(), minBits = bitsPerGroup, minGroups = groups,
+              designCosine = threshold)
           else (bitsPerGroup, groups)
         lshCosinePairs(df, idCol, vecCol, threshold, dim, bits, gps, seed, maxBucket)
     }
@@ -457,34 +467,47 @@ object Similarity {
 
   /** Auto-scaled banding parameters: hold the expected LSH bucket size
     * near `targetBucket` as the corpus grows (`bits ≈ log2(n /
-    * targetBucket)`) and re-derive the band count to keep the
-    * design-point recall (miss <= `targetMiss` for pairs at cosine
-    * `designCosine`). The caller's explicit (bits, groups) act as
-    * MINIMUMS, so the (8, 16) defaults reproduce exactly at their
-    * natural scale (n <= ~2k) and only grow beyond it.
+    * targetBucket)`) and re-derive the band count to keep the recall
+    * contract AT THE CALLER'S THRESHOLD (per-pair miss <= `targetMiss`
+    * for pairs exactly at cosine `designCosine` — the fixed (8, 16)
+    * defaults' own ~6% at cosine 0.8, now held by construction at any
+    * n instead of only at their natural 2k-row scale). The caller's
+    * explicit (bits, groups) act as MINIMUMS.
     *
-    * Why this must scale with n: banded LSH generates candidate pairs
+    * Why bits must scale with n: banded LSH generates candidate pairs
     * at rate ~ C(n,2) * groups * 2^-bits on a low-similarity corpus —
     * QUADRATIC with a constant only the bit width controls. The
     * round-18 deep probe measured the failure concretely: at 200k
     * random vectors the fixed 8-bit banding yields ~1.2B spurious
-    * candidates (the probe run died), while 15-bit/31-group auto-tuned
-    * banding yields ~19M with BETTER recall at the 0.95 design point.
+    * candidates (the probe run died); bucket-size-held banding yields
+    * groups * n * targetBucket / 2 — linear in n.
+    *
+    * Why groups must follow the threshold: the band-hit probability
+    * p^bits DROPS as bits grow, so holding recall needs more bands —
+    * and shallower thresholds (smaller p) need disproportionately
+    * more. `maxGroups` caps the blow-up: when the cap binds, the
+    * requested (threshold, miss) is not achievable with hyperplane
+    * banding at this corpus size — lower the threshold expectation,
+    * raise targetMiss, or use the exact path.
     */
   def autoLshParams(
       n: Long,
       minBits: Int = 8,
       minGroups: Int = 16,
       targetBucket: Int = 8,
-      designCosine: Double = 0.95,
-      targetMiss: Double = 1e-3
+      designCosine: Double = 0.8,
+      targetMiss: Double = 0.065,
+      maxGroups: Int = 256
   ): (Int, Int) = {
     val bits = math.max(minBits,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
-    val p = 1 - math.acos(designCosine) / math.Pi
+    // clamp: below ~0.5 hyperplane LSH stops discriminating (p -> 1/2)
+    // and above 0.99 the derivation degenerates (p -> 1)
+    val c = math.max(0.5, math.min(designCosine, 0.99))
+    val p = 1 - math.acos(c) / math.Pi
     val pBand = math.pow(p, bits)
-    val groups = math.max(minGroups,
-      math.ceil(math.log(targetMiss) / math.log(1 - pBand)).toInt)
+    val groups = math.min(maxGroups.toLong, math.max(minGroups.toLong,
+      math.ceil(math.log(targetMiss) / math.log(1 - pBand)).toLong)).toInt
     (bits, groups)
   }
 

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared scale-probe corpus derivation (ScaleProbe 10x, DeepScaleProbe
+  * 10x/100x) — ONE implementation so the two tools can never measure
+  * different corpora (the round-17 sign-pattern clone bug was fixed in
+  * one place; a verbatim copy re-created the divergence risk).
+  *
+  * Documents: `replicas` copies, every token replica-prefixed so
+  * replicas share NO shingles — within-replica dup/similarity structure
+  * preserved exactly, cross-replica similarity zero.
+  *
+  * Embeddings: `replicas` copies under a replica-wide deterministic
+  * sign pattern — within-replica cosine structure exact (a common sign
+  * flip cancels in the dot product), every replica's pattern distinct
+  * (the parity of xxhash64(i, r), so no cross-replica clone vectors).
+  * The sign array depends only on (dimension, replica), so it
+  * precomputes ONCE on the driver (the per-row
+  * sequence→transform→xxhash64 formulation evaluated ~dim hash calls
+  * per row for a replica-level constant) — [[signPattern]] replicates
+  * Spark's xxhash64 chain exactly, pinned by ProbeDataSpec.
+  */
+object ProbeData {
+
+  /** The sign of dimension `i` in replica `r`: parity of Spark's
+    * `xxhash64(i, lit(r))` — the int-int hash chain `hashInt(i, 42)`
+    * then `hashInt(r, ·)`.
+    */
+  def signPattern(dim: Int, replica: Int): Array[Float] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(dim) { i =>
+      val h = XXH64.hashInt(replica, XXH64.hashInt(i, 42L))
+      if (((h % 2) + 2) % 2 == 0) -1.0f else 1.0f
+    }
+  }
+
+  def replicateDocs(spark: SparkSession, sfDir: String, replicas: Int, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val big = (0 until replicas).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * idStride)).as("doc_id"),
+        (if (r == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    big.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs to $outDir")
+  }
+
+  def replicateEmbeddings(spark: SparkSession, sfDir: String, replicas: Int, outDir: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val big = (0 until replicas).map { r =>
+      val sgn = signPattern(dim, r)
+      emb.select(
+        (col("vec_id") + lit(r * vecStride)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else zip_with(col("embedding"),
+           array(sgn.map(lit(_)): _*),
+           (v, s) => v * s)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    big.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/embeddings.parquet").count()} vectors to $outDir")
+  }
+}

@@ -54,42 +54,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
-    val sf1 = (0 until 10).map { r =>
-      docs.select(
-        (col("doc_id") + lit(r * idStride)).as("doc_id"),
-        (if (r == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-    sf1.repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs to $outDir")
+    ProbeData.replicateDocs(spark, sf01, 10, outDir)
 
-    // embeddings: 10 replicas under a replica-wide deterministic sign
-    // pattern — cosine structure WITHIN a replica is exactly preserved
-    // (a common sign flip cancels in the dot product), cross-replica
-    // similarities decorrelate. The sign of dimension i in replica r is
-    // the parity of xxhash64(i, r): DISTINCT for every replica — a
-    // modular pattern like (i + 7r) % 3 repeats every 3 replicas and
-    // plants exact cross-replica clone vectors (round-17 review catch),
-    // which would hand the ANN probes a clone-dominated corpus.
-    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
-    val emb1 = (0 until 10).map { r =>
-      emb.select(
-        (col("vec_id") + lit(r * vecStride)).as("vec_id"),
-        (if (r == 0) col("embedding")
-         else zip_with(col("embedding"),
-           transform(sequence(lit(0), size(col("embedding")) - 1),
-             i => when(pmod(xxhash64(i, lit(r)), lit(2)) === 0, lit(-1.0f)).otherwise(lit(1.0f))),
-           (v, sgn) => v * sgn)).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-    emb1.repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"[probe] wrote ${spark.read.parquet(s"$outDir/embeddings.parquet").count()} vectors to $outDir")
+    // embeddings: replica-wide deterministic sign pattern — shared with
+    // DeepScaleProbe via ProbeData (the round-17 clone-planting bug was
+    // fixed in this derivation once; it must not fork across tools)
+    ProbeData.replicateEmbeddings(spark, sf01, 10, outDir)
 
     def best(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String, reps: Int = 3): (Double, Long) =

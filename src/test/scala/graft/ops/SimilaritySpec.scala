@@ -114,26 +114,31 @@ class SimilaritySpec extends SparkSpec {
       s"LSH path diverged from exact: missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
-  test("autoLshParams: defaults reproduce at small n, bits/groups grow with the corpus") {
-    // at the 8-bit default's natural scale the (8, 16) defaults come back
+  test("autoLshParams: defaults reproduce at small n; recall holds AT THE THRESHOLD as n grows") {
+    // at the 8-bit default's natural scale the (8, 16) defaults come
+    // back exactly — 16 groups IS the solution of miss(0.8) <= 6.5%
+    // at 8 bits, which is where the historical defaults came from
     assert(Similarity.autoLshParams(2000) == (8, 16))
     assert(Similarity.autoLshParams(0) == (8, 16))
-    // a decade up: bucket-size control forces 12 bits, recall holds via 22 groups
-    val (b1, g1) = Similarity.autoLshParams(20000)
-    assert(b1 == 12 && g1 == 22, s"($b1,$g1)")
-    // two decades: 15 bits / 31 groups — candidate rate per pair drops
-    // from 16/256 to 31/32768 while miss@0.95 stays <= 1e-3
-    val (b2, g2) = Similarity.autoLshParams(200000)
-    assert(b2 == 15 && g2 == 31, s"($b2,$g2)")
+    // decades up: bucket-size control forces more bits, and holding the
+    // caller's-threshold recall needs disproportionately more bands
+    assert(Similarity.autoLshParams(20000) == (12, 42))
+    assert(Similarity.autoLshParams(200000) == (15, 84))
+    // at the near-dup regime (0.95) the same corpus needs far fewer bands
+    val (b95, g95) = Similarity.autoLshParams(200000, designCosine = 0.95)
+    assert(b95 == 15 && g95 < 40, s"($b95,$g95)")
     // explicit params act as minimums
-    assert(Similarity.autoLshParams(100, minBits = 10, minGroups = 40)._1 == 10)
-    assert(Similarity.autoLshParams(100, minBits = 10, minGroups = 40)._2 == 40)
-    // the recall identity the derivation promises: (1 - p^bits)^groups <= 1e-3
-    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
-      val (b, g) = Similarity.autoLshParams(n)
-      val p = 1 - math.acos(0.95) / math.Pi
-      assert(math.pow(1 - math.pow(p, b), g) <= 1e-3 + 1e-12, s"n=$n ($b,$g)")
+    assert(Similarity.autoLshParams(100, minBits = 10, minGroups = 40) == (10, 40))
+    // the recall identity the derivation promises, AT the design cosine:
+    // (1 - p^bits)^groups <= targetMiss for every corpus size
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L); c <- Seq(0.8, 0.9, 0.95)) {
+      val (b, g) = Similarity.autoLshParams(n, designCosine = c)
+      val p = 1 - math.acos(c) / math.Pi
+      assert(math.pow(1 - math.pow(p, b), g) <= 0.065 + 1e-12, s"n=$n c=$c ($b,$g)")
     }
+    // shallow threshold + huge corpus: the cap binds — the honest signal
+    // that hyperplane banding cannot deliver that (threshold, miss) point
+    assert(Similarity.autoLshParams(10000000L, designCosine = 0.5)._2 == 256)
   }
 
   test("int8 quantization round-trips within one scale step and preserves ranking") {
