@@ -394,6 +394,16 @@ object Similarity {
             autoLshParams(narrowed.count(), minBits = bitsPerGroup, minGroups = groups,
               designCosine = threshold)
           else (bitsPerGroup, groups)
+        // the derivation clamps (threshold < 0.5) and caps (groups >
+        // 256): either can make the 6.5%-miss contract unachievable —
+        // say so on the driver instead of silently returning a lossy
+        // result (the exact class of defect round-18's reviews hunted)
+        val miss = lshExpectedMiss(threshold, bits, gps)
+        if (autoTune && miss > 0.066)
+          System.err.println(
+            f"[graft] cosineNearDupPairs: auto-tuned banding ($bits bits, $gps groups) can only " +
+            f"achieve ~${miss * 100}%.0f%% per-pair miss at cosine $threshold%.2f (target <=6.5%%) — " +
+            "raise the threshold, raise maxGroups, or use the exact path")
         lshCosinePairs(df, idCol, vecCol, threshold, dim, bits, gps, seed, maxBucket)
     }
   }
@@ -502,13 +512,26 @@ object Similarity {
     val bits = math.max(minBits,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
     // clamp: below ~0.5 hyperplane LSH stops discriminating (p -> 1/2)
-    // and above 0.99 the derivation degenerates (p -> 1)
+    // and above 0.99 the derivation degenerates (p -> 1). A clamped or
+    // capped derivation can violate the contract — callers check with
+    // [[lshExpectedMiss]] (cosineNearDupPairs warns).
     val c = math.max(0.5, math.min(designCosine, 0.99))
     val p = 1 - math.acos(c) / math.Pi
     val pBand = math.pow(p, bits)
-    val groups = math.min(maxGroups.toLong, math.max(minGroups.toLong,
-      math.ceil(math.log(targetMiss) / math.log(1 - pBand)).toLong)).toInt
-    (bits, groups)
+    val derived = math.min(maxGroups.toLong,
+      math.ceil(math.log(targetMiss) / math.log(1 - pBand)).toLong)
+    // explicit minimums ALWAYS win — the cap bounds only the derived
+    // value (min-after-max silently overrode an explicit minGroups>cap)
+    (bits, math.max(minGroups.toLong, derived).toInt)
+  }
+
+  /** Per-pair probability that banded hyperplane LSH MISSES a pair
+    * sitting exactly at `cosine`: `(1 - p^bits)^groups`,
+    * p = 1 - acos(cosine)/pi.
+    */
+  def lshExpectedMiss(cosine: Double, bits: Int, groups: Int): Double = {
+    val p = 1 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    math.pow(1 - math.pow(p, bits), groups)
   }
 
   private def lshCosinePairs(

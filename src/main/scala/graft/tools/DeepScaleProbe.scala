@@ -53,14 +53,28 @@ object DeepScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // derivation is deterministic — reuse slices already on disk (a
-    // re-probe after a code change should not pay the 100x rewrite)
-    def haveTable(dir: String, t: String): Boolean =
-      scala.util.Try(spark.read.parquet(s"$dir/$t.parquet").head(1).nonEmpty).getOrElse(false)
-    if (!haveTable(s"$outBase/sf1", "documents")) ProbeData.replicateDocs(spark, sf01, 10, s"$outBase/sf1")
-    if (!haveTable(s"$outBase/sf10", "documents")) ProbeData.replicateDocs(spark, sf01, 100, s"$outBase/sf10")
-    if (!haveTable(s"$outBase/sf1", "embeddings")) ProbeData.replicateEmbeddings(spark, sf01, 10, s"$outBase/sf1")
-    if (!haveTable(s"$outBase/sf10", "embeddings")) ProbeData.replicateEmbeddings(spark, sf01, 100, s"$outBase/sf10")
+    // derivation is deterministic — reuse a slice already on disk (a
+    // re-probe after a code change should not pay the 100x rewrite),
+    // but ONLY when a marker proves it was derived from THIS input with
+    // THIS derivation (a stale slice from another corpus or an older
+    // ProbeData would make per-decade exponents cross-corpus garbage)
+    def marker(dir: String, t: String, replicas: Int): java.nio.file.Path =
+      java.nio.file.Paths.get(dir, s"_probe_meta_$t.txt")
+    def markerContent(t: String, replicas: Int): String =
+      s"src=$sf01 table=$t replicas=$replicas derivation=${ProbeData.DerivationVersion}"
+    def fresh(dir: String, t: String, replicas: Int): Boolean =
+      scala.util.Try(java.nio.file.Files.readString(marker(dir, t, replicas)) == markerContent(t, replicas)
+        && spark.read.parquet(s"$dir/$t.parquet").head(1).nonEmpty).getOrElse(false)
+    def ensure(dir: String, t: String, replicas: Int)(derive: => Unit): Unit =
+      if (fresh(dir, t, replicas)) println(s"[deep] reusing $dir/$t.parquet (marker matches)")
+      else {
+        derive
+        java.nio.file.Files.writeString(marker(dir, t, replicas), markerContent(t, replicas))
+      }
+    ensure(s"$outBase/sf1", "documents", 10)(ProbeData.replicateDocs(spark, sf01, 10, s"$outBase/sf1"))
+    ensure(s"$outBase/sf10", "documents", 100)(ProbeData.replicateDocs(spark, sf01, 100, s"$outBase/sf10"))
+    ensure(s"$outBase/sf1", "embeddings", 10)(ProbeData.replicateEmbeddings(spark, sf01, 10, s"$outBase/sf1"))
+    ensure(s"$outBase/sf10", "embeddings", 100)(ProbeData.replicateEmbeddings(spark, sf01, 100, s"$outBase/sf10"))
 
     def best(fn: (SparkSession, String) => DataFrame, dir: String, reps: Int): (Double, Long) =
       (1 to reps).map { _ =>

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object ProbeData {
 
+  /** Bump when the derivation rules change — DeepScaleProbe's on-disk
+    * slice-reuse markers embed it, so a rules change invalidates every
+    * cached slice instead of silently mixing corpora across rounds.
+    */
+  val DerivationVersion = 2
+
   /** The sign of dimension `i` in replica `r`: parity of Spark's
     * `xxhash64(i, lit(r))` — the int-int hash chain `hashInt(i, 42)`
     * then `hashInt(r, ·)`.
@@ -54,15 +60,17 @@ object ProbeData {
   def replicateEmbeddings(spark: SparkSession, sfDir: String, replicas: Int, outDir: String): Unit = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // MAX length (null-safe): the sign array must cover every row; a
+    // row shorter than dim indexes a prefix of the literal array
+    // (transform-by-index, not zip_with — zip_with null-pads ragged
+    // rows and would write null elements into the derived corpus)
+    val dim = emb.agg(coalesce(max(size(col("embedding"))), lit(0))).head.getInt(0)
     val big = (0 until replicas).map { r =>
-      val sgn = signPattern(dim, r)
+      val sgn = array(signPattern(dim, r).map(lit(_)): _*)
       emb.select(
         (col("vec_id") + lit(r * vecStride)).as("vec_id"),
         (if (r == 0) col("embedding")
-         else zip_with(col("embedding"),
-           array(sgn.map(lit(_)): _*),
-           (v, s) => v * s)).as("embedding"),
+         else transform(col("embedding"), (v, i) => v * element_at(sgn, i + 1))).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
     big.repartition(spark.sparkContext.defaultParallelism)

@@ -139,6 +139,15 @@ class SimilaritySpec extends SparkSpec {
     // shallow threshold + huge corpus: the cap binds — the honest signal
     // that hyperplane banding cannot deliver that (threshold, miss) point
     assert(Similarity.autoLshParams(10000000L, designCosine = 0.5)._2 == 256)
+    // an explicit minGroups above the cap is still honored (minimums win
+    // over the cap — the cap bounds only the DERIVED value)
+    assert(Similarity.autoLshParams(2000, minGroups = 300)._2 == 300)
+    // the violated-contract detector: capped/clamped derivations report
+    // a miss above target so cosineNearDupPairs can warn
+    val (cb, cg) = Similarity.autoLshParams(10000000L, designCosine = 0.5)
+    assert(Similarity.lshExpectedMiss(0.5, cb, cg) > 0.065)
+    val (ob, og) = Similarity.autoLshParams(200000)
+    assert(Similarity.lshExpectedMiss(0.8, ob, og) <= 0.066)
   }
 
   test("int8 quantization round-trips within one scale step and preserves ranking") {

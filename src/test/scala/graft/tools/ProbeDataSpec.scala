@@ -27,4 +27,27 @@ class ProbeDataSpec extends SparkSpec {
     val pats = (1 to 100).map(r => ProbeData.signPattern(64, r).toSeq)
     assert(pats.distinct.size == 100)
   }
+
+  test("replicateEmbeddings handles ragged and null rows without null-padding") {
+    val dir = java.nio.file.Files.createTempDirectory("probedata").toString
+    Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), "a"),
+      (1L, Array(5.0f, 6.0f), "b"),                       // ragged: shorter row
+      (2L, null.asInstanceOf[Array[Float]], "c")          // null embedding
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    ProbeData.replicateEmbeddings(spark, dir, 2, s"$dir/out")
+    val out = spark.read.parquet(s"$dir/out/embeddings.parquet")
+      .as[(Long, Seq[Float], String)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.size == 6)
+    // replica 0 is the identity
+    assert(out(0L) == Seq(1.0f, 2.0f, 3.0f, 4.0f) && out(1L) == Seq(5.0f, 6.0f) && out(2L) == null)
+    // replica 1: per-dimension sign flip, ragged row keeps its OWN
+    // length (the zip_with formulation null-padded it to dim 4)
+    val sgn = ProbeData.signPattern(4, 1)
+    assert(out(3L) == Seq(1.0f, 2.0f, 3.0f, 4.0f).zip(sgn).map { case (v, s) => v * s })
+    assert(out(4L) == Seq(5.0f, 6.0f).zip(sgn.take(2)).map { case (v, s) => v * s })
+    assert(out(4L).forall(_ != null), "ragged row must not null-pad")
+    assert(out(5L) == null)
+  }
 }
