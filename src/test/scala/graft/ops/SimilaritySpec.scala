@@ -150,6 +150,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshExpectedMiss(0.8, ob, og) <= 0.066)
   }
 
+  test("auto-tuned LSH holds its recall contract EMPIRICALLY at the caller's threshold (17k corpus)") {
+    // big enough that autoTune leaves the (8,16) default regime
+    // (n > 2^11*8 → 12 bits / 42 groups) — the regime where the old
+    // fixed-design-point derivation silently decayed to ~23% miss
+    val rnd = new scala.util.Random(11)
+    val n = 17000
+    val base = Array.tabulate(n)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    // plant ~100 pairs just above cosine 0.8 (v + eps*g lands ~0.82)
+    val planted = base.take(100).map { case (i, v) =>
+      (i + 100000L, v.map(x => x + 0.70f * rnd.nextGaussian().toFloat))
+    }
+    val expected = base.take(100).zip(planted).collect {
+      case ((i, v), (j, w)) if cos(v, w) >= 0.805 => (i, j)
+    }
+    assert(expected.length >= 50, s"fixture drifted: only ${expected.length} planted pairs above 0.805")
+    val corpus = (base ++ planted).toSeq.toDF("id", "vec")
+    val found = Similarity.cosineNearDupPairs(corpus, "id", "vec", 0.8, bruteForceMax = 0)
+      .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect()
+    // exact verify => zero false positives, ever
+    assert(found.forall(_._3 >= 0.8))
+    val foundSet = found.map(f => (f._1, f._2)).toSet
+    val recall = expected.count(foundSet.contains).toDouble / expected.length
+    // contract: per-pair miss <= 6.5% at exactly 0.8; planted pairs sit
+    // above it, so >= 0.90 leaves deterministic-seed headroom
+    assert(recall >= 0.90, s"recall $recall over ${expected.length} planted pairs")
+  }
+
   test("int8 quantization round-trips within one scale step and preserves ranking") {
     import spark.implicits._
     val vecs = Seq(
