@@ -328,27 +328,60 @@ object Dedup {
       .drop("_mh_toks", "_mh_th")
   }
 
-  /** Skew guard shared by the xxhash64 and portable LSH paths: drop
-    * (band, bucket) groups larger than `maxBucket` before a self-join —
-    * one block to keep both paths (and the q78 oracle SQL's `c <= 1000`)
-    * in sync.
+  /** Candidate generation shared by the xxhash64 and portable LSH
+    * paths: ONE exchange on (band, bucket) — groupBy + sorted
+    * collect_list + MAP-SIDE in-bucket pair expansion (the q50 mold,
+    * round 18) — replacing the previous bucket-size aggregation +
+    * bound join + self-join, which walked the banded frame through
+    * three aggregation/join subtrees. Singleton buckets die in the
+    * size filter; the skew guard drops buckets larger than `maxBucket`
+    * BEFORE expansion (one degenerate bucket would be quadratic; the
+    * q78 oracle SQL replicates the bound as `c <= 1000`). Sizes count
+    * COLLECTED ids (non-null — the actual expansion work; a null id
+    * could never pair under `id1 < id2` anyway). Ids sort within the
+    * bucket so id1 < id2 by construction; `distinct` collapses
+    * multi-band collisions.
     */
-  private def boundBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val bucketSizes = banded.groupBy("_band", "_bucket").count()
-    banded
-      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("_band", "_bucket"))
-      .drop("count")
+  private def bucketCandidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = banded
+      .groupBy("_band", "_bucket")
+      .agg(sort_array(collect_list("_id")).as("_ids"))
+      .where(size(col("_ids")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("_ids"), (x, i) =>
+        transform(slice(col("_ids"), i + lit(2), size(col("_ids"))), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+  }
+
+  /** Signature re-attach + agreement scoring shared by both LSH paths:
+    * both joins read the IDENTICAL keyed subtree so its exchange
+    * (id-hash at scale, broadcast at oracle scale) builds once and the
+    * second join is a ReusedExchange — the q50 re-attach mold.
+    */
+  private def scorePairs(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val keyed = sigs.select(col("_id").as("_jid"), col("_sig").as("_jsig"))
+    pairs
+      .join(keyed, col("id1") === col("_jid"))
+      .withColumnRenamed("_jsig", "sig1").drop("_jid")
+      .join(keyed, col("id2") === col("_jid"))
+      .select(
+        col("id1"),
+        col("id2"),
+        (size(filter(zip_with(col("sig1"), col("_jsig"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / size(col("sig1"))).as("est_jaccard")
+      )
   }
 
   /** Candidate near-duplicate pairs via LSH banding: split the k-length
-    * signature into `bands` bands, hash each band, self-join on
-    * (band, bandHash). Returns distinct (id1, id2) with id1 < id2 plus the
-    * estimated Jaccard from full-signature agreement.
-    *
-    * The band join is an equi-join on the bucket key — shuffle-hash/SMJ
-    * partitioned by bucket, never a cross join. Bucket skew (e.g. empty
-    * docs hashing identically) is bounded by dropping buckets larger than
-    * `maxBucket`.
+    * signature into `bands` bands, hash each band, group ids per
+    * (band, bandHash) bucket and expand in-bucket pairs map-side
+    * ([[bucketCandidatePairs]] — one exchange, never a cross or self
+    * join). Returns distinct (id1, id2) with id1 < id2 plus the
+    * estimated Jaccard from full-signature agreement. Bucket skew
+    * (e.g. empty docs hashing identically) is bounded by dropping
+    * buckets larger than `maxBucket`.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -369,7 +402,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandW = floor(size(col("_sig")) / bands).cast("int")
 
-    // Band rows carry ONLY (id, band, bucket): the self-join below must
+    // Band rows carry ONLY (id, band, bucket): the bucket exchange must
     // not shuffle the signature arrays bands× over — at scale the shuffle
     // width is the whole game. Signatures re-attach after pair dedup.
     val banded = base
@@ -385,25 +418,7 @@ object Dedup {
       .withColumnRenamed("pos", "_band")
       .withColumnRenamed("col", "_bucket")
 
-    // Bound pathological buckets before the self-join (skew guard).
-    val bounded = boundBuckets(banded, maxBucket)
-
-    val l = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
-    val r = bounded.select(col("_band"), col("_bucket"), col("_id").as("id2"))
-    val pairs = l.join(r, Seq("_band", "_bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-
-    pairs
-      .join(base.select(col("_id").as("id1"), col("_sig").as("sig1")), Seq("id1"))
-      .join(base.select(col("_id").as("id2"), col("_sig").as("sig2")), Seq("id2"))
-      .select(
-        col("id1"),
-        col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")), v => v === 1))
-          .cast("double") / size(col("sig1"))).as("est_jaccard")
-      )
+    scorePairs(bucketCandidatePairs(banded, maxBucket), base)
   }
 
   /** DuckDB-replicable 31-bit string hash: the little-endian uint64 of the
@@ -529,25 +544,11 @@ object Dedup {
     )
       .withColumnRenamed("pos", "_band")
       .withColumnRenamed("col", "_bucket")
-    // Same skew guard as lshCandidatePairs — without it the self-join is
-    // quadratic in pathological buckets, and the "same candidate
-    // semantics" premise vs the scale path would break exactly where
-    // skew appears. The q78 oracle SQL replicates the bound.
-    val bounded = boundBuckets(banded, maxBucket)
-    val pairs = bounded.select(col("_band"), col("_bucket"), col("_id").as("id1"))
-      .join(bounded.select(col("_band"), col("_bucket"), col("_id").as("id2")), Seq("_band", "_bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-    pairs
-      .join(sigs.select(col("_id").as("id1"), col("_sig").as("sig1")), Seq("id1"))
-      .join(sigs.select(col("_id").as("id2"), col("_sig").as("sig2")), Seq("id2"))
-      .select(
-        col("id1"),
-        col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")), v => v === 1))
-          .cast("double") / size(col("sig1"))).as("est_jaccard")
-      )
+    // Same candidate mold as lshCandidatePairs (bucketCandidatePairs:
+    // one exchange, skew-guarded, never a self-join), so the "same
+    // candidate semantics" premise vs the scale path holds exactly
+    // where skew appears. The q78 oracle SQL replicates the bound.
+    scorePairs(bucketCandidatePairs(banded, maxBucket), sigs)
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -137,27 +137,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("LSH band self-join shuffles (id, band, bucket) only — no signature arrays") {
+  test("LSH banding: ONE band-bucket exchange carrying no signatures, reused sig re-attach exchange") {
     import spark.implicits._
     withStaticPlans {
       val df = Seq.tabulate(30)(i => (i.toLong, s"shared text body number ${i % 5} with words")).toDF("doc_id", "text")
       val sigs = Dedup.withMinhashSignature(df, "text", "_sig", shingleN = 2, k = 16)
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4)
-      // Every exchange partitioned by the band/bucket key must carry only
-      // scalar columns: an array-typed column through that shuffle means
-      // signatures are being shipped bands× over — the exact regression
-      // the scaladoc rules out. (The post-dedup signature re-attach joins
-      // shuffle by id and legitimately carry _sig once.)
-      val exchanges = pairs.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      val plan = physical(pairs)
+      // the pre-r18 shape walked the banded frame through THREE
+      // aggregation/join subtrees (bucket sizes, bound join, self-join);
+      // the bucket-collect mold needs exactly ONE band-keyed exchange
+      val bandExchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("_band") => e
       }
-      val bandExchanges = exchanges.filter(_.outputPartitioning.toString.contains("_band"))
-      assert(bandExchanges.nonEmpty, "expected a shuffle keyed on (_band, _bucket)")
+      assert(bandExchanges.size == 1, s"expected ONE (_band,_bucket) exchange, got ${bandExchanges.size}:\n$plan")
+      // and it must carry only (id, band, bucket) + the collected-id
+      // buffer — a column referencing the signature means sigs are being
+      // shipped bands× over, the exact regression the scaladoc rules out
+      // (the post-dedup re-attach joins legitimately carry _sig once)
       bandExchanges.foreach { e =>
-        val arrayCols = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-        assert(arrayCols.isEmpty,
-          s"band shuffle must not carry arrays, found ${arrayCols.map(_.name).mkString(",")} in:\n$e")
+        val sigCols = e.output.filter(a => a.name.contains("sig"))
+        assert(sigCols.isEmpty,
+          s"band shuffle must not carry signatures, found ${sigCols.map(_.name).mkString(",")} in:\n$e")
       }
+      // both sig re-attach joins read the identical keyed subtree
+      assert(plan.contains("ReusedExchange"), s"sig re-attach exchange must be reused:\n$plan")
     }
   }
 
