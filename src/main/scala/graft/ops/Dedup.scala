@@ -598,25 +598,39 @@ object Dedup {
     connectedComponents(pairs, maxIter, checkConvergence, smallGraphEdges = 1L << 20)
 
   /** @param smallGraphEdges pair lists at or under this size skip the
-    *        distributed rounds entirely: one bounded collect (≤1M edges
-    *        ≈ 16 MB of ids — the same boundedness class as the IVF
-    *        centroid sample) and a driver union-find produce the exact
-    *        labels in a single job where the iterative path pays
-    *        rounds x exchanges of pure fixed cost. The pair count is
-    *        known for free off the checkpointed pair frame. 0 disables.
-    *        At 100 TB near-dup pair lists blow past any such cap in the
-    *        first partition — the star rounds stay the scale path.
+    *        distributed rounds entirely: ONE bounded limit-collect
+    *        (≤1M edges ≈ 16 MB of ids — the same boundedness class as
+    *        the IVF centroid sample; the cap+1'th row is the overflow
+    *        signal) and a driver union-find produce the exact labels —
+    *        the pre-r18 shape serialized checkpoint + count + collect,
+    *        three latency-bound jobs, before the driver saw an edge.
+    *        0 disables. At 100 TB near-dup pair lists blow past the cap
+    *        in the first partitions (CollectLimit stops there) — the
+    *        star rounds stay the scale path.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int, checkConvergence: Boolean,
       smallGraphEdges: Long): DataFrame = {
+    // Small-graph short-circuit FIRST, as one bounded job: collect at
+    // most cap+1 edges (CollectLimit is incremental — on a big graph it
+    // stops after the first partitions) and if the whole pair list fit,
+    // union-find labels it with NO checkpoint, count, or second collect
+    // — the pre-r18 shape serialized three jobs (checkpoint, count,
+    // collect) before the driver ever saw an edge, pure latency on the
+    // q63/q76 chains. The overflow row is the "graph is big" signal.
+    val narrowPairs = pairs.select(col("id1"), col("id2"))
+    if (smallGraphEdges > 0) {
+      val cap = math.min(smallGraphEdges, Int.MaxValue - 1L).toInt
+      val probe = narrowPairs.limit(cap + 1).collect()
+      if (probe.length <= cap)
+        return unionFindLocal(probe, narrowPairs.schema.fields(0).dataType, pairs.sparkSession)
+    }
     // Materialize the pair list ONCE and truncate its lineage: the pair
     // plan is referenced by every star round, and without truncation
     // each round re-embeds the entire upstream (LSH) DAG in its plan —
     // the round-1 plan audit measured 161 exchanges / 490 broadcasts
     // for a single CC round. Per-round localCheckpoint keeps the plan
     // O(1) in rounds instead of O(2^rounds).
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
-    if (smallGraphEdges > 0 && p.count() <= smallGraphEdges) return unionFindLocal(p)
+    val p = narrowPairs.localCheckpoint()
     val nodes = p.select(col("id1").as("id")).unionByName(p.select(col("id2").as("id"))).distinct()
     // Round 1 mirrors the RAW pair list (self-pairs dropped): duplicate
     // edges never change a min, so the canonicalize+distinct+checkpoint
@@ -687,8 +701,9 @@ object Dedup {
     * MINIMUM so the labels are identical to the converged star rounds.
     * Ids stay their runtime type (Long/Int/String — anything Comparable).
     */
-  private def unionFindLocal(p: DataFrame): DataFrame = {
-    val rows = p.collect()
+  private def unionFindLocal(rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      session: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x
@@ -712,9 +727,8 @@ object Dedup {
       val cur = minOf.get(r)
       if (cur == null || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0) minOf.put(r, k)
     }
-    val idType = p.schema.fields(0).dataType
     val out = keys.toSeq.map(k => org.apache.spark.sql.Row(k, minOf.get(find(k))))
-    p.sparkSession.createDataFrame(
+    session.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
