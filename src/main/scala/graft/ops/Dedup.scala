@@ -598,39 +598,41 @@ object Dedup {
     connectedComponents(pairs, maxIter, checkConvergence, smallGraphEdges = 1L << 20)
 
   /** @param smallGraphEdges pair lists at or under this size skip the
-    *        distributed rounds entirely: ONE bounded limit-collect
-    *        (≤1M edges ≈ 16 MB of ids — the same boundedness class as
-    *        the IVF centroid sample; the cap+1'th row is the overflow
-    *        signal) and a driver union-find produce the exact labels —
-    *        the pre-r18 shape serialized checkpoint + count + collect,
-    *        three latency-bound jobs, before the driver saw an edge.
-    *        0 disables. At 100 TB near-dup pair lists blow past the cap
-    *        in the first partitions (CollectLimit stops there) — the
-    *        star rounds stay the scale path.
+    *        distributed rounds entirely: one bounded limit-collect off
+    *        the checkpointed pairs (≤1M edges — the same boundedness
+    *        class as the IVF centroid sample; the cap+1'th row is the
+    *        overflow signal) and a driver union-find produce the exact
+    *        labels — the pre-r18 shape serialized a count AND a second
+    *        full collect after the checkpoint, two extra latency-bound
+    *        jobs. 0 disables. At 100 TB near-dup pair lists blow past
+    *        the cap in the first cached partitions (the limit stops
+    *        there) — the star rounds stay the scale path.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int, checkConvergence: Boolean,
       smallGraphEdges: Long): DataFrame = {
-    // Small-graph short-circuit FIRST, as one bounded job: collect at
-    // most cap+1 edges (CollectLimit is incremental — on a big graph it
-    // stops after the first partitions) and if the whole pair list fit,
-    // union-find labels it with NO checkpoint, count, or second collect
-    // — the pre-r18 shape serialized three jobs (checkpoint, count,
-    // collect) before the driver ever saw an edge, pure latency on the
-    // q63/q76 chains. The overflow row is the "graph is big" signal.
-    val narrowPairs = pairs.select(col("id1"), col("id2"))
-    if (smallGraphEdges > 0) {
-      val cap = math.min(smallGraphEdges, Int.MaxValue - 1L).toInt
-      val probe = narrowPairs.limit(cap + 1).collect()
-      if (probe.length <= cap)
-        return unionFindLocal(probe, narrowPairs.schema.fields(0).dataType, pairs.sparkSession)
-    }
     // Materialize the pair list ONCE and truncate its lineage: the pair
     // plan is referenced by every star round, and without truncation
     // each round re-embeds the entire upstream (LSH) DAG in its plan —
     // the round-1 plan audit measured 161 exchanges / 490 broadcasts
     // for a single CC round. Per-round localCheckpoint keeps the plan
     // O(1) in rounds instead of O(2^rounds).
-    val p = narrowPairs.localCheckpoint()
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Small-graph short-circuit as ONE bounded limit-collect OFF THE
+    // CHECKPOINT (cached partitions — on a big graph it reads just
+    // enough of them and stops): at most cap+1 edges come back, and if
+    // the whole pair list fit, union-find labels it directly. The
+    // pre-r18 shape serialized a count AND a second full collect after
+    // the checkpoint — two extra latency-bound jobs on the q63/q76
+    // chains. Probing BEFORE the checkpoint would be worse at scale:
+    // limit-collect over a plan with exchanges still runs every
+    // upstream map stage, and the checkpoint would then re-run the
+    // whole DAG (round-18 review catch).
+    if (smallGraphEdges > 0) {
+      val cap = math.min(smallGraphEdges, Int.MaxValue - 1L).toInt
+      val probe = p.limit(cap + 1).collect()
+      if (probe.length <= cap)
+        return unionFindLocal(probe, p.schema.fields(0).dataType, pairs.sparkSession)
+    }
     val nodes = p.select(col("id1").as("id")).unionByName(p.select(col("id2").as("id"))).distinct()
     // Round 1 mirrors the RAW pair list (self-pairs dropped): duplicate
     // edges never change a min, so the canonicalize+distinct+checkpoint
