@@ -171,6 +171,25 @@ class DedupSpec extends SparkSpec {
     assert(out == 1)
   }
 
+  test("LSH skew guard: cliques beyond maxBucket drop whole (documented cliff); bounded cliques fully pair") {
+    // 30 identical docs share EVERY band bucket (identical signatures):
+    // with maxBucket=10 all their buckets are oversized and the guard
+    // drops every pair — the quadratic-protection contract, whose flip
+    // side (the recall cliff on clique-scale duplicates; run exactDedup
+    // first) both scaladocs document. A 5-doc clique stays under the
+    // cap and must emit all C(5,2) pairs at est_jaccard 1.0.
+    val docs = ((0 until 30).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (100 until 105).map(i => (i.toLong, "one two three four five six seven eight nine"))).toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "_sig", shingleN = 2, k = 16)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4, maxBucket = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 < 30 && p._2 < 30),
+      s"oversized clique must drop at the guard, got ${pairs.count(p => p._1 < 30)}")
+    val small = pairs.filter(p => p._1 >= 100)
+    assert(small.length == 10 && small.forall(_._3 == 1.0),
+      s"bounded clique must fully pair: ${small.toSeq}")
+  }
+
   test("scale invariance: LSH pairs identical and clusters coarsen when the corpus grows (q42/q63 net)") {
     // Second-scale net under the two heaviest batch queries (VERDICT r9
     // #7): D1 = the real sf0.001 documents restricted exactly like
