@@ -61,6 +61,46 @@ object Bench {
       }
     }
 
+  /** Load factor of the fixed-cost canary query (VERDICT r18 #1): the
+    * serial re-measure window can itself be load-contaminated — round
+    * 18's official record shipped 3x-inflated with two drift flags the
+    * re-measure "confirmed" inside the same loaded window. A canary with
+    * a committed reference wall and no scale term measures the WINDOW,
+    * not the code: if it runs >= `ratio` x its reference (with a small
+    * absolute floor so sub-0.2 s jitter can't trip it), the window is
+    * loaded and every serial ratio taken inside it is inflated by about
+    * the same factor. Returns that factor, or 1.0 when the window is
+    * clean, the canary has no reference, or the canary itself failed
+    * (an infinite wall can't calibrate anything — better to over-report
+    * drift than to silently clear it).
+    */
+  def canaryFactor(canaryWall: Double, canaryRef: Option[Double],
+                   ratio: Double = 1.5, minExcessSec: Double = 0.1): Double =
+    canaryRef match {
+      case Some(r) if r > 0 && !canaryWall.isInfinite && !canaryWall.isNaN &&
+        canaryWall >= r * ratio && canaryWall - r >= minExcessSec => canaryWall / r
+      case _ => 1.0
+    }
+
+  /** Split serially-confirmed drift by the canary's load factor: each
+    * ratio is deflated by `factor` (the estimate of how much the loaded
+    * window inflated it); suspects whose corrected ratio still trips the
+    * gate are REAL drift (slower than reference even after discounting
+    * the load), the rest are `drift_load_suspect` — visible in the
+    * record, never shipped as a confirmed regression. A clean window
+    * (factor 1.0) passes everything through unchanged, so the existing
+    * slowed-query contract is untouched on an idle box.
+    */
+  def splitByCanary(confirmed: Map[String, Double], factor: Double,
+                    ratio: Double = 1.5): (Map[String, Double], Map[String, Double]) =
+    if (!(factor > 1.0) || factor.isInfinite || factor.isNaN) (confirmed, Map.empty)
+    else {
+      val corrected = confirmed.map { case (q, r) =>
+        q -> math.round(math.min(r / factor, 99.0) * 100.0) / 100.0
+      }
+      corrected.partition(_._2 >= ratio)
+    }
+
   /** Extract the `"queries"` object of a bench-summary-shaped JSON text
     * (same brace-matching extraction the LPT tiering uses). */
   private[graft] def parseQueryTimes(txt: String): Map[String, Double] = {
@@ -279,39 +319,59 @@ object Bench {
     val referenceTimes: Map[String, Double] = Try {
       parseQueryTimes(new String(Files.readAllBytes(referencePath), StandardCharsets.UTF_8))
     }.getOrElse(Map.empty)
-    val driftJson: String =
-      if (contended) "null"
+    def driftObj(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (q, r) => "\"" + q + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+    // A query that THROWS on a serial re-run is the worst kind of drift —
+    // a swallowed failure would measure as a near-zero wall and CLEAR the
+    // suspect. EITHER failing run poisons the measurement (a throw-then-
+    // succeed pair must not measure on the lucky run), and a suspect
+    // absent from the inventory is confirmed, not cleared with a 0.0 wall.
+    def serialWall(q: String): Double = benchQueries.get(q) match {
+      case Some(fn) =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = Try(fn(spark, sfDir).count())
+          if (ok.isFailure) {
+            System.err.println(s"[bench] $q FAILED during serial drift re-measure: ${ok.failed.get.getMessage}")
+            Double.PositiveInfinity
+          } else (System.nanoTime() - t0) / 1e9
+        }
+        if (runs.exists(_.isInfinite)) Double.PositiveInfinity else runs.min
+      case None =>
+        System.err.println(s"[bench] drift suspect $q absent from the bench inventory — treating as confirmed, not clearing")
+        Double.PositiveInfinity
+    }
+    val canaryName = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "q65_freq_items")
+    val (driftJson, loadSuspectJson, canaryJson): (String, String, String) =
+      if (contended) ("null", "null", "null")
       else {
         val suspects = drift(referenceTimes, bestPerQuery)
-        val d =
-          if (suspects.isEmpty) suspects
-          else {
-            // In-batch best-of-passes still false-alarmed on idle boxes
-            // (r17 judge run flagged two queries whose serial walls were
-            // at reference) — spend a few sub-second serial re-runs on
-            // just the suspects before crying wolf.
-            System.err.println(s"[bench] drift suspects (in-batch): " +
-              suspects.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", ") +
-              " — re-measuring serially")
-            confirmDrift(suspects, referenceTimes, q =>
-              benchQueries.get(q).map { fn =>
-                (1 to 2).map { _ =>
-                  val t0 = System.nanoTime()
-                  val ok = Try(fn(spark, sfDir).count())
-                  // a query that THROWS on the serial re-run is the
-                  // worst kind of drift — a swallowed failure would
-                  // measure as a near-zero wall and CLEAR the suspect
-                  if (ok.isFailure) {
-                    System.err.println(s"[bench] $q FAILED during serial drift re-measure: ${ok.failed.get.getMessage}")
-                    Double.PositiveInfinity
-                  } else (System.nanoTime() - t0) / 1e9
-                }.min
-              }.getOrElse(0.0))
-          }
-        if (d.nonEmpty)
-          System.err.println(s"[bench] DRIFT WARNING — serially confirmed >=1.5x the committed reference: " +
-            d.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
-        d.toSeq.sortBy(_._1).map { case (q, r) => "\"" + q + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+        if (suspects.isEmpty) ("{}", "{}", "null")
+        else {
+          // In-batch best-of-passes still false-alarmed on idle boxes
+          // (r17 judge run flagged two queries whose serial walls were
+          // at reference) — spend a few sub-second serial re-runs on
+          // just the suspects before crying wolf. The canary goes FIRST:
+          // it calibrates the re-measure window itself (VERDICT r18 #1 —
+          // a loaded window otherwise CONFIRMS load artifacts as drift).
+          System.err.println(s"[bench] drift suspects (in-batch): " +
+            suspects.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", ") +
+            s" — measuring canary $canaryName then re-measuring serially")
+          val canaryWall = serialWall(canaryName)
+          val factor = canaryFactor(canaryWall, referenceTimes.get(canaryName))
+          if (factor > 1.0)
+            System.err.println(f"[bench] canary $canaryName ran $factor%.2fx its committed wall — re-measure window is LOADED; serial ratios will be deflated by that factor")
+          val confirmed = confirmDrift(suspects, referenceTimes, serialWall)
+          val (d, loadSus) = splitByCanary(confirmed, factor)
+          if (d.nonEmpty)
+            System.err.println(s"[bench] DRIFT WARNING — serially confirmed >=1.5x the committed reference (canary-corrected): " +
+              d.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
+          if (loadSus.nonEmpty)
+            System.err.println(s"[bench] drift_load_suspect — inside the canary's load factor, NOT confirmed regressions: " +
+              loadSus.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
+          val canary = f"""{"name":"$canaryName","wall_sec":${if (canaryWall.isInfinite) "null" else f"$canaryWall%.3f"},"ref_sec":${referenceTimes.get(canaryName).map(r => f"$r%.3f").getOrElse("null")},"factor":$factor%.2f}"""
+          (driftObj(d), driftObj(loadSus), canary)
+        }
       }
     val warm3Json = warm3Wall.map(w => f""","warm3":$w%.3f""").getOrElse("")
     val loadW3Json = loadW3.map(l => f""","warm3":$l%.2f""").getOrElse("")
@@ -324,8 +384,8 @@ object Bench {
     // comparison reads one regime (VERDICT r17 #5: the old map held
     // in-batch walls from the best-TOTAL pass, and comparing those
     // across rounds manufactured phantom regressions).
-    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"per_query_mode":"best_across_warm_passes","queries":${j(bestPerQuery)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"per_query_mode":"best_across_warm_passes","queries":${j(bestPerQuery)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above carries two ~80-entry maps (~4 KB) and the
     // harness tail-captures a bounded window, which truncated the

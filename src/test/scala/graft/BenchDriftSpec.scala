@@ -63,6 +63,55 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.confirmDrift(suspects, reference, _ => 0.35).isEmpty)
   }
 
+  test("canaryFactor: clean window, missing reference, and failed canary all report 1.0") {
+    assert(Bench.canaryFactor(0.14, Some(0.135)) == 1.0) // at reference
+    assert(Bench.canaryFactor(0.19, Some(0.135)) == 1.0) // 1.4x — under the ratio gate
+    assert(Bench.canaryFactor(0.22, Some(0.135)) == 1.0) // 1.6x but only +0.085s — jitter floor
+    assert(Bench.canaryFactor(3.0, None) == 1.0)         // no committed wall: can't calibrate
+    // a canary that itself FAILED must not deflate anything — better to
+    // over-report drift than to let an infinite factor clear it all
+    assert(Bench.canaryFactor(Double.PositiveInfinity, Some(0.135)) == 1.0)
+  }
+
+  test("canaryFactor: a loaded window reports the inflation factor") {
+    val f = Bench.canaryFactor(0.405, Some(0.135))
+    assert(math.abs(f - 3.0) < 1e-9)
+  }
+
+  test("splitByCanary: clean window passes confirmed drift through unchanged") {
+    val confirmed = Map("q42_minhash_lsh" -> 2.25)
+    assert(Bench.splitByCanary(confirmed, 1.0) == (confirmed, Map.empty))
+  }
+
+  test("a deliberately loaded window reports load-suspect, not drift (r18 false-confirm mold)") {
+    // every serial wall inflated ~3x by box load, canary included: the
+    // suspects' ratios deflate below the gate and land in load_suspect
+    val confirmed = Map("q15_distinct" -> 1.91, "q52_quality_filter" -> 3.04)
+    val (d, sus) = Bench.splitByCanary(confirmed, 3.0)
+    assert(d.isEmpty)
+    assert(sus == Map("q15_distinct" -> 0.64, "q52_quality_filter" -> 1.01))
+  }
+
+  test("a real regression survives canary correction inside a loaded window") {
+    // 9x serial ratio under a 3x-loaded window is still 3x the reference
+    val (d, sus) = Bench.splitByCanary(Map("q42_minhash_lsh" -> 9.0, "q15_distinct" -> 1.91), 3.0)
+    assert(d == Map("q42_minhash_lsh" -> 3.0))
+    assert(sus == Map("q15_distinct" -> 0.64))
+  }
+
+  test("a FAILED re-measure (capped 99.0) stays confirmed drift under any load factor") {
+    val (d, sus) = Bench.splitByCanary(Map("q42_minhash_lsh" -> 99.0), 3.0)
+    assert(d == Map("q42_minhash_lsh" -> 33.0) && sus.isEmpty)
+  }
+
+  test("the canary has a committed reference wall (the calibration depends on it)") {
+    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+    assume(java.nio.file.Files.exists(p), "reference not committed yet")
+    val ref = Bench.parseQueryTimes(java.nio.file.Files.readString(p))
+    assert(ref.get("q65_freq_items").exists(w => w > 0 && w < 1.0),
+      "canary q65_freq_items must stay a committed sub-second fixed-cost query")
+  }
+
   test("parseQueryTimes reads the queries object past nested cold_queries") {
     val txt = """{"value":7.2,"queries":{"q01_agg":0.312,"q42_minhash_lsh":2.931},"cold_queries":{"q01_agg":9.1}}"""
     assert(Bench.parseQueryTimes(txt) == Map("q01_agg" -> 0.312, "q42_minhash_lsh" -> 2.931))
