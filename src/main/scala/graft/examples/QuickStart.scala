@@ -410,6 +410,18 @@ object QuickStart {
       "doc_id", "text", threshold = 0.7, shingleN = 3)
     val decontaminated = graft.ops.Decontam.decontaminate(nearDeduped, "doc_id", "text",
       benchmarkProbes, "probe_id", "text", n = 13)
+    // Embedding near-dup goes AFTER exact/MinHash dedup (oversized
+    // duplicate cliques would hit its maxBucket skew guard — which now
+    // warns at execution time when buckets drop). `knownCorpusSize`
+    // keeps this stage job-free at build: cosineNearDupPairs is
+    // otherwise cost-based (a bounded probe + tuning count run at
+    // DataFrame-CONSTRUCTION time), the one eager operator in the
+    // engine — declare n and the whole pipeline stays lazy until the
+    // action, with banding parameters derived from the declared size.
+    val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embDupPairs = graft.ops.Similarity.cosineNearDupPairs(
+      embeddings, "vec_id", "embedding", threshold = 0.95,
+      knownCorpusSize = Some(embeddings.count())) // or a catalog-known row count: no probe, no tuning job
     val mixed = graft.ops.Mixing.temperatureSample(decontaminated, "source", "doc_id",
       alpha = 0.5, budgetRows = 200)
     val trainShards = graft.ops.Mixing.assignShards(mixed, "doc_id", n = 4)
@@ -418,7 +430,7 @@ object QuickStart {
     println(s"[24] training pipeline: ${corpus.count()} raw -> ${cleaned.count()} c4-kept -> " +
       s"${spanDeduped.count()} span-deduped -> ${nearDeduped.count()} near-deduped -> " +
       s"${decontaminated.count()} decontaminated -> ${mixed.count()} in mix (alpha=0.5, budget 200) " +
-      s"-> shards [$perShard]")
+      s"-> shards [$perShard]; embedding near-dup pairs (lazy build) = ${embDupPairs.count()}")
 
     spark.stop()
     println("QuickStart OK")

@@ -343,15 +343,29 @@ object Dedup {
     * multi-band collisions.
     */
   private def bucketCandidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    // The skew guard's recall cliff must be VISIBLE at execution time
+    // (ADVICE r18): the guard predicate counts dropped oversized buckets
+    // into an accumulator and a job-end listener warns on stderr — no
+    // extra jobs, evaluates once per BUCKET, and (unlike an observed
+    // metric) survives AQE empty-relation propagation when EVERY bucket
+    // drops, the exact case the warning exists for.
+    val keep = ObservedWarnings.boundedBucketFilter(banded.sparkSession, maxBucket,
+      s"LSH skew guard dropped buckets larger than maxBucket=$maxBucket — " +
+        "an identical-doc clique above the bound emits NO candidate pairs from this operator; " +
+        "pre-dedup exact duplicates or raise maxBucket")
     val buckets = banded
       .groupBy("_band", "_bucket")
       .agg(sort_array(collect_list("_id")).as("_ids"))
-      .where(size(col("_ids")).between(2, maxBucket))
+      .where(keep(size(col("_ids"))))
     buckets
       .select(explode(flatten(transform(col("_ids"), (x, i) =>
         transform(slice(col("_ids"), i + lit(2), size(col("_ids"))), y =>
           struct(x.as("id1"), y.as("id2")))))).as("_p"))
       .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // duplicate INPUT ids sit adjacent in the sorted bucket list and
+      // would expand to a (a, a) self-pair the pre-r18 self-join's
+      // strict id1 < id2 predicate excluded — restore that contract
+      .filter(col("id1") =!= col("id2"))
       .distinct()
   }
 

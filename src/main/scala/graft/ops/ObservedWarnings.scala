@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.util.LongAccumulator
+
+/** Execution-time visibility for silent data-dependent drops (ADVICE
+  * r18: the maxBucket skew guard drops oversized identical-doc cliques
+  * with zero runtime signal — a clique-dominated corpus loses all its
+  * pairs invisibly).
+  *
+  * Mechanism: a LongAccumulator counted from inside the guard predicate
+  * plus a once-per-context job-end listener that prints the registered
+  * warning when the count grows. `Dataset.observe` was the first cut —
+  * zero-job and plan-native — but it has a blind spot in EXACTLY the
+  * pathological case: when every bucket drops, the downstream frame is
+  * empty and AQE's empty-relation propagation replaces the subtree
+  * containing the CollectMetricsExec, so the metric never surfaces
+  * (reproduced: a clique-only corpus reported no metric; adding one
+  * surviving bucket made it appear). Accumulators ride task completion
+  * instead of the final plan shape, so they survive. Laziness is
+  * preserved — registration is driver-side bookkeeping; nothing runs
+  * until the caller's action. Task retries / plan re-execution can
+  * over-count; for a threshold-zero warning that is benign.
+  */
+private[graft] object ObservedWarnings {
+  private val counter = new AtomicLong()
+  private case class Watch(acc: LongAccumulator, message: String) {
+    @volatile var reported: Long = 0L
+  }
+  private val watches = new ConcurrentHashMap[String, Watch]()
+  // WeakHashMap: contexts come and go in tests — the registry must not
+  // pin a stopped context (the listener itself dies with it).
+  private val attached =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
+  /** Fired warnings (name, count), for specs — the listener bus is
+    * async, so tests poll this rather than capturing stderr. */
+  private[graft] val fired = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+
+  /** A bucket-size guard predicate `2 <= sz && sz <= maxBucket` that
+    * counts every oversized bucket (`sz > maxBucket`) into a named
+    * accumulator; after any job whose tasks grew the count, `message`
+    * prints once to stderr with the count appended. The UDF wrapper
+    * exists for the accumulator side-channel, not the arithmetic — it
+    * evaluates once per BUCKET (post-aggregation), never per row.
+    */
+  def boundedBucketFilter(spark: SparkSession, maxBucket: Int, message: String): Column => Column = {
+    val name = s"graft.warn.${counter.incrementAndGet()}"
+    val acc = spark.sparkContext.longAccumulator(name)
+    watches.put(name, Watch(acc, message))
+    attach(spark.sparkContext)
+    val guard = udf { (sz: Int) =>
+      if (sz > maxBucket) acc.add(1L)
+      sz >= 2 && sz <= maxBucket
+    }
+    (sizeCol: Column) => guard(sizeCol)
+  }
+
+  private def attach(sc: SparkContext): Unit =
+    if (attached.put(sc, java.lang.Boolean.TRUE) == null)
+      sc.addSparkListener(new SparkListener {
+        override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
+          watches.forEach { (name, w) =>
+            val v = w.acc.value
+            if (v > w.reported) {
+              w.reported = v
+              fired.add(name -> v)
+              System.err.println(s"[graft] WARNING: ${w.message} (count=$v)")
+            }
+          }
+      })
+}

@@ -344,6 +344,12 @@ object Similarity {
     * grow ~ C(n,2) * groups * 2^-bits (quadratic), so the 8-bit
     * default that is right at 2k rows generates ~1.2B spurious
     * candidates at 200k rows (measured, tools/DeepScaleProbe.scala).
+    *
+    * `knownCorpusSize = Some(n)` is the LAZY alternative to both
+    * construction-time jobs: banding derives from the declared n, the
+    * LSH path is taken unconditionally, and the returned frame runs
+    * nothing until the caller's action — use it when composing
+    * pipelines over expensive or uncached lineage.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -357,8 +363,32 @@ object Similarity {
       exact: Boolean = false,
       maxBucket: Int = 1000,
       bruteForceMax: Long = 10000L,
-      autoTune: Boolean = true
+      autoTune: Boolean = true,
+      knownCorpusSize: Option[Long] = None
   ): DataFrame = {
+    // Lazy-composition path (VERDICT r18 #3 hygiene): a caller that
+    // already knows its corpus size skips BOTH construction-time jobs
+    // (the bounded probe and the autoTune count) — banding parameters
+    // derive from the declared n and the frame stays job-free until the
+    // caller's own action, like every other operator (the Pipeline
+    // laziness contract). Always the LSH path: the bounded-probe exact
+    // plan exists only as the cost-based small-corpus optimization,
+    // and being cost-based is exactly the eager part.
+    knownCorpusSize match {
+      case Some(n) if !exact =>
+        val (bits, gps) =
+          if (autoTune) autoLshParams(n, minBits = bitsPerGroup, minGroups = groups,
+            designCosine = threshold)
+          else (bitsPerGroup, groups)
+        val miss = lshExpectedMiss(threshold, bits, gps)
+        if (autoTune && miss > 0.066)
+          System.err.println(
+            f"[graft] cosineNearDupPairs: auto-tuned banding ($bits bits, $gps groups) can only " +
+            f"achieve ~${miss * 100}%.0f%% per-pair miss at cosine $threshold%.2f (target <=6.5%%) — " +
+            "raise the threshold, raise maxGroups, or use the exact path")
+        return lshCosinePairs(df, idCol, vecCol, threshold, dim, bits, gps, seed, maxBucket)
+      case _ => ()
+    }
     // The cast matches every VectorFunctions wrapper (they all cast to
     // array<float>), so double/int vector columns work on this path too.
     val narrowed = df.select(col(idCol),
@@ -380,6 +410,13 @@ object Similarity {
     probed match {
       case Some(rows) => bruteCosinePairs(df, narrowed, rows, threshold)
       case None =>
+        // the probe just paid one bounded pass over the lineage and the
+        // autoTune count below pays another — make the eager cost
+        // visible (ADVICE r18) and point at the job-free alternative
+        System.err.println(
+          s"[graft] cosineNearDupPairs: corpus exceeds bruteForceMax=$bruteForceMax — taking the " +
+          "LSH path; the probe + tuning count ran at DataFrame-build time (cache df first if its " +
+          "lineage is expensive, or pass knownCorpusSize to stay job-free until the action)")
         // auto-scaled banding (see autoLshParams): the caller's
         // (bitsPerGroup, groups) are minimums and the recall contract
         // is held at the CALLER'S threshold; one count job — over the
@@ -429,9 +466,19 @@ object Similarity {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val idType = narrowed.schema.fields(0).dataType
     // rows come from `narrowed`, whose vec column is cast to
-    // array<float> — one extraction shared by both loop sides
-    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
-      r.getAs[scala.collection.Seq[Float]](1).toArray
+    // array<float> — one extraction shared by both loop sides. Null
+    // ELEMENTS zero-fill to match the Column/LSH path's ArrayData
+    // semantics (getFloat on a null slot reads 0.0) — unboxing them
+    // instead threw NPE, making the two cost-based branches diverge on
+    // the same corpus (ADVICE r18).
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] = {
+      val s = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+      val out = new Array[Float](s.length)
+      var i = 0
+      val it = s.iterator
+      while (it.hasNext) { val v = it.next(); out(i) = if (v == null) 0.0f else v.floatValue(); i += 1 }
+      out
+    }
     val side = rows.iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.get(0), vecOf(r)))
@@ -560,15 +607,29 @@ object Similarity {
       // size filter, oversized ones in the skew guard. Pair expansion is
       // a HOF over the collected id list — no self-join, no second
       // bucket evaluation.
+      // Dropped oversized buckets warn at execution time (ADVICE r18:
+      // the skew guard's recall cliff was silent): the guard predicate
+      // counts them into an accumulator, a job-end listener prints — no
+      // extra jobs, once per BUCKET, and it survives AQE empty-relation
+      // propagation when every bucket drops (the exact case that needs
+      // the warning; an observed metric vanishes there).
+      val keep = ObservedWarnings.boundedBucketFilter(df.sparkSession, maxBucket,
+        s"cosine LSH skew guard dropped buckets larger than maxBucket=$maxBucket — " +
+          "a duplicate-vector clique above the bound emits NO pairs from this operator; " +
+          "pre-dedup exact duplicates or raise maxBucket")
       val buckets = banded
         .groupBy("_band", "_bucket")
         .agg(sort_array(collect_list("_id")).as("_ids"))
-        .where(size(col("_ids")).between(2, maxBucket))
+        .where(keep(size(col("_ids"))))
       val candidates = buckets
         .select(explode(flatten(transform(col("_ids"), (x, i) =>
           transform(slice(col("_ids"), i + lit(2), size(col("_ids"))), y =>
             struct(x.as("id1"), y.as("id2")))))).as("_p"))
         .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+        // duplicate input ids sit adjacent in the sorted list and would
+        // expand to an (a, a) self-pair — the pre-r18 self-join's strict
+        // id1 < id2 contract excludes those
+        .filter(col("id1") =!= col("id2"))
       // Verify BEFORE dedup: a pair colliding in k bands costs k cosine
       // evaluations (64 FMAs each) instead of shipping the whole
       // candidate set through a dedup exchange — the candidates are the

@@ -190,6 +190,34 @@ class DedupSpec extends SparkSpec {
       s"bounded clique must fully pair: ${small.toSeq}")
   }
 
+  test("duplicate input ids never emit a self-pair from the bucket expansion (ADVICE r18)") {
+    // a duplicated id with identical text lands adjacent in the sorted
+    // bucket list — the expansion would emit (1,1) at est_jaccard 1.0
+    // without the strict-ordering filter the pre-r18 self-join enforced
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "_sig", shingleN = 2, k = 16)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2), s"self-pair leaked: ${pairs.toSeq}")
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("the skew guard's dropped buckets warn at execution time (ADVICE r18)") {
+    ObservedWarnings.fired.clear()
+    val docs = (0 until 30).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "_sig", shingleN = 2, k = 16)
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", "_sig", bands = 4, maxBucket = 10).count() == 0L)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (ObservedWarnings.fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!ObservedWarnings.fired.isEmpty,
+      "a clique-dominated corpus losing all its pairs must be visible, not silent")
+  }
+
   test("scale invariance: LSH pairs identical and clusters coarsen when the corpus grows (q42/q63 net)") {
     // Second-scale net under the two heaviest batch queries (VERDICT r9
     // #7): D1 = the real sf0.001 documents restricted exactly like

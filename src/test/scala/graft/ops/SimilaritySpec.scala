@@ -97,6 +97,86 @@ class SimilaritySpec extends SparkSpec {
     lsh.count() // executes
   }
 
+  test("duplicate input ids never emit a self-pair on the LSH path (ADVICE r18)") {
+    // identical vectors under a DUPLICATE id share every bucket; the
+    // sorted in-bucket expansion would emit (1,1) without the strict
+    // ordering filter the pre-r18 self-join enforced
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f))
+    ).toDF("id", "vec")
+    val lsh = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99, dim = 2,
+      bruteForceMax = 0, autoTune = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)), s"expected no self-pairs, got $lsh")
+    // the brute path's strict compareTo already excludes them — both
+    // cost-based branches must agree under duplicate ids
+    val brute = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute == Set((1L, 2L)))
+  }
+
+  test("null vector ELEMENTS zero-fill identically on the brute and LSH paths (ADVICE r18)") {
+    // ArrayData.getFloat reads a null slot as 0.0 on the Column/LSH
+    // path; the brute path's collected-row extraction used to NPE —
+    // the two cost-based branches must agree on the same corpus
+    val df = spark.sql(
+      """select * from values
+        |  (1L, array(cast(1.0 as float), cast(null as float))),
+        |  (2L, array(cast(1.0 as float), cast(0.0 as float))),
+        |  (3L, array(cast(0.0 as float), cast(1.0 as float)))
+        |  as t(id, vec)""".stripMargin)
+    val brute = Similarity.cosineNearDupPairs(df, "id", "vec", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(df, "id", "vec", 0.95, dim = 2,
+      bruteForceMax = 0, autoTune = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute == Set((1L, 2L)), s"brute path must zero-fill null elements: $brute")
+    assert(lsh == brute, s"paths diverged: brute=$brute lsh=$lsh")
+  }
+
+  test("knownCorpusSize keeps construction job-free (the Pipeline laziness contract)") {
+    // lineage poisoned with a throwing UDF: any construction-time job
+    // (the bounded probe or the autoTune count) explodes at BUILD time.
+    val boom = udf((v: Seq[Float]) => {
+      if (v != null) throw new RuntimeException("construction-time job ran the lineage")
+      v
+    })
+    val poisoned = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)))
+      .toDF("id", "vec").withColumn("vec", boom(col("vec")))
+    // eager default: the probe runs the lineage at build and throws
+    intercept[Throwable] {
+      Similarity.cosineNearDupPairs(poisoned, "id", "vec", 0.99)
+    }
+    // declared corpus size: builds with ZERO jobs...
+    val lazyFrame = Similarity.cosineNearDupPairs(poisoned, "id", "vec", 0.99,
+      dim = 2, knownCorpusSize = Some(2L))
+    assert(lazyFrame.columns.toSeq == Seq("id1", "id2", "cosine"))
+    // ...and the lineage only runs at the caller's action
+    intercept[Throwable] { lazyFrame.count() }
+    // on a clean lineage the declared-size path produces the LSH result
+    val clean = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val out = Similarity.cosineNearDupPairs(clean, "id", "vec", 0.99, dim = 2,
+      knownCorpusSize = Some(3L), autoTune = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("the maxBucket skew guard warns at execution time when buckets drop (ADVICE r18)") {
+    ObservedWarnings.fired.clear()
+    val clique = Seq.tabulate(8)(i => (i.toLong, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.cosineNearDupPairs(clique, "id", "vec", 0.9, dim = 2,
+      bruteForceMax = 0, autoTune = false, maxBucket = 5)
+    assert(out.count() == 0L) // the documented cliff: oversized clique emits nothing
+    // the QueryExecutionListener bus is async — poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (ObservedWarnings.fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!ObservedWarnings.fired.isEmpty,
+      "dropping every pair of an oversized clique must fire the observed warning")
+  }
+
   test("cosineNearDupPairs: the LSH scale path agrees with the exact path on planted near-dups") {
     val rnd = new scala.util.Random(7)
     val base = Seq.tabulate(60)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
