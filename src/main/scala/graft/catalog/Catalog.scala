@@ -96,6 +96,16 @@ final case class Catalog(
           url = resolvedKwargs.getOrElse("url", ""),
           options = resolvedKwargs - "url" - "kind" - "data")
     }
+    // Declared-only entries (v1 import of drivers we don't implement,
+    // incl. the legacy intake-server protocol) stay searchable but must
+    // refuse READING loudly, naming the cause — not fall through to a
+    // generic "unknown reader" (the refusal-edge contract GRIB2 5.40 /
+    // blosclz follow).
+    if (rd.reader.startsWith("unsupported:"))
+      throw new UnsupportedOperationException(
+        s"entry is declared-only (searchable, not readable): " +
+          rd.metadata.getOrElse("unsupported_reason",
+            s"v1 driver '${rd.reader.stripPrefix("unsupported:")}' has no implemented reader"))
     val reader = SparkReaders.reader(rd.reader)
       .getOrElse(throw new NoSuchElementException(s"unknown reader ${rd.reader}"))
     Pipeline(reader, dataRef)

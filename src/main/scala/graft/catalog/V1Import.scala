@@ -187,10 +187,35 @@ object V1Import {
     fromV1YamlString(s, catalogDir = Option(new java.io.File(path).getParent).getOrElse(""))
   }
 
+  /** An `intake://host` URI (reference intake/__init__.py:163-166: a
+    * uri starting "intake:" dispatches to driver `intake_remote`, the
+    * legacy v1 intake-server wire protocol — which the reference's own
+    * v2 dropped). We have no server protocol to speak, so the dispatch
+    * arm imports as ONE searchable declared-only entry whose read
+    * refuses loudly naming the protocol — the same refusal-edge
+    * contract as GRIB2 5.40/blosclz, never a silent or generic failure.
+    */
+  private[catalog] def remoteDeclaredOnly(url: String): Catalog = {
+    val rd = ReaderDescription(
+      reader = "unsupported:intake_remote",
+      kwargs = Map("url" -> url, "v1_name" -> "intake_remote"),
+      metadata = Map(
+        "v1_driver" -> "intake_remote",
+        "description" -> s"legacy intake-server remote catalog at $url (declared-only)",
+        "unsupported_reason" ->
+          (s"'$url' names a legacy v1 intake-server (the intake_remote wire protocol, " +
+            "reference intake/__init__.py open_intake_remote); this engine does not speak " +
+            "that protocol — export the server's catalog to YAML and open that instead")))
+    Catalog().addEntry("intake_remote", rd)
+  }
+
   /** Dispatch like the reference's open_catalog: try v2, fall back to v1
-    * (reference intake/__init__.py:105-187 VersionError fallback).
+    * (reference intake/__init__.py:105-187 VersionError fallback);
+    * `intake:` URIs lower to the declared-only remote entry
+    * ([[remoteDeclaredOnly]]).
     */
   def openCatalog(path: String): Catalog = {
+    if (path.startsWith("intake:")) return remoteDeclaredOnly(path)
     val in = new FileInputStream(path)
     val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val root = new Yaml().load[java.util.Map[String, Any]](s)

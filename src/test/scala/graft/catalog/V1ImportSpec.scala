@@ -42,9 +42,11 @@ class V1ImportSpec extends SparkSpec {
     assert(cat("local_csv").ref.url == "/tmp/data.csv")
     // read through Spark
     assert(cat("entry1").read(spark).count() == 6000)
-    // unsupported driver kept as declared-only entry
+    // unsupported driver kept as declared-only entry; refusal now names
+    // the v1 driver (r19) instead of a generic unknown-reader
     assert(cat.entries(cat.aliases("exotic")).reader == "unsupported:netcdf")
-    intercept[NoSuchElementException](cat("exotic").read(spark))
+    val ex = intercept[UnsupportedOperationException](cat("exotic").read(spark))
+    assert(ex.getMessage.contains("netcdf"))
   }
 
   // ---- the reference's REAL v1 fixture files (read verbatim) ----
@@ -216,5 +218,40 @@ class V1ImportSpec extends SparkSpec {
     val v2Path = dir.resolve("cat_v2.yaml")
     CatalogIO.toYamlFile(v2, v2Path.toString)
     assert(V1Import.openCatalog(v2Path.toString).names == Seq("x"))
+  }
+
+  test("intake:// URIs import as a searchable declared-only entry that refuses loudly at read") {
+    // reference intake/__init__.py:163-166: "intake:" dispatches to the
+    // legacy intake-server driver. The one non-readable open_catalog arm
+    // must fail LOUDLY at read, naming the protocol — never a generic
+    // unknown-reader or a silent FileNotFound.
+    val cat = V1Import.openCatalog("intake://cat.example.com:5000")
+    assert(cat.names == Seq("intake_remote"))
+    // searchable like any declared-only v1 entry
+    assert(cat.search(TextExpr("legacy")).entries.nonEmpty)
+    assert(cat.entries.values.head.reader == "unsupported:intake_remote")
+    val e = intercept[UnsupportedOperationException] { cat("intake_remote") }
+    assert(e.getMessage.contains("intake_remote") &&
+      e.getMessage.contains("protocol") &&
+      e.getMessage.contains("intake://cat.example.com:5000"),
+      s"refusal must name the legacy server protocol and the URL: ${e.getMessage}")
+  }
+
+  test("declared-only entries from unknown v1 drivers refuse with the driver name at read") {
+    val yaml =
+      """metadata:
+        |  version: 1
+        |sources:
+        |  zar:
+        |    description: an unimplemented driver
+        |    driver: frobnicator
+        |    args:
+        |      urlpath: /tmp/x.frob
+        |""".stripMargin
+    val cat = V1Import.fromV1YamlString(yaml, catalogDir = "/tmp")
+    assert(cat.names.contains("zar"))
+    val e = intercept[UnsupportedOperationException] { cat("zar") }
+    assert(e.getMessage.contains("frobnicator") && e.getMessage.contains("declared-only"),
+      s"refusal must name the v1 driver: ${e.getMessage}")
   }
 }
