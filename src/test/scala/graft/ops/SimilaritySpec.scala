@@ -136,6 +136,39 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == brute, s"paths diverged: brute=$brute lsh=$lsh")
   }
 
+  test("the 100 TB parameter regime is pinned arithmetically: (n, threshold) -> (bits, groups, miss)") {
+    // VERDICT r18 stretch: the design points can't be RUN here, but the
+    // derivation is pure arithmetic — pin it at n = 10^6 / 10^9 / 10^12
+    // so a formula regression is caught at test time, not at fleet
+    // scale. `achievable` mirrors the cosineNearDupPairs driver warning
+    // (miss <= ~6.5%): when the 256-group cap binds, the (threshold,
+    // miss) point is NOT achievable with hyperplane banding at that
+    // corpus size and the operator must warn rather than silently lose
+    // recall. Expected values cross-computed independently (same
+    // closed-form, separate implementation).
+    val expect = Seq(
+      // (n,        threshold, bits, groups, missRounded4, achievable)
+      (1000000L,        0.80,  17,  134,  0.0639, true),
+      (1000000L,        0.90,  17,   37,  0.0636, true),
+      (1000000L,        0.95,  17,   16,  0.0576, true),
+      (1000000000L,     0.80,  27,  256,  0.5909, false), // cap binds: WARN regime
+      (1000000000L,     0.90,  27,  179,  0.0641, true),
+      (1000000000L,     0.95,  27,   48,  0.0620, true),
+      (1000000000000L,  0.80,  37,  256,  0.9483, false), // cap binds: WARN regime
+      (1000000000000L,  0.90,  37,  256,  0.4364, false), // cap binds: WARN regime
+      (1000000000000L,  0.95,  37,  140,  0.0645, true)
+    )
+    expect.foreach { case (n, thr, bits, groups, miss, achievable) =>
+      val (b, g) = Similarity.autoLshParams(n, designCosine = thr)
+      assert(b == bits && g == groups,
+        s"autoLshParams($n, $thr) = ($b, $g), expected ($bits, $groups)")
+      val m = Similarity.lshExpectedMiss(thr, b, g)
+      assert(math.abs(m - miss) < 5e-5, s"miss($n, $thr) = $m, expected $miss")
+      assert((m <= 0.066) == achievable,
+        s"achievability flipped at ($n, $thr): miss=$m")
+    }
+  }
+
   test("knownCorpusSize keeps construction job-free (the Pipeline laziness contract)") {
     // lineage poisoned with a throwing UDF: any construction-time job
     // (the bounded probe or the autoTune count) explodes at BUILD time.
