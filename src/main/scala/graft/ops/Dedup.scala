@@ -127,16 +127,30 @@ object Dedup {
   /** Per-document duplicate-span exposure — the second half of the Lee
     * et al. pipeline: for every doc, how many of its n-token windows are
     * corpus-wide duplicates ([[duplicateSpans]] hits), as a count and a
-    * fraction. Shape: spans exploded once and localCheckpointed RAW —
-    * NOT pre-partitioned: under AQE the checkpointed LogicalRDD reports
-    * UnknownPartitioning, so a repartition inside the checkpoint is a
-    * wasted shuffle the consumers cannot reuse (measured: the round-17
-    * first cut paid it and the flagged chain re-exchanged twice anyway).
-    * The flagged set derives via the [[duplicateSpans]] single-exchange
-    * mold (repartition on span AFTER the checkpoint, both aggregation
-    * levels reuse it); the join back broadcasts the small flagged side;
-    * the final per-doc aggregation is the only other exchange. Nothing
-    * funnels to the driver.
+    * fraction. Shape: spans explode once into ONE span-keyed exchange,
+    * a (span, doc) pre-aggregate reuses its partitioning, and the
+    * duplicate flag is `count(doc) OVER (PARTITION BY span)` — a window
+    * on the already-clustered pre-aggregate — so the span data is read
+    * from shuffle storage exactly ONCE, there is no join, and the only
+    * other exchange is the final per-doc aggregation. Nothing funnels
+    * to the driver.
+    *
+    * History (both prior shapes fell to scale probes): the r17–r18
+    * shape localCheckpointed the exploded spans (one tokenize pass,
+    * flag-set + join-back read the checkpoint) — that pins ~8x the
+    * corpus bytes into the BlockManager, which the r19 third-decade
+    * probe killed at 5M docs (~40 GB of span rows vs a 19 GB storage
+    * pool: eviction churn starved every HashAggregate allocation —
+    * AGGREGATE_OUT_OF_MEMORY even at 1 GB/core). The first r19 fix
+    * shared the span exchange between the flag aggregation and an SMJ
+    * join-back — correct and OOM-free, but it reads the ~8x-corpus
+    * shuffle twice and sorts for the join anyway; the window
+    * formulation gets the same flag from the sort alone. DuckDB-oracle
+    * parity: the window `count(idCol)` is NULL-doc-ignoring exactly
+    * like spanAgg's `count(idCol)`, n_spans = sum of within-doc
+    * occurrence counts = the old per-row count(1), and n_dup_spans
+    * sums those counts only where the span's doc frequency clears
+    * `minDocs` — value-identical (q90 hash-green both SFs).
     */
   def dupSpanStats(
       df: DataFrame,
@@ -152,14 +166,21 @@ object Dedup {
       if (hashSpans) explodeGramHashes(base, idCol, textCol, n, perRowDistinct = false)
         .withColumnRenamed("_g", "span")
       else explodeShingles(base, idCol, textCol, n, outCol = "span")
-    ).localCheckpoint() // referenced twice (flag set + join back): one tokenize pass
-    val flagged = spanAgg(spans.repartition(col("span")), idCol, minDocs)
-      .select(col("span"), lit(1).as("_dup"))
-    spans.join(flagged, Seq("span"), "left")
+    ).repartition(col("span")) // the ONE span-keyed exchange
+    val bySpanDoc = spans
+      .groupBy(col("span"), col(idCol))
+      .agg(count(lit(1)).as("_cnt")) // reuses the exchange's partitioning
+    // doc frequency per span via window — the exchange already clusters
+    // by span, so this costs one within-partition sort, no join and no
+    // second shuffle read; count(idCol) ignores NULL-doc groups exactly
+    // like spanAgg's
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span"))
+    bySpanDoc
+      .withColumn("_ndocs", count(col(idCol)).over(w))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_spans"),
-        count(col("_dup")).as("n_dup_spans"))
+        sum(col("_cnt")).as("n_spans"),
+        sum(when(col("_ndocs") >= minDocs, col("_cnt")).otherwise(lit(0L))).as("n_dup_spans"))
       .select(
         col(idCol),
         col("n_spans"),

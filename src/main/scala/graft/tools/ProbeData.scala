@@ -45,13 +45,18 @@ object ProbeData {
   def replicateDocs(spark: SparkSession, sfDir: String, replicas: Int, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
-    val big = (0 until replicas).map { r =>
-      docs.select(
-        (col("doc_id") + lit(r * idStride)).as("doc_id"),
-        (if (r == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1")).as("text"),
+    // explode over the replica index rather than a replicas-arm union:
+    // values are bit-identical (ProbeDataSpec pins it) but the plan
+    // stays O(1) in `replicas` — the union formulation hit Catalyst
+    // plan explosion at the third-decade slice (1000 arms)
+    val big = docs
+      .select(col("*"), explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select(
+        (col("doc_id") + col("r") * lit(idStride)).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("r").cast("string"), lit("x$1")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
     big.repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     println(s"[probe] wrote ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs to $outDir")

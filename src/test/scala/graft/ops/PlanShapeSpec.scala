@@ -189,6 +189,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanStats: ONE span exchange read once — window flag, no join, no checkpoint leaf") {
+    import spark.implicits._
+    withStaticPlans {
+      val docs = Seq.tabulate(30)(i =>
+        (i.toLong, s"tok${i % 7} alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      ).toDF("doc_id", "text")
+      val out = Dedup.dupSpanStats(docs, "doc_id", "text", n = 3, minDocs = 2)
+      val plan = physical(out)
+      // the r17–r18 localCheckpoint pinned ~8x the corpus bytes into the
+      // BlockManager — the r19 third-decade probe OOM'd it at 5M docs;
+      // the intermediate r19 agg+join-back shape read the span shuffle
+      // TWICE and sorted for SMJ anyway — the window flag gets the doc
+      // frequency from that same sort with one shuffle read and no join
+      assert(!plan.contains("Scan ExistingRDD"), s"checkpoint leaf must be gone:\n$plan")
+      assert(!plan.contains("Join"), s"dup flag must come from the window, not a join-back:\n$plan")
+      assert(plan.contains("Window"), s"expected the span-partitioned count window:\n$plan")
+      val spanExchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("span") => e
+      }
+      assert(spanExchanges.size == 1,
+        s"expected ONE span-keyed exchange, got ${spanExchanges.size}:\n$plan")
+      // ...and the window must ride that exchange's clustering, not its own
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected exactly 2 exchanges (span + final per-doc), got $exchanges:\n$plan")
+      // the tokenize+explode runs once, on the map side of the exchange
+      val generates = "Generate explode".r.findAllIn(plan).size
+      assert(generates == 1, s"explode must run once, found $generates:\n$plan")
+    }
+  }
+
   test("cosineNearDupPairs small-corpus path: no NestedLoopJoin, one parallelized map stage") {
     import spark.implicits._
     val df = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i.toFloat + 1))).toDF("id", "vec")
@@ -274,9 +305,8 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("id1"), col("id2"))
     assert(readSchemaFields(pairs).nonEmpty && readSchemaFields(pairs).forall(_ == 2),
       "CC pair graph must scan 2 of 5 columns")
-    // q90 (dupSpanStats): the exploded span frame localCheckpoints once
-    // (referenced by flag-set AND join-back) — the checkpoint job's scan
-    // must read only doc_id + text
+    // q90 (dupSpanStats): the span explode feeds the one span-keyed
+    // exchange — its scan must read only doc_id + text
     val spanFrame = docs.select(col("doc_id"),
       explode(graft.ops.Dedup.gramHashes(col("text"), 10)).as("span"))
     assert(readSchemaFields(spanFrame).nonEmpty && readSchemaFields(spanFrame).forall(_ == 2),

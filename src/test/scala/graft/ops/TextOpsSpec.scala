@@ -151,6 +151,12 @@ class TextOpsSpec extends SparkSpec {
     // per-doc exposure + the removal policy over it
     val stats = Dedup.dupSpanStats(docs, "doc_id", "text", n = 10, minDocs = 2)
       .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // the oracle path (string spans) must agree row-for-row with the
+    // scale path (64-bit gram-hash spans)
+    val statsStr = Dedup.dupSpanStats(docs, "doc_id", "text", n = 10, minDocs = 2,
+        hashSpans = false)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(statsStr == stats, s"hash/string dupSpanStats diverged: $statsStr vs $stats")
     assert(stats(3L)._3 == 0L && stats(3L)._4 == 0.0)       // clean doc
     assert(stats(1L)._3 > 0L && stats(2L)._3 > 0L)          // both carriers flagged
     assert(stats(1L)._4 > 0.0 && stats(1L)._4 <= 1.0)

@@ -28,6 +28,33 @@ class ProbeDataSpec extends SparkSpec {
     assert(pats.distinct.size == 100)
   }
 
+  test("replicateDocs explode derivation equals the per-replica union formulation") {
+    val dir = java.nio.file.Files.createTempDirectory("probedocs").toString
+    Seq(
+      (0L, "alpha beta  gamma", "en", "web", 17L),
+      (3L, "one", "de", "book", 3L),
+      (5L, null.asInstanceOf[String], "fr", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    ProbeData.replicateDocs(spark, dir, 3, s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out/documents.parquet")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    // the pre-refactor rule: replica r offsets doc_id by r*(max+1) and
+    // prefixes every non-space token with "r{r}x" (replica 0 identity)
+    val base = Seq(
+      (0L, "alpha beta  gamma", "en", "web", 17L),
+      (3L, "one", "de", "book", 3L),
+      (5L, null.asInstanceOf[String], "fr", "web", 0L))
+    val want = (0 until 3).flatMap { r =>
+      base.map { case (id, text, lang, src, n) =>
+        val t = if (r == 0 || text == null) text
+                else text.replaceAll("(\\S+)", s"r${r}x$$1")
+        (id + r * 6L, t, lang, src, n)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
   test("replicateEmbeddings handles ragged and null rows without null-padding") {
     val dir = java.nio.file.Files.createTempDirectory("probedata").toString
     Seq(
