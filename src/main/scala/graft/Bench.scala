@@ -95,10 +95,17 @@ object Bench {
                     ratio: Double = 1.5): (Map[String, Double], Map[String, Double]) =
     if (!(factor > 1.0) || factor.isInfinite || factor.isNaN) (confirmed, Map.empty)
     else {
-      val corrected = confirmed.map { case (q, r) =>
+      // 99.0 is confirmDrift's failed-re-run sentinel (the re-measure
+      // THREW) — a failure is not a load artifact, so it must stay
+      // confirmed under ANY canary factor (a factor > 66 would
+      // otherwise deflate 99.0 below the gate and ship a broken query
+      // as a mere load suspect)
+      val (failedCap, rest) = confirmed.partition(_._2 >= 99.0)
+      val corrected = rest.map { case (q, r) =>
         q -> math.round(math.min(r / factor, 99.0) * 100.0) / 100.0
       }
-      corrected.partition(_._2 >= ratio)
+      val (real, loadSus) = corrected.partition(_._2 >= ratio)
+      (failedCap ++ real, loadSus)
     }
 
   /** Extract the `"queries"` object of a bench-summary-shaped JSON text
@@ -328,7 +335,7 @@ object Bench {
     // absent from the inventory is confirmed, not cleared with a 0.0 wall.
     def serialWall(q: String): Double = benchQueries.get(q) match {
       case Some(fn) =>
-        val runs = (1 to 2).map { _ =>
+        def one(): Double = {
           val t0 = System.nanoTime()
           val ok = Try(fn(spark, sfDir).count())
           if (ok.isFailure) {
@@ -336,7 +343,12 @@ object Bench {
             Double.PositiveInfinity
           } else (System.nanoTime() - t0) / 1e9
         }
-        if (runs.exists(_.isInfinite)) Double.PositiveInfinity else runs.min
+        // a failed first run already poisons the measurement — don't
+        // spend a second (possibly slow) failing run inside the very
+        // window the canary is trying to keep clean
+        val r1 = one()
+        if (r1.isInfinite) r1
+        else { val r2 = one(); if (r2.isInfinite) r2 else math.min(r1, r2) }
       case None =>
         System.err.println(s"[bench] drift suspect $q absent from the bench inventory — treating as confirmed, not clearing")
         Double.PositiveInfinity
@@ -357,8 +369,20 @@ object Bench {
           System.err.println(s"[bench] drift suspects (in-batch): " +
             suspects.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", ") +
             s" — measuring canary $canaryName then re-measuring serially")
-          val canaryWall = serialWall(canaryName)
-          val factor = canaryFactor(canaryWall, referenceTimes.get(canaryName))
+          // a canary that isn't in the inventory (typo in
+          // SPARK_GRAFT_BENCH_CANARY, or excluded via
+          // SPARK_GRAFT_BENCH_EXCLUDE) cannot calibrate — say so
+          // explicitly instead of letting serialWall log it as a
+          // phantom "drift suspect absent from the inventory"
+          val (canaryWall, factor) =
+            if (!benchQueries.contains(canaryName)) {
+              System.err.println(s"[bench] canary $canaryName is not in the bench inventory " +
+                "(typo? excluded?) — load calibration DISABLED, drift reported uncorrected")
+              (Double.NaN, 1.0)
+            } else {
+              val w = serialWall(canaryName)
+              (w, canaryFactor(w, referenceTimes.get(canaryName)))
+            }
           if (factor > 1.0)
             System.err.println(f"[bench] canary $canaryName ran $factor%.2fx its committed wall — re-measure window is LOADED; serial ratios will be deflated by that factor")
           val confirmed = confirmDrift(suspects, referenceTimes, serialWall)
@@ -369,7 +393,7 @@ object Bench {
           if (loadSus.nonEmpty)
             System.err.println(s"[bench] drift_load_suspect — inside the canary's load factor, NOT confirmed regressions: " +
               loadSus.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
-          val canary = f"""{"name":"$canaryName","wall_sec":${if (canaryWall.isInfinite) "null" else f"$canaryWall%.3f"},"ref_sec":${referenceTimes.get(canaryName).map(r => f"$r%.3f").getOrElse("null")},"factor":$factor%.2f}"""
+          val canary = f"""{"name":"$canaryName","wall_sec":${if (canaryWall.isInfinite || canaryWall.isNaN) "null" else f"$canaryWall%.3f"},"ref_sec":${referenceTimes.get(canaryName).map(r => f"$r%.3f").getOrElse("null")},"factor":$factor%.2f}"""
           (driftObj(d), driftObj(loadSus), canary)
         }
       }

@@ -419,9 +419,15 @@ object QuickStart {
     // engine — declare n and the whole pipeline stays lazy until the
     // action, with banding parameters derived from the declared size.
     val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+    // In production this number comes from metadata you already track
+    // (catalog stats, the writer's record count); the demo computes it
+    // once, EXPLICITLY, up front. The point of knownCorpusSize is that
+    // the operator itself then runs no job at construction — the
+    // probe/tuning cost is in YOUR hands, not hidden in the build.
+    val embCorpusSize = embeddings.count()
     val embDupPairs = graft.ops.Similarity.cosineNearDupPairs(
       embeddings, "vec_id", "embedding", threshold = 0.95,
-      knownCorpusSize = Some(embeddings.count())) // or a catalog-known row count: no probe, no tuning job
+      knownCorpusSize = Some(embCorpusSize))
     val mixed = graft.ops.Mixing.temperatureSample(decontaminated, "source", "doc_id",
       alpha = 0.5, budgetRows = 200)
     val trainShards = graft.ops.Mixing.assignShards(mixed, "doc_id", n = 4)
@@ -430,7 +436,7 @@ object QuickStart {
     println(s"[24] training pipeline: ${corpus.count()} raw -> ${cleaned.count()} c4-kept -> " +
       s"${spanDeduped.count()} span-deduped -> ${nearDeduped.count()} near-deduped -> " +
       s"${decontaminated.count()} decontaminated -> ${mixed.count()} in mix (alpha=0.5, budget 200) " +
-      s"-> shards [$perShard]; embedding near-dup pairs (lazy build) = ${embDupPairs.count()}")
+      s"-> shards [$perShard]; embedding near-dup pairs (job-free operator build) = ${embDupPairs.count()}")
 
     spark.stop()
     println("QuickStart OK")

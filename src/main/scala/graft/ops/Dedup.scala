@@ -151,6 +151,19 @@ object Dedup {
     * occurrence counts = the old per-row count(1), and n_dup_spans
     * sums those counts only where the span's doc frequency clears
     * `minDocs` — value-identical (q90 hash-green both SFs).
+    *
+    * Skew note: EVERY span-keyed formulation concentrates a
+    * hyper-duplicated span's (span, doc) rows on one reducer — that is
+    * the exchange, not the shape. The window buffers that one group in
+    * WindowExec's spillable row array (disk-backed past the in-memory
+    * threshold) where the join-back shape streamed it through SMJ's
+    * sort; both sort the same rows first, and memory stays bounded
+    * either way — the difference is a second on-disk pass for the hot
+    * group. A corpus where one boilerplate span (license header, nav
+    * bar) appears in 10^8 docs straggles that reducer under ANY shape
+    * here; the mitigation is upstream (drop ultra-frequent spans the
+    * way the LSH path's maxBucket guard drops mega-buckets), not a
+    * different join strategy.
     */
   def dupSpanStats(
       df: DataFrame,

@@ -33,6 +33,23 @@ private[graft] object ObservedWarnings {
     @volatile var reported: Long = 0L
   }
   private val watches = new ConcurrentHashMap[String, Watch]()
+  // Bounded registry: each boundedBucketFilter call registers one watch
+  // for the LIFETIME of the frame it guards, and nothing tells us when
+  // that frame dies — so a long-running driver constructing LSH frames
+  // per request would otherwise grow the registry (and the per-job-end
+  // scan) without bound. Warnings are best-effort observability, so the
+  // registry evicts its OLDEST watch beyond this cap: an evicted
+  // still-live frame merely loses its drop warning, it never mis-runs.
+  private val MaxWatches = 512
+  private val insertionOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def putBounded(name: String, w: Watch): Unit = {
+    watches.put(name, w)
+    insertionOrder.add(name)
+    while (watches.size() > MaxWatches) {
+      val oldest = insertionOrder.poll()
+      if (oldest != null) watches.remove(oldest) else return
+    }
+  }
   // WeakHashMap: contexts come and go in tests — the registry must not
   // pin a stopped context (the listener itself dies with it).
   private val attached =
@@ -51,7 +68,7 @@ private[graft] object ObservedWarnings {
   def boundedBucketFilter(spark: SparkSession, maxBucket: Int, message: String): Column => Column = {
     val name = s"graft.warn.${counter.incrementAndGet()}"
     val acc = spark.sparkContext.longAccumulator(name)
-    watches.put(name, Watch(acc, message))
+    putBounded(name, Watch(acc, message))
     attach(spark.sparkContext)
     val guard = udf { (sz: Int) =>
       if (sz > maxBucket) acc.add(1L)

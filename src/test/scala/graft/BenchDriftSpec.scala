@@ -100,8 +100,14 @@ class BenchDriftSpec extends AnyFunSuite {
   }
 
   test("a FAILED re-measure (capped 99.0) stays confirmed drift under any load factor") {
+    // the 99.0 sentinel means the re-run THREW — a failure is not a
+    // load artifact, so it is exempt from canary correction entirely
+    // (dividing it by the factor downgraded real breakage to
+    // load_suspect whenever the factor exceeded 99/1.5 ≈ 66)
     val (d, sus) = Bench.splitByCanary(Map("q42_minhash_lsh" -> 99.0), 3.0)
-    assert(d == Map("q42_minhash_lsh" -> 33.0) && sus.isEmpty)
+    assert(d == Map("q42_minhash_lsh" -> 99.0) && sus.isEmpty)
+    val (d68, sus68) = Bench.splitByCanary(Map("q42_minhash_lsh" -> 99.0), 68.0)
+    assert(d68 == Map("q42_minhash_lsh" -> 99.0) && sus68.isEmpty)
   }
 
   test("the canary has a committed reference wall (the calibration depends on it)") {

@@ -23,6 +23,9 @@ OUT=${1:-target/round_gate}
 mkdir -p "$OUT"
 REC="$OUT/record.txt"
 : > "$REC"
+# bench_serial.json is only written by ROUND_GATE_SERIAL=1 runs; a stale
+# copy from a previous run would silently become THIS run's paired table
+rm -f "$OUT/bench_serial.json"
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 FAIL=0
 
