@@ -42,6 +42,8 @@ private[graft] object ObservedWarnings {
   // still-live frame merely loses its drop warning, it never mis-runs.
   private val MaxWatches = 512
   private val insertionOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Registry size, for the eviction-bound spec. */
+  private[graft] def registrySize: Int = watches.size()
   private def putBounded(name: String, w: Watch): Unit = {
     watches.put(name, w)
     insertionOrder.add(name)
