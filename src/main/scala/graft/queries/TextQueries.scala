@@ -988,6 +988,37 @@ object TextQueries {
       """)
     ),
     (
+      "q93_dup_spans_hash_portable",
+      // Oracle twin for q88's PRODUCTION route: hashSpans=true keys the
+      // exchange on the 64-bit gram hash (the 100 TB path — ~8 B keys
+      // instead of ~65 B strings), whose hash column is engine-specific
+      // — but the per-span COUNTS are value-identical to the string
+      // path, so projecting the hash away leaves a multiset DuckDB can
+      // check exactly (collision odds at this corpus: ~1e-11). The same
+      // twin pattern as q78/q79/q82: the engine-specific operator gets
+      // hash-green coverage of everything except its key encoding.
+      (s, dir) => {
+        Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 10, minDocs = 2, hashSpans = true,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+          .select(col("n_docs"), col("n_occurrences"), col("first_id"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) < 10 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(generate_series(1, len(tk) - 9),
+                                       i -> array_to_string(tk[i:i+9], ' ')) END) AS span
+          FROM toks)
+        SELECT count(DISTINCT doc_id) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS first_id
+        FROM g GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+      """)
+    ),
+    (
       "q89_c4_clean",
       // C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
       // punctuation / min-words / lorem-ipsum / javascript / brace
