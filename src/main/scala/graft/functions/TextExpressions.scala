@@ -173,6 +173,235 @@ case class GramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** minhash_sig(tokens, shingleN, k, seed): the k-long MinHash signature
+  * of a token array in ONE compiled pass — the fused form of the staged
+  * pipeline `transform(toks, xxhash64)` → JIT'd Scala UDF that
+  * [[graft.ops.Dedup.withMinhashSignature]] ran through round 18. The
+  * staged shape was already fast, but its two remaining stages still
+  * paid per row: an interpreted `ArrayTransform` dispatch per TOKEN
+  * (~100 ns each — ArrayTransform is CodegenFallback) and a
+  * Seq[Long]-boxing UDF bridge (ArrayData → boxed Seq, result array →
+  * GenericArrayData via the encoder). Here both collapse into the
+  * generated loop: one `XXH64.hashUTF8String` per token, the shingle
+  * affine fold, and the k-way min all run over primitive long[] with
+  * zero per-token allocation.
+  *
+  * Value parity is BIT-FOR-BIT with the staged path (MinHashSigSpec
+  * pins it over every row shape, and the staged reference stays in
+  * Dedup as `stagedMinhashSignature`): token hash = Spark's
+  * `xxhash64(tok)` (seed 42, null tokens contribute the seed exactly
+  * like `xxhash64(null)`), normalized into the 2^31-1 prime field;
+  * shingle hash = the order-sensitive affine combination of its
+  * tokens' hashes; sig_i = min over shingles of (a_i·sh + b_i) mod p.
+  * Empty token arrays produce the all-zeros signature and a null array
+  * a null signature — the exact conventions the LSH banding entry
+  * points (null-sig filter, degenerate-bucket guard) already rely on.
+  * All products stay below 2^62 (coefficients and hashes both < 2^31),
+  * so the arithmetic never overflows a long.
+  */
+case class MinHashSig(child: Expression, shingleN: Int, k: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(shingleN >= 1, s"minhash_sig needs shingleN >= 1, got $shingleN")
+  require(k >= 1, s"minhash_sig needs k >= 1, got $k")
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  @transient private lazy val (aArr, bArr) = MinHashSig.affineCoeffs(k, seed)
+  @transient private lazy val cArr = MinHashSig.shingleCoeffs(shingleN, seed)
+  private def p = MinHashSig.MersennePrime
+  // Token hashes are Spark's `xxhash64(tok)` — ALWAYS its default seed
+  // 42, independent of `seed` (which drives only the coefficient
+  // derivation): the staged pipeline this expression must match
+  // bit-for-bit calls the one-arg xxhash64, and a null token
+  // contributes that default seed exactly like `xxhash64(null)`.
+  private def xxSeed = MinHashSig.TokenHashSeed
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = v.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val out = new Array[Long](k)
+    if (sz > 0) {
+      val th = new Array[Long](sz)
+      var i = 0
+      while (i < sz) {
+        val h = if (toks.isNullAt(i)) xxSeed else XXH64.hashUTF8String(toks.getUTF8String(i), xxSeed)
+        th(i) = ((h % p) + p) % p
+        i += 1
+      }
+      java.util.Arrays.fill(out, Long.MaxValue)
+      val nShingles = math.max(1, sz - shingleN + 1)
+      val w = math.min(shingleN, sz)
+      var j = 0
+      while (j < nShingles) {
+        var sh = 0L
+        var t = 0
+        while (t < w) { sh = (sh + cArr(t) * th(j + t)) % p; t += 1 }
+        var i2 = 0
+        while (i2 < k) {
+          val x = (aArr(i2) * sh + bArr(i2)) % p
+          if (x < out(i2)) out(i2) = x
+          i2 += 1
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val cRef = ctx.addReferenceObj("minhashC", cArr, "long[]")
+      val sz = ctx.freshName("sz"); val th = ctx.freshName("th")
+      val out = ctx.freshName("out"); val h = ctx.freshName("h")
+      val nSh = ctx.freshName("nShingles"); val w = ctx.freshName("w")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val i2 = ctx.freshName("i2")
+      val sh = ctx.freshName("sh"); val x = ctx.freshName("x")
+      s"""
+         |int $sz = $toks.numElements();
+         |long[] $out = new long[$k];
+         |if ($sz > 0) {
+         |  long[] $th = new long[$sz];
+         |  for (int $i = 0; $i < $sz; $i++) {
+         |    long $h = $toks.isNullAt($i) ? ${xxSeed}L : $xxh.hashUTF8String($toks.getUTF8String($i), ${xxSeed}L);
+         |    $th[$i] = (($h % ${p}L) + ${p}L) % ${p}L;
+         |  }
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  int $nSh = java.lang.Math.max(1, $sz - $shingleN + 1);
+         |  int $w = java.lang.Math.min($shingleN, $sz);
+         |  for (int $j = 0; $j < $nSh; $j++) {
+         |    long $sh = 0L;
+         |    for (int $t = 0; $t < $w; $t++) { $sh = ($sh + $cRef[$t] * $th[$j + $t]) % ${p}L; }
+         |    for (int $i2 = 0; $i2 < $k; $i2++) {
+         |      long $x = ($aRef[$i2] * $sh + $bRef[$i2]) % ${p}L;
+         |      if ($x < $out[$i2]) $out[$i2] = $x;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object MinHashSig {
+  val MersennePrime: Long = (1L << 31) - 1
+
+  /** Spark's one-arg `xxhash64` default seed — the token-hash seed is
+    * FIXED at this value (the `seed` constructor param only seeds the
+    * coefficient Random), matching the staged pipeline's plain
+    * `transform(toks, xxhash64)` for every caller seed. */
+  val TokenHashSeed: Long = 42L
+
+  /** The k affine-hash coefficient pairs — THE single derivation both
+    * the fused expression and every Dedup entry point (including the
+    * DuckDB-embedded [[graft.ops.Dedup.portableCoeffs]]) share: one
+    * seeded Random, a-coefficients drawn before b, exactly the
+    * sequence the engine has emitted since round 2 (the portable
+    * oracle SQL embeds these literals, so the derivation is frozen).
+    */
+  def affineCoeffs(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(k)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
+    val b = Array.fill(k)(math.abs(rnd.nextLong()) % MersennePrime)
+    (a, b)
+  }
+
+  /** Per-position shingle-combination coefficients (same prime field,
+    * seed offset keeps them independent of the affine pairs). */
+  def shingleCoeffs(shingleN: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed ^ 0x5DEECE66DL)
+    Array.fill(shingleN)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
+  }
+}
+
+/** simhash64(tokens): the 64-bit SimHash of a token array in ONE
+  * compiled pass — the fused form of the nested-HOF formulation
+  * (`aggregate` over tokens of a 64-element `zip_with`/`transform`
+  * vote tree) that [[graft.ops.Dedup.simhash]] ran through round 18.
+  * The HOF tree evaluated ~64 interpreted nodes (when/shiftright/
+  * bitwiseAND per bit, plus two array allocations) per TOKEN; here
+  * each token costs one `XXH64.hashUTF8String` and a 64-iteration
+  * compiled bit loop over an int[64] vote buffer — no allocation
+  * beyond the buffer per row.
+  *
+  * Value parity is BIT-FOR-BIT with the HOF form (SimHash64Spec pins
+  * it, with the HOF reference kept in Dedup as `simhashHof`): token
+  * hash = Spark's `xxhash64(tok)` (null tokens vote with the default
+  * seed's bits, exactly like `xxhash64(null)` in the lambda); bit i of
+  * the result is set iff the +-1 vote sum at position i is strictly
+  * positive; an empty token array yields 0L and a null array a null
+  * result.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  private def xxSeed = MinHashSig.TokenHashSeed
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = v.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < sz) {
+      val h = if (toks.isNullAt(i)) xxSeed else XXH64.hashUTF8String(toks.getUTF8String(i), xxSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val sz = ctx.freshName("sz"); val sums = ctx.freshName("sums")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val b2 = ctx.freshName("b2")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $sz = $toks.numElements();
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  long $h = $toks.isNullAt($i) ? ${xxSeed}L : $xxh.hashUTF8String($toks.getUTF8String($i), ${xxSeed}L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($sums[$b2] > 0) $acc |= (1L << $b2);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column wrapper for [[SpanGrams]]. */
   def spanGrams(tokens: Column, n: Int): Column =
@@ -181,4 +410,12 @@ object TextFunctions {
   /** Column wrapper for [[GramHashes]]. */
   def gramHashes(tokens: Column, n: Int): Column =
     bridge.column(GramHashes(bridge.expression(tokens), n))
+
+  /** Column wrapper for [[MinHashSig]]. */
+  def minhashSig(tokens: Column, shingleN: Int, k: Int, seed: Long): Column =
+    bridge.column(MinHashSig(bridge.expression(tokens), shingleN, k, seed))
+
+  /** Column wrapper for [[SimHash64]]. */
+  def simhash64(tokens: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokens)))
 }

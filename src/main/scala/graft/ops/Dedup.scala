@@ -254,14 +254,16 @@ object Dedup {
     graft.functions.TextFunctions.gramHashes(TextOps.tokens(text), n)
 
   // 2^31-1: products a*h stay below 2^62, safe under ANSI Long arithmetic.
-  private val MersennePrime = (1L << 31) - 1
+  private val MersennePrime = graft.functions.MinHashSig.MersennePrime
 
-  /** Deterministic affine-hash coefficients for the k MinHash functions. */
+  /** Deterministic affine-hash coefficients for the k MinHash functions —
+    * delegated to [[graft.functions.MinHashSig.affineCoeffs]] so the
+    * fused expression, the staged parity reference, the portable path,
+    * and the DuckDB-embedded literals all share ONE derivation.
+    */
   private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val a = Seq.fill(k)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
-    val b = Seq.fill(k)(math.abs(rnd.nextLong()) % MersennePrime)
-    (a, b)
+    val (a, b) = graft.functions.MinHashSig.affineCoeffs(k, seed)
+    (a.toSeq, b.toSeq)
   }
 
   /** MinHash signature (array of k longs) of a shingle array, computed
@@ -292,18 +294,18 @@ object Dedup {
     )
   }
 
-  /** Staged MinHash: tokens natively, ONE xxhash64 per token (a flat
-    * n-element interpreted transform — the cheapest possible HOF), then
-    * everything else in a JIT-compiled UDF over primitive arrays: each
-    * shingle's hash is an affine combination of its tokens' hashes
-    * (no per-shingle string building, no n×shingleN interpreted
-    * slice/concat tree — the round-2 profile showed that tree was ~70%
-    * of q42's executor time), and the k-way min-scan folds into the
-    * same loop. Interpreted HOF element access costs ~100ns; the fused
-    * loop is ~100× faster (the same shape as MLlib's MinHashLSH).
-    * `repartitionTo` spreads a single-file scan across cores before the
-    * compute-heavy stage (a 100 TB input already has thousands of
-    * partitions; a local single-parquet-file scan has one).
+  /** Fused MinHash: tokens natively, then the whole signature — one
+    * xxhash64 per token, shingle affine fold, k-way min — in ONE
+    * whole-stage-codegen expression ([[graft.functions.MinHashSig]],
+    * round 19). The round-18 staged shape (flat interpreted
+    * `transform(toks, xxhash64)` + JIT'd Scala UDF) still paid an
+    * interpreted ArrayTransform dispatch per TOKEN plus the UDF's
+    * Seq[Long] boxing bridge per row; both are gone (A/B in
+    * tools/ProfQ42.scala, bit parity pinned in MinHashSigSpec against
+    * [[stagedMinhashSignature]]). `repartitionTo` spreads a
+    * single-file scan across cores before the compute-heavy stage (a
+    * 100 TB input already has thousands of partitions; a local
+    * single-parquet-file scan has one).
     */
   def withMinhashSignature(
       df: DataFrame,
@@ -314,14 +316,25 @@ object Dedup {
       seed: Long = 42L,
       repartitionTo: Option[Int] = None
   ): DataFrame = {
+    val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
+    base.withColumn(outCol,
+      graft.functions.TextFunctions.minhashSig(TextOps.tokens(col(textCol)), shingleN, k, seed))
+  }
+
+  /** The round-18 STAGED signature pipeline (flat interpreted
+    * `transform(toks, xxhash64)` + JIT-compiled UDF over primitive
+    * arrays — itself ~100× faster than the round-2 per-shingle HOF
+    * tree), kept as the independent parity oracle for the fused
+    * [[graft.functions.MinHashSig]] expression: MinHashSigSpec asserts
+    * the two produce bit-identical signatures on every row shape, so
+    * any drift in the fused codegen re-keys nothing silently.
+    */
+  private[graft] def stagedMinhashSignature(
+      textCol: Column, shingleN: Int, k: Int, seed: Long): Column = {
     val (a, b) = coeffs(k, seed)
     val aArr = a.toArray
     val bArr = b.toArray
-    // per-position shingle-combination coefficients (same prime field)
-    val cArr = {
-      val rnd = new scala.util.Random(seed ^ 0x5DEECE66DL)
-      Array.fill(shingleN)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
-    }
+    val cArr = graft.functions.MinHashSig.shingleCoeffs(shingleN, seed)
     val p = MersennePrime
     val kk = k
     val nSh = shingleN
@@ -355,11 +368,7 @@ object Dedup {
       if (th.isEmpty) Array.fill(kk)(0L) else out
       }
     }
-    val base = repartitionTo.map(df.repartition(_)).getOrElse(df)
-    base.withColumn("_mh_toks", TextOps.tokens(col(textCol)))
-      .withColumn("_mh_th", transform(col("_mh_toks"), t => xxhash64(t)))
-      .withColumn(outCol, sigUdf(col("_mh_th")))
-      .drop("_mh_toks", "_mh_th")
+    sigUdf(transform(TextOps.tokens(textCol), t => xxhash64(t)))
   }
 
   /** Candidate generation shared by the xxhash64 and portable LSH
@@ -809,9 +818,21 @@ object Dedup {
 
   /** 64-bit SimHash of the token bag, computed within the row:
     * for each bit position, sum +-1 over tokens by that bit of
-    * xxhash64(token); the sign gives the output bit.
+    * xxhash64(token); the sign gives the output bit. One fused
+    * whole-stage-codegen expression ([[graft.functions.SimHash64]],
+    * round 19 — the nested-HOF predecessor paid ~64 interpreted nodes
+    * per token; bit parity vs [[simhashHof]] pinned in SimHash64Spec).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.TextFunctions.simhash64(TextOps.tokens(text))
+
+  /** The round-2 nested-HOF SimHash formulation, kept as the
+    * independent parity oracle for the fused
+    * [[graft.functions.SimHash64]] expression (SimHash64Spec asserts
+    * bit equality on every row shape — any codegen drift would
+    * silently re-key q43's full-corpus output).
+    */
+  private[graft] def simhashHof(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val bitSums = aggregate(
       toks,

@@ -187,12 +187,16 @@ object TextOps {
       !text.contains("{")
   }
 
-  /** Adjacent-token bigrams ("a b") of the normalized token stream. */
+  /** Adjacent-token bigrams ("a b") of the normalized token stream —
+    * the fused [[graft.functions.SpanGrams]] 2-windows (one compiled
+    * pass) behind a size guard: SpanGrams emits one whole-sequence gram
+    * for shorter-than-n arrays, but a <2-token doc has NO bigram, so
+    * the guard keeps this function's empty-array convention.
+    */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(graft.functions.TextFunctions.spanGrams(toks, 2))
   }
 
   /** Per-document share of the single most frequent bigram — the other

@@ -21,6 +21,14 @@ object ProfQ42 {
     val sigs = graft.ops.Dedup.withMinhashSignature(docs, "text", "sig", repartitionTo = Some(32))
     time("signatures 1st")(sigs.select(sum(element_at(col("sig"), 1))).collect())
     time("signatures 2nd")(sigs.select(sum(element_at(col("sig"), 1))).collect())
+    // Interleaved A/B: fused MinHashSig expression vs the round-18 staged
+    // transform+UDF shape (values bit-identical — MinHashSigSpec).
+    val staged = docs.repartition(32)
+      .withColumn("sig", graft.ops.Dedup.stagedMinhashSignature(col("text"), 3, 64, 42L))
+    for (r <- 1 to 3) {
+      time(s"A/B round $r fused ")(sigs.select(sum(element_at(col("sig"), 1))).collect())
+      time(s"A/B round $r staged")(staged.select(sum(element_at(col("sig"), 1))).collect())
+    }
     val pairs = graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text", repartitionTo = Some(32))
     time("full pairs")(pairs.count())
     time("full pairs again")(pairs.count())
