@@ -12,8 +12,20 @@ import java.security.MessageDigest
   * foreign tokens as opaque keys when reading reference catalogs.
   */
 object Token {
+  // Per-thread reusable MD5 for per-row executor loops: getInstance
+  // does a provider lookup per call (~1 µs), measurable when a UDF
+  // digests every row (or every shingle) of a corpus — q78/q79/q82's
+  // map sides. Returned reset; callers may digest repeatedly (digest()
+  // itself resets between uses).
+  private val tlMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** A reset, thread-confined MD5 instance (do not retain across threads). */
+  def md5(): MessageDigest = { val m = tlMd5.get(); m.reset(); m }
+
   def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    md5().digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Canonical JSON: keys sorted, no whitespace, stable scalar forms. */
   def canonicalJson(v: Any): String = v match {

@@ -538,7 +538,7 @@ object Dedup {
       // null text: no signature — the banding entry points filter these
       if (toks == null) null
       else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = graft.core.Token.md5() // thread-local: getInstance per row is a measurable provider lookup
       val arr = toks.toArray
       val out = Array.fill(kk)(Long.MaxValue)
       val shingleIt: Iterator[String] =
@@ -866,7 +866,7 @@ object Dedup {
     val sigUdf = udf { (toks: Seq[String]) =>
       if (toks == null) null.asInstanceOf[java.lang.Long] // null text → null simhash
       else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = graft.core.Token.md5() // thread-local: getInstance per row is a measurable provider lookup
       val sums = new Array[Int](64)
       toks.foreach { t =>
         md.reset()

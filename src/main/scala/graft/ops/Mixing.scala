@@ -102,7 +102,7 @@ object Mixing {
   private val md5Mod31 = udf { (s: String) =>
     if (s == null) null.asInstanceOf[java.lang.Long]
     else {
-      val d = java.security.MessageDigest.getInstance("MD5")
+      val d = graft.core.Token.md5() // thread-local: getInstance per row is a measurable provider lookup
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var le = 0L
       var i = 7
