@@ -402,6 +402,241 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** non_empty_strings(arr): the array with null and zero-length elements
+  * removed, in ONE compiled pass — the fused form of
+  * `filter(arr, t => length(t) > 0)`, which is the tail of every
+  * tokenizer call (`TextOps.tokens`). ArrayFilter is CodegenFallback:
+  * the HOF paid an interpreted lambda dispatch + a length() eval per
+  * TOKEN on every text operator in the engine. Null elements drop
+  * exactly like the HOF (a null predicate result keeps nothing).
+  */
+case class NonEmptyStrings(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "non_empty_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    val buf = new Array[Any](sz)
+    var n = 0
+    var i = 0
+    while (i < sz) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) { buf(n) = s; n += 1 }
+      }
+      i += 1
+    }
+    if (n == sz) new GenericArrayData(buf)
+    else {
+      val out = new Array[Any](n)
+      System.arraycopy(buf, 0, out, 0, n)
+      new GenericArrayData(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sz = ctx.freshName("sz"); val buf = ctx.freshName("buf")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val outRef = ctx.freshName("outArr")
+      s"""
+         |int $sz = $arr.numElements();
+         |Object[] $buf = new Object[$sz];
+         |int $n = 0;
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    UTF8String $s = $arr.getUTF8String($i);
+         |    if ($s.numBytes() > 0) { $buf[$n++] = $s; }
+         |  }
+         |}
+         |Object[] $outRef = ($n == $sz) ? $buf : java.util.Arrays.copyOf($buf, $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($outRef);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** whitespace_tokens(str): the maximal runs of non-whitespace bytes of
+  * a string, as an array — the fused form of the tokenizer tail
+  * `filter(split(str, "\\s+"), t => length(t) > 0)`, replacing the
+  * java.util.regex engine with a single byte scan. Parity is exact:
+  * Java's `\s` (no UNICODE_CHARACTER_CLASS) is precisely the six ASCII
+  * bytes 0x09–0x0D and 0x20, none of which can appear inside a UTF-8
+  * multibyte sequence, so byte-level scanning is codepoint-safe and
+  * non-ASCII whitespace (U+00A0 &c.) correctly does NOT split — same
+  * as the regex. The split's leading-empty artifact (text starting
+  * with whitespace) and trailing empties died in the filter anyway, so
+  * emitting only non-empty runs IS the composed semantics. An
+  * all-whitespace or empty string yields an empty array; null stays
+  * null. Token values reference the scanned byte buffer (no per-token
+  * copy).
+  */
+case class WhitespaceTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "whitespace_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WhitespaceTokens.split(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.WhitespaceTokens.split($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WhitespaceTokens {
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** The compiled scan — shared by eval and codegen (the loop is all
+    * primitive byte compares; a call beats inlining 30 lines of
+    * generated Java per call site). */
+  def split(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // count runs first: exact-size output array, no growth copies
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n && k < count) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val st = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > st) { out(k) = UTF8String.fromBytes(bytes, st, i - st); k += 1 }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** count_in_set(arr, words): how many elements of a string array are in
+  * a fixed word set, in ONE compiled pass over a hash set — the fused
+  * form of `size(filter(arr, t => t.isin(w1, ..., wn)))`. The HOF form
+  * paid, per TOKEN, an interpreted lambda dispatch plus an O(n) In
+  * chain; stopword ratio and the language-ID scorer walk the token
+  * array once per word list, so the interpreted cost multiplied by
+  * five on q46's full-corpus path. Null elements count nothing,
+  * exactly like `isin`'s null result under filter.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(words.nonEmpty, "count_in_set needs a non-empty word set")
+  override def prettyName: String = "count_in_set"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < sz) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+      val sz = ctx.freshName("sz"); val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      s"""
+         |int $sz = $arr.numElements();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  if (!$arr.isNullAt($i) && $setRef.contains($arr.getUTF8String($i))) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** sum_char_lengths(arr): the total `length()` (character count) of a
+  * string array's elements, in ONE compiled pass — the fused form of
+  * `aggregate(arr, 0L, (acc, t) => acc + length(t))`, whose
+  * interpreted fold paid a lambda dispatch + boxed Long arithmetic per
+  * TOKEN on the mean-token-length quality signal. A null ELEMENT nulls
+  * the whole sum, exactly like the HOF fold (`acc + length(null)` is
+  * null and null propagates through every later step).
+  */
+case class SumCharLengths(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "sum_char_lengths"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < sz) {
+      if (arr.isNullAt(i)) return null
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sz = ctx.freshName("sz"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $sz = $arr.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $arr.getUTF8String($i).numChars();
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column wrapper for [[SpanGrams]]. */
   def spanGrams(tokens: Column, n: Int): Column =
@@ -418,4 +653,20 @@ object TextFunctions {
   /** Column wrapper for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     bridge.column(SimHash64(bridge.expression(tokens)))
+
+  /** Column wrapper for [[NonEmptyStrings]]. */
+  def nonEmptyStrings(arr: Column): Column =
+    bridge.column(NonEmptyStrings(bridge.expression(arr)))
+
+  /** Column wrapper for [[WhitespaceTokens]]. */
+  def whitespaceTokens(str: Column): Column =
+    bridge.column(WhitespaceTokens(bridge.expression(str)))
+
+  /** Column wrapper for [[CountInSet]]. */
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    bridge.column(CountInSet(bridge.expression(arr), words))
+
+  /** Column wrapper for [[SumCharLengths]]. */
+  def sumCharLengths(arr: Column): Column =
+    bridge.column(SumCharLengths(bridge.expression(arr)))
 }

@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lower-cased whitespace tokens, empties removed. */
+  /** Lower-cased whitespace tokens, empties removed. One fused byte
+    * scan ([[graft.functions.WhitespaceTokens]], round 19) replacing
+    * `filter(split(lower(trim(text)), "\\s+"), length > 0)`: the regex
+    * engine and the interpreted ArrayFilter both leave the pipeline,
+    * and `trim` is subsumed (edge spaces are separators — the leading
+    * empty string it pre-empted dies in the empty-drop anyway). Parity
+    * with the HOF formulation pinned in TextStatsExpressionsSpec; this
+    * is the tokenizer under every text operator and the DuckDB
+    * `duckTokens` twin, so the contract is frozen.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    graft.functions.TextFunctions.whitespaceTokens(lower(text))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -32,12 +41,7 @@ object TextOps {
   )
 
   /** Fraction of tokens that are (English) stopwords — a quality signal. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks)
-    )
-  }
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
@@ -46,12 +50,18 @@ object TextOps {
     )
 
   /** Mean token length — degenerate values flag boilerplate/garbage. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenFromTokens(tokens(text))
+
+  /** [[meanTokenLen]] over an already-tokenized array column: total
+    * chars via the fused [[graft.functions.SumCharLengths]] pass
+    * (round 19 — the `aggregate` HOF fold ran interpreted per token;
+    * parity incl. null-element null-out pinned in
+    * TextStatsExpressionsSpec).
+    */
+  def meanTokenLenFromTokens(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+      graft.functions.TextFunctions.sumCharLengths(toks).cast("double") / size(toks)
     )
-  }
 
   /** Composite [0,1] quality score from length/stopword/punct signals,
     * mirroring the C4/Gopher-style heuristic filters.
@@ -99,10 +109,14 @@ object TextOps {
     */
   def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
 
-  /** [[langId]] over an already-tokenized array column. */
+  /** [[langId]] over an already-tokenized array column. Word-list hit
+    * counts run through the fused [[graft.functions.CountInSet]] hash
+    * probe (round 19) — the `isin` HOF walked the token array once per
+    * language with an interpreted O(words) chain per token.
+    */
   def langIdFromTokens(text: Column, toks: Column): Column = {
     def hits(words: Seq[String]): Column =
-      size(filter(toks, t => t.isin(words.map(lit): _*)))
+      graft.functions.TextFunctions.countInSet(toks, words)
     val en = hits(Seq("the", "and", "of", "is", "was", "with"))
     val es = hits(Seq("el", "la", "los", "las", "que", "es"))
     val fr = hits(Seq("le", "les", "des", "est", "une", "et"))
@@ -115,10 +129,11 @@ object TextOps {
       .otherwise("und")
   }
 
-  /** [[stopwordRatio]] over an already-tokenized array column. */
+  /** [[stopwordRatio]] over an already-tokenized array column
+    * (fused [[graft.functions.CountInSet]] stopword probe). */
   def stopwordRatioFromTokens(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks)
+      graft.functions.TextFunctions.countInSet(toks, stopwords).cast("double") / size(toks)
     )
 
   /** Order-insensitive document fingerprint: md5 of the sorted token bag.

@@ -278,10 +278,7 @@ object TextQueries {
             col("lang"),
             size(col("_toks")).as("n_tokens"),
             round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-            round(
-              when(size(col("_toks")) === 0, 0.0).otherwise(
-                aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") / size(col("_toks"))),
-              6).as("mean_tok_len")
+            round(TextOps.meanTokenLenFromTokens(col("_toks")), 6).as("mean_tok_len")
           )
           .filter(col("n_tokens") >= 5 && col("mean_tok_len") >= 2.0)
       },

@@ -54,6 +54,33 @@ object ProfMinHashSig {
       shParity = (f, s)
     }
     println(s"[prof] simhash checksum fused=${shParity._1} hof=${shParity._2} equal=${shParity._1 == shParity._2}")
+    // Token-stat fusions (NonEmptyStrings/CountInSet/SumCharLengths) vs
+    // the interpreted-HOF predecessors, on the q46 lang+quality shape.
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "this")
+    def hofTokens(text: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    def hofStats(toksC: org.apache.spark.sql.Column) = struct(
+      size(filter(toksC, t => t.isin(stopwords.map(lit): _*))).as("stop"),
+      aggregate(toksC, lit(0L), (acc, t) => acc + length(t)).as("chars"),
+      size(toksC).as("n"))
+    def fusedStats(toksC: org.apache.spark.sql.Column) = struct(
+      graft.functions.TextFunctions.countInSet(toksC, stopwords).as("stop"),
+      graft.functions.TextFunctions.sumCharLengths(toksC).as("chars"),
+      size(toksC).as("n"))
+    val tsFused = docs.repartition(32).withColumn("_toks", graft.ops.TextOps.tokens(col("text")))
+      .select(fusedStats(col("_toks")).as("s"))
+      .agg(sum(col("s.stop")).as("a"), sum(col("s.chars")).as("b"), sum(col("s.n")).as("c"))
+    val tsHof = docs.repartition(32).withColumn("_toks", hofTokens(col("text")))
+      .select(hofStats(col("_toks")).as("s"))
+      .agg(sum(col("s.stop")).as("a"), sum(col("s.chars")).as("b"), sum(col("s.n")).as("c"))
+    tsFused.collect(); tsHof.collect()
+    var tsF = ""; var tsH = ""
+    for (r <- 1 to 3) {
+      tsF = time(s"tokstats round $r fused")(tsFused.head.toSeq.mkString(","))
+      tsH = time(s"tokstats round $r hof  ")(tsHof.head.toSeq.mkString(","))
+    }
+    println(s"[prof] tokstats checksum fused=$tsF hof=$tsH equal=${tsF == tsH}")
     spark.stop()
   }
 }
