@@ -533,6 +533,106 @@ object WhitespaceTokens {
   }
 }
 
+/** count_ascii_punct(str): how many characters of a string are ASCII
+  * punctuation — the fused form of
+  * `length(regexp_replace(str, "[^\\p{Punct}]", ""))`, which ran the
+  * regex engine over every char and MATERIALIZED the filtered string
+  * just to take its length. Java's `\p{Punct}` (no
+  * UNICODE_CHARACTER_CLASS) is exactly the 32 ASCII printable
+  * non-alphanumeric non-space chars, all single-byte, and UTF-8
+  * multibyte sequences never contain ASCII bytes — so a byte scan
+  * counts the same CHARACTERS the regex form counted.
+  */
+case class CountAsciiPunct(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "count_ascii_punct"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CountAsciiPunct.count(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.functions.CountAsciiPunct.count($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object CountAsciiPunct {
+  @inline private def isPunct(b: Byte): Boolean =
+    (b >= 33 && b <= 47) || (b >= 58 && b <= 64) || (b >= 91 && b <= 96) || (b >= 123 && b <= 126)
+
+  def count(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { if (isPunct(bytes(i))) n += 1; i += 1 }
+    n
+  }
+}
+
+/** non_blank_lines(str): the `\n`-separated segments of a string that
+  * contain at least one non-space character, in ONE byte scan — the
+  * fused form of `filter(split(str, "\n"), l => length(trim(l)) > 0)`.
+  * Kept segments are the ORIGINAL lines (untrimmed), and the blank
+  * test matches `trim`'s semantics exactly: trim strips only 0x20
+  * spaces, so a tab-only line is non-blank in both forms. Empty
+  * segments (consecutive newlines, leading/trailing) drop exactly as
+  * the filter dropped them. Byte-safe: 0x0A and 0x20 never occur
+  * inside UTF-8 multibyte sequences.
+  */
+case class NonBlankLines(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "non_blank_lines"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NonBlankLines.split(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.functions.NonBlankLines.split($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NonBlankLines {
+  def split(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    var st = 0
+    // pass 1: count non-blank segments (blank = only 0x20 bytes)
+    var nonBlank = false
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x0A) {
+        if (nonBlank) count += 1
+        nonBlank = false
+      } else if (bytes(i) != 0x20) nonBlank = true
+      i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0; st = 0; nonBlank = false
+    while (i <= n && k < count) {
+      if (i == n || bytes(i) == 0x0A) {
+        if (nonBlank) { out(k) = UTF8String.fromBytes(bytes, st, i - st); k += 1 }
+        st = i + 1
+        nonBlank = false
+      } else if (bytes(i) != 0x20) nonBlank = true
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** count_in_set(arr, words): how many elements of a string array are in
   * a fixed word set, in ONE compiled pass over a hash set — the fused
   * form of `size(filter(arr, t => t.isin(w1, ..., wn)))`. The HOF form
@@ -661,6 +761,14 @@ object TextFunctions {
   /** Column wrapper for [[WhitespaceTokens]]. */
   def whitespaceTokens(str: Column): Column =
     bridge.column(WhitespaceTokens(bridge.expression(str)))
+
+  /** Column wrapper for [[CountAsciiPunct]]. */
+  def countAsciiPunct(str: Column): Column =
+    bridge.column(CountAsciiPunct(bridge.expression(str)))
+
+  /** Column wrapper for [[NonBlankLines]]. */
+  def nonBlankLines(str: Column): Column =
+    bridge.column(NonBlankLines(bridge.expression(str)))
 
   /** Column wrapper for [[CountInSet]]. */
   def countInSet(arr: Column, words: Seq[String]): Column =

@@ -51,7 +51,11 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector under `nBits` random hyperplanes,
-    * packed into a Long. Pure Column expression (HOFs, codegen'd).
+    * packed into a Long. Pure Column formulation via HOFs — which run
+    * INTERPRETED (ArrayAggregate/ZipWith are CodegenFallback); every
+    * hot path uses the fused [[VectorFunctions.lshBandBuckets]]
+    * instead, and this single-Long packing exists as the simple API
+    * surface for ad-hoc use.
     */
   def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 64, s"lshSignature packs into a Long; use VectorFunctions.lshBandBuckets for $nBits bits")

@@ -43,10 +43,14 @@ object TextOps {
   /** Fraction of tokens that are (English) stopwords — a quality signal. */
   def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
 
-  /** Fraction of characters that are punctuation. */
+  /** Fraction of characters that are punctuation — the fused
+    * [[graft.functions.CountAsciiPunct]] byte scan (round 19; the
+    * regexp_replace form materialized the filtered string per row just
+    * to take its length; parity pinned in TextStatsExpressionsSpec).
+    */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text)
+      graft.functions.TextFunctions.countAsciiPunct(text).cast("double") / length(text)
     )
 
   /** Mean token length — degenerate values flag boilerplate/garbage. */
@@ -156,9 +160,14 @@ object TextOps {
     )
   }
 
-  /** Non-empty lines of a document. */
+  /** Non-empty lines of a document — the fused
+    * [[graft.functions.NonBlankLines]] byte scan (round 19; parity
+    * with `filter(split(text, "\n"), length(trim(l)) > 0)` — original
+    * untrimmed lines kept, space-only lines dropped, tab-only kept —
+    * pinned in TextStatsExpressionsSpec).
+    */
   def lines(text: Column): Column =
-    filter(split(text, "\n"), l => length(trim(l)) > 0)
+    graft.functions.TextFunctions.nonBlankLines(text)
 
   /** Fraction of non-empty lines that are duplicates of an earlier
     * line — the Gopher/MassiveText repetition rule's line form. Pure
@@ -179,7 +188,7 @@ object TextOps {
   def c4KeepLine(line: Column, minWords: Int = 5): Column = {
     val t = trim(line)
     t.rlike("[.!?\"]$") &&
-      size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords &&
+      size(graft.functions.TextFunctions.whitespaceTokens(t)) >= minWords &&
       !lower(t).contains("lorem ipsum") &&
       !lower(t).contains("javascript") &&
       !t.contains("{")

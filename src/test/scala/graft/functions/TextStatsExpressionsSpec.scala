@@ -93,6 +93,42 @@ class TextStatsExpressionsSpec extends SparkSpec {
     assert(nbsp.head == "non breaking", s"NBSP must not split: $nbsp")
   }
 
+  test("CountAsciiPunct equals length(regexp_replace non-punct removal) on every shape") {
+    val texts = Seq(
+      "Hello, world! (test) [ok]; {x} — em-dash stays non-punct",
+      "", "no punct here", "!!!...???", "mixé? 北京。", // 。 is U+3002, NOT \p{Punct}
+      "a\tb\nc", null.asInstanceOf[String]
+    ).toDF("text")
+    val rows = texts.select(col("text"),
+      TextFunctions.countAsciiPunct(col("text")).as("fused"),
+      length(regexp_replace(col("text"), "[^\\p{Punct}]", "")).as("hof"))
+      .as[(Option[String], Option[Int], Option[Int])].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (t, fused, hof) => assert(fused == hof, s"text=$t: fused=$fused hof=$hof") }
+  }
+
+  test("NonBlankLines equals filter(split \\n, length(trim) > 0) on every shape") {
+    val texts = Seq(
+      "line one\nline two",
+      "\n\nx\n\n",            // leading/trailing/consecutive newlines
+      "   \nreal\n   ",        // space-only lines drop
+      "\t\nkeep tab line",    // tab-only line is NON-blank (trim strips only spaces)
+      "single",
+      "",
+      "\n",
+      "mixé\n北京",
+      null.asInstanceOf[String]
+    ).toDF("text")
+    val rows = texts.select(col("text"),
+      TextFunctions.nonBlankLines(col("text")).as("fused"),
+      filter(split(col("text"), "\n"), l => length(trim(l)) > 0).as("hof"))
+      .as[(Option[String], Option[Seq[String]], Option[Seq[String]])].collect()
+    assert(rows.length == 9)
+    rows.foreach { case (t, fused, hof) =>
+      assert(fused == hof, s"text=${t.map(_.replace("\n", "\\n"))}: fused=$fused hof=$hof")
+    }
+  }
+
   test("WhitespaceTokens interpreted eval matches codegen and the split+filter tree") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val s = "  hello\t\tworld \r\n mixé x  "
