@@ -27,6 +27,34 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
+  // Scalar-parameter extraction for SQL-surface builders: the Int/Long/
+  // word-list parameters of the fused text expressions are expression
+  // CONSTRUCTOR arguments (they shape the generated code), so the SQL
+  // form requires foldable literals and refuses anything else loudly.
+  private def litInt(e: Expression, fn: String, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+  private def litLong(e: Expression, fn: String, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+  private def litStrings(e: Expression, fn: String, what: String): Seq[String] = e match {
+    case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      arr.children.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: $what must be an array of string literals, got element $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be array('w1', 'w2', ...) of string literals, got $other")
+  }
+
   private[functions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
@@ -36,7 +64,37 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - Euclidean norm of a float vector"),
-      (args: Seq[Expression]) => L2Norm(args(0)))
+      (args: Seq[Expression]) => L2Norm(args(0))),
+    (FunctionIdentifier("span_grams"),
+      info("span_grams", "span_grams(tokens, n) - every n-token window joined by spaces (fused)"),
+      (args: Seq[Expression]) => SpanGrams(args(0), litInt(args(1), "span_grams", "n"))),
+    (FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(tokens, n) - 64-bit n-gram hashes of a token array (fused)"),
+      (args: Seq[Expression]) => GramHashes(args(0), litInt(args(1), "gram_hashes", "n"))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, shingleN, k[, seed]) - k-long MinHash signature (fused)"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        litInt(args(1), "minhash_sig", "shingleN"),
+        litInt(args(2), "minhash_sig", "k"),
+        if (args.length > 3) litLong(args(3), "minhash_sig", "seed") else 42L)),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array (fused)"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("whitespace_tokens"),
+      info("whitespace_tokens", "whitespace_tokens(str) - maximal non-whitespace runs (fused tokenizer tail)"),
+      (args: Seq[Expression]) => WhitespaceTokens(args(0))),
+    (FunctionIdentifier("non_blank_lines"),
+      info("non_blank_lines", "non_blank_lines(str) - newline-split segments with any non-space char (fused)"),
+      (args: Seq[Expression]) => NonBlankLines(args(0))),
+    (FunctionIdentifier("count_ascii_punct"),
+      info("count_ascii_punct", "count_ascii_punct(str) - ASCII punctuation character count (fused)"),
+      (args: Seq[Expression]) => CountAsciiPunct(args(0))),
+    (FunctionIdentifier("sum_char_lengths"),
+      info("sum_char_lengths", "sum_char_lengths(arr) - total character count of a string array (fused)"),
+      (args: Seq[Expression]) => SumCharLengths(args(0))),
+    (FunctionIdentifier("count_in_set"),
+      info("count_in_set", "count_in_set(arr, array('w', ...)) - elements present in a literal word set (fused)"),
+      (args: Seq[Expression]) => CountInSet(args(0), litStrings(args(1), "count_in_set", "word set")))
   )
 
   /** Register into an already-running session (extensions normally bind
