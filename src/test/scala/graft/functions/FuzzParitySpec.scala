@@ -27,7 +27,7 @@ class FuzzParitySpec extends SparkSpec {
       ".", ",", "!", "?", "{", "}", "[", "]", "@", "#", "~", "`", "\\", "\"", "'",
       "...", "!!!", "a.b", "e@x.io"
     )
-    val cases = (1 to 380).map { _ =>
+    val cases = (1 to 394).map { _ =>
       val n = rnd.nextInt(30)
       (1 to n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
     }

@@ -59,5 +59,14 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT count_in_set(array('a'), array(lower('B')))").collect()
     }
     assert(err.getMessage.contains("string literals"), err.getMessage)
+    // out-of-Int-range shape params refuse instead of truncating
+    // (4294967297L.toInt is 1 — silent truncation would reshape the expression)
+    val overflow = intercept[Exception] {
+      spark.sql("SELECT span_grams(array('a','b'), 4294967297)").collect()
+    }
+    assert(overflow.getMessage.contains("must fit in an Int"), overflow.getMessage)
+    // non_empty_strings registers alongside its siblings
+    val nes = spark.sql("SELECT non_empty_strings(array('a', '', NULL, 'b'))").collect().head
+    assert(nes.getSeq[String](0) == Seq("a", "b"))
   }
 }
