@@ -32,7 +32,22 @@ object Dedup {
   // ~a few MB — so 16 retained lineages stay a bounded footprint.
   private val portableSigsCacheDepth =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt.max(4)
-  private val recentPortableSigs = scala.collection.mutable.Queue.empty[DataFrame]
+  private val recentSigCaches = scala.collection.mutable.Queue.empty[DataFrame]
+
+  /** Persist a signature frame with bounded FIFO retention (see the
+    * depth rationale above): the returned plan is lazy so the call
+    * can't know when unpersisting is safe, and the frame is evaluated
+    * by several downstream subtrees (banding, bucket bounds, scoring).
+    */
+  private[ops] def cacheSigs(sigs: DataFrame): DataFrame = {
+    val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      recentSigCaches.enqueue(cached)
+      while (recentSigCaches.size > portableSigsCacheDepth)
+        recentSigCaches.dequeue().unpersist(blocking = false)
+    }
+    cached
+  }
 
   /** Exact dedup: keep one row (min of `idCol`) per distinct value of
     * `onCol`'s content hash. groupBy is shuffle-partial-aggregated
@@ -573,23 +588,12 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val bandW = k / bands
-    val sigs = withPortableMinhashSignature(
+    val sigs = cacheSigs(withPortableMinhashSignature(
       repartitionTo.map(df.repartition(_)).getOrElse(df), textCol, "_sig", shingleN, k, seed)
       .select(col(idCol).as("_id"), col("_sig"))
       // null text → null signature: drop before banding, or concat_ws of
       // a null slice ("") would bucket every null-text doc together
-      .where(col("_sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The returned plan is lazy, so the cache can't unpersist inside this
-    // call; bound the footprint to the last few lineages (FIFO) so
-    // repeated bench/correctness invocations don't accumulate caches but
-    // a concurrently-running sibling's cache also isn't dropped while its
-    // lazy self-join is still unevaluated.
-    Dedup.synchronized {
-      recentPortableSigs.enqueue(sigs)
-      while (recentPortableSigs.size > portableSigsCacheDepth)
-        recentPortableSigs.dequeue().unpersist(blocking = false)
-    }
+      .where(col("_sig").isNotNull))
     val banded = sigs.select(
       col("_id"),
       posexplode(
@@ -624,6 +628,229 @@ object Dedup {
       repartitionTo = repartitionTo)
       .select(col(idCol), col("_sig"))
     lshCandidatePairs(sigs, idCol, "_sig", bands).filter(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------ //
+  // Incremental dedup: a new batch against a persisted history index.  //
+  // ------------------------------------------------------------------ //
+
+  /** Map-side LSH banding that KEEPS the signature on each band row:
+    * (_id, _sig, _band, _bucket), no exchange. [[lshCandidatePairs]]
+    * deliberately drops `_sig` before banding because its band rows go
+    * through the bucket exchange (shuffling k longs bands× over is the
+    * scale killer there); the incremental probe's history band rows
+    * never shuffle — they stream through a broadcast semi-join — so
+    * carrying the signature here is what makes the probe a SINGLE pass
+    * over the history signature table (no re-attach joins).
+    */
+  private def bandedWithSig(sigs: DataFrame, bands: Int): DataFrame = {
+    val bandW = floor(size(col("_sig")) / bands).cast("int")
+    sigs.select(
+      col("_id"), col("_sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_sig"), b * bandW + 1, bandW), b))))
+      .withColumnRenamed("pos", "_band")
+      .withColumnRenamed("col", "_bucket")
+  }
+
+  /** Portable (DuckDB-replicable) variant of [[bandedWithSig]]: the
+    * bucket is the literal comma-joined band slice, not an engine hash
+    * — exactly [[minhashNearDupPairsPortable]]'s banding. */
+  private def bandedWithSigPortable(sigs: DataFrame, bands: Int, bandW: Int): DataFrame =
+    sigs.select(
+      col("_id"), col("_sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => concat_ws(",", slice(col("_sig"), bnd * bandW + 1, lit(bandW))))))
+      .withColumnRenamed("pos", "_band")
+      .withColumnRenamed("col", "_bucket")
+
+  /** Probe core shared by the xxhash64 and portable incremental paths.
+    * Both inputs are banded signature frames ([[bandedWithSig]] shape).
+    * Exchange census at 100 TB: ONE batch-proportional window exchange
+    * (batch bucket sizes), ONE signal-proportional window exchange
+    * (history bucket sizes over COLLIDED rows only), ONE
+    * signal-proportional dropDuplicates, plus broadcasts of
+    * batch-derived frames. The history lineage is narrow end-to-end:
+    * scan → banding explode → broadcast semi-join. A corpus-wide
+    * history bucket count never happens.
+    */
+  private def incrementalProbe(
+      bBand: DataFrame,
+      hBand: DataFrame,
+      maxBucket: Int,
+      threshold: Double,
+      broadcastBatch: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = bBand.sparkSession
+    def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+
+    // Batch-side skew bound: exact bucket sizes on the small side (one
+    // batch-sized exchange). Singletons survive — unlike the self-join
+    // guard, a one-member batch bucket still pairs with history.
+    val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
+      s"incremental LSH: batch band rows in buckets larger than maxBucket=$maxBucket dropped " +
+        "whole — pre-dedup exact duplicates in the batch or raise maxBucket")
+    val bBounded = bBand
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+      .where(bKeep(col("_c")))
+      .drop("_c")
+
+    // History side: the batch's kept bucket keys broadcast into a
+    // semi-join — only COLLIDED history rows (signal-sized) survive.
+    val collided = hBand.join(bc(bBounded.select("_band", "_bucket").distinct()),
+      Seq("_band", "_bucket"), "leftsemi")
+
+    // History-side skew bound, computed on the collided subset only.
+    val hKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
+      s"incremental LSH: history band rows in buckets larger than maxBucket=$maxBucket dropped " +
+        "whole — an identical-doc clique above the bound matches NO batch doc; raise maxBucket " +
+        "or pre-collapse exact-dup cliques in the index")
+    val hBounded = collided
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+      .where(hKeep(col("_c")))
+      .drop("_c")
+
+    // Candidate pairs: collided history rows × broadcast batch rows on
+    // (band, bucket). Signatures ride along — no re-attach joins, no
+    // second history pass. Score (full-signature agreement) and
+    // threshold-filter BEFORE deduping multi-band collisions — the
+    // lshCosinePairs lesson: scoring a duplicate candidate costs k
+    // compares, deduping the un-filtered candidate set costs an
+    // exchange of the LARGEST frame in the plan.
+    hBounded
+      .join(bc(bBounded.select(col("_band"), col("_bucket"),
+        col("_id").as("new_id"), col("_sig").as("_bsig"))), Seq("_band", "_bucket"))
+      .select(col("new_id"), col("_id").as("hist_id"),
+        (size(filter(zip_with(col("_bsig"), col("_sig"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / size(col("_bsig"))).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("new_id", "hist_id")
+  }
+
+  /** Near-duplicate pairs between a new BATCH and a persisted HISTORY
+    * signature corpus — the daily-increment shape of
+    * [[minhashNearDupPairs]]: dedupe today's crawl against the 100 TB
+    * corpus WITHOUT recomputing or reshuffling the corpus. Both inputs
+    * are signature frames produced by the SAME recipe
+    * ([[withMinhashSignature]] with identical shingleN/k/seed — the
+    * signature parameters are part of the index format; mixing recipes
+    * silently matches nothing). The history side is typically the
+    * persisted `(id, sig)` parquet of all previously-kept documents
+    * (k longs per row — ~1-2% of corpus bytes).
+    *
+    * Scale shape (why this isn't just union + [[minhashNearDupPairs]]):
+    * the history side is NEVER exchanged — banding is a map-side
+    * explode, the batch's (band, bucket) keys broadcast into a
+    * semi-join that keeps only collided history rows, the history-side
+    * skew bound counts members on that collided subset only, and
+    * signatures ride the collided rows so scoring needs no re-attach
+    * join. Every exchange carries batch- or signal-proportional rows.
+    * Set `broadcastBatch = false` when the "batch" is itself too large
+    * to broadcast (falls back to ordinary joins; AQE still chooses
+    * broadcast when stats allow).
+    *
+    * Skew: buckets with more than `maxBucket` members on EITHER side
+    * are dropped whole (the [[lshCandidatePairs]] recall-cliff
+    * contract; dropped band rows are counted and warned at job end).
+    * Ids need not be disjoint across the two frames: a shared id pairs
+    * with itself only if its two signatures actually collide, and the
+    * (x, x) row is then a true "batch doc x matches history doc x".
+    *
+    * Returns (new_id, hist_id, est_jaccard) with est_jaccard >=
+    * threshold, where new_id is from the batch and hist_id from
+    * history.
+    */
+  def incrementalNearDupPairs(
+      batchSigs: DataFrame,
+      batchIdCol: String,
+      batchSigCol: String,
+      historySigs: DataFrame,
+      histIdCol: String,
+      histSigCol: String,
+      bands: Int,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    // null signature (null text) drops here — same degenerate-bucket
+    // argument as lshCandidatePairs. The batch projection is cached
+    // (bounded FIFO): its lineage feeds the bucket-key broadcast, the
+    // band-row broadcast, and scoring.
+    val b = cacheSigs(batchSigs.select(col(batchIdCol).as("_id"), col(batchSigCol).as("_sig"))
+      .where(col("_sig").isNotNull))
+    val h = historySigs.select(col(histIdCol).as("_id"), col(histSigCol).as("_sig"))
+      .where(col("_sig").isNotNull)
+    incrementalProbe(bandedWithSig(b, bands), bandedWithSig(h, bands),
+      maxBucket, threshold, broadcastBatch)
+  }
+
+  /** Hash-exact portable twin of [[incrementalNearDupPairs]] (the q78
+    * relationship): md5-based signatures, literal band-slice buckets —
+    * every stage DuckDB-replicable value-for-value, so the incremental
+    * probe's semantics (per-side bucket bounds, collided-subset
+    * counting, cross-corpus candidate join, agreement scoring) are
+    * verified against an independent engine rather than rows-only.
+    * Computes signatures from text on both sides; the scale path takes
+    * precomputed signature frames instead.
+    */
+  def incrementalNearDupPairsPortable(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      repartitionTo: Option[Int] = None
+  ): DataFrame = {
+    val bandW = k / bands
+    def sigsOf(df: DataFrame): DataFrame =
+      withPortableMinhashSignature(
+        repartitionTo.map(df.repartition(_)).getOrElse(df), textCol, "_sig", shingleN, k, seed)
+        .select(col(idCol).as("_id"), col("_sig"))
+        .where(col("_sig").isNotNull)
+    val b = cacheSigs(sigsOf(batch))
+    val h = sigsOf(history)
+    incrementalProbe(bandedWithSigPortable(b, bands, bandW), bandedWithSigPortable(h, bands, bandW),
+      maxBucket, threshold, broadcastBatch = true)
+  }
+
+  /** End-to-end incremental dedup: compute the batch's signatures with
+    * the SAME recipe as the history index, drop batch docs matching
+    * history at >= threshold, then (by default) near-dup-dedup the
+    * survivors within the batch itself ([[dedupNearDups]] — a new
+    * boilerplate cluster arriving entirely inside one increment has no
+    * history edge). Returns surviving batch rows with their original
+    * columns; union the survivors' signatures into the history index
+    * afterwards to advance it.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      historySigs: DataFrame,
+      histIdCol: String,
+      histSigCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      withinBatch: Boolean = true,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val sigs = withMinhashSignature(batch.select(col(idCol), col(textCol)), textCol, "_sig",
+      shingleN, k)
+    val matched = incrementalNearDupPairs(sigs, idCol, "_sig",
+      historySigs, histIdCol, histSigCol, bands, threshold, maxBucket, broadcastBatch)
+      .select(col("new_id").as(idCol)).distinct()
+    val kept = batch.join(if (broadcastBatch) broadcast(matched) else matched, Seq(idCol), "left_anti")
+    // the within-batch pass reuses the caller's threshold/shingleN; its
+    // signature k/bands are minhashNearDupPairs' standard recipe
+    if (withinBatch) dedupNearDups(kept, idCol, textCol, threshold, shingleN) else kept
   }
 
   /** Connected components over a near-dup pair list by the alternating

@@ -79,6 +79,27 @@ private[graft] object ObservedWarnings {
     (sizeCol: Column) => guard(sizeCol)
   }
 
+  /** Like [[boundedBucketFilter]] but keeps singletons (`sz >= 1`): the
+    * incremental probe bounds each SIDE of a (batch × history) bucket
+    * join, where a one-member bucket still pairs with the other side's
+    * members — only oversize is a drop condition. Takes the size as
+    * Long because it guards window/agg `count` outputs. Unlike the
+    * bounded variant this guards a PER-ROW window count (each band row
+    * carries its bucket's size), so the accumulator counts dropped
+    * band ROWS, not buckets — the message should say so.
+    */
+  def oversizeBucketFilter(spark: SparkSession, maxBucket: Int, message: String): Column => Column = {
+    val name = s"graft.warn.${counter.incrementAndGet()}"
+    val acc = spark.sparkContext.longAccumulator(name)
+    putBounded(name, Watch(acc, message))
+    attach(spark.sparkContext)
+    val guard = udf { (sz: Long) =>
+      if (sz > maxBucket) acc.add(1L)
+      sz <= maxBucket
+    }
+    (sizeCol: Column) => guard(sizeCol)
+  }
+
   private def attach(sc: SparkContext): Unit =
     if (attached.put(sc, java.lang.Boolean.TRUE) == null)
       sc.addSparkListener(new SparkListener {

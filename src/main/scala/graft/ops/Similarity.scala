@@ -654,6 +654,149 @@ object Similarity {
     }
   }
 
+  /** Shared probe core of [[incrementalCosinePairs]] /
+    * [[incrementalCosinePairsPortable]]: both inputs are banded
+    * (_id, _v, _band, _bucket) frames (the banding expression — float
+    * hyperplanes on the scale path, integer hyperplanes on the oracle
+    * path — is the caller's). Same exchange census as
+    * [[Dedup]]'s incremental probe: one batch-proportional window, one
+    * signal-proportional window over the COLLIDED subset, one
+    * signal-proportional dropDuplicates of verified survivors; the
+    * history lineage is narrow up to the broadcast semi-join. Vectors
+    * ride the collided rows (signal-sized), so exact-cosine verify
+    * needs no re-attach join and runs BEFORE dedup (the
+    * [[cosineNearDupPairs]] lesson: verify is 64 FMAs, deduping the
+    * unfiltered candidate set is an exchange of the plan's largest
+    * frame).
+    */
+  private def incrementalCosineProbe(
+      bBand: DataFrame,
+      hBand: DataFrame,
+      threshold: Double,
+      maxBucket: Int,
+      broadcastBatch: Boolean
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = bBand.sparkSession
+    def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
+      s"incremental cosine LSH: batch band rows in buckets larger than maxBucket=$maxBucket " +
+        "dropped whole — pre-dedup exact-duplicate vectors in the batch or raise maxBucket")
+    val bBounded = bBand
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+      .where(bKeep(col("_c")))
+      .drop("_c")
+    val collided = hBand.join(bc(bBounded.select("_band", "_bucket").distinct()),
+      Seq("_band", "_bucket"), "leftsemi")
+    val hKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
+      s"incremental cosine LSH: history band rows in buckets larger than maxBucket=$maxBucket " +
+        "dropped whole — an identical-vector clique above the bound matches NO batch vector; " +
+        "raise maxBucket or pre-collapse exact-dup vectors in the index")
+    val hBounded = collided
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+      .where(hKeep(col("_c")))
+      .drop("_c")
+    hBounded
+      .join(bc(bBounded.select(col("_band"), col("_bucket"),
+        col("_id").as("new_id"), col("_v").as("_bv"))), Seq("_band", "_bucket"))
+      .select(col("new_id"), col("_id").as("hist_id"),
+        VectorFunctions.cosineSim(col("_bv"), col("_v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("new_id", "hist_id")
+  }
+
+  private def floatVec(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("_v"))
+      .where(col("_v").isNotNull)
+
+  /** Near-duplicate (new_id, hist_id, cosine) pairs between a new batch
+    * of embeddings and a persisted history corpus — the embedding-side
+    * sibling of [[Dedup.incrementalNearDupPairs]], for the
+    * daily-increment pipeline: probe today's vectors against the 100 TB
+    * corpus without reshuffling it. The banding parameters are part of
+    * the index contract: probe with the SAME (dim, bitsPerGroup,
+    * groups, seed) the corpus was sized for at build time
+    * ([[autoLshParams]]); a mismatched recipe silently matches nothing.
+    * Exact-cosine verify means NO false positives at any banding; the
+    * banding controls recall only ([[lshExpectedMiss]]).
+    *
+    * History lineage: scan → map-side [[VectorFunctions.lshBandBuckets]]
+    * explode → broadcast semi-join on the batch's kept bucket keys —
+    * only collided (signal-sized) rows ever reach an exchange, and the
+    * history-side `maxBucket` bound counts members on that collided
+    * subset, never corpus-wide. `broadcastBatch = false` falls back to
+    * ordinary joins for jumbo increments.
+    */
+  def incrementalCosinePairs(
+      batch: DataFrame,
+      batchIdCol: String,
+      batchVecCol: String,
+      history: DataFrame,
+      histIdCol: String,
+      histVecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      bitsPerGroup: Int = 8,
+      groups: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      Dedup.cacheSigs(floatVec(df, idCol, vecCol))
+        .select(col("_id"), col("_v"),
+          posexplode(VectorFunctions.lshBandBuckets(col("_v"), bitsPerGroup, groups, dim, seed)))
+        .withColumnRenamed("pos", "_band")
+        .withColumnRenamed("col", "_bucket")
+    // only the BATCH projection is cached (its lineage feeds the key
+    // broadcast, the row broadcast, and verify); the history side is
+    // evaluated once and must stay uncached at corpus scale
+    val bBand = banded(batch, batchIdCol, batchVecCol)
+    val hBand = floatVec(history, histIdCol, histVecCol)
+      .select(col("_id"), col("_v"),
+        posexplode(VectorFunctions.lshBandBuckets(col("_v"), bitsPerGroup, groups, dim, seed)))
+      .withColumnRenamed("pos", "_band")
+      .withColumnRenamed("col", "_bucket")
+    incrementalCosineProbe(bBand, hBand, threshold, maxBucket, broadcastBatch)
+  }
+
+  /** Hash-exact portable twin of [[incrementalCosinePairs]] (the q86
+    * mold): integer hyperplanes over quantized components
+    * ([[portableLshBuckets]]) make every sign bit, bucket, per-side
+    * bound, candidate pair, and cosine value DuckDB-replicable, so the
+    * incremental probe shape is verified value-for-value against an
+    * independent engine. The scale path keeps the codegen'd float
+    * hyperplanes.
+    */
+  def incrementalCosinePairsPortable(
+      batch: DataFrame,
+      batchIdCol: String,
+      batchVecCol: String,
+      history: DataFrame,
+      histIdCol: String,
+      histVecCol: String,
+      threshold: Double,
+      bitsPerGroup: Int = 6,
+      groups: Int = 6,
+      seed: Long = 42L,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    def banded(df: DataFrame, idCol: String, vecCol: String, cache: Boolean): DataFrame = {
+      val base = floatVec(df, idCol, vecCol)
+      (if (cache) Dedup.cacheSigs(base) else base)
+        .select(col("_id"), col("_v"),
+          posexplode(portableLshBuckets(col("_v"), bitsPerGroup, groups, seed)))
+        .withColumnRenamed("pos", "_band")
+        .withColumnRenamed("col", "_bucket")
+    }
+    incrementalCosineProbe(
+      banded(batch, batchIdCol, batchVecCol, cache = true),
+      banded(history, histIdCol, histVecCol, cache = false),
+      threshold, maxBucket, broadcastBatch = true)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-row scale
     * `max(|x|)/127`, elements rounded to [-127, 127] — the standard 4×
     * storage/bandwidth cut for large vector corpora, with cosine

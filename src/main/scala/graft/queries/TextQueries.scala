@@ -1066,6 +1066,164 @@ object TextQueries {
                CAST(len(clean) AS INT) AS clean_nchars
         FROM c
       """)
+    ),
+    (
+      "q94_incremental_dedup",
+      // Incremental dedup probe, PRODUCTION path (xxhash64 signatures —
+      // engine-specific, so rows-only; q95 is the hash-exact twin):
+      // today's "batch" (doc_id % 3 = 0) probed against the persisted
+      // "history" signature index (the other two thirds). The history
+      // lineage is never exchanged: map-side banding, broadcast
+      // semi-join on the batch's bucket keys, per-side skew bounds, and
+      // signatures riding the collided rows (no re-attach join).
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def sigsOf(side: org.apache.spark.sql.DataFrame) =
+          Dedup.withMinhashSignature(side.select(col("doc_id"), col("text")),
+            "text", "sig", shingleN = 3, k = 16,
+            repartitionTo = Some(s.sparkContext.defaultParallelism))
+            .select(col("doc_id"), col("sig"))
+        Dedup.incrementalNearDupPairs(
+          sigsOf(docs.filter(col("doc_id") % 3 === 0)), "doc_id", "sig",
+          sigsOf(docs.filter(col("doc_id") % 3 =!= 0)), "doc_id", "sig",
+          bands = 4, threshold = 0.5)
+          .select(col("new_id"), col("hist_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      },
+      None
+    ),
+    (
+      "q95_incremental_portable",
+      // Hash-exact twin of q94 (the q78 relationship): md5-based
+      // signatures and literal band-slice buckets, so the ENTIRE
+      // incremental probe — per-side bucket bounds, collided-subset
+      // counting, cross-corpus candidate join, agreement scoring — is
+      // value-checked against DuckDB rather than rows-only.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.incrementalNearDupPairsPortable(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5,
+          repartitionTo = Some(s.sparkContext.defaultParallelism))
+          .select(col("new_id"), col("hist_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      },
+      Some {
+        val (a, b) = Dedup.portableCoeffs(16, 42L)
+        val sigExprs = (0 until 16)
+          .map(i => s"list_min(list_transform(h, x -> (${a(i)} * x + ${b(i)}) % 2147483647))")
+          .mkString(",\n                 ")
+        s"""
+        WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS tk
+                      FROM documents),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+            ELSE list_transform(generate_series(1, len(tk) - 2),
+                                i -> array_to_string(tk[i:i+2], ' ')) END AS ss
+          FROM toks),
+        hs AS (SELECT doc_id,
+                      list_transform(ss, s -> CAST(md5_number_upper(s) % 2147483647 AS BIGINT)) AS h
+               FROM sh),
+        sigs AS (SELECT doc_id, [$sigExprs] AS sig FROM hs),
+        bandrows AS (
+          SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+        batchrows AS (SELECT * FROM bandrows WHERE doc_id % 3 = 0),
+        histrows  AS (SELECT * FROM bandrows WHERE doc_id % 3 <> 0),
+        bsz AS (SELECT b, bucket, count(*) AS c FROM batchrows GROUP BY b, bucket),
+        bkeep AS (
+          SELECT br.* FROM batchrows br JOIN bsz USING (b, bucket) WHERE c <= 1000),
+        bkeys AS (SELECT DISTINCT b, bucket FROM bkeep),
+        coll AS (SELECT hr.* FROM histrows hr JOIN bkeys USING (b, bucket)),
+        hsz AS (SELECT b, bucket, count(*) AS c FROM coll GROUP BY b, bucket),
+        hkeep AS (SELECT coll.* FROM coll JOIN hsz USING (b, bucket) WHERE c <= 1000),
+        cand AS (
+          SELECT DISTINCT bk.doc_id AS new_id, hk.doc_id AS hist_id
+          FROM bkeep bk JOIN hkeep hk USING (b, bucket)),
+        est AS (
+          SELECT c.new_id, c.hist_id,
+                 CAST(len(list_filter(generate_series(1, 16), j -> s1.sig[j] = s2.sig[j])) AS DOUBLE) / 16
+                   AS est_jaccard
+          FROM cand c
+          JOIN sigs s1 ON s1.doc_id = c.new_id
+          JOIN sigs s2 ON s2.doc_id = c.hist_id)
+        SELECT new_id, hist_id, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+      """
+      }
+    ),
+    (
+      "q96_incremental_cosine",
+      // Embedding-side incremental dedup, PRODUCTION path (float
+      // hyperplane buckets — engine-specific, so rows-only; q97 is the
+      // hash-exact twin): today's vectors (vec_id % 5 = 0) probed
+      // against the persisted history corpus. Exact-cosine verify means
+      // no false positives; history is never exchanged. The synthetic
+      // embeddings top out near cosine 0.6, so the threshold sits at
+      // 0.45 with wide banding (4 bits x 8 groups, ~0.8 recall) to keep
+      // the output non-empty at both SFs — q50 keeps the 0.8 production
+      // threshold (empty here) as the plan-cost benchmark.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.incrementalCosinePairs(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          threshold = 0.45, bitsPerGroup = 4, groups = 8)
+          .select(col("new_id"), col("hist_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      None
+    ),
+    (
+      "q97_incremental_cosine_portable",
+      // Hash-exact twin of q96 (the q86 mold): integer hyperplanes over
+      // quantized components make every sign bit, bucket, per-side
+      // bound, candidate pair, and cosine DuckDB-replicable — the
+      // incremental cosine probe is value-checked end to end.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.incrementalCosinePairsPortable(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          threshold = 0.45, bitsPerGroup = 4, groups = 8, seed = 42L)
+          .select(col("new_id"), col("hist_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some {
+        val (a, b) = Dedup.portableCoeffs(32, 42L)
+        def bucketExpr(g: Int): String = (0 until 4).map { j =>
+          val h = g * 4 + j
+          s"""(CASE WHEN list_sum(list_transform(qv, (x,i) -> x * ((${a(h)} * i + ${b(h)}) % 2147483647 - 1073741823))) > 0 THEN ${1L << j} ELSE 0 END)"""
+        }.mkString("(", " + ", ")")
+        val buckets = (0 until 8).map(bucketExpr).mkString(",\n                 ")
+        s"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+          FROM embeddings
+        ), bk AS (
+          SELECT vec_id, unnest(range(0, 8)) AS band,
+                 unnest([$buckets]) AS bucket
+          FROM q
+        ), batchrows AS (SELECT * FROM bk WHERE vec_id % 5 = 0),
+        histrows  AS (SELECT * FROM bk WHERE vec_id % 5 <> 0),
+        bsz AS (SELECT band, bucket, count(*) AS c FROM batchrows GROUP BY band, bucket),
+        bkeep AS (
+          SELECT br.* FROM batchrows br JOIN bsz USING (band, bucket) WHERE c <= 1000),
+        bkeys AS (SELECT DISTINCT band, bucket FROM bkeep),
+        coll AS (SELECT hr.* FROM histrows hr JOIN bkeys USING (band, bucket)),
+        hsz AS (SELECT band, bucket, count(*) AS c FROM coll GROUP BY band, bucket),
+        hkeep AS (SELECT coll.* FROM coll JOIN hsz USING (band, bucket) WHERE c <= 1000),
+        cand AS (
+          SELECT DISTINCT bk2.vec_id AS new_id, hk.vec_id AS hist_id
+          FROM bkeep bk2 JOIN hkeep hk USING (band, bucket)),
+        scored AS (
+          SELECT c.new_id, c.hist_id,
+                 list_cosine_similarity(be.embedding, he.embedding) AS cos
+          FROM cand c
+          JOIN embeddings be ON be.vec_id = c.new_id
+          JOIN embeddings he ON he.vec_id = c.hist_id)
+        SELECT new_id, hist_id, round(cos, 4) AS cosine
+        FROM scored WHERE cos >= 0.45
+      """
+      }
     )
   )
 }

@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup (round 19): a new batch probed against a persisted
+  * history signature index. Correctness is pinned by PARITY with the
+  * batch self-join path — the crossing subset of
+  * [[Dedup.minhashNearDupPairs]] over the union corpus must equal the
+  * incremental probe's output under the same signature recipe — plus
+  * explicit end-to-end, skew-bound, and plan-shape contracts.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted near-dup structure crossing any split: doc i shares its
+  // template with all docs of i % 4, and templates differ strongly
+  private def corpus(n: Int): DataFrame = {
+    val templates = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "spark engines shuffle partitioned data across executor nodes under load",
+      "training corpora require careful deduplication before any model sees them",
+      "completely unrelated prose about cooking pasta with garlic and olive oil")
+    Seq.tabulate(n)(i => (i.toLong, s"${templates(i % 4)} tail token $i"))
+      .toDF("doc_id", "text")
+  }
+
+  private def sigsOf(df: DataFrame, k: Int = 32): DataFrame =
+    Dedup.withMinhashSignature(df.select(col("doc_id"), col("text")), "text", "sig",
+      shingleN = 3, k = k)
+      .select(col("doc_id"), col("sig"))
+
+  test("incremental pairs equal the crossing subset of the union self-join (xxhash path)") {
+    val docs = corpus(40)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = Dedup.incrementalNearDupPairs(
+      sigsOf(batch), "doc_id", "sig", sigsOf(history), "doc_id", "sig",
+      bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, h, j) => (math.min(n, h), math.max(n, h)) -> j }.toMap
+    val union = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) } // crossing pairs only
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(inc.nonEmpty, "planted cross-split near-dups must be found")
+    assert(inc == union,
+      s"incremental probe must match the union self-join's crossing subset:\n" +
+        s"inc-only=${inc.keySet -- union.keySet}\nunion-only=${union.keySet -- inc.keySet}")
+  }
+
+  test("portable incremental pairs equal the portable union self-join's crossing subset") {
+    val docs = corpus(30)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = Dedup.incrementalNearDupPairsPortable(
+      batch, history, "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, h, j) => (math.min(n, h), math.max(n, h)) -> j }.toMap
+    val union = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(inc.nonEmpty && inc == union)
+  }
+
+  test("pair direction: new_id comes from the batch, hist_id from history") {
+    val docs = corpus(20)
+    val out = Dedup.incrementalNearDupPairs(
+      sigsOf(docs.filter(col("doc_id") % 3 === 0)), "doc_id", "sig",
+      sigsOf(docs.filter(col("doc_id") % 3 =!= 0)), "doc_id", "sig",
+      bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (n, h, _) => n % 3 == 0 && h % 3 != 0 })
+  }
+
+  test("incrementalDedup drops history matches, then near-dup-dedups the survivors") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of hist 1
+      (11L, "unique content about lakehouse table formats and manifests"),
+      (12L, "shared boilerplate sentence repeated across this increment x"),
+      (13L, "shared boilerplate sentence repeated across this increment x") // dup of 12
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalDedup(
+      batch, "doc_id", "text", sigsOf(history, k = 64), "doc_id", "sig",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L, 12L),
+      s"expected history match 10 and within-batch dup 13 dropped, got $survivors")
+    // withinBatch=false keeps the in-batch clique intact
+    val noWithin = Dedup.incrementalDedup(
+      batch, "doc_id", "text", sigsOf(history, k = 64), "doc_id", "sig",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8, withinBatch = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noWithin == Set(11L, 12L, 13L))
+  }
+
+  test("null-text rows drop from both sides without degenerate buckets") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]),
+      (11L, "totally different words in this increment document")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(
+      sigsOf(batch, k = 64), "doc_id", "sig", sigsOf(history, k = 64), "doc_id", "sig",
+      bands = 16, threshold = 0.1)
+    assert(out.count() == 0, "null-text docs must never pair (not even with each other)")
+  }
+
+  test("oversized history cliques drop whole (recall-cliff contract) and warn at job end") {
+    // 8 identical history docs in a maxBucket=5 bound: every history
+    // bucket they occupy exceeds the bound, so the matching batch doc
+    // finds NOTHING — the documented cliff, visible via the warning.
+    val clique = "identical boilerplate clique document body repeated verbatim many times"
+    val history = Seq.tabulate(8)(i => (i.toLong, clique)).toDF("doc_id", "text")
+      .repartition(2)
+    val batch = Seq((100L, clique)).toDF("doc_id", "text").repartition(2)
+    ObservedWarnings.fired.clear()
+    val out = Dedup.incrementalNearDupPairs(
+      sigsOf(batch, k = 64), "doc_id", "sig", sigsOf(history, k = 64), "doc_id", "sig",
+      bands = 16, threshold = 0.5, maxBucket = 5)
+    assert(out.count() == 0, "an over-bound history clique must match nothing")
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (ObservedWarnings.fired.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!ObservedWarnings.fired.isEmpty, "the drop must warn at job end")
+    // raising the bound restores the matches
+    val ok = Dedup.incrementalNearDupPairs(
+      sigsOf(batch, k = 64), "doc_id", "sig", sigsOf(history, k = 64), "doc_id", "sig",
+      bands = 16, threshold = 0.5, maxBucket = 1000)
+    assert(ok.count() == 8)
+  }
+
+  // ---- embedding-side (cosine) incremental probe ----
+
+  // 4 well-separated gaussian bases (dim 16, cross-base cosine ~0);
+  // same-base vectors differ by tiny deterministic jitter (cosine ~0.99+)
+  private def embCorpus(n: Int, dim: Int = 16): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    Seq.tabulate(n) { i =>
+      val b = bases(i % 4)
+      val v = b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 31 + d) % 7 - 3) }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("incremental cosine pairs equal the crossing subset of the LSH self-join") {
+    val emb = embCorpus(40)
+    def canon(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
+      rows.map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b)) ->
+          (math.rint(r.getAs[Number](2).doubleValue() * 1e4) / 1e4)
+      }.toMap
+    val inc = canon(Similarity.incrementalCosinePairs(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      threshold = 0.9, dim = 16, bitsPerGroup = 4, groups = 8).collect())
+    val union = canon(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.9,
+      dim = 16, bitsPerGroup = 4, groups = 8, autoTune = false, knownCorpusSize = Some(40L))
+      .collect()
+      .filter(r => (r.getLong(0) % 3 == 0) != (r.getLong(1) % 3 == 0)))
+    assert(inc.nonEmpty, "planted cross-split near-dup vectors must be found")
+    assert(inc == union,
+      s"cosine incremental probe must match the LSH self-join's crossing subset:\n" +
+        s"inc-only=${inc.keySet -- union.keySet}\nunion-only=${union.keySet -- inc.keySet}")
+  }
+
+  test("portable cosine incremental: directional, and never a false positive vs brute force") {
+    val emb = embCorpus(30)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val history = emb.filter(col("vec_id") % 3 =!= 0)
+    val out = Similarity.incrementalCosinePairsPortable(
+      batch, "vec_id", "embedding", history, "vec_id", "embedding",
+      threshold = 0.9, bitsPerGroup = 4, groups = 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) % 3 == 0 && r.getLong(1) % 3 != 0))
+    // exact-cosine verify: the output is a SUBSET of the brute-force
+    // crossing pairs at the same threshold (banding affects recall only)
+    def vecs(df: DataFrame): Array[(Long, Array[Float])] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      (bi, bv) <- vecs(batch)
+      (hi, hv) <- vecs(history)
+      if cos(bv, hv) >= 0.9 - 1e-6
+    } yield (bi, hi)).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+  }
+
+  test("plan shape: single history pass, every history-side exchange sits above the semi-join") {
+    val conf = spark.conf
+    val (aqe, thresh) =
+      (conf.get("spark.sql.adaptive.enabled"), conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_inc_plan").toFile
+      try {
+        val histPath = new java.io.File(dir, "inc_hist_px").getAbsolutePath
+        sigsOf(corpus(60).filter(col("doc_id") % 3 =!= 0), k = 32)
+          .write.mode("overwrite").parquet(histPath)
+        val hist = spark.read.parquet(histPath)
+        val pairs = Dedup.incrementalNearDupPairs(
+          sigsOf(corpus(60).filter(col("doc_id") % 3 === 0), k = 32), "doc_id", "sig",
+          hist, "doc_id", "sig", bands = 8, threshold = 0.5)
+        val plan = pairs.queryExecution.executedPlan
+        // ONE scan of the history table: the probe must not re-read the
+        // corpus for signature re-attach (signatures ride collided rows)
+        val histScans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("inc_hist_px")) => s
+        }
+        assert(histScans.size == 1, s"expected ONE history scan, got ${histScans.size}:\n$plan")
+        // every shuffle on the history lineage is above the broadcast
+        // semi-join — i.e. it carries COLLIDED (signal-sized) rows, never
+        // the corpus
+        val histExchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("inc_hist_px") => e
+        }
+        assert(histExchanges.nonEmpty, "sanity: the collided window exchange exists")
+        histExchanges.foreach { e =>
+          assert(e.toString.contains("LeftSemi"),
+            s"a history-lineage shuffle below the semi-join would exchange the corpus:\n$e")
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+}

@@ -27,7 +27,10 @@ class ConcurrentResultSpec extends SparkSpec {
   private val names = Seq(
     "q42_minhash_lsh", "q78_minhash_portable", "q63_neardup_clusters",
     "q76_cc_exact", "q51_lsh_knn", "q86_lsh_knn_portable",
-    "q90_dup_span_stats", "q92_temperature_threshold")
+    "q90_dup_span_stats", "q92_temperature_threshold",
+    // r19 incremental probe: exercises the shared signature-cache FIFO
+    // (cacheSigs) from both its entry points under overlap
+    "q95_incremental_portable")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
