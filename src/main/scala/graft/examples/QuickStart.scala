@@ -438,6 +438,31 @@ object QuickStart {
       s"${decontaminated.count()} decontaminated -> ${mixed.count()} in mix (alpha=0.5, budget 200) " +
       s"-> shards [$perShard]; embedding near-dup pairs (job-free operator build) = ${embDupPairs.count()}")
 
+    // 25. Day 2 of the same pipeline: INCREMENTAL dedup. Persist the
+    // kept corpus's signature index once (k longs per row — a few % of
+    // corpus bytes), then each new crawl increment probes it WITHOUT
+    // recomputing or reshuffling the corpus: banding is map-side, the
+    // increment's bucket keys broadcast into a semi-join, and scoring
+    // touches only the collided rows. The signature recipe
+    // (shingleN/k/seed) is part of the index format — probe with the
+    // same one. Union the survivors' signatures back in to advance the
+    // index for day 3.
+    val historyIdx = Dedup.withMinhashSignature(
+      nearDeduped.select(col("doc_id"), col("text")), "text", "sig", shingleN = 3, k = 64)
+      .select(col("doc_id"), col("sig"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_sig_index").toString
+    historyIdx.write.mode("overwrite").parquet(idxPath)
+    val sigIndex = spark.read.parquet(idxPath)
+    val newBatch = corpus.filter(col("doc_id") % 7 === 3) // stand-in for tomorrow's crawl
+      .select(col("doc_id"), col("text"), col("source"))
+    val incSurvivors = Dedup.incrementalDedup(newBatch, "doc_id", "text",
+      sigIndex, "doc_id", "sig", shingleN = 3, k = 64, threshold = 0.7)
+    val advancedIdx = sigIndex.unionByName(
+      Dedup.withMinhashSignature(incSurvivors.select(col("doc_id"), col("text")),
+        "text", "sig", shingleN = 3, k = 64).select(col("doc_id"), col("sig")))
+    println(s"[25] incremental day-2: batch ${newBatch.count()} -> ${incSurvivors.count()} kept " +
+      s"against the ${sigIndex.count()}-doc index; advanced index ${advancedIdx.count()} sigs")
+
     spark.stop()
     println("QuickStart OK")
   }
