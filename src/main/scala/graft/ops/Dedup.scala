@@ -34,10 +34,17 @@ object Dedup {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt.max(4)
   private val recentSigCaches = scala.collection.mutable.Queue.empty[DataFrame]
 
-  /** Persist a signature frame with bounded FIFO retention (see the
-    * depth rationale above): the returned plan is lazy so the call
-    * can't know when unpersisting is safe, and the frame is evaluated
-    * by several downstream subtrees (banding, bucket bounds, scoring).
+  /** Persist a batch-/oracle-scale frame with bounded FIFO retention
+    * (see the depth rationale above): the returned plan is lazy so the
+    * call can't know when unpersisting is safe, and the frame is
+    * evaluated by several downstream subtrees (banding, bucket bounds,
+    * scoring). Entries range from (id, k-long sig) projections (a few
+    * MB at oracle scale) to the incremental probes' BATCH-side
+    * projections — including float-vector frames from
+    * [[Similarity.incrementalCosinePairs]] — which are small by the
+    * operator's own contract (the batch side must be broadcastable);
+    * a jumbo increment should pre-cache its own projection and pass
+    * `broadcastBatch = false`.
     */
   private[ops] def cacheSigs(sigs: DataFrame): DataFrame = {
     val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -690,10 +697,14 @@ object Dedup {
     val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
       s"incremental LSH: batch band rows in buckets larger than maxBucket=$maxBucket dropped " +
         "whole — pre-dedup exact duplicates in the batch or raise maxBucket")
-    val bBounded = bBand
+    // cached (bounded FIFO): bBounded feeds TWO broadcast subtrees (the
+    // bucket-key semi-join and the candidate-row join) — uncached, the
+    // window exchange would build twice and the guard UDF would count
+    // every dropped band row twice (review r19)
+    val bBounded = cacheSigs(bBand
       .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
       .where(bKeep(col("_c")))
-      .drop("_c")
+      .drop("_c"))
 
     // History side: the batch's kept bucket keys broadcast into a
     // semi-join — only COLLIDED history rows (signal-sized) survive.
@@ -840,10 +851,16 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       withinBatch: Boolean = true,
-      broadcastBatch: Boolean = true
+      broadcastBatch: Boolean = true,
+      seed: Long = 42L
   ): DataFrame = {
+    // seed is part of the index format (scaladoc above): the batch's
+    // probe signatures MUST use the seed the history index was built
+    // with or buckets never collide and every dup silently survives.
+    // The within-batch pass below is self-consistent at the repo-wide
+    // default seed regardless.
     val sigs = withMinhashSignature(batch.select(col(idCol), col(textCol)), textCol, "_sig",
-      shingleN, k)
+      shingleN, k, seed)
     val matched = incrementalNearDupPairs(sigs, idCol, "_sig",
       historySigs, histIdCol, histSigCol, bands, threshold, maxBucket, broadcastBatch)
       .select(col("new_id").as(idCol)).distinct()

@@ -682,10 +682,12 @@ object Similarity {
     val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
       s"incremental cosine LSH: batch band rows in buckets larger than maxBucket=$maxBucket " +
         "dropped whole — pre-dedup exact-duplicate vectors in the batch or raise maxBucket")
-    val bBounded = bBand
+    // cached (bounded FIFO): feeds two broadcast subtrees — uncached,
+    // the window exchange builds twice and the guard double-counts
+    val bBounded = Dedup.cacheSigs(bBand
       .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
       .where(bKeep(col("_c")))
-      .drop("_c")
+      .drop("_c"))
     val collided = hBand.join(bc(bBounded.select("_band", "_bucket").distinct()),
       Seq("_band", "_bucket"), "leftsemi")
     val hKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
@@ -744,22 +746,21 @@ object Similarity {
       maxBucket: Int = 1000,
       broadcastBatch: Boolean = true
   ): DataFrame = {
-    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      Dedup.cacheSigs(floatVec(df, idCol, vecCol))
+    // only the BATCH projection is cached (its lineage feeds the key
+    // broadcast, the row broadcast, and verify); the history side is
+    // evaluated once and must stay uncached at corpus scale
+    def banded(df: DataFrame, idCol: String, vecCol: String, cache: Boolean): DataFrame = {
+      val base = floatVec(df, idCol, vecCol)
+      (if (cache) Dedup.cacheSigs(base) else base)
         .select(col("_id"), col("_v"),
           posexplode(VectorFunctions.lshBandBuckets(col("_v"), bitsPerGroup, groups, dim, seed)))
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
-    // only the BATCH projection is cached (its lineage feeds the key
-    // broadcast, the row broadcast, and verify); the history side is
-    // evaluated once and must stay uncached at corpus scale
-    val bBand = banded(batch, batchIdCol, batchVecCol)
-    val hBand = floatVec(history, histIdCol, histVecCol)
-      .select(col("_id"), col("_v"),
-        posexplode(VectorFunctions.lshBandBuckets(col("_v"), bitsPerGroup, groups, dim, seed)))
-      .withColumnRenamed("pos", "_band")
-      .withColumnRenamed("col", "_bucket")
-    incrementalCosineProbe(bBand, hBand, threshold, maxBucket, broadcastBatch)
+    }
+    incrementalCosineProbe(
+      banded(batch, batchIdCol, batchVecCol, cache = true),
+      banded(history, histIdCol, histVecCol, cache = false),
+      threshold, maxBucket, broadcastBatch)
   }
 
   /** Hash-exact portable twin of [[incrementalCosinePairs]] (the q86

@@ -101,6 +101,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(noWithin == Set(11L, 12L, 13L))
   }
 
+  test("incrementalDedup probes with the index's seed (seed is part of the index format)") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val idx7 = Dedup.withMinhashSignature(history, "text", "sig", shingleN = 3, k = 64, seed = 7L)
+      .select(col("doc_id"), col("sig"))
+    val matched = Dedup.incrementalDedup(batch, "doc_id", "text", idx7, "doc_id", "sig",
+      threshold = 0.8, seed = 7L).select("doc_id").as[Long].collect()
+    assert(matched.isEmpty, "the exact dup must drop when the probe seed matches the index")
+    // a mismatched recipe silently matches nothing — the documented
+    // failure mode the seed parameter exists to avoid (review r19)
+    val mismatched = Dedup.incrementalDedup(batch, "doc_id", "text", idx7, "doc_id", "sig",
+      threshold = 0.8).select("doc_id").as[Long].collect()
+    assert(mismatched.toSeq == Seq(10L))
+  }
+
   test("null-text rows drop from both sides without degenerate buckets") {
     val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
