@@ -172,6 +172,67 @@ object StreamOps {
       .outputMode("append")
       .start()
 
+  /** Continuous-ingestion dedup (round 19): each micro-batch of
+    * documents is deduped against the PERSISTED history signature index
+    * via [[graft.ops.Dedup.incrementalDedup]] inside `foreachBatch`;
+    * survivors append to `outPath` and their signatures append to
+    * `indexPath`, so later micro-batches see them — the index ADVANCES
+    * with the stream. `foreachBatch` is the right vehicle, not an
+    * incremental plan: the probe's window bounds and broadcast
+    * semi-joins aren't stream-plannable, and one micro-batch IS one
+    * increment — the operator's own unit of work.
+    *
+    * Contract: `indexPath` must exist before the stream starts (seed it
+    * from the historical corpus via [[graft.ops.Dedup.withMinhashSignature]],
+    * or an empty frame with schema `(idCol, sig)`); its signature
+    * recipe (shingleN/k/seed) must match the arguments here — the
+    * recipe is part of the index format. Exactly-once: output appends
+    * ride the checkpoint; a REPLAYED batch re-appends its survivors'
+    * signatures — duplicate (id, sig) index rows are harmless for
+    * matching (identical buckets ⇒ identical pairs; the probe's
+    * oversize guard counts them toward `maxBucket`) but inflate the
+    * index; compact offline if replays matter.
+    */
+  def incrementalDedupStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index = spark.read.parquet(indexPath)
+        val survivors = graft.ops.Dedup.incrementalDedup(
+          batch, idCol, textCol, index, idCol, "sig",
+          shingleN = shingleN, k = k, bands = bands, threshold = threshold,
+          maxBucket = maxBucket, seed = seed)
+          // the survivor set is read twice (output + index advance) and
+          // derives from two LSH probes — localCheckpoint decouples it
+          // from the index parquet BEFORE the index append below
+          // overwrites what this batch's plan would re-read
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(outPath)
+        graft.ops.Dedup.withMinhashSignature(
+            survivors.select(col(idCol), col(textCol)), textCol, "sig", shingleN, k, seed)
+          .select(col(idCol), col("sig"))
+          .write.mode("append").parquet(indexPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key across micro-batches, with a processing-time idle timeout that
     * evicts state for keys gone quiet (state eviction is what makes
