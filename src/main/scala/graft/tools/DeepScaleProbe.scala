@@ -30,7 +30,7 @@ object DeepScaleProbe {
   /** Document probes that run the sf100 third decade. */
   val thirdDecade: Set[String] =
     Set("q88_duplicate_spans", "q85_source_overlap", "q90_dup_span_stats",
-      "q88_hash_path", "q90_hash_path")
+      "q88_hash_path", "q90_hash_path", "incremental_probe")
 
   /** Shuffle partitions per decade — the design contract's "size
     * partitions so reducers fit executor memory" rule made executable.
@@ -87,7 +87,42 @@ object DeepScaleProbe {
     "q50_lsh_t0.95" -> ((s, d) =>
       graft.ops.Similarity.cosineNearDupPairs(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.95,
-        bruteForceMax = 0)))
+        bruteForceMax = 0)),
+    // Day-2 incremental probe at three decades of HISTORY growth with a
+    // FIXED batch (base-replica ids only; replicas share no shingles,
+    // so collided volume is constant and the growth term is the index
+    // scan alone — the ScaleProbe row, two decades further). The
+    // persisted index builds as a side effect of the FIRST rep per dir
+    // (memo below); min-of-reps discards that build rep, so the
+    // reported wall is the probe alone — the same untimed-build shape
+    // as ScaleProbe's explicit version.
+    "incremental_probe" -> incrementalProbeFn)
+
+  private val incIdxBuilt = scala.collection.mutable.Set[String]()
+  private var incBaseMax: Option[Long] = None
+  private def incrementalProbeFn: (SparkSession, String) => DataFrame = (s, d) => {
+    val baseMax = incBaseMax.getOrElse {
+      val m = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .agg(max("doc_id")).head.getLong(0)
+      incBaseMax = Some(m); m
+    }
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val isBatch = col("doc_id") % 31 === 0 && col("doc_id") <= baseMax
+    val idx = "target/deepscale_inc_idx/" + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (!incIdxBuilt.contains(d)) {
+      graft.ops.Dedup.withMinhashSignature(
+          docs.filter(!isBatch).select(col("doc_id"), col("text")), "text", "sig",
+          shingleN = 3, k = 64, repartitionTo = Some(s.sparkContext.defaultParallelism))
+        .select(col("doc_id"), col("sig"))
+        .write.mode("overwrite").parquet(idx)
+      incIdxBuilt += d
+    }
+    val batchSigs = graft.ops.Dedup.withMinhashSignature(
+      docs.filter(isBatch).select(col("doc_id"), col("text")), "text", "sig",
+      shingleN = 3, k = 64).select(col("doc_id"), col("sig"))
+    graft.ops.Dedup.incrementalNearDupPairs(batchSigs, "doc_id", "sig",
+      s.read.parquet(idx), "doc_id", "sig", bands = 16, threshold = 0.5)
+  }
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
