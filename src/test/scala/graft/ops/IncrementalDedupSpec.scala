@@ -67,6 +67,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.nonEmpty && inc == union)
   }
 
+  test("fuzz: incremental equals the union crossing subset on 200 adversarial strings") {
+    // the FuzzParitySpec atom mix: whitespace runs, non-\s unicode
+    // spaces, multibyte chars, surrogate pairs, punctuation clusters,
+    // empties, and one null — blank-only docs all hash to the same
+    // zero signature, so the probe's degenerate-clique handling is
+    // exercised alongside the parity
+    val rnd = new scala.util.Random(20260816L)
+    val atoms: IndexedSeq[String] = IndexedSeq(
+      "a", "b", "the", "Fox", "JUMPS", "x9", "42",
+      " ", "  ", "\t", "\n", "\r", "\f", "", "\r\n", " ", "　",
+      "é", "ü", "北", "🎉", "𝕊",
+      ".", ",", "!", "?", "{", "}", "@", "\\", "\"",
+      "...", "!!!", "a.b", "e@x.io")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(20)
+      val t = if (i == 199) null else (1 to n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(
+      sigsOf(docs.filter(col("doc_id") % 3 === 0), k = 16), "doc_id", "sig",
+      sigsOf(docs.filter(col("doc_id") % 3 =!= 0), k = 16), "doc_id", "sig",
+      bands = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, h, j) => (math.min(n, h), math.max(n, h)) -> j }.toMap
+    val union = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(inc.nonEmpty, "blank-only docs alone guarantee cross-split collisions")
+    assert(inc == union,
+      s"adversarial parity broke:\ninc-only=${inc.keySet -- union.keySet}\n" +
+        s"union-only=${union.keySet -- inc.keySet}")
+  }
+
   test("pair direction: new_id comes from the batch, hist_id from history") {
     val docs = corpus(20)
     val out = Dedup.incrementalNearDupPairs(
