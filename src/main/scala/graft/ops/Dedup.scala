@@ -476,9 +476,12 @@ object Dedup {
     // otherwise produce bands of identical degenerate buckets — every
     // null-text doc colliding into one bucket per band, quadratic
     // spurious pairs that only die at a downstream threshold filter.
-    val base = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
-      .where(col("_sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded FIFO, not a bare persist: the incremental streaming
+    // wrapper calls this once per MICRO-BATCH (via dedupNearDups), and
+    // an unenrolled persist leaks one CacheManager entry per batch for
+    // the lifetime of a continuous-ingestion stream (review r19)
+    val base = cacheSigs(df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .where(col("_sig").isNotNull))
     val bandW = floor(size(col("_sig")) / bands).cast("int")
 
     // Band rows carry ONLY (id, band, bucket): the bucket exchange must
@@ -784,11 +787,14 @@ object Dedup {
       broadcastBatch: Boolean = true
   ): DataFrame = {
     // null signature (null text) drops here — same degenerate-bucket
-    // argument as lshCandidatePairs. The batch projection is cached
-    // (bounded FIFO): its lineage feeds the bucket-key broadcast, the
-    // band-row broadcast, and scoring.
-    val b = cacheSigs(batchSigs.select(col(batchIdCol).as("_id"), col(batchSigCol).as("_sig"))
-      .where(col("_sig").isNotNull))
+    // argument as lshCandidatePairs. No cache at this level: every
+    // downstream consumer (bucket-key broadcast, band-row broadcast,
+    // scoring) reads the CACHED bBounded inside the probe core, so a
+    // pre-banding cache would only double the FIFO slots per call
+    // (review r19 — the depth rationale assumes one entry per
+    // invocation).
+    val b = batchSigs.select(col(batchIdCol).as("_id"), col(batchSigCol).as("_sig"))
+      .where(col("_sig").isNotNull)
     val h = historySigs.select(col(histIdCol).as("_id"), col(histSigCol).as("_sig"))
       .where(col("_sig").isNotNull)
     incrementalProbe(bandedWithSig(b, bands), bandedWithSig(h, bands),
@@ -823,7 +829,9 @@ object Dedup {
         repartitionTo.map(df.repartition(_)).getOrElse(df), textCol, "_sig", shingleN, k, seed)
         .select(col(idCol).as("_id"), col("_sig"))
         .where(col("_sig").isNotNull)
-    val b = cacheSigs(sigsOf(batch))
+    // no pre-banding cache — the probe core caches bBounded, which all
+    // batch-side consumers read (review r19)
+    val b = sigsOf(batch)
     val h = sigsOf(history)
     incrementalProbe(bandedWithSigPortable(b, bands, bandW), bandedWithSigPortable(h, bands, bandW),
       maxBucket, threshold, broadcastBatch = true)

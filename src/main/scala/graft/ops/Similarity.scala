@@ -746,20 +746,19 @@ object Similarity {
       maxBucket: Int = 1000,
       broadcastBatch: Boolean = true
   ): DataFrame = {
-    // only the BATCH projection is cached (its lineage feeds the key
-    // broadcast, the row broadcast, and verify); the history side is
-    // evaluated once and must stay uncached at corpus scale
-    def banded(df: DataFrame, idCol: String, vecCol: String, cache: Boolean): DataFrame = {
-      val base = floatVec(df, idCol, vecCol)
-      (if (cache) Dedup.cacheSigs(base) else base)
+    // no pre-banding cache on either side: every batch-side consumer
+    // (key broadcast, row broadcast, verify) reads the CACHED bBounded
+    // inside the probe core, and the history side must stay uncached
+    // at corpus scale (review r19)
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      floatVec(df, idCol, vecCol)
         .select(col("_id"), col("_v"),
           posexplode(VectorFunctions.lshBandBuckets(col("_v"), bitsPerGroup, groups, dim, seed)))
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
-    }
     incrementalCosineProbe(
-      banded(batch, batchIdCol, batchVecCol, cache = true),
-      banded(history, histIdCol, histVecCol, cache = false),
+      banded(batch, batchIdCol, batchVecCol),
+      banded(history, histIdCol, histVecCol),
       threshold, maxBucket, broadcastBatch)
   }
 
@@ -784,17 +783,15 @@ object Similarity {
       seed: Long = 42L,
       maxBucket: Int = 1000
   ): DataFrame = {
-    def banded(df: DataFrame, idCol: String, vecCol: String, cache: Boolean): DataFrame = {
-      val base = floatVec(df, idCol, vecCol)
-      (if (cache) Dedup.cacheSigs(base) else base)
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      floatVec(df, idCol, vecCol)
         .select(col("_id"), col("_v"),
           posexplode(portableLshBuckets(col("_v"), bitsPerGroup, groups, seed)))
         .withColumnRenamed("pos", "_band")
         .withColumnRenamed("col", "_bucket")
-    }
     incrementalCosineProbe(
-      banded(batch, batchIdCol, batchVecCol, cache = true),
-      banded(history, histIdCol, histVecCol, cache = false),
+      banded(batch, batchIdCol, batchVecCol),
+      banded(history, histIdCol, histVecCol),
       threshold, maxBucket, broadcastBatch = true)
   }
 

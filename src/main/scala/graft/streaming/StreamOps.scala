@@ -186,12 +186,22 @@ object StreamOps {
     * from the historical corpus via [[graft.ops.Dedup.withMinhashSignature]],
     * or an empty frame with schema `(idCol, sig)`); its signature
     * recipe (shingleN/k/seed) must match the arguments here — the
-    * recipe is part of the index format. Exactly-once: output appends
-    * ride the checkpoint; a REPLAYED batch re-appends its survivors'
-    * signatures — duplicate (id, sig) index rows are harmless for
-    * matching (identical buckets ⇒ identical pairs; the probe's
-    * oversize guard counts them toward `maxBucket`) but inflate the
-    * index; compact offline if replays matter.
+    * recipe is part of the index format.
+    *
+    * Delivery: AT-LEAST-ONCE, never lossy — foreachBatch replays a
+    * batch whose checkpoint didn't commit, and the two appends here
+    * are deliberately ordered output-BEFORE-index so every crash
+    * window re-converges: a replay before the index append recomputes
+    * the same survivors (unchanged index) and duplicates them in the
+    * output; a replay AFTER the index append finds the batch's own
+    * signatures already indexed, so the survivors come back empty and
+    * both writes are no-ops — the first attempt's output stands.
+    * (Index-before-output would instead LOSE the batch in that second
+    * window.) Duplicate output rows carry identical ids — dedupe
+    * downstream by id if replays matter; duplicate (id, sig) index
+    * rows are harmless for matching (identical buckets ⇒ identical
+    * pairs; the oversize guard counts them toward `maxBucket`) but
+    * inflate the index — compact offline.
     */
   def incrementalDedupStream(
       stream: DataFrame,

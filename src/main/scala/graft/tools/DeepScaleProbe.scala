@@ -93,16 +93,22 @@ object DeepScaleProbe {
     // so collided volume is constant and the growth term is the index
     // scan alone — the ScaleProbe row, two decades further). The
     // persisted index builds as a side effect of the FIRST rep per dir
-    // (memo below); min-of-reps discards that build rep, so the
-    // reported wall is the probe alone — the same untimed-build shape
-    // as ScaleProbe's explicit version.
+    // (memo below); min-of-reps discards that build rep. As in
+    // ScaleProbe, the batch's signature lineage is operator-cached
+    // after the first rep, so the reported wall is the probe (incl.
+    // the history-index scan) with warm batch sigs — exact for the
+    // exponent, understates the constant per-day batch-sig cost.
     "incremental_probe" -> incrementalProbeFn)
 
   private val incIdxBuilt = scala.collection.mutable.Set[String]()
   private var incBaseMax: Option[Long] = None
+  /** Base-corpus dir for the fixed-batch id split; main() sets it from
+    * args(0) so a custom sf0.1 dir splits against the right corpus
+    * (review r19 — a hard-coded default silently mis-split). */
+  private[tools] var incBaseDir: String = "/root/testdata/sf0.1"
   private def incrementalProbeFn: (SparkSession, String) => DataFrame = (s, d) => {
     val baseMax = incBaseMax.getOrElse {
-      val m = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val m = s.read.parquet(s"$incBaseDir/documents.parquet")
         .agg(max("doc_id")).head.getLong(0)
       incBaseMax = Some(m); m
     }
@@ -126,6 +132,7 @@ object DeepScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    incBaseDir = sf01
     val outBase = if (args.length > 1) args(1) else "target/deepscale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

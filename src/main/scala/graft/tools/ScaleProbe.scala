@@ -78,14 +78,19 @@ object ScaleProbe {
     }
 
     // Incremental-dedup probe (round 19): the day-2 shape — history
-    // signatures are a PERSISTED index built UNTIMED per scale; the
-    // timed region is what a daily run actually pays (batch signature
-    // compute + map-side banding + broadcast semi-join probe +
-    // scoring). The batch is FIXED (base-replica ids only) while the
-    // history grows 10x, and replicas share no shingles, so the
-    // collided volume is constant — the measured growth is the index
-    // scan alone. Contrast with lsh_pairs_full above, which recomputes
-    // and reshuffles the whole corpus every day.
+    // signatures are a PERSISTED index built UNTIMED per scale. The
+    // timed region is the PROBE: banding, broadcast semi-join, bucket
+    // bounds, scoring, plus the full history-index scan. The batch's
+    // own signature lineage is cached by the operator on the warm
+    // run, so reps 2+ time the probe with warm batch sigs — which is
+    // fine for the EXPONENT (the batch is fixed and scale-invariant;
+    // only the history term varies) but means these walls exclude the
+    // constant per-day batch-signature cost (review r19). The batch
+    // is FIXED (base-replica ids only) while the history grows 10x,
+    // and replicas share no shingles, so the collided volume is
+    // constant — the measured growth is the index scan alone.
+    // Contrast with lsh_pairs_full above, which recomputes and
+    // reshuffles the whole corpus every day.
     val baseMax = spark.read.parquet(s"$sf01/documents.parquet")
       .agg(max("doc_id")).head.getLong(0)
     def incProbe(dir: String, tag: String): (Double, Long) = {
