@@ -61,6 +61,31 @@ class IncrementalStreamSpec extends SparkSpec {
       // the index now carries history + both batches' survivors
       val idxIds = spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
       assert(idxIds == Set(1L, 11L, 12L, 21L))
+
+      // replay convergence (the documented at-least-once contract's
+      // post-index-append window): re-processing the SAME rows against
+      // the already-advanced index — a fresh checkpoint replays both
+      // batches — finds every doc's own signature in the index, so
+      // survivors come back empty and both writes are no-ops. The
+      // output must be UNCHANGED: duplicates possible in the
+      // pre-index-append window, loss never.
+      val ck2 = new java.io.File(dir, "ck_replay").getAbsolutePath
+      val ms2 = MemoryStream[(Long, String)]
+      ms2.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11L, "unique content about lakehouse table formats and manifests"),
+        (12L, "shared boilerplate sentence repeated across this increment x"),
+        (13L, "shared boilerplate sentence repeated across this increment x"),
+        (20L, "unique content about lakehouse table formats and manifests"),
+        (21L, "fresh material never seen in any earlier batch of the stream"))
+      val q2 = StreamOps.incrementalDedupStream(
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxPath, outPath, ck2, shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      q2.processAllAvailable()
+      q2.stop()
+      val afterReplay = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSet
+      assert(afterReplay == Set(11L, 12L, 21L),
+        s"a replayed batch must converge to a no-op against the advanced index, got $afterReplay")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
