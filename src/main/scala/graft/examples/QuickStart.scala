@@ -447,21 +447,22 @@ object QuickStart {
     // (shingleN/k/seed) is part of the index format — probe with the
     // same one. Union the survivors' signatures back in to advance the
     // index for day 3.
-    val historyIdx = Dedup.withMinhashSignature(
-      nearDeduped.select(col("doc_id"), col("text")), "text", "sig", shingleN = 3, k = 64)
-      .select(col("doc_id"), col("sig"))
-    val idxPath = java.nio.file.Files.createTempDirectory("graft_sig_index").toString
-    historyIdx.write.mode("overwrite").parquet(idxPath)
-    val sigIndex = spark.read.parquet(idxPath)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sig_index").toString + "/idx"
+    // writeSignatureIndex records the recipe in a sidecar — probing or
+    // appending under any other recipe refuses loudly instead of
+    // silently matching nothing
+    val recipe = Dedup.writeSignatureIndex(nearDeduped, "doc_id", "text", idxDir)
     val newBatch = corpus.filter(col("doc_id") % 7 === 3) // stand-in for tomorrow's crawl
       .select(col("doc_id"), col("text"), col("source"))
-    val incSurvivors = Dedup.incrementalDedup(newBatch, "doc_id", "text",
-      sigIndex, "doc_id", "sig", shingleN = 3, k = 64, threshold = 0.7)
-    val advancedIdx = sigIndex.unionByName(
-      Dedup.withMinhashSignature(incSurvivors.select(col("doc_id"), col("text")),
-        "text", "sig", shingleN = 3, k = 64).select(col("doc_id"), col("sig")))
-    println(s"[25] incremental day-2: batch ${newBatch.count()} -> ${incSurvivors.count()} kept " +
-      s"against the ${sigIndex.count()}-doc index; advanced index ${advancedIdx.count()} sigs")
+    // localCheckpoint: the survivors' lineage READS the index parquet,
+    // and the append below writes into it — materialize first (the
+    // same decoupling the streaming wrapper does per micro-batch)
+    val incSurvivors = Dedup.incrementalDedupAgainstIndex(newBatch, "doc_id", "text",
+      idxDir, threshold = 0.7).localCheckpoint()
+    Dedup.appendToSignatureIndex(incSurvivors, "doc_id", "text", idxDir)
+    println(s"[25] incremental day-2 (recipe $recipe): batch ${newBatch.count()} -> " +
+      s"${incSurvivors.count()} kept; advanced index " +
+      s"${spark.read.parquet(idxDir).count()} sigs")
 
     spark.stop()
     println("QuickStart OK")

@@ -878,6 +878,121 @@ object Dedup {
     if (withinBatch) dedupNearDups(kept, idCol, textCol, threshold, shingleN) else kept
   }
 
+  /** The signature recipe of a persisted index — shingleN/k/seed ARE
+    * the index format: a probe computed under any other recipe buckets
+    * differently and silently matches nothing. [[writeSignatureIndex]]
+    * records it in a sidecar; the read/append/probe entry points
+    * validate against it so a mismatch is a loud error, not silent
+    * zero recall. */
+  final case class SignatureIndexRecipe(idCol: String, shingleN: Int, k: Int, seed: Long) {
+    def sidecarJson: String =
+      s"""{"format":"graft-signature-index","version":1,"idCol":"$idCol",""" +
+        s""""shingleN":$shingleN,"k":$k,"seed":$seed}"""
+  }
+
+  private val recipeSidecarName = "_graft_index_recipe.json"
+
+  /** Build and persist the canonical `(id, sig)` signature index of a
+    * corpus, with a recipe sidecar that the probe entry points
+    * validate — the self-describing form of the index contract. One
+    * narrow pass over the corpus (fused signature expression, no
+    * shuffle beyond the write). */
+  def writeSignatureIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      seed: Long = 42L,
+      mode: String = "overwrite"
+  ): SignatureIndexRecipe = {
+    withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
+      shingleN, k, seed)
+      .select(col(idCol), col("sig"))
+      .write.mode(mode).parquet(path)
+    val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stripScheme(path), recipeSidecarName),
+      recipe.sidecarJson.getBytes("UTF-8"))
+    recipe
+  }
+
+  private def stripScheme(path: String): String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  /** Read a signature index's recipe sidecar; None when the index
+    * predates [[writeSignatureIndex]] (bare `(id, sig)` parquet). */
+  def readIndexRecipe(path: String): Option[SignatureIndexRecipe] = {
+    val p = java.nio.file.Paths.get(stripScheme(path), recipeSidecarName)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def field(name: String): String =
+        s""""$name"\\s*:\\s*("?)([^",}]+)\\1""".r.findFirstMatchIn(txt)
+          .map(_.group(2))
+          .getOrElse(throw new IllegalArgumentException(
+            s"malformed signature-index sidecar at $p: missing '$name' in: $txt"))
+      Some(SignatureIndexRecipe(field("idCol"),
+        field("shingleN").toInt, field("k").toInt, field("seed").toLong))
+    }
+  }
+
+  private[graft] def requireRecipe(path: String, shingleN: Int, k: Int, seed: Long): Unit =
+    readIndexRecipe(path).foreach { r =>
+      require(r.shingleN == shingleN && r.k == k && r.seed == seed,
+        s"signature-index recipe mismatch at $path: index was built with " +
+          s"(shingleN=${r.shingleN}, k=${r.k}, seed=${r.seed}) but the probe asked for " +
+          s"(shingleN=$shingleN, k=$k, seed=$seed) — a mismatched recipe buckets " +
+          "differently and silently matches nothing; probe with the index's recipe")
+    }
+
+  /** Append a batch's signatures to an existing index under the
+    * index's OWN recipe (validated when the sidecar exists). This is
+    * how the day-2 pipeline advances the index with its survivors. */
+  def appendToSignatureIndex(
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      seed: Long = 42L
+  ): Unit = {
+    requireRecipe(path, shingleN, k, seed)
+    withMinhashSignature(survivors.select(col(idCol), col(textCol)), textCol, "sig",
+      shingleN, k, seed)
+      .select(col(idCol), col("sig"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED index path: reads the
+    * recipe sidecar, validates the probe arguments against it (loud
+    * error on mismatch — the footgun this sidecar exists to kill),
+    * and probes. The signature-frame overload remains for indexes
+    * managed elsewhere. */
+  def incrementalDedupAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      withinBatch: Boolean = true,
+      broadcastBatch: Boolean = true,
+      shingleN: Int = 3,
+      k: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    requireRecipe(indexPath, shingleN, k, seed)
+    val spark = batch.sparkSession
+    val idxIdCol = readIndexRecipe(indexPath).map(_.idCol).getOrElse(idCol)
+    incrementalDedup(batch, idCol, textCol,
+      spark.read.parquet(indexPath), idxIdCol, "sig",
+      shingleN, k, bands, threshold, maxBucket, withinBatch, broadcastBatch, seed)
+  }
+
   /** Connected components over a near-dup pair list by the alternating
     * large-star / small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round rewires

@@ -218,7 +218,11 @@ object StreamOps {
       maxBucket: Int = 1000,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // recipe sidecar validation (once, at start): a probe recipe that
+    // differs from the index's buckets differently and silently
+    // matches nothing — fail loudly before any micro-batch runs
+    graft.ops.Dedup.requireRecipe(indexPath, shingleN, k, seed)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -242,6 +246,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key across micro-batches, with a processing-time idle timeout that

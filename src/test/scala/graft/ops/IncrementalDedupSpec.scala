@@ -153,6 +153,51 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(mismatched.toSeq == Seq(10L))
   }
 
+  test("signature index is self-describing: recipe round-trips, mismatched probes refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_idx").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      val recipe = Dedup.writeSignatureIndex(history, "doc_id", "text", path,
+        shingleN = 3, k = 32, seed = 7L)
+      assert(Dedup.readIndexRecipe(path).contains(recipe))
+      val batch = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of hist 1
+        (11L, "unique content about lakehouse table formats and manifests")
+      ).toDF("doc_id", "text")
+      // probing with the index's recipe drops the dup
+      val kept = Dedup.incrementalDedupAgainstIndex(batch, "doc_id", "text", path,
+        threshold = 0.8, shingleN = 3, k = 32, seed = 7L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L))
+      // a mismatched recipe is a LOUD refusal, not silent zero recall
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalDedupAgainstIndex(batch, "doc_id", "text", path,
+          threshold = 0.8, shingleN = 3, k = 32, seed = 42L)
+      }
+      assert(e.getMessage.contains("recipe mismatch"))
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureIndex(batch, "doc_id", "text", path,
+          shingleN = 2, k = 32, seed = 7L)
+      }
+      // advancing under the right recipe makes the survivor visible
+      Dedup.appendToSignatureIndex(
+        batch.filter(col("doc_id") === 11L), "doc_id", "text", path,
+        shingleN = 3, k = 32, seed = 7L)
+      val kept2 = Dedup.incrementalDedupAgainstIndex(
+        Seq((20L, "unique content about lakehouse table formats and manifests"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", path, threshold = 0.8, shingleN = 3, k = 32, seed = 7L)
+      assert(kept2.count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("null-text rows drop from both sides without degenerate buckets") {
     val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
