@@ -912,22 +912,36 @@ object Dedup {
       .select(col(idCol), col("sig"))
       .write.mode(mode).parquet(path)
     val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(stripScheme(path), recipeSidecarName),
-      recipe.sidecarJson.getBytes("UTF-8"))
+    val p = sidecarPath(path)
+    val out = hadoopFs(p).create(p, true)
+    try out.write(recipe.sidecarJson.getBytes("UTF-8")) finally out.close()
     recipe
   }
 
-  private def stripScheme(path: String): String =
-    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+  // sidecar I/O goes through the Hadoop FileSystem API, not java.nio:
+  // at corpus scale the index lives on HDFS/S3 and a local-only
+  // sidecar would silently disable recipe validation there
+  private def sidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, recipeSidecarName)
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** Read a signature index's recipe sidecar; None when the index
     * predates [[writeSignatureIndex]] (bare `(id, sig)` parquet). */
   def readIndexRecipe(path: String): Option[SignatureIndexRecipe] = {
-    val p = java.nio.file.Paths.get(stripScheme(path), recipeSidecarName)
-    if (!java.nio.file.Files.exists(p)) None
+    val p = sidecarPath(path)
+    val f = hadoopFs(p)
+    if (!f.exists(p)) None
     else {
-      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val in = f.open(p)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
       def field(name: String): String =
         s""""$name"\\s*:\\s*("?)([^",}]+)\\1""".r.findFirstMatchIn(txt)
           .map(_.group(2))
