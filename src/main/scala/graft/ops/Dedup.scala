@@ -885,9 +885,19 @@ object Dedup {
     * validate against it so a mismatch is a loud error, not silent
     * zero recall. */
   final case class SignatureIndexRecipe(idCol: String, shingleN: Int, k: Int, seed: Long) {
-    def sidecarJson: String =
-      s"""{"format":"graft-signature-index","version":1,"idCol":"$idCol",""" +
-        s""""shingleN":$shingleN,"k":$k,"seed":$seed}"""
+    /** Jackson, not string concatenation: a quoted/comma-bearing id
+      * column must round-trip, and Jackson ships with Spark. */
+    def sidecarJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("format", "graft-signature-index")
+      node.put("version", 1)
+      node.put("idCol", idCol)
+      node.put("shingleN", shingleN)
+      node.put("k", k)
+      node.put("seed", seed)
+      m.writeValueAsString(node)
+    }
   }
 
   private val recipeSidecarName = "_graft_index_recipe.json"
@@ -896,7 +906,14 @@ object Dedup {
     * corpus, with a recipe sidecar that the probe entry points
     * validate — the self-describing form of the index contract. One
     * narrow pass over the corpus (fused signature expression, no
-    * shuffle beyond the write). */
+    * shuffle beyond the write). `mode = "append"` validates against an
+    * existing sidecar first (a mismatched append would mix recipes in
+    * one index — rows that can never match each other) and never
+    * rewrites it. NOT atomic with the data write: a crash after an
+    * overwrite's parquet commit but before the sidecar lands leaves a
+    * bare index whose validation is silently off (None-recipe, same as
+    * a legacy index) — re-run writeSignatureIndex to repair.
+    */
   def writeSignatureIndex(
       corpus: DataFrame,
       idCol: String,
@@ -907,30 +924,49 @@ object Dedup {
       seed: Long = 42L,
       mode: String = "overwrite"
   ): SignatureIndexRecipe = {
+    val conf = corpus.sparkSession.sessionState.newHadoopConf()
+    val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
+    val appending = mode.equalsIgnoreCase("append")
+    if (appending)
+      requireRecipe(path, shingleN, k, seed, Some(idCol), conf)
     withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
       shingleN, k, seed)
       .select(col(idCol), col("sig"))
       .write.mode(mode).parquet(path)
-    val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
-    val p = sidecarPath(path)
-    val out = hadoopFs(p).create(p, true)
-    try out.write(recipe.sidecarJson.getBytes("UTF-8")) finally out.close()
+    // append: an existing sidecar already validated equal — keep it
+    // (never clobber a recipe the data was checked against)
+    if (!appending || readIndexRecipe(path, conf).isEmpty) {
+      val p = sidecarPath(path)
+      val out = hadoopFs(p, conf).create(p, true)
+      try out.write(recipe.sidecarJson.getBytes("UTF-8")) finally out.close()
+    }
     recipe
   }
 
-  // sidecar I/O goes through the Hadoop FileSystem API, not java.nio:
-  // at corpus scale the index lives on HDFS/S3 and a local-only
-  // sidecar would silently disable recipe validation there
+  // sidecar I/O goes through the Hadoop FileSystem API of the CALLING
+  // frame's session (not java.nio, not SparkSession.active): at corpus
+  // scale the index lives on HDFS/S3 and a local-only or wrong-session
+  // resolution would silently disable recipe validation there
+  private val recipeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def sidecarPath(path: String) =
     new org.apache.hadoop.fs.Path(path, recipeSidecarName)
-  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private def hadoopFs(p: org.apache.hadoop.fs.Path, conf: org.apache.hadoop.conf.Configuration) =
+    p.getFileSystem(conf)
+  private def activeConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   /** Read a signature index's recipe sidecar; None when the index
     * predates [[writeSignatureIndex]] (bare `(id, sig)` parquet). */
-  def readIndexRecipe(path: String): Option[SignatureIndexRecipe] = {
+  def readIndexRecipe(path: String): Option[SignatureIndexRecipe] =
+    readIndexRecipe(path, activeConf())
+
+  /** As [[readIndexRecipe]], resolving the filesystem through an
+    * explicit hadoop configuration (multi-session apps: use the
+    * session that owns the index's credentials). */
+  def readIndexRecipe(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[SignatureIndexRecipe] = {
     val p = sidecarPath(path)
-    val f = hadoopFs(p)
+    val f = hadoopFs(p, conf)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -942,28 +978,41 @@ object Dedup {
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           new String(buf.toByteArray, "UTF-8")
         } finally in.close()
-      def field(name: String): String =
-        s""""$name"\\s*:\\s*("?)([^",}]+)\\1""".r.findFirstMatchIn(txt)
-          .map(_.group(2))
-          .getOrElse(throw new IllegalArgumentException(
-            s"malformed signature-index sidecar at $p: missing '$name' in: $txt"))
-      Some(SignatureIndexRecipe(field("idCol"),
-        field("shingleN").toInt, field("k").toInt, field("seed").toLong))
+      val node = recipeMapper.readTree(txt)
+      def req(name: String): com.fasterxml.jackson.databind.JsonNode =
+        Option(node.get(name)).getOrElse(throw new IllegalArgumentException(
+          s"malformed signature-index sidecar at $p: missing '$name' in: $txt"))
+      Some(SignatureIndexRecipe(req("idCol").asText,
+        req("shingleN").asInt, req("k").asInt, req("seed").asLong))
     }
   }
 
-  private[graft] def requireRecipe(path: String, shingleN: Int, k: Int, seed: Long): Unit =
-    readIndexRecipe(path).foreach { r =>
+  /** Validate probe/append arguments against the index's sidecar (a
+    * no-op for bare legacy indexes). `idCol` is checked only when
+    * given: appends must match the index's column name (divergent
+    * schemas read back as nulls), while a PROBE's batch may
+    * legitimately use a different id column. */
+  private[graft] def requireRecipe(path: String, shingleN: Int, k: Int, seed: Long,
+      idCol: Option[String] = None,
+      conf: org.apache.hadoop.conf.Configuration = null): Unit =
+    readIndexRecipe(path, Option(conf).getOrElse(activeConf())).foreach { r =>
       require(r.shingleN == shingleN && r.k == k && r.seed == seed,
         s"signature-index recipe mismatch at $path: index was built with " +
           s"(shingleN=${r.shingleN}, k=${r.k}, seed=${r.seed}) but the probe asked for " +
           s"(shingleN=$shingleN, k=$k, seed=$seed) — a mismatched recipe buckets " +
           "differently and silently matches nothing; probe with the index's recipe")
+      idCol.foreach { c =>
+        require(r.idCol == c,
+          s"signature-index id-column mismatch at $path: index stores '${r.idCol}' but the " +
+            s"append would write '$c' — mixed column names read back as nulls under one " +
+            "schema; rename to the index's column before appending")
+      }
     }
 
   /** Append a batch's signatures to an existing index under the
-    * index's OWN recipe (validated when the sidecar exists). This is
-    * how the day-2 pipeline advances the index with its survivors. */
+    * index's OWN recipe (validated when the sidecar exists, including
+    * the id column name — appended files must share the schema). This
+    * is how the day-2 pipeline advances the index with its survivors. */
   def appendToSignatureIndex(
       survivors: DataFrame,
       idCol: String,
@@ -973,7 +1022,8 @@ object Dedup {
       k: Int = 64,
       seed: Long = 42L
   ): Unit = {
-    requireRecipe(path, shingleN, k, seed)
+    val conf = survivors.sparkSession.sessionState.newHadoopConf()
+    requireRecipe(path, shingleN, k, seed, Some(idCol), conf)
     withMinhashSignature(survivors.select(col(idCol), col(textCol)), textCol, "sig",
       shingleN, k, seed)
       .select(col(idCol), col("sig"))
@@ -981,8 +1031,9 @@ object Dedup {
   }
 
   /** [[incrementalDedup]] against a PERSISTED index path: reads the
-    * recipe sidecar, validates the probe arguments against it (loud
-    * error on mismatch — the footgun this sidecar exists to kill),
+    * recipe sidecar ONCE, validates the probe arguments against it
+    * (loud error on mismatch — the footgun this sidecar exists to
+    * kill; the batch's own id column may differ from the index's),
     * and probes. The signature-frame overload remains for indexes
     * managed elsewhere. */
   def incrementalDedupAgainstIndex(
@@ -999,11 +1050,17 @@ object Dedup {
       k: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    requireRecipe(indexPath, shingleN, k, seed)
     val spark = batch.sparkSession
-    val idxIdCol = readIndexRecipe(indexPath).map(_.idCol).getOrElse(idCol)
+    val recipe = readIndexRecipe(indexPath, spark.sessionState.newHadoopConf())
+    recipe.foreach { r =>
+      require(r.shingleN == shingleN && r.k == k && r.seed == seed,
+        s"signature-index recipe mismatch at $indexPath: index was built with " +
+          s"(shingleN=${r.shingleN}, k=${r.k}, seed=${r.seed}) but the probe asked for " +
+          s"(shingleN=$shingleN, k=$k, seed=$seed) — a mismatched recipe buckets " +
+          "differently and silently matches nothing; probe with the index's recipe")
+    }
     incrementalDedup(batch, idCol, textCol,
-      spark.read.parquet(indexPath), idxIdCol, "sig",
+      spark.read.parquet(indexPath), recipe.map(_.idCol).getOrElse(idCol), "sig",
       shingleN, k, bands, threshold, maxBucket, withinBatch, broadcastBatch, seed)
   }
 

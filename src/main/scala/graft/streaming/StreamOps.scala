@@ -219,10 +219,13 @@ object StreamOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
-    // recipe sidecar validation (once, at start): a probe recipe that
-    // differs from the index's buckets differently and silently
-    // matches nothing — fail loudly before any micro-batch runs
-    graft.ops.Dedup.requireRecipe(indexPath, shingleN, k, seed)
+    // recipe sidecar validation (once, at start): a probe whose recipe
+    // differs from the index's buckets differently and would silently
+    // match nothing — fail loudly before any micro-batch runs. The id
+    // column is validated too: this wrapper APPENDS survivors' sigs,
+    // so its files must share the index's schema.
+    graft.ops.Dedup.requireRecipe(indexPath, shingleN, k, seed, Some(idCol),
+      stream.sparkSession.sessionState.newHadoopConf())
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession

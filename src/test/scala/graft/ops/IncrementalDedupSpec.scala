@@ -181,6 +181,20 @@ class IncrementalDedupSpec extends SparkSpec {
         Dedup.appendToSignatureIndex(batch, "doc_id", "text", path,
           shingleN = 2, k = 32, seed = 7L)
       }
+      // appends must also match the index's ID COLUMN (divergent
+      // parquet schemas read back as nulls) — and the parallel
+      // writeSignatureIndex(mode="append") path validates identically
+      // instead of clobbering the sidecar with a new recipe
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureIndex(batch.withColumnRenamed("doc_id", "id"),
+          "id", "text", path, shingleN = 3, k = 32, seed = 7L)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(batch, "doc_id", "text", path,
+          shingleN = 3, k = 32, seed = 42L, mode = "append")
+      }
+      assert(Dedup.readIndexRecipe(path).contains(recipe),
+        "a refused append must not have touched the sidecar")
       // advancing under the right recipe makes the survivor visible
       Dedup.appendToSignatureIndex(
         batch.filter(col("doc_id") === 11L), "doc_id", "text", path,
