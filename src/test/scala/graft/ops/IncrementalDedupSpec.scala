@@ -195,6 +195,17 @@ class IncrementalDedupSpec extends SparkSpec {
       }
       assert(Dedup.readIndexRecipe(path).contains(recipe),
         "a refused append must not have touched the sidecar")
+      // bootstrap shape: an EMPTY index (day zero) keeps every batch
+      // doc and still round-trips its recipe
+      val emptyPath = new java.io.File(dir, "empty_idx").getAbsolutePath
+      Dedup.writeSignatureIndex(history.filter(lit(false)), "doc_id", "text", emptyPath,
+        shingleN = 3, k = 32, seed = 7L)
+      assert(Dedup.readIndexRecipe(emptyPath).contains(recipe))
+      val keptAll = Dedup.incrementalDedupAgainstIndex(batch, "doc_id", "text", emptyPath,
+        threshold = 0.8, shingleN = 3, k = 32, seed = 7L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptAll == Set(10L, 11L), s"an empty index must keep the whole batch, got $keptAll")
+
       // advancing under the right recipe makes the survivor visible
       Dedup.appendToSignatureIndex(
         batch.filter(col("doc_id") === 11L), "doc_id", "text", path,
