@@ -28,9 +28,9 @@ class ConcurrentResultSpec extends SparkSpec {
     "q42_minhash_lsh", "q78_minhash_portable", "q63_neardup_clusters",
     "q76_cc_exact", "q51_lsh_knn", "q86_lsh_knn_portable",
     "q90_dup_span_stats", "q92_temperature_threshold",
-    // r19 incremental probe: exercises the shared signature-cache FIFO
-    // (cacheSigs) from both its entry points under overlap
-    "q95_incremental_portable")
+    // r19 incremental probes: exercise the shared signature-cache FIFO
+    // (cacheSigs) from the text and cosine entry points under overlap
+    "q95_incremental_portable", "q97_incremental_cosine_portable")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
