@@ -23,15 +23,18 @@ object Dedup {
   // signatures before A's self-join evaluates, silently recomputing the
   // MD5 minhash UDF on both join sides). A small FIFO keeps the last few
   // invocations persisted: deep enough that no in-flight sibling loses
-  // its cache, shallow enough to bound driver retention. Depth must be
-  // >= the widest concurrent submission pool — Bench runs 16 queries in
-  // parallel (SPARK_GRAFT_BENCH_PARALLEL), and a depth below the pool
-  // width lets a 17th invocation unpersist an in-flight sibling's cache
-  // before its lazy self-join evaluates (silent recompute, results
-  // unchanged). Each entry is one (id, 16-long sig) frame at bench SF —
-  // ~a few MB — so 16 retained lineages stay a bounded footprint.
+  // its cache, shallow enough to bound driver retention. Depth is the
+  // widest concurrent submission pool (Bench's SPARK_GRAFT_BENCH_PARALLEL)
+  // times the MAX ENTRIES ONE INVOCATION ENQUEUES — incrementalDedup
+  // enrolls two (the probe's bBounded plus the within-batch pass's
+  // banding base), so a pool-width depth alone would let 16 concurrent
+  // incremental calls evict a sibling's still-unevaluated first entry:
+  // the window exchange rebuilds and the oversize-guard accumulator
+  // double-counts (ADVICE r19 — perf/observability, results unchanged).
+  // Each entry is one (id, k-long sig) frame at bench SF — ~a few MB —
+  // so 32 retained lineages stay a bounded footprint.
   private val portableSigsCacheDepth =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt.max(4)
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "16").toInt.max(4) * 2
   private val recentSigCaches = scala.collection.mutable.Queue.empty[DataFrame]
 
   /** Persist a batch-/oracle-scale frame with bounded FIFO retention
@@ -927,6 +930,15 @@ object Dedup {
     val conf = corpus.sparkSession.sessionState.newHadoopConf()
     val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
     val appending = mode.equalsIgnoreCase("append")
+    // Decide sidecar stamping BEFORE the write: appending onto a LEGACY
+    // index (pre-existing data, no sidecar) must NOT stamp the caller's
+    // recipe — that would bless rows of unknown recipe, and later probes
+    // would validate green while the legacy portion silently matches
+    // nothing (ADVICE r19 — the exact failure the sidecar exists to
+    // prevent). Such an index stays legacy/unvalidated; rebuild with
+    // mode="overwrite" to adopt a recipe.
+    val legacyAppend = appending && readIndexRecipe(path, conf).isEmpty &&
+      pathHasIndexData(path, conf)
     if (appending)
       requireRecipe(path, shingleN, k, seed, Some(idCol), conf)
     withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
@@ -935,12 +947,29 @@ object Dedup {
       .write.mode(mode).parquet(path)
     // append: an existing sidecar already validated equal — keep it
     // (never clobber a recipe the data was checked against)
-    if (!appending || readIndexRecipe(path, conf).isEmpty) {
+    if (legacyAppend)
+      System.err.println(
+        s"[graft] writeSignatureIndex: appended to a LEGACY index at $path (pre-existing " +
+          "rows, no recipe sidecar) — the index stays unvalidated because the old rows' " +
+          "recipe is unknown; rebuild with mode=\"overwrite\" to adopt a validated recipe")
+    else if (!appending || readIndexRecipe(path, conf).isEmpty) {
       val p = sidecarPath(path)
       val out = hadoopFs(p, conf).create(p, true)
       try out.write(recipe.sidecarJson.getBytes("UTF-8")) finally out.close()
     }
     recipe
+  }
+
+  /** True when `path` already holds index DATA (any non-hidden,
+    * non-sidecar file) — the legacy-append guard's pre-write probe. */
+  private def pathHasIndexData(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(p, conf)
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   // sidecar I/O goes through the Hadoop FileSystem API of the CALLING
@@ -1028,6 +1057,55 @@ object Dedup {
       shingleN, k, seed)
       .select(col(idCol), col("sig"))
       .write.mode("append").parquet(path)
+  }
+
+  /** Result of [[compactSignatureIndex]]: row/byte counts either side
+    * of the swap, so callers can log the reclaim. */
+  final case class IndexCompaction(
+      rowsBefore: Long, rowsAfter: Long, bytesBefore: Long, bytesAfter: Long)
+
+  /** Compact a signature index in place: collapse exact-duplicate
+    * (id, sig) rows. The at-least-once streaming wrapper can replay a
+    * micro-batch across its index-append crash window, landing
+    * duplicate rows — harmless for MATCHING (identical rows band to
+    * identical buckets, so candidate pairs are unchanged; the oversize
+    * guard counts them toward `maxBucket`) but every future probe
+    * scans them. Full-row dropDuplicates + a staged directory swap:
+    * compacted rows (and the recipe sidecar, carried over unchanged)
+    * land at `<path>__compact_tmp`, the live index moves aside to
+    * `<path>__compact_old`, tmp renames into place, old deletes.
+    * Crash safety: nothing is deleted until the compacted directory is
+    * live — a crash mid-swap leaves the index intact at one of the two
+    * names (recover by renaming `__compact_old` back). Atomicity is
+    * the filesystem rename's (HDFS yes; object stores, use their
+    * committer or quiesce probes during the swap).
+    */
+  def compactSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): IndexCompaction = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(p, conf)
+    require(f.exists(p), s"no signature index at $path")
+    val bytesBefore = f.getContentSummary(p).getLength
+    val before = spark.read.parquet(path)
+    val rowsBefore = before.count()
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(old)) f.delete(old, true)
+    before.dropDuplicates().write.parquet(tmp.toString)
+    readIndexRecipe(path, conf).foreach { r =>
+      val sp = new org.apache.hadoop.fs.Path(tmp, recipeSidecarName)
+      val out = f.create(sp, true)
+      try out.write(r.sidecarJson.getBytes("UTF-8")) finally out.close()
+    }
+    require(f.rename(p, old), s"compaction swap: could not move $p aside")
+    require(f.rename(tmp, p),
+      s"compaction swap: could not move $tmp into place — the previous index is intact " +
+        s"at $old; rename it back to recover")
+    f.delete(old, true)
+    val rowsAfter = spark.read.parquet(path).count()
+    IndexCompaction(rowsBefore, rowsAfter, bytesBefore, f.getContentSummary(p).getLength)
   }
 
   /** [[incrementalDedup]] against a PERSISTED index path: reads the

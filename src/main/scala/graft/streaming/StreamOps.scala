@@ -188,20 +188,34 @@ object StreamOps {
     * recipe (shingleN/k/seed) must match the arguments here — the
     * recipe is part of the index format.
     *
+    * The index advances with EVERY doc the history probe kept — not
+    * just the within-batch dedup's canonical survivors. A transitive
+    * within-batch cluster (chain A–B–C where only A–B and B–C clear
+    * the threshold) keeps only A in the OUTPUT, but all three
+    * signatures enter the index: a replayed C would match nothing if
+    * only A's signature were indexed (C's direct similarity to A is
+    * below threshold — ADVICE r19) and would resurface as new output.
+    * With every kept doc indexed, every replayed doc either matches
+    * history as it originally did or self-matches. Content dropped
+    * within the batch also suppresses FUTURE duplicates of itself —
+    * the index represents content seen, the output content kept.
+    *
     * Delivery: AT-LEAST-ONCE, never lossy — foreachBatch replays a
     * batch whose checkpoint didn't commit, and the two appends here
     * are deliberately ordered output-BEFORE-index so every crash
     * window re-converges: a replay before the index append recomputes
     * the same survivors (unchanged index) and duplicates them in the
     * output; a replay AFTER the index append finds the batch's own
-    * signatures already indexed, so the survivors come back empty and
-    * both writes are no-ops — the first attempt's output stands.
-    * (Index-before-output would instead LOSE the batch in that second
-    * window.) Duplicate output rows carry identical ids — dedupe
-    * downstream by id if replays matter; duplicate (id, sig) index
-    * rows are harmless for matching (identical buckets ⇒ identical
-    * pairs; the oversize guard counts them toward `maxBucket`) but
-    * inflate the index — compact offline.
+    * signatures already indexed (every kept doc's, per the paragraph
+    * above), so the survivors come back empty and both writes are
+    * no-ops — the first attempt's output stands. (Index-before-output
+    * would instead LOSE the batch in that second window.) Duplicate
+    * output rows carry identical ids — dedupe downstream by id if
+    * replays matter, or use [[incrementalDedupStreamDelta]] for
+    * exactly-once; duplicate (id, sig) index rows are harmless for
+    * matching (identical buckets ⇒ identical pairs; the oversize
+    * guard counts them toward `maxBucket`) but inflate the index —
+    * [[graft.ops.Dedup.compactSignatureIndex]] shrinks it offline.
     */
   def incrementalDedupStream(
       stream: DataFrame,
@@ -230,25 +244,55 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val index = spark.read.parquet(indexPath)
-        val survivors = graft.ops.Dedup.incrementalDedup(
-          batch, idCol, textCol, index, idCol, "sig",
-          shingleN = shingleN, k = k, bands = bands, threshold = threshold,
-          maxBucket = maxBucket, seed = seed)
-          // the survivor set is read twice (output + index advance) and
-          // derives from two LSH probes — localCheckpoint decouples it
-          // from the index parquet BEFORE the index append below
-          // overwrites what this batch's plan would re-read
-          .localCheckpoint()
+        val (survivors, keptSigs) = incrementalBatchProbe(
+          batch, idCol, textCol, index, idCol,
+          shingleN, k, bands, threshold, seed, maxBucket)
         survivors.write.mode("append").parquet(outPath)
-        graft.ops.Dedup.withMinhashSignature(
-            survivors.select(col(idCol), col(textCol)), textCol, "sig", shingleN, k, seed)
-          .select(col(idCol), col("sig"))
-          .write.mode("append").parquet(indexPath)
+        keptSigs.write.mode("append").parquet(indexPath)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** One micro-batch's probe, shared by the parquet and Delta stream
+    * wrappers. Signatures are computed ONCE per batch — the history
+    * probe and the index advance both read them (the previous shape
+    * re-signatured the survivors for the append — a second full pass
+    * over the batch text). Returns (survivors, keptSigs):
+    * `survivors` = the OUTPUT rows (history-probe survivors minus
+    * within-batch near-dups); `keptSigs` = the (id, sig) rows of EVERY
+    * history-probe survivor — the index advance, covering transitive
+    * within-batch clusters (see [[incrementalDedupStream]]'s indexing
+    * contract). `sigs` and `matched` are localCheckpointed so nothing
+    * downstream re-reads the index files the caller is about to append
+    * to, and so the probe (two LSH passes) never recomputes.
+    */
+  private def incrementalBatchProbe(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      indexIdCol: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val sigs = graft.ops.Dedup.withMinhashSignature(
+        batch.select(col(idCol), col(textCol)), textCol, "sig", shingleN, k, seed)
+      .localCheckpoint()
+    val matched = graft.ops.Dedup.incrementalNearDupPairs(
+        sigs, idCol, "sig", index, indexIdCol, "sig", bands, threshold, maxBucket)
+      .select(col("new_id").as(idCol)).distinct()
+      .localCheckpoint() // id-only, batch-bounded; truncates the index-file lineage
+    val kept = batch.join(broadcast(matched), Seq(idCol), "left_anti")
+    val survivors = graft.ops.Dedup.dedupNearDups(kept, idCol, textCol, threshold, shingleN)
+    val keptSigs = sigs.join(broadcast(matched), Seq(idCol), "left_anti")
+      .select(col(idCol), col("sig"))
+    (survivors, keptSigs)
   }
 
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per

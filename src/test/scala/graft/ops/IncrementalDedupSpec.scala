@@ -223,6 +223,76 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("append onto a LEGACY index never stamps the caller's recipe (ADVICE r19)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_legacy").toFile
+    try {
+      // a bare pre-sidecar index: (id, sig) parquet with data, no recipe
+      val legacy = new java.io.File(dir, "legacy_idx").getAbsolutePath
+      val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      sigsOf(history, k = 32).write.parquet(legacy)
+      assert(Dedup.readIndexRecipe(legacy).isEmpty)
+      val batch = Seq((11L, "unique content about lakehouse table formats and manifests"))
+        .toDF("doc_id", "text")
+      // appending must succeed but leave the index UNVALIDATED: stamping
+      // the caller's recipe would bless the legacy rows' unknown recipe
+      // and later probes would validate green over silent zero recall
+      Dedup.writeSignatureIndex(batch, "doc_id", "text", legacy,
+        shingleN = 3, k = 32, seed = 7L, mode = "append")
+      assert(Dedup.readIndexRecipe(legacy).isEmpty,
+        "a legacy append must NOT stamp a sidecar over rows of unknown recipe")
+      assert(spark.read.parquet(legacy).count() == 2, "the append itself must land")
+      // append to a FRESH (nonexistent) path is a first write: stamp
+      val fresh = new java.io.File(dir, "fresh_idx").getAbsolutePath
+      val recipe = Dedup.writeSignatureIndex(batch, "doc_id", "text", fresh,
+        shingleN = 3, k = 32, seed = 7L, mode = "append")
+      assert(Dedup.readIndexRecipe(fresh).contains(recipe),
+        "an append that CREATES the index is a first write and must stamp")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("compactSignatureIndex: replay-inflated index shrinks, matching unchanged, sidecar rides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_compact").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      val history = corpus(50)
+      val recipe = Dedup.writeSignatureIndex(history, "doc_id", "text", path,
+        shingleN = 3, k = 32, seed = 7L)
+      // simulate the at-least-once crash window: the SAME batch's
+      // signatures appended ten times over
+      (1 to 10).foreach { _ =>
+        Dedup.appendToSignatureIndex(history, "doc_id", "text", path,
+          shingleN = 3, k = 32, seed = 7L)
+      }
+      val batch = corpus(60).filter(col("doc_id") >= 50)
+      def probe(): Set[(Long, Long)] =
+        Dedup.incrementalDedupAgainstIndex(batch, "doc_id", "text", path,
+          threshold = 0.5, shingleN = 3, k = 32, seed = 7L, withinBatch = false)
+          .select("doc_id").as[Long].collect().toSet.map((x: Long) => (x, x))
+      val beforePairs = probe()
+      val stats = Dedup.compactSignatureIndex(spark, path)
+      assert(stats.rowsBefore == 550 && stats.rowsAfter == 50,
+        s"11 copies of 50 rows must compact to 50, got $stats")
+      assert(stats.bytesAfter < stats.bytesBefore, s"bytes must shrink, got $stats")
+      assert(Dedup.readIndexRecipe(path).contains(recipe),
+        "the recipe sidecar must ride the swap unchanged")
+      assert(probe() == beforePairs, "matching must be IDENTICAL after compaction")
+      // the swap leaves no staging residue
+      val names = dir.list().toSet
+      assert(names == Set("idx"), s"staging dirs must be gone, got $names")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("null-text rows drop from both sides without degenerate buckets") {
     val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")

@@ -58,9 +58,13 @@ class IncrementalStreamSpec extends SparkSpec {
       assert(after2 == Set(11L, 12L, 21L),
         s"batch 2: the dup of survivor 11 must drop against the ADVANCED index, got $after2")
 
-      // the index now carries history + both batches' survivors
+      // the index now carries history + every doc the HISTORY probe
+      // kept — including 13, the in-batch dup the output dropped: the
+      // index represents content seen, the output content kept (the
+      // ADVICE-r19 transitive-replay fix). 10 and 20 matched
+      // history/advanced-index, so they never enter.
       val idxIds = spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
-      assert(idxIds == Set(1L, 11L, 12L, 21L))
+      assert(idxIds == Set(1L, 11L, 12L, 13L, 21L))
 
       // replay convergence (the documented at-least-once contract's
       // post-index-append window): re-processing the SAME rows against
@@ -86,6 +90,77 @@ class IncrementalStreamSpec extends SparkSpec {
       val afterReplay = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSet
       assert(afterReplay == Set(11L, 12L, 21L),
         s"a replayed batch must converge to a no-op against the advanced index, got $afterReplay")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("transitive within-batch clusters replay as a no-op (every kept doc is indexed)") {
+    // Chain A–B–C: sim(A,B) and sim(B,C) clear the threshold, sim(A,C)
+    // does NOT. Connected components keeps only A in the output, but
+    // ALL THREE signatures must enter the index — if only the canonical
+    // survivor A were indexed (the pre-r20 behavior), a replayed C
+    // would match nothing (its direct similarity to A is below
+    // threshold) and resurface as NEW output the first attempt dropped
+    // (ADVICE r19 medium).
+    val a16 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa"
+    val docA = s"$a16 quebec romeo sierra tango"
+    val docB = s"$a16 uniform victor whiskey xray"
+    val docC = "zulu yankee xeno willow " +
+      a16.split(" ").drop(4).mkString(" ") + " uniform victor whiskey xray"
+    val thr = 0.5
+
+    // self-validate the chain shape under the STREAM's own recipe:
+    // A–B and B–C at or above the threshold, A–C strictly below
+    val chain = Seq((30L, docA), (31L, docB), (32L, docC)).toDF("doc_id", "text")
+    val est = graft.ops.Dedup.minhashNearDupPairs(chain, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((30L, 31L)) >= thr && est((31L, 32L)) >= thr,
+      s"test corpus must chain A-B-C above $thr, got $est")
+    assert(est.get((30L, 32L)).forall(_ < thr),
+      s"A-C must sit BELOW $thr for the chain to be transitive, got $est")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_chain").toFile
+    try {
+      val idxPath = new java.io.File(dir, "index").getAbsolutePath
+      val outPath = new java.io.File(dir, "out").getAbsolutePath
+      val history = Seq((1L, "unrelated seed content about parquet footers and row groups"))
+        .toDF("doc_id", "text")
+      graft.ops.Dedup.writeSignatureIndex(history, "doc_id", "text", idxPath,
+        shingleN = 3, k = 64)
+
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      ms.addData((30L, docA), (31L, docB), (32L, docC))
+      val q = StreamOps.incrementalDedupStream(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxPath, outPath, new java.io.File(dir, "ck").getAbsolutePath,
+        shingleN = 3, k = 64, bands = 16, threshold = thr)
+      q.processAllAvailable()
+      q.stop()
+      val out1 = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(30L), s"the chain must collapse to its canonical doc, got $out1")
+      val idxIds = spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 30L, 31L, 32L),
+        s"ALL history-probe survivors must be indexed, not just canonical ones, got $idxIds")
+
+      // the post-index-append replay window: a fresh checkpoint replays
+      // the whole batch — C must self-match instead of resurfacing
+      val ms2 = MemoryStream[(Long, String)]
+      ms2.addData((30L, docA), (31L, docB), (32L, docC))
+      val q2 = StreamOps.incrementalDedupStream(
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxPath, outPath, new java.io.File(dir, "ck2").getAbsolutePath,
+        shingleN = 3, k = 64, bands = 16, threshold = thr)
+      q2.processAllAvailable()
+      q2.stop()
+      val out2 = spark.read.parquet(outPath).select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(30L),
+        s"a replayed transitive cluster must land ZERO new output rows, got $out2")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
