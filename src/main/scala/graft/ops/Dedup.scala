@@ -952,17 +952,14 @@ object Dedup {
         s"[graft] writeSignatureIndex: appended to a LEGACY index at $path (pre-existing " +
           "rows, no recipe sidecar) — the index stays unvalidated because the old rows' " +
           "recipe is unknown; rebuild with mode=\"overwrite\" to adopt a validated recipe")
-    else if (!appending || readIndexRecipe(path, conf).isEmpty) {
-      val p = sidecarPath(path)
-      val out = hadoopFs(p, conf).create(p, true)
-      try out.write(recipe.sidecarJson.getBytes("UTF-8")) finally out.close()
-    }
+    else if (!appending || readIndexRecipe(path, conf).isEmpty)
+      writeSidecarText(sidecarPath(path), recipe.sidecarJson, conf)
     recipe
   }
 
   /** True when `path` already holds index DATA (any non-hidden,
     * non-sidecar file) — the legacy-append guard's pre-write probe. */
-  private def pathHasIndexData(path: String,
+  private[ops] def pathHasIndexData(path: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = hadoopFs(p, conf)
@@ -975,14 +972,39 @@ object Dedup {
   // sidecar I/O goes through the Hadoop FileSystem API of the CALLING
   // frame's session (not java.nio, not SparkSession.active): at corpus
   // scale the index lives on HDFS/S3 and a local-only or wrong-session
-  // resolution would silently disable recipe validation there
-  private val recipeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // resolution would silently disable recipe validation there. Shared
+  // with the vector index's sidecar ([[Similarity.VectorIndexRecipe]]).
+  private[ops] val recipeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def sidecarPath(path: String) =
     new org.apache.hadoop.fs.Path(path, recipeSidecarName)
-  private def hadoopFs(p: org.apache.hadoop.fs.Path, conf: org.apache.hadoop.conf.Configuration) =
+  private[ops] def hadoopFs(p: org.apache.hadoop.fs.Path, conf: org.apache.hadoop.conf.Configuration) =
     p.getFileSystem(conf)
-  private def activeConf(): org.apache.hadoop.conf.Configuration =
+  private[ops] def activeConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  /** Read a whole sidecar file as UTF-8 text, None when absent. */
+  private[ops] def readSidecarText(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val f = hadoopFs(p, conf)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Overwrite a sidecar file with UTF-8 text. */
+  private[ops] def writeSidecarText(p: org.apache.hadoop.fs.Path, text: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val out = hadoopFs(p, conf).create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Read a signature index's recipe sidecar; None when the index
     * predates [[writeSignatureIndex]] (bare `(id, sig)` parquet). */
@@ -995,24 +1017,13 @@ object Dedup {
   def readIndexRecipe(path: String,
       conf: org.apache.hadoop.conf.Configuration): Option[SignatureIndexRecipe] = {
     val p = sidecarPath(path)
-    val f = hadoopFs(p, conf)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
+    readSidecarText(p, conf).map { txt =>
       val node = recipeMapper.readTree(txt)
       def req(name: String): com.fasterxml.jackson.databind.JsonNode =
         Option(node.get(name)).getOrElse(throw new IllegalArgumentException(
           s"malformed signature-index sidecar at $p: missing '$name' in: $txt"))
-      Some(SignatureIndexRecipe(req("idCol").asText,
-        req("shingleN").asInt, req("k").asInt, req("seed").asLong))
+      SignatureIndexRecipe(req("idCol").asText,
+        req("shingleN").asInt, req("k").asInt, req("seed").asLong)
     }
   }
 
@@ -1095,9 +1106,8 @@ object Dedup {
     if (f.exists(old)) f.delete(old, true)
     before.dropDuplicates().write.parquet(tmp.toString)
     readIndexRecipe(path, conf).foreach { r =>
-      val sp = new org.apache.hadoop.fs.Path(tmp, recipeSidecarName)
-      val out = f.create(sp, true)
-      try out.write(r.sidecarJson.getBytes("UTF-8")) finally out.close()
+      writeSidecarText(new org.apache.hadoop.fs.Path(tmp, recipeSidecarName),
+        r.sidecarJson, conf)
     }
     require(f.rename(p, old), s"compaction swap: could not move $p aside")
     require(f.rename(tmp, p),

@@ -795,6 +795,178 @@ object Similarity {
       threshold, maxBucket, broadcastBatch = true)
   }
 
+  // ------------------------------------------------------------------ //
+  // Vector index lifecycle (round 20): the embedding-side sibling of   //
+  // the signature index (Dedup.writeSignatureIndex). The index is the  //
+  // persisted (id, vec) corpus itself; the RECIPE is the banding       //
+  // contract a probe must match — incrementalCosinePairs' scaladoc     //
+  // says "(dim, bitsPerGroup, groups, seed) are part of the index      //
+  // contract; a mismatched recipe silently matches nothing", and the   //
+  // sidecar turns that prose contract into a loud refusal, exactly     //
+  // what the signature sidecar does for shingleN/k/seed.               //
+  // ------------------------------------------------------------------ //
+
+  /** The banding recipe of a persisted vector index. `idCol`/`vecCol`
+    * are the stored column names (appends must match them — divergent
+    * parquet schemas read back as nulls); dim/bitsPerGroup/groups/seed
+    * are the hyperplane banding parameters the corpus was sized for
+    * ([[autoLshParams]]) — a probe banded under any other recipe
+    * buckets differently and silently matches nothing. */
+  final case class VectorIndexRecipe(
+      idCol: String, vecCol: String, dim: Int, bitsPerGroup: Int, groups: Int, seed: Long) {
+    def sidecarJson: String = {
+      val m = Dedup.recipeMapper
+      val node = m.createObjectNode()
+      node.put("format", "graft-vector-index")
+      node.put("version", 1)
+      node.put("idCol", idCol)
+      node.put("vecCol", vecCol)
+      node.put("dim", dim)
+      node.put("bitsPerGroup", bitsPerGroup)
+      node.put("groups", groups)
+      node.put("seed", seed)
+      m.writeValueAsString(node)
+    }
+  }
+
+  private val vectorSidecarName = "_graft_vector_index_recipe.json"
+  private def vectorSidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, vectorSidecarName)
+
+  /** Build and persist the canonical (id, vec) vector index of an
+    * embedding corpus, with the banding-recipe sidecar the probe entry
+    * points validate. Vectors normalize to `array<float>` on write (the
+    * probe's own cast). One narrow pass — no shuffle beyond the write.
+    * `mode = "append"` validates against an existing sidecar first and
+    * never rewrites it; appending onto a LEGACY index (pre-existing
+    * data, no sidecar) refuses to stamp — same rules as
+    * [[Dedup.writeSignatureIndex]]. Same non-atomicity note too: a
+    * crash between the data commit and the sidecar write leaves a bare
+    * index (validation silently off) — re-run to repair.
+    */
+  def writeVectorIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int = 64,
+      bitsPerGroup: Int = 8,
+      groups: Int = 16,
+      seed: Long = 42L,
+      mode: String = "overwrite"
+  ): VectorIndexRecipe = {
+    val conf = corpus.sparkSession.sessionState.newHadoopConf()
+    val recipe = VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed)
+    val appending = mode.equalsIgnoreCase("append")
+    val legacyAppend = appending && readVectorIndexRecipe(path, conf).isEmpty &&
+      Dedup.pathHasIndexData(path, conf)
+    if (appending) requireVectorRecipe(path, recipe, conf)
+    floatVec(corpus, idCol, vecCol)
+      .select(col("_id").as(idCol), col("_v").as(vecCol))
+      .write.mode(mode).parquet(path)
+    if (legacyAppend)
+      System.err.println(
+        s"[graft] writeVectorIndex: appended to a LEGACY index at $path (pre-existing rows, " +
+          "no recipe sidecar) — the index stays unvalidated; rebuild with mode=\"overwrite\" " +
+          "to adopt a validated recipe")
+    else if (!appending || readVectorIndexRecipe(path, conf).isEmpty)
+      Dedup.writeSidecarText(vectorSidecarPath(path), recipe.sidecarJson, conf)
+    recipe
+  }
+
+  /** Read a vector index's recipe sidecar; None for a bare legacy
+    * (id, vec) parquet. */
+  def readVectorIndexRecipe(path: String): Option[VectorIndexRecipe] =
+    readVectorIndexRecipe(path, Dedup.activeConf())
+
+  def readVectorIndexRecipe(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[VectorIndexRecipe] = {
+    val p = vectorSidecarPath(path)
+    Dedup.readSidecarText(p, conf).map { txt =>
+      val node = Dedup.recipeMapper.readTree(txt)
+      def req(name: String): com.fasterxml.jackson.databind.JsonNode =
+        Option(node.get(name)).getOrElse(throw new IllegalArgumentException(
+          s"malformed vector-index sidecar at $p: missing '$name' in: $txt"))
+      VectorIndexRecipe(req("idCol").asText, req("vecCol").asText, req("dim").asInt,
+        req("bitsPerGroup").asInt, req("groups").asInt, req("seed").asLong)
+    }
+  }
+
+  /** Validate a probe/append recipe against the index's sidecar (no-op
+    * for bare legacy indexes). Column names are checked only on
+    * appends (`checkCols`) — a PROBE's batch may use different ones. */
+  private def requireVectorRecipe(path: String, asked: VectorIndexRecipe,
+      conf: org.apache.hadoop.conf.Configuration, checkCols: Boolean = true): Unit =
+    readVectorIndexRecipe(path, conf).foreach { r =>
+      require(r.dim == asked.dim && r.bitsPerGroup == asked.bitsPerGroup &&
+          r.groups == asked.groups && r.seed == asked.seed,
+        s"vector-index recipe mismatch at $path: index was built with " +
+          s"(dim=${r.dim}, bitsPerGroup=${r.bitsPerGroup}, groups=${r.groups}, seed=${r.seed}) " +
+          s"but the probe asked for (dim=${asked.dim}, bitsPerGroup=${asked.bitsPerGroup}, " +
+          s"groups=${asked.groups}, seed=${asked.seed}) — a mismatched recipe buckets " +
+          "differently and silently matches nothing; probe with the index's recipe")
+      if (checkCols)
+        require(r.idCol == asked.idCol && r.vecCol == asked.vecCol,
+          s"vector-index column mismatch at $path: index stores ('${r.idCol}', '${r.vecCol}') " +
+            s"but the append would write ('${asked.idCol}', '${asked.vecCol}') — mixed column " +
+            "names read back as nulls under one schema; rename before appending")
+    }
+
+  /** Append a batch's vectors to an existing index under the index's
+    * OWN recipe (validated when the sidecar exists, column names
+    * included) — how the day-2 pipeline advances the vector index with
+    * its survivors. */
+  def appendToVectorIndex(
+      survivors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int = 64,
+      bitsPerGroup: Int = 8,
+      groups: Int = 16,
+      seed: Long = 42L
+  ): Unit = {
+    val conf = survivors.sparkSession.sessionState.newHadoopConf()
+    requireVectorRecipe(path,
+      VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed), conf)
+    floatVec(survivors, idCol, vecCol)
+      .select(col("_id").as(idCol), col("_v").as(vecCol))
+      .write.mode("append").parquet(path)
+  }
+
+  /** [[incrementalCosinePairs]] against a PERSISTED index path: reads
+    * the recipe sidecar ONCE, validates the probe's banding against it
+    * (loud error on mismatch — the silent-zero-recall footgun this
+    * sidecar exists to kill; the batch's own column names may differ
+    * from the index's), and probes. Day zero: an EMPTY index yields
+    * zero pairs, so the whole batch survives the caller's anti-join.
+    * The frame-taking overload remains for corpora managed elsewhere.
+    */
+  def incrementalCosineAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      threshold: Double,
+      dim: Int = 64,
+      bitsPerGroup: Int = 8,
+      groups: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val recipe = readVectorIndexRecipe(indexPath, conf)
+    requireVectorRecipe(indexPath,
+      VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed), conf,
+      checkCols = false)
+    val history = spark.read.parquet(indexPath)
+    incrementalCosinePairs(batch, idCol, vecCol,
+      history, recipe.map(_.idCol).getOrElse(idCol), recipe.map(_.vecCol).getOrElse(vecCol),
+      threshold, dim, bitsPerGroup, groups, seed, maxBucket, broadcastBatch)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-row scale
     * `max(|x|)/127`, elements rounded to [-127, 127] — the standard 4×
     * storage/bandwidth cut for large vector corpora, with cosine

@@ -390,6 +390,100 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
   }
 
+  test("vector index is self-describing: recipe round-trips, mismatched probes refuse, day zero keeps the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_idx").toFile
+    try {
+      val path = new java.io.File(dir, "vidx").getAbsolutePath
+      val emb = embCorpus(40)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      val history = emb.filter(col("vec_id") % 3 =!= 0)
+      val recipe = Similarity.writeVectorIndex(history, "vec_id", "embedding", path,
+        dim = 16, bitsPerGroup = 4, groups = 8, seed = 42L)
+      assert(Similarity.readVectorIndexRecipe(path).contains(recipe))
+      def canon(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+        rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // probing the persisted index equals probing the frame it persisted
+      val viaIndex = canon(Similarity.incrementalCosineAgainstIndex(
+        batch, "vec_id", "embedding", path, threshold = 0.9,
+        dim = 16, bitsPerGroup = 4, groups = 8).collect())
+      val viaFrame = canon(Similarity.incrementalCosinePairs(
+        batch, "vec_id", "embedding", history, "vec_id", "embedding",
+        threshold = 0.9, dim = 16, bitsPerGroup = 4, groups = 8).collect())
+      assert(viaIndex.nonEmpty && viaIndex == viaFrame)
+      // a mismatched banding recipe is a LOUD refusal, not silent zero recall
+      val e = intercept[IllegalArgumentException] {
+        Similarity.incrementalCosineAgainstIndex(batch, "vec_id", "embedding", path,
+          threshold = 0.9, dim = 16, bitsPerGroup = 4, groups = 8, seed = 7L)
+      }
+      assert(e.getMessage.contains("recipe mismatch"))
+      intercept[IllegalArgumentException] {
+        Similarity.incrementalCosineAgainstIndex(batch, "vec_id", "embedding", path,
+          threshold = 0.9, dim = 16, bitsPerGroup = 8, groups = 8)
+      }
+      // appends validate banding AND column names (divergent parquet
+      // schemas read back as nulls)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToVectorIndex(batch.withColumnRenamed("vec_id", "id"),
+          "id", "embedding", path, dim = 16, bitsPerGroup = 4, groups = 8)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.writeVectorIndex(batch, "vec_id", "embedding", path,
+          dim = 16, bitsPerGroup = 4, groups = 8, seed = 7L, mode = "append")
+      }
+      assert(Similarity.readVectorIndexRecipe(path).contains(recipe),
+        "a refused append must not have touched the sidecar")
+      // day zero: an EMPTY index yields zero pairs — the whole batch
+      // survives the caller's anti-join
+      val emptyPath = new java.io.File(dir, "empty_vidx").getAbsolutePath
+      Similarity.writeVectorIndex(emb.filter(lit(false)), "vec_id", "embedding", emptyPath,
+        dim = 16, bitsPerGroup = 4, groups = 8)
+      val dayZero = Similarity.incrementalCosineAgainstIndex(
+        batch, "vec_id", "embedding", emptyPath, threshold = 0.9,
+        dim = 16, bitsPerGroup = 4, groups = 8)
+      assert(dayZero.count() == 0)
+      // advancing the index under its own recipe makes the batch
+      // self-visible: every batch vector now matches itself at 1.0
+      Similarity.appendToVectorIndex(batch, "vec_id", "embedding", path,
+        dim = 16, bitsPerGroup = 4, groups = 8)
+      val afterAdvance = canon(Similarity.incrementalCosineAgainstIndex(
+        batch, "vec_id", "embedding", path, threshold = 0.9,
+        dim = 16, bitsPerGroup = 4, groups = 8).collect())
+      val batchIds = batch.select("vec_id").as[Long].collect()
+      assert(batchIds.forall(i => afterAdvance.contains((i, i))),
+        "an advanced index must self-match every appended vector")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("vector append onto a LEGACY index never stamps the caller's recipe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_legacy").toFile
+    try {
+      val legacy = new java.io.File(dir, "legacy_vidx").getAbsolutePath
+      val emb = embCorpus(12)
+      emb.write.parquet(legacy) // bare pre-sidecar index with data
+      assert(Similarity.readVectorIndexRecipe(legacy).isEmpty)
+      Similarity.writeVectorIndex(embCorpus(4), "vec_id", "embedding", legacy,
+        dim = 16, bitsPerGroup = 4, groups = 8, mode = "append")
+      assert(Similarity.readVectorIndexRecipe(legacy).isEmpty,
+        "a legacy append must NOT stamp a sidecar over rows of unknown recipe")
+      assert(spark.read.parquet(legacy).count() == 16)
+      // append that CREATES the index is a first write: stamp
+      val fresh = new java.io.File(dir, "fresh_vidx").getAbsolutePath
+      val recipe = Similarity.writeVectorIndex(embCorpus(4), "vec_id", "embedding", fresh,
+        dim = 16, bitsPerGroup = 4, groups = 8, mode = "append")
+      assert(Similarity.readVectorIndexRecipe(fresh).contains(recipe))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("plan shape: single history pass, every history-side exchange sits above the semi-join") {
     val conf = spark.conf
     val (aqe, thresh) =
