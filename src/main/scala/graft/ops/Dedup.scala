@@ -1070,6 +1070,19 @@ object Dedup {
       .write.mode("append").parquet(path)
   }
 
+  /** Stamp a recipe sidecar onto an EXISTING index directory whose rows
+    * were written by other machinery — the explicit-adopt escape for a
+    * legacy index ([[writeSignatureIndex]]'s append refuses to stamp
+    * one implicitly), and how the Delta-backed streaming index
+    * ([[graft.streaming.StreamOps.incrementalDedupStreamDelta]]) gets
+    * its self-description: the Delta writer owns the data commits, this
+    * records the recipe the caller asserts those rows were built with.
+    */
+  def adoptSignatureIndexRecipe(path: String, recipe: SignatureIndexRecipe,
+      conf: org.apache.hadoop.conf.Configuration = null): Unit =
+    writeSidecarText(sidecarPath(path), recipe.sidecarJson,
+      Option(conf).getOrElse(activeConf()))
+
   /** Result of [[compactSignatureIndex]]: row/byte counts either side
     * of the swap, so callers can log the reclaim. */
   final case class IndexCompaction(

@@ -256,6 +256,110 @@ object StreamOps {
       .start()
   }
 
+  /** EXACTLY-ONCE [[incrementalDedupStream]]: survivors and index rows
+    * land in native graft DELTA tables through the writer's txn action
+    * (`{"txn": {appId, version}}` rides each commit; the replay probe
+    * is [[graft.readers.DeltaWriter.lastTxnVersion]] — the same
+    * machinery the `graft-delta` streaming sink is spec'd idempotent
+    * on), so the at-least-once wrapper's duplicate-output crash window
+    * closes with no new moving parts. Per micro-batch, per table:
+    * a batch id at or below the table's committed txn version for this
+    * stream's app id is a replay and SKIPS that table's write. The two
+    * commits can't be atomic across two tables, so the windows are:
+    *
+    *  - crash before the output commit: the replay recomputes against
+    *    the unchanged index — identical survivors, written once;
+    *  - crash between output and index commit: the replay sees the
+    *    output txn committed and writes NOTHING to the output (the
+    *    window the parquet path duplicates in), recomputes the same
+    *    survivors off the still-unchanged index, and lands only the
+    *    index append;
+    *  - crash after both: full no-op.
+    *
+    * Output is therefore exactly-once; the index is exactly-once too
+    * (no replay-inflation, so no compaction debt). Ordering stays
+    * output-BEFORE-index — with the index txn probed independently,
+    * the ordering is about recomputability: the index must not advance
+    * before the output's survivors are derived from it.
+    *
+    * `txnAppId` defaults to the checkpoint path (the graft-delta
+    * sink's own convention); a RESUMED stream must keep both. The
+    * index table must exist before the stream starts (day zero: an
+    * empty (idCol, sig) Delta table); stamp its recipe with
+    * [[graft.ops.Dedup.adoptSignatureIndexRecipe]] so mismatched
+    * probes refuse — this wrapper validates it like the parquet one.
+    * Both tables read back through the native Delta reader (or any
+    * Delta client).
+    */
+  def incrementalDedupStreamDelta(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexTable: String,
+      outTable: String,
+      checkpoint: String,
+      txnAppId: Option[String] = None,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.ops.Dedup.requireRecipe(indexTable, shingleN, k, seed, Some(idCol),
+      stream.sparkSession.sessionState.newHadoopConf())
+    val appId = txnAppId.getOrElse(checkpoint)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        incrementalDedupDeltaBatch(batch, epochId, idCol, textCol,
+          indexTable, outTable, appId, shingleN, k, bands, threshold, seed, maxBucket)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One exactly-once micro-batch of [[incrementalDedupStreamDelta]],
+    * exposed for manual-replay specs (the DeltaStreamProvider mold):
+    * probes each table's committed txn version independently, skips
+    * the committed side, recomputes the rest. Recomputation is
+    * deterministic because the index cannot have advanced for this
+    * batch while its output txn is uncommitted (output-before-index).
+    * A no-row batch still commits its txn markers so replays stay
+    * idempotent (the graft-delta sink's own convention). */
+  private[graft] def incrementalDedupDeltaBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexTable: String,
+      outTable: String,
+      appId: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long,
+      maxBucket: Int): Unit = {
+    import graft.readers.{DeltaReader, DeltaWriter}
+    val spark = batch.sparkSession
+    val outDone = DeltaWriter.lastTxnVersion(spark, outTable, appId) >= batchId
+    val idxDone = DeltaWriter.lastTxnVersion(spark, indexTable, appId) >= batchId
+    if (outDone && idxDone) return
+    val index = DeltaReader.read(spark, indexTable)
+    val (survivors, keptSigs) = incrementalBatchProbe(
+      batch, idCol, textCol, index, idCol,
+      shingleN, k, bands, threshold, seed, maxBucket)
+    if (!outDone)
+      DeltaWriter.write(spark, survivors, outTable, mode = "append",
+        txn = Some(appId -> batchId))
+    if (!idxDone)
+      DeltaWriter.write(spark, keptSigs, indexTable, mode = "append",
+        txn = Some(appId -> batchId))
+  }
+
   /** One micro-batch's probe, shared by the parquet and Delta stream
     * wrappers. Signatures are computed ONCE per batch — the history
     * probe and the index advance both read them (the previous shape

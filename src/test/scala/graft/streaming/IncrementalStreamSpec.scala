@@ -168,4 +168,101 @@ class IncrementalStreamSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("exactly-once Delta stream: every crash window lands ZERO duplicate output rows") {
+    import graft.readers.{DeltaReader, DeltaWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_delta").toFile
+    try {
+      val idxPath = new java.io.File(dir, "idx_delta").getAbsolutePath
+      val outPath = new java.io.File(dir, "out_delta").getAbsolutePath
+      val ckPath = new java.io.File(dir, "ck").getAbsolutePath
+      val history = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      // seed the index as a native Delta table + adopt its recipe
+      DeltaWriter.write(spark,
+        graft.ops.Dedup.withMinhashSignature(history, "text", "sig", shingleN = 3, k = 64)
+          .select(col("doc_id"), col("sig")),
+        idxPath)
+      graft.ops.Dedup.adoptSignatureIndexRecipe(idxPath,
+        graft.ops.Dedup.SignatureIndexRecipe("doc_id", 3, 64, 42L))
+
+      val batch1 = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of hist 1
+        (11L, "unique content about lakehouse table formats and manifests"),
+        (12L, "shared boilerplate sentence repeated across this increment x"),
+        (13L, "shared boilerplate sentence repeated across this increment x"))
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(batch1: _*)
+      val q = StreamOps.incrementalDedupStreamDelta(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxPath, outPath, ckPath, shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      q.processAllAvailable()
+      q.stop()
+      def ids(path: String): Set[Long] =
+        DeltaReader.read(spark, path).select("doc_id").as[Long].collect().toSet
+      assert(ids(outPath) == Set(11L, 12L))
+      assert(ids(idxPath) == Set(1L, 11L, 12L, 13L),
+        "the Delta index must advance with every history-probe survivor")
+
+      // FULL manual replay of the committed batch (the DeltaStreamProvider
+      // mold): both txn markers are present, so both writes are no-ops —
+      // row COUNTS unchanged, not just id sets
+      val batchDf = batch1.toDF("doc_id", "text")
+      val (outRows, idxRows) =
+        (DeltaReader.read(spark, outPath).count(), DeltaReader.read(spark, idxPath).count())
+      StreamOps.incrementalDedupDeltaBatch(batchDf, 0L, "doc_id", "text",
+        idxPath, outPath, ckPath, 3, 64, 16, 0.8, 42L, 1000)
+      assert(DeltaReader.read(spark, outPath).count() == outRows,
+        "a fully-committed batch's replay must write NOTHING to the output")
+      assert(DeltaReader.read(spark, idxPath).count() == idxRows,
+        "...and NOTHING to the index (no replay inflation, no compaction debt)")
+
+      // CRASH WINDOW: output committed, index not (the window the parquet
+      // path duplicates in). Fresh tables; the output txn for batch 0 is
+      // already on the out table; the worker must skip the output write,
+      // recompute off the unchanged index, and land only the index rows.
+      val idx2 = new java.io.File(dir, "idx2_delta").getAbsolutePath
+      val out2 = new java.io.File(dir, "out2_delta").getAbsolutePath
+      val app2 = "crash-window-app"
+      DeltaWriter.write(spark,
+        graft.ops.Dedup.withMinhashSignature(history, "text", "sig", shingleN = 3, k = 64)
+          .select(col("doc_id"), col("sig")),
+        idx2)
+      DeltaWriter.write(spark, batchDf.filter(col("doc_id").isin(11L, 12L)), out2,
+        txn = Some(app2 -> 0L)) // the first attempt's output commit
+      StreamOps.incrementalDedupDeltaBatch(batchDf, 0L, "doc_id", "text",
+        idx2, out2, app2, 3, 64, 16, 0.8, 42L, 1000)
+      assert(ids(out2) == Set(11L, 12L) && DeltaReader.read(spark, out2).count() == 2,
+        "the post-output-commit replay must land ZERO duplicate output rows")
+      assert(ids(idx2) == Set(1L, 11L, 12L, 13L),
+        "...while still landing the index append the crash skipped")
+
+      // the RESUMED stream (same checkpoint, same appId) keeps advancing
+      ms.addData(
+        (20L, "unique content about lakehouse table formats and manifests"), // dup of survivor 11
+        (21L, "fresh material never seen in any earlier batch of the stream"))
+      val q2 = StreamOps.incrementalDedupStreamDelta(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxPath, outPath, ckPath, shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(ids(outPath) == Set(11L, 12L, 21L))
+      assert(ids(idxPath) == Set(1L, 11L, 12L, 13L, 21L))
+
+      // a mismatched index recipe refuses at stream START, same as the
+      // parquet wrapper
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.incrementalDedupStreamDelta(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          idxPath, outPath, ckPath, shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+      }
+      assert(e.getMessage.contains("recipe mismatch"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
