@@ -1165,6 +1165,68 @@ object Dedup {
       shingleN, k, bands, threshold, maxBucket, withinBatch, broadcastBatch, seed)
   }
 
+  /** Day-2 cluster maintenance: assign a new batch's docs to a
+    * persisted corpus's EXISTING cluster labels without re-running
+    * connected components over the union — one bounded pass over the
+    * incremental probe's own outputs. Inputs: `batchPairs` = the
+    * within-batch near-dup pairs (id1, id2); `crossPairs` = the
+    * incremental probe's (new_id, hist_id) matches; `historyLabels` =
+    * the persisted (id, component) table (the [[connectedComponents]]
+    * output schema; matched history docs ABSENT from it label
+    * themselves, the same convention as edge-less nodes there).
+    * Returns (idCol, component) for EVERY row of `batchIds`.
+    *
+    * Semantics: within-batch components form first (exact CC over the
+    * batch-sized pair list); a batch component any of whose members
+    * matched history ADOPTS the minimum history label among those
+    * matches; a batch-only component MINTS its own minimum batch id.
+    * History labels are immutable here — a batch component bridging
+    * TWO history components takes the min but does not rewrite the
+    * history table (that reconciliation is the offline re-cluster;
+    * labels only ever coarsen there, never split). The assignment
+    * REFINES the union-batch CC: two batch docs sharing an assigned
+    * label are always in the same component of the full union graph —
+    * the incremental path never over-merges, it can only under-merge
+    * where the bridge runs through history (spec-pinned monotonicity).
+    * Minted labels share the id domain with history labels; callers
+    * whose batch/history id spaces overlap should namespace.
+    *
+    * Scale shape: every frame here is batch- or signal-proportional
+    * EXCEPT `historyLabels` (corpus-sized) — which is reduced by a
+    * broadcast semi-join on the probe's matched hist ids before
+    * anything joins it, so the history lineage is scan → broadcast
+    * semi-join, never an exchange (the incremental probe's own
+    * contract). `broadcastBatch = false` falls back to ordinary joins
+    * for jumbo increments.
+    */
+  def assignIncrementalClusters(
+      batchIds: DataFrame,
+      idCol: String,
+      batchPairs: DataFrame,
+      crossPairs: DataFrame,
+      historyLabels: DataFrame,
+      broadcastBatch: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    // within-batch components; docs with no batch edge label themselves
+    val bcomp = connectedComponents(batchPairs.select(col("id1"), col("id2")))
+      .withColumnRenamed("id", idCol).withColumnRenamed("component", "_bcomp")
+    val labeled = batchIds.select(col(idCol))
+      .join(bc(bcomp), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
+    val matched = crossPairs.select(col("new_id"), col("hist_id"))
+    // corpus-sized history labels reduce to the matched (signal-sized)
+    // subset via a broadcast semi-join BEFORE any other join touches them
+    val histSub = historyLabels.select(col("id").as("hist_id"), col("component").as("_hcomp"))
+      .join(bc(matched.select(col("hist_id")).distinct()), Seq("hist_id"), "leftsemi")
+    val adoptPerNew = matched.join(bc(histSub), Seq("hist_id"), "left")
+      .select(col("new_id").as(idCol),
+        coalesce(col("_hcomp"), col("hist_id")).as("_hcomp"))
+    val adopt = adoptPerNew.join(bc(labeled), Seq(idCol))
+      .groupBy(col("_bcomp")).agg(min(col("_hcomp")).as("_adopt"))
+    labeled.join(bc(adopt), Seq("_bcomp"), "left")
+      .select(col(idCol), coalesce(col("_adopt"), col("_bcomp")).as("component"))
+  }
+
   /** Connected components over a near-dup pair list by the alternating
     * large-star / small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round rewires

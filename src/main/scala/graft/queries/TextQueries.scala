@@ -1224,6 +1224,118 @@ object TextQueries {
         FROM scored WHERE cos >= 0.45
       """
       }
+    ),
+    (
+      "q98_incremental_clusters",
+      // Day-2 cluster maintenance, PRODUCTION path (xxhash64 MinHash
+      // pairs — engine-specific, so rows-only; q99 is the value-exact
+      // twin): today's batch (doc_id % 3 = 0) is assigned to the
+      // persisted corpus's EXISTING cluster labels via the incremental
+      // probe's own outputs — within-batch CC, min-history-label
+      // adoption, minted ids for batch-only clusters — without
+      // re-clustering the corpus.
+      (s, dir) => {
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+          .select("doc_id", "text")
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val hist = docs.filter(col("doc_id") % 3 =!= 0)
+        val par = Some(s.sparkContext.defaultParallelism)
+        def sigsOf(side: org.apache.spark.sql.DataFrame) =
+          Dedup.withMinhashSignature(side, "text", "sig", shingleN = 1, k = 64,
+            repartitionTo = par).select(col("doc_id"), col("sig"))
+        val histLabels = Dedup.connectedComponents(
+          Dedup.minhashNearDupPairs(hist, "doc_id", "text",
+            shingleN = 1, threshold = 0.6, repartitionTo = par),
+          maxIter = 1, checkConvergence = false) // clique graph (q63 convention)
+        val batchPairs = Dedup.minhashNearDupPairs(batch, "doc_id", "text",
+          shingleN = 1, threshold = 0.6, repartitionTo = par)
+        val crossPairs = Dedup.incrementalNearDupPairs(
+          sigsOf(batch), "doc_id", "sig", sigsOf(hist), "doc_id", "sig",
+          bands = 16, threshold = 0.6)
+        Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
+          batchPairs, crossPairs, histLabels)
+      },
+      None
+    ),
+    (
+      "q99_incremental_clusters_portable",
+      // Value-exact twin of q98 (the q76 mold): the pair graph is the
+      // DuckDB-replicable exact Jaccard of q41, history labels are the
+      // recursive label closure, and the assignment — within-batch CC,
+      // coalesce-to-self for unlabeled history docs, min-label
+      // adoption per batch component, minted min-batch-id for
+      // batch-only components — is replicated clause for clause, so
+      // the day-2 maintenance semantics are verified against an
+      // independent engine rather than rows-only.
+      (s, dir) => {
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val ap = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.55)
+          .select(col("id1"), col("id2"))
+        val batchPairs = ap.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+        val histPairs = ap.filter(col("id1") % 3 =!= 0 && col("id2") % 3 =!= 0)
+        val crossPairs = ap.filter((col("id1") % 3 === 0) =!= (col("id2") % 3 === 0))
+          .select(
+            when(col("id1") % 3 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+            when(col("id1") % 3 === 0, col("id2")).otherwise(col("id1")).as("hist_id"))
+        val histLabels = Dedup.connectedComponents(histPairs)
+        Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
+          batchPairs, crossPairs, histLabels)
+      },
+      Some(s"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id AS _id, unnest(list_distinct(${duckTokens("text")})) AS _w
+          FROM documents WHERE doc_id < 200
+        ), sizes AS (
+          SELECT _id, count(*) AS _n FROM words GROUP BY _id
+        ), inter AS (
+          SELECT a._id AS a1, b._id AS a2, count(*) AS _inter
+          FROM words a JOIN words b ON a._w = b._w AND a._id < b._id
+          GROUP BY a._id, b._id
+        ), pairs AS (
+          SELECT a1 AS id1, a2 AS id2 FROM inter
+          JOIN sizes s1 ON s1._id = a1
+          JOIN sizes s2 ON s2._id = a2
+          WHERE CAST(_inter AS DOUBLE) / (s1._n + s2._n - _inter) >= 0.55
+        ), bp AS (
+          SELECT id1, id2 FROM pairs WHERE id1 % 3 = 0 AND id2 % 3 = 0
+        ), hp AS (
+          SELECT id1, id2 FROM pairs WHERE id1 % 3 <> 0 AND id2 % 3 <> 0
+        ), cp AS (
+          SELECT CASE WHEN id1 % 3 = 0 THEN id1 ELSE id2 END AS new_id,
+                 CASE WHEN id1 % 3 = 0 THEN id2 ELSE id1 END AS hist_id
+          FROM pairs WHERE (id1 % 3 = 0) <> (id2 % 3 = 0)
+        ), he AS (
+          SELECT id1, id2 FROM hp UNION ALL SELECT id2 AS id1, id1 AS id2 FROM hp
+        ), hr(id, m) AS (
+          SELECT DISTINCT id1 AS id, id1 AS m FROM he
+          UNION
+          SELECT he.id1 AS id, hr.m FROM he JOIN hr ON hr.id = he.id2
+        ), hlab AS (
+          SELECT id, min(m) AS component FROM hr GROUP BY id
+        ), be AS (
+          SELECT id1, id2 FROM bp UNION ALL SELECT id2 AS id1, id1 AS id2 FROM bp
+        ), br(id, m) AS (
+          SELECT DISTINCT id1 AS id, id1 AS m FROM be
+          UNION
+          SELECT be.id1 AS id, br.m FROM be JOIN br ON br.id = be.id2
+        ), bcc AS (
+          SELECT id, min(m) AS comp FROM br GROUP BY id
+        ), batchdocs AS (
+          SELECT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+        ), blab AS (
+          SELECT d.doc_id AS id, coalesce(b.comp, d.doc_id) AS bcomp
+          FROM batchdocs d LEFT JOIN bcc b ON b.id = d.doc_id
+        ), adoptper AS (
+          SELECT cp.new_id AS id, coalesce(h.component, cp.hist_id) AS hcomp
+          FROM cp LEFT JOIN hlab h ON h.id = cp.hist_id
+        ), adopt AS (
+          SELECT bl.bcomp, min(a.hcomp) AS ad
+          FROM adoptper a JOIN blab bl ON bl.id = a.id GROUP BY bl.bcomp
+        )
+        SELECT bl.id AS doc_id, coalesce(ad.ad, bl.bcomp) AS component
+        FROM blab bl LEFT JOIN adopt ad USING (bcomp)
+      """)
     )
   )
 }

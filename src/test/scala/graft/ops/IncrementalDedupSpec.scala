@@ -327,6 +327,75 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ok.count() == 8)
   }
 
+  // ---- incremental cluster maintenance (round 20) ----
+
+  test("assignIncrementalClusters: adopts history labels, coalesces unlabeled hist docs, mints batch-only ids") {
+    val hist = Seq(
+      (1L, "spark engines shuffle partitioned data across executor nodes kappa"),
+      (2L, "spark engines shuffle partitioned data across executor nodes lambda"),
+      (5L, "totally different historical content about cooking pasta tonight mu")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (9L, "spark engines shuffle partitioned data across executor nodes sigma"), // joins hist cluster {1,2}
+      (12L, "totally different historical content about cooking pasta tonight nu"), // matches UNLABELED hist 5
+      (15L, "brand new boilerplate cluster arriving entirely inside this increment alpha"),
+      (18L, "brand new boilerplate cluster arriving entirely inside this increment beta"), // batch-only pair with 15
+      (21L, "an utterly isolated batch document with unique vocabulary zeta")
+    ).toDF("doc_id", "text")
+    val union = hist.unionByName(batch)
+    val ap = Dedup.exactJaccardPairs(union, "doc_id", "text", 0.5).select("id1", "id2")
+    val batchPairs = ap.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+    val histPairs = ap.filter(col("id1") % 3 =!= 0 && col("id2") % 3 =!= 0)
+    val cross = ap.filter((col("id1") % 3 === 0) =!= (col("id2") % 3 === 0))
+      .select(
+        when(col("id1") % 3 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+        when(col("id1") % 3 === 0, col("id2")).otherwise(col("id1")).as("hist_id"))
+    // history labels cover only docs WITH edges: doc 5 is deliberately
+    // absent, exercising the coalesce-to-self convention
+    val histLabels = Dedup.connectedComponents(histPairs)
+    val out = Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
+      batchPairs, cross, histLabels)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      9L -> 1L,   // adopts the existing cluster's label (min hist id)
+      12L -> 5L,  // its match has no label row — the hist doc labels itself
+      15L -> 15L, // batch-only cluster mints its min batch id...
+      18L -> 15L, // ...for every member
+      21L -> 21L  // isolated batch doc labels itself
+    ), s"got $out")
+  }
+
+  test("assignIncrementalClusters REFINES the union CC (never over-merges) and adopts min labels") {
+    val docs = corpus(60) // template cliques crossing the %3 split
+    val ap = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5).select("id1", "id2")
+    val batchPairs = ap.filter(col("id1") % 3 === 0 && col("id2") % 3 === 0)
+    val histPairs = ap.filter(col("id1") % 3 =!= 0 && col("id2") % 3 =!= 0)
+    val cross = ap.filter((col("id1") % 3 === 0) =!= (col("id2") % 3 === 0))
+      .select(
+        when(col("id1") % 3 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+        when(col("id1") % 3 === 0, col("id2")).otherwise(col("id1")).as("hist_id"))
+    val histLabels = Dedup.connectedComponents(histPairs)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val out = Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
+      batchPairs, cross, histLabels)
+      .as[(Long, Long)].collect().toMap
+    // every template clique crosses the split, so every batch doc adopts
+    // the min HISTORY id of its template
+    val expected = (0 until 60).filter(_ % 3 == 0).map { i =>
+      i.toLong -> (0 until 60).filter(j => j % 4 == i % 4 && j % 3 != 0).min.toLong
+    }.toMap
+    assert(out == expected, s"adoption must land on min history labels: $out")
+    // monotonicity: the incremental assignment REFINES the union-graph
+    // CC — equal assigned labels always sit inside one union component
+    val unionCC = Dedup.connectedComponents(ap)
+      .as[(Long, Long)].collect().toMap
+    out.groupBy(_._2).values.foreach { grp =>
+      val comps = grp.keySet.map(i => unionCC.getOrElse(i, i))
+      assert(comps.size == 1,
+        s"docs sharing an assigned label span ${comps.size} union components: $grp")
+    }
+  }
+
   // ---- embedding-side (cosine) incremental probe ----
 
   // 4 well-separated gaussian bases (dim 16, cross-base cosine ~0);

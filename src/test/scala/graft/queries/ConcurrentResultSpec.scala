@@ -30,7 +30,10 @@ class ConcurrentResultSpec extends SparkSpec {
     "q90_dup_span_stats", "q92_temperature_threshold",
     // r19 incremental probes: exercise the shared signature-cache FIFO
     // (cacheSigs) from the text and cosine entry points under overlap
-    "q95_incremental_portable", "q97_incremental_cosine_portable")
+    "q95_incremental_portable", "q97_incremental_cosine_portable",
+    // r20 cluster maintenance: three LSH passes + CC checkpoints (q98)
+    // and the exact-Jaccard + dual-CC assignment (q99) under overlap
+    "q98_incremental_clusters", "q99_incremental_clusters_portable")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
