@@ -23,6 +23,15 @@ object Chunking {
     * whitespace tokens, stepping `maxTokens - overlap` per chunk:
     * (id, chunk_index, chunk_text, chunk_tokens). Chunk text is the
     * normalized token join (as [[TextOps.tokens]] sees it).
+    *
+    * `chunk_tokens` is ARITHMETIC — `least(maxTokens,
+    * n_tokens - chunk_index*step)` — not a re-tokenization of
+    * `chunk_text`: tokens are non-empty and whitespace-free, so
+    * re-splitting the single-space join returns exactly the slice,
+    * making the two value-identical by construction (pinned by the
+    * tools/ProfQ69 parity pass and the q69 DuckDB oracle) while
+    * skipping a per-chunk regex pass at materialization time (~12% of
+    * the full-evaluation wall in the r20 A/B).
     */
   def chunkByTokens(
       df: DataFrame,
@@ -40,12 +49,13 @@ object Chunking {
     df.withColumn("_toks", TextOps.tokens(col(textCol)))
       .withColumn("_n",
         greatest(lit(1L), ceil((size(col("_toks")) - lit(overlap)) / lit(step.toDouble)).cast("long")))
-      .select(col(idCol), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("_ntoks", size(col("_toks")).cast("long"))
+      .select(col(idCol), col("_ntoks"), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
       .select(
         col(idCol),
         col("chunk_index").cast("long").as("chunk_index"),
         col("chunk_text"),
-        size(TextOps.tokens(col("chunk_text"))).cast("long").as("chunk_tokens"))
+        least(lit(maxTokens.toLong), col("_ntoks") - col("chunk_index") * step).as("chunk_tokens"))
   }
 
   private val packAssignSchema = StructType(Seq(
