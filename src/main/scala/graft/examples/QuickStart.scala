@@ -464,6 +464,29 @@ object QuickStart {
       s"${incSurvivors.count()} kept; advanced index " +
       s"${spark.read.parquet(idxDir).count()} sigs")
 
+    // 26. Day-2 hardening (round 20). The EMBEDDING corpus gets the
+    // same self-describing treatment: writeVectorIndex persists
+    // (id, vec) with a banding-recipe sidecar (dim/bits/groups/seed),
+    // and incrementalCosineAgainstIndex refuses a mismatched probe
+    // instead of silently matching nothing. Replay-inflated signature
+    // indexes compact offline (staged swap, matching unchanged). The
+    // STREAMING form of step 25 comes in two delivery contracts:
+    // at-least-once over parquet (StreamOps.incrementalDedupStream,
+    // index advanced with EVERY history-probe survivor so replays
+    // re-converge) and EXACTLY-ONCE over native Delta txn markers
+    // (StreamOps.incrementalDedupStreamDelta) — DayTwoPipelineSpec
+    // runs the full Kafka -> dedup -> Delta -> native-read tour.
+    val vecIdxDir = java.nio.file.Files.createTempDirectory("graft_vec_index").toString + "/vidx"
+    val vrecipe = Similarity.writeVectorIndex(embeddings, "vec_id", "embedding", vecIdxDir,
+      dim = 64, bitsPerGroup = 4, groups = 8)
+    val vecProbe = Similarity.incrementalCosineAgainstIndex(
+      embeddings.filter(col("vec_id") % 7 === 3), "vec_id", "embedding", vecIdxDir,
+      threshold = 0.45, dim = 64, bitsPerGroup = 4, groups = 8)
+    Dedup.appendToSignatureIndex(incSurvivors, "doc_id", "text", idxDir) // a replay's double-append...
+    val compacted = Dedup.compactSignatureIndex(spark, idxDir)           // ...compacts away
+    println(s"[26] vector index (recipe $vrecipe): day-2 probe ${vecProbe.count()} pairs; " +
+      s"signature-index compaction ${compacted.rowsBefore} -> ${compacted.rowsAfter} rows")
+
     spark.stop()
     println("QuickStart OK")
   }
