@@ -1210,10 +1210,17 @@ object Dedup {
     // within-batch components; docs with no batch edge label themselves
     val bcomp = connectedComponents(batchPairs.select(col("id1"), col("id2")))
       .withColumnRenamed("id", idCol).withColumnRenamed("component", "_bcomp")
+    // labeled feeds TWO subtrees (the adopt aggregation and the final
+    // join) and matched feeds two more (the semi-join keys and the
+    // adopt join) — localCheckpoint each so the batch CC and the
+    // (typically LSH-priced) probe lineage evaluate ONCE. Both frames
+    // are batch-/signal-bounded by the operator's own contract, the
+    // same boundedness class as the CC rounds' internal checkpoints.
     val labeled = batchIds.select(col(idCol))
       .join(bc(bcomp), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
-    val matched = crossPairs.select(col("new_id"), col("hist_id"))
+      .localCheckpoint()
+    val matched = crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint()
     // corpus-sized history labels reduce to the matched (signal-sized)
     // subset via a broadcast semi-join BEFORE any other join touches them
     val histSub = historyLabels.select(col("id").as("hist_id"), col("component").as("_hcomp"))

@@ -311,5 +311,20 @@ class PlanShapeSpec extends SparkSpec {
       explode(graft.ops.Dedup.gramHashes(col("text"), 10)).as("span"))
     assert(readSchemaFields(spanFrame).nonEmpty && readSchemaFields(spanFrame).forall(_ == 2),
       "span explode must scan 2 of 5 columns")
+    // q98/q99 (assignIncrementalClusters): the operator localCheckpoints
+    // its matched/labeled frames — the checkpoint jobs execute the probe
+    // and batch-CC plans, whose scans must read only doc_id + text (the
+    // exact-Jaccard pair graph is the q76 pin above; this pins the LSH
+    // probe chain q98 feeds the operator)
+    def sigsOf(side: DataFrame) =
+      Dedup.withMinhashSignature(side, "text", "sig", shingleN = 1, k = 16)
+        .select(col("doc_id"), col("sig"))
+    val probeFrame = Dedup.incrementalNearDupPairs(
+      sigsOf(docs.filter(col("doc_id") % 3 === 0)), "doc_id", "sig",
+      sigsOf(docs.filter(col("doc_id") % 3 =!= 0)), "doc_id", "sig",
+      bands = 4, threshold = 0.5)
+      .select(col("new_id"), col("hist_id"))
+    assert(readSchemaFields(probeFrame).nonEmpty && readSchemaFields(probeFrame).forall(_ == 2),
+      "the incremental probe chain must scan 2 of 5 columns on both sides")
   }
 }
