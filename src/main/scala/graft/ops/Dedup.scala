@@ -1105,11 +1105,18 @@ object Dedup {
     * committer or quiesce probes during the swap).
     */
   def compactSignatureIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): IndexCompaction = {
+      spark: org.apache.spark.sql.SparkSession, path: String): IndexCompaction =
+    compactIndexDir(spark, path, recipeSidecarName)
+
+  /** The compaction core shared with the vector index
+    * ([[Similarity.compactVectorIndex]]): full-row dropDuplicates +
+    * staged swap, carrying the named sidecar's raw text unchanged. */
+  private[ops] def compactIndexDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, sidecarName: String): IndexCompaction = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val f = hadoopFs(p, conf)
-    require(f.exists(p), s"no signature index at $path")
+    require(f.exists(p), s"no index at $path")
     val bytesBefore = f.getContentSummary(p).getLength
     val before = spark.read.parquet(path)
     val rowsBefore = before.count()
@@ -1118,9 +1125,8 @@ object Dedup {
     if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(old)) f.delete(old, true)
     before.dropDuplicates().write.parquet(tmp.toString)
-    readIndexRecipe(path, conf).foreach { r =>
-      writeSidecarText(new org.apache.hadoop.fs.Path(tmp, recipeSidecarName),
-        r.sidecarJson, conf)
+    readSidecarText(new org.apache.hadoop.fs.Path(p, sidecarName), conf).foreach { txt =>
+      writeSidecarText(new org.apache.hadoop.fs.Path(tmp, sidecarName), txt, conf)
     }
     require(f.rename(p, old), s"compaction swap: could not move $p aside")
     require(f.rename(tmp, p),

@@ -934,6 +934,16 @@ object Similarity {
       .write.mode("append").parquet(path)
   }
 
+  /** Compact a vector index in place — the [[Dedup.compactSignatureIndex]]
+    * twin: replayed at-least-once appends land exact-duplicate
+    * (id, vec) rows (harmless for matching — identical vectors band to
+    * identical buckets and verify identically — but every future probe
+    * scans them). Full-row dropDuplicates + staged swap; the recipe
+    * sidecar rides unchanged; same crash-safety contract. */
+  def compactVectorIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Dedup.IndexCompaction =
+    Dedup.compactIndexDir(spark, path, vectorSidecarName)
+
   /** [[incrementalCosinePairs]] against a PERSISTED index path: reads
     * the recipe sidecar ONCE, validates the probe's banding against it
     * (loud error on mismatch — the silent-zero-recall footgun this

@@ -528,6 +528,38 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("compactVectorIndex: duplicated appends shrink, recipe rides, matching unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_compact").toFile
+    try {
+      val path = new java.io.File(dir, "vidx").getAbsolutePath
+      val emb = embCorpus(40)
+      val history = emb.filter(col("vec_id") % 3 =!= 0)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      val recipe = Similarity.writeVectorIndex(history, "vec_id", "embedding", path,
+        dim = 16, bitsPerGroup = 4, groups = 8)
+      (1 to 4).foreach { _ =>
+        Similarity.appendToVectorIndex(history, "vec_id", "embedding", path,
+          dim = 16, bitsPerGroup = 4, groups = 8)
+      }
+      def probe(): Set[(Long, Long)] =
+        Similarity.incrementalCosineAgainstIndex(batch, "vec_id", "embedding", path,
+          threshold = 0.9, dim = 16, bitsPerGroup = 4, groups = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val beforePairs = probe()
+      val stats = Similarity.compactVectorIndex(spark, path)
+      val nHist = history.count()
+      assert(stats.rowsBefore == 5 * nHist && stats.rowsAfter == nHist, s"got $stats")
+      assert(stats.bytesAfter < stats.bytesBefore)
+      assert(Similarity.readVectorIndexRecipe(path).contains(recipe))
+      assert(probe() == beforePairs && beforePairs.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("vector append onto a LEGACY index never stamps the caller's recipe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vec_legacy").toFile
     try {
