@@ -1117,6 +1117,14 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = hadoopFs(p, conf)
     require(f.exists(p), s"no index at $path")
+    // a Delta-backed index must NOT come through here: the raw parquet
+    // read would resurrect removed files and the directory swap would
+    // destroy the _delta_log. Delta indexes are exactly-once by
+    // construction (txn markers — no replay inflation to compact);
+    // physical compaction there is the writer's OPTIMIZE.
+    require(!f.exists(new org.apache.hadoop.fs.Path(p, "_delta_log")),
+      s"$path is a Delta table — compactIndexDir is for plain-parquet indexes only " +
+        "(a Delta index has no replay inflation; use DeltaWriter.optimize for physical compaction)")
     val bytesBefore = f.getContentSummary(p).getLength
     val before = spark.read.parquet(path)
     val rowsBefore = before.count()

@@ -285,6 +285,15 @@ class IncrementalDedupSpec extends SparkSpec {
       // the swap leaves no staging residue
       val names = dir.list().toSet
       assert(names == Set("idx"), s"staging dirs must be gone, got $names")
+      // a DELTA-backed index refuses: the raw-parquet read + dir swap
+      // would resurrect removed files and destroy the _delta_log (Delta
+      // indexes are exactly-once — nothing to compact; use OPTIMIZE)
+      val deltaIdx = new java.io.File(dir, "delta_idx").getAbsolutePath
+      graft.readers.DeltaWriter.write(spark, sigsOf(history), deltaIdx)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.compactSignatureIndex(spark, deltaIdx)
+      }
+      assert(e.getMessage.contains("Delta"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
