@@ -929,6 +929,11 @@ object Dedup {
   ): SignatureIndexRecipe = {
     val conf = corpus.sparkSession.sessionState.newHadoopConf()
     val recipe = SignatureIndexRecipe(idCol, shingleN, k, seed)
+    // mode=ignore would SKIP the data write when the path exists and
+    // then stamp the caller's recipe over data built with another —
+    // a false-green sidecar, the worst possible state (review r20)
+    require(Set("append", "overwrite", "errorifexists").contains(mode.toLowerCase),
+      s"writeSignatureIndex: mode '$mode' not supported — append | overwrite | errorifexists")
     val appending = mode.equalsIgnoreCase("append")
     // Decide sidecar stamping BEFORE the write: appending onto a LEGACY
     // index (pre-existing data, no sidecar) must NOT stamp the caller's
@@ -941,6 +946,30 @@ object Dedup {
       pathHasIndexData(path, conf)
     if (appending)
       requireRecipe(path, shingleN, k, seed, Some(idCol), conf)
+    if (legacyAppend) {
+      // no sidecar to validate against — but a column-name/type drift
+      // would mix parquet schemas in one directory (reads back as nulls
+      // or throws on the type): check against the existing files' own
+      // schema before appending (review r20)
+      val existing = corpus.sparkSession.read.parquet(path).schema
+      val sigOk = existing.find(_.name == "sig").map(_.dataType).exists {
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      }
+      require(existing.fieldNames.contains(idCol) && sigOk,
+        s"legacy index at $path stores columns [${existing.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}] — " +
+          s"appending ($idCol, sig: array<bigint>) would mix parquet schemas in one directory; " +
+          "rename to the index's columns or rebuild with mode=\"overwrite\"")
+    }
+    // an overwrite must not leave the PREVIOUS recipe validating the
+    // NEW data if we crash between the data commit and the sidecar
+    // write — delete the old sidecar first so the window fails OPEN
+    // (bare/unvalidated index), never false-green (review r20)
+    if (mode.equalsIgnoreCase("overwrite")) {
+      val sp = sidecarPath(path)
+      val fs = hadoopFs(sp, conf)
+      if (fs.exists(sp)) fs.delete(sp, false)
+    }
     withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
       shingleN, k, seed)
       .select(col(idCol), col("sig"))
@@ -1102,7 +1131,11 @@ object Dedup {
     * live — a crash mid-swap leaves the index intact at one of the two
     * names (recover by renaming `__compact_old` back). Atomicity is
     * the filesystem rename's (HDFS yes; object stores, use their
-    * committer or quiesce probes during the swap).
+    * committer or quiesce probes during the swap). Concurrent WRITERS
+    * (a live incremental stream advancing the index) are detected: a
+    * data file appearing after the compaction's snapshot listing
+    * aborts the swap and restores the index untouched — compaction is
+    * an offline maintenance pass, run it with writers quiesced.
     */
   def compactSignatureIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): IndexCompaction =
@@ -1125,6 +1158,15 @@ object Dedup {
     require(!f.exists(new org.apache.hadoop.fs.Path(p, "_delta_log")),
       s"$path is a Delta table — compactIndexDir is for plain-parquet indexes only " +
         "(a Delta index has no replay inflation; use DeltaWriter.optimize for physical compaction)")
+    // Snapshot the data-file set BEFORE the read plans its own listing:
+    // a concurrent append landing during the (potentially long)
+    // dropDuplicates write would otherwise ride the live directory into
+    // __compact_old and be deleted with it — silent data loss. The
+    // post-swap re-list below detects exactly that and rolls back.
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Set[String] =
+      f.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    val snapshotFiles = dataFiles(p)
     val bytesBefore = f.getContentSummary(p).getLength
     val before = spark.read.parquet(path)
     val rowsBefore = before.count()
@@ -1137,6 +1179,20 @@ object Dedup {
       writeSidecarText(new org.apache.hadoop.fs.Path(tmp, sidecarName), txt, conf)
     }
     require(f.rename(p, old), s"compaction swap: could not move $p aside")
+    val lateFiles = dataFiles(old) -- snapshotFiles
+    if (lateFiles.nonEmpty) {
+      // concurrent appends landed after the snapshot — the compacted
+      // copy does not contain their rows. Roll the live index back and
+      // refuse: the caller must quiesce writers (or retry when quiet).
+      require(f.rename(old, p),
+        s"compaction abort: could not restore $old to $p after detecting concurrent " +
+          "appends — restore it manually; the compacted copy (INCOMPLETE) is at " + tmp)
+      f.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction aborted: ${lateFiles.size} data file(s) were appended to $path during " +
+          "the compaction snapshot (e.g. a live incremental stream advancing the index) — " +
+          "the index was restored untouched; quiesce writers and re-run")
+    }
     require(f.rename(tmp, p),
       s"compaction swap: could not move $tmp into place — the previous index is intact " +
         s"at $old; rename it back to recover")

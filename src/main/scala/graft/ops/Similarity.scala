@@ -857,10 +857,38 @@ object Similarity {
   ): VectorIndexRecipe = {
     val conf = corpus.sparkSession.sessionState.newHadoopConf()
     val recipe = VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed)
+    // mode=ignore would skip the data write yet stamp the caller's
+    // recipe over data built with another — refuse (review r20)
+    require(Set("append", "overwrite", "errorifexists").contains(mode.toLowerCase),
+      s"writeVectorIndex: mode '$mode' not supported — append | overwrite | errorifexists")
     val appending = mode.equalsIgnoreCase("append")
     val legacyAppend = appending && readVectorIndexRecipe(path, conf).isEmpty &&
       Dedup.pathHasIndexData(path, conf)
     if (appending) requireVectorRecipe(path, recipe, conf)
+    if (legacyAppend) {
+      // no sidecar to validate against — but appending (idCol,
+      // vecCol: array<float>) into files with other names/types mixes
+      // parquet schemas in one directory (nulls or read-time type
+      // errors): check the existing files' own schema (review r20)
+      val existing = corpus.sparkSession.read.parquet(path).schema
+      val vecOk = existing.find(_.name == vecCol).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+      require(existing.fieldNames.contains(idCol) && vecOk,
+        s"legacy vector index at $path stores columns [${existing.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}] — " +
+          s"appending ($idCol, $vecCol: array<float>) would mix parquet schemas in one " +
+          "directory; rename/cast to the index's columns or rebuild with mode=\"overwrite\"")
+    }
+    // delete a pre-existing sidecar BEFORE an overwrite's data write:
+    // a crash between data commit and sidecar write must leave a BARE
+    // index (validation off), never the old recipe validating the new
+    // data (review r20)
+    if (mode.equalsIgnoreCase("overwrite")) {
+      val sp = vectorSidecarPath(path)
+      val fs = Dedup.hadoopFs(sp, conf)
+      if (fs.exists(sp)) fs.delete(sp, false)
+    }
     floatVec(corpus, idCol, vecCol)
       .select(col("_id").as(idCol), col("_v").as(vecCol))
       .write.mode(mode).parquet(path)
@@ -897,7 +925,14 @@ object Similarity {
     * appends (`checkCols`) — a PROBE's batch may use different ones. */
   private def requireVectorRecipe(path: String, asked: VectorIndexRecipe,
       conf: org.apache.hadoop.conf.Configuration, checkCols: Boolean = true): Unit =
-    readVectorIndexRecipe(path, conf).foreach { r =>
+    validateVectorRecipe(readVectorIndexRecipe(path, conf), path, asked, checkCols)
+
+  /** [[requireVectorRecipe]] over an ALREADY-READ sidecar — callers
+    * that also need the recipe's column names read it once and
+    * validate here (one sidecar round-trip per probe, not two). */
+  private def validateVectorRecipe(found: Option[VectorIndexRecipe], path: String,
+      asked: VectorIndexRecipe, checkCols: Boolean): Unit =
+    found.foreach { r =>
       require(r.dim == asked.dim && r.bitsPerGroup == asked.bitsPerGroup &&
           r.groups == asked.groups && r.seed == asked.seed,
         s"vector-index recipe mismatch at $path: index was built with " +
@@ -968,8 +1003,8 @@ object Similarity {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val recipe = readVectorIndexRecipe(indexPath, conf)
-    requireVectorRecipe(indexPath,
-      VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed), conf,
+    validateVectorRecipe(recipe, indexPath,
+      VectorIndexRecipe(idCol, vecCol, dim, bitsPerGroup, groups, seed),
       checkCols = false)
     val history = spark.read.parquet(indexPath)
     incrementalCosinePairs(batch, idCol, vecCol,

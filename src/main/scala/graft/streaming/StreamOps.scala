@@ -209,10 +209,16 @@ object StreamOps {
     * signatures already indexed (every kept doc's, per the paragraph
     * above), so the survivors come back empty and both writes are
     * no-ops — the first attempt's output stands. (Index-before-output
-    * would instead LOSE the batch in that second window.) Duplicate
-    * output rows carry identical ids — dedupe downstream by id if
-    * replays matter, or use [[incrementalDedupStreamDelta]] for
-    * exactly-once; duplicate (id, sig) index rows are harmless for
+    * would instead LOSE the batch in that second window.) One narrower
+    * window sits between those two: the parquet index append itself is
+    * not atomic, so a crash MID-append can leave only part of the
+    * batch's signatures indexed — the replay then drops the indexed
+    * members of a cluster and may elect a DIFFERENT member as its
+    * canonical output row (new id, same content; content is never
+    * lost). Duplicate output rows from the wider window carry
+    * identical ids — dedupe downstream by id if replays matter, or use
+    * [[incrementalDedupStreamDelta]] for exactly-once (its commits are
+    * atomic, so neither window exists there); duplicate (id, sig) index rows are harmless for
     * matching (identical buckets ⇒ identical pairs; the oversize
     * guard counts them toward `maxBucket`) but inflate the index —
     * [[graft.ops.Dedup.compactSignatureIndex]] shrinks it offline.

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * ~0.27 s vs DuckDB 0.113 s; map-only plan, zero exchanges beyond the
   * scan at both SFs). Three shapes:
   *
-  *   a) the committed query — chunk windows via tokens → per-chunk
+  *   a) the PRE-r20 formulation — chunk windows via tokens → per-chunk
   *      array_join → chunk_tokens by RE-TOKENIZING the joined chunk
-  *      text (the original formulation: counts literally what a
-  *      downstream consumer of chunk_text would see);
-  *   b) arithmetic counts — chunk_tokens = least(maxTokens,
-  *      n_toks - idx*step), value-identical by construction (tokens
-  *      are non-empty and whitespace-free, so re-splitting the
-  *      single-space join returns exactly the slice) but skipping the
-  *      per-chunk regex tokenizer pass;
+  *      text (counts literally what a downstream consumer of
+  *      chunk_text would see; inlined here, NOT a Chunking call — the
+  *      library ships shape (b) since the r20 fix, and the parity pin
+  *      is only an independent oracle against this inlined original);
+  *   b) the COMMITTED query (`Chunking.chunkByTokens`) — arithmetic
+  *      chunk_tokens = least(maxTokens, n_toks - idx*step),
+  *      value-identical by construction (tokens are non-empty and
+  *      whitespace-free, so re-splitting the single-space join returns
+  *      exactly the slice) but skipping the per-chunk regex pass;
   *   c) the floor — same scan + tokenize + window explode with a
   *      constant payload (no array_join, no counting), isolating the
   *      fixed cost (scan, tokenize once, explode skeleton) no rewrite
@@ -51,19 +53,21 @@ object ProfQ69 {
       sequence(lit(0L), col("_n") - 1),
       i => array_join(slice(col("_toks"), (i * step + 1).cast("int"), lit(maxTokens)), " "))
 
-    // a) committed: re-tokenize each chunk for its count
+    // a) the PRE-r20 formulation, INLINED (not a call into Chunking —
+    //    chunkByTokens itself ships shape (b) since the r20 fix, and
+    //    the parity pin below is only an independent oracle if this
+    //    leg keeps re-tokenizing each chunk for its count)
     def committed(): DataFrame =
+      base()
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_text"),
+          size(graft.ops.TextOps.tokens(col("chunk_text"))).cast("long").as("chunk_tokens"))
+    // b) arithmetic count, same chunk_text — what chunkByTokens ships
+    def arith(): DataFrame =
       graft.ops.Chunking.chunkByTokens(
         table(spark, sfDir, "documents").select("doc_id", "text"),
         "doc_id", "text", maxTokens = maxTokens, overlap = overlap)
-    // b) arithmetic count, same chunk_text
-    def arith(): DataFrame =
-      base()
-        .withColumn("_ntoks", size(col("_toks")).cast("long"))
-        .select(col("doc_id"), col("_ntoks"), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
-        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
-          col("chunk_text"),
-          least(lit(maxTokens.toLong), col("_ntoks") - col("chunk_index") * step).as("chunk_tokens"))
     // c) floor: explode the same windows, constant payload
     def floorQ(): DataFrame =
       base().select(col("doc_id"), posexplode(transform(

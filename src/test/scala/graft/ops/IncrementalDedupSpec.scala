@@ -248,6 +248,21 @@ class IncrementalDedupSpec extends SparkSpec {
         shingleN = 3, k = 32, seed = 7L, mode = "append")
       assert(Dedup.readIndexRecipe(fresh).contains(recipe),
         "an append that CREATES the index is a first write and must stamp")
+      // a legacy append whose columns diverge from the existing files
+      // refuses — it would mix parquet schemas in one directory
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(batch.withColumnRenamed("doc_id", "id"),
+          "id", "text", legacy, shingleN = 3, k = 32, seed = 7L, mode = "append")
+      }
+      assert(e1.getMessage.contains("mix parquet schemas"))
+      // mode=ignore refuses loudly: it would skip the data write yet
+      // stamp the caller's recipe over data built with another
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(batch, "doc_id", "text", fresh,
+          shingleN = 3, k = 32, seed = 42L, mode = "ignore")
+      }
+      assert(e2.getMessage.contains("not supported"))
+      assert(Dedup.readIndexRecipe(fresh).contains(recipe), "refusals must not touch the sidecar")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -585,6 +600,26 @@ class IncrementalDedupSpec extends SparkSpec {
       val fresh = new java.io.File(dir, "fresh_vidx").getAbsolutePath
       val recipe = Similarity.writeVectorIndex(embCorpus(4), "vec_id", "embedding", fresh,
         dim = 16, bitsPerGroup = 4, groups = 8, mode = "append")
+      assert(Similarity.readVectorIndexRecipe(fresh).contains(recipe))
+      // a legacy append into files with a different vector TYPE refuses
+      // (array<double> files + array<float> appends = one directory the
+      // reader cannot serve)
+      val doubleIdx = new java.io.File(dir, "double_vidx").getAbsolutePath
+      embCorpus(6).select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("embedding"))
+        .write.parquet(doubleIdx)
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.writeVectorIndex(embCorpus(4), "vec_id", "embedding", doubleIdx,
+          dim = 16, bitsPerGroup = 4, groups = 8, mode = "append")
+      }
+      assert(e1.getMessage.contains("mix parquet schemas"))
+      // mode=ignore refuses loudly (it would stamp without writing)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.writeVectorIndex(embCorpus(4), "vec_id", "embedding", fresh,
+          dim = 16, bitsPerGroup = 8, groups = 8, mode = "ignore")
+      }
+      assert(e2.getMessage.contains("not supported"))
       assert(Similarity.readVectorIndexRecipe(fresh).contains(recipe))
     } finally {
       def rm(f: java.io.File): Unit = {
