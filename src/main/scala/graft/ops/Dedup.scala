@@ -569,18 +569,41 @@ object Dedup {
       val md = graft.core.Token.md5() // thread-local: getInstance per row is a measurable provider lookup
       val arr = toks.toArray
       val out = Array.fill(kk)(Long.MaxValue)
-      val shingleIt: Iterator[String] =
-        if (arr.length < nSh) Iterator(arr.mkString(" "))
-        else (0 to arr.length - nSh).iterator.map(i => arr.slice(i, i + nSh).mkString(" "))
-      shingleIt.foreach { s =>
+      // r21: stream token bytes straight into the digest instead of
+      // building a shingle STRING per window (slice + mkString + a full
+      // re-encode of every token nSh times over). Each token encodes to
+      // UTF-8 once; windows are digested as tokenBytes ⊕ ' ' ⊕ tokenBytes
+      // — byte-identical to md5(slice.mkString(" ").getBytes) because
+      // UTF-8 encodes the space-joined pieces independently (tokens come
+      // from whitespace splits, and the ' ' separator means no surrogate
+      // pair can span a boundary). digest(buf,0,16) reuses one output
+      // buffer; values are oracle-pinned (q78/q84/q95 hash-green).
+      val tb = new Array[Array[Byte]](arr.length)
+      var ti = 0
+      while (ti < arr.length) {
+        tb(ti) = arr(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8); ti += 1
+      }
+      val space = ' '.toByte
+      val d = new Array[Byte](16)
+      val nShingles = math.max(1, arr.length - nSh + 1)
+      val w = math.min(nSh, arr.length)
+      var s0 = 0
+      while (s0 < nShingles) {
         md.reset()
-        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var t = 0
+        while (t < w) {
+          if (t > 0) md.update(space)
+          md.update(tb(s0 + t))
+          t += 1
+        }
+        md.digest(d, 0, 16)
         var le = 0L
         var i = 7
         while (i >= 0) { le = (le << 8) | (d(i) & 0xffL); i -= 1 }
         val h = java.lang.Long.remainderUnsigned(le, p)
         var j = 0
         while (j < kk) { val v = (aArr(j) * h + bArr(j)) % p; if (v < out(j)) out(j) = v; j += 1 }
+        s0 += 1
       }
       out
       }
@@ -964,16 +987,36 @@ object Dedup {
     // an overwrite must not leave the PREVIOUS recipe validating the
     // NEW data if we crash between the data commit and the sidecar
     // write — delete the old sidecar first so the window fails OPEN
-    // (bare/unvalidated index), never false-green (review r20)
-    if (mode.equalsIgnoreCase("overwrite")) {
-      val sp = sidecarPath(path)
-      val fs = hadoopFs(sp, conf)
-      if (fs.exists(sp)) fs.delete(sp, false)
+    // (bare/unvalidated index), never false-green (review r20). Keep
+    // the old sidecar TEXT: a write that fails BEFORE touching the data
+    // (analysis/schema errors — far commoner than a crash) leaves the
+    // old index intact, and re-stamping its own recipe keeps it
+    // validated instead of trading the false-green window for a
+    // fail-open one (ADVICE r20).
+    val oldSidecarText: Option[String] =
+      if (mode.equalsIgnoreCase("overwrite")) {
+        val sp = sidecarPath(path)
+        val fs = hadoopFs(sp, conf)
+        val txt = readSidecarText(sp, conf)
+        if (fs.exists(sp)) fs.delete(sp, false)
+        txt
+      } else None
+    try {
+      withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
+        shingleN, k, seed)
+        .select(col(idCol), col("sig"))
+        .write.mode(mode).parquet(path)
+    } catch {
+      case e: Throwable =>
+        // restore the old recipe ONLY if the old data demonstrably
+        // survived (a failure after the overwrite cleared the directory
+        // must stay bare — stamping a recipe over missing/partial data
+        // would be exactly the false-green state the sidecar prevents)
+        oldSidecarText.foreach { txt =>
+          if (pathHasIndexData(path, conf)) writeSidecarText(sidecarPath(path), txt, conf)
+        }
+        throw e
     }
-    withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
-      shingleN, k, seed)
-      .select(col(idCol), col("sig"))
-      .write.mode(mode).parquet(path)
     // append: an existing sidecar already validated equal — keep it
     // (never clobber a recipe the data was checked against)
     if (legacyAppend)
@@ -1132,10 +1175,14 @@ object Dedup {
     * names (recover by renaming `__compact_old` back). Atomicity is
     * the filesystem rename's (HDFS yes; object stores, use their
     * committer or quiesce probes during the swap). Concurrent WRITERS
-    * (a live incremental stream advancing the index) are detected: a
-    * data file appearing after the compaction's snapshot listing
-    * aborts the swap and restores the index untouched — compaction is
-    * an offline maintenance pass, run it with writers quiesced.
+    * (a live incremental stream advancing the index) are detected for
+    * appends that COMPLETE before the swap: a data file appearing after
+    * the compaction's snapshot listing aborts the swap and restores the
+    * index untouched. A writer racing the swap itself (recreating the
+    * directory between the two renames) also aborts — loudly, with all
+    * three copies preserved for manual recovery, since its rows exist
+    * nowhere else. Compaction is an offline maintenance pass: run it
+    * with writers quiesced.
     */
   def compactSignatureIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): IndexCompaction =
@@ -1193,6 +1240,20 @@ object Dedup {
           "the compaction snapshot (e.g. a live incremental stream advancing the index) — " +
           "the index was restored untouched; quiesce writers and re-run")
     }
+    // Swap-race guard (ADVICE r20): a writer that starts DURING the swap
+    // can recreate the index directory after the rename(p, old) — and on
+    // HDFS the final rename(tmp, p) into an existing directory would NEST
+    // the compacted data as a subdirectory, corrupting the index instead
+    // of replacing it. Nothing can be merged automatically here (the
+    // recreated directory holds rows that are in neither `old` nor
+    // `tmp`), so refuse with every path named rather than destroy any of
+    // the three copies.
+    if (f.exists(p))
+      throw new IllegalStateException(
+        s"compaction aborted: $p was recreated by a concurrent writer during the swap — " +
+          s"its rows are in neither the pre-compaction index ($old) nor the compacted copy " +
+          s"($tmp). Nothing was deleted; quiesce writers, merge the recreated rows into " +
+          s"$old (or re-append them after recovery), rename $old back to $p, and re-run")
     require(f.rename(tmp, p),
       s"compaction swap: could not move $tmp into place — the previous index is intact " +
         s"at $old; rename it back to recover")
@@ -1277,20 +1338,34 @@ object Dedup {
       historyLabels: DataFrame,
       broadcastBatch: Boolean = true): DataFrame = {
     def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    // matched feeds two subtrees (the semi-join keys and the adopt join)
+    // over the typically LSH-priced probe lineage — localCheckpoint it so
+    // that lineage evaluates ONCE (the r20 serial A/B measured the
+    // un-checkpointed triple evaluation at ~2x the whole DuckDB wall).
+    // The checkpoint job runs on a FUTURE so it overlaps the batch CC's
+    // own serialized jobs below (guide §2.6: the two chains are
+    // independent until the adopt join) — r21 measured the sequential
+    // chain as pure stage latency at bench scale.
+    val matchedF = {
+      import scala.concurrent.{ExecutionContext, Future}
+      Future(crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint())(
+        ExecutionContext.global)
+    }
     // within-batch components; docs with no batch edge label themselves
     val bcomp = connectedComponents(batchPairs.select(col("id1"), col("id2")))
       .withColumnRenamed("id", idCol).withColumnRenamed("component", "_bcomp")
     // labeled feeds TWO subtrees (the adopt aggregation and the final
-    // join) and matched feeds two more (the semi-join keys and the
-    // adopt join) — localCheckpoint each so the batch CC and the
-    // (typically LSH-priced) probe lineage evaluate ONCE. Both frames
-    // are batch-/signal-bounded by the operator's own contract, the
-    // same boundedness class as the CC rounds' internal checkpoints.
+    // join), but its lineage above the (already materialized) CC labels
+    // is just the batch-id scan + one broadcast join — re-evaluating
+    // that twice INSIDE the final job costs two parallel batch-sized map
+    // stages, where the r20 localCheckpoint here cost a SERIALIZED job
+    // (r21; the broadcast itself builds once via ReuseExchange). The
+    // expensive multiply-read frame stays `matched` above.
     val labeled = batchIds.select(col(idCol))
       .join(bc(bcomp), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
-      .localCheckpoint()
-    val matched = crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint()
+    val matched = scala.concurrent.Await.result(
+      matchedF, scala.concurrent.duration.Duration.Inf)
     // corpus-sized history labels reduce to the matched (signal-sized)
     // subset via a broadcast semi-join BEFORE any other join touches them
     val histSub = historyLabels.select(col("id").as("hist_id"), col("component").as("_hcomp"))

@@ -883,15 +883,30 @@ object Similarity {
     // delete a pre-existing sidecar BEFORE an overwrite's data write:
     // a crash between data commit and sidecar write must leave a BARE
     // index (validation off), never the old recipe validating the new
-    // data (review r20)
-    if (mode.equalsIgnoreCase("overwrite")) {
-      val sp = vectorSidecarPath(path)
-      val fs = Dedup.hadoopFs(sp, conf)
-      if (fs.exists(sp)) fs.delete(sp, false)
+    // data (review r20). Keep the old text and re-stamp it if the write
+    // fails while the old data is still intact (analysis/schema errors
+    // never touch the files) — same contract as
+    // [[Dedup.writeSignatureIndex]] (ADVICE r20).
+    val oldSidecarText: Option[String] =
+      if (mode.equalsIgnoreCase("overwrite")) {
+        val sp = vectorSidecarPath(path)
+        val fs = Dedup.hadoopFs(sp, conf)
+        val txt = Dedup.readSidecarText(sp, conf)
+        if (fs.exists(sp)) fs.delete(sp, false)
+        txt
+      } else None
+    try {
+      floatVec(corpus, idCol, vecCol)
+        .select(col("_id").as(idCol), col("_v").as(vecCol))
+        .write.mode(mode).parquet(path)
+    } catch {
+      case e: Throwable =>
+        oldSidecarText.foreach { txt =>
+          if (Dedup.pathHasIndexData(path, conf))
+            Dedup.writeSidecarText(vectorSidecarPath(path), txt, conf)
+        }
+        throw e
     }
-    floatVec(corpus, idCol, vecCol)
-      .select(col("_id").as(idCol), col("_v").as(vecCol))
-      .write.mode(mode).parquet(path)
     if (legacyAppend)
       System.err.println(
         s"[graft] writeVectorIndex: appended to a LEGACY index at $path (pre-existing rows, " +

@@ -75,8 +75,13 @@ object CoreQueries {
         val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = table(s, dir, "orders")
         val l = table(s, dir, "lineitem")
-        broadcast(c)
-          .join(o, col("c_custkey") === col("o_custkey"))
+        // r21: broadcast the (filtered customers ⋈ their orders) side into
+        // lineitem — the planner's size estimate put the projected LINEITEM
+        // scan under the 10 MB auto-broadcast threshold and built a
+        // 600k-row hash relation on the driver while streaming the ~30k-row
+        // c⋈o side (guide §3.1: broadcast the side you KNOW is small; the
+        // segment's orders are ~1/40 of lineitem at every SF).
+        broadcast(broadcast(c).join(o, col("c_custkey") === col("o_custkey")))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

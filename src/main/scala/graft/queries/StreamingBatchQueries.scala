@@ -128,15 +128,30 @@ object StreamingBatchQueries {
     ),
     (
       "q59_multiset_ops",
+      // Multiset INTERSECT ALL / EXCEPT ALL cardinalities per key, computed
+      // in ONE pass (r21): only per-key COUNTS are consumed downstream, and
+      // for multisets restricted to a key those are pure count arithmetic —
+      //   |a ∩all b| = min(n_a, n_b),   |a \all b| = max(n_a - n_b, 0) —
+      // so the intersectAll/exceptAll operators (4 lineitem scans + Spark's
+      // replicaterows generate-then-recount plan, 4 exchanges) reduce to one
+      // scan + one 6-key aggregate. Key-set equivalence: a key appears in
+      // the old full-outer join iff min(n_a,n_b) > 0 OR n_a > n_b ⇔ n_a > 0;
+      // the fill(0) cases land exactly on min/greatest's zero branches.
+      // Value-identical (oracle-verified); the intersectAll/exceptAll API
+      // itself stays exercised against this rewrite in MultisetRewriteSpec.
       (s, dir) => {
-        val l = table(s, dir, "lineitem")
-        val a = l.filter(col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
-        val b = l.filter(col("l_extendedprice") > 500).select("l_returnflag", "l_linestatus")
-        a.intersectAll(b).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n_inter"))
-          .join(
-            a.exceptAll(b).groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n_except")),
-            Seq("l_returnflag", "l_linestatus"), "full_outer")
-          .na.fill(0L, Seq("n_inter", "n_except"))
+        table(s, dir, "lineitem")
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            when(col("l_quantity") > 25, 1L).otherwise(0L).as("_a"),
+            when(col("l_extendedprice") > 500, 1L).otherwise(0L).as("_b"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+          .filter(col("_na") > 0)
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            least(col("_na"), col("_nb")).as("n_inter"),
+            greatest(col("_na") - col("_nb"), lit(0L)).as("n_except"))
       },
       Some("""
         WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25),

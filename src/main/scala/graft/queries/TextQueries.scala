@@ -1240,17 +1240,29 @@ object TextQueries {
         val batch = docs.filter(col("doc_id") % 3 === 0)
         val hist = docs.filter(col("doc_id") % 3 =!= 0)
         val par = Some(s.sparkContext.defaultParallelism)
+        // ONE signature frame per side (r21): the r20 shape computed each
+        // side's MinHash signatures twice — once inside
+        // minhashNearDupPairs (whose lshCandidatePairs caches its sig
+        // projection) and once via a separate sigsOf lineage for the
+        // cross probe that could never hit that cache. Feeding the SAME
+        // (doc_id, sig) frame to both consumers makes the probe's
+        // projection canonically equal to the cached one, so each side's
+        // signature pipeline (repartition + fused MinHashSig) evaluates
+        // once per query instead of twice. Identical recipe
+        // (shingleN=1, k=64, seed 42, bands=16) → identical results.
         def sigsOf(side: org.apache.spark.sql.DataFrame) =
           Dedup.withMinhashSignature(side, "text", "sig", shingleN = 1, k = 64,
             repartitionTo = par).select(col("doc_id"), col("sig"))
-        val histLabels = Dedup.connectedComponents(
-          Dedup.minhashNearDupPairs(hist, "doc_id", "text",
-            shingleN = 1, threshold = 0.6, repartitionTo = par),
+        val batchSigs = sigsOf(batch)
+        val histSigs = sigsOf(hist)
+        def pairsOf(sigs: org.apache.spark.sql.DataFrame) =
+          Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 16)
+            .filter(col("est_jaccard") >= 0.6)
+        val histLabels = Dedup.connectedComponents(pairsOf(histSigs),
           maxIter = 1, checkConvergence = false) // clique graph (q63 convention)
-        val batchPairs = Dedup.minhashNearDupPairs(batch, "doc_id", "text",
-          shingleN = 1, threshold = 0.6, repartitionTo = par)
+        val batchPairs = pairsOf(batchSigs)
         val crossPairs = Dedup.incrementalNearDupPairs(
-          sigsOf(batch), "doc_id", "sig", sigsOf(hist), "doc_id", "sig",
+          batchSigs, "doc_id", "sig", histSigs, "doc_id", "sig",
           bands = 16, threshold = 0.6)
         Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
           batchPairs, crossPairs, histLabels)

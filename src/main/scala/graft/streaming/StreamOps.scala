@@ -289,7 +289,16 @@ object StreamOps {
     * before the output's survivors are derived from it.
     *
     * `txnAppId` defaults to the checkpoint path (the graft-delta
-    * sink's own convention); a RESUMED stream must keep both. The
+    * sink's own convention); a RESUMED stream must keep both. Deleting
+    * and recreating the checkpoint at the same path is a hazard this
+    * wrapper detects rather than absorbs: micro-batch ids restart at 0
+    * while the tables' committed txn versions stay high, which would
+    * classify every fresh batch as a replay and silently drop new data
+    * — the batch runner now FAILS LOUDLY when the incoming batch id is
+    * strictly behind a table's committed version (a legitimate
+    * crash-replay re-delivers exactly the last batch, never an earlier
+    * id). Recover by restoring the original checkpoint or starting a
+    * fresh stream under a distinct `txnAppId` (ADVICE r20). The
     * index table must exist before the stream starts (day zero: an
     * empty (idCol, sig) Delta table); stamp its recipe with
     * [[graft.ops.Dedup.adoptSignatureIndexRecipe]] so mismatched
@@ -351,8 +360,23 @@ object StreamOps {
       maxBucket: Int): Unit = {
     import graft.readers.{DeltaReader, DeltaWriter}
     val spark = batch.sparkSession
-    val outDone = DeltaWriter.lastTxnVersion(spark, outTable, appId) >= batchId
-    val idxDone = DeltaWriter.lastTxnVersion(spark, indexTable, appId) >= batchId
+    val outV = DeltaWriter.lastTxnVersion(spark, outTable, appId)
+    val idxV = DeltaWriter.lastTxnVersion(spark, indexTable, appId)
+    // Batch-id regression guard (ADVICE r20): structured streaming only
+    // ever re-delivers the LAST uncommitted epoch, so an incoming id
+    // strictly behind a committed txn version means the checkpoint was
+    // deleted/recreated (ids reset to 0) while the tables kept their
+    // markers — treating that as "replay" would silently skip every
+    // fresh batch's writes. Refuse instead of dropping data.
+    if (batchId < outV || batchId < idxV)
+      throw new IllegalStateException(
+        s"incremental dedup stream: micro-batch id $batchId is BEHIND the committed txn " +
+          s"versions (out=$outV, index=$idxV) for txn app '$appId' — the checkpoint was " +
+          "likely deleted and recreated at the same path, so every fresh batch would be " +
+          "misclassified as a replay and silently dropped. Restore the original checkpoint, " +
+          "or start a new stream with an explicit distinct txnAppId")
+    val outDone = outV >= batchId
+    val idxDone = idxV >= batchId
     if (outDone && idxDone) return
     val index = DeltaReader.read(spark, indexTable)
     val (survivors, keptSigs) = incrementalBatchProbe(
