@@ -1335,7 +1335,13 @@ object Dedup {
       idCol: String,
       batchPairs: DataFrame,
       crossPairs: DataFrame,
-      historyLabels: DataFrame,
+      // by-name (r21): callers whose history labels come from an EAGER
+      // computation (connectedComponents runs checkpoint + probe jobs at
+      // call time) can hand a `Future`-backed expression and have that
+      // chain overlap this operator's own eager jobs — the argument is
+      // evaluated exactly once, AFTER the probe checkpoint and batch CC
+      // have been launched. A plain DataFrame argument behaves as before.
+      historyLabels: => DataFrame,
       broadcastBatch: Boolean = true): DataFrame = {
     def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     // matched feeds two subtrees (the semi-join keys and the adopt join)
@@ -1366,9 +1372,12 @@ object Dedup {
       .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
     val matched = scala.concurrent.Await.result(
       matchedF, scala.concurrent.duration.Duration.Inf)
+    // the by-name history labels materialize HERE — after the probe
+    // checkpoint and batch CC chains have already run/launched
+    val histLabelsVal = historyLabels
     // corpus-sized history labels reduce to the matched (signal-sized)
     // subset via a broadcast semi-join BEFORE any other join touches them
-    val histSub = historyLabels.select(col("id").as("hist_id"), col("component").as("_hcomp"))
+    val histSub = histLabelsVal.select(col("id").as("hist_id"), col("component").as("_hcomp"))
       .join(bc(matched.select(col("hist_id")).distinct()), Seq("hist_id"), "leftsemi")
     val adoptPerNew = matched.join(bc(histSub), Seq("hist_id"), "left")
       .select(col("new_id").as(idCol),

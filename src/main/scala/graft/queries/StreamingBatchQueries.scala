@@ -138,7 +138,7 @@ object StreamingBatchQueries {
       // the old full-outer join iff min(n_a,n_b) > 0 OR n_a > n_b ⇔ n_a > 0;
       // the fill(0) cases land exactly on min/greatest's zero branches.
       // Value-identical (oracle-verified); the intersectAll/exceptAll API
-      // itself stays exercised against this rewrite in MultisetRewriteSpec.
+      // itself stays exercised against this rewrite in R21OptimizationSpec.
       (s, dir) => {
         table(s, dir, "lineitem")
           .select(

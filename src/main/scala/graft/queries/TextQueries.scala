@@ -1258,14 +1258,22 @@ object TextQueries {
         def pairsOf(sigs: org.apache.spark.sql.DataFrame) =
           Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 16)
             .filter(col("est_jaccard") >= 0.6)
-        val histLabels = Dedup.connectedComponents(pairsOf(histSigs),
-          maxIter = 1, checkConvergence = false) // clique graph (q63 convention)
+        // history CC runs eager jobs (checkpoint + bounded probe); launch
+        // it on a Future and hand the await to assign's BY-NAME history
+        // parameter, so it overlaps the operator's own batch-CC + probe
+        // checkpoint chain instead of serializing ahead of it (r21;
+        // guide §2.6 — the chains are independent until the adopt join)
+        val histLabelsF = scala.concurrent.Future(
+          Dedup.connectedComponents(pairsOf(histSigs),
+            maxIter = 1, checkConvergence = false) // clique graph (q63 convention)
+        )(scala.concurrent.ExecutionContext.global)
         val batchPairs = pairsOf(batchSigs)
         val crossPairs = Dedup.incrementalNearDupPairs(
           batchSigs, "doc_id", "sig", histSigs, "doc_id", "sig",
           bands = 16, threshold = 0.6)
         Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
-          batchPairs, crossPairs, histLabels)
+          batchPairs, crossPairs,
+          scala.concurrent.Await.result(histLabelsF, scala.concurrent.duration.Duration.Inf))
       },
       None
     ),
@@ -1294,9 +1302,14 @@ object TextQueries {
           .select(
             when(col("id1") % 3 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
             when(col("id1") % 3 === 0, col("id2")).otherwise(col("id1")).as("hist_id"))
-        val histLabels = Dedup.connectedComponents(histPairs)
+        // same Future + by-name overlap as q98: the history CC's eager
+        // jobs run concurrently with assign's batch-CC/probe chain (all
+        // three read the already-checkpointed shared pair graph)
+        val histLabelsF = scala.concurrent.Future(
+          Dedup.connectedComponents(histPairs))(scala.concurrent.ExecutionContext.global)
         Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",
-          batchPairs, crossPairs, histLabels)
+          batchPairs, crossPairs,
+          scala.concurrent.Await.result(histLabelsF, scala.concurrent.duration.Duration.Inf))
       },
       Some(s"""
         WITH RECURSIVE words AS (
