@@ -702,10 +702,15 @@ object Dedup {
 
   /** Probe core shared by the xxhash64 and portable incremental paths.
     * Both inputs are banded signature frames ([[bandedWithSig]] shape).
-    * Exchange census at 100 TB: ONE batch-proportional window exchange
-    * (batch bucket sizes), ONE signal-proportional window exchange
-    * (history bucket sizes over COLLIDED rows only), ONE
-    * signal-proportional dropDuplicates, plus broadcasts of
+    * Exchange census at 100 TB: ONE tiny bucket-count exchange (one
+    * partial-aggregated row per distinct batch bucket — the r20 shape
+    * window-exchanged every batch band row, signatures aboard, just to
+    * count neighbors; r21 removed it), ONE signal-proportional window
+    * exchange (history bucket sizes over COLLIDED rows only — kept as
+    * a window deliberately: the collided subset pre-bound can be large
+    * under skew and the sort/window streams it from shuffle storage
+    * with spill, where a cache would not bound memory as gracefully),
+    * ONE signal-proportional dropDuplicates, plus broadcasts of
     * batch-derived frames. The history lineage is narrow end-to-end:
     * scan → banding explode → broadcast semi-join. A corpus-wide
     * history bucket count never happens.
@@ -720,25 +725,35 @@ object Dedup {
     val spark = bBand.sparkSession
     def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
 
-    // Batch-side skew bound: exact bucket sizes on the small side (one
-    // batch-sized exchange). Singletons survive — unlike the self-join
-    // guard, a one-member batch bucket still pairs with history.
+    // Batch-side skew bound, EXCHANGE-FREE (r21): bucket sizes come from
+    // a partial-aggregated groupBy over the cached band rows — the
+    // shuffle carries one tiny (band, bucket, count) row per distinct
+    // bucket, where the r20 window formulation exchanged EVERY batch
+    // band row with its k-long signature aboard just to count
+    // neighbors. The guard then filters the SIZES frame (one evaluation
+    // per bucket — the accumulator counts dropped buckets), and the
+    // kept bucket keys semi-join back onto the cached rows map-side.
+    // Singletons survive — unlike the self-join guard, a one-member
+    // batch bucket still pairs with history.
     val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
-      s"incremental LSH: batch band rows in buckets larger than maxBucket=$maxBucket dropped " +
+      s"incremental LSH: batch buckets larger than maxBucket=$maxBucket dropped " +
         "whole — pre-dedup exact duplicates in the batch or raise maxBucket")
-    // cached (bounded FIFO): bBounded feeds TWO broadcast subtrees (the
-    // bucket-key semi-join and the candidate-row join) — uncached, the
-    // window exchange would build twice and the guard UDF would count
-    // every dropped band row twice (review r19)
-    val bBounded = cacheSigs(bBand
-      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+    // cached (bounded FIFO): the banded batch rows feed THREE subtrees
+    // (the bucket-size aggregate, the candidate-row join, and — through
+    // the semi-join — both); uncached, the signature pipeline would
+    // re-evaluate per subtree (review r19's double-count concern now
+    // sits on the sizes frame, which evaluates once per bucket inside
+    // the broadcast)
+    val bBandC = cacheSigs(bBand)
+    val bKept = bBandC.groupBy("_band", "_bucket").agg(count(lit(1)).as("_c"))
       .where(bKeep(col("_c")))
-      .drop("_c"))
+      .select("_band", "_bucket")
+    val bBounded = bBandC.join(bc(bKept), Seq("_band", "_bucket"), "leftsemi")
 
     // History side: the batch's kept bucket keys broadcast into a
     // semi-join — only COLLIDED history rows (signal-sized) survive.
-    val collided = hBand.join(bc(bBounded.select("_band", "_bucket").distinct()),
-      Seq("_band", "_bucket"), "leftsemi")
+    // (bKept is already distinct by construction — one row per bucket.)
+    val collided = hBand.join(bc(bKept), Seq("_band", "_bucket"), "leftsemi")
 
     // History-side skew bound, computed on the collided subset only.
     val hKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,

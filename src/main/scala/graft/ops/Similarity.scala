@@ -659,7 +659,8 @@ object Similarity {
     * (_id, _v, _band, _bucket) frames (the banding expression — float
     * hyperplanes on the scale path, integer hyperplanes on the oracle
     * path — is the caller's). Same exchange census as
-    * [[Dedup]]'s incremental probe: one batch-proportional window, one
+    * [[Dedup]]'s incremental probe: one tiny bucket-count exchange
+    * (r21 — was a batch-proportional window carrying vectors), one
     * signal-proportional window over the COLLIDED subset, one
     * signal-proportional dropDuplicates of verified survivors; the
     * history lineage is narrow up to the broadcast semi-join. Vectors
@@ -679,17 +680,20 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = bBand.sparkSession
     def bc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    // Batch-side bound, exchange-free (r21 — the [[Dedup]] probe's
+    // reshape): bucket sizes via a partial-aggregated groupBy over the
+    // cached band rows (the r20 window exchanged every batch band row
+    // with its float vector aboard), guard evaluated once per BUCKET on
+    // the sizes frame, kept keys semi-joined back map-side.
     val bKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
-      s"incremental cosine LSH: batch band rows in buckets larger than maxBucket=$maxBucket " +
+      s"incremental cosine LSH: batch buckets larger than maxBucket=$maxBucket " +
         "dropped whole — pre-dedup exact-duplicate vectors in the batch or raise maxBucket")
-    // cached (bounded FIFO): feeds two broadcast subtrees — uncached,
-    // the window exchange builds twice and the guard double-counts
-    val bBounded = Dedup.cacheSigs(bBand
-      .withColumn("_c", count(lit(1)).over(Window.partitionBy("_band", "_bucket")))
+    val bBandC = Dedup.cacheSigs(bBand)
+    val bKept = bBandC.groupBy("_band", "_bucket").agg(count(lit(1)).as("_c"))
       .where(bKeep(col("_c")))
-      .drop("_c"))
-    val collided = hBand.join(bc(bBounded.select("_band", "_bucket").distinct()),
-      Seq("_band", "_bucket"), "leftsemi")
+      .select("_band", "_bucket")
+    val bBounded = bBandC.join(bc(bKept), Seq("_band", "_bucket"), "leftsemi")
+    val collided = hBand.join(bc(bKept), Seq("_band", "_bucket"), "leftsemi")
     val hKeep = ObservedWarnings.oversizeBucketFilter(spark, maxBucket,
       s"incremental cosine LSH: history band rows in buckets larger than maxBucket=$maxBucket " +
         "dropped whole — an identical-vector clique above the bound matches NO batch vector; " +
