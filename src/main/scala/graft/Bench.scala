@@ -110,10 +110,27 @@ object Bench {
 
   /** Extract the `"queries"` object of a bench-summary-shaped JSON text
     * (same brace-matching extraction the LPT tiering uses). */
-  private[graft] def parseQueryTimes(txt: String): Map[String, Double] = {
+  private[graft] def parseQueryTimes(txt: String): Map[String, Double] =
+    parseNamedTimes(txt, "queries")
+
+  /** Median of three serial walls — the canary regime (r22, VERDICT r21
+    * #3): best-of-N hides sustained load (every run inside a loaded
+    * window is slow, min just picks the least slow), while the median
+    * needs 2 of 3 runs clean to read clean. Any failed run poisons the
+    * measurement to infinity, same as [[Bench.main]]'s serialWall. */
+  private[graft] def median3(a: Double, b: Double, c: Double): Double =
+    if (a.isNaN || b.isNaN || c.isNaN) Double.NaN
+    else if (a.isInfinite || b.isInfinite || c.isInfinite) Double.PositiveInfinity
+    else Seq(a, b, c).sorted.apply(1)
+
+  /** Extract a named `{"qNN_...": seconds, ...}` object of a
+    * bench-summary-shaped JSON text (brace-matching, same grammar as
+    * the `"queries"` map — also used for the reference file's
+    * `"serial_canaries"` object). */
+  private[graft] def parseNamedTimes(txt: String, objKey: String): Map[String, Double] = {
     // \s* after the colon: the committed reference is pretty-printed
     val qSec = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9]+\.?[0-9]*)""".r
-    val key = txt.indexOf("\"queries\"")
+    val key = txt.indexOf("\"" + objKey + "\"")
     // a text WITHOUT a "queries" object must parse empty, not scan from
     // offset 0 — e.g. the compact summary line carries q-named DRIFT
     // RATIOS that would otherwise be returned as reference seconds
@@ -354,11 +371,24 @@ object Bench {
         Double.PositiveInfinity
     }
     val canaryName = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "q65_freq_items")
-    val (driftJson, loadSuspectJson, canaryJson): (String, String, String) =
-      if (contended) ("null", "null", "null")
+    // Second, ~1 s canary (r22, VERDICT r21 #3): the 0.13 s q65 canary
+    // fits inside scheduler gaps even on a loaded box, so sustained load
+    // was invisible to it (it false-flagged a clean r21 gate attempt).
+    // A second canary with a ~1 s committed SERIAL wall (the reference
+    // file's "serial_canaries" object — serial regime, not the in-batch
+    // "queries" map, because a 1 s-class query's in-batch wall carries
+    // core-sharing inflation its serial re-run doesn't) must overlap any
+    // sustained contention; the load factor is the MAX of the two.
+    val canary2Name = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY2", "q24_topk_per_group")
+    val serialCanaryRefs: Map[String, Double] = Try {
+      parseNamedTimes(new String(Files.readAllBytes(referencePath), StandardCharsets.UTF_8),
+        "serial_canaries")
+    }.getOrElse(Map.empty)
+    val (driftJson, loadSuspectJson, canaryJson, canary2Json): (String, String, String, String) =
+      if (contended) ("null", "null", "null", "null")
       else {
         val suspects = drift(referenceTimes, bestPerQuery)
-        if (suspects.isEmpty) ("{}", "{}", "null")
+        if (suspects.isEmpty) ("{}", "{}", "null", "null")
         else {
           // In-batch best-of-passes still false-alarmed on idle boxes
           // (r17 judge run flagged two queries whose serial walls were
@@ -374,17 +404,40 @@ object Bench {
           // SPARK_GRAFT_BENCH_EXCLUDE) cannot calibrate — say so
           // explicitly instead of letting serialWall log it as a
           // phantom "drift suspect absent from the inventory"
-          val (canaryWall, factor) =
-            if (!benchQueries.contains(canaryName)) {
-              System.err.println(s"[bench] canary $canaryName is not in the bench inventory " +
+          // median-of-3 for BOTH canaries (not serialWall's best-of-2):
+          // the canary estimates the window's TYPICAL inflation, and
+          // best-of-N reads clean as long as one run slipped through a
+          // scheduler gap — exactly how the r21 loaded window passed a
+          // 0.13 s canary at factor 1.00
+          def canaryMedianWall(q: String): Double = {
+            def one(): Double = benchQueries.get(q) match {
+              case Some(fn) =>
+                val t0 = System.nanoTime()
+                if (Try(fn(spark, sfDir).count()).isFailure) Double.PositiveInfinity
+                else (System.nanoTime() - t0) / 1e9
+              case None => Double.PositiveInfinity
+            }
+            median3(one(), one(), one())
+          }
+          def measureCanary(q: String, ref: Option[Double]): (Double, Double) =
+            if (!benchQueries.contains(q)) {
+              System.err.println(s"[bench] canary $q is not in the bench inventory " +
                 "(typo? excluded?) — load calibration DISABLED, drift reported uncorrected")
               (Double.NaN, 1.0)
             } else {
-              val w = serialWall(canaryName)
-              (w, canaryFactor(w, referenceTimes.get(canaryName)))
+              val w = canaryMedianWall(q)
+              (w, canaryFactor(w, ref))
             }
+          val (canaryWall, factor1) = measureCanary(canaryName, referenceTimes.get(canaryName))
+          val (canary2Wall, factor2) =
+            // skip a redundant second measurement when both envs point
+            // at the same query; a canary2 with no committed serial
+            // reference measures but cannot calibrate (factor 1.0)
+            if (canary2Name == canaryName) (Double.NaN, 1.0)
+            else measureCanary(canary2Name, serialCanaryRefs.get(canary2Name))
+          val factor = math.max(factor1, factor2)
           if (factor > 1.0)
-            System.err.println(f"[bench] canary $canaryName ran $factor%.2fx its committed wall — re-measure window is LOADED; serial ratios will be deflated by that factor")
+            System.err.println(f"[bench] canary load factor $factor%.2fx ($canaryName $factor1%.2fx, $canary2Name $factor2%.2fx vs committed walls) — re-measure window is LOADED; serial ratios will be deflated by that factor")
           val confirmed = confirmDrift(suspects, referenceTimes, serialWall)
           val (d, loadSus) = splitByCanary(confirmed, factor)
           if (d.nonEmpty)
@@ -393,8 +446,11 @@ object Bench {
           if (loadSus.nonEmpty)
             System.err.println(s"[bench] drift_load_suspect — inside the canary's load factor, NOT confirmed regressions: " +
               loadSus.toSeq.sortBy(-_._2).map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
-          val canary = f"""{"name":"$canaryName","wall_sec":${if (canaryWall.isInfinite || canaryWall.isNaN) "null" else f"$canaryWall%.3f"},"ref_sec":${referenceTimes.get(canaryName).map(r => f"$r%.3f").getOrElse("null")},"factor":$factor%.2f}"""
-          (driftObj(d), driftObj(loadSus), canary)
+          def canaryObj(name: String, wall: Double, ref: Option[Double], f: Double) =
+            f"""{"name":"$name","wall_sec":${if (wall.isInfinite || wall.isNaN) "null" else f"$wall%.3f"},"ref_sec":${ref.map(r => f"$r%.3f").getOrElse("null")},"factor":$f%.2f}"""
+          (driftObj(d), driftObj(loadSus),
+            canaryObj(canaryName, canaryWall, referenceTimes.get(canaryName), factor1),
+            canaryObj(canary2Name, canary2Wall, serialCanaryRefs.get(canary2Name), factor2))
         }
       }
     val warm3Json = warm3Wall.map(w => f""","warm3":$w%.3f""").getOrElse("")
@@ -408,8 +464,8 @@ object Bench {
     // comparison reads one regime (VERDICT r17 #5: the old map held
     // in-batch walls from the best-TOTAL pass, and comparing those
     // across rounds manufactured phantom regressions).
-    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"per_query_mode":"best_across_warm_passes","queries":${j(bestPerQuery)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"canary2":$canary2Json,"per_query_mode":"best_across_warm_passes","queries":${j(bestPerQuery)},"cold_queries":${j(coldResults)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f"$wall%.3f"},"unit":"sec","cold_total_sec":${f"$coldWall%.3f"},$passes,"drift":$driftJson,"drift_load_suspect":$loadSuspectJson,"canary":$canaryJson,"canary2":$canary2Json,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above carries two ~80-entry maps (~4 KB) and the
     // harness tail-captures a bounded window, which truncated the

@@ -1311,6 +1311,61 @@ object Dedup {
       shingleN, k, bands, threshold, maxBucket, withinBatch, broadcastBatch, seed)
   }
 
+  /** Handle to an eager computation started by [[eagerOverlap]]:
+    * `await()` surfaces the result (or the failure, immediately if it
+    * already happened); `cancel()` kills the background Spark jobs via
+    * their job group so a sibling chain's failure cannot leave them
+    * running orphaned (no-op for inline handles and finished groups).
+    */
+  private[graft] final class EagerHandle[T](get: () => T, val cancel: () => Unit,
+      val overlapped: Boolean) {
+    def await(): T = get()
+  }
+
+  /** Run an eager Spark computation (checkpoint, CC, collect chain)
+    * either INLINE or OVERLAPPED with the caller's subsequent jobs,
+    * decided by driver pool pressure:
+    *
+    *  - **idle driver** (no other active jobs — a serial/production
+    *    invocation): run `body` on a background thread so its jobs
+    *    overlap the caller's own chain (guide §2.6 — back-fill the
+    *    stage-latency gaps; the r21 serial A/B measured ~25% off
+    *    q98-shaped walls).
+    *  - **busy driver** (a concurrent query batch): run `body` inline.
+    *    With every core spoken for, the overlap cannot shorten the
+    *    critical path — it only adds scheduler contention, and r21's
+    *    pooled in-batch q98/q99 walls ROSE ~40% under it even as their
+    *    serial walls fell (VERDICT r21 adjudication: gate the overlap
+    *    on pool pressure). The check races with batch start (a peer
+    *    query may not have submitted its first job yet) — a wrong
+    *    "idle" read just overlaps, i.e. the r21 behavior, and results
+    *    are identical either way.
+    *
+    * Background jobs run under a dedicated job group with
+    * `interruptOnCancel`, inside `blocking{}` (the global pool spawns a
+    * replacement thread instead of starving — ADVICE r21), and
+    * `await()` rethrows the body's failure.
+    */
+  private[graft] def eagerOverlap[T](spark: org.apache.spark.sql.SparkSession, desc: String)(body: => T): EagerHandle[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+      val v = body // inline, eagerly — the serialized (pre-r21) ordering
+      new EagerHandle(() => v, () => (), overlapped = false)
+    } else {
+      val group = s"graft-eager-${java.util.UUID.randomUUID()}"
+      val f = Future {
+        // job group is thread-local: tag the background jobs so
+        // cancel() can reach exactly them
+        sc.setJobGroup(group, desc, interruptOnCancel = true)
+        try blocking(body) finally sc.clearJobGroup()
+      }(ExecutionContext.global)
+      new EagerHandle(() => Await.result(f, Duration.Inf), () => sc.cancelJobGroup(group),
+        overlapped = true)
+    }
+  }
+
   /** Day-2 cluster maintenance: assign a new batch's docs to a
     * persisted corpus's EXISTING cluster labels without re-running
     * connected components over the union — one bounded pass over the
@@ -1363,33 +1418,37 @@ object Dedup {
     // over the typically LSH-priced probe lineage — localCheckpoint it so
     // that lineage evaluates ONCE (the r20 serial A/B measured the
     // un-checkpointed triple evaluation at ~2x the whole DuckDB wall).
-    // The checkpoint job runs on a FUTURE so it overlaps the batch CC's
-    // own serialized jobs below (guide §2.6: the two chains are
-    // independent until the adopt join) — r21 measured the sequential
-    // chain as pure stage latency at bench scale.
-    val matchedF = {
-      import scala.concurrent.{ExecutionContext, Future}
-      Future(crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint())(
-        ExecutionContext.global)
-    }
-    // within-batch components; docs with no batch edge label themselves
-    val bcomp = connectedComponents(batchPairs.select(col("id1"), col("id2")))
-      .withColumnRenamed("id", idCol).withColumnRenamed("component", "_bcomp")
-    // labeled feeds TWO subtrees (the adopt aggregation and the final
-    // join), but its lineage above the (already materialized) CC labels
-    // is just the batch-id scan + one broadcast join — re-evaluating
-    // that twice INSIDE the final job costs two parallel batch-sized map
-    // stages, where the r20 localCheckpoint here cost a SERIALIZED job
-    // (r21; the broadcast itself builds once via ReuseExchange). The
-    // expensive multiply-read frame stays `matched` above.
-    val labeled = batchIds.select(col(idCol))
-      .join(bc(bcomp), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
-    val matched = scala.concurrent.Await.result(
-      matchedF, scala.concurrent.duration.Duration.Inf)
-    // the by-name history labels materialize HERE — after the probe
-    // checkpoint and batch CC chains have already run/launched
-    val histLabelsVal = historyLabels
+    // The checkpoint job OVERLAPS the batch CC's own serialized jobs
+    // below when idle cores exist (guide §2.6: the two chains are
+    // independent until the adopt join — r21 measured the sequential
+    // chain as pure stage latency at bench scale), and runs inline when
+    // the driver is already saturated (see [[eagerOverlap]]).
+    val matchedH = eagerOverlap(batchIds.sparkSession, "assign: probe checkpoint")(
+      crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint())
+    val (labeled, matched, histLabelsVal) =
+      try {
+        // within-batch components; docs with no batch edge label themselves
+        val bcomp = connectedComponents(batchPairs.select(col("id1"), col("id2")))
+          .withColumnRenamed("id", idCol).withColumnRenamed("component", "_bcomp")
+        // labeled feeds TWO subtrees (the adopt aggregation and the final
+        // join), but its lineage above the (already materialized) CC labels
+        // is just the batch-id scan + one broadcast join — re-evaluating
+        // that twice INSIDE the final job costs two parallel batch-sized map
+        // stages, where the r20 localCheckpoint here cost a SERIALIZED job
+        // (r21; the broadcast itself builds once via ReuseExchange). The
+        // expensive multiply-read frame stays `matched` above.
+        val l = batchIds.select(col(idCol))
+          .join(bc(bcomp), Seq(idCol), "left")
+          .select(col(idCol), coalesce(col("_bcomp"), col(idCol)).as("_bcomp"))
+        // the by-name history labels materialize HERE — after the probe
+        // checkpoint and batch CC chains have already run/launched
+        (l, matchedH.await(), historyLabels)
+      } catch {
+        // failure linkage (ADVICE r21): a batch-CC / history-labels
+        // failure must not leave the background checkpoint running
+        // orphaned — cancel its job group before propagating
+        case e: Throwable => matchedH.cancel(); throw e
+      }
     // corpus-sized history labels reduce to the matched (signal-sized)
     // subset via a broadcast semi-join BEFORE any other join touches them
     val histSub = histLabelsVal.select(col("id").as("hist_id"), col("component").as("_hcomp"))

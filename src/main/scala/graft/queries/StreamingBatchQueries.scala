@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.functions.MinHashUnion
 import graft.ops.Dedup
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
@@ -262,26 +261,72 @@ object StreamingBatchQueries {
     ),
     (
       "q56_group_sketch_union",
-      // Aggregator (UDAF) surface: per-source MinHash sketch union over
-      // documents. Engine-specific hashes → rows-only check; semantics
-      // spec'd in ConvertAndOutputSpec.
+      // Per-source MinHash sketch union over documents. Engine-specific
+      // hashes → rows-only check; semantics spec'd in ConvertAndOutputSpec.
+      //
+      // r22 (guide §4 — built-ins over an opaque UDAF): the union is an
+      // elementwise min over fixed-length (k=64) signatures, so it runs
+      // as a codegen'd min-fold over the posexploded slots —
+      // partial+final HashAggregates — instead of the typed MinHashUnion
+      // Aggregator, whose ObjectHashAggregate paid an encoder round-trip
+      // (Seq[Long] ⇄ UnsafeArray) per ROW on reduce plus
+      // DeserializeToObject/SerializeFromObject stages for the
+      // groupByKey and final map. Value-identical because every
+      // withMinhashSignature sig has length exactly k (MinHashSigSpec
+      // pins that, incl. the empty-token all-zeros row), so the
+      // Aggregator's length-keeping merge IS the per-slot min;
+      // R22OptimizationSpec runs both formulations over every row shape
+      // and asserts equal rows. The declared MinHashUnion Aggregator
+      // surface stays exercised there and in ConvertAndOutputSpec —
+      // this query's plan just no longer pays its ser/de tax. (A wide
+      // k-column min aggregate would be one exchange fewer, but
+      // Catalyst folds size(array(..)) and prunes every slot the
+      // 2-slot sketch_head doesn't read — 62/64 of the union's work
+      // would leave the bench path; the posexplode shape keeps the
+      // whole union honest because the final count consumes every
+      // slot row.)
       (s, dir) => {
-        import org.apache.spark.sql.{Encoders, Row}
+        val k = 64
         val sigs = Dedup.withMinhashSignature(
           table(s, dir, "documents").select(col("source"), col("text")),
-          "text", "sig", shingleN = 1, k = 64,
+          "text", "sig", shingleN = 1, k = k,
           repartitionTo = Some(s.sparkContext.defaultParallelism))
-        val spark = s
-        import spark.implicits._
-        sigs.select(col("source"), col("sig").as("value"))
-          .as[(String, Seq[Long])]
-          .groupByKey(_._1)
-          .mapValues(_._2)
-          .agg(MinHashUnion.column.name("sketch"))
-          .map { case (src, sketch) => (src, sketch.length, sketch.take(2).mkString(",")) }
-          .toDF("source", "sketch_len", "sketch_head")
+        sketchUnionMinFold(sigs)
       },
       None
     )
   )
+
+  /** Expression-based per-source sketch union (q56's bench shape): the
+    * signatures posexplode to (source, slot, value) rows, a
+    * partial+final min per (source, slot) computes every union slot,
+    * and a second tiny aggregate reassembles the exact
+    * (source, sketch_len, sketch_head) projection the MinHashUnion
+    * Aggregator formulation produced — sketch_len counts the slot rows
+    * (≡ the merged buffer's length: every input sig is length k) and
+    * sketch_head picks the slot-0/slot-1 mins (≡ take(2).mkString(",")).
+    * Package-private so the equivalence spec pins it against the
+    * Aggregator on every row shape.
+    *
+    * posexplode_OUTER on purpose: the non-outer Generate lets
+    * InferFiltersFromGenerate add `size(sig)>0 AND isnotnull(sig)`,
+    * and predicate pushdown substitutes the sig ALIAS through the
+    * projection — the fused minhash expression then evaluates 3x per
+    * row (twice in a scan-level filter, once in the projection; the
+    * dumped plan doubled the cold wall). Every signature here is a
+    * non-null length-k array, so outer vs inner emit identical rows
+    * and the filter was pure waste.
+    */
+  private[queries] def sketchUnionMinFold(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigs
+      .select(col("source"), posexplode_outer(col("sig")).as(Seq("_pos", "_v")))
+      .groupBy(col("source"), col("_pos"))
+      .agg(min(col("_v")).as("_min"))
+      .groupBy(col("source"))
+      .agg(
+        count(col("_pos")).cast("int").as("sketch_len"),
+        concat_ws(",",
+          min(when(col("_pos") === 0, col("_min"))),
+          min(when(col("_pos") === 1, col("_min")))).as("sketch_head"))
 }

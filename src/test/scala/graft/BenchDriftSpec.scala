@@ -132,6 +132,31 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parseQueryTimes(""""queries":{"q01_agg":0.3""").isEmpty) // unbalanced
   }
 
+  test("median3 reads sustained load where best-of-N reads clean") {
+    // two of three runs slow -> the median reports the loaded wall
+    assert(Bench.median3(0.13, 0.41, 0.45) == 0.41)
+    // one outlier run does NOT flag (a scheduler blip, not a loaded window)
+    assert(Bench.median3(0.13, 0.45, 0.14) == 0.14)
+    // any failed run poisons the whole measurement, like serialWall
+    assert(Bench.median3(0.13, Double.PositiveInfinity, 0.14).isPosInfinity)
+    assert(Bench.median3(0.13, Double.NaN, 0.14).isNaN)
+  }
+
+  test("parseNamedTimes isolates serial_canaries from the queries object") {
+    val txt = """{"serial_canaries":{"q24_topk_per_group":1.1},"queries":{"q24_topk_per_group":2.273,"q65_freq_items":0.135}}"""
+    assert(Bench.parseNamedTimes(txt, "serial_canaries") == Map("q24_topk_per_group" -> 1.1))
+    assert(Bench.parseQueryTimes(txt) == Map("q24_topk_per_group" -> 2.273, "q65_freq_items" -> 0.135))
+    assert(Bench.parseNamedTimes(txt, "absent_key").isEmpty)
+  }
+
+  test("the committed reference carries a ~1 s serial wall for the second canary") {
+    val p = java.nio.file.Paths.get("tools/bench_reference.json")
+    assume(java.nio.file.Files.exists(p), "reference not committed yet")
+    val ref = Bench.parseNamedTimes(java.nio.file.Files.readString(p), "serial_canaries")
+    assert(ref.get("q24_topk_per_group").exists(w => w >= 0.5 && w <= 3.0),
+      "canary2 must stay a committed ~1 s fixed-cost query so sustained load overlaps it")
+  }
+
   test("the committed reference file parses and covers the whole query inventory") {
     val p = java.nio.file.Paths.get("tools/bench_reference.json")
     assume(java.nio.file.Files.exists(p), "reference not committed yet")
