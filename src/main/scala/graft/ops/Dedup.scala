@@ -1016,6 +1016,12 @@ object Dedup {
         if (fs.exists(sp)) fs.delete(sp, false)
         txt
       } else None
+    // snapshot the data listing BEFORE the write: the restore below
+    // must prove the old files are untouched, not merely that files
+    // exist (ADVICE r21 — a mid-job failure can leave partially
+    // committed NEW part-files behind)
+    val preListing: Seq[(String, Long, Long)] =
+      if (oldSidecarText.isDefined) indexDataListing(path, conf) else Seq.empty
     try {
       withMinhashSignature(corpus.select(col(idCol), col(textCol)), textCol, "sig",
         shingleN, k, seed)
@@ -1024,11 +1030,14 @@ object Dedup {
     } catch {
       case e: Throwable =>
         // restore the old recipe ONLY if the old data demonstrably
-        // survived (a failure after the overwrite cleared the directory
-        // must stay bare — stamping a recipe over missing/partial data
-        // would be exactly the false-green state the sidecar prevents)
+        // survived UNTOUCHED — the post-failure listing must equal the
+        // pre-write snapshot (a cleared directory, partial new
+        // part-files, or any other mutation stays bare/fail-open:
+        // stamping a recipe over changed data would be exactly the
+        // false-green state the sidecar prevents)
         oldSidecarText.foreach { txt =>
-          if (pathHasIndexData(path, conf)) writeSidecarText(sidecarPath(path), txt, conf)
+          if (preListing.nonEmpty && indexDataListing(path, conf) == preListing)
+            writeSidecarText(sidecarPath(path), txt, conf)
         }
         throw e
     }
@@ -1054,6 +1063,27 @@ object Dedup {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
+  }
+
+  /** Listing fingerprint of `path`'s index DATA files — (name, length,
+    * mtime) of every non-hidden file, sorted. The failed-overwrite
+    * restore snapshots this BEFORE deleting the old sidecar and
+    * re-stamps the old recipe only when the post-failure listing is
+    * IDENTICAL: a bare "has data" probe reads partially committed NEW
+    * part-files (direct / v2 committers move task output into the
+    * destination before job commit) as "the old data survived" and
+    * would validate the old recipe over mixed data — the exact
+    * false-green state the sidecar protocol forbids (ADVICE r21).
+    */
+  private[graft] def indexDataListing(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(p, conf)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.collect {
+      case st if !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".") =>
+        (st.getPath.getName, st.getLen, st.getModificationTime)
+    }.sorted
   }
 
   // sidecar I/O goes through the Hadoop FileSystem API of the CALLING
@@ -1317,53 +1347,44 @@ object Dedup {
     * their job group so a sibling chain's failure cannot leave them
     * running orphaned (no-op for inline handles and finished groups).
     */
-  private[graft] final class EagerHandle[T](get: () => T, val cancel: () => Unit,
-      val overlapped: Boolean) {
+  private[graft] final class EagerHandle[T](get: () => T, val cancel: () => Unit) {
     def await(): T = get()
   }
 
-  /** Run an eager Spark computation (checkpoint, CC, collect chain)
-    * either INLINE or OVERLAPPED with the caller's subsequent jobs,
-    * decided by driver pool pressure:
+  /** Run an eager Spark computation (checkpoint, CC, collect chain) on
+    * a background thread so its jobs OVERLAP the caller's own
+    * subsequent chain (guide §2.6 — back-fill the stage-latency gaps;
+    * the r21 serial A/B measured ~25% off q98-shaped walls).
     *
-    *  - **idle driver** (no other active jobs — a serial/production
-    *    invocation): run `body` on a background thread so its jobs
-    *    overlap the caller's own chain (guide §2.6 — back-fill the
-    *    stage-latency gaps; the r21 serial A/B measured ~25% off
-    *    q98-shaped walls).
-    *  - **busy driver** (a concurrent query batch): run `body` inline.
-    *    With every core spoken for, the overlap cannot shorten the
-    *    critical path — it only adds scheduler contention, and r21's
-    *    pooled in-batch q98/q99 walls ROSE ~40% under it even as their
-    *    serial walls fell (VERDICT r21 adjudication: gate the overlap
-    *    on pool pressure). The check races with batch start (a peer
-    *    query may not have submitted its first job yet) — a wrong
-    *    "idle" read just overlaps, i.e. the r21 behavior, and results
-    *    are identical either way.
+    * Always overlaps, including under a concurrent query batch — the
+    * r22 calm paired A/B settled VERDICT r21's pool-pressure question
+    * the other way round: an inline-when-busy gate made q98's pooled
+    * in-batch wall ~1.7x WORSE (2.97 s overlapped → 3.59 s inline on
+    * matched calm windows, unchanged-query median 0.71), because FAIR
+    * scheduling round-robins across JOBS — a query holding two
+    * concurrent job chains gets its share of the pool from both, while
+    * the inline ordering serializes its chain behind every peer's
+    * round-robin turn. The r20→r21 pooled rise the verdict flagged was
+    * cross-session box variance, not the overlap.
     *
     * Background jobs run under a dedicated job group with
     * `interruptOnCancel`, inside `blocking{}` (the global pool spawns a
-    * replacement thread instead of starving — ADVICE r21), and
-    * `await()` rethrows the body's failure.
+    * replacement thread instead of starving — ADVICE r21); `cancel()`
+    * kills exactly those jobs when a sibling chain fails, and `await()`
+    * rethrows the body's failure.
     */
   private[graft] def eagerOverlap[T](spark: org.apache.spark.sql.SparkSession, desc: String)(body: => T): EagerHandle[T] = {
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     val sc = spark.sparkContext
-    if (sc.statusTracker.getActiveJobIds().nonEmpty) {
-      val v = body // inline, eagerly — the serialized (pre-r21) ordering
-      new EagerHandle(() => v, () => (), overlapped = false)
-    } else {
-      val group = s"graft-eager-${java.util.UUID.randomUUID()}"
-      val f = Future {
-        // job group is thread-local: tag the background jobs so
-        // cancel() can reach exactly them
-        sc.setJobGroup(group, desc, interruptOnCancel = true)
-        try blocking(body) finally sc.clearJobGroup()
-      }(ExecutionContext.global)
-      new EagerHandle(() => Await.result(f, Duration.Inf), () => sc.cancelJobGroup(group),
-        overlapped = true)
-    }
+    val group = s"graft-eager-${java.util.UUID.randomUUID()}"
+    val f = Future {
+      // job group is thread-local: tag the background jobs so
+      // cancel() can reach exactly them
+      sc.setJobGroup(group, desc, interruptOnCancel = true)
+      try blocking(body) finally sc.clearJobGroup()
+    }(ExecutionContext.global)
+    new EagerHandle(() => Await.result(f, Duration.Inf), () => sc.cancelJobGroup(group))
   }
 
   /** Day-2 cluster maintenance: assign a new batch's docs to a
@@ -1419,10 +1440,10 @@ object Dedup {
     // that lineage evaluates ONCE (the r20 serial A/B measured the
     // un-checkpointed triple evaluation at ~2x the whole DuckDB wall).
     // The checkpoint job OVERLAPS the batch CC's own serialized jobs
-    // below when idle cores exist (guide §2.6: the two chains are
-    // independent until the adopt join — r21 measured the sequential
-    // chain as pure stage latency at bench scale), and runs inline when
-    // the driver is already saturated (see [[eagerOverlap]]).
+    // below (guide §2.6: the two chains are independent until the
+    // adopt join — r21 measured the sequential chain as pure stage
+    // latency at bench scale; see [[eagerOverlap]] for the cancellable
+    // job group and why it overlaps even under a concurrent batch).
     val matchedH = eagerOverlap(batchIds.sparkSession, "assign: probe checkpoint")(
       crossPairs.select(col("new_id"), col("hist_id")).localCheckpoint())
     val (labeled, matched, histLabelsVal) =
@@ -1491,15 +1512,20 @@ object Dedup {
     connectedComponents(pairs, maxIter, checkConvergence, smallGraphEdges = 1L << 20)
 
   /** @param smallGraphEdges pair lists at or under this size skip the
-    *        distributed rounds entirely: one bounded limit-collect off
-    *        the checkpointed pairs (≤1M edges — the same boundedness
-    *        class as the IVF centroid sample; the cap+1'th row is the
-    *        overflow signal) and a driver union-find produce the exact
-    *        labels — the pre-r18 shape serialized a count AND a second
-    *        full collect after the checkpoint, two extra latency-bound
-    *        jobs. 0 disables. At 100 TB near-dup pair lists blow past
-    *        the cap in the first cached partitions (the limit stops
-    *        there) — the star rounds stay the scale path.
+    *        distributed rounds entirely: the edge count rides the
+    *        checkpoint job as an observed metric (no probe job — r22),
+    *        and a graph that fits pays one bounded collect off the
+    *        checkpointed partitions (≤1M edges — the same boundedness
+    *        class as the IVF centroid sample; the observed count is
+    *        the overflow signal, so nothing is collected for a graph
+    *        that doesn't fit) plus a driver union-find for the exact
+    *        labels. The pre-r18 shape serialized a count and a second
+    *        full collect as separate jobs; the r18–r21 shape replaced
+    *        the count with a limit(cap+1) probe, which CollectLimit
+    *        scans in 1→4→16→… partition waves — several serialized
+    *        jobs whenever the graph is small. 0 disables. At 100 TB
+    *        near-dup pair lists blow past the cap — the star rounds
+    *        stay the scale path, now without paying any probe.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int, checkConvergence: Boolean,
       smallGraphEdges: Long): DataFrame = {
@@ -1509,22 +1535,32 @@ object Dedup {
     // the round-1 plan audit measured 161 exchanges / 490 broadcasts
     // for a single CC round. Per-round localCheckpoint keeps the plan
     // O(1) in rounds instead of O(2^rounds).
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
-    // Small-graph short-circuit as ONE bounded limit-collect OFF THE
-    // CHECKPOINT (cached partitions — on a big graph it reads just
-    // enough of them and stops): at most cap+1 edges come back, and if
-    // the whole pair list fit, union-find labels it directly. The
-    // pre-r18 shape serialized a count AND a second full collect after
-    // the checkpoint — two extra latency-bound jobs on the q63/q76
-    // chains. Probing BEFORE the checkpoint would be worse at scale:
-    // limit-collect over a plan with exchanges still runs every
+    //
+    // Small-graph short-circuit (r22, VERDICT r21 #4 — fuse the probe
+    // into the checkpoint action): the edge COUNT rides the checkpoint
+    // job as an OBSERVED metric (zero extra jobs — the same trick the
+    // per-round convergence fingerprint uses), so the old bounded
+    // limit(cap+1)-collect probe job is gone. A small graph now pays
+    // one full-parallel collect off the checkpointed partitions, where
+    // the limit probe scanned them in CollectLimit's 1→4→16→… partition
+    // waves — up to 4 serialized jobs on a 32-partition frame, because
+    // a small graph never satisfies the limit early; an overflowing
+    // graph pays NO probe at all (the count already said the star
+    // rounds are needed, and it used to pull cap+1 rows to the driver
+    // just to learn that). Probing BEFORE the checkpoint would be worse
+    // at scale: any collect over a plan with exchanges still runs every
     // upstream map stage, and the checkpoint would then re-run the
     // whole DAG (round-18 review catch).
-    if (smallGraphEdges > 0) {
-      val cap = math.min(smallGraphEdges, Int.MaxValue - 1L).toInt
-      val probe = p.limit(cap + 1).collect()
-      if (probe.length <= cap)
-        return unionFindLocal(probe, p.schema.fields(0).dataType, pairs.sparkSession)
+    val sel = pairs.select(col("id1"), col("id2"))
+    val edgeCountObs =
+      if (smallGraphEdges > 0) Some(new org.apache.spark.sql.Observation()) else None
+    val p = edgeCountObs.fold(sel)(o => sel.observe(o, count(lit(1)).as("n")))
+      .localCheckpoint()
+    edgeCountObs.foreach { o =>
+      // the checkpoint action already ran; get() only waits on the listener
+      val n = o.get("n").asInstanceOf[Long]
+      if (n <= math.min(smallGraphEdges, Int.MaxValue - 1L))
+        return unionFindLocal(p.collect(), p.schema.fields(0).dataType, pairs.sparkSession)
     }
     val nodes = p.select(col("id1").as("id")).unionByName(p.select(col("id2").as("id"))).distinct()
     // Round 1 mirrors the RAW pair list (self-pairs dropped): duplicate

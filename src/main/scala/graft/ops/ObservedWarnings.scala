@@ -83,10 +83,18 @@ private[graft] object ObservedWarnings {
     * incremental probe bounds each SIDE of a (batch × history) bucket
     * join, where a one-member bucket still pairs with the other side's
     * members — only oversize is a drop condition. Takes the size as
-    * Long because it guards window/agg `count` outputs. Unlike the
-    * bounded variant this guards a PER-ROW window count (each band row
-    * carries its bucket's size), so the accumulator counts dropped
-    * band ROWS, not buckets — the message should say so.
+    * Long because it guards window/agg `count` outputs.
+    *
+    * The accumulator's unit follows the CALLER's frame (ADVICE r21):
+    * the history-side callers guard a per-row window count (each band
+    * row carries its bucket's size — dropped band ROWS), while the r21
+    * batch-side callers guard a per-bucket `groupBy(band,bucket).count`
+    * aggregate (dropped BUCKETS) — the message passed in should name
+    * the right unit. Note also that when the guarded sizes frame is
+    * not broadcast-reused (`broadcastBatch = false`), its aggregate
+    * subtree can appear in two join plans and the accumulator may
+    * double-count a dropped key — the warning is a recall-cliff
+    * signal, not an exact audit counter.
     */
   def oversizeBucketFilter(spark: SparkSession, maxBucket: Int, message: String): Column => Column = {
     val name = s"graft.warn.${counter.incrementAndGet()}"

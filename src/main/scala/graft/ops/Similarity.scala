@@ -899,6 +899,10 @@ object Similarity {
         if (fs.exists(sp)) fs.delete(sp, false)
         txt
       } else None
+    // pre-write listing snapshot: restore only over provably untouched
+    // data — same contract as [[Dedup.writeSignatureIndex]] (ADVICE r21)
+    val preListing: Seq[(String, Long, Long)] =
+      if (oldSidecarText.isDefined) Dedup.indexDataListing(path, conf) else Seq.empty
     try {
       floatVec(corpus, idCol, vecCol)
         .select(col("_id").as(idCol), col("_v").as(vecCol))
@@ -906,7 +910,7 @@ object Similarity {
     } catch {
       case e: Throwable =>
         oldSidecarText.foreach { txt =>
-          if (Dedup.pathHasIndexData(path, conf))
+          if (preListing.nonEmpty && Dedup.indexDataListing(path, conf) == preListing)
             Dedup.writeSidecarText(vectorSidecarPath(path), txt, conf)
         }
         throw e

@@ -81,6 +81,14 @@ object CoreQueries {
         // 600k-row hash relation on the driver while streaming the ~30k-row
         // c⋈o side (guide §3.1: broadcast the side you KNOW is small; the
         // segment's orders are ~1/40 of lineitem at every SF).
+        // Scale bound (ADVICE r21): the 1/40 is a RATIO, not a cap — the
+        // c⋈o side is ~300k rows × ~30 B per SF, so the outer hint is
+        // validated for the bench range (sf ≤ ~10, ≲100 MB broadcast) and
+        // stays safe to roughly sf 500 against Spark's 8 GB / 512M-row
+        // broadcast cap; at TPC-H-100TB-class SFs drop the OUTER hint
+        // (keep broadcast(c)) and let the planner shuffle-join lineitem
+        // against c⋈o — the hint exists to override a bad estimate at
+        // bench scale, not to pin a strategy the data outgrows.
         broadcast(broadcast(c).join(o, col("c_custkey") === col("o_custkey")))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))

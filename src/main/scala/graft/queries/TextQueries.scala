@@ -1258,15 +1258,14 @@ object TextQueries {
         def pairsOf(sigs: org.apache.spark.sql.DataFrame) =
           Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 16)
             .filter(col("est_jaccard") >= 0.6)
-        // history CC runs eager jobs (checkpoint + bounded probe); when
-        // the driver is idle, eagerOverlap runs it on a background
-        // thread and the await lands in assign's BY-NAME history
-        // parameter, so it overlaps the operator's own batch-CC + probe
-        // checkpoint chain instead of serializing ahead of it (r21;
-        // guide §2.6 — the chains are independent until the adopt
-        // join). Under a concurrent batch it runs inline instead (r22
-        // pool-pressure gate), and a failure in assign's own chain
-        // cancels the background jobs rather than orphaning them.
+        // history CC runs eager jobs (checkpoint + bounded probe);
+        // eagerOverlap runs it on a background thread and the await
+        // lands in assign's BY-NAME history parameter, so it overlaps
+        // the operator's own batch-CC + probe checkpoint chain instead
+        // of serializing ahead of it (r21; guide §2.6 — the chains are
+        // independent until the adopt join; r22 hardened the launch
+        // with a cancellable job group), and a failure in assign's own
+        // chain cancels the background jobs rather than orphaning them.
         val histLabelsH = Dedup.eagerOverlap(s, "q98: history CC")(
           Dedup.connectedComponents(pairsOf(histSigs),
             maxIter = 1, checkConvergence = false)) // clique graph (q63 convention)
@@ -1305,10 +1304,10 @@ object TextQueries {
           .select(
             when(col("id1") % 3 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
             when(col("id1") % 3 === 0, col("id2")).otherwise(col("id1")).as("hist_id"))
-        // same gated overlap + by-name await as q98: on an idle driver
-        // the history CC's eager jobs run concurrently with assign's
-        // batch-CC/probe chain (all three read the already-checkpointed
-        // shared pair graph); under a concurrent batch it runs inline
+        // same overlapped launch + by-name await as q98: the history
+        // CC's eager jobs run concurrently with assign's batch-CC/probe
+        // chain (all three read the already-checkpointed shared pair
+        // graph), under a cancellable job group
         val histLabelsH = Dedup.eagerOverlap(docs.sparkSession, "q99: history CC")(
           Dedup.connectedComponents(histPairs))
         try Dedup.assignIncrementalClusters(batch.select("doc_id"), "doc_id",

@@ -46,4 +46,65 @@ class R22OptimizationSpec extends SparkSpec {
       assert(fold.forall(_._2 == k), s"k=$k sketch_len")
     }
   }
+
+  test("indexDataListing fingerprints data files only and sees every mutation (ADVICE r21)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r22_listing")
+    try {
+      def touch(name: String, bytes: String): Unit =
+        java.nio.file.Files.write(dir.resolve(name), bytes.getBytes)
+      touch("part-00000.parquet", "aaaa")
+      touch("_SUCCESS", "")
+      touch("_graft_sig_index.json", "{}")
+      touch(".hidden.crc", "x")
+      val base = Dedup.indexDataListing(dir.toString, spark.sessionState.newHadoopConf())
+      assert(base.map(_._1) == Seq("part-00000.parquet"),
+        "sidecar/_SUCCESS/hidden files must not count as index data")
+      // unchanged directory -> identical fingerprint (the restore fires)
+      assert(Dedup.indexDataListing(dir.toString, spark.sessionState.newHadoopConf()) == base)
+      // a NEW part-file (a partially committed overwrite) changes it
+      touch("part-00001.parquet", "bbbb")
+      val withNew = Dedup.indexDataListing(dir.toString, spark.sessionState.newHadoopConf())
+      assert(withNew != base, "a partially committed new part-file must defeat the restore")
+      // ...and so does rewriting an existing file's content (length)
+      java.nio.file.Files.delete(dir.resolve("part-00001.parquet"))
+      touch("part-00000.parquet", "aaaaaaaa")
+      assert(Dedup.indexDataListing(dir.toString, spark.sessionState.newHadoopConf()) != base)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("a runtime-failed overwrite restores iff the listing proves the old data untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r22_sidecar").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      val recipe = Dedup.writeSignatureIndex(corpus, "doc_id", "text", path,
+        shingleN = 3, k = 8)
+      assert(Dedup.readIndexRecipe(path).contains(recipe))
+      // a RUNTIME failure (analysis passes, the job throws mid-write):
+      // this local committer stages everything under _temporary and
+      // only clears the destination at commit, so the failure leaves
+      // the old files byte-identical — the snapshot guard PROVES that
+      // (listing equality, not the old bare existence probe that a
+      // partially committed new part-file could fool) and restores the
+      // old recipe over the old data
+      val boom = udf { (s: String) =>
+        if (s != null) throw new RuntimeException("boom mid-write"); s
+      }
+      val poisoned = Seq((2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+        .select(col("doc_id"), boom(col("text")).as("text"))
+      intercept[Throwable] {
+        Dedup.writeSignatureIndex(poisoned, "doc_id", "text", path, shingleN = 3, k = 8)
+      }
+      assert(Dedup.readIndexRecipe(path).contains(recipe),
+        "old files provably untouched -> the old recipe must come back")
+      assert(spark.read.parquet(path).as[(Long, Seq[Long])].collect().map(_._1).toSeq == Seq(1L),
+        "the restored recipe must be validating the OLD data")
+    } finally {
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+      rm(dir)
+    }
+  }
 }
